@@ -1,0 +1,101 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry in Spark and its ``oracle_sql()`` in DuckDB on
+the same sf dir, compares row count, schema (column names), and
+order-insensitive values (columns sorted by name, rows sorted, values
+stringified). Prints one line per query; exits nonzero on any mismatch.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from us_flight_bigdata_dashboard_spark.registry import oracle_sql, queries
+from us_flight_bigdata_dashboard_spark.session import get_spark
+from us_flight_bigdata_dashboard_spark.sources.catalog import TABLES
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = queries(), oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows-only ({len(srows)} rows, no oracle)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: schema spark={sorted(scols)} oracle={sorted(ocols)}")
+            failures += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            failures += 1
+            continue
+        cs, co = canon(srows, scols), canon(orows, ocols)
+        if cs != co:
+            ndiff = sum(1 for a, b in zip(cs, co) if a != b)
+            print(f"FAIL {name}: {ndiff}/{len(cs)} rows differ")
+            for a, b in list(zip(cs, co))[:200]:
+                if a != b:
+                    print(f"  spark : {a}\n  oracle: {b}")
+                    break
+            failures += 1
+            continue
+        print(f"OK   {name}: {len(srows)} rows match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,51 @@
+"""Order-independent exact aggregation expressions.
+
+Why: a distributed double-precision SUM depends on partition merge order, so
+two engines (or two runs) can disagree in the last ulps. The driver's
+correctness gate hash-compares Spark vs DuckDB values exactly, and at 100 TB
+(~10^12 rows) naive double sums drift by far more than test noise.
+
+Technique: cast each addend to a fixed-scale DECIMAL before summing. Decimal
+sums are integer arithmetic — exact, associative, commutative — so the result
+is identical regardless of partitioning, AQE coalescing, or thread count, on
+any engine. The final cast back to DOUBLE is a single correctly-rounded
+conversion (exact as long as |sum|·10^scale < 2^53).
+
+This replaces the reference's hand-rolled chunked partial/final aggregation
+(src/aggregate_flight_data.py:25-37) whose mean-merge is broken (SURVEY.md
+quirk Q1) — Spark's partial/final HashAggregate plus decimal addends is both
+correct and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dsum(c: Column | str, scale: int = 4, precision: int = 28) -> Column:
+    """Deterministic sum of a double column: decimal-quantized, exact merge.
+
+    Returns DOUBLE. ``scale`` decimal places of each addend are kept; pick a
+    scale fine enough that quantization is below the semantic tolerance of
+    the metric (4 is plenty for money/minutes metrics).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def davg(c: Column | str, scale: int = 4, precision: int = 28) -> Column:
+    """Deterministic mean: exact decimal sum divided by count (IEEE division
+    of two deterministic values — bit-stable across engines)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return dsum(col, scale, precision) / F.count(col)
+
+
+def sql_dsum(expr: str, scale: int = 4, precision: int = 28) -> str:
+    """ANSI-SQL rendering of ``dsum`` for the DuckDB oracle."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+
+
+def sql_davg(expr: str, scale: int = 4, precision: int = 28) -> str:
+    """ANSI-SQL rendering of ``davg`` for the DuckDB oracle."""
+    return f"({sql_dsum(expr, scale, precision)} / COUNT({expr}))"

@@ -1,0 +1,796 @@
+"""Core relational operator queries (SURVEY.md §2) over the testdata star schema.
+
+Each public ``q_*`` takes (spark, sf_dir) → DataFrame; ``ORACLE`` holds the
+equivalent DuckDB SQL. Column names/aliases are identical on both sides
+(driver hash-compares after sorting columns by name).
+
+Determinism policy: double aggregations use decimal-quantized sums
+(functions/exact.py) so results are bit-identical across engines and across
+partitionings; every LIMIT sits under a total order; rank ties are broken by
+key.
+
+Scale policy: all dimension joins are broadcast (dims ≪ fact, as in the
+reference star schema sql/wide_table.sql:29-36); aggregations are expressed
+declaratively so Catalyst plans partial→final hash aggregation with map-side
+combine; filters/projections sit directly on the parquet scan for pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.functions.exact import dsum, davg, sql_dsum, sql_davg
+from us_flight_bigdata_dashboard_spark.functions.timenorm import hhmm_to_clock, sql_hhmm_to_clock
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# Flagship: multi-dim broadcast star join + multi-agg (J1-J4 + A1 analog)
+# ---------------------------------------------------------------------------
+
+def q_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈4-dims star join + 2-level-key hash aggregation.
+
+    Analog of the reference wide view (sql/wide_table.sql:4-36) feeding the
+    airline-monthly aggregation (src/aggregate_flight_data.py:26-40):
+    lineitem (fact) enriched via orders→customer→nation→region, grouped and
+    multi-aggregated. All dim joins broadcast — no fact shuffle for joins;
+    the only shuffle is the final aggregation exchange.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    joined = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "inner",
+        )
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), scale=6).alias("revenue"),
+            davg(F.col("l_discount"), scale=8).alias("avg_discount"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_ORACLE_STAR_JOIN_AGG = f"""
+SELECT r_name AS region_name,
+       n_name AS nation_name,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       COUNT(*) AS n_items,
+       {sql_dsum("l_extendedprice * (1.0 - l_discount)", scale=6)} AS revenue,
+       {sql_davg("l_discount", scale=8)} AS avg_discount,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1: multi-aggregate hash aggregation (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-agg 2-key aggregation with filter pushdown (A1/A2/A3 analog,
+    src/aggregate_flight_data.py:26-39 — Spark's partial/final HashAggregate
+    replaces the reference's hand-rolled chunk merge, correctly for means)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), scale=6).alias("sum_disc_price"),
+            dsum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * (F.lit(1.0) + F.col("l_tax")),
+                scale=6,
+            ).alias("sum_charge"),
+            davg("l_quantity", scale=6).alias("avg_qty"),
+            davg("l_extendedprice", scale=6).alias("avg_price"),
+            davg("l_discount", scale=8).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_ORACLE_PRICING_SUMMARY = f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       {sql_dsum("l_extendedprice")} AS sum_base_price,
+       {sql_dsum("l_extendedprice * (1.0 - l_discount)", scale=6)} AS sum_disc_price,
+       {sql_dsum("(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)", scale=6)} AS sum_charge,
+       {sql_davg("l_quantity", scale=6)} AS avg_qty,
+       {sql_davg("l_extendedprice", scale=6)} AS avg_price,
+       {sql_davg("l_discount", scale=8)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# S2/P1/P3: projected scan with casts
+# ---------------------------------------------------------------------------
+
+def q_scan_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan + explicit casts (P1 whitelist projection
+    src/data_cleaning.py:15-25; P3 casts src/data_cleaning.py:28,
+    sql/data_modeling.sql:9-11). Catalyst pushes the projection into the
+    parquet reader (ReadSchema shows only these columns)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_orderkey").cast("string").alias("orderkey_str"),
+        F.floor("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+_ORACLE_SCAN_PROJECT_CAST = """
+SELECT l_orderkey,
+       l_linenumber,
+       CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+       CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       l_extendedprice AS price
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# P9: conjunctive IN-list filter (the app's shared filter masks)
+# ---------------------------------------------------------------------------
+
+def q_filter_in_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive IN-list predicate + aggregation (P9, src/app.py:83-87).
+    Both predicates push to the parquet scan."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            F.col("l_returnflag").isin("A", "R") & F.month("l_shipdate").isin(1, 2, 3)
+        )
+        .groupBy(F.col("l_returnflag"), F.month("l_shipdate").alias("ship_month"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+_ORACLE_FILTER_IN_CONJ = f"""
+SELECT l_returnflag,
+       CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       COUNT(*) AS n_rows,
+       {sql_dsum("l_quantity")} AS sum_qty
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R') AND month(l_shipdate) IN (1, 2, 3)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# P5/P6: null imputation + derived indicator
+# ---------------------------------------------------------------------------
+
+def q_null_impute_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fillna/coalesce + null-test indicator (P5 src/data_cleaning.py:31-34,
+    P6 src/data_cleaning.py:61-64). Nulls are introduced with NULLIF so the
+    imputation path is exercised regardless of source null rates."""
+    orders = load_table(spark, sf_dir, "orders")
+    masked = orders.withColumn(
+        "status_masked", F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("string")).otherwise(F.col("o_orderstatus"))
+    )
+    return (
+        masked.select(
+            "o_orderkey",
+            F.coalesce(F.col("status_masked"), F.lit("IMPUTED")).alias("status_filled"),
+            F.col("status_masked").isNull().cast("int").alias("was_null"),
+        )
+        .groupBy("status_filled", "was_null")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_ORACLE_NULL_IMPUTE_INDICATOR = """
+SELECT COALESCE(status_masked, 'IMPUTED') AS status_filled,
+       CAST(status_masked IS NULL AS INTEGER) AS was_null,
+       COUNT(*) AS n_rows
+FROM (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS status_masked
+  FROM orders
+)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# P4: HHMM → 'HH:MM' time normalization
+# ---------------------------------------------------------------------------
+
+def q_time_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hardest scalar chain (P4, src/data_cleaning.py:37-53):
+    zero-pad, 2400-rollover, slice+concat — as a pure column expression.
+    A synthetic HHMM (covering 0..2400 incl. the rollover) is derived from
+    integer keys; nulls on one branch exercise the masked-update semantics."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    hhmm = (F.col("l_orderkey") * F.lit(37) + F.col("l_linenumber") * F.lit(997)) % F.lit(2401)
+    dep = F.when(F.col("l_linenumber") == 3, F.lit(None).cast("bigint")).otherwise(hhmm)
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        hhmm.alias("crs_hhmm"),
+        hhmm_to_clock(hhmm, null_as_midnight=True).alias("crs_dep_clock"),
+        dep.alias("dep_hhmm"),
+        hhmm_to_clock(dep, null_as_midnight=False).alias("dep_clock"),
+    )
+
+
+_ORACLE_TIME_NORMALIZATION = f"""
+SELECT l_orderkey,
+       l_linenumber,
+       (l_orderkey * 37 + l_linenumber * 997) % 2401 AS crs_hhmm,
+       {sql_hhmm_to_clock("((l_orderkey * 37 + l_linenumber * 997) % 2401)", null_as_midnight=True)} AS crs_dep_clock,
+       (CASE WHEN l_linenumber = 3 THEN NULL ELSE (l_orderkey * 37 + l_linenumber * 997) % 2401 END) AS dep_hhmm,
+       {sql_hhmm_to_clock("(CASE WHEN l_linenumber = 3 THEN NULL ELSE (l_orderkey * 37 + l_linenumber * 997) % 2401 END)", null_as_midnight=False)} AS dep_clock
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# P8: weekend indicator with the BTS day-of-week convention
+# ---------------------------------------------------------------------------
+
+def q_derived_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend flag under the BTS convention 1=Monday…7=Sunday (P8,
+    src/data_cleaning.py:103; convention trap SURVEY.md §1.2 — Spark's
+    dayofweek() is 1=Sunday so we derive ((dow+5)%7)+1)."""
+    events = load_table(spark, sf_dir, "events")
+    iso_dow = ((F.dayofweek("ts") + F.lit(5)) % F.lit(7)) + F.lit(1)
+    return (
+        events.select(
+            iso_dow.alias("day_of_week"),
+            F.when(iso_dow >= 6, F.lit(1)).otherwise(F.lit(0)).alias("is_weekend"),
+        )
+        .groupBy("day_of_week", "is_weekend")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_ORACLE_DERIVED_WEEKEND = """
+SELECT CAST(isodow(ts) AS INTEGER) AS day_of_week,
+       CAST(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS INTEGER) AS is_weekend,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# P14: string function surface
+# ---------------------------------------------------------------------------
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: lpad / substring / concat / upper (P14,
+    src/data_cleaning.py:39-41 + sql CASTs)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias("brand_size"),
+    )
+
+
+_ORACLE_STRING_FUNCS = """
+SELECT p_partkey,
+       upper(p_type) AS type_upper,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       substr(p_name, 1, 8) AS name_prefix,
+       p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# S9/J1-J4: denormalized wide view (LEFT joins, renamed projection)
+# ---------------------------------------------------------------------------
+
+def q_wide_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide-table view analog (sql/wide_table.sql:4-36): fact LEFT JOIN
+    every dim, renamed projection (P2). LEFT semantics preserved exactly;
+    dims broadcast. Subsampled by key to keep driver collect small."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+_ORACLE_WIDE_VIEW = """
+SELECT o_orderkey AS order_key,
+       o_totalprice AS total_price,
+       o_orderpriority AS priority,
+       c_name AS customer_name,
+       c_mktsegment AS segment,
+       n_name AS nation_name,
+       r_name AS region_name
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation   ON c_nationkey = n_nationkey
+LEFT JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderkey % 97 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3: self-alias join — same dim joined twice
+# ---------------------------------------------------------------------------
+
+def q_self_alias_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dimension joined under two aliases (J3, sql/wide_table.sql:31-34
+    — dim_airports as origin and dest): nation as supplier-nation and as
+    customer-nation on each lineitem (TPC-H Q7 shape)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        lineitem.join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), scale=6).alias("revenue"),
+        )
+    )
+
+
+_ORACLE_SELF_ALIAS_JOIN = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       COUNT(*) AS n_items,
+       {sql_dsum("l_extendedprice * (1.0 - l_discount)", scale=6)} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# U1/U2/U3: set operations
+# ---------------------------------------------------------------------------
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicating UNION (U1, sql/data_modeling.sql:12-16 — origin ∪ dest
+    airports): customer nations ∪ supplier nations."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+_ORACLE_UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of per-table COUNT(*) validation rows (U2/A12,
+    sql/data_modeling.sql:83-86)."""
+    frames = []
+    for name in ("orders", "lineitem", "customer", "supplier"):
+        df = load_table(spark, sf_dir, name)
+        frames.append(df.agg(F.count(F.lit(1)).alias("n_rows")).select(F.lit(name).alias("table_name"), "n_rows"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    return out
+
+
+_ORACLE_UNION_ALL_COUNTS = """
+SELECT 'orders' AS table_name, COUNT(*) AS n_rows FROM orders
+UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+UNION ALL SELECT 'customer', COUNT(*) FROM customer
+UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+"""
+
+
+def q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT option-list scan (U3/A11/O3, src/app.py:56,62)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+
+_ORACLE_DISTINCT_VALUES = """
+SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5/A6: global KPIs + guarded weighted average
+# ---------------------------------------------------------------------------
+
+def q_global_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global no-key sums + flight-weighted average with zero-denominator
+    guard (A5/A6, src/app.py:94-97 — the KPI row)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    wsum = dsum(F.col("l_discount") * F.col("l_quantity"), scale=8)
+    qsum = dsum("l_quantity")
+    return lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("total_qty"),
+        dsum("l_extendedprice", scale=6).alias("total_price"),
+        F.when(qsum > 0, wsum / qsum * F.lit(100.0)).otherwise(F.lit(0.0)).alias("weighted_disc_pct"),
+    )
+
+
+_ORACLE_GLOBAL_KPIS = f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum("l_quantity")} AS total_qty,
+       {sql_dsum("l_extendedprice", scale=6)} AS total_price,
+       CASE WHEN {sql_dsum("l_quantity")} > 0
+            THEN {sql_dsum("l_discount * l_quantity", scale=8)} / {sql_dsum("l_quantity")} * 100.0
+            ELSE 0.0 END AS weighted_disc_pct
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8: column-wise sums → unpivot
+# ---------------------------------------------------------------------------
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sums of N measure columns unpivoted to (measure, total) rows
+    (A8, src/app.py:133-138 — the delay-cause attribution pie)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    totals = lineitem.agg(
+        dsum("l_quantity").alias("quantity"),
+        dsum("l_extendedprice", scale=6).alias("extendedprice"),
+        dsum("l_discount", scale=8).alias("discount"),
+        dsum("l_tax", scale=8).alias("tax"),
+    )
+    return totals.select(
+        F.expr(
+            "stack(4, 'quantity', quantity, 'extendedprice', extendedprice, "
+            "'discount', discount, 'tax', tax) AS (measure, total)"
+        )
+    )
+
+
+_ORACLE_UNPIVOT_MEASURES = f"""
+SELECT 'quantity' AS measure, {sql_dsum("l_quantity")} AS total FROM lineitem
+UNION ALL SELECT 'extendedprice', {sql_dsum("l_extendedprice", scale=6)} FROM lineitem
+UNION ALL SELECT 'discount', {sql_dsum("l_discount", scale=8)} FROM lineitem
+UNION ALL SELECT 'tax', {sql_dsum("l_tax", scale=8)} FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# A10: additive-cache rollup (re-aggregation of a finer aggregate)
+# ---------------------------------------------------------------------------
+
+def q_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier additive aggregation (A10, src/app.py:161-164): aggregate at
+    fine grain, then roll the cached aggregate up — the design that makes
+    the reference's dashboard millisecond-interactive, and the invariant
+    (additivity) our engine enforces by construction."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    fine = (
+        lineitem.groupBy("l_returnflag", "l_linestatus", F.month("l_shipdate").alias("ship_month"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_extendedprice", scale=6).alias("revenue"))
+    )
+    return fine.groupBy("l_returnflag").agg(
+        F.sum("n_rows").alias("total_rows"),
+        dsum("revenue", scale=6).alias("total_revenue"),
+    )
+
+
+_ORACLE_ROLLUP_REAGG = f"""
+SELECT l_returnflag,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       {sql_dsum("revenue", scale=6)} AS total_revenue
+FROM (
+  SELECT l_returnflag, l_linestatus, CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         COUNT(*) AS n_rows,
+         {sql_dsum("l_extendedprice", scale=6)} AS revenue
+  FROM lineitem
+  GROUP BY 1, 2, 3
+)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7/O2 + window rank: ranking
+# ---------------------------------------------------------------------------
+
+def q_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean + deterministic rank (A7/O2, src/app.py:117-118 — airline
+    ranking by mean delay), upgraded from sort-only to a window rank
+    (SURVEY.md §7 idiomatic upgrade)."""
+    orders = load_table(spark, sf_dir, "orders")
+    means = orders.groupBy("o_orderpriority").agg(
+        davg("o_totalprice", scale=6).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("avg_price").asc(), F.col("o_orderpriority").asc())
+    return means.select("o_orderpriority", "avg_price", "n_orders", F.row_number().over(w).alias("price_rank"))
+
+
+_ORACLE_GROUP_RANK = f"""
+SELECT o_orderpriority,
+       avg_price,
+       n_orders,
+       CAST(ROW_NUMBER() OVER (ORDER BY avg_price ASC, o_orderpriority ASC) AS INTEGER) AS price_rank
+FROM (
+  SELECT o_orderpriority,
+         {sql_davg("o_totalprice", scale=6)} AS avg_price,
+         COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY 1
+)
+"""
+
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment via partitioned window rank — the
+    idiomatic generalization of the reference's sort-based ranking
+    (SURVEY.md §2.7/§7). Deterministic tiebreak on key."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(customer.select("c_custkey", "c_mktsegment")), F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.select("c_mktsegment", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_ORACLE_WINDOW_TOPK_PER_GROUP = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7: ROLLUP grouping sets (generalization of A10)
+# ---------------------------------------------------------------------------
+
+def q_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP(region, nation) — the grouping-sets generalization of
+    the reference's manual cache rollup (SURVEY.md §2.4 note / §7)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", scale=6).alias("total_acctbal"),
+    )
+
+
+_ORACLE_GROUPING_ROLLUP = f"""
+SELECT r_name AS region_name,
+       n_name AS nation_name,
+       COUNT(*) AS n_customers,
+       {sql_dsum("c_acctbal", scale=6)} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(1, 2)
+"""
+
+
+# ---------------------------------------------------------------------------
+# O4: deterministic top-k LIMIT
+# ---------------------------------------------------------------------------
+
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY under a total order + LIMIT (O4, sql/wide_table.sql:42).
+    Spark plans this as TakeOrderedAndProject — no full sort materialization."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(10)
+    )
+
+
+_ORACLE_ORDER_LIMIT = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# A9/P11: monthly trend + value remap
+# ---------------------------------------------------------------------------
+
+def q_month_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month unweighted mean + literal label remap (A9 src/app.py:149,
+    P11 src/app.py:150 — dict remap as a map literal, not a UDF)."""
+    events = load_table(spark, sf_dir, "events")
+    month_label = F.create_map(
+        *[x for m in range(1, 13) for x in (F.lit(m), F.lit(f"M{m:02d}"))]
+    )
+    return (
+        events.groupBy(F.month("ts").alias("event_month"))
+        .agg(F.count(F.lit(1)).alias("n_events"), davg("value", scale=8).alias("avg_value"))
+        .select(
+            "event_month",
+            month_label[F.col("event_month")].alias("month_label"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+_ORACLE_MONTH_TREND = f"""
+SELECT CAST(month(ts) AS INTEGER) AS event_month,
+       'M' || lpad(CAST(month(ts) AS VARCHAR), 2, '0') AS month_label,
+       COUNT(*) AS n_events,
+       {sql_davg("value", scale=8)} AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# P10: ratio arithmetic with guards (the on_time_rate / delay_rate shapes)
+# ---------------------------------------------------------------------------
+
+def q_ratio_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate arithmetic with zero-denominator guard (P10,
+    src/aggregate_flight_data.py:40; src/app.py:94-97,168): per returnflag,
+    'delayed' analog = rows with discount ≥ 0.05."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)).alias("flagged_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "total_rows",
+        "flagged_rows",
+        F.when(
+            F.col("total_rows") > 0,
+            (F.lit(1.0) - F.col("flagged_rows") / F.col("total_rows")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ok_rate"),
+        (F.col("flagged_rows") / F.col("total_rows") * F.lit(100.0)).alias("flagged_pct"),
+    )
+
+
+_ORACLE_RATIO_METRICS = """
+SELECT l_returnflag,
+       total_rows,
+       flagged_rows,
+       CASE WHEN total_rows > 0 THEN 1.0 - CAST(flagged_rows AS DOUBLE) / total_rows ELSE 0.0 END AS ok_rate,
+       CAST(flagged_rows AS DOUBLE) / total_rows * 100.0 AS flagged_pct
+FROM (
+  SELECT l_returnflag,
+         COUNT(*) AS total_rows,
+         CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_rows
+  FROM lineitem
+  GROUP BY 1
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "star_join_agg": q_star_join_agg,
+    "pricing_summary": q_pricing_summary,
+    "scan_project_cast": q_scan_project_cast,
+    "filter_in_conj": q_filter_in_conj,
+    "null_impute_indicator": q_null_impute_indicator,
+    "time_normalization": q_time_normalization,
+    "derived_weekend": q_derived_weekend,
+    "string_funcs": q_string_funcs,
+    "wide_view": q_wide_view,
+    "self_alias_join": q_self_alias_join,
+    "union_distinct": q_union_distinct,
+    "union_all_counts": q_union_all_counts,
+    "distinct_values": q_distinct_values,
+    "global_kpis": q_global_kpis,
+    "unpivot_measures": q_unpivot_measures,
+    "rollup_reagg": q_rollup_reagg,
+    "group_rank": q_group_rank,
+    "window_topk_per_group": q_window_topk_per_group,
+    "grouping_rollup": q_grouping_rollup,
+    "order_limit": q_order_limit,
+    "month_trend": q_month_trend,
+    "ratio_metrics": q_ratio_metrics,
+}
+
+ORACLE = {
+    "star_join_agg": _ORACLE_STAR_JOIN_AGG,
+    "pricing_summary": _ORACLE_PRICING_SUMMARY,
+    "scan_project_cast": _ORACLE_SCAN_PROJECT_CAST,
+    "filter_in_conj": _ORACLE_FILTER_IN_CONJ,
+    "null_impute_indicator": _ORACLE_NULL_IMPUTE_INDICATOR,
+    "time_normalization": _ORACLE_TIME_NORMALIZATION,
+    "derived_weekend": _ORACLE_DERIVED_WEEKEND,
+    "string_funcs": _ORACLE_STRING_FUNCS,
+    "wide_view": _ORACLE_WIDE_VIEW,
+    "self_alias_join": _ORACLE_SELF_ALIAS_JOIN,
+    "union_distinct": _ORACLE_UNION_DISTINCT,
+    "union_all_counts": _ORACLE_UNION_ALL_COUNTS,
+    "distinct_values": _ORACLE_DISTINCT_VALUES,
+    "global_kpis": _ORACLE_GLOBAL_KPIS,
+    "unpivot_measures": _ORACLE_UNPIVOT_MEASURES,
+    "rollup_reagg": _ORACLE_ROLLUP_REAGG,
+    "group_rank": _ORACLE_GROUP_RANK,
+    "window_topk_per_group": _ORACLE_WINDOW_TOPK_PER_GROUP,
+    "grouping_rollup": _ORACLE_GROUPING_ROLLUP,
+    "order_limit": _ORACLE_ORDER_LIMIT,
+    "month_trend": _ORACLE_MONTH_TREND,
+    "ratio_metrics": _ORACLE_RATIO_METRICS,
+}

@@ -1,0 +1,35 @@
+"""Central query/oracle registry assembled from operator modules.
+
+``__spark_entry__.py`` re-exports these; operator modules each contribute a
+``QUERIES`` dict (name → callable(spark, sf_dir) → DataFrame) and an
+``ORACLE`` dict (name → DuckDB SQL). Queries without an oracle entry get the
+driver's weaker rows-only check (reserved for genuinely non-SQL-expressible
+ops, e.g. stateful streaming).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from us_flight_bigdata_dashboard_spark.operators import relational
+
+_MODULES = [relational]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        overlap = out.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
+        out.update(mod.QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLE)
+    return out

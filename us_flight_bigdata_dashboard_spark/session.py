@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+Tuned defaults for the test harness (single-JVM local[N]) that remain correct
+on a real cluster: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), explicit shuffle-partition count, Arrow enabled for the few
+Pandas-UDF paths, UTC session timezone for deterministic date math.
+
+At 100 TB scale the same config holds — shuffle.partitions is overridden per
+deployment (rule of thumb: 2-3× total executor cores, or let AQE coalesce
+from a high initial value), and maxPartitionBytes keeps scan tasks ~128 MB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "us_flight_bigdata_dashboard_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``SPARK_GRAFT_CPUS`` (driver contract) sets local parallelism; defaults
+    to local[*].
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
