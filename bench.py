@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Per query: one warm-up-free timed run of plan+execute+collect-to-driver
+(collect, not count, so the measurement includes result materialization the
+way the driver consumes results). Session build time is excluded — the
+reference's baseline claims (BASELINE.md) are about query/agg latency, not
+JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from us_flight_bigdata_dashboard_spark.registry import queries
+from us_flight_bigdata_dashboard_spark.session import get_spark
+
+# Headline set: the queries that exercise the engine's hot paths —
+# fact-side star join, wide multi-agg, double-dim self-alias join, window
+# rank, full-scan scalar pipeline, and the two-tier rollup.
+HEADLINE = [
+    "star_join_agg",
+    "pricing_summary",
+    "self_alias_join",
+    "window_topk_per_group",
+    "time_normalization",
+    "rollup_reagg",
+    "global_kpis",
+    "grouping_rollup",
+]
+
+# Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
+# write (the reference's ingest/sink path, BASELINE.md "ingest rows/s"), not
+# a driver collect — collecting 600k rows into Python objects measures
+# serialization, not the engine.
+SINK_QUERIES = {"time_normalization"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    qs = queries()
+    # Warm the JVM/codegen once on a trivial job so q1 isn't charged startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    import shutil
+    import tempfile
+
+    sink_root = tempfile.mkdtemp(prefix="bench_sink_")
+    timings: dict[str, float] = {}
+    try:
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            if name in SINK_QUERIES:
+                fn(spark, sf_dir).write.mode("overwrite").parquet(os.path.join(sink_root, name))
+            else:
+                rows = fn(spark, sf_dir).collect()
+                assert rows is not None
+            timings[name] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(sink_root, ignore_errors=True)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
