@@ -1,0 +1,301 @@
+"""Deduplication operators over ``documents`` (north-star extension —
+first-class components for a 100 TB training-data pipeline).
+
+Five dedup families, all expressed as declarative DataFrame plans (no UDFs):
+
+  exact            — md5 hash-groupBy (one shuffle on the hash)
+  normalized exact — canonical-form fingerprint groupBy
+  MinHash + LSH    — shingle → 16 minhashes → 4 bands → bucket-join candidates
+  n-gram Jaccard   — inverted shingle index self-join, exact Jaccard
+  SimHash          — 16-bit signature from token-hash sign sums
+
+Portability trick for the oracle: all hash material is md5 hex *strings*
+(identical in Spark and DuckDB); MinHash takes lexicographic minima of
+``md5(seed || '|' || shingle)`` so no integer-hash compatibility is needed.
+
+Scale notes: exact/normalized dedup is a single hash-partition shuffle on
+the digest — the canonical 100 TB pattern. MinHash-LSH joins only within
+band buckets (candidates ≪ n²); the all-pairs Jaccard is intentionally
+presented as the *verification* stage over LSH candidates, with a top-k cap
+here so the standalone query stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SHINGLE_WORDS = 3
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: md5(text) → keeper = min doc_id, copy count.
+    Only the 16-byte digest shuffles, never the payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact dedup on the canonical form (lowercase, punctuation and
+    whitespace collapsed) — catches trivially-mutated duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "), " +", " "))
+    return (
+        docs.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_ORACLE_DEDUP_NORMALIZED = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by MinHash and Jaccard)
+# ---------------------------------------------------------------------------
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → exploded distinct word-3-gram shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    n = F.size(toks)
+    shingles = F.when(
+        n >= SHINGLE_WORDS,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - SHINGLE_WORDS + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_WORDS)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+_SQL_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+_SQL_SHINGLES = f"""
+  SELECT doc_id, unnest(
+    CASE WHEN len({_SQL_TOKS}) >= {SHINGLE_WORDS}
+         THEN list_distinct(list_transform(
+                generate_series(1, len({_SQL_TOKS}) - {SHINGLE_WORDS} + 1),
+                i -> array_to_string(list_slice({_SQL_TOKS}, i, i + {SHINGLE_WORDS} - 1), ' ')))
+         ELSE [array_to_string({_SQL_TOKS}, ' ')] END) AS shingle
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 16 lexicographic-min md5 minhashes per
+    doc, banded 4×4; docs sharing ≥1 band bucket are candidates.
+
+    Plan shape at scale: shingle explode (narrow) → one hash-agg to 16
+    minhashes → band explode (4 rows/doc) → self-equi-join on (band, bucket)
+    — the join input is tiny (doc_id + 32-char bucket), and bucket
+    cardinality keeps the join sparse."""
+    sh = _shingles_df(spark, sf_dir)
+    minhashes = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    bands = minhashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat(*[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.bucket")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "bucket")
+    return (
+        a.join(b, ["band_idx", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    mh_cols = ",\n         ".join(
+        f"MIN(md5('{i}|' || shingle)) AS mh{i}" for i in range(N_MINHASH)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({concat}) AS bucket FROM minhashes".format(
+            b=b,
+            concat=" || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+minhashes AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM shingles
+  GROUP BY doc_id
+),
+bands AS ({band_rows})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a JOIN bands b USING (band_idx, bucket)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (top-k most similar pairs)
+# ---------------------------------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard via inverted-index self-join; top-20 pairs
+    under a deterministic total order. This is the verify stage an LSH pass
+    feeds at scale (candidates only); standalone it is O(pairs-sharing-a-
+    shingle), kept bounded by the top-k."""
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()).limit(20)
+
+
+def _sql_ngram_jaccard() -> str:
+    return f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: each md5 hex digit of every token votes
+    ±1 on one signature bit (digit ≥ '8' → +1); bit = sign of the vote sum.
+    Near-duplicates land at small Hamming distance — signatures are the
+    groupable/bucketable unit at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("token")).withColumn("h", F.md5("token"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(16)
+        ]
+    )
+    bits = [F.when(F.col(f"v{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)]
+    return votes.select("doc_id", F.concat(*bits).alias("simhash16"))
+
+
+def _sql_simhash() -> str:
+    votes = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS BIGINT) AS v{j}"
+        for j in range(16)
+    )
+    bits = " || ".join(f"(CASE WHEN v{j} >= 0 THEN '1' ELSE '0' END)" for j in range(16))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest({_SQL_TOKS})) AS h FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM tok
+  GROUP BY doc_id
+)
+SELECT doc_id, {bits} AS simhash16 FROM votes
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_normalized": q_dedup_normalized,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLE = {
+    "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_normalized": _ORACLE_DEDUP_NORMALIZED,
+    "dedup_minhash_lsh": _sql_minhash_lsh(),
+    "dedup_ngram_jaccard": _sql_ngram_jaccard(),
+    "dedup_simhash": _sql_simhash(),
+}

@@ -1,0 +1,257 @@
+"""Text-analysis operators over the ``documents`` table (north-star extension,
+SURVEY.md §7 phase 7 — the operations a 100 TB training-data pipeline needs).
+
+All operators are pure column expressions (no UDFs): tokenization, quality
+scoring, language-ID, and fingerprinting run inside whole-stage codegen and
+scale linearly with partitions. Each has an exact DuckDB oracle — integer
+counts and integer-derived ratios, so results are bit-identical by
+construction (no float-order sensitivity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+# Small per-language stopword lexicons for the n-gram/stopword language-ID
+# heuristic. Token-exact matching over a lowercased whitespace split.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "y", "una", "como"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+# BPE-ish word/number/symbol tokenizer — portable regex (same semantics in
+# Java regex and RE2): letter runs, digit runs, single non-space symbols.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _tokens(col):
+    """Lowercased whitespace tokens (empty strings filtered)."""
+    return F.filter(F.split(F.lower(col), " "), lambda t: t != "")
+
+
+def _stop_hits(col, words: list[str]):
+    """Count of tokens ∈ lexicon (integer — exact on both engines)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(_tokens(col), lambda t: F.array_contains(arr, t)))
+
+
+def _sql_tokens(expr: str) -> str:
+    return f"list_filter(string_split(lower({expr}), ' '), t -> t <> '')"
+
+
+def _sql_stop_hits(expr: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter({_sql_tokens(expr)}, t -> t IN ({lst}))) AS INTEGER)"
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)).alias("n_bpe_tokens"),
+    )
+
+
+_ORACLE_TEXT_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_measured,
+       CAST(len({_sql_tokens("text")}) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality metrics: length, mean token length, stopword ratio,
+    symbol ratio — plus a keep/drop flag. Ratios are integer/integer double
+    divisions (bit-stable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    n_sym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9\\s]", ""))
+    n_stop = _stop_hits(F.col("text"), STOPWORDS["en"])
+    out = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        n_tok.alias("n_tokens"),
+        (F.length("text").cast("double") / n_tok).alias("mean_token_len"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        (n_sym.cast("double") / F.length("text")).alias("symbol_ratio"),
+        (n_alpha.cast("double") / F.length("text")).alias("alpha_ratio"),
+    )
+    return out.withColumn(
+        "keep",
+        (
+            (F.col("n_tokens") >= 10)
+            & (F.col("mean_token_len") >= 3.0)
+            & (F.col("mean_token_len") <= 12.0)
+            & (F.col("symbol_ratio") <= 0.1)
+        ).cast("int"),
+    )
+
+
+_ORACLE_TEXT_QUALITY = f"""
+SELECT *,
+       CAST(n_tokens >= 10 AND mean_token_len >= 3.0 AND mean_token_len <= 12.0
+            AND symbol_ratio <= 0.1 AS INTEGER) AS keep
+FROM (
+  SELECT doc_id,
+         CAST(length(text) AS INTEGER) AS n_chars_measured,
+         CAST(len({_sql_tokens("text")}) AS INTEGER) AS n_tokens,
+         CAST(length(text) AS DOUBLE) / len({_sql_tokens("text")}) AS mean_token_len,
+         CAST({_sql_stop_hits("text", STOPWORDS["en"])} AS DOUBLE) / len({_sql_tokens("text")}) AS stopword_ratio,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS symbol_ratio,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language identification
+# ---------------------------------------------------------------------------
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID: per-language hit counts unpivoted, then
+    argmax via deterministic window rank (score desc, lang asc); zero-score
+    docs → 'unknown'. Compares against the metadata ``lang`` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_meta"),
+        *[_stop_hits(F.col("text"), ws).alias(f"score_{lang}") for lang, ws in STOPWORDS.items()],
+    )
+    stack_args = ", ".join(f"'{lang}', score_{lang}" for lang in STOPWORDS)
+    long = scored.select(
+        "doc_id",
+        "lang_meta",
+        F.expr(f"stack({len(STOPWORDS)}, {stack_args}) AS (cand_lang, score)"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang").asc())
+    best = long.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.select(
+        "doc_id",
+        "lang_meta",
+        F.when(F.col("score") > 0, F.col("cand_lang")).otherwise(F.lit("unknown")).alias("pred_lang"),
+        F.col("score").alias("best_score"),
+        (F.col("lang_meta") == F.when(F.col("score") > 0, F.col("cand_lang")).otherwise(F.lit("unknown"))).cast("int").alias("agrees_meta"),
+    )
+
+
+def _sql_langid() -> str:
+    score_cols = ",\n         ".join(
+        f"{_sql_stop_hits('text', ws)} AS score_{lang}" for lang, ws in STOPWORDS.items()
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, lang_meta, '{lang}' AS cand_lang, score_{lang} AS score FROM scored"
+        for lang in STOPWORDS
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS lang_meta,
+         {score_cols}
+  FROM documents
+), long AS ({unpivot}),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rn
+  FROM long
+)
+SELECT doc_id, lang_meta,
+       CASE WHEN score > 0 THEN cand_lang ELSE 'unknown' END AS pred_lang,
+       score AS best_score,
+       CAST(lang_meta = (CASE WHEN score > 0 THEN cand_lang ELSE 'unknown' END) AS INTEGER) AS agrees_meta
+FROM best WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint: lowercase, strip non-alphanumerics to
+    single spaces, collapse+trim, md5 — the canonical-form key used for
+    fuzzy-exact dedup at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "), " +", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+_ORACLE_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS norm_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (events.props)
+# ---------------------------------------------------------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + aggregation over the event stream's ``props``
+    payload (JSON function surface — absent from the reference, required for
+    real event pipelines)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_ORACLE_JSON_EXTRACT = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+       MIN(CAST(props->>'k' AS INTEGER)) AS min_k,
+       MAX(CAST(props->>'k' AS INTEGER)) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "json_extract": q_json_extract,
+}
+
+ORACLE = {
+    "text_token_count": _ORACLE_TEXT_TOKEN_COUNT,
+    "text_quality": _ORACLE_TEXT_QUALITY,
+    "text_langid": _sql_langid(),
+    "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
+    "json_extract": _ORACLE_JSON_EXTRACT,
+}

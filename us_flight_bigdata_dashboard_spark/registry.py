@@ -13,9 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from us_flight_bigdata_dashboard_spark.operators import relational
+from us_flight_bigdata_dashboard_spark.operators import dedup, relational, similarity, text
 
-_MODULES = [relational]
+_MODULES = [relational, text, dedup, similarity]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
