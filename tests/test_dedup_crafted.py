@@ -1,0 +1,87 @@
+"""Positive-path dedup/similarity tests on crafted data (the driver tables
+contain no true duplicates, so these prove the operators actually *find*
+what they claim to find)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from us_flight_bigdata_dashboard_spark.operators.dedup import (
+    q_dedup_exact,
+    q_dedup_minhash_lsh,
+    q_dedup_ngram_jaccard,
+    q_dedup_simhash,
+)
+from us_flight_bigdata_dashboard_spark.operators.similarity import q_embedding_near_dup, q_knn_bruteforce
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches the "
+    "bird and the dog barks at the mailman every single morning before dawn "
+    "breaks over the quiet suburban neighborhood streets"
+)
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crafted"))
+    docs = [
+        (0, BASE, "en", "src0", len(BASE)),
+        (1, BASE, "en", "src1", len(BASE)),  # exact dup of 0
+        (2, BASE.replace("mailman", "postman"), "en", "src0", len(BASE)),  # near-dup of 0
+        (3, "completely unrelated text about quantum chromodynamics and lattice gauge theory simulations", "en", "src2", 93),
+        (4, "short doc", "en", "src3", 9),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(os.path.join(root, "documents.parquet"))
+
+    base_vec = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+    near = list(base_vec)
+    near[0] += 0.001
+    far = [float((i * 17 % 23) - 11) / 10.0 for i in range(64)]
+    vecs = [(0, base_vec, 0), (1, list(base_vec), 0), (2, near, 0), (3, far, 1)]
+    spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>, label int").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "embeddings.parquet"))
+    return root
+
+
+def test_exact_dedup_groups_duplicates(spark, crafted_dir):
+    rows = q_dedup_exact(spark, crafted_dir).collect()
+    by_keeper = {r["keep_doc_id"]: r["n_copies"] for r in rows}
+    assert by_keeper[0] == 2  # docs 0 and 1 collapse, keeper is min id
+    assert len(rows) == 4
+
+
+def test_minhash_lsh_finds_near_dup(spark, crafted_dir):
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared_bands"] for r in q_dedup_minhash_lsh(spark, crafted_dir).collect()}
+    assert pairs[(0, 1)] == 4  # identical docs share every band
+    assert (0, 2) in pairs or (1, 2) in pairs  # one-word change caught by ≥1 band
+    assert not any(3 in p for p in pairs)  # unrelated doc never a candidate
+
+
+def test_ngram_jaccard_ranks_near_dup_highest(spark, crafted_dir):
+    rows = q_dedup_ngram_jaccard(spark, crafted_dir).collect()
+    assert (rows[0]["doc_a"], rows[0]["doc_b"], rows[0]["jaccard"]) == (0, 1, 1.0)
+    near = next(r for r in rows if {r["doc_a"], r["doc_b"]} == {0, 2})
+    assert 0.5 < near["jaccard"] < 1.0
+
+
+def test_simhash_signature_distance(spark, crafted_dir):
+    sigs = {r["doc_id"]: r["simhash16"] for r in q_dedup_simhash(spark, crafted_dir).collect()}
+    assert sigs[0] == sigs[1]
+    ham_near = sum(a != b for a, b in zip(sigs[0], sigs[2]))
+    ham_far = sum(a != b for a, b in zip(sigs[0], sigs[3]))
+    assert ham_near <= 2 < ham_far
+
+
+def test_embedding_near_dup_and_knn(spark, crafted_dir):
+    dups = {(r["vec_a"], r["vec_b"]): r["cosine_sim"] for r in q_embedding_near_dup(spark, crafted_dir).collect()}
+    assert dups[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in dups  # tiny perturbation ≥ 0.99
+    assert not any(3 in p for p in dups)
+    knn = q_knn_bruteforce(spark, crafted_dir).collect()
+    top = {r["query_id"]: r["neighbor_id"] for r in knn if r["rank"] == 1}
+    assert top[0] == 1  # exact duplicate is rank-1 (tie broken by id)
