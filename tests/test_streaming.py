@@ -1,0 +1,70 @@
+"""Structured Streaming tests: file-source micro-batches → watermarked
+tumbling windows → memory sink; results must equal the batch aggregation of
+the same data (stream/batch unification)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory_sink,
+    sliding_counts,
+    tumbling_counts,
+)
+
+EVENTS = [
+    # (event_id, ts, user_id, event_type, value)  — two hours, late row last
+    (1, "2026-01-01 10:05:00", 1, "click", 1.0),
+    (2, "2026-01-01 10:20:00", 2, "click", 2.0),
+    (3, "2026-01-01 10:59:00", 1, "view", 3.0),
+    (4, "2026-01-01 11:01:00", 3, "click", 4.0),
+    (5, "2026-01-01 11:30:00", 2, "view", 5.0),
+    (6, "2026-01-01 10:45:00", 3, "click", 6.0),  # late within watermark
+]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream_in")
+    # two files → two micro-batches (maxFilesPerTrigger=1)
+    for fname, rows in [("b0.json", EVENTS[:4]), ("b1.json", EVENTS[4:])]:
+        with open(os.path.join(root, fname), "w") as f:
+            for eid, ts, uid, et, v in rows:
+                f.write(json.dumps({"event_id": eid, "ts": ts, "user_id": uid, "event_type": et, "value": v, "props": "{}"}) + "\n")
+    return str(root)
+
+
+def test_tumbling_stream_equals_batch(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    assert stream.isStreaming
+    q = run_to_memory_sink(tumbling_counts(stream), "tumbling_test", mode="update")
+    q.awaitTermination(120)
+    result = spark.table("tumbling_test")
+    # memory sink in update mode may hold superseded rows; take the final
+    # value per (window, type) = the one with the max n_events
+    final = (
+        result.groupBy("window_start", "event_type")
+        .agg(F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value"))
+        .collect()
+    )
+    got = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"]) for r in final}
+    assert got[("2026-01-01 10:00:00", "click")] == (3, 9.0)  # late row merged
+    assert got[("2026-01-01 10:00:00", "view")] == (1, 3.0)
+    assert got[("2026-01-01 11:00:00", "click")] == (1, 4.0)
+    assert got[("2026-01-01 11:00:00", "view")] == (1, 5.0)
+
+
+def test_sliding_windows_overlap(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    q = run_to_memory_sink(sliding_counts(stream), "sliding_test", mode="update")
+    q.awaitTermination(120)
+    rows = spark.table("sliding_test").collect()
+    starts = {str(r["window_start"]) for r in rows}
+    # 1h windows sliding by 30min: the 10:05 event belongs to both the
+    # 09:30 and 10:00 windows
+    assert "2026-01-01 09:30:00" in starts and "2026-01-01 10:00:00" in starts

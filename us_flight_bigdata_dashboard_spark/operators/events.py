@@ -1,0 +1,157 @@
+"""Event-stream analytics operators (batch semantics over ``events``).
+
+The reference's "real-time" is interactive re-filtering of additive
+pre-aggregates (SURVEY.md §2.7) — these operators generalize that design to
+true event-time analytics: tumbling windows and gap-based sessionization.
+The same additive window aggregates run incrementally under Structured
+Streaming (streaming/ module) — one logical definition, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type: count + exact sum
+    (the additive shape that streams incrementally with a watermark)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=8).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_ORACLE_EVENTS_TUMBLING = f"""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", scale=8)} AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window functions:
+    lag → new-session flag → running sum = session id → per-user session
+    stats. The batch mirror of streaming session windows."""
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    with_gap = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.when(
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(by_user))
+                > SESSION_GAP_MIN * 60,
+                1,
+            )
+            .otherwise(0)
+            + F.when(F.lag("ts").over(by_user).isNull(), 1).otherwise(0)
+        ).alias("is_new_session"),
+    )
+    sessions = with_gap.withColumn(
+        "session_seq",
+        F.sum("is_new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "events_per_session", F.col("n_events").cast("double") / F.col("n_sessions")
+        )
+    )
+
+
+_ORACLE_EVENTS_SESSIONIZE = f"""
+WITH with_gap AS (
+  SELECT user_id, event_id, ts,
+         (CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END
+          + CASE WHEN LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END) AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM with_gap
+)
+SELECT user_id,
+       CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events,
+       CAST(COUNT(*) AS DOUBLE) / MAX(session_seq) AS events_per_session
+FROM sessions
+GROUP BY 1
+"""
+
+
+def q_events_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily trend with a 3-day centered moving average over the
+    daily aggregate (window frame over an additive pre-aggregate — the A10
+    two-tier design applied to time series)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"), davg("value", scale=8).alias("avg_value"))
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-1, 1)
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        "avg_value",
+        F.avg(F.col("n_events").cast("double")).over(frame).alias("n_events_ma3"),
+    )
+
+
+_ORACLE_EVENTS_SLIDING = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         COUNT(*) AS n_events,
+         {sql_davg("value", scale=8)} AS avg_value
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT day, event_type, n_events, avg_value,
+       AVG(CAST(n_events AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY day ASC
+                                           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n_events_ma3
+FROM daily
+"""
+
+
+QUERIES = {
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+    "events_sliding_avg": q_events_sliding_avg,
+}
+
+ORACLE = {
+    "events_tumbling": _ORACLE_EVENTS_TUMBLING,
+    "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
+    "events_sliding_avg": _ORACLE_EVENTS_SLIDING,
+}

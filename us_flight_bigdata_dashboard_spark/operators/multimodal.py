@@ -1,0 +1,185 @@
+"""Multimodal (image/audio/video) column plumbing (north-star extension).
+
+Media is modeled as opaque ``binary`` payload columns + typed metadata —
+the storage pattern for multimodal training data at 100 TB (payload bytes
+stay columnar in parquet; metadata prunes without touching payloads).
+
+Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` — the
+correct Spark shape for per-item Python work (one Python invocation per
+record *batch*, zero-copy Arrow transfer, linear scaling with partitions).
+The imaging/audio libraries are not in this container, so the actual pixel
+decode is STUBBED two ways:
+
+  * ``make_decode_features_stub`` — a deterministic fake (md5-derived dims)
+    so the full pipeline, schema, and batch mechanics are real and testable;
+  * ``decode_image_real`` — the genuine PIL path behind an import-try,
+    raising ``NotImplementedError`` with instructions when PIL is absent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table from documents: payload = utf-8 bytes of the
+    text (a stand-in for image bytes), kind assigned round-robin. At 100 TB
+    the payload column would be real encoded media read straight from
+    parquet/lance-style storage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def make_decode_features_stub():
+    """Build the mapInPandas worker as a self-contained closure.
+
+    IMPORTANT: the returned function must be pickled BY VALUE (cloudpickle
+    serializes nested functions fully) — Spark's Python workers do not have
+    this package on their sys.path, so a module-level function reference
+    would fail to unpickle. Everything the worker needs (hashlib, pandas)
+    is imported inside.
+
+    This is the shape of a real decoder: swap the digest-derived dims for
+    PIL/ffmpeg calls; the batching, Arrow transfer, schema, and partition
+    parallelism are production-real.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib  # local: keeps the closure dependency-free
+
+        import pandas as _pd
+
+        def stub_dims(digest: str) -> tuple[int, int, int]:
+            # deterministic fake decode, mirrored exactly by the SQL oracle
+            return (
+                64 + int(digest[:4], 16) % 960,
+                64 + int(digest[4:8], 16) % 536,
+                1 + int(digest[8:10], 16) % 30,
+            )
+
+        for pdf in batches:
+            digests = [_hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+            dims = [stub_dims(d) for d in digests]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "digest": digests,
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                }
+            )
+
+    return decode
+
+
+def decode_image_real(payload: bytes):
+    """Real decode path, gated on PIL availability (not shipped in this
+    container)."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "real image decode requires pillow; install it or use "
+            "decode_features_stub for pipeline testing"
+        ) from e
+    return Image.open(BytesIO(payload))  # pragma: no cover
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction end-to-end: binary payload column →
+    Arrow-batched mapInPandas decode → typed feature rows."""
+    media = media_from_documents(spark, sf_dir)
+    return media.mapInPandas(make_decode_features_stub(), MEDIA_FEATURE_SCHEMA)
+
+
+def _sql_hex4_to_int(expr: str, start: int) -> str:
+    """Portable hex→int for the oracle: positional digit arithmetic."""
+    terms = []
+    for i in range(4):
+        digit = f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1)"
+        terms.append(f"{digit} * {16 ** (3 - i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_multimodal_features() -> str:
+    digest = "md5(text)"  # md5(VARCHAR) hashes utf-8 bytes == payload
+    h2 = "(strpos('0123456789abcdef', substr(md5(text), 9, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(text), 10, 1)) - 1)"
+    return f"""
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       {digest} AS digest,
+       CAST(64 + {_sql_hex4_to_int(digest, 1)} % 960 AS INTEGER) AS width,
+       CAST(64 + {_sql_hex4_to_int(digest, 5)} % 536 AS INTEGER) AS height,
+       CAST(1 + ({h2}) % 30 AS INTEGER) AS n_frames
+FROM documents
+"""
+
+
+def q_multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation over the decoded features — the access
+    pattern where payload columns are never read (column pruning keeps the
+    scan cheap at 100 TB)."""
+    feats = q_multimodal_features(spark, sf_dir)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.col("n_bytes").cast("bigint")).alias("total_bytes"),
+        F.min("width").alias("min_width"),
+        F.max("width").alias("max_width"),
+        F.max("n_frames").alias("max_frames"),
+    )
+
+
+def _sql_multimodal_meta_stats() -> str:
+    return f"""
+SELECT kind,
+       COUNT(*) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       MIN(width) AS min_width,
+       MAX(width) AS max_width,
+       MAX(n_frames) AS max_frames
+FROM ({_sql_multimodal_features()})
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "multimodal_features": q_multimodal_features,
+    "multimodal_meta_stats": q_multimodal_meta_stats,
+}
+
+ORACLE = {
+    "multimodal_features": _sql_multimodal_features(),
+    "multimodal_meta_stats": _sql_multimodal_meta_stats(),
+}

@@ -13,9 +13,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from us_flight_bigdata_dashboard_spark.operators import dedup, relational, similarity, text
+from us_flight_bigdata_dashboard_spark.operators import (
+    dedup,
+    events,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 
-_MODULES = [relational, text, dedup, similarity]
+_MODULES = [relational, text, dedup, similarity, events, multimodal]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

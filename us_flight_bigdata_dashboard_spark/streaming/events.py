@@ -1,0 +1,81 @@
+"""Structured Streaming analytics over the event stream (SURVEY.md §2.7/§7).
+
+The reference's "real-time dashboard" recomputes from additive caches on
+every interaction (src/app.py:83-168); here the same additive aggregates
+are maintained *incrementally* by Structured Streaming — tumbling/sliding
+event-time windows with a watermark bounding late data and state size. The
+serving layer reads the continuously-updated result instead of a batch
+cache; everything downstream (KPIs, rollups) is unchanged because the
+aggregates stay additive.
+
+At scale: state is partitioned by (window, key) in the state store; the
+watermark evicts closed windows so state is O(open windows × keys), not
+O(stream length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source event stream (each dropped file = a micro-batch; swap for
+    Kafka via ``.format("kafka")`` with the same downstream plan)."""
+    return spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).json(path)
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event type — the
+    streaming twin of operators/events.q_events_tumbling."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def sliding_counts(stream: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window variant (overlapping windows)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def run_to_memory_sink(result: DataFrame, query_name: str, mode: str = "update"):
+    """Start the stream into an in-memory table (tests/demos); returns the
+    StreamingQuery — caller awaits/stops it."""
+    return (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
