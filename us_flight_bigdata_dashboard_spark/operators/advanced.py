@@ -1,0 +1,143 @@
+"""Idiomatic-Spark upgrades beyond the reference's surface (SURVEY.md §7
+item 6): semi/anti joins, CUBE grouping sets, exact interpolated
+percentiles, and a skew-resistant salted aggregation.
+
+The salted aggregation is the canonical 100 TB skew defense: pre-aggregate
+on (keys, salt) so one hot key fans out over N reducers, then merge the
+additive partials. Results are provably identical to the direct groupBy —
+the oracle for it IS the plain GROUP BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.functions.exact import dsum, sql_dsum
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+N_SALT = 16
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins: per market segment, customers with ≥1
+    open-priority order vs customers with none. Semi/anti never widen rows
+    — at scale they shuffle only the join keys."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    with_urgent = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_urgent"))
+    )
+    without_urgent = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_urgent"))
+    )
+    return with_urgent.join(without_urgent, "c_mktsegment", "outer").na.fill(0)
+
+
+_ORACLE_SEMI_ANTI = """
+SELECT c_mktsegment,
+       COALESCE(SUM(CASE WHEN has_urgent THEN 1 ELSE 0 END), 0) AS n_with_urgent,
+       COALESCE(SUM(CASE WHEN has_urgent THEN 0 ELSE 1 END), 0) AS n_without_urgent
+FROM (
+  SELECT c_mktsegment,
+         EXISTS (SELECT 1 FROM orders
+                 WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') AS has_urgent
+  FROM customer
+)
+GROUP BY 1
+"""
+
+
+def q_grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (returnflag, linestatus) — all 4 grouping sets in
+    one pass (generalizes the reference's manual rollup A10)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+_ORACLE_GROUPING_CUBE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {sql_dsum("l_quantity")} AS sum_qty
+FROM lineitem
+GROUP BY CUBE(1, 2)
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median + p90 of order
+    totals). Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    linear-interpolation definition; operands are identical so results
+    match bit-for-bit. (``approx_percentile`` is the at-scale variant —
+    sketch-based, engine-specific, deliberately not in the exact gate.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_ORACLE_PERCENTILES = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+def salted_agg_sum(
+    df: DataFrame, keys: list[str], value: Column, alias: str, n_salt: int = N_SALT
+) -> DataFrame:
+    """Two-phase skew-resistant aggregation: (keys, salt) partial → keys
+    final. The salt derives from a hash of the whole row's key-independent
+    content via spark_partition_id — any assignment works because the
+    aggregate is additive; result is identical to a direct groupBy."""
+    salted = df.withColumn("_salt", F.spark_partition_id() % n_salt)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), dsum(value).alias("_s")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_n").alias("n_rows"), dsum(F.col("_s")).alias(alias)
+    )
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted aggregation over a deliberately skewed key (returnflag has ~3
+    values — a hot-key shape). Oracle = the plain GROUP BY, proving the
+    rewrite is semantics-preserving."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return salted_agg_sum(lineitem, ["l_returnflag"], F.col("l_extendedprice"), "sum_price")
+
+
+_ORACLE_SKEW_SALTED = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {sql_dsum("l_extendedprice")} AS sum_price
+FROM lineitem
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "semi_anti_join": q_semi_anti_join,
+    "grouping_cube": q_grouping_cube,
+    "percentiles": q_percentiles,
+    "skew_salted_agg": q_skew_salted_agg,
+}
+
+ORACLE = {
+    "semi_anti_join": _ORACLE_SEMI_ANTI,
+    "grouping_cube": _ORACLE_GROUPING_CUBE,
+    "percentiles": _ORACLE_PERCENTILES,
+    "skew_salted_agg": _ORACLE_SKEW_SALTED,
+}

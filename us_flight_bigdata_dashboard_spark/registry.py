@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from us_flight_bigdata_dashboard_spark.operators import (
+    advanced,
     dedup,
     events,
     multimodal,
@@ -22,7 +23,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     text,
 )
 
-_MODULES = [relational, text, dedup, similarity, events, multimodal]
+_MODULES = [relational, text, dedup, similarity, events, multimodal, advanced]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
