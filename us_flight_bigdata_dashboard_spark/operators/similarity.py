@@ -190,6 +190,89 @@ WHERE rank <= 5
 
 
 # ---------------------------------------------------------------------------
+# IVF-style ANN (inverted file: centroid assignment + probe-cluster search)
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: the first ``N_CENTROIDS`` vectors act as deterministic
+    centroids (in production: k-means over a sample, centroids broadcast);
+    every vector is assigned to its nearest centroid (inverted file), a
+    query searches only its own cell — candidate set ~n/K instead of n.
+
+    Spark shape at scale: centroid table broadcasts; assignment is a
+    narrow map; the cell equi-join replaces the brute-force cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
+    scored_cells = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            _cosine(F.col("embedding"), F.col("cent_emb")).alias("cent_sim"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cent_sim").desc(), F.col("centroid_id").asc())
+    assigned = (
+        scored_cells.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    queries_df = assigned.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "centroid_id"
+    )
+    cand = assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "centroid_id")
+    scored = (
+        F.broadcast(queries_df)
+        .join(cand, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "centroid_id",
+            _cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+def _sql_ann_ivf() -> str:
+    cent_sim = _sql_cosine("e.embedding", "c.embedding")
+    cos = _sql_cosine("q.embedding", "n.embedding")
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cent_sim} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.centroid_id,
+         {cos} AS cosine_sim
+  FROM assigned q JOIN assigned n USING (centroid_id)
+  WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, centroid_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 
@@ -257,6 +340,7 @@ GROUP BY 1
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "vector_label_stats": q_vector_label_stats,
 }
@@ -264,6 +348,7 @@ QUERIES = {
 ORACLE = {
     "knn_bruteforce": _sql_knn_bruteforce(),
     "ann_lsh": _sql_ann_lsh(),
+    "ann_ivf": _sql_ann_ivf(),
     "embedding_near_dup": _sql_embedding_near_dup(),
     "vector_label_stats": _sql_vector_label_stats(),
 }
