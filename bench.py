@@ -27,6 +27,7 @@ from us_flight_bigdata_dashboard_spark.session import get_spark
 # fact-side star join, wide multi-agg, double-dim self-alias join, window
 # rank, full-scan scalar pipeline, and the two-tier rollup.
 HEADLINE = [
+    # core relational
     "star_join_agg",
     "pricing_summary",
     "self_alias_join",
@@ -35,6 +36,11 @@ HEADLINE = [
     "rollup_reagg",
     "global_kpis",
     "grouping_rollup",
+    # training-data-pipeline extensions
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "text_quality",
+    "events_sessionize",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

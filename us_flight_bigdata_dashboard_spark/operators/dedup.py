@@ -115,19 +115,53 @@ _SQL_SHINGLES = f"""
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
+# One strong hash per shingle + N cheap affine universal hashes
+# h_i(x) = (a_i·x + b_i) mod P — the standard MinHash construction. 16×
+# cheaper than hashing every shingle N times, and portable: the base hash is
+# the first 15 hex digits of md5 (exact in int64), and affine/mod integer
+# arithmetic is identical in every engine.
+P_MOD = 1_000_000_007
+
+
+def _affine_params() -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(N_MINHASH):
+        a = int(hashlib.md5(f"minhash_a_{i}".encode()).hexdigest()[:12], 16) % (P_MOD - 1) + 1
+        b = int(hashlib.md5(f"minhash_b_{i}".encode()).hexdigest()[:12], 16) % P_MOD
+        out.append((a, b))
+    return out
+
+
+def _sql_hex_to_int(expr: str, start: int, n: int) -> str:
+    """Portable hex→int (DuckDB lacks a hex-parse cast): positional digit
+    arithmetic over ``n`` hex chars."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1) * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: 16 lexicographic-min md5 minhashes per
-    doc, banded 4×4; docs sharing ≥1 band bucket are candidates.
+    """MinHash-LSH candidate pairs: 16 affine minhashes over one md5 base
+    hash per shingle, banded 4×4; docs sharing ≥1 band bucket are
+    candidates.
 
     Plan shape at scale: shingle explode (narrow) → one hash-agg to 16
     minhashes → band explode (4 rows/doc) → self-equi-join on (band, bucket)
-    — the join input is tiny (doc_id + 32-char bucket), and bucket
+    — the join input is tiny (doc_id + bucket digest), and bucket
     cardinality keeps the join sparse."""
     sh = _shingles_df(spark, sf_dir)
-    minhashes = sh.groupBy("doc_id").agg(
+    x = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit(P_MOD)
+    )
+    hashed = sh.select("doc_id", x.alias("x"))
+    minhashes = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-            for i in range(N_MINHASH)
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(P_MOD)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_affine_params())
         ]
     )
     bands = minhashes.select(
@@ -138,7 +172,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band_idx"),
                         F.md5(
-                            F.concat(*[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            )
                         ).alias("bucket"),
                     )
                     for b in range(N_BANDS)
@@ -158,21 +198,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_minhash_lsh() -> str:
     mh_cols = ",\n         ".join(
-        f"MIN(md5('{i}|' || shingle)) AS mh{i}" for i in range(N_MINHASH)
+        f"CAST(MIN(({a} * x + {b}) % {P_MOD}) AS BIGINT) AS mh{i}"
+        for i, (a, b) in enumerate(_affine_params())
     )
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_idx, md5({concat}) AS bucket FROM minhashes".format(
             b=b,
-            concat=" || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+            concat=" || '_' || ".join(
+                f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+            ),
         )
         for b in range(N_BANDS)
     )
     return f"""
 WITH shingles AS ({_SQL_SHINGLES}),
+hashed AS (
+  SELECT doc_id, {_sql_hex_to_int("md5(shingle)", 1, 15)} % {P_MOD} AS x FROM shingles
+),
 minhashes AS (
   SELECT doc_id,
          {mh_cols}
-  FROM shingles
+  FROM hashed
   GROUP BY doc_id
 ),
 bands AS ({band_rows})
