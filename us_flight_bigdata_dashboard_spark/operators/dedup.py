@@ -82,12 +82,12 @@ GROUP BY 1
 # Shingling (shared by MinHash and Jaccard)
 # ---------------------------------------------------------------------------
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → exploded distinct word-3-gram shingles."""
-    docs = load_table(spark, sf_dir, "documents")
+def _shingle_array():
+    """Column expr: distinct word-3-gram shingles of ``text`` as an array
+    (short docs fall back to one whole-text shingle)."""
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     n = F.size(toks)
-    shingles = F.when(
+    return F.when(
         n >= SHINGLE_WORDS,
         F.array_distinct(
             F.transform(
@@ -96,17 +96,24 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → exploded distinct word-3-gram shingles (inverted-index
+    form, used by the exact-Jaccard verify stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
 
 
 _SQL_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
-_SQL_SHINGLES = f"""
-  SELECT doc_id, unnest(
+_SQL_SHINGLE_LIST = f"""(
     CASE WHEN len({_SQL_TOKS}) >= {SHINGLE_WORDS}
          THEN list_distinct(list_transform(
                 generate_series(1, len({_SQL_TOKS}) - {SHINGLE_WORDS} + 1),
                 i -> array_to_string(list_slice({_SQL_TOKS}, i, i + {SHINGLE_WORDS} - 1), ' ')))
-         ELSE [array_to_string({_SQL_TOKS}, ' ')] END) AS shingle
+         ELSE [array_to_string({_SQL_TOKS}, ' ')] END)"""
+_SQL_SHINGLES = f"""
+  SELECT doc_id, unnest({_SQL_SHINGLE_LIST}) AS shingle
   FROM documents
 """
 
@@ -150,13 +157,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates.
 
     Plan shape at scale: shingle explode (narrow) → one hash-agg to 16
-    minhashes → band explode (4 rows/doc) → self-equi-join on (band, bucket)
-    — the join input is tiny (doc_id + bucket digest), and bucket
-    cardinality keeps the join sparse."""
+    minhashes → band explode (4 rows/doc) → self-equi-join on (band,
+    bucket); only digests ever shuffle.
+
+    Note (measured, sf0.1): a "no-shuffle" variant computing signatures in
+    the array domain (array_min∘transform per signature) is 2× SLOWER —
+    Catalyst's CollapseProject inlines the shingle-array expression into
+    all 16 signature columns, recomputing shingling 16×. The explode +
+    groupBy below evaluates shingles exactly once (the aggregation is a
+    real pipeline barrier) and wins despite its small shuffle."""
     sh = _shingles_df(spark, sf_dir)
-    x = (
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit(P_MOD)
-    )
+    x = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit(P_MOD)
     hashed = sh.select("doc_id", x.alias("x"))
     minhashes = hashed.groupBy("doc_id").agg(
         *[
