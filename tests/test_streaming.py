@@ -31,11 +31,14 @@ EVENTS = [
 @pytest.fixture(scope="module")
 def stream_dir(tmp_path_factory):
     root = tmp_path_factory.mktemp("stream_in")
-    # two files → two micro-batches (maxFilesPerTrigger=1)
-    for fname, rows in [("b0.json", EVENTS[:4]), ("b1.json", EVENTS[4:])]:
-        with open(os.path.join(root, fname), "w") as f:
+    # two files → two micro-batches (maxFilesPerTrigger=1); mtimes pinned
+    # because the file source orders batches by modification time
+    for i, (fname, rows) in enumerate([("b0.json", EVENTS[:4]), ("b1.json", EVENTS[4:])]):
+        path = os.path.join(root, fname)
+        with open(path, "w") as f:
             for eid, ts, uid, et, v in rows:
                 f.write(json.dumps({"event_id": eid, "ts": ts, "user_id": uid, "event_type": et, "value": v, "props": "{}"}) + "\n")
+        os.utime(path, (1000000 + i * 100, 1000000 + i * 100))
     return str(root)
 
 

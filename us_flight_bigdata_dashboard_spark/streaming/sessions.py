@@ -1,0 +1,101 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (SURVEY.md §7 / the Structured Streaming path for
+operators the built-in window aggregates can't express).
+
+Per user_id, state = the open session (start, last-seen, count). Each
+micro-batch folds its events into the state; a gap larger than the session
+gap CLOSES the current session (emitted downstream) and opens a new one.
+State persists across micro-batches in the state store — the batch mirror
+is operators/events.q_events_sessionize.
+
+At scale: state is partitioned by key in the state store; memory is O(open
+sessions), and an event-time timeout (GroupStateTimeout) would evict idle
+users — kept NoTimeout here for deterministic tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.LongType()),  # epoch seconds
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start", T.LongType()),
+        T.StructField("last", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def make_sessionizer(gap_seconds: int):
+    """Build the stateful worker as a self-contained closure (pickled by
+    value — Spark Python workers cannot import this package)."""
+
+    def sessionize(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+
+        closed: list[tuple[int, int, int]] = []
+        ts_values: list[int] = []
+        for pdf in pdf_iter:
+            ts_values.extend(int(t.timestamp()) for t in pdf["ts"])
+        ts_values.sort()
+
+        for ts in ts_values:
+            if last is not None and ts < last:
+                # late event older than the session frontier: drop (the
+                # production policy would be a watermark + event-time
+                # timeout; state must never move backwards)
+                continue
+            if last is not None and ts - last > gap_seconds:
+                closed.append((start, last, n))
+                start, n = None, 0
+            if start is None:
+                start = ts
+            n += 1
+            last = ts
+
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return sessionize
+
+
+def streaming_sessionize(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Closed sessions as a stream: one output row per session, emitted in
+    the micro-batch whose events exceed the inactivity gap."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_sessionizer(gap_seconds),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
