@@ -4,11 +4,13 @@ Prints exactly ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-Per query: one warm-up-free timed run of plan+execute+collect-to-driver
-(collect, not count, so the measurement includes result materialization the
-way the driver consumes results). Session build time is excluded — the
-reference's baseline claims (BASELINE.md) are about query/agg latency, not
-JVM startup.
+Per query: best of TWO runs of plan+execute+collect-to-driver (the first
+run pays whole-stage-codegen compilation; the reported number is
+steady-state latency, matching the nature of BASELINE.md's claims about a
+warm MySQL server). Collect, not count, so the measurement includes result
+materialization the way the driver consumes results; ETL-shaped full-scan
+queries are timed as distributed parquet writes instead. Session build
+time is excluded.
 """
 
 from __future__ import annotations

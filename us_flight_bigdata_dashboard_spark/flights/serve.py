@@ -36,7 +36,9 @@ def apply_shared_filter(
             df = df.filter(F.col("month").isin(months))
         if airlines is not None:
             df = df.filter(F.col("airline_name").isin(airlines))
-        return df
+        # the ≤400-row filtered frames feed 5+ chart queries — cache them
+        # (the engine-side st.cache_data)
+        return df.cache()
 
     return _filter(airline_cache), _filter(airport_cache)
 

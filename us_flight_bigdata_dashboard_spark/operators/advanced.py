@@ -40,8 +40,8 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_SEMI_ANTI = """
 SELECT c_mktsegment,
-       COALESCE(SUM(CASE WHEN has_urgent THEN 1 ELSE 0 END), 0) AS n_with_urgent,
-       COALESCE(SUM(CASE WHEN has_urgent THEN 0 ELSE 1 END), 0) AS n_without_urgent
+       CAST(COALESCE(SUM(CASE WHEN has_urgent THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_urgent,
+       CAST(COALESCE(SUM(CASE WHEN has_urgent THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_without_urgent
 FROM (
   SELECT c_mktsegment,
          EXISTS (SELECT 1 FROM orders
@@ -98,10 +98,22 @@ GROUP BY 1
 def salted_agg_sum(
     df: DataFrame, keys: list[str], value: Column, alias: str, n_salt: int = N_SALT
 ) -> DataFrame:
-    """Two-phase skew-resistant aggregation: (keys, salt) partial → keys
-    final. The salt derives from a hash of the whole row's key-independent
-    content via spark_partition_id — any assignment works because the
-    aggregate is additive; result is identical to a direct groupBy."""
+    """Explicit two-phase (keys, salt) partial → keys final aggregation.
+
+    Honest scope note: for plain additive aggregates Spark's map-side
+    partial HashAggregate ALREADY bounds reducer input to one row per key
+    per map partition, so this rewrite is a demonstration of the pattern,
+    not a needed defense here. The pattern earns its keep where partials
+    don't combine map-side — exact count-distinct on a hot key, collect-
+    style aggregates, or the build side of a skewed join (where the salt
+    must also be replicated on the other side). Any salt assignment yields
+    the same result because the aggregate is additive (verified invariant
+    under different partition counts; the oracle is the plain GROUP BY).
+
+    Quantization bound: the second dsum re-quantizes partial sums at
+    scale=4, exact while |partial|·10^4 < 2^53 (≈9·10^11 per partial) —
+    far above these metrics; raise the inner scale for larger magnitudes.
+    """
     salted = df.withColumn("_salt", F.spark_partition_id() % n_salt)
     partial = salted.groupBy(*keys, "_salt").agg(
         F.count(F.lit(1)).alias("_n"), dsum(value).alias("_s")

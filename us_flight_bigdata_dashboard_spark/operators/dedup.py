@@ -261,9 +261,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # no broadcast hint: sizes has one row per document (unbounded at
+    # scale) — let Catalyst/AQE pick broadcast vs shuffle by actual size
     jac = (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

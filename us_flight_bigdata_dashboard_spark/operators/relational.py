@@ -35,8 +35,10 @@ def q_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Analog of the reference wide view (sql/wide_table.sql:4-36) feeding the
     airline-monthly aggregation (src/aggregate_flight_data.py:26-40):
     lineitem (fact) enriched via orders→customer→nation→region, grouped and
-    multi-aggregated. All dim joins broadcast — no fact shuffle for joins;
-    the only shuffle is the final aggregation exchange.
+    multi-aggregated. The true dims (customer/nation/region) are broadcast-
+    hinted; lineitem⋈orders is deliberately UNhinted — at test scale the
+    auto-threshold broadcasts it, at 100 TB Catalyst/AQE correctly flips it
+    to a shuffled join (hinting a 100 TB broadcast would be wrong).
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")

@@ -39,5 +39,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _MODULES:
+        overlap = out.keys() & mod.ORACLE.keys()
+        if overlap:
+            raise ValueError(f"duplicate oracle names from {mod.__name__}: {overlap}")
         out.update(mod.ORACLE)
     return out

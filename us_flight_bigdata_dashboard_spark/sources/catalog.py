@@ -30,9 +30,6 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a lazy DataFrame.
 
@@ -41,6 +38,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and rebuild a microsecond timestamp with exact integer math (``div`` —
     no double round-trip, which would corrupt > 2^53 nanosecond epochs).
     The DuckDB oracle applies the matching CAST(ts AS TIMESTAMP) truncation.
+
+    Side effect (deliberate, session-global): ``nanosAsLong`` stays set for
+    the session — it cannot be restored immediately because the returned
+    DataFrame is lazy and the scan consults the conf at execution. Any
+    OTHER nanos-timestamp parquet read in the same session will therefore
+    also surface as bigint; route such reads through a loader like this
+    one. The flag does not affect ms/us timestamp reads.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

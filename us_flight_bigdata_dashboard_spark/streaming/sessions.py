@@ -52,7 +52,9 @@ def make_sessionizer(gap_seconds: int):
         closed: list[tuple[int, int, int]] = []
         ts_values: list[int] = []
         for pdf in pdf_iter:
-            ts_values.extend(int(t.timestamp()) for t in pdf["ts"])
+            # drop null/NaT timestamps — one malformed event must not kill
+            # the whole streaming query
+            ts_values.extend(int(t.timestamp()) for t in pdf["ts"] if not pd.isna(t))
         ts_values.sort()
 
         for ts in ts_values:
