@@ -1,0 +1,118 @@
+"""Additional operator breadth: pivot (inverse of the A8 unpivot),
+INTERSECT/EXCEPT set ops, and the date-function scalar surface — rounding
+out "a user could run every query they run today, and the obvious next
+ones" (SURVEY.md §7 completeness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.functions.exact import dsum, sql_dsum
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus values into columns (explicit value list — at scale
+    an implicit pivot triggers a distinct-scan job first)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("f_count"),
+        F.coalesce(F.col("F_qty"), F.lit(0.0)).alias("f_qty"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("o_count"),
+        F.coalesce(F.col("O_qty"), F.lit(0.0)).alias("o_qty"),
+    )
+
+
+_ORACLE_PIVOT_STATUS = f"""
+SELECT l_returnflag,
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS f_count,
+       COALESCE({sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")}, 0.0) AS f_qty,
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS o_count,
+       COALESCE({sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")}, 0.0) AS o_qty
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT (distinct set semantics), tagged and stacked:
+    nations having both customers and suppliers vs customer-only nations."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = supplier.select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).select(F.lit("both").alias("set_op"), "nationkey")
+    # subtract = distinct EXCEPT (exceptAll would be multiset semantics:
+    # it removes one supplier occurrence per nation and keeps the rest)
+    only_c = c.subtract(s).select(F.lit("customer_only").alias("set_op"), "nationkey")
+    return both.unionByName(only_c)
+
+
+_ORACLE_INTERSECT_EXCEPT = """
+SELECT 'both' AS set_op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'customer_only', nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
+)
+"""
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar surface: extract fields, BTS-convention day-of-week,
+    month-end, offset arithmetic, day difference vs an epoch anchor."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year(d).alias("order_year"),
+        F.quarter(d).alias("order_quarter"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        (((F.dayofweek(d) + F.lit(5)) % F.lit(7)) + F.lit(1)).alias("iso_dow"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(d, F.lit("1992-01-01").cast("date")).alias("days_since_epoch"),
+    )
+
+
+_ORACLE_DATE_FUNCTIONS = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch
+FROM orders
+WHERE o_orderkey % 97 = 0
+"""
+
+
+QUERIES = {
+    "pivot_status": q_pivot_status,
+    "intersect_except": q_intersect_except,
+    "date_functions": q_date_functions,
+}
+
+ORACLE = {
+    "pivot_status": _ORACLE_PIVOT_STATUS,
+    "intersect_except": _ORACLE_INTERSECT_EXCEPT,
+    "date_functions": _ORACLE_DATE_FUNCTIONS,
+}

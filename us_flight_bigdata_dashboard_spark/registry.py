@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from us_flight_bigdata_dashboard_spark.operators import (
     advanced,
+    breadth,
     dedup,
     events,
     multimodal,
@@ -23,7 +24,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     text,
 )
 
-_MODULES = [relational, text, dedup, similarity, events, multimodal, advanced]
+_MODULES = [relational, text, dedup, similarity, events, multimodal, advanced, breadth]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
