@@ -1,0 +1,88 @@
+"""Command-line entry point — the one-command replacement for the
+reference's three manual steps (clean script → SQL scripts → aggregation
+script) plus a headless serving query.
+
+  python -m us_flight_bigdata_dashboard_spark pipeline --raw 'data/2025_0[1-3].csv' --out out/
+  python -m us_flight_bigdata_dashboard_spark serve --cache-dir out/ \\
+      --months 1 2 3 --airlines 'Alaska Airlines' 'American Airlines'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_pipeline(args) -> int:
+    from us_flight_bigdata_dashboard_spark.flights.agg import write_cache
+    from us_flight_bigdata_dashboard_spark.flights.pipeline import run_pipeline
+    from us_flight_bigdata_dashboard_spark.flights.star import write_star
+    from us_flight_bigdata_dashboard_spark.session import get_spark
+
+    spark = get_spark("flights-pipeline")
+    out = run_pipeline(spark, args.raw, has_cancelled=not args.no_cancelled_column)
+    if args.write_star:
+        write_star(out.star, f"{args.out}/star")
+    write_cache(out.airline_monthly, f"{args.out}/airline_monthly_performance")
+    write_cache(out.airport_perf, f"{args.out}/airport_performance")
+    print(
+        json.dumps(
+            {
+                "rows_cleaned": out.clean.count(),
+                "airline_monthly_rows": out.airline_monthly.count(),
+                "airport_perf_rows": out.airport_perf.count(),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
+def _cmd_serve(args) -> int:
+    from us_flight_bigdata_dashboard_spark.flights import serve
+    from us_flight_bigdata_dashboard_spark.flights.io import read_cache_csv
+    from us_flight_bigdata_dashboard_spark.flights.schemas import (
+        AIRLINE_MONTHLY_SCHEMA,
+        AIRPORT_PERFORMANCE_SCHEMA,
+    )
+    from us_flight_bigdata_dashboard_spark.session import get_spark
+
+    spark = get_spark("flights-serve")
+    airline = read_cache_csv(spark, f"{args.cache_dir}/airline_monthly_performance", AIRLINE_MONTHLY_SCHEMA)
+    airport = read_cache_csv(spark, f"{args.cache_dir}/airport_performance", AIRPORT_PERFORMANCE_SCHEMA)
+    fa, fp = serve.apply_shared_filter(airline, airport, months=args.months, airlines=args.airlines)
+    result = {
+        "kpis": serve.kpis(fa),
+        "airline_rank": [r.asDict() for r in serve.airline_rank(fa).collect()],
+        "monthly_trend": [r.asDict() for r in serve.monthly_trend(fa).collect()],
+        "delay_attribution": [r.asDict() for r in serve.delay_attribution(fa).collect()],
+        "geo_rollup": [r.asDict() for r in serve.geo_rollup(fp).collect()],
+    }
+    print(json.dumps(result, ensure_ascii=False, default=str))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="us_flight_bigdata_dashboard_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("pipeline", help="raw CSVs → clean → star → caches")
+    p.add_argument("--raw", required=True, help="CSV path/glob (e.g. data/2025_0[1-3].csv)")
+    p.add_argument("--out", required=True, help="output directory for caches")
+    p.add_argument("--write-star", action="store_true", help="also materialize the star schema as parquet")
+    p.add_argument("--no-cancelled-column", action="store_true", help="raw data lacks the Cancelled column (use fallback)")
+    p.set_defaults(fn=_cmd_pipeline)
+
+    s = sub.add_parser("serve", help="dashboard queries over the caches → JSON")
+    s.add_argument("--cache-dir", required=True)
+    s.add_argument("--months", nargs="*", type=int, default=None)
+    s.add_argument("--airlines", nargs="*", default=None)
+    s.set_defaults(fn=_cmd_serve)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
