@@ -48,9 +48,28 @@ def test_in_filter_pushed_to_scan(spark):
 
 
 def test_star_join_single_agg_shuffle(spark):
-    # at most 2 shuffle exchanges: count-distinct expand + final agg;
-    # no join-induced fact shuffle
+    # at most 2 shuffle exchanges: the two-phase rollup (partial agg on
+    # (keys, orderkey) then re-agg on keys) — no join-induced fact shuffle
     from us_flight_bigdata_dashboard_spark.plans import count_exchanges
 
     df = q_star_join_agg(spark, SF_DIR)
     assert count_exchanges(df) <= 2, plan_str(df)
+
+
+def test_ivf_assignment_no_shuffle(spark):
+    # the inverted-file build is a narrow map over broadcast centroid
+    # literals: zero Exchange before the cell equi-join; the full query's
+    # only shuffle is the final per-query rank window
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        ivf_assign,
+        q_ann_ivf,
+        train_ivf_centroids,
+    )
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+    from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+    cents = train_ivf_centroids(spark, SF_DIR)
+    assigned = ivf_assign(load_table(spark, SF_DIR, "embeddings"), cents)
+    assert count_exchanges(assigned) == 0, plan_str(assigned)
+    df = q_ann_ivf(spark, SF_DIR)
+    assert count_exchanges(df) <= 1, plan_str(df)
