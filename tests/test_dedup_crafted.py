@@ -9,6 +9,8 @@ import os
 import pytest
 
 from us_flight_bigdata_dashboard_spark.operators.dedup import (
+    MAX_SHINGLE_DF,
+    q_dedup_clusters,
     q_dedup_exact,
     q_dedup_minhash_lsh,
     q_dedup_ngram_jaccard,
@@ -75,6 +77,45 @@ def test_simhash_signature_distance(spark, crafted_dir):
     ham_near = sum(a != b for a, b in zip(sigs[0], sigs[2]))
     ham_far = sum(a != b for a, b in zip(sigs[0], sigs[3]))
     assert ham_near <= 2 < ham_far
+
+
+def test_clusters_collapse_transitive_duplicates(spark, crafted_dir):
+    # docs 0,1 are exact dups and 2 is a near-dup of them: even if LSH only
+    # ever paired (0,1) and (0,2), connected components must put all three
+    # in ONE cluster with a single keeper (min id)
+    rows = {r["doc_id"]: r for r in q_dedup_clusters(spark, crafted_dir).collect()}
+    assert set(rows) == {0, 1, 2}  # docs 3,4 are in no candidate pair
+    assert all(rows[d]["cluster_id"] == 0 for d in (0, 1, 2))
+    assert [d for d in rows if rows[d]["is_keeper"]] == [0]
+
+
+@pytest.fixture(scope="module")
+def hot_shingle_dir(spark, tmp_path_factory):
+    """MAX_SHINGLE_DF+10 docs that share ONLY one stop-phrase shingle, plus
+    one genuine near-dup pair on rare shingles."""
+    root = str(tmp_path_factory.mktemp("hotshingle"))
+    n_hot = MAX_SHINGLE_DF + 10
+    docs = [
+        (i, f"the quick brown unique{i} token{i} extra{i}", "en", "hot", 40)
+        for i in range(n_hot)
+    ]
+    docs.append((1000, "rare shared phrase occurs here exactly once", "en", "rare", 43))
+    docs.append((1001, "rare shared phrase occurs here exactly twice", "en", "rare", 44))
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(os.path.join(root, "documents.parquet"))
+    return root
+
+
+def test_jaccard_df_cap_blocks_stop_phrase_blowup(spark, hot_shingle_dir):
+    # every hot doc shares the shingle "the quick brown" (df = 60 > cap):
+    # without the DF cap the self-join would emit C(60,2) = 1770 hot-only
+    # pairs and the top-20 would be all noise; with it only the genuine
+    # rare-shingle pair survives
+    rows = q_dedup_ngram_jaccard(spark, hot_shingle_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (1000, 1001) in pairs
+    assert not any(a < 1000 and b < 1000 for a, b in pairs), pairs
 
 
 def test_embedding_near_dup_and_knn(spark, crafted_dir):

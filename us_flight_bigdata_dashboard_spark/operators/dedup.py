@@ -207,7 +207,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh() -> str:
+def _sql_lsh_cte_block() -> str:
+    """The shingles→hashed→minhashes→bands CTE chain, shared by the LSH
+    candidate query and the duplicate-clusters oracle."""
     mh_cols = ",\n         ".join(
         f"CAST(MIN(({a} * x + {b}) % {P_MOD}) AS BIGINT) AS mh{i}"
         for i, (a, b) in enumerate(_affine_params())
@@ -221,8 +223,7 @@ def _sql_minhash_lsh() -> str:
         )
         for b in range(N_BANDS)
     )
-    return f"""
-WITH shingles AS ({_SQL_SHINGLES}),
+    return f"""shingles AS ({_SQL_SHINGLES}),
 hashed AS (
   SELECT doc_id, {_sql_hex_to_int("md5(shingle)", 1, 15)} % {P_MOD} AS x FROM shingles
 ),
@@ -232,7 +233,12 @@ minhashes AS (
   FROM hashed
   GROUP BY doc_id
 ),
-bands AS ({band_rows})
+bands AS ({band_rows})"""
+
+
+def _sql_minhash_lsh() -> str:
+    return f"""
+WITH {_sql_lsh_cte_block()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
 FROM bands a JOIN bands b USING (band_idx, bucket)
 WHERE a.doc_id < b.doc_id
@@ -241,18 +247,135 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters: LSH pairs → connected components → keeper per cluster
+# ---------------------------------------------------------------------------
+
+MAX_CC_ITERS = 20
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production stage after LSH: candidate *pairs* → duplicate
+    *clusters* (connected components) → one keeper per cluster, so
+    transitive duplicates (A~B, B~C but never A⋈C as a pair) still
+    collapse to a single kept document.
+
+    Iterative min-label propagation: every doc starts labeled with its own
+    id; each round it takes the min of its label and its neighbors' labels;
+    the component's minimum id floods outward one hop per round, so the
+    loop converges in O(component diameter) rounds — duplicate clusters
+    are near-cliques (diameter 1-2), and the testdata fixed point lands in
+    2-3 rounds. ``localCheckpoint`` truncates the growing lineage each
+    round (iterative-plan hygiene); convergence is detected by the label
+    sum reaching a fixed point (labels only ever decrease, so an unchanged
+    sum means an unchanged labeling). Per round the plan is one equi-join
+    plus one min-aggregate on the candidate-pair graph — pairs are ≪ n²
+    by LSH design, so at 100 TB each round shuffles only the pair list.
+    (The large-star/small-star variant of the same fixed point — Kiveris
+    et al., "Connected Components in MapReduce" — is the drop-in upgrade
+    if components with large diameters ever appear.)
+
+    Output: doc_id, cluster_id (= min doc id in the component), is_keeper
+    (true for the one kept doc per cluster). Docs in no candidate pair are
+    implicit singletons and are not repeated here.
+    """
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    prev_sum = object()
+    for _ in range(MAX_CC_ITERS):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        label_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+    edges.unpersist()
+    return labels.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper")
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    """Oracle: transitive closure of the undirected candidate-pair graph
+    via a recursive CTE; component id = min reachable doc id."""
+    return f"""
+WITH RECURSIVE {_sql_lsh_cte_block()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, bucket)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS cluster_id,
+       src = LEAST(src, MIN(dst)) AS is_keeper
+FROM reach
+GROUP BY src
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (top-k most similar pairs)
 # ---------------------------------------------------------------------------
+
+MAX_SHINGLE_DF = 50
+
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard via inverted-index self-join; top-20 pairs
     under a deterministic total order. This is the verify stage an LSH pass
-    feeds at scale (candidates only); standalone it is O(pairs-sharing-a-
-    shingle), kept bounded by the top-k."""
+    feeds at scale (candidates only).
+
+    Hot-shingle guard: shingles with document frequency > MAX_SHINGLE_DF
+    (stop-phrases) are dropped before the self-join — the standard
+    CCNet/Gopher trick. Without it the self-join is quadratic in the
+    posting list of any high-DF shingle; with it candidate pairs are
+    bounded by n_docs · MAX_SHINGLE_DF per shingle. Jaccard is computed
+    over the capped shingle sets (sizes counted after the cap) so the
+    similarity definition is self-consistent; a stop-phrase shared by
+    thousands of docs correctly contributes no signal."""
     sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    kept = sh.join(rare, "shingle")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -282,10 +405,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_ngram_jaccard() -> str:
     return f"""
 WITH shingles AS ({_SQL_SHINGLES}),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
+rare AS (SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+kept AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shingles a JOIN shingles b USING (shingle)
+  FROM kept a JOIN kept b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -349,6 +474,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLE = {
@@ -357,4 +483,5 @@ ORACLE = {
     "dedup_minhash_lsh": _sql_minhash_lsh(),
     "dedup_ngram_jaccard": _sql_ngram_jaccard(),
     "dedup_simhash": _sql_simhash(),
+    "dedup_clusters": _sql_dedup_clusters(),
 }
