@@ -62,6 +62,46 @@ def test_tumbling_stream_equals_batch(spark, stream_dir):
     assert got[("2026-01-01 11:00:00", "view")] == (1, 5.0)
 
 
+def test_availablenow_replay_equals_batch_tumbling(spark, tmp_path_factory):
+    """Batch↔streaming equivalence contract: replaying the real testdata
+    events through the streaming tumbling aggregate with an availableNow
+    trigger must EXACTLY equal the batch operator per (window, type) —
+    same counts, bit-identical decimal-exact sums (micro-batch order can't
+    matter because decimal addition is associative). The one approximate
+    column (HLL++ distinct users) is checked against the batch exact count
+    within 5 standard errors instead."""
+    from us_flight_bigdata_dashboard_spark.operators.events import q_events_tumbling
+    from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"], r["n_users"])
+        for r in q_events_tumbling(spark, sf).collect()
+        if r["window_start"] is not None
+    }
+    assert batch  # non-trivial comparison
+
+    events = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    src = str(tmp_path_factory.mktemp("events_replay"))
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "2").parquet(src)
+    )
+    q = run_to_memory_sink(tumbling_counts(stream), "equiv_tumbling", mode="complete")
+    q.awaitTermination(180)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"], r["approx_users"])
+        for r in spark.table("equiv_tumbling").collect()
+    }
+    assert set(got) == set(batch)
+    for key, (n_events, sum_value, exact_users) in batch.items():
+        s_events, s_sum, s_approx_users = got[key]
+        assert s_events == n_events, key
+        assert s_sum == sum_value, key  # exact: decimal sum both sides
+        # approx_count_distinct default rsd is 5%; allow 5 standard errors
+        assert abs(s_approx_users - exact_users) <= max(3, 0.25 * exact_users), key
+
+
 def test_sliding_windows_overlap(spark, stream_dir):
     stream = read_event_stream(spark, stream_dir)
     q = run_to_memory_sink(sliding_counts(stream), "sliding_test", mode="update")

@@ -15,7 +15,14 @@ from pyspark.sql import functions as F
 
 def build_dim_airports(clean: DataFrame) -> DataFrame:
     """Origin ∪ dest airport universe, deduplicating UNION (U1/U3,
-    sql/data_modeling.sql:3-16)."""
+    sql/data_modeling.sql:3-16).
+
+    Uniqueness contract: exactly one row per airport_code — the Spark
+    analog of the reference's PRIMARY KEY. A code that appears with two
+    city-name spellings must not fan out fact rows in the wide view, so we
+    keep the lexicographically-smallest (city, state) pair per code
+    (min over a struct — deterministic and row-coherent, never mixing one
+    row's city with another's state)."""
     origin = clean.select(
         F.col("Origin").alias("airport_code"),
         F.col("OriginCityName").alias("city_name"),
@@ -26,7 +33,12 @@ def build_dim_airports(clean: DataFrame) -> DataFrame:
         F.col("DestCityName").alias("city_name"),
         F.col("DestState").alias("state_code"),
     )
-    return origin.unionByName(dest).distinct()
+    return (
+        origin.unionByName(dest)
+        .groupBy("airport_code")
+        .agg(F.min(F.struct("city_name", "state_code")).alias("_attrs"))
+        .select("airport_code", "_attrs.city_name", "_attrs.state_code")
+    )
 
 
 def build_dim_airlines(clean: DataFrame) -> DataFrame:

@@ -29,6 +29,15 @@ def dsum(c: Column | str, scale: int = 4, precision: int = 28) -> Column:
     Returns DOUBLE. ``scale`` decimal places of each addend are kept; pick a
     scale fine enough that quantization is below the semantic tolerance of
     the metric (4 is plenty for money/minutes metrics).
+
+    Overflow bound (know it at 100 TB): under Spark's default non-ANSI
+    mode an ADDEND whose magnitude exceeds 10^(precision-scale) casts to
+    NULL and is silently dropped from the sum — a data problem would yield
+    a quietly wrong result, not an error. Defaults give |addend| <
+    10^24 and exact final-double conversion while |sum|·10^scale < 2^53
+    (|sum| ≲ 9·10^11 at scale 4). For magnitudes anywhere near these,
+    raise ``precision``/lower ``scale``, and run with
+    ``spark.sql.ansi.enabled=true`` so overflow fails loudly instead.
     """
     col = F.col(c) if isinstance(c, str) else c
     return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")

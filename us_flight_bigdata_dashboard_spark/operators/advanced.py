@@ -140,11 +140,105 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Approximate aggregates under a bounds-checked gate
+# ---------------------------------------------------------------------------
+#
+# Sketch results (HLL++, KLL-style quantile digest) are engine-specific, so
+# they can't be hash-matched against DuckDB. The gate instead *encodes the
+# sketch's documented error bound as a result column*: the Spark query
+# computes both the exact value and the sketch value and returns
+# `approx_within_bounds`; the oracle returns the exact value and TRUE. The
+# driver's hash compare then (a) exact-matches the exact columns and (b)
+# fails if the sketch ever strays outside its bound — a tolerance oracle
+# expressed through the exact-match gate.
+
+HLL_RSD = 0.02          # HLL++ target relative standard deviation
+HLL_BOUND = 5 * HLL_RSD  # pass band: 5 standard errors (P[miss] ≈ 6e-7)
+PCTL_ACCURACY = 10_000   # approx_percentile rank error ≤ 1/accuracy = 1e-4
+PCTL_EPS = 0.02          # pass band: ±0.02 quantile rank (200× the error)
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_count_distinct` (HyperLogLog++) next to the exact distinct
+    count — the at-scale variant of A11/exact countDistinct (SURVEY.md §7
+    item 6): HLL merges additively with no expand, so at 100 TB it replaces
+    the exact count wherever ±2% is acceptable. The exact column is
+    hash-gated; the sketch is gated to |approx − exact| ≤ 5·rsd·exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=HLL_RSD).alias("_approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "exact_customers",
+            (
+                F.abs(F.col("_approx") - F.col("exact_customers"))
+                <= F.col("exact_customers") * F.lit(HLL_BOUND)
+            ).alias("approx_within_bounds"),
+        )
+    )
+
+
+_ORACLE_APPROX_DISTINCT = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS approx_within_bounds
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_percentile` (quantile digest) next to the exact interpolated
+    median. The sketch guarantees rank error ≤ 1/accuracy = 1e-4; the gate
+    checks the sketch value lies between the exact quantiles at ±PCTL_EPS
+    rank (monotonicity of the quantile function makes that band valid for
+    any rank error ≤ PCTL_EPS). Exact median is hash-gated as usual."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_exact"),
+            F.expr(f"percentile(o_totalprice, {0.5 - PCTL_EPS})").alias("_lo"),
+            F.expr(f"percentile(o_totalprice, {0.5 + PCTL_EPS})").alias("_hi"),
+            F.expr(f"approx_percentile(o_totalprice, 0.5, {PCTL_ACCURACY})").alias("_approx"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "median_exact",
+            "n_orders",
+            ((F.col("_approx") >= F.col("_lo")) & (F.col("_approx") <= F.col("_hi"))).alias(
+                "approx_within_bounds"
+            ),
+        )
+    )
+
+
+_ORACLE_APPROX_PERCENTILE = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS median_exact,
+       COUNT(*) AS n_orders,
+       TRUE AS approx_within_bounds
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "semi_anti_join": q_semi_anti_join,
     "grouping_cube": q_grouping_cube,
     "percentiles": q_percentiles,
     "skew_salted_agg": q_skew_salted_agg,
+    "approx_distinct": q_approx_distinct,
+    "approx_percentile": q_approx_percentile,
 }
 
 ORACLE = {
@@ -152,4 +246,6 @@ ORACLE = {
     "grouping_cube": _ORACLE_GROUPING_CUBE,
     "percentiles": _ORACLE_PERCENTILES,
     "skew_salted_agg": _ORACLE_SKEW_SALTED,
+    "approx_distinct": _ORACLE_APPROX_DISTINCT,
+    "approx_percentile": _ORACLE_APPROX_PERCENTILE,
 }

@@ -20,7 +20,14 @@ SESSION_GAP_MIN = 30
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event type: count + exact sum
-    (the additive shape that streams incrementally with a watermark)."""
+    (the additive shape that streams incrementally with a watermark).
+
+    Scale note: ``countDistinct`` here is the exact expand pattern — kept
+    because this query is an exact-gate oracle target. At 100 TB the
+    distinct count becomes ``approx_count_distinct`` (HLL++, mergeable, no
+    expand) exactly as the streaming twin already does
+    (streaming/events.tumbling_counts) and as the bounds-gated
+    ``approx_distinct`` matrix entry demonstrates (operators/advanced.py)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(

@@ -81,10 +81,16 @@ FROM documents
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality metrics: length, mean token length, stopword ratio,
     symbol ratio — plus a keep/drop flag. Ratios are integer/integer double
-    divisions (bit-stable)."""
+    divisions (bit-stable). Zero-token / zero-char documents yield NULL
+    ratios via an explicit ``nullif`` divisor in BOTH engines (Spark's
+    non-ANSI ÷0→NULL vs DuckDB's ÷0 behavior would otherwise diverge on
+    such input); their keep flag is 0 through ordinary NULL-AND-false
+    logic."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
+    n_tok_nz = F.nullif(n_tok, F.lit(0))
+    n_chars_nz = F.nullif(F.length("text"), F.lit(0))
     n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
     n_sym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9\\s]", ""))
     n_stop = _stop_hits(F.col("text"), STOPWORDS["en"])
@@ -92,10 +98,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars_measured"),
         n_tok.alias("n_tokens"),
-        (F.length("text").cast("double") / n_tok).alias("mean_token_len"),
-        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
-        (n_sym.cast("double") / F.length("text")).alias("symbol_ratio"),
-        (n_alpha.cast("double") / F.length("text")).alias("alpha_ratio"),
+        (F.length("text").cast("double") / n_tok_nz).alias("mean_token_len"),
+        (n_stop.cast("double") / n_tok_nz).alias("stopword_ratio"),
+        (n_sym.cast("double") / n_chars_nz).alias("symbol_ratio"),
+        (n_alpha.cast("double") / n_chars_nz).alias("alpha_ratio"),
     )
     return out.withColumn(
         "keep",
@@ -116,10 +122,10 @@ FROM (
   SELECT doc_id,
          CAST(length(text) AS INTEGER) AS n_chars_measured,
          CAST(len({_sql_tokens("text")}) AS INTEGER) AS n_tokens,
-         CAST(length(text) AS DOUBLE) / len({_sql_tokens("text")}) AS mean_token_len,
-         CAST({_sql_stop_hits("text", STOPWORDS["en"])} AS DOUBLE) / len({_sql_tokens("text")}) AS stopword_ratio,
-         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS symbol_ratio,
-         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+         CAST(length(text) AS DOUBLE) / nullif(len({_sql_tokens("text")}), 0) AS mean_token_len,
+         CAST({_sql_stop_hits("text", STOPWORDS["en"])} AS DOUBLE) / nullif(len({_sql_tokens("text")}), 0) AS stopword_ratio,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / nullif(length(text), 0) AS symbol_ratio,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / nullif(length(text), 0) AS alpha_ratio
   FROM documents
 )
 """

@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
+        # uniform session-wide nanos handling: every TIMESTAMP(NANOS)
+        # parquet column surfaces as bigint and is rebuilt by the loader
+        # (sources/catalog.load_table) — set here at build time so the
+        # behavior is visible and identical for ALL reads, not a session
+        # mutation made mid-flight by whichever loader ran first
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -39,12 +39,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     no double round-trip, which would corrupt > 2^53 nanosecond epochs).
     The DuckDB oracle applies the matching CAST(ts AS TIMESTAMP) truncation.
 
-    Side effect (deliberate, session-global): ``nanosAsLong`` stays set for
-    the session — it cannot be restored immediately because the returned
-    DataFrame is lazy and the scan consults the conf at execution. Any
-    OTHER nanos-timestamp parquet read in the same session will therefore
-    also surface as bigint; route such reads through a loader like this
-    one. The flag does not affect ms/us timestamp reads.
+    ``nanosAsLong`` is set at session build by ``session.get_spark`` so the
+    behavior is uniform and visible for every read; the set here is a
+    belt-and-suspenders for sessions built by other factories (the driver
+    builds a vanilla session). It stays set for the session lifetime — it
+    cannot be restored immediately because the returned DataFrame is lazy
+    and the scan consults the conf at execution. Any nanos-timestamp
+    parquet read therefore surfaces as bigint; route such reads through a
+    loader like this one. The flag does not affect ms/us timestamp reads.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

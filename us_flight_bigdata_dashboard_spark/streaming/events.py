@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from us_flight_bigdata_dashboard_spark.functions.exact import dsum
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -39,13 +41,21 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts/sums per event type — the
-    streaming twin of operators/events.q_events_tumbling."""
+    streaming twin of operators/events.q_events_tumbling.
+
+    ``sum_value`` uses the same decimal-quantized exact sum as the batch
+    operator, so the availableNow replay of a file set is EQUAL to the
+    batch aggregate (tests/test_streaming.py equivalence contract) — not
+    merely close: decimal addition is associative/commutative, so
+    micro-batch accumulation order can't perturb the result. The distinct
+    user count is the HLL++ sketch (mergeable streaming state, the
+    at-scale choice); batch's exact countDistinct is its exactness oracle."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            dsum("value", scale=8).alias("sum_value"),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(
