@@ -43,6 +43,12 @@ HEADLINE = [
     "knn_bruteforce",
     "text_quality",
     "events_sessionize",
+    # round-2 additions: the two plans VERDICT r1 flagged as perf-weak
+    # (now rewritten) plus the new dedup clustering stage — benched so
+    # regressions in the fixes are caught round over round
+    "ann_ivf",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

