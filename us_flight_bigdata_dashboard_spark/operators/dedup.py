@@ -82,17 +82,17 @@ GROUP BY 1
 # Shingling (shared by MinHash and Jaccard)
 # ---------------------------------------------------------------------------
 
-def _shingle_array():
-    """Column expr: distinct word-3-gram shingles of ``text`` as an array
-    (short docs fall back to one whole-text shingle)."""
+def _shingle_array(n_words: int = SHINGLE_WORDS):
+    """Column expr: distinct word-``n_words``-gram shingles of ``text`` as
+    an array (short docs fall back to one whole-text shingle)."""
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     n = F.size(toks)
     return F.when(
-        n >= SHINGLE_WORDS,
+        n >= n_words,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), n - SHINGLE_WORDS + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_WORDS)),
+                F.sequence(F.lit(1), n - n_words + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n_words)),
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
@@ -106,16 +106,26 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
-_SQL_SHINGLE_LIST = f"""(
-    CASE WHEN len({_SQL_TOKS}) >= {SHINGLE_WORDS}
+
+
+def _sql_shingle_list(n_words: int = SHINGLE_WORDS) -> str:
+    return f"""(
+    CASE WHEN len({_SQL_TOKS}) >= {n_words}
          THEN list_distinct(list_transform(
-                generate_series(1, len({_SQL_TOKS}) - {SHINGLE_WORDS} + 1),
-                i -> array_to_string(list_slice({_SQL_TOKS}, i, i + {SHINGLE_WORDS} - 1), ' ')))
+                generate_series(1, len({_SQL_TOKS}) - {n_words} + 1),
+                i -> array_to_string(list_slice({_SQL_TOKS}, i, i + {n_words} - 1), ' ')))
          ELSE [array_to_string({_SQL_TOKS}, ' ')] END)"""
-_SQL_SHINGLES = f"""
-  SELECT doc_id, unnest({_SQL_SHINGLE_LIST}) AS shingle
+
+
+def _sql_shingles(n_words: int = SHINGLE_WORDS) -> str:
+    return f"""
+  SELECT doc_id, unnest({_sql_shingle_list(n_words)}) AS shingle
   FROM documents
 """
+
+
+_SQL_SHINGLE_LIST = _sql_shingle_list()
+_SQL_SHINGLES = _sql_shingles()
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,179 @@
+"""Temporal join operators Spark lacks as primitives (north-star brief:
+"custom operators ... as a composition of existing DataFrame ops").
+
+AS-OF JOIN — for every left event, the single most recent right event at or
+before it (per key). Spark has no ASOF JOIN; the naive rendering is a
+non-equi range join (quadratic per key). The composition here is the
+scale-correct one: union-tag both sides, one window sorted by (ts, side,
+id) per key, and ``last(..., ignorenulls)`` carries the most recent right
+row forward onto each left row. One shuffle on the key, linear work — at
+100 TB this is the same shape as any keyed window aggregate. The DuckDB
+oracle uses its native ``ASOF LEFT JOIN``, so the composition is checked
+against a real asof implementation, not against itself.
+
+RANGE (INTERVAL) JOIN — attach rows to the interval(s) containing their
+value. With a small interval table the right plan is a broadcast
+nested-loop join on the BETWEEN predicate: the fact side never shuffles
+and never expands beyond its matches. (When bands are aligned and
+non-overlapping this lowers further to a narrow CASE/width-bucket map with
+no join at all; for big-big interval joins the published answer is an
+IEJoin / sort-based interval algorithm — out of scope here, the dim is
+deliberately small as in the reference's lookup-table patterns.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.functions.exact import dsum, sql_dsum
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click event: the most recent 'view' event of the same user
+    at or before it (classic as-of: trade↔quote, event↔state lookup).
+
+    Views are first deduped to one row per (user, ts) — keep the max
+    event_id and its value (``max_by``; event_id is unique so the choice is
+    deterministic) — because an as-of match on a tied timestamp must be
+    unambiguous in both engines. Then one union + one per-user window:
+    rows sort by (ts, side, id) with views before clicks on equal ts (<=
+    semantics), and ``last(view_col, ignorenulls=true)`` propagates the
+    latest view onto each click row. Clicks with no prior view keep NULLs
+    (left-join semantics), matching DuckDB's ASOF LEFT JOIN oracle."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id"), F.col("value").alias("click_value")
+    )
+    v = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("_side"),
+        "view_event_id",
+        F.col("ts").alias("view_ts"),
+        "view_value",
+        F.lit(None).cast("bigint").alias("click_event_id"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    c = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("bigint").alias("view_event_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(None).cast("double").alias("view_value"),
+        "click_event_id",
+        "click_value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            F.col("_side").asc(),
+            F.coalesce("view_event_id", "click_event_id").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = v.unionByName(c).select(
+        "user_id",
+        "ts",
+        "_side",
+        "click_event_id",
+        "click_value",
+        F.last("view_event_id", ignorenulls=True).over(w).alias("asof_view_event_id"),
+        F.last("view_ts", ignorenulls=True).over(w).alias("asof_view_ts"),
+        F.last("view_value", ignorenulls=True).over(w).alias("asof_view_value"),
+    )
+    return merged.filter(F.col("_side") == 1).select(
+        "click_event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "click_value",
+        "asof_view_event_id",
+        "asof_view_ts",
+        "asof_view_value",
+    )
+
+
+_ORACLE_ASOF_JOIN = """
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+  FROM events WHERE ts IS NOT NULL
+),
+views_d AS (
+  SELECT user_id, ts,
+         MAX(event_id) AS asof_view_event_id,
+         arg_max(value, event_id) AS asof_view_value
+  FROM ev WHERE event_type = 'view'
+  GROUP BY 1, 2
+),
+clicks AS (
+  SELECT event_id AS click_event_id, user_id, ts AS click_ts, value AS click_value
+  FROM ev WHERE event_type = 'click'
+)
+SELECT c.click_event_id, c.user_id, c.click_ts, c.click_value,
+       v.asof_view_event_id, v.ts AS asof_view_ts, v.asof_view_value
+FROM clicks c ASOF LEFT JOIN views_d v
+  ON c.user_id = v.user_id AND v.ts <= c.click_ts
+"""
+
+
+PRICE_BANDS = [
+    ("budget", 0.0, 60_000.0),
+    ("mid", 60_000.0, 180_000.0),
+    ("premium", 180_000.0, 1_000_000_000.0),
+]
+
+
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: orders attached to the price band containing their
+    total (half-open [lo, hi)), then a per-band rollup. The band table is a
+    3-row literal → broadcast nested-loop on the BETWEEN predicate; the
+    orders side stays where it is (no shuffle until the final 3-group
+    agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    joined = orders.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return (
+        joined.groupBy("band", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+_ORACLE_RANGE_JOIN = f"""
+SELECT band, lo, hi,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS sum_price
+FROM orders
+JOIN (VALUES ('budget', CAST(0 AS DOUBLE), CAST(60000 AS DOUBLE)),
+             ('mid', CAST(60000 AS DOUBLE), CAST(180000 AS DOUBLE)),
+             ('premium', CAST(180000 AS DOUBLE), CAST(1000000000 AS DOUBLE))) b(band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES = {
+    "asof_join": q_asof_join,
+    "range_join_price_bands": q_range_join_price_bands,
+}
+
+ORACLE = {
+    "asof_join": _ORACLE_ASOF_JOIN,
+    "range_join_price_bands": _ORACLE_RANGE_JOIN,
+}

@@ -20,11 +20,24 @@ from us_flight_bigdata_dashboard_spark.operators import (
     events,
     multimodal,
     relational,
+    sampling,
     similarity,
+    temporal,
     text,
 )
 
-_MODULES = [relational, text, dedup, similarity, events, multimodal, advanced, breadth]
+_MODULES = [
+    relational,
+    text,
+    dedup,
+    similarity,
+    events,
+    multimodal,
+    advanced,
+    breadth,
+    temporal,
+    sampling,
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
