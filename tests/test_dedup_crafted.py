@@ -16,7 +16,12 @@ from us_flight_bigdata_dashboard_spark.operators.dedup import (
     q_dedup_ngram_jaccard,
     q_dedup_simhash,
 )
-from us_flight_bigdata_dashboard_spark.operators.similarity import q_embedding_near_dup, q_knn_bruteforce
+from us_flight_bigdata_dashboard_spark.operators.similarity import (
+    NEAR_DUP_BANDS,
+    _plane_weights,
+    q_embedding_near_dup,
+    q_knn_bruteforce,
+)
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat watches the "
@@ -116,6 +121,45 @@ def test_jaccard_df_cap_blocks_stop_phrase_blowup(spark, hot_shingle_dir):
     pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
     assert (1000, 1001) in pairs
     assert not any(a < 1000 and b < 1000 for a, b in pairs), pairs
+
+
+def _py_bucket(vec, planes):
+    rows = _plane_weights(max(planes) + 1)
+    bits = []
+    for p in planes:
+        proj = 0.0
+        for x, w in zip(vec, rows[p]):
+            proj += x * w
+        bits.append("1" if proj >= 0 else "0")
+    return "".join(bits)
+
+
+@pytest.fixture(scope="module")
+def band_straddle_dir(spark, tmp_path_factory):
+    """A near-dup pair built to straddle a band-0 hyperplane: project a
+    generic vector onto plane 0's orthogonal complement, then nudge ±eps
+    along the plane normal. Band-0 buckets differ (bit 0 flips), band-1
+    buckets match — only the multi-band union can pair them."""
+    root = str(tmp_path_factory.mktemp("bandstraddle"))
+    w0 = _plane_weights(1)[0]
+    x = [((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+    p = sum(xi * wi for xi, wi in zip(x, w0)) / 64.0
+    u = [xi - p * wi for xi, wi in zip(x, w0)]
+    eps = 0.001
+    a = [ui + eps * wi for ui, wi in zip(u, w0)]
+    b = [ui - eps * wi for ui, wi in zip(u, w0)]
+    assert _py_bucket(a, NEAR_DUP_BANDS[0]) != _py_bucket(b, NEAR_DUP_BANDS[0])
+    assert _py_bucket(a, NEAR_DUP_BANDS[1]) == _py_bucket(b, NEAR_DUP_BANDS[1])
+    spark.createDataFrame(
+        [(0, a, 0), (1, b, 0)], "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(root, "embeddings.parquet"))
+    return root
+
+
+def test_multiband_recovers_boundary_straddling_pair(spark, band_straddle_dir):
+    rows = q_embedding_near_dup(spark, band_straddle_dir).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in rows] == [(0, 1)]
+    assert rows[0]["cosine_sim"] >= 0.99
 
 
 def test_embedding_near_dup_and_knn(spark, crafted_dir):

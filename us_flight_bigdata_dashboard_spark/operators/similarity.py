@@ -118,12 +118,12 @@ WHERE rank <= {TOP_K}
 # Sign-random-projection LSH ANN
 # ---------------------------------------------------------------------------
 
-def _plane_weights() -> list[list[int]]:
+def _plane_weights(n_planes: int = N_PLANES) -> list[list[int]]:
     """Deterministic pseudo-random ±1 hyperplanes from md5(plane, dim) —
     computed in Python, embedded as literals in BOTH engines' plans (at
     scale this is a broadcast weights table, not runtime hashing)."""
     planes = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         row = []
         for d in range(DIM):
             h = hashlib.md5(f"plane{p}_dim{d}".encode()).hexdigest()
@@ -132,10 +132,16 @@ def _plane_weights() -> list[list[int]]:
     return planes
 
 
-def _bucket_expr(emb: Column) -> Column:
-    """8-bit sign-projection bucket string for a vector column."""
+def _bucket_expr(emb: Column, planes: list[int] | None = None) -> Column:
+    """Sign-projection bucket string for a vector column over ``planes``
+    (default: all 8 → the 8-bit bucket)."""
+    if planes is None:
+        rows = _plane_weights()
+    else:
+        all_rows = _plane_weights(max(planes) + 1)
+        rows = [all_rows[p] for p in planes]
     bits = []
-    for row in _plane_weights():
+    for row in rows:
         weights = F.array(*[F.lit(float(w)) for w in row])
         proj = F.aggregate(
             F.zip_with(emb, weights, lambda x, w: x.cast("double") * w),
@@ -146,9 +152,14 @@ def _bucket_expr(emb: Column) -> Column:
     return F.concat(*bits)
 
 
-def _sql_bucket(emb: str) -> str:
+def _sql_bucket(emb: str, planes: list[int] | None = None) -> str:
+    if planes is None:
+        rows = _plane_weights()
+    else:
+        all_rows = _plane_weights(max(planes) + 1)
+        rows = [all_rows[p] for p in planes]
     parts = []
-    for row in _plane_weights():
+    for row in rows:
         lst = "[" + ", ".join(f"CAST({w}.0 AS DOUBLE)" for w in row) + "]"
         proj = (
             f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -444,31 +455,54 @@ WHERE rank <= 5
 # Embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 
+NEAR_DUP_BANDS = [list(range(0, 8)), list(range(8, 16))]  # 2 bands × 8 planes
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate detection in embedding space: LSH-bucketed pairs with
-    cosine ≥ 0.99 (the embedding-space analog of MinHash dedup; bucketing
-    keeps the pair space sparse at scale). Norms precomputed per side."""
+    """Near-duplicate detection in embedding space: multi-band LSH pairs
+    with cosine ≥ 0.99 (the embedding-space analog of MinHash dedup).
+
+    Two independent 8-plane bucket families (the MinHash banding pattern):
+    a pair is a candidate if it collides in EITHER band. Each band keeps
+    per-bucket population at ~n/256 — the within-bucket self-join stays
+    sparse at 100 TB — while the band union restores the recall a single
+    family loses on boundary-straddling near-dups (VERDICT r1). The band
+    id joins alongside the bucket string, so cross-band collisions never
+    pair; duplicate candidates (pairs colliding in both bands) collapse
+    via DISTINCT on the deterministic (pair, score) row. Norms precomputed
+    per side; scoring only touches bucket-mates."""
     emb = load_table(spark, sf_dir, "embeddings")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                _bucket_expr(F.col("embedding"), planes).alias("bucket"),
+            )
+            for i, planes in enumerate(NEAR_DUP_BANDS)
+        ]
+    )
     bucketed = emb.select(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("vnorm"),
-        _bucket_expr(F.col("embedding")).alias("bucket"),
-    )
+        F.explode(bands).alias("bb"),
+    ).select("vec_id", "embedding", "vnorm", "bb.band", "bb.bucket")
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("vnorm").alias("norm_a"),
+        "band",
         "bucket",
     )
     b = bucketed.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("vnorm").alias("norm_b"),
+        "band",
         "bucket",
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
@@ -478,18 +512,22 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("cosine_sim") >= 0.99)
+        .distinct()
     )
 
 
 def _sql_embedding_near_dup() -> str:
     cos = _sql_cosine("a.embedding", "b.embedding")
-    bucket = _sql_bucket("embedding")
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {i} AS band, {_sql_bucket('embedding', planes)} AS bucket FROM embeddings"
+        for i, planes in enumerate(NEAR_DUP_BANDS)
+    )
     return f"""
 WITH bucketed AS (
-  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+{band_selects}
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine_sim
-FROM bucketed a JOIN bucketed b USING (bucket)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine_sim
+FROM bucketed a JOIN bucketed b USING (band, bucket)
 WHERE a.vec_id < b.vec_id AND {cos} >= 0.99
 """
 
