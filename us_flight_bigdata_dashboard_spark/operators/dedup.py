@@ -170,12 +170,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhashes → band explode (4 rows/doc) → self-equi-join on (band,
     bucket); only digests ever shuffle.
 
-    Note (measured, sf0.1): a "no-shuffle" variant computing signatures in
-    the array domain (array_min∘transform per signature) is 2× SLOWER —
-    Catalyst's CollapseProject inlines the shingle-array expression into
-    all 16 signature columns, recomputing shingling 16×. The explode +
-    groupBy below evaluates shingles exactly once (the aggregation is a
-    real pipeline barrier) and wins despite its small shuffle."""
+    Note (measured, sf0.1): two "no-shuffle" array-domain variants both
+    lose to this plan by ~2×. (a) 16 ``array_min∘transform`` signature
+    columns: Catalyst's CollapseProject inlines the shingle-array
+    expression into every column, recomputing shingling 16×. (b) one
+    single ``F.aggregate`` fold whose merge does an element-wise
+    ``zip_with`` over a 16-slot accumulator (shingling evaluated once,
+    zero Exchange): 7.3s vs 3.7s — higher-order functions evaluate
+    interpreted, allocating a fresh 16-element array per shingle, and
+    lose to Tungsten's codegen'd hash agg even though that agg shuffles.
+    The explode + groupBy below evaluates shingles exactly once (the
+    aggregation is a real pipeline barrier) and wins despite its small
+    shuffle."""
     sh = _shingles_df(spark, sf_dir)
     x = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit(P_MOD)
     hashed = sh.select("doc_id", x.alias("x"))
