@@ -5,7 +5,7 @@ ones" (SURVEY.md §7 completeness)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.functions.exact import dsum, sql_dsum
@@ -105,14 +105,86 @@ WHERE o_orderkey % 97 = 0
 """
 
 
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag order-sequence analysis: per customer, the previous and
+    next order dates and the inter-order gap in days. One shuffle on the
+    partition key, sort within — the canonical keyed-window shape (same
+    cost class at 100 TB as any per-entity sessionization). Order is made
+    total with the orderkey tiebreak so lag/lead are deterministic on
+    same-day orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy(d.asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("order_date"),
+        F.lag(d).over(w).alias("prev_order_date"),
+        F.lead(d).over(w).alias("next_order_date"),
+        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+    )
+
+
+_ORACLE_WINDOW_LEAD_LAG = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       lag(CAST(o_orderdate AS DATE)) OVER w AS prev_order_date,
+       lead(CAST(o_orderdate AS DATE)) OVER w AS next_order_date,
+       CAST(date_diff('day',
+                      lag(CAST(o_orderdate AS DATE)) OVER w,
+                      CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC)
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over their order history (running
+    total, unbounded-preceding frame). Addends are decimal-quantized (the
+    ``dsum`` construction) so every prefix sum is exact and engine- and
+    partition-independent — a running double sum would drift in the last
+    ulps and fail the hash gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(d.asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)")).over(w).cast("double").alias(
+            "running_revenue"
+        ),
+    )
+
+
+_ORACLE_WINDOW_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_revenue
+FROM orders
+"""
+
+
 QUERIES = {
     "pivot_status": q_pivot_status,
     "intersect_except": q_intersect_except,
     "date_functions": q_date_functions,
+    "window_lead_lag": q_window_lead_lag,
+    "window_running_sum": q_window_running_sum,
 }
 
 ORACLE = {
     "pivot_status": _ORACLE_PIVOT_STATUS,
     "intersect_except": _ORACLE_INTERSECT_EXCEPT,
     "date_functions": _ORACLE_DATE_FUNCTIONS,
+    "window_lead_lag": _ORACLE_WINDOW_LEAD_LAG,
+    "window_running_sum": _ORACLE_WINDOW_RUNNING_SUM,
 }

@@ -151,14 +151,65 @@ FROM daily
 """
 
 
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per event type, a dense hourly spine over
+    that type's active range with zero-filled counts for silent hours —
+    the standard pre-step for time-series models and monitoring charts
+    (a missing bucket and a zero bucket are different facts).
+
+    Scale shape: the raw events collapse to one hourly pre-aggregate (the
+    only scan + shuffle); the spine is generated from the tiny per-type
+    bounds row (``sequence`` + explode — narrow, proportional to hours not
+    events) and left-joins the pre-aggregate, so gap filling costs
+    ~|types|·|hours| regardless of event volume."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("window_start"),
+    )
+    return spine.join(hourly, ["event_type", "window_start"], "left").select(
+        "event_type",
+        "window_start",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+    )
+
+
+_ORACLE_EVENTS_GAP_FILL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(window_start) AS lo, MAX(window_start) AS hi FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS window_start FROM bounds
+)
+SELECT s.event_type, s.window_start,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN hourly h USING (event_type, window_start)
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "events_sliding_avg": q_events_sliding_avg,
+    "events_gap_fill": q_events_gap_fill,
 }
 
 ORACLE = {
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,
     "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
     "events_sliding_avg": _ORACLE_EVENTS_SLIDING,
+    "events_gap_fill": _ORACLE_EVENTS_GAP_FILL,
 }

@@ -451,6 +451,115 @@ WHERE rank <= 5
 """
 
 
+N_PROBE = 2
+
+
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: each query searches its ``N_PROBE`` nearest
+    cells instead of one — the production IVF recall lever (FAISS
+    ``nprobe``): vectors just across a cell boundary from the query are
+    found at the cost of probing ~nprobe·n/K candidates.
+
+    Plan shape: the inverted file is the same cached zero-shuffle
+    ``ivf_assign`` index; the probe list is a narrow per-query expression
+    (argmax, then argmax over the top-1-masked sims array — ties resolve
+    to the lowest centroid id in both steps, matching the oracle's ROW
+    NUMBER (sim DESC, cid ASC)), exploded to nprobe rows per query and
+    broadcast into the cell equi-join. Candidates can't duplicate across
+    probes (a vector lives in exactly one cell)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(spark, sf_dir)
+    assigned = ivf_assign(emb, centroids).cache()
+    cnorms = [math.sqrt(_py_dot(c, c)) for c in centroids]
+    sims = F.array(
+        *[
+            (_dot(F.col("embedding"), F.array(*[F.lit(x) for x in c])) / (F.col("vnorm") * F.lit(n)))
+            for c, n in zip(centroids, cnorms)
+        ]
+    )
+    masked = F.transform(
+        F.col("sims"),
+        lambda s, i: F.when(i.cast("bigint") == F.col("p1"), F.lit(-2.0)).otherwise(s),
+    )
+    queries_df = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("vnorm"))
+        .withColumn("sims", sims)
+        .withColumn(
+            "p1", (F.array_position(F.col("sims"), F.array_max(F.col("sims"))) - 1).cast("bigint")
+        )
+        .withColumn("masked", masked)
+        .withColumn(
+            "p2",
+            (F.array_position(F.col("masked"), F.array_max(F.col("masked"))) - 1).cast("bigint"),
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("vnorm").alias("q_norm"),
+            F.explode(F.array("p1", "p2")).alias("centroid_id"),
+        )
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("vnorm").alias("c_norm"),
+        "centroid_id",
+    )
+    scored = (
+        F.broadcast(queries_df)
+        .join(cand, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "centroid_id",
+            (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+def _sql_ann_ivf_multiprobe() -> str:
+    cent_sim = _sql_cosine("e.embedding", "c.embedding")
+    cos = _sql_cosine("q.embedding", "n.embedding")
+    return f"""
+WITH {_sql_kmeans_ctes()},
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cent_sim} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN c{N_LLOYD_ITERS} c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cent_sim} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN c{N_LLOYD_ITERS} c
+    WHERE e.vec_id < {N_QUERY_VECS}
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.centroid_id,
+         {cos} AS cosine_sim
+  FROM qprobe q JOIN assigned n USING (centroid_id)
+  WHERE q.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, centroid_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
@@ -567,6 +676,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "embedding_near_dup": q_embedding_near_dup,
     "vector_label_stats": q_vector_label_stats,
 }
@@ -575,6 +685,7 @@ ORACLE = {
     "knn_bruteforce": _sql_knn_bruteforce(),
     "ann_lsh": _sql_ann_lsh(),
     "ann_ivf": _sql_ann_ivf(),
+    "ann_ivf_multiprobe": _sql_ann_ivf_multiprobe(),
     "embedding_near_dup": _sql_embedding_near_dup(),
     "vector_label_stats": _sql_vector_label_stats(),
 }
