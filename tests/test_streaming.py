@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.streaming.events import (
+    interval_join_views_before_clicks,
     read_event_stream,
     run_to_memory_sink,
     sliding_counts,
@@ -100,6 +101,54 @@ def test_availablenow_replay_equals_batch_tumbling(spark, tmp_path_factory):
         assert s_sum == sum_value, key  # exact: decimal sum both sides
         # approx_count_distinct default rsd is 5%; allow 5 standard errors
         assert abs(s_approx_users - exact_users) <= max(3, 0.25 * exact_users), key
+
+
+ATTRIB_EVENTS = [
+    # views precede clicks; lookback window is 30 minutes
+    (1, "2026-01-01 10:00:00", 1, "view", 0.0),
+    (2, "2026-01-01 10:10:00", 1, "click", 0.0),   # pairs with view 1
+    (3, "2026-01-01 10:00:00", 2, "view", 0.0),
+    (4, "2026-01-01 10:45:00", 2, "click", 0.0),   # 45 min gap: outside lookback
+    (5, "2026-01-01 10:30:00", 1, "click", 0.0),   # pairs with view 1 (boundary, inclusive)
+    (6, "2026-01-01 11:00:00", 3, "view", 0.0),
+    (7, "2026-01-01 10:50:00", 3, "click", 0.0),   # view after click: no pair
+]
+
+
+@pytest.fixture(scope="module")
+def attrib_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("attrib_in")
+    for i, (fname, rows) in enumerate([("b0.json", ATTRIB_EVENTS[:4]), ("b1.json", ATTRIB_EVENTS[4:])]):
+        path = os.path.join(root, fname)
+        with open(path, "w") as f:
+            for eid, ts, uid, et, v in rows:
+                f.write(json.dumps({"event_id": eid, "ts": ts, "user_id": uid, "event_type": et, "value": v, "props": "{}"}) + "\n")
+        os.utime(path, (1000000 + i * 100, 1000000 + i * 100))
+    return str(root)
+
+
+def test_stream_stream_interval_join(spark, attrib_dir):
+    """Watermarked stream-stream interval join equals the identical plan
+    run over the same rows as batch frames (stream/batch unification)."""
+    stream = read_event_stream(spark, attrib_dir)
+    q = run_to_memory_sink(
+        interval_join_views_before_clicks(stream), "ssjoin_test", mode="append"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_event_id"], r["view_event_id"])
+        for r in spark.table("ssjoin_test").collect()
+    }
+    assert got == {(2, 1), (5, 1)}
+
+    from us_flight_bigdata_dashboard_spark.streaming.events import EVENT_SCHEMA
+
+    batch_src = spark.read.schema(EVENT_SCHEMA).json(attrib_dir)
+    batch = {
+        (r["click_event_id"], r["view_event_id"])
+        for r in interval_join_views_before_clicks(batch_src).collect()
+    }
+    assert got == batch
 
 
 def test_sliding_windows_overlap(spark, stream_dir):

@@ -79,6 +79,53 @@ def sliding_counts(stream: DataFrame, window: str = "1 hour", slide: str = "30 m
     )
 
 
+def interval_join_views_before_clicks(
+    stream: DataFrame, lookback: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: every click paired with the same
+    user's view events from the preceding ``lookback`` window (attribution
+    shape: which impressions preceded this click).
+
+    This is the canonical watermarked stream-stream join: both sides
+    declare event-time watermarks and the join predicate carries a
+    two-sided time-range constraint, so Spark can bound EACH side's join
+    state — a view older than click-watermark − lookback can never match a
+    future click and is evicted; state is O(events in the watermark
+    horizon), not O(stream length). Inner join → append mode. The same
+    plan on batch frames is the equivalence oracle
+    (tests/test_streaming.py)."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    cond = (
+        (F.col("click_user") == F.col("view_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"interval {lookback}"))
+    )
+    return clicks.join(views, cond, "inner").select(
+        "click_event_id",
+        F.col("click_user").alias("user_id"),
+        "click_ts",
+        "view_event_id",
+        "view_ts",
+    )
+
+
 def run_to_memory_sink(result: DataFrame, query_name: str, mode: str = "update"):
     """Start the stream into an in-memory table (tests/demos); returns the
     StreamingQuery — caller awaits/stops it."""
