@@ -56,6 +56,57 @@ def test_star_join_single_agg_shuffle(spark):
     assert count_exchanges(df) <= 2, plan_str(df)
 
 
+def test_asof_join_is_linear_keyed_window(spark):
+    # the as-of composition must stay union + keyed window: exactly the
+    # two key shuffles (view dedup agg on (user, ts); per-user window) and
+    # NO join operator — a regression to a non-equi range join would show
+    # up as a BroadcastNestedLoopJoin and quadratic per-key work
+    from us_flight_bigdata_dashboard_spark.operators.temporal import q_asof_join
+    from us_flight_bigdata_dashboard_spark.plans import count_bnl_joins, count_exchanges
+
+    df = q_asof_join(spark, SF_DIR)
+    assert count_exchanges(df) == 2, plan_str(df)
+    assert count_bnl_joins(df) == 0
+    assert count_sortmerge_joins(df) == 0
+
+
+def test_range_join_broadcasts_interval_table(spark):
+    # small interval dim → broadcast nested-loop on the BETWEEN predicate;
+    # the orders side never shuffles before the final 3-group agg
+    from us_flight_bigdata_dashboard_spark.operators.temporal import (
+        q_range_join_price_bands,
+    )
+    from us_flight_bigdata_dashboard_spark.plans import count_bnl_joins, count_exchanges
+
+    df = q_range_join_price_bands(spark, SF_DIR)
+    assert count_bnl_joins(df) == 1, plan_str(df)
+    assert count_exchanges(df) == 1  # only the final band rollup
+
+
+def test_gap_fill_scans_events_once(spark):
+    # the hourly pre-aggregate has two consumers (bounds + join); it is
+    # cached so the raw events parquet is scanned exactly once — uncached,
+    # this plan silently doubles the 100 TB scan
+    from us_flight_bigdata_dashboard_spark.operators.events import q_events_gap_fill
+    from us_flight_bigdata_dashboard_spark.plans import count_parquet_scans
+
+    df = q_events_gap_fill(spark, SF_DIR)
+    assert count_parquet_scans(df) == 1, plan_str(df)
+
+
+def test_multiprobe_probe_derivation_narrow(spark):
+    # probe-list derivation (masked argmax over broadcast centroid sims)
+    # is a narrow expression: the whole query keeps the single rank-window
+    # shuffle of single-probe IVF
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        q_ann_ivf_multiprobe,
+    )
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_ann_ivf_multiprobe(spark, SF_DIR)
+    assert count_exchanges(df) <= 1, plan_str(df)
+
+
 def test_ivf_assignment_no_shuffle(spark):
     # the inverted-file build is a narrow map over broadcast centroid
     # literals: zero Exchange before the cell equi-join; the full query's

@@ -161,11 +161,14 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     only scan + shuffle); the spine is generated from the tiny per-type
     bounds row (``sequence`` + explode — narrow, proportional to hours not
     events) and left-joins the pre-aggregate, so gap filling costs
-    ~|types|·|hours| regardless of event volume."""
+    ~|types|·|hours| regardless of event volume. The pre-aggregate is
+    cached because it has two consumers (bounds + join) — uncached, each
+    would re-run the full events scan (plan-test-enforced: one parquet
+    scan)."""
     events = load_table(spark, sf_dir, "events")
     hourly = events.groupBy(
         F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("window_start")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).cache()
     bounds = hourly.groupBy("event_type").agg(
         F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
     )

@@ -1,6 +1,8 @@
 from us_flight_bigdata_dashboard_spark.plans.explain import (
+    count_bnl_joins,
     count_broadcast_joins,
     count_exchanges,
+    count_parquet_scans,
     count_sortmerge_joins,
     plan_str,
     pushed_filters,
@@ -8,8 +10,10 @@ from us_flight_bigdata_dashboard_spark.plans.explain import (
 )
 
 __all__ = [
+    "count_bnl_joins",
     "count_broadcast_joins",
     "count_exchanges",
+    "count_parquet_scans",
     "count_sortmerge_joins",
     "plan_str",
     "pushed_filters",

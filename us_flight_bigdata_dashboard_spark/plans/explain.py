@@ -33,6 +33,14 @@ def count_sortmerge_joins(df: DataFrame) -> int:
     return _count_op(df, "SortMergeJoin")
 
 
+def count_bnl_joins(df: DataFrame) -> int:
+    return _count_op(df, "BroadcastNestedLoopJoin")
+
+
+def count_parquet_scans(df: DataFrame) -> int:
+    return _count_op(df, "Scan parquet")
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle exchanges only — the '(N) Exchange' header never matches
     BroadcastExchange (different op name), so no subtraction is needed."""
