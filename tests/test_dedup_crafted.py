@@ -12,6 +12,7 @@ from us_flight_bigdata_dashboard_spark.operators.dedup import (
     MAX_SHINGLE_DF,
     q_dedup_clusters,
     q_dedup_exact,
+    q_dedup_keep_best,
     q_dedup_minhash_lsh,
     q_dedup_ngram_jaccard,
     q_dedup_simhash,
@@ -35,7 +36,7 @@ def crafted_dir(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("crafted"))
     docs = [
         (0, BASE, "en", "src0", len(BASE)),
-        (1, BASE, "en", "src1", len(BASE)),  # exact dup of 0
+        (1, BASE, "en", "src1", len(BASE) + 5),  # exact dup of 0, longest metadata
         (2, BASE.replace("mailman", "postman"), "en", "src0", len(BASE)),  # near-dup of 0
         (3, "completely unrelated text about quantum chromodynamics and lattice gauge theory simulations", "en", "src2", 93),
         (4, "short doc", "en", "src3", 9),
@@ -92,6 +93,15 @@ def test_clusters_collapse_transitive_duplicates(spark, crafted_dir):
     assert set(rows) == {0, 1, 2}  # docs 3,4 are in no candidate pair
     assert all(rows[d]["cluster_id"] == 0 for d in (0, 1, 2))
     assert [d for d in rows if rows[d]["is_keeper"]] == [0]
+
+
+def test_keep_best_prefers_longest_copy(spark, crafted_dir):
+    # docs 0,1,2 form one cluster; min-id clustering keeps 0, but the
+    # quality-aware stage must keep doc 1 (largest n_chars metadata)
+    rows = {r["cluster_id"]: r for r in q_dedup_keep_best(spark, crafted_dir).collect()}
+    assert rows[0]["keep_doc_id"] == 1
+    assert rows[0]["n_docs"] == 3
+    assert rows[0]["keep_n_chars"] == len(BASE) + 5
 
 
 @pytest.fixture(scope="module")

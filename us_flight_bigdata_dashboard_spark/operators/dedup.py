@@ -361,6 +361,68 @@ GROUP BY src
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection — the final curation stage of the
+    dedup pipeline: within each duplicate cluster keep the BEST document
+    (longest text as the quality proxy; CCNet-style pipelines keep the
+    highest-quality copy, not the lowest id), deterministic ties by lowest
+    doc_id via the (n_chars, -doc_id) argmax struct.
+
+    Plan shape: cluster membership (LSH → connected components) joins the
+    documents metadata on doc_id — at scale a shuffle of (doc_id,
+    cluster_id) pairs only, never text — and one hash-agg per cluster.
+    ``max_by`` over a struct is the lexicographic argmax in both engines
+    (DuckDB: ``arg_max`` over a list key)."""
+    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        clusters.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+            ).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_chars").alias("keep_n_chars"),
+        )
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    return f"""
+WITH RECURSIVE {_sql_lsh_cte_block()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, bucket)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_docs,
+         MAX(d.n_chars) OVER (PARTITION BY c.cluster_id) AS keep_n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_doc_id, n_docs, keep_n_chars
+FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (top-k most similar pairs)
 # ---------------------------------------------------------------------------
@@ -501,6 +563,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 ORACLE = {
@@ -510,4 +573,5 @@ ORACLE = {
     "dedup_ngram_jaccard": _sql_ngram_jaccard(),
     "dedup_simhash": _sql_simhash(),
     "dedup_clusters": _sql_dedup_clusters(),
+    "dedup_keep_best": _sql_dedup_keep_best(),
 }

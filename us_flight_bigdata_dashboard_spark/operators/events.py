@@ -151,6 +151,64 @@ FROM daily
 """
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows via Spark's NATIVE ``session_window``
+    aggregate (the same operator that powers streaming session windows),
+    cross-checked against the portable lag → new-session-flag → running-sum
+    composition in the DuckDB oracle — i.e. the built-in's merge semantics
+    are proven equal to the declarative spec, not assumed.
+
+    Boundary semantics pinned by the oracle: a gap of EXACTLY the timeout
+    starts a new session (Spark merges only while ``next.ts <
+    prev.ts + gap``), so the oracle's new-session flag uses ``>=``.
+    ``session_end`` is last event ts + gap, per Spark's definition.
+
+    Scale: one shuffle on user_id; session merging is a sort-based
+    in-partition pass — same cost class as the window composition, but
+    streaming-ready (state-store backed) for free."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), f"{SESSION_GAP_MIN} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_ORACLE_EVENTS_SESSION_WINDOW = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE ts IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) >= {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
 def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling: per event type, a dense hourly spine over
     that type's active range with zero-filled counts for silent hours —
@@ -207,6 +265,7 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "events_sliding_avg": q_events_sliding_avg,
+    "events_session_window": q_events_session_window,
     "events_gap_fill": q_events_gap_fill,
 }
 
@@ -214,5 +273,6 @@ ORACLE = {
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,
     "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
     "events_sliding_avg": _ORACLE_EVENTS_SLIDING,
+    "events_session_window": _ORACLE_EVENTS_SESSION_WINDOW,
     "events_gap_fill": _ORACLE_EVENTS_GAP_FILL,
 }
