@@ -49,6 +49,9 @@ HEADLINE = [
     "ann_ivf",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    # round-2 widening: the as-of composition (union + keyed window) is a
+    # new operator class worth tracking round-over-round
+    "asof_join",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

@@ -174,12 +174,64 @@ GROUP BY 1
 """
 
 
+FRAME_K = 4
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame sampling for video media: up to ``FRAME_K`` frame
+    indices per video (``floor(j·n_frames/K)``, deduped for short clips),
+    one output row per sampled frame with a per-frame digest — the
+    video-pretraining access pattern (decode metadata once, explode to
+    the frames a trainer actually reads).
+
+    The sampled-index derivation is a pure narrow expression over the
+    decoded metadata (sequence → transform → array_distinct → explode);
+    a real pipeline would feed these (media_id, frame_idx) pairs to the
+    frame-decode mapInPandas stage, touching only K frames per video
+    rather than the full payload."""
+    feats = q_multimodal_features(spark, sf_dir).filter(F.col("kind") == "video")
+    idxs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(FRAME_K - 1)),
+            lambda j: F.floor(j * F.col("n_frames") / FRAME_K).cast("int"),
+        )
+    )
+    return (
+        feats.select("media_id", "n_frames", "digest", F.explode(idxs).alias("frame_idx"))
+        .select(
+            "media_id",
+            "n_frames",
+            "frame_idx",
+            F.md5(F.concat_ws("_", F.col("digest"), F.col("frame_idx").cast("string"))).alias(
+                "frame_digest"
+            ),
+        )
+    )
+
+
+def _sql_multimodal_frame_sample() -> str:
+    js = ", ".join(str(j) for j in range(FRAME_K))
+    return f"""
+SELECT media_id, n_frames, frame_idx,
+       md5(digest || '_' || CAST(frame_idx AS VARCHAR)) AS frame_digest
+FROM (
+  SELECT media_id, n_frames, digest,
+         unnest(list_distinct(list_transform([{js}],
+                j -> CAST(floor(j * n_frames / {FRAME_K}) AS INTEGER)))) AS frame_idx
+  FROM ({_sql_multimodal_features()})
+  WHERE kind = 'video'
+)
+"""
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_meta_stats": q_multimodal_meta_stats,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLE = {
     "multimodal_features": _sql_multimodal_features(),
     "multimodal_meta_stats": _sql_multimodal_meta_stats(),
+    "multimodal_frame_sample": _sql_multimodal_frame_sample(),
 }

@@ -756,8 +756,47 @@ FROM (
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery surface: orders priced above their own
+    customer's average order value (SQL: a correlated scalar subquery per
+    row). Rendered as the decorrelated form every engine actually
+    executes — one keyed window computing the per-customer mean, then a
+    narrow filter — so there is exactly one shuffle on the correlation
+    key instead of a per-row subquery. The mean is the exact
+    decimal-sum/count construction (bit-stable across engines); the
+    oracle states the same window form in SQL."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            cust_avg.alias("cust_avg_price"),
+        )
+        .filter(F.col("o_totalprice") > F.col("cust_avg_price"))
+    )
+
+
+_ORACLE_CORRELATED_ABOVE_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg_price
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg_price
+  FROM orders
+)
+WHERE o_totalprice > cust_avg_price
+"""
+
+
 QUERIES = {
     "star_join_agg": q_star_join_agg,
+    "correlated_above_avg": q_correlated_above_avg,
     "pricing_summary": q_pricing_summary,
     "scan_project_cast": q_scan_project_cast,
     "filter_in_conj": q_filter_in_conj,
@@ -783,6 +822,7 @@ QUERIES = {
 
 ORACLE = {
     "star_join_agg": _ORACLE_STAR_JOIN_AGG,
+    "correlated_above_avg": _ORACLE_CORRELATED_ABOVE_AVG,
     "pricing_summary": _ORACLE_PRICING_SUMMARY,
     "scan_project_cast": _ORACLE_SCAN_PROJECT_CAST,
     "filter_in_conj": _ORACLE_FILTER_IN_CONJ,
