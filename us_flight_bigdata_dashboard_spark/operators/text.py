@@ -214,6 +214,127 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Portable across Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+# backrefs. Email, dashed/dotted/spaced phone, long digit runs (IDs/accounts).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+PII_LONGNUM = "\\d{6,}"
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training-data curation: mask emails, phone numbers,
+    and long digit runs with typed placeholder tokens, and count what was
+    masked per document. Pure ``regexp_replace``/``regexp_extract_all``
+    column expressions — whole-stage codegen, linear scan, no UDFs, so the
+    pass costs one projection over the corpus at 100 TB.
+
+    Order matters: phones are masked before long digit runs so a phone isn't
+    half-eaten by the ID rule; the oracle applies the same order. The
+    synthetic corpus contains no PII (redaction is the identity there — the
+    matrix entry verifies the regex plumbing agrees across engines);
+    positive matches are exercised by the crafted fixtures in
+    ``tests/test_text_crafted.py``."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0))
+    redacted = F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(redacted, F.lit(PII_PHONE), 0))
+    redacted = F.regexp_replace(redacted, PII_PHONE, "<PHONE>")
+    n_longnums = F.size(F.regexp_extract_all(redacted, F.lit(PII_LONGNUM), 0))
+    redacted = F.regexp_replace(redacted, PII_LONGNUM, "<NUM>")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_longnums.alias("n_longnums"),
+        F.md5(redacted).alias("redacted_digest"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+_ORACLE_TEXT_PII_REDACT = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(r1, '{PII_PHONE}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(r2, '{PII_LONGNUM}')) AS INTEGER) AS n_longnums,
+       md5(regexp_replace(r2, '{PII_LONGNUM}', '<NUM>', 'g')) AS redacted_digest,
+       CAST(length(regexp_replace(r2, '{PII_LONGNUM}', '<NUM>', 'g')) AS INTEGER) AS redacted_len
+FROM (
+  SELECT doc_id, text,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS r1,
+         regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{PII_PHONE}', '<PHONE>', 'g') AS r2
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style term salience (top-k terms per document)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOPK`` salient terms per document, scored ``tf/df``
+    (term frequency over corpus document frequency — the idf-log variant
+    is avoided deliberately: ``ln`` is not guaranteed correctly rounded
+    across engines, while one IEEE double division is bit-exact, so the
+    gate stays a hash compare).
+
+    Scale shape: tokenize→explode is linear; (doc,term) tf and per-term df
+    are map-side-combined hash aggs; the tf⋈df join shuffles on term where
+    the df side is vocabulary-sized (≪ corpus); the final top-k is one
+    keyed window per document. No step is quadratic and nothing collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; one job over parquet row-group metadata
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("salience"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("salience").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "salience", "rk")
+        .withColumn("n_docs", F.lit(n_docs).cast("long"))
+    )
+
+
+_ORACLE_TEXT_TFIDF_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tokens("text")}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS salience
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, salience, rk,
+       (SELECT COUNT(*) FROM documents) AS n_docs
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY salience DESC, term ASC) AS rk
+  FROM scored
+)
+WHERE rk <= {TFIDF_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # JSON property extraction (events.props)
 # ---------------------------------------------------------------------------
 
@@ -251,6 +372,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_pii_redact": q_text_pii_redact,
+    "text_tfidf_topk": q_text_tfidf_topk,
     "json_extract": q_json_extract,
 }
 
@@ -259,5 +382,7 @@ ORACLE = {
     "text_quality": _ORACLE_TEXT_QUALITY,
     "text_langid": _sql_langid(),
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
+    "text_pii_redact": _ORACLE_TEXT_PII_REDACT,
+    "text_tfidf_topk": _ORACLE_TEXT_TFIDF_TOPK,
     "json_extract": _ORACLE_JSON_EXTRACT,
 }
