@@ -232,8 +232,60 @@ GROUP BY 1
 """
 
 
+HIST_LO = 0.0
+HIST_STEP = 50_000.0
+HIST_NBINS = 12
+
+
+def q_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over order value (the profiling primitive every
+    dashboard needs; the reference bins client-side in Plotly —
+    `src/app.py` histogram traces — which cannot work at 100 TB; binning
+    must happen in the engine and ship only ``nbins`` rows).
+
+    One narrow projection (`width_bucket`-style floor arithmetic, clamped
+    to the edge bins) + one hash agg keyed on the bin — map-side combine
+    reduces every partition to ≤ nbins partials, so the shuffle is bytes,
+    not rows. The oracle states the identical floor expression; a single
+    double subtract/divide/floor is exactly rounded, hence bit-stable
+    across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    raw_bin = F.floor((F.col("o_totalprice") - F.lit(HIST_LO)) / F.lit(HIST_STEP))
+    bin_ = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(HIST_NBINS - 1)).cast("int")
+    return (
+        orders.select(bin_.alias("bin"), "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .withColumn("bin_lo", (F.lit(HIST_LO) + F.col("bin") * F.lit(HIST_STEP)))
+        .withColumn("bin_hi", (F.lit(HIST_LO) + (F.col("bin") + 1) * F.lit(HIST_STEP)))
+    )
+
+
+_ORACLE_HISTOGRAM_PRICE = f"""
+SELECT bin,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS sum_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       {HIST_LO} + bin * {HIST_STEP} AS bin_lo,
+       {HIST_LO} + (bin + 1) * {HIST_STEP} AS bin_hi
+FROM (
+  SELECT CAST(least(greatest(floor((o_totalprice - {HIST_LO}) / {HIST_STEP}), 0), {HIST_NBINS - 1}) AS INTEGER) AS bin,
+         o_totalprice
+  FROM orders
+)
+GROUP BY bin
+"""
+
+
 QUERIES = {
     "semi_anti_join": q_semi_anti_join,
+    "histogram_price": q_histogram_price,
     "grouping_cube": q_grouping_cube,
     "percentiles": q_percentiles,
     "skew_salted_agg": q_skew_salted_agg,
@@ -243,6 +295,7 @@ QUERIES = {
 
 ORACLE = {
     "semi_anti_join": _ORACLE_SEMI_ANTI,
+    "histogram_price": _ORACLE_HISTOGRAM_PRICE,
     "grouping_cube": _ORACLE_GROUPING_CUBE,
     "percentiles": _ORACLE_PERCENTILES,
     "skew_salted_agg": _ORACLE_SKEW_SALTED,

@@ -1,0 +1,109 @@
+"""Upsert / MERGE-style mutation semantics expressed relationally.
+
+The reference mutates its MySQL tables with INSERT ... ON DUPLICATE KEY-style
+refresh cycles (drop + reload, `src/import_to_mysql.py`); a lakehouse engine
+expresses the same intent as MERGE INTO. Spark core has no table-format MERGE
+(that lives in Delta/Iceberg), but the *semantics* are a full outer join on
+the merge key with per-branch resolution — WHEN MATCHED THEN UPDATE, WHEN NOT
+MATCHED THEN INSERT, else keep. That relational form is what the table
+formats themselves execute under the hood (minus file-level pruning), so it
+is the right Spark-first rendering.
+
+Scale shape: one shuffle join on the merge key (sort-merge at 100 TB; AQE
+broadcasts automatically when the change batch is small), then a narrow
+per-row CASE resolution — no window, no collect, no iteration. Table formats
+add copy-on-write file pruning on top; the dataframe-level semantics here are
+what the correctness gate can check cross-engine.
+
+The change batch is derived deterministically from ``orders`` itself (no RNG,
+no wall clock — the gate hash-compares against DuckDB): keys ≡0 (mod 7)
+become updates (price bump), keys ≡0 (mod 13) become inserts under a shifted
+key range that cannot collide with existing keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+INSERT_KEY_OFFSET = 100_000_000
+PRICE_BUMP = 100.0
+
+
+def _change_batch(orders: DataFrame) -> DataFrame:
+    """Deterministic MERGE source: updates for keys ≡0 (mod 7), inserts
+    (shifted keys) for keys ≡0 (mod 13)."""
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("m_orderkey"),
+        F.col("o_custkey").alias("m_custkey"),
+        (F.col("o_totalprice") + F.lit(PRICE_BUMP)).alias("m_totalprice"),
+        F.lit("U").alias("m_orderstatus"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + F.lit(INSERT_KEY_OFFSET)).alias("m_orderkey"),
+        F.col("o_custkey").alias("m_custkey"),
+        F.col("o_totalprice").alias("m_totalprice"),
+        F.lit("N").alias("m_orderstatus"),
+    )
+    return updates.unionByName(inserts)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO orders USING batch ON key — WHEN MATCHED UPDATE, WHEN NOT
+    MATCHED INSERT — rendered as a full outer join + CASE resolution, with
+    an ``action`` audit column (update/insert/keep) so the gate verifies
+    every branch took the intended path."""
+    orders = load_table(spark, sf_dir, "orders")
+    batch = _change_batch(orders)
+    joined = orders.join(
+        batch, orders["o_orderkey"] == batch["m_orderkey"], "full_outer"
+    )
+    matched = orders["o_orderkey"].isNotNull() & batch["m_orderkey"].isNotNull()
+    insert_only = orders["o_orderkey"].isNull()
+    return joined.select(
+        F.coalesce(orders["o_orderkey"], batch["m_orderkey"]).alias("o_orderkey"),
+        F.coalesce(orders["o_custkey"], batch["m_custkey"]).alias("o_custkey"),
+        F.when(matched | insert_only, batch["m_totalprice"])
+        .otherwise(orders["o_totalprice"])
+        .alias("o_totalprice"),
+        F.when(matched | insert_only, batch["m_orderstatus"])
+        .otherwise(orders["o_orderstatus"])
+        .alias("o_orderstatus"),
+        F.when(matched, F.lit("update"))
+        .when(insert_only, F.lit("insert"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+
+
+_ORACLE_MERGE_UPSERT = f"""
+WITH batch AS (
+  SELECT o_orderkey AS m_orderkey, o_custkey AS m_custkey,
+         o_totalprice + {PRICE_BUMP} AS m_totalprice, 'U' AS m_orderstatus
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + {INSERT_KEY_OFFSET}, o_custkey, o_totalprice, 'N'
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT COALESCE(o.o_orderkey, b.m_orderkey) AS o_orderkey,
+       COALESCE(o.o_custkey, b.m_custkey) AS o_custkey,
+       CASE WHEN b.m_orderkey IS NOT NULL THEN b.m_totalprice
+            ELSE o.o_totalprice END AS o_totalprice,
+       CASE WHEN b.m_orderkey IS NOT NULL THEN b.m_orderstatus
+            ELSE o.o_orderstatus END AS o_orderstatus,
+       CASE WHEN o.o_orderkey IS NOT NULL AND b.m_orderkey IS NOT NULL THEN 'update'
+            WHEN o.o_orderkey IS NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM orders o FULL OUTER JOIN batch b ON o.o_orderkey = b.m_orderkey
+"""
+
+
+QUERIES = {
+    "merge_upsert": q_merge_upsert,
+}
+
+ORACLE = {
+    "merge_upsert": _ORACLE_MERGE_UPSERT,
+}

@@ -19,6 +19,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     dedup,
     events,
     multimodal,
+    mutation,
     relational,
     sampling,
     similarity,
@@ -37,6 +38,7 @@ _MODULES = [
     breadth,
     temporal,
     sampling,
+    mutation,
 ]
 
 
