@@ -13,7 +13,7 @@ in the same split on every run, every engine, every partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.operators.dedup import (
@@ -21,6 +21,7 @@ from us_flight_bigdata_dashboard_spark.operators.dedup import (
     _sql_hex_to_int,
     _sql_shingles,
 )
+from us_flight_bigdata_dashboard_spark.operators.text import _sql_tokens, _tokens
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 # per-language keep percentage (language rebalancing: downsample the
@@ -136,14 +137,88 @@ GROUP BY 1
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality gate → exact-dup removal → split
+    assignment, composed from this engine's own stages — the chain a
+    training-data pipeline runs nightly, as ONE declarative plan (each
+    stage is a lazy transformation, so Catalyst sees the whole pipeline and
+    pushes the quality predicates into the scan).
+
+    Stage shapes at 100 TB: the quality gate is a narrow projection+filter
+    (pure column expressions, no shuffle); dedup is one keyed window on the
+    normalization fingerprint (single shuffle; keeps the lowest doc_id per
+    fingerprint — deterministic keeper); split assignment is again narrow
+    (content-hash bucket). Net: one shuffle for the whole pipeline, and the
+    text column itself never shuffles (only doc_id + fingerprint do,
+    because the window only needs the key and the projected survivors
+    re-join nothing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_tok_nz = F.nullif(n_tok, F.lit(0))
+    n_chars_nz = F.nullif(F.length("text"), F.lit(0))
+    n_sym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9\\s]", ""))
+    mean_tok = F.length("text").cast("double") / n_tok_nz
+    sym_ratio = n_sym.cast("double") / n_chars_nz
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "), " +", " ")
+    )
+    quality = (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tok.alias("n_tokens"),
+            F.md5(norm).alias("fingerprint"),
+        )
+        .filter(
+            (n_tok >= 10) & (mean_tok >= 3.0) & (mean_tok <= 12.0) & (sym_ratio <= 0.1)
+        )
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    bucket = _bucket_col()
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return deduped.select("doc_id", "lang", "n_tokens", "fingerprint", split.alias("split"))
+
+
+_ORACLE_CURATION_PIPELINE = f"""
+WITH quality AS (
+  SELECT doc_id, lang,
+         CAST(len({_sql_tokens("text")}) AS INTEGER) AS n_tokens,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+  FROM documents
+  WHERE len({_sql_tokens("text")}) >= 10
+    AND CAST(length(text) AS DOUBLE) / nullif(len({_sql_tokens("text")}), 0) BETWEEN 3.0 AND 12.0
+    AND CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+          / nullif(length(text), 0) <= 0.1
+), deduped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+  FROM quality
+)
+SELECT doc_id, lang, n_tokens, fingerprint,
+       CASE WHEN {_sql_bucket()} < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {_sql_bucket()} < {SPLIT_VALID_PCT} THEN 'valid'
+            ELSE 'test' END AS split
+FROM deduped WHERE rn = 1
+"""
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
+    "curation_pipeline": q_curation_pipeline,
     "split_assign": q_split_assign,
     "decontaminate": q_decontaminate,
 }
 
 ORACLE = {
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
+    "curation_pipeline": _ORACLE_CURATION_PIPELINE,
     "split_assign": _ORACLE_SPLIT_ASSIGN,
     "decontaminate": _ORACLE_DECONTAMINATE,
 }

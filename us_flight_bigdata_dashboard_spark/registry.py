@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from us_flight_bigdata_dashboard_spark.operators import (
     advanced,
+    audit,
     breadth,
     dedup,
     events,
@@ -39,6 +40,7 @@ _MODULES = [
     temporal,
     sampling,
     mutation,
+    audit,
 ]
 
 
