@@ -52,6 +52,11 @@ HEADLINE = [
     # round-2 widening: the as-of composition (union + keyed window) is a
     # new operator class worth tracking round-over-round
     "asof_join",
+    # late-r2 widening: the one-shuffle curation chain, the full-outer
+    # MERGE resolution, and the tokenize→tf/df→top-k text path
+    "curation_pipeline",
+    "merge_upsert",
+    "text_tfidf_topk",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

@@ -124,3 +124,36 @@ def test_ivf_assignment_no_shuffle(spark):
     assert count_exchanges(assigned) == 0, plan_str(assigned)
     df = q_ann_ivf(spark, SF_DIR)
     assert count_exchanges(df) <= 1, plan_str(df)
+
+
+def test_curation_pipeline_single_shuffle(spark):
+    # quality gate and split assignment are narrow; the fingerprint-dedup
+    # window is the pipeline's ONE shuffle, and documents scans once
+    from us_flight_bigdata_dashboard_spark.operators.sampling import q_curation_pipeline
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_curation_pipeline(spark, SF_DIR)
+    assert count_exchanges(df) == 1, plan_str(df)
+    assert len(read_schema_columns(df)) == 1
+
+
+def test_merge_upsert_is_single_key_join(spark):
+    # MERGE resolves in one full-outer sort-merge join on the merge key:
+    # two key exchanges, no window, no extra join
+    from us_flight_bigdata_dashboard_spark.operators.mutation import q_merge_upsert
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_merge_upsert(spark, SF_DIR)
+    assert count_sortmerge_joins(df) == 1
+    assert count_exchanges(df) <= 2, plan_str(df)
+
+
+def test_histogram_shuffles_bins_not_rows(spark):
+    # binning is narrow; the agg's exchange moves <= nbins partial rows per
+    # partition (map-side combine), so the plan is scan -> partial agg ->
+    # one exchange -> final agg
+    from us_flight_bigdata_dashboard_spark.operators.advanced import q_histogram_price
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_histogram_price(spark, SF_DIR)
+    assert count_exchanges(df) <= 1, plan_str(df)
