@@ -173,8 +173,54 @@ FROM orders
 """
 
 
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics SQL users need
+    when a dimension key is legitimately absent on both sides.
+
+    Keys are made nullable deterministically (priority → NULL for keys
+    ≡0 mod 5) and both sides pre-aggregate to priority cardinality before
+    the join, so the null-safe comparison runs over dimension-sized inputs
+    (broadcast at any scale); the NULL⋈NULL row survives with both counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    left = keyed.groupBy("prio").agg(F.count(F.lit(1)).alias("n_all"))
+    right = (
+        keyed.filter(F.col("o_totalprice") > 150_000)
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return left.join(right, left["prio"].eqNullSafe(right["prio"]), "left").select(
+        left["prio"].alias("prio"),
+        "n_all",
+        F.coalesce(F.col("n_big"), F.lit(0)).alias("n_big"),
+    )
+
+
+_ORACLE_NULL_SAFE_JOIN = """
+WITH keyed AS (
+  SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS prio,
+         o_orderkey, o_totalprice
+  FROM orders
+), l AS (
+  SELECT prio, COUNT(*) AS n_all FROM keyed GROUP BY 1
+), r AS (
+  SELECT prio, COUNT(*) AS n_big FROM keyed WHERE o_totalprice > 150000 GROUP BY 1
+)
+SELECT l.prio, l.n_all, COALESCE(r.n_big, 0) AS n_big
+FROM l LEFT JOIN r ON l.prio IS NOT DISTINCT FROM r.prio
+"""
+
+
 QUERIES = {
     "pivot_status": q_pivot_status,
+    "null_safe_join": q_null_safe_join,
     "intersect_except": q_intersect_except,
     "date_functions": q_date_functions,
     "window_lead_lag": q_window_lead_lag,
@@ -183,6 +229,7 @@ QUERIES = {
 
 ORACLE = {
     "pivot_status": _ORACLE_PIVOT_STATUS,
+    "null_safe_join": _ORACLE_NULL_SAFE_JOIN,
     "intersect_except": _ORACLE_INTERSECT_EXCEPT,
     "date_functions": _ORACLE_DATE_FUNCTIONS,
     "window_lead_lag": _ORACLE_WINDOW_LEAD_LAG,

@@ -100,10 +100,68 @@ FROM orders o FULL OUTER JOIN batch b ON o.o_orderkey = b.m_orderkey
 """
 
 
+MV_SPLIT_DATE = "1996-01-01"
+
+
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the nightly-refresh
+    pattern where an aggregate MV is updated by merging the *delta
+    partition's* partial aggregate into the stored partials, instead of
+    recomputing over the full history.
+
+    Expressed with additive partials (COUNT, decimal SUM — the mergeable
+    state; AVG is derived at read time, never stored): MV(base) ⊎
+    MV(delta) over a date split of ``orders``. At 100 TB the base side is
+    the *stored* dimension-sized MV — only the delta scans — so refresh
+    cost is O(delta), not O(history).
+
+    The correctness claim IS the oracle: the merged incremental view must
+    equal the direct GROUP BY over the full table, bit-for-bit (decimal
+    partials are associative, so base/delta merge order cannot change the
+    result)."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit(MV_SPLIT_DATE).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("_sum_dec"),
+        )
+
+    base = partials(orders.filter(split))
+    delta = partials(orders.filter(~split))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("_sum_dec").alias("_merged"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("_merged").cast("double").alias("sum_price"),
+            (F.col("_merged").cast("double") / F.col("n_orders")).alias("avg_price"),
+        )
+    )
+
+
+_ORACLE_MV_INCREMENTAL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "merge_upsert": q_merge_upsert,
+    "mv_incremental": q_mv_incremental,
 }
 
 ORACLE = {
     "merge_upsert": _ORACLE_MERGE_UPSERT,
+    "mv_incremental": _ORACLE_MV_INCREMENTAL,
 }
