@@ -160,3 +160,42 @@ def test_sliding_windows_overlap(spark, stream_dir):
     # 1h windows sliding by 30min: the 10:05 event belongs to both the
     # 09:30 and 10:00 windows
     assert "2026-01-01 09:30:00" in starts and "2026-01-01 10:00:00" in starts
+
+
+def test_streaming_dedup_drops_redelivered(spark, tmp_path_factory):
+    """Redelivered event_ids across micro-batches collapse to one row, and
+    the surviving set equals batch dropDuplicates over the same files."""
+    import json as _json
+
+    from us_flight_bigdata_dashboard_spark.streaming.events import (
+        EVENT_SCHEMA,
+        dedup_event_stream,
+    )
+
+    root = str(tmp_path_factory.mktemp("dedup_stream"))
+    rows_b0 = [
+        {"event_id": 1, "ts": "2026-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2026-01-01 10:10:00", "user_id": 2, "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    rows_b1 = [
+        # redelivery of event 1 (same id, later arrival) + a fresh event
+        {"event_id": 1, "ts": "2026-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2026-01-01 10:30:00", "user_id": 3, "event_type": "click", "value": 3.0, "props": "{}"},
+    ]
+    for i, (fname, rows) in enumerate([("b0.json", rows_b0), ("b1.json", rows_b1)]):
+        p = os.path.join(root, fname)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (2000000 + i * 100, 2000000 + i * 100))
+
+    stream = read_event_stream(spark, root)
+    q = run_to_memory_sink(dedup_event_stream(stream), "dedup_stream_test", mode="append")
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.table("dedup_stream_test").collect())
+    assert got == [1, 2, 3]
+
+    batch = (
+        spark.read.schema(EVENT_SCHEMA).json(root).dropDuplicates(["event_id"])
+    )
+    assert got == sorted(r["event_id"] for r in batch.collect())

@@ -126,6 +126,21 @@ def interval_join_views_before_clicks(
     )
 
 
+def dedup_event_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop redelivered events (same ``event_id``)
+    arriving within the watermark horizon — the at-least-once → effectively-
+    once repair every event pipeline needs in front of its aggregates.
+
+    ``dropDuplicatesWithinWatermark`` keys state by event_id and evicts an
+    id once the watermark passes its first-seen event time, so state is
+    O(ids per watermark horizon), not O(stream length) — the semantics
+    (and the reason plain ``dropDuplicates`` is wrong on streams: its
+    state never ages out) per the Structured Streaming guide. Batch
+    ``dropDuplicates(["event_id"])`` over the same files is the
+    equivalence oracle (tests/test_streaming.py)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def run_to_memory_sink(result: DataFrame, query_name: str, mode: str = "update"):
     """Start the stream into an in-memory table (tests/demos); returns the
     StreamingQuery — caller awaits/stops it."""
