@@ -157,3 +157,16 @@ def test_histogram_shuffles_bins_not_rows(spark):
 
     df = q_histogram_price(spark, SF_DIR)
     assert count_exchanges(df) <= 1, plan_str(df)
+
+
+def test_tfidf_single_scan_single_explode(spark):
+    # df is derived from the tf aggregate (one row per doc,term) via a
+    # term-window — the corpus must tokenize/explode exactly once
+    from us_flight_bigdata_dashboard_spark.operators.text import q_text_tfidf_topk
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_text_tfidf_topk(spark, SF_DIR)
+    plan = plan_str(df, mode="simple")  # formatted prints ops twice (tree+details)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Generate") == 1, plan
+    assert count_exchanges(df) <= 3, plan_str(df)

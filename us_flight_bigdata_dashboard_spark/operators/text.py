@@ -285,16 +285,25 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, while one IEEE double division is bit-exact, so the
     gate stays a hash compare).
 
-    Scale shape: tokenize→explode is linear; (doc,term) tf and per-term df
-    are map-side-combined hash aggs; the tf⋈df join shuffles on term where
-    the df side is vocabulary-sized (≪ corpus); the final top-k is one
+    Scale shape: the corpus is tokenized and exploded ONCE; (doc,term) tf
+    is a map-side-combined hash agg, and df falls out of tf for free — tf
+    already has exactly one row per (doc,term), so df(term) is a plain
+    ``count over (partition by term)`` window on the aggregated rows (no
+    second scan, no second explode, no join; an earlier draft re-exploded
+    the corpus for df and paid 2 scans + 5 exchanges — this shape is
+    1 scan + 3 exchanges, all post-aggregation). The final top-k is one
     keyed window per document. No step is quadratic and nothing collects."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar; one job over parquet row-group metadata
-    scored = tf.join(df_, "term").select(
+    df_w = Window.partitionBy("term")
+    scored = tf.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.count(F.lit(1)).over(df_w).alias("df"),
+    ).select(
         "doc_id",
         "term",
         "tf",
