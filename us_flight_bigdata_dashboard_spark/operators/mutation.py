@@ -156,12 +156,64 @@ GROUP BY 1
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2: versioned rows with
+    ``valid_from`` / ``valid_to`` / ``is_current``, built from a change
+    log with one keyed window (``lead(valid_from)`` closes each version
+    when the next one opens — the standard lakehouse SCD2 build).
+
+    The change log is derived deterministically from ``orders``: every
+    order contributes its original version; keys ≡0 (mod 7) gain a second
+    version 30 days later with a bumped price. At 100 TB the shape is one
+    shuffle on the business key (window), nothing else — no join, no
+    iteration; appending a new day of changes only re-windows keys present
+    in the delta when the history table is partitioned by key range."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("valid_from"),
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(PRICE_BUMP)).alias("price"),
+        (F.col("o_orderdate") + F.expr("interval 30 days")).alias("valid_from"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("valid_from").asc())
+    return (
+        v1.unionByName(v2)
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+    )
+
+
+_ORACLE_SCD2_HISTORY = f"""
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderdate AS valid_from FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + {PRICE_BUMP}, o_orderdate + INTERVAL 30 DAY
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderkey, price, valid_from,
+       LEAD(valid_from) OVER w AS valid_to,
+       ROW_NUMBER() OVER w AS version,
+       CAST(LEAD(valid_from) OVER w IS NULL AS INTEGER) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY o_orderkey ORDER BY valid_from ASC)
+"""
+
+
 QUERIES = {
     "merge_upsert": q_merge_upsert,
     "mv_incremental": q_mv_incremental,
+    "scd2_history": q_scd2_history,
 }
 
 ORACLE = {
     "merge_upsert": _ORACLE_MERGE_UPSERT,
     "mv_incremental": _ORACLE_MV_INCREMENTAL,
+    "scd2_history": _ORACLE_SCD2_HISTORY,
 }

@@ -672,8 +672,76 @@ GROUP BY 1
 """
 
 
+QLEVELS = 255  # int8-style quantization levels
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar quantization to ``QLEVELS`` levels (the int8
+    compression every large vector store applies before ANN serving: 4×
+    smaller than float32, reconstruction x̂ = min + q·scale) with the
+    quality metrics a pipeline gates on — max reconstruction error and an
+    integer checksum of the codes.
+
+    Everything is a narrow per-row higher-order-function expression
+    (array_min/max, transform, aggregate) — zero shuffles, zero UDFs, runs
+    inside codegen at any scale. Determinism: the code for each element is
+    a pure function of (x, min, scale) recomputed identically in the error
+    expression (no zip), the checksum is an integer fold (order-exact),
+    and max() is order-independent; Spark and DuckDB round() both round
+    half away from zero for non-negative inputs, so codes agree bit-wise.
+    Constant vectors (scale 0) quantize to code 0 with zero error via an
+    explicit nullif/coalesce in BOTH engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    scale = F.nullif((mx - mn) / F.lit(float(QLEVELS)), F.lit(0.0))
+    code = lambda x: F.coalesce(  # noqa: E731
+        F.round((x.cast("double") - F.col("qmin")) / F.col("qscale")).cast("bigint"),
+        F.lit(0),
+    )
+    recon_err = lambda x: F.abs(  # noqa: E731
+        x.cast("double") - (F.col("qmin") + code(x).cast("double") * F.coalesce(F.col("qscale"), F.lit(0.0)))
+    )
+    return (
+        emb.select(
+            "vec_id",
+            "embedding",
+            mn.alias("qmin"),
+            mx.alias("qmax"),
+            scale.alias("qscale"),
+        )
+        .select(
+            "vec_id",
+            "qmin",
+            "qmax",
+            F.aggregate(
+                F.transform("embedding", code), F.lit(0).cast("bigint"), lambda a, b: a + b
+            ).alias("code_checksum"),
+            F.array_max(F.transform("embedding", recon_err)).alias("max_recon_err"),
+        )
+    )
+
+
+def _sql_embedding_quantize() -> str:
+    # cast the list extrema to double BEFORE arithmetic: float-float
+    # subtraction in float32 disagrees with Spark's double-domain math
+    mn, mx = "CAST(list_min(embedding) AS DOUBLE)", "CAST(list_max(embedding) AS DOUBLE)"
+    scale = f"nullif(({mx} - {mn}) / {QLEVELS}.0, 0.0)"
+    code = f"coalesce(CAST(round((CAST(x AS DOUBLE) - {mn}) / {scale}) AS BIGINT), 0)"
+    err = f"abs(CAST(x AS DOUBLE) - ({mn} + {code} * coalesce({scale}, 0.0)))"
+    return f"""
+SELECT vec_id,
+       CAST({mn} AS DOUBLE) AS qmin,
+       CAST({mx} AS DOUBLE) AS qmax,
+       list_sum(list_transform(embedding, x -> {code})) AS code_checksum,
+       list_max(list_transform(embedding, x -> {err})) AS max_recon_err
+FROM embeddings
+"""
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
+    "embedding_quantize": q_embedding_quantize,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
@@ -683,6 +751,7 @@ QUERIES = {
 
 ORACLE = {
     "knn_bruteforce": _sql_knn_bruteforce(),
+    "embedding_quantize": _sql_embedding_quantize(),
     "ann_lsh": _sql_ann_lsh(),
     "ann_ivf": _sql_ann_ivf(),
     "ann_ivf_multiprobe": _sql_ann_ivf_multiprobe(),
