@@ -261,8 +261,94 @@ FROM spine s LEFT JOIN hourly h USING (event_type, window_start)
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user advances a
+    step only with an event strictly after their previous step's first
+    completion (the product-analytics primitive the reference's dashboard
+    has no analog for).
+
+    Single-shuffle shape (the ClickHouse ``windowFunnel`` pattern done
+    relationally): ONE groupBy(user) computes the first view and collects
+    the user's click/purchase timestamps; the dependent steps (first click
+    after the view, first purchase after that click) are then narrow
+    array-HOF expressions over that per-user state — no self-join of the
+    raw stream, no second shuffle. Per-user collected state is bounded by
+    that user's click+purchase count; a pathological power-user key at
+    100 TB would re-introduce skew, at which point the fallback is the
+    stacked min(CASE)-with-join chain the oracle states (same result,
+    3 user-keyed shuffles). Funnel totals reduce to one row."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            F.collect_list(
+                F.when(
+                    F.col("event_type").isin("click", "purchase"),
+                    F.struct(F.col("ts"), F.col("event_type")),
+                )
+            ).alias("later"),
+        )
+        .withColumn(
+            "t_click",
+            F.array_min(
+                F.transform(
+                    F.filter(
+                        F.col("later"),
+                        lambda e: (e["event_type"] == "click") & (e["ts"] > F.col("t_view")),
+                    ),
+                    lambda e: e["ts"],
+                )
+            ),
+        )
+        .withColumn(
+            "t_purchase",
+            F.array_min(
+                F.transform(
+                    F.filter(
+                        F.col("later"),
+                        lambda e: (e["event_type"] == "purchase") & (e["ts"] > F.col("t_click")),
+                    ),
+                    lambda e: e["ts"],
+                )
+            ),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("n_viewed"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0)).alias("n_clicked"),
+        F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)).alias("n_purchased"),
+    )
+
+
+_ORACLE_EVENTS_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY 1
+), clicked AS (
+  SELECT p.user_id, p.t_view,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > p.t_view THEN e.ts END) AS t_click
+  FROM per_user p LEFT JOIN events e USING (user_id)
+  GROUP BY 1, 2
+), purchased AS (
+  SELECT c.user_id, c.t_view, c.t_click,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click THEN e.ts END) AS t_purchase
+  FROM clicked c LEFT JOIN events e USING (user_id)
+  GROUP BY 1, 2, 3
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+       CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+FROM purchased
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
+    "events_funnel": q_events_funnel,
     "events_sessionize": q_events_sessionize,
     "events_sliding_avg": q_events_sliding_avg,
     "events_session_window": q_events_session_window,
@@ -271,6 +357,7 @@ QUERIES = {
 
 ORACLE = {
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,
+    "events_funnel": _ORACLE_EVENTS_FUNNEL,
     "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
     "events_sliding_avg": _ORACLE_EVENTS_SLIDING,
     "events_session_window": _ORACLE_EVENTS_SESSION_WINDOW,

@@ -209,9 +209,78 @@ FROM deduped WHERE rn = 1
 """
 
 
+PACK_TARGET_TOKENS = 2048
+PACK_SHARDS = 8
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assemble documents into training batches of
+    ~``PACK_TARGET_TOKENS`` whitespace tokens (the batch-assembly step
+    between curation and the trainer's data loader).
+
+    The naive formulation is a running token sum over a GLOBAL document
+    order — a single-partition window that cannot scale. This operator
+    uses the two-level shape instead: documents hash into
+    ``PACK_SHARDS`` independent shards (deterministic content hash, no
+    RNG), each shard packs in parallel with its own running sum over a
+    deterministic intra-shard order, and the global batch id is
+    ``shard * 2^32 + local_batch`` — disjoint by construction. At 100 TB
+    you raise the shard count to match parallelism; packing quality is
+    unaffected because batches never straddle shards by design. A doc
+    longer than the target gets its own batch (floor of its start offset
+    still lands it in exactly one batch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens(F.col("text")))
+    order_key = F.md5(F.col("doc_id").cast("string"))
+    shard = _bucket_col() % PACK_SHARDS
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("order_key").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        docs.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            order_key.alias("order_key"),
+            shard.cast("int").alias("shard"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("start_offset", (F.col("cum_tokens") - F.col("n_tokens")))
+        .withColumn(
+            "batch_id",
+            F.col("shard").cast("bigint") * F.lit(2**32)
+            + F.floor(F.col("start_offset") / PACK_TARGET_TOKENS),
+        )
+    )
+    return packed.select("doc_id", "shard", "n_tokens", "start_offset", "batch_id")
+
+
+_ORACLE_SEQUENCE_PACK = f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len({_sql_tokens("text")}) AS INTEGER) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS order_key,
+         CAST({_sql_bucket()} % {PACK_SHARDS} AS INTEGER) AS shard
+  FROM documents
+), packed AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY order_key ASC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_offset
+  FROM sized
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(shard AS BIGINT) * {2**32}
+         + CAST(floor(CAST(start_offset AS DOUBLE) / {PACK_TARGET_TOKENS}) AS BIGINT) AS batch_id
+FROM packed
+"""
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
     "curation_pipeline": q_curation_pipeline,
+    "sequence_pack": q_sequence_pack,
     "split_assign": q_split_assign,
     "decontaminate": q_decontaminate,
 }
@@ -219,6 +288,7 @@ QUERIES = {
 ORACLE = {
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "curation_pipeline": _ORACLE_CURATION_PIPELINE,
+    "sequence_pack": _ORACLE_SEQUENCE_PACK,
     "split_assign": _ORACLE_SPLIT_ASSIGN,
     "decontaminate": _ORACLE_DECONTAMINATE,
 }
