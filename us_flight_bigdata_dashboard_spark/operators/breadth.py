@@ -218,9 +218,79 @@ FROM l LEFT JOIN r ON l.prio IS NOT DISTINCT FROM r.prio
 """
 
 
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (7-row trailing frame) of daily revenue — the
+    robust-smoothing window the dashboard's trend lines want (mean-based
+    rolling averages exist in events_sliding_avg; the median variant needs
+    an exact percentile as a *windowed* aggregate).
+
+    Daily revenue is first reduced by a hash agg (map-side combined,
+    decimal-exact sum), so the window runs over ~one row per day — tiny
+    state no matter the fact-table size; ordering is a single total-order
+    sort of day-cardinality rows. Median interpolation is the same
+    ``rank = p·(n−1)`` linear rule in Spark ``percentile`` and DuckDB
+    ``quantile_cont``, on identical doubles → bit-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(dsum("o_totalprice").alias("daily_rev"))
+    )
+    w = Window.orderBy(F.col("d").asc()).rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "d",
+        "daily_rev",
+        F.expr("percentile(daily_rev, 0.5)").over(w).alias("rolling_median_7d"),
+    )
+
+
+_ORACLE_WINDOW_ROLLING_MEDIAN = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, {sql_dsum("o_totalprice")} AS daily_rev
+  FROM orders GROUP BY 1
+)
+SELECT d, daily_rev,
+       quantile_cont(daily_rev, 0.5) OVER (ORDER BY d ASC
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_median_7d
+FROM daily
+"""
+
+
+def q_window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window surface: NTILE quartiles, PERCENT_RANK and
+    CUME_DIST per order within its priority class (the remaining ANSI
+    window-function family after rank/lead/lag/running aggregates). The
+    order-by carries the key as a tiebreaker so every rank is total-order
+    deterministic; percent_rank's ``(rank−1)/(n−1)`` is one double
+    division on integers — bit-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+_ORACLE_WINDOW_NTILE_RANKS = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
 QUERIES = {
     "pivot_status": q_pivot_status,
     "null_safe_join": q_null_safe_join,
+    "window_rolling_median": q_window_rolling_median,
+    "window_ntile_ranks": q_window_ntile_ranks,
     "intersect_except": q_intersect_except,
     "date_functions": q_date_functions,
     "window_lead_lag": q_window_lead_lag,
@@ -230,6 +300,8 @@ QUERIES = {
 ORACLE = {
     "pivot_status": _ORACLE_PIVOT_STATUS,
     "null_safe_join": _ORACLE_NULL_SAFE_JOIN,
+    "window_rolling_median": _ORACLE_WINDOW_ROLLING_MEDIAN,
+    "window_ntile_ranks": _ORACLE_WINDOW_NTILE_RANKS,
     "intersect_except": _ORACLE_INTERSECT_EXCEPT,
     "date_functions": _ORACLE_DATE_FUNCTIONS,
     "window_lead_lag": _ORACLE_WINDOW_LEAD_LAG,

@@ -556,8 +556,62 @@ SELECT doc_id, {bits} AS simhash16 FROM votes
 """
 
 
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verify stage: exact Levenshtein distance over the
+    LSH candidate pairs (the complement of the token-level Jaccard verify
+    — edit distance catches near-dups whose differences are *within*
+    tokens, e.g. OCR noise and typo clones, which shingle overlap
+    under-scores).
+
+    Runs only on LSH candidates, never all pairs — at 100 TB the
+    quadratic-cost exact distance touches O(candidates) ≪ O(n²) rows, and
+    the two text lookups are key joins against the (much smaller) pair
+    list, so each document's text ships at most once per pair side. The
+    similarity normalization 1 − lev/max(len) is a single double division
+    (bit-stable)."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("edit_distance"),
+            (
+                F.lit(1.0)
+                - lev.cast("double")
+                / F.greatest(F.length("text_a"), F.length("text_b")).cast("double")
+            ).alias("edit_similarity"),
+        )
+    )
+
+
+def _sql_edit_distance() -> str:
+    return f"""
+WITH {_sql_lsh_cte_block()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, bucket)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_distance,
+       1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+           / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) AS edit_similarity
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_normalized": q_dedup_normalized,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -568,6 +622,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_edit_distance": _sql_edit_distance(),
     "dedup_normalized": _ORACLE_DEDUP_NORMALIZED,
     "dedup_minhash_lsh": _sql_minhash_lsh(),
     "dedup_ngram_jaccard": _sql_ngram_jaccard(),
