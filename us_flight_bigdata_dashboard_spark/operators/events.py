@@ -346,9 +346,53 @@ FROM purchased
 """
 
 
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, tracked by
+    how many return N days later (the activation/retention table behind
+    every growth dashboard).
+
+    Shape: first-seen day is one min-aggregate per user (user-keyed
+    shuffle); the retention matrix joins the user-day activity (already
+    distinct per user×day, so dimension-sized relative to raw events)
+    back to the cohort map on user_id and re-aggregates on (cohort_day,
+    day_offset). Two user-keyed shuffles + one matrix-keyed agg — no raw
+    event self-join; at 100 TB both shuffle inputs are pre-deduped far
+    below the event count."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("active_day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
+    return (
+        user_days.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("active_day"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_ORACLE_EVENTS_COHORT_RETENTION = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+), cohorts AS (
+  SELECT user_id, MIN(active_day) AS cohort_day FROM user_days GROUP BY 1
+)
+SELECT c.cohort_day,
+       date_diff('day', c.cohort_day, u.active_day) AS day_offset,
+       COUNT(DISTINCT u.user_id) AS n_users
+FROM user_days u JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_funnel": q_events_funnel,
+    "events_cohort_retention": q_events_cohort_retention,
     "events_sessionize": q_events_sessionize,
     "events_sliding_avg": q_events_sliding_avg,
     "events_session_window": q_events_session_window,
@@ -358,6 +402,7 @@ QUERIES = {
 ORACLE = {
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,
     "events_funnel": _ORACLE_EVENTS_FUNNEL,
+    "events_cohort_retention": _ORACLE_EVENTS_COHORT_RETENTION,
     "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
     "events_sliding_avg": _ORACLE_EVENTS_SLIDING,
     "events_session_window": _ORACLE_EVENTS_SESSION_WINDOW,
