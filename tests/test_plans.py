@@ -170,3 +170,25 @@ def test_tfidf_single_scan_single_explode(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Generate") == 1, plan
     assert count_exchanges(df) <= 3, plan_str(df)
+
+
+def test_funnel_single_user_shuffle(spark):
+    # the funnel is one user-keyed agg + array HOFs + a global reduce —
+    # never a self-join of the raw stream
+    from us_flight_bigdata_dashboard_spark.operators.events import q_events_funnel
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_events_funnel(spark, SF_DIR)
+    plan = plan_str(df, mode="simple")
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_vocab_encode_broadcasts_vocab(spark):
+    # the vocabulary side must broadcast: encoding is a narrow map join,
+    # and only the doc_id regroup shuffles the corpus
+    from us_flight_bigdata_dashboard_spark.operators.text import q_text_vocab_encode
+
+    df = q_text_vocab_encode(spark, SF_DIR)
+    assert count_broadcast_joins(df) == 1
+    assert count_sortmerge_joins(df) == 0

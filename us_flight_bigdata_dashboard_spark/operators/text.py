@@ -344,6 +344,85 @@ WHERE rk <= {TFIDF_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary build + sequence encoding
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZE = 30
+
+
+def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven vocabulary build + document encoding: the top
+    ``VOCAB_SIZE`` terms by frequency become ids 1..N (0 = OOV), and every
+    document is rewritten as its id sequence — the tokenizer-lite encode
+    step that turns curated text into trainer input.
+
+    Scale shape: the vocab is one hash-agg over the exploded corpus
+    followed by a top-N (tiny — vocabulary-sized), then BROADCAST to the
+    encode side, so encoding is a narrow per-token map join; sequence
+    order is preserved by carrying ``posexplode`` positions through the
+    join and reassembling with ``sort_array(collect_list(struct(pos,
+    id)))`` (collect_list alone has no order guarantee — the sort makes
+    the array deterministic under any partitioning). One corpus shuffle
+    total (the doc_id regroup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "term",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("term").asc()))
+            .alias("token_id"),
+        )
+        .filter(F.col("token_id") <= VOCAB_SIZE)
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .select("doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("token_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("token_ids"),
+            F.count(F.lit(1)).alias("seq_len"),
+            F.sum(F.when(F.col("token_id") == 0, 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+
+
+_ORACLE_TEXT_VOCAB_ENCODE = f"""
+WITH tok AS (
+  SELECT doc_id, u['term'] AS term, CAST(u['pos'] AS INTEGER) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform({_sql_tokens("text")},
+                                 (x, i) -> {{'term': x, 'pos': i - 1}})) AS u
+    FROM documents
+  )
+), vocab AS (
+  SELECT term, token_id FROM (
+    SELECT term,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term ASC) AS token_id
+    FROM tok GROUP BY term
+  ) WHERE token_id <= {VOCAB_SIZE}
+), mapped AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS token_id
+  FROM tok t LEFT JOIN vocab v USING (term)
+)
+SELECT doc_id,
+       array_agg(token_id ORDER BY pos ASC) AS token_ids,
+       COUNT(*) AS seq_len,
+       CAST(SUM(CASE WHEN token_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM mapped
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # JSON property extraction (events.props)
 # ---------------------------------------------------------------------------
 
@@ -383,6 +462,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_pii_redact": q_text_pii_redact,
     "text_tfidf_topk": q_text_tfidf_topk,
+    "text_vocab_encode": q_text_vocab_encode,
     "json_extract": q_json_extract,
 }
 
@@ -393,5 +473,6 @@ ORACLE = {
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
     "text_pii_redact": _ORACLE_TEXT_PII_REDACT,
     "text_tfidf_topk": _ORACLE_TEXT_TFIDF_TOPK,
+    "text_vocab_encode": _ORACLE_TEXT_VOCAB_ENCODE,
     "json_extract": _ORACLE_JSON_EXTRACT,
 }
