@@ -10,7 +10,7 @@ the oracle for it IS the plain GROUP BY.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.functions.exact import dsum, sql_dsum
@@ -283,9 +283,74 @@ GROUP BY bin
 """
 
 
+def q_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — not the rollup/cube lattices (already
+    covered) but a hand-picked set list ((priority, status), (priority),
+    (status)) with ``grouping_id`` disambiguating which set produced each
+    row (the NULL-vs-grouped ambiguity every BI layer must resolve).
+    One expand + one hash agg; expand multiplies rows by the set count
+    before the map-side combine, so partials stay bytes at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+_ORACLE_GROUPING_SETS_EXPLICIT = f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS sum_price,
+       GROUPING(o_orderpriority, o_orderstatus) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus))
+"""
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE over an explicit full-partition
+    frame (the default frame stops at CURRENT ROW — the classic
+    last_value trap; both engines get the same explicit frame so the
+    semantics are unambiguous). One keyed window shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first_value("o_orderkey").over(w).alias("first_key"),
+        F.last_value("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+_ORACLE_WINDOW_FIRST_LAST = """
+SELECT o_orderkey, o_orderpriority,
+       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+       LAST_VALUE(o_orderkey) OVER w AS last_key,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES = {
     "semi_anti_join": q_semi_anti_join,
     "histogram_price": q_histogram_price,
+    "grouping_sets_explicit": q_grouping_sets_explicit,
+    "window_first_last": q_window_first_last,
     "grouping_cube": q_grouping_cube,
     "percentiles": q_percentiles,
     "skew_salted_agg": q_skew_salted_agg,
@@ -296,6 +361,8 @@ QUERIES = {
 ORACLE = {
     "semi_anti_join": _ORACLE_SEMI_ANTI,
     "histogram_price": _ORACLE_HISTOGRAM_PRICE,
+    "grouping_sets_explicit": _ORACLE_GROUPING_SETS_EXPLICIT,
+    "window_first_last": _ORACLE_WINDOW_FIRST_LAST,
     "grouping_cube": _ORACLE_GROUPING_CUBE,
     "percentiles": _ORACLE_PERCENTILES,
     "skew_salted_agg": _ORACLE_SKEW_SALTED,
