@@ -346,11 +346,58 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate ASC, o_orderkey A
 """
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiling: the measurement that decides between a
+    plain shuffle join, broadcast, salting, or AQE skew handling. Per-key
+    row counts reduce to global skew statistics — distinct keys, max and
+    mean rows per key, the skew ratio max/mean, and the heaviest key
+    (deterministic: rank by count desc then key asc, never ``max_by`` with
+    its undefined tie behavior).
+
+    Two aggs: per-key (map-side combined, key-cardinality output) then a
+    single-row reduce — the profile costs one scan + one key shuffle of
+    counts, so it is cheap enough to run ahead of every large production
+    join."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_key = lineitem.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    ranked = per_key.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("l_suppkey").asc())),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_rows_per_key"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_rows_per_key"),
+        (
+            F.max("n").cast("double") / (F.sum("n").cast("double") / F.count(F.lit(1)))
+        ).alias("skew_ratio"),
+        F.min(F.when(F.col("rk") == 1, F.col("l_suppkey"))).alias("heaviest_key"),
+    )
+
+
+_ORACLE_SKEW_PROFILE = """
+WITH per_key AS (
+  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey ASC) AS rk FROM per_key
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       MAX(n) AS max_rows_per_key,
+       CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_rows_per_key,
+       CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS skew_ratio,
+       MIN(CASE WHEN rk = 1 THEN l_suppkey END) AS heaviest_key
+FROM ranked
+"""
+
+
 QUERIES = {
     "semi_anti_join": q_semi_anti_join,
     "histogram_price": q_histogram_price,
     "grouping_sets_explicit": q_grouping_sets_explicit,
     "window_first_last": q_window_first_last,
+    "skew_profile": q_skew_profile,
     "grouping_cube": q_grouping_cube,
     "percentiles": q_percentiles,
     "skew_salted_agg": q_skew_salted_agg,
@@ -363,6 +410,7 @@ ORACLE = {
     "histogram_price": _ORACLE_HISTOGRAM_PRICE,
     "grouping_sets_explicit": _ORACLE_GROUPING_SETS_EXPLICIT,
     "window_first_last": _ORACLE_WINDOW_FIRST_LAST,
+    "skew_profile": _ORACLE_SKEW_PROFILE,
     "grouping_cube": _ORACLE_GROUPING_CUBE,
     "percentiles": _ORACLE_PERCENTILES,
     "skew_salted_agg": _ORACLE_SKEW_SALTED,

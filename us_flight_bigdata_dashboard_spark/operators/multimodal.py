@@ -224,14 +224,70 @@ FROM (
 """
 
 
+AUDIO_CHUNK_BYTES = 100
+
+
+def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking for audio media: split each payload into
+    ``AUDIO_CHUNK_BYTES`` segments (seg index, byte offset, length, and a
+    per-segment digest) — the audio twin of video frame sampling: the
+    trainer streams bounded segments, never whole payloads.
+
+    Narrow shape: segment count and offsets derive from ``n_bytes`` in the
+    decoded metadata (sequence → explode); only the segment *descriptors*
+    materialize — a real pipeline hands (media_id, offset, length) to a
+    ranged read against the blob store, so the 100 TB payload column is
+    never re-shuffled."""
+    feats = q_multimodal_features(spark, sf_dir).filter(F.col("kind") == "audio")
+    n_seg = F.ceil(F.col("n_bytes") / AUDIO_CHUNK_BYTES).cast("int")
+    return (
+        feats.select(
+            "media_id",
+            "n_bytes",
+            "digest",
+            F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx"),
+        )
+        .select(
+            "media_id",
+            "n_bytes",
+            "seg_idx",
+            (F.col("seg_idx") * AUDIO_CHUNK_BYTES).alias("seg_start"),
+            F.least(
+                F.lit(AUDIO_CHUNK_BYTES),
+                F.col("n_bytes") - F.col("seg_idx") * AUDIO_CHUNK_BYTES,
+            ).alias("seg_len"),
+            F.md5(F.concat_ws("_", F.col("digest"), F.col("seg_idx").cast("string"))).alias(
+                "seg_digest"
+            ),
+        )
+    )
+
+
+def _sql_multimodal_audio_chunks() -> str:
+    return f"""
+SELECT media_id, n_bytes, seg_idx,
+       seg_idx * {AUDIO_CHUNK_BYTES} AS seg_start,
+       least({AUDIO_CHUNK_BYTES}, n_bytes - seg_idx * {AUDIO_CHUNK_BYTES}) AS seg_len,
+       md5(digest || '_' || CAST(seg_idx AS VARCHAR)) AS seg_digest
+FROM (
+  SELECT media_id, n_bytes, digest,
+         unnest(generate_series(0, CAST(ceil(n_bytes / {AUDIO_CHUNK_BYTES}.0) AS INTEGER) - 1)) AS seg_idx
+  FROM ({_sql_multimodal_features()})
+  WHERE kind = 'audio'
+)
+"""
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_meta_stats": q_multimodal_meta_stats,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_audio_chunks": q_multimodal_audio_chunks,
 }
 
 ORACLE = {
     "multimodal_features": _sql_multimodal_features(),
     "multimodal_meta_stats": _sql_multimodal_meta_stats(),
     "multimodal_frame_sample": _sql_multimodal_frame_sample(),
+    "multimodal_audio_chunks": _sql_multimodal_audio_chunks(),
 }
