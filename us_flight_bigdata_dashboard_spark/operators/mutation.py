@@ -206,14 +206,68 @@ WINDOW w AS (PARTITION BY o_orderkey ORDER BY valid_from ASC)
 """
 
 
+def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: collapse a change stream to the latest record
+    per key (the read-side of every CDC-ingested table; log-structured
+    formats run exactly this before serving).
+
+    The change log is the SCD2 change derivation (every order + a later
+    re-priced version for keys ≡0 mod 7); compaction is one keyed window
+    ordered by (valid_from DESC, price DESC — a total order so ties can't
+    flip across engines) keeping row 1. One shuffle on the key; at 100 TB
+    this is the standard compaction shape, and partitioning the log by
+    key range makes the window partition-local."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("valid_from"),
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(PRICE_BUMP)).alias("price"),
+        (F.col("o_orderdate") + F.expr("interval 30 days")).alias("valid_from"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("valid_from").desc(), F.col("price").desc()
+    )
+    return (
+        v1.unionByName(v2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "price", F.col("valid_from").alias("effective_from"))
+    )
+
+
+_ORACLE_CDC_LATEST = f"""
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderdate AS valid_from FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + {PRICE_BUMP}, o_orderdate + INTERVAL 30 DAY
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderkey, price, valid_from AS effective_from
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+              ORDER BY valid_from DESC, price DESC) AS rn
+  FROM changes
+)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "merge_upsert": q_merge_upsert,
     "mv_incremental": q_mv_incremental,
     "scd2_history": q_scd2_history,
+    "cdc_latest": q_cdc_latest,
 }
 
 ORACLE = {
     "merge_upsert": _ORACLE_MERGE_UPSERT,
     "mv_incremental": _ORACLE_MV_INCREMENTAL,
     "scd2_history": _ORACLE_SCD2_HISTORY,
+    "cdc_latest": _ORACLE_CDC_LATEST,
 }

@@ -21,6 +21,7 @@ from us_flight_bigdata_dashboard_spark.operators.dedup import (
     _sql_hex_to_int,
     _sql_shingles,
 )
+from us_flight_bigdata_dashboard_spark.operators.similarity import _norm, _sql_dot
 from us_flight_bigdata_dashboard_spark.operators.text import _sql_tokens, _tokens
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
@@ -277,10 +278,60 @@ FROM packed
 """
 
 
+MAX_COMPONENT = 0.33  # unit vectors concentrating >33% of mass in one axis are spiky
+
+
+def q_multimodal_curation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused text+vector curation: keep documents that pass the token-count
+    gate AND whose unit embedding is not *spiky* (max |component| over a
+    threshold flags near-one-hot encoder degenerations; the corpus is
+    unit-normalized, so a norm band would be vacuous — the component test
+    is the meaningful vector-side sanity filter before ANN indexing).
+
+    Cross-modal shape at 100 TB: both sides reduce BEFORE the join — the
+    text side to (doc_id, n_tokens) and the vector side to (vec_id, norm,
+    max_component), a narrow fold per row — so the equi-join on the id
+    shuffles three slim columns, never text or embedding payloads. Spark
+    picks a sort-merge join (equal-sized sides); co-bucketing both tables
+    by id makes it shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    text_side = docs.select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 10)
+    max_comp = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    vec_side = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        _norm(F.col("embedding")).alias("l2_norm"),
+        max_comp.alias("max_component"),
+    ).filter(F.col("max_component") <= MAX_COMPONENT)
+    return text_side.join(vec_side, "doc_id").select(
+        "doc_id", "n_tokens", "l2_norm", "max_component"
+    )
+
+
+_ORACLE_MULTIMODAL_CURATION_JOIN = f"""
+WITH text_side AS (
+  SELECT doc_id, CAST(len({_sql_tokens("text")}) AS INTEGER) AS n_tokens
+  FROM documents
+  WHERE len({_sql_tokens("text")}) >= 10
+), vec_side AS (
+  SELECT vec_id AS doc_id,
+         sqrt({_sql_dot("embedding", "embedding")}) AS l2_norm,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_component
+  FROM embeddings
+  WHERE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) <= {MAX_COMPONENT}
+)
+SELECT doc_id, n_tokens, l2_norm, max_component
+FROM text_side JOIN vec_side USING (doc_id)
+"""
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
     "curation_pipeline": q_curation_pipeline,
     "sequence_pack": q_sequence_pack,
+    "multimodal_curation_join": q_multimodal_curation_join,
     "split_assign": q_split_assign,
     "decontaminate": q_decontaminate,
 }
@@ -289,6 +340,7 @@ ORACLE = {
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "curation_pipeline": _ORACLE_CURATION_PIPELINE,
     "sequence_pack": _ORACLE_SEQUENCE_PACK,
+    "multimodal_curation_join": _ORACLE_MULTIMODAL_CURATION_JOIN,
     "split_assign": _ORACLE_SPLIT_ASSIGN,
     "decontaminate": _ORACLE_DECONTAMINATE,
 }
