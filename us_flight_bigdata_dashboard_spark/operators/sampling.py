@@ -327,6 +327,70 @@ FROM text_side JOIN vec_side USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Domain mixture weights (temperature sampling)
+# ---------------------------------------------------------------------------
+
+MIXTURE_BUDGET = 1_000_000  # documents per training epoch
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture weights: weight(domain) ∝ count^α
+    with α = 0.5, the standard up-weighting of tail domains when mixing
+    corpora for LM training (multilingual BERT / XLM-R exponentiated
+    sampling; α<1 flattens the head).
+
+    α is fixed at 0.5 because ``sqrt`` is IEEE-754 correctly-rounded on
+    every engine, so the weights are bit-identical in Spark and DuckDB
+    (``pow(x, 0.3)`` is NOT correctly-rounded and may differ in the last
+    ulp between libm implementations — a generic-α variant would need a
+    tolerance oracle). The sqrt weights are decimal-quantized before the
+    global normalizing sum, keeping the total order-independent.
+
+    Scale shape: one hash-agg to per-domain counts (tiny), one broadcast of
+    the 1-row normalizer — nothing proportional to corpus size shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "raw_weight",
+            F.sqrt(F.col("n_docs").cast("double")).cast("decimal(28,12)"),
+        )
+    )
+    total = counts.agg(F.sum("raw_weight").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            (F.col("raw_weight").cast("double") / F.col("_total").cast("double")).alias(
+                "mixture_weight"
+            ),
+        )
+        .withColumn(
+            "epoch_docs",
+            F.floor(F.lit(float(MIXTURE_BUDGET)) * F.col("mixture_weight")).cast("bigint"),
+        )
+    )
+
+
+_ORACLE_DOMAIN_MIXTURE = f"""
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(28,12)) AS raw_weight
+  FROM documents GROUP BY source, lang
+),
+total AS (SELECT SUM(raw_weight) AS _total FROM counts)
+SELECT source, lang, n_docs,
+       CAST(raw_weight AS DOUBLE) / CAST(_total AS DOUBLE) AS mixture_weight,
+       CAST(floor({float(MIXTURE_BUDGET)} * (CAST(raw_weight AS DOUBLE) / CAST(_total AS DOUBLE))) AS BIGINT) AS epoch_docs
+FROM counts, total
+"""
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
     "curation_pipeline": q_curation_pipeline,
@@ -334,6 +398,7 @@ QUERIES = {
     "multimodal_curation_join": q_multimodal_curation_join,
     "split_assign": q_split_assign,
     "decontaminate": q_decontaminate,
+    "domain_mixture": q_domain_mixture,
 }
 
 ORACLE = {
@@ -343,4 +408,5 @@ ORACLE = {
     "multimodal_curation_join": _ORACLE_MULTIMODAL_CURATION_JOIN,
     "split_assign": _ORACLE_SPLIT_ASSIGN,
     "decontaminate": _ORACLE_DECONTAMINATE,
+    "domain_mixture": _ORACLE_DOMAIN_MIXTURE,
 }

@@ -455,6 +455,192 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+def _ngram_list(toks, n: int):
+    """All (non-distinct) word n-grams of a token array, in order."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def _sql_ngram_list(toks_expr: str, n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, len({toks_expr}) - {n} + 1), "
+        f"i -> array_to_string(list_slice({toks_expr}, i, i + {n} - 1), ' '))"
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: unique-token ratio and
+    duplicate bi/tri-gram fractions (Rae et al. 2021 §A1.1 quality filters —
+    high duplicate-n-gram fraction marks low-quality/spammy text).
+
+    Scale shape: pure array expressions over each row — no explode, no
+    shuffle, whole-stage codegen, linear in corpus size. The ratios are
+    integer/integer divisions of exact counts, so Spark and DuckDB agree
+    bit-for-bit; docs too short for an n-gram yield NULL via a nullif guard
+    (defined identically in both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+
+    def dup_frac(grams):
+        cnt = F.size(grams)
+        return (cnt - F.size(F.array_distinct(grams))) / F.nullif(cnt, F.lit(0))
+
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.nullif(n, F.lit(0))).alias("uniq_token_ratio"),
+        F.when(n >= 2, dup_frac(_ngram_list(toks, 2))).alias("dup_bigram_frac"),
+        F.when(n >= 3, dup_frac(_ngram_list(toks, 3))).alias("dup_trigram_frac"),
+    )
+
+
+def _sql_dup_frac(grams: str) -> str:
+    return (
+        f"(CAST(len({grams}) - len(list_distinct({grams})) AS DOUBLE)"
+        f" / nullif(len({grams}), 0))"
+    )
+
+
+_ORACLE_TEXT_REPETITION = f"""
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0) AS uniq_token_ratio,
+       CASE WHEN len(toks) >= 2 THEN {_sql_dup_frac(_sql_ngram_list("toks", 2))} END
+         AS dup_bigram_frac,
+       CASE WHEN len(toks) >= 3 THEN {_sql_dup_frac(_sql_ngram_list("toks", 3))} END
+         AS dup_trigram_frac
+FROM (SELECT doc_id, {_sql_tokens("text")} AS toks FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram counting (LM vocabulary statistics)
+# ---------------------------------------------------------------------------
+
+NGRAM_TOP_K = 20
+
+
+def q_text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-K trigram counts (language-model count collection /
+    vocabulary statistics — occurrences, not per-doc-distinct like the dedup
+    shingles).
+
+    Scale shape: explode → hash aggregate (partial map-side combine) → a
+    single top-K sort on the *aggregated* table (|distinct trigrams| ≪
+    corpus size). Total order with a lexical tiebreak makes LIMIT
+    deterministic on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    grams = docs.select(
+        F.explode(F.when(F.size(toks) >= 3, _ngram_list(toks, 3))).alias("trigram")
+    )
+    return (
+        grams.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("trigram"))
+        .limit(NGRAM_TOP_K)
+    )
+
+
+_ORACLE_TEXT_NGRAM_TOP = f"""
+SELECT trigram, COUNT(*) AS n_occurrences
+FROM (SELECT unnest({_sql_ngram_list(_sql_tokens("text"), 3)}) AS trigram
+      FROM documents
+      WHERE len({_sql_tokens("text")}) >= 3)
+GROUP BY trigram
+ORDER BY n_occurrences DESC, trigram ASC
+LIMIT {NGRAM_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate detection (CCNet/C4-style)
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DF = 2  # shingle is boilerplate if it appears in >= this many docs
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate measurement: the fraction of each doc's
+    distinct word-5-gram shingles that also appear in >= BOILER_MIN_DF other
+    documents (CCNet/C4 drop repeated headers/footers/navigation by exactly
+    this cross-doc frequency signal), rolled up per source.
+
+    Scale shape: one explode → hash-agg for document frequency (shingle
+    cardinality ≪ corpus bytes), the boilerplate shingle set joins back
+    BROADCAST (it is small by construction — only shingles crossing the DF
+    threshold), then one per-doc hash-agg. The per-doc fractions are
+    int/int; the per-source mean uses the decimal-exact ``davg`` so the
+    cross-engine hash compare is stable.
+    """
+    from us_flight_bigdata_dashboard_spark.functions.exact import davg
+    from us_flight_bigdata_dashboard_spark.operators.dedup import _shingle_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(_shingle_array(5)).alias("shingle")
+    )
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+        .select("shingle")
+    )
+    per_doc = (
+        sh.join(F.broadcast(boiler.withColumn("_flag", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_flag"), F.lit(0))).alias("n_boiler"),
+        )
+        .withColumn("boiler_frac", F.col("n_boiler") / F.col("n_shingles"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_boiler").alias("total_boiler_shingles"),
+            davg("boiler_frac", scale=8).alias("avg_boiler_frac"),
+        )
+    )
+
+
+def _sql_boilerplate() -> str:
+    from us_flight_bigdata_dashboard_spark.functions.exact import sql_davg
+    from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_shingle_list
+
+    return f"""
+WITH sh AS (
+  SELECT doc_id, source, unnest({_sql_shingle_list(5)}) AS shingle FROM documents
+),
+boiler AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= {BOILER_MIN_DF}
+),
+per_doc AS (
+  SELECT sh.doc_id, sh.source,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+  FROM sh LEFT JOIN boiler b ON sh.shingle = b.shingle
+  GROUP BY sh.doc_id, sh.source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_boiler) AS BIGINT) AS total_boiler_shingles,
+       {sql_davg("CAST(n_boiler AS DOUBLE) / n_shingles", scale=8)} AS avg_boiler_frac
+FROM per_doc
+GROUP BY source
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
@@ -463,6 +649,9 @@ QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_vocab_encode": q_text_vocab_encode,
+    "text_repetition": q_text_repetition,
+    "text_ngram_top": q_text_ngram_top,
+    "text_boilerplate": q_text_boilerplate,
     "json_extract": q_json_extract,
 }
 
@@ -474,5 +663,8 @@ ORACLE = {
     "text_pii_redact": _ORACLE_TEXT_PII_REDACT,
     "text_tfidf_topk": _ORACLE_TEXT_TFIDF_TOPK,
     "text_vocab_encode": _ORACLE_TEXT_VOCAB_ENCODE,
+    "text_repetition": _ORACLE_TEXT_REPETITION,
+    "text_ngram_top": _ORACLE_TEXT_NGRAM_TOP,
+    "text_boilerplate": _sql_boilerplate(),
     "json_extract": _ORACLE_JSON_EXTRACT,
 }
