@@ -192,3 +192,52 @@ def test_vocab_encode_broadcasts_vocab(spark):
     df = q_text_vocab_encode(spark, SF_DIR)
     assert count_broadcast_joins(df) == 1
     assert count_sortmerge_joins(df) == 0
+
+
+def test_bloom_probe_is_narrow_broadcast_only(spark):
+    # the bloom probe must stay a narrow expression over the orders scan:
+    # both the 1-row bitmap and the dim-key verification side broadcast,
+    # so the only exchange is the final single-row agg
+    from us_flight_bigdata_dashboard_spark.operators.layout import q_bloom_semi_join
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_bloom_semi_join(spark, SF_DIR)
+    assert count_sortmerge_joins(df) == 0, plan_str(df)
+    plan = plan_str(df, mode="simple")
+    # orders is scanned once; dim/customer scans are dimension-sized
+    assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_zorder_no_joins_single_agg(spark):
+    # the z-value is a fused integer expression: no joins, no sort, just
+    # scan -> project -> 16-group hash agg
+    from us_flight_bigdata_dashboard_spark.operators.layout import q_zorder_cluster
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_zorder_cluster(spark, SF_DIR)
+    plan = plan_str(df, mode="simple")
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 1, plan
+
+
+def test_boilerplate_set_broadcasts_back(spark):
+    # the boilerplate shingle set (DF >= threshold) must join back as a
+    # broadcast — never a corpus-vs-corpus sort-merge
+    from us_flight_bigdata_dashboard_spark.operators.text import q_text_boilerplate
+
+    df = q_text_boilerplate(spark, SF_DIR)
+    assert count_broadcast_joins(df) >= 1
+    assert count_sortmerge_joins(df) == 0
+
+
+def test_zscore_stats_broadcast_back(spark):
+    # pass-2 must broadcast the per-type stats onto the scan, not shuffle
+    # the event stream a second time
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        q_events_zscore_anomaly,
+    )
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_events_zscore_anomaly(spark, SF_DIR)
+    assert count_broadcast_joins(df) == 1, plan_str(df)
+    assert count_sortmerge_joins(df) == 0

@@ -95,10 +95,105 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff (table reconciliation)
+# ---------------------------------------------------------------------------
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic snapshots of ``orders`` simulating table drift:
+    snapshot A lacks keys ≡7 (mod 10) ("inserted since"), snapshot B lacks
+    keys ≡3 (mod 10) ("deleted since") and bumps o_totalprice by 1.0 where
+    o_orderkey ≡0 (mod 13) ("updated since")."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    snap_a = orders.filter(F.col("o_orderkey") % 10 != 7)
+    snap_b = orders.filter(F.col("o_orderkey") % 10 != 3).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snap_a, snap_b
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: classify every primary key across two table
+    snapshots as added / removed / changed / unchanged and count each class
+    — the engine-side table-diff a lakehouse needs for CDC validation,
+    replication checks, and migration sign-off (the reference trusts MySQL
+    to be the single copy; a lakehouse has many).
+
+    Scale shape: one full-outer join on the primary key (sort-merge at
+    100 TB; both sides are scans of the same partitioned table so AQE can
+    co-locate), then per-class hash-agg to 4 rows. Change detection is
+    null-safe column-by-column comparison (``IS DISTINCT FROM``), NOT a
+    concat-string hash — float→string formatting differs across engines,
+    null-safe equality does not. At 100 TB the same plan runs
+    per-partition with the join key pre-bucketed, making the diff
+    embarrassingly parallel.
+    """
+    snap_a, snap_b = _snapshots(spark, sf_dir)
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    changed = (
+        ~F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice"))
+        | ~F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
+        | ~F.col("a.o_custkey").eqNullSafe(F.col("b.o_custkey"))
+        | ~F.col("a.o_orderdate").eqNullSafe(F.col("b.o_orderdate"))
+    )
+    cls = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(cls.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_SQL_SNAPSHOTS = """
+snap_a AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 10 <> 7
+),
+snap_b AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderdate
+  FROM orders WHERE o_orderkey % 10 <> 3
+)
+"""
+
+_ORACLE_SNAPSHOT_DIFF = f"""
+WITH {_SQL_SNAPSHOTS}
+SELECT change_type, COUNT(*) AS n_rows FROM (
+  SELECT CASE
+           WHEN a.o_orderkey IS NULL THEN 'added'
+           WHEN b.o_orderkey IS NULL THEN 'removed'
+           WHEN (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+             OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+             OR (a.o_custkey IS DISTINCT FROM b.o_custkey)
+             OR (a.o_orderdate IS DISTINCT FROM b.o_orderdate) THEN 'changed'
+           ELSE 'unchanged'
+         END AS change_type
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+)
+GROUP BY change_type
+"""
+
+
 QUERIES = {
     "dq_audit": q_dq_audit,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLE = {
     "dq_audit": _ORACLE_DQ_AUDIT,
+    "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
 }

@@ -389,6 +389,85 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+ZSCORE_THRESHOLD = 3.0
+
+
+def q_events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly counting: events whose ``value``
+    deviates more than 3σ from their type's mean — the standard streaming
+    telemetry outlier gate, here as a two-pass batch operator.
+
+    Determinism: mean and variance come from decimal-exact ``dsum`` of
+    value and value² (E[X²]−E[X]², exact sums → one IEEE division/multiply
+    each), NOT the engines' ``stddev`` (Welford/merge order varies per
+    engine and partitioning, so last-ulp drift would break the hash gate).
+    σ = sqrt(var) is correctly-rounded on both engines.
+
+    Scale shape: pass 1 is a hash-agg to |event_type| rows (map-side
+    combine, bytes shuffle); the tiny stats table broadcasts back onto the
+    scan for pass 2 — no row-proportional shuffle anywhere. The same two
+    sums are the mergeable state a streaming twin would keep.
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", scale=8).alias("_s1"),
+        dsum(F.col("value") * F.col("value"), scale=8).alias("_s2"),
+    )
+    stats = stats.select(
+        "event_type",
+        "n_events",
+        (F.col("_s1") / F.col("n_events")).alias("_mean"),
+        F.sqrt(
+            F.col("_s2") / F.col("n_events")
+            - (F.col("_s1") / F.col("n_events")) * (F.col("_s1") / F.col("n_events"))
+        ).alias("_sigma"),
+    )
+    flagged = events.join(F.broadcast(stats), "event_type").withColumn(
+        "_is_anom",
+        F.abs(F.col("value") - F.col("_mean")) > F.lit(ZSCORE_THRESHOLD) * F.col("_sigma"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.sum(F.when(F.col("_is_anom"), 1).otherwise(0)).alias("n_anomalies"),
+            F.min(F.when(F.col("_is_anom"), F.col("value"))).alias("min_anom_value"),
+            F.max(F.when(F.col("_is_anom"), F.col("value"))).alias("max_anom_value"),
+        )
+    )
+
+
+_ORACLE_EVENTS_ZSCORE = f"""
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         {sql_dsum("value", scale=8)} AS _s1,
+         {sql_dsum("value * value", scale=8)} AS _s2
+  FROM ev GROUP BY event_type
+),
+norm AS (
+  SELECT event_type, n_events, _s1 / n_events AS _mean,
+         sqrt(_s2 / n_events - (_s1 / n_events) * (_s1 / n_events)) AS _sigma
+  FROM stats
+)
+SELECT ev.event_type,
+       MAX(n.n_events) AS n_events,
+       CAST(SUM(CASE WHEN abs(ev.value - n._mean) > {ZSCORE_THRESHOLD} * n._sigma
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       MIN(CASE WHEN abs(ev.value - n._mean) > {ZSCORE_THRESHOLD} * n._sigma
+                THEN ev.value END) AS min_anom_value,
+       MAX(CASE WHEN abs(ev.value - n._mean) > {ZSCORE_THRESHOLD} * n._sigma
+                THEN ev.value END) AS max_anom_value
+FROM ev JOIN norm n USING (event_type)
+GROUP BY ev.event_type
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_funnel": q_events_funnel,
@@ -397,6 +476,7 @@ QUERIES = {
     "events_sliding_avg": q_events_sliding_avg,
     "events_session_window": q_events_session_window,
     "events_gap_fill": q_events_gap_fill,
+    "events_zscore_anomaly": q_events_zscore_anomaly,
 }
 
 ORACLE = {
@@ -407,4 +487,5 @@ ORACLE = {
     "events_sliding_avg": _ORACLE_EVENTS_SLIDING,
     "events_session_window": _ORACLE_EVENTS_SESSION_WINDOW,
     "events_gap_fill": _ORACLE_EVENTS_GAP_FILL,
+    "events_zscore_anomaly": _ORACLE_EVENTS_ZSCORE,
 }

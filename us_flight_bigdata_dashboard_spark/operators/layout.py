@@ -1,0 +1,290 @@
+"""Physical-layout and runtime-filter operators: the techniques that keep a
+100 TB table scannable — bloom-filter join pruning, Z-order clustering for
+data skipping, and small-file compaction planning.
+
+The reference (single MySQL instance) never needs these; a lakehouse engine
+does. Each is expressed as a *measurable* DataFrame operator so its effect
+is part of the correctness matrix: the bloom operator reports its own
+false-positive rate, the Z-order operator reports per-bucket min/max ranges
+(the skipping statistics a reader would prune on), and the compaction
+planner emits the bin assignment a rewrite job would execute.
+
+Determinism: all hashing is the portable md5-affine construction shared
+with the dedup family (first 15 hex digits → int64 — exact on both
+engines); everything else is integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi join (runtime filter pushdown, made explicit)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 4096  # m: filter size in bits
+BLOOM_HASHES = 3  # k: hash functions
+BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_pos(col, k: int):
+    """k-th bloom position of an int key: md5-affine hash mod BLOOM_BITS."""
+    h = F.md5(F.concat_ws(":", F.lit(str(k)), col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % BLOOM_BITS
+
+
+def _sql_bloom_pos(expr: str, k: int) -> str:
+    return (
+        _sql_hex_to_int(f"md5('{k}:' || CAST({expr} AS VARCHAR))", 1, 15)
+        + f" % {BLOOM_BITS}"
+    )
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit bloom-filter runtime join pruning: build a {BLOOM_BITS}-bit,
+    {BLOOM_HASHES}-hash bloom filter from the build side (customers in one
+    market segment) and probe every order against it BEFORE the real join,
+    reporting orders scanned / bloom-passed / true matches / false
+    positives and the measured false-positive rate.
+
+    This is the operator form of what Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects invisibly
+    (and what every warehouse calls a runtime filter or join pruning
+    sideways pass): at 100 TB the probe-side scan discards non-joining rows
+    for the cost of k narrow hash expressions per row, before any shuffle.
+
+    Scale shape: the build side reduces to ONE row holding ≤ m set-bit
+    positions (a bitmap in array form), which broadcasts; the probe is a
+    narrow ``array_contains`` conjunction fused into the scan — zero
+    row-proportional shuffle. The final verification join broadcasts the
+    dimension keys (dimension-sized by construction). The oracle carries
+    the identical bitmap as a scalar-subquery list, so the reported counts
+    — false positives included — match bit-for-bit across engines.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    dim_keys = customer.filter(F.col("c_mktsegment") == BLOOM_SEGMENT).select("c_custkey")
+    bits_row = (
+        dim_keys.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("c_custkey"), k) for k in range(BLOOM_HASHES)])
+            ).alias("pos")
+        )
+        .agg(F.collect_set("pos").alias("_bits"))
+    )
+    bloom_pass = F.lit(True)
+    for k in range(BLOOM_HASHES):
+        bloom_pass = bloom_pass & F.array_contains(
+            "_bits", _bloom_pos(F.col("o_custkey"), k)
+        )
+    probe = orders.crossJoin(F.broadcast(bits_row)).withColumn("_bloom_pass", bloom_pass)
+    dim_flag = dim_keys.withColumn("_true", F.lit(1))
+    flagged = probe.join(
+        F.broadcast(dim_flag), probe["o_custkey"] == dim_flag["c_custkey"], "left"
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("_bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("_true"), F.lit(0))).alias("n_true_match"),
+        F.sum(F.when(F.col("_bloom_pass") & F.col("_true").isNull(), 1).otherwise(0)).alias(
+            "n_false_pos"
+        ),
+        (
+            F.sum(F.when(F.col("_bloom_pass") & F.col("_true").isNull(), 1).otherwise(0))
+            / F.sum(F.when(F.col("_true").isNull(), 1).otherwise(0))
+        ).alias("false_pos_rate"),
+    )
+
+
+def _sql_bloom() -> str:
+    pos_union = " UNION ALL ".join(
+        f"SELECT {_sql_bloom_pos('c_custkey', k)} AS pos FROM dim"
+        for k in range(BLOOM_HASHES)
+    )
+    probe_conj = " AND ".join(
+        f"list_contains((SELECT bits FROM bloom), {_sql_bloom_pos('o_custkey', k)})"
+        for k in range(BLOOM_HASHES)
+    )
+    return f"""
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+),
+bloom AS (
+  SELECT list(DISTINCT pos) AS bits FROM ({pos_union})
+),
+probe AS (
+  SELECT o.o_custkey,
+         ({probe_conj}) AS bloom_pass,
+         (d.c_custkey IS NOT NULL) AS true_match
+  FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+)
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN true_match THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT true_match THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT true_match THEN 1 ELSE 0 END) AS DOUBLE)
+         / SUM(CASE WHEN NOT true_match THEN 1 ELSE 0 END) AS false_pos_rate
+FROM probe
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering statistics
+# ---------------------------------------------------------------------------
+
+Z_DIM_BITS = 8  # bits per dimension (two dims → 16-bit z-value)
+Z_BUCKETS = 16  # files/buckets the curve is cut into
+
+
+def _zvalue(x, y):
+    """Interleave the low Z_DIM_BITS of two ints: bit i of x → bit 2i,
+    bit i of y → bit 2i+1. Pure integer arithmetic, portable."""
+    z = F.lit(0)
+    for i in range(Z_DIM_BITS):
+        z = z + F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        z = z + F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+    return z
+
+
+def _sql_zvalue(x: str, y: str) -> str:
+    terms = []
+    for i in range(Z_DIM_BITS):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) clustering statistics: map each order onto a
+    16-bit Z-value interleaving (customer-key low byte, order-day-of-year
+    low byte), cut the curve into {Z_BUCKETS} equal Z-ranges ("files"), and
+    report each bucket's row count and per-dimension min/max — exactly the
+    column statistics a parquet/lakehouse reader prunes on.
+
+    Why it matters at 100 TB: sorting by a single column gives perfect
+    skipping on that column and none on the other; the Z-curve bounds BOTH
+    dimensions per file (each bucket's min/max span ≈ 1/√buckets of each
+    domain), so two-predicate queries skip most files. This operator is the
+    measurable core of `OPTIMIZE ... ZORDER BY`; a real rewrite would
+    ``repartitionByRange(zvalue)`` and write — same computation, plus a
+    sink.
+
+    Scale shape: the Z-value is a narrow integer expression fused into the
+    scan; bucketing is ``z >> (16 - log2(buckets))`` (static range cut, no
+    ntile/sort needed); one hash-agg to {Z_BUCKETS} rows. Zero joins, zero
+    row-proportional shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % (1 << Z_DIM_BITS)).cast("int")
+    y = (F.dayofyear(F.col("o_orderdate")) % (1 << Z_DIM_BITS)).cast("int")
+    shift = 2 * Z_DIM_BITS - Z_BUCKETS.bit_length() + 1  # 16-4 = 12
+    return (
+        orders.withColumn("x", x)
+        .withColumn("y", y)
+        .withColumn("zbucket", F.shiftright(_zvalue(F.col("x"), F.col("y")), shift))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_custkey_byte"),
+            F.max("x").alias("max_custkey_byte"),
+            F.min("y").alias("min_doy_byte"),
+            F.max("y").alias("max_doy_byte"),
+        )
+    )
+
+
+def _sql_zorder() -> str:
+    shift = 2 * Z_DIM_BITS - Z_BUCKETS.bit_length() + 1
+    return f"""
+WITH base AS (
+  SELECT CAST(o_custkey % {1 << Z_DIM_BITS} AS INTEGER) AS x,
+         CAST(dayofyear(o_orderdate) % {1 << Z_DIM_BITS} AS INTEGER) AS y
+  FROM orders
+)
+SELECT ({_sql_zvalue("x", "y")} >> {shift}) AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(x) AS min_custkey_byte, MAX(x) AS max_custkey_byte,
+       MIN(y) AS min_doy_byte, MAX(y) AS max_doy_byte
+FROM base
+GROUP BY zbucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_CHARS = 4096  # target output "file" size (chars as byte proxy)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: assign each document ("input file")
+    to an output bin so consecutive documents fill ~{COMPACT_TARGET_CHARS}
+    chars per bin, per source — the planning half of the lakehouse
+    `OPTIMIZE`/rewrite-data-files job that fixes the small-files problem
+    (driver-side file listing; executor-side rewrite).
+
+    Bin rule: exclusive running sum of sizes in (source, doc_id) order,
+    integer-divided by the target — the streaming first-fit packing that
+    needs ONE window pass, no driver loop, and is deterministic for the
+    oracle (unlike best-fit heuristics, which are order-sensitive and
+    sequential).
+
+    Scale shape: one shuffle to partition by source, a running-sum window
+    inside each partition, then a re-aggregation to one row per output bin.
+    In production each source's plan is independent — embarrassingly
+    parallel across partitions; for single giant sources, split the window
+    key by date as `sequence_pack` does.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("bin_id", F.floor(cum_before / COMPACT_TARGET_CHARS).cast("bigint"))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("bin_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+_ORACLE_COMPACTION_PLAN = f"""
+WITH planned AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor(COALESCE(SUM(n_chars) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {COMPACT_TARGET_CHARS}) AS BIGINT) AS bin_id
+  FROM documents
+)
+SELECT source, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS bin_chars,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM planned
+GROUP BY source, bin_id
+"""
+
+
+QUERIES = {
+    "bloom_semi_join": q_bloom_semi_join,
+    "zorder_cluster": q_zorder_cluster,
+    "compaction_plan": q_compaction_plan,
+}
+
+ORACLE = {
+    "bloom_semi_join": _sql_bloom(),
+    "zorder_cluster": _sql_zorder(),
+    "compaction_plan": _ORACLE_COMPACTION_PLAN,
+}

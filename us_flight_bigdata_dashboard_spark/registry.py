@@ -19,6 +19,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     breadth,
     dedup,
     events,
+    layout,
     multimodal,
     mutation,
     relational,
@@ -41,6 +42,7 @@ _MODULES = [
     sampling,
     mutation,
     audit,
+    layout,
 ]
 
 
