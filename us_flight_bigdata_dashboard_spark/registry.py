@@ -19,6 +19,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     breadth,
     dedup,
     events,
+    graph,
     layout,
     multimodal,
     mutation,
@@ -43,6 +44,7 @@ _MODULES = [
     mutation,
     audit,
     layout,
+    graph,
 ]
 
 
