@@ -57,6 +57,11 @@ HEADLINE = [
     "curation_pipeline",
     "merge_upsert",
     "text_tfidf_topk",
+    # round-2 final additions: iterative graph join-agg loop, cross-doc
+    # boilerplate (explode + broadcast-back), and the bloom runtime filter
+    "graph_pagerank",
+    "text_boilerplate",
+    "bloom_semi_join",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

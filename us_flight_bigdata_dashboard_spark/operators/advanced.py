@@ -140,6 +140,53 @@ GROUP BY 1
 """
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: the skew defense for a join whose key distribution has
+    hot values — replicate the small side N_SALT times with a salt column,
+    salt the big side deterministically, and join on (key, salt) so each
+    hot key's rows spread across N_SALT reducers instead of one straggler.
+
+    Honest scope note (mirrors ``salted_agg_sum``): supplier is
+    dimension-sized here, so in production THIS join would simply
+    broadcast; the salt pattern earns its keep when both sides are too big
+    to broadcast and AQE's skew-join split (which handles the probe side
+    only) can't fix a build-side hot key. The salt is ``l_orderkey %
+    N_SALT`` — deterministic, so the oracle (the plain join) proves the
+    rewrite is semantics-preserving; any salt assignment gives the same
+    result because the join key is replicated on every salt value.
+
+    Scale shape: replication multiplies the SMALL side by N_SALT (bounded,
+    build-side); the big side gains one narrow column. The final
+    aggregation re-reduces to |nation| rows.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    salted_dim = supplier.select(
+        "s_suppkey", "s_nationkey", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("_salt")
+    )
+    salted_fact = lineitem.select(
+        "l_suppkey", "l_extendedprice", (F.col("l_orderkey") % N_SALT).cast("int").alias("_salt")
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (salted_fact["l_suppkey"] == salted_dim["s_suppkey"])
+        & (salted_fact["_salt"] == salted_dim["_salt"]),
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+_ORACLE_SKEW_SALTED_JOIN = f"""
+SELECT s_nationkey,
+       COUNT(*) AS n_items,
+       {sql_dsum("l_extendedprice")} AS sum_price
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Approximate aggregates under a bounds-checked gate
 # ---------------------------------------------------------------------------
@@ -401,6 +448,7 @@ QUERIES = {
     "grouping_cube": q_grouping_cube,
     "percentiles": q_percentiles,
     "skew_salted_agg": q_skew_salted_agg,
+    "skew_salted_join": q_skew_salted_join,
     "approx_distinct": q_approx_distinct,
     "approx_percentile": q_approx_percentile,
 }
@@ -414,6 +462,7 @@ ORACLE = {
     "grouping_cube": _ORACLE_GROUPING_CUBE,
     "percentiles": _ORACLE_PERCENTILES,
     "skew_salted_agg": _ORACLE_SKEW_SALTED,
+    "skew_salted_join": _ORACLE_SKEW_SALTED_JOIN,
     "approx_distinct": _ORACLE_APPROX_DISTINCT,
     "approx_percentile": _ORACLE_APPROX_PERCENTILE,
 }

@@ -188,12 +188,82 @@ GROUP BY change_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Table statistics collection (ANALYZE)
+# ---------------------------------------------------------------------------
+
+_STATS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics over ``orders`` — row count,
+    null count, exact NDV, min/max — the inputs a cost-based optimizer
+    (and every lakehouse table format's metadata) needs for join ordering
+    and file skipping. The reference gets these implicitly from MySQL's
+    ANALYZE TABLE; a lakehouse engine must compute them.
+
+    One scan, one aggregate: all per-column stats are computed in a single
+    pass, then pivoted long with ``stack`` (rows = columns) — never one
+    scan per column. min/max surface as strings; the stat set sticks to
+    int/string/date columns because float→string formatting is
+    engine-specific (Java ``1.0E7`` vs C ``10000000.0``) and would break
+    the cross-engine gate, while int/date renderings are identical.
+    Exact NDV here (the gate needs exactness); at 100 TB the same
+    operator takes ``approx_count_distinct`` — the expand-free HLL path
+    the ``approx_distinct`` matrix entry validates.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _STATS_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in _STATS_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_STATS_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def _sql_table_stats() -> str:
+    selects = []
+    for c in _STATS_COLS:
+        selects.append(f"""
+SELECT '{c}' AS column_name, n_rows,
+       {c}__nulls AS n_nulls, {c}__ndv AS n_distinct,
+       {c}__min AS min_value, {c}__max AS max_value
+FROM one""")
+    inner = ", ".join(
+        f"""CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}__nulls,
+       COUNT(DISTINCT {c}) AS {c}__ndv,
+       MIN(CAST({c} AS VARCHAR)) AS {c}__min,
+       MAX(CAST({c} AS VARCHAR)) AS {c}__max"""
+        for c in _STATS_COLS
+    )
+    return f"""
+WITH one AS (
+  SELECT COUNT(*) AS n_rows, {inner}
+  FROM orders
+)
+{" UNION ALL ".join(selects)}
+"""
+
+
 QUERIES = {
     "dq_audit": q_dq_audit,
     "snapshot_diff": q_snapshot_diff,
+    "table_stats": q_table_stats,
 }
 
 ORACLE = {
     "dq_audit": _ORACLE_DQ_AUDIT,
     "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
+    "table_stats": _sql_table_stats(),
 }
