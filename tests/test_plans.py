@@ -220,14 +220,18 @@ def test_zorder_no_joins_single_agg(spark):
     assert count_exchanges(df) <= 1, plan
 
 
-def test_boilerplate_set_broadcasts_back(spark):
-    # the boilerplate shingle set (DF >= threshold) must join back as a
-    # broadcast — never a corpus-vs-corpus sort-merge
+def test_boilerplate_single_explode_no_join(spark):
+    # document frequency must come from a count window over the one
+    # exploded shingle table — never a second explode + DF-agg + join back
+    # (the double-materialization anti-pattern)
     from us_flight_bigdata_dashboard_spark.operators.text import q_text_boilerplate
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
 
     df = q_text_boilerplate(spark, SF_DIR)
-    assert count_broadcast_joins(df) >= 1
-    assert count_sortmerge_joins(df) == 0
+    plan = plan_str(df, mode="simple")
+    assert plan.count("Generate") == 1, plan  # one explode
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 3, plan
 
 
 def test_zscore_stats_broadcast_back(spark):

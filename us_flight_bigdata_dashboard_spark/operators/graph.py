@@ -66,6 +66,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed. This join-agg loop is exactly Pregel's synchronous step
     expressed relationally.
     """
+    # Deliberately NOT persisted at this scale: an A/B at sf0.1 (1M-edge
+    # graph, fresh session, bench pattern) measured 6.3s warm without
+    # persist vs 9.0s with — the edge build is a cheap broadcast join that
+    # re-executes faster than a 1M-row cache encodes + reads, and the three
+    # join-agg iterations dominate either way. On a real cluster with a
+    # sort-merge edge build the trade flips: persist the hash-partitioned
+    # edge list once and iterate against it (see docstring).
     edges = _edges(spark, sf_dir)
     degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     n_row = degree.agg(F.count(F.lit(1)).alias("_n"))
