@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from us_flight_bigdata_dashboard_spark.functions.exact import dsum, sql_dsum
+from us_flight_bigdata_dashboard_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 N_SALT = 16
@@ -136,6 +136,63 @@ SELECT l_returnflag,
        COUNT(*) AS n_rows,
        {sql_dsum("l_extendedprice")} AS sum_price
 FROM lineitem
+GROUP BY 1
+"""
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each group's values to its own [p5, p95] band —
+    the standard outlier-capping step before computing means that a single
+    fat-finger value would otherwise drag (and, in a feature pipeline, the
+    robust-scaling pre-step). Reference analog: none (extension scope).
+
+    Two-pass shape like the z-score gate: pass 1 computes per-group exact
+    interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, bit-identical — the `percentiles` entry proves it);
+    the tiny bounds table broadcasts back onto the scan and the clip is a
+    narrow ``least/greatest``. Means of clipped values are decimal-exact
+    (``davg``). At 100 TB swap pass 1 to ``approx_percentile`` (the
+    bounds-gated `approx_percentile` entry covers the sketch's error).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.expr(f"percentile(o_totalprice, {WINSOR_LO})").alias("_lo"),
+        F.expr(f"percentile(o_totalprice, {WINSOR_HI})").alias("_hi"),
+    )
+    clipped = orders.join(F.broadcast(bounds), "o_orderpriority").withColumn(
+        "_clipped", F.least(F.greatest(F.col("o_totalprice"), F.col("_lo")), F.col("_hi"))
+    )
+    return clipped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") != F.col("_clipped"), 1).otherwise(0)).alias(
+            "n_clipped"
+        ),
+        davg("o_totalprice").alias("raw_mean"),
+        davg("_clipped").alias("winsor_mean"),
+    )
+
+
+_ORACLE_WINSORIZE = f"""
+WITH bounds AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, {WINSOR_LO}) AS _lo,
+         quantile_cont(o_totalprice, {WINSOR_HI}) AS _hi
+  FROM orders GROUP BY 1
+),
+clipped AS (
+  SELECT o.o_orderpriority, o.o_totalprice,
+         least(greatest(o.o_totalprice, b._lo), b._hi) AS _clipped
+  FROM orders o JOIN bounds b USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_totalprice <> _clipped THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       {sql_davg("o_totalprice")} AS raw_mean,
+       {sql_davg("_clipped")} AS winsor_mean
+FROM clipped
 GROUP BY 1
 """
 
@@ -449,6 +506,7 @@ QUERIES = {
     "percentiles": q_percentiles,
     "skew_salted_agg": q_skew_salted_agg,
     "skew_salted_join": q_skew_salted_join,
+    "winsorize_clip": q_winsorize,
     "approx_distinct": q_approx_distinct,
     "approx_percentile": q_approx_percentile,
 }
@@ -463,6 +521,7 @@ ORACLE = {
     "percentiles": _ORACLE_PERCENTILES,
     "skew_salted_agg": _ORACLE_SKEW_SALTED,
     "skew_salted_join": _ORACLE_SKEW_SALTED_JOIN,
+    "winsorize_clip": _ORACLE_WINSORIZE,
     "approx_distinct": _ORACLE_APPROX_DISTINCT,
     "approx_percentile": _ORACLE_APPROX_PERCENTILE,
 }

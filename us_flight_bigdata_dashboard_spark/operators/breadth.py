@@ -286,6 +286,56 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey 
 """
 
 
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: combine an old-schema snapshot (no
+    o_orderpriority column — simulating a table version written before the
+    column existed) with a new-schema snapshot via ``unionByName(
+    allowMissingColumns=True)``, the engine capability behind reading a
+    parquet lake whose files span schema versions (``mergeSchema`` scans
+    resolve by name the same way). Missing columns surface as NULL, and
+    the aggregate proves exactly the old rows carry them.
+
+    Scale shape: by-name resolution is plan-time only — the union is a
+    zero-cost concatenation of scans, and the agg is one hash-agg over the
+    2-value version tag. No shuffle beyond the 2-row final agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.lit("v1").alias("schema_version")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        F.lit("v2").alias("schema_version"),
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return merged.groupBy("schema_version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias(
+            "n_null_priority"
+        ),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+_ORACLE_SCHEMA_EVOLUTION = """
+WITH merged AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 'v1' AS schema_version
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, 'v2' AS schema_version
+  FROM orders WHERE o_orderkey % 3 <> 0
+)
+SELECT schema_version,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_priority,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM merged
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pivot_status": q_pivot_status,
     "null_safe_join": q_null_safe_join,
@@ -295,6 +345,7 @@ QUERIES = {
     "date_functions": q_date_functions,
     "window_lead_lag": q_window_lead_lag,
     "window_running_sum": q_window_running_sum,
+    "schema_evolution": q_schema_evolution,
 }
 
 ORACLE = {
@@ -306,4 +357,5 @@ ORACLE = {
     "date_functions": _ORACLE_DATE_FUNCTIONS,
     "window_lead_lag": _ORACLE_WINDOW_LEAD_LAG,
     "window_running_sum": _ORACLE_WINDOW_RUNNING_SUM,
+    "schema_evolution": _ORACLE_SCHEMA_EVOLUTION,
 }

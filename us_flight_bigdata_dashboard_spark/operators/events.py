@@ -468,6 +468,53 @@ GROUP BY ev.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Event transition mining (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts between consecutive event types per
+    user — the Markov-chain substrate of journey mining, next-action
+    prediction features, and bot detection (improbable transition chains).
+
+    Scale shape: one shuffle to (user, ts)-sort per user, ``lag`` within
+    the keyed window (no self-join of the stream against itself — the
+    naive SQL formulation — which would double the shuffled bytes), then a
+    hash-agg over the tiny (from, to) domain. Ties on ts are broken by
+    event_id so the sequence is total-ordered and the oracle agrees.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_ORACLE_EVENTS_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+)
+SELECT from_type, to_type,
+       COUNT(*) AS n_transitions,
+       COUNT(DISTINCT user_id) AS n_users
+FROM seq
+WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_funnel": q_events_funnel,
@@ -477,6 +524,7 @@ QUERIES = {
     "events_session_window": q_events_session_window,
     "events_gap_fill": q_events_gap_fill,
     "events_zscore_anomaly": q_events_zscore_anomaly,
+    "events_transitions": q_events_transitions,
 }
 
 ORACLE = {
@@ -488,4 +536,5 @@ ORACLE = {
     "events_session_window": _ORACLE_EVENTS_SESSION_WINDOW,
     "events_gap_fill": _ORACLE_EVENTS_GAP_FILL,
     "events_zscore_anomaly": _ORACLE_EVENTS_ZSCORE,
+    "events_transitions": _ORACLE_EVENTS_TRANSITIONS,
 }
