@@ -22,7 +22,7 @@ here so the standalone query stays bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
@@ -161,27 +161,10 @@ def _sql_hex_to_int(expr: str, start: int, n: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: 16 affine minhashes over one md5 base
-    hash per shingle, banded 4×4; docs sharing ≥1 band bucket are
-    candidates.
-
-    Plan shape at scale: shingle explode (narrow) → one hash-agg to 16
-    minhashes → band explode (4 rows/doc) → self-equi-join on (band,
-    bucket); only digests ever shuffle.
-
-    Note (measured, sf0.1): two "no-shuffle" array-domain variants both
-    lose to this plan by ~2×. (a) 16 ``array_min∘transform`` signature
-    columns: Catalyst's CollapseProject inlines the shingle-array
-    expression into every column, recomputing shingling 16×. (b) one
-    single ``F.aggregate`` fold whose merge does an element-wise
-    ``zip_with`` over a 16-slot accumulator (shingling evaluated once,
-    zero Exchange): 7.3s vs 3.7s — higher-order functions evaluate
-    interpreted, allocating a fresh 16-element array per shingle, and
-    lose to Tungsten's codegen'd hash agg even though that agg shuffles.
-    The explode + groupBy below evaluates shingles exactly once (the
-    aggregation is a real pipeline barrier) and wins despite its small
-    shuffle."""
+def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → (band_idx, bucket) LSH band rows: shingle explode → one
+    hash-agg to 16 affine minhashes → 4 band buckets per doc. Shared by
+    the pair query, the cluster stage, and the incremental index probe."""
     sh = _shingles_df(spark, sf_dir)
     x = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit(P_MOD)
     hashed = sh.select("doc_id", x.alias("x"))
@@ -191,7 +174,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a, b) in enumerate(_affine_params())
         ]
     )
-    bands = minhashes.select(
+    return minhashes.select(
         "doc_id",
         F.explode(
             F.array(
@@ -213,6 +196,30 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.bucket")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 16 affine minhashes over one md5 base
+    hash per shingle, banded 4×4; docs sharing ≥1 band bucket are
+    candidates.
+
+    Plan shape at scale: shingle explode (narrow) → one hash-agg to 16
+    minhashes → band explode (4 rows/doc) → self-equi-join on (band,
+    bucket); only digests ever shuffle.
+
+    Note (measured, sf0.1): two "no-shuffle" array-domain variants both
+    lose to this plan by ~2×. (a) 16 ``array_min∘transform`` signature
+    columns: Catalyst's CollapseProject inlines the shingle-array
+    expression into every column, recomputing shingling 16×. (b) one
+    single ``F.aggregate`` fold whose merge does an element-wise
+    ``zip_with`` over a 16-slot accumulator (shingling evaluated once,
+    zero Exchange): 7.3s vs 3.7s — higher-order functions evaluate
+    interpreted, allocating a fresh 16-element array per shingle, and
+    lose to Tungsten's codegen'd hash agg even though that agg shuffles.
+    The explode + groupBy below evaluates shingles exactly once (the
+    aggregation is a real pipeline barrier) and wins despite its small
+    shuffle."""
+    bands = _bands_df(spark, sf_dir)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "bucket")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "bucket")
     return (
@@ -609,6 +616,97 @@ JOIN documents db ON db.doc_id = p.doc_b
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new crawl batch vs existing index
+# ---------------------------------------------------------------------------
+
+INCR_INDEX_PCT = 90  # hash buckets [0,90) = indexed corpus, [90,100) = new batch
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (continuous-crawl) deduplication: probe a NEW batch of
+    documents against the minhash-band index of the EXISTING corpus and
+    decide keep/drop per new doc — the production shape of dedup at
+    100 TB, where re-running all-pairs LSH over corpus+batch every crawl
+    is a non-starter; the corpus's band table is the persisted index and
+    each crawl joins only its batch against it.
+
+    The corpus/batch split is the deterministic md5 bucket (same
+    construction as the sampling family): buckets [0,{INCR_INDEX_PCT}) are
+    "already indexed", the rest arrive as the new batch. Per new doc the
+    best match is the indexed doc sharing the most bands (ties → smallest
+    doc id, total order for the oracle).
+
+    Scale shape: band computation for the batch only (the index's bands
+    are, in production, already materialized — here both derive from one
+    `_bands_df` call and Catalyst splits the scan); the probe is an
+    equi-join on (band_idx, bucket) whose left side is BATCH-sized, then
+    one window + one agg over candidate matches. Nothing corpus×corpus.
+    """
+    bands = _bands_df(spark, sf_dir).withColumn(
+        "_hb",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        % 100,
+    )
+    index = bands.filter(F.col("_hb") < INCR_INDEX_PCT).select(
+        F.col("doc_id").alias("index_doc"), "band_idx", "bucket"
+    )
+    batch = bands.filter(F.col("_hb") >= INCR_INDEX_PCT).select(
+        "doc_id", "band_idx", "bucket"
+    )
+    matches = (
+        batch.join(index, ["band_idx", "bucket"])
+        .groupBy("doc_id", "index_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_shared_bands"), F.asc("index_doc")
+    )
+    best = (
+        matches.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", "index_doc", "n_shared_bands")
+    )
+    new_docs = batch.select("doc_id").distinct()
+    return new_docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.col("index_doc").isNotNull().alias("is_duplicate"),
+        F.col("index_doc").alias("best_match"),
+        F.coalesce("n_shared_bands", F.lit(0)).alias("n_shared_bands"),
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    hb = _sql_hex_to_int("md5(CAST(doc_id AS VARCHAR))", 1, 15)
+    return f"""
+WITH {_sql_lsh_cte_block()},
+hbands AS (SELECT doc_id, band_idx, bucket, {hb} % 100 AS _hb FROM bands),
+index_b AS (SELECT doc_id AS index_doc, band_idx, bucket FROM hbands WHERE _hb < {INCR_INDEX_PCT}),
+batch_b AS (SELECT doc_id, band_idx, bucket FROM hbands WHERE _hb >= {INCR_INDEX_PCT}),
+matches AS (
+  SELECT b.doc_id, i.index_doc, COUNT(*) AS n_shared_bands
+  FROM batch_b b JOIN index_b i USING (band_idx, bucket)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, index_doc, n_shared_bands
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY n_shared_bands DESC, index_doc ASC) AS _rk
+        FROM matches)
+  WHERE _rk = 1
+)
+SELECT n.doc_id,
+       (b.index_doc IS NOT NULL) AS is_duplicate,
+       b.index_doc AS best_match,
+       COALESCE(b.n_shared_bands, 0) AS n_shared_bands
+FROM (SELECT DISTINCT doc_id FROM batch_b) n
+LEFT JOIN best b USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_edit_distance": q_dedup_edit_distance,
@@ -617,6 +715,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_keep_best": q_dedup_keep_best,
 }
 
@@ -628,5 +727,6 @@ ORACLE = {
     "dedup_ngram_jaccard": _sql_ngram_jaccard(),
     "dedup_simhash": _sql_simhash(),
     "dedup_clusters": _sql_dedup_clusters(),
+    "dedup_incremental": _sql_dedup_incremental(),
     "dedup_keep_best": _sql_dedup_keep_best(),
 }
