@@ -148,3 +148,24 @@ def test_repetition_fractions_in_unit_interval(spark):
         for c in ("uniq_token_ratio", "dup_bigram_frac", "dup_trigram_frac"):
             v = r[c]
             assert v is None or 0.0 <= v <= 1.0
+
+
+def test_pq_adc_recall_against_bruteforce(spark):
+    # PQ is lossy by design; the gate proves Spark ≡ DuckDB, this test
+    # proves the compressed index still finds real neighbors: each query's
+    # PQ top-5 must overlap its exact cosine top-10 (recall@5>=0.2 is a
+    # deliberately loose floor for a 1-byte/vector code at k=4)
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        q_ann_pq,
+        q_knn_bruteforce,
+    )
+
+    exact = {}
+    for r in q_knn_bruteforce(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for r in q_ann_pq(spark, SF_DIR).collect():
+        total += 1
+        hits += r["neighbor_id"] in exact[r["query_id"]]
+    assert total == 25  # 5 queries x top-5
+    assert hits / total >= 0.2, f"PQ recall collapsed: {hits}/{total}"

@@ -739,12 +739,236 @@ FROM embeddings
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4          # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 8          # codes per subspace codebook
+PQ_SAMPLE_N = 64  # deterministic training sample: vec_id < PQ_SAMPLE_N
+PQ_LLOYD = 2      # Lloyd iterations per subspace codebook
+PQ_TOP_K = 5
+
+
+def _py_l2(a: list[float], b: list[float]) -> float:
+    """Driver-side squared-L2 — sequential fold, (x-y)*(x-y) per element,
+    same operand order as the Spark/DuckDB twins."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc = acc + d * d
+    return acc
+
+
+def _l2(a: Column, b: Column) -> Column:
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sql_l2(a: str, b: str) -> str:
+    sq = "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), p -> {sq})), (acc, x) -> acc + x)"
+    )
+
+
+def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks (PQ_M × PQ_K × PQ_SUBDIM): split each
+    sample vector into PQ_M contiguous sub-vectors and run the same seeded
+    mini-Lloyd's as the IVF trainer independently per subspace (init from
+    vec_ids 0..PQ_K-1, assignment by squared L2 with ties → lowest code,
+    per-dimension means in vec_id order, empty clusters keep the old
+    centroid). Bounded driver-side training over PQ_SAMPLE_N rows — the
+    FAISS recipe; only the PQ_M·PQ_K·PQ_SUBDIM codebook broadcasts.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample_rows = (
+        emb.filter(F.col("vec_id") < PQ_SAMPLE_N).select("vec_id", "embedding").collect()
+    )
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in sample_rows}
+    missing = [i for i in range(PQ_K) if i not in vecs]
+    if missing:
+        raise ValueError(f"PQ init needs vec_ids 0..{PQ_K - 1}; missing {missing}")
+    books: list[list[list[float]]] = []
+    for m in range(PQ_M):
+        lo = m * PQ_SUBDIM
+        subs = {vid: v[lo : lo + PQ_SUBDIM] for vid, v in vecs.items()}
+        cents = [list(subs[i]) for i in range(PQ_K)]
+        for _ in range(PQ_LLOYD):
+            members: list[list[int]] = [[] for _ in range(PQ_K)]
+            for vid in sorted(subs):
+                best_c, best_d = 0, None
+                for cid in range(PQ_K):
+                    d = _py_l2(subs[vid], cents[cid])
+                    if best_d is None or d < best_d:  # strict < keeps lowest cid on ties
+                        best_c, best_d = cid, d
+                members[best_c].append(vid)
+            new_cents: list[list[float]] = []
+            for cid in range(PQ_K):
+                if not members[cid]:
+                    new_cents.append(cents[cid])
+                    continue
+                dims = []
+                for d in range(PQ_SUBDIM):
+                    acc = 0.0
+                    for vid in members[cid]:
+                        acc = acc + subs[vid][d]
+                    dims.append(acc / len(members[cid]))
+                new_cents.append(dims)
+            cents = new_cents
+        books.append(cents)
+    return books
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate nearest neighbors with asymmetric distance
+    computation (Jégou et al. 2011): every candidate vector is stored as
+    PQ_M 3-bit codes (here 4×3 bits ≙ 1.5 bytes per 256-byte 64-float
+    vector — the ~170× memory compression that lets a 100 TB corpus'
+    index fit in RAM),
+    and each query computes one PQ_M × PQ_K distance table, after which a
+    candidate's approximate distance is PQ_M table lookups + adds — no
+    float math against the original vectors at scan time.
+
+    Plan shape: encoding is a narrow per-row argmin against broadcast
+    codebook literals (zero shuffle — same shape the IVF fix landed);
+    queries carry their distance tables as array columns; the probe is a
+    broadcast cross join whose per-pair cost is ``element_at`` lookups.
+    Final top-k by (approx_dist, neighbor) window per query.
+    """
+    books = train_pq_codebooks(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def sub(col, m):
+        return F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+    def code_col(m):
+        dists = F.array(
+            *[_l2(sub(F.col("embedding"), m), F.array(*[F.lit(x) for x in c])) for c in books[m]]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[code_col(m).alias(f"code{m}") for m in range(PQ_M)],
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        *[
+            F.array(
+                *[_l2(sub(F.col("embedding"), m), F.array(*[F.lit(x) for x in c])) for c in books[m]]
+            ).alias(f"dt{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    dist = F.element_at(F.col("dt0"), F.col("code0") + 1)
+    for m in range(1, PQ_M):
+        dist = dist + F.element_at(F.col(f"dt{m}"), F.col(f"code{m}") + 1)
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= PQ_TOP_K)
+
+
+def _sql_pq_ctes() -> str:
+    """DuckDB twin of ``train_pq_codebooks`` + encoding: per subspace m,
+    the sample/init/assign/mean/rebuild chain (1 Lloyd iteration), then
+    per-vector codes by argmin against the trained codebook."""
+    ctes = []
+    for m in range(PQ_M):
+        lo = m * PQ_SUBDIM
+        sl = f"list_transform(list_slice(embedding, {lo + 1}, {lo + PQ_SUBDIM}), x -> CAST(x AS DOUBLE))"
+        l2 = _sql_l2("s.sub", "c.sub")
+        ctes.append(f"""sm{m} AS (
+  SELECT vec_id, {sl} AS sub FROM embeddings WHERE vec_id < {PQ_SAMPLE_N}
+)""")
+        ctes.append(f"""b{m}_0 AS (
+  SELECT vec_id AS code, {sl} AS sub FROM embeddings WHERE vec_id < {PQ_K}
+)""")
+        for i in range(1, PQ_LLOYD + 1):
+            ctes.append(f"""a{m}_{i} AS (
+  SELECT vec_id, code FROM (
+    SELECT s.vec_id, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {l2} ASC, c.code ASC) AS rn
+    FROM sm{m} s CROSS JOIN b{m}_{i - 1} c
+  ) WHERE rn = 1
+)""")
+            ctes.append(f"""m{m}_{i} AS (
+  SELECT code, dim_idx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(val ORDER BY vec_id)), (acc, x) -> acc + x)
+           / COUNT(*) AS mval
+  FROM (
+    SELECT a.code, s.vec_id, g.i AS dim_idx, s.sub[g.i] AS val
+    FROM a{m}_{i} a JOIN sm{m} s USING (vec_id)
+    CROSS JOIN generate_series(1, {PQ_SUBDIM}) AS g(i)
+  )
+  GROUP BY 1, 2
+)""")
+            ctes.append(f"""b{m}_{i} AS (
+  SELECT c.code, list(COALESCE(m.mval, c.sub[g.i]) ORDER BY g.i) AS sub
+  FROM b{m}_{i - 1} c
+  CROSS JOIN generate_series(1, {PQ_SUBDIM}) AS g(i)
+  LEFT JOIN m{m}_{i} m ON m.code = c.code AND m.dim_idx = g.i
+  GROUP BY c.code
+)""")
+        l2e = _sql_l2("e.sub", "c.sub")
+        ctes.append(f"""enc{m} AS (
+  SELECT vec_id, code FROM (
+    SELECT e.vec_id, c.code,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {l2e} ASC, c.code ASC) AS rn
+    FROM (SELECT vec_id, {sl} AS sub FROM embeddings) e CROSS JOIN b{m}_{PQ_LLOYD} c
+  ) WHERE rn = 1
+)""")
+    return ",\n".join(ctes)
+
+
+def _sql_ann_pq() -> str:
+    qsub = lambda m: (
+        f"list_transform(list_slice(q.embedding, {m * PQ_SUBDIM + 1}, {m * PQ_SUBDIM + PQ_SUBDIM}), "
+        f"x -> CAST(x AS DOUBLE))"
+    )
+    dist_terms = " + ".join(_sql_l2(qsub(m), f"c{m}.sub") for m in range(PQ_M))
+    code_joins = "\n".join(
+        f"  JOIN enc{m} e{m} ON e{m}.vec_id = v.vec_id\n"
+        f"  JOIN b{m}_{PQ_LLOYD} c{m} ON c{m}.code = e{m}.code"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH {_sql_pq_ctes()},
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ({dist_terms}) AS approx_dist
+  FROM embeddings q
+  CROSS JOIN embeddings v
+{code_joins}
+  WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> v.vec_id
+)
+SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {PQ_TOP_K}
+"""
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_quantize": q_embedding_quantize,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+    "ann_pq": q_ann_pq,
     "embedding_near_dup": q_embedding_near_dup,
     "vector_label_stats": q_vector_label_stats,
 }
@@ -755,6 +979,7 @@ ORACLE = {
     "ann_lsh": _sql_ann_lsh(),
     "ann_ivf": _sql_ann_ivf(),
     "ann_ivf_multiprobe": _sql_ann_ivf_multiprobe(),
+    "ann_pq": _sql_ann_pq(),
     "embedding_near_dup": _sql_embedding_near_dup(),
     "vector_label_stats": _sql_vector_label_stats(),
 }
