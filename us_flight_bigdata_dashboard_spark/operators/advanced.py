@@ -496,6 +496,47 @@ FROM ranked
 """
 
 
+
+N_EQUIFREQ_BINS = 10
+
+
+def q_histogram_equifreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) binning of order totals: NTILE assigns
+    each row to one of N_EQUIFREQ_BINS equally-populated bins, then per-bin
+    count and [min, max] edges — the discretization a feature pipeline or
+    optimizer histogram uses when equal-WIDTH bins (`histogram_price`)
+    would put 90% of mass in two buckets. Total order (price, orderkey)
+    makes the tile assignment deterministic for the oracle.
+
+    Scale note: a global NTILE is a single total sort — the honest cost of
+    exact quantile binning. At 100 TB use ``repartitionByRange`` (sampled
+    range partitioner, same result for distinct keys) or approx_percentile
+    edges (the bounds-gated entry) instead of one-partition window sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    binned = orders.select(
+        "o_totalprice", F.ntile(N_EQUIFREQ_BINS).over(w).alias("bin_id")
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("bin_lo"),
+        F.max("o_totalprice").alias("bin_hi"),
+    )
+
+
+_ORACLE_HISTOGRAM_EQUIFREQ = f"""
+SELECT bin_id, COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS bin_lo, MAX(o_totalprice) AS bin_hi
+FROM (
+  SELECT o_totalprice,
+         NTILE({N_EQUIFREQ_BINS}) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bin_id
+  FROM orders
+)
+GROUP BY bin_id
+"""
+
+
 QUERIES = {
     "semi_anti_join": q_semi_anti_join,
     "histogram_price": q_histogram_price,
@@ -507,6 +548,7 @@ QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
     "skew_salted_join": q_skew_salted_join,
     "winsorize_clip": q_winsorize,
+    "histogram_equifreq": q_histogram_equifreq,
     "approx_distinct": q_approx_distinct,
     "approx_percentile": q_approx_percentile,
 }
@@ -522,6 +564,7 @@ ORACLE = {
     "skew_salted_agg": _ORACLE_SKEW_SALTED,
     "skew_salted_join": _ORACLE_SKEW_SALTED_JOIN,
     "winsorize_clip": _ORACLE_WINSORIZE,
+    "histogram_equifreq": _ORACLE_HISTOGRAM_EQUIFREQ,
     "approx_distinct": _ORACLE_APPROX_DISTINCT,
     "approx_percentile": _ORACLE_APPROX_PERCENTILE,
 }

@@ -515,6 +515,93 @@ GROUP BY 1, 2
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Sweep-line session concurrency
+# ---------------------------------------------------------------------------
+
+def q_events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the sweep-line algorithm:
+    sessions (native ``session_window`` per user) explode into +1/-1
+    boundary events, a running sum over the time-ordered boundary stream
+    is the live-session count, and its per-day max is the capacity-
+    planning number (peak concurrency) no simple aggregate can produce.
+
+    Tie semantics pinned for the oracle: boundaries sort by (ts, delta
+    asc, user asc), so at an identical instant a closing session (-1)
+    is processed before an opening one — "end-exclusive" concurrency.
+    Day attribution is by boundary timestamp; the running sum partitions
+    by day (each day's count starts at its own first boundary — sessions
+    here are bounded by the 30-min gap, so midnight straddle is rare and
+    the convention is identical in both engines).
+
+    Scale shape: the boundary stream is 2 rows per session (≪ events);
+    the per-day window sort is the sweep — at 100 TB partition the sweep
+    by (day) exactly as here, one partition per day-shard.
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    sessions = (
+        events.groupBy(
+            F.session_window(F.col("ts"), f"{SESSION_GAP_MIN} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"))
+    )
+    bounds = sessions.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        sessions.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta"), "user_id")
+    )
+    day = F.to_date("ts")
+    w = Window.partitionBy(day.alias("day")).orderBy(
+        F.col("ts").asc(), F.col("delta").asc(), F.col("user_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    live = bounds.select(day.alias("day"), F.sum("delta").over(w).alias("live"))
+    return live.groupBy("day").agg(F.max("live").alias("max_concurrent"))
+
+
+_ORACLE_EVENTS_MAX_CONCURRENCY = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE ts IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) >= {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, MIN(ts) AS s_start,
+         MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS s_end
+  FROM numbered GROUP BY user_id, session_seq
+),
+bounds AS (
+  SELECT s_start AS ts, 1 AS delta, user_id FROM sessions
+  UNION ALL
+  SELECT s_end AS ts, -1 AS delta, user_id FROM sessions
+),
+live AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(delta) OVER (PARTITION BY CAST(ts AS DATE)
+                          ORDER BY ts ASC, delta ASC, user_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM bounds
+)
+SELECT day, CAST(MAX(live) AS BIGINT) AS max_concurrent
+FROM live
+GROUP BY day
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_funnel": q_events_funnel,
@@ -525,6 +612,7 @@ QUERIES = {
     "events_gap_fill": q_events_gap_fill,
     "events_zscore_anomaly": q_events_zscore_anomaly,
     "events_transitions": q_events_transitions,
+    "events_max_concurrency": q_events_max_concurrency,
 }
 
 ORACLE = {
@@ -537,4 +625,5 @@ ORACLE = {
     "events_gap_fill": _ORACLE_EVENTS_GAP_FILL,
     "events_zscore_anomaly": _ORACLE_EVENTS_ZSCORE,
     "events_transitions": _ORACLE_EVENTS_TRANSITIONS,
+    "events_max_concurrency": _ORACLE_EVENTS_MAX_CONCURRENCY,
 }

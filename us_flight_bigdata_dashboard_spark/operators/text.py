@@ -751,6 +751,163 @@ LIMIT {SPARSE_TOP_PAIRS}
 """
 
 
+
+# ---------------------------------------------------------------------------
+# BPE-style pair statistics (tokenizer training substrate)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair frequencies within words — the statistic one
+    BPE merge step maximizes (Sennrich et al. 2016: repeatedly merge the
+    most frequent adjacent symbol pair). This is the corpus-scan half of
+    tokenizer training; the greedy merge loop itself is a driver-side
+    iteration over these counts, re-running this scan per merge (or, in
+    practice, over a word-frequency table aggregated once).
+
+    Scale shape: explode words → explode per-word pair arrays (narrow
+    array exprs, whole-stage codegen) → one map-side-combined hash-agg
+    over the tiny pair domain → top-K under a total order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(_tokens(F.col("text"))).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+_ORACLE_BPE_PAIR_COUNTS = f"""
+SELECT pair, COUNT(*) AS n_occurrences
+FROM (
+  SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                               i -> substr(word, i, 2))) AS pair
+  FROM (SELECT unnest({_sql_tokens("text")}) AS word FROM documents)
+  WHERE length(word) >= 2
+)
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Term co-occurrence lift (word-association statistics)
+# ---------------------------------------------------------------------------
+
+COOC_WINDOW = 2     # max token distance for a co-occurrence
+COOC_MIN_PAIR = 5   # min pair support
+COOC_TOP = 20
+
+
+def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed term co-occurrence with lift scoring — the PMI-family
+    association statistic behind collocation mining and word-vector count
+    matrices. Lift = P(a,b) / (P(a)·P(b)) computed as
+    ``n_pair · n_positions / (n_a · n_b)``; the log is deliberately NOT
+    taken (``ln`` is not correctly-rounded across engines; the ranking is
+    monotone in lift anyway).
+
+    Scale shape: positions explode once; the ±{COOC_WINDOW} proximity join
+    is a UNION of {COOC_WINDOW} EQUI-joins on (doc_id, pos + k) — never a
+    non-equi range self-join — so each candidate pair is produced exactly
+    once per offset and the join keys shuffle-partition cleanly. Unigram
+    counts broadcast back onto the aggregated pair table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "term")
+    )
+    uni = pos.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    n_positions = pos.count()
+    parts = []
+    for k in range(1, COOC_WINDOW + 1):
+        a = pos.select("doc_id", F.col("pos").alias("pa"), F.col("term").alias("ta"))
+        b = pos.select(
+            "doc_id", (F.col("pos") - k).alias("pa"), F.col("term").alias("tb")
+        )
+        parts.append(
+            a.join(b, ["doc_id", "pa"]).select(
+                F.least("ta", "tb").alias("term_a"), F.greatest("ta", "tb").alias("term_b")
+            )
+        )
+    pairs = parts[0]
+    for extra in parts[1:]:
+        pairs = pairs.unionAll(extra)
+    counted = (
+        pairs.filter(F.col("term_a") != F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= COOC_MIN_PAIR)
+    )
+    ua = uni.select(F.col("term").alias("term_a"), F.col("n_term").alias("n_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("n_term").alias("n_b"))
+    return (
+        counted.join(F.broadcast(ua), "term_a")
+        .join(F.broadcast(ub), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "n_pair",
+            (
+                (F.col("n_pair").cast("double") * F.lit(float(n_positions)))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("term_a"), F.asc("term_b"))
+        .limit(COOC_TOP)
+    )
+
+
+def _sql_cooccur_lift() -> str:
+    offset_joins = " UNION ALL ".join(
+        f"""SELECT a.doc_id, least(a.term, b.term) AS term_a, greatest(a.term, b.term) AS term_b
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + {k}"""
+        for k in range(1, COOC_WINDOW + 1)
+    )
+    return f"""
+WITH pos AS (
+  SELECT doc_id, u.term AS term, u.pos AS pos FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks)),
+                                 i -> struct_pack(pos := CAST(i - 1 AS BIGINT), term := toks[i]))) AS u
+    FROM (SELECT doc_id, {_sql_tokens("text")} AS toks FROM documents)
+  )
+),
+uni AS (SELECT term, COUNT(*) AS n_term FROM pos GROUP BY 1),
+total AS (SELECT COUNT(*) AS n_positions FROM pos),
+pairs AS ({offset_joins}),
+counted AS (
+  SELECT term_a, term_b, COUNT(*) AS n_pair
+  FROM pairs WHERE term_a <> term_b
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COOC_MIN_PAIR}
+)
+SELECT c.term_a, c.term_b, c.n_pair,
+       (CAST(c.n_pair AS DOUBLE) * CAST(t.n_positions AS DOUBLE)) / (ua.n_term * ub.n_term) AS lift
+FROM counted c
+JOIN uni ua ON ua.term = c.term_a
+JOIN uni ub ON ub.term = c.term_b
+CROSS JOIN total t
+ORDER BY lift DESC, term_a ASC, term_b ASC
+LIMIT {COOC_TOP}
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
@@ -763,6 +920,8 @@ QUERIES = {
     "text_ngram_top": q_text_ngram_top,
     "text_boilerplate": q_text_boilerplate,
     "sparse_allpairs_sim": q_sparse_allpairs_sim,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "cooccur_lift": q_cooccur_lift,
     "json_extract": q_json_extract,
 }
 
@@ -778,5 +937,7 @@ ORACLE = {
     "text_ngram_top": _ORACLE_TEXT_NGRAM_TOP,
     "text_boilerplate": _sql_boilerplate(),
     "sparse_allpairs_sim": _ORACLE_SPARSE_ALLPAIRS,
+    "bpe_pair_counts": _ORACLE_BPE_PAIR_COUNTS,
+    "cooccur_lift": _sql_cooccur_lift(),
     "json_extract": _ORACLE_JSON_EXTRACT,
 }
