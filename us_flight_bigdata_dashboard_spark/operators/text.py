@@ -643,7 +643,7 @@ GROUP BY source
 # Sparse all-pairs cosine similarity (inverted-index join)
 # ---------------------------------------------------------------------------
 
-SPARSE_MAX_DF = 50   # stop-term guard: terms in more docs carry ~no signal
+SPARSE_DF_FRAC = 0.10  # stop-term guard: drop terms present in >10% of docs
 SPARSE_TOP_PAIRS = 50
 _SP_FP = 10**15      # fixed-point scale for order-independent float sums
 
@@ -658,10 +658,15 @@ def q_sparse_allpairs_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale controls, both essential at 100 TB: (1) the DF cap drops
     stop-terms whose posting lists would make the self-join quadratic
     (same guard as the Jaccard verify stage — and since tf/df weights make
-    such terms near-worthless anyway, the cap costs almost no recall);
+    such terms near-worthless anyway, the cap costs almost no recall).
+    The cap is RELATIVE (``floor(0.10 · n_docs)``), not absolute: an
+    absolute cap silently degenerates to an empty result as the corpus
+    grows past the point where every term's posting list exceeds it.
     (2) per-pair accumulation happens on the ALREADY-AGGREGATED (doc,term)
     weight table, so the join input is |distinct doc-term pairs|, not
-    corpus tokens.
+    corpus tokens; the weight table is persisted because three consumers
+    (norms + both join sides) would otherwise recompute the tokenize +
+    tf + df pipeline three times.
 
     Determinism: per-doc squared norms and per-pair dot products are sums
     of doubles, so each addend is fixed-point quantized (``floor(x ·
@@ -670,13 +675,15 @@ def q_sparse_allpairs_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     values. Top pairs under a (sim, doc_a, doc_b) total order.
     """
     docs = load_table(spark, sf_dir, "documents")
+    max_df = int(docs.count() * SPARSE_DF_FRAC)  # parquet metadata count — no scan
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_w = Window.partitionBy("term")
     weights = (
         tf.withColumn("df", F.count(F.lit(1)).over(df_w))
-        .filter(F.col("df") <= SPARSE_MAX_DF)
+        .filter(F.col("df") <= F.lit(max_df))
         .select("doc_id", "term", (F.col("tf").cast("double") / F.col("df")).alias("w"))
+        .persist()
     )
     norms = weights.groupBy("doc_id").agg(
         F.sqrt(
@@ -724,7 +731,7 @@ tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
 weights AS (
   SELECT doc_id, term, CAST(tf AS DOUBLE) / df AS w
   FROM (SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tf)
-  WHERE df <= {SPARSE_MAX_DF}
+  WHERE df <= (SELECT CAST(floor(COUNT(*) * {SPARSE_DF_FRAC}) AS BIGINT) FROM documents)
 ),
 norms AS (
   SELECT doc_id,
@@ -826,12 +833,15 @@ def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a UNION of {COOC_WINDOW} EQUI-joins on (doc_id, pos + k) — never a
     non-equi range self-join — so each candidate pair is produced exactly
     once per offset and the join keys shuffle-partition cleanly. Unigram
-    counts broadcast back onto the aggregated pair table.
+    counts broadcast back onto the aggregated pair table. The position
+    table is persisted: it has 2·{COOC_WINDOW}+2 consumers (offset join
+    sides, unigram agg, total count) that would otherwise each re-run the
+    tokenize + posexplode scan.
     """
     docs = load_table(spark, sf_dir, "documents")
     pos = docs.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "term")
-    )
+    ).persist()
     uni = pos.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
     n_positions = pos.count()
     parts = []
