@@ -1,0 +1,402 @@
+"""Statistical analytics operators: grouped OLS regression, correlation
+pairs, chi-square association, and lag-k autocorrelation.
+
+Extension scope (the reference's analytics stop at means/rates —
+src/aggregate_flight_data.py computes ratio KPIs only); these are the
+standard next rung of in-warehouse statistics: trend fitting, measure
+association, categorical independence, and seasonality detection. All four
+are single-pass moment aggregations — the textbook "sufficient statistics"
+formulation — so at 100 TB each is ONE map-side-combinable hash aggregate
+(no second pass over the data, no driver-side math on raw rows).
+
+Determinism: every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact decimal sum
+(``functions.exact.dsum``) or a fixed-point integer sum, so the derived
+statistics are IEEE arithmetic on bit-identical inputs across engines and
+partitionings. Scales are chosen per moment so |sum|·10^scale stays inside
+the 2^53 exact-double window at SF well past the test range (documented
+inline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.functions.exact import dsum, sql_dsum
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression (price-per-unit trend per return flag)
+# ---------------------------------------------------------------------------
+
+# Moment scales: x = l_quantity (≤50), y = l_extendedprice (≤~1.1e5).
+# x·y ≤ ~5.5e6 ⇒ Σxy ≤ ~3.3e12 at sf1 — scale 2 keeps Σ·10^2 < 2^53.
+# y² ≤ ~1.2e10 ⇒ Σy² ≤ ~7e15·(sf) — scale 0, precision 38 (integer-exact
+# decimal sum; the final double conversion is one correctly-rounded cast).
+
+
+def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit of extended price on quantity
+    (slope = effective price-per-unit, intercept = fixed component, r² =
+    fit quality), grouped by return flag.
+
+    Scale shape: ONE hash aggregate producing the five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) with map-side partials — the
+    slope/intercept/r² arithmetic happens on the ≤|groups| result rows.
+    This is how every distributed ML-lite system fits linear models:
+    sufficient statistics in the engine, closed form on the driver-sized
+    remainder. No second scan, no collect of raw rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, scale=4).alias("sx"),
+        dsum(y, scale=4).alias("sy"),
+        dsum(x * y, scale=2).alias("sxy"),
+        dsum(x * x, scale=4).alias("sxx"),
+        dsum(y * y, scale=0, precision=38).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / varx_n
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+        ((cov_n * cov_n) / (varx_n * vary_n)).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+_ORACLE_REGRESSION_OLS = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         {sql_dsum("l_quantity", scale=4)} AS sx,
+         {sql_dsum("l_extendedprice", scale=4)} AS sy,
+         {sql_dsum("l_quantity * l_extendedprice", scale=2)} AS sxy,
+         {sql_dsum("l_quantity * l_quantity", scale=4)} AS sxx,
+         {sql_dsum("l_extendedprice * l_extendedprice", scale=0, precision=38)} AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation between measure pairs
+# ---------------------------------------------------------------------------
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+]
+
+# Per-moment decimal scales, chosen by column magnitude so quantization is
+# far below the value's precision AND |sum|·10^scale < 2^53 at large SF.
+# (A single global scale fails both ways: scale 0 quantizes discount² —
+# values ~0.0025 — to literal zero, which drove a variance negative.)
+_S_SCALE = {"l_quantity": 4, "l_extendedprice": 4, "l_discount": 8}
+_SS_SCALE = {
+    "l_quantity": (4, 28),
+    "l_extendedprice": (0, 38),
+    "l_discount": (8, 28),
+}
+_SP_SCALE = {
+    ("l_quantity", "l_extendedprice"): 2,
+    ("l_quantity", "l_discount"): 6,
+    ("l_extendedprice", "l_discount"): 4,
+}
+
+
+def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for each measure pair (quantity, extendedprice,
+    discount) over lineitem — the correlation-matrix primitive.
+
+    Scale shape: ONE global aggregate computes every distinct moment the
+    three pairs need (map-side combinable, result is a single row); the
+    per-pair r values are then assembled with a literal-array explode —
+    zero additional scans however many pairs are requested. sqrt is an
+    IEEE correctly-rounded operation, so r stays bit-stable given exact
+    moments.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = sorted({c for pair in _CORR_PAIRS for c in pair})
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(
+            dsum(F.col(c).cast("double"), scale=_S_SCALE[c]).alias(f"s_{c}")
+        )
+        sc, prec = _SS_SCALE[c]
+        aggs.append(
+            dsum(
+                (F.col(c) * F.col(c)).cast("double"), scale=sc, precision=prec
+            ).alias(f"ss_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            dsum(
+                (F.col(a) * F.col(b)).cast("double"), scale=_SP_SCALE[(a, b)]
+            ).alias(f"sp_{a}_{b}")
+        )
+    m = load_table(spark, sf_dir, "lineitem").agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def r_expr(a: str, b: str):
+        cov = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vb = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        return cov / F.sqrt(va * vb)
+
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                r_expr(a, b).alias("pearson_r"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return (
+        m.select(F.explode(pair_structs).alias("p"), "n")
+        .select("p.col_a", "p.col_b", F.col("n").alias("n_rows"), "p.pearson_r")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _sql_corr_pairs() -> str:
+    cols = sorted({c for pair in _CORR_PAIRS for c in pair})
+    moments = ["COUNT(*) AS n"]
+    for c in cols:
+        moments.append(f"{sql_dsum(c, scale=_S_SCALE[c])} AS s_{c}")
+        sc, prec = _SS_SCALE[c]
+        moments.append(f"{sql_dsum(f'{c} * {c}', scale=sc, precision=prec)} AS ss_{c}")
+    for a, b in _CORR_PAIRS:
+        moments.append(
+            f"{sql_dsum(f'{a} * {b}', scale=_SP_SCALE[(a, b)])} AS sp_{a}_{b}"
+        )
+    selects = []
+    for a, b in _CORR_PAIRS:
+        selects.append(
+            f"""SELECT '{a}' AS col_a, '{b}' AS col_b, n AS n_rows,
+       (n * sp_{a}_{b} - s_{a} * s_{b})
+         / sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b})) AS pearson_r
+FROM m"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH m AS (SELECT {", ".join(moments)} FROM lineitem)
+{union}
+ORDER BY col_a, col_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of association (order status × order priority)
+# ---------------------------------------------------------------------------
+
+_CHI_FP = 10**12  # fixed-point scale for the (small) term sum
+
+
+def q_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for independence of order status and order
+    priority: Σ (observed − expected)² / expected over the contingency
+    table, with expected = row_total · col_total / N.
+
+    Scale shape: one hash-agg builds the contingency table (|statuses| ×
+    |priorities| rows — tiny); marginals come from window sums over that
+    tiny table (zero extra scans of orders); the final statistic is one
+    more reduce over ≤ dozens of cells. At 100 TB only the first
+    aggregate touches data.
+
+    Determinism: observed/marginal counts are exact integers; each cell
+    term is IEEE arithmetic on integers (bit-stable); the cross-cell sum
+    is fixed-point quantized (``floor(term · 10^12)`` summed as
+    DECIMAL(38,0)) so summation order cannot shift the last ulps.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    w_row = Window.partitionBy("o_orderstatus")
+    w_col = Window.partitionBy("o_orderpriority")
+    w_all = Window.partitionBy()
+    with_marg = cells.select(
+        "observed",
+        F.sum("observed").over(w_row).alias("row_tot"),
+        F.sum("observed").over(w_col).alias("col_tot"),
+        F.sum("observed").over(w_all).alias("grand"),
+    )
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand").cast("double")
+    )
+    term = (F.col("observed").cast("double") - expected) ** 2 / expected
+    return with_marg.agg(
+        (
+            F.sum(F.floor(term * F.lit(float(_CHI_FP))).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(float(_CHI_FP))
+        ).alias("chi_square"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("grand").alias("n_rows"),
+    )
+
+
+_ORACLE_CHI_SQUARE = f"""
+WITH cells AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS observed
+  FROM orders GROUP BY 1, 2
+),
+marg AS (
+  SELECT observed,
+         SUM(observed) OVER (PARTITION BY o_orderstatus) AS row_tot,
+         SUM(observed) OVER (PARTITION BY o_orderpriority) AS col_tot,
+         SUM(observed) OVER () AS grand
+  FROM cells
+)
+SELECT CAST(SUM(CAST(floor(
+         power(CAST(observed AS DOUBLE)
+               - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(grand AS DOUBLE), 2)
+         / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(grand AS DOUBLE))
+         * {float(_CHI_FP)}) AS DECIMAL(38,0))) AS DOUBLE) / {float(_CHI_FP)} AS chi_square,
+       COUNT(*) AS n_cells,
+       MAX(grand) AS n_rows
+FROM marg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation of the daily order-count series
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = [1, 7]
+_ACF_FP = 10**9  # deviations are O(1e2), products O(1e4), ~2.4e3 days
+
+
+def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily order-count series at lags
+    {1, 7} — the seasonality/trend detector (lag-7 exposes weekly cycles).
+    r_k = Σ (x_t − x̄)(x_{t+k} − x̄) / Σ (x_t − x̄)², positions by row
+    over the observed (date-ordered) series.
+
+    Scale shape: the raw scan collapses to |distinct days| rows (~2.4k
+    for seven years — bounded by the calendar, NOT by data volume) in one
+    hash-agg; the lag windows then run over that tiny series. The
+    single-partition window is deliberate and safe: its input is
+    calendar-bounded, so at 100 TB it is the same few-thousand-row sort.
+
+    Determinism: day counts are exact integers; x̄ = exact-sum/count;
+    deviation products are fixed-point quantized before the cross-row sum.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy(F.lit(1)).orderBy("d")
+    dev = daily.select(
+        "d",
+        (
+            F.col("x").cast("double")
+            - F.sum("x").over(w_all).cast("double") / F.count(F.lit(1)).over(w_all)
+        ).alias("dev"),
+    )
+    lagged = dev.select(
+        "dev",
+        *[F.lead("dev", k).over(w_ord).alias(f"dev_{k}") for k in ACF_LAGS],
+    )
+
+    def fpsum(col):
+        return (
+            F.sum(F.floor(col * F.lit(float(_ACF_FP))).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(float(_ACF_FP))
+        )
+
+    m = lagged.agg(
+        fpsum(F.col("dev") * F.col("dev")).alias("ss"),
+        *[
+            fpsum(F.col("dev") * F.col(f"dev_{k}")).alias(f"sp_{k}")
+            for k in ACF_LAGS
+        ],
+        *[F.count(F.col(f"dev_{k}")).alias(f"n_{k}") for k in ACF_LAGS],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(f"n_{k}").alias("n_pairs"),
+                (F.col(f"sp_{k}") / F.col("ss")).alias("autocorr"),
+            )
+            for k in ACF_LAGS
+        ]
+    )
+    return (
+        m.select(F.explode(rows).alias("r"))
+        .select("r.lag", "r.n_pairs", "r.autocorr")
+        .orderBy("lag")
+    )
+
+
+def _sql_autocorr_lag() -> str:
+    fp = float(_ACF_FP)
+
+    def fpsum(expr: str) -> str:
+        return (
+            f"CAST(SUM(CAST(floor(({expr}) * {fp}) AS DECIMAL(38,0))) AS DOUBLE) / {fp}"
+        )
+
+    lag_moments = ", ".join(
+        f"{fpsum(f'dev * dev_{k}')} AS sp_{k}, COUNT(dev_{k}) AS n_{k}"
+        for k in ACF_LAGS
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS lag, n_{k} AS n_pairs, sp_{k} / ss AS autocorr FROM m"
+        for k in ACF_LAGS
+    )
+    lag_cols = ", ".join(
+        f"lead(dev, {k}) OVER (ORDER BY d) AS dev_{k}" for k in ACF_LAGS
+    )
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate AS d, COUNT(*) AS x FROM orders GROUP BY 1
+),
+dev AS (
+  SELECT d,
+         CAST(x AS DOUBLE) - CAST(SUM(x) OVER () AS DOUBLE) / COUNT(*) OVER () AS dev
+  FROM daily
+),
+lagged AS (SELECT dev, {lag_cols} FROM dev),
+m AS (SELECT {fpsum("dev * dev")} AS ss, {lag_moments} FROM lagged)
+{selects}
+ORDER BY lag
+"""
+
+
+QUERIES = {
+    "regression_ols": q_regression_ols,
+    "corr_pairs": q_corr_pairs,
+    "chi_square_assoc": q_chi_square_assoc,
+    "autocorr_lag": q_autocorr_lag,
+}
+
+ORACLE = {
+    "regression_ols": _ORACLE_REGRESSION_OLS,
+    "corr_pairs": _sql_corr_pairs(),
+    "chi_square_assoc": _ORACLE_CHI_SQUARE,
+    "autocorr_lag": _sql_autocorr_lag(),
+}

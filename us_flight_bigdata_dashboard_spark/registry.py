@@ -26,6 +26,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     relational,
     sampling,
     similarity,
+    statistics,
     temporal,
     text,
 )
@@ -45,6 +46,7 @@ _MODULES = [
     audit,
     layout,
     graph,
+    statistics,
 ]
 
 
