@@ -34,7 +34,7 @@ SPLIT_TRAIN_PCT = 80  # [0,80) train, [80,90) valid, [90,100) test
 SPLIT_VALID_PCT = 90
 
 DECONTAM_NGRAM = 8
-N_BENCH_DOCS = 10
+BENCH_DOC_FRAC = 0.02  # benchmark set = first 2% of doc_ids (scale-relative)
 
 
 def _bucket_col() -> F.Column:
@@ -106,22 +106,26 @@ GROUP BY 1, 2
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing at least one
-    word-8-gram with the benchmark set (here: doc_id < N_BENCH_DOCS stands
-    in for an eval suite), with the overlap count. 8-grams are the
+    word-8-gram with the benchmark set (here: the first 2% of doc_ids
+    stands in for an eval suite), with the overlap count. 8-grams are the
     published decontamination unit (GPT-3 used 13-grams, Gopher 8-grams —
-    long enough that natural reuse is rare).
+    long enough that natural reuse is rare). The benchmark cut is
+    RELATIVE (``floor(0.02 · n_docs)``): an absolute doc count shrinks to
+    a vanishing sliver of a growing corpus and the gate degenerates to an
+    empty (vacuous) compare.
 
     Scale shape: benchmark suites are tiny versus the corpus, so the
     benchmark's distinct shingle set broadcasts; the corpus side is a
     narrow explode + broadcast semi-shaped join + one aggregation over the
     (few) contaminated docs. The corpus never shuffles its text."""
     docs = load_table(spark, sf_dir, "documents")
+    n_bench = int(docs.count() * BENCH_DOC_FRAC)  # parquet metadata count
     sh = docs.select("doc_id", F.explode(_shingle_array(DECONTAM_NGRAM)).alias("shingle"))
     bench = (
-        sh.filter(F.col("doc_id") < N_BENCH_DOCS).select("shingle").distinct()
+        sh.filter(F.col("doc_id") < n_bench).select("shingle").distinct()
     )
     return (
-        sh.filter(F.col("doc_id") >= N_BENCH_DOCS)
+        sh.filter(F.col("doc_id") >= n_bench)
         .join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap_shingles"))
@@ -130,10 +134,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_DECONTAMINATE = f"""
 WITH sh AS ({_sql_shingles(DECONTAM_NGRAM)}),
-bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {N_BENCH_DOCS})
+bench AS (SELECT DISTINCT shingle FROM sh
+          WHERE doc_id < (SELECT CAST(floor(COUNT(*) * {BENCH_DOC_FRAC}) AS BIGINT) FROM documents))
 SELECT s.doc_id, COUNT(*) AS n_overlap_shingles
 FROM sh s JOIN bench USING (shingle)
-WHERE s.doc_id >= {N_BENCH_DOCS}
+WHERE s.doc_id >= (SELECT CAST(floor(COUNT(*) * {BENCH_DOC_FRAC}) AS BIGINT) FROM documents)
 GROUP BY 1
 """
 
