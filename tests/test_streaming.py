@@ -199,3 +199,72 @@ def test_streaming_dedup_drops_redelivered(spark, tmp_path_factory):
         spark.read.schema(EVENT_SCHEMA).json(root).dropDuplicates(["event_id"])
     )
     assert got == sorted(r["event_id"] for r in batch.collect())
+
+
+def test_stream_static_enrichment(spark, stream_dir):
+    """Stream-static left join: every event flows through enriched with the
+    dimension row (or NULLs), equal to the same join run as batch."""
+    from us_flight_bigdata_dashboard_spark.streaming.events import (
+        EVENT_SCHEMA,
+        enrich_stream_with_dim,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["dim_user_id", "segment"]
+    )
+    stream = read_event_stream(spark, stream_dir)
+    q = run_to_memory_sink(
+        enrich_stream_with_dim(stream, dim), "enrich_test", mode="append"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["segment"]) for r in spark.table("enrich_test").collect()
+    }
+    batch_src = spark.read.schema(EVENT_SCHEMA).json(stream_dir)
+    batch = {
+        (r["event_id"], r["segment"])
+        for r in enrich_stream_with_dim(batch_src, dim).collect()
+    }
+    assert got == batch
+    assert (1, "gold") in got and (4, None) in got  # user 3 unmatched → NULL
+
+
+def test_upsert_sink_idempotent_replay(spark, tmp_path_factory):
+    """foreachBatch upsert sink: per-key last-writer-wins, and replaying the
+    same files through a SECOND query over the same target converges (no
+    duplicate keys, same values)."""
+    import json as _json
+
+    from us_flight_bigdata_dashboard_spark.streaming.events import upsert_parquet_sink
+
+    root = tmp_path_factory.mktemp("upsert_in")
+    out = str(tmp_path_factory.mktemp("upsert_out") / "target")
+    # user 1 appears in both batches — the later ts must win
+    batches = [
+        [(1, "2026-01-01 10:00:00", 1, "click", 1.0),
+         (2, "2026-01-01 10:10:00", 2, "view", 2.0)],
+        [(3, "2026-01-01 11:00:00", 1, "click", 9.0),
+         (4, "2026-01-01 11:05:00", 3, "view", 4.0)],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(root, f"b{i}.json")
+        with open(p, "w") as f:
+            for eid, ts, uid, et, v in rows:
+                f.write(_json.dumps({"event_id": eid, "ts": ts, "user_id": uid,
+                                     "event_type": et, "value": v, "props": "{}"}) + "\n")
+        os.utime(p, (1000000 + i * 100, 1000000 + i * 100))
+
+    def run(checkpoint):
+        stream = read_event_stream(spark, str(root))
+        q = upsert_parquet_sink(stream, out, checkpoint, ["user_id"])
+        q.awaitTermination(120)
+
+    run(str(tmp_path_factory.mktemp("ckpt1")))
+    first = {(r["user_id"], r["event_id"]) for r in spark.read.parquet(out).collect()}
+    assert first == {(1, 3), (2, 2), (3, 4)}  # user 1 upserted to event 3
+
+    # fresh checkpoint → all files replay against the existing target
+    run(str(tmp_path_factory.mktemp("ckpt2")))
+    replay = spark.read.parquet(out)
+    assert replay.groupBy("user_id").count().filter("count > 1").count() == 0
+    assert {(r["user_id"], r["event_id"]) for r in replay.collect()} == first

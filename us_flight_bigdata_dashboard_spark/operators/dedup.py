@@ -707,6 +707,109 @@ LEFT JOIN best b USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Sub-document chunk-level dedup (paragraph dedup for flat text)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 20
+CHUNK_TOP_DOCS = 50
+
+
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document deduplication at fixed {CHUNK_TOKENS}-token chunk
+    granularity: every repeated chunk instance except its canonical first
+    occurrence (min (doc_id, chunk_idx)) is marked duplicate, and each doc
+    reports how much of it survives chunk-level dedup — the
+    paragraph-dedup stage of pretraining pipelines (the synthetic corpus
+    has no newline structure, so fixed token windows stand in for
+    paragraph boundaries).
+
+    Scale shape: tokenize + chunk are narrow array exprs; one explode to
+    chunk instances; canonical-occurrence marking is two window passes
+    over the SAME partition key (chunk text) — one shuffle — then a
+    per-doc hash-agg. Nothing is ever joined all-pairs; the chunk-hash
+    shuffle is the only wide op, exactly like exact dedup.
+
+    Output: the {CHUNK_TOP_DOCS} most-duplicated docs under a total order
+    (bounded result at any corpus size).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / CHUNK_TOKENS).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)),
+    )
+    inst = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    w = Window.partitionBy("chunk")
+    marked = (
+        inst.withColumn("d0", F.min("doc_id").over(w))
+        .withColumn(
+            "i0",
+            F.min(F.when(F.col("doc_id") == F.col("d0"), F.col("chunk_idx"))).over(w),
+        )
+        .select(
+            "doc_id",
+            (
+                ~((F.col("doc_id") == F.col("d0")) & (F.col("chunk_idx") == F.col("i0")))
+            ).cast("int").alias("is_dup"),
+        )
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("is_dup").alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "retained_frac",
+            (F.col("n_chunks") - F.col("n_dup_chunks"))
+            / F.col("n_chunks").cast("double"),
+        )
+        .orderBy(F.desc("n_dup_chunks"), F.asc("doc_id"))
+        .limit(CHUNK_TOP_DOCS)
+    )
+
+
+_ORACLE_DEDUP_CHUNKS = f"""
+WITH inst AS (
+  SELECT doc_id, u.chunk_idx, u.chunk FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(0, CAST(floor((len({_SQL_TOKS}) - 1) / {CHUNK_TOKENS}) AS INT)),
+             i -> struct_pack(chunk_idx := CAST(i AS INT),
+                              chunk := array_to_string(
+                                list_slice({_SQL_TOKS}, i * {CHUNK_TOKENS} + 1,
+                                           i * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' ')))) AS u
+    FROM documents
+  )
+),
+pass1 AS (
+  SELECT doc_id, chunk_idx, chunk,
+         MIN(doc_id) OVER (PARTITION BY chunk) AS d0
+  FROM inst
+),
+marked AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = d0 AND chunk_idx = i0 THEN 0 ELSE 1 END AS is_dup
+  FROM (
+    SELECT doc_id, chunk_idx, d0,
+           MIN(CASE WHEN doc_id = d0 THEN chunk_idx END)
+             OVER (PARTITION BY chunk) AS i0
+    FROM pass1
+  )
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_chunks,
+       (COUNT(*) - SUM(is_dup)) / CAST(COUNT(*) AS DOUBLE) AS retained_frac
+FROM marked
+GROUP BY doc_id
+ORDER BY n_dup_chunks DESC, doc_id ASC
+LIMIT {CHUNK_TOP_DOCS}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_edit_distance": q_dedup_edit_distance,
@@ -717,6 +820,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_incremental": q_dedup_incremental,
     "dedup_keep_best": q_dedup_keep_best,
+    "dedup_chunks": q_dedup_chunks,
 }
 
 ORACLE = {
@@ -729,4 +833,5 @@ ORACLE = {
     "dedup_clusters": _sql_dedup_clusters(),
     "dedup_incremental": _sql_dedup_incremental(),
     "dedup_keep_best": _sql_dedup_keep_best(),
+    "dedup_chunks": _ORACLE_DEDUP_CHUNKS,
 }

@@ -22,7 +22,7 @@ on the final back-cast holds because ranks sum to 1 (sum_fp ≤ 10^15).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
@@ -196,12 +196,105 @@ GROUP BY node_class, degree
 """
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting on the supplier co-supply projection
+# ---------------------------------------------------------------------------
+
+COPROJ_CAP = 100     # skip customers linked to more suppliers (projection guard)
+TRI_TOP_K = 20
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the supplier co-supply graph (suppliers
+    joined by an edge when they serve a common customer), top {TRI_TOP_K}
+    suppliers by triangle participation — the clustering-coefficient
+    numerator and the standard "is this graph clumpy" primitive. The
+    customer–supplier graph itself is bipartite (triangle-free by
+    construction), so triangles only exist on the unipartite projection.
+
+    Scale shape, the part that matters at 100 TB: (1) the projection
+    self-join is per-customer, and a degree guard drops hub customers
+    with > {COPROJ_CAP} distinct suppliers BEFORE the join — without it
+    one mega-customer makes the projection quadratic (the same hot-key
+    guard as the shingle DF cap); (2) triangle enumeration is the
+    ordered-edge (a<b<c) three-way equi-join over the DISTINCT projected
+    edge list, so each triangle is produced exactly once and the join
+    keys are plain node ids — shuffle-partitionable, no broadcast of
+    anything data-sized.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg_w = Window.partitionBy("cust")
+    cs_capped = cs.withColumn("n_supp", F.count(F.lit(1)).over(deg_w)).filter(
+        F.col("n_supp") <= COPROJ_CAP
+    )
+    a = cs_capped.select("cust", F.col("supp").alias("s1"))
+    b = cs_capped.select("cust", F.col("supp").alias("s2"))
+    edges = (
+        a.join(b, "cust")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    e1 = edges.select(F.col("s1").alias("na"), F.col("s2").alias("nb"))
+    e2 = edges.select(F.col("s1").alias("nb"), F.col("s2").alias("nc"))
+    e3 = edges.select(F.col("s1").alias("na"), F.col("s2").alias("nc"))
+    tris = e1.join(e2, "nb").join(e3, ["na", "nc"])
+    return (
+        tris.select(
+            F.explode(F.array(F.col("na"), F.col("nb"), F.col("nc"))).alias("suppkey")
+        )
+        .groupBy("suppkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("suppkey"))
+        .limit(TRI_TOP_K)
+    )
+
+
+_ORACLE_TRIANGLES = f"""
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+capped AS (
+  SELECT cust, supp FROM (
+    SELECT cust, supp, COUNT(*) OVER (PARTITION BY cust) AS n_supp FROM cs
+  ) WHERE n_supp <= {COPROJ_CAP}
+),
+edges AS (
+  SELECT DISTINCT a.supp AS s1, b.supp AS s2
+  FROM capped a JOIN capped b USING (cust)
+  WHERE a.supp < b.supp
+),
+tris AS (
+  SELECT e1.s1 AS na, e1.s2 AS nb, e2.s2 AS nc
+  FROM edges e1
+  JOIN edges e2 ON e2.s1 = e1.s2
+  JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+)
+SELECT suppkey, COUNT(*) AS n_triangles
+FROM (
+  SELECT unnest([na, nb, nc]) AS suppkey FROM tris
+)
+GROUP BY suppkey
+ORDER BY n_triangles DESC, suppkey ASC
+LIMIT {TRI_TOP_K}
+"""
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_degree_dist": q_graph_degree_dist,
+    "graph_triangles": q_graph_triangles,
 }
 
 ORACLE = {
     "graph_pagerank": _sql_pagerank(),
     "graph_degree_dist": _ORACLE_DEGREE_DIST,
+    "graph_triangles": _ORACLE_TRIANGLES,
 }
