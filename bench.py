@@ -62,6 +62,13 @@ HEADLINE = [
     "graph_pagerank",
     "text_boilerplate",
     "bloom_semi_join",
+    # continuation-r2 additions: the classic multi-join aggregates (Q3/Q5
+    # shapes — the canonical shuffle-join benchmarks), and the two text
+    # join plans rewritten onto persisted intermediates this round
+    "shipping_priority",
+    "region_revenue",
+    "sparse_allpairs_sim",
+    "cooccur_lift",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

@@ -245,3 +245,26 @@ def test_zscore_stats_broadcast_back(spark):
     df = q_events_zscore_anomaly(spark, SF_DIR)
     assert count_broadcast_joins(df) == 1, plan_str(df)
     assert count_sortmerge_joins(df) == 0
+
+
+def test_shipping_priority_one_shuffle_takeordered(spark):
+    # Q3 shape: join on orderkey and group-by on orderkey must SHARE one
+    # exchange, and the top-K must be a TakeOrdered, not a global sort
+    from us_flight_bigdata_dashboard_spark.operators.relational import (
+        q_shipping_priority,
+    )
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_shipping_priority(spark, SF_DIR)
+    assert count_exchanges(df) <= 1, plan_str(df)
+    assert "TakeOrderedAndProject" in plan_str(df)
+
+
+def test_events_ohlc_single_shuffle(spark):
+    # both row_number windows and the final agg share (window_start,
+    # event_type) partitioning: exactly one exchange in the whole plan
+    from us_flight_bigdata_dashboard_spark.operators.events import q_events_ohlc
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_events_ohlc(spark, SF_DIR)
+    assert count_exchanges(df) <= 1, plan_str(df)

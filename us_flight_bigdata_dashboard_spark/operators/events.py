@@ -602,8 +602,80 @@ GROUP BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# OHLC resampling (time-series downsample)
+# ---------------------------------------------------------------------------
+
+
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close resampling of the event value series per
+    (event_type, hour) — the financial-bar / metrics-downsample primitive
+    that turns a raw event stream into a fixed-rate series.
+
+    Open/close are order statistics, not additive aggregates, so they
+    need a within-window total order: row_number under (ts, event_id) —
+    event_id breaks timestamp ties deterministically — once ascending and
+    once descending, then a conditional max per window. Both windows AND
+    the final aggregate share the same partition key, so the whole
+    operator is ONE shuffle: Catalyst plans a single Exchange and the two
+    sorts + agg run in the same stage pipeline.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_asc = Window.partitionBy("window_start", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    w_desc = Window.partitionBy("window_start", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        base.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_ORACLE_EVENTS_OHLC = """
+WITH base AS (
+  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+         event_type, ts, event_id, value
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM base
+)
+SELECT window_start, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM ranked
+GROUP BY window_start, event_type
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
+    "events_ohlc": q_events_ohlc,
     "events_funnel": q_events_funnel,
     "events_cohort_retention": q_events_cohort_retention,
     "events_sessionize": q_events_sessionize,
@@ -617,6 +689,7 @@ QUERIES = {
 
 ORACLE = {
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,
+    "events_ohlc": _ORACLE_EVENTS_OHLC,
     "events_funnel": _ORACLE_EVENTS_FUNNEL,
     "events_cohort_retention": _ORACLE_EVENTS_COHORT_RETENTION,
     "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,

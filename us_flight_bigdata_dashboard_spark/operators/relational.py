@@ -794,10 +794,137 @@ WHERE o_totalprice > cust_avg_price
 """
 
 
+# ---------------------------------------------------------------------------
+# Classic multi-join aggregates (TPC-H Q3 / Q5 shapes)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-03-15"
+Q3_TOP = 10
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue by order — customer ⋈
+    orders ⋈ lineitem with opposing date predicates, grouped on the JOIN
+    KEY (o_orderkey), top {Q3_TOP} by revenue.
+
+    The scale-relevant parts: the high-cardinality group-by on orderkey
+    reuses the lineitem⋈orders shuffle partitioning (join and agg share
+    the key, so Catalyst plans ONE exchange for both); the segment filter
+    reduces customers ~5× BEFORE their join; both date filters push to
+    the parquet scans (PushedFilters). Revenue is the exact decimal sum.
+    The final top-K is a TakeOrdered (per-partition heap + driver merge
+    of K·partitions rows), never a global sort of all groups.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(Q3_TOP)
+    )
+
+
+_ORACLE_SHIPPING_PRIORITY = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", scale=4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT {Q3_TOP}
+"""
+
+
+Q5_DATE_LO = "1997-01-01"
+Q5_DATE_HI = "1998-01-01"
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by supplier nation for orders where the
+    customer and supplier share a nation — the six-table join
+    (region ⋈ nation ⋈ supplier ⋈ lineitem ⋈ orders ⋈ customer) with the
+    extra equi-constraint c_nationkey = s_nationkey.
+
+    Join strategy by size class: region/nation broadcast (constant-sized);
+    supplier broadcasts at test SF but is hinted only via its nation
+    filter — the big three (lineitem ⋈ orders on orderkey, then ⋈ customer
+    on custkey) are shuffle joins on their natural keys, which is the
+    correct 100 TB plan. The customer–supplier nation match is applied as
+    a post-join filter (it correlates two dimensions, so it cannot push
+    below either big join). One year of orders prunes at the scan.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_DATE_HI).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sn = supplier.join(
+        F.broadcast(nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name", "r_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.asc("r_name"), F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_ORACLE_REGION_REVENUE = f"""
+SELECT r_name, n_name,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", scale=4)} AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '{Q5_DATE_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q5_DATE_HI} 00:00:00'
+  AND c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+ORDER BY r_name ASC, revenue DESC, n_name ASC
+"""
+
+
 QUERIES = {
     "star_join_agg": q_star_join_agg,
     "correlated_above_avg": q_correlated_above_avg,
     "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "region_revenue": q_region_revenue,
     "scan_project_cast": q_scan_project_cast,
     "filter_in_conj": q_filter_in_conj,
     "null_impute_indicator": q_null_impute_indicator,
@@ -824,6 +951,8 @@ ORACLE = {
     "star_join_agg": _ORACLE_STAR_JOIN_AGG,
     "correlated_above_avg": _ORACLE_CORRELATED_ABOVE_AVG,
     "pricing_summary": _ORACLE_PRICING_SUMMARY,
+    "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
+    "region_revenue": _ORACLE_REGION_REVENUE,
     "scan_project_cast": _ORACLE_SCAN_PROJECT_CAST,
     "filter_in_conj": _ORACLE_FILTER_IN_CONJ,
     "null_impute_indicator": _ORACLE_NULL_IMPUTE_INDICATOR,
