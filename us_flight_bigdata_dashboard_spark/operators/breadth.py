@@ -336,8 +336,118 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-RANGE window frames (interval-bounded rolling aggregates)
+# ---------------------------------------------------------------------------
+
+RANGE_DAYS = 7
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {RANGE_DAYS}-day revenue per customer: a RANGE window frame
+    bounded by event TIME, not row count — the frame every "last N days"
+    metric needs, and semantically different from a ROWS frame whenever
+    timestamps repeat or gap (RANGE includes all ties and respects real
+    gaps; ROWS blindly counts neighbors).
+
+    Spark expresses interval RANGE frames over a numeric ordering column:
+    integer day offsets (``datediff`` from a fixed epoch — ANSI mode
+    forbids the timestamp→long cast shortcut) + ``rangeBetween(-(N-1),
+    0)`` — identical semantics to the oracle's ``RANGE BETWEEN INTERVAL
+    N-1 DAYS PRECEDING`` over the (midnight-aligned) timestamps. One
+    shuffle on the partition key; the frame scan is a per-partition
+    sorted sweep (no self-join — the naive equivalent is a range
+    self-join that explodes at 100 TB).
+
+    Output restricted to one returnflag-heavy month for bounded rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-(RANGE_DAYS - 1), 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .over(w)
+            .cast("double")
+            .alias("rolling_revenue"),
+            F.count(F.lit(1)).over(w).alias("n_orders_in_window"),
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .orderBy("o_custkey", "o_orderdate")
+    )
+
+
+_ORACLE_WINDOW_RANGE_FRAME = f"""
+SELECT o_custkey, o_orderdate, o_totalprice, rolling_revenue, n_orders_in_window
+FROM (
+  SELECT o_custkey, o_orderdate, o_totalprice,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL {RANGE_DAYS - 1} DAYS PRECEDING AND CURRENT ROW
+         ) AS DOUBLE) AS rolling_revenue,
+         COUNT(*) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL {RANGE_DAYS - 1} DAYS PRECEDING AND CURRENT ROW
+         ) AS n_orders_in_window
+  FROM orders
+)
+WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+ORDER BY o_custkey, o_orderdate
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic array aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation made deterministic: per return flag, the
+    sorted distinct line statuses and sorted month list. ``collect_set``
+    order is partition-dependent (NEVER hashable cross-engine or even
+    run-to-run); wrapping in ``sort_array`` restores a total order, which
+    is the only correct way to emit array columns from a distributed agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.sort_array(
+                F.collect_set(F.month("l_shipdate").cast("int"))
+            ).alias("ship_months"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_ARRAY_AGG_SORTED = """
+SELECT l_returnflag,
+       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+       list_sort(list(DISTINCT CAST(month(l_shipdate) AS INTEGER))) AS ship_months,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "pivot_status": q_pivot_status,
+    "window_range_frame": q_window_range_frame,
+    "array_agg_sorted": q_array_agg_sorted,
     "null_safe_join": q_null_safe_join,
     "window_rolling_median": q_window_rolling_median,
     "window_ntile_ranks": q_window_ntile_ranks,
@@ -350,6 +460,8 @@ QUERIES = {
 
 ORACLE = {
     "pivot_status": _ORACLE_PIVOT_STATUS,
+    "window_range_frame": _ORACLE_WINDOW_RANGE_FRAME,
+    "array_agg_sorted": _ORACLE_ARRAY_AGG_SORTED,
     "null_safe_join": _ORACLE_NULL_SAFE_JOIN,
     "window_rolling_median": _ORACLE_WINDOW_ROLLING_MEDIAN,
     "window_ntile_ranks": _ORACLE_WINDOW_NTILE_RANKS,

@@ -972,8 +972,77 @@ WHERE rank <= {PQ_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH index vs exact ground truth
+# ---------------------------------------------------------------------------
+
+RECALL_K = 5
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@{RECALL_K} of the sign-projection
+    LSH index against exact brute-force ground truth, per query vector —
+    the measurement loop every ANN deployment runs before trusting an
+    index (tune bucket bits / bands against this curve).
+
+    Composes the two existing pipelines unchanged (ground truth =
+    q_knn_bruteforce top-{RECALL_K}, approx = q_ann_lsh) and left-joins
+    truth to the approx result on (query, neighbor): recall = matched
+    truth rows / {RECALL_K}. Both inputs are deterministic (fixed
+    tie-breaks), so the recall numbers are exact reproducible quantities,
+    not samples. Scale: both sides are ~|queries|·k rows — the evaluation
+    join is trivially small regardless of corpus size; it is the
+    pipelines underneath that scale.
+    """
+    truth = (
+        q_knn_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = q_ann_lsh(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("approx_neighbor")
+    )
+    return (
+        truth.join(
+            approx,
+            (truth["query_id"] == approx["query_id"])
+            & (truth["neighbor_id"] == approx["approx_neighbor"]),
+            "left",
+        )
+        .select(truth["query_id"], "neighbor_id", "approx_neighbor")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("approx_neighbor").alias("n_hits"),
+        )
+        .withColumn(
+            "recall", F.col("n_hits") / F.col("n_truth").cast("double")
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_ann_recall_eval() -> str:
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({_sql_knn_bruteforce()}) WHERE rank <= {RECALL_K}
+),
+approx AS (
+  SELECT query_id, neighbor_id AS approx_neighbor FROM ({_sql_ann_lsh()})
+)
+SELECT t.query_id, COUNT(*) AS n_truth,
+       COUNT(a.approx_neighbor) AS n_hits,
+       COUNT(a.approx_neighbor) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM truth t
+LEFT JOIN approx a ON a.query_id = t.query_id AND a.approx_neighbor = t.neighbor_id
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
+    "ann_recall_eval": q_ann_recall_eval,
     "embedding_quantize": q_embedding_quantize,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -985,6 +1054,7 @@ QUERIES = {
 
 ORACLE = {
     "knn_bruteforce": _sql_knn_bruteforce(),
+    "ann_recall_eval": _sql_ann_recall_eval(),
     "embedding_quantize": _sql_embedding_quantize(),
     "ann_lsh": _sql_ann_lsh(),
     "ann_ivf": _sql_ann_ivf(),
