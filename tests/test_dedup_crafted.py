@@ -180,3 +180,15 @@ def test_embedding_near_dup_and_knn(spark, crafted_dir):
     knn = q_knn_bruteforce(spark, crafted_dir).collect()
     top = {r["query_id"]: r["neighbor_id"] for r in knn if r["rank"] == 1}
     assert top[0] == 1  # exact duplicate is rank-1 (tie broken by id)
+
+
+def test_chunk_dedup_marks_exact_dup_chunks(spark, crafted_dir):
+    from us_flight_bigdata_dashboard_spark.operators.dedup import q_dedup_chunks
+
+    rows = {r["doc_id"]: r for r in q_dedup_chunks(spark, crafted_dir).collect()}
+    # doc 1 is an exact copy of doc 0: every chunk is a duplicate of doc
+    # 0's canonical occurrence → nothing retained
+    assert rows[1]["n_dup_chunks"] == rows[1]["n_chunks"]
+    assert rows[1]["retained_frac"] == 0.0
+    # doc 0 holds the canonical occurrences → fully retained
+    assert rows[0]["n_dup_chunks"] == 0 and rows[0]["retained_frac"] == 1.0
