@@ -69,6 +69,8 @@ HEADLINE = [
     "region_revenue",
     "sparse_allpairs_sim",
     "cooccur_lift",
+    "returned_item_ranking",
+    "nation_volume_shipping",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

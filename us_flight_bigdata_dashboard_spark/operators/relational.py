@@ -919,12 +919,139 @@ ORDER BY r_name ASC, revenue DESC, n_name ASC
 """
 
 
+Q10_DATE_LO = "1997-01-01"
+Q10_DATE_HI = "1997-04-01"
+Q10_TOP = 20
+
+
+def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returned items
+    in one quarter — lineitem(R-flagged) ⋈ orders(quarter) ⋈ customer ⋈
+    nation, top {Q10_TOP} by lost revenue.
+
+    Scale shape: both selective filters (return flag, order quarter) push
+    to their scans before the orderkey shuffle join; nation broadcasts;
+    the customer join shuffles on custkey, and the group-by on custkey
+    REUSES that exchange (join key = agg key). Top-K is TakeOrdered.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_DATE_HI).cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "lost_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(Q10_TOP)
+    )
+
+
+_ORACLE_RETURNED_ITEM_RANKING = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", scale=4)} AS lost_revenue,
+       COUNT(*) AS n_returned_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_DATE_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q10_DATE_HI} 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT {Q10_TOP}
+"""
+
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — supplier nation and customer nation must be the ({Q7_NATION_A},
+    {Q7_NATION_B}) pair in EITHER direction (the disjunctive pair
+    predicate that defeats naive single-sided pushdown).
+
+    Scale shape: each side's nation lookup broadcasts and ITS half of the
+    disjunction (nation ∈ {{A, B}}) prunes suppliers/customers before the
+    big joins — only the cross-pair exclusion (supp_nation ≠ cust_nation)
+    must wait until both sides are bound. The big joins shuffle on
+    orderkey then custkey; year extraction is a narrow expression.
+    """
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "volume"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+_ORACLE_NATION_VOLUME_SHIPPING = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", scale=4)} AS volume,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND cn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
 QUERIES = {
     "star_join_agg": q_star_join_agg,
     "correlated_above_avg": q_correlated_above_avg,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "region_revenue": q_region_revenue,
+    "returned_item_ranking": q_returned_item_ranking,
+    "nation_volume_shipping": q_nation_volume_shipping,
     "scan_project_cast": q_scan_project_cast,
     "filter_in_conj": q_filter_in_conj,
     "null_impute_indicator": q_null_impute_indicator,
@@ -953,6 +1080,8 @@ ORACLE = {
     "pricing_summary": _ORACLE_PRICING_SUMMARY,
     "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
     "region_revenue": _ORACLE_REGION_REVENUE,
+    "returned_item_ranking": _ORACLE_RETURNED_ITEM_RANKING,
+    "nation_volume_shipping": _ORACLE_NATION_VOLUME_SHIPPING,
     "scan_project_cast": _ORACLE_SCAN_PROJECT_CAST,
     "filter_in_conj": _ORACLE_FILTER_IN_CONJ,
     "null_impute_indicator": _ORACLE_NULL_IMPUTE_INDICATOR,
