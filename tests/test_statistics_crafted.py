@@ -66,12 +66,15 @@ def ts_dir(spark, tmp_path_factory):
 @pytest.fixture(scope="module")
 def tri_dir(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("tri_crafted"))
-    # customer 1 → suppliers {1,2,3} (one triangle); customer 2 → {3,4}
-    spark.createDataFrame(
-        [(10, 1), (20, 2)], "o_orderkey bigint, o_custkey bigint"
-    ).write.mode("overwrite").parquet(os.path.join(root, "orders.parquet"))
-    li = [(10, 1), (10, 2), (10, 3), (20, 3), (20, 4)]
-    spark.createDataFrame(li, "l_orderkey bigint, l_suppkey bigint").write.mode(
+    # parts {1,2,3} co-purchased in TWO orders (support 2 → all three
+    # edges survive → one triangle); parts {3,4} co-purchased once only
+    # (support 1 → edge filtered, part 4 in no triangle)
+    li = (
+        [(10, p) for p in (1, 2, 3)]
+        + [(11, p) for p in (1, 2, 3)]
+        + [(20, 3), (20, 4)]
+    )
+    spark.createDataFrame(li, "l_orderkey bigint, l_partkey bigint").write.mode(
         "overwrite"
     ).parquet(os.path.join(root, "lineitem.parquet"))
     return root
@@ -110,6 +113,7 @@ def test_autocorr_alternating_series_negative_lag1(spark, ts_dir):
 
 
 def test_triangle_count_known_graph(spark, tri_dir):
-    got = {(r["suppkey"], r["n_triangles"]) for r in q_graph_triangles(spark, tri_dir).collect()}
-    # exactly one triangle (1,2,3); supplier 4 is in no triangle
+    got = {(r["partkey"], r["n_triangles"]) for r in q_graph_triangles(spark, tri_dir).collect()}
+    # exactly one triangle (1,2,3); part 4's single co-purchase is below
+    # the support floor, so it joins no edge and no triangle
     assert got == {(1, 1), (2, 1), (3, 1)}

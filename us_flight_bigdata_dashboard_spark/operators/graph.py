@@ -200,89 +200,96 @@ GROUP BY node_class, degree
 # Triangle counting on the supplier co-supply projection
 # ---------------------------------------------------------------------------
 
-COPROJ_CAP = 100     # skip customers linked to more suppliers (projection guard)
+PARTS_PER_ORDER_CAP = 50  # hot-order guard for the pair self-join
+MIN_COSUPPORT = 2         # edge iff the pair was co-purchased in >= 2 orders
 TRI_TOP_K = 20
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts on the supplier co-supply graph (suppliers
-    joined by an edge when they serve a common customer), top {TRI_TOP_K}
-    suppliers by triangle participation — the clustering-coefficient
-    numerator and the standard "is this graph clumpy" primitive. The
-    customer–supplier graph itself is bipartite (triangle-free by
-    construction), so triangles only exist on the unipartite projection.
+    """Per-node triangle counts on the part co-purchase graph (parts joined
+    by an edge when they appear together in >= {MIN_COSUPPORT} distinct
+    orders), top {TRI_TOP_K} parts by triangle participation — the
+    clustering-coefficient numerator over the "frequently bought together"
+    graph.
 
-    Scale shape, the part that matters at 100 TB: (1) the projection
-    self-join is per-customer, and a degree guard drops hub customers
-    with > {COPROJ_CAP} distinct suppliers BEFORE the join — without it
-    one mega-customer makes the projection quadratic (the same hot-key
-    guard as the shingle DF cap); (2) triangle enumeration is the
-    ordered-edge (a<b<c) three-way equi-join over the DISTINCT projected
-    edge list, so each triangle is produced exactly once and the join
-    keys are plain node ids — shuffle-partitionable, no broadcast of
-    anything data-sized.
+    Graph choice is the scale decision here: the customer–supplier
+    co-supply projection is NEARLY COMPLETE at TPC-H-like cardinalities
+    (every supplier pair shares customers), and triangle counting on a
+    near-complete graph is Θ(n³) NO MATTER the algorithm — the output
+    itself is cubic. The support floor fixes the domain: one-off
+    co-occurrence is chance and repeats ever more rarely as the catalog
+    grows, so the >= {MIN_COSUPPORT}-support edge set stays SPARSE as data
+    scales (measured: 3.4k edges/2k parts at sf0.01, 3.6k/20k at sf0.1 —
+    near-constant) and triangles stay enumerable.
+
+    Plan: distinct (order, part) → per-order pair self-join (bounded by
+    the {PARTS_PER_ORDER_CAP} parts-per-order guard, same hot-key pattern
+    as the shingle DF cap) → support filter → ordered-edge (a<b<c)
+    three-way equi-join over the persisted sparse edge list (three join
+    legs would otherwise re-execute the projection subtree).
     """
-    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cs = (
-        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    cap_w = Window.partitionBy("o")
+    op_capped = op.withColumn("n_parts", F.count(F.lit(1)).over(cap_w)).filter(
+        F.col("n_parts") <= PARTS_PER_ORDER_CAP
     )
-    deg_w = Window.partitionBy("cust")
-    cs_capped = cs.withColumn("n_supp", F.count(F.lit(1)).over(deg_w)).filter(
-        F.col("n_supp") <= COPROJ_CAP
-    )
-    a = cs_capped.select("cust", F.col("supp").alias("s1"))
-    b = cs_capped.select("cust", F.col("supp").alias("s2"))
+    a = op_capped.select("o", F.col("p").alias("p1"))
+    b = op_capped.select("o", F.col("p").alias("p2"))
     edges = (
-        a.join(b, "cust")
-        .filter(F.col("s1") < F.col("s2"))
-        .select("s1", "s2")
-        .distinct()
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_COSUPPORT)
+        .select("p1", "p2")
+        .persist()
     )
-    e1 = edges.select(F.col("s1").alias("na"), F.col("s2").alias("nb"))
-    e2 = edges.select(F.col("s1").alias("nb"), F.col("s2").alias("nc"))
-    e3 = edges.select(F.col("s1").alias("na"), F.col("s2").alias("nc"))
+    e1 = edges.select(F.col("p1").alias("na"), F.col("p2").alias("nb"))
+    e2 = edges.select(F.col("p1").alias("nb"), F.col("p2").alias("nc"))
+    e3 = edges.select(F.col("p1").alias("na"), F.col("p2").alias("nc"))
     tris = e1.join(e2, "nb").join(e3, ["na", "nc"])
     return (
         tris.select(
-            F.explode(F.array(F.col("na"), F.col("nb"), F.col("nc"))).alias("suppkey")
+            F.explode(F.array(F.col("na"), F.col("nb"), F.col("nc"))).alias("partkey")
         )
-        .groupBy("suppkey")
+        .groupBy("partkey")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-        .orderBy(F.desc("n_triangles"), F.asc("suppkey"))
+        .orderBy(F.desc("n_triangles"), F.asc("partkey"))
         .limit(TRI_TOP_K)
     )
 
 
 _ORACLE_TRIANGLES = f"""
-WITH cs AS (
-  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
 ),
 capped AS (
-  SELECT cust, supp FROM (
-    SELECT cust, supp, COUNT(*) OVER (PARTITION BY cust) AS n_supp FROM cs
-  ) WHERE n_supp <= {COPROJ_CAP}
+  SELECT o, p FROM (
+    SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS n_parts FROM op
+  ) WHERE n_parts <= {PARTS_PER_ORDER_CAP}
 ),
 edges AS (
-  SELECT DISTINCT a.supp AS s1, b.supp AS s2
-  FROM capped a JOIN capped b USING (cust)
-  WHERE a.supp < b.supp
+  SELECT a.p AS p1, b.p AS p2
+  FROM capped a JOIN capped b USING (o)
+  WHERE a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_COSUPPORT}
 ),
 tris AS (
-  SELECT e1.s1 AS na, e1.s2 AS nb, e2.s2 AS nc
+  SELECT e1.p1 AS na, e1.p2 AS nb, e2.p2 AS nc
   FROM edges e1
-  JOIN edges e2 ON e2.s1 = e1.s2
-  JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+  JOIN edges e2 ON e2.p1 = e1.p2
+  JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
 )
-SELECT suppkey, COUNT(*) AS n_triangles
+SELECT partkey, COUNT(*) AS n_triangles
 FROM (
-  SELECT unnest([na, nb, nc]) AS suppkey FROM tris
+  SELECT unnest([na, nb, nc]) AS partkey FROM tris
 )
-GROUP BY suppkey
-ORDER BY n_triangles DESC, suppkey ASC
+GROUP BY partkey
+ORDER BY n_triangles DESC, partkey ASC
 LIMIT {TRI_TOP_K}
 """
 
