@@ -1040,9 +1040,143 @@ ORDER BY t.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Full-corpus k-means cluster profile
+# ---------------------------------------------------------------------------
+
+_KM_FP = 10**12  # fixed-point scale for the within-cluster dissimilarity sum
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster profile of the whole corpus under the IVF k-means model:
+    per centroid, member count and cosine inertia (Σ 1−cos(v, centroid)) —
+    the sizes/inertia readout every clustering run reports, and the
+    balance check an IVF index needs before serving (one mega-cell means
+    probes degenerate to brute force).
+
+    Reuses the index build verbatim: seeded Lloyd's on the deterministic
+    sample (train_ivf_centroids), then the SAME narrow zero-shuffle
+    assignment expression as the index, extended to keep each row's best
+    similarity. One hash-agg on centroid_id finishes it; the inertia sum
+    is fixed-point quantized (cross-row double sum).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(spark, sf_dir)
+    cnorms = [math.sqrt(_py_dot(c, c)) for c in centroids]
+    vnorm = _norm(F.col("embedding"))
+    sims = F.array(
+        *[
+            (
+                _dot(F.col("embedding"), F.array(*[F.lit(x) for x in c]))
+                / (F.col("vnorm") * F.lit(n))
+            )
+            for c, n in zip(centroids, cnorms)
+        ]
+    )
+    assigned = (
+        emb.select("vec_id", "embedding", vnorm.alias("vnorm"))
+        .withColumn("sims", sims)
+        .select(
+            "vec_id",
+            (F.array_position(F.col("sims"), F.array_max(F.col("sims"))) - 1)
+            .cast("bigint")
+            .alias("centroid_id"),
+            (F.lit(1.0) - F.array_max(F.col("sims"))).alias("dissim"),
+        )
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum(
+                    F.floor(F.col("dissim") * F.lit(float(_KM_FP))).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(float(_KM_FP))
+            ).alias("cosine_inertia"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def _sql_kmeans_clusters() -> str:
+    cos = _sql_cosine("e.embedding", "c.embedding")
+    return f"""
+WITH {_sql_kmeans_ctes()},
+assigned AS (
+  SELECT vec_id, centroid_id, 1.0 - best_sim AS dissim FROM (
+    SELECT e.vec_id, c.centroid_id, {cos} AS best_sim,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN c{N_LLOYD_ITERS} c
+  ) WHERE rn = 1
+)
+SELECT centroid_id, COUNT(*) AS n_members,
+       CAST(SUM(CAST(floor(dissim * {float(_KM_FP)}) AS DECIMAL(38,0))) AS DOUBLE)
+         / {float(_KM_FP)} AS cosine_inertia
+FROM assigned
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (long form)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class centroids: the mean embedding per label, emitted LONG-form
+    (label, dim_idx, mean_val) — the prototype vectors behind
+    nearest-centroid classification, class-balance drift checks, and
+    centroid-seeded clustering.
+
+    Scale shape: one posexplode (n·d narrow rows) into one hash-agg keyed
+    (label, dim) — fully map-side-combinable, no joins. Long form is also
+    the deliberate output choice: doubles stay top-level columns where
+    the correctness gate compares them exactly, rather than nested in an
+    array whose per-engine string rendering could mask real differences.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim_idx", "val")
+    )
+    return (
+        dims.groupBy("label", "dim_idx")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("val").cast("double") * F.lit(float(_KM_FP))).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(float(_KM_FP))
+                / F.count(F.lit(1))
+            ).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim_idx")
+    )
+
+
+_ORACLE_EMBEDDING_CENTROID = f"""
+SELECT label, dim_idx, mean_val, n_vectors
+FROM (
+  SELECT label, g.i - 1 AS dim_idx,
+         CAST(SUM(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {float(_KM_FP)}) AS DECIMAL(38,0))) AS DOUBLE)
+           / {float(_KM_FP)} / COUNT(*) AS mean_val,
+         COUNT(*) AS n_vectors
+  FROM embeddings CROSS JOIN generate_series(1, {DIM}) AS g(i)
+  GROUP BY label, g.i
+)
+ORDER BY label, dim_idx
+"""
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_recall_eval": q_ann_recall_eval,
+    "kmeans_clusters": q_kmeans_clusters,
+    "embedding_centroid_by_label": q_embedding_centroid_by_label,
     "embedding_quantize": q_embedding_quantize,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1055,6 +1189,8 @@ QUERIES = {
 ORACLE = {
     "knn_bruteforce": _sql_knn_bruteforce(),
     "ann_recall_eval": _sql_ann_recall_eval(),
+    "kmeans_clusters": _sql_kmeans_clusters(),
+    "embedding_centroid_by_label": _ORACLE_EMBEDDING_CENTROID,
     "embedding_quantize": _sql_embedding_quantize(),
     "ann_lsh": _sql_ann_lsh(),
     "ann_ivf": _sql_ann_ivf(),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from us_flight_bigdata_dashboard_spark.functions.exact import davg, sql_davg
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 # Small per-language stopword lexicons for the n-gram/stopword language-ID
@@ -918,8 +919,69 @@ LIMIT {COOC_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Rarity score (rank-based perplexity proxy)
+# ---------------------------------------------------------------------------
+
+RARITY_TOP_DOCS = 30
+
+
+def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity score: the mean corpus-frequency RANK of a
+    document's tokens — the quality-filter proxy for "this text is full of
+    tokens the corpus rarely produces" (CCNet uses LM perplexity for the
+    same purpose; a rank statistic gives the same ordering signal without
+    ``ln``, which is deliberately banned in this engine because engines
+    are not required to round transcendentals identically and the exact
+    gate would become a coin flip).
+
+    Scale shape: one explode feeds BOTH the corpus count (hash-agg) and
+    the per-doc join; ranks come from one window over the vocab-sized
+    count table (tiny next to the corpus); the token→rank join shuffles
+    on term — at 100 TB this is the standard vocab-join, co-partitioned
+    with the counting agg. Determinism: ranks are dense integers with a
+    total tie-break (count desc, term asc); the per-doc mean is the exact
+    decimal construction. Top {RARITY_TOP_DOCS} rarest docs under a total
+    order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term")).persist()
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    rank_w = Window.orderBy(F.desc("n"), F.asc("term"))
+    ranks = counts.select("term", F.dense_rank().over(rank_w).alias("term_rank"))
+    return (
+        tok.join(ranks, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            davg(F.col("term_rank").cast("double"), scale=4).alias("mean_term_rank"),
+        )
+        .orderBy(F.desc("mean_term_rank"), F.asc("doc_id"))
+        .limit(RARITY_TOP_DOCS)
+    )
+
+
+_ORACLE_TEXT_RARITY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tokens("text")}) AS term FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1),
+ranks AS (
+  SELECT term, DENSE_RANK() OVER (ORDER BY n DESC, term ASC) AS term_rank
+  FROM counts
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       {sql_davg("CAST(term_rank AS DOUBLE)", scale=4)} AS mean_term_rank
+FROM tok t JOIN ranks r USING (term)
+GROUP BY t.doc_id
+ORDER BY mean_term_rank DESC, doc_id ASC
+LIMIT {RARITY_TOP_DOCS}
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
+    "text_rarity_score": q_text_rarity_score,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -937,6 +999,7 @@ QUERIES = {
 
 ORACLE = {
     "text_token_count": _ORACLE_TEXT_TOKEN_COUNT,
+    "text_rarity_score": _ORACLE_TEXT_RARITY,
     "text_quality": _ORACLE_TEXT_QUALITY,
     "text_langid": _sql_langid(),
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
