@@ -117,3 +117,18 @@ def test_triangle_count_known_graph(spark, tri_dir):
     # exactly one triangle (1,2,3); part 4's single co-purchase is below
     # the support floor, so it joins no edge and no triangle
     assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_clustering_coeff_known_graph(spark, tri_dir):
+    from us_flight_bigdata_dashboard_spark.operators.graph import (
+        q_graph_clustering_coeff,
+    )
+
+    rows = {r["partkey"]: r for r in q_graph_clustering_coeff(spark, tri_dir).collect()}
+    # {1,2,3} form K3: every node has degree 2, one triangle, coeff exactly
+    # 2*1/(2*1) = 1.0; part 4's sub-support edge is gone entirely
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert r["degree"] == 2
+        assert r["n_triangles"] == 1
+        assert r["clustering_coeff"] == 1.0

@@ -205,6 +205,31 @@ MIN_COSUPPORT = 2         # edge iff the pair was co-purchased in >= 2 orders
 TRI_TOP_K = 20
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-floored part co-purchase edge list (p1 < p2), persisted —
+    shared by the triangle and clustering-coefficient operators, whose
+    multiple join legs would otherwise re-execute the projection."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    cap_w = Window.partitionBy("o")
+    op_capped = op.withColumn("n_parts", F.count(F.lit(1)).over(cap_w)).filter(
+        F.col("n_parts") <= PARTS_PER_ORDER_CAP
+    )
+    a = op_capped.select("o", F.col("p").alias("p1"))
+    b = op_capped.select("o", F.col("p").alias("p2"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_COSUPPORT)
+        .select("p1", "p2")
+        .persist()
+    )
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the part co-purchase graph (parts joined
     by an edge when they appear together in >= {MIN_COSUPPORT} distinct
@@ -228,25 +253,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     three-way equi-join over the persisted sparse edge list (three join
     legs would otherwise re-execute the projection subtree).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    cap_w = Window.partitionBy("o")
-    op_capped = op.withColumn("n_parts", F.count(F.lit(1)).over(cap_w)).filter(
-        F.col("n_parts") <= PARTS_PER_ORDER_CAP
-    )
-    a = op_capped.select("o", F.col("p").alias("p1"))
-    b = op_capped.select("o", F.col("p").alias("p2"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= MIN_COSUPPORT)
-        .select("p1", "p2")
-        .persist()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     e1 = edges.select(F.col("p1").alias("na"), F.col("p2").alias("nb"))
     e2 = edges.select(F.col("p1").alias("nb"), F.col("p2").alias("nc"))
     e3 = edges.select(F.col("p1").alias("na"), F.col("p2").alias("nc"))
@@ -294,14 +301,121 @@ LIMIT {TRI_TOP_K}
 """
 
 
+CC_TOP_K = 20
+
+
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient 2·T(v) / (deg(v)·(deg(v)−1)) on the
+    support-floored part co-purchase graph, top {CC_TOP_K} parts — "how
+    clique-like is each product's frequently-bought-together neighborhood",
+    the standard community-structure probe next to raw triangle counts.
+
+    Scale shape: one edge build (shared, persisted — see
+    ``_copurchase_edges``), a degree hash-agg over both orientations, and
+    the same sparse ordered three-way triangle join as ``q_graph_triangles``
+    followed by a left join of per-node triangle counts onto degrees. The
+    support floor keeps the edge set sparse as data grows (docstring of
+    ``q_graph_triangles``), so every stage stays linear in edges.
+
+    Determinism: the coefficient is a single division of two exactly-
+    representable small integers (2·T and d·(d−1)) — identical doubles in
+    any IEEE-754 engine, so the exact-hash oracle gate holds. Degree-1
+    nodes (coefficient undefined) are filtered; triangle-free nodes get an
+    exact 0.0 via the left join.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(F.col("p1").alias("node"), F.col("p2").alias("nbr")).unionAll(
+        edges.select(F.col("p2").alias("node"), F.col("p1").alias("nbr"))
+    )
+    degree = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    e1 = edges.select(F.col("p1").alias("na"), F.col("p2").alias("nb"))
+    e2 = edges.select(F.col("p1").alias("nb"), F.col("p2").alias("nc"))
+    e3 = edges.select(F.col("p1").alias("na"), F.col("p2").alias("nc"))
+    tris = e1.join(e2, "nb").join(e3, ["na", "nc"])
+    tcount = (
+        tris.select(
+            F.explode(F.array(F.col("na"), F.col("nb"), F.col("nc"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        degree.filter(F.col("degree") >= 2)
+        .join(tcount, "node", "left")
+        .select(
+            F.col("node").alias("partkey"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            (
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - F.lit(1)))
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(
+            F.desc("clustering_coeff"),
+            F.desc("degree"),
+            F.asc("partkey"),
+        )
+        .limit(CC_TOP_K)
+    )
+
+
+_ORACLE_CLUSTERING = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+capped AS (
+  SELECT o, p FROM (
+    SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS n_parts FROM op
+  ) WHERE n_parts <= {PARTS_PER_ORDER_CAP}
+),
+edges AS (
+  SELECT a.p AS p1, b.p AS p2
+  FROM capped a JOIN capped b USING (o)
+  WHERE a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_COSUPPORT}
+),
+und AS (
+  SELECT p1 AS node, p2 AS nbr FROM edges
+  UNION ALL
+  SELECT p2 AS node, p1 AS nbr FROM edges
+),
+degree AS (SELECT node, COUNT(*) AS degree FROM und GROUP BY node),
+tris AS (
+  SELECT e1.p1 AS na, e1.p2 AS nb, e2.p2 AS nc
+  FROM edges e1
+  JOIN edges e2 ON e2.p1 = e1.p2
+  JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+),
+tcount AS (
+  SELECT node, COUNT(*) AS n_triangles
+  FROM (SELECT unnest([na, nb, nc]) AS node FROM tris)
+  GROUP BY node
+)
+SELECT d.node AS partkey,
+       d.degree,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       2.0 * COALESCE(t.n_triangles, 0) / (d.degree * (d.degree - 1))
+         AS clustering_coeff
+FROM degree d LEFT JOIN tcount t USING (node)
+WHERE d.degree >= 2
+ORDER BY clustering_coeff DESC, degree DESC, partkey ASC
+LIMIT {CC_TOP_K}
+"""
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_degree_dist": q_graph_degree_dist,
     "graph_triangles": q_graph_triangles,
+    "graph_clustering_coeff": q_graph_clustering_coeff,
 }
 
 ORACLE = {
     "graph_pagerank": _sql_pagerank(),
     "graph_degree_dist": _ORACLE_DEGREE_DIST,
     "graph_triangles": _ORACLE_TRIANGLES,
+    "graph_clustering_coeff": _ORACLE_CLUSTERING,
 }
