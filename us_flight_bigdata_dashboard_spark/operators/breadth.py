@@ -444,8 +444,63 @@ ORDER BY l_returnflag
 """
 
 
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over ``part``: keep parts not
+    dominated on (maximize ``p_size``, minimize ``p_retailprice``) —
+    q dominates p iff q.size ≥ p.size, q.price ≤ p.price, one strict.
+
+    Scale shape — the naive skyline is an O(n²) all-pairs anti-join; this
+    plan is one agg + one tiny window + one broadcast join, linear in n:
+    (1) per-size min price (map-side-combined groupBy over ≤50 groups —
+    ``p_size`` is low-cardinality by construction, TPC-H sizes are 1..50);
+    (2) running min over *strictly larger* sizes via a rows-frame window
+    on the ≤50-row per-size table (single-partition window is fine: 50
+    rows, not the fact table); (3) broadcast that threshold table back.
+    A part is on the frontier iff its price equals its size-group min
+    (no same-size dominator, strict-price) and is strictly below every
+    larger size's min (no larger-size dominator, price ≤). Only
+    comparisons touch the double column, so pass-through values stay
+    bit-identical. The DuckDB oracle is deliberately the *independent*
+    NOT-EXISTS dominance formulation, so the window+join rewrite is
+    checked against first-principles semantics, not itself."""
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size", "p_retailprice"
+    )
+    per_size = parts.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("min_price_eq")
+    )
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    thresh = per_size.withColumn("min_price_gt", F.min("min_price_eq").over(w))
+    return (
+        parts.join(F.broadcast(thresh), "p_size")
+        .filter(
+            (F.col("p_retailprice") == F.col("min_price_eq"))
+            & (
+                F.col("min_price_gt").isNull()
+                | (F.col("p_retailprice") < F.col("min_price_gt"))
+            )
+        )
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    )
+
+
+_ORACLE_SKYLINE_PARETO = """
+SELECT p_partkey, p_name, p_size, p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_size >= p.p_size
+    AND q.p_retailprice <= p.p_retailprice
+    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+)
+"""
+
+
 QUERIES = {
     "pivot_status": q_pivot_status,
+    "skyline_pareto": q_skyline_pareto,
     "window_range_frame": q_window_range_frame,
     "array_agg_sorted": q_array_agg_sorted,
     "null_safe_join": q_null_safe_join,
@@ -460,6 +515,7 @@ QUERIES = {
 
 ORACLE = {
     "pivot_status": _ORACLE_PIVOT_STATUS,
+    "skyline_pareto": _ORACLE_SKYLINE_PARETO,
     "window_range_frame": _ORACLE_WINDOW_RANGE_FRAME,
     "array_agg_sorted": _ORACLE_ARRAY_AGG_SORTED,
     "null_safe_join": _ORACLE_NULL_SAFE_JOIN,

@@ -810,6 +810,96 @@ LIMIT {CHUNK_TOP_DOCS}
 """
 
 
+# ---------------------------------------------------------------------------
+# Blocked fuzzy join (entity resolution)
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_EDIT = 4  # max Levenshtein distance for a candidate match
+
+
+def q_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution as a blocked fuzzy self-join over ``part`` names:
+    candidate matches are pairs of *distinct* name strings that share a
+    blocking key (first token, length÷4 bucket) and sit within
+    ``FUZZY_MAX_EDIT`` Levenshtein distance.
+
+    Two scale moves, both standard record-linkage practice:
+    (1) **collapse to the distinct-entity domain first** — the quadratic
+    stage runs over distinct names (with a min-key representative and a
+    row count carried along), never raw rows; identical rows are the
+    exact-dedup operator's job and contribute nothing here. On data where
+    values repeat (this corpus: 2000 rows, 64 names) that alone removes
+    ~99% of the pairs. (2) **blocking bounds candidates** — the equi-join
+    on (first token, length bucket) caps the pair space at Σ|block|²;
+    Levenshtein (the expensive verify) runs only within blocks. An
+    unblocked fuzzy join is O(n²) and unshippable at 100 TB; block-key
+    granularity is the recall/cost knob. Distinct from
+    ``dedup_edit_distance`` (verify stage behind LSH candidates): here
+    blocking IS the candidate generator — no sketch pass needed."""
+    parts = load_table(spark, sf_dir, "part")
+    entities = parts.groupBy("p_name").agg(
+        F.min("p_partkey").alias("rep_key"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    blocked = entities.select(
+        "p_name",
+        "rep_key",
+        "n_rows",
+        F.element_at(F.split("p_name", " "), 1).alias("blk_tok"),
+        F.floor(F.length("p_name") / F.lit(4)).alias("blk_len"),
+    )
+    a = blocked.select(
+        F.col("p_name").alias("name_a"),
+        F.col("rep_key").alias("rep_key_a"),
+        F.col("n_rows").alias("n_rows_a"),
+        "blk_tok",
+        "blk_len",
+    )
+    b = blocked.select(
+        F.col("p_name").alias("name_b"),
+        F.col("rep_key").alias("rep_key_b"),
+        F.col("n_rows").alias("n_rows_b"),
+        "blk_tok",
+        "blk_len",
+    )
+    return (
+        a.join(b, ["blk_tok", "blk_len"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_distance") <= FUZZY_MAX_EDIT)
+        .select(
+            "name_a",
+            "name_b",
+            "rep_key_a",
+            "rep_key_b",
+            "n_rows_a",
+            "n_rows_b",
+            "edit_distance",
+        )
+    )
+
+
+def _sql_fuzzy_blocked_join() -> str:
+    return f"""
+WITH entities AS (
+  SELECT p_name, MIN(p_partkey) AS rep_key, COUNT(*) AS n_rows
+  FROM part GROUP BY 1
+), blocked AS (
+  SELECT p_name, rep_key, n_rows,
+         split_part(p_name, ' ', 1) AS blk_tok,
+         CAST(floor(length(p_name) / 4) AS BIGINT) AS blk_len
+  FROM entities
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       a.rep_key AS rep_key_a, b.rep_key AS rep_key_b,
+       a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_distance
+FROM blocked a JOIN blocked b
+  ON a.blk_tok = b.blk_tok AND a.blk_len = b.blk_len AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_EDIT}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_edit_distance": q_dedup_edit_distance,
@@ -821,6 +911,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_chunks": q_dedup_chunks,
+    "fuzzy_blocked_join": q_fuzzy_blocked_join,
 }
 
 ORACLE = {
@@ -834,4 +925,5 @@ ORACLE = {
     "dedup_incremental": _sql_dedup_incremental(),
     "dedup_keep_best": _sql_dedup_keep_best(),
     "dedup_chunks": _ORACLE_DEDUP_CHUNKS,
+    "fuzzy_blocked_join": _sql_fuzzy_blocked_join(),
 }

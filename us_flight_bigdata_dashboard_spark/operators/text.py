@@ -979,6 +979,134 @@ LIMIT {RARITY_TOP_DOCS}
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 relevance ranking
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "vector", "stream"]  # fixed query, mid-df corpus terms
+BM25_TOPK = 15
+# k1=1.2, b=0.75 (standard Okapi constants). The literals below are the
+# *derived* constants written out — 2.2 = k1+1, 0.25 = 1-b — so both engines
+# parse the same decimal literal instead of re-deriving it in float.
+
+
+def _term_tf(toks, word: str):
+    return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against the fixed query
+    ``BM25_TERMS``, top-``BM25_TOPK`` documents.
+
+    Determinism contract (hash-exact vs DuckDB): the classic
+    ``ln((N-df+0.5)/(df+0.5))`` idf is replaced by the *rational odds*
+    ``(N-df+0.5)/(df+0.5)`` itself — ``ln`` is monotone, so per-term
+    ranking is unchanged, and unlike ``ln`` (not correctly rounded across
+    engines) every op here (+,*,/) is exactly rounded IEEE, so identical
+    operand order ⇒ bit-identical doubles. The Spark expression and the
+    oracle SQL pin the same left-associated order.
+
+    Scale shape: ZERO explodes and ZERO data joins. Per-doc tf for the
+    3 query terms and dl are narrow array expressions over the tokens
+    (one scan, whole-stage codegen); corpus stats (N, Σdl, per-term df)
+    are ONE global agg producing a single row, broadcast back with a
+    crossJoin (no driver collect); scoring is a narrow projection; the
+    final top-k is TakeOrdered (orderBy+limit — distributed heap, no
+    global sort shuffle), with row_number applied on the ≤K survivors.
+    At 100 TB this is one scan + one scalar agg + one top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    per = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_term_tf(toks, w).alias(f"tf{i}") for i, w in enumerate(BM25_TERMS)],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    ).select(
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+        *[
+            (
+                ((F.col("n_docs") - F.col(f"df{i}")).cast("double") + F.lit(0.5))
+                / (F.col(f"df{i}").cast("double") + F.lit(0.5))
+            ).alias(f"idf{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+
+    def _s(i: int):
+        tfd = F.col(f"tf{i}").cast("double")
+        denom = tfd + F.lit(1.2) * (
+            F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return F.col(f"idf{i}") * ((tfd * F.lit(2.2)) / denom)
+
+    score = _s(0) + _s(1) + _s(2)
+    scored = (
+        per.crossJoin(F.broadcast(stats))
+        .filter((F.col("tf0") + F.col("tf1") + F.col("tf2")) > 0)
+        .select(
+            "doc_id",
+            "dl",
+            F.col("tf0").alias("tf_spark"),
+            F.col("tf1").alias("tf_vector"),
+            F.col("tf2").alias("tf_stream"),
+            score.alias("score"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(BM25_TOPK)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rk", F.row_number().over(w))
+
+
+def _sql_bm25() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{w}')) AS INTEGER) AS tf{i}"
+        for i, w in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    idf_cols = ",\n         ".join(
+        f"(CAST(n_docs - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5) AS idf{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    s_terms = " + ".join(
+        f"(idf{i} * ((CAST(tf{i} AS DOUBLE) * 2.2) / "
+        f"(CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH per AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {_sql_tokens("text")} AS toks FROM documents)
+), stats AS (
+  SELECT CAST(sum_dl AS DOUBLE) / n_docs AS avgdl,
+         {idf_cols}
+  FROM (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         {df_cols}
+        FROM per) raw
+), scored AS (
+  SELECT doc_id, dl, tf0 AS tf_spark, tf1 AS tf_vector, tf2 AS tf_stream,
+         {s_terms} AS score
+  FROM per CROSS JOIN stats
+  WHERE tf0 + tf1 + tf2 > 0
+)
+SELECT doc_id, dl, tf_spark, tf_vector, tf_stream, score, rk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {BM25_TOPK}
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_rarity_score": q_text_rarity_score,
@@ -987,6 +1115,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_pii_redact": q_text_pii_redact,
     "text_tfidf_topk": q_text_tfidf_topk,
+    "text_bm25_topk": q_text_bm25_topk,
     "text_vocab_encode": q_text_vocab_encode,
     "text_repetition": q_text_repetition,
     "text_ngram_top": q_text_ngram_top,
@@ -1005,6 +1134,7 @@ ORACLE = {
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
     "text_pii_redact": _ORACLE_TEXT_PII_REDACT,
     "text_tfidf_topk": _ORACLE_TEXT_TFIDF_TOPK,
+    "text_bm25_topk": _sql_bm25(),
     "text_vocab_encode": _ORACLE_TEXT_VOCAB_ENCODE,
     "text_repetition": _ORACLE_TEXT_REPETITION,
     "text_ngram_top": _ORACLE_TEXT_NGRAM_TOP,
