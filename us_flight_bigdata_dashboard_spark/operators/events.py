@@ -673,6 +673,67 @@ GROUP BY window_start, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+ATTR_TOUCH_TYPES = ["view", "click"]  # touchpoint channels; else 'direct'
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch purchase attribution: each purchase is credited to the
+    most recent *preceding* touchpoint event (view/click) by the same
+    user, or 'direct' if the user has no prior touch; output is purchases
+    and exact attributed revenue per channel.
+
+    The carry-forward is ``last(..., ignorenulls=True)`` over a
+    ROWS-frame ending at 1 PRECEDING — the IGNORE-NULLS window pattern
+    (distinct from lag/lead and the session running-sum used elsewhere:
+    those read fixed offsets, this scans back an unbounded frame for the
+    last match, which Spark evaluates in one pass per partition). One
+    shuffle on user_id, one running-state window, then a tiny channel
+    agg; the frame never re-sorts per row, so cost is O(events) at any
+    scale. Ordering is tie-broken by the unique event_id, and revenue
+    uses the decimal-quantized ``dsum`` — both engines agg the same
+    exact values, so the gate stays a hash compare."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin(*ATTR_TOUCH_TYPES), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value", scale=8).alias("attributed_value"),
+        )
+    )
+
+
+_ORACLE_EVENTS_ATTRIBUTION = f"""
+WITH touched AS (
+  SELECT event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT COALESCE(touch, 'direct') AS channel,
+       COUNT(*) AS n_purchases,
+       {sql_dsum("value", scale=8)} AS attributed_value
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -685,6 +746,7 @@ QUERIES = {
     "events_zscore_anomaly": q_events_zscore_anomaly,
     "events_transitions": q_events_transitions,
     "events_max_concurrency": q_events_max_concurrency,
+    "events_attribution": q_events_attribution,
 }
 
 ORACLE = {
@@ -699,4 +761,5 @@ ORACLE = {
     "events_zscore_anomaly": _ORACLE_EVENTS_ZSCORE,
     "events_transitions": _ORACLE_EVENTS_TRANSITIONS,
     "events_max_concurrency": _ORACLE_EVENTS_MAX_CONCURRENCY,
+    "events_attribution": _ORACLE_EVENTS_ATTRIBUTION,
 }
