@@ -13,7 +13,10 @@ import pytest
 from us_flight_bigdata_dashboard_spark.operators.breadth import q_skyline_pareto
 from us_flight_bigdata_dashboard_spark.operators.dedup import q_fuzzy_blocked_join
 from us_flight_bigdata_dashboard_spark.operators.events import q_events_attribution
-from us_flight_bigdata_dashboard_spark.operators.graph import q_graph_khop
+from us_flight_bigdata_dashboard_spark.operators.graph import (
+    q_basket_rules,
+    q_graph_khop,
+)
 from us_flight_bigdata_dashboard_spark.operators.text import q_text_bm25_topk
 
 
@@ -78,6 +81,37 @@ def test_khop_path_graph_wavefronts(spark, path_graph_dir):
     }
     # c:1 -> s:1 -> c:2 -> s:2; c:3 is 4 hops out and must NOT appear
     assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+@pytest.fixture(scope="module")
+def basket_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("basket_crafted"))
+    # baskets: {A,B} ×3, {A} ×1, {B,C} ×1 — only the (A,B) pair clears the
+    # support floor of 2. N=5, item_A=4, item_B=4.
+    A, B, C = 101, 102, 103
+    lineitem = (
+        [(1, A), (1, B), (2, A), (2, B), (3, A), (3, B)]
+        + [(4, A)]
+        + [(5, B), (5, C)]
+    )
+    spark.createDataFrame(lineitem, "l_orderkey bigint, l_partkey bigint").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "lineitem.parquet"))
+    return root
+
+
+def test_basket_rules_metrics(spark, basket_dir):
+    rows = q_basket_rules(spark, basket_dir).collect()
+    # exactly the two directions of A<->B
+    assert sorted((r["antecedent"], r["consequent"]) for r in rows) == [
+        (101, 102),
+        (102, 101),
+    ]
+    for r in rows:
+        assert r["pair_n"] == 3
+        assert r["support"] == pytest.approx(3 / 5, abs=0)
+        assert r["confidence"] == pytest.approx(3 / 4, abs=0)
+        assert r["lift"] == pytest.approx((3 * 5) / (4 * 4), abs=0)
 
 
 @pytest.fixture(scope="module")

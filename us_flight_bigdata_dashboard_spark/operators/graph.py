@@ -407,6 +407,132 @@ LIMIT {CC_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# Market-basket association rules
+# ---------------------------------------------------------------------------
+
+RULES_TOP_K = 20
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: for every co-purchased
+    part pair above the ``MIN_COSUPPORT`` floor, both directed rules
+    antecedent→consequent with support, confidence, and lift; top
+    ``RULES_TOP_K`` by lift.
+
+    Classic Apriori-at-k=2 re-expressed relationally: basket
+    projection (distinct (order, part), hot-basket cap — same guard as
+    the co-purchase graph: an uncapped K-item basket emits K² pairs),
+    pair counts via the o-keyed self-join, item counts via one hash agg,
+    and the rule metrics as pinned-order IEEE arithmetic (counts ratioed
+    once each — support = pair/N, confidence = pair/item_a, lift =
+    pair·N/(item_a·item_c) — so both engines divide identical exact
+    integers in the same order, keeping the hash gate). The basket
+    projection is persisted: three consumers (two self-join legs through
+    one exchange, item counts, basket count). Item-count sides broadcast
+    (|parts| rows); final top-K is TakeOrdered. At 100 TB the only big
+    shuffles are the distinct and the pair agg — both keyed, both
+    map-side combined."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    cap_w = Window.partitionBy("o")
+    capped = (
+        op.withColumn("n_parts", F.count(F.lit(1)).over(cap_w))
+        .filter(F.col("n_parts") <= PARTS_PER_ORDER_CAP)
+        .select("o", "p")
+        .persist()
+    )
+    n_baskets = capped.select("o").distinct().count()
+    pairs = (
+        capped.select("o", F.col("p").alias("p1"))
+        .join(capped.select("o", F.col("p").alias("p2")), "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= MIN_COSUPPORT)
+    )
+    rules = pairs.select(
+        F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"), "pair_n"
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("antecedent"), F.col("p1").alias("consequent"), "pair_n"
+        )
+    )
+    items = capped.groupBy("p").agg(F.count(F.lit(1)).alias("item_n"))
+    ia = items.select(F.col("p").alias("antecedent"), F.col("item_n").alias("item_a"))
+    ic = items.select(F.col("p").alias("consequent"), F.col("item_n").alias("item_c"))
+    pair_d = F.col("pair_n").cast("double")
+    scored = (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_n",
+            "item_a",
+            "item_c",
+            (pair_d / F.lit(n_baskets)).alias("support"),
+            (pair_d / F.col("item_a")).alias("confidence"),
+            (
+                (pair_d * F.lit(n_baskets))
+                / (F.col("item_a").cast("double") * F.col("item_c").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("lift").desc(), F.col("antecedent").asc(), F.col("consequent").asc()
+    ).limit(RULES_TOP_K)
+    w = Window.orderBy(
+        F.col("lift").desc(), F.col("antecedent").asc(), F.col("consequent").asc()
+    )
+    return top.withColumn("rk", F.row_number().over(w))
+
+
+def _sql_basket_rules() -> str:
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+capped AS (
+  SELECT o, p FROM (
+    SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS n_parts FROM op
+  ) WHERE n_parts <= {PARTS_PER_ORDER_CAP}
+),
+pairs AS (
+  SELECT a.p AS p1, b.p AS p2, COUNT(*) AS pair_n
+  FROM capped a JOIN capped b USING (o)
+  WHERE a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_COSUPPORT}
+),
+rules AS (
+  SELECT p1 AS antecedent, p2 AS consequent, pair_n FROM pairs
+  UNION ALL
+  SELECT p2, p1, pair_n FROM pairs
+),
+items AS (SELECT p, COUNT(*) AS item_n FROM capped GROUP BY 1),
+nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM capped),
+scored AS (
+  SELECT r.antecedent, r.consequent, r.pair_n,
+         ia.item_n AS item_a, ic.item_n AS item_c,
+         CAST(r.pair_n AS DOUBLE) / nb.n_baskets AS support,
+         CAST(r.pair_n AS DOUBLE) / ia.item_n AS confidence,
+         (CAST(r.pair_n AS DOUBLE) * nb.n_baskets)
+           / (CAST(ia.item_n AS DOUBLE) * CAST(ic.item_n AS DOUBLE)) AS lift
+  FROM rules r
+  JOIN items ia ON ia.p = r.antecedent
+  JOIN items ic ON ic.p = r.consequent
+  CROSS JOIN nb
+)
+SELECT antecedent, consequent, pair_n, item_a, item_c, support, confidence, lift, rk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, antecedent ASC, consequent ASC) AS rk
+      FROM scored)
+WHERE rk <= {RULES_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # k-hop BFS reachability (Pregel-style unrolled supersteps)
 # ---------------------------------------------------------------------------
 
@@ -486,6 +612,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "graph_clustering_coeff": q_graph_clustering_coeff,
     "graph_khop": q_graph_khop,
+    "basket_rules": q_basket_rules,
 }
 
 ORACLE = {
@@ -494,4 +621,5 @@ ORACLE = {
     "graph_triangles": _ORACLE_TRIANGLES,
     "graph_clustering_coeff": _ORACLE_CLUSTERING,
     "graph_khop": _sql_khop(),
+    "basket_rules": _sql_basket_rules(),
 }
