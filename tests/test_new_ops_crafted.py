@@ -10,6 +10,7 @@ import os
 
 import pytest
 
+from us_flight_bigdata_dashboard_spark.operators.advanced import q_heavy_hitters
 from us_flight_bigdata_dashboard_spark.operators.breadth import q_skyline_pareto
 from us_flight_bigdata_dashboard_spark.operators.dedup import q_fuzzy_blocked_join
 from us_flight_bigdata_dashboard_spark.operators.events import q_events_attribution
@@ -81,6 +82,32 @@ def test_khop_path_graph_wavefronts(spark, path_graph_dir):
     }
     # c:1 -> s:1 -> c:2 -> s:2; c:3 is 4 hops out and must NOT appear
     assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+@pytest.fixture(scope="module")
+def skew_events_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("hh_crafted"))
+    # planted skew: 'hot' holds 30/60 rows; 30 singleton types sit far
+    # below the 15% support — exactly the regime where the Misra-Gries
+    # candidate pass prunes and the exact verify must discard any
+    # partition-order-dependent false positives.
+    rows = [(i, "2024-01-01 00:00:00", i, "hot", 1.0) for i in range(30)]
+    rows += [(100 + i, "2024-01-01 00:01:00", i, f"t{i}", 1.0) for i in range(30)]
+    spark.createDataFrame(
+        rows, "event_id bigint, _t string, user_id bigint, event_type string, value double"
+    ).selectExpr(
+        "event_id", "CAST(_t AS TIMESTAMP) AS ts", "user_id", "event_type", "value",
+        "'{}' AS props",
+    ).write.mode("overwrite").parquet(os.path.join(root, "events.parquet"))
+    return root
+
+
+def test_heavy_hitters_planted_skew(spark, skew_events_dir):
+    rows = q_heavy_hitters(spark, skew_events_dir).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r["event_type"], r["n_events"]) == ("hot", 30)
+    assert r["share"] == pytest.approx(0.5, abs=0)
 
 
 @pytest.fixture(scope="module")

@@ -299,6 +299,53 @@ GROUP BY 1
 """
 
 
+HH_SUPPORT = 0.15  # an item is a heavy hitter when share-of-rows > this
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by sketch-then-verify: a Misra–Gries candidate pass
+    (``stat.freqItems`` — one narrow scan, ≤1/support counters per
+    partition, merged on the driver) proposes candidates, then an exact
+    count over ONLY candidate rows keeps those with share >
+    ``HH_SUPPORT``.
+
+    The output is DETERMINISTIC despite the sketch: Misra–Gries
+    guarantees no false negatives above the support (every true heavy
+    hitter is a candidate, regardless of partition order), and the exact
+    verify discards the sketch's partition-order-dependent false
+    positives — so the result equals a plain GROUP-BY-HAVING (the
+    oracle) bit-for-bit, which is why this sits in the exact hash gate
+    and not the bounds gate above. At 100 TB this replaces a full
+    groupBy over a high-cardinality key: the verify agg's hash table
+    holds ≤1/support keys (the IN-filter prunes at the scan), where the
+    naive plan shuffles every distinct key. The strict ``>`` matches the
+    sketch's guarantee boundary."""
+    events = load_table(spark, sf_dir, "events")
+    n_total = events.count()
+    cands = events.stat.freqItems(["event_type"], support=HH_SUPPORT).collect()[0][0]
+    return (
+        events.filter(F.col("event_type").isin(list(cands)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > F.lit(n_total) * F.lit(HH_SUPPORT))
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("n_events").cast("double") / F.lit(n_total)).alias("share"),
+        )
+    )
+
+
+_ORACLE_HEAVY_HITTERS = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS share
+FROM events
+GROUP BY 1
+HAVING COUNT(*) > (SELECT COUNT(*) FROM events) * {HH_SUPPORT}
+"""
+
+
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`approx_percentile` (quantile digest) next to the exact interpolated
     median. The sketch guarantees rank error ≤ 1/accuracy = 1e-4; the gate
@@ -551,6 +598,7 @@ QUERIES = {
     "histogram_equifreq": q_histogram_equifreq,
     "approx_distinct": q_approx_distinct,
     "approx_percentile": q_approx_percentile,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLE = {
@@ -567,4 +615,5 @@ ORACLE = {
     "histogram_equifreq": _ORACLE_HISTOGRAM_EQUIFREQ,
     "approx_distinct": _ORACLE_APPROX_DISTINCT,
     "approx_percentile": _ORACLE_APPROX_PERCENTILE,
+    "heavy_hitters": _ORACLE_HEAVY_HITTERS,
 }
