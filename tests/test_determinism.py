@@ -21,6 +21,14 @@ PROBES = [
     "global_kpis",
     "events_ohlc",
     "kmeans_clusters",
+    # sketch candidates are partition-order-dependent; the exact verify
+    # must erase that
+    "heavy_hitters",
+    # hash-uniform acceptance must be partition-independent by construction
+    "importance_sample",
+    # double scores built from pinned-order exactly-rounded ops
+    "text_bm25_topk",
+    "basket_rules",
 ]
 
 

@@ -396,6 +396,75 @@ FROM counts, total
 """
 
 
+# ---------------------------------------------------------------------------
+# Quality-weighted importance sampling
+# ---------------------------------------------------------------------------
+
+IMP_FINE = 1_000_000   # hash-uniform resolution (1e-6 probability steps)
+IMP_PER_TOKEN = 10_000  # keep-probability slope: P(keep) = min(1, n_tokens/100)
+
+
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document weighted Bernoulli sampling with a content-hash
+    uniform instead of RNG: keep a document iff
+    ``md5(doc_id) % 1e6 < min(1e6, n_tokens·1e4)`` — i.e. keep with
+    probability min(1, n_tokens/100), the importance-sampling shape that
+    up-weights long documents (swap in any per-row quality weight).
+
+    ``rand() < w`` is the textbook formulation and is NOT reproducible in
+    a distributed engine (the draw depends on partition layout and task
+    retries); the hash-uniform is the same trick the split/strata
+    operators above use, extended from fixed percentages to a PER-ROW
+    weight. The acceptance test is pure INTEGER arithmetic (fine-bucket
+    vs weight·1e6 — no float compare at the boundary), so the sample is
+    identical on every run, engine, and partitioning, and the gate stays
+    an exact hash compare. Scale shape: one narrow whole-stage-codegen
+    projection (md5 + token count per row, zero joins, zero extra
+    shuffles) feeding a per-language agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens(F.col("text")))
+    fine = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % IMP_FINE
+    )
+    keep = fine < F.least(F.lit(IMP_FINE), n_tok.cast("bigint") * F.lit(IMP_PER_TOKEN))
+    return (
+        docs.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .select(
+            "lang",
+            "n_total",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("n_total")).alias("kept_frac"),
+        )
+    )
+
+
+_ORACLE_IMPORTANCE_SAMPLE = f"""
+SELECT lang, n_total, n_kept,
+       CAST(n_kept AS DOUBLE) / n_total AS kept_frac
+FROM (
+  SELECT lang,
+         COUNT(*) AS n_total,
+         SUM(CASE WHEN fine < LEAST({IMP_FINE}, n_tok * {IMP_PER_TOKEN})
+                  THEN 1 ELSE 0 END) AS n_kept
+  FROM (
+    SELECT lang,
+           ({_sql_hex_to_int('md5(CAST(doc_id AS VARCHAR))', 1, 15)} % {IMP_FINE}) AS fine,
+           CAST(len({_sql_tokens("text")}) AS BIGINT) AS n_tok
+    FROM documents
+  )
+  GROUP BY 1
+)
+"""
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
     "curation_pipeline": q_curation_pipeline,
@@ -404,6 +473,7 @@ QUERIES = {
     "split_assign": q_split_assign,
     "decontaminate": q_decontaminate,
     "domain_mixture": q_domain_mixture,
+    "importance_sample": q_importance_sample,
 }
 
 ORACLE = {
@@ -414,4 +484,5 @@ ORACLE = {
     "split_assign": _ORACLE_SPLIT_ASSIGN,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "domain_mixture": _ORACLE_DOMAIN_MIXTURE,
+    "importance_sample": _ORACLE_IMPORTANCE_SAMPLE,
 }
