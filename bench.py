@@ -109,6 +109,13 @@ def main() -> None:
                     assert rows is not None
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 4)
+            # Drop any intermediates a query persisted and did not release:
+            # without this, caches leak across the suite and later queries
+            # pay GC/memory pressure for earlier ones (r2 showed a uniform
+            # 20-40% drift on unchanged queries as the suite grew). Kept
+            # OUTSIDE the timed region and BETWEEN queries only, so each
+            # query's two runs still measure its own warm steady state.
+            spark.catalog.clearCache()
     finally:
         shutil.rmtree(sink_root, ignore_errors=True)
     total = round(sum(timings.values()), 4)

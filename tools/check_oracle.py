@@ -59,6 +59,19 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # The driver canonicalizes with pandas sort_values, which raises
+            # "unhashable type" on array/map/struct cells — flag complex
+            # output types as failures even though our stringified compare
+            # below would tolerate them.
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                print(f"FAIL {name}: complex-typed output cols {complex_cols} (driver-unsortable)")
+                failures += 1
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")

@@ -418,14 +418,23 @@ def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is partition-dependent (NEVER hashable cross-engine or even
     run-to-run); wrapping in ``sort_array`` restores a total order, which
     is the only correct way to emit array columns from a distributed agg.
+    The sorted arrays are emitted as comma-joined strings (lossless here —
+    elements contain no commas) so result cells stay scalar for engines
+    that sort/hash them, including the correctness driver.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
-            F.sort_array(
-                F.collect_set(F.month("l_shipdate").cast("int"))
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+                "statuses"
+            ),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set(F.month("l_shipdate").cast("int"))),
+                    lambda m: m.cast("string"),
+                ),
+                ",",
             ).alias("ship_months"),
             F.count(F.lit(1)).alias("n_rows"),
         )
@@ -435,8 +444,9 @@ def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_ARRAY_AGG_SORTED = """
 SELECT l_returnflag,
-       list_sort(list(DISTINCT l_linestatus)) AS statuses,
-       list_sort(list(DISTINCT CAST(month(l_shipdate) AS INTEGER))) AS ship_months,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+       array_to_string(list_sort(list(DISTINCT CAST(month(l_shipdate) AS INTEGER))), ',')
+         AS ship_months,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag

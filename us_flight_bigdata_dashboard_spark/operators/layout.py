@@ -57,13 +57,18 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sideways pass): at 100 TB the probe-side scan discards non-joining rows
     for the cost of k narrow hash expressions per row, before any shuffle.
 
-    Scale shape: the build side reduces to ONE row holding ≤ m set-bit
-    positions (a bitmap in array form), which broadcasts; the probe is a
-    narrow ``array_contains`` conjunction fused into the scan — zero
-    row-proportional shuffle. The final verification join broadcasts the
-    dimension keys (dimension-sized by construction). The oracle carries
-    the identical bitmap as a scalar-subquery list, so the reported counts
-    — false positives included — match bit-for-bit across engines.
+    Scale shape: the build side reduces to ONE row holding the filter as a
+    DENSE length-m 0/1 array (densified once from the set-bit positions on
+    that single row — O(m²) on one row, negligible), which broadcasts; the
+    probe is then k O(1) ``element_at`` lookups fused into the scan — zero
+    row-proportional shuffle and constant work per probe row. (The first
+    draft probed the sparse position list with ``array_contains``: a linear
+    scan of up to m elements per hash per row — ~1.8B comparisons at sf0.1,
+    3.2s; the dense array cut the probe to O(k).) The final verification
+    join broadcasts the dimension keys (dimension-sized by construction).
+    The oracle carries the identical bit positions as a scalar-subquery
+    list, so the reported counts — false positives included — match
+    bit-for-bit across engines regardless of the physical representation.
     """
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -76,11 +81,20 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos")
         )
         .agg(F.collect_set("pos").alias("_bits"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BLOOM_BITS - 1)),
+                lambda i: F.array_contains(F.col("_bits"), i.cast("bigint")).cast("int"),
+            ).alias("_dense")
+        )
     )
     bloom_pass = F.lit(True)
     for k in range(BLOOM_HASHES):
-        bloom_pass = bloom_pass & F.array_contains(
-            "_bits", _bloom_pos(F.col("o_custkey"), k)
+        bloom_pass = bloom_pass & (
+            F.element_at(
+                F.col("_dense"), (_bloom_pos(F.col("o_custkey"), k) + 1).cast("int")
+            )
+            == 1
         )
     probe = orders.crossJoin(F.broadcast(bits_row)).withColumn("_bloom_pass", bloom_pass)
     dim_flag = dim_keys.withColumn("_true", F.lit(1))

@@ -364,7 +364,12 @@ def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     join and reassembling with ``sort_array(collect_list(struct(pos,
     id)))`` (collect_list alone has no order guarantee — the sort makes
     the array deterministic under any partitioning). One corpus shuffle
-    total (the doc_id regroup)."""
+    total (the doc_id regroup).
+
+    The sequence is emitted as a space-joined string column
+    (``token_ids``) rather than ``array<int>`` so downstream engines
+    that hash/sort result cells (including the correctness driver)
+    handle it; the encoding is lossless and order-preserving."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "term")
@@ -385,9 +390,12 @@ def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("token_id"))
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "token_id"))),
-                lambda s: s["token_id"],
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "token_id"))),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                " ",
             ).alias("token_ids"),
             F.count(F.lit(1)).alias("seq_len"),
             F.sum(F.when(F.col("token_id") == 0, 1).otherwise(0)).alias("n_oov"),
@@ -415,7 +423,7 @@ WITH tok AS (
   FROM tok t LEFT JOIN vocab v USING (term)
 )
 SELECT doc_id,
-       array_agg(token_id ORDER BY pos ASC) AS token_ids,
+       string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos ASC) AS token_ids,
        COUNT(*) AS seq_len,
        CAST(SUM(CASE WHEN token_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM mapped

@@ -50,6 +50,14 @@ def get_spark(
         # behavior is visible and identical for ALL reads, not a session
         # mutation made mid-flight by whichever loader ran first
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local[N] runs everything in ONE JVM whose default heap is 1g —
+        # far too small for 32 concurrent tasks plus cached intermediates,
+        # and the dominant GC-pressure source in the bench suite. Honored
+        # at JVM launch when the session is built from Python; a no-op if
+        # a JVM already exists (e.g. the driver passes us its session).
+        # On a real cluster this is superseded by spark-submit's
+        # --driver-memory/--executor-memory sizing.
+        .config("spark.driver.memory", "24g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

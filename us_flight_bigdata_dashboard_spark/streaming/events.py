@@ -39,6 +39,20 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).json(path)
 
 
+def _event_time(stream: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (with local tz).
+
+    ``withWatermark`` rejects TIMESTAMP_NTZ event time
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and parquet sources written with
+    isAdjustedToUTC=false surface as NTZ — so any operator that watermarks
+    must normalize first. The session timezone is pinned to UTC
+    (session.get_spark), so the NTZ→LTZ cast preserves the wall-clock
+    reading exactly; for already-LTZ sources this is a no-op."""
+    if isinstance(stream.schema[col].dataType, T.TimestampNTZType):
+        return stream.withColumn(col, F.col(col).cast("timestamp"))
+    return stream
+
+
 def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts/sums per event type — the
     streaming twin of operators/events.q_events_tumbling.
@@ -51,7 +65,7 @@ def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = 
     user count is the HLL++ sketch (mergeable streaming state, the
     at-scale choice); batch's exact countDistinct is its exactness oracle."""
     return (
-        stream.withWatermark("ts", watermark)
+        _event_time(stream).withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -72,7 +86,7 @@ def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = 
 def sliding_counts(stream: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Sliding-window variant (overlapping windows)."""
     return (
-        stream.withWatermark("ts", watermark)
+        _event_time(stream).withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
@@ -94,6 +108,7 @@ def interval_join_views_before_clicks(
     horizon), not O(stream length). Inner join → append mode. The same
     plan on batch frames is the equivalence oracle
     (tests/test_streaming.py)."""
+    stream = _event_time(stream)
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .select(
@@ -138,7 +153,11 @@ def dedup_event_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFra
     state never ages out) per the Structured Streaming guide. Batch
     ``dropDuplicates(["event_id"])`` over the same files is the
     equivalence oracle (tests/test_streaming.py)."""
-    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return (
+        _event_time(stream)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
 
 
 def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame) -> DataFrame:
