@@ -17,9 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.operators.dedup import (
-    _shingle_array,
     _sql_hex_to_int,
     _sql_shingles,
+    shingles_exploded,
 )
 from us_flight_bigdata_dashboard_spark.operators.similarity import _norm, _sql_dot
 from us_flight_bigdata_dashboard_spark.operators.text import _sql_tokens, _tokens
@@ -120,7 +120,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (few) contaminated docs. The corpus never shuffles its text."""
     docs = load_table(spark, sf_dir, "documents")
     n_bench = int(docs.count() * BENCH_DOC_FRAC)  # parquet metadata count
-    sh = docs.select("doc_id", F.explode(_shingle_array(DECONTAM_NGRAM)).alias("shingle"))
+    sh = shingles_exploded(docs, n_words=DECONTAM_NGRAM)
     bench = (
         sh.filter(F.col("doc_id") < n_bench).select("shingle").distinct()
     )

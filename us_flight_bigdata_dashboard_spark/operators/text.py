@@ -88,14 +88,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     such input); their keep flag is 0 through ordinary NULL-AND-false
     logic."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    # Materialize the token array behind a projection boundary: every
+    # ratio below references it, and inlined it would re-split per use
+    # (see dedup.shingles_exploded for the measured effect).
+    staged = docs.select("doc_id", "text", _tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     n_tok_nz = F.nullif(n_tok, F.lit(0))
     n_chars_nz = F.nullif(F.length("text"), F.lit(0))
     n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
     n_sym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9\\s]", ""))
-    n_stop = _stop_hits(F.col("text"), STOPWORDS["en"])
-    out = docs.select(
+    _stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(_stop_arr, t)))
+    out = staged.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
         n_tok.alias("n_tokens"),
@@ -495,19 +500,30 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (defined identically in both engines).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    # Two staged projections: tokens first, then the bigram/trigram lists —
+    # each n-gram list is referenced three times by dup_frac (size,
+    # distinct-size, nullif divisor), so inlined they'd be rebuilt thrice
+    # per row; staged they're attribute references.
+    staged = docs.select("doc_id", _tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
+    grammed = staged.select(
+        "doc_id",
+        "_toks",
+        F.when(n >= 2, _ngram_list(toks, 2)).alias("_g2"),
+        F.when(n >= 3, _ngram_list(toks, 3)).alias("_g3"),
+    )
 
     def dup_frac(grams):
         cnt = F.size(grams)
         return (cnt - F.size(F.array_distinct(grams))) / F.nullif(cnt, F.lit(0))
 
-    return docs.select(
+    return grammed.select(
         "doc_id",
         n.alias("n_tokens"),
         (F.size(F.array_distinct(toks)) / F.nullif(n, F.lit(0))).alias("uniq_token_ratio"),
-        F.when(n >= 2, dup_frac(_ngram_list(toks, 2))).alias("dup_bigram_frac"),
-        F.when(n >= 3, dup_frac(_ngram_list(toks, 3))).alias("dup_trigram_frac"),
+        dup_frac(F.col("_g2")).alias("dup_bigram_frac"),
+        dup_frac(F.col("_g3")).alias("dup_trigram_frac"),
     )
 
 
@@ -548,8 +564,9 @@ def q_text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic on both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    grams = docs.select(
+    staged = docs.select(_tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    grams = staged.select(
         F.explode(F.when(F.size(toks) >= 3, _ngram_list(toks, 3))).alias("trigram")
     )
     return (
@@ -594,12 +611,10 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``davg`` so the cross-engine hash compare is stable.
     """
     from us_flight_bigdata_dashboard_spark.functions.exact import davg
-    from us_flight_bigdata_dashboard_spark.operators.dedup import _shingle_array
+    from us_flight_bigdata_dashboard_spark.operators.dedup import shingles_exploded
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "source", F.explode(_shingle_array(5)).alias("shingle")
-    )
+    sh = shingles_exploded(docs, n_words=5, keep=("doc_id", "source"))
     w = Window.partitionBy("shingle")
     per_doc = (
         sh.withColumn("df", F.count(F.lit(1)).over(w))
@@ -1023,8 +1038,9 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort shuffle), with row_number applied on the ≤K survivors.
     At 100 TB this is one scan + one scalar agg + one top-k."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    per = docs.select(
+    staged = docs.select("doc_id", _tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    per = staged.select(
         "doc_id",
         F.size(toks).alias("dl"),
         *[_term_tf(toks, w).alias(f"tf{i}") for i, w in enumerate(BM25_TERMS)],

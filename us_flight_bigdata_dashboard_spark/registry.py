@@ -30,6 +30,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     temporal,
     text,
 )
+from us_flight_bigdata_dashboard_spark.streaming import replay
 
 _MODULES = [
     relational,
@@ -47,6 +48,7 @@ _MODULES = [
     layout,
     graph,
     statistics,
+    replay,
 ]
 
 
