@@ -71,6 +71,12 @@ HEADLINE = [
     "cooccur_lift",
     "returned_item_ranking",
     "nation_volume_shipping",
+    # round-3 additions: genuine Structured-Streaming execution (stage +
+    # multi-micro-batch availableNow replay, timed end-to-end) and the two
+    # new curation ops
+    "streaming_tumbling_replay",
+    "text_chunk_overlap",
+    "negative_sampling",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

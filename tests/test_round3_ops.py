@@ -1,0 +1,128 @@
+"""Semantic invariants for the round-3 operators — properties the
+hash-vs-oracle gate can't express (it proves Spark ≡ DuckDB, not that the
+shared definition is *right*)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_chunk_overlap_reconstructs_and_overlaps(spark):
+    """Chunk windows must tile every document: chunk 0 starts at token 1,
+    consecutive starts differ by exactly the stride, the last chunk reaches
+    the final token, and adjacent chunks share window−stride tokens."""
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        RAG_CHUNK_STRIDE,
+        RAG_CHUNK_TOKENS,
+        q_text_chunk_overlap,
+    )
+
+    rows = q_text_chunk_overlap(spark, SF_DIR).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, chunks in list(by_doc.items())[:200]:
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert chunks[0]["start_token"] == 1
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_token"] - a["start_token"] == RAG_CHUNK_STRIDE
+            # full windows overlap by window - stride tokens
+            a_toks = a["chunk_text"].split(" ") if a["chunk_text"] else []
+            b_toks = b["chunk_text"].split(" ") if b["chunk_text"] else []
+            shared = RAG_CHUNK_TOKENS - RAG_CHUNK_STRIDE
+            if len(a_toks) == RAG_CHUNK_TOKENS:
+                assert a_toks[RAG_CHUNK_STRIDE:] == b_toks[:shared]
+        # last chunk covers the document tail
+        last = chunks[-1]
+        assert last["start_token"] + last["chunk_len"] - 1 == max(
+            c["start_token"] + c["chunk_len"] - 1 for c in chunks
+        )
+
+
+def test_chunk_overlap_short_doc_single_chunk(spark):
+    """A document shorter than one window yields exactly one (short) chunk."""
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        RAG_CHUNK_TOKENS,
+        q_text_chunk_overlap,
+    )
+
+    rows = q_text_chunk_overlap(spark, SF_DIR).collect()
+    short = [r for r in rows if r["chunk_idx"] == 0 and r["chunk_len"] < RAG_CHUNK_TOKENS]
+    assert short, "testdata should contain at least one short document"
+    short_ids = {r["doc_id"] for r in short}
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    for doc_id in short_ids:
+        assert per_doc[doc_id] == 1
+
+
+def test_negative_sampling_rejects_all_positives(spark):
+    """No emitted negative may be a true (customer, supplier) interaction,
+    every anchor draws at most NEG_K, and the draw is deterministic."""
+    from us_flight_bigdata_dashboard_spark.operators.sampling import (
+        NEG_K,
+        q_negative_sampling,
+    )
+    from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+    negs = q_negative_sampling(spark, SF_DIR)
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    pos = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    leaked = negs.join(
+        pos,
+        (negs["c_custkey"] == pos["o_custkey"])
+        & (negs["neg_suppkey"] == pos["l_suppkey"]),
+    ).count()
+    assert leaked == 0
+
+    per_anchor = negs.groupBy("c_custkey").count().agg(F.max("count")).collect()[0][0]
+    assert per_anchor <= NEG_K
+
+    # deterministic across runs (hash-based, no RNG)
+    a = sorted(map(tuple, negs.collect()))
+    b = sorted(map(tuple, q_negative_sampling(spark, SF_DIR).collect()))
+    assert a == b
+
+
+def test_negative_sampling_in_supplier_range(spark):
+    """Drawn supplier keys must be existing supplier ids (1..max)."""
+    from us_flight_bigdata_dashboard_spark.operators.sampling import q_negative_sampling
+    from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+    negs = q_negative_sampling(spark, SF_DIR)
+    supp = load_table(spark, SF_DIR, "supplier").select("s_suppkey")
+    missing = negs.join(
+        supp, negs["neg_suppkey"] == supp["s_suppkey"], "left_anti"
+    ).count()
+    assert missing == 0
+
+
+def test_streaming_replay_matches_batch_rows(spark):
+    """The streaming tumbling replay must agree with the batch tumbling
+    operator on every (window, type): same counts, bit-identical decimal
+    sums — the batch/streaming unification contract from the engine side
+    (the driver checks the same thing against DuckDB)."""
+    from us_flight_bigdata_dashboard_spark.operators.events import q_events_tumbling
+    from us_flight_bigdata_dashboard_spark.streaming.replay import (
+        q_streaming_tumbling_replay,
+    )
+
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in q_events_tumbling(spark, SF_DIR).collect()
+        if r["window_start"] is not None
+    }
+    stream = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in q_streaming_tumbling_replay(spark, SF_DIR).collect()
+    }
+    assert stream == batch

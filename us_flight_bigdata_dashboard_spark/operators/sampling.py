@@ -465,6 +465,100 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+NEG_K = 4  # candidate negatives drawn per anchor
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling over the customer–supplier interaction
+    graph: for every customer (anchor), draw {NEG_K} candidate suppliers by
+    RNG-free hashing — candidate_k = md5(custkey ':' k) mod max_suppkey + 1
+    — then REJECT candidates the customer actually interacted with (true
+    positives) via an anti-join. The (anchor, negative) pairs are the
+    training fuel for two-tower / contrastive retrieval models; hashing
+    instead of RNG keeps the sample identical across engines, runs, and
+    partitionings (the same trick as ``importance_sample``).
+
+    The draw is with-replacement across k (two k's may collide on one
+    supplier — kept, as standard uniform negative sampling allows); the
+    rejection step makes these *true* negatives, the variant that needs a
+    distributed engine at all (uniform sampling alone never touches the
+    positives table).
+
+    Scale shape: candidates are a narrow per-row expression over the
+    customer table (an explode of {NEG_K} hash exprs — no RNG state, no
+    shuffle); the positives side is one distinct projection of the fact
+    join; the rejection is ONE anti-join on (custkey, suppkey) — at 100 TB
+    AQE picks broadcast (positives-distinct is interaction-sized, often
+    small) or shuffled-hash; nothing is ever all-pairs. max_suppkey is a
+    one-row agg broadcast by crossJoin."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+
+    max_supp = supplier.agg(F.max("s_suppkey").alias("_max_supp"))
+    positives = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+
+    def _draw(k: int) -> F.Column:
+        h = F.md5(F.concat_ws(":", F.col("c_custkey").cast("string"), F.lit(str(k))))
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % F.col(
+            "_max_supp"
+        ) + 1
+
+    cands = (
+        customer.crossJoin(F.broadcast(max_supp))
+        .select(
+            "c_custkey",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(k).alias("k"), _draw(k).alias("neg_suppkey"))
+                        for k in range(NEG_K)
+                    ]
+                )
+            ).alias("d"),
+        )
+        .select("c_custkey", "d.k", "d.neg_suppkey")
+    )
+    return cands.join(
+        positives,
+        (cands["c_custkey"] == positives["o_custkey"])
+        & (cands["neg_suppkey"] == positives["l_suppkey"]),
+        "left_anti",
+    )
+
+
+def _sql_negative_sampling() -> str:
+    draws = " UNION ALL ".join(
+        f"""SELECT c_custkey, {k} AS k,
+        ({_sql_hex_to_int(f"md5(CAST(c_custkey AS VARCHAR) || ':{k}')", 1, 15)})
+          % (SELECT MAX(s_suppkey) FROM supplier) + 1 AS neg_suppkey
+        FROM customer"""
+        for k in range(NEG_K)
+    )
+    return f"""
+WITH cands AS ({draws}),
+positives AS (
+  SELECT DISTINCT o_custkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT c.c_custkey, c.k, c.neg_suppkey
+FROM cands c
+WHERE NOT EXISTS (
+  SELECT 1 FROM positives p
+  WHERE p.o_custkey = c.c_custkey AND p.l_suppkey = c.neg_suppkey
+)
+"""
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
     "curation_pipeline": q_curation_pipeline,
@@ -474,6 +568,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "domain_mixture": q_domain_mixture,
     "importance_sample": q_importance_sample,
+    "negative_sampling": q_negative_sampling,
 }
 
 ORACLE = {
@@ -485,4 +580,5 @@ ORACLE = {
     "decontaminate": _ORACLE_DECONTAMINATE,
     "domain_mixture": _ORACLE_DOMAIN_MIXTURE,
     "importance_sample": _ORACLE_IMPORTANCE_SAMPLE,
+    "negative_sampling": _sql_negative_sampling(),
 }

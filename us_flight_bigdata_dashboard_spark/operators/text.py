@@ -1131,6 +1131,77 @@ WHERE rk <= {BM25_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking (RAG / context-window preparation)
+# ---------------------------------------------------------------------------
+
+RAG_CHUNK_TOKENS = 16  # window length (config; small so testdata docs multi-chunk)
+RAG_CHUNK_STRIDE = 12  # window start step (overlap = 16 - 12 = 4 tokens)
+
+
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap — the retrieval /
+    context-window preparation step (RAG indexing, long-doc training
+    sample construction): windows of {RAG_CHUNK_TOKENS} tokens starting
+    every {RAG_CHUNK_STRIDE}, so consecutive chunks share
+    {RAG_CHUNK_TOKENS - RAG_CHUNK_STRIDE} boundary tokens and no sentence
+    straddles a hard cut. Unlike ``dedup_chunks`` (disjoint hash units),
+    these windows overlap and carry their text + offsets.
+
+    Window rule: starts = 1, 1+stride, … ≤ max(n − window + 1, 1); the
+    final window may be short (slice truncates at the document end);
+    documents shorter than one window yield exactly one chunk.
+    chunk_idx = (start − 1) / stride — pure integer arithmetic, no
+    positional explode needed.
+
+    Scale shape: tokenize is staged behind a projection boundary (see
+    dedup.shingles_exploded), then ONE narrow explode of the start
+    sequence with per-row slices — zero joins, zero shuffles; chunking
+    parallelizes embarrassingly over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", _tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - F.lit(RAG_CHUNK_TOKENS - 1), F.lit(1)),
+        F.lit(RAG_CHUNK_STRIDE),
+    )
+    exploded = staged.select(
+        "doc_id", "_toks", n.alias("n_tokens"), F.explode(starts).alias("start_token")
+    )
+    return exploded.select(
+        "doc_id",
+        ((F.col("start_token") - 1) / RAG_CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        "start_token",
+        F.least(
+            F.lit(RAG_CHUNK_TOKENS), F.col("n_tokens") - F.col("start_token") + 1
+        ).alias("chunk_len"),
+        F.concat_ws(
+            " ", F.slice(toks, F.col("start_token"), F.lit(RAG_CHUNK_TOKENS))
+        ).alias("chunk_text"),
+    )
+
+
+_ORACLE_TEXT_CHUNK_OVERLAP = f"""
+WITH t AS (
+  SELECT doc_id, {_sql_tokens("text")} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(1, greatest(len(toks) - {RAG_CHUNK_TOKENS - 1}, 1),
+                                {RAG_CHUNK_STRIDE})) AS start_token
+  FROM t
+)
+SELECT doc_id,
+       CAST((start_token - 1) / {RAG_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       start_token,
+       CAST(least({RAG_CHUNK_TOKENS}, n - start_token + 1) AS INTEGER) AS chunk_len,
+       array_to_string(toks[start_token : start_token + {RAG_CHUNK_TOKENS - 1}], ' ')
+         AS chunk_text
+FROM s
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_rarity_score": q_text_rarity_score,
@@ -1148,6 +1219,7 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "cooccur_lift": q_cooccur_lift,
     "json_extract": q_json_extract,
+    "text_chunk_overlap": q_text_chunk_overlap,
 }
 
 ORACLE = {
@@ -1167,4 +1239,5 @@ ORACLE = {
     "bpe_pair_counts": _ORACLE_BPE_PAIR_COUNTS,
     "cooccur_lift": _sql_cooccur_lift(),
     "json_extract": _ORACLE_JSON_EXTRACT,
+    "text_chunk_overlap": _ORACLE_TEXT_CHUNK_OVERLAP,
 }
