@@ -63,6 +63,7 @@ REPLAY_FILES = 4
 CLICK_LOOKBACK = "30 minutes"
 
 _sink_counter = itertools.count()
+_stage_cache: dict = {}
 
 
 def _stage_events(spark: SparkSession, sf_dir: str, doubled: bool = False) -> str:
@@ -71,7 +72,15 @@ def _stage_events(spark: SparkSession, sf_dir: str, doubled: bool = False) -> st
 
     ``doubled=True`` unions the table with itself (redelivery simulation
     for the dedup replay), repartitioned by event_id so both copies share
-    a file → a single micro-batch sees the pair."""
+    a file → a single micro-batch sees the pair.
+
+    Staging is memoized per (sf_dir, doubled) for the process lifetime:
+    the staged files are a pure function of the source table, and
+    re-staging per invocation would bill the *batch write* to every
+    streaming measurement (the bench runs each query twice)."""
+    key = (sf_dir, doubled)
+    if key in _stage_cache:
+        return _stage_cache[key]
     events = _event_time(
         load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     )
@@ -81,6 +90,7 @@ def _stage_events(spark: SparkSession, sf_dir: str, doubled: bool = False) -> st
     else:
         staged = events.repartition(REPLAY_FILES)
     staged.write.mode("overwrite").parquet(out)
+    _stage_cache[key] = out
     return out
 
 
