@@ -126,3 +126,36 @@ def test_streaming_replay_matches_batch_rows(spark):
         for r in q_streaming_tumbling_replay(spark, SF_DIR).collect()
     }
     assert stream == batch
+
+
+def test_bpe_learn_merges_hand_computed(spark):
+    """Hand-worked corpus: vocab {aaab:3, ab:2}.
+    Round 1: (a,a)=6 beats (a,b)=5 → merge "aa"; aaab→[aa,a,b].
+    Round 2: (a,b)=5 beats (aa,a)=3 → merge "ab"; aaab→[aa,ab], ab→[ab].
+    Round 3: only (aa,ab)=3 remains."""
+    from pyspark.sql import functions as F
+
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        _bpe_adjacent_pairs,
+        _bpe_apply_merge,
+        _bpe_top_pair,
+    )
+
+    vocab = spark.createDataFrame([("aaab", 3), ("ab", 2)], ["word", "freq"])
+    seg = vocab.select(
+        "word",
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i.cast("int"), F.lit(1)),
+        ).alias("syms"),
+    )
+    expected = [("a", "a", 6), ("a", "b", 5), ("aa", "ab", 3)]
+    for pa, pb, cnt in expected:
+        top = _bpe_top_pair(_bpe_adjacent_pairs(seg))
+        row = top.collect()[0]
+        assert (row["a"], row["b"], row["pair_count"]) == (pa, pb, cnt)
+        seg = _bpe_apply_merge(seg, top)
+    # final segmentation after all three merges
+    final = {r["word"]: r["syms"] for r in seg.collect()}
+    assert final == {"aaab": ["aaab"], "ab": ["ab"]}

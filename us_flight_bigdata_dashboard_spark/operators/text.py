@@ -822,6 +822,174 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Iterative BPE merge learning (tokenizer training, unrolled rounds)
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+
+def _bpe_adjacent_pairs(seg: DataFrame) -> DataFrame:
+    """(word, freq, syms) → one row per adjacent symbol pair, freq-weighted."""
+    return seg.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.size("syms") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i.cast("int")).alias("a"),
+                        F.element_at(F.col("syms"), (i + 1).cast("int")).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p"),
+    ).select("freq", "p.a", "p.b")
+
+
+def _bpe_top_pair(pairs: DataFrame) -> DataFrame:
+    """Highest-weight pair under a deterministic total order (1 row)."""
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(1)
+    )
+
+
+def _bpe_apply_merge(seg: DataFrame, top: DataFrame) -> DataFrame:
+    """Greedy left-to-right application of ONE merge rule (pa, pb) to every
+    word's symbol array, as a per-row ``aggregate`` fold: walk the symbols,
+    and when the accumulator's last element is pa and the next symbol is
+    pb, replace the last element with pa||pb (a merged element never
+    re-merges within the same rule, matching canonical BPE)."""
+    with_rule = seg.crossJoin(F.broadcast(top.select(F.col("a").alias("_pa"), F.col("b").alias("_pb"))))
+    fold = F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.col("_pa"))
+            & (s == F.col("_pb")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.col("_pa"), F.col("_pb"))),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return with_rule.select("word", "freq", fold.alias("syms"))
+
+
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, not just its statistic: {BPE_ROUNDS} merge
+    rounds unrolled into one lazy plan (Sennrich et al. 2016). Round k
+    counts adjacent symbol pairs over the current segmentation weighted by
+    word frequency, picks the max under a deterministic total order
+    (count desc, pair asc), and re-segments every word by applying that
+    merge greedily left-to-right. Output: one row per learned merge.
+
+    This is the iterative-algorithm pattern (like PageRank) applied to
+    vocabulary learning: the driver unrolls a FIXED number of rounds into
+    the plan — no data-dependent driver loop, no collect between rounds —
+    so the oracle can mirror the exact computation with unrolled CTEs
+    (the re-segment fold is `list_reduce` with a separator-string
+    accumulator on the DuckDB side; both folds implement the same
+    left-to-right merge recurrence and are exact on strings).
+
+    Scale shape: training runs on the (word, freq) VOCABULARY — one
+    corpus-sized explode + hash-agg, after which every round touches only
+    |vocab| rows (≪ corpus; Zipf makes vocabulary sublinear in corpus
+    size). Per round: one narrow pair explode, one map-side-combined
+    hash-agg over the tiny pair domain, a 1-row top-1, and a broadcast
+    crossJoin + per-row fold — zero row-proportional shuffles beyond the
+    pair agg. At 100 TB the corpus scan happens once; the loop cost is
+    independent of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seg = vocab.select(
+        "word",
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i.cast("int"), F.lit(1)),
+        ).alias("syms"),
+    )
+    learned = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        top = _bpe_top_pair(_bpe_adjacent_pairs(seg))
+        learned.append(
+            top.select(
+                F.lit(rnd).alias("round"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.concat("a", "b").alias("merged"),
+                "pair_count",
+            )
+        )
+        if rnd < BPE_ROUNDS:
+            seg = _bpe_apply_merge(seg, top)
+    out = learned[0]
+    for df in learned[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _sql_bpe_learn_merges() -> str:
+    """Unrolled-CTE oracle. The re-segment fold uses `list_reduce` with a
+    chr(1)-separated string accumulator: merging appends pb directly onto
+    an accumulator ending in (sep ||) pa — same greedy left-to-right
+    recurrence as the Spark array fold."""
+    sep = "chr(1)"
+    parts = [
+        f"""toks AS (
+  SELECT unnest({_sql_tokens("text")}) AS word FROM documents
+), vocab AS (
+  SELECT word, COUNT(*) AS freq FROM toks GROUP BY 1
+), seg1 AS (
+  SELECT word, freq,
+         list_transform(generate_series(1, len(word)),
+                        i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+  FROM vocab
+)"""
+    ]
+    for k in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"""pairs{k} AS (
+  SELECT seg.freq, p.a, p.b
+  FROM seg{k} seg,
+       unnest(CASE WHEN len(seg.syms) >= 2
+                   THEN list_transform(generate_series(1, len(seg.syms) - 1),
+                                       i -> {{'a': seg.syms[i], 'b': seg.syms[i + 1]}})
+                   ELSE [] END) AS t(p)
+), top{k} AS (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM pairs{k} GROUP BY a, b
+  ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+)"""
+        )
+        if k < BPE_ROUNDS:
+            parts.append(
+                f"""seg{k + 1} AS (
+  SELECT seg.word, seg.freq,
+         string_split(list_reduce(seg.syms, (acc, s) ->
+           CASE WHEN (acc = t.a OR ends_with(acc, {sep} || t.a)) AND s = t.b
+                THEN acc || s
+                ELSE acc || {sep} || s END), {sep}) AS syms
+  FROM seg{k} seg CROSS JOIN top{k} t
+)"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS round, a AS pair_a, b AS pair_b, a || b AS merged, pair_count FROM top{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
 _ORACLE_BPE_PAIR_COUNTS = f"""
 SELECT pair, COUNT(*) AS n_occurrences
 FROM (
@@ -1220,6 +1388,7 @@ QUERIES = {
     "cooccur_lift": q_cooccur_lift,
     "json_extract": q_json_extract,
     "text_chunk_overlap": q_text_chunk_overlap,
+    "bpe_learn_merges": q_bpe_learn_merges,
 }
 
 ORACLE = {
@@ -1240,4 +1409,5 @@ ORACLE = {
     "cooccur_lift": _sql_cooccur_lift(),
     "json_extract": _ORACLE_JSON_EXTRACT,
     "text_chunk_overlap": _ORACLE_TEXT_CHUNK_OVERLAP,
+    "bpe_learn_merges": _sql_bpe_learn_merges(),
 }
