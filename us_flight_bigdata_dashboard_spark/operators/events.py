@@ -734,6 +734,69 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-key exponential moving average (sequential recurrence as a fold)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.25  # exactly representable in binary → deterministic arithmetic
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values — a SEQUENTIAL recurrence
+    (ewma_i = ewma_{i-1} + α·(x_i − ewma_{i-1}), seeded with the first
+    value), the class of computation windows can't express (each step
+    depends on the previous OUTPUT, not a frame of inputs).
+
+    Batch expression: collect each user's values in (ts, event_id) order
+    — ``sort_array`` over structs gives a total order under any
+    partitioning — then run the recurrence as a per-row ``aggregate``
+    fold. Both engines evaluate the SAME fold expression
+    (acc + α·(x − acc)) over the SAME sequence, and IEEE-754 double
+    arithmetic is deterministic given identical operation order, so the
+    result is bit-identical cross-engine with no decimal quantization
+    needed. DuckDB's ``list_reduce`` seeds with the list head; the Spark
+    fold replicates that via a NULL-seeded CASE.
+
+    Scale shape: ONE hash-agg shuffle keyed by user (map-side combine on
+    collect_list partials); the fold is a narrow per-row expression.
+    State per key is a value array — bounded by per-user event counts;
+    for unbounded keys this is exactly what the streaming stateful twin
+    (applyInPandasWithState) replaces. This operator is the batch mirror
+    of that stateful-processor class."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    per = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("_vals"),
+    )
+    fold = F.aggregate(
+        F.col("_vals"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            acc + F.lit(EWMA_ALPHA) * (x - acc)
+        ),
+    )
+    return per.select("user_id", "n_events", fold.alias("ewma_last"))
+
+
+_ORACLE_EVENTS_EWMA = f"""
+WITH per AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         array_agg(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vals
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_events,
+       list_reduce(vals, (acc, x) -> acc + {EWMA_ALPHA} * (x - acc)) AS ewma_last
+FROM per
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -747,6 +810,7 @@ QUERIES = {
     "events_transitions": q_events_transitions,
     "events_max_concurrency": q_events_max_concurrency,
     "events_attribution": q_events_attribution,
+    "events_ewma": q_events_ewma,
 }
 
 ORACLE = {
@@ -762,4 +826,5 @@ ORACLE = {
     "events_transitions": _ORACLE_EVENTS_TRANSITIONS,
     "events_max_concurrency": _ORACLE_EVENTS_MAX_CONCURRENCY,
     "events_attribution": _ORACLE_EVENTS_ATTRIBUTION,
+    "events_ewma": _ORACLE_EVENTS_EWMA,
 }
