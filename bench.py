@@ -77,6 +77,8 @@ HEADLINE = [
     "streaming_tumbling_replay",
     "text_chunk_overlap",
     "negative_sampling",
+    "bpe_learn_merges",
+    "events_ewma",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
