@@ -94,6 +94,34 @@ def _stage_events(spark: SparkSession, sf_dir: str, doubled: bool = False) -> st
     return out
 
 
+def _stage_events_ts_ordered(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table range-partitioned by ts with file mtimes
+    pinned in range order, so the file source's micro-batches arrive in
+    EVENT-TIME order (the source orders batches by modification time, not
+    name). This is what makes a NoTimeout stateful operator's replay
+    deterministic: state only ever moves forward, no cross-batch late
+    events exist, so the emitted sessions are a pure function of the row
+    set. (A live deployment gets the same guarantee from a watermark +
+    event-time timeout instead.)"""
+    import glob
+    import os
+
+    key = (sf_dir, "ts_ordered")
+    if key in _stage_cache:
+        return _stage_cache[key]
+    events = _event_time(
+        load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    )
+    out = tempfile.mkdtemp(prefix="stream_replay_ord_")
+    events.repartitionByRange(REPLAY_FILES, "ts").write.mode("overwrite").parquet(out)
+    # part-0000N order == range order; pin strictly increasing mtimes
+    # (fixed epoch base — only the relative order matters to the source)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(out, "part-*")))):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    _stage_cache[key] = out
+    return out
+
+
 def _replay(spark: SparkSession, src: str, build, mode: str) -> DataFrame:
     """Run ``build(stream)`` over ``src`` with availableNow into a memory
     sink; block until drained; return the sink as a batch DataFrame."""
@@ -198,14 +226,72 @@ FROM ev c JOIN ev v
 """
 
 
+SESSION_GAP_SECONDS = 1800
+
+
+def q_streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (applyInPandasWithState gap
+    sessionizer) under the exact gate: replay the events in ts-ordered
+    micro-batches; state carries open sessions across batches; a session
+    is emitted when a later batch's events exceed the inactivity gap.
+
+    The sessionizer only ever emits CLOSED sessions — each user's final
+    session stays open in state (NoTimeout) — so the oracle is batch
+    gap-sessionization MINUS each user's last session. Session bounds are
+    integer epoch seconds (the worker truncates), mirrored by
+    floor(epoch(ts)) in SQL."""
+    from us_flight_bigdata_dashboard_spark.streaming.sessions import (
+        streaming_sessionize,
+    )
+
+    src = _stage_events_ts_ordered(spark, sf_dir)
+    return _replay(
+        spark,
+        src,
+        lambda s: streaming_sessionize(_event_time(s), gap_seconds=SESSION_GAP_SECONDS),
+        mode="update",
+    )
+
+
+_ORACLE_STREAMING_SESSION = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s
+  FROM events WHERE ts IS NOT NULL
+), flagged AS (
+  SELECT user_id, s,
+         CASE WHEN lag(s) OVER w IS NULL
+                   OR s - lag(s) OVER w > {SESSION_GAP_SECONDS}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s)
+), sess AS (
+  SELECT user_id, s,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY s
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id, sid,
+         MIN(s) AS session_start, MAX(s) AS session_end,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+), marked AS (
+  SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS _last_sid FROM agg
+)
+SELECT user_id, session_start, session_end, n_events
+FROM marked WHERE sid < _last_sid
+"""
+
+
 QUERIES = {
     "streaming_tumbling_replay": q_streaming_tumbling_replay,
     "streaming_dedup_replay": q_streaming_dedup_replay,
     "streaming_interval_join_replay": q_streaming_interval_join_replay,
+    "streaming_session_replay": q_streaming_session_replay,
 }
 
 ORACLE = {
     "streaming_tumbling_replay": _ORACLE_STREAMING_TUMBLING,
     "streaming_dedup_replay": _ORACLE_STREAMING_DEDUP,
     "streaming_interval_join_replay": _ORACLE_STREAMING_INTERVAL_JOIN,
+    "streaming_session_replay": _ORACLE_STREAMING_SESSION,
 }
