@@ -29,6 +29,11 @@ PROBES = [
     # double scores built from pinned-order exactly-rounded ops
     "text_bm25_topk",
     "basket_rules",
+    # round-3: sequential double fold — order pinned by sort_array, so the
+    # partitioning that feeds collect_list must not leak into the result
+    "events_ewma",
+    # round-3: iterative top-1 selection each round must be total-ordered
+    "bpe_learn_merges",
 ]
 
 
