@@ -1044,6 +1044,62 @@ ORDER BY supp_nation, cust_nation, ship_year
 """
 
 
+# ---------------------------------------------------------------------------
+# SQL-text interface (S5 as a first-class path: parser → analyzer → catalog)
+# ---------------------------------------------------------------------------
+
+# Executed as LITERAL SQL text via spark.sql over the registered views —
+# the reference's users write SQL (sql/data_modeling.sql, wide_table.sql),
+# so the SQL front door is part of the query surface, not just the
+# DataFrame API. CTE + join + window in one statement exercises the
+# parser/analyzer path end-to-end; every other matrix entry goes through
+# the DataFrame DSL.
+SQL_TEXT_QUERY = """
+WITH revenue AS (
+  SELECT o_custkey, o_orderkey, month(o_orderdate) AS order_month, o_totalprice
+  FROM orders
+), ranked AS (
+  SELECT c.c_mktsegment, r.order_month, r.o_orderkey, r.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment, r.order_month
+                            ORDER BY r.o_totalprice DESC, r.o_orderkey ASC) AS rk
+  FROM revenue r JOIN customer c ON r.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, order_month, o_orderkey AS top_orderkey,
+       o_totalprice AS top_totalprice
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top order by value per (market segment, month), phrased as literal
+    ANSI SQL text against the registered catalog views (see
+    SQL_TEXT_QUERY). Same Catalyst plan as the DSL would produce —
+    broadcast the customer dim, one window over the join — proving the
+    two front doors converge; the double price column passes through
+    untouched (comparisons only), so the hash gate stays exact."""
+    from us_flight_bigdata_dashboard_spark.sources.catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(SQL_TEXT_QUERY)
+
+
+_ORACLE_SQL_TEXT_INTERFACE = """
+WITH revenue AS (
+  SELECT o_custkey, o_orderkey, CAST(month(o_orderdate) AS INTEGER) AS order_month,
+         o_totalprice
+  FROM orders
+), ranked AS (
+  SELECT c.c_mktsegment, r.order_month, r.o_orderkey, r.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment, r.order_month
+                            ORDER BY r.o_totalprice DESC, r.o_orderkey ASC) AS rk
+  FROM revenue r JOIN customer c ON r.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, order_month, o_orderkey AS top_orderkey,
+       o_totalprice AS top_totalprice
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = {
     "star_join_agg": q_star_join_agg,
     "correlated_above_avg": q_correlated_above_avg,
@@ -1072,6 +1128,7 @@ QUERIES = {
     "order_limit": q_order_limit,
     "month_trend": q_month_trend,
     "ratio_metrics": q_ratio_metrics,
+    "sql_text_interface": q_sql_text_interface,
 }
 
 ORACLE = {
@@ -1102,4 +1159,5 @@ ORACLE = {
     "order_limit": _ORACLE_ORDER_LIMIT,
     "month_trend": _ORACLE_MONTH_TREND,
     "ratio_metrics": _ORACLE_RATIO_METRICS,
+    "sql_text_interface": _ORACLE_SQL_TEXT_INTERFACE,
 }
