@@ -88,15 +88,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed. This join-agg loop is exactly Pregel's synchronous step
     expressed relationally.
     """
-    # Deliberately NOT persisted at this scale: an A/B at sf0.1 (1M-edge
-    # graph, fresh session, bench pattern) measured 6.3s warm without
-    # persist vs 9.0s with (re-confirmed 8.2 vs 14.7 under a 24g heap) —
-    # the edge build is a cheap broadcast join whose fresh-scan statistics
-    # keep the per-iteration joins broadcast-planned, whereas a cached
-    # edge list re-plans them as shuffles. On a real cluster with a
-    # sort-merge edge build the trade flips: persist the hash-partitioned
-    # edge list once and iterate against it (see docstring).
-    edges = _edges_int(spark, sf_dir)
+    # Edge-list materialization, A/B'd three ways at sf0.1 (1M edges,
+    # fresh session, best-of-2): .persist() loses badly (14.7s warm — the
+    # cached plan loses the fresh-scan statistics and the per-iteration
+    # joins re-plan as shuffles); recompute-per-iteration was the old
+    # choice (5.3s warm, but every iteration re-runs the join+distinct
+    # build); localCheckpoint(eager) wins both cold and warm (5.3s cold /
+    # 4.3s warm) — the edge build runs ONCE into block storage, lineage
+    # truncates, and the known materialized size keeps the rank-side
+    # joins broadcast-planned. Same choice a real cluster makes: build
+    # the edge list once, iterate against the materialized copy.
+    edges = _edges_int(spark, sf_dir).localCheckpoint(eager=True)
     degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     n_row = degree.agg(F.count(F.lit(1)).alias("_n"))
 
