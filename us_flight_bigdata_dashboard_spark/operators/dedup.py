@@ -330,10 +330,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     implicit singletons and are not repeated here.
     """
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint, not persist: the LSH chain runs ONCE into block
+    # storage and the lineage truncates, so every iteration plans against
+    # a size-known materialized edge list (A/B at sf0.1: 2.5-2.9s vs
+    # 3.2-3.8s with persist, and no unpersist bookkeeping)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -361,7 +365,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if label_sum == prev_sum:
             break
         prev_sum = label_sum
-    edges.unpersist()
     return labels.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper")
     )
