@@ -497,7 +497,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.withColumn("df", F.count(F.lit(1)).over(df_w))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
         .drop("df")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -260,7 +260,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= MIN_COSUPPORT)
         .select("p1", "p2")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
 
@@ -475,7 +475,7 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         op.withColumn("n_parts", F.count(F.lit(1)).over(cap_w))
         .filter(F.col("n_parts") <= PARTS_PER_ORDER_CAP)
         .select("o", "p")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_baskets = capped.select("o").distinct().count()
     pairs = (
@@ -605,7 +605,7 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         visited = visited.unionAll(frontier)
         tagged.append(frontier.withColumn("hop", F.lit(h)))

@@ -707,7 +707,7 @@ def q_sparse_allpairs_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.withColumn("df", F.count(F.lit(1)).over(df_w))
         .filter(F.col("df") <= F.lit(max_df))
         .select("doc_id", "term", (F.col("tf").cast("double") / F.col("df")).alias("w"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     norms = weights.groupBy("doc_id").agg(
         F.sqrt(
@@ -1033,7 +1033,7 @@ def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pos = docs.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "term")
-    ).persist()
+    ).localCheckpoint(eager=True)
     uni = pos.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
     n_positions = pos.count()
     parts = []
@@ -1136,7 +1136,9 @@ def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     order.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term")).persist()
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    ).localCheckpoint(eager=True)
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     rank_w = Window.orderBy(F.desc("n"), F.asc("term"))
     ranks = counts.select("term", F.dense_rank().over(rank_w).alias("term_rank"))
