@@ -282,11 +282,59 @@ FROM marked WHERE sid < _last_sid
 """
 
 
+def q_streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch idempotent MERGE sink under the exact gate: replay
+    the events ts-ordered through ``upsert_parquet_sink`` keyed by
+    user_id, then read the final target — one row per user, the upserted
+    survivor.
+
+    Determinism: within a batch the sink keeps the latest (ts, event_id)
+    per key; across batches last-writer-wins in BATCH order — with
+    ts-range-ordered batches (equal ts never straddle a range boundary)
+    batch order IS event-time order, so the final state is exactly
+    "latest (ts, event_id) event per user", which is what the SQL oracle
+    selects. This is the replay/backfill determinism argument every
+    MERGE-based CDC sink relies on."""
+    import shutil
+
+    from us_flight_bigdata_dashboard_spark.streaming.events import upsert_parquet_sink
+
+    src = _stage_events_ts_ordered(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    work = tempfile.mkdtemp(prefix="upsert_replay_")
+    target = f"{work}/target"
+    q = upsert_parquet_sink(stream, target, f"{work}/ckpt", key_cols=["user_id"])
+    q.awaitTermination()
+    final = (
+        spark.read.parquet(target)
+        .select("user_id", "event_id", "event_type", "value")
+        # materialize before the temp dir is deleted — the plan is lazy
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return final
+
+
+_ORACLE_STREAMING_UPSERT = """
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+  FROM events WHERE ts IS NOT NULL
+) WHERE rk = 1
+"""
+
+
 QUERIES = {
     "streaming_tumbling_replay": q_streaming_tumbling_replay,
     "streaming_dedup_replay": q_streaming_dedup_replay,
     "streaming_interval_join_replay": q_streaming_interval_join_replay,
     "streaming_session_replay": q_streaming_session_replay,
+    "streaming_upsert_replay": q_streaming_upsert_replay,
 }
 
 ORACLE = {
@@ -294,4 +342,5 @@ ORACLE = {
     "streaming_dedup_replay": _ORACLE_STREAMING_DEDUP,
     "streaming_interval_join_replay": _ORACLE_STREAMING_INTERVAL_JOIN,
     "streaming_session_replay": _ORACLE_STREAMING_SESSION,
+    "streaming_upsert_replay": _ORACLE_STREAMING_UPSERT,
 }
