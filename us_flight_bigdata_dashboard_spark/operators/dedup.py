@@ -484,8 +484,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: document frequency comes from a count window over the
     shingle partitioning (no groupBy+join round trip), and the capped
-    inverted index is persisted — it feeds three consumers (both self-join
-    sides and the per-doc sizes), and without the persist Catalyst would
+    inverted index is materialized once (eager localCheckpoint) — it feeds
+    three consumers (both self-join sides and the per-doc sizes), and
+    without the materialization Catalyst would
     re-run the explode+window chain for each (measured 3-4× the runtime at
     sf0.1). The cache also carries the shingle hash-partitioning into the
     self-join, so the join reuses it instead of re-shuffling."""

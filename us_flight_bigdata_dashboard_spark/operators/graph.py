@@ -240,7 +240,8 @@ TRI_TOP_K = 20
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Support-floored part co-purchase edge list (p1 < p2), persisted —
+    """Support-floored part co-purchase edge list (p1 < p2), materialized
+    once via eager localCheckpoint —
     shared by the triangle and clustering-coefficient operators, whose
     multiple join legs would otherwise re-execute the projection."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

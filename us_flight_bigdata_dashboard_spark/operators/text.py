@@ -688,7 +688,8 @@ def q_sparse_allpairs_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows past the point where every term's posting list exceeds it.
     (2) per-pair accumulation happens on the ALREADY-AGGREGATED (doc,term)
     weight table, so the join input is |distinct doc-term pairs|, not
-    corpus tokens; the weight table is persisted because three consumers
+    corpus tokens; the weight table is materialized once (eager
+    localCheckpoint) because three consumers
     (norms + both join sides) would otherwise recompute the tokenize +
     tf + df pipeline three times.
 
@@ -1026,7 +1027,8 @@ def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-equi range self-join — so each candidate pair is produced exactly
     once per offset and the join keys shuffle-partition cleanly. Unigram
     counts broadcast back onto the aggregated pair table. The position
-    table is persisted: it has 2·{COOC_WINDOW}+2 consumers (offset join
+    table is materialized once (eager localCheckpoint): it has
+    2·{COOC_WINDOW}+2 consumers (offset join
     sides, unigram agg, total count) that would otherwise each re-run the
     tokenize + posexplode scan.
     """
