@@ -163,6 +163,42 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_streaming_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING windows (1h length, 30m slide — overlapping
+    state) replayed availableNow: every event feeds two window states.
+    Oracle: expand each event to its two covering window starts
+    (floor-30min and that minus 30m — both always contain the event since
+    the window length is twice the slide) and aggregate."""
+    from us_flight_bigdata_dashboard_spark.streaming.events import sliding_counts
+
+    src = _stage_events(spark, sf_dir)
+    return _replay(
+        spark,
+        src,
+        lambda s: sliding_counts(s, watermark=REPLAY_WATERMARK),
+        mode="complete",
+    )
+
+
+_ORACLE_STREAMING_SLIDING = """
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS t, event_type
+  FROM events WHERE ts IS NOT NULL
+), x AS (
+  SELECT CAST(to_timestamp(CAST(floor(epoch(t) / 1800) * 1800 AS BIGINT)) AS TIMESTAMP)
+           AS w0,
+         event_type
+  FROM e
+), w AS (
+  SELECT w0 AS window_start, event_type FROM x
+  UNION ALL
+  SELECT w0 - INTERVAL 30 MINUTE AS window_start, event_type FROM x
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM w GROUP BY 1, 2
+"""
+
+
 def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup of a redelivered stream: every event arrives
     TWICE (at-least-once delivery simulated by staging the table unioned
@@ -335,6 +371,7 @@ QUERIES = {
     "streaming_interval_join_replay": q_streaming_interval_join_replay,
     "streaming_session_replay": q_streaming_session_replay,
     "streaming_upsert_replay": q_streaming_upsert_replay,
+    "streaming_sliding_replay": q_streaming_sliding_replay,
 }
 
 ORACLE = {
@@ -343,4 +380,5 @@ ORACLE = {
     "streaming_interval_join_replay": _ORACLE_STREAMING_INTERVAL_JOIN,
     "streaming_session_replay": _ORACLE_STREAMING_SESSION,
     "streaming_upsert_replay": _ORACLE_STREAMING_UPSERT,
+    "streaming_sliding_replay": _ORACLE_STREAMING_SLIDING,
 }
