@@ -19,6 +19,13 @@ def test_chunk_overlap_reconstructs_and_overlaps(spark):
         q_text_chunk_overlap,
     )
 
+    from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+    # independent ground truth: tokenize the raw text in plain Python
+    n_tokens = {
+        r["doc_id"]: len([t for t in r["text"].lower().split(" ") if t])
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
     rows = q_text_chunk_overlap(spark, SF_DIR).collect()
     by_doc: dict[int, list] = {}
     for r in rows:
@@ -35,10 +42,15 @@ def test_chunk_overlap_reconstructs_and_overlaps(spark):
             shared = RAG_CHUNK_TOKENS - RAG_CHUNK_STRIDE
             if len(a_toks) == RAG_CHUNK_TOKENS:
                 assert a_toks[RAG_CHUNK_STRIDE:] == b_toks[:shared]
-        # last chunk covers the document tail
+        # last chunk covers the document tail: its final token IS the
+        # document's final token, checked against an INDEPENDENT Python
+        # re-tokenization (the earlier self-referential form compared the
+        # chunks to themselves — vacuous, and it masked a stop-bound bug
+        # that dropped up to stride-1 tail tokens)
         last = chunks[-1]
-        assert last["start_token"] + last["chunk_len"] - 1 == max(
-            c["start_token"] + c["chunk_len"] - 1 for c in chunks
+        n = n_tokens[doc_id]
+        assert last["start_token"] + last["chunk_len"] - 1 == n or (
+            n == 0 and last["chunk_len"] == 0
         )
 
 
@@ -159,3 +171,30 @@ def test_bpe_learn_merges_hand_computed(spark):
     # final segmentation after all three merges
     final = {r["word"]: r["syms"] for r in seg.collect()}
     assert final == {"aaab": ["aaab"], "ab": ["ab"]}
+
+
+def test_chunk_window_formula_property():
+    """Pure formula property (no Spark): for any token count n ≥ 0 the
+    window-start sequence tiles the document — starts begin at 1, step by
+    the stride, the last window reaches token n, and no window starts
+    beyond max(n − window + 1, 1)."""
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        RAG_CHUNK_STRIDE,
+        RAG_CHUNK_TOKENS,
+    )
+
+    for n in range(0, 300):
+        stop = max(n - RAG_CHUNK_TOKENS + RAG_CHUNK_STRIDE, 1)
+        starts = list(range(1, stop + 1, RAG_CHUNK_STRIDE))
+        assert starts[0] == 1
+        assert all(b - a == RAG_CHUNK_STRIDE for a, b in zip(starts, starts[1:]))
+        if n > 0:
+            # last window covers the final token (the property that caught
+            # the original stop-bound dropping up to stride-1 tail tokens)
+            assert starts[-1] + RAG_CHUNK_TOKENS - 1 >= n
+        # no window is entirely past the end
+        assert all(s <= max(n, 1) for s in starts)
+        # no fully-redundant window: each window past the first must cover
+        # at least one token its predecessor did not
+        assert all(s + RAG_CHUNK_TOKENS - 1 > p + RAG_CHUNK_TOKENS - 1 or s <= n
+                   for p, s in zip(starts, starts[1:]))

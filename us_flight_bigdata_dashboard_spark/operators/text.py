@@ -1320,11 +1320,14 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddles a hard cut. Unlike ``dedup_chunks`` (disjoint hash units),
     these windows overlap and carry their text + offsets.
 
-    Window rule: starts = 1, 1+stride, … ≤ max(n − window + 1, 1); the
-    final window may be short (slice truncates at the document end);
-    documents shorter than one window yield exactly one chunk.
-    chunk_idx = (start − 1) / stride — pure integer arithmetic, no
-    positional explode needed.
+    Window rule: starts = 1, 1+stride, … ≤ max(n − window + stride, 1) —
+    the stop bound is window−stride PAST the last full-window start, so
+    when a full window can't reach the final token a SHORT tail window is
+    emitted that does (a chunker that silently drops up to stride−1 tail
+    tokens loses data; caught by the tiling property test). Documents
+    shorter than one window yield exactly one chunk. chunk_idx =
+    (start − 1) / stride — pure integer arithmetic, no positional explode
+    needed.
 
     Scale shape: tokenize is staged behind a projection boundary (see
     dedup.shingles_exploded), then ONE narrow explode of the start
@@ -1336,7 +1339,7 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     starts = F.sequence(
         F.lit(1),
-        F.greatest(n - F.lit(RAG_CHUNK_TOKENS - 1), F.lit(1)),
+        F.greatest(n - F.lit(RAG_CHUNK_TOKENS - RAG_CHUNK_STRIDE), F.lit(1)),
         F.lit(RAG_CHUNK_STRIDE),
     )
     exploded = staged.select(
@@ -1360,7 +1363,7 @@ WITH t AS (
   SELECT doc_id, {_sql_tokens("text")} AS toks FROM documents
 ), s AS (
   SELECT doc_id, toks, len(toks) AS n,
-         unnest(generate_series(1, greatest(len(toks) - {RAG_CHUNK_TOKENS - 1}, 1),
+         unnest(generate_series(1, greatest(len(toks) - {RAG_CHUNK_TOKENS - RAG_CHUNK_STRIDE}, 1),
                                 {RAG_CHUNK_STRIDE})) AS start_token
   FROM t
 )
