@@ -198,3 +198,26 @@ def test_chunk_window_formula_property():
         # at least one token its predecessor did not
         assert all(s + RAG_CHUNK_TOKENS - 1 > p + RAG_CHUNK_TOKENS - 1 or s <= n
                    for p, s in zip(starts, starts[1:]))
+
+
+def test_zero_length_inputs_produce_zero_chunks(spark):
+    """Spark's sequence(0, -1) yields a DESCENDING [0, -1], not the empty
+    list DuckDB's generate_series gives — chunkers must guard it so empty
+    inputs produce zero output rows on both engines (latent in the shipped
+    testdata, which has no empty documents)."""
+    import pandas as pd
+
+    from us_flight_bigdata_dashboard_spark.operators.multimodal import AUDIO_CHUNK_BYTES
+
+    # crafted frame with one empty and one real payload, through the same
+    # expressions the operators use
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 0), (2, AUDIO_CHUNK_BYTES + 1)], ["media_id", "n_bytes"])
+    n_seg = F.ceil(F.col("n_bytes") / AUDIO_CHUNK_BYTES).cast("int")
+    segs = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = df.select("media_id", F.explode(segs).alias("seg_idx")).collect()
+    got = {(r["media_id"], r["seg_idx"]) for r in out}
+    assert got == {(2, 0), (2, 1)}  # media 1 (empty) yields nothing

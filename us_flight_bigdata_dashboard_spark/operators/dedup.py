@@ -773,10 +773,16 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "").alias("_toks"),
     )
     toks = F.col("_toks")
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / CHUNK_TOKENS).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)),
-    )
+    # size=0 would make the stop bound -1, and Spark's sequence(0, -1)
+    # yields a DESCENDING [0, -1] rather than the empty list — guard so a
+    # zero-token document produces zero chunks on both engines
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / CHUNK_TOKENS).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     inst = staged.select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
     )

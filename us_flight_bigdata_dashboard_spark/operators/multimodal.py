@@ -240,12 +240,19 @@ def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-shuffled."""
     feats = q_multimodal_features(spark, sf_dir).filter(F.col("kind") == "audio")
     n_seg = F.ceil(F.col("n_bytes") / AUDIO_CHUNK_BYTES).cast("int")
+    # guard the empty payload: Spark's sequence(0, -1) yields a DESCENDING
+    # [0, -1] (step is inferred), not the empty list DuckDB's
+    # generate_series gives — an empty payload must produce zero segments
+    # on both engines
+    segs = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return (
         feats.select(
             "media_id",
             "n_bytes",
             "digest",
-            F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx"),
+            F.explode(segs).alias("seg_idx"),
         )
         .select(
             "media_id",
