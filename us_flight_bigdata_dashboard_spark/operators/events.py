@@ -797,6 +797,78 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-weighted average (irregular-sample downsampling)
+# ---------------------------------------------------------------------------
+
+
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average of the value series — the standard
+    resampler for irregularly-spaced observations (TWAP in finance,
+    duty-cycle averaging in telemetry): each value is weighted by how long
+    it remained current, twap = Σ(vᵢ·dtᵢ) / Σ(dtᵢ) where dtᵢ spans
+    observation i to i+1 (the final observation has no duration and drops
+    out). A plain AVG over-weights burst periods; the time weighting is
+    what a resample-then-average would converge to.
+
+    Determinism: durations are INTEGER epoch seconds (floor on both
+    engines); each product vᵢ·dtᵢ is one IEEE multiply (order-free), the
+    numerator is the decimal-quantized ``dsum`` (order-free), the
+    denominator an integer sum — so the final double division is
+    bit-identical everywhere. Seconds, not micros, keep Σ(v·dt)·10^scale
+    within the 2^53 exact-double bound (see functions/exact.dsum).
+
+    Scale shape: one keyed window (lead) over the user partitioning and
+    one hash-agg — the same single-shuffle shape as sessionization; at
+    100 TB both reuse one (user_id) exchange."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    # the window orders by the truncated seconds (with event_id tiebreak),
+    # NOT raw ts — both engines must pair identical (current, next) rows,
+    # and sub-second ts differences collapse under the seconds floor
+    w = Window.partitionBy("user_id").orderBy(F.col("s").asc(), F.col("event_id").asc())
+    seg = (
+        events.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("s"),
+        )
+        .withColumn("next_s", F.lead("s").over(w))
+        .filter(F.col("next_s").isNotNull())
+        .select("user_id", "value", (F.col("next_s") - F.col("s")).alias("dt_s"))
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_s").alias("total_s"),
+        (
+            dsum(F.col("value") * F.col("dt_s"), scale=6)
+            / F.nullif(F.sum("dt_s"), F.lit(0)).cast("double")
+        ).alias("twap"),
+    )
+
+
+_ORACLE_EVENTS_TWAP = f"""
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), seg AS (
+  SELECT user_id, value,
+         lead(s) OVER (PARTITION BY user_id ORDER BY s, event_id) - s AS dt_s
+  FROM e
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dt_s) AS BIGINT) AS total_s,
+       {sql_dsum("value * dt_s", scale=6)}
+         / CAST(nullif(SUM(dt_s), 0) AS DOUBLE) AS twap
+FROM seg WHERE dt_s IS NOT NULL
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -811,6 +883,7 @@ QUERIES = {
     "events_max_concurrency": q_events_max_concurrency,
     "events_attribution": q_events_attribution,
     "events_ewma": q_events_ewma,
+    "events_twap": q_events_twap,
 }
 
 ORACLE = {
@@ -827,4 +900,5 @@ ORACLE = {
     "events_max_concurrency": _ORACLE_EVENTS_MAX_CONCURRENCY,
     "events_attribution": _ORACLE_EVENTS_ATTRIBUTION,
     "events_ewma": _ORACLE_EVENTS_EWMA,
+    "events_twap": _ORACLE_EVENTS_TWAP,
 }
