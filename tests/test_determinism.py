@@ -34,6 +34,9 @@ PROBES = [
     "events_ewma",
     # round-3: iterative top-1 selection each round must be total-ordered
     "bpe_learn_merges",
+    # round-3: two join-agg linear-algebra sweeps of decimal-exact dots —
+    # any partition-order leak would perturb the normalized component
+    "embedding_pca_power",
 ]
 
 

@@ -221,3 +221,41 @@ def test_zero_length_inputs_produce_zero_chunks(spark):
     out = df.select("media_id", F.explode(segs).alias("seg_idx")).collect()
     got = {(r["media_id"], r["seg_idx"]) for r in out}
     assert got == {(2, 0), (2, 1)}  # media 1 (empty) yields nothing
+
+
+def test_pca_power_unit_norm_and_dominance(spark):
+    """The returned principal direction must be unit-norm, and applying the
+    Gram operator to it must scale it by ~the reported operator norm
+    (the fixed-point property two iterations should already approximate
+    on a spectrum with any decay)."""
+    import math
+
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        q_embedding_pca_power,
+    )
+
+    rows = q_embedding_pca_power(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    comp = {r["dim"]: r["component"] for r in rows}
+    nrm2 = sum(v * v for v in comp.values())
+    # the normalizer quantizes w² at decimal scale 6 (exactness for the
+    # cross-engine gate), so unit norm holds to ~1e-6 relative, not ulp
+    assert abs(nrm2 - 1.0) < 1e-5
+    lam = rows[0]["operator_norm_est"]
+    assert lam > 0
+    # eigen-residual: ||C v - lam v|| / lam should be small once the top
+    # eigenvalue dominates; compute C v in python from the raw embeddings
+    from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+    embs = [
+        r["embedding"]
+        for r in load_table(spark, SF_DIR, "embeddings").select("embedding").collect()
+    ]
+    d = len(embs[0])
+    cv = [0.0] * d
+    for e in embs:
+        s = sum(float(e[j]) * comp[j] for j in range(d))
+        for j in range(d):
+            cv[j] += float(e[j]) * s
+    resid = math.sqrt(sum((cv[j] - lam * comp[j]) ** 2 for j in range(d))) / lam
+    assert resid < 0.5  # loose: 2 iterations on a random spectrum

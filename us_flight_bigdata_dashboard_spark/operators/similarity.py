@@ -1172,6 +1172,112 @@ ORDER BY label, dim_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Power-iteration PCA (iterative distributed linear algebra)
+# ---------------------------------------------------------------------------
+
+PCA_V0 = 0.125  # 1/sqrt(64): uniform unit start vector — exact in binary
+
+
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by TWO unrolled
+    power iterations on the Gram operator C = XᵀX: v ← normalize(Xᵀ(Xv)).
+    The ML-linear-algebra sibling of PageRank — same fixed-iteration
+    join-agg loop, but over the flattened (vec, dim, value) matrix —
+    returning (dim, component) plus ‖Xᵀ(Xv₁)‖, the operator-norm /
+    top-eigenvalue estimate.
+
+    Determinism: the start vector is the exact-binary constant
+    {PCA_V0} (= 1/√64, so the sign of the result follows the all-positive
+    start identically everywhere); every reduction (per-vector dot, per-dim
+    accumulation, squared norm) is the decimal-quantized ``dsum`` —
+    order-free — and the normalizing sqrt/division are single IEEE ops on
+    identical doubles. No tolerance needed in the gate.
+
+    Scale shape: X flattens to one (vec_id, dim, x) table; per iteration,
+    Xv is a hash-agg keyed by vec_id with the 64-row v BROADCAST into the
+    product, and Xᵀs is a hash-agg keyed by dim after ONE co-partitioned
+    join of the flat table with the n-row score vector — two shuffles per
+    iteration, both on natural keys, nothing quadratic. At 100 TB this is
+    exactly how distributed Lanczos/PCA sweeps run (the flat form is also
+    what a feature store hands to the solver)."""
+    from us_flight_bigdata_dashboard_spark.functions.exact import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+
+    def xt_x_v(v_df: DataFrame) -> DataFrame:
+        """w = Xᵀ(Xv) for a 64-row (dim, v) vector."""
+        s = (
+            flat.join(F.broadcast(v_df), "dim")
+            .groupBy("vec_id")
+            .agg(dsum(F.col("x") * F.col("v"), scale=12).alias("s"))
+        )
+        return (
+            flat.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(dsum(F.col("x") * F.col("s"), scale=12).alias("w"))
+        )
+
+    def normalize(w_df: DataFrame) -> DataFrame:
+        nrm = w_df.agg(
+            F.sqrt(dsum(F.col("w") * F.col("w"), scale=6)).alias("nrm")
+        )
+        return w_df.crossJoin(F.broadcast(nrm)).select(
+            "dim", (F.col("w") / F.col("nrm")).alias("v"), "nrm"
+        )
+
+    dims = flat.select("dim").distinct()
+    v0 = dims.select("dim", F.lit(PCA_V0).alias("v"))
+    v1 = normalize(xt_x_v(v0)).select("dim", "v")
+    w2 = xt_x_v(v1)
+    out = normalize(w2)
+    return out.select(
+        "dim",
+        F.col("v").alias("component"),
+        F.col("nrm").alias("operator_norm_est"),
+    )
+
+
+def _sql_pca_power() -> str:
+    from us_flight_bigdata_dashboard_spark.functions.exact import sql_dsum
+
+    return f"""
+WITH flat AS (
+  SELECT vec_id, CAST(u['i'] AS INTEGER) - 1 AS dim, CAST(u['x'] AS DOUBLE) AS x
+  FROM (
+    SELECT vec_id,
+           unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS u
+    FROM embeddings
+  )
+), s1 AS (
+  SELECT vec_id, {sql_dsum(f"x * {PCA_V0}", scale=12)} AS s FROM flat GROUP BY vec_id
+), w1 AS (
+  SELECT dim, {sql_dsum("x * s", scale=12)} AS w
+  FROM flat JOIN s1 USING (vec_id) GROUP BY dim
+), n1 AS (
+  SELECT sqrt({sql_dsum("w * w", scale=6)}) AS nrm FROM w1
+), v1 AS (
+  SELECT dim, w / (SELECT nrm FROM n1) AS v FROM w1
+), s2 AS (
+  SELECT f.vec_id, {sql_dsum("f.x * v1.v", scale=12)} AS s
+  FROM flat f JOIN v1 ON f.dim = v1.dim GROUP BY f.vec_id
+), w2 AS (
+  SELECT dim, {sql_dsum("x * s", scale=12)} AS w
+  FROM flat JOIN s2 USING (vec_id) GROUP BY dim
+), n2 AS (
+  SELECT sqrt({sql_dsum("w * w", scale=6)}) AS nrm FROM w2
+)
+SELECT dim,
+       w / (SELECT nrm FROM n2) AS component,
+       (SELECT nrm FROM n2) AS operator_norm_est
+FROM w2
+"""
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_recall_eval": q_ann_recall_eval,
@@ -1184,6 +1290,7 @@ QUERIES = {
     "ann_pq": q_ann_pq,
     "embedding_near_dup": q_embedding_near_dup,
     "vector_label_stats": q_vector_label_stats,
+    "embedding_pca_power": q_embedding_pca_power,
 }
 
 ORACLE = {
@@ -1198,4 +1305,5 @@ ORACLE = {
     "ann_pq": _sql_ann_pq(),
     "embedding_near_dup": _sql_embedding_near_dup(),
     "vector_label_stats": _sql_vector_label_stats(),
+    "embedding_pca_power": _sql_pca_power(),
 }
