@@ -84,6 +84,8 @@ HEADLINE = [
     # co-purchase-graph join
     "multimodal_features",
     "graph_triangles",
+    "embedding_pca_power",
+    "events_twap",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
