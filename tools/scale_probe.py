@@ -21,6 +21,14 @@ Measured (round 3, local[32], K=16 → 9.6M lineitem / 80k docs):
   term anywhere). bpe at ~1× confirms the vocabulary-bound loop design:
   16× the corpus barely moves it. At K=4 every ratio was ≈1 — pure
   fixed-overhead regime.
+
+Round-3 additions at K=16: embedding_pca_power 3.35×, events_twap 2.0×,
+events_ewma 1.71×, text_chunk_overlap 4.52×, graph_triangles 7.1×. The
+triangle ratio is a REPLICATION artifact, not a plan flaw: offsetting
+order keys but not part keys multiplies every pair's co-purchase support
+by K, so far more pairs clear the support floor and the graph densifies —
+organic growth adds new parts and keeps the floored edge set sparse (the
+operator's docstring documents that invariant).
 """
 
 from __future__ import annotations
