@@ -5,6 +5,9 @@ script) plus a headless serving query.
   python -m us_flight_bigdata_dashboard_spark pipeline --raw 'data/2025_0[1-3].csv' --out out/
   python -m us_flight_bigdata_dashboard_spark serve --cache-dir out/ \\
       --months 1 2 3 --airlines 'Alaska Airlines' 'American Airlines'
+  python -m us_flight_bigdata_dashboard_spark query star_join_agg \\
+      --sf-dir /root/testdata/sf0.01 --limit 20        # any registry query → JSON rows
+  python -m us_flight_bigdata_dashboard_spark query --list
 """
 
 from __future__ import annotations
@@ -63,6 +66,32 @@ def _cmd_serve(args) -> int:
     return 0
 
 
+def _cmd_query(args) -> int:
+    from us_flight_bigdata_dashboard_spark.registry import queries
+    from us_flight_bigdata_dashboard_spark.session import get_spark
+
+    qs = queries()
+    if args.list:
+        for name in qs:
+            print(name)
+        return 0
+    if not args.name:
+        print("query name required (or --list)", file=sys.stderr)
+        return 2
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; see --list", file=sys.stderr)
+        return 2
+    spark = get_spark(f"query-{args.name}")
+    df = qs[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), ensure_ascii=False, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="us_flight_bigdata_dashboard_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -79,6 +108,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--months", nargs="*", type=int, default=None)
     s.add_argument("--airlines", nargs="*", default=None)
     s.set_defaults(fn=_cmd_serve)
+
+    q = sub.add_parser("query", help="run any registry query → JSON rows")
+    q.add_argument("name", nargs="?", help="query name (see --list)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=100, help="row cap (0 = all)")
+    q.add_argument("--list", action="store_true", help="list available queries")
+    q.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
+    q.set_defaults(fn=_cmd_query)
 
     args = parser.parse_args(argv)
     return args.fn(args)
