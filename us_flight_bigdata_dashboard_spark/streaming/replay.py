@@ -12,8 +12,13 @@ Determinism contract (what makes a streaming result oracle-matchable):
 - The staged replay directory is written with multiple files and
   ``maxFilesPerTrigger=1``, so the pipeline really runs as several
   micro-batches with state carried between them — not one batch in
-  disguise. File modification order (the source's batch order) is NOT
-  pinned; determinism must come from the operators, not the replay order.
+  disguise. For the order-insensitive operators (windowed aggregates,
+  dedup, joins) file modification order (the source's batch order) is NOT
+  pinned — determinism comes from the operators; the two operators whose
+  OUTPUT depends on arrival order (the NoTimeout sessionizer and the
+  last-writer-wins upsert sink) instead replay ts-range-ordered files
+  with pinned mtimes (``_stage_events_ts_ordered``), making batch order
+  equal event-time order.
 - The replay watermark is set LARGER than the replayed data's time span
   (``REPLAY_WATERMARK``). A watermark is a *liveness* bound — how long to
   wait for stragglers; correctness of the emitted values never depends on
