@@ -46,3 +46,25 @@ def test_real_decode_gate_raises_without_pil():
         pass
     with pytest.raises(NotImplementedError, match="pillow"):
         decode_image_real(b"\x89PNG...")
+
+
+def test_ppm_decoder_parses_real_bytes_and_rejects_garbage(spark):
+    """The PPM worker must decode genuine hand-built bytes correctly
+    (known 2x1 image) and raise on a wrong magic number."""
+    import pandas as pd
+    import pytest
+
+    from us_flight_bigdata_dashboard_spark.operators.multimodal import make_ppm_decoder
+
+    decode = make_ppm_decoder()
+    # 2x1 image: pixels (1,2,3) and (250,251,252)
+    payload = b"P6\n2 1\n255\n" + bytes([1, 2, 3, 250, 251, 252])
+    pdf = pd.DataFrame({"media_id": [7], "payload": [payload]})
+    out = pd.concat(list(decode(iter([pdf]))))
+    row = out.iloc[0]
+    assert (row["width"], row["height"], row["n_pixels"]) == (2, 1, 2)
+    assert (row["sum_r"], row["sum_g"], row["sum_b"]) == (251, 253, 255)
+
+    bad = pd.DataFrame({"media_id": [8], "payload": [b"P5\n1 1\n255\n\x00"]})
+    with pytest.raises(ValueError, match="not a P6"):
+        list(decode(iter([bad])))

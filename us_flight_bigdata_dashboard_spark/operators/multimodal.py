@@ -123,6 +123,118 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(make_decode_features_stub(), MEDIA_FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL image decode: PPM (P6) built and parsed as actual bytes
+# ---------------------------------------------------------------------------
+
+PPM_W, PPM_H = 8, 6  # image dims baked into the synthesized payloads
+
+PPM_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("maxval", T.IntegerType()),
+        T.StructField("n_pixels", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def make_ppm_decoder():
+    """mapInPandas worker that parses REAL binary P6 PPM images with numpy
+    (header tokenization + zero-copy ``frombuffer`` + reshape + per-channel
+    stats). Self-contained closure — pickled by value, workers import only
+    numpy/pandas. Channel stats are integer sums (exact — no float compare
+    anywhere downstream)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "width", "height", "maxval",
+                "n_pixels", "sum_r", "sum_g", "sum_b",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                magic, dims, maxval_s, raster = b.split(b"\n", 3)
+                if magic != b"P6":
+                    raise ValueError(f"not a P6 PPM: {magic!r}")
+                w, h = (int(x) for x in dims.split())
+                maxval = int(maxval_s)
+                px = _np.frombuffer(raster, dtype=_np.uint8, count=w * h * 3)
+                px = px.reshape(h, w, 3).astype(_np.int64)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["maxval"].append(maxval)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(px[:, :, 0].sum()))
+                out["sum_g"].append(int(px[:, :, 1].sum()))
+                out["sum_b"].append(int(px[:, :, 2].sum()))
+            yield _pd.DataFrame(out)
+
+    return decode
+
+
+def q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE image decode under the exact gate — no stub: each document
+    id is rendered as a REAL binary P6 PPM image (header + raw RGB raster,
+    pixel byte i = (media_id·31 + i) mod 256, built with ``unhex`` over
+    column expressions), then an Arrow-batched ``mapInPandas`` worker
+    parses the actual bytes with numpy (header tokenization, zero-copy
+    ``frombuffer``, reshape) and emits integer-exact per-channel stats.
+
+    The oracle never touches bytes: it computes the same stats straight
+    from the GENERATING formula — so if the decoder mis-parsed the header,
+    mis-strided the raster, or swapped channels, the hash compare fails.
+    This closes the loop the PIL-gated stub could not: the binary column,
+    Arrow transfer, and a real decoder are all exercised end-to-end
+    (compressed formats still need PIL/ffmpeg — ``decode_image_real`` —
+    but the plumbing they'd plug into is now proven with real bytes).
+
+    Scale shape: payload synthesis and decode are narrow per-row work —
+    zero shuffles; the decode parallelizes per Arrow batch exactly as a
+    production media pipeline does."""
+    docs = load_table(spark, sf_dir, "documents")
+    header_hex = f"P6\n{PPM_W} {PPM_H}\n255\n".encode().hex()
+    n_bytes = PPM_W * PPM_H * 3
+    pix_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bytes - 1)),
+            lambda i: F.lpad(F.hex((F.col("media_id") * 31 + i) % 256), 2, "0"),
+        ),
+        "",
+    )
+    media = docs.select(F.col("doc_id").alias("media_id")).select(
+        "media_id",
+        F.unhex(F.concat(F.lit(header_hex), pix_hex)).alias("payload"),
+    )
+    return media.mapInPandas(make_ppm_decoder(), PPM_DECODE_SCHEMA)
+
+
+def _sql_ppm_decode() -> str:
+    n_px = PPM_W * PPM_H
+    return f"""
+WITH px AS (
+  SELECT doc_id, unnest(generate_series(0, {n_px - 1})) AS p
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       {PPM_W} AS width, {PPM_H} AS height, 255 AS maxval,
+       {n_px} AS n_pixels,
+       CAST(SUM((doc_id * 31 + 3 * p) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((doc_id * 31 + 3 * p + 1) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((doc_id * 31 + 3 * p + 2) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id
+"""
+
+
 def _sql_hex4_to_int(expr: str, start: int) -> str:
     """Portable hex→int for the oracle: positional digit arithmetic."""
     terms = []
@@ -290,6 +402,7 @@ QUERIES = {
     "multimodal_meta_stats": q_multimodal_meta_stats,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_chunks": q_multimodal_audio_chunks,
+    "multimodal_ppm_decode": q_multimodal_ppm_decode,
 }
 
 ORACLE = {
@@ -297,4 +410,5 @@ ORACLE = {
     "multimodal_meta_stats": _sql_multimodal_meta_stats(),
     "multimodal_frame_sample": _sql_multimodal_frame_sample(),
     "multimodal_audio_chunks": _sql_multimodal_audio_chunks(),
+    "multimodal_ppm_decode": _sql_ppm_decode(),
 }
