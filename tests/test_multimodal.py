@@ -68,3 +68,32 @@ def test_ppm_decoder_parses_real_bytes_and_rejects_garbage(spark):
     bad = pd.DataFrame({"media_id": [8], "payload": [b"P5\n1 1\n255\n\x00"]})
     with pytest.raises(ValueError, match="not a P6"):
         list(decode(iter([bad])))
+
+
+def test_wav_decoder_chunk_walk_and_signedness(spark):
+    """Hand-built WAV with known samples: +1, -1, -32768 — verifies the
+    chunk walk, little-endian int16 decode, and sign handling."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    from us_flight_bigdata_dashboard_spark.operators.multimodal import make_wav_decoder
+
+    samples = [1, -1, -32768]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    decode = make_wav_decoder()
+    out = pd.concat(list(decode(iter([pd.DataFrame({"media_id": [3], "payload": [hdr + data]})]))))
+    row = out.iloc[0]
+    assert row["n_samples"] == 3
+    assert row["sum_amp"] == 1 - 1 - 32768
+    assert row["sum_sq"] == 1 + 1 + 32768 * 32768
+    assert (row["sample_rate"], row["n_channels"], row["bits_per_sample"]) == (8000, 1, 16)
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        list(decode(iter([pd.DataFrame({"media_id": [4], "payload": [b"OGGS----"]})])))
