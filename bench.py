@@ -86,6 +86,9 @@ HEADLINE = [
     "graph_triangles",
     "embedding_pca_power",
     "events_twap",
+    # genuine byte-level media decodes (Arrow-batched Python path)
+    "multimodal_ppm_decode",
+    "multimodal_wav_decode",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
