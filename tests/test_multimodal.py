@@ -97,3 +97,21 @@ def test_wav_decoder_chunk_walk_and_signedness(spark):
 
     with pytest.raises(ValueError, match="not a RIFF"):
         list(decode(iter([pd.DataFrame({"media_id": [4], "payload": [b"OGGS----"]})])))
+
+
+def test_video_decoder_frame_extraction(spark):
+    """Hand-built 2-frame 2x1 stream: frame sums must separate correctly."""
+    import pandas as pd
+    import pytest
+
+    from us_flight_bigdata_dashboard_spark.operators.multimodal import make_video_decoder
+
+    payload = b"VID\n2 1 2\n" + bytes([10, 20, 200, 250])
+    decode = make_video_decoder()
+    out = pd.concat(list(decode(iter([pd.DataFrame({"media_id": [5], "payload": [payload]})]))))
+    sums = {r["frame_idx"]: r["frame_sum"] for _, r in out.iterrows()}
+    assert sums == {0: 30, 1: 450}
+    assert set(out["width"]) == {2} and set(out["height"]) == {1}
+
+    with pytest.raises(ValueError, match="not a VID"):
+        list(decode(iter([pd.DataFrame({"media_id": [6], "payload": [b"XXX\n1 1 1\n\x00"]})])))

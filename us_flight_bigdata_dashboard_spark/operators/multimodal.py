@@ -348,6 +348,114 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL video decode: raw multi-frame grayscale stream, per-frame extraction
+# ---------------------------------------------------------------------------
+
+VID_W, VID_H, VID_FRAMES = 6, 4, 5
+
+VID_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame_sum", T.LongType()),
+    ]
+)
+
+
+def make_video_decoder():
+    """mapInPandas worker for the raw video stream (Y4M-style: text header
+    ``VID\\n<w> <h> <frames>\\n`` + concatenated w·h-byte grayscale
+    frames): header parse, one ``frombuffer`` + 3-D reshape
+    (frames, h, w), one output row PER FRAME — the frame-extraction
+    access pattern of video pretraining, on real bytes."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "frame_idx", "width", "height", "frame_sum",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                magic, dims, raster = b.split(b"\n", 2)
+                if magic != b"VID":
+                    raise ValueError(f"not a VID stream: {magic!r}")
+                w, h, nf = (int(x) for x in dims.split())
+                frames = _np.frombuffer(raster, dtype=_np.uint8, count=w * h * nf)
+                frames = frames.reshape(nf, h, w).astype(_np.int64)
+                for f in range(nf):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame_sum"].append(int(frames[f].sum()))
+            yield _pd.DataFrame(out)
+
+    return decode
+
+
+def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE multi-frame video decode under the exact gate: each document
+    id becomes a REAL raw video stream (header + {VID_FRAMES} concatenated
+    {VID_W}×{VID_H} grayscale frames, byte for frame f pixel p =
+    (media_id·13 + f·101 + p) mod 256), parsed by an Arrow-batched
+    mapInPandas worker (header tokenization, 3-D ``frombuffer`` reshape,
+    per-frame extraction) into one integer-exact row per frame. With
+    ``multimodal_ppm_decode`` and ``multimodal_wav_decode``, all three
+    media modalities are byte-level real; only compressed-codec support
+    remains environment-gated (PIL/ffmpeg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    header_hex = f"VID\n{VID_W} {VID_H} {VID_FRAMES}\n".encode().hex()
+    n_bytes = VID_W * VID_H * VID_FRAMES
+    frame_px = VID_W * VID_H
+    raster_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bytes - 1)),
+            lambda i: F.lpad(
+                F.hex(
+                    (
+                        F.col("media_id") * 13
+                        + F.floor(i / frame_px).cast("bigint") * 101
+                        + (i % frame_px)
+                    )
+                    % 256
+                ),
+                2,
+                "0",
+            ),
+        ),
+        "",
+    )
+    media = docs.select(F.col("doc_id").alias("media_id")).select(
+        "media_id",
+        F.unhex(F.concat(F.lit(header_hex), raster_hex)).alias("payload"),
+    )
+    return media.mapInPandas(make_video_decoder(), VID_DECODE_SCHEMA)
+
+
+def _sql_video_decode() -> str:
+    frame_px = VID_W * VID_H
+    return f"""
+WITH px AS (
+  SELECT doc_id, f.f AS frame_idx, p.p AS p
+  FROM documents,
+       unnest(generate_series(0, {VID_FRAMES - 1})) AS f(f),
+       unnest(generate_series(0, {frame_px - 1})) AS p(p)
+)
+SELECT doc_id AS media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       {VID_W} AS width, {VID_H} AS height,
+       CAST(SUM((doc_id * 13 + frame_idx * 101 + p) % 256) AS BIGINT) AS frame_sum
+FROM px
+GROUP BY doc_id, frame_idx
+"""
+
+
 def _sql_ppm_decode() -> str:
     n_px = PPM_W * PPM_H
     return f"""
@@ -535,6 +643,7 @@ QUERIES = {
     "multimodal_audio_chunks": q_multimodal_audio_chunks,
     "multimodal_ppm_decode": q_multimodal_ppm_decode,
     "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_video_decode": q_multimodal_video_decode,
 }
 
 ORACLE = {
@@ -544,4 +653,5 @@ ORACLE = {
     "multimodal_audio_chunks": _sql_multimodal_audio_chunks(),
     "multimodal_ppm_decode": _sql_ppm_decode(),
     "multimodal_wav_decode": _sql_wav_decode(),
+    "multimodal_video_decode": _sql_video_decode(),
 }
