@@ -89,6 +89,7 @@ HEADLINE = [
     # genuine byte-level media decodes (Arrow-batched Python path)
     "multimodal_ppm_decode",
     "multimodal_wav_decode",
+    "multimodal_video_decode",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
