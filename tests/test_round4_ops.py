@@ -1,0 +1,118 @@
+"""Round-4 crafted tests: hot-key-safe EWMA two-level fold, large-star/
+small-star connected components, fixed-point bound properties."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, ts_seconds, user_id, value)."""
+    base = datetime.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + datetime.timedelta(seconds=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _chunked_ewma(vals, chunk, alpha=0.25):
+    """Python replica of the two-level fold with the exact same operation
+    order as the Spark/DuckDB expressions (Python floats ARE IEEE doubles)."""
+    acc = None
+    for ci in range(0, len(vals), chunk):
+        ch = vals[ci : ci + chunk]
+        if ci == 0:
+            v = None
+            for x in ch:
+                v = x if v is None else v + alpha * (x - v)
+            acc = v
+        else:
+            w, b = 1.0, 0.0
+            for x in ch:
+                w = w * (1.0 - alpha)
+            for x in ch:
+                b = b * (1.0 - alpha) + alpha * x
+            acc = acc * w + b
+    return acc
+
+
+def _seq_ewma(vals, alpha=0.25):
+    v = None
+    for x in vals:
+        v = x if v is None else v + alpha * (x - v)
+    return v
+
+
+def test_ewma_hot_key_bounded_chunks(spark, tmp_path, monkeypatch):
+    """A key with many times EWMA_CHUNK events folds through bounded chunk
+    summaries: the Spark result must equal the chunked-fold replica
+    BIT-FOR-BIT and stay within fp noise of the plain sequential fold."""
+    import us_flight_bigdata_dashboard_spark.operators.events as ev
+
+    monkeypatch.setattr(ev, "EWMA_CHUNK", 7)
+    # hot user 1: 23 events (4 chunks at C=7); user 2: exactly one chunk
+    # boundary (7); user 3: single event (seed-only path)
+    rows, eid = [], 0
+    hot_vals = [((i * 37) % 101) / 7.0 + 0.125 for i in range(23)]
+    for i, v in enumerate(hot_vals):
+        rows.append((eid, i * 10, 1, v))
+        eid += 1
+    edge_vals = [1.5, -2.25, 3.0, 0.5, 10.0, -0.125, 7.75]
+    for i, v in enumerate(edge_vals):
+        rows.append((eid, i * 5, 2, v))
+        eid += 1
+    rows.append((eid, 0, 3, 42.5))
+
+    sf_dir = _write_events(tmp_path, rows)
+    out = {
+        r["user_id"]: (r["n_events"], r["ewma_last"])
+        for r in ev.q_events_ewma(spark, sf_dir).collect()
+    }
+    assert out[1] == (23, _chunked_ewma(hot_vals, 7))
+    assert out[2] == (7, _chunked_ewma(edge_vals, 7))
+    # single chunk ≡ plain sequential fold, bit-for-bit
+    assert out[2][1] == _seq_ewma(edge_vals)
+    assert out[3] == (1, 42.5)
+    # the chunked composition is the same EWMA up to fp rounding
+    assert out[1][1] == pytest.approx(_seq_ewma(hot_vals), rel=1e-9)
+
+
+def test_ewma_oracle_matches_on_multichunk_input(spark, tmp_path, monkeypatch):
+    """Cross-engine: with the REAL module constant patched small, Spark and
+    a DuckDB oracle built with the same chunk size agree bit-for-bit on a
+    multi-chunk key (the committed oracle string bakes in the production
+    EWMA_CHUNK, so rebuild it with the patched constant)."""
+    import duckdb
+
+    import us_flight_bigdata_dashboard_spark.operators.events as ev
+
+    monkeypatch.setattr(ev, "EWMA_CHUNK", 5)
+    rows = [(i, i * 3, 9, ((i * 13) % 29) / 3.0 - 1.5) for i in range(17)]
+    sf_dir = _write_events(tmp_path, rows)
+
+    spark_out = {
+        r["user_id"]: (r["n_events"], r["ewma_last"])
+        for r in ev.q_events_ewma(spark, sf_dir).collect()
+    }
+    # the committed oracle template interpolated the import-time constant
+    # (4096); swap it for the patched one
+    sql = ev._ORACLE_EVENTS_EWMA.replace("// 4096", "// 5")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    oracle_out = {u: (n, x) for u, n, x in con.execute(sql).fetchall()}
+    assert spark_out == oracle_out

@@ -739,6 +739,10 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 
 EWMA_ALPHA = 0.25  # exactly representable in binary → deterministic arithmetic
+# Per-key histories are folded in bounded chunks of this many events; one
+# task never holds more than EWMA_CHUNK values for a key, however hot the
+# key is. 4096 doubles ≈ 32 KiB per in-flight chunk array.
+EWMA_CHUNK = 4096
 
 
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -747,53 +751,128 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     value), the class of computation windows can't express (each step
     depends on the previous OUTPUT, not a frame of inputs).
 
-    Batch expression: collect each user's values in (ts, event_id) order
-    — ``sort_array`` over structs gives a total order under any
-    partitioning — then run the recurrence as a per-row ``aggregate``
-    fold. Both engines evaluate the SAME fold expression
-    (acc + α·(x − acc)) over the SAME sequence, and IEEE-754 double
-    arithmetic is deterministic given identical operation order, so the
-    result is bit-identical cross-engine with no decimal quantization
-    needed. DuckDB's ``list_reduce`` seeds with the list head; the Spark
-    fold replicates that via a NULL-seeded CASE.
+    Hot-key-safe TWO-LEVEL fold. The EWMA step is affine in the
+    accumulator (acc' = acc·(1−α) + α·x), and affine maps compose, so a
+    chunk of C events collapses to the pair (w, b) with
+    w = Π(1−α) = (1−α)^C (folded by repeated multiply) and
+    b folded as b' = b·(1−α) + α·x from 0 — applying the chunk is then
+    ``acc·w + b``. Level 1 folds each bounded chunk (≤ EWMA_CHUNK events,
+    chunk id from a per-key row_number); level 2 composes the ≤ n/C chunk
+    summaries in chunk order. No task ever materializes a key's full
+    history: the worst key holds EWMA_CHUNK values per chunk row plus one
+    16-byte summary per chunk. The head chunk keeps the seed semantics
+    (NULL-seeded fold of the ORIGINAL expression acc + α·(x − acc)), so
+    any key with ≤ EWMA_CHUNK events — every key in the test data — gets
+    the exact same operation sequence as the plain single-level fold:
+    results are bit-identical to it there, and within O(ε·n) of exact
+    arithmetic in general.
 
-    Scale shape: ONE hash-agg shuffle keyed by user (map-side combine on
-    collect_list partials); the fold is a narrow per-row expression.
-    State per key is a value array — bounded by per-user event counts;
-    for unbounded keys this is exactly what the streaming stateful twin
-    (applyInPandasWithState) replaces. This operator is the batch mirror
-    of that stateful-processor class."""
+    Determinism: both engines evaluate the SAME fold expressions over the
+    SAME sequences (sort_array / array_agg ORDER BY on (ts, event_id),
+    chunking by the same row_number), and IEEE-754 double arithmetic is
+    deterministic given identical operation order, so the result is
+    bit-identical cross-engine with no decimal quantization needed.
+
+    Scale shape: one window pass for the per-key sequence number
+    (sort-based, disk-spillable) + two hash-agg shuffles, all keyed by
+    user; per-task state is bounded by EWMA_CHUNK regardless of key skew.
+    The streaming stateful twin (applyInPandasWithState) remains the
+    answer for unbounded ARRIVAL; this bounds per-task MEMORY."""
     events = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
-    per = events.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
+    seq_w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    chunked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        ((F.row_number().over(seq_w) - F.lit(1)) / F.lit(EWMA_CHUNK))
+        .cast("bigint")
+        .alias("chunk"),
+    )
+    one_m_a = F.lit(1.0 - EWMA_ALPHA)
+    per_chunk = chunked.groupBy("user_id", "chunk").agg(
+        F.count(F.lit(1)).alias("n"),
         F.transform(
             F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
             lambda s: s["value"],
         ).alias("_vals"),
     )
-    fold = F.aggregate(
+    head_fold = F.aggregate(
         F.col("_vals"),
         F.lit(None).cast("double"),
         lambda acc, x: F.when(acc.isNull(), x).otherwise(
             acc + F.lit(EWMA_ALPHA) * (x - acc)
         ),
     )
-    return per.select("user_id", "n_events", fold.alias("ewma_last"))
+    w_fold = F.aggregate(F.col("_vals"), F.lit(1.0), lambda acc, x: acc * one_m_a)
+    b_fold = F.aggregate(
+        F.col("_vals"),
+        F.lit(0.0),
+        lambda acc, x: acc * one_m_a + F.lit(EWMA_ALPHA) * x,
+    )
+    summaries = per_chunk.select(
+        "user_id",
+        "n",
+        F.struct(
+            F.col("chunk"),
+            F.when(F.col("chunk") == 0, head_fold).alias("v"),
+            w_fold.alias("w"),
+            b_fold.alias("b"),
+        ).alias("_summary"),
+    )
+    compose = F.aggregate(
+        F.sort_array(F.collect_list("_summary")),
+        F.lit(None).cast("double"),
+        lambda acc, c: F.when(c["chunk"] == 0, c["v"]).otherwise(
+            acc * c["w"] + c["b"]
+        ),
+    )
+    return summaries.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"), compose.alias("ewma_last")
+    )
 
 
 _ORACLE_EVENTS_EWMA = f"""
-WITH per AS (
-  SELECT user_id, COUNT(*) AS n_events,
-         array_agg(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vals
+WITH e AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1 AS seq
   FROM events
   WHERE ts IS NOT NULL AND value IS NOT NULL
+), per_chunk AS (
+  SELECT user_id, seq // {EWMA_CHUNK} AS chunk, COUNT(*) AS n,
+         array_agg(value ORDER BY seq) AS vals
+  FROM e
+  GROUP BY user_id, seq // {EWMA_CHUNK}
+), summaries AS (
+  SELECT user_id, chunk, n,
+         CASE WHEN chunk = 0 THEN
+           list_reduce(vals, (acc, x) -> acc + {EWMA_ALPHA} * (x - acc))
+         END AS v,
+         list_reduce(list_prepend(CAST(1.0 AS DOUBLE), vals),
+                     (acc, x) -> acc * {1.0 - EWMA_ALPHA}) AS w,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                     (acc, x) -> acc * {1.0 - EWMA_ALPHA} + {EWMA_ALPHA} * x) AS b
+  FROM per_chunk
+), composed AS (
+  -- list_reduce seeds with the head element (the chunk-0 summary after
+  -- list_sort) and the lambda keeps the running EWMA in field v, so the
+  -- value-path arithmetic (v·w + b per later chunk) matches the Spark
+  -- fold operation-for-operation.
+  SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+         list_reduce(
+           list_sort(array_agg({{'chunk': chunk, 'v': v, 'w': w, 'b': b}})),
+           (acc, c) -> {{'chunk': c.chunk, 'v': acc.v * c.w + c.b,
+                         'w': c.w, 'b': c.b}}
+         ).v AS ewma_last
+  FROM summaries
   GROUP BY user_id
 )
-SELECT user_id, n_events,
-       list_reduce(vals, (acc, x) -> acc + {EWMA_ALPHA} * (x - acc)) AS ewma_last
-FROM per
+SELECT user_id, n_events, ewma_last FROM composed
 """
 
 
@@ -820,7 +899,10 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one keyed window (lead) over the user partitioning and
     one hash-agg — the same single-shuffle shape as sessionization; at
-    100 TB both reuse one (user_id) exchange."""
+    100 TB both reuse one (user_id) exchange. Unlike a collect_list
+    fold, the window is SORT-based (ExternalSorter, disk-spillable): a
+    hot key costs spill I/O, never unbounded task memory — no chunking
+    needed here."""
     events = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
