@@ -82,7 +82,7 @@ HEADLINE = [
     # engine paths previously untracked: the Arrow-batched mapInPandas
     # decode (the only Python-executing batch op) and the checkpointed
     # co-purchase-graph join
-    "multimodal_features",
+    "multimodal_meta_stats",
     "graph_triangles",
     "embedding_pca_power",
     "events_twap",

@@ -10,7 +10,7 @@ import pytest
 from us_flight_bigdata_dashboard_spark.operators.multimodal import (
     decode_image_real,
     media_from_documents,
-    q_multimodal_features,
+    q_multimodal_plumbing_stub,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -23,7 +23,7 @@ def test_payload_is_binary_and_pruned_schema(spark):
 
 
 def test_decode_features_deterministic(spark):
-    feats = q_multimodal_features(spark, SF_DIR)
+    feats = q_multimodal_plumbing_stub(spark, SF_DIR)
     rows = feats.orderBy("media_id").limit(5).collect()
     docs = {r["media_id"]: r for r in rows}
     # independently recompute one row's features from the source text
@@ -115,3 +115,30 @@ def test_video_decoder_frame_extraction(spark):
 
     with pytest.raises(ValueError, match="not a VID"):
         list(decode(iter([pd.DataFrame({"media_id": [6], "payload": [b"XXX\n1 1 1\n\x00"]})])))
+
+
+def test_wav_chunk_decoder_segments_real_bytes(spark):
+    """Hand-built WAV longer than one segment: per-segment sums and the
+    short tail segment must be exact."""
+    import struct
+
+    import pandas as pd
+
+    import us_flight_bigdata_dashboard_spark.operators.multimodal as mm
+
+    samples = list(range(1, mm.AUDIO_CHUNK_SAMPLES + 3))  # one full + 2-tail
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    decode = mm.make_wav_chunk_decoder()
+    out = pd.concat(list(decode(iter([pd.DataFrame({"media_id": [9], "payload": [hdr + data]})]))))
+    out = out.sort_values("seg_idx").reset_index(drop=True)
+    c = mm.AUDIO_CHUNK_SAMPLES
+    assert list(out["seg_len"]) == [c, 2]
+    assert list(out["seg_start"]) == [0, c]
+    assert out.iloc[0]["sum_amp"] == sum(samples[:c])
+    assert out.iloc[1]["sum_amp"] == sum(samples[c:])
+    assert out.iloc[1]["sum_sq"] == sum(s * s for s in samples[c:])

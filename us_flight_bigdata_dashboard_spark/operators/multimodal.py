@@ -7,11 +7,18 @@ stay columnar in parquet; metadata prunes without touching payloads).
 Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` — the
 correct Spark shape for per-item Python work (one Python invocation per
 record *batch*, zero-copy Arrow transfer, linear scaling with partitions).
-The imaging/audio libraries are not in this container, so the actual pixel
-decode is STUBBED two ways:
 
-  * ``make_decode_features_stub`` — a deterministic fake (md5-derived dims)
-    so the full pipeline, schema, and batch mechanics are real and testable;
+The FLAGSHIP entries are genuine byte-level decoders over real synthesized
+binaries: ``multimodal_ppm_decode`` (P6 image), ``multimodal_wav_decode``
+(RIFF/WAVE PCM16), ``multimodal_video_decode`` (multi-frame raw stream),
+plus the derived operators (``meta_stats``, ``frame_sample``,
+``audio_chunks``) which all consume REAL decode outputs. Compressed codecs
+(JPEG/MP3/H.264) need PIL/ffmpeg, absent in this container, so that
+plug-in point is covered two ways:
+
+  * ``make_decode_features_stub`` / ``multimodal_plumbing_stub`` — a
+    clearly-named deterministic fake (md5-derived dims) proving the
+    pipeline, schema, and batch mechanics a codec decoder would plug into;
   * ``decode_image_real`` — the genuine PIL path behind an import-try,
     raising ``NotImplementedError`` with instructions when PIL is absent.
 """
@@ -116,9 +123,17 @@ def decode_image_real(payload: bytes):
     return Image.open(BytesIO(payload))  # pragma: no cover
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media feature extraction end-to-end: binary payload column →
-    Arrow-batched mapInPandas decode → typed feature rows."""
+def q_multimodal_plumbing_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLUMBING STUB (clearly named so nobody over-reads the green row):
+    binary payload column → Arrow-batched mapInPandas → typed feature rows,
+    with the decode step a deterministic md5-derived fake. The pipeline
+    mechanics (schema, batching, Arrow transfer) are real; the width/
+    height/n_frames numbers are NOT. The REAL byte-level decoders are
+    ``multimodal_ppm_decode`` / ``multimodal_wav_decode`` /
+    ``multimodal_video_decode``, and every derived multimodal operator
+    (meta_stats, frame_sample, audio_chunks) now consumes THEIR outputs —
+    this entry only certifies the compressed-codec plug-in point that
+    PIL/ffmpeg would fill (``decode_image_real``)."""
     media = media_from_documents(spark, sf_dir)
     return media.mapInPandas(make_decode_features_stub(), MEDIA_FEATURE_SCHEMA)
 
@@ -301,15 +316,10 @@ def make_wav_decoder():
     return decode
 
 
-def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GENUINE audio decode under the exact gate: each document id becomes
-    a REAL RIFF/WAVE binary (full header + PCM16-LE samples, sample i =
-    ((media_id·7 + i) mod 65536) − 32768 stored little-endian), and the
-    mapInPandas worker does a real chunk walk + ``frombuffer('<i2')``
-    decode, emitting integer-exact amplitude/energy sums. The oracle
-    derives the same sums from the generating formula without parsing
-    bytes — endianness, chunk-walk, or sign errors all break the hash.
-    The audio twin of ``multimodal_ppm_decode``."""
+def _wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) with payload a REAL RIFF/WAVE binary: full header
+    + PCM16-LE samples, sample i = ((media_id·7 + i) mod 65536) − 32768
+    stored little-endian, built with ``unhex`` over column expressions."""
     docs = load_table(spark, sf_dir, "documents")
     # u = unsigned 16-bit sample value; stored LE (lo byte then hi byte)
     u = lambda i: (F.col("media_id") * 7 + i) % 65536  # noqa: E731
@@ -323,11 +333,21 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "",
     )
-    media = docs.select(F.col("doc_id").alias("media_id")).select(
+    return docs.select(F.col("doc_id").alias("media_id")).select(
         "media_id",
         F.unhex(F.concat(F.lit(_wav_header_hex()), pcm_hex)).alias("payload"),
     )
-    return media.mapInPandas(make_wav_decoder(), WAV_DECODE_SCHEMA)
+
+
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE audio decode under the exact gate: each document id becomes
+    a REAL RIFF/WAVE binary (see ``_wav_media``), and the mapInPandas
+    worker does a real chunk walk + ``frombuffer('<i2')`` decode, emitting
+    integer-exact amplitude/energy sums. The oracle derives the same sums
+    from the generating formula without parsing bytes — endianness,
+    chunk-walk, or sign errors all break the hash. The audio twin of
+    ``multimodal_ppm_decode``."""
+    return _wav_media(spark, sf_dir).mapInPandas(make_wav_decoder(), WAV_DECODE_SCHEMA)
 
 
 def _sql_wav_decode() -> str:
@@ -499,29 +519,77 @@ FROM documents
 
 
 def q_multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-only aggregation over the decoded features — the access
-    pattern where payload columns are never read (column pruning keeps the
-    scan cheap at 100 TB)."""
-    feats = q_multimodal_features(spark, sf_dir)
-    return feats.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n_media"),
-        F.sum(F.col("n_bytes").cast("bigint")).alias("total_bytes"),
-        F.min("width").alias("min_width"),
-        F.max("width").alias("max_width"),
-        F.max("n_frames").alias("max_frames"),
+    """Cross-modality metadata rollup over the REAL decoders' outputs (no
+    stub-derived numbers): each modality's byte-level decode is normalized
+    to (kind, media_id, n_units, sum_values) — pixels/channel-sums for
+    images, samples/amplitude-sum for audio, total-pixels/frame-sums for
+    video — then rolled up per kind. Every figure traces back to bytes
+    actually parsed by the decode workers; the oracle recomputes them from
+    the generating formulas, so a decoder regression breaks this row too.
+
+    Scale shape: three narrow decode stages, one per-media pre-aggregate
+    for video (map-side combinable), one tiny hash-agg by kind."""
+    img = q_multimodal_ppm_decode(spark, sf_dir).select(
+        F.lit("image").alias("kind"),
+        "media_id",
+        F.col("n_pixels").cast("bigint").alias("n_units"),
+        (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")).alias("sum_values"),
+    )
+    aud = q_multimodal_wav_decode(spark, sf_dir).select(
+        F.lit("audio").alias("kind"),
+        "media_id",
+        F.col("n_samples").cast("bigint").alias("n_units"),
+        F.col("sum_amp").alias("sum_values"),
+    )
+    vid = (
+        q_multimodal_video_decode(spark, sf_dir)
+        .groupBy("media_id")
+        .agg(
+            F.sum((F.col("width") * F.col("height")).cast("bigint")).alias("n_units"),
+            F.sum("frame_sum").alias("sum_values"),
+        )
+        .select(F.lit("video").alias("kind"), "media_id", "n_units", "sum_values")
+    )
+    return (
+        img.unionByName(aud)
+        .unionByName(vid)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_units").alias("total_units"),
+            F.min("n_units").alias("min_units"),
+            F.max("n_units").alias("max_units"),
+            F.sum("sum_values").alias("sum_values"),
+        )
     )
 
 
 def _sql_multimodal_meta_stats() -> str:
     return f"""
-SELECT kind,
-       COUNT(*) AS n_media,
-       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-       MIN(width) AS min_width,
-       MAX(width) AS max_width,
-       MAX(n_frames) AS max_frames
-FROM ({_sql_multimodal_features()})
-GROUP BY 1
+WITH img AS (
+  SELECT 'image' AS kind, media_id, CAST(n_pixels AS BIGINT) AS n_units,
+         sum_r + sum_g + sum_b AS sum_values
+  FROM ({_sql_ppm_decode()})
+), aud AS (
+  SELECT 'audio' AS kind, media_id, CAST(n_samples AS BIGINT) AS n_units,
+         sum_amp AS sum_values
+  FROM ({_sql_wav_decode()})
+), vid AS (
+  SELECT 'video' AS kind, media_id,
+         CAST(SUM(CAST(width AS BIGINT) * height) AS BIGINT) AS n_units,
+         CAST(SUM(frame_sum) AS BIGINT) AS sum_values
+  FROM ({_sql_video_decode()})
+  GROUP BY media_id
+), u AS (
+  SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
+)
+SELECT kind, COUNT(*) AS n_media,
+       CAST(SUM(n_units) AS BIGINT) AS total_units,
+       CAST(MIN(n_units) AS BIGINT) AS min_units,
+       CAST(MAX(n_units) AS BIGINT) AS max_units,
+       CAST(SUM(sum_values) AS BIGINT) AS sum_values
+FROM u
+GROUP BY kind
 """
 
 
@@ -529,129 +597,163 @@ FRAME_K = 4
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uniform frame sampling for video media: up to ``FRAME_K`` frame
-    indices per video (``floor(j·n_frames/K)``, deduped for short clips),
-    one output row per sampled frame with a per-frame digest — the
-    video-pretraining access pattern (decode metadata once, explode to
-    the frames a trainer actually reads).
+    """Uniform frame sampling over REAL decoded video frames: up to
+    ``FRAME_K`` indices per video (``floor(j·n_frames/K)``, deduped for
+    short clips), joined back to the byte-level decoded frame rows so each
+    sampled frame carries its ACTUAL decoded pixel sum — the
+    video-pretraining access pattern (decode metadata once, then read only
+    the frames a trainer touches).
 
-    The sampled-index derivation is a pure narrow expression over the
-    decoded metadata (sequence → transform → array_distinct → explode);
-    a real pipeline would feed these (media_id, frame_idx) pairs to the
-    frame-decode mapInPandas stage, touching only K frames per video
-    rather than the full payload."""
-    feats = q_multimodal_features(spark, sf_dir).filter(F.col("kind") == "video")
+    Scale shape: per-media frame counts are a map-side-combinable
+    pre-aggregate; the sample join is equi-keyed on (media_id, frame_idx)
+    and co-partitioned with the frame table's natural key, so the
+    exchange is reused rather than doubled. In a production pipeline the
+    sampled (media_id, frame_idx) descriptors would drive ranged reads
+    against the payload store instead of re-decoding full clips."""
+    frames = q_multimodal_video_decode(spark, sf_dir)
+    counts = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
     idxs = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.lit(FRAME_K - 1)),
             lambda j: F.floor(j * F.col("n_frames") / FRAME_K).cast("int"),
         )
     )
-    return (
-        feats.select("media_id", "n_frames", "digest", F.explode(idxs).alias("frame_idx"))
-        .select(
-            "media_id",
-            "n_frames",
-            "frame_idx",
-            F.md5(F.concat_ws("_", F.col("digest"), F.col("frame_idx").cast("string"))).alias(
-                "frame_digest"
-            ),
-        )
+    sampled = counts.select("media_id", "n_frames", F.explode(idxs).alias("frame_idx"))
+    return frames.join(sampled, ["media_id", "frame_idx"]).select(
+        "media_id", "n_frames", "frame_idx", "width", "height", "frame_sum"
     )
 
 
 def _sql_multimodal_frame_sample() -> str:
     js = ", ".join(str(j) for j in range(FRAME_K))
     return f"""
-SELECT media_id, n_frames, frame_idx,
-       md5(digest || '_' || CAST(frame_idx AS VARCHAR)) AS frame_digest
-FROM (
-  SELECT media_id, n_frames, digest,
+WITH frames AS (
+  {_sql_video_decode()}
+), counts AS (
+  SELECT media_id, COUNT(*) AS n_frames FROM frames GROUP BY media_id
+), sampled AS (
+  SELECT media_id, n_frames,
          unnest(list_distinct(list_transform([{js}],
                 j -> CAST(floor(j * n_frames / {FRAME_K}) AS INTEGER)))) AS frame_idx
-  FROM ({_sql_multimodal_features()})
-  WHERE kind = 'video'
+  FROM counts
 )
+SELECT f.media_id, s.n_frames, f.frame_idx, f.width, f.height, f.frame_sum
+FROM frames f
+JOIN sampled s ON f.media_id = s.media_id AND f.frame_idx = s.frame_idx
 """
 
 
-AUDIO_CHUNK_BYTES = 100
+AUDIO_CHUNK_SAMPLES = 16
+
+WAV_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("seg_idx", T.IntegerType()),
+        T.StructField("seg_start", T.IntegerType()),
+        T.StructField("seg_len", T.IntegerType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+
+def make_wav_chunk_decoder():
+    """mapInPandas worker that parses REAL RIFF/WAVE bytes and emits one
+    row per ``AUDIO_CHUNK_SAMPLES``-sample segment with integer-exact
+    per-segment amplitude/energy sums — the streaming-segment access
+    pattern of audio pretraining (bounded segments, never whole payloads),
+    on actual bytes. Self-contained closure, pickled by value."""
+    chunk = AUDIO_CHUNK_SAMPLES
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "seg_idx", "seg_start", "seg_len", "sum_amp", "sum_sq",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                pos, data = 12, None
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    (clen,) = _struct.unpack("<I", b[pos + 4 : pos + 8])
+                    if cid == b"data":
+                        data = b[pos + 8 : pos + 8 + clen]
+                    pos += 8 + clen + (clen % 2)
+                if data is None:
+                    raise ValueError("missing data chunk")
+                samples = _np.frombuffer(data, dtype="<i2").astype(_np.int64)
+                for s in range(0, len(samples), chunk):
+                    seg = samples[s : s + chunk]
+                    out["media_id"].append(int(mid))
+                    out["seg_idx"].append(s // chunk)
+                    out["seg_start"].append(s)
+                    out["seg_len"].append(len(seg))
+                    out["sum_amp"].append(int(seg.sum()))
+                    out["sum_sq"].append(int((seg * seg).sum()))
+            yield _pd.DataFrame(out)
+
+    return decode
 
 
 def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-size chunking for audio media: split each payload into
-    ``AUDIO_CHUNK_BYTES`` segments (seg index, byte offset, length, and a
-    per-segment digest) — the audio twin of video frame sampling: the
-    trainer streams bounded segments, never whole payloads.
+    """Fixed-size audio segmentation on REAL bytes: the same RIFF/WAVE
+    payloads as ``multimodal_wav_decode``, decoded by a worker that emits
+    one row per ``AUDIO_CHUNK_SAMPLES``-sample segment with the segment's
+    ACTUAL decoded amplitude/energy sums (no stub-derived numbers) — the
+    audio twin of per-frame video extraction: the trainer streams bounded
+    segments, never whole payloads.
 
-    Narrow shape: segment count and offsets derive from ``n_bytes`` in the
-    decoded metadata (sequence → explode); only the segment *descriptors*
-    materialize — a real pipeline hands (media_id, offset, length) to a
-    ranged read against the blob store, so the 100 TB payload column is
-    never re-shuffled."""
-    feats = q_multimodal_features(spark, sf_dir).filter(F.col("kind") == "audio")
-    n_seg = F.ceil(F.col("n_bytes") / AUDIO_CHUNK_BYTES).cast("int")
-    # guard the empty payload: Spark's sequence(0, -1) yields a DESCENDING
-    # [0, -1] (step is inferred), not the empty list DuckDB's
-    # generate_series gives — an empty payload must produce zero segments
-    # on both engines
-    segs = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return (
-        feats.select(
-            "media_id",
-            "n_bytes",
-            "digest",
-            F.explode(segs).alias("seg_idx"),
-        )
-        .select(
-            "media_id",
-            "n_bytes",
-            "seg_idx",
-            (F.col("seg_idx") * AUDIO_CHUNK_BYTES).alias("seg_start"),
-            F.least(
-                F.lit(AUDIO_CHUNK_BYTES),
-                F.col("n_bytes") - F.col("seg_idx") * AUDIO_CHUNK_BYTES,
-            ).alias("seg_len"),
-            F.md5(F.concat_ws("_", F.col("digest"), F.col("seg_idx").cast("string"))).alias(
-                "seg_digest"
-            ),
-        )
+    Scale shape: narrow per-row decode, zero shuffles; segment rows
+    parallelize per Arrow batch. The oracle recomputes segment sums from
+    the generating formula grouped by sample-index//chunk, so a stride or
+    boundary error in the segmenting decoder breaks the hash."""
+    return _wav_media(spark, sf_dir).mapInPandas(
+        make_wav_chunk_decoder(), WAV_CHUNK_SCHEMA
     )
 
 
 def _sql_multimodal_audio_chunks() -> str:
+    v = "(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)"
+    c = AUDIO_CHUNK_SAMPLES
     return f"""
-SELECT media_id, n_bytes, seg_idx,
-       seg_idx * {AUDIO_CHUNK_BYTES} AS seg_start,
-       least({AUDIO_CHUNK_BYTES}, n_bytes - seg_idx * {AUDIO_CHUNK_BYTES}) AS seg_len,
-       md5(digest || '_' || CAST(seg_idx AS VARCHAR)) AS seg_digest
-FROM (
-  SELECT media_id, n_bytes, digest,
-         unnest(generate_series(0, CAST(ceil(n_bytes / {AUDIO_CHUNK_BYTES}.0) AS INTEGER) - 1)) AS seg_idx
-  FROM ({_sql_multimodal_features()})
-  WHERE kind = 'audio'
+WITH s AS (
+  SELECT doc_id, p, (doc_id * 7 + p) % 65536 AS u
+  FROM documents, unnest(generate_series(0, {WAV_SAMPLES - 1})) AS t(p)
 )
+SELECT doc_id AS media_id,
+       CAST(p // {c} AS INTEGER) AS seg_idx,
+       CAST((p // {c}) * {c} AS INTEGER) AS seg_start,
+       CAST(COUNT(*) AS INTEGER) AS seg_len,
+       CAST(SUM({v}) AS BIGINT) AS sum_amp,
+       CAST(SUM({v} * {v}) AS BIGINT) AS sum_sq
+FROM s
+GROUP BY doc_id, p // {c}
 """
 
 
 QUERIES = {
-    "multimodal_features": q_multimodal_features,
-    "multimodal_meta_stats": q_multimodal_meta_stats,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "multimodal_audio_chunks": q_multimodal_audio_chunks,
     "multimodal_ppm_decode": q_multimodal_ppm_decode,
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_video_decode": q_multimodal_video_decode,
+    "multimodal_meta_stats": q_multimodal_meta_stats,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_audio_chunks": q_multimodal_audio_chunks,
+    "multimodal_plumbing_stub": q_multimodal_plumbing_stub,
 }
 
 ORACLE = {
-    "multimodal_features": _sql_multimodal_features(),
-    "multimodal_meta_stats": _sql_multimodal_meta_stats(),
-    "multimodal_frame_sample": _sql_multimodal_frame_sample(),
-    "multimodal_audio_chunks": _sql_multimodal_audio_chunks(),
     "multimodal_ppm_decode": _sql_ppm_decode(),
     "multimodal_wav_decode": _sql_wav_decode(),
     "multimodal_video_decode": _sql_video_decode(),
+    "multimodal_meta_stats": _sql_multimodal_meta_stats(),
+    "multimodal_frame_sample": _sql_multimodal_frame_sample(),
+    "multimodal_audio_chunks": _sql_multimodal_audio_chunks(),
+    "multimodal_plumbing_stub": _sql_multimodal_features(),
 }
