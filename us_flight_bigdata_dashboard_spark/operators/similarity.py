@@ -170,42 +170,71 @@ def _sql_bucket(emb: str, planes: list[int] | None = None) -> str:
     return " || ".join(parts)
 
 
+LSH_TABLES = 4  # OR-construction: candidate if ANY table's bucket matches
+LSH_BITS = 4    # bits per table → 2^4 buckets per table
+
+
+def _lsh_table_planes(t: int) -> list[int]:
+    return list(range(t * LSH_BITS, (t + 1) * LSH_BITS))
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via sign-random-projection buckets: candidates share the query's
-    8-bit bucket; exact cosine re-rank inside the bucket (top-5). The
-    bucket equi-join is the scale path — ~n/256 candidates per query
-    instead of n. Norms precomputed per row below the join."""
+    """ANN via sign-random-projection LSH with the standard MULTI-TABLE
+    OR-construction (Indyk–Motwani): ``LSH_TABLES`` independent tables of
+    ``LSH_BITS`` hyperplanes each; a vector is a candidate if it shares
+    the query's bucket in ANY table, then exact cosine re-ranks the
+    deduped candidates (top-5). A single wide bucket (the previous 8-bit
+    design) slices the corpus so finely that true neighbors land in other
+    buckets — recall@5 was 0; OR-ing narrower tables trades a bounded
+    candidate-set growth (~L·n/2^bits) for the recall a usable index
+    needs (measured in ``ann_recall_eval``).
+
+    Scale shape: buckets are narrow per-row expressions (broadcast plane
+    literals); the candidate join is equi-keyed on (table, bucket);
+    duplicates across tables collapse with a map-side-combinable
+    (query, neighbor) max — cosine is computed per pair occurrence but
+    identical, so MAX is a pure dedup. At 100 TB, bits scale up with
+    corpus size and the per-table join stays an equi-shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
+    buckets = F.array(
+        *[
+            _bucket_expr(F.col("embedding"), _lsh_table_planes(t))
+            for t in range(LSH_TABLES)
+        ]
+    )
+    base = emb.select(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("vnorm"),
-        _bucket_expr(F.col("embedding")).alias("bucket"),
+        F.posexplode(buckets).alias("table_idx", "bucket"),
     )
-    queries = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).select(
+    queries = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("vnorm").alias("q_norm"),
+        "table_idx",
         "bucket",
     )
-    cand = bucketed.select(
+    cand = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.col("vnorm").alias("c_norm"),
+        "table_idx",
         "bucket",
     )
     scored = (
         F.broadcast(queries)
-        .join(cand, "bucket")
+        .join(cand, ["table_idx", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            "bucket",
             (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias(
                 "cosine_sim"
             ),
         )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
@@ -213,18 +242,23 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_ann_lsh() -> str:
     cos = _sql_cosine("q.embedding", "c.embedding")
-    bucket = _sql_bucket("embedding")
+    tables = "\n  UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS table_idx, "
+        f"{_sql_bucket('embedding', _lsh_table_planes(t))} AS bucket FROM embeddings"
+        for t in range(LSH_TABLES)
+    )
     return f"""
 WITH bucketed AS (
-  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+  {tables}
 ),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
-         {cos} AS cosine_sim
-  FROM bucketed q JOIN bucketed c USING (bucket)
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         MAX({cos}) AS cosine_sim
+  FROM bucketed q JOIN bucketed c USING (table_idx, bucket)
   WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
 )
-SELECT query_id, neighbor_id, bucket, cosine_sim, CAST(rank AS INTEGER) AS rank
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
   FROM scored
@@ -238,7 +272,12 @@ WHERE rank <= 5
 # ---------------------------------------------------------------------------
 
 N_CENTROIDS = 8
-IVF_SAMPLE_N = 64  # deterministic training sample: vec_id < IVF_SAMPLE_N
+# Deterministic training sample (vec_id < IVF_SAMPLE_N), sized by the FAISS
+# rule of thumb ~256 training points per centroid — the sample SCALES WITH
+# the index resolution instead of being a fixed toy constant. At small test
+# SFs the predicate simply takes the whole table; the oracle CTEs
+# interpolate the same constant so both engines train on identical rows.
+IVF_SAMPLE_N = max(64, 256 * N_CENTROIDS)
 N_LLOYD_ITERS = 2
 
 
@@ -279,13 +318,18 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     if missing:
         raise ValueError(f"IVF init needs vec_ids 0..{N_CENTROIDS - 1}; missing {missing}")
     cents = [list(vecs[i]) for i in range(N_CENTROIDS)]
+    # norms are memoized (sqrt(dot(v,v)) is the same IEEE double whether
+    # computed once or once per pair) — keeps the larger 256·K sample cheap
+    # without perturbing a single bit of the oracle-mirrored arithmetic
+    vnorms = {vid: math.sqrt(_py_dot(v, v)) for vid, v in vecs.items()}
     for _ in range(N_LLOYD_ITERS):
+        cnorms = [math.sqrt(_py_dot(c, c)) for c in cents]
         members: list[list[int]] = [[] for _ in range(N_CENTROIDS)]
         for vid in sorted(vecs):
             v = vecs[vid]
             best_cid, best_sim = 0, None
             for cid in range(N_CENTROIDS):
-                s = _py_cosine(v, cents[cid])
+                s = _py_dot(v, cents[cid]) / (vnorms[vid] * cnorms[cid])
                 if best_sim is None or s > best_sim:  # ties keep lowest cid
                     best_cid, best_sim = cid, s
             members[best_cid].append(vid)
@@ -757,7 +801,9 @@ FROM embeddings
 PQ_M = 4          # subspaces
 PQ_SUBDIM = DIM // PQ_M
 PQ_K = 8          # codes per subspace codebook
-PQ_SAMPLE_N = 64  # deterministic training sample: vec_id < PQ_SAMPLE_N
+# ~256 training points per code (FAISS rule) — scales with codebook size;
+# mirrored verbatim in the oracle CTEs (see IVF_SAMPLE_N note).
+PQ_SAMPLE_N = max(64, 256 * PQ_K)
 PQ_LLOYD = 2      # Lloyd iterations per subspace codebook
 PQ_TOP_K = 5
 
@@ -985,12 +1031,15 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measurement loop every ANN deployment runs before trusting an
     index (tune bucket bits / bands against this curve).
 
-    Composes the two existing pipelines unchanged (ground truth =
-    q_knn_bruteforce top-{RECALL_K}, approx = q_ann_lsh) and left-joins
-    truth to the approx result on (query, neighbor): recall = matched
-    truth rows / {RECALL_K}. Both inputs are deterministic (fixed
-    tie-breaks), so the recall numbers are exact reproducible quantities,
-    not samples. Scale: both sides are ~|queries|·k rows — the evaluation
+    Composes the existing pipelines unchanged (ground truth =
+    q_knn_bruteforce top-{RECALL_K}; one approx row-set PER INDEX —
+    sign-projection LSH and the k-means IVF) and left-joins truth to each
+    approx result on (query, neighbor): recall = matched truth rows /
+    {RECALL_K}, one output row per (index, query). All inputs are
+    deterministic (fixed tie-breaks), so the recall numbers are exact
+    reproducible quantities, not samples — this is the row-set that shows
+    whether an index change (e.g. the 256·K training-sample rule) moved
+    quality. Scale: every side is ~|queries|·k rows — the evaluation
     join is trivially small regardless of corpus size; it is the
     pipelines underneath that scale.
     """
@@ -999,44 +1048,59 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= RECALL_K)
         .select("query_id", "neighbor_id")
     )
-    approx = q_ann_lsh(spark, sf_dir).select(
-        "query_id", F.col("neighbor_id").alias("approx_neighbor")
-    )
-    return (
-        truth.join(
-            approx,
-            (truth["query_id"] == approx["query_id"])
-            & (truth["neighbor_id"] == approx["approx_neighbor"]),
-            "left",
+
+    def eval_index(name: str, approx: DataFrame) -> DataFrame:
+        approx = approx.select(
+            "query_id", F.col("neighbor_id").alias("approx_neighbor")
         )
-        .select(truth["query_id"], "neighbor_id", "approx_neighbor")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_truth"),
-            F.count("approx_neighbor").alias("n_hits"),
+        return (
+            truth.join(
+                approx,
+                (truth["query_id"] == approx["query_id"])
+                & (truth["neighbor_id"] == approx["approx_neighbor"]),
+                "left",
+            )
+            .select(truth["query_id"], "neighbor_id", "approx_neighbor")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_truth"),
+                F.count("approx_neighbor").alias("n_hits"),
+            )
+            .select(
+                F.lit(name).alias("index_name"),
+                "query_id",
+                "n_truth",
+                "n_hits",
+                (F.col("n_hits") / F.col("n_truth").cast("double")).alias("recall"),
+            )
         )
-        .withColumn(
-            "recall", F.col("n_hits") / F.col("n_truth").cast("double")
-        )
-        .orderBy("query_id")
-    )
+
+    lsh = eval_index("lsh", q_ann_lsh(spark, sf_dir))
+    ivf = eval_index("ivf", q_ann_ivf(spark, sf_dir).filter(F.col("rank") <= RECALL_K))
+    return lsh.unionByName(ivf).orderBy("index_name", "query_id")
 
 
 def _sql_ann_recall_eval() -> str:
-    return f"""
-WITH truth AS (
-  SELECT query_id, neighbor_id FROM ({_sql_knn_bruteforce()}) WHERE rank <= {RECALL_K}
-),
-approx AS (
-  SELECT query_id, neighbor_id AS approx_neighbor FROM ({_sql_ann_lsh()})
-)
-SELECT t.query_id, COUNT(*) AS n_truth,
+    def eval_cte(name: str, approx_sql: str, extra: str = "") -> str:
+        return f"""
+SELECT '{name}' AS index_name, t.query_id, COUNT(*) AS n_truth,
        COUNT(a.approx_neighbor) AS n_hits,
        COUNT(a.approx_neighbor) / CAST(COUNT(*) AS DOUBLE) AS recall
 FROM truth t
-LEFT JOIN approx a ON a.query_id = t.query_id AND a.approx_neighbor = t.neighbor_id
+LEFT JOIN (SELECT query_id, neighbor_id AS approx_neighbor
+           FROM ({approx_sql}) {extra}) a
+  ON a.query_id = t.query_id AND a.approx_neighbor = t.neighbor_id
 GROUP BY t.query_id
-ORDER BY t.query_id
+"""
+
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({_sql_knn_bruteforce()}) WHERE rank <= {RECALL_K}
+)
+{eval_cte("lsh", _sql_ann_lsh())}
+UNION ALL
+{eval_cte("ivf", _sql_ann_ivf(), f"WHERE rank <= {RECALL_K}")}
+ORDER BY index_name, query_id
 """
 
 
