@@ -116,3 +116,50 @@ def test_ewma_oracle_matches_on_multichunk_input(spark, tmp_path, monkeypatch):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
     oracle_out = {u: (n, x) for u, n, x in con.execute(sql).fetchall()}
     assert spark_out == oracle_out
+
+
+def test_large_small_star_chain_converges_logarithmically(spark):
+    """A 64-node path (diameter 63) must converge in O(log d) rounds —
+    min-label propagation would need ~63; large-star/small-star should
+    need well under 12 — with every node labeled by the component min."""
+    from us_flight_bigdata_dashboard_spark.operators.dedup import (
+        MAX_LS_ITERS,
+        large_small_star,
+    )
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i + 100, i + 101) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = large_small_star(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {100 + i: 100 for i in range(n)}
+    assert rounds < MAX_LS_ITERS, f"took all {rounds} rounds (no early fixed point)"
+    assert rounds <= 8, f"chain of diameter {n - 1} took {rounds} rounds"
+
+
+def test_large_small_star_matches_label_propagation_on_lsh_pairs(spark):
+    """Same clusters as the label-propagation operator on the real LSH
+    candidate pairs (both reduce to component-min labeling)."""
+    from us_flight_bigdata_dashboard_spark.operators.dedup import (
+        q_dedup_clusters,
+        q_dedup_clusters_ls,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(tuple(r) for r in q_dedup_clusters(spark, sf).collect())
+    b = sorted(tuple(r) for r in q_dedup_clusters_ls(spark, sf).collect())
+    assert a == b
+
+
+def test_large_small_star_forest_shapes(spark):
+    """Two components (a triangle-with-tail and a separate edge) plus an
+    isolated pair: exact labels, keeper = min per component."""
+    from us_flight_bigdata_dashboard_spark.operators.dedup import large_small_star
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (5, 7), (7, 11), (2, 3)], "doc_a long, doc_b long"
+    )
+    labels, _ = large_small_star(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {5: 5, 9: 5, 7: 5, 11: 5, 2: 2, 3: 2}

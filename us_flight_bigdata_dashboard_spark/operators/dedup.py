@@ -399,6 +399,106 @@ GROUP BY src
 """
 
 
+MAX_LS_ITERS = 12
+
+
+def large_small_star(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log diameter) upgrade over one-hop min-label
+    propagation: each round rewires every node toward its neighborhood
+    minimum, roughly halving path lengths, so chain-shaped components
+    converge logarithmically instead of linearly.
+
+    Per round: large-star (grouped on each node u, every larger neighbor
+    v > u re-points at m = min(N(u) ∪ {u})) then small-star (grouped on
+    the larger endpoint of each directed edge, every smaller neighbor and
+    u itself point at the local min). Each star op is ONE hash-agg plus
+    ONE equi-join on the edge list — the same per-round shuffle budget as
+    label propagation, just fewer rounds. Edges localCheckpoint each
+    round (lineage hygiene for iterative plans); the fixed point is
+    detected by the (count, Σchild, Σparent) triple of the directed
+    child→parent edge set stabilizing (at the fixed point the edge set IS
+    the star forest, so the triple is stationary; intermediate rounds
+    that coincidentally matched on all three sums have never been
+    observed and would only cost an extra confirming round if they did —
+    the loop also hard-caps at MAX_LS_ITERS).
+
+    Input: undirected candidate pairs (doc_a, doc_b). Returns (labels,
+    n_rounds): labels = (doc_id, cluster_id = component min) for every
+    node appearing in a pair."""
+    sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    edges = sym.distinct().localCheckpoint(eager=True)
+    prev = None
+    rounds = 0
+    stars = edges  # directed child→parent set, defined after round 1
+    for rounds in range(1, MAX_LS_ITERS + 1):
+        # large-star: v > u re-points at min(N(u) ∪ {u})
+        m = (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        ls = (
+            edges.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over big→small edges: neighbors ∪ {u} point at local min
+        m2 = (
+            ls.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        children = (
+            ls.join(m2, "u")
+            .select(F.col("v").alias("c"), F.col("m"))
+            .filter(F.col("c") != F.col("m"))
+        )
+        selves = m2.select(F.col("u").alias("c"), F.col("m")).filter(
+            F.col("c") != F.col("m")
+        )
+        stars = children.union(selves).distinct().localCheckpoint(eager=True)
+        sig = stars.agg(
+            F.count(F.lit(1)), F.sum("c"), F.sum("m")
+        ).collect()[0]
+        sig = (sig[0], sig[1], sig[2])
+        if sig == prev:
+            break
+        prev = sig
+        edges = stars.select("c", "m").toDF("u", "v").union(
+            stars.select(F.col("m").alias("u"), F.col("c").alias("v"))
+        )
+    roots = stars.select(F.col("m").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    labels = stars.select(
+        F.col("c").alias("doc_id"), F.col("m").alias("cluster_id")
+    ).union(roots)
+    return labels, rounds
+
+
+def q_dedup_clusters_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` computed by the large-star/small-star fixed point
+    instead of one-hop min-label propagation — identical output contract
+    (doc_id, cluster_id = component-min, is_keeper), identical recursive-
+    CTE oracle, O(log diameter) rounds instead of O(diameter). Use THIS
+    variant when duplicate components can be long chains (transcription
+    chains, near-dup drift over crawl snapshots); the label-propagation
+    twin stays optimal for the near-clique clusters LSH typically emits
+    (diameter 1-2 ⇒ 2-3 cheaper rounds)."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = large_small_star(pairs)
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware keeper selection — the final curation stage of the
     dedup pipeline: within each duplicate cluster keep the BEST document
@@ -952,6 +1052,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_ls": q_dedup_clusters_ls,
     "dedup_incremental": q_dedup_incremental,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_chunks": q_dedup_chunks,
@@ -966,6 +1067,7 @@ ORACLE = {
     "dedup_ngram_jaccard": _sql_ngram_jaccard(),
     "dedup_simhash": _sql_simhash(),
     "dedup_clusters": _sql_dedup_clusters(),
+    "dedup_clusters_ls": _sql_dedup_clusters(),
     "dedup_incremental": _sql_dedup_incremental(),
     "dedup_keep_best": _sql_dedup_keep_best(),
     "dedup_chunks": _ORACLE_DEDUP_CHUNKS,
