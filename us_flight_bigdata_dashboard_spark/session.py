@@ -56,8 +56,11 @@ def get_spark(
         # at JVM launch when the session is built from Python; a no-op if
         # a JVM already exists (e.g. the driver passes us its session).
         # On a real cluster this is superseded by spark-submit's
-        # --driver-memory/--executor-memory sizing.
-        .config("spark.driver.memory", "24g")
+        # --driver-memory/--executor-memory sizing. Env-overridable so a
+        # smaller host can lower it without editing code (extra_conf can't:
+        # the builder applies configs in insertion order and the JVM heap
+        # is fixed at launch).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -46,7 +46,9 @@ streaming deployment needs.
 
 from __future__ import annotations
 
+import atexit
 import itertools
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,6 +71,15 @@ CLICK_LOOKBACK = "30 minutes"
 
 _sink_counter = itertools.count()
 _stage_cache: dict = {}
+
+
+@atexit.register
+def _cleanup_staged_dirs() -> None:
+    """Remove memoized staging dirs at process exit — without this every
+    process run leaks several parquet copies of the events table in tmp."""
+    for path in _stage_cache.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _stage_cache.clear()
 
 
 def _stage_events(spark: SparkSession, sf_dir: str, doubled: bool = False) -> str:
@@ -121,8 +132,30 @@ def _stage_events_ts_ordered(spark: SparkSession, sf_dir: str) -> str:
     events.repartitionByRange(REPLAY_FILES, "ts").write.mode("overwrite").parquet(out)
     # part-0000N order == range order; pin strictly increasing mtimes
     # (fixed epoch base — only the relative order matters to the source)
-    for i, f in enumerate(sorted(glob.glob(os.path.join(out, "part-*")))):
+    files = sorted(glob.glob(os.path.join(out, "part-*")))
+    for i, f in enumerate(files):
         os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    # Assert the determinism contract INSTEAD of assuming it: the file
+    # source replays batches in mtime order, and the downstream stateful
+    # operators are only order-free if per-file event-time ranges are
+    # disjoint and monotone in that order (repartitionByRange guarantees
+    # it today; a Spark version changing part naming or the range
+    # partitioner would otherwise silently break the exact gate).
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        col = pq.read_table(f, columns=["ts"])["ts"]
+        if len(col):
+            ranges.append((f, pc.min(col).as_py(), pc.max(col).as_py()))
+    for (fa, _, a_max), (fb, b_min, _) in zip(ranges, ranges[1:]):
+        if not a_max < b_min:
+            raise RuntimeError(
+                "ts-ordered staging contract violated: "
+                f"{fa} max ts {a_max} !< {fb} min ts {b_min} — "
+                "file-source batch order no longer matches event-time order"
+            )
     _stage_cache[key] = out
     return out
 
