@@ -163,3 +163,85 @@ def test_large_small_star_forest_shapes(spark):
     labels, _ = large_small_star(pairs)
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {5: 5, 9: 5, 7: 5, 11: 5, 2: 2, 3: 2}
+
+
+# --- fixed-point / 2^53 bound properties (claims from functions/exact.py
+# and operators/graph.py docstrings, now enforced by tests) ----------------
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _quant(x: float, scale: int = 4) -> Decimal:
+    """Python mirror of Spark's double→DECIMAL(p,4) cast: shortest decimal
+    repr (BigDecimal.valueOf semantics) then HALF_UP to the scale."""
+    return Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e7, max_value=1e7, allow_nan=False), min_size=1, max_size=40
+    ),
+    nparts=st.integers(min_value=1, max_value=16),
+)
+def test_dsum_is_partition_invariant_and_exact(spark, vals, nparts):
+    """dsum == the exact Decimal sum of HALF_UP-quantized addends, for ANY
+    partitioning (the whole point of the decimal quantization)."""
+    from us_flight_bigdata_dashboard_spark.functions.exact import dsum
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(nparts)
+    got = df.agg(dsum("x").alias("s")).collect()[0]["s"]
+    want = float(sum(_quant(v) for v in vals))
+    assert got == want
+
+
+def test_dsum_near_2_53_bound_roundtrips_exactly(spark):
+    """|sum|·10^4 just under 2^53: the final DECIMAL→DOUBLE conversion must
+    still be exact (docstring bound: |sum| ≲ 9·10^11 at scale 4)."""
+    from us_flight_bigdata_dashboard_spark.functions.exact import dsum
+
+    # 1000 addends of ~8.9e8 with nontrivial decimals → sum ≈ 8.9e11,
+    # sum·10^4 ≈ 8.9e15 < 2^53 ≈ 9.007e15 (within ~1.2% of the bound)
+    vals = [8.9e8 + i * 0.0001 for i in range(1000)]
+    want_dec = sum(_quant(v) for v in vals)
+    assert int(want_dec.scaleb(4)) < 2**53, "test must sit under the bound"
+    assert int(want_dec.scaleb(4)) > 2**53 * 0.98, "test must sit NEAR the bound"
+    for nparts in (1, 7, 32):
+        df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(nparts)
+        got = df.agg(dsum("x").alias("s")).collect()[0]["s"]
+        assert got == float(want_dec)
+
+
+def test_pagerank_fixed_point_sum_exact_at_bound(spark):
+    """graph.py claims: ranks sum to 1 ⇒ Σ floor(contrib·10^15) ≤ 10^15 <
+    2^53, so the integer contribution sum and its back-cast are exact.
+    Exercise the exact boundary: 1000 contributions of 1e-3 (sum exactly
+    1.0) plus a crafted irregular set."""
+    from pyspark.sql import functions as F
+
+    from us_flight_bigdata_dashboard_spark.operators.graph import PR_FP
+
+    assert PR_FP < 2**53
+
+    def spark_fp_sum(vals, nparts):
+        df = spark.createDataFrame([(v,) for v in vals], "c double").repartition(nparts)
+        return df.agg(
+            F.sum(F.floor(F.col("c") * F.lit(float(PR_FP))).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s")
+        ).collect()[0]["s"]
+
+    import math
+
+    full = [1e-3] * 1000  # floor(1e-3·1e15)·1000 == 10^15 exactly
+    want = sum(math.floor(v * PR_FP) for v in full)
+    assert want == PR_FP
+    assert spark_fp_sum(full, 1) == float(want) == spark_fp_sum(full, 13)
+
+    ragged = [0.1, 0.25, 1 / 3, 1 / 7, 0.05, 1e-15, 0.17]  # sums to < 1
+    want_r = sum(math.floor(v * PR_FP) for v in ragged)
+    assert want_r < 2**53
+    assert spark_fp_sum(ragged, 1) == float(want_r) == spark_fp_sum(ragged, 5)

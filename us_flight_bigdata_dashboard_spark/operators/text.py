@@ -688,10 +688,14 @@ def q_sparse_allpairs_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows past the point where every term's posting list exceeds it.
     (2) per-pair accumulation happens on the ALREADY-AGGREGATED (doc,term)
     weight table, so the join input is |distinct doc-term pairs|, not
-    corpus tokens; the weight table is materialized once (eager
-    localCheckpoint) because three consumers
-    (norms + both join sides) would otherwise recompute the tokenize +
-    tf + df pipeline three times.
+    corpus tokens. The weight table is deliberately NOT materialized:
+    its three consumers (norms + both join sides) end in the SAME
+    exchange subtree, which ReusedExchange dedups through shuffle files
+    — r3's blanket localCheckpoint conversion regressed this operator
+    ~2× (BENCH_r03 1.44s vs r2 0.76s) because the checkpoint replaced
+    that shuffle-file reuse with RDD-block scans and dropped the term
+    partitioning, re-adding exchanges under the self-join; A/B at sf0.1
+    warm: none 1.2-1.3s, persist ~1.4s, localCheckpoint ~1.6s.
 
     Determinism: per-doc squared norms and per-pair dot products are sums
     of doubles, so each addend is fixed-point quantized (``floor(x ·
@@ -708,7 +712,6 @@ def q_sparse_allpairs_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.withColumn("df", F.count(F.lit(1)).over(df_w))
         .filter(F.col("df") <= F.lit(max_df))
         .select("doc_id", "term", (F.col("tf").cast("double") / F.col("df")).alias("w"))
-        .localCheckpoint(eager=True)
     )
     norms = weights.groupBy("doc_id").agg(
         F.sqrt(
