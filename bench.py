@@ -90,6 +90,9 @@ HEADLINE = [
     "multimodal_ppm_decode",
     "multimodal_wav_decode",
     "multimodal_video_decode",
+    # round-4 addition: the O(log diameter) connected-components variant
+    # (tracked next to its label-propagation twin)
+    "dedup_clusters_ls",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

@@ -207,14 +207,16 @@ def test_zero_length_inputs_produce_zero_chunks(spark):
     testdata, which has no empty documents)."""
     import pandas as pd
 
-    from us_flight_bigdata_dashboard_spark.operators.multimodal import AUDIO_CHUNK_BYTES
+    from us_flight_bigdata_dashboard_spark.operators.multimodal import (
+        AUDIO_CHUNK_SAMPLES as CHUNK,
+    )
 
     # crafted frame with one empty and one real payload, through the same
     # expressions the operators use
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame([(1, 0), (2, AUDIO_CHUNK_BYTES + 1)], ["media_id", "n_bytes"])
-    n_seg = F.ceil(F.col("n_bytes") / AUDIO_CHUNK_BYTES).cast("int")
+    df = spark.createDataFrame([(1, 0), (2, CHUNK + 1)], ["media_id", "n_bytes"])
+    n_seg = F.ceil(F.col("n_bytes") / CHUNK).cast("int")
     segs = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
         F.array().cast("array<int>")
     )
