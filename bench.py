@@ -93,6 +93,11 @@ HEADLINE = [
     # round-4 addition: the O(log diameter) connected-components variant
     # (tracked next to its label-propagation twin)
     "dedup_clusters_ls",
+    # round-4 continuation: the SemDeDup chain (near-dup pairs → CC →
+    # keeper) and the Gopher-rules document filter (pure-scan shape —
+    # benched as the floor for single-pass curation throughput)
+    "dedup_semantic_clusters",
+    "quality_filter_rules",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

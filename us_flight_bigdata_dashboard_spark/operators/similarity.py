@@ -696,6 +696,81 @@ WHERE a.vec_id < b.vec_id AND {cos} >= {NEAR_DUP_MIN_COS}
 
 
 # ---------------------------------------------------------------------------
+# Semantic dedup: near-dup pairs → connected components → keeper (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SEMANTIC deduplication (SemDeDup — Abbas et al. 2023):
+    embedding-space near-duplicate *pairs* (multi-band random-projection
+    LSH + cosine threshold, ``q_embedding_near_dup``) → duplicate
+    *clusters* via the large-star/small-star connected-components fixed
+    point → one keeper per cluster. The semantic twin of the MinHash
+    chain ``dedup_minhash_lsh → dedup_clusters``: paraphrases and
+    re-encodings that share no shingles still collapse when their
+    embeddings agree.
+
+    Scale shape: the pair stage is the bucketed LSH self-join (per-bucket
+    population ~n/256, candidates ≪ n²); the cluster stage shuffles only
+    the candidate-pair list per round and converges in O(log diameter)
+    rounds (see ``dedup.large_small_star``) — both stages are the shapes
+    already certified individually, composed. Keeper = component-min
+    vec_id (deterministic); swap in quality-argmax keeper selection per
+    ``dedup.q_dedup_keep_best`` when a quality signal exists.
+
+    Output: vec_id, cluster_id (= min vec_id in the component), is_keeper
+    — vectors in no near-dup pair are implicit singletons, not repeated.
+    """
+    from us_flight_bigdata_dashboard_spark.operators.dedup import large_small_star
+
+    pairs = q_embedding_near_dup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels, _ = large_small_star(pairs)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+def _sql_dedup_semantic_clusters() -> str:
+    """Oracle: transitive closure of the near-dup pair graph via a
+    recursive CTE; component id = min reachable vec_id (mirrors
+    ``dedup._sql_dedup_clusters`` over the semantic pair generator)."""
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {i} AS band, {_sql_bucket('embedding', planes)} AS bucket FROM embeddings"
+        for i, planes in enumerate(NEAR_DUP_BANDS)
+    )
+    return f"""
+WITH RECURSIVE bucketed AS (
+{band_selects}
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bucketed a JOIN bucketed b USING (band, bucket)
+  WHERE a.vec_id < b.vec_id AND {cos} >= {NEAR_DUP_MIN_COS}
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS vec_id,
+       LEAST(src, MIN(dst)) AS cluster_id,
+       src = LEAST(src, MIN(dst)) AS is_keeper
+FROM reach
+GROUP BY src
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-label vector statistics
 # ---------------------------------------------------------------------------
 
@@ -1353,6 +1428,7 @@ QUERIES = {
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "ann_pq": q_ann_pq,
     "embedding_near_dup": q_embedding_near_dup,
+    "dedup_semantic_clusters": q_dedup_semantic_clusters,
     "vector_label_stats": q_vector_label_stats,
     "embedding_pca_power": q_embedding_pca_power,
 }
@@ -1368,6 +1444,7 @@ ORACLE = {
     "ann_ivf_multiprobe": _sql_ann_ivf_multiprobe(),
     "ann_pq": _sql_ann_pq(),
     "embedding_near_dup": _sql_embedding_near_dup(),
+    "dedup_semantic_clusters": _sql_dedup_semantic_clusters(),
     "vector_label_stats": _sql_vector_label_stats(),
     "embedding_pca_power": _sql_pca_power(),
 }

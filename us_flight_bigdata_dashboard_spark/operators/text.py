@@ -138,6 +138,149 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Rule-ensemble quality filter (Gopher-style)
+# ---------------------------------------------------------------------------
+
+# Ordered (name, description) rule list — the filter reports the FIRST
+# failing rule per document, so order is part of the operator contract.
+# Thresholds follow the published Gopher/C4 heuristics, adjusted to the
+# synthetic corpus' token-length distribution so both keep and drop
+# branches are exercised under the gate (production values in parens).
+QF_MIN_WORDS = 30  # Gopher: 50
+QF_MAX_WORDS = 100_000
+QF_MEAN_WORD_LEN_MIN = 3.0
+QF_MEAN_WORD_LEN_MAX = 10.0
+QF_MAX_SYMBOL_RATIO = 0.1
+QF_MIN_DISTINCT_RATIO = 0.4  # repetition proxy: unique/total tokens
+QF_REQUIRED_STOPWORDS = ["the", "a", "of", "and", "to", "is", "in", "that"]
+QF_MIN_STOPWORD_KINDS = 2  # Gopher: ≥2 of a required-stopword list
+
+
+def q_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-ensemble document filter — the standard pretraining
+    curation stage (Rae et al. 2021 §A1.1; C4's heuristics are the same
+    shape): an ORDERED list of cheap structural rules, each document keeps
+    only if every rule passes, and the output carries the FIRST failing
+    rule's name as ``fail_reason`` plus the total failed count — the
+    reason codes are what a curation team audits (per-reason drop rates
+    per source/crawl snapshot).
+
+    Rules, in contract order: word-count bounds, mean word length window,
+    symbol-to-char ratio, distinct-token ratio (repetition proxy — the
+    cheap stand-in for Gopher's duplicate-line fraction on single-line
+    docs), and a required-stopword count (≥{QF_MIN_STOPWORD_KINDS} of
+    {QF_REQUIRED_STOPWORDS} present — Gopher's "contains 2 of ..." rule).
+
+    Scale shape: a single narrow projection — tokenization happens ONCE
+    behind a projection boundary and every rule reads the materialized
+    array; zero shuffles, zero UDFs, whole-stage-codegen throughout, so
+    the filter scans at parquet speed at 100 TB. All rule inputs are
+    integer counts or integer/integer double divisions (bit-identical
+    cross-engine); zero-token documents fail the word-count rule before
+    any NULL ratio is consulted, and per-rule flags use explicit
+    NULL→false coalescing so ``n_rules_failed`` is total even when a
+    ratio is undefined.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", "text", _tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    n_nz = F.nullif(n, F.lit(0))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_wl = tok_chars.cast("double") / n_nz
+    n_sym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9\\s]", ""))
+    sym_ratio = n_sym.cast("double") / F.nullif(F.length("text"), F.lit(0))
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_nz
+    stop_arr = F.array(*[F.lit(w) for w in QF_REQUIRED_STOPWORDS])
+    stop_kinds = F.size(F.filter(stop_arr, lambda w: F.array_contains(toks, w)))
+
+    measured = staged.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_kinds.alias("stopword_kinds"),
+    )
+    rules = [
+        ("too_few_words", F.col("n_tokens") < QF_MIN_WORDS),
+        ("too_many_words", F.col("n_tokens") > QF_MAX_WORDS),
+        (
+            "mean_word_len_out_of_range",
+            (F.col("mean_word_len") < QF_MEAN_WORD_LEN_MIN)
+            | (F.col("mean_word_len") > QF_MEAN_WORD_LEN_MAX),
+        ),
+        ("symbol_ratio_high", F.col("symbol_ratio") > QF_MAX_SYMBOL_RATIO),
+        ("repetitive", F.col("distinct_ratio") < QF_MIN_DISTINCT_RATIO),
+        ("few_stopwords", F.col("stopword_kinds") < QF_MIN_STOPWORD_KINDS),
+    ]
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(rules):
+        reason = F.when(F.coalesce(cond, F.lit(False)), F.lit(name)).otherwise(reason)
+    n_failed = sum(
+        F.coalesce(cond.cast("int"), F.lit(0)) for _, cond in rules
+    )
+    return measured.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "symbol_ratio",
+        "distinct_ratio",
+        "stopword_kinds",
+        n_failed.alias("n_rules_failed"),
+        reason.alias("fail_reason"),
+    ).withColumn("keep", F.col("fail_reason").isNull().cast("int"))
+
+
+def _sql_quality_filter_rules() -> str:
+    stop_lst = ", ".join(f"'{w}'" for w in QF_REQUIRED_STOPWORDS)
+    return f"""
+WITH staged AS (
+  SELECT doc_id, text, {_sql_tokens("text")} AS toks FROM documents
+), measured AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / nullif(len(toks), 0) AS mean_word_len,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / nullif(length(text), 0) AS symbol_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0) AS distinct_ratio,
+         CAST(len(list_filter([{stop_lst}], w -> list_contains(toks, w))) AS INTEGER)
+           AS stopword_kinds
+  FROM staged
+)
+SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, distinct_ratio, stopword_kinds,
+       (COALESCE(CAST(n_tokens < {QF_MIN_WORDS} AS INTEGER), 0)
+        + COALESCE(CAST(n_tokens > {QF_MAX_WORDS} AS INTEGER), 0)
+        + COALESCE(CAST(mean_word_len < {QF_MEAN_WORD_LEN_MIN}
+                        OR mean_word_len > {QF_MEAN_WORD_LEN_MAX} AS INTEGER), 0)
+        + COALESCE(CAST(symbol_ratio > {QF_MAX_SYMBOL_RATIO} AS INTEGER), 0)
+        + COALESCE(CAST(distinct_ratio < {QF_MIN_DISTINCT_RATIO} AS INTEGER), 0)
+        + COALESCE(CAST(stopword_kinds < {QF_MIN_STOPWORD_KINDS} AS INTEGER), 0)
+       ) AS n_rules_failed,
+       CASE
+         WHEN n_tokens < {QF_MIN_WORDS} THEN 'too_few_words'
+         WHEN n_tokens > {QF_MAX_WORDS} THEN 'too_many_words'
+         WHEN mean_word_len < {QF_MEAN_WORD_LEN_MIN}
+              OR mean_word_len > {QF_MEAN_WORD_LEN_MAX} THEN 'mean_word_len_out_of_range'
+         WHEN symbol_ratio > {QF_MAX_SYMBOL_RATIO} THEN 'symbol_ratio_high'
+         WHEN distinct_ratio < {QF_MIN_DISTINCT_RATIO} THEN 'repetitive'
+         WHEN stopword_kinds < {QF_MIN_STOPWORD_KINDS} THEN 'few_stopwords'
+       END AS fail_reason,
+       CASE WHEN n_tokens < {QF_MIN_WORDS} OR n_tokens > {QF_MAX_WORDS}
+                 OR mean_word_len < {QF_MEAN_WORD_LEN_MIN}
+                 OR mean_word_len > {QF_MEAN_WORD_LEN_MAX}
+                 OR symbol_ratio > {QF_MAX_SYMBOL_RATIO}
+                 OR distinct_ratio < {QF_MIN_DISTINCT_RATIO}
+                 OR stopword_kinds < {QF_MIN_STOPWORD_KINDS}
+            THEN 0 ELSE 1 END AS keep
+FROM measured
+"""
+
+
+# ---------------------------------------------------------------------------
 # Language identification
 # ---------------------------------------------------------------------------
 
@@ -1384,6 +1527,7 @@ QUERIES = {
     "text_token_count": q_text_token_count,
     "text_rarity_score": q_text_rarity_score,
     "text_quality": q_text_quality,
+    "quality_filter_rules": q_quality_filter_rules,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_pii_redact": q_text_pii_redact,
@@ -1405,6 +1549,7 @@ ORACLE = {
     "text_token_count": _ORACLE_TEXT_TOKEN_COUNT,
     "text_rarity_score": _ORACLE_TEXT_RARITY,
     "text_quality": _ORACLE_TEXT_QUALITY,
+    "quality_filter_rules": _sql_quality_filter_rules(),
     "text_langid": _sql_langid(),
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
     "text_pii_redact": _ORACLE_TEXT_PII_REDACT,

@@ -300,6 +300,114 @@ FROM ev c JOIN ev v
 """
 
 
+def q_streaming_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment under the exact gate: every
+    micro-batch of the replayed event stream left-joins a STATIC dimension
+    (user → segment; broadcast, zero streaming state) — the lookup
+    enrichment every event pipeline performs before aggregating, executed
+    by the streaming engine rather than asserted in pytest only.
+
+    The dim covers only even user ids so the left join's NULL-enrichment
+    path (unmatched events must flow through, not drop) is exercised under
+    the hash compare. Stateless row-level transform ⇒ append mode; output
+    is a pure function of the row set (no order, no state), so the batch
+    LEFT JOIN oracle matches exactly. At 100 TB the dim is the small side
+    by construction (broadcast) or pre-bucketed — see
+    ``streaming/events.enrich_stream_with_dim``."""
+    from us_flight_bigdata_dashboard_spark.streaming.events import (
+        enrich_stream_with_dim,
+    )
+
+    src = _stage_events(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("dim_user_id"))
+        .distinct()
+        .filter(F.col("dim_user_id") % 2 == 0)
+        .withColumn(
+            "segment", F.concat(F.lit("seg_"), (F.col("dim_user_id") % 5).cast("string"))
+        )
+    )
+    result = _replay(
+        spark,
+        src,
+        lambda s: enrich_stream_with_dim(s, dim),
+        mode="append",
+    )
+    return result.select("event_id", "user_id", "event_type", "segment")
+
+
+_ORACLE_STREAMING_ENRICH = """
+WITH dim AS (
+  SELECT DISTINCT user_id AS dim_user_id,
+         'seg_' || CAST(user_id % 5 AS VARCHAR) AS segment
+  FROM events WHERE user_id % 2 = 0
+)
+SELECT e.event_id, e.user_id, e.event_type, d.segment
+FROM events e LEFT JOIN dim d ON e.user_id = d.dim_user_id
+WHERE e.ts IS NOT NULL
+"""
+
+
+TOPK_PER_WINDOW = 3
+
+
+def q_streaming_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: per-hour per-user event counts maintained
+    BY the streaming engine (watermarked stateful aggregate, multi
+    micro-batch availableNow replay), ranked to the top
+    {TOPK_PER_WINDOW} users per window at serving time — the standard
+    production split for streaming top-k dashboards: the state store
+    holds the mergeable (window × key) counts (ranking inside the stream
+    would force a per-window total order on every update), the serving
+    read ranks the final counts. Both halves are in the gate: the counts
+    come out of genuine streaming execution, the rank out of the batch
+    read of the sink; the oracle asserts the composition.
+
+    Determinism: counts are order-insensitive (micro-batch arrival order
+    cannot perturb them — see module contract) and the rank breaks ties
+    by user_id, so the emitted top-k is a pure function of the row set.
+
+    Scale shape: state is one counter per (hour, active user) — bounded
+    by the watermark horizon evicting closed windows; the serving rank
+    is a per-window TakeOrdered over the compact sink, never the raw
+    stream."""
+    from pyspark.sql import Window as W
+
+    src = _stage_events(spark, sf_dir)
+    counts = _replay(
+        spark,
+        src,
+        lambda s: (
+            _event_time(s)
+            .withWatermark("ts", REPLAY_WATERMARK)
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
+        ),
+        mode="complete",
+    )
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+    return counts.withColumn("rk", rk).filter(F.col("rk") <= TOPK_PER_WINDOW)
+
+
+_ORACLE_STREAMING_TOPK = f"""
+WITH c AS (
+  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+         user_id, COUNT(*) AS n_events
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, user_id) AS rk
+  FROM c
+)
+SELECT window_start, user_id, n_events, rk FROM r WHERE rk <= {TOPK_PER_WINDOW}
+"""
+
+
 SESSION_GAP_SECONDS = 1800
 
 
@@ -410,6 +518,8 @@ QUERIES = {
     "streaming_session_replay": q_streaming_session_replay,
     "streaming_upsert_replay": q_streaming_upsert_replay,
     "streaming_sliding_replay": q_streaming_sliding_replay,
+    "streaming_topk_replay": q_streaming_topk_replay,
+    "streaming_enrich_replay": q_streaming_enrich_replay,
 }
 
 ORACLE = {
@@ -419,4 +529,6 @@ ORACLE = {
     "streaming_session_replay": _ORACLE_STREAMING_SESSION,
     "streaming_upsert_replay": _ORACLE_STREAMING_UPSERT,
     "streaming_sliding_replay": _ORACLE_STREAMING_SLIDING,
+    "streaming_topk_replay": _ORACLE_STREAMING_TOPK,
+    "streaming_enrich_replay": _ORACLE_STREAMING_ENRICH,
 }
