@@ -268,3 +268,40 @@ def test_events_ohlc_single_shuffle(spark):
 
     df = q_events_ohlc(spark, SF_DIR)
     assert count_exchanges(df) <= 1, plan_str(df)
+
+
+def test_quality_filter_zero_shuffle_scan(spark):
+    # the rule-ensemble filter is a single narrow projection over one
+    # parquet scan: zero exchanges, zero joins, only (doc_id, text) read
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        q_quality_filter_rules,
+    )
+    from us_flight_bigdata_dashboard_spark.plans import (
+        count_exchanges,
+        count_parquet_scans,
+    )
+
+    df = q_quality_filter_rules(spark, SF_DIR)
+    assert count_exchanges(df) == 0, plan_str(df)
+    assert count_parquet_scans(df) == 1
+    assert read_schema_columns(df) == [{"doc_id", "text"}]
+
+
+def test_streaming_enrich_dim_is_broadcast(spark):
+    # the static enrichment dim must plan as a broadcast join against the
+    # (batch twin of the) stream — never a sort-merge shuffle of events
+    from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+    from us_flight_bigdata_dashboard_spark.streaming.events import (
+        enrich_stream_with_dim,
+    )
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_DIR, "events")
+    dim = (
+        events.select(F.col("user_id").alias("dim_user_id"))
+        .distinct()
+        .withColumn("segment", (F.col("dim_user_id") % 5).cast("string"))
+    )
+    df = enrich_stream_with_dim(events, dim)
+    assert count_broadcast_joins(df) == 1, plan_str(df)
+    assert count_sortmerge_joins(df) == 0
