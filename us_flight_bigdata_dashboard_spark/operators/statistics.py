@@ -387,11 +387,116 @@ ORDER BY lag
 """
 
 
+# ---------------------------------------------------------------------------
+# Distribution drift between time halves (data-drift monitor)
+# ---------------------------------------------------------------------------
+
+DRIFT_N_BINS = 10
+
+
+def q_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: bin the event ``value`` distribution of
+    the corpus' EARLIER time half against its LATER half and report the
+    per-bin drift contribution — the check every training-data refresh
+    runs before accepting a new crawl/snapshot (PSI dashboards in ML-ops;
+    a spiked bin means the new data's distribution moved).
+
+    Statistic: per-bin χ²-style term (p_a − p_b)²/(p_a + p_b) (triangular
+    discrimination) instead of PSI's (p−q)·ln(p/q) — identical monotone
+    use (big = drifted), but RATIONAL arithmetic only: proportions are
+    integer/integer divisions and the term is one subtract/multiply/divide
+    chain on IEEE doubles, bit-identical cross-engine, where ``ln`` would
+    hang the gate on libm last-ulp disagreement.
+
+    Scale shape: pass 1 is a single global min/max aggregate (4 scalars,
+    broadcast back); pass 2 is one map-side-combinable hash agg on the
+    {DRIFT_N_BINS}-row bin key; the proportion/total normalization runs as
+    window functions over the ≤{DRIFT_N_BINS}-row aggregate — two scans
+    of the fact, zero joins wider than a broadcast, O(bins) final state.
+    The time boundary is the midpoint of the observed ts range (integer
+    epoch arithmetic) — deterministic, data-derived, re-derivable by the
+    oracle."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    base = events.select(
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("s"),
+        F.col("value").cast("double").alias("v"),
+    )
+    stats = base.agg(
+        F.min("s").alias("smin"),
+        F.max("s").alias("smax"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    binned = base.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(DRIFT_N_BINS - 1),
+            F.floor(
+                (F.col("v") - F.col("vmin"))
+                * DRIFT_N_BINS
+                / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0))
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+        # integer epoch midpoint: earlier half inclusive
+        (F.col("s") <= (F.col("smin") + F.col("smax")) / F.lit(2)).alias("is_a"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.col("is_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+    )
+    w = Window.partitionBy()
+    props = counts.select(
+        "bin",
+        "n_a",
+        "n_b",
+        (F.col("n_a").cast("double") / F.sum("n_a").over(w)).alias("p_a"),
+        (F.col("n_b").cast("double") / F.sum("n_b").over(w)).alias("p_b"),
+    )
+    term = (F.col("p_a") - F.col("p_b")) * (F.col("p_a") - F.col("p_b")) / F.nullif(
+        F.col("p_a") + F.col("p_b"), F.lit(0.0)
+    )
+    return props.select("bin", "n_a", "n_b", "p_a", "p_b", term.alias("drift_term"))
+
+
+_ORACLE_DRIFT_BINNED = f"""
+WITH base AS (
+  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), stats AS (
+  SELECT MIN(s) AS smin, MAX(s) AS smax, MIN(v) AS vmin, MAX(v) AS vmax FROM base
+), binned AS (
+  SELECT CAST(least({DRIFT_N_BINS - 1},
+                    floor((v - vmin) * {DRIFT_N_BINS} / nullif(vmax - vmin, 0.0)))
+              AS INTEGER) AS bin,
+         s <= (smin + smax) / 2 AS is_a
+  FROM base, stats
+), counts AS (
+  SELECT bin,
+         SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b
+  FROM binned GROUP BY bin
+), props AS (
+  SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(n_a AS DOUBLE) / SUM(n_a) OVER () AS p_a,
+         CAST(n_b AS DOUBLE) / SUM(n_b) OVER () AS p_b
+  FROM counts
+)
+SELECT bin, n_a, n_b, p_a, p_b,
+       (p_a - p_b) * (p_a - p_b) / nullif(p_a + p_b, 0.0) AS drift_term
+FROM props
+"""
+
+
 QUERIES = {
     "regression_ols": q_regression_ols,
     "corr_pairs": q_corr_pairs,
     "chi_square_assoc": q_chi_square_assoc,
     "autocorr_lag": q_autocorr_lag,
+    "drift_binned": q_drift_binned,
 }
 
 ORACLE = {
@@ -399,4 +504,5 @@ ORACLE = {
     "corr_pairs": _sql_corr_pairs(),
     "chi_square_assoc": _ORACLE_CHI_SQUARE,
     "autocorr_lag": _sql_autocorr_lag(),
+    "drift_binned": _ORACLE_DRIFT_BINNED,
 }
