@@ -559,6 +559,102 @@ WHERE NOT EXISTS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-budget mixture fill (pretraining-mix materialization)
+# ---------------------------------------------------------------------------
+
+# Fraction of the corpus' total tokens the mixture may spend — <1 so the
+# head-source cutoff path is actually exercised at every SF.
+BUDGET_FRAC = 0.5
+
+
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a training mixture to a TOKEN budget: give each source a
+    target of ``w_s × {BUDGET_FRAC} × Σtokens`` where ``w_s ∝
+    sqrt(tokens_s)`` (the α=0.5 temperature mixture — tail sources keep
+    everything, the over-represented head is cut), then fill each source's
+    budget greedily in deterministic hash order, emitting the selected
+    documents with their running token totals. This is the step that turns
+    mixture WEIGHTS (``q_domain_mixture``) into an actual document set —
+    "sample 1T tokens at these weights" — and hash-order selection makes
+    the chosen set a pure function of the corpus, reproducible at any
+    partitioning (same property as ``q_stratified_sample``).
+
+    Determinism: sqrt is IEEE correctly-rounded; weights are
+    decimal-quantized before the normalizing sum (order-free); targets are
+    ``floor`` of one double product; the greedy order is (md5-hash,
+    doc_id) — total and engine-independent; the running totals are integer
+    sums over that total order.
+
+    Scale shape: token counting is a narrow scan; per-source totals are a
+    tiny hash-agg broadcast back; the fill is ONE keyed window (cumsum
+    over the source partitioning) — a single shuffle proportional to the
+    corpus, same cost class as sessionization. No collect, no loop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(_tokens(F.col("text"))).alias("n_tok"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    per_source = tok.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    weighted = per_source.withColumn(
+        "raw_weight", F.sqrt(F.col("src_tokens").cast("double")).cast("decimal(28,12)")
+    )
+    totals = weighted.agg(
+        F.sum("src_tokens").alias("_tot_tokens"), F.sum("raw_weight").alias("_tot_w")
+    )
+    targets = weighted.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.floor(
+            (F.col("raw_weight").cast("double") / F.col("_tot_w").cast("double"))
+            * (F.lit(BUDGET_FRAC) * F.col("_tot_tokens").cast("double"))
+        ).alias("target_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = (
+        tok.join(F.broadcast(targets), "source")
+        .withColumn("cum_tokens", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tokens") <= F.col("target_tokens"))
+    )
+    return filled.select("doc_id", "source", "n_tok", "cum_tokens", "target_tokens")
+
+
+_ORACLE_TOKEN_BUDGET_FILL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len({_sql_tokens("text")}) AS INTEGER) AS n_tok,
+         {_sql_hex_to_int('md5(CAST(doc_id AS VARCHAR))', 1, 15)} AS h
+  FROM documents
+), per_source AS (
+  SELECT source, SUM(n_tok) AS src_tokens,
+         CAST(sqrt(CAST(SUM(n_tok) AS DOUBLE)) AS DECIMAL(28,12)) AS raw_weight
+  FROM tok GROUP BY source
+), totals AS (
+  SELECT SUM(src_tokens) AS tot_tokens, SUM(raw_weight) AS tot_w FROM per_source
+), targets AS (
+  SELECT source,
+         CAST(floor((CAST(raw_weight AS DOUBLE) / CAST(tot_w AS DOUBLE))
+                    * ({BUDGET_FRAC} * CAST(tot_tokens AS DOUBLE))) AS BIGINT)
+           AS target_tokens
+  FROM per_source, totals
+), filled AS (
+  SELECT t.doc_id, t.source, t.n_tok,
+         SUM(t.n_tok) OVER (PARTITION BY t.source ORDER BY t.h, t.doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         g.target_tokens
+  FROM tok t JOIN targets g USING (source)
+)
+SELECT doc_id, source, n_tok, CAST(cum_tokens AS BIGINT) AS cum_tokens, target_tokens
+FROM filled WHERE cum_tokens <= target_tokens
+"""
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
     "curation_pipeline": q_curation_pipeline,
@@ -569,6 +665,7 @@ QUERIES = {
     "domain_mixture": q_domain_mixture,
     "importance_sample": q_importance_sample,
     "negative_sampling": q_negative_sampling,
+    "token_budget_fill": q_token_budget_fill,
 }
 
 ORACLE = {
@@ -581,4 +678,5 @@ ORACLE = {
     "domain_mixture": _ORACLE_DOMAIN_MIXTURE,
     "importance_sample": _ORACLE_IMPORTANCE_SAMPLE,
     "negative_sampling": _sql_negative_sampling(),
+    "token_budget_fill": _ORACLE_TOKEN_BUDGET_FILL,
 }
