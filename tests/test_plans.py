@@ -305,3 +305,19 @@ def test_streaming_enrich_dim_is_broadcast(spark):
     df = enrich_stream_with_dim(events, dim)
     assert count_broadcast_joins(df) == 1, plan_str(df)
     assert count_sortmerge_joins(df) == 0
+
+
+def test_token_budget_fill_broadcast_targets_single_window(spark):
+    # the fill's only corpus-sized shuffle is the per-source cumsum window;
+    # targets join back as a broadcast (tiny), never a sort-merge join
+    from us_flight_bigdata_dashboard_spark.operators.sampling import (
+        q_token_budget_fill,
+    )
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_token_budget_fill(spark, SF_DIR)
+    assert count_sortmerge_joins(df) == 0, plan_str(df)
+    assert count_broadcast_joins(df) >= 1
+    # tok-scan agg chain + window partitioning: a handful of exchanges on
+    # tiny aggregates is fine; corpus-sized data crosses exactly one
+    assert count_exchanges(df) <= 4, plan_str(df)
