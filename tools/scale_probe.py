@@ -33,7 +33,9 @@ operator's docstring documents that invariant).
 Round-4 additions at K=16: quality_filter_rules 1.55× (pure scan — fixed
 overhead still dominates at 80k docs), dedup_semantic_clusters 3.23×
 (bucketed LSH self-join + O(log d) CC rounds absorb the 16× growth; no
-super-linear term).
+super-linear term), token_budget_fill 1.48× (one keyed window),
+drift_binned 1.02× (two scans into O(bins) state — pure fixed-overhead
+regime).
 """
 
 from __future__ import annotations
