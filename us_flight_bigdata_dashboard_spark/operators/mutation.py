@@ -258,11 +258,94 @@ WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Takedown / right-to-be-forgotten propagation
+# ---------------------------------------------------------------------------
+
+# Takedown list = md5-bucket < TAKEDOWN_PCT of doc ids (a deterministic,
+# scale-relative stand-in for an external removal list).
+TAKEDOWN_PCT = 3
+
+
+def q_takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown/right-to-be-forgotten propagation with an audit trail: an
+    explicit removal list of document ids (copyright takedowns, opt-outs,
+    PII erasure orders) must cascade through EVERY derived asset — here
+    the text corpus and its embedding table (vec_id keys the same
+    documents) — and governance wants per-table before/removed/after
+    counts as the deletion receipt.
+
+    The removal is expressed as a LEFT ANTI join against the broadcast
+    takedown list — the real shape when the list arrives externally (a
+    predicate can't express an arbitrary id list; an anti join always
+    can). At 100 TB removal lists are thousands-to-millions of ids:
+    comfortably broadcastable, so neither fact table shuffles; the
+    per-table counts are map-side-combinable global aggregates over the
+    anti-joined survivors. Table formats turn the same plan into
+    copy-on-write file rewrites; the dataframe semantics are what the
+    cross-engine gate can verify.
+
+    Output: one audit row per table — table_name, n_before, n_removed,
+    n_after (n_before = n_removed + n_after by construction; the crafted
+    test asserts it, the gate hash-checks the values)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    takedown = docs.select("doc_id").filter(
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            % 100
+        )
+        < TAKEDOWN_PCT
+    )
+
+    def audit(table: DataFrame, key: str, name: str) -> DataFrame:
+        keep = table.join(
+            F.broadcast(takedown), table[key] == takedown["doc_id"], "left_anti"
+        )
+        n_before = table.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("table_name"), F.col("n").alias("n_before")
+        )
+        n_after = keep.agg(F.count(F.lit(1)).alias("n_after"))
+        return n_before.crossJoin(n_after).select(
+            "table_name",
+            "n_before",
+            (F.col("n_before") - F.col("n_after")).alias("n_removed"),
+            "n_after",
+        )
+
+    return audit(docs, "doc_id", "documents").unionByName(
+        audit(emb, "vec_id", "embeddings")
+    )
+
+
+def _sql_takedown() -> str:
+    from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
+
+    hex15 = _sql_hex_to_int("md5(CAST(doc_id AS VARCHAR))", 1, 15)
+    return f"""
+WITH takedown AS (
+  SELECT doc_id FROM documents
+  WHERE ({hex15} % 100) < {TAKEDOWN_PCT}
+)
+SELECT 'documents' AS table_name,
+       (SELECT COUNT(*) FROM documents) AS n_before,
+       (SELECT COUNT(*) FROM documents WHERE doc_id IN (SELECT doc_id FROM takedown)) AS n_removed,
+       (SELECT COUNT(*) FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM takedown)) AS n_after
+UNION ALL
+SELECT 'embeddings',
+       (SELECT COUNT(*) FROM embeddings),
+       (SELECT COUNT(*) FROM embeddings WHERE vec_id IN (SELECT doc_id FROM takedown)),
+       (SELECT COUNT(*) FROM embeddings WHERE vec_id NOT IN (SELECT doc_id FROM takedown))
+"""
+
+
 QUERIES = {
     "merge_upsert": q_merge_upsert,
     "mv_incremental": q_mv_incremental,
     "scd2_history": q_scd2_history,
     "cdc_latest": q_cdc_latest,
+    "takedown_propagation": q_takedown_propagation,
 }
 
 ORACLE = {
@@ -270,4 +353,5 @@ ORACLE = {
     "mv_incremental": _ORACLE_MV_INCREMENTAL,
     "scd2_history": _ORACLE_SCD2_HISTORY,
     "cdc_latest": _ORACLE_CDC_LATEST,
+    "takedown_propagation": _sql_takedown(),
 }
