@@ -499,6 +499,84 @@ def q_dedup_clusters_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix (corpus-composition diagnostic)
+# ---------------------------------------------------------------------------
+
+OVERLAP_NGRAM = 8
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE duplication matrix: for every source pair, how many
+    distinct word-{OVERLAP_NGRAM}-grams they share, and the containment
+    coefficient ``shared / min(|A|, |B|)`` — the corpus-composition
+    diagnostic run before mixing crawls (C4 vs Common Crawl vs curated
+    dumps overlap heavily; double-counting a source pair inflates its
+    effective epoch count, and this matrix is how that is caught).
+
+    Scale shape: the unit is the (source, shingle) DISTINCT pair — the
+    self-join key is the shingle, and each shingle contributes at most
+    |sources|² pairs REGARDLESS of corpus size (the doc dimension is
+    collapsed by the distinct before the join), so the join output is
+    bounded by |sources|² · |distinct shingles|, never by document count
+    — the same reason the DF-capped Jaccard join stays sparse but by
+    construction rather than by cap. Totals are a tiny per-source agg
+    broadcast back for the coefficient.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingles_exploded(docs, n_words=OVERLAP_NGRAM, keep=("source",))
+        .select("source", "shingle")
+        .distinct()
+    )
+    totals = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n_shingles").alias("_na"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n_shingles").alias("_nb"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_shingles",
+            (
+                F.col("n_shared_shingles").cast("double")
+                / F.least(F.col("_na"), F.col("_nb"))
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+def _sql_source_overlap() -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source, unnest({_sql_shingle_list(OVERLAP_NGRAM)}) AS shingle
+    FROM documents
+  )
+), tot AS (
+  SELECT source, COUNT(*) AS n FROM sh GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_shingles
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.n_shared_shingles,
+       CAST(s.n_shared_shingles AS DOUBLE) / least(ta.n, tb.n) AS overlap_coef
+FROM shared s
+JOIN tot ta ON ta.source = s.source_a
+JOIN tot tb ON tb.source = s.source_b
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware keeper selection — the final curation stage of the
     dedup pipeline: within each duplicate cluster keep the BEST document
@@ -1057,6 +1135,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_chunks": q_dedup_chunks,
     "fuzzy_blocked_join": q_fuzzy_blocked_join,
+    "source_overlap_matrix": q_source_overlap_matrix,
 }
 
 ORACLE = {
@@ -1072,4 +1151,5 @@ ORACLE = {
     "dedup_keep_best": _sql_dedup_keep_best(),
     "dedup_chunks": _ORACLE_DEDUP_CHUNKS,
     "fuzzy_blocked_join": _sql_fuzzy_blocked_join(),
+    "source_overlap_matrix": _sql_source_overlap(),
 }
