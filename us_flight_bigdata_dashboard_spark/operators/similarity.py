@@ -1312,6 +1312,96 @@ ORDER BY label, dim_idx
 
 
 # ---------------------------------------------------------------------------
+# Embedding outlier detection (noise / mislabel screening)
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOP_K = 5
+
+
+def q_embedding_outlier_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the {OUTLIER_TOP_K} vectors FARTHEST
+    from their label's centroid (euclidean) — the mislabel/noise screen a
+    curation pipeline runs over paired data (CLIP-style filtering drops
+    the image-text pairs whose embeddings sit far from their class
+    prototype; the same statistic flags annotation errors for review).
+
+    Determinism: the centroid means are fixed-point-quantized sums (same
+    construction as ``q_embedding_centroid_by_label`` — order-free), the
+    centroid ARRAY is assembled by sort_array over (dim_idx, mean) pairs
+    (total order), the squared-deviation sum is a sequential array fold in
+    dimension order (both engines fold index-ascending), sqrt is
+    correctly-rounded, and the rank breaks distance ties by vec_id.
+
+    Scale shape: one posexplode+hash-agg for the centroids (n·d narrow
+    rows, map-side combinable), centroids broadcast back (|labels| rows),
+    per-vector scoring is a narrow zip_with fold, and the top-k is one
+    window over the label partitioning — the same single-shuffle rank
+    shape as window_topk_per_group."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select("label", F.posexplode(F.col("embedding")).alias("dim_idx", "val"))
+    cent_long = dims.groupBy("label", "dim_idx").agg(
+        (
+            F.sum(
+                F.floor(F.col("val").cast("double") * F.lit(float(_KM_FP))).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / F.lit(float(_KM_FP))
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim_idx", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid")
+    )
+    dev2 = F.zip_with(
+        F.col("embedding"),
+        F.col("centroid"),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.sqrt(F.aggregate(dev2, F.lit(0.0), lambda acc, x: acc + x)).alias("dist"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= OUTLIER_TOP_K
+    )
+
+
+def _sql_embedding_outlier() -> str:
+    fp = float(_KM_FP)
+    sqdev = (
+        "list_transform(generate_series(1, {d}), i -> "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))"
+    ).format(d=DIM)
+    return f"""
+WITH cent AS (
+  SELECT label, g.i AS i,
+         CAST(SUM(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {fp}) AS DECIMAL(38,0))) AS DOUBLE)
+           / {fp} / COUNT(*) AS mean_val
+  FROM embeddings CROSS JOIN generate_series(1, {DIM}) AS g(i)
+  GROUP BY label, g.i
+), carr AS (
+  SELECT label, array_agg(mean_val ORDER BY i) AS centroid FROM cent GROUP BY label
+), scored AS (
+  SELECT e.label, e.vec_id,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {sqdev}),
+                          (acc, x) -> acc + x)) AS dist
+  FROM embeddings e JOIN carr c USING (label)
+)
+SELECT label, vec_id, dist, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {OUTLIER_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Power-iteration PCA (iterative distributed linear algebra)
 # ---------------------------------------------------------------------------
 
@@ -1429,6 +1519,7 @@ QUERIES = {
     "ann_pq": q_ann_pq,
     "embedding_near_dup": q_embedding_near_dup,
     "dedup_semantic_clusters": q_dedup_semantic_clusters,
+    "embedding_outlier_detect": q_embedding_outlier_detect,
     "vector_label_stats": q_vector_label_stats,
     "embedding_pca_power": q_embedding_pca_power,
 }
@@ -1445,6 +1536,7 @@ ORACLE = {
     "ann_pq": _sql_ann_pq(),
     "embedding_near_dup": _sql_embedding_near_dup(),
     "dedup_semantic_clusters": _sql_dedup_semantic_clusters(),
+    "embedding_outlier_detect": _sql_embedding_outlier(),
     "vector_label_stats": _sql_vector_label_stats(),
     "embedding_pca_power": _sql_pca_power(),
 }
