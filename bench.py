@@ -98,6 +98,11 @@ HEADLINE = [
     # benched as the floor for single-pass curation throughput)
     "dedup_semantic_clusters",
     "quality_filter_rules",
+    # round-4 continuation: the cross-source shingle matrix (inverted-index
+    # self-join bounded by |sources|^2) and the centroid-distance outlier
+    # screen (posexplode agg + broadcast-back + windowed top-k)
+    "source_overlap_matrix",
+    "embedding_outlier_detect",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

@@ -1,0 +1,84 @@
+"""Crafted tests: takedown propagation receipts and the cross-source
+overlap matrix."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _md5_bucket(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+
+
+def _write_docs_and_embeddings(tmp_path, rows, emb_ids):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    etbl = pa.table(
+        {
+            "vec_id": pa.array(emb_ids, pa.int64()),
+            "embedding": pa.array([[0.0] * 64 for _ in emb_ids], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(emb_ids), pa.int32()),
+        }
+    )
+    pq.write_table(etbl, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_takedown_receipt_counts(spark, tmp_path):
+    """The audit receipt must balance (before = removed + after) and match
+    the python-replicated md5 bucket membership — including an embedding
+    table that only PARTIALLY overlaps the removal list."""
+    from us_flight_bigdata_dashboard_spark.operators.mutation import (
+        TAKEDOWN_PCT,
+        q_takedown_propagation,
+    )
+
+    doc_ids = list(range(200))
+    emb_ids = list(range(100, 300))  # half overlap with docs
+    sf = _write_docs_and_embeddings(
+        tmp_path, [(i, f"text {i}", "s") for i in doc_ids], emb_ids
+    )
+    flagged = {i for i in doc_ids if _md5_bucket(i) < TAKEDOWN_PCT}
+    got = {r["table_name"]: r for r in q_takedown_propagation(spark, sf).collect()}
+    d = got["documents"]
+    assert (d["n_before"], d["n_removed"]) == (200, len(flagged))
+    assert d["n_before"] == d["n_removed"] + d["n_after"]
+    e = got["embeddings"]
+    # only flagged ids that exist in the embedding key range cascade
+    assert e["n_removed"] == len([i for i in flagged if i in set(emb_ids)])
+    assert e["n_before"] == e["n_removed"] + e["n_after"]
+
+
+def test_source_overlap_counts_shared_shingles(spark, tmp_path):
+    """Two sources sharing exactly one 8-gram (and a third sharing none)
+    must produce exactly one matrix row with the hand-computed containment
+    coefficient."""
+    from us_flight_bigdata_dashboard_spark.operators.dedup import (
+        q_source_overlap_matrix,
+    )
+
+    shared = " ".join(f"c{i}" for i in range(8))       # one shared 8-gram
+    docs = [
+        (0, shared + " " + " ".join(f"a{i}" for i in range(4)), "sa"),
+        (1, shared + " " + " ".join(f"b{i}" for i in range(8)), "sb"),
+        (2, " ".join(f"z{i}" for i in range(12)), "sc"),
+    ]
+    tbl_path = _write_docs_and_embeddings(tmp_path, docs, [0])
+    rows = q_source_overlap_matrix(spark, tbl_path).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("sa", "sb")
+    # sa: 12 tokens -> 5 distinct shingles; sb: 16 tokens -> 9; shared: 1
+    assert r["n_shared_shingles"] == 1
+    assert r["overlap_coef"] == 1.0 / 5.0
