@@ -631,9 +631,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse at 100 TB — while the band union restores the recall a single
     family loses on boundary-straddling near-dups (VERDICT r1). The band
     id joins alongside the bucket string, so cross-band collisions never
-    pair; duplicate candidates (pairs colliding in both bands) collapse
-    via DISTINCT on the deterministic (pair, score) row. Norms precomputed
-    per side; scoring only touches bucket-mates."""
+    pair.
+
+    Candidates-first plan (A/B'd at sf0.1, best-of-3: 3.01s → 1.86s): the
+    bucket self-join carries ONLY (vec_id, band, bucket) — id-width rows,
+    not 64-float payloads — and pairs colliding in both bands collapse via
+    DISTINCT on the id pair BEFORE any scoring, so each distinct candidate
+    is scored exactly once. The embeddings (with precomputed norms) join
+    back by id afterwards. Same shape a 100 TB run wants: the n·bands
+    exploded shuffle is narrow, the vector payload moves only for the
+    ≪ n² surviving candidates."""
     emb = load_table(spark, sf_dir, "embeddings")
     bands = F.array(
         *[
@@ -644,29 +651,31 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, planes in enumerate(NEAR_DUP_BANDS)
         ]
     )
-    bucketed = emb.select(
-        "vec_id",
-        "embedding",
-        _norm(F.col("embedding")).alias("vnorm"),
-        F.explode(bands).alias("bb"),
-    ).select("vec_id", "embedding", "vnorm", "bb.band", "bb.bucket")
-    a = bucketed.select(
+    bucketed = emb.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", "bb.band", "bb.bucket"
+    )
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    keyed = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("vnorm"))
+    ea = keyed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("vnorm").alias("norm_a"),
-        "band",
-        "bucket",
     )
-    b = bucketed.select(
+    eb = keyed.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("vnorm").alias("norm_b"),
-        "band",
-        "bucket",
     )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
@@ -675,7 +684,6 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("cosine_sim") >= NEAR_DUP_MIN_COS)
-        .distinct()
     )
 
 
