@@ -82,3 +82,83 @@ def test_source_overlap_counts_shared_shingles(spark, tmp_path):
     # sa: 12 tokens -> 5 distinct shingles; sb: 16 tokens -> 9; shared: 1
     assert r["n_shared_shingles"] == 1
     assert r["overlap_coef"] == 1.0 / 5.0
+
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+_VOCAB = [
+    "the", "of", "and", "to", "a", "is", "in", "that",
+    "word", "wordy", "lexeme", "q", "zz", "abcdefghijk",
+    "###", "!!", "12345", "x9", "spam", "eggs",
+]
+
+
+def _py_quality_rules(text):
+    """Python replica of the rule cascade — same tokenizer (single-space
+    split, empties dropped), same integer counts, same IEEE divisions."""
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        QF_MAX_SYMBOL_RATIO,
+        QF_MAX_WORDS,
+        QF_MEAN_WORD_LEN_MAX,
+        QF_MEAN_WORD_LEN_MIN,
+        QF_MIN_DISTINCT_RATIO,
+        QF_MIN_STOPWORD_KINDS,
+        QF_MIN_WORDS,
+        QF_REQUIRED_STOPWORDS,
+    )
+
+    toks = [t for t in text.lower().split(" ") if t != ""]
+    n = len(toks)
+    mean_wl = (sum(len(t) for t in toks) / n) if n else None
+    n_sym = len(re.sub(r"[A-Za-z0-9\s]", "", text))
+    sym_ratio = (n_sym / len(text)) if len(text) else None
+    distinct_ratio = (len(set(toks)) / n) if n else None
+    stop_kinds = sum(1 for w in QF_REQUIRED_STOPWORDS if w in toks)
+    conds = [
+        ("too_few_words", n < QF_MIN_WORDS),
+        ("too_many_words", n > QF_MAX_WORDS),
+        (
+            "mean_word_len_out_of_range",
+            mean_wl is not None
+            and (mean_wl < QF_MEAN_WORD_LEN_MIN or mean_wl > QF_MEAN_WORD_LEN_MAX),
+        ),
+        ("symbol_ratio_high", sym_ratio is not None and sym_ratio > QF_MAX_SYMBOL_RATIO),
+        ("repetitive", distinct_ratio is not None and distinct_ratio < QF_MIN_DISTINCT_RATIO),
+        ("few_stopwords", stop_kinds < QF_MIN_STOPWORD_KINDS),
+    ]
+    reason = next((name for name, c in conds if c), None)
+    n_failed = sum(1 for _, c in conds if c)
+    return reason, n_failed
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=50).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_quality_filter_matches_python_replica(spark, tmp_path_factory, texts):
+    """Property: for arbitrary token soups, the Spark rule cascade agrees
+    with an exact Python replica on (first failing rule, failed count,
+    keep), and keep == 1 exactly when no rule failed."""
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        q_quality_filter_rules,
+    )
+
+    tmp = tmp_path_factory.mktemp("qfprop")
+    sf = _write_docs_and_embeddings(
+        tmp, [(i, t, "s") for i, t in enumerate(texts)], [0]
+    )
+    got = {
+        r["doc_id"]: (r["fail_reason"], r["n_rules_failed"], r["keep"])
+        for r in q_quality_filter_rules(spark, sf).collect()
+    }
+    for i, t in enumerate(texts):
+        reason, n_failed = _py_quality_rules(t)
+        assert got[i] == (reason, n_failed, int(reason is None)), (i, t)
