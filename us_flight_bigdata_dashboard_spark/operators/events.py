@@ -776,8 +776,9 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one window pass for the per-key sequence number
     (sort-based, disk-spillable) + two hash-agg shuffles, all keyed by
     user; per-task state is bounded by EWMA_CHUNK regardless of key skew.
-    The streaming stateful twin (applyInPandasWithState) remains the
-    answer for unbounded ARRIVAL; this bounds per-task MEMORY."""
+    The streaming stateful twin (streaming/events.streaming_ewma, under
+    the exact gate as streaming_ewma_replay) is the answer for unbounded
+    ARRIVAL; this bounds per-task MEMORY."""
     events = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )

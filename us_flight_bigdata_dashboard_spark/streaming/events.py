@@ -241,3 +241,81 @@ def run_to_memory_sink(result: DataFrame, query_name: str, mode: str = "update")
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful per-key EWMA (the streaming twin of operators/events.q_events_ewma)
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("v", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def make_ewma_worker(alpha: float):
+    """Stateful EWMA fold as a self-contained closure (pickled by value —
+    Spark Python workers cannot import this package). State per key is the
+    16-byte (current value, count) pair; each batch folds its rows in
+    (ts, event_id) order with ``v += alpha * (x - v)`` — the identical
+    operation sequence as the SQL oracle's list_reduce, so the final value
+    is bit-identical IEEE arithmetic."""
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            v, n = state.get
+        else:
+            v, n = None, 0
+
+        rows = []
+        for pdf in pdf_iter:
+            for ts, eid, x in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                if pd.isna(ts) or pd.isna(x):
+                    continue
+                rows.append((ts, int(eid), float(x)))
+        rows.sort()
+        for _, _, x in rows:
+            v = x if v is None else v + alpha * (x - v)
+            n += 1
+        state.update((v, n))
+        if rows:
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "ewma": [v]}
+            )
+
+    return fold
+
+
+def streaming_ewma(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Per-user EWMA maintained incrementally: one update row per (user,
+    micro-batch with new events) carrying the running (count, ewma). This
+    is the unbounded-arrival answer the batch operator's chunked fold
+    defers to — state is O(keys) x 16 bytes regardless of stream length
+    or key skew, and each batch touches only its own rows."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_ewma_worker(alpha),
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -464,6 +464,63 @@ FROM marked WHERE sid < _last_sid
 """
 
 
+def q_streaming_ewma_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful per-key EWMA (applyInPandasWithState) under the exact
+    gate — the streaming twin the batch operator's chunked fold defers to
+    for unbounded arrival: state per user is the 16-byte (value, count)
+    pair, each micro-batch folds only its own rows, and the fold order is
+    globally (ts, event_id) because the ts-range-ordered staging makes
+    batch order event-time order (cross-batch) while the worker sorts
+    within the batch.
+
+    The memory sink accumulates one update row per (user, batch with
+    events); the FINAL state per user is the row with the highest count —
+    selected by a window rank, deterministic because counts strictly
+    increase per user across that user's update rows. Oracle: the plain
+    sequential fold ``acc + α·(x − acc)`` over each user's (ts, event_id)-
+    ordered values via list_reduce — the identical IEEE operation
+    sequence, so the hash compare is exact with no quantization."""
+    from pyspark.sql import Window as W
+
+    from us_flight_bigdata_dashboard_spark.operators.events import EWMA_ALPHA
+    from us_flight_bigdata_dashboard_spark.streaming.events import streaming_ewma
+
+    src = _stage_events_ts_ordered(spark, sf_dir)
+    updates = _replay(
+        spark,
+        src,
+        lambda s: streaming_ewma(_event_time(s), alpha=EWMA_ALPHA),
+        mode="update",
+    )
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    return (
+        updates.withColumn("_rk", rk)
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "n_events", "ewma")
+    )
+
+
+def _sql_streaming_ewma() -> str:
+    from us_flight_bigdata_dashboard_spark.operators.events import EWMA_ALPHA
+
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+         CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         array_agg(value ORDER BY ts, event_id) AS vals
+  FROM e GROUP BY user_id
+)
+SELECT user_id, n_events,
+       list_reduce(vals, (acc, x) -> acc + {EWMA_ALPHA} * (x - acc)) AS ewma
+FROM agg
+"""
+
+
 def q_streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The foreachBatch idempotent MERGE sink under the exact gate: replay
     the events ts-ordered through ``upsert_parquet_sink`` keyed by
@@ -520,6 +577,7 @@ QUERIES = {
     "streaming_sliding_replay": q_streaming_sliding_replay,
     "streaming_topk_replay": q_streaming_topk_replay,
     "streaming_enrich_replay": q_streaming_enrich_replay,
+    "streaming_ewma_replay": q_streaming_ewma_replay,
 }
 
 ORACLE = {
@@ -531,4 +589,5 @@ ORACLE = {
     "streaming_sliding_replay": _ORACLE_STREAMING_SLIDING,
     "streaming_topk_replay": _ORACLE_STREAMING_TOPK,
     "streaming_enrich_replay": _ORACLE_STREAMING_ENRICH,
+    "streaming_ewma_replay": _sql_streaming_ewma(),
 }
