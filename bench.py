@@ -103,6 +103,10 @@ HEADLINE = [
     # screen (posexplode agg + broadcast-back + windowed top-k)
     "source_overlap_matrix",
     "embedding_outlier_detect",
+    # the applyInPandasWithState numeric-recurrence path (ts-ordered
+    # multi-batch replay + Arrow worker round-trips), priced honestly
+    # like the tumbling replay
+    "streaming_ewma_replay",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
