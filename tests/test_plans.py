@@ -321,3 +321,21 @@ def test_token_budget_fill_broadcast_targets_single_window(spark):
     # tok-scan agg chain + window partitioning: a handful of exchanges on
     # tiny aggregates is fine; corpus-sized data crosses exactly one
     assert count_exchanges(df) <= 4, plan_str(df)
+
+
+def test_drift_binned_two_scans_no_wide_join(spark):
+    # pass 1: global min/max (broadcast back); pass 2: bin hash-agg; the
+    # proportion windows run over the <= n_bins aggregate — two scans of
+    # the fact, no sort-merge join anywhere
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_drift_binned,
+    )
+    from us_flight_bigdata_dashboard_spark.plans import (
+        count_exchanges,
+        count_parquet_scans,
+    )
+
+    df = q_drift_binned(spark, SF_DIR)
+    assert count_parquet_scans(df) == 2, plan_str(df)
+    assert count_sortmerge_joins(df) == 0
+    assert count_exchanges(df) <= 4, plan_str(df)

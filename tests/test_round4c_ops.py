@@ -122,3 +122,31 @@ def test_token_budget_fill_partitioning_invariant(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_token_budget_fill_is_hash_order_prefix(spark, tmp_path):
+    """Per source, the kept set must be a PREFIX of the md5-hash-ordered
+    doc list (greedy fill never skips a cheaper-hash doc to take a later
+    one) — verified against a python replica of the hash order."""
+    import hashlib
+
+    from us_flight_bigdata_dashboard_spark.operators.sampling import (
+        q_token_budget_fill,
+    )
+
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(2 + (i * 7) % 11)), f"s{i % 4}")
+        for i in range(80)
+    ]
+    sf = _write_documents(tmp_path, docs)
+    kept = {}
+    for r in q_token_budget_fill(spark, sf).collect():
+        kept.setdefault(r["source"], set()).add(r["doc_id"])
+
+    order = {}
+    for i, _, src in docs:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        order.setdefault(src, []).append((h, i))
+    for src, ids in kept.items():
+        ranked = [i for _, i in sorted(order[src])]
+        assert ids == set(ranked[: len(ids)]), src
