@@ -162,3 +162,37 @@ def test_quality_filter_matches_python_replica(spark, tmp_path_factory, texts):
     for i, t in enumerate(texts):
         reason, n_failed = _py_quality_rules(t)
         assert got[i] == (reason, n_failed, int(reason is None)), (i, t)
+
+
+def test_operators_survive_empty_corpus(spark, tmp_path):
+    """An empty snapshot (0-row tables, real schemas) must yield empty
+    results everywhere — not driver crashes. Covers the index trainers
+    (IVF/PQ/k-means: empty corpus → no index → empty typed result while
+    partial-id gaps still raise), the iterative fixed points, and the
+    new round-4 operators."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from us_flight_bigdata_dashboard_spark.registry import queries
+
+    src = "/root/testdata/sf0.001"
+    for f in os.listdir(src):
+        t = pq_mod.read_table(os.path.join(src, f))
+        pq_mod.write_table(t.slice(0, 0), str(tmp_path / f))
+    sf = str(tmp_path)
+
+    qs = queries()
+    probe = [
+        "ann_ivf", "ann_pq", "kmeans_clusters", "ann_recall_eval",
+        "dedup_minhash_lsh", "dedup_clusters", "dedup_clusters_ls",
+        "dedup_semantic_clusters", "embedding_pca_power", "graph_pagerank",
+        "bpe_learn_merges", "quality_filter_rules", "token_budget_fill",
+        "drift_binned", "embedding_outlier_detect", "source_overlap_matrix",
+        "events_ewma", "events_twap", "curation_pipeline", "merge_upsert",
+    ]
+    for name in probe:
+        rows = qs[name](spark, sf).collect()
+        if name == "takedown_propagation":
+            continue  # audit receipts are per-table rows even when empty
+        assert rows == [], f"{name} returned rows on an empty corpus"

@@ -314,6 +314,11 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         emb.filter(F.col("vec_id") < IVF_SAMPLE_N).select("vec_id", "embedding").collect()
     )
     vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in sample_rows}
+    if not vecs:
+        # empty corpus → no index (callers emit an empty typed result);
+        # the raise below is reserved for PARTIAL id gaps, which mean the
+        # deterministic-init contract is broken, not that there is no data
+        return []
     missing = [i for i in range(N_CENTROIDS) if i not in vecs]
     if missing:
         raise ValueError(f"IVF init needs vec_ids 0..{N_CENTROIDS - 1}; missing {missing}")
@@ -392,6 +397,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cell equi-join replaces the brute-force cross join."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(spark, sf_dir)
+    if not centroids:  # empty corpus → empty typed result, not a crash
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, centroid_id bigint, cosine_sim double, rank int"
+        )
     assigned = ivf_assign(emb, centroids).cache()
     queries_df = assigned.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
@@ -513,6 +522,10 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes (a vector lives in exactly one cell)."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(spark, sf_dir)
+    if not centroids:  # empty corpus → empty typed result, not a crash
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, centroid_id bigint, cosine_sim double, rank int"
+        )
     assigned = ivf_assign(emb, centroids).cache()
     cnorms = [math.sqrt(_py_dot(c, c)) for c in centroids]
     sims = F.array(
@@ -930,6 +943,8 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float
         emb.filter(F.col("vec_id") < PQ_SAMPLE_N).select("vec_id", "embedding").collect()
     )
     vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in sample_rows}
+    if not vecs:
+        return []  # empty corpus → no codebooks (see IVF trainer note)
     missing = [i for i in range(PQ_K) if i not in vecs]
     if missing:
         raise ValueError(f"PQ init needs vec_ids 0..{PQ_K - 1}; missing {missing}")
@@ -981,6 +996,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Final top-k by (approx_dist, neighbor) window per query.
     """
     books = train_pq_codebooks(spark, sf_dir)
+    if not books:  # empty corpus → empty typed result, not a crash
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, approx_dist double, rank int"
+        )
     emb = load_table(spark, sf_dir, "embeddings")
 
     def sub(col, m):
@@ -1209,6 +1228,10 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(spark, sf_dir)
+    if not centroids:  # empty corpus → empty typed result, not a crash
+        return spark.createDataFrame(
+            [], "centroid_id bigint, n_members bigint, cosine_inertia double"
+        )
     cnorms = [math.sqrt(_py_dot(c, c)) for c in centroids]
     vnorm = _norm(F.col("embedding"))
     sims = F.array(
