@@ -317,10 +317,11 @@ def test_token_budget_fill_broadcast_targets_single_window(spark):
 
     df = q_token_budget_fill(spark, SF_DIR)
     assert count_sortmerge_joins(df) == 0, plan_str(df)
-    assert count_broadcast_joins(df) >= 1
-    # tok-scan agg chain + window partitioning: a handful of exchanges on
-    # tiny aggregates is fine; corpus-sized data crosses exactly one
-    assert count_exchanges(df) <= 4, plan_str(df)
+    assert count_broadcast_joins(df) >= 2  # targets AND bucket offsets
+    # corpus-sized rows cross exactly ONE exchange (the (source, bucket)
+    # cumsum window); the other exchanges move only the tiny per-source /
+    # per-bucket aggregates (sources × 256 rows) for the offset table
+    assert count_exchanges(df) <= 6, plan_str(df)
 
 
 def test_drift_binned_two_scans_no_wide_join(spark):

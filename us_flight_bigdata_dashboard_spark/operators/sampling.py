@@ -566,6 +566,7 @@ WHERE NOT EXISTS (
 # Fraction of the corpus' total tokens the mixture may spend — <1 so the
 # head-source cutoff path is actually exercised at every SF.
 BUDGET_FRAC = 0.5
+TB_BUCKETS = 256  # 2^60-range hash >> 52 -> 256 order-preserving buckets
 
 
 def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,9 +588,16 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums over that total order.
 
     Scale shape: token counting is a narrow scan; per-source totals are a
-    tiny hash-agg broadcast back; the fill is ONE keyed window (cumsum
-    over the source partitioning) — a single shuffle proportional to the
-    corpus, same cost class as sessionization. No collect, no loop.
+    tiny hash-agg broadcast back. The running totals are a DISTRIBUTED
+    PREFIX SUM, not a per-source window: ``source`` is low-cardinality, so
+    a window partitioned on it alone would sort each source's entire
+    corpus in ONE task (petabytes per task at 100 TB). Instead the hash
+    order is range-bucketed (``h >> 52`` → {TB_BUCKETS} ordered buckets —
+    h < 2^60, so the shift preserves h order across buckets), per-bucket
+    token sums roll up to broadcastable cross-bucket offsets (sources ×
+    {TB_BUCKETS} rows), and the per-row cumsum windows over (source,
+    bucket) — {TB_BUCKETS}× the parallelism, identical values, same
+    single corpus-sized shuffle. No collect, no loop.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -614,12 +622,30 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(BUDGET_FRAC) * F.col("_tot_tokens").cast("double"))
         ).alias("target_tokens"),
     )
-    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    tokb = tok.withColumn("bucket", F.shiftright(F.col("h"), 52))
+    bucket_offsets = (
+        tokb.groupBy("source", "bucket")
+        .agg(F.sum("n_tok").alias("_bsum"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_bsum").over(
+                    Window.partitionBy("source")
+                    .orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("source", "bucket", "_offset")
     )
+    w = Window.partitionBy("source", "bucket").orderBy(
+        F.asc("h"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     filled = (
-        tok.join(F.broadcast(targets), "source")
-        .withColumn("cum_tokens", F.sum("n_tok").over(w))
+        tokb.join(F.broadcast(targets), "source")
+        .join(F.broadcast(bucket_offsets), ["source", "bucket"])
+        .withColumn("cum_tokens", F.col("_offset") + F.sum("n_tok").over(w))
         .filter(F.col("cum_tokens") <= F.col("target_tokens"))
     )
     return filled.select("doc_id", "source", "n_tok", "cum_tokens", "target_tokens")
