@@ -340,3 +340,16 @@ def test_drift_binned_two_scans_no_wide_join(spark):
     assert count_parquet_scans(df) == 2, plan_str(df)
     assert count_sortmerge_joins(df) == 0
     assert count_exchanges(df) <= 4, plan_str(df)
+
+
+def test_topk_window_gets_group_limit_pruning(spark):
+    # rank-filtered windows must plan with WindowGroupLimit (map-side
+    # per-group top-k BEFORE the shuffle) — without it a low-cardinality
+    # group key sorts the whole fact in one task at scale
+    from us_flight_bigdata_dashboard_spark.operators.relational import (
+        q_window_topk_per_group,
+    )
+
+    df = q_window_topk_per_group(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

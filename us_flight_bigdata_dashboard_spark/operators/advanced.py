@@ -470,7 +470,14 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIRST_VALUE / LAST_VALUE / NTH_VALUE over an explicit full-partition
     frame (the default frame stops at CURRENT ROW — the classic
     last_value trap; both engines get the same explicit frame so the
-    semantics are unambiguous). One keyed window shuffle."""
+    semantics are unambiguous). One keyed window shuffle.
+
+    Scale note: the priority key is low-cardinality, and full-frame
+    first/last/nth has no rank filter for Catalyst's WindowGroupLimit to
+    prune with — at 100 TB compute the per-group (first, last, nth)
+    triples as a tiny aggregate and broadcast-join them back, or use the
+    bucketed global-rank pattern (hash-range buckets + offset table) that
+    ``sampling.q_token_budget_fill`` demonstrates."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_orderpriority")

@@ -261,7 +261,14 @@ def q_window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-function family after rank/lead/lag/running aggregates). The
     order-by carries the key as a tiebreaker so every rank is total-order
     deterministic; percent_rank's ``(rank−1)/(n−1)`` is one double
-    division on integers — bit-stable."""
+    division on integers — bit-stable.
+
+    Scale note: distribution ranks need each group's total order, and the
+    unfiltered window gives one task per (low-cardinality) priority. The
+    100 TB form derives the GLOBAL rank as bucket-offset + local rank over
+    (priority, hash-range bucket) — the distributed prefix-sum shape
+    ``sampling.q_token_budget_fill`` uses — then ntile/percent_rank/cume
+    are closed-form in (global rank, n)."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
