@@ -196,3 +196,26 @@ def test_operators_survive_empty_corpus(spark, tmp_path):
         if name == "takedown_propagation":
             continue  # audit receipts are per-table rows even when empty
         assert rows == [], f"{name} returned rows on an empty corpus"
+
+
+def test_curate_cli_end_to_end(spark, tmp_path, capsys):
+    """The curate subcommand must write split-partitioned parquet plus a
+    balanced audit line (input = kept-after-rules + per-reason drops;
+    dedup keeps <= kept; split sizes sum to the final count)."""
+    import json as json_mod
+
+    from us_flight_bigdata_dashboard_spark.__main__ import main
+
+    out = str(tmp_path / "curated")
+    rc = main(["curate", "--sf-dir", "/root/testdata/sf0.001", "--out", out])
+    assert rc == 0
+    audit = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    dropped = sum(v for k, v in audit["drop_reasons"].items() if k != "kept")
+    assert audit["n_input"] == audit["drop_reasons"].get("kept", 0) + dropped
+    assert audit["n_after_dedup"] <= audit["drop_reasons"].get("kept", 0)
+    assert sum(audit["splits"].values()) == audit["n_after_dedup"]
+    got = spark.read.parquet(f"{out}/documents")
+    assert got.count() == audit["n_after_dedup"]
+    assert set(r["split"] for r in got.select("split").distinct().collect()) <= {
+        "train", "valid", "test"
+    }

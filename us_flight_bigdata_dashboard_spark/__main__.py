@@ -92,6 +92,76 @@ def _cmd_query(args) -> int:
     return 0
 
 
+def _cmd_curate(args) -> int:
+    """Training-data curation chain over a documents table: rule-ensemble
+    quality filter → exact-dup removal → split assignment, then an
+    optional token-budget mixture fill — materialized as parquet with a
+    JSON audit line (per-reason drop counts, per-split sizes)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from us_flight_bigdata_dashboard_spark.operators.sampling import (
+        _bucket_col,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VALID_PCT,
+        q_token_budget_fill,
+    )
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        q_quality_filter_rules,
+    )
+    from us_flight_bigdata_dashboard_spark.session import get_spark
+    from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+    spark = get_spark("curate")
+    docs = load_table(spark, args.sf_dir, "documents")
+    flags = q_quality_filter_rules(spark, args.sf_dir).select(
+        "doc_id", "fail_reason", "keep"
+    )
+    reasons = {
+        r["fail_reason"] or "kept": r["n"]
+        for r in flags.groupBy("fail_reason").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept = docs.join(flags.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "), " +", " "
+            )
+        )
+    )
+    w = Window.partitionBy("_fp").orderBy(F.col("doc_id").asc())
+    deduped = (
+        kept.withColumn("_fp", norm)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    bucket = _bucket_col()
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    final = deduped.withColumn("split", split)
+    final.write.mode("overwrite").partitionBy("split").parquet(f"{args.out}/documents")
+    audit = {
+        "n_input": docs.count(),
+        "drop_reasons": reasons,
+        "n_after_dedup": final.count(),
+        "splits": {
+            r["split"]: r["n"]
+            for r in final.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        },
+        "out": args.out,
+    }
+    if args.token_budget:
+        fill = q_token_budget_fill(spark, args.sf_dir)
+        fill.write.mode("overwrite").parquet(f"{args.out}/budget_fill")
+        audit["budget_fill_docs"] = fill.count()
+    print(json.dumps(audit, ensure_ascii=False))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="us_flight_bigdata_dashboard_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -116,6 +186,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--list", action="store_true", help="list available queries")
     q.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
     q.set_defaults(fn=_cmd_query)
+
+    c = sub.add_parser("curate", help="quality filter → dedup → split over documents → parquet + audit JSON")
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="input dir containing documents.parquet")
+    c.add_argument("--out", required=True, help="output directory")
+    c.add_argument("--token-budget", action="store_true", help="also materialize the token-budget mixture fill")
+    c.set_defaults(fn=_cmd_curate)
 
     args = parser.parse_args(argv)
     return args.fn(args)
