@@ -173,6 +173,57 @@ FROM lineitem
 """
 
 
+def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth (§2.1): the lineitem projection written
+    to ORC and read back — every value must survive the parquet→ORC→scan
+    round trip bit-for-bit, which the gate asserts by comparing the ORC
+    read against the PARQUET-sourced oracle. ORC is the other columnar
+    format Spark ships natively (Hive lineage); a lakehouse engine that
+    claims format breadth must prove fidelity, not just non-crashing, for
+    ints, strings, dates, and float64 payloads.
+
+    Staging is memoized per (sf_dir) for the process lifetime and removed
+    at exit (same discipline as the streaming replay staging); the write
+    is a distributed ORC sink, the read a fresh distributed ORC scan with
+    column pruning (ORC supports predicate pushdown and pruning exactly
+    like parquet — same ReadSchema behavior)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    cache = getattr(q_scan_orc_roundtrip, "_staged", None)
+    if cache is None:
+        cache = q_scan_orc_roundtrip._staged = {}
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in cache.values()]
+        )
+    if sf_dir not in cache:
+        out = tempfile.mkdtemp(prefix="orc_roundtrip_")
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_returnflag"
+        ).write.mode("overwrite").orc(out)
+        cache[sf_dir] = out
+    return (
+        spark.read.orc(cache[sf_dir])
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.col("l_extendedprice").alias("price"),
+            "l_returnflag",
+        )
+    )
+
+
+_ORACLE_SCAN_ORC_ROUNDTRIP = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       l_extendedprice AS price,
+       l_returnflag
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # P9: conjunctive IN-list filter (the app's shared filter masks)
 # ---------------------------------------------------------------------------
@@ -1109,6 +1160,7 @@ QUERIES = {
     "returned_item_ranking": q_returned_item_ranking,
     "nation_volume_shipping": q_nation_volume_shipping,
     "scan_project_cast": q_scan_project_cast,
+    "scan_orc_roundtrip": q_scan_orc_roundtrip,
     "filter_in_conj": q_filter_in_conj,
     "null_impute_indicator": q_null_impute_indicator,
     "time_normalization": q_time_normalization,
@@ -1140,6 +1192,7 @@ ORACLE = {
     "returned_item_ranking": _ORACLE_RETURNED_ITEM_RANKING,
     "nation_volume_shipping": _ORACLE_NATION_VOLUME_SHIPPING,
     "scan_project_cast": _ORACLE_SCAN_PROJECT_CAST,
+    "scan_orc_roundtrip": _ORACLE_SCAN_ORC_ROUNDTRIP,
     "filter_in_conj": _ORACLE_FILTER_IN_CONJ,
     "null_impute_indicator": _ORACLE_NULL_IMPUTE_INDICATOR,
     "time_normalization": _ORACLE_TIME_NORMALIZATION,
