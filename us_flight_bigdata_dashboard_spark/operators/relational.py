@@ -224,6 +224,48 @@ FROM lineitem
 """
 
 
+def q_scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink roundtrip under the exact gate — the
+    interchange format every ingestion pipeline meets. The fear with JSON
+    is float fidelity; Spark serializes doubles with the shortest
+    representation that round-trips (Ryu), so parquet→JSONL→scan is
+    BIT-identical for float64 — this entry proves it against the
+    parquet-sourced oracle instead of asserting it. Dates travel as ISO
+    strings and are re-cast on read with an explicit schema (schema-on-read
+    — never inference, which would sample-scan the data twice and can
+    mis-type empty partitions)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    cache = getattr(q_scan_jsonl_roundtrip, "_staged", None)
+    if cache is None:
+        cache = q_scan_jsonl_roundtrip._staged = {}
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in cache.values()]
+        )
+    if sf_dir not in cache:
+        out = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_returnflag"
+        ).write.mode("overwrite").json(out)
+        cache[sf_dir] = out
+    schema = (
+        "l_orderkey bigint, l_linenumber bigint, l_shipdate timestamp, "
+        "l_extendedprice double, l_returnflag string"
+    )
+    return spark.read.schema(schema).json(cache[sf_dir]).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_extendedprice").alias("price"),
+        "l_returnflag",
+    )
+
+
+_ORACLE_SCAN_JSONL_ROUNDTRIP = _ORACLE_SCAN_ORC_ROUNDTRIP
+
+
 # ---------------------------------------------------------------------------
 # P9: conjunctive IN-list filter (the app's shared filter masks)
 # ---------------------------------------------------------------------------
@@ -1161,6 +1203,7 @@ QUERIES = {
     "nation_volume_shipping": q_nation_volume_shipping,
     "scan_project_cast": q_scan_project_cast,
     "scan_orc_roundtrip": q_scan_orc_roundtrip,
+    "scan_jsonl_roundtrip": q_scan_jsonl_roundtrip,
     "filter_in_conj": q_filter_in_conj,
     "null_impute_indicator": q_null_impute_indicator,
     "time_normalization": q_time_normalization,
@@ -1193,6 +1236,7 @@ ORACLE = {
     "nation_volume_shipping": _ORACLE_NATION_VOLUME_SHIPPING,
     "scan_project_cast": _ORACLE_SCAN_PROJECT_CAST,
     "scan_orc_roundtrip": _ORACLE_SCAN_ORC_ROUNDTRIP,
+    "scan_jsonl_roundtrip": _ORACLE_SCAN_JSONL_ROUNDTRIP,
     "filter_in_conj": _ORACLE_FILTER_IN_CONJ,
     "null_impute_indicator": _ORACLE_NULL_IMPUTE_INDICATOR,
     "time_normalization": _ORACLE_TIME_NORMALIZATION,
