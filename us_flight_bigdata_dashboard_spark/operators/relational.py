@@ -266,6 +266,52 @@ def q_scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SCAN_JSONL_ROUNDTRIP = _ORACLE_SCAN_ORC_ROUNDTRIP
 
 
+def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink roundtrip under the exact gate — the reference's
+    native interchange format (S1/S6: its entire pipeline is CSV-in,
+    CSV-out). Java's ``Double.toString`` emits the shortest string that
+    parses back to the same bits, so even float64 survives the text
+    roundtrip bit-exactly; the gate proves it against the parquet oracle.
+    Schema-on-read with an explicit schema and header=true — the same
+    no-inference discipline as the flights CSV path
+    (``flights/io.read_raw_flights``)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    cache = getattr(q_scan_csv_roundtrip, "_staged", None)
+    if cache is None:
+        cache = q_scan_csv_roundtrip._staged = {}
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in cache.values()]
+        )
+    if sf_dir not in cache:
+        out = tempfile.mkdtemp(prefix="csv_roundtrip_")
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_returnflag"
+        ).write.mode("overwrite").option("header", "true").csv(out)
+        cache[sf_dir] = out
+    schema = (
+        "l_orderkey bigint, l_linenumber bigint, l_shipdate timestamp, "
+        "l_extendedprice double, l_returnflag string"
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .csv(cache[sf_dir])
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.col("l_extendedprice").alias("price"),
+            "l_returnflag",
+        )
+    )
+
+
+_ORACLE_SCAN_CSV_ROUNDTRIP = _ORACLE_SCAN_ORC_ROUNDTRIP
+
+
 # ---------------------------------------------------------------------------
 # P9: conjunctive IN-list filter (the app's shared filter masks)
 # ---------------------------------------------------------------------------
@@ -1204,6 +1250,7 @@ QUERIES = {
     "scan_project_cast": q_scan_project_cast,
     "scan_orc_roundtrip": q_scan_orc_roundtrip,
     "scan_jsonl_roundtrip": q_scan_jsonl_roundtrip,
+    "scan_csv_roundtrip": q_scan_csv_roundtrip,
     "filter_in_conj": q_filter_in_conj,
     "null_impute_indicator": q_null_impute_indicator,
     "time_normalization": q_time_normalization,
@@ -1237,6 +1284,7 @@ ORACLE = {
     "scan_project_cast": _ORACLE_SCAN_PROJECT_CAST,
     "scan_orc_roundtrip": _ORACLE_SCAN_ORC_ROUNDTRIP,
     "scan_jsonl_roundtrip": _ORACLE_SCAN_JSONL_ROUNDTRIP,
+    "scan_csv_roundtrip": _ORACLE_SCAN_CSV_ROUNDTRIP,
     "filter_in_conj": _ORACLE_FILTER_IN_CONJ,
     "null_impute_indicator": _ORACLE_NULL_IMPUTE_INDICATOR,
     "time_normalization": _ORACLE_TIME_NORMALIZATION,
