@@ -268,7 +268,8 @@ def q_window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB form derives the GLOBAL rank as bucket-offset + local rank over
     (priority, hash-range bucket) — the distributed prefix-sum shape
     ``sampling.q_token_budget_fill`` uses — then ntile/percent_rank/cume
-    are closed-form in (global rank, n)."""
+    are closed-form in (global rank, n) — implemented and gate-proven as
+    ``q_global_rank_bucketed``."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
@@ -515,8 +516,97 @@ WHERE NOT EXISTS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Bucketed global rank (scalable total-order ranking)
+# ---------------------------------------------------------------------------
+
+GR_BUCKETS = 256
+
+
+def q_global_rank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL total-order rank of every order by (totalprice, orderkey) —
+    computed WITHOUT the single-task global sort that ``ROW_NUMBER() OVER
+    (ORDER BY ...)`` plans (an unpartitioned window funnels the whole
+    table through one task; Spark even warns about it). This is the
+    distributed form the full-partition window docstrings point at:
+
+    1. one global min/max aggregate (2 scalars, broadcast back);
+    2. value-range bucketing — monotone in the sort key, so bucket order
+       IS sort order and equal keys can never straddle a bucket;
+    3. per-bucket counts → cross-bucket rank offsets (a {GR_BUCKETS}-row
+       cumsum, broadcast);
+    4. per-row rank inside each bucket ({GR_BUCKETS}-way parallel window)
+       plus the bucket offset = the exact global rank;
+    5. percent_rank closed-form from (global rank, n).
+
+    The oracle is the PLAIN unpartitioned ROW_NUMBER — the gate proves the
+    bucketed decomposition is value-identical to the single-sort
+    semantics. Same distributed-prefix-sum shape as
+    ``sampling.q_token_budget_fill``; together they are the repo's
+    pattern for order-statistics at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("_mn"),
+        F.max("o_totalprice").alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    base = orders.select("o_orderkey", "o_totalprice").crossJoin(F.broadcast(stats))
+    bucket = F.coalesce(
+        F.least(
+            F.lit(GR_BUCKETS - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("_mn"))
+                * GR_BUCKETS
+                / F.nullif(F.col("_mx") - F.col("_mn"), F.lit(0.0))
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    bucketed = base.withColumn("_b", bucket)
+    offsets = (
+        bucketed.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_bn").over(
+                    Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_offset")
+    )
+    w = Window.partitionBy("_b").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .withColumn("global_rank", F.col("_offset") + F.row_number().over(w))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "global_rank",
+            (
+                (F.col("global_rank") - F.lit(1)).cast("double")
+                / F.nullif(F.col("_n") - F.lit(1), F.lit(0)).cast("double")
+            ).alias("pct_rank"),
+        )
+    )
+
+
+_ORACLE_GLOBAL_RANK_BUCKETED = """
+SELECT o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS global_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS DOUBLE)
+         / nullif(COUNT(*) OVER () - 1, 0) AS pct_rank
+FROM orders
+"""
+
+
 QUERIES = {
     "pivot_status": q_pivot_status,
+    "global_rank_bucketed": q_global_rank_bucketed,
     "skyline_pareto": q_skyline_pareto,
     "window_range_frame": q_window_range_frame,
     "array_agg_sorted": q_array_agg_sorted,
@@ -531,6 +621,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "global_rank_bucketed": _ORACLE_GLOBAL_RANK_BUCKETED,
     "pivot_status": _ORACLE_PIVOT_STATUS,
     "skyline_pareto": _ORACLE_SKYLINE_PARETO,
     "window_range_frame": _ORACLE_WINDOW_RANGE_FRAME,
