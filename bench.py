@@ -107,6 +107,9 @@ HEADLINE = [
     # multi-batch replay + Arrow worker round-trips), priced honestly
     # like the tumbling replay
     "streaming_ewma_replay",
+    # the distributed order-statistics shape: bucketed global rank
+    # (offset-table prefix sum, no single-task sort)
+    "global_rank_bucketed",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
