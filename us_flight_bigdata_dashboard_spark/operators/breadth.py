@@ -604,9 +604,63 @@ FROM orders
 """
 
 
+EXACT_QUANTILES = [0.25, 0.5, 0.9, 0.99]
+
+
+def q_exact_quantiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles of order totalprice at scale — the
+    complement to the ``approx_percentile`` sketch when the answer must be
+    a real data value with zero error (SLA thresholds, billing tiers,
+    regulatory percentiles). Built on the bucketed global rank: the
+    quantile q is BY DEFINITION the value at rank ``ceil(q·n)``
+    (lower-interpolation / discrete quantile), so after the
+    {GR_BUCKETS}-way-parallel rank decomposition the answer is a filter on
+    {len(EXACT_QUANTILES)} target ranks — no single-task sort, no second
+    pass, error-free where the t-digest/GK sketch is approximate.
+
+    Oracle: DuckDB's ``quantile_disc`` (identical lower-interpolation
+    definition), cross-checked structurally by construction."""
+    ranked = q_global_rank_bucketed(spark, sf_dir)
+    n_row = load_table(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("_n"))
+    targets = n_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("quantile"),
+                        F.ceil(F.lit(q) * F.col("_n")).cast("long").alias("target_rank"),
+                    )
+                    for q in EXACT_QUANTILES
+                ]
+            )
+        ).alias("t")
+    ).select("t.quantile", "t.target_rank")
+    return (
+        ranked.join(
+            F.broadcast(targets), ranked["global_rank"] == targets["target_rank"]
+        )
+        .select("quantile", F.col("o_totalprice").alias("value"))
+        .orderBy("quantile")
+    )
+
+
+def _sql_exact_quantiles() -> str:
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({q} AS DOUBLE) AS quantile, quantile_disc(o_totalprice, {q}) AS value FROM orders"
+        for q in EXACT_QUANTILES
+    )
+    return f"""
+SELECT quantile, value FROM (
+{rows}
+)
+ORDER BY quantile
+"""
+
+
 QUERIES = {
     "pivot_status": q_pivot_status,
     "global_rank_bucketed": q_global_rank_bucketed,
+    "exact_quantiles_bucketed": q_exact_quantiles_bucketed,
     "skyline_pareto": q_skyline_pareto,
     "window_range_frame": q_window_range_frame,
     "array_agg_sorted": q_array_agg_sorted,
@@ -622,6 +676,7 @@ QUERIES = {
 
 ORACLE = {
     "global_rank_bucketed": _ORACLE_GLOBAL_RANK_BUCKETED,
+    "exact_quantiles_bucketed": _sql_exact_quantiles(),
     "pivot_status": _ORACLE_PIVOT_STATUS,
     "skyline_pareto": _ORACLE_SKYLINE_PARETO,
     "window_range_frame": _ORACLE_WINDOW_RANGE_FRAME,
