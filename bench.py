@@ -110,6 +110,13 @@ HEADLINE = [
     # the distributed order-statistics shape: bucketed global rank
     # (offset-table prefix sum, no single-task sort)
     "global_rank_bucketed",
+    # round-4 decision-support completion: the three heaviest new shapes —
+    # Q21's double-correlation (one per-order aggregation + semi join),
+    # Q13's outer-join distribution (two chained aggregations), and Q2's
+    # correlated-MIN over the derived part-supplier pair list
+    "waiting_suppliers",
+    "customer_order_distribution",
+    "min_cost_supplier",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

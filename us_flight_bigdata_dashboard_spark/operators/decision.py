@@ -1,0 +1,1078 @@
+"""Decision-support completion pack: the remaining classic TPC-H query
+shapes (Q2, Q4, Q6, Q8, Q9, Q11, Q12, Q13, Q14, Q15, Q16, Q18, Q19, Q20,
+Q21, Q22), adapted to the testdata star schema.
+
+The reference dashboard's query surface (SURVEY.md §2) was covered in
+rounds 1-3; this module completes the standard decision-support shapes an
+analytics engine is expected to run, so a user bringing arbitrary BI
+workloads finds every canonical pattern implemented and exact-gated:
+
+* correlated MIN subquery (Q2), EXISTS / NOT EXISTS semi and anti forms
+  (Q4, Q21, Q22), IN over a GROUP BY ... HAVING subquery (Q18, Q20),
+  NOT IN subquery (Q16), scalar-aggregate subqueries (Q11, Q15, Q22),
+  disjunctive multi-attribute pushdown (Q19), conditional-ratio
+  aggregates (Q8, Q12, Q14), outer-join distributions (Q13).
+
+Schema adaptations (testdata has no partsupp/comment/commitdate columns):
+the distinct (l_partkey, l_suppkey) projection of lineitem stands in for
+partsupp; ship-delay versus order date stands in for commit/receipt
+lateness; name suffix digits stand in for phone country codes; a
+retail-price fraction stands in for ps_supplycost. Every adaptation keeps
+the original query's PLAN shape (the thing being tested) intact.
+
+Determinism: all double sums are decimal-quantized (functions/exact.dsum),
+every LIMIT sits under a total order with key tiebreaks, and equality
+filters against aggregated doubles (Q2's min, Q15's max) compare values
+produced by the same exact arithmetic on both engines.
+
+Scale notes are per-query; the recurring ones: dims broadcast, fact-side
+filters sit on the scan (pushdown), semi/anti joins never materialize the
+probe side, and group-by keys reuse join-shuffle partitioning where the
+keys coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.functions.exact import (
+    dsum,
+    sql_dsum,
+)
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ersatz partsupp: the distinct (part, supplier) pairs observed in
+    lineitem. One shuffle on the pair key; at 100 TB this is the standard
+    "derive the relationship table once, reuse it" pattern (materialize it
+    bucketed by l_partkey if several queries consume it)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+
+
+_SQL_PARTSUPP = "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: minimum-cost supplier (correlated MIN subquery)
+# ---------------------------------------------------------------------------
+
+Q2_TYPE = "LARGE"
+Q2_REGION = "EUROPE"
+Q2_TOP = 20
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) whose
+    account balance equals the per-part MINIMUM across that part's
+    suppliers in one region — the correlated-subquery-on-MIN pattern.
+
+    Spark-first plan: the correlated subquery becomes a window MIN over
+    the part key on the already-joined (part × supplier) pair list — one
+    shuffle on l_partkey, no self-join, no re-aggregation. The part
+    type filter and region filter cut both inputs BEFORE the pair
+    join; part/supplier/nation/region are all broadcast (≤ thousands of
+    rows even at 100 TB fact scale, because the pair list shrinks to the
+    filtered parts first). Equality against the windowed MIN is exact:
+    both engines compare the same untouched double values.
+    """
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q2_TYPE)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+
+    joined = (
+        ps.join(F.broadcast(part), ps["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), ps["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(Q2_TOP)
+    )
+
+
+_ORACLE_MIN_COST_SUPPLIER = f"""
+WITH ps AS ({_SQL_PARTSUPP}),
+joined AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+  FROM ps
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = '{Q2_TYPE}' AND r_name = '{Q2_REGION}'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM (
+  SELECT *, MIN(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+  FROM joined
+)
+WHERE s_acctbal = min_bal
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT {Q2_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: order priority checking (EXISTS semi-join)
+# ---------------------------------------------------------------------------
+
+Q4_DATE_LO = "1997-07-01"
+Q4_DATE_HI = "1997-10-01"
+Q4_LATE_DAYS = 60
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders in one quarter for
+    which EXISTS a lineitem shipped more than {Q4_LATE_DAYS} days after
+    the order date.
+
+    EXISTS compiles to a LEFT SEMI join — the probe (lineitem) side is
+    never materialized into the output and duplicate matches cost
+    nothing. The date window pushes to the orders scan; the non-equi
+    lateness condition rides on the semi join itself, so no derived
+    column is shuffled. Group-by on the tiny priority domain is a
+    near-free final step after the semi join.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_DATE_HI).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"]
+        > orders["o_orderdate"] + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_ORDER_PRIORITY_COUNTS = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_DATE_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q4_DATE_HI} 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: forecast revenue change (pure scan-side predicate aggregate)
+# ---------------------------------------------------------------------------
+
+Q6_DATE_LO = "1997-01-01"
+Q6_DATE_HI = "1998-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY = 24
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: one global SUM under three conjunctive range
+    predicates — the canonical predicate-pushdown benchmark.
+
+    Everything (date range, discount band, quantity cap) lands in
+    PushedFilters on the parquet scan, so row groups outside any range
+    are skipped via min/max statistics and zero join/shuffle machinery
+    runs: scan → partial sum → single final merge. At 100 TB this is the
+    query whose cost is purely I/O — exactly as it should be.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit(Q6_DATE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_DATE_HI).cast("timestamp"))
+        & (F.col("l_discount") >= Q6_DISC_LO)
+        & (F.col("l_discount") <= Q6_DISC_HI)
+        & (F.col("l_quantity") < Q6_QTY)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=6).alias("revenue")
+    )
+
+
+_ORACLE_FORECAST_REVENUE_CHANGE = f"""
+SELECT {sql_dsum("l_extendedprice * l_discount", scale=6)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q6_DATE_HI} 00:00:00'
+  AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: national market share (conditional-ratio aggregate, dual dim alias)
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_7"
+Q8_TYPE = "STANDARD"
+Q8_DATE_LO = "1996-01-01"
+Q8_DATE_HI = "1998-01-01"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of revenue per order
+    year, among orders from customers in one region for one part type —
+    the same dimension table (nation) joined twice under different roles
+    (customer's nation for the region filter, supplier's nation for the
+    share numerator).
+
+    Both nation joins and the region/part joins broadcast; the fact-side
+    date and type filters push down. The share is a ratio of two exact
+    decimal sums per year computed in ONE aggregation over the joined
+    fact (a CASE WHEN inside the numerator sum), not two passes.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q8_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q8_DATE_HI).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n_cust = load_table(spark, sf_dir, "nation").alias("n_cust")
+    n_supp = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("sn_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+        .alias("n_supp")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_nationkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                dsum(
+                    F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(0.0),
+                    scale=6,
+                )
+                / dsum(vol, scale=6)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_ORACLE_MARKET_SHARE = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {sql_dsum(f"CASE WHEN sn.n_name = '{Q8_NATION}' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", scale=6)}
+         / {sql_dsum("l_extendedprice * (1 - l_discount)", scale=6)} AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = '{Q8_TYPE}' AND r_name = '{Q8_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q8_DATE_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q8_DATE_HI} 00:00:00'
+GROUP BY 1
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product-type profit by nation and year
+# ---------------------------------------------------------------------------
+
+Q9_NAME_PART = "widget"
+Q9_COST_FRACTION = 0.6
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year over
+    parts whose name contains '{Q9_NAME_PART}'. ps_supplycost does not
+    exist in this schema; cost is modeled as {Q9_COST_FRACTION} ×
+    p_retailprice × quantity (same expression on both engines, so the
+    gate still compares full values).
+
+    The substring filter on part cannot push to parquet as a range, but
+    part is a broadcast dim so it is evaluated once per part row, not per
+    fact row. The aggregation keys (nation, year) are tiny; partial
+    aggregation collapses the fact stream before the single shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_NAME_PART)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        Q9_COST_FRACTION
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dsum(profit, scale=4).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+_ORACLE_PRODUCT_TYPE_PROFIT = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {sql_dsum(f"l_extendedprice * (1 - l_discount) - {Q9_COST_FRACTION} * p_retailprice * l_quantity", scale=4)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{Q9_NAME_PART}%'
+GROUP BY 1, 2
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: important stock value (HAVING vs global scalar subquery)
+# ---------------------------------------------------------------------------
+
+Q11_REGION = "AFRICA"
+Q11_FRACTION = 0.001
+
+
+def q_important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part shipped value from one region's
+    suppliers, keeping parts whose value exceeds {Q11_FRACTION} of the
+    region's TOTAL — a HAVING clause against a scalar aggregate subquery.
+
+    The scalar total is computed by re-aggregating the per-part aggregate
+    (sum of sums — exact, since addends are decimal), broadcast as a
+    1-row cross join; Catalyst evaluates the per-part aggregation ONCE
+    and reuses the exchange for both branches. Filters (region) cut the
+    fact before its only shuffle (on l_partkey).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q11_REGION)
+
+    regional = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    per_part = regional.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice"), scale=4).alias("part_value")
+    )
+    total = per_part.agg(
+        dsum(F.col("part_value"), scale=4).alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * Q11_FRACTION)
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+_ORACLE_IMPORTANT_STOCK_VALUE = f"""
+WITH regional AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q11_REGION}'
+),
+per_part AS (
+  SELECT l_partkey, {sql_dsum("l_extendedprice", scale=4)} AS part_value
+  FROM regional GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (
+  SELECT {sql_dsum("part_value", scale=4)} FROM per_part
+) * {Q11_FRACTION}
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: shipping-delay priority counts (conditional counts per bucket)
+# ---------------------------------------------------------------------------
+
+Q12_DATE_LO = "1997-01-01"
+Q12_DATE_HI = "1998-01-01"
+Q12_LATE_DAYS = 90
+
+
+def q_ship_delay_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: lineitems bucketed by a derived ship-delay class
+    (l_shipmode does not exist; LATE/ONTIME versus order date stands in),
+    counting high- versus low-priority orders per bucket with CASE-summed
+    conditional counts — one pass, one tiny-key aggregation.
+
+    The join carries only (o_orderkey, o_orderdate, o_orderpriority); the
+    date filter pushes to the lineitem scan. At 100 TB the delay-class
+    derivation is a per-row expression inside whole-stage codegen — no
+    UDF, no extra pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q12_DATE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_DATE_HI).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    delay_class = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS"),
+        "LATE",
+    ).otherwise("ONTIME")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(delay_class.alias("delay_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+_ORACLE_SHIP_DELAY_PRIORITY_COUNTS = f"""
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+            THEN 'LATE' ELSE 'ONTIME' END AS delay_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_DATE_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q12_DATE_HI} 00:00:00'
+GROUP BY 1
+ORDER BY delay_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution (outer join + double group-by)
+# ---------------------------------------------------------------------------
+
+Q13_EXCLUDED_PRIORITY = "5-LOW"
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many qualifying
+    orders they placed — LEFT OUTER join (customers with zero orders must
+    appear with count 0) followed by a second aggregation over the first
+    one's result.
+
+    The order-side filter must live in the JOIN input, not a WHERE after
+    the outer join (which would silently turn it inner) — the classic
+    outer-join filter-placement trap, handled identically in the oracle.
+    First group-by is on c_custkey (reuses the join shuffle); the second
+    is over one row per customer on a tiny count domain.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_ORACLE_CUSTOMER_ORDER_DISTRIBUTION = f"""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+   AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promotion revenue share (CASE ratio, single month)
+# ---------------------------------------------------------------------------
+
+Q14_DATE_LO = "1997-09-01"
+Q14_DATE_HI = "1997-10-01"
+Q14_TYPE = "PROMO"
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of one month's revenue that came from
+    '{Q14_TYPE}'-type parts — a CASE-conditional sum over the same rows
+    as the denominator, so ONE aggregation produces both.
+
+    part broadcasts; the month filter pushes to the lineitem scan. The
+    ratio divides two exact decimal sums (deterministic double result).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_DATE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_DATE_HI).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).agg(
+        (
+            F.lit(100.0)
+            * dsum(F.when(F.col("p_type") == Q14_TYPE, vol).otherwise(0.0), scale=6)
+            / dsum(vol, scale=6)
+        ).alias("promo_revenue_pct")
+    )
+
+
+_ORACLE_PROMO_REVENUE = f"""
+SELECT 100.0 * {sql_dsum(f"CASE WHEN p_type = '{Q14_TYPE}' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", scale=6)}
+       / {sql_dsum("l_extendedprice * (1 - l_discount)", scale=6)} AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_DATE_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q14_DATE_HI} 00:00:00'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: top supplier (aggregate view + scalar MAX subquery)
+# ---------------------------------------------------------------------------
+
+Q15_DATE_LO = "1997-01-01"
+Q15_DATE_HI = "1997-04-01"
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
+    MAXIMUM quarterly revenue — an aggregate "view" consumed twice (once
+    for the max, once for the lookup).
+
+    The revenue-per-supplier aggregate is computed once; the scalar max
+    re-aggregates it and broadcasts as a 1-row cross join (exchange
+    reuse, no unpartitioned window). Equality is safe because revenue is
+    an exact decimal sum on both engines. The supplier dim joins
+    broadcast AFTER the filter (only the winners reach it).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_DATE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_DATE_HI).cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLE_TOP_SUPPLIER = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         {sql_dsum("l_extendedprice * (1 - l_discount)", scale=6)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q15_DATE_HI} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: parts/supplier relationship counts (NOT IN + COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+Q16_EXCLUDED_BRAND = "Brand#5"
+Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+Q16_BAD_BAL = 500.0
+
+
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    for an IN-list of sizes, excluding one brand and excluding suppliers
+    from a NOT IN subquery (low account balance stands in for the
+    complaint-comment filter).
+
+    NOT IN compiles to a LEFT ANTI join against the (tiny, broadcast)
+    excluded-supplier list — NULL-free keys make NOT IN and anti-join
+    equivalent here. The part dim broadcasts onto the pair list; COUNT
+    DISTINCT runs per small (brand,type,size) group where the expand is
+    harmless (bounded group fan-out, unlike a global distinct).
+    """
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCLUDED_BRAND)
+        & (F.col("p_size").isin(*Q16_SIZES))
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < Q16_BAD_BAL
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad_supp), ps["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+_ORACLE_PARTS_SUPPLIER_COUNTS = f"""
+WITH ps AS ({_SQL_PARTSUPP})
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCLUDED_BRAND}'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < {Q16_BAD_BAL}
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: large-volume customers (IN over GROUP BY ... HAVING)
+# ---------------------------------------------------------------------------
+
+Q18_QTY = 250
+
+
+def q_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds {Q18_QTY} —
+    an IN subquery over GROUP BY ... HAVING — joined back to customers
+    and re-summed per order.
+
+    Spark-first: the HAVING aggregate IS the driving table (no IN
+    needed) — aggregate lineitem once on l_orderkey, filter, then join
+    orders/customer to the few survivors. The big-side aggregation
+    happens BEFORE any join, so the order/customer joins see orders-of-
+    magnitude fewer rows; the oracle keeps the literal IN form to prove
+    semantic equivalence of the rewrite.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), scale=2).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+    )
+
+
+_ORACLE_LARGE_VOLUME_CUSTOMER = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {sql_dsum("l_quantity", scale=2)} AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING {sql_dsum("l_quantity", scale=2)} > {Q18_QTY}
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: discounted revenue under disjunctive predicates
+# ---------------------------------------------------------------------------
+
+Q19_ARMS = (
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#34", 1, 15, 20.0, 30.0),
+)
+
+
+def q_discounted_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: one revenue sum under an OR of three AND-groups
+    mixing part attributes (brand, size) and lineitem attributes
+    (quantity) — the disjunctive-pushdown stress test.
+
+    part broadcasts; the OR lives in the post-join filter where codegen
+    evaluates it per row. The lineitem scan still gets a USEFUL pushed
+    predicate: the quantity bound below the weakest arm's minimum
+    (l_quantity >= min of all arms) — the standard derived-conjunct
+    trick for OR predicates that Catalyst cannot split itself.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    min_qty = min(arm[3] for arm in Q19_ARMS)
+    li = li.filter(F.col("l_quantity") >= min_qty)
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+
+    arm_exprs = None
+    for brand, size_lo, size_hi, qty_lo, qty_hi in Q19_ARMS:
+        arm = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= size_lo)
+            & (F.col("p_size") <= size_hi)
+            & (F.col("l_quantity") >= qty_lo)
+            & (F.col("l_quantity") <= qty_hi)
+        )
+        arm_exprs = arm if arm_exprs is None else (arm_exprs | arm)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(arm_exprs)
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6
+            ).alias("revenue")
+        )
+    )
+
+
+_ORACLE_DISCOUNTED_REVENUE_DISJUNCTIVE = f"""
+SELECT {sql_dsum("l_extendedprice * (1 - l_discount)", scale=6)} AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE {" OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+    f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in Q19_ARMS
+)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: potential part promotion (nested IN over aggregate HAVING)
+# ---------------------------------------------------------------------------
+
+Q20_NAME_PREFIX = "red"
+Q20_DATE_LO = "1997-01-01"
+Q20_DATE_HI = "1998-01-01"
+Q20_QTY = 200
+Q20_REGION = "ASIA"
+
+
+def q_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one region who shipped more than
+    {Q20_QTY} units of '{Q20_NAME_PREFIX}%'-named parts in one year — a
+    supplier IN (aggregate-HAVING subquery) with a nested part-name IN.
+
+    The inner aggregate (per-supplier shipped quantity of matching
+    parts) aggregates the fact FIRST; the qualifying supplier-key set is
+    tiny and drives a LEFT SEMI join against the supplier dim, which then
+    broadcasts to nation/region. No correlated re-execution: the
+    subquery runs once, exactly like DuckDB's decorrelated plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q20_DATE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q20_DATE_HI).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(Q20_NAME_PREFIX)
+    ).select("p_partkey")
+    qualifying = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity"), scale=2).alias("red_qty"))
+        .filter(F.col("red_qty") > Q20_QTY)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q20_REGION)
+    return (
+        supp.join(qualifying, supp["s_suppkey"] == qualifying["l_suppkey"], "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    )
+
+
+_ORACLE_POTENTIAL_PART_PROMOTION = f"""
+SELECT s_name, s_acctbal, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q20_REGION}'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+    )
+      AND l_shipdate >= TIMESTAMP '{Q20_DATE_LO} 00:00:00'
+      AND l_shipdate < TIMESTAMP '{Q20_DATE_HI} 00:00:00'
+    GROUP BY l_suppkey
+    HAVING {sql_dsum("l_quantity", scale=2)} > {Q20_QTY}
+  )
+ORDER BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+Q21_LATE_DAYS = 120
+Q21_REGION = "EUROPE"
+Q21_TOP = 25
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: for finished multi-supplier orders, count per
+    supplier the orders where that supplier was the ONLY late one —
+    the EXISTS (another supplier on the order) + NOT EXISTS (another
+    LATE supplier on the order) double-correlation.
+
+    Spark-first decorrelation: ONE aggregation per order computes both
+    correlated facts — distinct supplier count (EXISTS ⇔ > 1) and
+    distinct LATE supplier count (NOT EXISTS ⇔ exactly 1) — replacing
+    two correlated probes with a single reused shuffle on l_orderkey.
+    The late-supplier pair list joins back to it, keeping only
+    single-late-supplier orders; region/nation broadcast at the end onto
+    the per-supplier counts (100s of rows).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {Q21_LATE_DAYS} DAYS"
+    )
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    late_pairs = li.filter(late).select("l_orderkey", "l_suppkey").distinct()
+    sole_late = (
+        late_pairs.join(
+            order_stats.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q21_REGION)
+    return (
+        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(Q21_TOP)
+    )
+
+
+_ORACLE_WAITING_SUPPLIERS = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY AS is_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+order_stats AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM li GROUP BY l_orderkey
+),
+sole_late AS (
+  SELECT DISTINCT li.l_orderkey, li.l_suppkey
+  FROM li
+  JOIN order_stats os ON li.l_orderkey = os.l_orderkey
+  WHERE li.is_late AND os.n_supp > 1 AND os.n_late_supp = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM sole_late
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q21_REGION}'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT {Q21_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: global sales opportunity (scalar avg subquery + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+Q22_SEGMENTS = ("1", "3", "5", "7", "9")
+Q22_SINCE = "2000-01-01"
+
+
+def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per name-digit segment (phone country code stands
+    in as the last digit of c_name), count and total balance of
+    above-average-balance customers with NO orders since {Q22_SINCE}
+    (every customer in this dataset has SOME order, so "lapsed since a
+    cutoff" keeps the NOT EXISTS non-degenerate) — scalar AVG subquery
+    plus NOT EXISTS anti-join.
+
+    The scalar average (over positive balances) broadcasts as a 1-row
+    cross join; NOT EXISTS is a LEFT ANTI join against the filtered
+    orders customer-key projection (never materializes order rows; the
+    date filter pushes to the orders scan). Both customer-side filters
+    cut the build side BEFORE the anti join probes the big table.
+    """
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "cntry", F.substring(F.col("c_name"), -1, 1)
+    ).filter(F.col("cntry").isin(*Q22_SEGMENTS))
+    avg_bal = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg((dsum(F.col("c_acctbal"), scale=4) / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(Q22_SINCE).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntry")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), scale=4).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+_ORACLE_GLOBAL_SALES_OPPORTUNITY = f"""
+SELECT cntry, COUNT(*) AS numcust, {sql_dsum("c_acctbal", scale=4)} AS totacctbal
+FROM (
+  SELECT right(c_name, 1) AS cntry, c_custkey, c_acctbal
+  FROM customer
+  WHERE right(c_name, 1) IN {Q22_SEGMENTS}
+    AND c_acctbal > (
+      SELECT {sql_dsum("c_acctbal", scale=4)} / COUNT(*)
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '{Q22_SINCE} 00:00:00'
+    )
+)
+GROUP BY cntry
+ORDER BY cntry
+"""
+
+
+QUERIES = {
+    "min_cost_supplier": q_min_cost_supplier,
+    "order_priority_counts": q_order_priority_counts,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "market_share": q_market_share,
+    "product_type_profit": q_product_type_profit,
+    "important_stock_value": q_important_stock_value,
+    "ship_delay_priority_counts": q_ship_delay_priority_counts,
+    "customer_order_distribution": q_customer_order_distribution,
+    "promo_revenue": q_promo_revenue,
+    "top_supplier": q_top_supplier,
+    "parts_supplier_counts": q_parts_supplier_counts,
+    "large_volume_customer": q_large_volume_customer,
+    "discounted_revenue_disjunctive": q_discounted_revenue_disjunctive,
+    "potential_part_promotion": q_potential_part_promotion,
+    "waiting_suppliers": q_waiting_suppliers,
+    "global_sales_opportunity": q_global_sales_opportunity,
+}
+
+ORACLE = {
+    "min_cost_supplier": _ORACLE_MIN_COST_SUPPLIER,
+    "order_priority_counts": _ORACLE_ORDER_PRIORITY_COUNTS,
+    "forecast_revenue_change": _ORACLE_FORECAST_REVENUE_CHANGE,
+    "market_share": _ORACLE_MARKET_SHARE,
+    "product_type_profit": _ORACLE_PRODUCT_TYPE_PROFIT,
+    "important_stock_value": _ORACLE_IMPORTANT_STOCK_VALUE,
+    "ship_delay_priority_counts": _ORACLE_SHIP_DELAY_PRIORITY_COUNTS,
+    "customer_order_distribution": _ORACLE_CUSTOMER_ORDER_DISTRIBUTION,
+    "promo_revenue": _ORACLE_PROMO_REVENUE,
+    "top_supplier": _ORACLE_TOP_SUPPLIER,
+    "parts_supplier_counts": _ORACLE_PARTS_SUPPLIER_COUNTS,
+    "large_volume_customer": _ORACLE_LARGE_VOLUME_CUSTOMER,
+    "discounted_revenue_disjunctive": _ORACLE_DISCOUNTED_REVENUE_DISJUNCTIVE,
+    "potential_part_promotion": _ORACLE_POTENTIAL_PART_PROMOTION,
+    "waiting_suppliers": _ORACLE_WAITING_SUPPLIERS,
+    "global_sales_opportunity": _ORACLE_GLOBAL_SALES_OPPORTUNITY,
+}

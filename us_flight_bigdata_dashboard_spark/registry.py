@@ -17,6 +17,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     advanced,
     audit,
     breadth,
+    decision,
     dedup,
     events,
     graph,
@@ -34,6 +35,7 @@ from us_flight_bigdata_dashboard_spark.streaming import replay
 
 _MODULES = [
     relational,
+    decision,
     text,
     replay,
     temporal,
