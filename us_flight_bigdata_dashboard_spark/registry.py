@@ -68,7 +68,11 @@ _FLAGSHIP_PREFIX = [
     "shipping_priority",
     "region_revenue",
     "correlated_above_avg",
-    "grouping_rollup",
+    # decision-support completion (Q21's EXISTS+NOT-EXISTS double
+    # correlation — the most intricate shape of the round-4 pack; the
+    # rollup family it displaced stays certified via rollup_reagg /
+    # grouping_* rows in the committed full-matrix artifact)
+    "waiting_suppliers",
     # text
     "text_tfidf_topk",
     "text_quality",
