@@ -142,3 +142,27 @@ def test_wav_chunk_decoder_segments_real_bytes(spark):
     assert out.iloc[0]["sum_amp"] == sum(samples[:c])
     assert out.iloc[1]["sum_amp"] == sum(samples[c:])
     assert out.iloc[1]["sum_sq"] == sum(s * s for s in samples[c:])
+
+
+def test_phash_neardup_groups_and_separation(tmp_path, spark):
+    """Near-dup pairs land exactly within the by-construction id groups:
+    8 docs -> groups {0..3} and {4..7}; all 6 within-group pairs found
+    with small hamming, zero cross-group pairs (their hashes differ far
+    beyond the threshold)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from us_flight_bigdata_dashboard_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        q_multimodal_phash_neardup,
+    )
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(8), pa.int64())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = q_multimodal_phash_neardup(spark, str(tmp_path)).collect()
+    pairs = {(r["media_a"], r["media_b"]) for r in rows}
+    within = {(a, b) for g in (0, 4) for a in range(g, g + 4) for b in range(a + 1, g + 4)}
+    assert pairs == within
+    assert all(r["hamming"] <= PHASH_MAX_HAMMING for r in rows)

@@ -738,7 +738,193 @@ GROUP BY doc_id, p // {c}
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup: REAL decode → aHash → banded LSH pairs
+# ---------------------------------------------------------------------------
+
+PHASH_GROUP = 4        # consecutive media ids per near-dup group (by construction)
+PHASH_BANDS = 4        # 48-bit hash split into 4 × 12-bit LSH bands
+PHASH_BAND_BITS = 12
+PHASH_MAX_HAMMING = 8  # verify threshold on the full 48-bit hash
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def make_phash_decoder():
+    """mapInPandas worker: parse REAL P6 PPM bytes and compute a 48-bit
+    average hash (aHash) — integer grayscale per pixel (r+g+b), mean
+    threshold by cross-multiplication (gray·n > total, no float division),
+    bit j set iff pixel j is brighter than the mean. Pure-integer
+    arithmetic end to end, so the hash is bit-identical to the oracle's
+    formula-side computation. Self-contained closure (pickled by value)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                magic, dims, maxval_s, raster = b.split(b"\n", 3)
+                if magic != b"P6":
+                    raise ValueError(f"not a P6 PPM: {magic!r}")
+                w, h = (int(x) for x in dims.split())
+                px = _np.frombuffer(raster, dtype=_np.uint8, count=w * h * 3)
+                gray = px.reshape(-1, 3).astype(_np.int64).sum(axis=1)
+                n = gray.shape[0]
+                total = int(gray.sum())
+                bits = (gray * n) > total
+                ahash = 0
+                for j in range(n):
+                    if bits[j]:
+                        ahash |= 1 << j
+                ids.append(int(mid))
+                hashes.append(ahash)
+            yield _pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+    return decode
+
+
+def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection over REAL decoded pixels: synthesize
+    binary P6 PPMs with near-duplicates BY CONSTRUCTION (ids in the same
+    {PHASH_GROUP}-id group share a base raster; each image perturbs one
+    pixel), decode the actual bytes, compute a 48-bit average hash, then
+    find near-dup pairs with banded LSH ({PHASH_BANDS}×{PHASH_BAND_BITS}-bit
+    bands) verified by full Hamming distance ≤ {PHASH_MAX_HAMMING}.
+
+    This is the production image-dedup shape (aHash/pHash + multi-band
+    index): candidates come from band-bucket equi-joins — pair count is
+    bounded by bucket collisions, never the all-pairs n² — and only
+    candidates pay the Hamming verify. The hash stays with its band rows,
+    so the verify needs NO join back to a hash table. At 100 TB the
+    decode is embarrassingly parallel (narrow mapInPandas over Arrow
+    batches) and the only shuffle is the band-bucket join.
+
+    The oracle recomputes the hash symbolically from the pixel GENERATING
+    formula (never touching bytes) and runs the same band join — a wrong
+    header parse, raster stride, or bit order fails the hash compare.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_px = PPM_W * PPM_H
+    n_bytes = n_px * 3
+    header_hex = f"P6\n{PPM_W} {PPM_H}\n255\n".encode().hex()
+    grp = F.expr(f"media_id div {PHASH_GROUP}")
+    grp_hi = F.expr(f"(media_id div {PHASH_GROUP}) div 256")
+    # The group term must be position-DEPENDENT (g multiplies a per-byte
+    # factor): aHash thresholds against the image mean, so any formula
+    # where g only shifts all bytes by a constant produces the SAME hash
+    # for every group (shift-invariance) and the band join degenerates to
+    # all-pairs. g·(i²+1) varies per byte position; the g//256 term breaks
+    # mod-256 aliasing between groups g and g+256.
+    base = lambda i: (grp * (i * i + 1) + grp_hi * (i + 3) * 5 + i * 17) % 256  # noqa: E731
+    pix_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bytes - 1)),
+            lambda i: F.lpad(
+                F.hex(
+                    F.when(
+                        (i / F.lit(3)).cast("long") == F.col("media_id") % n_px,
+                        (base(i) + 128) % 256,
+                    ).otherwise(base(i))
+                ),
+                2,
+                "0",
+            ),
+        ),
+        "",
+    )
+    media = docs.select(F.col("doc_id").alias("media_id")).select(
+        "media_id",
+        F.unhex(F.concat(F.lit(header_hex), pix_hex)).alias("payload"),
+    )
+    hashes = media.mapInPandas(make_phash_decoder(), PHASH_SCHEMA)
+
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(f"shiftright(ahash, {b * PHASH_BAND_BITS})")
+                .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                .alias("band_val"),
+            )
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    bands = hashes.select(
+        "media_id", "ahash", F.explode(band_arr).alias("band")
+    ).select("media_id", "ahash", "band.band_idx", "band.band_val")
+
+    a, bnd = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            bnd,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .orderBy("media_a", "media_b")
+    )
+    return pairs
+
+
+def _sql_phash_neardup() -> str:
+    n_px = PPM_W * PPM_H
+    g = f"(media_id // {PHASH_GROUP})"
+
+    def byte_at(i: str) -> str:
+        raw = f"{g} * (({i})*({i}) + 1) + ({g} // 256) * (({i}) + 3) * 5 + ({i}) * 17"
+        return (
+            f"CASE WHEN (({i}) // 3) = media_id % {n_px} "
+            f"THEN ({raw} + 128) % 256 ELSE ({raw}) % 256 END"
+        )
+
+    gray = " + ".join(byte_at(f"(3*j + {c})") for c in range(3))
+    return f"""
+WITH m AS (SELECT doc_id AS media_id FROM documents),
+px AS (
+  SELECT media_id,
+         list_transform(range(0, {n_px}), j -> CAST({gray} AS BIGINT)) AS grays
+  FROM m
+),
+h AS (
+  SELECT media_id,
+         list_sum(list_transform(range(0, {n_px}), j ->
+           CASE WHEN grays[j + 1] * {n_px} > total THEN 1::BIGINT << j
+                ELSE 0::BIGINT END)) AS ahash
+  FROM (SELECT media_id, grays, list_sum(grays) AS total FROM px)
+),
+bands AS (
+  SELECT media_id, ahash, b,
+         (ahash >> ({PHASH_BAND_BITS} * b)) & {(1 << PHASH_BAND_BITS) - 1} AS band_val
+  FROM h CROSS JOIN (SELECT unnest(range({PHASH_BANDS})) AS b)
+)
+SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b,
+       bit_count(xor(a.ahash, c.ahash)) AS hamming
+FROM bands a
+JOIN bands c ON a.b = c.b AND a.band_val = c.band_val AND a.media_id < c.media_id
+WHERE bit_count(xor(a.ahash, c.ahash)) <= {PHASH_MAX_HAMMING}
+ORDER BY media_a, media_b
+"""
+
+
 QUERIES = {
+    "multimodal_phash_neardup": q_multimodal_phash_neardup,
     "multimodal_ppm_decode": q_multimodal_ppm_decode,
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_video_decode": q_multimodal_video_decode,
@@ -749,6 +935,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "multimodal_phash_neardup": _sql_phash_neardup(),
     "multimodal_ppm_decode": _sql_ppm_decode(),
     "multimodal_wav_decode": _sql_wav_decode(),
     "multimodal_video_decode": _sql_video_decode(),
