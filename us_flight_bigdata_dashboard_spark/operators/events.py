@@ -735,6 +735,107 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Multi-touch LINEAR attribution (interval join + fractional credit)
+# ---------------------------------------------------------------------------
+
+LINEAR_LOOKBACK_HOURS = 6
+
+
+def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: each purchase's value is split
+    EQUALLY across every touchpoint (view/click) by the same user in the
+    {LINEAR_LOOKBACK_HOURS}-hour window before it; purchases with no
+    in-window touch credit 'direct' in full. The complement of the
+    last-touch operator: an interval join with fractional credit instead
+    of an IGNORE-NULLS carry-forward.
+
+    Plan: purchases ⋈ touches on user_id with the time-range predicate
+    riding on the join (one shuffle on user_id; per-pair cost bounded by
+    per-user activity inside the lookback — the standard interval-join
+    bound; at 100 TB add time-bucket keys to cap the per-task pair
+    count). The per-purchase touch count is a window COUNT over the pair
+    list partitioned by purchase id — it reuses rows already materialized
+    by the join, no second aggregation pass. 'Direct' purchases fall out
+    of a LEFT ANTI join against the credited purchase ids. Credit
+    value/n is the identical IEEE division on both engines; sums are
+    decimal-quantized.
+
+    Strictly-before is tie-broken by the unique event_id so a purchase
+    and touch sharing one timestamp order identically everywhere."""
+    events = load_table(spark, sf_dir, "events")
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touch = events.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    before = (F.col("t_ts") < F.col("p_ts")) | (
+        (F.col("t_ts") == F.col("p_ts")) & (F.col("t_id") < F.col("p_id"))
+    )
+    pairs = purch.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & before
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {LINEAR_LOOKBACK_HOURS} HOURS")
+        ),
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    credited = (
+        pairs.withColumn("credit", F.col("value") / n)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            dsum("credit", scale=8).alias("attributed_value"),
+        )
+    )
+    direct = (
+        purch.join(pairs.select("p_id").distinct(), "p_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            dsum("value", scale=8).alias("attributed_value"),
+        )
+        .select(F.lit("direct").alias("channel"), "n_credits", "attributed_value")
+    )
+    return credited.unionByName(direct).orderBy("channel")
+
+
+_ORACLE_EVENTS_ATTRIBUTION_LINEAR = f"""
+WITH purch AS (
+  SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts, value
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS t_user, event_id AS t_id, CAST(ts AS TIMESTAMP) AS t_ts,
+         event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+), pairs AS (
+  SELECT p_id, channel, value,
+         COUNT(*) OVER (PARTITION BY p_id) AS n
+  FROM purch JOIN touch
+    ON user_id = t_user
+   AND (t_ts < p_ts OR (t_ts = p_ts AND t_id < p_id))
+   AND t_ts >= p_ts - INTERVAL {LINEAR_LOOKBACK_HOURS} HOUR
+), credited AS (
+  SELECT channel, COUNT(*) AS n_credits,
+         {sql_dsum("value / n", scale=8)} AS attributed_value
+  FROM pairs GROUP BY channel
+), direct AS (
+  SELECT 'direct' AS channel, COUNT(*) AS n_credits,
+         {sql_dsum("value", scale=8)} AS attributed_value
+  FROM purch WHERE p_id NOT IN (SELECT p_id FROM pairs)
+)
+SELECT * FROM credited UNION ALL SELECT * FROM direct ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-key exponential moving average (sequential recurrence as a fold)
 # ---------------------------------------------------------------------------
 
@@ -965,6 +1066,7 @@ QUERIES = {
     "events_transitions": q_events_transitions,
     "events_max_concurrency": q_events_max_concurrency,
     "events_attribution": q_events_attribution,
+    "events_attribution_linear": q_events_attribution_linear,
     "events_ewma": q_events_ewma,
     "events_twap": q_events_twap,
 }
@@ -982,6 +1084,7 @@ ORACLE = {
     "events_transitions": _ORACLE_EVENTS_TRANSITIONS,
     "events_max_concurrency": _ORACLE_EVENTS_MAX_CONCURRENCY,
     "events_attribution": _ORACLE_EVENTS_ATTRIBUTION,
+    "events_attribution_linear": _ORACLE_EVENTS_ATTRIBUTION_LINEAR,
     "events_ewma": _ORACLE_EVENTS_EWMA,
     "events_twap": _ORACLE_EVENTS_TWAP,
 }

@@ -1538,7 +1538,139 @@ FROM w2
 """
 
 
+# ---------------------------------------------------------------------------
+# MMR diverse top-k selection (sequential argmax, fully unrolled — no collect)
+# ---------------------------------------------------------------------------
+
+MMR_QUERY_VEC = 0
+MMR_POOL = 32
+MMR_K = 5
+MMR_LAMBDA = 0.75  # exactly representable (3/4) → deterministic arithmetic
+
+
+def q_embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection: pick {MMR_K} vectors for
+    query vec {MMR_QUERY_VEC} that balance relevance against redundancy —
+    score(c) = λ·sim(q,c) − (1−λ)·max over already-selected s of
+    sim(c,s). The standard diverse-example picker for few-shot / eval-set
+    construction, where plain top-k returns {MMR_K} near-duplicates.
+
+    MMR is sequential BY DEFINITION (each pick depends on the previous
+    picks), so the recurrence is unrolled into {MMR_K} declarative
+    stages — zero driver collects, one lazy plan: a relevance-top-
+    {MMR_POOL} pool prefilter (the scale lever: the n-vector corpus is
+    touched once; every MMR stage runs on ≤{MMR_POOL} broadcast rows),
+    then per stage an anti-join to drop prior picks, a broadcast
+    pool×selected score with a per-candidate MAX, and a 1-row TakeOrdered
+    argmax (ties broken by vec_id). λ = {MMR_LAMBDA} and α-terms are
+    exactly representable doubles; sims fold in identical order on both
+    engines, so the gate hash-compares exactly.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb"), _norm(F.col("embedding")).alias("q_norm")
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != MMR_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            (
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * F.col("q_norm"))
+            ).alias("relevance"),
+        )
+        .orderBy(F.desc("relevance"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        # consumed by every one of the MMR_K stages — materialize once
+        .localCheckpoint(eager=True)
+    )
+
+    lam = F.lit(MMR_LAMBDA)
+    first = pool.select(
+        F.lit(1).alias("rank"),
+        "vec_id",
+        "embedding",
+        "relevance",
+        (lam * F.col("relevance")).alias("mmr_score"),
+    ).orderBy(F.desc("mmr_score"), F.asc("vec_id")).limit(1)
+
+    selected = first
+    for step in range(2, MMR_K + 1):
+        sel = selected.select(
+            F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb")
+        )
+        cand = pool.join(
+            sel.select("s_id"), pool["vec_id"] == F.col("s_id"), "left_anti"
+        )
+        scored = (
+            cand.crossJoin(F.broadcast(sel))
+            .withColumn(
+                "sel_sim",
+                _dot(F.col("embedding"), F.col("s_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("s_emb"))),
+            )
+            .groupBy("vec_id", "embedding", "relevance")
+            .agg(F.max("sel_sim").alias("max_sel_sim"))
+            .select(
+                F.lit(step).alias("rank"),
+                "vec_id",
+                "embedding",
+                "relevance",
+                (
+                    lam * F.col("relevance")
+                    - (F.lit(1.0) - lam) * F.col("max_sel_sim")
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+        )
+        selected = selected.unionByName(scored)
+    return selected.select("rank", "vec_id", "relevance", "mmr_score").orderBy("rank")
+
+
+def _sql_mmr_select() -> str:
+    cos_qc = _sql_cosine("c.embedding", "q.embedding")
+    cos_ps = _sql_cosine("p.embedding", "s.embedding")
+    lam = MMR_LAMBDA
+    parts = [
+        f"""pool AS (
+  SELECT c.vec_id, c.embedding, {cos_qc} AS relevance
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id = {MMR_QUERY_VEC} AND c.vec_id <> {MMR_QUERY_VEC}
+  ORDER BY relevance DESC, c.vec_id ASC LIMIT {MMR_POOL}
+)""",
+        f"""s1 AS (
+  SELECT 1 AS rank, vec_id, embedding, relevance, {lam} * relevance AS mmr_score
+  FROM pool ORDER BY mmr_score DESC, vec_id ASC LIMIT 1
+)""",
+        "sel1 AS (SELECT * FROM s1)",
+    ]
+    for step in range(2, MMR_K + 1):
+        prev = f"sel{step - 1}"
+        parts.append(
+            f"""s{step} AS (
+  SELECT {step} AS rank, p.vec_id, p.embedding, p.relevance,
+         {lam} * p.relevance - (1.0 - {lam}) *
+           (SELECT MAX({cos_ps}) FROM {prev} s) AS mmr_score
+  FROM pool p
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+  ORDER BY mmr_score DESC, p.vec_id ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"sel{step} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{step})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT rank, vec_id, relevance, mmr_score FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY rank"
+
+
 QUERIES = {
+    "embedding_mmr_select": q_embedding_mmr_select,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_recall_eval": q_ann_recall_eval,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1556,6 +1688,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embedding_mmr_select": _sql_mmr_select(),
     "knn_bruteforce": _sql_knn_bruteforce(),
     "ann_recall_eval": _sql_ann_recall_eval(),
     "kmeans_clusters": _sql_kmeans_clusters(),
