@@ -1596,7 +1596,12 @@ def q_embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lam * F.col("relevance")).alias("mmr_score"),
     ).orderBy(F.desc("mmr_score"), F.asc("vec_id")).limit(1)
 
-    selected = first
+    # Each stage's pick is consumed by EVERY later stage (anti-join + sim
+    # penalty + final union); without truncation stage k re-executes
+    # stages 1..k-1 and the plan grows multiplicatively (~40 exchanges
+    # for k=5, measured). The per-stage localCheckpoint pins each ≤k-row
+    # selection once, so the unrolled recurrence executes linearly.
+    selected = first.localCheckpoint(eager=True)
     for step in range(2, MMR_K + 1):
         sel = selected.select(
             F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb")
@@ -1626,7 +1631,7 @@ def q_embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
             .limit(1)
         )
-        selected = selected.unionByName(scored)
+        selected = selected.unionByName(scored).localCheckpoint(eager=True)
     return selected.select("rank", "vec_id", "relevance", "mmr_score").orderBy("rank")
 
 
