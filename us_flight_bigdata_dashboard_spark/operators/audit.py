@@ -256,14 +256,75 @@ WITH one AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy release check over quasi-identifiers)
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+KANON_CHAR_BIN = 256
+
+
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the documents table under the quasi-identifier
+    tuple (lang, source, n_chars÷{KANON_CHAR_BIN} size bin): per language,
+    how many equivalence classes fall below k={KANON_K} members and how
+    many rows sit in them — the rows a privacy-safe release would have to
+    suppress or generalize. The standard pre-release check for any
+    training-data export that carries user-derived metadata.
+
+    Plan: two chained additive aggregations (QI-class counts, then per-
+    language rollup of class stats) — map-side combine on both, no joins,
+    no windows; the class-count intermediate is bounded by the QI domain,
+    not the row count, so the second agg is near-free at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {KANON_CHAR_BIN}").alias("size_bin"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    unsafe = F.col("class_size") < KANON_K
+    return (
+        classes.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(unsafe, 1).otherwise(0)).alias("n_unsafe_classes"),
+            F.sum(F.when(unsafe, F.col("class_size")).otherwise(0)).alias(
+                "rows_at_risk"
+            ),
+            F.sum("class_size").alias("n_rows"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_KANON_AUDIT = f"""
+WITH classes AS (
+  SELECT lang, source, n_chars // {KANON_CHAR_BIN} AS size_bin,
+         COUNT(*) AS class_size
+  FROM documents
+  GROUP BY 1, 2, 3
+)
+SELECT lang,
+       COUNT(*) AS n_classes,
+       SUM(CASE WHEN class_size < {KANON_K} THEN 1 ELSE 0 END) AS n_unsafe_classes,
+       SUM(CASE WHEN class_size < {KANON_K} THEN class_size ELSE 0 END) AS rows_at_risk,
+       SUM(class_size) AS n_rows
+FROM classes
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "dq_audit": q_dq_audit,
     "snapshot_diff": q_snapshot_diff,
     "table_stats": q_table_stats,
+    "kanon_audit": q_kanon_audit,
 }
 
 ORACLE = {
     "dq_audit": _ORACLE_DQ_AUDIT,
     "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
     "table_stats": _sql_table_stats(),
+    "kanon_audit": _ORACLE_KANON_AUDIT,
 }

@@ -657,7 +657,61 @@ ORDER BY quantile
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact per-group MODE (most frequent value, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode of l_quantity per (l_returnflag, l_linestatus) — the
+    classic "most frequent value" aggregate Spark lacks as a builtin for
+    deterministic results (its ``mode`` breaks ties arbitrarily).
+
+    Two-phase: count per (group, value) — one additive hash aggregation,
+    map-side combined — then a window ROW_NUMBER over each group ordered
+    by (count DESC, value ASC): the explicit tie-break makes the answer
+    a pure function of the data. The window partitions on the GROUP key
+    after an aggregation that already shuffled on (group, value), so the
+    second exchange moves only the distinct-value counts (bounded by the
+    value domain, not the row count) — the same "aggregate first, rank
+    the summary" shape as the heavy-hitters operator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.desc("n"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").alias("mode_quantity"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLE_GROUP_MODE = """
+WITH counts AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT l_returnflag, l_linestatus, l_quantity AS mode_quantity, n AS mode_count
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                               ORDER BY n DESC, l_quantity ASC) AS rk
+  FROM counts
+)
+WHERE rk = 1
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
+    "group_mode": q_group_mode,
     "pivot_status": q_pivot_status,
     "global_rank_bucketed": q_global_rank_bucketed,
     "exact_quantiles_bucketed": q_exact_quantiles_bucketed,
@@ -675,6 +729,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "group_mode": _ORACLE_GROUP_MODE,
     "global_rank_bucketed": _ORACLE_GLOBAL_RANK_BUCKETED,
     "exact_quantiles_bucketed": _sql_exact_quantiles(),
     "pivot_status": _ORACLE_PIVOT_STATUS,

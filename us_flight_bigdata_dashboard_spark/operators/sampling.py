@@ -681,7 +681,59 @@ FROM filled WHERE cum_tokens <= target_tokens
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-shard export manifest (webdataset-style shard planning)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-export manifest: assign every curated document to one of
+    {N_SHARDS} hash shards (deterministic md5 — reproducible across runs,
+    engines, and partitionings) and emit the per-shard manifest a
+    training loader consumes: document count, byte/char volume, estimated
+    token budget, language spread, and the id range for resumable reads.
+
+    This is the planning half of a webdataset-style export: the manifest
+    is computed BEFORE writing shards, so imbalanced shards (hash skew,
+    giant documents) surface as numbers rather than as a straggler task
+    at write time. One additive aggregation over a narrow projection —
+    the scan is the cost; at 100 TB the same plan emits manifests for
+    thousands of shards equally well."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (_bucket_col() % N_SHARDS).alias("shard_id")
+    return (
+        docs.select(shard, "doc_id", "lang", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.expr("n_chars div 4")).alias("est_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+_ORACLE_SHARD_MANIFEST = f"""
+SELECT {_sql_bucket()} % {N_SHARDS} AS shard_id,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       SUM(n_chars // 4) AS est_tokens,
+       COUNT(DISTINCT lang) AS n_langs,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY shard_id
+"""
+
+
 QUERIES = {
+    "shard_manifest": q_shard_manifest,
     "stratified_sample": q_stratified_sample,
     "curation_pipeline": q_curation_pipeline,
     "sequence_pack": q_sequence_pack,
@@ -695,6 +747,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "shard_manifest": _ORACLE_SHARD_MANIFEST,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "curation_pipeline": _ORACLE_CURATION_PIPELINE,
     "sequence_pack": _ORACLE_SEQUENCE_PACK,
