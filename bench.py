@@ -117,6 +117,9 @@ HEADLINE = [
     "waiting_suppliers",
     "customer_order_distribution",
     "min_cost_supplier",
+    # round-4: the perceptual-hash image dedup chain (real byte decode in
+    # Python + banded LSH self-join — the heaviest new Arrow path)
+    "multimodal_phash_neardup",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

@@ -6,6 +6,11 @@ order-insensitive values (columns sorted by name, rows sorted, values
 stringified). Prints one line per query; exits nonzero on any mismatch.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Set VANILLA_SPARK=1 to run against a DEFAULT Spark 4 session (ANSI mode on,
+stock configs, local[8]) instead of the package's tuned session — proves the
+matrix does not depend on the tuned session's non-ANSI leniency or partition
+tuning. This is how COVERAGE.md's vanilla-ANSI claim is reproduced.
 """
 
 from __future__ import annotations
@@ -45,7 +50,16 @@ def canon(rows, cols):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    if os.environ.get("VANILLA_SPARK"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
 
     con = duckdb.connect()
     for t in TABLES:
