@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.functions.exact import dsum, sql_dsum
+from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -491,7 +492,90 @@ FROM props
 """
 
 
+# ---------------------------------------------------------------------------
+# Leak-safe smoothed target encoding (feature engineering for ML training)
+# ---------------------------------------------------------------------------
+
+TE_SMOOTHING = 10
+TE_TRAIN_PCT = 80  # md5(custkey) % 100 < 80 → train fold (split_assign style)
+
+
+def q_target_encode_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of customer market segment against order
+    total price — the standard high-cardinality categorical feature for
+    gradient-boosted / linear models:
+    enc(cat) = (Σ_train target(cat) + m·global_mean) / (n_train(cat) + m)
+    with m = {TE_SMOOTHING}. LEAK-SAFE: the statistics come ONLY from the
+    deterministic hash-assigned train fold (md5 bucket < {TE_TRAIN_PCT},
+    the same RNG-free convention as split_assign — reproducible across
+    engines and partition layouts), so valid/test targets never influence
+    the encoder.
+
+    Plan: one broadcast dim join (segment onto orders), one additive
+    per-category aggregation over the train fold, a 1-row global-mean
+    re-aggregation broadcast back by cross join (exchange-reusable) — no
+    window, no second data pass. The encoder table is category-sized;
+    applying it to a 100 TB row stream is a broadcast join."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    train = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .withColumn(
+            "_b",
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+            ).cast("bigint")
+            % 100,
+        )
+        .filter(F.col("_b") < TE_TRAIN_PCT)
+    )
+    per_cat = train.groupBy(F.col("c_mktsegment").alias("category")).agg(
+        F.count(F.lit(1)).alias("n_train"),
+        dsum("o_totalprice", scale=4).alias("_sum_t"),
+    )
+    glob = per_cat.agg(
+        (dsum("_sum_t", scale=4) / F.sum("n_train")).alias("global_mean")
+    )
+    m = F.lit(float(TE_SMOOTHING))
+    return (
+        per_cat.crossJoin(F.broadcast(glob))
+        .select(
+            "category",
+            "n_train",
+            (
+                (F.col("_sum_t") + m * F.col("global_mean"))
+                / (F.col("n_train") + m)
+            ).alias("encoded"),
+            "global_mean",
+        )
+        .orderBy("category")
+    )
+
+
+_ORACLE_TARGET_ENCODE = f"""
+WITH train AS (
+  SELECT c_mktsegment AS category, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE ({_sql_hex_to_int("md5(CAST(o_custkey AS VARCHAR))", 1, 15)} % 100) < {TE_TRAIN_PCT}
+), per_cat AS (
+  SELECT category, COUNT(*) AS n_train,
+         {sql_dsum("o_totalprice", scale=4)} AS sum_t
+  FROM train GROUP BY category
+), gstats AS (
+  SELECT {sql_dsum("sum_t", scale=4)} / SUM(n_train) AS global_mean FROM per_cat
+)
+SELECT category, n_train,
+       (sum_t + {float(TE_SMOOTHING)} * global_mean) / (n_train + {float(TE_SMOOTHING)}) AS encoded,
+       global_mean
+FROM per_cat CROSS JOIN gstats
+ORDER BY category
+"""
+
+
 QUERIES = {
+    "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
     "corr_pairs": q_corr_pairs,
     "chi_square_assoc": q_chi_square_assoc,
@@ -500,6 +584,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "target_encode_smoothed": _ORACLE_TARGET_ENCODE,
     "regression_ols": _ORACLE_REGRESSION_OLS,
     "corr_pairs": _sql_corr_pairs(),
     "chi_square_assoc": _ORACLE_CHI_SQUARE,
