@@ -110,3 +110,100 @@ def test_mmr_matches_sequential_python_replica(tmp_path, spark):
         .collect()
     ]
     assert got == picked
+
+
+def _write_tbl(tmp_path, name, cols):
+    pq.write_table(pa.table(cols), str(tmp_path / f"{name}.parquet"))
+
+
+def test_lpa_communities_two_cliques(tmp_path, spark):
+    """Two disjoint strong-edge bicliques -> two communities labeled by
+    their min node id; the weak (below-floor) bridge edge between them is
+    dropped by the scale-relative support floor."""
+    from us_flight_bigdata_dashboard_spark.operators.graph import q_graph_communities
+
+    # customers 1,2 <-> suppliers 1,2 (heavy: 5 co-orders each)
+    # customers 3,4 <-> suppliers 3,4 (heavy)
+    # customer 1 -> supplier 3: ONE co-order (below 2.5x mean -> dropped)
+    orders_rows = []
+    li_rows = []
+    oid = 0
+    def add(cust, supp, n):
+        nonlocal oid
+        for _ in range(n):
+            oid += 1
+            orders_rows.append((oid, cust))
+            li_rows.append((oid, supp))
+    for c in (1, 2):
+        for s in (1, 2):
+            add(c, s, 5)
+    for c in (3, 4):
+        for s in (3, 4):
+            add(c, s, 5)
+    add(1, 3, 1)
+    # weight-1 noise pairs: the realistic long tail the MEAN-multiple floor
+    # is calibrated against (with only strong edges the mean IS the strong
+    # weight and everything would be floored away)
+    for c in range(10, 30):
+        for s in range(10, 30):
+            add(c, s, 1)
+    _write_tbl(tmp_path, "orders", {
+        "o_orderkey": pa.array([r[0] for r in orders_rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in orders_rows], pa.int64()),
+    })
+    _write_tbl(tmp_path, "lineitem", {
+        "l_orderkey": pa.array([r[0] for r in li_rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in li_rows], pa.int64()),
+    })
+    rows = q_graph_communities(spark, str(tmp_path)).collect()
+    got = {r["community"]: (r["n_members"], r["n_customers"], r["n_suppliers"]) for r in rows}
+    # Semi-sync LPA: round 1 gives every clique member the clique's min
+    # SUPPLIER node label (customers adopt min supplier, suppliers then
+    # adopt that relayed label) — supplier nodes 2*1+1=3 and 2*3+1=7.
+    assert got == {3: (4, 2, 2), 7: (4, 2, 2)}
+
+
+def test_group_mode_tie_breaks_to_smallest_value(tmp_path, spark):
+    from us_flight_bigdata_dashboard_spark.operators.breadth import q_group_mode
+
+    _write_tbl(tmp_path, "lineitem", {
+        "l_returnflag": pa.array(["A"] * 4, pa.string()),
+        "l_linestatus": pa.array(["F"] * 4, pa.string()),
+        "l_quantity": pa.array([7.0, 7.0, 3.0, 3.0], pa.float64()),
+    })
+    [row] = q_group_mode(spark, str(tmp_path)).collect()
+    assert (row["mode_quantity"], row["mode_count"]) == (3.0, 2)
+
+
+def test_target_encode_ignores_validation_fold(tmp_path, spark):
+    """Rows hash-assigned outside the train fold must not move the encoder:
+    perturbing a valid-fold customer's order prices leaves every encoded
+    value bit-identical."""
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        TE_TRAIN_PCT,
+        q_target_encode_smoothed,
+    )
+    import hashlib
+
+    def bucket(custkey: int) -> int:
+        return int(hashlib.md5(str(custkey).encode()).hexdigest()[:15], 16) % 100
+
+    train_cust = next(c for c in range(1, 100) if bucket(c) < TE_TRAIN_PCT)
+    valid_cust = next(c for c in range(1, 100) if bucket(c) >= TE_TRAIN_PCT)
+    _write_tbl(tmp_path, "customer", {
+        "c_custkey": pa.array([train_cust, valid_cust], pa.int64()),
+        "c_mktsegment": pa.array(["SEG", "SEG"], pa.string()),
+    })
+
+    def orders_with(valid_price):
+        return {
+            "o_custkey": pa.array([train_cust, train_cust, valid_cust], pa.int64()),
+            "o_totalprice": pa.array([100.0, 200.0, valid_price], pa.float64()),
+        }
+
+    _write_tbl(tmp_path, "orders", orders_with(1.0))
+    a = q_target_encode_smoothed(spark, str(tmp_path)).collect()
+    _write_tbl(tmp_path, "orders", orders_with(999999.0))
+    b = q_target_encode_smoothed(spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a[0]["n_train"] == 2

@@ -685,40 +685,60 @@ def _edges_int_floored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.unionAll(rev)
 
 
-def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by SYNCHRONOUS label propagation over the
-    support-floored customer–supplier graph: every node starts as its own
-    label; each round every node adopts the MODE of its neighbors'
-    previous-round labels (tie → smallest label — the determinism knob
-    async LPA lacks); {LPA_ITERS} rounds are unrolled into the plan,
-    exactly like the PageRank power iterations, so the result is a pure
-    function of the edge set and the oracle can mirror it CTE-for-CTE.
+def _lpa_mode_step(edge_side: DataFrame, neighbor_labels: DataFrame) -> DataFrame:
+    """One half-step: every src node adopts the MODE of its neighbors'
+    labels (tie → smallest label). One join + one count-aggregate + one
+    top-1 window over the (node, label) count summary."""
+    neigh = edge_side.join(
+        neighbor_labels, edge_side["dst"] == neighbor_labels["node"]
+    ).select("src", "label")
+    counts = neigh.groupBy("src", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("label"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("src").alias("node"), "label")
+    )
 
-    Scale shape: a round is one edges⋈labels join (shuffles the label
-    vector — N rows — against the hash-partitioned edge list, the
-    identical economics as a PageRank sweep) plus one (node, label)
-    count-aggregate and one per-node top-1 window over the count summary
-    (bounded by distinct neighbor labels, not edges). Per-round
-    localCheckpoint keeps the unrolled lineage linear. Output is the
-    community-size profile (top {LPA_TOP}), with the bipartite split
-    (customers vs suppliers per community) as the curation-relevant
-    signal."""
+
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SEMI-SYNCHRONOUS label propagation over the
+    support-floored customer–supplier graph: every node starts as its own
+    label; each round updates the customer side (mode of its suppliers'
+    labels, tie → smallest) and THEN the supplier side against the fresh
+    customer labels. Fully-synchronous LPA OSCILLATES on bipartite graphs
+    (the two sides swap label sets every round — measured on a crafted
+    biclique); per-side half-steps are the standard fix and converge in a
+    round or two on clique-shaped communities. {LPA_ITERS} rounds are
+    unrolled into the plan like the PageRank power iterations, so the
+    result is a pure function of the edge set and the oracle mirrors it
+    CTE-for-CTE.
+
+    Scale shape: a half-step is one edges⋈labels join (shuffles the label
+    vector — N rows — against the hash-partitioned edge list, the same
+    economics as a PageRank sweep) plus one (node, label) count-aggregate
+    and one per-node top-1 window over the count summary (bounded by
+    distinct neighbor labels, not edges). Per-round localCheckpoint keeps
+    the unrolled lineage linear. Output is the community-size profile
+    (top {LPA_TOP}) with the bipartite split (customers vs suppliers per
+    community) as the curation-relevant signal."""
     edges = _edges_int_floored(spark, sf_dir).localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    edges_cs = edges.filter(F.col("src") % 2 == 0)  # customer ← suppliers
+    edges_sc = edges.filter(F.col("src") % 2 == 1)  # supplier ← customers
+    labels_c = (
+        edges_cs.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    labels_s = (
+        edges_sc.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
     )
     for _ in range(LPA_ITERS):
-        neigh = edges.join(labels, edges["dst"] == labels["node"]).select(
-            "src", "label"
-        )
-        counts = neigh.groupBy("src", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("label"))
-        labels = (
-            counts.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(F.col("src").alias("node"), "label")
-            .localCheckpoint(eager=True)
-        )
+        labels_c = _lpa_mode_step(edges_cs, labels_s).localCheckpoint(eager=True)
+        labels_s = _lpa_mode_step(edges_sc, labels_c).localCheckpoint(eager=True)
+    labels = labels_c.unionByName(labels_s)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(
@@ -751,21 +771,30 @@ edges AS (
   UNION ALL
   SELECT snode AS src, cnode AS dst FROM pairs
 ),
-l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
-    rounds = []
-    prev = "l0"
-    for i in range(1, LPA_ITERS + 1):
-        rounds.append(f"""
-l{i} AS (
+ecs AS (SELECT src, dst FROM edges WHERE src % 2 = 0),
+esc AS (SELECT src, dst FROM edges WHERE src % 2 = 1),
+c0 AS (SELECT DISTINCT src AS node, src AS label FROM ecs),
+s0 AS (SELECT DISTINCT src AS node, src AS label FROM esc)"""
+
+    def step(out: str, edge_side: str, prev: str) -> str:
+        return f"""
+{out} AS (
   SELECT src AS node, label FROM (
     SELECT e.src, l.label, COUNT(*) AS cnt,
            ROW_NUMBER() OVER (PARTITION BY e.src
                               ORDER BY COUNT(*) DESC, l.label ASC) AS rk
-    FROM edges e JOIN {prev} l ON e.dst = l.node
+    FROM {edge_side} e JOIN {prev} l ON e.dst = l.node
     GROUP BY e.src, l.label
   ) WHERE rk = 1
-)""")
-        prev = f"l{i}"
+)"""
+
+    rounds = []
+    pc, ps = "c0", "s0"
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(step(f"c{i}", "ecs", ps))
+        pc = f"c{i}"
+        rounds.append(step(f"s{i}", "esc", pc))
+        ps = f"s{i}"
     return (
         "WITH "
         + base
@@ -776,7 +805,7 @@ SELECT label AS community,
        COUNT(*) AS n_members,
        SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS n_customers,
        SUM(node % 2) AS n_suppliers
-FROM {prev}
+FROM (SELECT * FROM {pc} UNION ALL SELECT * FROM {ps})
 GROUP BY label
 ORDER BY n_members DESC, community ASC
 LIMIT {LPA_TOP}
