@@ -120,6 +120,9 @@ HEADLINE = [
     # round-4: the perceptual-hash image dedup chain (real byte decode in
     # Python + banded LSH self-join — the heaviest new Arrow path)
     "multimodal_phash_neardup",
+    # round-4: the unrolled semi-synchronous LPA loop (6 half-step
+    # join+agg+window sweeps — tracked beside its PageRank twin)
+    "graph_communities",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
