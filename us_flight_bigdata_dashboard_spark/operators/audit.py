@@ -257,6 +257,80 @@ WITH one AS (
 
 
 # ---------------------------------------------------------------------------
+# Join-size estimation (sampled key-frequency sketch vs exact)
+# ---------------------------------------------------------------------------
+
+JSE_MOD = 8  # keep keys with md5(key) % JSE_MOD == 0 → 1/8 key sample
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join output-size estimation — the number a cost-based planner
+    needs BEFORE running the join: |lineitem ⋈ lineitem on l_partkey| =
+    Σ_k c_k². The estimator sums c_k² over a deterministic 1/{JSE_MOD}
+    HASH sample of the key domain and scales by {JSE_MOD} (key-hash
+    sampling is the correct design: uniform ROW sampling biases c² terms
+    quadratically, while taking whole keys preserves each sampled key's
+    exact contribution). Emitted next to the exact Σc² ground truth and
+    the relative error, so the estimator is *audited*, not trusted.
+
+    One aggregation computes both (the sample term is a CASE inside the
+    same pass over the per-key counts); everything is integer-exact
+    until the final error ratio. At 100 TB the per-key count table is
+    the only shuffle, and the sample-side cost is literally zero extra.
+    """
+    from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int  # noqa: F401
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    sampled = (
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % JSE_MOD
+        == 0
+    )
+    agg = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(sampled, 1).otherwise(0)).alias("n_sampled_keys"),
+        F.sum(F.col("c") * F.col("c")).alias("actual_rows"),
+        (F.lit(JSE_MOD) * F.sum(F.when(sampled, F.col("c") * F.col("c")).otherwise(0))).alias(
+            "est_rows"
+        ),
+    )
+    return agg.select(
+        "n_keys",
+        "n_sampled_keys",
+        "est_rows",
+        "actual_rows",
+        (
+            F.lit(100.0)
+            * (F.col("est_rows") - F.col("actual_rows")).cast("double")
+            / F.col("actual_rows").cast("double")
+        ).alias("rel_error_pct"),
+    )
+
+
+def _sql_join_size_estimate() -> str:
+    from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
+
+    h = _sql_hex_to_int("md5(CAST(l_partkey AS VARCHAR))", 1, 15)
+    return f"""
+WITH counts AS (
+  SELECT l_partkey, COUNT(*) AS c, ({h} % {JSE_MOD} = 0) AS sampled
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_keys,
+       SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS n_sampled_keys,
+       {JSE_MOD} * SUM(CASE WHEN sampled THEN c * c ELSE 0 END) AS est_rows,
+       SUM(c * c) AS actual_rows,
+       100.0 * CAST({JSE_MOD} * SUM(CASE WHEN sampled THEN c * c ELSE 0 END)
+                    - SUM(c * c) AS DOUBLE)
+             / CAST(SUM(c * c) AS DOUBLE) AS rel_error_pct
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
 # k-anonymity audit (privacy release check over quasi-identifiers)
 # ---------------------------------------------------------------------------
 
@@ -320,6 +394,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "table_stats": q_table_stats,
     "kanon_audit": q_kanon_audit,
+    "join_size_estimate": q_join_size_estimate,
 }
 
 ORACLE = {
@@ -327,4 +402,5 @@ ORACLE = {
     "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
     "table_stats": _sql_table_stats(),
     "kanon_audit": _ORACLE_KANON_AUDIT,
+    "join_size_estimate": _sql_join_size_estimate(),
 }

@@ -883,7 +883,33 @@ def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-def _sql_phash_neardup() -> str:
+def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup chain END-TO-END: real PPM decode → perceptual hash
+    → banded-LSH near-dup pairs (``q_multimodal_phash_neardup``) →
+    connected components (large-star/small-star, O(log diameter) rounds)
+    → one keeper per visual cluster. The image twin of the text MinHash
+    chain (dedup_minhash_lsh → dedup_clusters) and the SemDeDup embedding
+    chain — all three modalities now share the same production dedup
+    pipeline shape, each stage individually certified.
+
+    Output: media_id, cluster_id (= min media_id in the component),
+    is_keeper; images in no near-dup pair are implicit singletons."""
+    from us_flight_bigdata_dashboard_spark.operators.dedup import large_small_star
+
+    pairs = q_multimodal_phash_neardup(spark, sf_dir).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    labels, _ = large_small_star(pairs)
+    return labels.select(
+        F.col("doc_id").alias("media_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+def _sql_phash_cte_block() -> str:
+    """Shared CTE chain: symbolic pixel generation → grays → 48-bit aHash
+    → LSH band rows (mirrors the Spark pipeline stage-for-stage)."""
     n_px = PPM_W * PPM_H
     g = f"(media_id // {PHASH_GROUP})"
 
@@ -895,8 +921,7 @@ def _sql_phash_neardup() -> str:
         )
 
     gray = " + ".join(byte_at(f"(3*j + {c})") for c in range(3))
-    return f"""
-WITH m AS (SELECT doc_id AS media_id FROM documents),
+    return f"""m AS (SELECT doc_id AS media_id FROM documents),
 px AS (
   SELECT media_id,
          list_transform(range(0, {n_px}), j -> CAST({gray} AS BIGINT)) AS grays
@@ -913,7 +938,12 @@ bands AS (
   SELECT media_id, ahash, b,
          (ahash >> ({PHASH_BAND_BITS} * b)) & {(1 << PHASH_BAND_BITS) - 1} AS band_val
   FROM h CROSS JOIN (SELECT unnest(range({PHASH_BANDS})) AS b)
-)
+)"""
+
+
+def _sql_phash_neardup() -> str:
+    return f"""
+WITH {_sql_phash_cte_block()}
 SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b,
        bit_count(xor(a.ahash, c.ahash)) AS hamming
 FROM bands a
@@ -923,8 +953,40 @@ ORDER BY media_a, media_b
 """
 
 
+def _sql_phash_clusters() -> str:
+    """Oracle: transitive closure of the phash near-dup pair graph via a
+    recursive CTE; cluster id = min reachable media_id (the same
+    recursive-closure oracle as dedup_clusters / dedup_semantic_clusters,
+    over the image pair generator)."""
+    return f"""
+WITH RECURSIVE {_sql_phash_cte_block()},
+pairs AS (
+  SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b
+  FROM bands a
+  JOIN bands c ON a.b = c.b AND a.band_val = c.band_val AND a.media_id < c.media_id
+  WHERE bit_count(xor(a.ahash, c.ahash)) <= {PHASH_MAX_HAMMING}
+),
+edges AS (
+  SELECT media_a AS src, media_b AS dst FROM pairs
+  UNION
+  SELECT media_b AS src, media_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS media_id,
+       LEAST(src, MIN(dst)) AS cluster_id,
+       src = LEAST(src, MIN(dst)) AS is_keeper
+FROM reach
+GROUP BY src
+"""
+
+
 QUERIES = {
     "multimodal_phash_neardup": q_multimodal_phash_neardup,
+    "multimodal_phash_clusters": q_multimodal_phash_clusters,
     "multimodal_ppm_decode": q_multimodal_ppm_decode,
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_video_decode": q_multimodal_video_decode,
@@ -936,6 +998,7 @@ QUERIES = {
 
 ORACLE = {
     "multimodal_phash_neardup": _sql_phash_neardup(),
+    "multimodal_phash_clusters": _sql_phash_clusters(),
     "multimodal_ppm_decode": _sql_ppm_decode(),
     "multimodal_wav_decode": _sql_wav_decode(),
     "multimodal_video_decode": _sql_video_decode(),

@@ -700,6 +700,109 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup threshold sweep (tuning-curve diagnostic over the candidate set)
+# ---------------------------------------------------------------------------
+
+SWEEP_THRESHOLDS = (0.30, 0.35, 0.40, 0.45, 0.50)
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair count as a function of the cosine cutoff — the curve
+    an operator actually looks at before picking a dedup threshold (too
+    low → false merges, too high → missed dups). Counts are over the LSH
+    CANDIDATE set (the thing computable at 100 TB; the full n² curve is
+    not), so the sweep prices exactly the candidates the production
+    chain would score anyway.
+
+    One pass: score each distinct candidate once (the certified
+    candidates-first near-dup plan minus its final filter), cross-join
+    the ≤|thresholds| literal rows, and count per threshold — the pair
+    list is scanned once per threshold batch in a single aggregation, no
+    per-threshold re-scoring. Cosines are sequential folds (identical
+    IEEE order both engines), so the >= comparisons agree exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                _bucket_expr(F.col("embedding"), planes).alias("bucket"),
+            )
+            for i, planes in enumerate(NEAR_DUP_BANDS)
+        ]
+    )
+    bucketed = emb.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", "bb.band", "bb.bucket"
+    )
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    keyed = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("vnorm"))
+    ea = keyed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("vnorm").alias("norm_a"),
+    )
+    eb = keyed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("vnorm").alias("norm_b"),
+    )
+    scored = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            (
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cosine_sim")
+        )
+    )
+    thresholds = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS], "threshold double"
+    )
+    return (
+        scored.crossJoin(F.broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("cosine_sim") >= F.col("threshold"), 1).otherwise(0)
+            ).alias("n_pairs")
+        )
+        .orderBy("threshold")
+    )
+
+
+def _sql_dedup_threshold_sweep() -> str:
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {i} AS band, {_sql_bucket('embedding', planes)} AS bucket FROM embeddings"
+        for i, planes in enumerate(NEAR_DUP_BANDS)
+    )
+    # ::DOUBLE — a bare VALUES literal is DECIMAL in DuckDB, which would
+    # stringify as '0.50' vs the double's '0.5' in the gate compare
+    values = ", ".join(f"({t}::DOUBLE)" for t in SWEEP_THRESHOLDS)
+    return f"""
+WITH bucketed AS (
+{band_selects}
+),
+scored AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine_sim
+  FROM bucketed a JOIN bucketed b USING (band, bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT threshold, SUM(CASE WHEN cosine_sim >= threshold THEN 1 ELSE 0 END) AS n_pairs
+FROM scored CROSS JOIN (VALUES {values}) v(threshold)
+GROUP BY threshold
+ORDER BY threshold
+"""
+
+
 def _sql_embedding_near_dup() -> str:
     cos = _sql_cosine("a.embedding", "b.embedding")
     band_selects = "\n  UNION ALL\n".join(
@@ -1676,6 +1779,7 @@ def _sql_mmr_select() -> str:
 
 QUERIES = {
     "embedding_mmr_select": q_embedding_mmr_select,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_recall_eval": q_ann_recall_eval,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1694,6 +1798,7 @@ QUERIES = {
 
 ORACLE = {
     "embedding_mmr_select": _sql_mmr_select(),
+    "dedup_threshold_sweep": _sql_dedup_threshold_sweep(),
     "knn_bruteforce": _sql_knn_bruteforce(),
     "ann_recall_eval": _sql_ann_recall_eval(),
     "kmeans_clusters": _sql_kmeans_clusters(),
