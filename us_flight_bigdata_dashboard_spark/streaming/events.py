@@ -299,6 +299,96 @@ def make_ewma_worker(alpha: float):
     return fold
 
 
+ZSCORE_MIN_N = 8       # prior observations required before flagging
+ZSCORE_FP = 100        # fixed-point scale: x_fp = floor(value · 100)
+
+ZSCORE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_anomalies", T.LongType()),
+    ]
+)
+
+ZSCORE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("ss", T.LongType()),
+        T.StructField("anom", T.LongType()),
+    ]
+)
+
+
+def make_zscore_worker(min_n: int, fp: int):
+    """Stateful ONLINE anomaly counter as a self-contained closure: per
+    key the running integer moments (n, Σx, Σx²) over fixed-point values
+    x = floor(value·{fp}), and per event a 3σ test against the moments of
+    STRICTLY PRIOR events — the causal formulation a live detector needs
+    (the batch z-score operator scores against the full-window moments).
+
+    The 3σ test is algebra on integers only: |x−μ| > 3σ with μ = s/n and
+    σ² = (ss − s²/n)/n is multiplied through by n² into
+    (n·x − s)² > 9·(n·ss − s²) — no division, no sqrt, no doubles, so
+    the decision is EXACTLY reproducible in any engine (prefix sums of
+    integers are order-independent, unlike double prefix sums)."""
+
+    def fold(key, pdf_iter, state):
+        import math
+
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            n, s, ss, anom = state.get
+        else:
+            n, s, ss, anom = 0, 0, 0, 0
+
+        rows = []
+        for pdf in pdf_iter:
+            for ts, eid, x in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                if pd.isna(ts) or pd.isna(x):
+                    continue
+                rows.append((ts, int(eid), math.floor(float(x) * fp)))
+        rows.sort()
+        for _, _, x in rows:
+            if n >= min_n:
+                lhs = (n * x - s) ** 2
+                rhs = 9 * (n * ss - s * s)
+                if lhs > rhs:
+                    anom += 1
+            n += 1
+            s += x
+            ss += x * x
+        state.update((n, s, ss, anom))
+        if rows:
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "n_anomalies": [anom]}
+            )
+
+    return fold
+
+
+def streaming_zscore(stream: DataFrame) -> DataFrame:
+    """Per-user online 3σ anomaly counting: one update row per (user,
+    micro-batch with events) carrying the running (count, anomalies).
+    State is 32 bytes per key at any stream length or skew."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_zscore_worker(ZSCORE_MIN_N, ZSCORE_FP),
+            outputStructType=ZSCORE_OUTPUT_SCHEMA,
+            stateStructType=ZSCORE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_ewma(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
     """Per-user EWMA maintained incrementally: one update row per (user,
     micro-batch with new events) carrying the running (count, ewma). This

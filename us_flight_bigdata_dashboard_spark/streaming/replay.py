@@ -521,6 +521,72 @@ FROM agg
 """
 
 
+def q_streaming_zscore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful ONLINE 3σ anomaly counter (applyInPandasWithState)
+    under the exact gate: each event is tested against the integer
+    moments of its STRICTLY PRIOR events (causal — what a live detector
+    does; the batch events_zscore_anomaly scores against full-window
+    moments), with the 3σ test multiplied through into pure-integer
+    algebra, so no double prefix sum exists anywhere to disagree
+    across engines or partitionings.
+
+    Determinism: ts-range-ordered staging makes batch order event-time
+    order; the worker sorts within the batch; integer prefix moments are
+    order-independent anyway, so this entry's contract is the STRONGEST
+    of the stateful replays. Final state per user = the update row with
+    the highest count (counts strictly increase). Oracle: window prefix
+    sums of the same fixed-point integers + the same integer inequality.
+    """
+    from pyspark.sql import Window as W
+
+    from us_flight_bigdata_dashboard_spark.streaming.events import streaming_zscore
+
+    src = _stage_events_ts_ordered(spark, sf_dir)
+    updates = _replay(
+        spark,
+        src,
+        lambda s: streaming_zscore(_event_time(s)),
+        mode="update",
+    )
+    rk = F.row_number().over(W.partitionBy("user_id").orderBy(F.desc("n_events")))
+    return (
+        updates.withColumn("_rk", rk)
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "n_events", "n_anomalies")
+    )
+
+
+def _sql_streaming_zscore() -> str:
+    from us_flight_bigdata_dashboard_spark.streaming.events import (
+        ZSCORE_FP,
+        ZSCORE_MIN_N,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(floor(CAST(value AS DOUBLE) * {ZSCORE_FP}) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), w AS (
+  SELECT user_id, x,
+         COUNT(*) OVER win AS np,
+         COALESCE(SUM(x) OVER win, 0) AS sp,
+         COALESCE(SUM(x * x) OVER win, 0) AS ssp
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN np >= {ZSCORE_MIN_N}
+                 AND (np * x - sp)::HUGEINT * (np * x - sp)
+                     > 9::HUGEINT * (np * ssp - sp * sp)
+                THEN 1 ELSE 0 END) AS n_anomalies
+FROM w
+GROUP BY user_id
+"""
+
+
 def q_streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The foreachBatch idempotent MERGE sink under the exact gate: replay
     the events ts-ordered through ``upsert_parquet_sink`` keyed by
@@ -578,6 +644,7 @@ QUERIES = {
     "streaming_topk_replay": q_streaming_topk_replay,
     "streaming_enrich_replay": q_streaming_enrich_replay,
     "streaming_ewma_replay": q_streaming_ewma_replay,
+    "streaming_zscore_replay": q_streaming_zscore_replay,
 }
 
 ORACLE = {
@@ -590,4 +657,5 @@ ORACLE = {
     "streaming_topk_replay": _ORACLE_STREAMING_TOPK,
     "streaming_enrich_replay": _ORACLE_STREAMING_ENRICH,
     "streaming_ewma_replay": _sql_streaming_ewma(),
+    "streaming_zscore_replay": _sql_streaming_zscore(),
 }
