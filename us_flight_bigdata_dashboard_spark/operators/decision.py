@@ -1039,7 +1039,168 @@ ORDER BY cntry
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+RFM_BUCKETS = 5
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM/BI workload: per customer,
+    recency (days since last order, against the dataset's max date),
+    frequency (order count), monetary (exact total spend), each cut into
+    {RFM_BUCKETS} NTILE buckets (1 = best), then the segment-cell profile
+    (customer count + exact cell spend).
+
+    Determinism: every NTILE ORDER BY carries c_custkey as the tiebreak —
+    without it equal metric values make bucket boundaries
+    partition-order-dependent. Scale shape: the fact collapses to ONE row
+    per customer before any window; the unpartitioned NTILEs then run
+    over the customer-sized aggregate — for a customer domain too big for
+    one task, swap in the bucketed global-rank machinery
+    (``breadth.q_global_rank_bucketed``) which computes exactly this
+    without a single-task sort. The max-date scalar broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice", scale=4).alias("monetary"),
+    )
+    gmax = orders.agg(F.max("o_orderdate").alias("gmax"))
+    scored = per_cust.crossJoin(F.broadcast(gmax)).withColumn(
+        "recency_days", F.datediff(F.col("gmax"), F.col("last_order"))
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    rfm = scored.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(RFM_BUCKETS).over(r_w).alias("r_score"),
+        F.ntile(RFM_BUCKETS).over(f_w).alias("f_score"),
+        F.ntile(RFM_BUCKETS).over(m_w).alias("m_score"),
+    )
+    return (
+        rfm.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("monetary", scale=4).alias("cell_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_ORACLE_CUSTOMER_RFM_SEGMENTS = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         {sql_dsum("o_totalprice", scale=4)} AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT *, date_diff('day', CAST(last_order AS DATE),
+                      (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS recency_days
+  FROM per_cust
+), rfm AS (
+  SELECT o_custkey, monetary,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+  FROM scored
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       {sql_dsum("monetary", scale=4)} AS cell_value
+FROM rfm
+GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification (cumulative-share cut on exact decimals)
+# ---------------------------------------------------------------------------
+
+ABC_A_PCT = 80
+ABC_B_PCT = 95
+
+
+def q_abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: class A = parts
+    whose running revenue share stays within {ABC_A_PCT}%, B to
+    {ABC_B_PCT}%, C the tail — inventory analytics' 80/15/5 cut.
+
+    The trap this implementation exists to avoid: a running DOUBLE sum
+    over an ORDER BY is evaluated sequentially by Spark but via segment
+    trees by DuckDB — different association orders, last-ulp drift, and a
+    class flips at the boundary. Both the running sum and the total here
+    are DECIMAL (integer arithmetic, association-free), and the share
+    thresholds compare by cross-multiplication (cum·100 ≤ total·{ABC_A_PCT})
+    — no division, no float anywhere near the cut. Ordering ties break on
+    p_partkey. Per-part revenue collapses the fact first; the
+    unpartitioned running window runs over the part-domain aggregate
+    (same bucketed-rank upgrade path as RFM at larger domains)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4)
+        .cast("decimal(38,4)")
+        .alias("rev")
+    )
+    total = per_part.agg(F.sum("rev").alias("total_rev"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    classed = (
+        per_part.withColumn("cum", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum") * 100 <= F.col("total_rev") * ABC_A_PCT, "A")
+            .when(F.col("cum") * 100 <= F.col("total_rev") * ABC_B_PCT, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+            (
+                F.sum("rev").cast("double") / F.first("total_rev").cast("double")
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_ORACLE_ABC_PARETO_CLASS = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST({sql_dsum("l_extendedprice * (1 - l_discount)", scale=4)} AS DECIMAL(38,4)) AS rev
+  FROM lineitem GROUP BY l_partkey
+), classed AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         (SELECT SUM(rev) FROM per_part) AS total_rev
+  FROM per_part
+)
+SELECT CASE WHEN cum * 100 <= total_rev * {ABC_A_PCT} THEN 'A'
+            WHEN cum * 100 <= total_rev * {ABC_B_PCT} THEN 'B'
+            ELSE 'C' END AS abc_class,
+       COUNT(*) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+       CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total_rev) AS DOUBLE) AS revenue_share
+FROM classed
+GROUP BY 1
+ORDER BY abc_class
+"""
+
+
 QUERIES = {
+    "customer_rfm_segments": q_customer_rfm_segments,
+    "abc_pareto_class": q_abc_pareto_class,
     "min_cost_supplier": q_min_cost_supplier,
     "order_priority_counts": q_order_priority_counts,
     "forecast_revenue_change": q_forecast_revenue_change,
@@ -1059,6 +1220,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "customer_rfm_segments": _ORACLE_CUSTOMER_RFM_SEGMENTS,
+    "abc_pareto_class": _ORACLE_ABC_PARETO_CLASS,
     "min_cost_supplier": _ORACLE_MIN_COST_SUPPLIER,
     "order_priority_counts": _ORACLE_ORDER_PRIORITY_COUNTS,
     "forecast_revenue_change": _ORACLE_FORECAST_REVENUE_CHANGE,

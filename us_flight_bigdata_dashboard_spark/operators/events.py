@@ -735,6 +735,139 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Session-scoped conversion funnel (sessionize × ordered-stage funnel)
+# ---------------------------------------------------------------------------
+
+def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel WITHIN sessions: of all gap-based sessions
+    ({SESSION_GAP_MIN}-min inactivity), how many contain a view, a click
+    at-or-after that view, and a purchase at-or-after that click — the
+    composition of the two certified shapes (sessionize + ordered funnel)
+    a product-analytics user actually asks for ("do people convert inside
+    one sitting?"), which neither answers alone: the global funnel ignores
+    session boundaries, sessionize ignores stage order.
+
+    Plan: ONE shuffle on user_id serves everything — the session-id
+    running sum, then three chained whole-partition window MINs on
+    (user, session) that resolve the stage ordering (min view time →
+    min click ≥ it → min purchase ≥ that; each stage reads the previous
+    stage's windowed column; timestamp comparisons are exact). The
+    final aggregate collapses per-session flags to four counters plus
+    exact-ratio conversion rates. Window/agg keys share the user_id
+    prefix, so Catalyst reuses the exchange end-to-end."""
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    with_gap = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.col("ts").alias("s"),
+        (
+            F.when(
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(by_user))
+                > SESSION_GAP_MIN * 60,
+                1,
+            )
+            .otherwise(0)
+            + F.when(F.lag("ts").over(by_user).isNull(), 1).otherwise(0)
+        ).alias("is_new"),
+    )
+    sess = with_gap.withColumn(
+        "sid",
+        F.sum("is_new").over(
+            by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_sess = Window.partitionBy("user_id", "sid")
+    staged = (
+        sess.withColumn(
+            "mv", F.min(F.when(F.col("event_type") == "view", F.col("s"))).over(w_sess)
+        )
+        .withColumn(
+            "mc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("s") >= F.col("mv")),
+                    F.col("s"),
+                )
+            ).over(w_sess),
+        )
+        .withColumn(
+            "mp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("s") >= F.col("mc")),
+                    F.col("s"),
+                )
+            ).over(w_sess),
+        )
+    )
+    per_session = staged.groupBy("user_id", "sid").agg(
+        F.max(F.col("mv").isNotNull().cast("int")).alias("has_view"),
+        F.max(F.col("mc").isNotNull().cast("int")).alias("has_click"),
+        F.max(F.col("mp").isNotNull().cast("int")).alias("has_purchase"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("has_view").alias("n_view"),
+        F.sum("has_click").alias("n_view_click"),
+        F.sum("has_purchase").alias("n_view_click_purchase"),
+        (F.sum("has_click").cast("double") / F.sum("has_view")).alias(
+            "click_rate"
+        ),
+        (
+            F.sum("has_purchase").cast("double") / F.sum("has_click")
+        ).alias("purchase_rate"),
+    )
+
+
+_ORACLE_EVENTS_SESSION_FUNNEL = f"""
+WITH with_gap AS (
+  SELECT user_id, event_id, ts, event_type, CAST(ts AS TIMESTAMP) AS s,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN floor(epoch(CAST(ts AS TIMESTAMP)))
+                   - floor(epoch(CAST(lag(ts) OVER w AS TIMESTAMP)))
+                   > {SESSION_GAP_MIN} * 60 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM with_gap
+), s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN s END)
+              OVER (PARTITION BY user_id, sid) AS mv
+  FROM sess
+), s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND s >= mv THEN s END)
+              OVER (PARTITION BY user_id, sid) AS mc
+  FROM s1
+), s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND s >= mc THEN s END)
+              OVER (PARTITION BY user_id, sid) AS mp
+  FROM s2
+), per_session AS (
+  SELECT user_id, sid,
+         MAX(CASE WHEN mv IS NOT NULL THEN 1 ELSE 0 END) AS has_view,
+         MAX(CASE WHEN mc IS NOT NULL THEN 1 ELSE 0 END) AS has_click,
+         MAX(CASE WHEN mp IS NOT NULL THEN 1 ELSE 0 END) AS has_purchase
+  FROM s3 GROUP BY user_id, sid
+)
+SELECT COUNT(*) AS n_sessions,
+       SUM(has_view) AS n_view,
+       SUM(has_click) AS n_view_click,
+       SUM(has_purchase) AS n_view_click_purchase,
+       CAST(SUM(has_click) AS DOUBLE) / SUM(has_view) AS click_rate,
+       CAST(SUM(has_purchase) AS DOUBLE) / SUM(has_click) AS purchase_rate
+FROM per_session
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multi-touch LINEAR attribution (interval join + fractional credit)
 # ---------------------------------------------------------------------------
 
@@ -1066,6 +1199,7 @@ QUERIES = {
     "events_transitions": q_events_transitions,
     "events_max_concurrency": q_events_max_concurrency,
     "events_attribution": q_events_attribution,
+    "events_session_funnel": q_events_session_funnel,
     "events_attribution_linear": q_events_attribution_linear,
     "events_ewma": q_events_ewma,
     "events_twap": q_events_twap,
@@ -1084,6 +1218,7 @@ ORACLE = {
     "events_transitions": _ORACLE_EVENTS_TRANSITIONS,
     "events_max_concurrency": _ORACLE_EVENTS_MAX_CONCURRENCY,
     "events_attribution": _ORACLE_EVENTS_ATTRIBUTION,
+    "events_session_funnel": _ORACLE_EVENTS_SESSION_FUNNEL,
     "events_attribution_linear": _ORACLE_EVENTS_ATTRIBUTION_LINEAR,
     "events_ewma": _ORACLE_EVENTS_EWMA,
     "events_twap": _ORACLE_EVENTS_TWAP,
