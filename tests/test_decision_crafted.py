@@ -138,3 +138,27 @@ def test_top_supplier_returns_all_tied_maxima(tmp_path, spark):
     rows = decision.q_top_supplier(spark, str(tmp_path)).collect()
     assert [r["s_suppkey"] for r in rows] == [1, 2]
     assert rows[0]["total_revenue"] == rows[1]["total_revenue"] == 130.0
+
+
+def test_abc_boundary_is_inclusive_and_decimal_exact(tmp_path, spark):
+    """A part landing EXACTLY on the 80% cumulative share belongs to class
+    A (<= cut, decimal cross-multiplication — no float drift can flip it).
+    Revenues 60, 20, 15, 5: cum shares 60/80/95/100 -> A, A, B, C."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "l_extendedprice": pa.array([60.0, 20.0, 15.0, 5.0], pa.float64()),
+                "l_discount": pa.array([0.0] * 4, pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    rows = {
+        r["abc_class"]: (r["n_parts"], r["class_revenue"])
+        for r in decision.q_abc_pareto_class(spark, str(tmp_path)).collect()
+    }
+    assert rows == {"A": (2, 80.0), "B": (1, 15.0), "C": (1, 5.0)}
