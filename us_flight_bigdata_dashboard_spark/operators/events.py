@@ -735,6 +735,128 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Seasonal-naive forecast baseline (backtest over the daily aggregate)
+# ---------------------------------------------------------------------------
+
+FORECAST_SEASON_DAYS = 7
+
+
+def q_events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting baseline with an in-engine backtest:
+    forecast(day) = actual(day − {FORECAST_SEASON_DAYS}) for daily event
+    counts per type, evaluated over every day that HAS a
+    season-earlier observation — the baseline every real forecasting
+    model must beat, plus the per-type MAE/bias the evaluation needs.
+    Forecasting-at-scale is 99% this shape: aggregate to the grain, lag
+    by the season, score — all relational.
+
+    Plan: one additive daily aggregate (the only fact-sized work), then a
+    per-type LAG window over the day-ordered daily rows (day gaps break a
+    naive LAG-k — the lag is therefore an equi-JOIN on day−{FORECAST_SEASON_DAYS},
+    which is gap-proof), then a per-type integer MAE rollup. Counts are
+    integers end-to-end; the MAE division is the only float op."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("actual"))
+    past = daily.select(
+        F.date_add(F.col("day"), FORECAST_SEASON_DAYS).alias("day"),
+        F.col("event_type"),
+        F.col("actual").alias("forecast"),
+    )
+    scored = daily.join(past, ["day", "event_type"]).select(
+        "event_type",
+        "day",
+        "actual",
+        "forecast",
+        F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("abs_err").alias("total_abs_err"),
+            (F.sum("abs_err").cast("double") / F.count(F.lit(1))).alias("mae"),
+            F.sum(F.col("actual") - F.col("forecast")).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_EVENTS_FORECAST_BASELINE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS actual
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT a.event_type, a.day, a.actual, p.actual AS forecast,
+         abs(a.actual - p.actual) AS abs_err
+  FROM daily a
+  JOIN daily p ON p.day + {FORECAST_SEASON_DAYS} = a.day
+              AND p.event_type = a.event_type
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       SUM(abs_err) AS total_abs_err,
+       CAST(SUM(abs_err) AS DOUBLE) / COUNT(*) AS mae,
+       SUM(actual - forecast) AS bias
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (engagement metric over a bounded range join)
+# ---------------------------------------------------------------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+def q_events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {WAU_WINDOW_DAYS}-day active users per calendar day — the
+    engagement metric (WAU) every product dashboard carries, and a shape
+    windows cannot express (COUNT DISTINCT over a sliding frame is not a
+    window aggregate in any engine).
+
+    Plan: collapse the fact to distinct (user, day) FIRST (the only
+    fact-sized work — activity rows, not events, flow onward), derive the
+    observed-day spine from the SAME aggregate, then a bounded range join
+    (day-{WAU_WINDOW_DAYS}, day] — each activity row lands in at most
+    {WAU_WINDOW_DAYS} spine days, so the join output is ≤ 7× activity
+    rows, never quadratic — and a distinct count per spine day. At 100 TB
+    the spine is tiny (one row per day) and broadcasts."""
+    events = load_table(spark, sf_dir, "events")
+    activity = events.select(
+        F.to_date("ts").alias("aday"), "user_id"
+    ).distinct()
+    spine = activity.select(F.col("aday").alias("day")).distinct()
+    return (
+        spine.join(
+            activity,
+            (F.col("aday") <= F.col("day"))
+            & (F.col("aday") > F.date_sub(F.col("day"), WAU_WINDOW_DAYS)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("day")
+    )
+
+
+_ORACLE_EVENTS_WAU_ROLLING = f"""
+WITH activity AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS aday, user_id FROM events
+), spine AS (
+  SELECT DISTINCT aday AS day FROM activity
+)
+SELECT day, COUNT(DISTINCT user_id) AS wau
+FROM spine JOIN activity
+  ON aday <= day AND aday > day - {WAU_WINDOW_DAYS}
+GROUP BY day
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
 # Session-scoped conversion funnel (sessionize × ordered-stage funnel)
 # ---------------------------------------------------------------------------
 
@@ -1200,6 +1322,8 @@ QUERIES = {
     "events_max_concurrency": q_events_max_concurrency,
     "events_attribution": q_events_attribution,
     "events_session_funnel": q_events_session_funnel,
+    "events_forecast_baseline": q_events_forecast_baseline,
+    "events_wau_rolling": q_events_wau_rolling,
     "events_attribution_linear": q_events_attribution_linear,
     "events_ewma": q_events_ewma,
     "events_twap": q_events_twap,
@@ -1219,6 +1343,8 @@ ORACLE = {
     "events_max_concurrency": _ORACLE_EVENTS_MAX_CONCURRENCY,
     "events_attribution": _ORACLE_EVENTS_ATTRIBUTION,
     "events_session_funnel": _ORACLE_EVENTS_SESSION_FUNNEL,
+    "events_forecast_baseline": _ORACLE_EVENTS_FORECAST_BASELINE,
+    "events_wau_rolling": _ORACLE_EVENTS_WAU_ROLLING,
     "events_attribution_linear": _ORACLE_EVENTS_ATTRIBUTION_LINEAR,
     "events_ewma": _ORACLE_EVENTS_EWMA,
     "events_twap": _ORACLE_EVENTS_TWAP,
