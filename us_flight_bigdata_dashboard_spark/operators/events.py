@@ -390,6 +390,161 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# N-day return rate (bounded forward-window engagement)
+# ---------------------------------------------------------------------------
+
+RETURN_WINDOW_DAYS = 7
+
+
+def q_events_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day {RETURN_WINDOW_DAYS}-day return rate: of the users active
+    on day d, what share is active again in (d, d+{RETURN_WINDOW_DAYS}]
+    — the short-horizon engagement complement of cohort retention (which
+    tracks first-seen cohorts, not every day's actives).
+
+    Plan: the fact collapses once to distinct (user, day) activity; a
+    per-user LEAD over day order gives each activity row its NEXT active
+    day (one user-keyed window — no self-join at all, unlike the naive
+    day-range formulation), and "returned" is a pure comparison. Daily
+    rollup is count + conditional count; the rate is an exact integer
+    division."""
+    events = load_table(spark, sf_dir, "events")
+    activity = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    nxt = F.lead("day").over(
+        Window.partitionBy("user_id").orderBy(F.asc("day"))
+    )
+    flagged = activity.select(
+        "day",
+        (
+            nxt.isNotNull()
+            & (F.datediff(nxt, F.col("day")) <= RETURN_WINDOW_DAYS)
+        ).cast("int").alias("returned"),
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum("returned").alias("n_returned"),
+            (F.sum("returned").cast("double") / F.count(F.lit(1))).alias(
+                "return_rate"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+_ORACLE_EVENTS_RETURN_RATE = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), flagged AS (
+  SELECT day,
+         CASE WHEN lead(day) OVER (PARTITION BY user_id ORDER BY day ASC) IS NOT NULL
+               AND date_diff('day', day,
+                             lead(day) OVER (PARTITION BY user_id ORDER BY day ASC))
+                   <= {RETURN_WINDOW_DAYS}
+              THEN 1 ELSE 0 END AS returned
+  FROM activity
+)
+SELECT day, COUNT(*) AS n_active, SUM(returned) AS n_returned,
+       CAST(SUM(returned) AS DOUBLE) / COUNT(*) AS return_rate
+FROM flagged
+GROUP BY day
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (cumulative revenue per cohort age)
+# ---------------------------------------------------------------------------
+
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative purchase revenue per user, by cohort
+    week (first-seen day's week) and age in days — the monetary twin of
+    the retention matrix (how much a cohort has spent by age N, per
+    member).
+
+    Plan: cohort map = one min-aggregate per user; purchase revenue joins
+    it on user_id and aggregates additively on (cohort_week, age) —
+    decimal-exact sums. The CUMULATIVE sum runs as a window over the
+    (cohort-sized) aggregate with DECIMAL addends (association-free — a
+    double running sum would differ between Spark's sequential and
+    DuckDB's segment-tree window evaluation), then divides by the cohort
+    population for per-member LTV."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    cohorts = first_seen.select(
+        "user_id",
+        F.date_trunc("week", F.col("first_day")).cast("date").alias("cohort_week"),
+    )
+    cohort_size = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    aged = (
+        purchases.join(cohorts, "user_id")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            F.datediff(F.col("day"), F.col("first_day")).alias("age_days"),
+            "value",
+        )
+        .groupBy("cohort_week", "age_days")
+        .agg(dsum("value", scale=8).cast("decimal(38,8)").alias("rev"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy(F.asc("age_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        aged.withColumn("cum_rev", F.sum("rev").over(w))
+        .join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_days",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            (
+                F.col("cum_rev").cast("double") / F.col("cohort_users")
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_days")
+    )
+
+
+_ORACLE_EVENTS_COHORT_LTV = f"""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), cohorts AS (
+  SELECT user_id, first_day,
+         CAST(date_trunc('week', first_day) AS DATE) AS cohort_week
+  FROM first_seen
+), cohort_size AS (
+  SELECT cohort_week, COUNT(*) AS cohort_users FROM cohorts GROUP BY cohort_week
+), aged AS (
+  SELECT cohort_week,
+         date_diff('day', first_day, CAST(ts AS DATE)) AS age_days,
+         CAST({sql_dsum("value", scale=8)} AS DECIMAL(38,8)) AS rev
+  FROM events JOIN cohorts USING (user_id)
+  WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT cohort_week, age_days,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY age_days ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS cum_revenue,
+       CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY age_days ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / cohort_users AS ltv_per_user
+FROM aged JOIN cohort_size USING (cohort_week)
+ORDER BY cohort_week, age_days
+"""
+
+
+# ---------------------------------------------------------------------------
 # Z-score anomaly detection
 # ---------------------------------------------------------------------------
 
@@ -1324,6 +1479,8 @@ QUERIES = {
     "events_session_funnel": q_events_session_funnel,
     "events_forecast_baseline": q_events_forecast_baseline,
     "events_wau_rolling": q_events_wau_rolling,
+    "events_return_rate": q_events_return_rate,
+    "events_cohort_ltv": q_events_cohort_ltv,
     "events_attribution_linear": q_events_attribution_linear,
     "events_ewma": q_events_ewma,
     "events_twap": q_events_twap,
@@ -1345,6 +1502,8 @@ ORACLE = {
     "events_session_funnel": _ORACLE_EVENTS_SESSION_FUNNEL,
     "events_forecast_baseline": _ORACLE_EVENTS_FORECAST_BASELINE,
     "events_wau_rolling": _ORACLE_EVENTS_WAU_ROLLING,
+    "events_return_rate": _ORACLE_EVENTS_RETURN_RATE,
+    "events_cohort_ltv": _ORACLE_EVENTS_COHORT_LTV,
     "events_attribution_linear": _ORACLE_EVENTS_ATTRIBUTION_LINEAR,
     "events_ewma": _ORACLE_EVENTS_EWMA,
     "events_twap": _ORACLE_EVENTS_TWAP,
