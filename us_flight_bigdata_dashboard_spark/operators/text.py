@@ -1523,7 +1523,164 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# N-gram novelty (incremental-corpus freshness signal)
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 3
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    {NOVELTY_N}-gram shingles whose FIRST corpus occurrence (by doc_id
+    order) is this document — the freshness signal an incremental crawl
+    pipeline uses to decide whether a new batch still adds content or is
+    re-crawling the same material (novelty ≈ 0 → stop).
+
+    Plan: shingles explode once; first-occurrence owner per shingle is
+    one min-aggregate on the shingle key; the per-doc novel count joins
+    the (doc, shingle) pairs back to that map on the SAME shingle key —
+    the join reuses the aggregation's partitioning — and the final
+    per-doc rollup is integer counts + one exact division. Shingle-key
+    shuffles only; no pairwise comparison anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_sh = F.size(toks) - (NOVELTY_N - 1)
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_sh, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, NOVELTY_N)),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    first_owner = shingles.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        shingles.join(first_owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+            (
+                F.sum(
+                    F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_TEXT_NGRAM_NOVELTY = f"""
+WITH t AS (
+  SELECT doc_id, {_sql_tokens("text")} AS toks FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i : i + {NOVELTY_N - 1}], ' ') AS shingle
+  FROM t, unnest(generate_series(1, greatest(len(toks) - {NOVELTY_N - 1}, 0))) AS s(i)
+), first_owner AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM shingles GROUP BY shingle
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS n_novel,
+       CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM shingles JOIN first_owner USING (shingle)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law profile, first-occurrence bucketing)
+# ---------------------------------------------------------------------------
+
+VOCAB_GROWTH_BUCKETS = 10
+
+
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law profile: cumulative distinct vocabulary versus cumulative
+    token volume as the corpus grows in doc_id order, at
+    {VOCAB_GROWTH_BUCKETS} corpus checkpoints — the curve that says
+    whether more data still buys vocabulary coverage.
+
+    The naive formulation re-counts distinct tokens per checkpoint
+    ({VOCAB_GROWTH_BUCKETS} full distinct-aggregations); this one uses
+    the first-occurrence trick — each token type contributes to exactly
+    the bucket where its MIN doc_id falls — so ONE distinct-aggregation
+    plus a {VOCAB_GROWTH_BUCKETS}-row running sum produces the whole
+    curve. Buckets are doc-id ranges (ntile over the doc domain would
+    also do; fixed ranges keep the oracle trivial). All integers; the
+    running sums run over {VOCAB_GROWTH_BUCKETS} rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_doc = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    # integer floor-div on BOTH engines (double division + truncation can
+    # disagree when the quotient lands on an integer boundary)
+    bucket = lambda c: F.expr(  # noqa: E731
+        f"least({VOCAB_GROWTH_BUCKETS - 1}, ({c} * {VOCAB_GROWTH_BUCKETS}) div n_docs)"
+    )
+    first_occ = (
+        toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+        .crossJoin(F.broadcast(max_doc))
+        .groupBy(bucket("first_doc").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    tok_vol = (
+        toks.crossJoin(F.broadcast(max_doc))
+        .groupBy(bucket("doc_id").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("bucket_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok_vol.join(first_occ, "bucket", "left")
+        .select(
+            "bucket",
+            "bucket_tokens",
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+        )
+        .withColumn("cum_tokens", F.sum("bucket_tokens").over(w))
+        .withColumn("cum_vocab", F.sum("new_types").over(w))
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_VOCAB_GROWTH_CURVE = f"""
+WITH nd AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id, unnest({_sql_tokens("text")}) AS tok FROM documents
+), first_occ AS (
+  SELECT CAST(least({VOCAB_GROWTH_BUCKETS - 1},
+                    (first_doc * {VOCAB_GROWTH_BUCKETS}) // n_docs) AS BIGINT) AS bucket,
+         COUNT(*) AS new_types
+  FROM (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok), nd
+  GROUP BY 1
+), tok_vol AS (
+  SELECT CAST(least({VOCAB_GROWTH_BUCKETS - 1},
+                    (doc_id * {VOCAB_GROWTH_BUCKETS}) // n_docs) AS BIGINT) AS bucket,
+         COUNT(*) AS bucket_tokens
+  FROM toks, nd
+  GROUP BY 1
+)
+SELECT bucket, bucket_tokens,
+       COALESCE(new_types, 0) AS new_types,
+       SUM(bucket_tokens) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       SUM(COALESCE(new_types, 0)) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_vocab
+FROM tok_vol LEFT JOIN first_occ USING (bucket)
+ORDER BY bucket
+"""
+
+
 QUERIES = {
+    "text_ngram_novelty": q_text_ngram_novelty,
+    "vocab_growth_curve": q_vocab_growth_curve,
     "text_token_count": q_text_token_count,
     "text_rarity_score": q_text_rarity_score,
     "text_quality": q_text_quality,
@@ -1546,6 +1703,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_ngram_novelty": _ORACLE_TEXT_NGRAM_NOVELTY,
+    "vocab_growth_curve": _ORACLE_VOCAB_GROWTH_CURVE,
     "text_token_count": _ORACLE_TEXT_TOKEN_COUNT,
     "text_rarity_score": _ORACLE_TEXT_RARITY,
     "text_quality": _ORACLE_TEXT_QUALITY,
