@@ -127,6 +127,243 @@ FROM clicks c ASOF LEFT JOIN views_d v
 """
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every click, the EARLIEST view at-or-after it —
+    the lookahead twin of the backward as-of (label-attribution shape:
+    "what did the user see next"). Same one-union-one-window composition,
+    with the window REVERSED: ``first(view_col, ignorenulls)`` over
+    [current row, unbounded following), clicks sorted BEFORE views on
+    equal timestamps so an equal-ts view is matched (>= semantics).
+    View dedup per (user, ts) keeps the MIN event_id — the forward
+    tie-break mirror of the backward operator's max."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min("event_id").alias("view_event_id"),
+            F.min_by("value", "event_id").alias("view_value"),
+        )
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    v = views.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("_side"),
+        "view_event_id",
+        F.col("ts").alias("view_ts"),
+        "view_value",
+        F.lit(None).cast("bigint").alias("click_event_id"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    c = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("bigint").alias("view_event_id"),
+        F.lit(None).cast(v.schema["view_ts"].dataType).alias("view_ts"),
+        F.lit(None).cast("double").alias("view_value"),
+        "click_event_id",
+        "click_value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            F.col("_side").asc(),
+            F.coalesce("view_event_id", "click_event_id").asc(),
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = v.unionByName(c).select(
+        "user_id",
+        "ts",
+        "_side",
+        "click_event_id",
+        "click_value",
+        F.first("view_event_id", ignorenulls=True).over(w).alias("next_view_event_id"),
+        F.first("view_ts", ignorenulls=True).over(w).alias("next_view_ts"),
+        F.first("view_value", ignorenulls=True).over(w).alias("next_view_value"),
+    )
+    return merged.filter(F.col("_side") == 0).select(
+        "click_event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "click_value",
+        "next_view_event_id",
+        "next_view_ts",
+        "next_view_value",
+    )
+
+
+_ORACLE_ASOF_JOIN_FORWARD = """
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+  FROM events WHERE ts IS NOT NULL
+),
+views_d AS (
+  SELECT user_id, ts,
+         MIN(event_id) AS next_view_event_id,
+         arg_min(value, event_id) AS next_view_value
+  FROM ev WHERE event_type = 'view'
+  GROUP BY 1, 2
+),
+clicks AS (
+  SELECT event_id AS click_event_id, user_id, ts AS click_ts, value AS click_value
+  FROM ev WHERE event_type = 'click'
+)
+SELECT c.click_event_id, c.user_id, c.click_ts, c.click_value,
+       v.next_view_event_id, v.ts AS next_view_ts, v.next_view_value
+FROM clicks c ASOF LEFT JOIN views_d v
+  ON c.user_id = v.user_id AND v.ts >= c.click_ts
+"""
+
+
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: for every click, the view CLOSEST in time in either
+    direction (sensor-fusion / nearest-state alignment). Both directional
+    candidates come from ONE union + ONE sorted partition pass (the
+    backward ``last`` and forward ``first`` windows share the sort);
+    tie policy is explicit — equal distance resolves BACKWARD (and an
+    equal-timestamp view is distance 0 via the backward branch). The gap
+    is integer microseconds, so the comparison and output are exact."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("bwd_event_id"),
+            F.min("event_id").alias("fwd_event_id"),
+        )
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    v = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("_side"),
+        "bwd_event_id",
+        "fwd_event_id",
+        F.col("ts").alias("view_ts"),
+        F.lit(None).cast("bigint").alias("click_event_id"),
+    )
+    c = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("bigint").alias("bwd_event_id"),
+        F.lit(None).cast("bigint").alias("fwd_event_id"),
+        F.lit(None).cast(v.schema["view_ts"].dataType).alias("view_ts"),
+        "click_event_id",
+    )
+    order = (
+        F.col("ts").asc(),
+        F.col("_side").asc(),
+        F.coalesce("bwd_event_id", "click_event_id").asc(),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = v.unionByName(c).select(
+        "user_id",
+        "ts",
+        "_side",
+        "click_event_id",
+        F.last("bwd_event_id", ignorenulls=True).over(wb).alias("b_id"),
+        F.last("view_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.first("fwd_event_id", ignorenulls=True).over(wf).alias("f_id"),
+        F.first("view_ts", ignorenulls=True).over(wf).alias("f_ts"),
+    )
+    b_gap = F.expr("timestampdiff(MICROSECOND, b_ts, ts)")
+    f_gap = F.expr("timestampdiff(MICROSECOND, ts, f_ts)")
+    pick_b = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (b_gap <= f_gap)
+    )
+    return (
+        merged.filter(F.col("_side") == 1)
+        .select(
+            "click_event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id")).alias(
+                "nearest_view_event_id"
+            ),
+            F.when(pick_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias(
+                "nearest_view_ts"
+            ),
+            F.when(pick_b, b_gap).otherwise(f_gap).alias("gap_us"),
+            F.when(F.col("b_id").isNull() & F.col("f_id").isNull(), None)
+            .when(pick_b, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+        )
+    )
+
+
+_ORACLE_ASOF_JOIN_NEAREST = """
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+  FROM events WHERE ts IS NOT NULL
+),
+views_d AS (
+  SELECT user_id, ts,
+         MAX(event_id) AS bwd_event_id,
+         MIN(event_id) AS fwd_event_id
+  FROM ev WHERE event_type = 'view'
+  GROUP BY 1, 2
+),
+clicks AS (
+  SELECT event_id AS click_event_id, user_id, ts AS click_ts
+  FROM ev WHERE event_type = 'click'
+),
+b AS (
+  SELECT c.click_event_id, v.bwd_event_id AS b_id, v.ts AS b_ts
+  FROM clicks c ASOF LEFT JOIN views_d v
+    ON c.user_id = v.user_id AND v.ts <= c.click_ts
+),
+f AS (
+  SELECT c.click_event_id, v.fwd_event_id AS f_id, v.ts AS f_ts
+  FROM clicks c ASOF LEFT JOIN views_d v
+    ON c.user_id = v.user_id AND v.ts >= c.click_ts
+)
+SELECT c.click_event_id, c.user_id, c.click_ts,
+       CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+                 AND date_diff('microseconds', b.b_ts, c.click_ts)
+                     <= date_diff('microseconds', c.click_ts, f.f_ts))
+            THEN b.b_id ELSE f.f_id END AS nearest_view_event_id,
+       CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+                 AND date_diff('microseconds', b.b_ts, c.click_ts)
+                     <= date_diff('microseconds', c.click_ts, f.f_ts))
+            THEN b.b_ts ELSE f.f_ts END AS nearest_view_ts,
+       CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+                 AND date_diff('microseconds', b.b_ts, c.click_ts)
+                     <= date_diff('microseconds', c.click_ts, f.f_ts))
+            THEN date_diff('microseconds', b.b_ts, c.click_ts)
+            ELSE date_diff('microseconds', c.click_ts, f.f_ts) END AS gap_us,
+       CASE WHEN b.b_id IS NULL AND f.f_id IS NULL THEN NULL
+            WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+                 AND date_diff('microseconds', b.b_ts, c.click_ts)
+                     <= date_diff('microseconds', c.click_ts, f.f_ts))
+            THEN 'backward' ELSE 'forward' END AS direction
+FROM clicks c
+JOIN b USING (click_event_id)
+JOIN f USING (click_event_id)
+"""
+
+
 PRICE_BANDS = [
     ("budget", 0.0, 60_000.0),
     ("mid", 60_000.0, 180_000.0),
@@ -170,10 +407,14 @@ GROUP BY 1, 2, 3
 
 QUERIES = {
     "asof_join": q_asof_join,
+    "asof_join_forward": q_asof_join_forward,
+    "asof_join_nearest": q_asof_join_nearest,
     "range_join_price_bands": q_range_join_price_bands,
 }
 
 ORACLE = {
     "asof_join": _ORACLE_ASOF_JOIN,
+    "asof_join_forward": _ORACLE_ASOF_JOIN_FORWARD,
+    "asof_join_nearest": _ORACLE_ASOF_JOIN_NEAREST,
     "range_join_price_bands": _ORACLE_RANGE_JOIN,
 }
