@@ -207,3 +207,36 @@ def test_target_encode_ignores_validation_fold(tmp_path, spark):
     b = q_target_encode_smoothed(spark, str(tmp_path)).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert a[0]["n_train"] == 2
+
+
+def test_asof_nearest_tie_and_directions(tmp_path, spark):
+    """Equal-distance tie resolves BACKWARD; clicks before any view go
+    forward; clicks after the last view go backward; equal-ts view is
+    distance 0 via the backward branch."""
+    from us_flight_bigdata_dashboard_spark.operators.temporal import (
+        q_asof_join_nearest,
+    )
+
+    rows = [
+        # (event_id, minutes, user, type)
+        (1, 10, 1, "view"),
+        (2, 20, 1, "click"),   # 10min back vs 10min fwd -> backward (id 1)
+        (3, 30, 1, "view"),
+        (4, 0, 2, "click"),    # before any view -> forward (id 5)
+        (5, 60, 2, "view"),
+        (6, 100, 2, "click"),  # after last view -> backward (id 5)
+        (7, 40, 3, "view"),
+        (8, 40, 3, "click"),   # equal ts -> backward, gap 0
+    ]
+    _write_events(tmp_path, [(e, m, u, t, 1.0) for e, m, u, t in rows])
+
+    got = {
+        r["click_event_id"]: (r["nearest_view_event_id"], r["direction"], r["gap_us"])
+        for r in q_asof_join_nearest(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        2: (1, "backward", 10 * 60 * 1_000_000),
+        4: (5, "forward", 60 * 60 * 1_000_000),
+        6: (5, "backward", 40 * 60 * 1_000_000),
+        8: (7, "backward", 0),
+    }
