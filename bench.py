@@ -123,6 +123,13 @@ HEADLINE = [
     # round-4: the unrolled semi-synchronous LPA loop (6 half-step
     # join+agg+window sweeps — tracked beside its PageRank twin)
     "graph_communities",
+    # round-4 continuation: the one-shuffle session funnel, the dual-window
+    # nearest as-of, the shingle-keyed novelty scan, and the image-dedup
+    # cluster chain (pairs -> CC -> keeper)
+    "events_session_funnel",
+    "asof_join_nearest",
+    "text_ngram_novelty",
+    "multimodal_phash_clusters",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
