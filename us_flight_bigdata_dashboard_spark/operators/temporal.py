@@ -405,8 +405,84 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Big-big interval overlap (bucket-banded band join — no broadcast side)
+# ---------------------------------------------------------------------------
+
+OVERLAP_WINDOW_DAYS = 30
+
+
+def q_interval_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: how many lineitems (ANY order's) shipped inside its
+    {OVERLAP_WINDOW_DAYS}-day window — a BIG-BIG interval join with no
+    join key, the case the module docstring previously scoped out. Two
+    scale levers make it linear:
+
+    1. AGGREGATE-FIRST: the fact side collapses to per-day ship counts
+       (calendar-bounded — thousands of rows at ANY fact scale), so the
+       non-equi join moves day rows, not lineitems.
+    2. BUCKET BANDING: both sides get a month-bucket key — each order
+       explodes to the (2-3) month buckets its window touches (3 is real:
+       a 30-day window starting Jan 31 ends Mar 1 because February is
+       short — an explicit bucket SEQUENCE, not an endpoints pair, or
+       those windows silently lose their middle month) and the join is an
+       EQUI join on bucket with the range predicate as a residual filter.
+       Join fan-out is ≤ windows×days-per-window, never |orders|×|days|;
+       no side needs to broadcast.
+
+    The DuckDB oracle is the UNbanded plain range join — an independent
+    formulation, so the banding rewrite is verified, not assumed. Orders
+    whose window contains no ship day report 0 (left semantics survive
+    the explode because every order contributes its bucket rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    days = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mb = lambda c: (F.year(c) * 12 + F.month(c)).cast("long")  # noqa: E731
+    days_b = days.withColumn("bucket", mb(F.col("d")))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    orders_b = orders.select(
+        "o_orderkey",
+        "od",
+        F.explode(
+            F.sequence(
+                mb(F.col("od")),
+                mb(F.date_add(F.col("od"), OVERLAP_WINDOW_DAYS - 1)),
+            )
+        ).alias("bucket"),
+    )
+    joined = orders_b.join(
+        days_b,
+        (orders_b["bucket"] == days_b["bucket"])
+        & (days_b["d"] >= orders_b["od"])
+        & (days_b["d"] < F.date_add(orders_b["od"], OVERLAP_WINDOW_DAYS)),
+        "left",
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_shipped_in_window"))
+        .orderBy("o_orderkey")
+    )
+
+
+_ORACLE_INTERVAL_OVERLAP_COUNTS = f"""
+WITH days AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS c FROM lineitem GROUP BY 1
+)
+SELECT o_orderkey, COALESCE(SUM(c), 0) AS n_shipped_in_window
+FROM orders LEFT JOIN days
+  ON d >= CAST(o_orderdate AS DATE)
+ AND d < CAST(o_orderdate AS DATE) + {OVERLAP_WINDOW_DAYS}
+GROUP BY o_orderkey
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "asof_join": q_asof_join,
+    "interval_overlap_counts": q_interval_overlap_counts,
     "asof_join_forward": q_asof_join_forward,
     "asof_join_nearest": q_asof_join_nearest,
     "range_join_price_bands": q_range_join_price_bands,
@@ -414,6 +490,7 @@ QUERIES = {
 
 ORACLE = {
     "asof_join": _ORACLE_ASOF_JOIN,
+    "interval_overlap_counts": _ORACLE_INTERVAL_OVERLAP_COUNTS,
     "asof_join_forward": _ORACLE_ASOF_JOIN_FORWARD,
     "asof_join_nearest": _ORACLE_ASOF_JOIN_NEAREST,
     "range_join_price_bands": _ORACLE_RANGE_JOIN,
