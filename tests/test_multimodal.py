@@ -166,3 +166,81 @@ def test_phash_neardup_groups_and_separation(tmp_path, spark):
     within = {(a, b) for g in (0, 4) for a in range(g, g + 4) for b in range(a + 1, g + 4)}
     assert pairs == within
     assert all(r["hamming"] <= PHASH_MAX_HAMMING for r in rows)
+
+
+def test_png_roundtrip_filters_and_crc_rejection():
+    """The PNG writer/reader pair: (a) roundtrips formula pixels through a
+    real zlib-compressed container with mixed scanline filters, (b) the
+    reader REJECTS a payload whose chunk CRC was tampered with, and (c)
+    the reader correctly unfilters Average and Paeth rows the writer never
+    emits (hand-built payload)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from us_flight_bigdata_dashboard_spark.operators.multimodal import (
+        PNG_H,
+        PNG_W,
+        make_png_decoder,
+        make_png_writer,
+    )
+
+    write, decode = make_png_writer(), make_png_decoder()
+    [pngs] = list(write(iter([pd.DataFrame({"media_id": [7]})])))
+    [stats] = list(decode(iter([pngs])))
+    idx = np.arange(PNG_W * PNG_H * 3, dtype=np.int64)
+    px = (7 * 31 + idx) % 256
+    assert int(stats["sum_r"][0]) == int(px[0::3].sum())
+    assert int(stats["sum_g"][0]) == int(px[1::3].sum())
+    assert int(stats["sum_b"][0]) == int(px[2::3].sum())
+
+    # (b) flip one byte inside the IDAT payload -> CRC check must fire
+    raw = bytearray(pngs["payload"][0])
+    raw[8 + 25 + 8 + 5] ^= 0xFF  # a byte inside IDAT data (after IHDR chunk)
+    with pytest.raises(ValueError, match="CRC"):
+        list(decode(iter([pd.DataFrame({"media_id": [7], "payload": [bytes(raw)]})])))
+
+    # (c) hand-build a 2-row image using Average (3) and Paeth (4) filters
+    w, h = 2, 2
+    rows = [bytes([10, 20, 30, 40, 50, 60]), bytes([70, 80, 90, 100, 110, 120])]
+    stride = w * 3
+    flt = bytearray()
+    # row 0 with filter 3 (Average): filt = raw - (left+up)//2 (up = 0)
+    f0 = bytes([(rows[0][i] - ((rows[0][i - 3] if i >= 3 else 0) + 0) // 2) % 256 for i in range(stride)])
+    # row 1 with filter 4 (Paeth): predictor of (left, up, upleft)
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+    f1 = bytes(
+        [
+            (
+                rows[1][i]
+                - paeth(
+                    rows[1][i - 3] if i >= 3 else 0,
+                    rows[0][i],
+                    rows[0][i - 3] if i >= 3 else 0,
+                )
+            )
+            % 256
+            for i in range(stride)
+        ]
+    )
+    scan = bytes([3]) + f0 + bytes([4]) + f1
+    def chunk(tag, payload):
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(
+            ">I", zlib.crc32(tag + payload) & 0xFFFFFFFF
+        )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    [st] = list(decode(iter([pd.DataFrame({"media_id": [1], "payload": [png]})])))
+    all_px = rows[0] + rows[1]
+    assert int(st["sum_r"][0]) == sum(all_px[0::3])
+    assert int(st["sum_g"][0]) == sum(all_px[1::3])
+    assert int(st["sum_b"][0]) == sum(all_px[2::3])
