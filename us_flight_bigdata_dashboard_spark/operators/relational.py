@@ -266,6 +266,50 @@ def q_scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SCAN_JSONL_ROUNDTRIP = _ORACLE_SCAN_ORC_ROUNDTRIP
 
 
+def q_scan_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-COMPRESSED JSONL source/sink roundtrip — the format most raw
+    text corpora actually arrive in (`.jsonl.gz` dumps). Spark writes
+    with ``compression=gzip`` and the read path auto-detects the codec
+    from the extension; the gate proves the full write→compress→
+    decompress→parse loop is bit-exact against the parquet oracle
+    (including float64, via shortest-roundtrip serialization).
+
+    Scale note: gzip is NOT splittable — one .gz file = one read task —
+    so the writer keeps the data partitioned into many files (the
+    standard .jsonl.gz corpus layout: parallelism = file count, which
+    the writer controls)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    cache = getattr(q_scan_jsonl_gzip_roundtrip, "_staged", None)
+    if cache is None:
+        cache = q_scan_jsonl_gzip_roundtrip._staged = {}
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in cache.values()]
+        )
+    if sf_dir not in cache:
+        out = tempfile.mkdtemp(prefix="jsonl_gz_roundtrip_")
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_returnflag"
+        ).write.mode("overwrite").option("compression", "gzip").json(out)
+        cache[sf_dir] = out
+    schema = (
+        "l_orderkey bigint, l_linenumber bigint, l_shipdate timestamp, "
+        "l_extendedprice double, l_returnflag string"
+    )
+    return spark.read.schema(schema).json(cache[sf_dir]).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_extendedprice").alias("price"),
+        "l_returnflag",
+    )
+
+
+_ORACLE_SCAN_JSONL_GZIP_ROUNDTRIP = _ORACLE_SCAN_ORC_ROUNDTRIP
+
+
 def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source/sink roundtrip under the exact gate — the reference's
     native interchange format (S1/S6: its entire pipeline is CSV-in,
@@ -1250,6 +1294,7 @@ QUERIES = {
     "scan_project_cast": q_scan_project_cast,
     "scan_orc_roundtrip": q_scan_orc_roundtrip,
     "scan_jsonl_roundtrip": q_scan_jsonl_roundtrip,
+    "scan_jsonl_gzip_roundtrip": q_scan_jsonl_gzip_roundtrip,
     "scan_csv_roundtrip": q_scan_csv_roundtrip,
     "filter_in_conj": q_filter_in_conj,
     "null_impute_indicator": q_null_impute_indicator,
@@ -1284,6 +1329,7 @@ ORACLE = {
     "scan_project_cast": _ORACLE_SCAN_PROJECT_CAST,
     "scan_orc_roundtrip": _ORACLE_SCAN_ORC_ROUNDTRIP,
     "scan_jsonl_roundtrip": _ORACLE_SCAN_JSONL_ROUNDTRIP,
+    "scan_jsonl_gzip_roundtrip": _ORACLE_SCAN_JSONL_GZIP_ROUNDTRIP,
     "scan_csv_roundtrip": _ORACLE_SCAN_CSV_ROUNDTRIP,
     "filter_in_conj": _ORACLE_FILTER_IN_CONJ,
     "null_impute_indicator": _ORACLE_NULL_IMPUTE_INDICATOR,
