@@ -130,6 +130,10 @@ HEADLINE = [
     "asof_join_nearest",
     "text_ngram_novelty",
     "multimodal_phash_clusters",
+    # round-4 close-out: the stdlib PNG codec round trip (write+read through
+    # zlib) and the bucket-banded big-big interval overlap join
+    "multimodal_png_decode",
+    "interval_overlap_counts",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
