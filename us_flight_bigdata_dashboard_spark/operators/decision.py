@@ -1040,6 +1040,72 @@ ORDER BY cntry
 
 
 # ---------------------------------------------------------------------------
+# Supplier scorecard (multi-measure composite KPI table)
+# ---------------------------------------------------------------------------
+
+SCORECARD_LATE_DAYS = 90
+
+
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier operational scorecard: per supplier, revenue, volume,
+    return rate, late-shipment rate (> {SCORECARD_LATE_DAYS} days after
+    order), average discount given, and distinct parts carried — the
+    multi-measure KPI table an ops dashboard refreshes nightly. Every
+    measure computes in ONE pass over the joined fact (conditional sums
+    — no per-measure scans), with the order join carrying only the
+    order date. Ratios divide exact decimal/integer partials; the
+    two-phase distinct-parts count avoids the countDistinct expand on
+    the revenue measures sharing the aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {SCORECARD_LATE_DAYS} DAYS"
+    )
+    returned = F.col("l_returnflag") == "R"
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    scored = joined.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(rev, scale=4).alias("revenue"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        (F.sum(F.when(returned, 1).otherwise(0)).cast("double") / F.count(F.lit(1))).alias(
+            "return_rate"
+        ),
+        (F.sum(F.when(late, 1).otherwise(0)).cast("double") / F.count(F.lit(1))).alias(
+            "late_rate"
+        ),
+        (dsum("l_discount", scale=8) / F.count(F.lit(1))).alias("avg_discount"),
+    )
+    return (
+        scored.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", "n_items", "revenue", "n_parts",
+            "return_rate", "late_rate", "avg_discount",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLE_SUPPLIER_SCORECARD = f"""
+SELECT s_suppkey, s_name,
+       COUNT(*) AS n_items,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", scale=4)} AS revenue,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS return_rate,
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL {SCORECARD_LATE_DAYS} DAY
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS late_rate,
+       {sql_dsum("l_discount", scale=8)} / COUNT(*) AS avg_discount
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # RFM customer segmentation (recency / frequency / monetary quintiles)
 # ---------------------------------------------------------------------------
 
@@ -1200,6 +1266,7 @@ ORDER BY abc_class
 
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
+    "supplier_scorecard": q_supplier_scorecard,
     "abc_pareto_class": q_abc_pareto_class,
     "min_cost_supplier": q_min_cost_supplier,
     "order_priority_counts": q_order_priority_counts,
@@ -1221,6 +1288,7 @@ QUERIES = {
 
 ORACLE = {
     "customer_rfm_segments": _ORACLE_CUSTOMER_RFM_SEGMENTS,
+    "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "abc_pareto_class": _ORACLE_ABC_PARETO_CLASS,
     "min_cost_supplier": _ORACLE_MIN_COST_SUPPLIER,
     "order_priority_counts": _ORACLE_ORDER_PRIORITY_COUNTS,

@@ -890,6 +890,67 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# DAU/MAU stickiness ratio (two bounded range joins over one activity table)
+# ---------------------------------------------------------------------------
+
+MAU_WINDOW_DAYS = 30
+
+
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU, trailing {MAU_WINDOW_DAYS}-day MAU, and the DAU/MAU
+    stickiness ratio — the engagement headline metric. Same activity-spine
+    design as the WAU operator: the fact collapses once to distinct
+    (user, day); DAU is a plain per-day distinct count, MAU a bounded
+    range join against the spine (each activity row lands in ≤
+    {MAU_WINDOW_DAYS} spine days); stickiness is the exact integer
+    division. Only days observed in the data appear (no synthetic
+    calendar), matching the oracle exactly."""
+    events = load_table(spark, sf_dir, "events")
+    activity = events.select("user_id", F.to_date("ts").alias("aday")).distinct()
+    dau = activity.groupBy(F.col("aday").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    spine = activity.select(F.col("aday").alias("day")).distinct()
+    mau = (
+        spine.join(
+            activity,
+            (F.col("aday") <= F.col("day"))
+            & (F.col("aday") > F.date_sub(F.col("day"), MAU_WINDOW_DAYS)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+_ORACLE_EVENTS_DAU_MAU = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS aday FROM events
+), dau AS (
+  SELECT aday AS day, COUNT(DISTINCT user_id) AS dau FROM activity GROUP BY 1
+), spine AS (SELECT DISTINCT aday AS day FROM activity),
+mau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS mau
+  FROM spine JOIN activity
+    ON aday <= day AND aday > day - {MAU_WINDOW_DAYS}
+  GROUP BY day
+)
+SELECT day, dau, mau, CAST(dau AS DOUBLE) / mau AS stickiness
+FROM dau JOIN mau USING (day)
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
 # Seasonal-naive forecast baseline (backtest over the daily aggregate)
 # ---------------------------------------------------------------------------
 
@@ -1479,6 +1540,7 @@ QUERIES = {
     "events_session_funnel": q_events_session_funnel,
     "events_forecast_baseline": q_events_forecast_baseline,
     "events_wau_rolling": q_events_wau_rolling,
+    "events_dau_mau": q_events_dau_mau,
     "events_return_rate": q_events_return_rate,
     "events_cohort_ltv": q_events_cohort_ltv,
     "events_attribution_linear": q_events_attribution_linear,
@@ -1502,6 +1564,7 @@ ORACLE = {
     "events_session_funnel": _ORACLE_EVENTS_SESSION_FUNNEL,
     "events_forecast_baseline": _ORACLE_EVENTS_FORECAST_BASELINE,
     "events_wau_rolling": _ORACLE_EVENTS_WAU_ROLLING,
+    "events_dau_mau": _ORACLE_EVENTS_DAU_MAU,
     "events_return_rate": _ORACLE_EVENTS_RETURN_RATE,
     "events_cohort_ltv": _ORACLE_EVENTS_COHORT_LTV,
     "events_attribution_linear": _ORACLE_EVENTS_ATTRIBUTION_LINEAR,
