@@ -102,10 +102,12 @@ _FLAGSHIP_PREFIX = [
     "events_ewma",
     "events_sessionize",
     "events_twap",
-    # multimodal (real byte-level decoders)
+    # multimodal (real byte-level decoders; png = the COMPRESSED codec —
+    # zlib container round trip — promoted over the uncompressed video
+    # decoder, which stays certified by the full-matrix artifact)
     "multimodal_ppm_decode",
     "multimodal_wav_decode",
-    "multimodal_video_decode",
+    "multimodal_png_decode",
     # advanced
     "approx_percentile",
     "heavy_hitters",
