@@ -890,6 +890,66 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Activity concentration (top-decile share — abuse/bot screening signal)
+# ---------------------------------------------------------------------------
+
+CONC_BUCKETS = 10
+
+
+def q_events_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration profile: users ranked into {CONC_BUCKETS}
+    NTILE deciles by event count, with each decile's share of total
+    events — the Lorenz-curve view that flags bot/abuse skew ("decile 1
+    produces 60% of traffic") and sets sampling caps for training-data
+    collection. Per-user counts collapse the fact first; the NTILE runs
+    over the user-sized aggregate (bucketed-rank upgrade path at larger
+    domains, as in RFM); shares divide exact integers against a broadcast
+    1-row total."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = per_user.agg(F.sum("n_events").alias("total_events"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    deciles = per_user.select(
+        "user_id", "n_events", F.ntile(CONC_BUCKETS).over(w).alias("decile")
+    )
+    return (
+        deciles.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("decile_events"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            "decile_events",
+            (
+                F.col("decile_events").cast("double")
+                / F.col("total_events").cast("double")
+            ).alias("event_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+_ORACLE_EVENTS_ACTIVITY_CONCENTRATION = f"""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+), deciles AS (
+  SELECT user_id, n_events,
+         NTILE({CONC_BUCKETS}) OVER (ORDER BY n_events DESC, user_id ASC) AS decile
+  FROM per_user
+)
+SELECT decile, COUNT(*) AS n_users, SUM(n_events) AS decile_events,
+       CAST(SUM(n_events) AS DOUBLE)
+         / CAST((SELECT SUM(n_events) FROM per_user) AS DOUBLE) AS event_share
+FROM deciles
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
 # DAU/MAU stickiness ratio (two bounded range joins over one activity table)
 # ---------------------------------------------------------------------------
 
@@ -1541,6 +1601,7 @@ QUERIES = {
     "events_forecast_baseline": q_events_forecast_baseline,
     "events_wau_rolling": q_events_wau_rolling,
     "events_dau_mau": q_events_dau_mau,
+    "events_activity_concentration": q_events_activity_concentration,
     "events_return_rate": q_events_return_rate,
     "events_cohort_ltv": q_events_cohort_ltv,
     "events_attribution_linear": q_events_attribution_linear,
@@ -1565,6 +1626,7 @@ ORACLE = {
     "events_forecast_baseline": _ORACLE_EVENTS_FORECAST_BASELINE,
     "events_wau_rolling": _ORACLE_EVENTS_WAU_ROLLING,
     "events_dau_mau": _ORACLE_EVENTS_DAU_MAU,
+    "events_activity_concentration": _ORACLE_EVENTS_ACTIVITY_CONCENTRATION,
     "events_return_rate": _ORACLE_EVENTS_RETURN_RATE,
     "events_cohort_ltv": _ORACLE_EVENTS_COHORT_LTV,
     "events_attribution_linear": _ORACLE_EVENTS_ATTRIBUTION_LINEAR,
