@@ -642,6 +642,87 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Neighbor-set Jaccard similarity (entity similarity via shared neighbors)
+# ---------------------------------------------------------------------------
+
+JACCARD_TOP = 20
+
+
+def q_graph_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier similarity by customer-base overlap: Jaccard of the two
+    suppliers' distinct customer sets — the neighbor-set similarity
+    primitive behind "suppliers like this one" recommendations and
+    substitution analysis.
+
+    Scale shape: candidate pairs come ONLY from co-customers (self-join
+    of the distinct (customer, supplier) relationship on customer — a
+    pair with zero shared customers has Jaccard 0 and is never
+    materialized); per-pair work is one intersection count, and union
+    sizes come from a broadcast per-supplier degree table
+    (|A∪B| = |A|+|B|−|A∩B| — no second pass). Per-customer pair fan-out
+    is C(k,2) in that customer's supplier count k — at 100 TB cap k (the
+    same per-order cap the basket-rules operator uses) to bound the
+    self-join. Exact integer ratio; top {JACCARD_TOP} under a total
+    order."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = cs.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
+    a = cs.select("cust", F.col("supp").alias("supp_a"))
+    b = cs.select("cust", F.col("supp").alias("supp_b"))
+    inter = (
+        a.join(b, "cust")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    da = deg.select(F.col("supp").alias("supp_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("supp").alias("supp_b"), F.col("deg").alias("deg_b"))
+    return (
+        inter.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "inter",
+            (F.col("deg_a") + F.col("deg_b") - F.col("inter")).alias("union_size"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("supp_a"), F.asc("supp_b"))
+        .limit(JACCARD_TOP)
+    )
+
+
+_ORACLE_SUPPLIER_SIMILARITY = f"""
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), deg AS (
+  SELECT supp, COUNT(*) AS deg FROM cs GROUP BY supp
+), inter AS (
+  SELECT a.supp AS supp_a, b.supp AS supp_b, COUNT(*) AS inter
+  FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY 1, 2
+)
+SELECT supp_a, supp_b, inter,
+       da.deg + db.deg - inter AS union_size,
+       CAST(inter AS DOUBLE) / (da.deg + db.deg - inter) AS jaccard
+FROM inter
+JOIN deg da ON da.supp = supp_a
+JOIN deg db ON db.supp = supp_b
+ORDER BY jaccard DESC, supp_a ASC, supp_b ASC
+LIMIT {JACCARD_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Label-propagation community detection (synchronous, unrolled)
 # ---------------------------------------------------------------------------
 
@@ -815,6 +896,7 @@ LIMIT {LPA_TOP}
 
 QUERIES = {
     "graph_communities": q_graph_communities,
+    "graph_supplier_similarity": q_graph_supplier_similarity,
     "graph_pagerank": q_graph_pagerank,
     "graph_degree_dist": q_graph_degree_dist,
     "graph_triangles": q_graph_triangles,
@@ -825,6 +907,7 @@ QUERIES = {
 
 ORACLE = {
     "graph_communities": _sql_graph_communities(),
+    "graph_supplier_similarity": _ORACLE_SUPPLIER_SIMILARITY,
     "graph_pagerank": _sql_pagerank(),
     "graph_degree_dist": _ORACLE_DEGREE_DIST,
     "graph_triangles": _ORACLE_TRIANGLES,
