@@ -299,6 +299,102 @@ def make_ewma_worker(alpha: float):
     return fold
 
 
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("view_us", T.LongType()),
+        T.StructField("click_us", T.LongType()),
+        T.StructField("purchase_us", T.LongType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("view_us", T.LongType()),
+        T.StructField("click_us", T.LongType()),
+        T.StructField("purchase_us", T.LongType()),
+    ]
+)
+
+
+def make_funnel_worker():
+    """Stateful ordered-funnel state machine: per user, the FIRST view,
+    the first click at-or-after that view, and the first purchase
+    at-or-after that click — 24 bytes of state (three epoch-micro
+    timestamps, -1 = unreached). Each stage latches exactly once, and
+    because events arrive in event-time order (ts-ordered replay; a live
+    deployment gets the same from a watermark), the incremental latch is
+    equivalent to the batch chained-MIN formulation — the state machine
+    never needs to revisit earlier stages. Timestamps are integers, so
+    the whole operator is arithmetic-free and exactly reproducible."""
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            v, c, p = state.get
+        else:
+            v, c, p = -1, -1, -1
+
+        rows = []
+        for pdf in pdf_iter:
+            for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+                if pd.isna(ts):
+                    continue
+                rows.append((ts.value // 1000, int(eid), str(etype)))
+        # Three latch passes over the batch (not a single in-order sweep):
+        # the batch semantics are chained MINs with ``>=`` on TIMESTAMPS,
+        # so a click sharing the first view's exact timestamp qualifies
+        # even if it sorts before the view by event id. Per-batch passes
+        # reproduce that exactly; equal timestamps never straddle batches
+        # (ts-range-partitioned staging), so cross-batch latching composes.
+        if rows:
+            if v < 0:
+                vs = [us for us, _, t in rows if t == "view"]
+                if vs:
+                    v = min(vs)
+            if v >= 0 and c < 0:
+                cs = [us for us, _, t in rows if t == "click" and us >= v]
+                if cs:
+                    c = min(cs)
+            if c >= 0 and p < 0:
+                ps = [us for us, _, t in rows if t == "purchase" and us >= c]
+                if ps:
+                    p = min(ps)
+        state.update((v, c, p))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "view_us": [v],
+                    "click_us": [c],
+                    "purchase_us": [p],
+                }
+            )
+
+    return fold
+
+
+def streaming_funnel(stream: DataFrame) -> DataFrame:
+    """Per-user ordered conversion funnel maintained incrementally: one
+    update row per (user, micro-batch with events) carrying the latched
+    stage timestamps. O(keys) × 24 bytes of state at any stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_funnel_worker(),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 ZSCORE_MIN_N = 8       # prior observations required before flagging
 ZSCORE_FP = 100        # fixed-point scale: x_fp = floor(value · 100)
 

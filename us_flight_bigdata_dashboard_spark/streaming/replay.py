@@ -587,6 +587,67 @@ GROUP BY user_id
 """
 
 
+def q_streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful ordered-funnel state machine (applyInPandasWithState)
+    under the exact gate: first view → first click at-or-after it →
+    first purchase at-or-after that, latched incrementally in 24 bytes
+    of per-user state. Order-DEPENDENT (a latch must not fire on an
+    out-of-order early click), so it rides the ts-range-ordered staging
+    contract like the EWMA/z-score replays; under that order the
+    incremental latch is provably equal to the batch chained-MIN
+    formulation, which is exactly what the oracle computes. Timestamps
+    are integer micros — no arithmetic at all, the strongest possible
+    determinism. Final state per user = field-wise MAX over that user's
+    update rows (each field only ever moves from -1 to its latched
+    value)."""
+    from us_flight_bigdata_dashboard_spark.streaming.events import streaming_funnel
+
+    src = _stage_events_ts_ordered(spark, sf_dir)
+    updates = _replay(
+        spark,
+        src,
+        lambda s: streaming_funnel(_event_time(s)),
+        mode="update",
+    )
+    return (
+        updates.groupBy("user_id")
+        .agg(
+            F.max("view_us").alias("view_us"),
+            F.max("click_us").alias("click_us"),
+            F.max("purchase_us").alias("purchase_us"),
+        )
+        .withColumn("converted", F.col("purchase_us") >= 0)
+    )
+
+
+_ORACLE_STREAMING_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         event_id
+  FROM events WHERE ts IS NOT NULL
+), s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+              OVER (PARTITION BY user_id) AS mv
+  FROM e
+), s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= mv THEN us END)
+              OVER (PARTITION BY user_id) AS mc
+  FROM s1
+), s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= mc THEN us END)
+              OVER (PARTITION BY user_id) AS mp
+  FROM s2
+)
+SELECT user_id,
+       COALESCE(MAX(mv), -1) AS view_us,
+       COALESCE(MAX(mc), -1) AS click_us,
+       COALESCE(MAX(mp), -1) AS purchase_us,
+       COALESCE(MAX(mp), -1) >= 0 AS converted
+FROM s3
+GROUP BY user_id
+"""
+
+
 def q_streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The foreachBatch idempotent MERGE sink under the exact gate: replay
     the events ts-ordered through ``upsert_parquet_sink`` keyed by
@@ -645,6 +706,7 @@ QUERIES = {
     "streaming_enrich_replay": q_streaming_enrich_replay,
     "streaming_ewma_replay": q_streaming_ewma_replay,
     "streaming_zscore_replay": q_streaming_zscore_replay,
+    "streaming_funnel_replay": q_streaming_funnel_replay,
 }
 
 ORACLE = {
@@ -658,4 +720,5 @@ ORACLE = {
     "streaming_enrich_replay": _ORACLE_STREAMING_ENRICH,
     "streaming_ewma_replay": _sql_streaming_ewma(),
     "streaming_zscore_replay": _sql_streaming_zscore(),
+    "streaming_funnel_replay": _ORACLE_STREAMING_FUNNEL,
 }
