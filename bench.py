@@ -134,6 +134,8 @@ HEADLINE = [
     # zlib) and the bucket-banded big-big interval overlap join
     "multimodal_png_decode",
     "interval_overlap_counts",
+    # the third stateful-replay path (funnel state machine)
+    "streaming_funnel_replay",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
