@@ -141,3 +141,32 @@ def test_waiting_suppliers_matches_replica(spark, lines, statuses):
         for r in decision.q_waiting_suppliers(spark, str(tmp_path)).collect()
     ]
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.sampled_from([1.0, 2.0, 3.0, 5.0, 8.0]), min_size=1, max_size=30
+    ),
+)
+def test_group_mode_matches_replica(spark, vals):
+    """group_mode == the Python (count desc, value asc) argmax on random
+    multisets — including all-tied and single-value inputs."""
+    from us_flight_bigdata_dashboard_spark.operators.breadth import q_group_mode
+
+    tmp_path = pathlib.Path(tempfile.mkdtemp(prefix="prop_mode_"))
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_returnflag": pa.array(["A"] * len(vals), pa.string()),
+            "l_linestatus": pa.array(["F"] * len(vals), pa.string()),
+            "l_quantity": pa.array(vals, pa.float64()),
+        },
+    )
+    counts: dict[float, int] = {}
+    for v in vals:
+        counts[v] = counts.get(v, 0) + 1
+    want = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    [row] = q_group_mode(spark, str(tmp_path)).collect()
+    assert (row["mode_quantity"], row["mode_count"]) == want
