@@ -1040,6 +1040,73 @@ ORDER BY cntry
 
 
 # ---------------------------------------------------------------------------
+# Month-over-month revenue mix shift (share-of-total trend by category)
+# ---------------------------------------------------------------------------
+
+def q_revenue_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue MIX shift by part type: each month's
+    revenue share per type, and the delta versus the previous month — the
+    "what changed in the mix" report behind every category-management
+    review. Share-of-total via a window SUM over the (month × type)
+    aggregate partitioned by month; the MoM delta via LAG over months
+    within each type — two windows over the tiny aggregate, one fact
+    pass. Shares divide exact decimal sums; the share delta subtracts two
+    deterministic doubles (identical operand bits both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    monthly = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),
+            "p_type",
+        )
+        .agg(dsum(rev, scale=4).alias("revenue"))
+    )
+    w_month = Window.partitionBy("month")
+    w_type = Window.partitionBy("p_type").orderBy(F.asc("month"))
+    # month total as a DECIMAL window sum (association-free; a double
+    # window sum evaluates sequentially in Spark but via segment trees in
+    # DuckDB) cast back to double for one identical IEEE division
+    shared = monthly.withColumn(
+        "share",
+        F.col("revenue")
+        / F.sum(F.col("revenue").cast("decimal(38,4)")).over(w_month).cast("double"),
+    )
+    return (
+        shared.withColumn("prev_share", F.lag("share").over(w_type))
+        .select(
+            "month",
+            "p_type",
+            "revenue",
+            "share",
+            (F.col("share") - F.col("prev_share")).alias("share_delta"),
+        )
+        .orderBy("month", "p_type")
+    )
+
+
+_ORACLE_REVENUE_MIX_SHIFT = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, p_type,
+         {sql_dsum("l_extendedprice * (1 - l_discount)", scale=4)} AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), shared AS (
+  SELECT month, p_type, revenue,
+         revenue / CAST(SUM(CAST(revenue AS DECIMAL(38,4)))
+                          OVER (PARTITION BY month) AS DOUBLE) AS share
+  FROM monthly
+)
+SELECT month, p_type, revenue, share,
+       share - lag(share) OVER (PARTITION BY p_type ORDER BY month ASC)
+         AS share_delta
+FROM shared
+ORDER BY month, p_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Supplier scorecard (multi-measure composite KPI table)
 # ---------------------------------------------------------------------------
 
@@ -1267,6 +1334,7 @@ ORDER BY abc_class
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "supplier_scorecard": q_supplier_scorecard,
+    "revenue_mix_shift": q_revenue_mix_shift,
     "abc_pareto_class": q_abc_pareto_class,
     "min_cost_supplier": q_min_cost_supplier,
     "order_priority_counts": q_order_priority_counts,
@@ -1289,6 +1357,7 @@ QUERIES = {
 ORACLE = {
     "customer_rfm_segments": _ORACLE_CUSTOMER_RFM_SEGMENTS,
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
+    "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "abc_pareto_class": _ORACLE_ABC_PARETO_CLASS,
     "min_cost_supplier": _ORACLE_MIN_COST_SUPPLIER,
     "order_priority_counts": _ORACLE_ORDER_PRIORITY_COUNTS,
