@@ -1040,6 +1040,91 @@ ORDER BY cntry
 
 
 # ---------------------------------------------------------------------------
+# Per-group exact fulfillment-time percentiles (grouped discrete quantiles)
+# ---------------------------------------------------------------------------
+
+FULFILL_QS = (0.5, 0.9)
+
+
+def q_fulfillment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority EXACT fulfillment-time percentiles: order fulfillment
+    = days from order date to its LAST line shipment; per priority class,
+    the discrete p50/p90 (real data values at rank ceil(q·n)) plus the
+    order count — the ops-SLA report ("90% of urgent orders fully ship
+    within N days").
+
+    GROUPED exact quantiles, complementing the global bucketed-rank
+    entry: durations collapse to one row per order first (fact-sized
+    work), then a per-priority window rank picks the target-rank rows —
+    partitioned windows, no single-task sort. Integer day durations, so
+    every value is exact; the rank formula (ceil(q·n), both ceil's over
+    the same IEEE product) is mirrored verbatim in the oracle, and ties
+    at the target rank don't matter because the VALUE at the rank is
+    tie-invariant."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    durs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.datediff(
+                F.max(F.to_date("l_shipdate")), F.first(F.to_date("o_orderdate"))
+            ).alias("dur_days")
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("dur_days"), F.asc("o_orderkey")
+    )
+    ranked = durs.select(
+        "o_orderpriority",
+        "dur_days",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    picks = [
+        ranked.filter(
+            F.col("rk") == F.ceil(F.lit(q) * F.col("n")).cast("long")
+        ).select(
+            "o_orderpriority",
+            F.col("n").alias("n_orders"),
+            F.col("dur_days").alias(f"p{int(q * 100)}_days"),
+        )
+        for q in FULFILL_QS
+    ]
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.join(p.drop("n_orders"), "o_orderpriority")
+    return out.orderBy("o_orderpriority")
+
+
+_ORACLE_FULFILLMENT_PERCENTILES = f"""
+WITH durs AS (
+  SELECT o_orderkey, o_orderpriority,
+         date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                   CAST(MAX(l_shipdate) AS DATE)) AS dur_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderpriority
+), ranked AS (
+  SELECT o_orderpriority, dur_days,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY dur_days ASC, o_orderkey ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM durs
+)
+SELECT p50.o_orderpriority,
+       p50.n AS n_orders,
+       p50.dur_days AS p50_days,
+       p90.dur_days AS p90_days
+FROM (SELECT * FROM ranked WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)) p50
+JOIN (SELECT * FROM ranked WHERE rk = CAST(ceil(0.9 * n) AS BIGINT)) p90
+  USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # Month-over-month revenue mix shift (share-of-total trend by category)
 # ---------------------------------------------------------------------------
 
@@ -1335,6 +1420,7 @@ QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
+    "fulfillment_percentiles": q_fulfillment_percentiles,
     "abc_pareto_class": q_abc_pareto_class,
     "min_cost_supplier": q_min_cost_supplier,
     "order_priority_counts": q_order_priority_counts,
@@ -1358,6 +1444,7 @@ ORACLE = {
     "customer_rfm_segments": _ORACLE_CUSTOMER_RFM_SEGMENTS,
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
+    "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
     "abc_pareto_class": _ORACLE_ABC_PARETO_CLASS,
     "min_cost_supplier": _ORACLE_MIN_COST_SUPPLIER,
     "order_priority_counts": _ORACLE_ORDER_PRIORITY_COUNTS,
