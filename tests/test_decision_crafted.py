@@ -162,3 +162,70 @@ def test_abc_boundary_is_inclusive_and_decimal_exact(tmp_path, spark):
         for r in decision.q_abc_pareto_class(spark, str(tmp_path)).collect()
     }
     assert rows == {"A": (2, 80.0), "B": (1, 15.0), "C": (1, 5.0)}
+
+
+def test_fulfillment_percentiles_rank_targets(tmp_path, spark):
+    """4 orders with durations 1,2,3,10 days in one priority: p50 = value
+    at rank ceil(0.5*4)=2 -> 2 days; p90 = rank ceil(0.9*4)=4 -> 10 days
+    (discrete quantiles — real data values, no interpolation)."""
+    day0 = TS("1997-01-01")
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_orderdate": pa.array([day0] * 4, pa.timestamp("us")),
+            "o_orderpriority": ["1-URGENT"] * 4,
+        },
+    )
+    # two lines per order; fulfillment = MAX ship date
+    li_rows = []
+    for ok, d in [(1, 1), (2, 2), (3, 3), (4, 10)]:
+        li_rows.append((ok, day0 + datetime.timedelta(days=1)))
+        li_rows.append((ok, day0 + datetime.timedelta(days=d)))
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [r[0] for r in li_rows],
+            "l_shipdate": pa.array([r[1] for r in li_rows], pa.timestamp("us")),
+        },
+    )
+    [row] = decision.q_fulfillment_percentiles(spark, str(tmp_path)).collect()
+    assert (row["n_orders"], row["p50_days"], row["p90_days"]) == (4, 2, 10)
+
+
+def test_revenue_mix_shares_sum_to_one(tmp_path, spark):
+    """Within every month the type shares sum to exactly 1.0 (the decimal
+    month-total makes the denominators exact), and the first month of each
+    type has a NULL delta."""
+    day = TS("1997-03-15")
+    _write(
+        tmp_path,
+        "part",
+        {"p_partkey": [1, 2], "p_type": ["SMALL", "LARGE"]},
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": [1, 2, 1, 2],
+            "l_extendedprice": [10.0, 30.0, 5.0, 15.0],
+            "l_discount": [0.0] * 4,
+            "l_shipdate": pa.array(
+                [day, day, day + datetime.timedelta(days=31), day + datetime.timedelta(days=31)],
+                pa.timestamp("us"),
+            ),
+        },
+    )
+    rows = decision.q_revenue_mix_shift(spark, str(tmp_path)).collect()
+    by_month: dict = {}
+    for r in rows:
+        by_month.setdefault(r["month"], []).append(r)
+    for month, rs in by_month.items():
+        assert sum(r["share"] for r in rs) == 1.0
+    firsts = [r for r in rows if r["month"] == min(by_month)]
+    assert all(r["share_delta"] is None for r in firsts)
+    # shares: month1 SMALL 0.25 / LARGE 0.75; month2 identical -> delta 0.0
+    month2 = [r for r in rows if r["month"] == max(by_month)]
+    assert all(r["share_delta"] == 0.0 for r in month2)
