@@ -701,6 +701,94 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding hygiene audit (vector-quality screen before any index build)
+# ---------------------------------------------------------------------------
+
+NORM_LOW_X = 0.5   # flag norms below this multiple of the mean norm
+NORM_HIGH_X = 2.0  # ... and above this multiple
+
+
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-quality audit per label: dimension-consistency, zero/NaN
+    screens, and norm-outlier counts against the GLOBAL mean norm — the
+    pre-flight check every ANN index build should run (a batch of
+    zero vectors or NaNs from a crashed encoder silently poisons
+    centroids and cosine scores downstream).
+
+    One pass computes per-vector (norm, finite, dim) as narrow sequential
+    folds; a 1-row global mean-norm broadcast sets the outlier band
+    (scale-relative — an absolute band breaks when the encoder changes);
+    the final per-label rollup is all conditional counts. Mean norm =
+    decimal-exact sum / count, so the band edges are identical doubles
+    on both engines."""
+    from us_flight_bigdata_dashboard_spark.functions.exact import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    finite = F.aggregate(
+        F.col("embedding"),
+        F.lit(True),
+        lambda acc, x: acc & ~F.isnan(x.cast("double")),
+    )
+    per_vec = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        _norm(F.col("embedding")).alias("vnorm"),
+        finite.alias("is_finite"),
+    )
+    mean_norm = per_vec.agg(
+        (dsum("vnorm", scale=8) / F.count(F.lit(1))).alias("mean_norm")
+    )
+    flagged = per_vec.crossJoin(F.broadcast(mean_norm))
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("dim").alias("n_dims"),
+            F.sum(F.when(F.col("vnorm") == 0.0, 1).otherwise(0)).alias("n_zero"),
+            F.sum(F.when(~F.col("is_finite"), 1).otherwise(0)).alias("n_nonfinite"),
+            F.sum(
+                F.when(
+                    F.col("vnorm") < F.lit(NORM_LOW_X) * F.col("mean_norm"), 1
+                ).otherwise(0)
+            ).alias("n_low_norm"),
+            F.sum(
+                F.when(
+                    F.col("vnorm") > F.lit(NORM_HIGH_X) * F.col("mean_norm"), 1
+                ).otherwise(0)
+            ).alias("n_high_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def _sql_embedding_norm_audit() -> str:
+    from us_flight_bigdata_dashboard_spark.functions.exact import sql_dsum
+
+    nrm = f"sqrt({_sql_dot('embedding', 'embedding')})"
+    return f"""
+WITH per_vec AS (
+  SELECT label, len(embedding) AS dim, {nrm} AS vnorm,
+         list_reduce(list_prepend(TRUE,
+           list_transform(embedding, x -> NOT isnan(CAST(x AS DOUBLE)))),
+           (acc, x) -> acc AND x) AS is_finite
+  FROM embeddings
+), m AS (
+  SELECT {sql_dsum("vnorm", scale=8)} / COUNT(*) AS mean_norm FROM per_vec
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       COUNT(DISTINCT dim) AS n_dims,
+       SUM(CASE WHEN vnorm = 0.0 THEN 1 ELSE 0 END) AS n_zero,
+       SUM(CASE WHEN NOT is_finite THEN 1 ELSE 0 END) AS n_nonfinite,
+       SUM(CASE WHEN vnorm < {NORM_LOW_X} * mean_norm THEN 1 ELSE 0 END) AS n_low_norm,
+       SUM(CASE WHEN vnorm > {NORM_HIGH_X} * mean_norm THEN 1 ELSE 0 END) AS n_high_norm
+FROM per_vec, m
+GROUP BY label
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dedup threshold sweep (tuning-curve diagnostic over the candidate set)
 # ---------------------------------------------------------------------------
 
@@ -1780,6 +1868,7 @@ def _sql_mmr_select() -> str:
 QUERIES = {
     "embedding_mmr_select": q_embedding_mmr_select,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "embedding_norm_audit": q_embedding_norm_audit,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_recall_eval": q_ann_recall_eval,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1799,6 +1888,7 @@ QUERIES = {
 ORACLE = {
     "embedding_mmr_select": _sql_mmr_select(),
     "dedup_threshold_sweep": _sql_dedup_threshold_sweep(),
+    "embedding_norm_audit": _sql_embedding_norm_audit(),
     "knn_bruteforce": _sql_knn_bruteforce(),
     "ann_recall_eval": _sql_ann_recall_eval(),
     "kmeans_clusters": _sql_kmeans_clusters(),
