@@ -173,14 +173,80 @@ FROM lineitem
 """
 
 
+# Shared digest for the format-roundtrip entries (VERDICT r4 ask #3):
+# instead of returning the roundtripped CORPUS as the query result — a
+# driver-OOM by construction at 100 TB — each entry reduces the read-back
+# data to ONE row of per-column order-insensitive value digests
+# (SUM over 60-bit md5 prefixes of canonical value strings) + a row count.
+# The oracle computes the identical digest over the parquet source, so the
+# fidelity guarantee is unchanged (any corrupted/lost/duplicated value in
+# write→read flips its column digest) while the result is O(columns).
+# Doubles are canonicalized as exact cents (ROUND(price·100) — the data's
+# full precision; values sit ~1e-9 from integers, never near a rounding
+# boundary), everything else as its ISO/decimal string, identical on both
+# engines. Digest sums stay exact in DECIMAL(38,0) far past 1e11 rows
+# (2^60 · 1e11 ≈ 1e29 < 1e38).
+
+
+def _rt_digest(df: DataFrame) -> DataFrame:
+    cents = F.round(F.col("price") * F.lit(100.0), 0).cast("bigint")
+    canon = df.select(
+        F.col("l_orderkey").cast("string").alias("s_orderkey"),
+        F.col("l_linenumber").cast("string").alias("s_linenumber"),
+        F.col("ship_date").cast("string").alias("s_ship_date"),
+        cents.cast("string").alias("s_price"),
+        F.col("l_returnflag").alias("s_returnflag"),
+    )
+
+    def dig(c: str):
+        return F.sum(
+            F.conv(F.substring(F.md5(F.col(c)), 1, 15), 16, 10).cast("decimal(38,0)")
+        )
+
+    return canon.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dig("s_orderkey").alias("h_orderkey"),
+        dig("s_linenumber").alias("h_linenumber"),
+        dig("s_ship_date").alias("h_ship_date"),
+        dig("s_price").alias("h_price"),
+        dig("s_returnflag").alias("h_returnflag"),
+    )
+
+
+def _sql_rt_digest() -> str:
+    from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
+
+    def dig(expr: str) -> str:
+        return f"SUM({_sql_hex_to_int(f'md5({expr})', 1, 15)})"
+
+    return f"""
+WITH t AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s_orderkey,
+         CAST(l_linenumber AS VARCHAR) AS s_linenumber,
+         CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS s_ship_date,
+         CAST(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT) AS VARCHAR) AS s_price,
+         l_returnflag AS s_returnflag
+  FROM lineitem
+)
+SELECT COUNT(*) AS n_rows,
+       {dig("s_orderkey")} AS h_orderkey,
+       {dig("s_linenumber")} AS h_linenumber,
+       {dig("s_ship_date")} AS h_ship_date,
+       {dig("s_price")} AS h_price,
+       {dig("s_returnflag")} AS h_returnflag
+FROM t
+"""
+
+
 def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source/sink format breadth (§2.1): the lineitem projection written
     to ORC and read back — every value must survive the parquet→ORC→scan
-    round trip bit-for-bit, which the gate asserts by comparing the ORC
-    read against the PARQUET-sourced oracle. ORC is the other columnar
-    format Spark ships natively (Hive lineage); a lakehouse engine that
-    claims format breadth must prove fidelity, not just non-crashing, for
-    ints, strings, dates, and float64 payloads.
+    round trip, which the gate asserts by comparing per-column value
+    digests of the ORC read against the PARQUET-sourced oracle's digests
+    (see ``_rt_digest`` — an O(columns) result, not the corpus). ORC is
+    the other columnar format Spark ships natively (Hive lineage); a
+    lakehouse engine that claims format breadth must prove fidelity, not
+    just non-crashing, for ints, strings, dates, and float64 payloads.
 
     Staging is memoized per (sf_dir) for the process lifetime and removed
     at exit (same discipline as the streaming replay staging); the write
@@ -203,9 +269,8 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_returnflag"
         ).write.mode("overwrite").orc(out)
         cache[sf_dir] = out
-    return (
-        spark.read.orc(cache[sf_dir])
-        .select(
+    return _rt_digest(
+        spark.read.orc(cache[sf_dir]).select(
             "l_orderkey",
             "l_linenumber",
             F.col("l_shipdate").cast("date").alias("ship_date"),
@@ -215,13 +280,7 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_SCAN_ORC_ROUNDTRIP = """
-SELECT l_orderkey, l_linenumber,
-       CAST(l_shipdate AS DATE) AS ship_date,
-       l_extendedprice AS price,
-       l_returnflag
-FROM lineitem
-"""
+_ORACLE_SCAN_ORC_ROUNDTRIP = _sql_rt_digest()
 
 
 def q_scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,8 +288,9 @@ def q_scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     interchange format every ingestion pipeline meets. The fear with JSON
     is float fidelity; Spark serializes doubles with the shortest
     representation that round-trips (Ryu), so parquet→JSONL→scan is
-    BIT-identical for float64 — this entry proves it against the
-    parquet-sourced oracle instead of asserting it. Dates travel as ISO
+    BIT-identical for float64 — this entry checks value fidelity at the
+    data's full (cent) precision via per-column digests against the
+    parquet-sourced oracle (``_rt_digest``). Dates travel as ISO
     strings and are re-cast on read with an explicit schema (schema-on-read
     — never inference, which would sample-scan the data twice and can
     mis-type empty partitions)."""
@@ -254,12 +314,14 @@ def q_scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey bigint, l_linenumber bigint, l_shipdate timestamp, "
         "l_extendedprice double, l_returnflag string"
     )
-    return spark.read.schema(schema).json(cache[sf_dir]).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_shipdate").cast("date").alias("ship_date"),
-        F.col("l_extendedprice").alias("price"),
-        "l_returnflag",
+    return _rt_digest(
+        spark.read.schema(schema).json(cache[sf_dir]).select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.col("l_extendedprice").alias("price"),
+            "l_returnflag",
+        )
     )
 
 
@@ -271,8 +333,8 @@ def q_scan_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     text corpora actually arrive in (`.jsonl.gz` dumps). Spark writes
     with ``compression=gzip`` and the read path auto-detects the codec
     from the extension; the gate proves the full write→compress→
-    decompress→parse loop is bit-exact against the parquet oracle
-    (including float64, via shortest-roundtrip serialization).
+    decompress→parse loop preserves every value (per-column digests vs
+    the parquet oracle — see ``_rt_digest``).
 
     Scale note: gzip is NOT splittable — one .gz file = one read task —
     so the writer keeps the data partitioned into many files (the
@@ -298,12 +360,14 @@ def q_scan_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey bigint, l_linenumber bigint, l_shipdate timestamp, "
         "l_extendedprice double, l_returnflag string"
     )
-    return spark.read.schema(schema).json(cache[sf_dir]).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_shipdate").cast("date").alias("ship_date"),
-        F.col("l_extendedprice").alias("price"),
-        "l_returnflag",
+    return _rt_digest(
+        spark.read.schema(schema).json(cache[sf_dir]).select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.col("l_extendedprice").alias("price"),
+            "l_returnflag",
+        )
     )
 
 
@@ -315,7 +379,8 @@ def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     native interchange format (S1/S6: its entire pipeline is CSV-in,
     CSV-out). Java's ``Double.toString`` emits the shortest string that
     parses back to the same bits, so even float64 survives the text
-    roundtrip bit-exactly; the gate proves it against the parquet oracle.
+    roundtrip bit-exactly; the gate checks value fidelity with per-column
+    digests against the parquet oracle (``_rt_digest``).
     Schema-on-read with an explicit schema and header=true — the same
     no-inference discipline as the flights CSV path
     (``flights/io.read_raw_flights``)."""
@@ -339,7 +404,7 @@ def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey bigint, l_linenumber bigint, l_shipdate timestamp, "
         "l_extendedprice double, l_returnflag string"
     )
-    return (
+    return _rt_digest(
         spark.read.schema(schema)
         .option("header", "true")
         .csv(cache[sf_dir])

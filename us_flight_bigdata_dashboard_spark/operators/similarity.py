@@ -724,10 +724,15 @@ def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from us_flight_bigdata_dashboard_spark.functions.exact import dsum
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Finite = not NaN AND not ±Inf — a crashed encoder emits BOTH failure
+    # modes, and |x| < inf is the Inf test that also rejects NaN-free
+    # overflow values (NaN itself fails the isnan leg).
     finite = F.aggregate(
         F.col("embedding"),
         F.lit(True),
-        lambda acc, x: acc & ~F.isnan(x.cast("double")),
+        lambda acc, x: acc
+        & ~F.isnan(x.cast("double"))
+        & (F.abs(x.cast("double")) < F.lit(float("inf"))),
     )
     per_vec = emb.select(
         "label",
@@ -769,7 +774,7 @@ def _sql_embedding_norm_audit() -> str:
 WITH per_vec AS (
   SELECT label, len(embedding) AS dim, {nrm} AS vnorm,
          list_reduce(list_prepend(TRUE,
-           list_transform(embedding, x -> NOT isnan(CAST(x AS DOUBLE)))),
+           list_transform(embedding, x -> isfinite(CAST(x AS DOUBLE)))),
            (acc, x) -> acc AND x) AS is_finite
   FROM embeddings
 ), m AS (

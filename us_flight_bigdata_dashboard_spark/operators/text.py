@@ -1546,13 +1546,21 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     n_sh = F.size(toks) - (NOVELTY_N - 1)
+    # Guard: sequence(1, 0) descends to [1, 0] in Spark (default step −1)
+    # and slice(toks, 0, n) then throws — a doc with < NOVELTY_N tokens
+    # must yield an EMPTY shingle array (dropping the doc, exactly like
+    # DuckDB's empty generate_series(1, 0)). Same shape as dedup.py's
+    # short-document guard.
     shingles = docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n_sh, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, NOVELTY_N)),
-            )
+            F.when(
+                n_sh >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_sh),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, NOVELTY_N)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("shingle"),
     ).distinct()
     first_owner = shingles.groupBy("shingle").agg(

@@ -53,85 +53,80 @@ _MODULES = [
     statistics,
 ]
 
-# Budget-capped graders/CI evaluate a PREFIX of the registry, so the prefix is
-# an explicit flagship block that gives EVERY module family driver-certified
-# rows under a 50-entry cap (max family coverage, openly enumerated below —
-# not a hand-tuned hiding spot: the full matrix is additionally verified by
-# ``tools/check_oracle.py`` whose committed artifact covers all entries).
-# Entries after the flagship block run in stable module order.
+# Budget-capped graders/CI evaluate a PREFIX of the registry, so the prefix
+# is an explicit flagship block rotated each round to ACCUMULATE
+# driver-certified coverage under the 50-entry cap (VERDICT r4 ask #2):
+# rounds 1–4 certified 102 distinct entries; this round's block keeps a
+# small sentinel set (regression watch-list) and fills the rest with
+# never-certified entries from every module family. The full matrix is
+# additionally verified by ``tools/check_oracle.py`` whose committed
+# artifact covers all entries. Entries after the flagship block run in
+# stable module order.
 _FLAGSHIP_PREFIX = [
-    # relational — reference-parity TPC-H backbone
-    "star_join_agg",
-    "pricing_summary",
-    "wide_view",
-    "self_alias_join",
-    "shipping_priority",
-    "region_revenue",
-    "correlated_above_avg",
-    # decision-support completion (Q21's EXISTS+NOT-EXISTS double
-    # correlation — the most intricate shape of the round-4 pack; the
-    # rollup family it displaced stays certified via rollup_reagg /
-    # grouping_* rows in the committed full-matrix artifact)
-    "waiting_suppliers",
-    # text
-    "text_tfidf_topk",
-    "text_quality",
-    "bpe_learn_merges",
-    "sparse_allpairs_sim",
-    # streaming replay
-    "streaming_tumbling_replay",
-    "streaming_session_replay",
-    "streaming_upsert_replay",
-    # temporal
-    "asof_join",
-    "range_join_price_bands",
-    # dedup
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    # sampling / curation
-    "curation_pipeline",
-    "negative_sampling",
-    "decontaminate",
-    # similarity / ANN
-    "ann_ivf",
-    "embedding_pca_power",
-    "ann_pq",
-    "knn_bruteforce",
-    # events
-    "events_ewma",
-    "events_sessionize",
-    "events_twap",
-    # multimodal (real byte-level decoders; png = the COMPRESSED codec —
-    # zlib container round trip — promoted over the uncompressed video
-    # decoder, which stays certified by the full-matrix artifact)
-    "multimodal_ppm_decode",
-    "multimodal_wav_decode",
-    "multimodal_png_decode",
-    # advanced
-    "approx_percentile",
-    "heavy_hitters",
-    "skew_salted_join",
-    # breadth
-    "window_rolling_median",
-    "pivot_status",
-    "date_functions",
-    # mutation
-    "merge_upsert",
-    "scd2_history",
-    "cdc_latest",
-    # audit
-    "dq_audit",
-    "snapshot_diff",
-    # layout
-    "bloom_semi_join",
-    "zorder_cluster",
-    # graph
-    "graph_pagerank",
-    "graph_triangles",
-    # statistics
-    "regression_ols",
-    "chi_square_assoc",
+    # --- sentinels (certified in r1-r4; kept for regression watch) ---
+    "star_join_agg",          # r4 watch-list: 3.09→4.01s
+    "wide_view",              # reference-parity flagship
+    "events_ewma",            # exchange-reuse rework this round (r4 ask #4)
+    "bloom_semi_join",        # r4 watch-list: 1.12→1.47s
+    "returned_item_ranking",  # r4 watch-list: 0.67→0.89s
+    # --- modified this round (re-certify under the driver) ---
+    "chi_square_assoc",       # r4's only red cell — pow removed (ask #1)
+    "text_ngram_novelty",     # short-doc guard (ADVICE r4)
+    "embedding_norm_audit",   # Inf detection (ADVICE r4)
+    "scan_csv_roundtrip",     # digest-ified results (r4 ask #3)
+    "scan_jsonl_roundtrip",
+    "scan_jsonl_gzip_roundtrip",
+    "scan_orc_roundtrip",
+    # --- round-4 flagship multimodal chain (r4 ask #6) ---
+    "multimodal_phash_neardup",
+    "multimodal_phash_clusters",
+    # --- never-certified: decision-support pack ---
+    "customer_rfm_segments",
+    "supplier_scorecard",
+    "revenue_mix_shift",
+    "fulfillment_percentiles",
+    "abc_pareto_class",
+    "min_cost_supplier",
+    "market_share",
+    "top_supplier",
+    # --- never-certified: events long tail ---
+    "events_ohlc",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_session_window",
+    "events_dau_mau",
+    # --- never-certified: temporal as-of variants ---
+    "asof_join_forward",
+    "asof_join_nearest",
+    # --- never-certified: dedup long tail ---
+    "dedup_clusters_ls",
+    "dedup_incremental",
+    "fuzzy_blocked_join",
+    # --- never-certified: sampling / curation ---
+    "stratified_sample",
+    "split_assign",
+    "domain_mixture",
+    # --- never-certified: similarity / embedding ---
+    "kmeans_clusters",
+    "ann_recall_eval",
+    "dedup_semantic_clusters",
+    # --- never-certified: window / grouping breadth ---
+    "grouping_sets_explicit",
+    "window_range_frame",
+    "window_lead_lag",
+    "null_safe_join",
+    "histogram_equifreq",
+    # --- never-certified: graph ---
+    "graph_communities",
+    "graph_khop",
+    # --- never-certified: statistics ---
+    "corr_pairs",
+    "autocorr_lag",
+    # --- never-certified: mutation / audit ---
+    "mv_incremental",
+    "kanon_audit",
+    # --- never-certified: streaming replay ---
+    "streaming_sliding_replay",
 ]
 
 
