@@ -353,3 +353,16 @@ def test_topk_window_gets_group_limit_pruning(spark):
     df = q_window_topk_per_group(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_events_ewma_single_shuffle(spark):
+    # the row_number window, the per-chunk agg, and the final compose agg
+    # are ALL keyed by user_id: the window's hashpartitioning(user_id)
+    # satisfies both downstream groupBys (subset-key distribution), so the
+    # whole two-level fold runs on ONE exchange (VERDICT r4 ask #4 — a
+    # second shuffle here is the regression this pins against)
+    from us_flight_bigdata_dashboard_spark.operators.events import q_events_ewma
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_events_ewma(spark, SF_DIR)
+    assert count_exchanges(df) <= 1, plan_str(df)

@@ -1417,20 +1417,21 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq_w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
+    seq0 = F.row_number().over(seq_w) - F.lit(1)
     chunked = events.select(
         "user_id",
-        "ts",
-        "event_id",
         "value",
-        ((F.row_number().over(seq_w) - F.lit(1)) / F.lit(EWMA_CHUNK))
-        .cast("bigint")
-        .alias("chunk"),
+        (seq0 / F.lit(EWMA_CHUNK)).cast("bigint").alias("chunk"),
+        # Within-chunk ordinal: orders the chunk's values without carrying
+        # (ts, event_id) into the collected structs — the sort key shrinks
+        # from (timestamp, long) to one int and the array stays narrow.
+        (seq0 % F.lit(EWMA_CHUNK)).cast("int").alias("lseq"),
     )
     one_m_a = F.lit(1.0 - EWMA_ALPHA)
     per_chunk = chunked.groupBy("user_id", "chunk").agg(
         F.count(F.lit(1)).alias("n"),
         F.transform(
-            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            F.sort_array(F.collect_list(F.struct("lseq", "value"))),
             lambda s: s["value"],
         ).alias("_vals"),
     )
@@ -1447,14 +1448,19 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc * one_m_a + F.lit(EWMA_ALPHA) * x,
     )
+    # Fold economics: the compose step reads v for chunk 0 and (w, b) for
+    # later chunks ONLY, so each side is gated on the chunk id — a
+    # single-chunk key (every key until ~EWMA_CHUNK events) folds its
+    # array ONCE, not three times. Output-invariant: the ungated values
+    # were never referenced.
     summaries = per_chunk.select(
         "user_id",
         "n",
         F.struct(
             F.col("chunk"),
             F.when(F.col("chunk") == 0, head_fold).alias("v"),
-            w_fold.alias("w"),
-            b_fold.alias("b"),
+            F.when(F.col("chunk") > 0, w_fold).alias("w"),
+            F.when(F.col("chunk") > 0, b_fold).alias("b"),
         ).alias("_summary"),
     )
     compose = F.aggregate(

@@ -62,6 +62,26 @@ def get_spark(
         # is fixed at launch).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
+    # Stateful-streaming state store provider. The default (HDFS-backed)
+    # provider keeps every key's state on the executor HEAP — fine for the
+    # replay harness's bounded test state, but at 100 TB of keyed state
+    # (sessionization / dedup / EWMA over billions of keys) heap state
+    # causes GC stalls and OOM; the deployment answer is the RocksDB
+    # provider (off-heap, spills to local SSD) plus changelog
+    # checkpointing (uploads per-batch deltas instead of full snapshots).
+    # Env-gated rather than default because the provider is chosen at
+    # STREAMING QUERY start from session conf — flip it without code edits:
+    #   SPARK_GRAFT_STATESTORE=rocksdb
+    if os.environ.get("SPARK_GRAFT_STATESTORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
