@@ -136,6 +136,10 @@ HEADLINE = [
     "interval_overlap_counts",
     # the third stateful-replay path (funnel state machine)
     "streaming_funnel_replay",
+    # round-5: the compressed-LOSSY codec (baseline JPEG encode+decode in
+    # pure integer numpy — the heaviest per-record Python path, tracked
+    # beside the PNG pair)
+    "multimodal_jpeg_decode",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

@@ -15,7 +15,10 @@ plus the derived operators (``meta_stats``, ``frame_sample``,
 ``audio_chunks``) which all consume REAL decode outputs — and
 ``multimodal_png_decode``, a GENUINE COMPRESSED codec (zlib-DEFLATE PNG
 with CRC-verified chunks and full 5-filter unfiltering; zlib is stdlib).
-JPEG/MP3/H.264 still need PIL/ffmpeg, absent in this container, so that
+Since round 5, ``operators/jpeg_codec.py`` adds a full baseline JFIF
+encoder/decoder (Huffman entropy coding, zigzag, quantization, integer
+DCT) in pure numpy — the compressed LOSSY codec, no external library.
+MP3/H.264 still need ffmpeg, absent in this container, so that
 plug-in point is covered two ways:
 
   * ``make_decode_features_stub`` / ``multimodal_plumbing_stub`` — a

@@ -21,6 +21,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     dedup,
     events,
     graph,
+    jpeg_codec,
     layout,
     multimodal,
     mutation,
@@ -44,6 +45,7 @@ _MODULES = [
     similarity,
     events,
     multimodal,
+    jpeg_codec,
     advanced,
     breadth,
     mutation,
@@ -80,6 +82,8 @@ _FLAGSHIP_PREFIX = [
     # --- round-4 flagship multimodal chain (r4 ask #6) ---
     "multimodal_phash_neardup",
     "multimodal_phash_clusters",
+    # --- round-5 flagship: compressed-codec (JPEG) decode ---
+    "multimodal_jpeg_decode",
     # --- never-certified: decision-support pack ---
     "customer_rfm_segments",
     "supplier_scorecard",
@@ -115,7 +119,6 @@ _FLAGSHIP_PREFIX = [
     "window_range_frame",
     "window_lead_lag",
     "null_safe_join",
-    "histogram_equifreq",
     # --- never-certified: graph ---
     "graph_communities",
     "graph_khop",
