@@ -137,3 +137,27 @@ def test_gate_entry_matches_oracle_formula_spark(spark):
         )
         assert r["sum_lum"] == expected
         assert (r["width"], r["height"], r["n_blocks"]) == (32, 32, 16)
+
+
+def test_truncated_scan_dangling_ff_is_valueerror():
+    """A scan cut immediately after a bare 0xFF must raise the diagnostic
+    ValueError, not a TypeError from formatting None (ADVICE r5)."""
+    wdf = _encode(None)
+    b = bytes(wdf.payload[0])
+    assert b[-2:] == b"\xff\xd9"
+    cut = b[:-1]  # drop the D9: scan now ends on a dangling 0xFF
+    with pytest.raises(ValueError, match="dangling 0xFF"):
+        _decode(pd.DataFrame({"media_id": [5], "payload": [cut]}))
+
+
+def test_truncated_entropy_data_is_valueerror():
+    """Entropy data exhausted mid-block must surface as ValueError, not an
+    IndexError leaking out of BitReader (ADVICE r5)."""
+    wdf = _encode(None)
+    b = bytes(wdf.payload[0])
+    i = b.find(b"\xff\xda")
+    seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+    scan_start = i + 2 + seglen
+    cut = b[: scan_start + 2] + b"\xff\xd9"  # 2 bytes of entropy data only
+    with pytest.raises(ValueError, match="truncated entropy|invalid Huffman"):
+        _decode(pd.DataFrame({"media_id": [5], "payload": [cut]}))

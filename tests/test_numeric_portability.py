@@ -60,6 +60,9 @@ _PYSPARK_TRANSCENDENTALS = re.compile(
 _STAR_STAR = re.compile(r"\*\*")
 _EXACT_INT_POW = re.compile(r"\b\d+\s*\*\*")
 _MARKDOWN_BOLD = re.compile(r"\*\*[^*]+\*\*")
+# `**kwargs` in a signature/call (immediately after `(` or `,`) —
+# unpacking syntax, not exponentiation.
+_KWARGS_UNPACK = re.compile(r"[(,]\s*\*\*[A-Za-z_]\w*")
 
 # (relative path, line-substring) pairs that are audited exact arithmetic.
 _ALLOWLIST: dict[tuple[str, str], str] = {
@@ -105,7 +108,9 @@ def test_spark_sources_have_no_transcendental_column_funcs():
 def test_no_column_exponentiation():
     violations = []
     for rel, lineno, line in _iter_source_lines():
-        stripped = _EXACT_INT_POW.sub("", _MARKDOWN_BOLD.sub("", line))
+        stripped = _KWARGS_UNPACK.sub(
+            "", _EXACT_INT_POW.sub("", _MARKDOWN_BOLD.sub("", line))
+        )
         if not _STAR_STAR.search(stripped):
             continue
         if any(rel == f and frag in line for (f, frag) in _ALLOWLIST):

@@ -1,0 +1,138 @@
+"""Source-adapter seam (streaming/sources.py): every transport lands in
+the one canonical event shape, so the stateful operators run unchanged.
+
+- file: availableNow replay through the adapter equals the batch table.
+- rate: a genuinely LIVE (processing-time-triggered) run in this Spark
+  build — proves the seam end-to-end with no external service.
+- kafka: the sandbox has no connector jar; the adapter must fail with the
+  actionable classpath message, not an opaque stack.
+- wire format: event_to_json → from_json round-trips exactly.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+from us_flight_bigdata_dashboard_spark.streaming import replay
+from us_flight_bigdata_dashboard_spark.streaming.sources import (
+    EVENT_SCHEMA,
+    _EVENT_TYPES,
+    event_to_json,
+    open_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_file_adapter_matches_batch(spark):
+    src = replay._stage_events(spark, SF)
+    stream = open_stream(spark, "file", path=src, max_files_per_trigger=1)
+    assert [f.name for f in stream.schema.fields] == [
+        f.name for f in EVENT_SCHEMA.fields
+    ]
+    # ts must be LTZ (watermarkable), whatever the parquet carried
+    assert stream.schema["ts"].dataType.typeName() == "timestamp"
+    q = (
+        stream.groupBy("event_type")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("src_file_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["event_type"]: r["count"] for r in spark.table("src_file_counts").collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_rate_adapter_live_microbatches(spark):
+    stream = open_stream(spark, "rate", rows_per_second=200, num_partitions=2)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("src_rate_live")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("src_rate_live").count() >= 50:
+                break
+            time.sleep(0.25)
+        rows = spark.table("src_rate_live").collect()
+        assert len(rows) >= 50, "live rate stream produced too few rows"
+    finally:
+        q.stop()
+    for r in rows[:200]:
+        assert r["user_id"] == r["event_id"] % 97
+        assert r["event_type"] == _EVENT_TYPES[r["event_id"] % 4]
+        assert r["value"] == float(r["event_id"] % 1000)
+        assert r["ts"] is not None
+
+
+def test_kafka_adapter_reports_missing_connector(spark):
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        open_stream(
+            spark, "kafka", bootstrap_servers="localhost:9092", topic="events"
+        )
+
+
+def test_unknown_source_rejected(spark):
+    with pytest.raises(ValueError, match="unknown stream source"):
+        open_stream(spark, "carrier-pigeon")
+
+
+def test_wire_format_roundtrip(spark):
+    import datetime
+
+    events = [
+        {
+            "event_id": 7,
+            "ts": datetime.datetime(2024, 5, 1, 12, 30, 15, 250_000),
+            "user_id": 42,
+            "event_type": "click",
+            "value": 3.5,
+            "props": '{"k":1}',
+        },
+        {
+            "event_id": 8,
+            "ts": None,
+            "user_id": None,
+            "event_type": "view",
+            "value": None,
+            "props": None,
+        },
+    ]
+    payloads = [(event_to_json(e),) for e in events]
+    from us_flight_bigdata_dashboard_spark.streaming.sources import (
+        _JSON_OPTS,
+    )
+
+    parsed = (
+        spark.createDataFrame(payloads, "payload string")
+        .select(F.from_json("payload", EVENT_SCHEMA, _JSON_OPTS).alias("e"))
+        .select("e.*")
+        .orderBy("event_id")
+        .collect()
+    )
+    assert parsed[0]["event_id"] == 7
+    assert parsed[0]["ts"] == datetime.datetime(2024, 5, 1, 12, 30, 15, 250_000)
+    assert parsed[0]["user_id"] == 42
+    assert parsed[0]["event_type"] == "click"
+    assert parsed[0]["value"] == 3.5
+    assert parsed[0]["props"] == '{"k":1}'
+    assert parsed[1]["ts"] is None and parsed[1]["value"] is None

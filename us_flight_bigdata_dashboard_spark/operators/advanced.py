@@ -423,8 +423,8 @@ SELECT bin,
        {sql_dsum("o_totalprice")} AS sum_price,
        MIN(o_totalprice) AS min_price,
        MAX(o_totalprice) AS max_price,
-       {HIST_LO} + bin * {HIST_STEP} AS bin_lo,
-       {HIST_LO} + (bin + 1) * {HIST_STEP} AS bin_hi
+       CAST({HIST_LO} + bin * {HIST_STEP} AS DOUBLE) AS bin_lo,
+       CAST({HIST_LO} + (bin + 1) * {HIST_STEP} AS DOUBLE) AS bin_hi
 FROM (
   SELECT CAST(least(greatest(floor((o_totalprice - {HIST_LO}) / {HIST_STEP}), 0), {HIST_NBINS - 1}) AS INTEGER) AS bin,
          o_totalprice

@@ -320,9 +320,9 @@ WITH counts AS (
   FROM lineitem GROUP BY l_partkey
 )
 SELECT COUNT(*) AS n_keys,
-       SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS n_sampled_keys,
-       {JSE_MOD} * SUM(CASE WHEN sampled THEN c * c ELSE 0 END) AS est_rows,
-       SUM(c * c) AS actual_rows,
+       CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled_keys,
+       CAST({JSE_MOD} * SUM(CASE WHEN sampled THEN c * c ELSE 0 END) AS BIGINT) AS est_rows,
+       CAST(SUM(c * c) AS BIGINT) AS actual_rows,
        100.0 * CAST({JSE_MOD} * SUM(CASE WHEN sampled THEN c * c ELSE 0 END)
                     - SUM(c * c) AS DOUBLE)
              / CAST(SUM(c * c) AS DOUBLE) AS rel_error_pct
@@ -380,9 +380,9 @@ WITH classes AS (
 )
 SELECT lang,
        COUNT(*) AS n_classes,
-       SUM(CASE WHEN class_size < {KANON_K} THEN 1 ELSE 0 END) AS n_unsafe_classes,
-       SUM(CASE WHEN class_size < {KANON_K} THEN class_size ELSE 0 END) AS rows_at_risk,
-       SUM(class_size) AS n_rows
+       CAST(SUM(CASE WHEN class_size < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_unsafe_classes,
+       CAST(SUM(CASE WHEN class_size < {KANON_K} THEN class_size ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows
 FROM classes
 GROUP BY lang
 ORDER BY lang

@@ -480,8 +480,8 @@ def q_ship_delay_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SHIP_DELAY_PRIORITY_COUNTS = f"""
 SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
             THEN 'LATE' ELSE 'ONTIME' END AS delay_class,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '{Q12_DATE_LO} 00:00:00'

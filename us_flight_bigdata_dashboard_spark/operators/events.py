@@ -445,7 +445,7 @@ WITH activity AS (
               THEN 1 ELSE 0 END AS returned
   FROM activity
 )
-SELECT day, COUNT(*) AS n_active, SUM(returned) AS n_returned,
+SELECT day, COUNT(*) AS n_active, CAST(SUM(returned) AS BIGINT) AS n_returned,
        CAST(SUM(returned) AS DOUBLE) / COUNT(*) AS return_rate
 FROM flagged
 GROUP BY day
@@ -940,7 +940,7 @@ WITH per_user AS (
          NTILE({CONC_BUCKETS}) OVER (ORDER BY n_events DESC, user_id ASC) AS decile
   FROM per_user
 )
-SELECT decile, COUNT(*) AS n_users, SUM(n_events) AS decile_events,
+SELECT decile, COUNT(*) AS n_users, CAST(SUM(n_events) AS BIGINT) AS decile_events,
        CAST(SUM(n_events) AS DOUBLE)
          / CAST((SELECT SUM(n_events) FROM per_user) AS DOUBLE) AS event_share
 FROM deciles
@@ -1072,9 +1072,9 @@ WITH daily AS (
 )
 SELECT event_type,
        COUNT(*) AS n_days,
-       SUM(abs_err) AS total_abs_err,
+       CAST(SUM(abs_err) AS BIGINT) AS total_abs_err,
        CAST(SUM(abs_err) AS DOUBLE) / COUNT(*) AS mae,
-       SUM(actual - forecast) AS bias
+       CAST(SUM(actual - forecast) AS BIGINT) AS bias
 FROM scored
 GROUP BY event_type
 ORDER BY event_type
@@ -1256,9 +1256,9 @@ WITH with_gap AS (
   FROM s3 GROUP BY user_id, sid
 )
 SELECT COUNT(*) AS n_sessions,
-       SUM(has_view) AS n_view,
-       SUM(has_click) AS n_view_click,
-       SUM(has_purchase) AS n_view_click_purchase,
+       CAST(SUM(has_view) AS BIGINT) AS n_view,
+       CAST(SUM(has_click) AS BIGINT) AS n_view_click,
+       CAST(SUM(has_purchase) AS BIGINT) AS n_view_click_purchase,
        CAST(SUM(has_click) AS DOUBLE) / SUM(has_view) AS click_rate,
        CAST(SUM(has_purchase) AS DOUBLE) / SUM(has_click) AS purchase_rate
 FROM per_session

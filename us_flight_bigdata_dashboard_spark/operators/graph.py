@@ -884,8 +884,8 @@ s0 AS (SELECT DISTINCT src AS node, src AS label FROM esc)"""
         + f"""
 SELECT label AS community,
        COUNT(*) AS n_members,
-       SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS n_customers,
-       SUM(node % 2) AS n_suppliers
+       CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+       CAST(SUM(node % 2) AS BIGINT) AS n_suppliers
 FROM (SELECT * FROM {pc} UNION ALL SELECT * FROM {ps})
 GROUP BY label
 ORDER BY n_members DESC, community ASC

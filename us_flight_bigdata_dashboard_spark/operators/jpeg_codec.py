@@ -402,6 +402,8 @@ def make_jpeg_decoder():
                         continue
                     if nxt == 0xD9:
                         break
+                    if nxt is None:
+                        raise ValueError("truncated scan: dangling 0xFF")
                     raise ValueError(f"unexpected marker FF{nxt:02x} in scan")
                 out.append(b[i])
                 i += 1
@@ -413,6 +415,8 @@ def make_jpeg_decoder():
                 self.pos = 0
 
             def bit(self):
+                if (self.pos >> 3) >= len(self.data):
+                    raise ValueError("truncated entropy data: bit stream exhausted")
                 byte = self.data[self.pos >> 3]
                 b = (byte >> (7 - (self.pos & 7))) & 1
                 self.pos += 1

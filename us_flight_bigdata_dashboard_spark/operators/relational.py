@@ -185,7 +185,14 @@ FROM lineitem
 # full precision; values sit ~1e-9 from integers, never near a rounding
 # boundary), everything else as its ISO/decimal string, identical on both
 # engines. Digest sums stay exact in DECIMAL(38,0) far past 1e11 rows
-# (2^60 · 1e11 ≈ 1e29 < 1e38).
+# (2^60 · 1e11 ≈ 1e29 < 1e38), then reduce mod 2^62 into BIGINT: the
+# driver canonicalizes through pandas, where a DECIMAL(38,0) result is
+# object-Decimal on Spark but float64 (lossy at ~1e22) on DuckDB — the
+# round-5 hash mismatches on all four roundtrip entries. The mod is taken
+# once on the exact total on BOTH engines, so the collision/fidelity
+# properties are unchanged and the result is int64-clean in pandas.
+
+_DIG_MOD = 2**62
 
 
 def _rt_digest(df: DataFrame) -> DataFrame:
@@ -199,9 +206,10 @@ def _rt_digest(df: DataFrame) -> DataFrame:
     )
 
     def dig(c: str):
-        return F.sum(
+        total = F.sum(
             F.conv(F.substring(F.md5(F.col(c)), 1, 15), 16, 10).cast("decimal(38,0)")
         )
+        return (total % F.lit(_DIG_MOD).cast("decimal(38,0)")).cast("bigint")
 
     return canon.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -217,7 +225,7 @@ def _sql_rt_digest() -> str:
     from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
 
     def dig(expr: str) -> str:
-        return f"SUM({_sql_hex_to_int(f'md5({expr})', 1, 15)})"
+        return f"CAST(SUM({_sql_hex_to_int(f'md5({expr})', 1, 15)}) % {_DIG_MOD} AS BIGINT)"
 
     return f"""
 WITH t AS (

@@ -276,7 +276,7 @@ WITH sized AS (
            - n_tokens AS start_offset
   FROM sized
 )
-SELECT doc_id, shard, n_tokens, start_offset,
+SELECT doc_id, shard, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
        CAST(shard AS BIGINT) * {2**32}
          + CAST(floor(CAST(start_offset AS DOUBLE) / {PACK_TARGET_TOKENS}) AS BIGINT) AS batch_id
 FROM packed
@@ -447,7 +447,7 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_IMPORTANCE_SAMPLE = f"""
-SELECT lang, n_total, n_kept,
+SELECT lang, n_total, CAST(n_kept AS BIGINT) AS n_kept,
        CAST(n_kept AS DOUBLE) / n_total AS kept_frac
 FROM (
   SELECT lang,
@@ -721,8 +721,8 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SHARD_MANIFEST = f"""
 SELECT {_sql_bucket()} % {N_SHARDS} AS shard_id,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
-       SUM(n_chars // 4) AS est_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars // 4) AS BIGINT) AS est_tokens,
        COUNT(DISTINCT lang) AS n_langs,
        MIN(doc_id) AS min_doc_id,
        MAX(doc_id) AS max_doc_id

@@ -783,10 +783,10 @@ WITH per_vec AS (
 SELECT label,
        COUNT(*) AS n_vecs,
        COUNT(DISTINCT dim) AS n_dims,
-       SUM(CASE WHEN vnorm = 0.0 THEN 1 ELSE 0 END) AS n_zero,
-       SUM(CASE WHEN NOT is_finite THEN 1 ELSE 0 END) AS n_nonfinite,
-       SUM(CASE WHEN vnorm < {NORM_LOW_X} * mean_norm THEN 1 ELSE 0 END) AS n_low_norm,
-       SUM(CASE WHEN vnorm > {NORM_HIGH_X} * mean_norm THEN 1 ELSE 0 END) AS n_high_norm
+       CAST(SUM(CASE WHEN vnorm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(SUM(CASE WHEN NOT is_finite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+       CAST(SUM(CASE WHEN vnorm < {NORM_LOW_X} * mean_norm THEN 1 ELSE 0 END) AS BIGINT) AS n_low_norm,
+       CAST(SUM(CASE WHEN vnorm > {NORM_HIGH_X} * mean_norm THEN 1 ELSE 0 END) AS BIGINT) AS n_high_norm
 FROM per_vec, m
 GROUP BY label
 ORDER BY label
@@ -889,7 +889,7 @@ scored AS (
   FROM bucketed a JOIN bucketed b USING (band, bucket)
   WHERE a.vec_id < b.vec_id
 )
-SELECT threshold, SUM(CASE WHEN cosine_sim >= threshold THEN 1 ELSE 0 END) AS n_pairs
+SELECT threshold, CAST(SUM(CASE WHEN cosine_sim >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
 FROM scored CROSS JOIN (VALUES {values}) v(threshold)
 GROUP BY threshold
 ORDER BY threshold
@@ -1079,7 +1079,7 @@ def _sql_embedding_quantize() -> str:
 SELECT vec_id,
        CAST({mn} AS DOUBLE) AS qmin,
        CAST({mx} AS DOUBLE) AS qmax,
-       list_sum(list_transform(embedding, x -> {code})) AS code_checksum,
+       CAST(list_sum(list_transform(embedding, x -> {code})) AS BIGINT) AS code_checksum,
        list_max(list_transform(embedding, x -> {err})) AS max_recon_err
 FROM embeddings
 """

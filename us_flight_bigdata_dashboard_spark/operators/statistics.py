@@ -291,7 +291,7 @@ SELECT CAST(SUM(CAST(floor(
          / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) * CAST(grand AS DOUBLE))
          * {float(_CHI_FP)}) AS DECIMAL(38,0))) AS DOUBLE) / {float(_CHI_FP)} AS chi_square,
        COUNT(*) AS n_cells,
-       MAX(grand) AS n_rows
+       CAST(MAX(grand) AS BIGINT) AS n_rows
 FROM marg
 """
 

@@ -471,7 +471,7 @@ _ORACLE_INTERVAL_OVERLAP_COUNTS = f"""
 WITH days AS (
   SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS c FROM lineitem GROUP BY 1
 )
-SELECT o_orderkey, COALESCE(SUM(c), 0) AS n_shipped_in_window
+SELECT o_orderkey, CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_shipped_in_window
 FROM orders LEFT JOIN days
   ON d >= CAST(o_orderdate AS DATE)
  AND d < CAST(o_orderdate AS DATE) + {OVERLAP_WINDOW_DAYS}

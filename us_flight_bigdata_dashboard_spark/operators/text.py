@@ -1597,7 +1597,7 @@ WITH t AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_shingles,
-       SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS n_novel,
+       CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
        CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS novelty
 FROM shingles JOIN first_owner USING (shingle)
@@ -1679,8 +1679,8 @@ toks AS (
 )
 SELECT bucket, bucket_tokens,
        COALESCE(new_types, 0) AS new_types,
-       SUM(bucket_tokens) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_tokens,
-       SUM(COALESCE(new_types, 0)) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_vocab
+       CAST(SUM(bucket_tokens) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
 FROM tok_vol LEFT JOIN first_occ USING (bucket)
 ORDER BY bucket
 """

@@ -578,10 +578,10 @@ WITH e AS (
 )
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN np >= {ZSCORE_MIN_N}
+       CAST(SUM(CASE WHEN np >= {ZSCORE_MIN_N}
                  AND (np * x - sp)::HUGEINT * (np * x - sp)
                      > 9::HUGEINT * (np * ssp - sp * sp)
-                THEN 1 ELSE 0 END) AS n_anomalies
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
 FROM w
 GROUP BY user_id
 """
