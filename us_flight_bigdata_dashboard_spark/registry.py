@@ -20,6 +20,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     decision,
     dedup,
     events,
+    flac_codec,
     graph,
     jpeg_codec,
     layout,
@@ -46,6 +47,7 @@ _MODULES = [
     events,
     multimodal,
     jpeg_codec,
+    flac_codec,
     advanced,
     breadth,
     mutation,
