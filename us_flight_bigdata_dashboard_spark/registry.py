@@ -21,6 +21,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     dedup,
     events,
     flac_codec,
+    gif_codec,
     graph,
     jpeg_codec,
     layout,
@@ -48,6 +49,7 @@ _MODULES = [
     multimodal,
     jpeg_codec,
     flac_codec,
+    gif_codec,
     advanced,
     breadth,
     mutation,
