@@ -140,6 +140,11 @@ HEADLINE = [
     # pure integer numpy — the heaviest per-record Python path, tracked
     # beside the PNG pair)
     "multimodal_jpeg_decode",
+    # round-6: the lossless compressed codecs (FLAC Rice-coded audio, GIF
+    # LZW image) — pure-Python bit-level loops in mapInPandas, tracked so
+    # per-record codec cost regressions surface
+    "multimodal_flac_decode",
+    "multimodal_gif_decode",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
