@@ -88,10 +88,15 @@ def make_gif_writer(pixel_fn=None, palette=None):
         import struct as _struct
 
         def lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+            # Hot path: int-keyed chain dict ((prefix_code<<8)|byte — root
+            # strings are implicit) + byte-accumulator LSB-first packing.
+            # A bytes-keyed dict with per-bit emission measured ~10× slower
+            # over the sf0.1 corpus (SCALE probe, round 6).
             clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
-            table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+            table: dict[int, int] = {}
             next_code, width = eoi + 1, min_code_size + 1
             acc, nbits, out = 0, 0, bytearray()
+            it = iter(data)
 
             def emit(code: int, w: int):
                 nonlocal acc, nbits
@@ -103,26 +108,25 @@ def make_gif_writer(pixel_fn=None, palette=None):
                     nbits -= 8
 
             emit(clear, width)
-            w_run = b""
-            for ch in data:
-                c = bytes([ch])
-                wc = w_run + c
-                if wc in table:
-                    w_run = wc
+            w_code = next(it)  # a root code == its byte value
+            for ch in it:
+                key = (w_code << 8) | ch
+                nxt = table.get(key)
+                if nxt is not None:
+                    w_code = nxt
                     continue
-                emit(table[w_run], width)
+                emit(w_code, width)
                 if next_code < 4096:
-                    table[wc] = next_code
+                    table[key] = next_code
                     next_code += 1
                     if next_code == (1 << width) and width < 12:
                         width += 1
                 else:  # table full → reset (classic, non-deferred)
                     emit(clear, width)
-                    table = {bytes([i]): i for i in range(clear)}
+                    table = {}
                     next_code, width = eoi + 1, min_code_size + 1
-                w_run = c
-            if w_run:
-                emit(table[w_run], width)
+                w_code = ch
+            emit(w_code, width)
             emit(eoi, width)
             if nbits:
                 out.append(acc & 0xFF)
@@ -175,18 +179,21 @@ def make_gif_decoder():
 
         def lzw_decode(comp: bytes, min_code_size: int, n_expected: int) -> bytes:
             clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
-            pos = 0  # bit position, LSB-first
+            # byte-accumulator LSB-first reader (per-bit loops measured ~10×
+            # slower over the sf0.1 corpus — SCALE probe, round 6)
+            acc, nbits, bi = 0, 0, 0
 
             def read(width: int) -> int:
-                nonlocal pos
-                end = pos + width
-                if (end + 7) // 8 > len(comp):
-                    raise ValueError("truncated LZW stream")
-                v = 0
-                for k in range(width):
-                    byte = comp[(pos + k) >> 3]
-                    v |= ((byte >> ((pos + k) & 7)) & 1) << k
-                pos = end
+                nonlocal acc, nbits, bi
+                while nbits < width:
+                    if bi >= len(comp):
+                        raise ValueError("truncated LZW stream")
+                    acc |= comp[bi] << nbits
+                    bi += 1
+                    nbits += 8
+                v = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
                 return v
 
             table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]

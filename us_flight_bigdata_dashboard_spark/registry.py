@@ -24,6 +24,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     gif_codec,
     graph,
     jpeg_codec,
+    mjpeg_codec,
     layout,
     multimodal,
     mutation,
@@ -50,6 +51,7 @@ _MODULES = [
     jpeg_codec,
     flac_codec,
     gif_codec,
+    mjpeg_codec,
     advanced,
     breadth,
     mutation,
