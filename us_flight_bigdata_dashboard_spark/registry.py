@@ -104,15 +104,16 @@ _FLAGSHIP_PREFIX = [
     "events_return_rate",
     "histogram_price",
     "join_size_estimate",
+    # --- round-6 flagships: the new compressed codecs (certify in-round) ---
+    "multimodal_flac_decode",
+    "multimodal_gif_decode",
+    "multimodal_mjpeg_decode",
     # --- never-certified: decision-support pack ---
     "order_priority_counts",
     "forecast_revenue_change",
     "product_type_profit",
     "important_stock_value",
     "customer_order_distribution",
-    "promo_revenue",
-    "parts_supplier_counts",
-    "large_volume_customer",
     # --- never-certified: text / sampling ---
     "quality_filter_rules",
     "source_overlap_matrix",
