@@ -443,8 +443,15 @@ def q_multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict. The oracle states the PCM generating formula directly —
     lossless means decode must reproduce it exactly, so any bit-level bug
     anywhere in the codec chain breaks the hash."""
-    media = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
+    # The testdata tables are single parquet files → one input partition →
+    # one codec task. Repartition the (tiny, ids-only) media frame so the
+    # per-record Python codec work actually fans out across cores — the
+    # ×16 scale probe measured the single-task version at 16× the wall
+    # time of this one.
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     flacs = media.mapInPandas(make_flac_writer(), FLAC_WRITE_SCHEMA)
     return flacs.mapInPandas(make_flac_decoder(), FLAC_DECODE_SCHEMA)

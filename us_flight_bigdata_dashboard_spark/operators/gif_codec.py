@@ -303,8 +303,12 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     variable-width LSB-first LZW + palette lookup. Lossless, so the oracle
     is the pixel generating formula; with the identity grayscale palette
     the ×1000 luminance of index i is exactly 1000·i."""
-    media = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
+    # single-file table → repartition the ids so the codec work fans out
+    # (see flac_codec.q_multimodal_flac_decode)
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     gifs = media.mapInPandas(make_gif_writer(), GIF_WRITE_SCHEMA)
     return gifs.mapInPandas(make_gif_decoder(), GIF_DECODE_SCHEMA)

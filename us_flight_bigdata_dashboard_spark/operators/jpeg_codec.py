@@ -530,8 +530,12 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH be byte-correct and arithmetic-exact for the hash to match. See
     the module docstring for why flat blocks make a lossy codec exactly
     verifiable."""
+    # single-file table → repartition the ids so the codec work fans out
+    # (see flac_codec.q_multimodal_flac_decode)
     docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(F.col("doc_id").alias("media_id"))
+    media = docs.select(F.col("doc_id").alias("media_id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     jpegs = media.mapInPandas(make_jpeg_writer(JPEG_W, JPEG_H), _WRITER_SCHEMA)
     return jpegs.mapInPandas(make_jpeg_decoder(), JPEG_DECODE_SCHEMA)
 

@@ -276,8 +276,12 @@ def q_multimodal_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decoder re-derives every frame through container walk + JPEG
     decode. One output row per frame — the frame-extraction access pattern
     of video pretraining, now over a compressed container."""
-    media = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
+    # single-file table → repartition the ids so the codec work fans out
+    # (see flac_codec.q_multimodal_flac_decode)
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     avis = media.mapInPandas(make_mjpeg_writer(), MJPEG_WRITE_SCHEMA)
     return avis.mapInPandas(make_mjpeg_decoder(), MJPEG_DECODE_SCHEMA)
