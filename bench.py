@@ -145,6 +145,9 @@ HEADLINE = [
     # per-record codec cost regressions surface
     "multimodal_flac_decode",
     "multimodal_gif_decode",
+    # round-6: the state-API-v2-shaped streak processor (v1 fallback in
+    # this runtime) — newest stateful-replay machinery, tracked
+    "streaming_streaks_replay",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

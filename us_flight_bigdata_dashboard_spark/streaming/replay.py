@@ -695,7 +695,64 @@ FROM (
 """
 
 
+def q_streaming_streaks_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state-API-v2 processor (transformWithStateInPandas + ValueState,
+    streaming/streaks.py) under the exact gate: per-user longest/current
+    consecutive-same-type streak, folded per micro-batch over the
+    ts-range-ordered replay (batch order = event-time order; the worker
+    sorts within the batch). The memory sink accumulates one update row
+    per (user, batch); the final state is the row with the highest
+    n_events — strictly increasing per user. All-integer outputs; the
+    oracle derives the same streaks by gaps-and-islands (double
+    row_number difference), machinery the processor shares nothing with."""
+    from pyspark.sql import Window as W
+
+    from us_flight_bigdata_dashboard_spark.streaming.streaks import streaming_streaks
+
+    src = _stage_events_ts_ordered(spark, sf_dir)
+    updates = _replay(
+        spark,
+        src,
+        lambda s: streaming_streaks(_event_time(s)),
+        mode="update",
+    )
+    rk = F.row_number().over(W.partitionBy("user_id").orderBy(F.desc("n_events")))
+    return (
+        updates.withColumn("_rk", rk)
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "n_events", "best_streak", "cur_streak")
+    )
+
+
+_ORACLE_STREAMING_STREAKS = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+), o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rnt
+  FROM e
+), isl AS (
+  SELECT user_id, event_type, rn - rnt AS grp,
+         COUNT(*) AS len, MAX(rn) AS max_rn
+  FROM o GROUP BY 1, 2, 3
+), per_user AS (
+  SELECT user_id, MAX(max_rn) AS n_events, MAX(len) AS best_streak
+  FROM isl GROUP BY user_id
+)
+SELECT p.user_id,
+       CAST(p.n_events AS BIGINT) AS n_events,
+       CAST(p.best_streak AS BIGINT) AS best_streak,
+       CAST(i.len AS BIGINT) AS cur_streak
+FROM per_user p
+JOIN isl i ON i.user_id = p.user_id AND i.max_rn = p.n_events
+"""
+
+
 QUERIES = {
+    "streaming_streaks_replay": q_streaming_streaks_replay,
     "streaming_tumbling_replay": q_streaming_tumbling_replay,
     "streaming_dedup_replay": q_streaming_dedup_replay,
     "streaming_interval_join_replay": q_streaming_interval_join_replay,
@@ -710,6 +767,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_streaks_replay": _ORACLE_STREAMING_STREAKS,
     "streaming_tumbling_replay": _ORACLE_STREAMING_TUMBLING,
     "streaming_dedup_replay": _ORACLE_STREAMING_DEDUP,
     "streaming_interval_join_replay": _ORACLE_STREAMING_INTERVAL_JOIN,
