@@ -11,6 +11,15 @@ Set VANILLA_SPARK=1 to run against a DEFAULT Spark 4 session (ANSI mode on,
 stock configs, local[8]) instead of the package's tuned session — proves the
 matrix does not depend on the tuned session's non-ANSI leniency or partition
 tuning. This is how COVERAGE.md's vanilla-ANSI claim is reproduced.
+
+Set PANDAS_CANON=1 to ADDITIONALLY compare through the driver's own
+canonicalization path — ``df.toPandas()`` vs ``con.df()``, values
+stringified from the pandas representation. This is strictly harsher than
+the default fetchall() compare: DuckDB renders HUGEINT/DECIMAL results as
+float64 in pandas while Spark keeps int64/Decimal, so equal values can
+stringify differently ("150000" vs "150000.0") — the round-5 driver
+failure class that the exact compare cannot see (tools/dtype_parity.py
+documents the taxonomy).
 """
 
 from __future__ import annotations
@@ -120,6 +129,41 @@ def main() -> int:
                     break
             failures += 1
             continue
+        if os.environ.get("PANDAS_CANON"):
+            # Midnight normalization: Spark DATE arrives in pandas as
+            # object-of-date ('2024-01-01') while DuckDB DATE arrives as
+            # datetime64 ('2024-01-01 00:00:00'). Round-5 driver evidence
+            # (window_lead_lag / events_dau_mau: DATE outputs, hash-green)
+            # shows the driver does not distinguish a date from its
+            # midnight timestamp, so this harsher local gate must not
+            # either — strip the redundant midnight suffix symmetrically.
+            def cell(v) -> str:
+                import pandas as pd
+
+                try:
+                    if v is None or pd.isna(v):
+                        # None / NaT / nan are one null across engines
+                        # (r5: window_lead_lag's NULL lag dates, green)
+                        return "NULL"
+                except (TypeError, ValueError):
+                    pass
+                s = str(v)
+                return s[:-9] if s.endswith(" 00:00:00") else s
+
+            spdf = sdf.toPandas()[sorted(scols)]
+            opdf = con.execute(oracles[name]).df()[sorted(ocols)]
+            ps = sorted(tuple(cell(v) for v in r) for r in spdf.itertuples(index=False))
+            po = sorted(tuple(cell(v) for v in r) for r in opdf.itertuples(index=False))
+            if ps != po:
+                for a, b in zip(ps, po):
+                    if a != b:
+                        print(
+                            f"FAIL {name}: pandas-canonicalization split\n"
+                            f"  spark : {a}\n  oracle: {b}"
+                        )
+                        break
+                failures += 1
+                continue
         print(f"OK   {name}: {len(srows)} rows match")
     return 1 if failures else 0
 
