@@ -21,6 +21,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     dedup,
     events,
     flac_codec,
+    g711_codec,
     gif_codec,
     graph,
     jpeg_codec,
@@ -52,6 +53,7 @@ _MODULES = [
     flac_codec,
     gif_codec,
     mjpeg_codec,
+    g711_codec,
     advanced,
     breadth,
     mutation,
