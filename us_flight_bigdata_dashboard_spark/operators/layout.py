@@ -291,14 +291,113 @@ GROUP BY source, bin_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Parquet footer layout statistics (per-column encoding effectiveness)
+# ---------------------------------------------------------------------------
+
+# Fixed staging path so the STATIC oracle SQL can reference the same file
+# the Spark side wrote — the same staged-artifact pattern as the format
+# roundtrips (operators/relational.py). Overwritten per process.
+_LAYOUT_STAGE = "/tmp/sg_layout_stats_stage"
+
+LAYOUT_STATS_SCHEMA = (
+    "column_name string, n_chunks bigint, n_values bigint, "
+    "compressed_bytes bigint, uncompressed_bytes bigint"
+)
+
+
+def q_parquet_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column parquet layout statistics — the `OPTIMIZE`-time question
+    "which columns actually compress, and where do the bytes live?":
+    for every column of a freshly written lineitem projection, the number
+    of column chunks, value count, and compressed/uncompressed byte totals
+    read from the REAL parquet footers (pyarrow metadata walk inside a
+    mapInPandas worker — one task per file, the shape that scans a
+    100k-file table's footers in parallel without touching data pages).
+
+    The oracle reads the SAME footers through DuckDB's independent
+    ``parquet_metadata()`` implementation — two parsers over one physical
+    artifact, so a wrong chunk walk, missed row group, or size-field mixup
+    on either side breaks the hash. The compression ratio itself is left
+    to the reader (one division) to keep the gate integer-exact."""
+    import shutil
+
+    shutil.rmtree(_LAYOUT_STAGE, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_partkey", "l_quantity",
+            "l_extendedprice", "l_shipdate", "l_returnflag",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_LAYOUT_STAGE)
+    )
+
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{_LAYOUT_STAGE}/part-*.parquet"))
+    paths = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        max(len(files), 1)
+    )
+
+    def footer_walk(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "column_name", "n_chunks", "n_values",
+                "compressed_bytes", "uncompressed_bytes",
+            )}
+            for path in pdf["path"]:
+                meta = pq.ParquetFile(path).metadata
+                for rg in range(meta.num_row_groups):
+                    row_group = meta.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        out["column_name"].append(col.path_in_schema)
+                        out["n_chunks"].append(1)
+                        out["n_values"].append(col.num_values)
+                        out["compressed_bytes"].append(col.total_compressed_size)
+                        out["uncompressed_bytes"].append(col.total_uncompressed_size)
+            yield pd.DataFrame(out)
+
+    return (
+        paths.mapInPandas(footer_walk, LAYOUT_STATS_SCHEMA)
+        .groupBy("column_name")
+        .agg(
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_values").alias("n_values"),
+            F.sum("compressed_bytes").alias("compressed_bytes"),
+            F.sum("uncompressed_bytes").alias("uncompressed_bytes"),
+        )
+        .orderBy("column_name")
+    )
+
+
+_ORACLE_PARQUET_LAYOUT_STATS = f"""
+SELECT path_in_schema AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(num_values) AS BIGINT) AS n_values,
+       CAST(SUM(total_compressed_size) AS BIGINT) AS compressed_bytes,
+       CAST(SUM(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes
+FROM parquet_metadata('{_LAYOUT_STAGE}/part-*.parquet')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "zorder_cluster": q_zorder_cluster,
     "compaction_plan": q_compaction_plan,
+    "parquet_layout_stats": q_parquet_layout_stats,
 }
 
 ORACLE = {
     "bloom_semi_join": _sql_bloom(),
     "zorder_cluster": _sql_zorder(),
     "compaction_plan": _ORACLE_COMPACTION_PLAN,
+    "parquet_layout_stats": _ORACLE_PARQUET_LAYOUT_STATS,
 }
