@@ -33,6 +33,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     sampling,
     similarity,
     statistics,
+    tar_shards,
     temporal,
     text,
 )
@@ -57,6 +58,7 @@ _MODULES = [
     advanced,
     breadth,
     mutation,
+    tar_shards,
     audit,
     layout,
     graph,
