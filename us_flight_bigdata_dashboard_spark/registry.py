@@ -36,6 +36,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     tar_shards,
     temporal,
     text,
+    zip_archive,
 )
 from us_flight_bigdata_dashboard_spark.streaming import replay
 
@@ -59,6 +60,7 @@ _MODULES = [
     breadth,
     mutation,
     tar_shards,
+    zip_archive,
     audit,
     layout,
     graph,
