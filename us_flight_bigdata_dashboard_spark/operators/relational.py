@@ -291,6 +291,54 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SCAN_ORC_ROUNDTRIP = _sql_rt_digest()
 
 
+def q_scan_parquet_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet re-written under ZSTD — the lakehouse-default codec swap
+    (snappy→zstd is the standard storage-cost lever; Spark 4 bundles the
+    zstd-jni codec natively). Same digest gate as the other roundtrips:
+    every value must survive the snappy-parquet → zstd-parquet → scan
+    chain, proving codec-swap fidelity rather than just non-crashing.
+    Predicate pushdown/pruning behavior is identical to any parquet scan —
+    the codec only changes page encoding, never the reader contract."""
+    import atexit
+    import shutil
+    import tempfile
+
+    cache = getattr(q_scan_parquet_zstd_roundtrip, "_staged", None)
+    if cache is None:
+        cache = q_scan_parquet_zstd_roundtrip._staged = {}
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in cache.values()]
+        )
+    if sf_dir not in cache:
+        out = tempfile.mkdtemp(prefix="pq_zstd_roundtrip_")
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_returnflag"
+        ).write.mode("overwrite").option("compression", "zstd").parquet(out)
+        # the staged files must actually BE zstd-compressed, not silently
+        # fall back — assert the column-chunk codec from the footer
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        f = sorted(_glob.glob(f"{out}/part-*.parquet"))[0]
+        codec = _pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+        if codec.upper() != "ZSTD":
+            raise RuntimeError(f"staged parquet codec is {codec}, not ZSTD")
+        cache[sf_dir] = out
+    return _rt_digest(
+        spark.read.parquet(cache[sf_dir]).select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.col("l_extendedprice").alias("price"),
+            "l_returnflag",
+        )
+    )
+
+
+_ORACLE_SCAN_PARQUET_ZSTD_ROUNDTRIP = _sql_rt_digest()
+
+
 def q_scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink roundtrip under the exact gate — the
     interchange format every ingestion pipeline meets. The fear with JSON
@@ -1366,6 +1414,7 @@ QUERIES = {
     "nation_volume_shipping": q_nation_volume_shipping,
     "scan_project_cast": q_scan_project_cast,
     "scan_orc_roundtrip": q_scan_orc_roundtrip,
+    "scan_parquet_zstd_roundtrip": q_scan_parquet_zstd_roundtrip,
     "scan_jsonl_roundtrip": q_scan_jsonl_roundtrip,
     "scan_jsonl_gzip_roundtrip": q_scan_jsonl_gzip_roundtrip,
     "scan_csv_roundtrip": q_scan_csv_roundtrip,
@@ -1401,6 +1450,7 @@ ORACLE = {
     "nation_volume_shipping": _ORACLE_NATION_VOLUME_SHIPPING,
     "scan_project_cast": _ORACLE_SCAN_PROJECT_CAST,
     "scan_orc_roundtrip": _ORACLE_SCAN_ORC_ROUNDTRIP,
+    "scan_parquet_zstd_roundtrip": _ORACLE_SCAN_PARQUET_ZSTD_ROUNDTRIP,
     "scan_jsonl_roundtrip": _ORACLE_SCAN_JSONL_ROUNDTRIP,
     "scan_jsonl_gzip_roundtrip": _ORACLE_SCAN_JSONL_GZIP_ROUNDTRIP,
     "scan_csv_roundtrip": _ORACLE_SCAN_CSV_ROUNDTRIP,
