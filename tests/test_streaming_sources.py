@@ -136,3 +136,44 @@ def test_wire_format_roundtrip(spark):
     assert parsed[0]["value"] == 3.5
     assert parsed[0]["props"] == '{"k":1}'
     assert parsed[1]["ts"] is None and parsed[1]["value"] is None
+
+
+def test_rate_source_drives_stateful_streaks_live(spark):
+    """The seam end-to-end with STATE: the built-in rate transport feeding
+    the streak processor in a genuinely live (processing-time) query —
+    canonical schema in, per-user streak state out, no external service."""
+    from us_flight_bigdata_dashboard_spark.streaming.streaks import (
+        streaming_streaks,
+    )
+
+    stream = open_stream(spark, "rate", rows_per_second=300, num_partitions=2)
+    q = (
+        streaming_streaks(stream, api="v1")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("src_rate_streaks")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table("src_rate_streaks").collect()
+            if len(rows) >= 20:
+                break
+            time.sleep(0.3)
+        assert len(rows) >= 20, "live stateful query produced too few updates"
+    finally:
+        q.stop()
+    # rate events cycle event types per user (user_id = event_id % 97,
+    # type = event_id % 4): consecutive same-type runs require event_id
+    # steps of 97·k with k ≡ 0 (mod 4) — rare in a short window, so best
+    # streaks stay small while n_events grows: sanity both.
+    best = {}
+    for r in rows:
+        cur = best.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            best[r["user_id"]] = r
+    assert sum(r["n_events"] for r in best.values()) >= 50
+    assert all(r["best_streak"] >= 1 and r["cur_streak"] >= 1 for r in best.values())
