@@ -1686,6 +1686,49 @@ ORDER BY bucket
 """
 
 
+
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-harness reduction over the language-ID predictions: a
+    (true lang × predicted lang) confusion matrix with each cell's share
+    of its true-language row — the per-class recall diagonal and the
+    error structure off it. This is the standard acceptance gate before
+    trusting any heuristic classifier's output as a training-data filter:
+    accuracy alone hides which languages bleed into which.
+
+    Plan: the per-doc prediction pipeline (one scan, stack-unpivot,
+    per-doc argmax window) reduced by ONE tiny hash agg keyed on the
+    (true, pred) pair — |langs|² cells, so everything after the scan is
+    bytes. share = cell / true-language total via a window over the cell
+    table (≤ dozens of rows)."""
+    preds = q_text_langid(spark, sf_dir)
+    cells = preds.groupBy("lang_meta", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang_meta")
+    return (
+        cells.withColumn(
+            "share_of_true",
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"),
+        )
+        .orderBy("lang_meta", "pred_lang")
+    )
+
+
+def _sql_langid_confusion() -> str:
+    return f"""
+WITH preds AS ({_sql_langid()}),
+cells AS (
+  SELECT lang_meta, pred_lang, COUNT(*) AS n
+  FROM preds GROUP BY 1, 2
+)
+SELECT lang_meta, pred_lang, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY lang_meta) AS DOUBLE) AS share_of_true
+FROM cells
+ORDER BY lang_meta, pred_lang
+"""
+
+
 QUERIES = {
     "text_ngram_novelty": q_text_ngram_novelty,
     "vocab_growth_curve": q_vocab_growth_curve,
@@ -1694,6 +1737,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "quality_filter_rules": q_quality_filter_rules,
     "text_langid": q_text_langid,
+    "text_langid_confusion": q_text_langid_confusion,
     "text_fingerprint": q_text_fingerprint,
     "text_pii_redact": q_text_pii_redact,
     "text_tfidf_topk": q_text_tfidf_topk,
@@ -1718,6 +1762,7 @@ ORACLE = {
     "text_quality": _ORACLE_TEXT_QUALITY,
     "quality_filter_rules": _sql_quality_filter_rules(),
     "text_langid": _sql_langid(),
+    "text_langid_confusion": _sql_langid_confusion(),
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
     "text_pii_redact": _ORACLE_TEXT_PII_REDACT,
     "text_tfidf_topk": _ORACLE_TEXT_TFIDF_TOPK,
