@@ -430,6 +430,90 @@ def q_scan_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SCAN_JSONL_GZIP_ROUNDTRIP = _ORACLE_SCAN_ORC_ROUNDTRIP
 
 
+def q_scan_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted/multiline CSV fidelity — the dialect corner the plain
+    roundtrip can't reach: free TEXT with embedded newlines, quotes, and
+    commas written under RFC-4180 quoting and read back with
+    ``multiLine=true``. This is the classic CSV failure mode for document
+    corpora (a naive reader splits records at embedded newlines and the
+    corpus silently shreds); the gate digests doc_id + the text itself
+    against the parquet oracle, so quoting, escaping, and multiline
+    record assembly must all be exact.
+
+    Scale note, stated because it matters: ``multiLine=true`` makes each
+    CSV FILE unsplittable (records can span arbitrary byte ranges), so
+    parallelism = file count — which the writer controls (repartition
+    before write). That trade is why columnar/JSONL is preferred for
+    document payloads at 100 TB; this entry exists to prove the dialect
+    is handled, not to recommend it."""
+    import atexit
+    import shutil
+    import tempfile
+
+    cache = getattr(q_scan_csv_quoted_roundtrip, "_staged", None)
+    if cache is None:
+        cache = q_scan_csv_quoted_roundtrip._staged = {}
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in cache.values()]
+        )
+    if sf_dir not in cache:
+        out = tempfile.mkdtemp(prefix="csvq_roundtrip_")
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            # force the hard dialect: every payload carries newline, quote,
+            # and comma characters IN ADDITION to the corpus text
+            .withColumn(
+                "text",
+                F.concat(F.lit('a,"b"\nc:'), F.col("text"), F.lit('\n"end"')),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("quoteAll", True)
+            .csv(out)
+        )
+        cache[sf_dir] = out
+    back = (
+        spark.read.schema("doc_id long, text string")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(cache[sf_dir])
+    )
+
+    def dig(c):
+        total = F.sum(
+            F.conv(F.substring(F.md5(F.col(c)), 1, 15), 16, 10).cast("decimal(38,0)")
+        )
+        return (total % F.lit(_DIG_MOD).cast("decimal(38,0)")).cast("bigint")
+
+    return back.select(
+        F.col("doc_id").cast("string").alias("s_id"), "text"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dig("s_id").alias("h_id"),
+        dig("text").alias("h_text"),
+    )
+
+
+def _sql_csv_quoted() -> str:
+    from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
+
+    def dig(expr: str) -> str:
+        return f"CAST(SUM({_sql_hex_to_int(f'md5({expr})', 1, 15)}) % {_DIG_MOD} AS BIGINT)"
+
+    wrapped = "'a,\"b\"' || chr(10) || 'c:' || text || chr(10) || '\"end\"'"
+    return f"""
+SELECT COUNT(*) AS n_rows,
+       {dig("CAST(doc_id AS VARCHAR)")} AS h_id,
+       {dig(wrapped)} AS h_text
+FROM documents
+"""
+
+
+_ORACLE_SCAN_CSV_QUOTED_ROUNDTRIP = _sql_csv_quoted()
+
+
 def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source/sink roundtrip under the exact gate — the reference's
     native interchange format (S1/S6: its entire pipeline is CSV-in,
@@ -1415,6 +1499,7 @@ QUERIES = {
     "scan_project_cast": q_scan_project_cast,
     "scan_orc_roundtrip": q_scan_orc_roundtrip,
     "scan_parquet_zstd_roundtrip": q_scan_parquet_zstd_roundtrip,
+    "scan_csv_quoted_roundtrip": q_scan_csv_quoted_roundtrip,
     "scan_jsonl_roundtrip": q_scan_jsonl_roundtrip,
     "scan_jsonl_gzip_roundtrip": q_scan_jsonl_gzip_roundtrip,
     "scan_csv_roundtrip": q_scan_csv_roundtrip,
@@ -1451,6 +1536,7 @@ ORACLE = {
     "scan_project_cast": _ORACLE_SCAN_PROJECT_CAST,
     "scan_orc_roundtrip": _ORACLE_SCAN_ORC_ROUNDTRIP,
     "scan_parquet_zstd_roundtrip": _ORACLE_SCAN_PARQUET_ZSTD_ROUNDTRIP,
+    "scan_csv_quoted_roundtrip": _ORACLE_SCAN_CSV_QUOTED_ROUNDTRIP,
     "scan_jsonl_roundtrip": _ORACLE_SCAN_JSONL_ROUNDTRIP,
     "scan_jsonl_gzip_roundtrip": _ORACLE_SCAN_JSONL_GZIP_ROUNDTRIP,
     "scan_csv_roundtrip": _ORACLE_SCAN_CSV_ROUNDTRIP,
