@@ -79,6 +79,28 @@ _MODULES = [
 # same dtype audit flagged and fixed. The full matrix is additionally
 # verified by ``tools/check_oracle.py``. Entries after the flagship block
 # run in stable module order.
+#
+# ROUND-7 ROTATION PLAN: assuming this block goes green, exactly 47
+# entries remain never-driver-certified — they fit ONE final 50-prefix
+# (47 + 3 sentinels), after which the ENTIRE matrix has driver-green
+# history: scan_parquet_zstd_roundtrip, scan_csv_quoted_roundtrip,
+# promo_revenue, parts_supplier_counts, large_volume_customer,
+# discounted_revenue_disjunctive, potential_part_promotion,
+# global_sales_opportunity, text_langid_confusion,
+# streaming_streaks_replay, streaming_ewma_replay,
+# streaming_funnel_replay, multimodal_curation_join,
+# embedding_outlier_detect, events_gap_fill, events_zscore_anomaly,
+# events_transitions, events_max_concurrency, events_attribution,
+# events_wau_rolling, events_cohort_ltv, events_attribution_linear,
+# multimodal_video_decode, multimodal_frame_sample,
+# multimodal_audio_chunks, multimodal_plumbing_stub,
+# multimodal_g711_decode, window_first_last, skew_profile,
+# winsorize_clip, histogram_equifreq, approx_distinct,
+# global_rank_bucketed, exact_quantiles_bucketed, array_agg_sorted,
+# window_ntile_ranks, window_running_sum, schema_evolution,
+# takedown_propagation, webdataset_tar_roundtrip, zip_archive_roundtrip,
+# table_stats, compaction_plan, parquet_layout_stats,
+# graph_supplier_similarity, basket_rules, target_encode_smoothed.
 _FLAGSHIP_PREFIX = [
     # --- sentinels (long-certified; regression watch) ---
     "star_join_agg",
