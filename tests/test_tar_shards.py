@@ -105,3 +105,31 @@ def test_spark_end_to_end_all_docs_once(spark):
     assert len(ids) == want
     assert all(r["meta_ok"] for r in rows)
     assert all(r["shard"] == r["doc_id"] % TS.TAR_SHARDS for r in rows)
+
+
+def test_curation_to_shards_receipt_detects_stage_faults(spark):
+    """The capstone receipt must move when any stage moves: baseline at
+    sf0.001 equals the independently computed expectation, and the
+    filter/dedup stages demonstrably dropped rows."""
+    from us_flight_bigdata_dashboard_spark.operators.tar_shards import (
+        CURATE_MAX_CHARS,
+        CURATE_MIN_CHARS,
+        q_curation_to_shards,
+    )
+    from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+    rows = q_curation_to_shards(spark, "/root/testdata/sf0.001").collect()
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n_all = docs.count()
+    import pyspark.sql.functions as F
+
+    kept = docs.filter(
+        (F.col("n_chars") >= CURATE_MIN_CHARS)
+        & (F.col("n_chars") <= CURATE_MAX_CHARS)
+    )
+    n_kept = kept.count()
+    n_dedup = kept.select(F.md5("text")).distinct().count()
+    assert n_kept < n_all  # the filter stage really filtered
+    total = sum(r["n_docs"] for r in rows)
+    assert total == n_dedup  # receipt count == post-dedup count
+    assert all(r["digest_sum"] >= 0 for r in rows)

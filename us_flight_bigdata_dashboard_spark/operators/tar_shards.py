@@ -183,10 +183,89 @@ FROM documents
 """
 
 
+CURATE_MIN_CHARS, CURATE_MAX_CHARS = 200, 20000
+_DIGSUM_MOD = 2**62
+
+
+def q_curation_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed export pipeline, end-to-end THROUGH the container:
+    quality filter (size band) → exact dedup (min doc_id per md5(text))
+    → shard assignment → REAL tar packing → full parse-back → per-shard
+    receipt (doc count, char total, order-insensitive digest sum). This
+    is the artifact a training run actually consumes, verified as one
+    chain: a document dropped/duplicated/corrupted at ANY stage — filter,
+    dedup window, shard routing, tar packing, or tar parsing — flips the
+    receipt, and the oracle recomputes it from the raw table alone.
+
+    Plan: one scan + one md5-keyed window (dedup) + one shard shuffle for
+    packing; the parse-back is per-shard parallel; the receipt is a tiny
+    agg. The digest sum accumulates 60-bit member digests exactly in
+    DECIMAL(38,0) and reduces mod 2^62 into BIGINT (the driver-safe
+    digest pattern — see operators/relational._rt_digest)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        (F.col("n_chars") >= CURATE_MIN_CHARS)
+        & (F.col("n_chars") <= CURATE_MAX_CHARS)
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id", "text", "lang", "source",
+            (F.col("doc_id") % TAR_SHARDS).alias("shard"),
+        )
+    )
+    tars = deduped.groupBy("shard").applyInPandas(make_tar_packer(), TAR_PACK_SCHEMA)
+    perdoc = tars.mapInPandas(make_tar_reader(), TAR_READ_SCHEMA)
+    digsum = (
+        F.sum(F.col("digest").cast("decimal(38,0)"))
+        % F.lit(_DIGSUM_MOD).cast("decimal(38,0)")
+    ).cast("bigint")
+    return (
+        perdoc.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            digsum.alias("digest_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _sql_curation_to_shards() -> str:
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text
+  FROM documents
+  WHERE n_chars BETWEEN {CURATE_MIN_CHARS} AND {CURATE_MAX_CHARS}
+), deduped AS (
+  SELECT doc_id, text
+  FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT doc_id % {TAR_SHARDS} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM({_sql_hex_to_int("md5(text)", 1, 15)}) % {_DIGSUM_MOD} AS BIGINT)
+         AS digest_sum
+FROM deduped
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "webdataset_tar_roundtrip": q_webdataset_tar_roundtrip,
+    "curation_to_shards": q_curation_to_shards,
 }
 
 ORACLE = {
     "webdataset_tar_roundtrip": _sql_webdataset_tar(),
+    "curation_to_shards": _sql_curation_to_shards(),
 }
