@@ -80,10 +80,10 @@ _MODULES = [
 # verified by ``tools/check_oracle.py``. Entries after the flagship block
 # run in stable module order.
 #
-# ROUND-7 ROTATION PLAN: assuming this block goes green, exactly 47
+# ROUND-7 ROTATION PLAN: assuming this block goes green, exactly 48
 # entries remain never-driver-certified — they fit ONE final 50-prefix
-# (47 + 3 sentinels), after which the ENTIRE matrix has driver-green
-# history: scan_parquet_zstd_roundtrip, scan_csv_quoted_roundtrip,
+# (48 + 2 sentinels), after which the ENTIRE matrix has driver-green
+# history: curation_to_shards, scan_parquet_zstd_roundtrip, scan_csv_quoted_roundtrip,
 # promo_revenue, parts_supplier_counts, large_volume_customer,
 # discounted_revenue_disjunctive, potential_part_promotion,
 # global_sales_opportunity, text_langid_confusion,
