@@ -195,7 +195,15 @@ def make_g711_decoder():
                 "sum_decoded", "sum_sq_decoded",
             )}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, n, s, ss = decode_one(bytes(payload))
+                # decode error boundary (fuzz-enforced)
+                try:
+                    rate, n, s, ss = decode_one(bytes(payload))
+                except ValueError:
+                    raise
+                except (IndexError, KeyError, TypeError, OverflowError, _struct.error) as e:
+                    raise ValueError(
+                        f"corrupt mu-law WAV payload: {type(e).__name__}: {e}"
+                    ) from e
                 out["media_id"].append(int(mid))
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(n)

@@ -285,7 +285,16 @@ def make_gif_decoder():
                 "media_id", "width", "height", "n_pixels", "sum_lum", "sum_sq",
             )}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                iw, ih, n, sl, ss = decode_one(bytes(payload))
+                # decode error boundary (fuzz-enforced): corrupt bytes →
+                # diagnosable ValueError, never internal IndexError etc.
+                try:
+                    iw, ih, n, sl, ss = decode_one(bytes(payload))
+                except ValueError:
+                    raise
+                except (IndexError, KeyError, TypeError, OverflowError, _struct.error) as e:
+                    raise ValueError(
+                        f"corrupt GIF payload: {type(e).__name__}: {e}"
+                    ) from e
                 out["media_id"].append(int(mid))
                 out["width"].append(iw)
                 out["height"].append(ih)

@@ -446,8 +446,7 @@ def make_jpeg_decoder():
                 k: []
                 for k in ("media_id", "width", "height", "n_blocks", "sum_lum")
             }
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload)
+            def decode_one(b: bytes):
                 (w, h, comp_q), qt, huff, dc_id, ac_id, scan_at = parse(b)
                 Q = _np.array(qt[comp_q], dtype=_np.int64).reshape(8, 8)
                 dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
@@ -484,12 +483,26 @@ def make_jpeg_decoder():
                         img[
                             blk_r * 8 : blk_r * 8 + 8, blk_c * 8 : blk_c * 8 + 8
                         ] = _np.clip(blk, 0, 255)
-                img = img[:h, :w]
+                return w, h, bw_ * bh_, int(img[:h, :w].sum())
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # decode error boundary: corrupt bytes must surface as a
+                # diagnosable ValueError, never an internal IndexError/
+                # KeyError/TypeError/struct.error (fuzz-enforced by
+                # tests/test_codec_fuzz.py)
+                try:
+                    w, h, nblk, sl = decode_one(bytes(payload))
+                except ValueError:
+                    raise
+                except (IndexError, KeyError, TypeError, OverflowError, struct.error) as e:
+                    raise ValueError(
+                        f"corrupt JPEG payload: {type(e).__name__}: {e}"
+                    ) from e
                 out["media_id"].append(int(mid))
                 out["width"].append(int(w))
                 out["height"].append(int(h))
-                out["n_blocks"].append(int(bw_ * bh_))
-                out["sum_lum"].append(int(img.sum()))
+                out["n_blocks"].append(int(nblk))
+                out["sum_lum"].append(sl)
             yield _pd.DataFrame(out)
 
     # Constants the closure needs, bound as defaults-by-value so cloudpickle

@@ -235,7 +235,17 @@ def make_mjpeg_decoder():
         for pdf in batches:
             rows_mid, rows_fi, payloads = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames = parse_avi(bytes(payload))
+                # decode error boundary (fuzz-enforced): the container
+                # walk and the per-frame JPEG decode below both surface
+                # corrupt bytes as diagnosable ValueErrors only
+                try:
+                    frames = parse_avi(bytes(payload))
+                except ValueError:
+                    raise
+                except (IndexError, KeyError, TypeError, OverflowError, _struct.error) as e:
+                    raise ValueError(
+                        f"corrupt AVI payload: {type(e).__name__}: {e}"
+                    ) from e
                 for fi, fb in enumerate(frames):
                     rows_mid.append(int(mid))
                     rows_fi.append(fi)

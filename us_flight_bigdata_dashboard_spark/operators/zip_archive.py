@@ -159,7 +159,21 @@ def make_zip_reader():
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "bundle", "n_chars", "digest", "crc_ok")}
             for bundle, payload in zip(pdf["bundle"], pdf["payload"]):
-                for name, raw, crc_ok in parse(bytes(payload)):
+                # decode error boundary (fuzz-enforced): zlib.error on a
+                # corrupt DEFLATE stream, struct.error on a truncated
+                # header, etc. all normalize to diagnosable ValueErrors
+                try:
+                    members = parse(bytes(payload))
+                except ValueError:
+                    raise
+                except (
+                    IndexError, KeyError, TypeError, OverflowError,
+                    _struct.error, _zlib.error, UnicodeDecodeError,
+                ) as e:
+                    raise ValueError(
+                        f"corrupt ZIP payload: {type(e).__name__}: {e}"
+                    ) from e
+                for name, raw, crc_ok in members:
                     out["doc_id"].append(int(name[:-4]))
                     out["bundle"].append(int(bundle))
                     # errors="replace": a CRC-failed member may not be valid
