@@ -101,6 +101,8 @@ _MODULES = [
 # takedown_propagation, webdataset_tar_roundtrip, zip_archive_roundtrip,
 # table_stats, compaction_plan, parquet_layout_stats,
 # graph_supplier_similarity, basket_rules, target_encode_smoothed.
+# All 48 ALREADY pass the exact gate, the PANDAS_CANON driver-sim, and
+# the dtype-parity audit at sf0.01 (round-6 pre-clearance runs).
 _FLAGSHIP_PREFIX = [
     # --- sentinels (long-certified; regression watch) ---
     "star_join_agg",
