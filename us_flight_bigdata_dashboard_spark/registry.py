@@ -36,6 +36,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     tar_shards,
     temporal,
     text,
+    tsblock_codec,
     zip_archive,
 )
 from us_flight_bigdata_dashboard_spark.streaming import replay
@@ -61,6 +62,7 @@ _MODULES = [
     mutation,
     tar_shards,
     zip_archive,
+    tsblock_codec,
     audit,
     layout,
     graph,
@@ -80,10 +82,10 @@ _MODULES = [
 # verified by ``tools/check_oracle.py``. Entries after the flagship block
 # run in stable module order.
 #
-# ROUND-7 ROTATION PLAN: assuming this block goes green, exactly 48
+# ROUND-7 ROTATION PLAN: assuming this block goes green, exactly 49
 # entries remain never-driver-certified — they fit ONE final 50-prefix
-# (48 + 2 sentinels), after which the ENTIRE matrix has driver-green
-# history: curation_to_shards, scan_parquet_zstd_roundtrip, scan_csv_quoted_roundtrip,
+# (49 + 1 sentinel), after which the ENTIRE matrix has driver-green
+# history: curation_to_shards, tsblock_compress, scan_parquet_zstd_roundtrip, scan_csv_quoted_roundtrip,
 # promo_revenue, parts_supplier_counts, large_volume_customer,
 # discounted_revenue_disjunctive, potential_part_promotion,
 # global_sales_opportunity, text_langid_confusion,
