@@ -1122,6 +1122,235 @@ WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_EDIT}
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (anchor-gram span merge)
+# ---------------------------------------------------------------------------
+
+SPAN_GRAM_TOKENS = 6  # anchor length L: finds every duplicated run of ≥ L tokens
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate-span report per document: merged maximal
+    token spans covered by any ``SPAN_GRAM_TOKENS``-token run that occurs
+    more than once in the corpus (within- or cross-document).
+
+    This is the third classic dedup modality next to document-level
+    (exact/minhash) and chunk-level (``dedup_chunks``): substring-level, as
+    in "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022). Their suffix-array scan is a single-machine algorithm; the
+    distributed-native equivalent used here is FIXED-LENGTH ANCHORS — every
+    duplicated substring of length ≥ L contains a duplicated L-token
+    anchor, so anchor positions form a covering of all long duplicate
+    runs, and merging overlapping/adjacent anchor intervals per document
+    recovers the maximal duplicated spans (span ends may overshoot a
+    duplicate run's true end by < L tokens — the standard precision trade
+    for making the problem a hash groupBy).
+
+    Plan shape (all relational, zero UDFs): positional-gram posexplode →
+    ONE shuffle on the 16-byte gram hash to count occurrences → join
+    positions to duplicated grams on the same key → per-doc interval merge
+    (gaps-and-islands: running-max window + flag-sum island ids) → per-doc
+    rollup, left-joined back to the corpus. At 100 TB only gram *hashes*
+    and integer positions ever shuffle, never text; the interval merge is
+    keyed by doc_id so the window never sees more than one document's
+    anchor positions."""
+    k = SPAN_GRAM_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    staged = docs.select("doc_id", toks.alias("_toks")).localCheckpoint(eager=True)
+    base = staged.select("doc_id", F.size("_toks").alias("n_tokens"))
+    grams = (
+        staged.filter(F.size("_toks") >= 1)
+        .select(
+            "doc_id",
+            F.size("_toks").alias("n_tokens"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("_toks") - k + 1, F.lit(1))),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("pos0") + F.lit(1)).alias("pos"),
+            "gram",
+        )
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gram")
+    )
+    covered = grams.join(dup, "gram").select(
+        "doc_id",
+        "pos",
+        F.least(F.col("pos") + F.lit(k - 1), F.col("n_tokens")).alias("end_pos"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max("end_pos").over(w_prev)
+    flagged = covered.withColumn(
+        "is_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + F.lit(1)), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("island", F.sum("is_new").over(w_run))
+    spans = flagged.groupBy("doc_id", "island").agg(
+        (F.max("end_pos") - F.min("pos") + F.lit(1)).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        (
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0))
+        ).alias("dup_frac"),
+    )
+
+
+def _sql_substring_spans() -> str:
+    k = SPAN_GRAM_TOKENS
+    return f"""
+WITH staged AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM staged),
+pos_list AS (
+  SELECT doc_id, len(toks) AS n_tokens, toks,
+         unnest(generate_series(1, greatest(len(toks) - {k} + 1, 1))) AS pos
+  FROM staged WHERE len(toks) >= 1
+), grams AS (
+  SELECT doc_id, n_tokens, pos,
+         md5(array_to_string(list_slice(toks, pos, pos + {k} - 1), ' ')) AS gram
+  FROM pos_list
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+), covered AS (
+  SELECT g.doc_id, g.pos, least(g.pos + {k} - 1, g.n_tokens) AS end_pos
+  FROM grams g JOIN dup USING (gram)
+), flagged AS (
+  SELECT doc_id, pos, end_pos,
+         CASE WHEN MAX(end_pos) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > MAX(end_pos) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM covered
+), islands AS (
+  SELECT doc_id, pos, end_pos,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, island, MAX(end_pos) - MIN(pos) + 1 AS span_len
+  FROM islands GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(span_len) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+         / nullif(CAST(b.n_tokens AS DOUBLE), 0.0) AS dup_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (asymmetric shingle-set inclusion)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_MIN = 0.8  # report pairs where ≥80% of the smaller side's shingles recur
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dup pairs: C(a→b) = |S(a) ∩ S(b)| / |S(a)|
+    over DF-capped word-3-gram shingle sets, emitting pairs with
+    containment ≥ {CONTAINMENT_MIN}.
+
+    Jaccard (``dedup_ngram_jaccard``) misses the subset/quote case — a
+    short document wholly embedded in a long one scores low symmetric
+    similarity but containment 1.0. This is the Broder (1997) containment
+    coefficient, the standard screen for quote-expansion and
+    version-superset duplicates in training corpora. Same inverted-index
+    economics as the Jaccard verify stage (DF cap bounds posting lists;
+    only shingle hashes shuffle); directed output, both orientations of an
+    asymmetric pair can appear."""
+    sh = _shingles_df(spark, sf_dir)
+    df_w = Window.partitionBy("shingle")
+    kept = (
+        sh.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+        .localCheckpoint(eager=True)
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= F.lit(CONTAINMENT_MIN))
+    )
+    return out.orderBy(
+        F.col("containment").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(50)
+
+
+def _sql_containment() -> str:
+    return f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+rare AS (SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+kept AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM kept a JOIN kept b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= {CONTAINMENT_MIN}
+ORDER BY containment DESC, doc_a ASC, doc_b ASC
+LIMIT 50
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_edit_distance": q_dedup_edit_distance,
@@ -1136,6 +1365,8 @@ QUERIES = {
     "dedup_chunks": q_dedup_chunks,
     "fuzzy_blocked_join": q_fuzzy_blocked_join,
     "source_overlap_matrix": q_source_overlap_matrix,
+    "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_containment": q_dedup_containment,
 }
 
 ORACLE = {
@@ -1152,4 +1383,6 @@ ORACLE = {
     "dedup_chunks": _ORACLE_DEDUP_CHUNKS,
     "fuzzy_blocked_join": _sql_fuzzy_blocked_join(),
     "source_overlap_matrix": _sql_source_overlap(),
+    "dedup_substring_spans": _sql_substring_spans(),
+    "dedup_containment": _sql_containment(),
 }

@@ -590,6 +590,172 @@ ORDER BY category
 """
 
 
+# ---------------------------------------------------------------------------
+# Two-sample distribution tests (KS statistic, Mann-Whitney U)
+# ---------------------------------------------------------------------------
+
+KS_GROUP_PRED = "o_orderpriority = '1-URGENT'"  # sample 1 vs the rest
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic on order value: urgent
+    orders vs all others. D = max over pooled values of |ECDF₁ − ECDF₂|.
+
+    Exact-integer formulation (no float cumulative sums): group the pooled
+    values, cumulative per-group counts a₁,a₂ over the value order, and
+    maximize the INTEGER |a₁·n₂ − a₂·n₁|; the statistic is that maximum
+    divided once by n₁·n₂ (one correctly-rounded IEEE division), so the
+    result is bit-identical across engines and partitionings.
+
+    Scale shape: one map-side-combinable groupBy on value → a cumulative
+    window over DISTINCT values (domain-sized, not row-sized) → a 1-row
+    max. At 100 TB the distinct-value window is the constraint; the
+    bucketed offset-table prefix-sum used by ``global_rank_bucketed``
+    drops in unchanged if the value domain outgrows one task, and the
+    integer products want DECIMAL(38) once n₁·n₂ approaches 2⁶³
+    (≳3·10⁹ rows per side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("c1").over(w).alias("a1"),
+        F.sum("c2").over(w).alias("a2"),
+    )
+    tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.max(F.abs(F.col("a1") * F.col("n2") - F.col("a2") * F.col("n1")))
+            .cast("long")
+            .alias("d_num"),
+        )
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("d_stat"),
+        )
+    )
+
+
+_ORACLE_KS_TWO_SAMPLE = f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 0 ELSE 1 END) AS c2
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT v,
+         SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1,
+         SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a2
+  FROM per_v
+), tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM per_v),
+mx AS (
+  SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+         CAST(MAX(ABS(a1 * n2 - a2 * n1)) AS BIGINT) AS d_num
+  FROM cum CROSS JOIN tot
+)
+SELECT n1, n2, d_num,
+       CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat
+FROM mx
+"""
+
+
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test statistic on order value, urgent vs
+    rest, with midrank tie handling — the standard nonparametric
+    two-sample location test.
+
+    Exact-integer formulation: for a tied-value group whose predecessors
+    total t rows and which holds c rows, each row's midrank is
+    t + (c+1)/2, so DOUBLED rank sums stay integral:
+    2·R₁ = Σ_groups c₁·(2t + c + 1). Then 2·U₁ = 2·R₁ − n₁(n₁+1) and the
+    effect size (the probability-of-superiority / AUC) is
+    2·U₁ / (2·n₁·n₂) — integers end-to-end with ONE final division, so
+    bit-identical across engines. Same domain-sized window shape (and
+    same 100 TB notes) as ``ks_two_sample``."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+        )
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w_prev), F.lit(0)).alias("t"),
+    )
+    stats = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            F.col("c1") * (F.lit(2) * F.col("t") + F.col("c1") + F.col("c2") + F.lit(1))
+        )
+        .cast("long")
+        .alias("r1_x2"),
+    )
+    return stats.select(
+        "n1",
+        "n2",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + F.lit(1))).alias("u1_x2"),
+        (
+            (F.col("r1_x2") - F.col("n1") * (F.col("n1") + F.lit(1))).cast("double")
+            / (F.lit(2.0) * F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ).alias("auc"),
+    )
+
+
+_ORACLE_MANN_WHITNEY = f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 0 ELSE 1 END) AS c2
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c1, c2,
+         COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t
+  FROM per_v
+), stats AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(c1 * (2 * t + c1 + c2 + 1)) AS BIGINT) AS r1_x2
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
+FROM stats
+"""
+
+
 QUERIES = {
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
@@ -597,6 +763,8 @@ QUERIES = {
     "chi_square_assoc": q_chi_square_assoc,
     "autocorr_lag": q_autocorr_lag,
     "drift_binned": q_drift_binned,
+    "ks_two_sample": q_ks_two_sample,
+    "mann_whitney_u": q_mann_whitney_u,
 }
 
 ORACLE = {
@@ -606,4 +774,6 @@ ORACLE = {
     "chi_square_assoc": _ORACLE_CHI_SQUARE,
     "autocorr_lag": _sql_autocorr_lag(),
     "drift_binned": _ORACLE_DRIFT_BINNED,
+    "ks_two_sample": _ORACLE_KS_TWO_SAMPLE,
+    "mann_whitney_u": _ORACLE_MANN_WHITNEY,
 }

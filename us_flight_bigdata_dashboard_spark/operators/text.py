@@ -1729,6 +1729,115 @@ ORDER BY lang_meta, pred_lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and embedding cosine
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_LIST_K = 20  # depth of the dense (cosine) candidate list
+RRF_QUERY_VEC = 0  # fixed dense query: the embedding of vec_id 0
+RRF_TOPK = 15  # fused result size
+
+
+def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the lexical BM25
+    ranking (``text_bm25_topk``'s fixed-term query) fused with a dense
+    embedding-cosine ranking (query = vector {RRF_QUERY_VEC}) by
+    RRF(d) = Σ_lists 1/({RRF_K} + rank_list(d)) — the standard
+    score-free way to combine sparse and dense retrievers (Cormack et
+    al. 2009), and the join shape every RAG indexing pipeline runs.
+
+    Determinism: ranks are integers under a total order (score DESC,
+    doc_id ASC); each 1/({RRF_K}+r) is one correctly-rounded IEEE
+    division and the fusion adds exactly two such terms in fixed written
+    order, so scores are bit-identical across engines. Scale shape: both
+    candidate lists are TakeOrdered top-k (distributed heap, no global
+    sort shuffle), the fusion is a full-outer join of two ≤k-row lists —
+    the fused stage costs nothing at any corpus size; the dense side's
+    scan is the brute-force baseline that an IVF/LSH index
+    (``ann_ivf``/``ann_lsh``) replaces at 100 TB."""
+    from us_flight_bigdata_dashboard_spark.operators.similarity import _dot, _norm
+
+    bm25 = q_text_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rk").alias("bm25_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+            ).alias("cos_sim"),
+        )
+    )
+    cos_top = cos.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc()).limit(
+        RRF_LIST_K
+    )
+    w_cos = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    cos_ranked = cos_top.withColumn("cos_rank", F.row_number().over(w_cos)).select(
+        "doc_id", "cos_rank"
+    )
+    k = float(RRF_K)
+    fused = bm25.join(cos_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k) + F.col("bm25_rank").cast("double")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k) + F.col("cos_rank").cast("double")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    top = fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(
+        RRF_TOPK
+    )
+    w_f = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return top.withColumn("fused_rank", F.row_number().over(w_f))
+
+
+def _sql_rrf_fusion() -> str:
+    from us_flight_bigdata_dashboard_spark.operators.similarity import _sql_cosine
+
+    cos = _sql_cosine("c.embedding", "q.embedding")
+    k = float(RRF_K)
+    return f"""
+WITH bm25_full AS ({_sql_bm25()}),
+bm25 AS (SELECT doc_id, CAST(rk AS INTEGER) AS bm25_rank FROM bm25_full),
+cosq AS (
+  SELECT c.vec_id AS doc_id, {cos} AS cos_sim
+  FROM embeddings c,
+       (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}) q
+  WHERE c.vec_id <> {RRF_QUERY_VEC}
+), cos_ranked AS (
+  SELECT doc_id, CAST(rn AS INTEGER) AS cos_rank
+  FROM (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS rn
+        FROM cosq)
+  WHERE rn <= {RRF_LIST_K}
+), fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         b.bm25_rank, c.cos_rank,
+         COALESCE(1.0 / ({k} + CAST(b.bm25_rank AS DOUBLE)), 0.0)
+           + COALESCE(1.0 / ({k} + CAST(c.cos_rank AS DOUBLE)), 0.0) AS rrf_score
+  FROM bm25 b FULL OUTER JOIN cos_ranked c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, bm25_rank, cos_rank, rrf_score,
+       CAST(fused_rank AS INTEGER) AS fused_rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
+      FROM fused)
+WHERE fused_rank <= {RRF_TOPK}
+"""
+
+
 QUERIES = {
     "text_ngram_novelty": q_text_ngram_novelty,
     "vocab_growth_curve": q_vocab_growth_curve,
@@ -1752,6 +1861,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "text_chunk_overlap": q_text_chunk_overlap,
     "bpe_learn_merges": q_bpe_learn_merges,
+    "retrieval_rrf_fusion": q_retrieval_rrf_fusion,
 }
 
 ORACLE = {
@@ -1777,4 +1887,5 @@ ORACLE = {
     "json_extract": _ORACLE_JSON_EXTRACT,
     "text_chunk_overlap": _ORACLE_TEXT_CHUNK_OVERLAP,
     "bpe_learn_merges": _sql_bpe_learn_merges(),
+    "retrieval_rrf_fusion": _sql_rrf_fusion(),
 }
