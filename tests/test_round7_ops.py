@@ -15,6 +15,7 @@ from us_flight_bigdata_dashboard_spark.operators.dedup import (
     q_dedup_substring_spans,
 )
 from us_flight_bigdata_dashboard_spark.operators.statistics import (
+    q_ab_cuped,
     q_ks_two_sample,
     q_mann_whitney_u,
 )
@@ -148,6 +149,30 @@ def test_mann_whitney_extremes_and_ties(spark, tmp_path_factory):
     row3 = q_mann_whitney_u(spark, root3).collect()[0]
     # single tied value → midrank 1.5 each → U1 = 0.5 → AUC exactly 1/2
     assert row3["u1_x2"] == 1 and row3["auc"] == 0.5
+
+
+def test_cuped_perfect_covariate_equalizes_arms(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cuped_crafted"))
+    # post = 2·pre exactly for every user → θ = 2 and BOTH adjusted arm
+    # means collapse to 2·global_mean_pre = 50 (the whole point of CUPED:
+    # a perfectly predictive covariate removes all between-arm noise)
+    rows = []
+    for uid, pre in [(0, 10.0), (1, 20.0), (2, 30.0), (3, 40.0)]:
+        rows.append((uid * 2, "2024-01-10 00:00:00", uid, "view", pre, "{}"))
+        rows.append((uid * 2 + 1, "2024-01-20 00:00:00", uid, "view", 2.0 * pre, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, _t string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(_t AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(os.path.join(root, "events.parquet"))
+
+    got = {r["arm"]: r for r in q_ab_cuped(spark, root).collect()}
+    assert got[0]["n_users"] == 2 and got[1]["n_users"] == 2
+    assert got[0]["theta"] == 2.0 and got[1]["theta"] == 2.0
+    assert got[0]["mean_post"] == 40.0 and got[1]["mean_post"] == 60.0
+    assert got[0]["mean_adj"] == 50.0 and got[1]["mean_adj"] == 50.0
 
 
 @pytest.fixture(scope="module")

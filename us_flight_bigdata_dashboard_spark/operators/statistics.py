@@ -756,6 +756,124 @@ FROM stats
 """
 
 
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B effect (experimentation analytics)
+# ---------------------------------------------------------------------------
+
+CUPED_SPLIT = "2024-01-16 00:00:00"  # pre-period / experiment-period boundary
+
+
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B arm means over the events stream: the standard
+    variance-reduction for online experiments (Deng et al., WSDM 2013).
+    Units are users (arm = user_id mod 2 — the deterministic hash split),
+    the metric is each user's experiment-period value sum, the covariate
+    is the same user's PRE-period sum; the adjusted metric is
+    Y − θ·(X − mean(X)) with θ = cov(X,Y)/var(X), which leaves the arm
+    difference unbiased while shrinking its variance by corr².
+
+    Exactness: per-user period sums are decimal-exact (``dsum``); the
+    cross-user moments Σx, Σy, Σx², Σxy are decimal-exact sums of
+    per-user doubles; θ and the adjusted means are a FIXED sequence of
+    IEEE ops on those deterministic moments, so results are bit-identical
+    across engines/partitionings. Both arm means need only per-arm sums —
+    no second pass over users.
+
+    Scale shape: one shuffle (user_id groupBy, map-side combinable), then
+    a 1-row global moment agg + a 2-row arm agg, broadcast-joined. At
+    100 TB nothing after the per-user rollup is proportional to data."""
+    events = load_table(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            dsum(
+                F.when(F.col("ts") < split, F.col("value")).otherwise(F.lit(0.0)),
+                scale=8,
+            ).alias("pre"),
+            dsum(
+                F.when(F.col("ts") >= split, F.col("value")).otherwise(F.lit(0.0)),
+                scale=8,
+            ).alias("post"),
+        )
+        .select("user_id", "pre", "post", (F.col("user_id") % 2).alias("arm"))
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("pre", scale=6).alias("sx"),
+        dsum("post", scale=6).alias("sy"),
+        dsum(F.col("pre") * F.col("pre"), scale=4, precision=38).alias("sxx"),
+        dsum(F.col("pre") * F.col("post"), scale=4, precision=38).alias("sxy"),
+    ).select(
+        "n",
+        "sx",
+        (
+            (F.col("n").cast("double") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(
+                F.col("n").cast("double") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0.0),
+            )
+        ).alias("theta"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        dsum("pre", scale=6).alias("sx_a"),
+        dsum("post", scale=6).alias("sy_a"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(g))
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            F.col("n_a").cast("long").alias("n_users"),
+            (F.col("sy_a") / F.col("n_a").cast("double")).alias("mean_post"),
+            (
+                (F.col("sy_a") / F.col("n_a").cast("double"))
+                - F.col("theta")
+                * (
+                    (F.col("sx_a") / F.col("n_a").cast("double"))
+                    - (F.col("sx") / F.col("n").cast("double"))
+                )
+            ).alias("mean_adj"),
+            "theta",
+        )
+        .orderBy("arm")
+    )
+
+
+_ORACLE_AB_CUPED = f"""
+WITH per_user AS (
+  SELECT user_id,
+         {sql_dsum(f"CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{CUPED_SPLIT}' THEN value ELSE 0.0 END", scale=8)} AS pre,
+         {sql_dsum(f"CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '{CUPED_SPLIT}' THEN value ELSE 0.0 END", scale=8)} AS post,
+         user_id % 2 AS arm
+  FROM events GROUP BY 1
+), g AS (
+  SELECT n, sx,
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0) AS theta
+  FROM (SELECT COUNT(*) AS n,
+               {sql_dsum("pre", scale=6)} AS sx,
+               {sql_dsum("post", scale=6)} AS sy,
+               {sql_dsum("pre * pre", scale=4, precision=38)} AS sxx,
+               {sql_dsum("pre * post", scale=4, precision=38)} AS sxy
+        FROM per_user)
+), arms AS (
+  SELECT arm, COUNT(*) AS n_a,
+         {sql_dsum("pre", scale=6)} AS sx_a,
+         {sql_dsum("post", scale=6)} AS sy_a
+  FROM per_user GROUP BY 1
+)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(n_a AS BIGINT) AS n_users,
+       sy_a / CAST(n_a AS DOUBLE) AS mean_post,
+       (sy_a / CAST(n_a AS DOUBLE))
+         - theta * ((sx_a / CAST(n_a AS DOUBLE)) - (sx / CAST(n AS DOUBLE))) AS mean_adj,
+       theta
+FROM arms CROSS JOIN g
+ORDER BY arm
+"""
+
+
 QUERIES = {
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
@@ -765,6 +883,7 @@ QUERIES = {
     "drift_binned": q_drift_binned,
     "ks_two_sample": q_ks_two_sample,
     "mann_whitney_u": q_mann_whitney_u,
+    "ab_cuped": q_ab_cuped,
 }
 
 ORACLE = {
@@ -776,4 +895,5 @@ ORACLE = {
     "drift_binned": _ORACLE_DRIFT_BINNED,
     "ks_two_sample": _ORACLE_KS_TWO_SAMPLE,
     "mann_whitney_u": _ORACLE_MANN_WHITNEY,
+    "ab_cuped": _ORACLE_AB_CUPED,
 }
