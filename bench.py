@@ -148,6 +148,11 @@ HEADLINE = [
     # round-6: the state-API-v2-shaped streak processor (v1 fallback in
     # this runtime) — newest stateful-replay machinery, tracked
     "streaming_streaks_replay",
+    # round-7: the substring-dedup anchor-gram chain (positional explode +
+    # gram-hash shuffle + per-doc interval merge — the third dedup
+    # modality) and the sparse+dense RRF fusion (BM25 ⊕ cosine top-k)
+    "dedup_substring_spans",
+    "retrieval_rrf_fusion",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

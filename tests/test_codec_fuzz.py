@@ -18,6 +18,7 @@ import pandas as pd
 import pytest
 
 from us_flight_bigdata_dashboard_spark.operators import (
+    adpcm_codec as AD,
     flac_codec as FL,
     g711_codec as G7,
     gif_codec as GIF,
@@ -33,6 +34,7 @@ def _one(df):
 
 
 _PAYLOADS = {
+    "adpcm": lambda: _one(next(AD.make_adpcm_writer()(iter([pd.DataFrame({"media_id": [5]})])))),
     "flac": lambda: _one(next(FL.make_flac_writer()(iter([pd.DataFrame({"media_id": [5]})])))),
     "gif": lambda: _one(next(GIF.make_gif_writer()(iter([pd.DataFrame({"media_id": [5]})])))),
     "g711": lambda: _one(next(G7.make_g711_writer()(iter([pd.DataFrame({"media_id": [5]})])))),
@@ -54,6 +56,7 @@ _PAYLOADS = {
 }
 
 _DECODERS = {
+    "adpcm": lambda b: next(AD.make_adpcm_decoder()(iter([pd.DataFrame({"media_id": [5], "payload": [b]})]))),
     "flac": lambda b: next(FL.make_flac_decoder()(iter([pd.DataFrame({"media_id": [5], "payload": [b]})]))),
     "gif": lambda b: next(GIF.make_gif_decoder()(iter([pd.DataFrame({"media_id": [5], "payload": [b]})]))),
     "g711": lambda b: next(G7.make_g711_decoder()(iter([pd.DataFrame({"media_id": [5], "payload": [b]})]))),

@@ -105,3 +105,34 @@ def test_zip_roundtrips_arbitrary_unicode(texts):
     for i, t in enumerate(texts):
         assert got[i * 5] == len(t)
     assert all(dec.crc_ok)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=64,
+        max_size=64,
+    )
+)
+def test_adpcm_decoder_tracks_encoder_reconstruction(pcm):
+    """ADPCM is lossy, but the container decoder's output must equal the
+    closed-loop encoder's internal reconstruction on ANY input — the
+    invariant the recursive-CTE oracle states. Verified here end-to-end
+    through real WAV bytes, including both predictor and index clamps."""
+    from us_flight_bigdata_dashboard_spark.operators import adpcm_codec as AD
+
+    enc = next(
+        AD.make_adpcm_writer(lambda mid: pcm)(
+            iter([pd.DataFrame({"media_id": [1]})])
+        )
+    )
+    dec = next(AD.make_adpcm_decoder()(iter([enc])))
+    pred, idx = pcm[0], 0
+    recon = [pred]
+    for x in pcm[1:]:
+        _nib, pred, idx = AD._step_encode(x, pred, idx)
+        recon.append(pred)
+    assert int(dec.n_samples[0]) == 64
+    assert int(dec.sum_decoded[0]) == sum(recon)
+    assert int(dec.sum_sq_decoded[0]) == sum(v * v for v in recon)

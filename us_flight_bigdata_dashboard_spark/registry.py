@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from us_flight_bigdata_dashboard_spark.operators import (
+    adpcm_codec,
     advanced,
     audit,
     breadth,
@@ -57,6 +58,7 @@ _MODULES = [
     gif_codec,
     mjpeg_codec,
     g711_codec,
+    adpcm_codec,
     advanced,
     breadth,
     mutation,
