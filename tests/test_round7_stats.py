@@ -1,0 +1,73 @@
+"""Semantic ground-truth tests for the round-7 experimentation statistics:
+Welch's t-test on a planted mean shift, Benjamini–Hochberg step-up
+invariants, and the Poisson-bootstrap CI's determinism + coverage sanity.
+The driver gate verifies cross-engine agreement; these verify the MATH."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from us_flight_bigdata_dashboard_spark.operators.statistics import (
+    BOOTSTRAP_B,
+    q_bh_fdr,
+    q_bootstrap_ci,
+    q_welch_ttest,
+)
+
+
+@pytest.fixture(scope="module")
+def exp_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("r7_stats"))
+    # All events in the experiment period (after CUPED_SPLIT 2024-01-16).
+    # Arm = user_id % 2. Even users get value 10 + (u mod 5), odd users
+    # 15 + (u mod 5); the (u mod 5) residues match across arms, so the
+    # true arm mean difference is EXACTLY 5.
+    rows = []
+    for u in range(20):
+        base = 10.0 if u % 2 == 0 else 15.0
+        rows.append(
+            (u, "2024-02-0%d 12:00:00" % ((u % 9) + 1), u, "view", base + (u % 5), "{}")
+        )
+    spark.createDataFrame(
+        rows, "event_id bigint, _t string, user_id bigint, event_type string, value double, props string"
+    ).selectExpr(
+        "event_id", "CAST(_t AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(os.path.join(root, "events.parquet"))
+    return root
+
+
+def test_welch_recovers_planted_shift(spark, exp_dir):
+    row = q_welch_ttest(spark, exp_dir).collect()[0]
+    assert row["n0"] == 10 and row["n1"] == 10
+    assert row["mean_diff"] == pytest.approx(5.0, abs=1e-12)
+    assert row["t_stat"] > 0
+    # Satterthwaite df lies in [min(n)-1, n0+n1-2]
+    assert 9.0 <= row["df_welch"] <= 18.0 + 1e-9
+
+
+def test_bh_stepup_invariants(spark, exp_dir):
+    rows = q_bh_fdr(spark, exp_dir).collect()
+    m = len(rows)
+    assert m > 0
+    assert [r["bh_rank"] for r in rows] == list(range(1, m + 1))
+    # p is non-decreasing in rank and rejections are exactly a prefix
+    ps = [r["p_surrogate"] for r in rows]
+    assert ps == sorted(ps)
+    flags = [r["rejected"] for r in rows]
+    k = sum(flags)
+    assert flags == [1] * k + [0] * (m - k)
+    # every rejected rank satisfies the step-up property at the cutoff
+    if k:
+        assert ps[k - 1] <= k * 0.05 / m
+
+
+def test_bootstrap_ci_deterministic_and_ordered(spark, exp_dir):
+    a = q_bootstrap_ci(spark, exp_dir).collect()[0]
+    b = q_bootstrap_ci(spark, exp_dir).collect()[0]
+    assert a == b  # hash-derived weights: bit-identical across runs
+    assert a["n_resamples"] == BOOTSTRAP_B
+    assert a["ci_lo"] <= a["ci_hi"]
+    # the interval is a real spread around the point estimate
+    assert a["ci_lo"] < a["point_mean"] < a["ci_hi"]

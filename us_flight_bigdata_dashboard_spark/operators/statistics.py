@@ -874,6 +874,351 @@ ORDER BY arm
 """
 
 
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test (A/B mean difference)
+# ---------------------------------------------------------------------------
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic (+ Satterthwaite df) for the A/B
+    mean difference of per-user experiment-period value, arms split by
+    ``user_id % 2`` (same unit/assignment design as ``ab_cuped``). This is
+    the default test for online experiments — it does not assume equal
+    arm variances, which real treatment effects routinely violate.
+
+    Exactness: per-user sums and the per-arm moments (n, Σy, Σy²) are
+    decimal-exact; mean/variance/t/df are a FIXED sequence of IEEE
+    ``+ − × ÷ sqrt`` ops (all correctly rounded) on those deterministic
+    moments — bit-identical across engines and partitionings, mirroring
+    the oracle expression-for-expression.
+
+    Scale shape: one user_id shuffle (map-side combinable), then ONE
+    1-row conditional-moment aggregate; the t/df arithmetic runs on that
+    single row. Nothing after the per-user rollup scales with data."""
+    events = load_table(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            dsum(
+                F.when(F.col("ts") >= split, F.col("value")).otherwise(F.lit(0.0)),
+                scale=8,
+            ).alias("post")
+        )
+        .select("post", (F.col("user_id") % 2).alias("arm"))
+    )
+    arm0 = F.col("arm") == 0
+    arm1 = F.col("arm") == 1
+    m = per_user.agg(
+        F.sum(F.when(arm0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(arm1, 1).otherwise(0)).alias("n1"),
+        dsum(F.when(arm0, F.col("post")).otherwise(F.lit(0.0)), scale=6).alias("s0"),
+        dsum(F.when(arm1, F.col("post")).otherwise(F.lit(0.0)), scale=6).alias("s1"),
+        dsum(
+            F.when(arm0, F.col("post") * F.col("post")).otherwise(F.lit(0.0)),
+            scale=4,
+            precision=38,
+        ).alias("ss0"),
+        dsum(
+            F.when(arm1, F.col("post") * F.col("post")).otherwise(F.lit(0.0)),
+            scale=4,
+            precision=38,
+        ).alias("ss1"),
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    mean0 = F.col("s0") / n0
+    mean1 = F.col("s1") / n1
+    # sample variance via the moment identity; vN/n = var/n in one shot
+    var0 = (n0 * F.col("ss0") - F.col("s0") * F.col("s0")) / (n0 * (n0 - F.lit(1.0)))
+    var1 = (n1 * F.col("ss1") - F.col("s1") * F.col("s1")) / (n1 * (n1 - F.lit(1.0)))
+    se0 = var0 / n0
+    se1 = var1 / n1
+    se2 = se0 + se1
+    return m.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        mean0.alias("mean0"),
+        mean1.alias("mean1"),
+        (mean1 - mean0).alias("mean_diff"),
+        ((mean1 - mean0) / F.sqrt(se2)).alias("t_stat"),
+        (
+            (se2 * se2)
+            / (se0 * se0 / (n0 - F.lit(1.0)) + se1 * se1 / (n1 - F.lit(1.0)))
+        ).alias("df_welch"),
+    )
+
+
+_ORACLE_WELCH_TTEST = f"""
+WITH per_user AS (
+  SELECT user_id % 2 AS arm,
+         {sql_dsum(f"CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '{CUPED_SPLIT}' THEN value ELSE 0.0 END", scale=8)} AS post
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+         {sql_dsum("CASE WHEN arm = 0 THEN post ELSE 0.0 END", scale=6)} AS s0,
+         {sql_dsum("CASE WHEN arm = 1 THEN post ELSE 0.0 END", scale=6)} AS s1,
+         {sql_dsum("CASE WHEN arm = 0 THEN post * post ELSE 0.0 END", scale=4, precision=38)} AS ss0,
+         {sql_dsum("CASE WHEN arm = 1 THEN post * post ELSE 0.0 END", scale=4, precision=38)} AS ss1
+  FROM per_user
+), d AS (
+  SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+         CAST(n0 AS DOUBLE) AS dn0, CAST(n1 AS DOUBLE) AS dn1,
+         s0, s1, ss0, ss1 FROM m
+), v AS (
+  SELECT n0, n1, dn0, dn1,
+         s0 / dn0 AS mean0, s1 / dn1 AS mean1,
+         ((dn0 * ss0 - s0 * s0) / (dn0 * (dn0 - 1.0))) / dn0 AS se0,
+         ((dn1 * ss1 - s1 * s1) / (dn1 * (dn1 - 1.0))) / dn1 AS se1
+  FROM d
+)
+SELECT n0, n1, mean0, mean1, mean1 - mean0 AS mean_diff,
+       (mean1 - mean0) / sqrt(se0 + se1) AS t_stat,
+       ((se0 + se1) * (se0 + se1))
+         / (se0 * se0 / (dn0 - 1.0) + se1 * se1 / (dn1 - 1.0)) AS df_welch
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR step-up over per-cell mean-shift tests
+# ---------------------------------------------------------------------------
+
+BH_ALPHA = 0.05
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg false-discovery-rate step-up over the hypothesis
+    family "cell (event_type, hour-of-day) mean differs from the global
+    mean" — the multiple-comparisons control every metrics platform needs
+    once it tests hundreds of segment cells per experiment.
+
+    Per cell, the test statistic is z² = n·(mean_cell − μ)²/σ² from exact
+    moments; the ranking "p-value" is the RATIONAL monotone surrogate
+    p = 1/(1+z²) (strictly decreasing in |z|). True normal/t CDFs are
+    transcendental — banned by this repo's cross-platform determinism
+    policy (tests/test_numeric_portability.py) — and BH only consumes
+    p-values through their order and a rational threshold comparison, so
+    the surrogate exercises the full procedure: sort ascending, rank i,
+    candidate iff p ≤ i·α/m, reject ranks 1..max{i: candidate}.
+
+    Scale shape: one hash agg to ≤|types|·24 cells; the sort/rank window
+    runs over that aggregate-sized frame (hundreds of rows — the
+    single-partition window is over the AGGREGATE, never the data)."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.select(
+        "event_type", F.hour("ts").alias("hour"), F.col("value")
+    )
+    per_cell = cells.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        dsum("value", scale=6).alias("s_c"),
+    )
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", scale=6).alias("s"),
+        dsum(F.col("value") * F.col("value"), scale=4, precision=38).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    joined = per_cell.crossJoin(F.broadcast(g))
+    mu = F.col("s") / n
+    # population variance from global moments (fixed op order)
+    sigma2 = (n * F.col("ss") - F.col("s") * F.col("s")) / (n * n)
+    diff = F.col("s_c") / F.col("n_c").cast("double") - mu
+    z2 = F.col("n_c").cast("double") * diff * diff / sigma2
+    scored = joined.select(
+        "event_type",
+        "hour",
+        F.col("n_c").cast("long").alias("n_c"),
+        (F.lit(1.0) / (F.lit(1.0) + z2)).alias("p_surrogate"),
+    )
+    m_count = F.count(F.lit(1)).over(Window.partitionBy())
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy("p_surrogate", "event_type", "hour")
+    )
+    ranked = scored.select(
+        "event_type",
+        "hour",
+        "n_c",
+        "p_surrogate",
+        rank.alias("bh_rank"),
+        (
+            F.col("p_surrogate")
+            <= rank.cast("double") * F.lit(BH_ALPHA) / m_count.cast("double")
+        ).cast("int").alias("candidate"),
+    )
+    max_cand = F.max(
+        F.when(F.col("candidate") == 1, F.col("bh_rank")).otherwise(F.lit(0))
+    ).over(Window.partitionBy())
+    return (
+        ranked.select(
+            "event_type",
+            "hour",
+            "n_c",
+            "p_surrogate",
+            "bh_rank",
+            (F.col("bh_rank") <= max_cand).cast("int").alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+_ORACLE_BH_FDR = f"""
+WITH cells AS (
+  SELECT event_type, EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hour, value
+  FROM events
+), per_cell AS (
+  SELECT event_type, hour, COUNT(*) AS n_c, {sql_dsum("value", scale=6)} AS s_c
+  FROM cells GROUP BY event_type, hour
+), g AS (
+  SELECT COUNT(*) AS n, {sql_dsum("value", scale=6)} AS s,
+         {sql_dsum("value * value", scale=4, precision=38)} AS ss
+  FROM cells
+), scored AS (
+  SELECT event_type, CAST(hour AS INT) AS hour, CAST(n_c AS BIGINT) AS n_c,
+         1.0 / (1.0 + CAST(n_c AS DOUBLE)
+                * ((s_c / CAST(n_c AS DOUBLE)) - (s / CAST(n AS DOUBLE)))
+                * ((s_c / CAST(n_c AS DOUBLE)) - (s / CAST(n AS DOUBLE)))
+                / ((CAST(n AS DOUBLE) * ss - s * s)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS p_surrogate
+  FROM per_cell CROSS JOIN g
+), ranked AS (
+  SELECT event_type, hour, n_c, p_surrogate,
+         ROW_NUMBER() OVER (ORDER BY p_surrogate, event_type, hour) AS bh_rank,
+         COUNT(*) OVER () AS m
+  FROM scored
+), flagged AS (
+  SELECT *,
+         CASE WHEN p_surrogate <= CAST(bh_rank AS DOUBLE) * {BH_ALPHA} / CAST(m AS DOUBLE)
+              THEN bh_rank ELSE 0 END AS cand_rank
+  FROM ranked
+)
+SELECT event_type, hour, n_c, p_surrogate, CAST(bh_rank AS BIGINT) AS bh_rank,
+       CAST(bh_rank <= MAX(cand_rank) OVER () AS INT) AS rejected
+FROM flagged
+ORDER BY bh_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (deterministic hash resampling)
+# ---------------------------------------------------------------------------
+
+BOOTSTRAP_B = 64
+# Poisson(1) inverse-CDF thresholds, FIXED decimal literals (k = count of
+# thresholds exceeded). Literal constants — not runtime exp() — so both
+# engines compare the same exact rational u against the same exact
+# doubles; no transcendental evaluation happens anywhere.
+_POISSON1_CDF = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+    "0.9999988747089618",
+]
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap confidence interval for the global mean of
+    ``events.value`` — THE distributed bootstrap (each row independently
+    carries Poisson(1) resample weights, so no resample needs a global
+    sample-with-replacement pass; see Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012).
+
+    Determinism: the per-(row, replicate) weight is the Poisson(1)
+    inverse CDF applied to u = md5(event_id, b)/2⁴⁸ — a hash both engines
+    compute identically — against fixed literal thresholds, so every
+    weight (and hence every replicate mean, via exact decimal sums) is
+    bit-identical across engines, partitionings, and runs.
+
+    Scale shape: ONE pass over the data with a 64-way row explode feeding
+    a map-side-combinable agg to 64 (b) groups — work is 64× the scan but
+    memory is O(B); the order statistics run over the 64-row replicate
+    frame. At 100 TB there is no per-resample shuffle of raw rows."""
+    events = load_table(spark, sf_dir, "events")
+    b = F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b")
+    rows = events.select("event_id", "value", b)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.col("event_id"), F.col("b"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(2**48))
+    )
+    w = sum(
+        (F.col("u") >= F.lit(float(t))).cast("int") for t in _POISSON1_CDF
+    )
+    weighted = rows.select("b", "value", u.alias("u")).select(
+        "b", "value", w.alias("w")
+    )
+    per_b = weighted.groupBy("b").agg(
+        F.sum("w").alias("sw"),
+        dsum(F.col("w").cast("double") * F.col("value"), scale=6).alias("swx"),
+    )
+    means = per_b.select(
+        "b", (F.col("swx") / F.col("sw").cast("double")).alias("mean_b")
+    )
+    r = F.row_number().over(Window.partitionBy().orderBy("mean_b", "b"))
+    ranked = means.select("mean_b", r.alias("r"))
+    point = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("value", scale=6).alias("s")
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("r") == 2, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("r") == BOOTSTRAP_B - 1, F.col("mean_b"))).alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_resamples"),
+    )
+    return ci.crossJoin(F.broadcast(point)).select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_resamples").cast("long").alias("n_resamples"),
+        (F.col("s") / F.col("n_rows").cast("double")).alias("point_mean"),
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+def _sql_bootstrap_ci() -> str:
+    u_expr = _sql_hex_to_int(
+        "md5(CAST(event_id AS VARCHAR) || '_' || CAST(b AS VARCHAR))", 1, 12
+    )
+    w_expr = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POISSON1_CDF
+    )
+    return f"""
+WITH reps AS (
+  SELECT e.event_id, e.value, b.b
+  FROM events e CROSS JOIN (SELECT UNNEST(range({BOOTSTRAP_B})) AS b) b
+), uu AS (
+  SELECT b, value, {u_expr} / 281474976710656.0 AS u FROM reps
+), weighted AS (
+  SELECT b, value, {w_expr} AS w FROM uu
+), per_b AS (
+  SELECT b, SUM(w) AS sw, {sql_dsum("CAST(w AS DOUBLE) * value", scale=6)} AS swx
+  FROM weighted GROUP BY b
+), means AS (
+  SELECT b, swx / CAST(sw AS DOUBLE) AS mean_b FROM per_b
+), ranked AS (
+  SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS r FROM means
+), ci AS (
+  SELECT MAX(CASE WHEN r = 2 THEN mean_b END) AS ci_lo,
+         MAX(CASE WHEN r = {BOOTSTRAP_B - 1} THEN mean_b END) AS ci_hi,
+         COUNT(*) AS n_resamples
+  FROM ranked
+), point AS (
+  SELECT COUNT(*) AS n_rows, {sql_dsum("value", scale=6)} AS s FROM events
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_resamples AS BIGINT) AS n_resamples,
+       s / CAST(n_rows AS DOUBLE) AS point_mean, ci_lo, ci_hi
+FROM ci CROSS JOIN point
+"""
+
+
 QUERIES = {
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
@@ -884,6 +1229,9 @@ QUERIES = {
     "ks_two_sample": q_ks_two_sample,
     "mann_whitney_u": q_mann_whitney_u,
     "ab_cuped": q_ab_cuped,
+    "welch_ttest": q_welch_ttest,
+    "bh_fdr_control": q_bh_fdr,
+    "bootstrap_ci_poisson": q_bootstrap_ci,
 }
 
 ORACLE = {
@@ -896,4 +1244,7 @@ ORACLE = {
     "ks_two_sample": _ORACLE_KS_TWO_SAMPLE,
     "mann_whitney_u": _ORACLE_MANN_WHITNEY,
     "ab_cuped": _ORACLE_AB_CUPED,
+    "welch_ttest": _ORACLE_WELCH_TTEST,
+    "bh_fdr_control": _ORACLE_BH_FDR,
+    "bootstrap_ci_poisson": _sql_bootstrap_ci(),
 }
