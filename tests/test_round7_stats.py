@@ -9,6 +9,10 @@ import os
 
 import pytest
 
+from us_flight_bigdata_dashboard_spark.operators.events import (
+    q_events_cusum_changepoint,
+    q_events_seasonal_hourly,
+)
 from us_flight_bigdata_dashboard_spark.operators.statistics import (
     BOOTSTRAP_B,
     q_bh_fdr,
@@ -71,3 +75,49 @@ def test_bootstrap_ci_deterministic_and_ordered(spark, exp_dir):
     assert a["ci_lo"] <= a["ci_hi"]
     # the interval is a real spread around the point estimate
     assert a["ci_lo"] < a["point_mean"] < a["ci_hi"]
+
+
+@pytest.fixture(scope="module")
+def shift_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("r7_cusum"))
+    # One event type: 10 observations at 1.0 then 10 at 9.0 — the centered
+    # prefix sum |Σ(x−μ)| peaks exactly at the boundary (index 10, where
+    # the cumulative deficit bottoms out at 10·|1−5| = 40).
+    rows = [
+        (i, "2024-03-01 %02d:30:00" % i, 1, "metric", 1.0 if i < 10 else 9.0, "{}")
+        for i in range(20)
+    ]
+    # Second type with a clean hourly pattern across two days: value =
+    # hour for hours 0..5, both days — day means are equal (2.5), so the
+    # seasonal offset at hour h is exactly h − 2.5.
+    rows += [
+        (100 + d * 10 + h, "2024-03-%02d %02d:00:00" % (10 + d, h), 2, "season", float(h), "{}")
+        for d in range(2)
+        for h in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, _t string, user_id bigint, event_type string, value double, props string"
+    ).selectExpr(
+        "event_id", "CAST(_t AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(os.path.join(root, "events.parquet"))
+    return root
+
+
+def test_cusum_finds_planted_changepoint(spark, shift_dir):
+    rows = {r["event_type"]: r for r in q_events_cusum_changepoint(spark, shift_dir).collect()}
+    cp = rows["metric"]
+    assert cp["n"] == 20
+    assert cp["cp_index"] == 10
+    assert cp["max_abs_cusum"] == pytest.approx(40.0, abs=1e-9)
+
+
+def test_seasonal_offsets_detrended(spark, shift_dir):
+    rows = [
+        r
+        for r in q_events_seasonal_hourly(spark, shift_dir).collect()
+        if r["event_type"] == "season"
+    ]
+    assert len(rows) == 6
+    for r in rows:
+        assert r["seasonal_offset"] == pytest.approx(r["hour"] - 2.5, abs=1e-9)
+        assert r["n_c"] == 2

@@ -1590,6 +1590,192 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection per event type
+# ---------------------------------------------------------------------------
+
+
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint per event type: the point that maximizes
+    |Σ_{j≤i}(x_j − μ)| over the (ts, event_id)-ordered series — the
+    classic single-changepoint location statistic (a mean shift at i
+    makes the centered prefix sum peak exactly there).
+
+    Exactness: the prefix sum is a cumulative DECIMAL window sum (exact,
+    order-pinned by the unique (ts, event_id) key); cusum_i = prefix_i −
+    i·μ is two IEEE ops on deterministic inputs, and the argmax picks by
+    (|cusum| desc, ts, event_id) — a total order, so the reported
+    changepoint is unique and bit-stable.
+
+    Scale shape: the window is PARTITIONED BY event_type — per-key
+    sequential semantics, the inherent shape of changepoint detection;
+    cost is one type-keyed shuffle and the per-type sort. The argmax is a
+    rank-1 filter on the same partitioning (exchange reuse), and output
+    is |types| rows."""
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", scale=8).alias("s")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefixed = events.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(28,8)")).over(w).cast("double").alias("prefix"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("i"),
+        (F.col("s") / F.col("n").cast("double")).alias("mu"),
+        "n",
+    )
+    cusum = prefixed.select(
+        "event_type",
+        "ts",
+        "n",
+        "i",
+        F.abs(F.col("prefix") - F.col("i").cast("double") * F.col("mu")).alias("abs_cusum"),
+    )
+    r = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.col("abs_cusum").desc(), F.col("ts").asc(), F.col("i").asc()
+        )
+    )
+    return (
+        cusum.select("event_type", "ts", "n", "i", "abs_cusum", r.alias("r"))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("i").cast("long").alias("cp_index"),
+            F.col("ts").alias("cp_ts"),
+            F.col("abs_cusum").alias("max_abs_cusum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_CUSUM = f"""
+WITH g AS (
+  SELECT event_type, COUNT(*) AS n, {sql_dsum("value", scale=8)} AS s
+  FROM events GROUP BY event_type
+), prefixed AS (
+  SELECT e.event_type, CAST(e.ts AS TIMESTAMP) AS ts, g.n,
+         CAST(SUM(CAST(e.value AS DECIMAL(28,8)))
+              OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS prefix,
+         ROW_NUMBER() OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id) AS i,
+         s / CAST(g.n AS DOUBLE) AS mu
+  FROM events e JOIN g USING (event_type)
+), cusum AS (
+  SELECT event_type, ts, n, i,
+         ABS(prefix - CAST(i AS DOUBLE) * mu) AS abs_cusum
+  FROM prefixed
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY abs_cusum DESC, ts ASC, i ASC) AS r
+  FROM cusum
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(i AS BIGINT) AS cp_index,
+       ts AS cp_ts, abs_cusum AS max_abs_cusum
+FROM ranked WHERE r = 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Detrended hourly seasonal decomposition per event type
+# ---------------------------------------------------------------------------
+
+
+def q_events_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type, DETRENDED the way a
+    classical decomposition does it: subtract each (type, day)'s mean
+    (the trend estimate) from every observation, then average the
+    residuals by (type, hour) — the seasonal offset a forecaster adds
+    back on top of the daily trend. Also reports the raw hourly mean and
+    the multiplicative seasonal index vs the type mean.
+
+    Exactness: all three layers (day means, hour aggregates, type means)
+    are exact decimal sums; offsets/indexes are fixed-order IEEE ops.
+
+    Scale shape: two map-side-combinable hash aggs ((type,day) then
+    (type,hour)) plus a broadcast join of the aggregate-sized day-mean
+    frame back onto the stream — no row-proportional state anywhere."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour("ts").alias("hour"),
+        "value",
+    )
+    per_day = base.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_d"), dsum("value", scale=8).alias("s_d")
+    )
+    g = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"), dsum("value", scale=8).alias("s_t")
+    )
+    detrended = base.join(F.broadcast(per_day), ["event_type", "day"]).select(
+        "event_type",
+        "hour",
+        "value",
+        (F.col("value") - F.col("s_d") / F.col("n_d").cast("double")).alias("resid"),
+    )
+    per_hour = detrended.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        dsum("value", scale=8).alias("s_c"),
+        dsum("resid", scale=8).alias("s_r"),
+    )
+    return (
+        per_hour.join(F.broadcast(g), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            F.col("n_c").cast("long").alias("n_c"),
+            (F.col("s_c") / F.col("n_c").cast("double")).alias("hour_mean"),
+            (F.col("s_r") / F.col("n_c").cast("double")).alias("seasonal_offset"),
+            (
+                (F.col("s_c") / F.col("n_c").cast("double"))
+                / (F.col("s_t") / F.col("n_t").cast("double"))
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_ORACLE_SEASONAL = f"""
+WITH base AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hour, value
+  FROM events
+), per_day AS (
+  SELECT event_type, day, COUNT(*) AS n_d, {sql_dsum("value", scale=8)} AS s_d
+  FROM base GROUP BY event_type, day
+), g AS (
+  SELECT event_type, COUNT(*) AS n_t, {sql_dsum("value", scale=8)} AS s_t
+  FROM base GROUP BY event_type
+), detrended AS (
+  SELECT b.event_type, b.hour, b.value,
+         b.value - (d.s_d / CAST(d.n_d AS DOUBLE)) AS resid
+  FROM base b JOIN per_day d USING (event_type, day)
+), per_hour AS (
+  SELECT event_type, hour, COUNT(*) AS n_c,
+         {sql_dsum("value", scale=8)} AS s_c,
+         {sql_dsum("resid", scale=8)} AS s_r
+  FROM detrended GROUP BY event_type, hour
+)
+SELECT h.event_type, CAST(h.hour AS INT) AS hour, CAST(h.n_c AS BIGINT) AS n_c,
+       h.s_c / CAST(h.n_c AS DOUBLE) AS hour_mean,
+       h.s_r / CAST(h.n_c AS DOUBLE) AS seasonal_offset,
+       (h.s_c / CAST(h.n_c AS DOUBLE)) / (g.s_t / CAST(g.n_t AS DOUBLE)) AS seasonal_index
+FROM per_hour h JOIN g USING (event_type)
+ORDER BY event_type, hour
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -1613,6 +1799,8 @@ QUERIES = {
     "events_attribution_linear": q_events_attribution_linear,
     "events_ewma": q_events_ewma,
     "events_twap": q_events_twap,
+    "events_cusum_changepoint": q_events_cusum_changepoint,
+    "events_seasonal_hourly": q_events_seasonal_hourly,
 }
 
 ORACLE = {
@@ -1638,4 +1826,6 @@ ORACLE = {
     "events_attribution_linear": _ORACLE_EVENTS_ATTRIBUTION_LINEAR,
     "events_ewma": _ORACLE_EVENTS_EWMA,
     "events_twap": _ORACLE_EVENTS_TWAP,
+    "events_cusum_changepoint": _ORACLE_CUSUM,
+    "events_seasonal_hourly": _ORACLE_SEASONAL,
 }
