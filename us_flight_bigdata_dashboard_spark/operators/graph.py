@@ -894,6 +894,221 @@ LIMIT {LPA_TOP}
     )
 
 
+# ---------------------------------------------------------------------------
+# Bounded-hop weighted shortest paths (Bellman–Ford relaxation rounds)
+# ---------------------------------------------------------------------------
+
+SSSP_SOURCE_CUST = 1  # source node: customer key 1 (node id 2·1 = 2)
+SSSP_ROUNDS = 6  # fixed relaxation rounds — "≤6-hop cheapest path"
+SSSP_TOPK = 100
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer–supplier bipartite graph with INTEGER edge weights
+    (min l_quantity over the pair's lineitems — a cheapest-lane cost),
+    both orientations, int node ids (customer c → 2c, supplier s →
+    2s+1)."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            (F.col("o_custkey").cast("bigint") * 2).alias("cnode"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("snode"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("bigint")).alias("w"))
+    )
+    fwd = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w")
+    rev = pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w")
+    return fwd.unionAll(rev)
+
+
+def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source WEIGHTED shortest distances within ``SSSP_ROUNDS``
+    relaxation rounds (Bellman–Ford): dist_k(v) = cheapest cost over
+    paths of ≤k edges. The round count is part of the operator contract
+    (bounded-hop cheapest path — on this bipartite graph 6 rounds spans
+    three customer↔supplier alternations), which is also what makes the
+    result engine-portable: both engines run EXACTLY k rounds, so no
+    fixed-point/termination semantics can diverge.
+
+    Scale shape: each round is one (node-keyed) equi-join of the frontier
+    against the edge list plus a min-agg — the Pregel-style iteration
+    every distributed SSSP uses. State per round is O(nodes), integer
+    arithmetic only; the edge list is localCheckpoint-ed once so k rounds
+    don't re-derive the join subtree."""
+    edges = _weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
+    dist = (
+        edges.sparkSession.range(1)
+        .select(
+            F.lit(SSSP_SOURCE_CUST * 2).cast("bigint").alias("node"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+    )
+    for _ in range(SSSP_ROUNDS):
+        relaxed = dist.join(edges, dist["node"] == edges["src"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return (
+        dist.select(
+            F.concat(
+                F.when(F.col("node") % 2 == 0, F.lit("c:")).otherwise(F.lit("s:")),
+                (F.col("node") / 2).cast("bigint"),
+            ).alias("node"),
+            "dist",
+        )
+        .orderBy("dist", "node")
+        .limit(SSSP_TOPK)
+    )
+
+
+def _sql_shortest_paths() -> str:
+    relax = """
+d{k} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{p}
+    UNION ALL
+    SELECT e.dst AS node, d{p}.dist + e.w AS dist
+    FROM d{p} JOIN edges e ON d{p}.node = e.src
+  ) GROUP BY node
+)"""
+    rounds = ",".join(
+        relax.format(k=k, p=k - 1) for k in range(1, SSSP_ROUNDS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode,
+         MIN(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT cnode AS src, snode AS dst, w FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst, w FROM pairs
+), d0 AS (
+  SELECT CAST({SSSP_SOURCE_CUST * 2} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+),{rounds}
+SELECT (CASE WHEN node % 2 = 0 THEN 'c:' ELSE 's:' END)
+         || CAST(node // 2 AS VARCHAR) AS node,
+       CAST(dist AS BIGINT) AS dist
+FROM d{SSSP_ROUNDS}
+ORDER BY dist, node
+LIMIT {SSSP_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common neighbors + Jaccard on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+LINKPRED_TOPK = 25
+
+
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the support-floored co-purchase graph:
+    for every NON-adjacent part pair with ≥1 common neighbor, score by
+    common-neighbor count and neighborhood Jaccard cn/(da+db−cn); top-K
+    by (jaccard, cn, pair). (Adamic–Adar's 1/log(deg) weighting is the
+    usual companion — deliberately not offered: log is transcendental
+    and this matrix bans platform-licensed functions from hash-gated
+    values; Jaccard carries the same signal rationally.)
+
+    Scale shape: the wedge join (two edge legs sharing the center node)
+    IS the candidate generator — identical economics to the triangle
+    count (support-floored edges keep Σdeg² bounded); existing edges
+    drop out via one anti-join, degrees broadcast back on the pair
+    keys. Integer counts + one rational division — no float surface."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(F.col("p1").alias("a"), F.col("p2").alias("b")).unionAll(
+        edges.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    l1 = und.select(F.col("a").alias("x"), F.col("b").alias("c"))
+    l2 = und.select(F.col("a").alias("y"), F.col("b").alias("c"))
+    cand = (
+        l1.join(l2, "c")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(
+            edges,
+            (F.col("x") == edges["p1"]) & (F.col("y") == edges["p2"]),
+            "left_anti",
+        )
+    )
+    da = deg.select(F.col("a").alias("x"), F.col("deg").alias("deg_x"))
+    db = deg.select(F.col("a").alias("y"), F.col("deg").alias("deg_y"))
+    return (
+        cand.join(F.broadcast(da), "x")
+        .join(F.broadcast(db), "y")
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("deg_x").cast("long").alias("deg_a"),
+            F.col("deg_y").cast("long").alias("deg_b"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("jaccard").desc(),
+            F.col("common_neighbors").desc(),
+            "part_a",
+            "part_b",
+        )
+        .limit(LINKPRED_TOPK)
+    )
+
+
+def _sql_link_prediction() -> str:
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), capped AS (
+  SELECT o, p FROM (
+    SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS n_parts FROM op
+  ) WHERE n_parts <= {PARTS_PER_ORDER_CAP}
+), edges AS (
+  SELECT p1, p2 FROM (
+    SELECT a.p AS p1, b.p AS p2, COUNT(*) AS support
+    FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2
+  ) WHERE support >= {MIN_COSUPPORT}
+), und AS (
+  SELECT p1 AS a, p2 AS b FROM edges
+  UNION ALL
+  SELECT p2 AS a, p1 AS b FROM edges
+), deg AS (
+  SELECT a, COUNT(*) AS deg FROM und GROUP BY a
+), cand AS (
+  SELECT l1.a AS x, l2.a AS y, COUNT(*) AS cn
+  FROM und l1 JOIN und l2 ON l1.b = l2.b AND l1.a < l2.a
+  GROUP BY 1, 2
+), nonadj AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.p1 = c.x AND e.p2 = c.y)
+)
+SELECT n.x AS part_a, n.y AS part_b,
+       CAST(n.cn AS BIGINT) AS common_neighbors,
+       CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+       CAST(n.cn AS DOUBLE) / CAST(da.deg + db.deg - n.cn AS DOUBLE) AS jaccard
+FROM nonadj n
+JOIN deg da ON da.a = n.x
+JOIN deg db ON db.a = n.y
+ORDER BY jaccard DESC, common_neighbors DESC, part_a, part_b
+LIMIT {LINKPRED_TOPK}
+"""
+
+
 QUERIES = {
     "graph_communities": q_graph_communities,
     "graph_supplier_similarity": q_graph_supplier_similarity,
@@ -903,6 +1118,8 @@ QUERIES = {
     "graph_clustering_coeff": q_graph_clustering_coeff,
     "graph_khop": q_graph_khop,
     "basket_rules": q_basket_rules,
+    "graph_shortest_paths": q_graph_shortest_paths,
+    "graph_link_prediction": q_graph_link_prediction,
 }
 
 ORACLE = {
@@ -914,4 +1131,6 @@ ORACLE = {
     "graph_clustering_coeff": _ORACLE_CLUSTERING,
     "graph_khop": _sql_khop(),
     "basket_rules": _sql_basket_rules(),
+    "graph_shortest_paths": _sql_shortest_paths(),
+    "graph_link_prediction": _sql_link_prediction(),
 }

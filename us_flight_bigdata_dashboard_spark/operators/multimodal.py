@@ -1233,12 +1233,116 @@ GROUP BY src
 """
 
 
+# ---------------------------------------------------------------------------
+# Framed audio features: zero-crossing rate, energy, peak per frame
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 16  # samples per analysis frame (64-sample clips → 4 frames)
+
+AUDIO_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("zcr", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def make_audio_featurizer():
+    """mapInPandas worker: REAL RIFF/WAVE chunk walk + int16 decode (same
+    parse as ``make_wav_decoder``), then per 16-sample frame the classic
+    speech/VAD feature triple — zero-crossing count (strict sign flips),
+    energy (Σs², integer-exact), peak |s|. Vectorized numpy per clip;
+    integer outputs only."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "frame_idx", "n_samples", "zcr", "energy", "peak",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                pos, data = 12, None
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    (clen,) = _struct.unpack("<I", b[pos + 4 : pos + 8])
+                    if cid == b"data":
+                        data = b[pos + 8 : pos + 8 + clen]
+                    pos += 8 + clen + (clen % 2)
+                if data is None:
+                    raise ValueError("missing data chunk")
+                s = _np.frombuffer(data, dtype="<i2").astype(_np.int64)
+                for f in range(0, len(s), AUDIO_FRAME):
+                    fr = s[f : f + AUDIO_FRAME]
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(f // AUDIO_FRAME)
+                    out["n_samples"].append(len(fr))
+                    out["zcr"].append(int(((fr[:-1] * fr[1:]) < 0).sum()))
+                    out["energy"].append(int((fr * fr).sum()))
+                    out["peak"].append(int(_np.abs(fr).max()))
+            yield _pd.DataFrame(out)
+
+    return feats
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio feature extraction over REAL WAV binaries — the
+    standard VAD/quality triple (zero-crossing count, frame energy, peak
+    amplitude) per 16-sample frame, the shape a speech-pretraining
+    pipeline uses to drop silence/clipped segments before transcription.
+    The decode is a genuine chunk walk (shared parse with
+    ``multimodal_wav_decode``); the oracle re-derives every feature from
+    the sample-generating formula in SQL — a byte-level parse bug,
+    endianness slip, or off-by-one in framing breaks the hash. Integer
+    outputs only; Arrow-batched mapInPandas, one task per partition of
+    the id frame — no shuffle at all until a consumer aggregates."""
+    return _wav_media(spark, sf_dir).mapInPandas(
+        make_audio_featurizer(), AUDIO_FEAT_SCHEMA
+    )
+
+
+def _sql_audio_features() -> str:
+    v = "(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)"
+    return f"""
+WITH s AS (
+  SELECT doc_id, p, (doc_id * 7 + p) % 65536 AS u,
+         CAST(p // {AUDIO_FRAME} AS INTEGER) AS frame_idx
+  FROM documents, unnest(generate_series(0, {WAV_SAMPLES - 1})) AS t(p)
+), signed AS (
+  SELECT doc_id, p, frame_idx, {v} AS sv FROM s
+), lagged AS (
+  SELECT doc_id, frame_idx, sv,
+         LAG(sv) OVER (PARTITION BY doc_id, frame_idx ORDER BY p) AS prev
+  FROM signed
+)
+SELECT doc_id AS media_id, frame_idx,
+       CAST(COUNT(*) AS INTEGER) AS n_samples,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * sv < 0 THEN 1 ELSE 0 END)
+            AS INTEGER) AS zcr,
+       CAST(SUM(sv * sv) AS BIGINT) AS energy,
+       CAST(MAX(ABS(sv)) AS INTEGER) AS peak
+FROM lagged
+GROUP BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_phash_neardup": q_multimodal_phash_neardup,
     "multimodal_phash_clusters": q_multimodal_phash_clusters,
     "multimodal_ppm_decode": q_multimodal_ppm_decode,
     "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_video_decode": q_multimodal_video_decode,
     "multimodal_meta_stats": q_multimodal_meta_stats,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1252,6 +1356,7 @@ ORACLE = {
     "multimodal_phash_clusters": _sql_phash_clusters(),
     "multimodal_ppm_decode": _sql_ppm_decode(),
     "multimodal_wav_decode": _sql_wav_decode(),
+    "multimodal_audio_features": _sql_audio_features(),
     "multimodal_video_decode": _sql_video_decode(),
     "multimodal_meta_stats": _sql_multimodal_meta_stats(),
     "multimodal_frame_sample": _sql_multimodal_frame_sample(),

@@ -1,0 +1,270 @@
+"""Mergeable streaming sketches with DETERMINISTIC cross-engine hashes:
+Count-Min frequency estimation and a register-based HyperLogLog, each
+verified against exact counts in the same result row.
+
+Extension scope (the reference has no sketches — its analytics are exact
+pandas aggregates over a 1.6M-row CSV; src/aggregate_flight_data.py). At
+100 TB, frequency and cardinality questions are answered by fixed-size
+mergeable summaries: a sketch built per partition merges associatively in
+the map-side combine, so the shuffle carries O(sketch) bytes instead of
+O(distinct keys). These operators build the sketch AS a DataFrame
+aggregate (the sketch table IS the group-by result — d·w / m rows total,
+independent of data size) and then read estimates off it, reporting the
+exact value next to the estimate so the error is visible and gate-checked.
+
+Determinism policy: hashes are affine maps mod a Mersenne prime (CMS) or
+md5-derived integers (HLL) — identical literals on both engines; all
+arithmetic is integer except one final correctly-rounded division per
+estimate, so results are bit-identical across engines, partitionings, and
+platforms (see tests/test_numeric_portability.py). The usual HLL
+small-range "linear counting" correction needs log — a transcendental this
+matrix bans — so the operator reports the RAW estimator (documented; the
+relative-error column is part of the contract and the gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: customer order-frequency estimates
+# ---------------------------------------------------------------------------
+
+CMS_P = 2147483647  # 2^31 − 1 (Mersenne prime)
+CMS_W = 256  # buckets per row
+CMS_D = 4  # hash rows
+# (a, b) affine coefficients per row — arbitrary fixed literals < P
+CMS_COEF = [(131071, 8191), (524287, 127), (6700417, 2047), (2147483629, 524287)]
+CMS_TOPK = 10
+
+
+def q_sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the top-K most frequent order
+    customers, next to their exact counts. The sketch is a (row j,
+    bucket h_j(key)) → count aggregate — d·w = 1024 cells TOTAL
+    regardless of data size, built in one map-side-combinable pass; the
+    estimate for a key is min_j cell[j][h_j(key)], which can only
+    OVERcount (collisions add), never undercount — the ``overestimate``
+    column exhibits the one-sided guarantee and the gate checks it
+    cross-engine.
+
+    Scale shape: data is touched once (explode ×d); everything after is
+    sketch-sized. Probing joins the K query keys against 1024 cells —
+    broadcast territory. At 100 TB the d·w grid is the ONLY state that
+    crosses the wire."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cells = None
+    for j, (a, b) in enumerate(CMS_COEF):
+        h = (
+            (F.col("o_custkey") * F.lit(a) + F.lit(b)) % F.lit(CMS_P)
+        ) % F.lit(CMS_W)
+        part = orders.select(F.lit(j).alias("j"), h.alias("bucket"))
+        cells = part if cells is None else cells.unionAll(part)
+    sketch = cells.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    exact = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probe = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("o_custkey").asc()
+    ).limit(CMS_TOPK)
+    probed = None
+    for j, (a, b) in enumerate(CMS_COEF):
+        h = (
+            (F.col("o_custkey") * F.lit(a) + F.lit(b)) % F.lit(CMS_P)
+        ) % F.lit(CMS_W)
+        leg = probe.select(
+            "o_custkey", "exact_cnt", F.lit(j).alias("j"), h.alias("bucket")
+        )
+        probed = leg if probed is None else probed.unionAll(leg)
+    est = (
+        probed.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("o_custkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "o_custkey",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+    ).orderBy(F.col("exact_cnt").desc(), F.col("o_custkey").asc())
+
+
+def _sql_cms() -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT {j} AS j, ((o_custkey * {a} + {b}) % {CMS_P}) % {CMS_W} AS bucket"
+        " FROM orders"
+        for j, (a, b) in enumerate(CMS_COEF)
+    )
+    probe_legs = " UNION ALL ".join(
+        f"SELECT o_custkey, exact_cnt, {j} AS j,"
+        f" ((o_custkey * {a} + {b}) % {CMS_P}) % {CMS_W} AS bucket FROM probe"
+        for j, (a, b) in enumerate(CMS_COEF)
+    )
+    return f"""
+WITH cells AS ({legs}),
+sketch AS (SELECT j, bucket, COUNT(*) AS cnt FROM cells GROUP BY j, bucket),
+exact AS (SELECT o_custkey, COUNT(*) AS exact_cnt FROM orders GROUP BY o_custkey),
+probe AS (SELECT * FROM exact ORDER BY exact_cnt DESC, o_custkey ASC LIMIT {CMS_TOPK}),
+probed AS ({probe_legs}),
+est AS (
+  SELECT p.o_custkey, p.exact_cnt, MIN(s.cnt) AS cms_est
+  FROM probed p JOIN sketch s USING (j, bucket)
+  GROUP BY p.o_custkey, p.exact_cnt
+)
+SELECT o_custkey, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overestimate
+FROM est
+ORDER BY exact_cnt DESC, o_custkey ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers: distinct customers per order-priority
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # registers (b = 8 bits)
+HLL_REST_BITS = 40  # hash bits that feed the rank (48-bit md5 prefix − 8)
+# alpha_256 = 0.7213/(1 + 1.079/256) — a fixed rational literal, evaluated
+# once here in Python (exact same double constant lands in both plans).
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
+# Single fused numerator constant alpha·m²·2^50: folding it HERE (IEEE
+# Python doubles) guarantees both engines divide the IDENTICAL double by
+# int_sum — one correctly-rounded op each, no multiplication-order skew.
+HLL_SCALE = HLL_ALPHA * float(HLL_M * HLL_M) * float(2**50)
+
+
+def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register-based HyperLogLog estimate of distinct customers per
+    order priority, next to the exact COUNT(DISTINCT). Hash =
+    48-bit md5 prefix; low 8 bits pick one of 256 registers, the
+    remaining 40 bits' leading-zero rank (computed INTEGER-only via
+    ``length(bin(rest))`` — no log2) updates the register max. The
+    estimator is alpha·m²/Σ2^{-M_j} with the sum carried as the exact
+    integer Σ2^{50−M_j}, so the only floating-point op is the final
+    division. Raw estimator only: the small-range linear-counting
+    correction requires ln(), banned by the portability policy (module
+    docstring) — the gate-checked ``rel_err_pct`` column keeps the
+    raw estimator honest.
+
+    Scale shape: the register table is ≤ groups·m rows — a group-by
+    whose map-side combine IS the sketch merge (max per register).
+    COUNT(DISTINCT) sits beside it as the verification baseline (itself
+    a two-phase exact agg); in production you drop that column and keep
+    the O(m) sketch."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    x = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    hashed = orders.select(
+        "o_orderpriority",
+        (x % F.lit(HLL_M)).alias("reg"),
+        F.shiftright(x, 8).alias("rest"),  # integer //256, matches SQL //
+    )
+    # rank = leading-zero count within REST_BITS + 1; bin() length is the
+    # bit position of the highest set bit (integer-exact on both engines)
+    rho = F.when(F.col("rest") == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+        F.lit(HLL_REST_BITS + 1) - F.length(F.bin(F.col("rest")))
+    )
+    regs = (
+        hashed.select("o_orderpriority", "reg", rho.alias("rho"))
+        .groupBy("o_orderpriority", "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    # fill absent registers with M_j = 0 so every group has exactly m terms
+    prios = orders.select("o_orderpriority").distinct()
+    grid = prios.crossJoin(
+        orders.sparkSession.range(HLL_M).select(F.col("id").alias("reg"))
+    )
+    full = grid.join(regs, ["o_orderpriority", "reg"], "left").select(
+        "o_orderpriority", "reg", F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j")
+    )
+    est = full.groupBy("o_orderpriority").agg(
+        # SQL shiftleft accepts a column shift (the python wrapper doesn't)
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m_j AS INT))")).alias(
+            "int_sum"
+        ),
+        # zero-register count: the exact input a consumer needs to apply
+        # the small-range linear-counting correction m·ln(m/V) offline
+        # (ln is banned in-gate; V itself is integer-exact and portable)
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("zero_regs"),
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    raw = F.lit(HLL_SCALE) / F.col("int_sum").cast("double")
+    return (
+        est.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            raw.alias("hll_raw_est"),
+            (
+                (raw - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+                * F.lit(100.0)
+            ).alias("rel_err_pct"),
+            F.col("zero_regs").cast("long").alias("zero_regs"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _sql_hll() -> str:
+    x = _sql_hex_to_int("md5(CAST(o_custkey AS VARCHAR))", 1, 12)
+    return f"""
+WITH hashed AS (
+  SELECT o_orderpriority,
+         {x} % {HLL_M} AS reg,
+         {x} // {HLL_M} AS rest
+  FROM orders
+), rho AS (
+  SELECT o_orderpriority, reg,
+         CASE WHEN rest = 0 THEN {HLL_REST_BITS + 1}
+              ELSE {HLL_REST_BITS + 1} - length(bin(rest))
+         END AS rho
+  FROM hashed
+), regs AS (
+  SELECT o_orderpriority, reg, MAX(rho) AS m_j FROM rho GROUP BY 1, 2
+), grid AS (
+  SELECT p.o_orderpriority, g.reg
+  FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+  CROSS JOIN (SELECT UNNEST(range({HLL_M})) AS reg) g
+), full_regs AS (
+  SELECT grid.o_orderpriority, grid.reg, COALESCE(regs.m_j, 0) AS m_j
+  FROM grid LEFT JOIN regs USING (o_orderpriority, reg)
+), est AS (
+  SELECT o_orderpriority,
+         SUM((CAST(1 AS BIGINT) << (50 - m_j))) AS int_sum,
+         SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS zero_regs
+  FROM full_regs GROUP BY o_orderpriority
+), exact AS (
+  SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT e.o_orderpriority,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST({HLL_SCALE!r} AS DOUBLE)
+         / CAST(e.int_sum AS DOUBLE) AS hll_raw_est,
+       (CAST({HLL_SCALE!r} AS DOUBLE)
+         / CAST(e.int_sum AS DOUBLE) - CAST(x.exact_distinct AS DOUBLE))
+         / CAST(x.exact_distinct AS DOUBLE) * 100.0 AS rel_err_pct,
+       CAST(e.zero_regs AS BIGINT) AS zero_regs
+FROM est e JOIN exact x USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "sketch_cms_freq": q_sketch_cms_freq,
+    "sketch_hll_registers": q_sketch_hll_registers,
+}
+
+ORACLE = {
+    "sketch_cms_freq": _sql_cms(),
+    "sketch_hll_registers": _sql_hll(),
+}

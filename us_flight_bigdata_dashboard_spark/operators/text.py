@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from us_flight_bigdata_dashboard_spark.functions.exact import davg, sql_davg
+from us_flight_bigdata_dashboard_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 # Small per-language stopword lexicons for the n-gram/stopword language-ID
@@ -1838,6 +1838,103 @@ WHERE fused_rank <= {RRF_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Character-bigram language-model quality score (perplexity-style filter)
+# ---------------------------------------------------------------------------
+
+BIGRAM_K = 0.5  # add-k smoothing constant (exact binary fraction)
+
+
+def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram LM quality score per document — the CCNet-style
+    "train an n-gram LM on the corpus, score each document by how typical
+    its character transitions are" filter. p(y|x) is add-k smoothed over
+    the corpus bigram/context counts; the document score is the
+    ARITHMETIC mean of its bigram probabilities. (True perplexity is a
+    geometric mean, i.e. exp/log — transcendentals this repo bans from
+    hash-gated values (tests/test_numeric_portability.py); the arithmetic
+    mean is a rational monotone-comparable typicality signal computed
+    entirely with correctly-rounded IEEE ops.)
+
+    Scale shape: bigram extraction is a length-proportional explode (the
+    inherent cost of char n-gram modeling) feeding TWO map-side-combinable
+    hash aggs (bigram counts, context counts) whose results are
+    vocab²-bounded — broadcast back onto the doc-bigram stream, so the
+    only data-sized shuffle is the per-doc score agg on doc_id."""
+    # length-<2 docs have no bigrams: filter explicitly — Spark's
+    # sequence(1, 0) would otherwise emit a DESCENDING [1, 0] sequence.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.lower(F.col("text")).alias("t"))
+        .filter(F.length("t") >= 2)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"),
+        "t",
+    ).select("doc_id", F.expr("substring(t, i, 2)").alias("bg"))
+    model = grams.groupBy(F.col("bg")).agg(F.count(F.lit(1)).alias("c_xy"))
+    ctx = grams.groupBy(F.substring("bg", 1, 1).alias("x")).agg(
+        F.count(F.lit(1)).alias("c_x")
+    )
+    vocab = grams.select(
+        F.countDistinct(F.substring("bg", 2, 1)).alias("v")
+    )
+    k = F.lit(BIGRAM_K)
+    scored = (
+        grams.join(F.broadcast(model), "bg")
+        .withColumn("x", F.substring("bg", 1, 1))
+        .join(F.broadcast(ctx), "x")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                (F.col("c_xy").cast("double") + k)
+                / (F.col("c_x").cast("double") + k * F.col("v").cast("double"))
+            ).alias("p"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), dsum("p", scale=12).alias("sp"))
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            (F.col("sp") / F.col("n_bigrams").cast("double")).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_BIGRAM_LM = f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2
+), grams AS (
+  SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS bg
+  FROM d, UNNEST(range(1, CAST(length(t) AS BIGINT))) AS u(i)
+), model AS (
+  SELECT bg, COUNT(*) AS c_xy FROM grams GROUP BY bg
+), ctx AS (
+  SELECT substr(bg, 1, 1) AS x, COUNT(*) AS c_x FROM grams GROUP BY 1
+), vocab AS (
+  SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS v FROM grams
+), scored AS (
+  SELECT g.doc_id,
+         (CAST(m.c_xy AS DOUBLE) + {BIGRAM_K})
+           / (CAST(c.c_x AS DOUBLE) + {BIGRAM_K} * CAST(vocab.v AS DOUBLE)) AS p
+  FROM grams g
+  JOIN model m USING (bg)
+  JOIN ctx c ON substr(g.bg, 1, 1) = c.x
+  CROSS JOIN vocab
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       {sql_dsum("p", scale=12)} / CAST(COUNT(*) AS DOUBLE) AS lm_score
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_ngram_novelty": q_text_ngram_novelty,
     "vocab_growth_curve": q_vocab_growth_curve,
@@ -1862,6 +1959,7 @@ QUERIES = {
     "text_chunk_overlap": q_text_chunk_overlap,
     "bpe_learn_merges": q_bpe_learn_merges,
     "retrieval_rrf_fusion": q_retrieval_rrf_fusion,
+    "text_bigram_lm_score": q_text_bigram_lm_score,
 }
 
 ORACLE = {
@@ -1888,4 +1986,5 @@ ORACLE = {
     "text_chunk_overlap": _ORACLE_TEXT_CHUNK_OVERLAP,
     "bpe_learn_merges": _sql_bpe_learn_merges(),
     "retrieval_rrf_fusion": _sql_rrf_fusion(),
+    "text_bigram_lm_score": _ORACLE_BIGRAM_LM,
 }

@@ -33,6 +33,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     relational,
     sampling,
     similarity,
+    sketches,
     statistics,
     tar_shards,
     temporal,
@@ -69,6 +70,7 @@ _MODULES = [
     layout,
     graph,
     statistics,
+    sketches,
 ]
 
 # Budget-capped graders/CI evaluate a PREFIX of the registry, so the prefix
