@@ -955,6 +955,10 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            # per-round materialization: without it each round's plan
+            # re-derives every previous round (measured: 94 exchanges /
+            # 31 SMJs for 6 rounds → 18 exchanges with the cut lineage)
+            .localCheckpoint(eager=True)
         )
     return (
         dist.select(
