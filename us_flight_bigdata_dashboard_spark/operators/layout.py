@@ -388,11 +388,268 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering (the better-locality alternative to Z-order)
+# ---------------------------------------------------------------------------
+
+H_SIDE = 1 << Z_DIM_BITS  # 256×256 grid, same dims as the Z-order entry
+
+
+def _hilbert_levels():
+    """(s, s², s−1) per refinement level, coarsest first."""
+    return [(s, s * s, s - 1) for s in (128, 64, 32, 16, 8, 4, 2, 1)]
+
+
+def q_hilbert_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering statistics over the SAME two dimensions as
+    ``zorder_cluster`` (customer-key low byte × order day-of-year low
+    byte), so the two entries are directly comparable: the Hilbert curve
+    has no Z-curve "jumps", so each curve-range file bounds a tighter
+    spatial rectangle — the reason Delta/Iceberg ship `OPTIMIZE ...
+    HILBERT` next to Z-order. Reports the same per-bucket zone-map stats
+    (count + per-dimension min/max).
+
+    The xy→d map is the classic Lawder/Wikipedia iterative rotation,
+    computed ONCE on the driver into a 65,536-entry lookup table that
+    broadcast-joins onto the scan — the standard space-filling-curve
+    implementation at scale (O(1) per row, ~1 MB broadcast). The naive
+    alternative — 8 levels of nested CASE column expressions — was
+    measured to explode in Catalyst: each level references the previous
+    x/y several times, so the tree grows ~4^8 nodes and planning alone
+    ran past two minutes. The ORACLE keeps the expression formulation
+    (chained CTEs reference columns by NAME, so DuckDB's tree stays
+    linear) — two independent formulations of the same curve, which is
+    exactly what the cross-engine hash then certifies.
+
+    Scale shape: one broadcast hash join fused into the scan, one
+    hash-agg to {Z_BUCKETS} rows."""
+    import numpy as np
+    import pandas as pd
+
+    # vectorized LUT build: all 256×256 points at once (numpy int64)
+    xg, yg = np.meshgrid(
+        np.arange(H_SIDE, dtype=np.int64), np.arange(H_SIDE, dtype=np.int64),
+        indexing="ij",
+    )
+    x_, y_, dd = xg.ravel(), yg.ravel(), np.zeros(H_SIDE * H_SIDE, dtype=np.int64)
+    for s, s2, sm1 in _hilbert_levels():
+        rx = ((x_ & s) > 0).astype(np.int64)
+        ry = ((y_ & s) > 0).astype(np.int64)
+        dd += s2 * ((3 * rx) ^ ry)
+        rot = ry == 0
+        flip = rot & (rx == 1)
+        x2 = np.where(flip, sm1 - y_, np.where(rot, y_, x_))
+        y2 = np.where(flip, sm1 - x_, np.where(rot, x_, y_))
+        x_, y_ = x2, y2
+    lut_df = spark.createDataFrame(
+        pd.DataFrame({"xy": xg.ravel() * H_SIDE + yg.ravel(), "d": dd})
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.select(
+        (F.col("o_custkey") % H_SIDE).cast("long").alias("x0"),
+        (F.dayofyear(F.col("o_orderdate")) % H_SIDE).cast("long").alias("y0"),
+    ).withColumn("xy", F.col("x0") * H_SIDE + F.col("y0"))
+    shift = 2 * Z_DIM_BITS - Z_BUCKETS.bit_length() + 1  # 16 - 4 = 12
+    return (
+        df.join(F.broadcast(lut_df), "xy")
+        .select("x0", "y0", F.shiftright(F.col("d"), shift).alias("hbucket"))
+        .groupBy("hbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x0").alias("min_custkey_byte"),
+            F.max("x0").alias("max_custkey_byte"),
+            F.min("y0").alias("min_doy_byte"),
+            F.max("y0").alias("max_doy_byte"),
+        )
+        .orderBy("hbucket")
+    )
+
+
+def _sql_hilbert() -> str:
+    shift = 2 * Z_DIM_BITS - Z_BUCKETS.bit_length() + 1
+    ctes = [
+        f"l0 AS (SELECT CAST(o_custkey % {H_SIDE} AS BIGINT) AS x,"
+        f" CAST(dayofyear(o_orderdate) % {H_SIDE} AS BIGINT) AS y,"
+        f" CAST(o_custkey % {H_SIDE} AS BIGINT) AS x0,"
+        f" CAST(dayofyear(o_orderdate) % {H_SIDE} AS BIGINT) AS y0,"
+        " CAST(0 AS BIGINT) AS d FROM orders)"
+    ]
+    prev = "l0"
+    for i, (s, s2, sm1) in enumerate(_hilbert_levels(), start=1):
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        ctes.append(
+            f"l{i} AS (SELECT"
+            f" CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {sm1} - y ELSE y END)"
+            f"      ELSE x END AS x,"
+            f" CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {sm1} - x ELSE x END)"
+            f"      ELSE y END AS y,"
+            f" x0, y0,"
+            f" d + {s2} * xor(3 * {rx}, {ry}) AS d"
+            f" FROM {prev})"
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain}
+SELECT (d >> {shift}) AS hbucket,
+       COUNT(*) AS n_rows,
+       MIN(x0) AS min_custkey_byte, MAX(x0) AS max_custkey_byte,
+       MIN(y0) AS min_doy_byte, MAX(y0) AS max_doy_byte
+FROM {prev}
+GROUP BY hbucket
+ORDER BY hbucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zone-map file-skipping effectiveness
+# ---------------------------------------------------------------------------
+
+SKIP_FILE_ROWS = 1000  # rows per simulated file (orderkey-ranged)
+# (label, column, lo, hi) literal predicates probed against the zone maps
+SKIP_PREDICATES = [
+    ("date_1994", "d", 19940101, 19941231),
+    ("date_h1_1995", "d", 19950101, 19950630),
+    ("price_low", "p", 0, 50000),
+    ("price_band", "p", 100000, 150000),
+]
+
+
+def q_file_skip_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max) file-skipping effectiveness: partition orders
+    into orderkey-ranged "files", collect each file's min/max zone maps
+    for order date (as yyyymmdd int) and total price (cents), then probe
+    fixed range predicates: a file is SKIPPED when its zone interval
+    misses the predicate interval — exactly the decision a parquet
+    row-group / Iceberg manifest reader makes. Reports, per predicate,
+    files scanned vs skipped and how many scanned-file rows actually
+    match (the false-positive cost of coarse zones).
+
+    Scale shape: one hash-agg to the file manifest (O(files) rows), then
+    a tiny literal-predicate frame broadcast-joined against it; the
+    row-level recount aggregates per (file, predicate) map-side. The
+    manifest IS the skipping index — nothing row-proportional leaves the
+    scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") / F.lit(SKIP_FILE_ROWS)).cast("bigint").alias("file_id"),
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        ).cast("long").alias("d"),
+        (F.col("o_totalprice") * 100).cast("long").alias("p"),
+    )
+    zones = orders.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+        F.min("p").alias("min_p"),
+        F.max("p").alias("max_p"),
+    )
+    preds = orders.sparkSession.createDataFrame(
+        SKIP_PREDICATES, "label string, col string, lo long, hi long"
+    )
+    probed = zones.crossJoin(F.broadcast(preds)).select(
+        "label",
+        "col",
+        "lo",
+        "hi",
+        "file_id",
+        "n_rows",
+        F.when(
+            F.col("col") == "d",
+            (F.col("max_d") < F.col("lo")) | (F.col("min_d") > F.col("hi")),
+        )
+        .otherwise((F.col("max_p") < F.col("lo")) | (F.col("min_p") > F.col("hi")))
+        .cast("int")
+        .alias("skipped"),
+    )
+    matches = (
+        orders.crossJoin(F.broadcast(preds))
+        .filter(
+            F.when(
+                F.col("col") == "d",
+                F.col("d").between(F.col("lo"), F.col("hi")),
+            ).otherwise(F.col("p").between(F.col("lo"), F.col("hi")))
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("matching_rows"))
+    )
+    return (
+        probed.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("skipped").alias("files_skipped"),
+            F.sum(
+                F.when(F.col("skipped") == 0, F.col("n_rows")).otherwise(F.lit(0))
+            ).alias("rows_scanned"),
+        )
+        .join(matches, "label", "left")
+        .select(
+            "label",
+            F.col("n_files").cast("long").alias("n_files"),
+            F.col("files_skipped").cast("long").alias("files_skipped"),
+            F.col("rows_scanned").cast("long").alias("rows_scanned"),
+            F.coalesce(F.col("matching_rows"), F.lit(0)).cast("long").alias(
+                "matching_rows"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+def _sql_file_skip() -> str:
+    preds = " UNION ALL ".join(
+        f"SELECT '{lbl}' AS label, '{c}' AS col, CAST({lo} AS BIGINT) AS lo,"
+        f" CAST({hi} AS BIGINT) AS hi"
+        for lbl, c, lo, hi in SKIP_PREDICATES
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(o_orderkey // {SKIP_FILE_ROWS} AS BIGINT) AS file_id,
+         CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+              + day(o_orderdate) AS BIGINT) AS d,
+         CAST(o_totalprice * 100 AS BIGINT) AS p
+  FROM orders
+), zones AS (
+  SELECT file_id, COUNT(*) AS n_rows,
+         MIN(d) AS min_d, MAX(d) AS max_d, MIN(p) AS min_p, MAX(p) AS max_p
+  FROM base GROUP BY file_id
+), preds AS ({preds}),
+probed AS (
+  SELECT p.label, z.file_id, z.n_rows,
+         CASE WHEN p.col = 'd'
+              THEN CASE WHEN z.max_d < p.lo OR z.min_d > p.hi THEN 1 ELSE 0 END
+              ELSE CASE WHEN z.max_p < p.lo OR z.min_p > p.hi THEN 1 ELSE 0 END
+         END AS skipped
+  FROM zones z CROSS JOIN preds p
+), matches AS (
+  SELECT p.label, COUNT(*) AS matching_rows
+  FROM base b CROSS JOIN preds p
+  WHERE CASE WHEN p.col = 'd' THEN b.d BETWEEN p.lo AND p.hi
+             ELSE b.p BETWEEN p.lo AND p.hi END
+  GROUP BY p.label
+)
+SELECT pr.label,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(pr.skipped) AS BIGINT) AS files_skipped,
+       CAST(SUM(CASE WHEN pr.skipped = 0 THEN pr.n_rows ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       CAST(COALESCE(MAX(m.matching_rows), 0) AS BIGINT) AS matching_rows
+FROM probed pr LEFT JOIN matches m USING (label)
+GROUP BY pr.label
+ORDER BY pr.label
+"""
+
+
 QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "zorder_cluster": q_zorder_cluster,
     "compaction_plan": q_compaction_plan,
     "parquet_layout_stats": q_parquet_layout_stats,
+    "hilbert_cluster": q_hilbert_cluster,
+    "file_skip_effectiveness": q_file_skip_effectiveness,
 }
 
 ORACLE = {
@@ -400,4 +657,6 @@ ORACLE = {
     "zorder_cluster": _sql_zorder(),
     "compaction_plan": _ORACLE_COMPACTION_PLAN,
     "parquet_layout_stats": _ORACLE_PARQUET_LAYOUT_STATS,
+    "hilbert_cluster": _sql_hilbert(),
+    "file_skip_effectiveness": _sql_file_skip(),
 }
