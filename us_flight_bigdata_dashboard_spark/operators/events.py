@@ -1776,6 +1776,106 @@ ORDER BY event_type, hour
 """
 
 
+# ---------------------------------------------------------------------------
+# Robust MAD outlier detection (median / median-absolute-deviation)
+# ---------------------------------------------------------------------------
+
+MAD_K = 1.4826  # consistency constant vs sigma under normality (literal)
+MAD_CUT = 3.0
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen: median + MAD (median absolute
+    deviation) instead of mean/stddev — the estimator of choice when the
+    contamination you are hunting is exactly what would poison the
+    mean-based z-score (``events_zscore_anomaly`` is the classical
+    twin). Flags |x − med| > 3·1.4826·MAD.
+
+    Exactness: both medians are LOWER medians — real data values picked
+    by rank (percentile_disc semantics), not interpolated — so every
+    derived quantity is either a data value or one fixed-order IEEE
+    product/compare; bit-stable across engines.
+
+    Scale shape: two per-key rank windows (event_type-partitioned sort —
+    the inherent cost of exact per-group order statistics; the bucketed
+    global-rank trick in ``exact_quantiles_bucketed`` is the documented
+    escape hatch when one key dominates), then one count agg. Output is
+    |types| rows."""
+    events = load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_n = Window.partitionBy("event_type")
+    med = (
+        events.select("event_type", "value", "event_id")
+        .withColumn("r", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+        .filter(F.col("r") == F.expr("(n + 1) DIV 2"))  # lower median rank
+        .select("event_type", F.col("value").alias("med"), F.col("n").alias("n"))
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "event_id",
+        "n",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    w_rank2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    mad = (
+        dev.withColumn("r", F.row_number().over(w_rank2))
+        .filter(F.col("r") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("adev").alias("mad"))
+    )
+    cut = F.lit(MAD_CUT) * F.lit(MAD_K) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med").alias("median"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(F.col("adev") > cut, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "median",
+            "mad",
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_MAD_OUTLIERS = f"""
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type, value AS med, n FROM ranked WHERE r = (n + 1) // 2
+), dev AS (
+  SELECT e.event_type, e.value, e.event_id, m.n, m.med,
+         ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), ranked2 AS (
+  SELECT event_type, adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS r,
+         n
+  FROM dev
+), mad AS (
+  SELECT event_type, adev AS mad FROM ranked2 WHERE r = (n + 1) // 2
+)
+SELECT d.event_type, CAST(MAX(d.n) AS BIGINT) AS n,
+       MAX(d.med) AS median, MAX(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > {MAD_CUT} * {MAD_K} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -1801,6 +1901,7 @@ QUERIES = {
     "events_twap": q_events_twap,
     "events_cusum_changepoint": q_events_cusum_changepoint,
     "events_seasonal_hourly": q_events_seasonal_hourly,
+    "events_mad_outliers": q_events_mad_outliers,
 }
 
 ORACLE = {
@@ -1828,4 +1929,5 @@ ORACLE = {
     "events_twap": _ORACLE_EVENTS_TWAP,
     "events_cusum_changepoint": _ORACLE_CUSUM,
     "events_seasonal_hourly": _ORACLE_SEASONAL,
+    "events_mad_outliers": _ORACLE_MAD_OUTLIERS,
 }
