@@ -15,6 +15,39 @@ from us_flight_bigdata_dashboard_spark.operators.layout import (
 SF = "/root/testdata/sf0.001"
 
 
+def test_hilbert_lut_is_a_unit_step_space_filling_curve():
+    # rebuild the LUT exactly as the operator does and assert the two
+    # defining Hilbert properties: bijectivity (a permutation of the
+    # 256x256 grid) and unit-step adjacency (consecutive curve positions
+    # are 4-neighbors — the locality property Z-order lacks)
+    import numpy as np
+
+    from us_flight_bigdata_dashboard_spark.operators.layout import (
+        H_SIDE,
+        _hilbert_levels,
+    )
+
+    xg, yg = np.meshgrid(
+        np.arange(H_SIDE, dtype=np.int64), np.arange(H_SIDE, dtype=np.int64),
+        indexing="ij",
+    )
+    x_, y_, dd = xg.ravel(), yg.ravel(), np.zeros(H_SIDE * H_SIDE, dtype=np.int64)
+    for s, s2, sm1 in _hilbert_levels():
+        rx = ((x_ & s) > 0).astype(np.int64)
+        ry = ((y_ & s) > 0).astype(np.int64)
+        dd += s2 * ((3 * rx) ^ ry)
+        rot = ry == 0
+        flip = rot & (rx == 1)
+        x2 = np.where(flip, sm1 - y_, np.where(rot, y_, x_))
+        y2 = np.where(flip, sm1 - x_, np.where(rot, x_, y_))
+        x_, y_ = x2, y2
+    assert len(np.unique(dd)) == H_SIDE * H_SIDE  # bijection
+    order = np.argsort(dd)
+    px, py = xg.ravel()[order], yg.ravel()[order]
+    steps = np.abs(np.diff(px)) + np.abs(np.diff(py))
+    assert (steps == 1).all()  # every curve step moves to a 4-neighbor
+
+
 def test_hilbert_buckets_are_tiles(spark):
     rows = q_hilbert_cluster(spark, SF).collect()
     assert len(rows) <= 16
