@@ -1049,9 +1049,12 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = deg.select(F.col("a").alias("x"), F.col("deg").alias("deg_x"))
     db = deg.select(F.col("a").alias("y"), F.col("deg").alias("deg_y"))
+    # NOTE: no broadcast hint on the degree table — it is O(nodes) and
+    # grows with the graph (a forced broadcast measured 8.8× at a ×16
+    # scale probe; unhinted, AQE picks broadcast only while it fits)
     return (
-        cand.join(F.broadcast(da), "x")
-        .join(F.broadcast(db), "y")
+        cand.join(da, "x")
+        .join(db, "y")
         .select(
             F.col("x").alias("part_a"),
             F.col("y").alias("part_b"),
