@@ -121,6 +121,19 @@ def test_hll_raw_estimate_in_band(spark):
         assert 0 <= r["zero_regs"] <= 256
 
 
+def test_matryoshka_full_dim_is_perfect_reference(spark):
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        q_embedding_matryoshka_eval,
+    )
+
+    rows = q_embedding_matryoshka_eval(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["overlap_at5"] <= 5
+        if r["dim"] == 64:  # the reference compared to itself: exact recall
+            assert r["overlap_at5"] == 5 and r["top1_match"] == 1
+
+
 def test_link_prediction_scoring_algebra(spark):
     # cross-engine values are covered by the oracle gate; here assert the
     # scoring algebra holds on every emitted row at sf0.001

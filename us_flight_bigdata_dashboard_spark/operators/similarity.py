@@ -1870,10 +1870,138 @@ def _sql_mmr_select() -> str:
     return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY rank"
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation (prefix-dim recall vs full embedding)
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = [64, 32, 16, 8]  # full dim first = the ground-truth reference
+MRL_K = 5
+
+
+def _prefix_topk(emb: DataFrame, d: int) -> DataFrame:
+    """Top-MRL_K cosine neighbors per query using only the first ``d``
+    dimensions. Same broadcast-queries shape as ``knn_bruteforce``."""
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.slice(F.col("embedding"), 1, d).alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.slice(F.col("embedding"), 1, d).alias("c_emb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MRL_K)
+        .select(F.lit(d).alias("dim"), "query_id", "neighbor_id", "rank")
+    )
+
+
+def q_embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation: how much top-K cosine recall
+    survives truncating embeddings to their first 32/16/8 dimensions
+    (Kusupati et al. 2022) — the measurement that decides whether an
+    index can run on cheap prefix vectors with full-dim re-rank. For
+    each (prefix dim, query): overlap@5 against the full-dim top-5 and
+    whether the top-1 neighbor is preserved.
+
+    Scale shape: one broadcast-queries sweep per prefix dim (identical
+    economics to ``knn_bruteforce`` — the candidate side streams, never
+    materializes pairs); the overlap join operates on ≤dims·queries·K
+    rows. Deterministic: sequential-fold dots, rank ties broken by id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = _prefix_topk(emb, MRL_DIMS[0]).select(
+        "query_id", F.col("neighbor_id").alias("full_neighbor"), F.col("rank").alias("full_rank")
+    )
+    trunc = None
+    for d in MRL_DIMS:
+        t = _prefix_topk(emb, d)
+        trunc = t if trunc is None else trunc.unionAll(t)
+    overlap = (
+        trunc.join(
+            full,
+            (trunc["query_id"] == full["query_id"])
+            & (trunc["neighbor_id"] == full["full_neighbor"]),
+            "left",
+        )
+        .drop(full["query_id"])
+        .groupBy("dim", "query_id")
+        .agg(
+            F.sum(F.when(F.col("full_neighbor").isNotNull(), 1).otherwise(0)).alias(
+                "overlap_at5"
+            ),
+            F.max(
+                F.when((F.col("rank") == 1) & (F.col("full_rank") == 1), 1).otherwise(0)
+            ).alias("top1_match"),
+        )
+    )
+    return overlap.select(
+        F.col("dim").cast("int").alias("dim"),
+        "query_id",
+        F.col("overlap_at5").cast("long").alias("overlap_at5"),
+        F.col("top1_match").cast("int").alias("top1_match"),
+    ).orderBy("dim", "query_id")
+
+
+def _sql_matryoshka() -> str:
+    def prefix_cos(d: int) -> str:
+        a, b = f"q.embedding[1:{d}]", f"c.embedding[1:{d}]"
+        return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+    legs = []
+    for d in MRL_DIMS:
+        legs.append(f"""
+t{d} AS (
+  SELECT {d} AS dim, query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {prefix_cos(d)} DESC, c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c
+      ON q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+  ) WHERE rank <= {MRL_K}
+)""")
+
+    union = " UNION ALL ".join(f"SELECT * FROM t{d}" for d in MRL_DIMS)
+    return f"""
+WITH {",".join(legs)},
+trunc AS ({union}),
+full_ref AS (
+  SELECT query_id, neighbor_id AS full_neighbor, rank AS full_rank
+  FROM t{MRL_DIMS[0]}
+)
+SELECT CAST(t.dim AS INTEGER) AS dim, t.query_id AS query_id,
+       CAST(SUM(CASE WHEN f.full_neighbor IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS overlap_at5,
+       CAST(MAX(CASE WHEN t.rank = 1 AND f.full_rank = 1 THEN 1 ELSE 0 END) AS INTEGER)
+         AS top1_match
+FROM trunc t
+LEFT JOIN full_ref f
+  ON t.query_id = f.query_id AND t.neighbor_id = f.full_neighbor
+GROUP BY t.dim, t.query_id
+ORDER BY dim, t.query_id
+"""
+
+
 QUERIES = {
     "embedding_mmr_select": q_embedding_mmr_select,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "embedding_norm_audit": q_embedding_norm_audit,
+    "embedding_matryoshka_eval": q_embedding_matryoshka_eval,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_recall_eval": q_ann_recall_eval,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1894,6 +2022,7 @@ ORACLE = {
     "embedding_mmr_select": _sql_mmr_select(),
     "dedup_threshold_sweep": _sql_dedup_threshold_sweep(),
     "embedding_norm_audit": _sql_embedding_norm_audit(),
+    "embedding_matryoshka_eval": _sql_matryoshka(),
     "knn_bruteforce": _sql_knn_bruteforce(),
     "ann_recall_eval": _sql_ann_recall_eval(),
     "kmeans_clusters": _sql_kmeans_clusters(),
