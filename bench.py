@@ -153,6 +153,17 @@ HEADLINE = [
     # modality) and the sparse+dense RRF fusion (BM25 ⊕ cosine top-k)
     "dedup_substring_spans",
     "retrieval_rrf_fusion",
+    # round-7 continuation: the 64-replicate Poisson bootstrap (64× scan
+    # explode + 64-group agg — the heaviest new statistics path), the
+    # corpus bigram LM (length-proportional explode + vocab²-bounded
+    # broadcasts), the 6-round Bellman-Ford loop, the per-type CUSUM
+    # window, the HLL register sketch, and the framed WAV feature pass
+    "bootstrap_ci_poisson",
+    "text_bigram_lm_score",
+    "graph_shortest_paths",
+    "events_cusum_changepoint",
+    "sketch_hll_registers",
+    "multimodal_audio_features",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
