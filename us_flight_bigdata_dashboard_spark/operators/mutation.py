@@ -340,12 +340,111 @@ SELECT 'embeddings',
 """
 
 
+# ---------------------------------------------------------------------------
+# Deletion-vector merge-on-read scan (Delta DV / Iceberg positional deletes)
+# ---------------------------------------------------------------------------
+
+DV_FILE_ROWS = 1000  # rows per simulated data file
+DV_SAMPLE_MOD = 20  # ~5% of rows carry a deletion-vector entry
+
+
+def q_deletion_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read scan under POSITIONAL DELETION VECTORS — the modern
+    lakehouse delete path (Delta deletion vectors / Iceberg positional
+    delete files): instead of rewriting data files, a side table of
+    (file, position) tombstones is anti-joined into every read until
+    compaction folds it in. Files are orderkey ranges; positions are the
+    in-file row_number; the DV is a deterministic ~5% md5 sample. Output
+    is the per-file read-path receipt: rows before, tombstones applied,
+    rows served, and a mod-2^62 digest of surviving keys — a dropped or
+    resurrected row anywhere flips the digest.
+
+    Scale shape: the anti-join is keyed on (file_id, pos) — both sides
+    partition on the same compound key, and the DV side is a few percent
+    of one file's rows per file (broadcast-or-shuffle decided by AQE; no
+    hint, the DV grows with deletes). The per-file rollup reuses the
+    file_id partitioning. The window assigning in-file positions is
+    file-partitioned — bounded by DV_FILE_ROWS, never global."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") / F.lit(DV_FILE_ROWS)).cast("bigint").alias("file_id"),
+    )
+    pos_w = Window.partitionBy("file_id").orderBy("o_orderkey")
+    base = orders.withColumn("pos", F.row_number().over(pos_w))
+    dv = base.filter(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % DV_SAMPLE_MOD
+        == 0
+    ).select("file_id", "pos")
+    survivors = base.join(dv, ["file_id", "pos"], "left_anti")
+    before = base.groupBy("file_id").agg(F.count(F.lit(1)).alias("rows_before"))
+    after = survivors.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("rows_served"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            % F.lit(2**40)  # per-row cap: 1e3 rows/file * 2^40 << 2^63,
+            # so the per-file long SUM cannot overflow under ANSI mode
+        ).alias("digest_sum"),
+    )
+    return (
+        before.join(after, "file_id")
+        .select(
+            "file_id",
+            F.col("rows_before").cast("long").alias("rows_before"),
+            (F.col("rows_before") - F.col("rows_served")).cast("long").alias(
+                "tombstones_applied"
+            ),
+            F.col("rows_served").cast("long").alias("rows_served"),
+            (F.col("digest_sum") % F.lit(2**62)).cast("long").alias("digest"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _sql_deletion_vector() -> str:
+    from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
+
+    h8 = _sql_hex_to_int("md5(CAST(o_orderkey AS VARCHAR))", 1, 8)
+    h15 = _sql_hex_to_int("md5(CAST(o_orderkey AS VARCHAR))", 1, 15)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(o_orderkey // {DV_FILE_ROWS} AS BIGINT) AS file_id,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey // {DV_FILE_ROWS}
+                            ORDER BY o_orderkey) AS pos
+  FROM orders
+), dv AS (
+  SELECT file_id, pos FROM base WHERE {h8} % {DV_SAMPLE_MOD} = 0
+), survivors AS (
+  SELECT b.* FROM base b ANTI JOIN dv USING (file_id, pos)
+), before AS (
+  SELECT file_id, COUNT(*) AS rows_before FROM base GROUP BY file_id
+), after AS (
+  SELECT file_id, COUNT(*) AS rows_served,
+         SUM({h15} % {2**40}) AS digest_sum
+  FROM survivors GROUP BY file_id
+)
+SELECT b.file_id,
+       CAST(b.rows_before AS BIGINT) AS rows_before,
+       CAST(b.rows_before - a.rows_served AS BIGINT) AS tombstones_applied,
+       CAST(a.rows_served AS BIGINT) AS rows_served,
+       CAST(a.digest_sum % {2**62} AS BIGINT) AS digest
+FROM before b JOIN after a USING (file_id)
+ORDER BY file_id
+"""
+
+
 QUERIES = {
     "merge_upsert": q_merge_upsert,
     "mv_incremental": q_mv_incremental,
     "scd2_history": q_scd2_history,
     "cdc_latest": q_cdc_latest,
     "takedown_propagation": q_takedown_propagation,
+    "deletion_vector_scan": q_deletion_vector_scan,
 }
 
 ORACLE = {
@@ -354,4 +453,5 @@ ORACLE = {
     "scd2_history": _ORACLE_SCD2_HISTORY,
     "cdc_latest": _ORACLE_CDC_LATEST,
     "takedown_propagation": _sql_takedown(),
+    "deletion_vector_scan": _sql_deletion_vector(),
 }
