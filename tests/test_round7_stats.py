@@ -15,6 +15,7 @@ from us_flight_bigdata_dashboard_spark.operators.events import (
 )
 from us_flight_bigdata_dashboard_spark.operators.statistics import (
     BOOTSTRAP_B,
+    q_ab_diff_in_differences,
     q_bh_fdr,
     q_bootstrap_ci,
     q_welch_ttest,
@@ -75,6 +76,33 @@ def test_bootstrap_ci_deterministic_and_ordered(spark, exp_dir):
     assert a["ci_lo"] <= a["ci_hi"]
     # the interval is a real spread around the point estimate
     assert a["ci_lo"] < a["point_mean"] < a["ci_hi"]
+
+
+@pytest.fixture(scope="module")
+def did_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("r7_did"))
+    # 2×2 design: every user has one pre event (2024-01-10) and one post
+    # (2024-02-10). Control (even users): pre 10, post 11 (+1 drift).
+    # Treated (odd users): pre 20, post 26 (+6). DiD = 6 − 1 = 5 exactly.
+    rows = []
+    for u in range(10):
+        pre, post = (10.0, 11.0) if u % 2 == 0 else (20.0, 26.0)
+        rows.append((u * 2, "2024-01-10 10:00:00", u, "view", pre, "{}"))
+        rows.append((u * 2 + 1, "2024-02-10 10:00:00", u, "view", post, "{}"))
+    spark.createDataFrame(
+        rows, "event_id bigint, _t string, user_id bigint, event_type string, value double, props string"
+    ).selectExpr(
+        "event_id", "CAST(_t AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(os.path.join(root, "events.parquet"))
+    return root
+
+
+def test_did_recovers_planted_effect(spark, did_dir):
+    rows = {r["arm"]: r for r in q_ab_diff_in_differences(spark, did_dir).collect()}
+    assert rows[0]["delta"] == pytest.approx(1.0, abs=1e-9)
+    assert rows[1]["delta"] == pytest.approx(6.0, abs=1e-9)
+    assert rows[0]["did_effect"] == pytest.approx(5.0, abs=1e-9)
+    assert rows[1]["did_effect"] == rows[0]["did_effect"]
 
 
 @pytest.fixture(scope="module")

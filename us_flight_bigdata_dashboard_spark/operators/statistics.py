@@ -875,6 +875,105 @@ ORDER BY arm
 
 
 # ---------------------------------------------------------------------------
+# Difference-in-differences (pre/post × arm 2×2 design)
+# ---------------------------------------------------------------------------
+
+
+def q_ab_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences effect estimate over the events stream:
+    the 2×2 (arm × pre/post) design — DiD = (ȳ₁ᵖᵒˢᵗ − ȳ₁ᵖʳᵉ) −
+    (ȳ₀ᵖᵒˢᵗ − ȳ₀ᵖʳᵉ) — the workhorse estimator when assignment isn't
+    randomized and a parallel-trends control arm absorbs the secular
+    drift. Same units/split as ``ab_cuped`` (arm = user_id mod 2,
+    period boundary = CUPED_SPLIT) so the two estimators are directly
+    comparable on the same data.
+
+    Exactness: per-user period sums are decimal-exact; the four cell
+    means and the DiD contrast are fixed-order IEEE ops on exact
+    moments. Output: one row per cell (4) with its mean, plus the
+    contrast repeated — letting the gate hash-check every intermediate,
+    not just the headline number.
+
+    Scale shape: one user-keyed shuffle then a 4-row conditional-moment
+    aggregate; nothing after the rollup scales with data."""
+    events = load_table(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            dsum(
+                F.when(F.col("ts") < split, F.col("value")).otherwise(F.lit(0.0)),
+                scale=8,
+            ).alias("pre"),
+            dsum(
+                F.when(F.col("ts") >= split, F.col("value")).otherwise(F.lit(0.0)),
+                scale=8,
+            ).alias("post"),
+        )
+        .select("pre", "post", (F.col("user_id") % 2).alias("arm"))
+    )
+    cells = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        dsum("pre", scale=6).alias("s_pre"),
+        dsum("post", scale=6).alias("s_post"),
+    )
+    n = F.col("n_users").cast("double")
+    with_means = cells.select(
+        "arm",
+        "n_users",
+        (F.col("s_pre") / n).alias("mean_pre"),
+        (F.col("s_post") / n).alias("mean_post"),
+        ((F.col("s_post") / n) - (F.col("s_pre") / n)).alias("delta"),
+    )
+    did = with_means.agg(
+        dsum(
+            F.when(F.col("arm") == 1, F.col("delta")).otherwise(-F.col("delta")),
+            scale=10,
+        ).alias("did_effect")
+    )
+    return (
+        with_means.crossJoin(F.broadcast(did))
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            F.col("n_users").cast("long").alias("n_users"),
+            "mean_pre",
+            "mean_post",
+            "delta",
+            "did_effect",
+        )
+        .orderBy("arm")
+    )
+
+
+_ORACLE_AB_DID = f"""
+WITH per_user AS (
+  SELECT user_id % 2 AS arm,
+         {sql_dsum(f"CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{CUPED_SPLIT}' THEN value ELSE 0.0 END", scale=8)} AS pre,
+         {sql_dsum(f"CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '{CUPED_SPLIT}' THEN value ELSE 0.0 END", scale=8)} AS post
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT arm, COUNT(*) AS n_users,
+         {sql_dsum("pre", scale=6)} AS s_pre,
+         {sql_dsum("post", scale=6)} AS s_post
+  FROM per_user GROUP BY arm
+), with_means AS (
+  SELECT arm, n_users,
+         s_pre / CAST(n_users AS DOUBLE) AS mean_pre,
+         s_post / CAST(n_users AS DOUBLE) AS mean_post,
+         (s_post / CAST(n_users AS DOUBLE)) - (s_pre / CAST(n_users AS DOUBLE)) AS delta
+  FROM cells
+), did AS (
+  SELECT {sql_dsum("CASE WHEN arm = 1 THEN delta ELSE -delta END", scale=10)} AS did_effect
+  FROM with_means
+)
+SELECT CAST(arm AS BIGINT) AS arm, CAST(n_users AS BIGINT) AS n_users,
+       mean_pre, mean_post, delta, did_effect
+FROM with_means CROSS JOIN did
+ORDER BY arm
+"""
+
+
+# ---------------------------------------------------------------------------
 # Welch's unequal-variance t-test (A/B mean difference)
 # ---------------------------------------------------------------------------
 
@@ -1230,6 +1329,7 @@ QUERIES = {
     "mann_whitney_u": q_mann_whitney_u,
     "ab_cuped": q_ab_cuped,
     "welch_ttest": q_welch_ttest,
+    "ab_diff_in_differences": q_ab_diff_in_differences,
     "bh_fdr_control": q_bh_fdr,
     "bootstrap_ci_poisson": q_bootstrap_ci,
 }
@@ -1245,6 +1345,7 @@ ORACLE = {
     "mann_whitney_u": _ORACLE_MANN_WHITNEY,
     "ab_cuped": _ORACLE_AB_CUPED,
     "welch_ttest": _ORACLE_WELCH_TTEST,
+    "ab_diff_in_differences": _ORACLE_AB_DID,
     "bh_fdr_control": _ORACLE_BH_FDR,
     "bootstrap_ci_poisson": _sql_bootstrap_ci(),
 }
