@@ -875,6 +875,103 @@ ORDER BY arm
 
 
 # ---------------------------------------------------------------------------
+# Quantile regression via a pinball-loss grid sweep
+# ---------------------------------------------------------------------------
+
+QR_TAUS = ["0.5", "0.9"]  # quantile levels as exact decimal literals
+QR_SLOPES = [100 * k for k in range(1, 41)]  # candidate price-per-unit slopes
+
+
+def q_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Through-origin quantile regression of extended price on quantity by
+    GRID SWEEP: evaluate the pinball loss Σ ρ_τ(y − m·x) for 40 candidate
+    slopes × 2 quantile levels in ONE pass and take the argmin per τ.
+    This is how quantile fits actually run at 100 TB — iterative
+    IRLS/simplex solvers need data-dependent sequential passes, while a
+    candidate grid is embarrassingly parallel and map-side combinable
+    (refining the grid around the winner is just a second such pass).
+    The τ=0.5 fit is the LAD (median) price-per-unit; τ=0.9 bounds the
+    premium tail.
+
+    Exactness: the loss is INTEGER arithmetic end to end — prices are
+    exact cents (ROUND(y·100): money lands within ulps of integers, so
+    every rounding mode agrees), quantities are integral, and the τ
+    factor is carried ×10 (5 and 9), so 10·ρ_cents = u_cents·(10τ −
+    10·1{u<0}) is an exact BIGINT per term. A first cut used
+    DECIMAL(38,2)-quantized double sums and FAILED the gate: Spark's
+    double→decimal cast rounds HALF_UP while DuckDB's differs at .005
+    boundaries, and full-precision ρ addends straddle them constantly —
+    the integer-cents formulation removes the boundary class entirely.
+    |10ρ| ≤ ~3e8/term keeps the sum inside 2^63 through sf100; argmin
+    ties break by slope. Scale shape: one explode ×|grid| feeding a hash
+    agg to 80 cells — grid size, not data size, bounds everything
+    downstream."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y_cents"),
+    )
+    grid = [(t, int(float(t) * 10), m) for t in QR_TAUS for m in QR_SLOPES]
+    cand = li.sparkSession.createDataFrame(grid, "tau string, t10 bigint, slope bigint")
+    u = F.col("y_cents") - F.lit(100) * F.col("slope") * F.col("x")
+    rho10 = u * (F.col("t10") - F.when(u < 0, F.lit(10)).otherwise(F.lit(0)))
+    losses = (
+        li.crossJoin(F.broadcast(cand))
+        .select("tau", "slope", rho10.alias("rho10"))
+        .groupBy("tau", "slope")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rho10").alias("loss10"))
+        .select(
+            "tau",
+            "slope",
+            "n",
+            # cents → dollars (/100) and ×10 τ-scale (/10): ONE division
+            (F.col("loss10").cast("double") / F.lit(1000.0)).alias("loss"),
+        )
+    )
+    w = Window.partitionBy("tau").orderBy(F.col("loss").asc(), F.col("slope").asc())
+    return (
+        losses.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "tau",
+            F.col("slope").cast("long").alias("best_slope"),
+            F.col("loss").alias("pinball_loss"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("tau")
+    )
+
+
+def _sql_quantile_regression() -> str:
+    grid = " UNION ALL ".join(
+        f"SELECT '{t}' AS tau, CAST({int(float(t) * 10)} AS BIGINT) AS t10,"
+        f" CAST({m} AS BIGINT) AS slope"
+        for t in QR_TAUS
+        for m in QR_SLOPES
+    )
+    u = "(y_cents - 100 * slope * x)"
+    rho10 = f"{u} * (t10 - CASE WHEN {u} < 0 THEN 10 ELSE 0 END)"
+    return f"""
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y_cents
+  FROM lineitem
+), cand AS ({grid}),
+losses AS (
+  SELECT tau, slope, COUNT(*) AS n,
+         CAST(SUM({rho10}) AS DOUBLE) / 1000.0 AS loss
+  FROM li CROSS JOIN cand
+  GROUP BY tau, slope
+)
+SELECT tau, CAST(slope AS BIGINT) AS best_slope, loss AS pinball_loss,
+       CAST(n AS BIGINT) AS n
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tau ORDER BY loss ASC, slope ASC) AS r
+      FROM losses)
+WHERE r = 1
+ORDER BY tau
+"""
+
+
+# ---------------------------------------------------------------------------
 # Difference-in-differences (pre/post × arm 2×2 design)
 # ---------------------------------------------------------------------------
 
@@ -1330,6 +1427,7 @@ QUERIES = {
     "ab_cuped": q_ab_cuped,
     "welch_ttest": q_welch_ttest,
     "ab_diff_in_differences": q_ab_diff_in_differences,
+    "quantile_regression_grid": q_quantile_regression_grid,
     "bh_fdr_control": q_bh_fdr,
     "bootstrap_ci_poisson": q_bootstrap_ci,
 }
@@ -1346,6 +1444,7 @@ ORACLE = {
     "ab_cuped": _ORACLE_AB_CUPED,
     "welch_ttest": _ORACLE_WELCH_TTEST,
     "ab_diff_in_differences": _ORACLE_AB_DID,
+    "quantile_regression_grid": _sql_quantile_regression(),
     "bh_fdr_control": _ORACLE_BH_FDR,
     "bootstrap_ci_poisson": _sql_bootstrap_ci(),
 }
