@@ -106,6 +106,40 @@ def test_did_recovers_planted_effect(spark, did_dir):
 
 
 @pytest.fixture(scope="module")
+def qr_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("r7_qr"))
+    # 90 rows on y = 200x exactly; 10 extreme high outliers. The median
+    # (tau=0.5) fit must pick slope 200 from the grid; the tau=0.9 fit is
+    # pulled to a higher slope by the upper tail.
+    rows = [(i, i, i, 1, float(1 + i % 5), 200.0 * (1 + i % 5), 0.0, 0.0, "N", "O",
+             "1995-01-01 00:00:00") for i in range(90)]
+    rows += [(100 + i, 100 + i, 100 + i, 1, 2.0, 8000.0, 0.0, 0.0, "N", "O",
+              "1995-01-01 00:00:00") for i in range(10)]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, _d string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "CAST(_d AS TIMESTAMP) AS l_shipdate",
+    ).write.mode("overwrite").parquet(os.path.join(root, "lineitem.parquet"))
+    return root
+
+
+def test_quantile_grid_median_resists_outliers(spark, qr_dir):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_quantile_regression_grid,
+    )
+
+    rows = {r["tau"]: r for r in q_quantile_regression_grid(spark, qr_dir).collect()}
+    assert rows["0.5"]["best_slope"] == 200  # 10% outliers can't move the median fit
+    assert rows["0.9"]["best_slope"] >= rows["0.5"]["best_slope"]
+    assert rows["0.5"]["n"] == 100
+
+
+@pytest.fixture(scope="module")
 def shift_dir(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("r7_cusum"))
     # One event type: 10 observations at 1.0 then 10 at 9.0 — the centered
