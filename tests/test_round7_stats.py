@@ -165,6 +165,32 @@ def shift_dir(spark, tmp_path_factory):
     return root
 
 
+def test_holt_tracks_linear_ramp(spark, shift_dir):
+    # On an exact linear ramp x_t = t the Holt(1/2, 1/2) state converges
+    # toward trend 1 and level ≈ x_t; the 7-step forecast must extrapolate
+    # BEYOND the last observation.
+    import os as _os
+
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        q_events_holt_linear,
+    )
+
+    root = str(shift_dir) + "/../r7_holt"
+    rows = [
+        (i, "2024-03-01 %02d:%02d:00" % (i // 60, i % 60), 1, "ramp", float(i), "{}")
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, _t string, user_id bigint, event_type string, value double, props string"
+    ).selectExpr(
+        "event_id", "CAST(_t AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(_os.path.join(root, "events.parquet"))
+    r = q_events_holt_linear(spark, root).collect()[0]
+    assert r["n"] == 40
+    assert r["trend"] == pytest.approx(1.0, abs=0.05)  # converged slope
+    assert r["forecast_h"] > 39.0  # extrapolates past the last value
+
+
 def test_cusum_finds_planted_changepoint(spark, shift_dir):
     rows = {r["event_type"]: r for r in q_events_cusum_changepoint(spark, shift_dir).collect()}
     cp = rows["metric"]

@@ -1777,6 +1777,100 @@ ORDER BY event_type, hour
 
 
 # ---------------------------------------------------------------------------
+# Holt double exponential smoothing (level + trend) per user
+# ---------------------------------------------------------------------------
+
+HOLT_H = 7  # forecast horizon (steps ahead)
+
+
+def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per user with
+    α = β = 1/2: l_t = (x_t + l_{t−1} + b_{t−1})/2, b_t = (l_t − l_{t−1}
+    + b_{t−1})/2, seeded l₁ = x₁, b₁ = 0; output the final state and the
+    h-step forecast l + h·b — the classic short-horizon trend forecaster
+    one rung above ``events_forecast_baseline``'s seasonal-naive.
+
+    Unlike EWMA (one-state — decomposable into the hot-key-safe affine
+    chunk fold, ``q_events_ewma``), the two-state Holt recurrence has no
+    cheap order-free decomposition, so this entry uses the OTHER
+    legitimate Spark shape for per-key sequential math: Arrow-batched
+    ``applyInPandas`` (one python invocation per user batch, state =
+    two doubles, cost bounded by per-key cardinality — the same
+    economics as the streaming EWMA's applyInPandasWithState). The
+    oracle runs the identical IEEE op sequence as a RECURSIVE CTE
+    (set-at-a-time over all users), the float twin of the ADPCM
+    integer-recurrence proof: halving constants mean every step is the
+    same correctly-rounded double arithmetic on both engines, so the
+    gate compares bit-identical results with NO quantization."""
+    import pandas as _pd_outer  # noqa: F401 (documents the Arrow path)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast_h", T.DoubleType()),
+        ]
+    )
+
+    def holt(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = pdf["value"].to_numpy()
+        level = float(xs[0])
+        trend = 0.0
+        for x in xs[1:]:
+            prev = level
+            level = (float(x) + level + trend) / 2.0
+            trend = (level - prev + trend) / 2.0
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [len(xs)],
+                "level": [level],
+                "trend": [trend],
+                "forecast_h": [level + HOLT_H * trend],
+            }
+        )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return (
+        events.groupBy("user_id")
+        .applyInPandas(holt, schema)
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_HOLT = f"""
+WITH RECURSIVE ranked AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), state AS (
+  SELECT user_id, CAST(1 AS BIGINT) AS r, n,
+         CAST(value AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM ranked WHERE r = 1
+  UNION ALL
+  SELECT s.user_id, s.r + 1, s.n,
+         (CAST(e.value AS DOUBLE) + s.level + s.trend) / 2.0,
+         (((CAST(e.value AS DOUBLE) + s.level + s.trend) / 2.0) - s.level + s.trend) / 2.0
+  FROM state s JOIN ranked e ON e.user_id = s.user_id AND e.r = s.r + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, level, trend,
+       level + {HOLT_H} * trend AS forecast_h
+FROM state WHERE r = n
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Robust MAD outlier detection (median / median-absolute-deviation)
 # ---------------------------------------------------------------------------
 
@@ -1902,6 +1996,7 @@ QUERIES = {
     "events_cusum_changepoint": q_events_cusum_changepoint,
     "events_seasonal_hourly": q_events_seasonal_hourly,
     "events_mad_outliers": q_events_mad_outliers,
+    "events_holt_linear": q_events_holt_linear,
 }
 
 ORACLE = {
@@ -1930,4 +2025,5 @@ ORACLE = {
     "events_cusum_changepoint": _ORACLE_CUSUM,
     "events_seasonal_hourly": _ORACLE_SEASONAL,
     "events_mad_outliers": _ORACLE_MAD_OUTLIERS,
+    "events_holt_linear": _ORACLE_HOLT,
 }
