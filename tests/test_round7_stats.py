@@ -191,6 +191,34 @@ def test_holt_tracks_linear_ramp(spark, shift_dir):
     assert r["forecast_h"] > 39.0  # extrapolates past the last value
 
 
+def test_lttb_keeps_extremes(spark, tmp_path_factory):
+    # 40-point flat series with one huge spike: LTTB must keep first,
+    # last, and the spike (a stride sample at B=12 could miss it).
+    import os as _os
+
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        LTTB_B,
+        q_events_lttb_downsample,
+    )
+
+    root = str(tmp_path_factory.mktemp("r7_lttb"))
+    rows = [
+        (i, "2024-03-01 %02d:%02d:00" % (i // 60, i % 60), 1, "flat",
+         1000.0 if i == 17 else 1.0, "{}")
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, _t string, user_id bigint, event_type string, value double, props string"
+    ).selectExpr(
+        "event_id", "CAST(_t AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(_os.path.join(root, "events.parquet"))
+    rows_out = q_events_lttb_downsample(spark, root).collect()
+    assert len(rows_out) == LTTB_B
+    vals = [r["value"] for r in rows_out]
+    assert vals[0] == 1.0 and vals[-1] == 1.0  # endpoints kept
+    assert 1000.0 in vals  # the spike survives downsampling
+
+
 def test_cusum_finds_planted_changepoint(spark, shift_dir):
     rows = {r["event_type"]: r for r in q_events_cusum_changepoint(spark, shift_dir).collect()}
     cp = rows["metric"]

@@ -1777,6 +1777,177 @@ ORDER BY event_type, hour
 
 
 # ---------------------------------------------------------------------------
+# LTTB downsampling (largest-triangle-three-buckets) per event type
+# ---------------------------------------------------------------------------
+
+LTTB_B = 12  # output points per series (first + last + 10 middle buckets)
+
+
+def q_events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB (largest-triangle-three-buckets, Steinarsson 2013) series
+    downsampling per event type — the dashboard-rendering operator
+    Grafana-class frontends run before plotting: keep first and last
+    points, split the middle into equal-count buckets, and from each
+    bucket keep the point forming the LARGEST triangle with the
+    previously kept point and the NEXT bucket's centroid — preserving
+    visual extremes a naive stride-sample flattens.
+
+    Determinism: all geometry is INTEGER — x is seconds from the series
+    start, y is value·10⁶ fixed-point, and the triangle comparison is
+    multiplied through by the next bucket's count so the centroid never
+    becomes a float (|(xp·c − Σx)(yc − yp) − (xp − xc)(Σy − yp·c)|,
+    magnitudes ≤ ~10¹⁷ < 2⁶³). Selection ties break on earliest ts, so
+    both engines pick identical points — the gate compares raw data
+    values, untouched by any arithmetic.
+
+    Shapes: Spark side is per-key ``applyInPandas`` (the selection chain
+    is sequential in the kept point — same justification as
+    ``events_holt_linear``); the ORACLE is the selection unrolled into
+    {LTTB_B}−2 declarative stages (the MMR pattern) — two independent
+    formulations, one integer geometry. Bucket k (0-based, middle ranks
+    r∈[2, n−1]) = ((r−2)·(B−2)) DIV (n−2); requires n ≥ B per series
+    (testdata satisfies this at every SF)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("keep_idx", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    B = LTTB_B
+
+    def lttb(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        ts0 = pdf["ts"].iloc[0]
+        x = ((pdf["ts"] - ts0).dt.total_seconds()).astype("int64").to_numpy()
+        import numpy as np
+
+        y = np.floor(pdf["value"].to_numpy() * 1_000_000.0).astype("int64")
+        keep = [0]
+        if n > 2:
+            nb = B - 2
+            bucket = ((pd.RangeIndex(n).to_numpy() - 1) * nb) // (n - 2)
+            # middle indices 1..n-2 carry buckets 0..nb-1 under this map
+            prev = 0
+            for k in range(nb):
+                idx = [i for i in range(1, n - 1) if bucket[i] == k]
+                if not idx:
+                    continue
+                nxt = [i for i in range(1, n - 1) if bucket[i] == k + 1]
+                if nxt:
+                    sx = int(sum(int(x[i]) for i in nxt))
+                    sy = int(sum(int(y[i]) for i in nxt))
+                    c = len(nxt)
+                else:  # last middle bucket: anchor on the final point
+                    sx, sy, c = int(x[n - 1]), int(y[n - 1]), 1
+                xp, yp = int(x[prev]), int(y[prev])
+                best, best_area = None, -1
+                for i in idx:
+                    area = abs(
+                        (xp * c - sx) * (int(y[i]) - yp)
+                        - (xp - int(x[i])) * (sy - yp * c)
+                    )
+                    if area > best_area:  # strict: earliest wins ties
+                        best, best_area = i, area
+                keep.append(best)
+                prev = best
+        keep.append(n - 1)
+        out = pdf.iloc[keep][["event_type", "ts", "value"]].copy()
+        out.insert(1, "keep_idx", range(len(keep)))
+        return out
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    return (
+        events.groupBy("event_type")
+        .applyInPandas(lttb, schema)
+        .orderBy("event_type", "keep_idx")
+    )
+
+
+def _sql_lttb() -> str:
+    nb = LTTB_B - 2
+    pre = f"""
+ranked AS (
+  SELECT event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         CAST(date_diff('second',
+              MIN(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY event_type),
+              CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS y
+  FROM events
+), mid AS (
+  SELECT *, ((r - 2) * {nb}) // (n - 2) AS bucket
+  FROM ranked WHERE r >= 2 AND r <= n - 1
+), anchors AS (
+  SELECT event_type, bucket, COUNT(*) AS c, SUM(x) AS sx, SUM(y) AS sy
+  FROM mid GROUP BY event_type, bucket
+), lastpt AS (
+  SELECT event_type, x, y, ts, value FROM ranked WHERE r = n
+), firstpt AS (
+  SELECT event_type, x, y, ts, value FROM ranked WHERE r = 1
+), s0 AS (
+  SELECT event_type, x AS xp, y AS yp FROM firstpt
+)"""
+    stages = []
+    for k in range(nb):
+        anchor = (
+            f"(SELECT a.event_type, a.c, a.sx, a.sy FROM anchors a WHERE a.bucket = {k + 1})"
+            if k + 1 < nb
+            else "(SELECT event_type, 1 AS c, x AS sx, y AS sy FROM lastpt)"
+        )
+        stages.append(f"""
+pick{k} AS (
+  SELECT event_type, ts, value, x, y FROM (
+    SELECT m.event_type, m.ts, m.value, m.x, m.y,
+           ROW_NUMBER() OVER (
+             PARTITION BY m.event_type
+             ORDER BY ABS((s.xp * an.c - an.sx) * (m.y - s.yp)
+                          - (s.xp - m.x) * (an.sy - s.yp * an.c)) DESC,
+                      m.ts ASC
+           ) AS rk
+    FROM mid m
+    JOIN s{k} s USING (event_type)
+    JOIN {anchor} an USING (event_type)
+    WHERE m.bucket = {k}
+  ) WHERE rk = 1
+),
+s{k + 1} AS (
+  SELECT event_type, x AS xp, y AS yp FROM pick{k}
+)""")
+    picks = " UNION ALL ".join(
+        f"SELECT event_type, {k + 1} AS keep_idx, ts, value FROM pick{k}"
+        for k in range(nb)
+    )
+    return (
+        "WITH "
+        + pre
+        + ","
+        + ",".join(stages)
+        + f"""
+SELECT event_type, CAST(keep_idx AS INTEGER) AS keep_idx,
+       CAST(ts AS TIMESTAMP) AS ts, value
+FROM (
+  SELECT event_type, 0 AS keep_idx, ts, value FROM firstpt
+  UNION ALL
+  {picks}
+  UNION ALL
+  SELECT event_type, {nb + 1} AS keep_idx, ts, value FROM lastpt
+)
+ORDER BY event_type, keep_idx
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # Holt double exponential smoothing (level + trend) per user
 # ---------------------------------------------------------------------------
 
@@ -1997,6 +2168,7 @@ QUERIES = {
     "events_seasonal_hourly": q_events_seasonal_hourly,
     "events_mad_outliers": q_events_mad_outliers,
     "events_holt_linear": q_events_holt_linear,
+    "events_lttb_downsample": q_events_lttb_downsample,
 }
 
 ORACLE = {
@@ -2026,4 +2198,5 @@ ORACLE = {
     "events_seasonal_hourly": _ORACLE_SEASONAL,
     "events_mad_outliers": _ORACLE_MAD_OUTLIERS,
     "events_holt_linear": _ORACLE_HOLT,
+    "events_lttb_downsample": _sql_lttb(),
 }
