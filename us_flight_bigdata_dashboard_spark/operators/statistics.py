@@ -1301,6 +1301,21 @@ ORDER BY bh_rank
 # ---------------------------------------------------------------------------
 
 BOOTSTRAP_B = 64
+BOOT_P = 2147483647  # 2^31 − 1 (Mersenne prime for the affine uniforms)
+
+
+def _boot_affine_params() -> list[tuple[int, int, int]]:
+    """Per-replicate affine coefficients (b, a_b, c_b), derived once from
+    md5 in Python and embedded as literals in BOTH engines' plans —
+    a_b·x products stay < 2^63 (a_b < 2^32, x < 2^31)."""
+    import hashlib
+
+    out = []
+    for b in range(BOOTSTRAP_B):
+        a = int(hashlib.md5(f"boot_a{b}".encode()).hexdigest()[:8], 16) | 1
+        c = int(hashlib.md5(f"boot_c{b}".encode()).hexdigest()[:8], 16)
+        out.append((b, a % BOOT_P or 1, c % BOOT_P))
+    return out
 # Poisson(1) inverse-CDF thresholds, FIXED decimal literals (k = count of
 # thresholds exceeded). Literal constants — not runtime exp() — so both
 # engines compare the same exact rational u against the same exact
@@ -1325,26 +1340,45 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample-with-replacement pass; see Chamandy et al., "Estimating
     Uncertainty for Massive Data Streams", Google 2012).
 
-    Determinism: the per-(row, replicate) weight is the Poisson(1)
-    inverse CDF applied to u = md5(event_id, b)/2⁴⁸ — a hash both engines
-    compute identically — against fixed literal thresholds, so every
-    weight (and hence every replicate mean, via exact decimal sums) is
-    bit-identical across engines, partitionings, and runs.
+    Determinism: the per-(row, replicate) uniform is an affine family
+    over ONE md5 per row — u_b = ((a_b·x + c_b) mod P)/P with x =
+    md5(event_id) mod P (P = 2³¹−1) and per-replicate literals a_b, c_b
+    fixed here in Python (the same md5→affine-family pattern as the
+    MinHash bands in operators/dedup.py). A first version hashed
+    md5(event_id, b) per (row, replicate) — 64 md5s per row; the affine
+    family computes the SAME class of deterministic uniforms with one
+    md5 + 64 integer multiplies (measured ~13 s → see bench). Weights
+    come from fixed Poisson(1) CDF literals, so every replicate mean
+    (exact decimal sums) is bit-identical across engines/partitionings.
 
     Scale shape: ONE pass over the data with a 64-way row explode feeding
     a map-side-combinable agg to 64 (b) groups — work is 64× the scan but
     memory is O(B); the order statistics run over the 64-row replicate
     frame. At 100 TB there is no per-resample shuffle of raw rows."""
     events = load_table(spark, sf_dir, "events")
-    b = F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b")
-    rows = events.select("event_id", "value", b)
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("_", F.col("event_id"), F.col("b"))), 1, 12),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(float(2**48))
+    x = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint") % F.lit(BOOT_P)
+    # inline 64-element struct array + explode: stays inside whole-stage
+    # codegen (a broadcast crossJoin with the params frame planned as a
+    # BroadcastNestedLoopJoin and measured slower)
+    params_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.lit(a).cast("bigint").alias("a_c"),
+                F.lit(c).cast("bigint").alias("c_c"),
+            )
+            for b, a, c in _boot_affine_params()
+        ]
+    )
+    rows = (
+        events.select("value", x.alias("x"))
+        .select("value", "x", F.explode(params_arr).alias("p"))
+        .select("value", "x", F.col("p.b").alias("b"), F.col("p.a_c").alias("a_c"), F.col("p.c_c").alias("c_c"))
+    )
+    u = ((F.col("a_c") * F.col("x") + F.col("c_c")) % F.lit(BOOT_P)) / F.lit(
+        float(BOOT_P)
     )
     w = sum(
         (F.col("u") >= F.lit(float(t))).cast("int") for t in _POISSON1_CDF
@@ -1379,18 +1413,22 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_bootstrap_ci() -> str:
-    u_expr = _sql_hex_to_int(
-        "md5(CAST(event_id AS VARCHAR) || '_' || CAST(b AS VARCHAR))", 1, 12
+    x_expr = _sql_hex_to_int("md5(CAST(event_id AS VARCHAR))", 1, 12)
+    params = " UNION ALL ".join(
+        f"SELECT {b} AS b, CAST({a} AS BIGINT) AS a_c, CAST({c} AS BIGINT) AS c_c"
+        for b, a, c in _boot_affine_params()
     )
     w_expr = " + ".join(
         f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POISSON1_CDF
     )
     return f"""
-WITH reps AS (
-  SELECT e.event_id, e.value, b.b
-  FROM events e CROSS JOIN (SELECT UNNEST(range({BOOTSTRAP_B})) AS b) b
-), uu AS (
-  SELECT b, value, {u_expr} / 281474976710656.0 AS u FROM reps
+WITH hashed AS (
+  SELECT value, {x_expr} % {BOOT_P} AS x FROM events
+), params AS ({params}),
+uu AS (
+  SELECT p.b, h.value,
+         CAST((p.a_c * h.x + p.c_c) % {BOOT_P} AS DOUBLE) / {float(BOOT_P)!r} AS u
+  FROM hashed h CROSS JOIN params p
 ), weighted AS (
   SELECT b, value, {w_expr} AS w FROM uu
 ), per_b AS (
