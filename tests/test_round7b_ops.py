@@ -100,6 +100,30 @@ def test_sssp_relaxes_through_cheaper_path(spark, sssp_dir):
     assert rows["s:2"] == 8  # 5+1+2 beats the direct 20
 
 
+def test_rake_extracts_planted_keyphrase(spark, tmp_path_factory):
+    # "machine learning systems" is a 3-word content phrase repeated
+    # twice; RAKE must rank it above the isolated single words.
+    import os as _os
+
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        q_text_rake_keywords,
+    )
+
+    root = str(tmp_path_factory.mktemp("r7_rake"))
+    text = (
+        "machine learning systems are the future of machine learning systems "
+        "and the cat sat on a mat"
+    )
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(_os.path.join(root, "documents.parquet"))
+    rows = q_text_rake_keywords(spark, root).collect()
+    assert rows[0]["rank"] == 1
+    assert rows[0]["phrase"] == "machine learning systems"
+    assert rows[0]["n_words"] == 3
+
+
 def test_cms_one_sided_guarantee(spark):
     # Count-Min can only OVERestimate — on every probed key
     rows = q_sketch_cms_freq(spark, "/root/testdata/sf0.001").collect()

@@ -1839,6 +1839,153 @@ WHERE fused_rank <= {RRF_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# RAKE keyword extraction (phrase candidates between stopword breakers)
+# ---------------------------------------------------------------------------
+
+RAKE_STOPS = [
+    "the", "a", "an", "of", "and", "to", "is", "in", "that", "it",
+    "on", "for", "with", "as", "was", "at", "by", "be", "this", "are",
+]
+RAKE_MAX_PHRASE = 4  # longest candidate phrase (words)
+RAKE_TOPK = 3  # keywords kept per document
+
+
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal runs of content words between stopword/non-alpha breakers;
+    each word scores deg/freq over the document's phrase graph (deg =
+    Σ length of phrases containing it), and a phrase scores the sum of
+    its words — top-K phrases per document.
+
+    Fully relational and regex-free: breakers are detected with
+    ``translate`` (a token is alphabetic iff deleting a–z empties it) so
+    no cross-engine regex-dialect surface exists; phrase ids come from a
+    cumulative breaker count (gaps-and-islands); phrase text reassembles
+    with an order-pinned aggregation. Scores are FIXED-POINT integers —
+    per-word floor(deg·10⁶ / freq) summed per phrase — integer end to
+    end (the quantile-grid lesson: never hash-gate quantized doubles).
+
+    Scale shape: one posexplode, two doc-keyed hash aggs (word stats,
+    phrase reassembly), one broadcast-sized stoplist array, one per-doc
+    top-K window. Nothing global; every shuffle is doc-keyed."""
+    stops = F.array(*[F.lit(w) for w in RAKE_STOPS])
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.col("t"), " "), lambda x: x != "")).alias(
+            "pos", "term"
+        ),
+    )
+    is_breaker = F.array_contains(stops, F.col("term")) | (
+        F.translate(F.col("term"), "abcdefghijklmnopqrstuvwxyz", "") != ""
+    )
+    flagged = toks.select(
+        "doc_id", "pos", "term", is_breaker.cast("int").alias("brk")
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    phrased = (
+        flagged.withColumn("phrase_id", F.sum("brk").over(w_cum))
+        .filter(F.col("brk") == 0)
+        .select("doc_id", "phrase_id", "pos", "term")
+    )
+    plen = Window.partitionBy("doc_id", "phrase_id")
+    sized = phrased.withColumn("phrase_len", F.count(F.lit(1)).over(plen)).filter(
+        F.col("phrase_len") <= RAKE_MAX_PHRASE
+    )
+    word_stats = sized.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("phrase_len").alias("deg"),
+    )
+    scored_words = sized.join(word_stats, ["doc_id", "term"]).select(
+        "doc_id",
+        "phrase_id",
+        "pos",
+        "term",
+        F.expr("(deg * 1000000) DIV freq").alias("wscore_fp"),  # integer div
+    )
+    phrases = scored_words.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.sum("wscore_fp").alias("score_fp"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp").desc(), F.col("phrase").asc(), F.col("phrase_id").asc()
+    )
+    return (
+        phrases.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= RAKE_TOPK)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rank"),
+            "phrase",
+            F.col("score_fp").cast("long").alias("score_fp"),
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+def _sql_rake() -> str:
+    stops = ", ".join(f"'{w}'" for w in RAKE_STOPS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, arr[CAST(i AS INTEGER)] AS term
+  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS arr
+        FROM documents) d,
+       UNNEST(range(1, CAST(len(d.arr) AS BIGINT) + 1)) AS t(i)
+), flagged AS (
+  SELECT doc_id, pos, term,
+         CASE WHEN term IN ({stops})
+                OR translate(term, 'abcdefghijklmnopqrstuvwxyz', '') <> ''
+              THEN 1 ELSE 0 END AS brk
+  FROM toks
+), phrased AS (
+  SELECT doc_id, pos, term,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+  FROM flagged
+  QUALIFY brk = 0
+), sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS phrase_len
+  FROM phrased
+  QUALIFY phrase_len <= {RAKE_MAX_PHRASE}
+), word_stats AS (
+  SELECT doc_id, term, COUNT(*) AS freq, SUM(phrase_len) AS deg
+  FROM sized GROUP BY doc_id, term
+), scored_words AS (
+  SELECT s.doc_id, s.phrase_id, s.pos, s.term,
+         CAST((w.deg * 1000000) // w.freq AS BIGINT) AS wscore_fp
+  FROM sized s JOIN word_stats w USING (doc_id, term)
+), phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(term, ' ' ORDER BY pos) AS phrase,
+         SUM(wscore_fp) AS score_fp,
+         COUNT(*) AS n_words
+  FROM scored_words GROUP BY doc_id, phrase_id
+)
+SELECT doc_id, CAST(rk AS INTEGER) AS rank, phrase,
+       CAST(score_fp AS BIGINT) AS score_fp, CAST(n_words AS BIGINT) AS n_words
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_fp DESC, phrase ASC, phrase_id ASC) AS rk
+      FROM phrases)
+WHERE rk <= {RAKE_TOPK}
+ORDER BY doc_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # Character-bigram language-model quality score (perplexity-style filter)
 # ---------------------------------------------------------------------------
 
@@ -1968,6 +2115,7 @@ QUERIES = {
     "bpe_learn_merges": q_bpe_learn_merges,
     "retrieval_rrf_fusion": q_retrieval_rrf_fusion,
     "text_bigram_lm_score": q_text_bigram_lm_score,
+    "text_rake_keywords": q_text_rake_keywords,
 }
 
 ORACLE = {
@@ -1995,4 +2143,5 @@ ORACLE = {
     "bpe_learn_merges": _sql_bpe_learn_merges(),
     "retrieval_rrf_fusion": _sql_rrf_fusion(),
     "text_bigram_lm_score": _ORACLE_BIGRAM_LM,
+    "text_rake_keywords": _sql_rake(),
 }
