@@ -219,6 +219,39 @@ def test_lttb_keeps_extremes(spark, tmp_path_factory):
     assert 1000.0 in vals  # the spike survives downsampling
 
 
+def test_funnel_exclusion_kill_semantics(spark, tmp_path_factory):
+    # u1 converts cleanly; u2's error precedes the click (killed); u3
+    # clicks cleanly but errors before purchasing (killed); u4 never views.
+    import os as _os
+
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        q_events_funnel_exclusion,
+    )
+
+    root = str(tmp_path_factory.mktemp("r7_funnel_ex"))
+    ev = [
+        (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        (2, "view", 1), (2, "error", 2), (2, "click", 3), (2, "purchase", 4),
+        (3, "view", 1), (3, "click", 2), (3, "error", 3), (3, "purchase", 4),
+        (4, "click", 1), (4, "purchase", 2),
+    ]
+    rows = [
+        (i, "2024-03-01 00:%02d:00" % m, u, t, 1.0, "{}")
+        for i, (u, t, m) in enumerate(ev)
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, _t string, user_id bigint, event_type string, value double, props string"
+    ).selectExpr(
+        "event_id", "CAST(_t AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(_os.path.join(root, "events.parquet"))
+    r = q_events_funnel_exclusion(spark, root).collect()[0]
+    assert r["n_users"] == 4
+    assert r["n_viewed"] == 3
+    assert r["n_clean_click"] == 2
+    assert r["n_clean_purchase"] == 1
+    assert r["n_killed_by_error"] == 2
+
+
 def test_cusum_finds_planted_changepoint(spark, shift_dir):
     rows = {r["event_type"]: r for r in q_events_cusum_changepoint(spark, shift_dir).collect()}
     cp = rows["metric"]

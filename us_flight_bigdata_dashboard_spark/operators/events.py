@@ -1777,6 +1777,126 @@ ORDER BY event_type, hour
 
 
 # ---------------------------------------------------------------------------
+# Funnel with exclusion event (MATCH_RECOGNIZE-style kill pattern)
+# ---------------------------------------------------------------------------
+
+
+def q_events_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel where an intervening ``error``
+    KILLS the sequence — the SQL MATCH_RECOGNIZE pattern
+    ``V (NOT E)* C (NOT E)* P`` rendered relationally (Spark has no
+    MATCH_RECOGNIZE; this is the standard rewrite): per user, t_view =
+    first view; t_err = first error after t_view; the click must land in
+    (t_view, t_err), and the purchase after the click but still before
+    t_err. Plain funnels (``events_funnel``, ``events_session_funnel``)
+    count any ordered occurrence — the exclusion variant is what fraud /
+    reliability analyses actually ask ("did the user convert WITHOUT
+    hitting an error?").
+
+    Exactness: pure timestamp MINs under conditions — data values only,
+    no arithmetic. Scale shape: one user_id-keyed conditional aggregate
+    per stage (three total), each map-side combinable, chained by
+    broadcast-friendly joins on the per-user frame; the result is a
+    1-row global rollup."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    tv = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s1 = events.join(tv, "user_id")
+    stage2 = s1.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "error") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).alias("t_err"),
+    )
+    s2 = events.join(stage2, "user_id")
+    stage3 = s2.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_err").alias("t_err"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view"))
+                & ((F.col("t_err").isNull()) | (F.col("ts") < F.col("t_err"))),
+                F.col("ts"),
+            )
+        ).alias("t_click"),
+    )
+    s3 = events.join(stage3, "user_id")
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_err").alias("t_err"),
+        F.max("t_click").alias("t_click"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click"))
+                & ((F.col("t_err").isNull()) | (F.col("ts") < F.col("t_err"))),
+                F.col("ts"),
+            )
+        ).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_viewed"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clean_click"),
+        F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clean_purchase"),
+        F.sum(
+            F.when(
+                F.col("t_err").isNotNull() & F.col("t_purchase").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_killed_by_error"),
+    )
+
+
+_ORACLE_FUNNEL_EXCLUSION = """
+WITH tv AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MAX(t.t_view) AS t_view,
+         MIN(CASE WHEN e.event_type = 'error'
+                   AND CAST(e.ts AS TIMESTAMP) > t.t_view
+                  THEN CAST(e.ts AS TIMESTAMP) END) AS t_err
+  FROM events e JOIN tv t USING (user_id) GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MAX(s.t_view) AS t_view, MAX(s.t_err) AS t_err,
+         MIN(CASE WHEN e.event_type = 'click'
+                   AND CAST(e.ts AS TIMESTAMP) > s.t_view
+                   AND (s.t_err IS NULL OR CAST(e.ts AS TIMESTAMP) < s.t_err)
+                  THEN CAST(e.ts AS TIMESTAMP) END) AS t_click
+  FROM events e JOIN s2 s USING (user_id) GROUP BY e.user_id
+), per_user AS (
+  SELECT e.user_id, MAX(s.t_view) AS t_view, MAX(s.t_err) AS t_err,
+         MAX(s.t_click) AS t_click,
+         MIN(CASE WHEN e.event_type = 'purchase'
+                   AND CAST(e.ts AS TIMESTAMP) > s.t_click
+                   AND (s.t_err IS NULL OR CAST(e.ts AS TIMESTAMP) < s.t_err)
+                  THEN CAST(e.ts AS TIMESTAMP) END) AS t_purchase
+  FROM events e JOIN s3 s USING (user_id) GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_click,
+       CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_purchase,
+       CAST(SUM(CASE WHEN t_err IS NOT NULL AND t_purchase IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_killed_by_error
+FROM per_user
+"""
+
+
+# ---------------------------------------------------------------------------
 # LTTB downsampling (largest-triangle-three-buckets) per event type
 # ---------------------------------------------------------------------------
 
@@ -2169,6 +2289,7 @@ QUERIES = {
     "events_mad_outliers": q_events_mad_outliers,
     "events_holt_linear": q_events_holt_linear,
     "events_lttb_downsample": q_events_lttb_downsample,
+    "events_funnel_exclusion": q_events_funnel_exclusion,
 }
 
 ORACLE = {
@@ -2199,4 +2320,5 @@ ORACLE = {
     "events_mad_outliers": _ORACLE_MAD_OUTLIERS,
     "events_holt_linear": _ORACLE_HOLT,
     "events_lttb_downsample": _sql_lttb(),
+    "events_funnel_exclusion": _ORACLE_FUNNEL_EXCLUSION,
 }
