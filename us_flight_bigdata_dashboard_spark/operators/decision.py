@@ -1416,8 +1416,96 @@ ORDER BY abc_class
 """
 
 
+# ---------------------------------------------------------------------------
+# Market concentration: Herfindahl–Hirschman index + CR4 per nation
+# ---------------------------------------------------------------------------
+
+
+def q_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market concentration per nation: the Herfindahl–Hirschman
+    index HHI = Σ share_i² (×10,000 in the antitrust convention) and the
+    CR4 top-4 concentration ratio over supplier revenue — the standard
+    pair a marketplace-health dashboard tracks.
+
+    Exactness: supplier revenue is integer 10⁻⁴-units (price has 2
+    decimals, discount 2 → price·(1−disc) is exact at 4), so Σshare² =
+    Σc_i²/C² computes from EXACT integers — the squares run in
+    DECIMAL(38,0) (c_i ~10¹¹ at sf1 ⇒ c_i² ~10²² overflows BIGINT but is
+    exact integer decimal math), and the two final double conversions +
+    one division are correctly rounded. CR4 is a rank-window top-4 sum
+    of the same integers. No double→decimal cast of a full-precision
+    value anywhere (the quantile-grid rounding-mode lesson).
+
+    Scale shape: one supplier-keyed agg (map-side combinable), one
+    broadcast nation dim join, one per-nation agg + a per-nation rank
+    window over the supplier-count-sized frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000, 0
+        )
+        .cast("bigint")
+        .alias("rev_fp"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("rev_fp").alias("c"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c")
+    )
+    r = F.row_number().over(
+        # ties on c may rank arbitrarily — the top-4 SUM is invariant to
+        # permutations of equal values, so the output stays deterministic
+        Window.partitionBy("n_name").orderBy(F.col("c").desc())
+    )
+    ranked = per_supp.withColumn("rk", r)
+    agg = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")).alias(
+            "ss"
+        ),
+        F.sum(F.when(F.col("rk") <= 4, F.col("c")).otherwise(F.lit(0))).alias("top4"),
+    )
+    tot = F.col("total").cast("double")
+    return agg.select(
+        "n_name",
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        (F.col("ss").cast("double") / (tot * tot) * F.lit(10000.0)).alias("hhi"),
+        (F.col("top4").cast("double") / tot).alias("cr4"),
+    ).orderBy("n_name")
+
+
+_ORACLE_HHI = """
+WITH per_supp AS (
+  SELECT n.n_name, SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, l.l_suppkey
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c DESC) AS rk
+  FROM per_supp
+), agg AS (
+  SELECT n_name, COUNT(*) AS n_suppliers, SUM(c) AS total,
+         SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS ss,
+         SUM(CASE WHEN rk <= 4 THEN c ELSE 0 END) AS top4
+  FROM ranked GROUP BY n_name
+)
+SELECT n_name, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(ss AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) * 10000.0 AS hhi,
+       CAST(top4 AS DOUBLE) / CAST(total AS DOUBLE) AS cr4
+FROM agg
+ORDER BY n_name
+"""
+
+
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
+    "market_concentration_hhi": q_market_concentration_hhi,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
@@ -1442,6 +1530,7 @@ QUERIES = {
 
 ORACLE = {
     "customer_rfm_segments": _ORACLE_CUSTOMER_RFM_SEGMENTS,
+    "market_concentration_hhi": _ORACLE_HHI,
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
