@@ -895,6 +895,96 @@ LIMIT {LPA_TOP}
 
 
 # ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002) on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over all directed edges — do
+    high-degree parts co-purchase with other hubs (r > 0) or with the
+    periphery (r < 0)? The single scalar that distinguishes social-style
+    graphs from dependency-style graphs, and a standard health metric
+    for recommendation graphs.
+
+    Exactness: degrees are integers; all five moments (Σx, Σy, Σx²,
+    Σy², Σxy over directed edges) are EXACT integer sums (deg ≤ ~10³,
+    edges ~10⁶ at sf1 ⇒ Σx·y ≤ 10¹² ≪ 2⁶³); r is one fixed-order IEEE
+    expression over them — the OLS/corr house pattern with zero decimal
+    quantization anywhere.
+
+    Scale shape: degree agg (node-keyed) + two broadcast-or-shuffle
+    joins of the degree table onto the support-floored edge list (AQE
+    decides; the table is O(nodes)) + ONE 1-row moment aggregate."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(F.col("p1").alias("a"), F.col("p2").alias("b")).unionAll(
+        edges.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("dy"))
+    m = (
+        und.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("dx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        )
+    )
+    n = F.col("n_edges").cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    return m.select(
+        (F.col("n_edges") / 2).cast("long").alias("n_edges_undirected"),
+        (cov / F.sqrt(vx * vy)).alias("assortativity"),
+    )
+
+
+_ORACLE_ASSORTATIVITY = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), capped AS (
+  SELECT o, p FROM (
+    SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS n_parts FROM op
+  ) WHERE n_parts <= {PARTS_PER_ORDER_CAP}
+), edges AS (
+  SELECT p1, p2 FROM (
+    SELECT a.p AS p1, b.p AS p2, COUNT(*) AS support
+    FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2
+  ) WHERE support >= {MIN_COSUPPORT}
+), und AS (
+  SELECT p1 AS a, p2 AS b FROM edges
+  UNION ALL
+  SELECT p2 AS a, p1 AS b FROM edges
+), deg AS (
+  SELECT a, COUNT(*) AS deg FROM und GROUP BY a
+), m AS (
+  SELECT COUNT(*) AS n_edges,
+         SUM(da.deg) AS sx, SUM(db.deg) AS sy,
+         SUM(da.deg * da.deg) AS sxx, SUM(db.deg * db.deg) AS syy,
+         SUM(da.deg * db.deg) AS sxy
+  FROM und u
+  JOIN deg da ON da.a = u.a
+  JOIN deg db ON db.a = u.b
+)
+SELECT CAST(n_edges // 2 AS BIGINT) AS n_edges_undirected,
+       (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS assortativity
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bounded-hop weighted shortest paths (Bellman–Ford relaxation rounds)
 # ---------------------------------------------------------------------------
 
@@ -1127,6 +1217,7 @@ QUERIES = {
     "basket_rules": q_basket_rules,
     "graph_shortest_paths": q_graph_shortest_paths,
     "graph_link_prediction": q_graph_link_prediction,
+    "graph_assortativity": q_graph_assortativity,
 }
 
 ORACLE = {
@@ -1140,4 +1231,5 @@ ORACLE = {
     "basket_rules": _sql_basket_rules(),
     "graph_shortest_paths": _sql_shortest_paths(),
     "graph_link_prediction": _sql_link_prediction(),
+    "graph_assortativity": _ORACLE_ASSORTATIVITY,
 }
