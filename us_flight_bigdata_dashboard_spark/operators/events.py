@@ -1591,6 +1591,111 @@ GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# Seasonal strength (Hyndman F_s) per event type
+# ---------------------------------------------------------------------------
+
+
+def q_events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength diagnostic F_s = max(0, 1 − Var(remainder)/
+    Var(detrended)) per event type (Hyndman & Athanasopoulos, FPP —
+    the "is this series worth a seasonal model?" scalar a forecasting
+    platform computes before choosing between ``events_forecast_baseline``
+    and a non-seasonal fit). Trend = per-(type, day) mean; seasonal =
+    per-(type, hour) mean of the detrended series (exactly
+    ``events_seasonal_hourly``'s decomposition); remainder = detrended −
+    seasonal.
+
+    Exactness: both variances come from exact decimal moment sums over
+    deterministic per-row doubles (each row's detrended/remainder value
+    is a fixed IEEE op chain on exact aggregates); F_s is rational ops +
+    one max-with-0 comparison.
+
+    Scale shape: the same two map-side hash aggs + broadcast joins as the
+    decomposition, plus ONE per-type moment aggregate — nothing beyond
+    aggregate-sized frames after the scan."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour("ts").alias("hour"),
+        "value",
+    )
+    per_day = base.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_d"), dsum("value", scale=8).alias("s_d")
+    )
+    detrended = base.join(F.broadcast(per_day), ["event_type", "day"]).select(
+        "event_type",
+        "hour",
+        (F.col("value") - F.col("s_d") / F.col("n_d").cast("double")).alias("resid"),
+    )
+    per_hour = detrended.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_c"), dsum("resid", scale=8).alias("s_r")
+    )
+    remaindered = detrended.join(F.broadcast(per_hour), ["event_type", "hour"]).select(
+        "event_type",
+        "resid",
+        (F.col("resid") - F.col("s_r") / F.col("n_c").cast("double")).alias("rem"),
+    )
+    m = remaindered.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("resid", scale=8).alias("sx"),
+        dsum(F.col("resid") * F.col("resid"), scale=6, precision=38).alias("sxx"),
+        dsum("rem", scale=8).alias("sy"),
+        dsum(F.col("rem") * F.col("rem"), scale=6, precision=38).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    var_detr = (n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * n)
+    var_rem = (n * F.col("syy") - F.col("sy") * F.col("sy")) / (n * n)
+    fs = F.greatest(F.lit(0.0), F.lit(1.0) - var_rem / var_detr)
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        var_detr.alias("var_detrended"),
+        var_rem.alias("var_remainder"),
+        fs.alias("seasonal_strength"),
+    ).orderBy("event_type")
+
+
+_ORACLE_SEASONAL_STRENGTH = f"""
+WITH base AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hour, value
+  FROM events
+), per_day AS (
+  SELECT event_type, day, COUNT(*) AS n_d, {sql_dsum("value", scale=8)} AS s_d
+  FROM base GROUP BY event_type, day
+), detrended AS (
+  SELECT b.event_type, b.hour,
+         b.value - (d.s_d / CAST(d.n_d AS DOUBLE)) AS resid
+  FROM base b JOIN per_day d USING (event_type, day)
+), per_hour AS (
+  SELECT event_type, hour, COUNT(*) AS n_c, {sql_dsum("resid", scale=8)} AS s_r
+  FROM detrended GROUP BY event_type, hour
+), remaindered AS (
+  SELECT t.event_type, t.resid,
+         t.resid - (h.s_r / CAST(h.n_c AS DOUBLE)) AS rem
+  FROM detrended t JOIN per_hour h USING (event_type, hour)
+), m AS (
+  SELECT event_type, COUNT(*) AS n,
+         {sql_dsum("resid", scale=8)} AS sx,
+         {sql_dsum("resid * resid", scale=6, precision=38)} AS sxx,
+         {sql_dsum("rem", scale=8)} AS sy,
+         {sql_dsum("rem * rem", scale=6, precision=38)} AS syy
+  FROM remaindered GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_detrended,
+       (CAST(n AS DOUBLE) * syy - sy * sy) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_remainder,
+       GREATEST(0.0, 1.0 - ((CAST(n AS DOUBLE) * syy - sy * sy)
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS seasonal_strength
+FROM m
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # CUSUM changepoint detection per event type
 # ---------------------------------------------------------------------------
 
@@ -2290,6 +2395,7 @@ QUERIES = {
     "events_holt_linear": q_events_holt_linear,
     "events_lttb_downsample": q_events_lttb_downsample,
     "events_funnel_exclusion": q_events_funnel_exclusion,
+    "events_seasonal_strength": q_events_seasonal_strength,
 }
 
 ORACLE = {
@@ -2321,4 +2427,5 @@ ORACLE = {
     "events_holt_linear": _ORACLE_HOLT,
     "events_lttb_downsample": _sql_lttb(),
     "events_funnel_exclusion": _ORACLE_FUNNEL_EXCLUSION,
+    "events_seasonal_strength": _ORACLE_SEASONAL_STRENGTH,
 }
