@@ -1453,6 +1453,123 @@ FROM ci CROSS JOIN point
 """
 
 
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (rank-based robust counterpart of corr_pairs)
+# ---------------------------------------------------------------------------
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price per
+    return flag — the rank-based (outlier/monotone-robust) counterpart of
+    ``corr_pairs``; standard dashboard statistic for "is the relationship
+    monotone" as opposed to Pearson's "is it linear".
+
+    Exact-integer formulation: midranks with tie handling are kept DOUBLED
+    so they stay integral (a tied group with t predecessor rows and c
+    members has midrank t + (c+1)/2, i.e. doubled rank 2t + c + 1 — the
+    same identity as ``q_mann_whitney_u``). Spearman ρ is Pearson on the
+    (doubled) ranks — scale-invariant, so doubling cancels. All five rank
+    moments are exact DECIMAL(38,0) sums of integer products, and ρ is one
+    closed-form IEEE expression on the ≤|groups| result rows —
+    bit-identical across engines and partitionings.
+
+    Scale shape: per-value tie groups are compressed FIRST (hash agg on
+    (flag, value) — map-side combinable), so the rank windows run over the
+    distinct-value domain, not raw rows; the join back to (flag, x, y)
+    cells is a broadcast for x (≤50 distinct quantities) and a key-local
+    shuffle for y. Same domain-sized-window 100 TB notes as
+    ``ks_two_sample``: beyond that, cumulative tie counts range-partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    cells = li.groupBy("g", "x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def doubled_ranks(col: str, alias: str) -> DataFrame:
+        per_v = cells.groupBy("g", col).agg(F.sum("cnt").alias("c"))
+        w_prev = (
+            Window.partitionBy("g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        t = F.coalesce(F.sum("c").over(w_prev), F.lit(0))
+        return per_v.select(
+            "g", col, (F.lit(2) * t + F.col("c") + F.lit(1)).alias(alias)
+        )
+
+    rows = cells.join(F.broadcast(doubled_ranks("x", "rx2")), ["g", "x"]).join(
+        doubled_ranks("y", "ry2"), ["g", "y"]
+    )
+    # DECIMAL(12,0) per factor: triple products reach width 36 (DuckDB's
+    # binder rejects width >38), and 10^12 covers doubled ranks well past
+    # the 100 TB row counts of any one tie-compressed value domain.
+    dec = lambda c: F.col(c).cast("decimal(12,0)")
+    m = rows.groupBy("g").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(dec("cnt") * dec("rx2")).alias("sx"),
+        F.sum(dec("cnt") * dec("ry2")).alias("sy"),
+        F.sum(dec("cnt") * dec("rx2") * dec("ry2")).alias("sxy"),
+        F.sum(dec("cnt") * dec("rx2") * dec("rx2")).alias("sxx"),
+        F.sum(dec("cnt") * dec("ry2") * dec("ry2")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    rho = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return m.select(
+        F.col("g").alias("l_returnflag"), "n", rho.alias("rho_spearman")
+    ).orderBy("l_returnflag")
+
+
+_ORACLE_SPEARMAN = """
+WITH cells AS (
+  SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2, 3
+), xr AS (
+  SELECT g, x,
+         2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS rx2
+  FROM (SELECT g, x, SUM(cnt) AS c FROM cells GROUP BY 1, 2)
+), yr AS (
+  SELECT g, y,
+         2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS ry2
+  FROM (SELECT g, y, SUM(cnt) AS c FROM cells GROUP BY 1, 2)
+), m AS (
+  SELECT cells.g,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         SUM(CAST(cnt AS DECIMAL(12,0)) * CAST(rx2 AS DECIMAL(12,0))) AS sx,
+         SUM(CAST(cnt AS DECIMAL(12,0)) * CAST(ry2 AS DECIMAL(12,0))) AS sy,
+         SUM(CAST(cnt AS DECIMAL(12,0)) * CAST(rx2 AS DECIMAL(12,0))
+             * CAST(ry2 AS DECIMAL(12,0))) AS sxy,
+         SUM(CAST(cnt AS DECIMAL(12,0)) * CAST(rx2 AS DECIMAL(12,0))
+             * CAST(rx2 AS DECIMAL(12,0))) AS sxx,
+         SUM(CAST(cnt AS DECIMAL(12,0)) * CAST(ry2 AS DECIMAL(12,0))
+             * CAST(ry2 AS DECIMAL(12,0))) AS syy
+  FROM cells
+  JOIN xr ON cells.g = xr.g AND cells.x = xr.x
+  JOIN yr ON cells.g = yr.g AND cells.y = yr.y
+  GROUP BY 1
+)
+SELECT g AS l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho_spearman
+FROM m
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
@@ -1468,6 +1585,7 @@ QUERIES = {
     "quantile_regression_grid": q_quantile_regression_grid,
     "bh_fdr_control": q_bh_fdr,
     "bootstrap_ci_poisson": q_bootstrap_ci,
+    "spearman_corr": q_spearman_corr,
 }
 
 ORACLE = {
@@ -1485,4 +1603,5 @@ ORACLE = {
     "quantile_regression_grid": _sql_quantile_regression(),
     "bh_fdr_control": _ORACLE_BH_FDR,
     "bootstrap_ci_poisson": _sql_bootstrap_ci(),
+    "spearman_corr": _ORACLE_SPEARMAN,
 }
