@@ -1570,6 +1570,112 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Kendall tau-b (pairwise rank concordance within nation blocks)
+# ---------------------------------------------------------------------------
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between a supplier's account balance and its total
+    supplied revenue, per nation — the pairwise-concordance rank
+    correlation (more robust to ties than Spearman, the standard companion
+    statistic).
+
+    Exact-integer formulation: both measures are integer cents (ROUND(·100)
+    — money lands within ulps of integers), concordance is pure sign
+    comparison (no difference products, so no overflow at any scale), and
+    C, D, tie counts, n₀ = n(n−1)/2 are exact pair counts. tau-b =
+    (C−D)/√((n₀−Tx)(n₀−Ty)) is one IEEE expression on ≤25 rows.
+
+    Scale shape: the O(n²) pair join is BLOCKED by nation — the universal
+    trick for pairwise statistics at scale (same blocking bound as
+    ``dedup_edit_distance``): cost is Σ_block n_b², never N². The revenue
+    rollup is one map-side-combinable hash agg on l_suppkey; suppliers are
+    broadcast-sized after it. Nations whose block has <2 suppliers (or
+    all-tied measures) are excluded in both engines.
+    """
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("x"),
+    )
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    s = sup.join(rev, sup.s_suppkey == rev.l_suppkey, "left").select(
+        "s_nationkey",
+        "s_suppkey",
+        "x",
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    )
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    conc = ((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by))
+    disc = ((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by))
+    agg = pairs.groupBy(F.col("a.s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(conc.cast("long")).cast("long").alias("c"),
+        F.sum(disc.cast("long")).cast("long").alias("d"),
+        F.sum((ax == bx).cast("long")).cast("long").alias("tx"),
+        F.sum((ay == by).cast("long")).cast("long").alias("ty"),
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    tau = (F.col("c") - F.col("d")).cast("double") / F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    return (
+        agg.filter((F.col("n0") > F.col("tx")) & (F.col("n0") > F.col("ty")))
+        .join(F.broadcast(nation), F.col("nationkey") == nation.n_nationkey)
+        .select("n_name", "n0", "c", "d", tau.alias("tau_b"))
+        .orderBy("n_name")
+    )
+
+
+_ORACLE_KENDALL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+), s AS (
+  SELECT s_nationkey, s_suppkey,
+         CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS x,
+         COALESCE(rev.y, 0) AS y
+  FROM supplier LEFT JOIN rev ON s_suppkey = rev.l_suppkey
+), agg AS (
+  SELECT a.s_nationkey AS nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                         OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                         OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM s a JOIN s b
+    ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+  GROUP BY 1
+)
+SELECT n_name, n0, c, d,
+       CAST(c - d AS DOUBLE)
+         / SQRT(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) AS tau_b
+FROM agg JOIN nation ON nationkey = n_nationkey
+WHERE n0 > tx AND n0 > ty
+ORDER BY n_name
+"""
+
+
 QUERIES = {
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
@@ -1586,6 +1692,7 @@ QUERIES = {
     "bh_fdr_control": q_bh_fdr,
     "bootstrap_ci_poisson": q_bootstrap_ci,
     "spearman_corr": q_spearman_corr,
+    "kendall_tau": q_kendall_tau,
 }
 
 ORACLE = {
@@ -1604,4 +1711,5 @@ ORACLE = {
     "bh_fdr_control": _ORACLE_BH_FDR,
     "bootstrap_ci_poisson": _sql_bootstrap_ci(),
     "spearman_corr": _ORACLE_SPEARMAN,
+    "kendall_tau": _ORACLE_KENDALL,
 }
