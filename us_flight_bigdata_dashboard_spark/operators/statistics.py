@@ -1676,6 +1676,99 @@ ORDER BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Gini coefficient (revenue concentration per nation)
+# ---------------------------------------------------------------------------
+
+
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue within each nation — the
+    standard inequality/concentration measure (companion to
+    ``market_concentration_hhi``, which measures share concentration; Gini
+    measures the whole Lorenz curve). Zero-revenue customers are included
+    (left join), which is what makes the measure honest about inactive
+    accounts.
+
+    Exact-integer formulation: revenue is integer cents; with x sorted
+    ascending and i = 1..n the rank (ties broken by custkey — Σi·xᵢ is
+    invariant to tie order since tied blocks share x), the closed form
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) needs two exact sums. Σi·xᵢ is a
+    DECIMAL(19)×DECIMAL(19) product summed at DECIMAL(38,0) — exact far
+    past 100 TB row counts — and G is one IEEE expression per nation.
+
+    Scale shape: the revenue rollup is a map-side-combinable hash agg on
+    o_custkey; ranking is a per-nation sort (Spark range-partitions within
+    window groups at scale); the final closed form touches ≤25 rows.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    per_c = cust.join(rev, cust.c_custkey == rev.o_custkey, "left").select(
+        "c_nationkey", "c_custkey", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    i = F.row_number().over(
+        Window.partitionBy("c_nationkey").orderBy("x", "c_custkey")
+    )
+    ranked = per_c.select(
+        "c_nationkey",
+        "x",
+        i.cast("decimal(19,0)").alias("i"),
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(19,0)")).alias("sx_dec"),
+        F.sum(F.col("i") * F.col("x").cast("decimal(19,0)")).alias("six_dec"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx_dec").cast("double")
+    six = F.col("six_dec").cast("double")
+    gini = (F.lit(2.0) * six - (nd + F.lit(1.0)) * sx) / (nd * sx)
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        agg.filter(F.col("sx_dec") > 0)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select("n_name", F.col("n").alias("n_customers"), gini.alias("gini"))
+        .orderBy("n_name")
+    )
+
+
+_ORACLE_GINI = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), per_c AS (
+  SELECT c_nationkey, c_custkey, COALESCE(rev.x, 0) AS x
+  FROM customer LEFT JOIN rev ON c_custkey = rev.o_custkey
+), ranked AS (
+  SELECT c_nationkey, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                 ORDER BY x, c_custkey) AS DECIMAL(19,0)) AS i
+  FROM per_c
+), agg AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS DECIMAL(19,0))) AS sx_dec,
+         SUM(i * CAST(x AS DECIMAL(19,0))) AS six_dec
+  FROM ranked GROUP BY 1
+)
+SELECT n_name, n AS n_customers,
+       (2.0 * CAST(six_dec AS DOUBLE)
+          - (CAST(n AS DOUBLE) + 1.0) * CAST(sx_dec AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sx_dec AS DOUBLE)) AS gini
+FROM agg JOIN nation ON c_nationkey = n_nationkey
+WHERE sx_dec > 0
+ORDER BY n_name
+"""
+
+
 QUERIES = {
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
@@ -1693,6 +1786,7 @@ QUERIES = {
     "bootstrap_ci_poisson": q_bootstrap_ci,
     "spearman_corr": q_spearman_corr,
     "kendall_tau": q_kendall_tau,
+    "gini_revenue": q_gini_revenue,
 }
 
 ORACLE = {
@@ -1712,4 +1806,5 @@ ORACLE = {
     "bootstrap_ci_poisson": _sql_bootstrap_ci(),
     "spearman_corr": _ORACLE_SPEARMAN,
     "kendall_tau": _ORACLE_KENDALL,
+    "gini_revenue": _ORACLE_GINI,
 }
