@@ -1769,6 +1769,112 @@ ORDER BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator of the monthly revenue trend per region — the
+    median of all pairwise slopes, the standard robust alternative to the
+    OLS slope (``q_regression_ols``): a ~29% contamination breakdown point
+    vs OLS's zero, so one anomalous month cannot swing the trend.
+
+    Exact formulation: x = month index (y·12+m, integer), y = exact
+    monthly revenue cents, so each pairwise slope is the single
+    correctly-rounded division dy/dx of two exact integers — bit-identical
+    across engines. The median pick is a deterministic rank selection
+    (ORDER BY slope, dy, dx; lower median at rank (m+1) DIV 2 — `DIV`, not
+    `/`, to match DuckDB's `//`), never an average of two doubles.
+
+    Scale shape: the raw scan collapses to ≤|regions|·|months| cells via
+    one map-side-combinable hash agg BEFORE the quadratic pair join — the
+    same compress-then-pair trick as ``q_kendall_tau``, so pair cost is
+    bounded by the domain (~80 months), not the row count, at any SF.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            "r_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("xm"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.r_name") == F.col("b.r_name")) & (F.col("a.xm") < F.col("b.xm")),
+    ).select(
+        F.col("a.r_name").alias("r_name"),
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+        (F.col("b.xm") - F.col("a.xm")).alias("dx"),
+    )
+    slopes = pairs.select(
+        "r_name",
+        "dy",
+        "dx",
+        (F.col("dy").cast("double") / F.col("dx").cast("double")).alias("slope"),
+    )
+    w = Window.partitionBy("r_name").orderBy("slope", "dy", "dx")
+    wc = Window.partitionBy("r_name")
+    ranked = slopes.select(
+        "r_name",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("m"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(m + 1) DIV 2"))
+        .select(
+            "r_name",
+            F.col("m").alias("n_pairs"),
+            F.col("slope").alias("trend_cents_per_month"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_ORACLE_THEIL_SEN = """
+WITH monthly AS (
+  SELECT r_name,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS xm,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.r_name, b.y - a.y AS dy, b.xm - a.xm AS dx
+  FROM monthly a JOIN monthly b
+    ON a.r_name = b.r_name AND a.xm < b.xm
+), slopes AS (
+  SELECT r_name, dy, dx,
+         CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope
+  FROM pairs
+), ranked AS (
+  SELECT r_name, slope,
+         ROW_NUMBER() OVER (PARTITION BY r_name ORDER BY slope, dy, dx) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY r_name) AS BIGINT) AS m
+  FROM slopes
+)
+SELECT r_name, m AS n_pairs, slope AS trend_cents_per_month
+FROM ranked
+WHERE rn = (m + 1) // 2
+ORDER BY r_name
+"""
+
+
 QUERIES = {
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
@@ -1787,6 +1893,7 @@ QUERIES = {
     "spearman_corr": q_spearman_corr,
     "kendall_tau": q_kendall_tau,
     "gini_revenue": q_gini_revenue,
+    "theil_sen_trend": q_theil_sen_trend,
 }
 
 ORACLE = {
@@ -1807,4 +1914,5 @@ ORACLE = {
     "spearman_corr": _ORACLE_SPEARMAN,
     "kendall_tau": _ORACLE_KENDALL,
     "gini_revenue": _ORACLE_GINI,
+    "theil_sen_trend": _ORACLE_THEIL_SEN,
 }
