@@ -389,12 +389,101 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/synthetic-data screening)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) folded in Python so BOTH engines receive the identical
+# double literal (DuckDB parses bare decimal literals as DECIMAL, not
+# DOUBLE — the HLL_SCALE lesson — so the oracle casts the repr explicitly).
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals — the
+    classic screening test for fabricated or synthetically generated
+    monetary data (naturally occurring multi-magnitude amounts follow
+    P(d) = log10(1+1/d); uniform generators don't, and TPC-H's uniform
+    pricing is exactly the kind of synthetic signal the test flags).
+
+    Determinism: digit counts are exact integers; the expected
+    probabilities are Python-folded double literals identical in both
+    engines; observed share, deviation, and the per-digit chi-square
+    contribution are each a short fixed-shape IEEE expression on those
+    exact inputs. No engine-ordered float aggregation anywhere (the
+    chi-square statistic is left as per-digit contributions rather than
+    summed, so no order-dependent float SUM — consumers sum 9 rows).
+
+    Scale shape: ONE map-side-combinable hash agg to ≤9 groups; the
+    window total is over 9 rows. Nothing else touches the raw scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    per_d = orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    from pyspark.sql import Window as _W
+
+    n = F.sum("obs").over(_W.partitionBy()).cast("long")
+    expected = F.lit(None).cast("double")
+    # digit → folded literal (CASE over 9 constants keeps codegen trivial)
+    expected = F.when(F.col("digit") == 1, F.lit(_BENFORD_P[1]))
+    for d in range(2, 10):
+        expected = expected.when(F.col("digit") == d, F.lit(_BENFORD_P[d]))
+    with_n = per_d.select("digit", "obs", n.alias("n"), expected.alias("expected_p"))
+    obs_p = F.col("obs").cast("double") / F.col("n").cast("double")
+    exp_cnt = F.col("n").cast("double") * F.col("expected_p")
+    dev = obs_p - F.col("expected_p")
+    chi = (F.col("obs").cast("double") - exp_cnt) * (
+        F.col("obs").cast("double") - exp_cnt
+    ) / exp_cnt
+    return with_n.select(
+        "digit",
+        "obs",
+        "n",
+        "expected_p",
+        obs_p.alias("observed_p"),
+        dev.alias("deviation"),
+        chi.alias("chi2_term"),
+    ).orderBy("digit")
+
+
+def _sql_benford() -> str:
+    case = " ".join(
+        f"WHEN digit = {d} THEN CAST('{_BENFORD_P[d]!r}' AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH per_d AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1
+), with_n AS (
+  SELECT digit, obs,
+         CAST(SUM(obs) OVER () AS BIGINT) AS n,
+         CASE {case} END AS expected_p
+  FROM per_d
+)
+SELECT digit, obs, n, expected_p,
+       CAST(obs AS DOUBLE) / CAST(n AS DOUBLE) AS observed_p,
+       CAST(obs AS DOUBLE) / CAST(n AS DOUBLE) - expected_p AS deviation,
+       (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * expected_p)
+         * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * expected_p)
+         / (CAST(n AS DOUBLE) * expected_p) AS chi2_term
+FROM with_n
+ORDER BY digit
+"""
+
+
 QUERIES = {
     "dq_audit": q_dq_audit,
     "snapshot_diff": q_snapshot_diff,
     "table_stats": q_table_stats,
     "kanon_audit": q_kanon_audit,
     "join_size_estimate": q_join_size_estimate,
+    "benford_digits": q_benford_digits,
 }
 
 ORACLE = {
@@ -403,4 +492,5 @@ ORACLE = {
     "table_stats": _sql_table_stats(),
     "kanon_audit": _ORACLE_KANON_AUDIT,
     "join_size_estimate": _sql_join_size_estimate(),
+    "benford_digits": _sql_benford(),
 }
