@@ -2366,6 +2366,86 @@ ORDER BY d.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness (Goh & Barabási 2008)
+# ---------------------------------------------------------------------------
+
+
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness coefficient B = (σ−μ)/(σ+μ) of inter-arrival gaps per
+    event type (Goh & Barabási, EPL 2008): B→−1 for a perfectly regular
+    clock, ≈0 for a Poisson process, →+1 for extreme burst clustering —
+    the standard one-number diagnostic for whether traffic is machine-like
+    or human-bursty (complements ``events_cusum_changepoint``, which finds
+    WHEN rates shift; B says HOW arrivals cluster).
+
+    Determinism: gaps are exact integer epoch-seconds differences (the
+    multiset of gaps is invariant to equal-timestamp tie order), the two
+    moments Σg and Σg² are exact DECIMAL sums, and μ, σ, B are one
+    fixed-shape IEEE expression per type. Scale shape: the lag() needs a
+    per-type time sort (range-partitioned at scale); moments then hash-agg
+    map-side to ≤|types| rows — no raw-row shuffle after the sort.
+    """
+    events = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.col("ts")).alias("s")
+    by_type = Window.partitionBy("event_type").orderBy("s", "event_id")
+    gaps = (
+        events.select("event_type", "event_id", s)
+        .select(
+            "event_type",
+            (F.col("s") - F.lag("s").over(by_type)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("g").cast("decimal(18,0)")).alias("sg"),
+        F.sum(
+            F.col("g").cast("decimal(18,0)") * F.col("g").cast("decimal(18,0)")
+        ).alias("sg2"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    sgd = F.col("sg").cast("double")
+    sg2d = F.col("sg2").cast("double")
+    mu = sgd / nd
+    sigma = F.sqrt((nd * sg2d - sgd * sgd) / (nd * nd))
+    return m.select(
+        "event_type",
+        "n_gaps",
+        mu.alias("mean_gap_s"),
+        ((sigma - mu) / (sigma + mu)).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+_ORACLE_BURSTINESS = """
+WITH gaps AS (
+  SELECT event_type,
+         s - LAG(s) OVER (PARTITION BY event_type ORDER BY s, event_id) AS g
+  FROM (SELECT event_type, event_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s
+        FROM events)
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         SUM(CAST(g AS DECIMAL(18,0))) AS sg,
+         SUM(CAST(g AS DECIMAL(18,0)) * CAST(g AS DECIMAL(18,0))) AS sg2
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n_gaps,
+       CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+       (SQRT((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+             / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+          - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+       / (SQRT((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                  - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+               / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+          + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS burstiness
+FROM m
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -2396,6 +2476,7 @@ QUERIES = {
     "events_lttb_downsample": q_events_lttb_downsample,
     "events_funnel_exclusion": q_events_funnel_exclusion,
     "events_seasonal_strength": q_events_seasonal_strength,
+    "events_burstiness": q_events_burstiness,
 }
 
 ORACLE = {
@@ -2428,4 +2509,5 @@ ORACLE = {
     "events_lttb_downsample": _sql_lttb(),
     "events_funnel_exclusion": _ORACLE_FUNNEL_EXCLUSION,
     "events_seasonal_strength": _ORACLE_SEASONAL_STRENGTH,
+    "events_burstiness": _ORACLE_BURSTINESS,
 }
