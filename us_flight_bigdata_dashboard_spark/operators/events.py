@@ -2367,6 +2367,123 @@ ORDER BY d.event_type
 
 
 # ---------------------------------------------------------------------------
+# Lagged cross-correlation between two event series
+# ---------------------------------------------------------------------------
+
+XCORR_X, XCORR_Y = "view", "purchase"
+XCORR_MAX_LAG = 3
+
+
+def q_events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the hourly '{x}' and '{y}' count
+    series at lags 0..{k} hours — the standard lead/lag diagnostic ("do
+    views drive purchases, and with what delay?"); the two-series
+    generalization of ``autocorr_lag``.
+
+    Correctness requires a DENSE hour spine: silent hours are real zeros,
+    and dropping them biases r upward (both series look co-active).
+    The spine is sequence(min_h, max_h) zero-filled by left join, exactly
+    like ``events_gap_fill``. Pearson r per lag comes from exact integer
+    count moments (DECIMAL sums) — one IEEE expression per lag row.
+
+    Scale shape: the raw scan collapses to ≤|hours| cells via one
+    map-side-combinable hash agg; the lag explode (K+1 rows per hour cell)
+    and the shifted equi-join run on the compressed domain, never on raw
+    events. At 100 TB the hour domain is ~10⁶ rows — driver-trivial.
+    """.format(x=XCORR_X, y=XCORR_Y, k=XCORR_MAX_LAG)
+    events = load_table(spark, sf_dir, "events")
+    h = (F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("bigint")
+    counts = (
+        events.filter(F.col("event_type").isin(XCORR_X, XCORR_Y))
+        .groupBy(h.alias("h"))
+        .agg(
+            F.sum((F.col("event_type") == XCORR_X).cast("long")).alias("cx"),
+            F.sum((F.col("event_type") == XCORR_Y).cast("long")).alias("cy"),
+        )
+    )
+    bounds = load_table(spark, sf_dir, "events").agg(
+        (F.min(F.unix_timestamp(F.col("ts"))) / F.lit(3600)).cast("bigint").alias("lo"),
+        (F.max(F.unix_timestamp(F.col("ts"))) / F.lit(3600)).cast("bigint").alias("hi"),
+    )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("h"))
+    base = (
+        spine.join(counts, "h", "left")
+        .select(
+            "h",
+            F.coalesce("cx", F.lit(0)).alias("cx"),
+            F.coalesce("cy", F.lit(0)).alias("cy"),
+        )
+    )
+    lags = base.select(
+        "h", "cx", F.explode(F.sequence(F.lit(0), F.lit(XCORR_MAX_LAG))).alias("lag")
+    ).select("cx", "lag", (F.col("h") + F.col("lag")).alias("hy"))
+    dec = lambda c: F.col(c).cast("decimal(18,0)")
+    paired = lags.join(
+        base.select(F.col("h").alias("hy"), "cy"), "hy"
+    )
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(dec("cx")).alias("sx"),
+        F.sum(dec("cy")).alias("sy"),
+        F.sum(dec("cx") * dec("cy")).alias("sxy"),
+        F.sum(dec("cx") * dec("cx")).alias("sxx"),
+        F.sum(dec("cy") * dec("cy")).alias("syy"),
+    )
+    nd = F.col("n_hours").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    r = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag_hours"), "n_hours", r.alias("xcorr_r")
+    ).orderBy("lag_hours")
+
+
+_ORACLE_XCORR = f"""
+WITH counts AS (
+  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+         CAST(SUM(CASE WHEN event_type = '{XCORR_X}' THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+         CAST(SUM(CASE WHEN event_type = '{XCORR_Y}' THEN 1 ELSE 0 END) AS BIGINT) AS cy
+  FROM events
+  WHERE event_type IN ('{XCORR_X}', '{XCORR_Y}')
+  GROUP BY 1
+), bounds AS (
+  SELECT CAST(floor(MIN(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT) AS lo,
+         CAST(floor(MAX(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi)) AS h FROM bounds
+), base AS (
+  SELECT spine.h, COALESCE(cx, 0) AS cx, COALESCE(cy, 0) AS cy
+  FROM spine LEFT JOIN counts ON spine.h = counts.h
+), lagged AS (
+  SELECT a.lag, a.cx, b.cy
+  FROM (SELECT h, cx, unnest(generate_series(0, {XCORR_MAX_LAG})) AS lag FROM base) a
+  JOIN base b ON b.h = a.h + a.lag
+), m AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         SUM(CAST(cx AS DECIMAL(18,0))) AS sx,
+         SUM(CAST(cy AS DECIMAL(18,0))) AS sy,
+         SUM(CAST(cx AS DECIMAL(18,0)) * CAST(cy AS DECIMAL(18,0))) AS sxy,
+         SUM(CAST(cx AS DECIMAL(18,0)) * CAST(cx AS DECIMAL(18,0))) AS sxx,
+         SUM(CAST(cy AS DECIMAL(18,0)) * CAST(cy AS DECIMAL(18,0))) AS syy
+  FROM lagged GROUP BY 1
+)
+SELECT CAST(lag AS INTEGER) AS lag_hours, n_hours,
+       (CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / SQRT((CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS xcorr_r
+FROM m
+ORDER BY lag_hours
+"""
+
+
+# ---------------------------------------------------------------------------
 # Inter-arrival burstiness (Goh & Barabási 2008)
 # ---------------------------------------------------------------------------
 
@@ -2477,6 +2594,7 @@ QUERIES = {
     "events_funnel_exclusion": q_events_funnel_exclusion,
     "events_seasonal_strength": q_events_seasonal_strength,
     "events_burstiness": q_events_burstiness,
+    "events_cross_correlation": q_events_cross_correlation,
 }
 
 ORACLE = {
@@ -2510,4 +2628,5 @@ ORACLE = {
     "events_funnel_exclusion": _ORACLE_FUNNEL_EXCLUSION,
     "events_seasonal_strength": _ORACLE_SEASONAL_STRENGTH,
     "events_burstiness": _ORACLE_BURSTINESS,
+    "events_cross_correlation": _ORACLE_XCORR,
 }
