@@ -2367,6 +2367,138 @@ ORDER BY d.event_type
 
 
 # ---------------------------------------------------------------------------
+# Kaplan–Meier survival curve (user churn with right-censoring)
+# ---------------------------------------------------------------------------
+
+KM_CENSOR_S = 86400  # users last seen within the final 24h are right-censored
+
+
+def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate of user lifetime (hours from first
+    to last event), right-censoring users still active in the final 24h of
+    the observation window — THE standard churn/survival curve, and the
+    honest way to report retention when the window truncates lifetimes
+    (naive "avg lifetime" is biased low; KM's risk-set construction is
+    not).
+
+    Each step factor (nᵣ−dᵣ)/nᵣ is one correctly-rounded division of
+    exact integers; the cumulative product is inherently sequential, so —
+    exactly like ``events_holt_linear`` — Spark runs the identical IEEE
+    op sequence in an Arrow-batched ``applyInPandas`` while the oracle
+    unrolls it as a RECURSIVE CTE: bit-identical with NO quantization.
+
+    Scale shape: lifetimes and risk sets reduce distributively (per-user
+    min/max hash agg, then a domain-sized cumulative window over distinct
+    durations — ≤ observation-window hours, ~10³ rows at ANY data scale),
+    so the sequential product runs on the compressed curve, never the
+    raw rows. The single-group applyInPandas is domain-sized by
+    construction.
+    """
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.col("ts"))
+    per_user = events.groupBy("user_id").agg(
+        F.min(s).alias("first_s"), F.max(s).alias("last_s")
+    )
+    horizon = events.agg(F.max(s).alias("max_s"))
+    users = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.expr("(last_s - first_s) DIV 3600").alias("t"),
+        (F.col("last_s") < F.col("max_s") - F.lit(KM_CENSOR_S))
+        .cast("long")
+        .alias("churned"),
+    )
+    per_t = users.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    curve = (
+        per_t.select(
+            "t",
+            "d",
+            (
+                F.sum("cnt").over(w_all)
+                - F.coalesce(F.sum("cnt").over(w_prev), F.lit(0))
+            ).alias("n_risk"),
+        )
+        .filter(F.col("d") > 0)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("t_hours", T.LongType()),
+            T.StructField("n_risk", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("survival", T.DoubleType()),
+        ]
+    )
+
+    def km(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t")
+        surv = 1.0
+        out = {"t_hours": [], "n_risk": [], "n_events": [], "survival": []}
+        for t, d, n in zip(pdf["t"], pdf["d"], pdf["n_risk"]):
+            surv = surv * (float(n - d) / float(n))
+            out["t_hours"].append(int(t))
+            out["n_risk"].append(int(n))
+            out["n_events"].append(int(d))
+            out["survival"].append(surv)
+        return pd.DataFrame(out)
+
+    return (
+        curve.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(km, schema)
+        .orderBy("t_hours")
+    )
+
+
+_ORACLE_KM = f"""
+WITH RECURSIVE per_user AS (
+  SELECT user_id,
+         CAST(floor(MIN(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS first_s,
+         CAST(floor(MAX(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_s
+  FROM events GROUP BY 1
+), users AS (
+  SELECT (last_s - first_s) // 3600 AS t,
+         CASE WHEN last_s < (SELECT MAX(last_s) FROM per_user) - {KM_CENSOR_S}
+              THEN 1 ELSE 0 END AS churned
+  FROM per_user
+), per_t AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(churned) AS BIGINT) AS d
+  FROM users GROUP BY 1
+), risk AS (
+  -- windows over ALL durations (censor-only rows still shrink the risk
+  -- set), so the d > 0 step filter must nest OUTSIDE this select
+  SELECT t, d,
+         CAST(SUM(cnt) OVER () AS BIGINT)
+           - CAST(COALESCE(SUM(cnt) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM per_t
+), curve AS (
+  SELECT t, d, n_risk, ROW_NUMBER() OVER (ORDER BY t) AS r
+  FROM risk
+  WHERE d > 0
+), state AS (
+  SELECT t, n_risk, d, r,
+         CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS surv
+  FROM curve WHERE r = 1
+  UNION ALL
+  SELECT c.t, c.n_risk, c.d, c.r,
+         s.surv * (CAST(c.n_risk - c.d AS DOUBLE) / CAST(c.n_risk AS DOUBLE))
+  FROM state s JOIN curve c ON c.r = s.r + 1
+)
+SELECT t AS t_hours, n_risk, d AS n_events, surv AS survival
+FROM state
+ORDER BY t_hours
+"""
+
+
+# ---------------------------------------------------------------------------
 # Lagged cross-correlation between two event series
 # ---------------------------------------------------------------------------
 
@@ -2595,6 +2727,7 @@ QUERIES = {
     "events_seasonal_strength": q_events_seasonal_strength,
     "events_burstiness": q_events_burstiness,
     "events_cross_correlation": q_events_cross_correlation,
+    "survival_kaplan_meier": q_survival_kaplan_meier,
 }
 
 ORACLE = {
@@ -2629,4 +2762,5 @@ ORACLE = {
     "events_seasonal_strength": _ORACLE_SEASONAL_STRENGTH,
     "events_burstiness": _ORACLE_BURSTINESS,
     "events_cross_correlation": _ORACLE_XCORR,
+    "survival_kaplan_meier": _ORACLE_KM,
 }
