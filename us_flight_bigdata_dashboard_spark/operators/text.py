@@ -2090,6 +2090,76 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Simpson lexical diversity (corpus repeat-rate per language)
+# ---------------------------------------------------------------------------
+
+
+def q_text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson repeat-rate / lexical diversity per language: the
+    probability that two tokens drawn WITHOUT replacement from the
+    language's corpus are the same word, D = Σc_w(c_w−1) / (N(N−1)), and
+    its complement 1−D (Simpson diversity) — the curation-side twin of
+    ``text_repetition`` (which scores documents; this profiles the corpus
+    a language model would train on, flagging low-diversity scrape
+    sources). Uses the module's shared whitespace-token convention.
+
+    Exactness: token counts are integers, the collision mass Σc(c−1) is
+    an exact DECIMAL(38,0) sum (c ≤ 10¹² per word at 100 TB ⇒ c² ≤ 10²⁴
+    per addend), and D is ONE division of two exact values — bit-stable
+    everywhere, no entropy-style log sums (engine-ordered float addition)
+    anywhere.
+
+    Scale shape: explode → (lang, token) hash agg with map-side combine —
+    the word-count topology, Spark's best-optimized shuffle — then a
+    second tiny agg to |languages| rows. Nothing else touches raw text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    per_w = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    dec18 = lambda col: col.cast("decimal(18,0)")
+    m = per_w.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(dec18(F.col("c")) * dec18(F.col("c") - F.lit(1))).alias("coll"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    d = F.col("coll").cast("double") / (nd * (nd - F.lit(1.0)))
+    return m.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        d.alias("simpson_repeat"),
+        (F.lit(1.0) - d).alias("simpson_diversity"),
+    ).orderBy("lang")
+
+
+_ORACLE_SIMPSON = f"""
+WITH tok AS (
+  SELECT lang, unnest({_sql_tokens("text")}) AS w FROM documents
+), per_w AS (
+  SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), m AS (
+  SELECT lang,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         SUM(CAST(c AS DECIMAL(18,0)) * CAST(c - 1 AS DECIMAL(18,0))) AS coll
+  FROM per_w GROUP BY 1
+)
+SELECT lang, n_tokens, vocab,
+       CAST(coll AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
+         AS simpson_repeat,
+       1.0 - CAST(coll AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
+         AS simpson_diversity
+FROM m
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_ngram_novelty": q_text_ngram_novelty,
     "vocab_growth_curve": q_vocab_growth_curve,
@@ -2116,6 +2186,7 @@ QUERIES = {
     "retrieval_rrf_fusion": q_retrieval_rrf_fusion,
     "text_bigram_lm_score": q_text_bigram_lm_score,
     "text_rake_keywords": q_text_rake_keywords,
+    "text_simpson_diversity": q_text_simpson_diversity,
 }
 
 ORACLE = {
@@ -2144,4 +2215,5 @@ ORACLE = {
     "retrieval_rrf_fusion": _sql_rrf_fusion(),
     "text_bigram_lm_score": _ORACLE_BIGRAM_LM,
     "text_rake_keywords": _sql_rake(),
+    "text_simpson_diversity": _ORACLE_SIMPSON,
 }
