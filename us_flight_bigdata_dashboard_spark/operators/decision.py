@@ -1503,9 +1503,69 @@ ORDER BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Year-over-year revenue growth (lag window on exact cents)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the headline dashboard
+    trend metric (the reference's monthly trend chart, SURVEY.md §2.7,
+    generalized to the period-over-period comparison every BI tool ships).
+
+    Exactness: yearly revenue is exact integer cents; growth is ONE
+    division of two exact integers per row (the first year is NULL in
+    both engines — no epsilon guards needed since revenue > 0). Scale
+    shape: one map-side-combinable hash agg to |nation|×|year| cells; the
+    lag window runs on that domain-sized frame, never raw rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    yearly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    prev = F.lag("revenue_cents").over(w)
+    growth = (F.col("revenue_cents") - prev).cast("double") / prev.cast("double")
+    return yearly.select(
+        "n_name",
+        F.col("o_year").cast("int").alias("o_year"),
+        "revenue_cents",
+        growth.alias("yoy_growth"),
+    ).orderBy("n_name", "o_year")
+
+
+_ORACLE_YOY = """
+WITH yearly AS (
+  SELECT n_name, YEAR(o_orderdate) AS o_year,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, CAST(o_year AS INTEGER) AS o_year, revenue_cents,
+       CAST(revenue_cents - LAG(revenue_cents) OVER w AS DOUBLE)
+         / CAST(LAG(revenue_cents) OVER w AS DOUBLE) AS yoy_growth
+FROM yearly
+WINDOW w AS (PARTITION BY n_name ORDER BY o_year)
+ORDER BY n_name, o_year
+"""
+
+
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
+    "revenue_yoy_growth": q_revenue_yoy_growth,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
@@ -1531,6 +1591,7 @@ QUERIES = {
 ORACLE = {
     "customer_rfm_segments": _ORACLE_CUSTOMER_RFM_SEGMENTS,
     "market_concentration_hhi": _ORACLE_HHI,
+    "revenue_yoy_growth": _ORACLE_YOY,
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
