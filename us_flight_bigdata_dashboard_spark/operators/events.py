@@ -2367,6 +2367,139 @@ ORDER BY d.event_type
 
 
 # ---------------------------------------------------------------------------
+# Local-maxima peak detection on the hourly series
+# ---------------------------------------------------------------------------
+
+PEAK_Z = 2.0  # a peak must clear mean + 2σ of its type's hourly series
+
+
+def q_events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic peak detection per event type: hours that are strict local
+    maxima of the hourly count series AND clear mean + {z}σ — the alerting
+    primitive behind every ops dashboard's "spike" annotation (local-max
+    screening suppresses the shoulder hours a pure threshold would also
+    flag; the threshold suppresses ordinary diurnal maxima).
+
+    Built on the DENSE hour spine per type (zero hours are real — a lone
+    busy hour between silent ones IS a peak; ``events_cross_correlation``
+    uses the same spine discipline). Counts are exact integers; μ and σ
+    come from exact integer moments, so the threshold compare and the
+    reported z-score are fixed-shape IEEE expressions — bit-stable.
+
+    Scale shape: raw scan → (type, hour) hash agg (map-side combine);
+    spine join, neighbor lags, and the moment agg all run on the
+    compressed |types|×|hours| domain. At 100 TB that domain is ~10⁷
+    cells — still cluster-trivial.
+    """.format(z=int(PEAK_Z))
+    events = load_table(spark, sf_dir, "events")
+    h = (F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("bigint")
+    counts = events.groupBy("event_type", h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bounds = events.agg(
+        (F.min(F.unix_timestamp(F.col("ts"))) / F.lit(3600)).cast("bigint").alias("lo"),
+        (F.max(F.unix_timestamp(F.col("ts"))) / F.lit(3600)).cast("bigint").alias("hi"),
+    )
+    types = events.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    base = spine.join(counts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    mom = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(18,0)")).alias("sc"),
+        F.sum(
+            F.col("c").cast("decimal(18,0)") * F.col("c").cast("decimal(18,0)")
+        ).alias("sc2"),
+    )
+    nd = F.col("n").cast("double")
+    scd, sc2d = F.col("sc").cast("double"), F.col("sc2").cast("double")
+    mu = scd / nd
+    sigma = F.sqrt((nd * sc2d - scd * scd) / (nd * nd))
+    w = Window.partitionBy("event_type").orderBy("h")
+    neigh = base.select(
+        "event_type",
+        "h",
+        "c",
+        F.lag("c").over(w).alias("prev_c"),
+        F.lead("c").over(w).alias("next_c"),
+    )
+    return (
+        neigh.join(
+            F.broadcast(mom.select("event_type", mu.alias("mu"), sigma.alias("sigma"))),
+            "event_type",
+        )
+        .filter(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("c") > F.col("prev_c"))
+            & (F.col("c") > F.col("next_c"))
+            & (
+                F.col("c").cast("double")
+                > F.col("mu") + F.lit(PEAK_Z) * F.col("sigma")
+            )
+        )
+        .select(
+            "event_type",
+            F.col("h").alias("hour_idx"),
+            F.col("c").alias("n_events"),
+            ((F.col("c").cast("double") - F.col("mu")) / F.col("sigma")).alias(
+                "zscore"
+            ),
+        )
+        .orderBy("event_type", "hour_idx")
+    )
+
+
+_ORACLE_PEAKS = f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT CAST(floor(MIN(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT) AS lo,
+         CAST(floor(MAX(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT) AS hi
+  FROM events
+), spine AS (
+  SELECT t.event_type, unnest(generate_series(lo, hi)) AS h
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds
+), base AS (
+  SELECT spine.event_type, spine.h, COALESCE(counts.c, 0) AS c
+  FROM spine LEFT JOIN counts
+    ON spine.event_type = counts.event_type AND spine.h = counts.h
+), mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(c AS DECIMAL(18,0))) AS sc,
+         SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS sc2
+  FROM base GROUP BY 1
+), stats AS (
+  SELECT event_type,
+         CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         SQRT((CAST(n AS DOUBLE) * CAST(sc2 AS DOUBLE)
+                 - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sigma
+  FROM mom
+), neigh AS (
+  SELECT event_type, h, c,
+         LAG(c) OVER w AS prev_c, LEAD(c) OVER w AS next_c
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY h)
+)
+SELECT n.event_type, n.h AS hour_idx, n.c AS n_events,
+       (CAST(n.c AS DOUBLE) - s.mu) / s.sigma AS zscore
+FROM neigh n JOIN stats s ON n.event_type = s.event_type
+WHERE n.prev_c IS NOT NULL AND n.next_c IS NOT NULL
+  AND n.c > n.prev_c AND n.c > n.next_c
+  AND CAST(n.c AS DOUBLE) > s.mu + {float(PEAK_Z)!r} * s.sigma
+ORDER BY n.event_type, hour_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Kaplan–Meier survival curve (user churn with right-censoring)
 # ---------------------------------------------------------------------------
 
@@ -2728,6 +2861,7 @@ QUERIES = {
     "events_burstiness": q_events_burstiness,
     "events_cross_correlation": q_events_cross_correlation,
     "survival_kaplan_meier": q_survival_kaplan_meier,
+    "events_peak_detection": q_events_peak_detection,
 }
 
 ORACLE = {
@@ -2763,4 +2897,5 @@ ORACLE = {
     "events_burstiness": _ORACLE_BURSTINESS,
     "events_cross_correlation": _ORACLE_XCORR,
     "survival_kaplan_meier": _ORACLE_KM,
+    "events_peak_detection": _ORACLE_PEAKS,
 }
