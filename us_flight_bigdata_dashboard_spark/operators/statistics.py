@@ -1875,6 +1875,88 @@ ORDER BY r_name
 """
 
 
+# ---------------------------------------------------------------------------
+# A/B test power analysis (required sample size per arm)
+# ---------------------------------------------------------------------------
+
+# 2·(z_{1-α/2} + z_{1-β})² for α=0.05, power=0.80 — folded in Python so both
+# engines receive one identical double literal (no normal-quantile function
+# in either engine's deterministic subset).
+_POWER_C = 2.0 * (1.959963984540054 + 0.8416212335729143) ** 2
+_MDE_GRID = [(1, 0.01), (2, 0.02), (5, 0.05), (10, 0.10)]
+
+
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment planning: required per-arm sample size to detect a
+    relative effect of 1/2/5/10% on each event type's mean value at
+    α=0.05, power 0.80 — n = 2(z₀.₉₇₅+z₀.₈)²σ²/δ². The planning-side
+    complement of ``q_welch_ttest`` (which analyzes after the fact) and
+    ``q_ab_cuped`` (which shrinks the σ² this formula needs).
+
+    Determinism: σ² comes from exact decimal moments; the z-constant is a
+    Python-folded literal; each grid row is one fixed-shape IEEE
+    expression ending in a single ceil — bit-identical across engines.
+    Scale shape: ONE moment agg over the scan to |types| rows, then a
+    4-row literal grid cross join on the result — planning math never
+    touches raw rows again.
+    """
+    events = load_table(spark, sf_dir, "events")
+    m = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        dsum("value", scale=6).alias("s"),
+        dsum(F.col("value") * F.col("value"), scale=6).alias("s2"),
+    )
+    grid = F.array(
+        *[
+            F.struct(F.lit(pct).alias("mde_pct"), F.lit(f).alias("f"))
+            for pct, f in _MDE_GRID
+        ]
+    )
+    rows = m.select(
+        "event_type", "n_obs", "s", "s2", F.explode(grid).alias("g")
+    ).select("event_type", "n_obs", "s", "s2", "g.mde_pct", "g.f")
+    nd = F.col("n_obs").cast("double")
+    mean = F.col("s") / nd
+    var = (nd * F.col("s2") - F.col("s") * F.col("s")) / (nd * (nd - F.lit(1.0)))
+    delta = F.col("f") * mean
+    n_req = F.ceil(F.lit(_POWER_C) * var / (delta * delta)).cast("long")
+    return rows.select(
+        "event_type",
+        F.col("mde_pct").cast("int").alias("mde_pct"),
+        mean.alias("mean_value"),
+        var.alias("variance"),
+        n_req.alias("n_per_arm"),
+    ).orderBy("event_type", "mde_pct")
+
+
+def _sql_ab_power() -> str:
+    grid = " UNION ALL ".join(
+        f"SELECT {pct} AS mde_pct, CAST('{f!r}' AS DOUBLE) AS f"
+        for pct, f in _MDE_GRID
+    )
+    return f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         {sql_dsum("value", scale=6)} AS s,
+         {sql_dsum("value * value", scale=6)} AS s2
+  FROM events GROUP BY 1
+), grid AS ({grid})
+SELECT event_type,
+       CAST(mde_pct AS INTEGER) AS mde_pct,
+       s / CAST(n_obs AS DOUBLE) AS mean_value,
+       (CAST(n_obs AS DOUBLE) * s2 - s * s)
+         / (CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) - 1.0)) AS variance,
+       CAST(CEIL(CAST('{_POWER_C!r}' AS DOUBLE)
+                 * ((CAST(n_obs AS DOUBLE) * s2 - s * s)
+                    / (CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) - 1.0)))
+                 / ((f * (s / CAST(n_obs AS DOUBLE)))
+                    * (f * (s / CAST(n_obs AS DOUBLE))))) AS BIGINT) AS n_per_arm
+FROM m CROSS JOIN grid
+ORDER BY event_type, mde_pct
+"""
+
+
 QUERIES = {
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
@@ -1894,6 +1976,7 @@ QUERIES = {
     "kendall_tau": q_kendall_tau,
     "gini_revenue": q_gini_revenue,
     "theil_sen_trend": q_theil_sen_trend,
+    "ab_power_sample_size": q_ab_power,
 }
 
 ORACLE = {
@@ -1915,4 +1998,5 @@ ORACLE = {
     "kendall_tau": _ORACLE_KENDALL,
     "gini_revenue": _ORACLE_GINI,
     "theil_sen_trend": _ORACLE_THEIL_SEN,
+    "ab_power_sample_size": _sql_ab_power(),
 }
