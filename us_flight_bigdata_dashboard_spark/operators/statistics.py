@@ -1957,6 +1957,84 @@ ORDER BY event_type, mde_pct
 """
 
 
+# ---------------------------------------------------------------------------
+# Overdispersion diagnosis + negative-binomial moment fit
+# ---------------------------------------------------------------------------
+
+
+def q_overdispersion_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type overdispersion diagnosis of user activity counts: the
+    variance-to-mean ratio (= 1 under Poisson), plus the
+    method-of-moments negative-binomial fit r = μ²/(σ²−μ), p = μ/σ²
+    when overdispersed — the standard first step before modeling user
+    engagement (Poisson assumptions underestimate heavy-user tails, and
+    this is the test that says so; the Poisson-bootstrap entry's CI width
+    depends on exactly this dispersion).
+
+    Determinism: per-user counts are exact integers; the three user-level
+    moments are exact (DECIMAL for Σc²); μ, σ², VMR, r, p are fixed-shape
+    IEEE expressions, and the NB parameters are NULL (both engines) when
+    σ² ≤ μ — an honest "not overdispersed" answer, not a garbage fit.
+    Scale shape: two chained map-side-combinable hash aggs
+    ((type,user) → type) — the canonical distinct-ish rollup; output is
+    |types| rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_u = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = per_u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("c").cast("decimal(18,0)")).alias("sc"),
+        F.sum(
+            F.col("c").cast("decimal(18,0)") * F.col("c").cast("decimal(18,0)")
+        ).alias("sc2"),
+    )
+    nd = F.col("n_users").cast("double")
+    scd, sc2d = F.col("sc").cast("double"), F.col("sc2").cast("double")
+    mu = scd / nd
+    var = (nd * sc2d - scd * scd) / (nd * (nd - F.lit(1.0)))
+    vmr = var / mu
+    over = var > mu
+    return m.select(
+        "event_type",
+        "n_users",
+        mu.alias("mean_per_user"),
+        var.alias("var_per_user"),
+        vmr.alias("vmr"),
+        F.when(over, (mu * mu) / (var - mu)).alias("nb_r"),
+        F.when(over, mu / var).alias("nb_p"),
+    ).orderBy("event_type")
+
+
+_ORACLE_OVERDISP = """
+WITH per_u AS (
+  SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         SUM(CAST(c AS DECIMAL(18,0))) AS sc,
+         SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS sc2
+  FROM per_u GROUP BY 1
+), d AS (
+  SELECT event_type, n_users,
+         CAST(sc AS DOUBLE) / CAST(n_users AS DOUBLE) AS mu,
+         (CAST(n_users AS DOUBLE) * CAST(sc2 AS DOUBLE)
+            - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+           / (CAST(n_users AS DOUBLE) * (CAST(n_users AS DOUBLE) - 1.0)) AS var
+  FROM m
+)
+SELECT event_type, n_users,
+       mu AS mean_per_user,
+       var AS var_per_user,
+       var / mu AS vmr,
+       CASE WHEN var > mu THEN (mu * mu) / (var - mu) END AS nb_r,
+       CASE WHEN var > mu THEN mu / var END AS nb_p
+FROM d
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
@@ -1977,6 +2055,7 @@ QUERIES = {
     "gini_revenue": q_gini_revenue,
     "theil_sen_trend": q_theil_sen_trend,
     "ab_power_sample_size": q_ab_power,
+    "overdispersion_nb_fit": q_overdispersion_nb,
 }
 
 ORACLE = {
@@ -1999,4 +2078,5 @@ ORACLE = {
     "gini_revenue": _ORACLE_GINI,
     "theil_sen_trend": _ORACLE_THEIL_SEN,
     "ab_power_sample_size": _sql_ab_power(),
+    "overdispersion_nb_fit": _ORACLE_OVERDISP,
 }
