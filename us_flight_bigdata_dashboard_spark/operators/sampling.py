@@ -732,6 +732,53 @@ ORDER BY shard_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Systematic (every k-th) sampling
+# ---------------------------------------------------------------------------
+
+SYST_K = 50       # keep 1-in-50 documents
+SYST_OFFSET = 37  # fixed start offset (deterministic; a production run
+                  # would derive it from a seeded hash, same mechanics)
+
+
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-{k} sampling of the documents table in doc_id
+    order: keep rows whose rank ≡ {o} (mod {k}) — the third classical
+    sampling discipline next to ``stratified_sample`` and
+    ``importance_sample``. Systematic sampling gives implicit
+    stratification over the sort key (eval sets that track corpus drift
+    over ingest order) with a single pass and ZERO randomness to audit.
+
+    Determinism: rank is ROW_NUMBER over the unique doc_id — fully
+    ordered, no tie ambiguity — and selection is an exact integer
+    congruence. Scale shape: a global sort window at test SF; at 100 TB
+    the identical semantics come from range-partitioned ranking (sort
+    within ingest partitions + partition-offset prefix sums — the
+    ``global_rank_bucketed`` pattern), or directly from the id congruence
+    when ids are dense. Output is |docs|/{k} rows — sample-sized, tiny.
+    """.format(k=SYST_K, o=SYST_OFFSET)
+    docs = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(Window.orderBy("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", rn.alias("rn"))
+        .filter(F.col("rn") % SYST_K == SYST_OFFSET)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_SYSTEMATIC = f"""
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn % {SYST_K} = {SYST_OFFSET}
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "shard_manifest": q_shard_manifest,
     "stratified_sample": q_stratified_sample,
@@ -744,6 +791,7 @@ QUERIES = {
     "importance_sample": q_importance_sample,
     "negative_sampling": q_negative_sampling,
     "token_budget_fill": q_token_budget_fill,
+    "sample_systematic": q_sample_systematic,
 }
 
 ORACLE = {
@@ -758,4 +806,5 @@ ORACLE = {
     "importance_sample": _ORACLE_IMPORTANCE_SAMPLE,
     "negative_sampling": _sql_negative_sampling(),
     "token_budget_fill": _ORACLE_TOKEN_BUDGET_FILL,
+    "sample_systematic": _ORACLE_SYSTEMATIC,
 }
