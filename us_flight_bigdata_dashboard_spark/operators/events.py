@@ -2367,6 +2367,96 @@ ORDER BY d.event_type
 
 
 # ---------------------------------------------------------------------------
+# Time-to-convert distribution (first view → first purchase)
+# ---------------------------------------------------------------------------
+
+
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency from a user's FIRST view to their FIRST purchase (converting
+    users only), summarized as exact p50/p90/p99 — the time-dimension
+    complement of ``events_funnel`` (which counts who converts; this
+    measures how long conversion takes, the metric that sizes retargeting
+    windows and attribution lookbacks).
+
+    Exactness: latencies are integer epoch-second differences; the
+    percentiles are RANK PICKS of real data values at ceil(q·n) (integer
+    `DIV` arithmetic, ties broken by user_id) — percentile_disc
+    semantics, never interpolated doubles. Scale shape: one (user,type)
+    conditional-min hash agg (map-side combinable), then a single sort
+    window over the converter set; output is ONE row.
+    """
+    events = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.col("ts"))
+    per_user = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", s)).alias("first_view"),
+            F.min(F.when(F.col("event_type") == "purchase", s)).alias(
+                "first_purchase"
+            ),
+        )
+    )
+    conv = per_user.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        "user_id",
+        (F.col("first_purchase") - F.col("first_view")).alias("delta_s"),
+    )
+    w = Window.orderBy("delta_s", "user_id")
+    ranked = conv.select(
+        "delta_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_converters"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("delta_s"))).alias(
+            "p50_s"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) DIV 10"), F.col("delta_s"))
+        ).alias("p90_s"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(99 * n + 99) DIV 100"), F.col("delta_s"))
+        ).alias("p99_s"),
+    )
+
+
+_ORACLE_TIME_TO_CONVERT = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view'
+                  THEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) END)
+           AS first_view,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) END)
+           AS first_purchase
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+), conv AS (
+  SELECT user_id, first_purchase - first_view AS delta_s
+  FROM per_user
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view
+), ranked AS (
+  SELECT delta_s,
+         ROW_NUMBER() OVER (ORDER BY delta_s, user_id) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM conv
+)
+SELECT MAX(n) AS n_converters,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN delta_s END) AS p50_s,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN delta_s END) AS p90_s,
+       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN delta_s END) AS p99_s
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
 # Local-maxima peak detection on the hourly series
 # ---------------------------------------------------------------------------
 
@@ -2862,6 +2952,7 @@ QUERIES = {
     "events_cross_correlation": q_events_cross_correlation,
     "survival_kaplan_meier": q_survival_kaplan_meier,
     "events_peak_detection": q_events_peak_detection,
+    "events_time_to_convert": q_events_time_to_convert,
 }
 
 ORACLE = {
@@ -2898,4 +2989,5 @@ ORACLE = {
     "events_cross_correlation": _ORACLE_XCORR,
     "survival_kaplan_meier": _ORACLE_KM,
     "events_peak_detection": _ORACLE_PEAKS,
+    "events_time_to_convert": _ORACLE_TIME_TO_CONVERT,
 }
