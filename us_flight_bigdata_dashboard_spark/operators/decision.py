@@ -1562,10 +1562,104 @@ ORDER BY n_name, o_year
 """
 
 
+# ---------------------------------------------------------------------------
+# SLA on-time proportion with Wilson 95% interval
+# ---------------------------------------------------------------------------
+
+SLA_DAYS = 75
+_WILSON_Z = 1.959963984540054  # z_{0.975}, Python-folded literal
+
+
+def q_sla_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier-nation SLA attainment: share of line items shipped
+    within {d} days of order, with the WILSON 95% score interval — the
+    interval that stays honest at extreme proportions and small nations
+    (the naive Wald interval the reference's ratio KPIs would imply can
+    exceed [0,1] and collapses to zero width at p̂∈{{0,1}}).
+
+    Determinism: k and n are exact counts, z is one folded double
+    literal, and center/half-width are fixed-shape IEEE expressions
+    (division, one sqrt) — bit-identical across engines. Scale shape:
+    one fact-fact equi-join (sort-merge on orderkey at 100 TB — both
+    sides clustered on the key) into a map-side-combinable hash agg to
+    ≤25 rows; the interval math runs on the result rows.
+    """.format(d=SLA_DAYS)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    ontime = (
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= SLA_DAYS
+    ).cast("long")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(ontime).cast("long").alias("n_ontime"),
+        )
+    )
+    nd = F.col("n_items").cast("double")
+    kd = F.col("n_ontime").cast("double")
+    z = F.lit(_WILSON_Z)
+    phat = kd / nd
+    denom = F.lit(1.0) + z * z / nd
+    # numerator terms kept UNdivided until one final division so the IEEE
+    # op sequence matches the oracle exactly ((A±B)/d, never A/d ± B/d)
+    center_num = phat + z * z / (F.lit(2.0) * nd)
+    half_num = z * F.sqrt(
+        phat * (F.lit(1.0) - phat) / nd + z * z / (F.lit(4.0) * nd * nd)
+    )
+    return agg.select(
+        "n_name",
+        "n_items",
+        "n_ontime",
+        phat.alias("p_ontime"),
+        ((center_num - half_num) / denom).alias("wilson_lo"),
+        ((center_num + half_num) / denom).alias("wilson_hi"),
+    ).orderBy("n_name")
+
+
+_ORACLE_WILSON = f"""
+WITH agg AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                      CAST(l_shipdate AS DATE)) <= {SLA_DAYS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1
+), d AS (
+  SELECT n_name, n_items, n_ontime,
+         CAST(n_ontime AS DOUBLE) / CAST(n_items AS DOUBLE) AS phat,
+         CAST(n_items AS DOUBLE) AS nd,
+         CAST('{_WILSON_Z!r}' AS DOUBLE) AS z
+  FROM agg
+)
+SELECT n_name, n_items, n_ontime, phat AS p_ontime,
+       ((phat + z * z / (2.0 * nd))
+          - z * SQRT(phat * (1.0 - phat) / nd + z * z / (4.0 * nd * nd)))
+         / (1.0 + z * z / nd) AS wilson_lo,
+       ((phat + z * z / (2.0 * nd))
+          + z * SQRT(phat * (1.0 - phat) / nd + z * z / (4.0 * nd * nd)))
+         / (1.0 + z * z / nd) AS wilson_hi
+FROM d
+ORDER BY n_name
+"""
+
+
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
     "revenue_yoy_growth": q_revenue_yoy_growth,
+    "sla_wilson_ci": q_sla_wilson_ci,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
@@ -1592,6 +1686,7 @@ ORACLE = {
     "customer_rfm_segments": _ORACLE_CUSTOMER_RFM_SEGMENTS,
     "market_concentration_hhi": _ORACLE_HHI,
     "revenue_yoy_growth": _ORACLE_YOY,
+    "sla_wilson_ci": _ORACLE_WILSON,
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
