@@ -2367,6 +2367,135 @@ ORDER BY d.event_type
 
 
 # ---------------------------------------------------------------------------
+# Linear interpolation of an irregular series onto the hour grid
+# ---------------------------------------------------------------------------
+
+
+def q_events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each event type's irregular ``value`` series onto the
+    exact hour grid by linear interpolation between the straddling
+    observations — the regularization step before any fixed-step model
+    (the forecasting entries all assume a regular grid; ``events_twap``
+    integrates between points, this EVALUATES between points).
+
+    Implemented with the union-and-fill idiom (no join): grid marks and
+    observations interleave in ONE per-type time sort; backward-looking
+    ``last(…, ignorenulls)`` carries (t₀,y₀), a forward frame picks
+    (t₁,y₁), and src ordering (events sort before the grid mark at equal
+    t) pins boundary semantics exactly: an observation AT the mark is the
+    left endpoint (interpolation returns it), never the right. Grid rows
+    outside the observed span drop (no extrapolation). The interpolation
+    y₀+(y₁−y₀)·(h−t₀)/(t₁−t₀) is one fixed-shape IEEE expression on
+    integer-second times — bit-identical across engines.
+
+    Scale shape: ONE range-partitionable sort per type over events+grid;
+    no self-join, no shuffle beyond the sort. The classic alternative —
+    an as-of join per direction — costs two sorted joins; union-and-fill
+    does both directions in one pass.
+    """
+    events = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.col("ts"))
+    obs = events.select(
+        "event_type",
+        s.alias("t"),
+        F.lit(0).alias("src"),
+        F.col("event_id").alias("eid"),
+        "value",
+    )
+    bounds = events.agg(
+        (F.min(s) / F.lit(3600)).cast("bigint").alias("lo"),
+        (F.max(s) / F.lit(3600)).cast("bigint").alias("hi"),
+    )
+    types = events.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("h"))
+        .select(
+            "event_type",
+            (F.col("h") * 3600).alias("t"),
+            F.lit(1).alias("src"),
+            F.lit(None).cast("long").alias("eid"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "src", "eid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "src", "eid")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ev_t = F.when(F.col("src") == 0, F.col("t"))
+    ev_v = F.when(F.col("src") == 0, F.col("value"))
+    filled = obs.unionByName(grid).select(
+        "event_type",
+        "t",
+        "src",
+        F.last(ev_t, ignorenulls=True).over(w_back).alias("t0"),
+        F.last(ev_v, ignorenulls=True).over(w_back).alias("y0"),
+        F.first(ev_t, ignorenulls=True).over(w_fwd).alias("t1"),
+        F.first(ev_v, ignorenulls=True).over(w_fwd).alias("y1"),
+    )
+    interp = F.col("y0") + (F.col("y1") - F.col("y0")) * (
+        (F.col("t") - F.col("t0")).cast("double")
+        / (F.col("t1") - F.col("t0")).cast("double")
+    )
+    return (
+        filled.filter(
+            (F.col("src") == 1)
+            & F.col("t0").isNotNull()
+            & F.col("t1").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr("t DIV 3600").alias("hour_idx"),
+            interp.alias("value_interp"),
+        )
+        .orderBy("event_type", "hour_idx")
+    )
+
+
+_ORACLE_INTERP = """
+WITH obs AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+         0 AS src, event_id AS eid, value
+  FROM events
+), bounds AS (
+  SELECT CAST(floor(MIN(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT) AS lo,
+         CAST(floor(MAX(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT) AS hi
+  FROM events
+), grid AS (
+  SELECT t.event_type, unnest(generate_series(lo, hi)) * 3600 AS t,
+         1 AS src, CAST(NULL AS BIGINT) AS eid, CAST(NULL AS DOUBLE) AS value
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds
+), u AS (
+  SELECT * FROM obs UNION ALL SELECT * FROM grid
+), filled AS (
+  SELECT event_type, t, src,
+         LAST_VALUE(CASE WHEN src = 0 THEN t END IGNORE NULLS) OVER wb AS t0,
+         LAST_VALUE(CASE WHEN src = 0 THEN value END IGNORE NULLS) OVER wb AS y0,
+         FIRST_VALUE(CASE WHEN src = 0 THEN t END IGNORE NULLS) OVER wf AS t1,
+         FIRST_VALUE(CASE WHEN src = 0 THEN value END IGNORE NULLS) OVER wf AS y1
+  FROM u
+  WINDOW wb AS (PARTITION BY event_type ORDER BY t, src, eid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY t, src, eid
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, t // 3600 AS hour_idx,
+       y0 + (y1 - y0) * (CAST(t - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+         AS value_interp
+FROM filled
+WHERE src = 1 AND t0 IS NOT NULL AND t1 IS NOT NULL
+ORDER BY event_type, hour_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Time-to-convert distribution (first view → first purchase)
 # ---------------------------------------------------------------------------
 
@@ -2953,6 +3082,7 @@ QUERIES = {
     "survival_kaplan_meier": q_survival_kaplan_meier,
     "events_peak_detection": q_events_peak_detection,
     "events_time_to_convert": q_events_time_to_convert,
+    "events_interpolate_linear": q_events_interpolate_linear,
 }
 
 ORACLE = {
@@ -2990,4 +3120,5 @@ ORACLE = {
     "survival_kaplan_meier": _ORACLE_KM,
     "events_peak_detection": _ORACLE_PEAKS,
     "events_time_to_convert": _ORACLE_TIME_TO_CONVERT,
+    "events_interpolate_linear": _ORACLE_INTERP,
 }
