@@ -1882,7 +1882,8 @@ ORDER BY r_name
 # 2·(z_{1-α/2} + z_{1-β})² for α=0.05, power=0.80 — folded in Python so both
 # engines receive one identical double literal (no normal-quantile function
 # in either engine's deterministic subset).
-_POWER_C = 2.0 * (1.959963984540054 + 0.8416212335729143) ** 2
+_Z_SUM = 1.959963984540054 + 0.8416212335729143
+_POWER_C = 2.0 * _Z_SUM * _Z_SUM
 _MDE_GRID = [(1, 0.01), (2, 0.02), (5, 0.05), (10, 0.10)]
 
 
