@@ -438,6 +438,75 @@ ORDER BY file_id
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time (AS OF) fact resolution
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time resolution of facts against the SCD2 dimension built
+    by ``q_scd2_history``: each line item looks up the price version
+    valid AT ITS SHIP TIME (valid_from ≤ ship < valid_to, half-open, NULL
+    = still open) — the consumption side of SCD2, and the join every
+    "what did the customer actually see that day" audit runs. Returned
+    per resolved version: line-item count and exact resolved-price cents
+    (so a wrong-version resolution shifts the sum and fails the gate).
+
+    Scale shape: the interval predicate rides a KEY-LOCAL equi-join on
+    the business key (sort-merge at 100 TB; versions-per-key is tiny and
+    bounded, so the post-join interval filter is per-key constant work) —
+    the PIT join never degenerates into the time-only range join
+    (``asof_join``) precisely because the key equality carries it.
+    Every line item must resolve to EXACTLY one version by construction
+    (intervals partition [orderdate, ∞) and ship ≥ order date); the
+    n_lineitems sum equals the fact count, which the oracle enforces
+    implicitly through the version-level counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hist = q_scd2_history(spark, sf_dir)
+    j = li.join(
+        hist,
+        (F.col("l_orderkey") == hist.o_orderkey)
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.sum(F.round(F.col("price") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("sum_price_cents"),
+        )
+        .orderBy("version")
+    )
+
+
+_ORACLE_SCD2_PIT = f"""
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderdate AS valid_from FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + {{PRICE_BUMP}}, o_orderdate + INTERVAL 30 DAY
+  FROM orders WHERE o_orderkey % 7 = 0
+), hist AS (
+  SELECT o_orderkey, price, valid_from,
+         LEAD(valid_from) OVER w AS valid_to,
+         ROW_NUMBER() OVER w AS version
+  FROM changes
+  WINDOW w AS (PARTITION BY o_orderkey ORDER BY valid_from ASC)
+)
+SELECT version,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(ROUND(price * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM lineitem
+JOIN hist ON l_orderkey = o_orderkey
+         AND l_shipdate >= valid_from
+         AND (valid_to IS NULL OR l_shipdate < valid_to)
+GROUP BY 1
+ORDER BY version
+""".format(PRICE_BUMP=PRICE_BUMP)
+
+
 QUERIES = {
     "merge_upsert": q_merge_upsert,
     "mv_incremental": q_mv_incremental,
@@ -445,6 +514,7 @@ QUERIES = {
     "cdc_latest": q_cdc_latest,
     "takedown_propagation": q_takedown_propagation,
     "deletion_vector_scan": q_deletion_vector_scan,
+    "scd2_point_in_time": q_scd2_point_in_time,
 }
 
 ORACLE = {
@@ -454,4 +524,5 @@ ORACLE = {
     "cdc_latest": _ORACLE_CDC_LATEST,
     "takedown_propagation": _sql_takedown(),
     "deletion_vector_scan": _sql_deletion_vector(),
+    "scd2_point_in_time": _ORACLE_SCD2_PIT,
 }
