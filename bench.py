@@ -164,6 +164,14 @@ HEADLINE = [
     "events_cusum_changepoint",
     "sketch_hll_registers",
     "multimodal_audio_features",
+    # round-7 continuation: the tie-compressed double-rank-window Spearman
+    # (the heaviest new moments path), the 6-round k-core peel loop
+    # (localCheckpoint-truncated iterative twin of PageRank/LPA), and the
+    # Kaplan-Meier curve (distributed risk sets + domain-sized sequential
+    # applyInPandas product)
+    "spearman_corr",
+    "graph_kcore",
+    "survival_kaplan_meier",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
