@@ -1655,11 +1655,85 @@ ORDER BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Top month-over-month movers (largest absolute revenue swings)
+# ---------------------------------------------------------------------------
+
+MOVERS_TOP_K = 15
+
+
+def q_top_movers_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} month-over-month revenue movers by brand: the (brand,
+    month) cells with the largest |Δ| vs the brand's previous observed
+    month — the "what changed most" panel on every revenue dashboard
+    (directional YoY — ``revenue_yoy_growth`` — says where a nation
+    trends; this surfaces the sharpest short-term swings and WHO swung).
+
+    Exactness: monthly revenue is exact integer cents, Δ is integer
+    subtraction via a lag window over the brand's observed months, and
+    the top-k pick orders by (|Δ| DESC, brand, month) — a total order,
+    so the cut line cannot flip across engines. Scale shape: broadcast
+    part-dim join onto the fact scan, one hash agg to |brands|×|months|
+    cells, lag + TakeOrdered on the domain-sized cell frame.
+    """.format(k=MOVERS_TOP_K)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ym"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("ym")
+    delta = F.col("revenue_cents") - F.lag("revenue_cents").over(w)
+    moved = monthly.select(
+        "p_brand",
+        F.col("ym").cast("int").alias("ym"),
+        "revenue_cents",
+        delta.alias("delta_cents"),
+    ).filter(F.col("delta_cents").isNotNull())
+    return (
+        moved.orderBy(
+            F.abs(F.col("delta_cents")).desc(), F.col("p_brand"), F.col("ym")
+        )
+        .limit(MOVERS_TOP_K)
+    )
+
+
+_ORACLE_MOVERS = f"""
+WITH monthly AS (
+  SELECT p_brand,
+         YEAR(l_shipdate) * 100 + MONTH(l_shipdate) AS ym,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), moved AS (
+  SELECT p_brand, CAST(ym AS INTEGER) AS ym, revenue_cents,
+         revenue_cents - LAG(revenue_cents)
+           OVER (PARTITION BY p_brand ORDER BY ym) AS delta_cents
+  FROM monthly
+)
+SELECT p_brand, ym, revenue_cents, delta_cents
+FROM moved
+WHERE delta_cents IS NOT NULL
+ORDER BY ABS(delta_cents) DESC, p_brand, ym
+LIMIT {{MOVERS_TOP_K}}
+""".format(MOVERS_TOP_K=MOVERS_TOP_K)
+
+
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
     "revenue_yoy_growth": q_revenue_yoy_growth,
     "sla_wilson_ci": q_sla_wilson_ci,
+    "top_movers_mom": q_top_movers_mom,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
@@ -1687,6 +1761,7 @@ ORACLE = {
     "market_concentration_hhi": _ORACLE_HHI,
     "revenue_yoy_growth": _ORACLE_YOY,
     "sla_wilson_ci": _ORACLE_WILSON,
+    "top_movers_mom": _ORACLE_MOVERS,
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
