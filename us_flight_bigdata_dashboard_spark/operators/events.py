@@ -2367,6 +2367,136 @@ ORDER BY d.event_type
 
 
 # ---------------------------------------------------------------------------
+# Holt–Winters additive seasonal smoothing (triple exponential)
+# ---------------------------------------------------------------------------
+
+HW_PERIOD = 24  # hourly series, daily seasonality
+HW_HORIZON = 24  # forecast one full season ahead
+
+
+def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters ADDITIVE seasonal smoothing of the global hourly event
+    count with α=β=γ=1/2 and period {m}: level/trend/seasonal recurrence
+    l_t = ((x_t−s_{{t−m}})+(l+b))/2, b_t = ((l_t−l)+b)/2,
+    s_t = ((x_t−l_t)+s_{{t−m}})/2, seeded l₁=x₁, b₁=0, s≡0 (γ=1/2 learns
+    the season within two cycles; a production warm start would seed with
+    first-season means — same machinery). Output: the next full season of
+    forecasts l+h·b+s_{{t+h−m}}, h=1..{h} — the seasonal rung above
+    ``events_holt_linear`` and the closing entry of the forecasting
+    ladder (seasonal-naive → Holt → Holt–Winters).
+
+    Like Holt, the two-state+season recurrence has no order-free
+    decomposition, so Spark runs the IEEE op sequence in an Arrow-batched
+    ``applyInPandas`` over the DOMAIN-SIZED series (the hourly grid —
+    ~10³ points at any data scale; the data-sized work is the count agg
+    that builds it), while the oracle replays the identical sequence as a
+    RECURSIVE CTE whose state row carries the {m}-slot seasonal ring as a
+    LIST column (head = s_{{t−m}}, step = append-new/drop-head). Halving
+    constants keep every step correctly-rounded double arithmetic —
+    bit-identical cross-engine, no quantization.
+    """.format(m=HW_PERIOD, h=HW_HORIZON)
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    h = (F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("bigint")
+    counts = events.groupBy(h.alias("h")).agg(F.count(F.lit(1)).alias("c"))
+    bounds = events.agg(
+        (F.min(F.unix_timestamp(F.col("ts"))) / F.lit(3600)).cast("bigint").alias("lo"),
+        (F.max(F.unix_timestamp(F.col("ts"))) / F.lit(3600)).cast("bigint").alias("hi"),
+    )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("h"))
+    series = spine.join(counts, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("horizon_h", T.IntegerType()),
+            T.StructField("n_points", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+    period, horizon = HW_PERIOD, HW_HORIZON
+
+    def hw(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("h")
+        xs = pdf["c"].to_numpy()
+        level = float(xs[0])
+        trend = 0.0
+        season = [0.0] * period
+        for x in xs[1:]:
+            s_prev = season[0]
+            prev_l = level
+            level = ((float(x) - s_prev) + (level + trend)) / 2.0
+            trend = ((level - prev_l) + trend) / 2.0
+            s_new = ((float(x) - level) + s_prev) / 2.0
+            season = season[1:] + [s_new]
+        return pd.DataFrame(
+            {
+                "horizon_h": list(range(1, horizon + 1)),
+                "n_points": [len(xs)] * horizon,
+                "level": [level] * horizon,
+                "trend": [trend] * horizon,
+                "forecast": [
+                    level + float(k) * trend + season[k - 1]
+                    for k in range(1, horizon + 1)
+                ],
+            }
+        )
+
+    return (
+        series.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(hw, schema)
+        .orderBy("horizon_h")
+    )
+
+
+_ORACLE_HW = f"""
+WITH RECURSIVE counts AS (
+  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT CAST(floor(MIN(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT) AS lo,
+         CAST(floor(MAX(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT) AS hi
+  FROM events
+), series AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY s.h) AS t,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(COALESCE(c.c, 0) AS DOUBLE) AS x
+  FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) s
+  LEFT JOIN counts c ON s.h = c.h
+), state AS (
+  SELECT t, n, x AS l, CAST(0.0 AS DOUBLE) AS b,
+         [CAST(0.0 AS DOUBLE) FOR i IN range({HW_PERIOD})] AS s
+  FROM series WHERE t = 1
+  UNION ALL
+  SELECT e.t, st.n,
+         ((e.x - st.s[1]) + (st.l + st.b)) / 2.0,
+         (((((e.x - st.s[1]) + (st.l + st.b)) / 2.0) - st.l) + st.b) / 2.0,
+         list_append(
+           st.s[2:],
+           ((e.x - (((e.x - st.s[1]) + (st.l + st.b)) / 2.0)) + st.s[1]) / 2.0
+         )
+  FROM state st JOIN series e ON e.t = st.t + 1
+), final AS (
+  SELECT * FROM state WHERE t = n
+)
+SELECT CAST(k AS INTEGER) AS horizon_h,
+       n AS n_points,
+       l AS level,
+       b AS trend,
+       l + CAST(k AS DOUBLE) * b + s[k] AS forecast
+FROM final, (SELECT unnest(generate_series(1, {HW_HORIZON})) AS k)
+ORDER BY horizon_h
+"""
+
+
+# ---------------------------------------------------------------------------
 # Linear interpolation of an irregular series onto the hour grid
 # ---------------------------------------------------------------------------
 
@@ -3083,6 +3213,7 @@ QUERIES = {
     "events_peak_detection": q_events_peak_detection,
     "events_time_to_convert": q_events_time_to_convert,
     "events_interpolate_linear": q_events_interpolate_linear,
+    "events_holt_winters": q_events_holt_winters,
 }
 
 ORACLE = {
@@ -3121,4 +3252,5 @@ ORACLE = {
     "events_peak_detection": _ORACLE_PEAKS,
     "events_time_to_convert": _ORACLE_TIME_TO_CONVERT,
     "events_interpolate_linear": _ORACLE_INTERP,
+    "events_holt_winters": _ORACLE_HW,
 }
