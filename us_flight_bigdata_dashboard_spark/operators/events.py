@@ -2367,6 +2367,95 @@ ORDER BY d.event_type
 
 
 # ---------------------------------------------------------------------------
+# L28 engagement distribution (users by active-day count)
+# ---------------------------------------------------------------------------
+
+L28_DAYS = 28
+L28_BUCKETS = [(1, 7, "L1-7"), (8, 14, "L8-14"), (15, 21, "L15-21"), (22, 28, "L22-28")]
+
+
+def q_events_engagement_l28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28 engagement distribution: bucket every user by DISTINCT active
+    days within the trailing 28 days of the observation window — the
+    growth-accounting complement of ``events_dau_mau`` (stickiness is one
+    ratio; the L-distribution shows whether it comes from a core of
+    daily users or a long casual tail, which is what product teams
+    actually act on).
+
+    Exactness: active days are exact distinct integer day indices
+    (relative to the window end, so the trailing filter is integer
+    arithmetic); buckets are literal ranges; outputs are counts plus one
+    exact share division per bucket. Scale shape: (user, day) distinct
+    collapse (map-side combinable), per-user count, then a 4-group agg —
+    the canonical two-level rollup, nothing data-sized after the first
+    agg.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.expr(
+        "CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)"
+    )
+    horizon = events.agg(F.max(day).alias("max_day"))
+    user_days = (
+        events.select("user_id", day.alias("d"))
+        .crossJoin(F.broadcast(horizon))
+        .filter(F.col("d") > F.col("max_day") - F.lit(L28_DAYS))
+        .select("user_id", "d")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("active_days"))
+    )
+    bucket = F.when(
+        (F.col("active_days") >= L28_BUCKETS[0][0])
+        & (F.col("active_days") <= L28_BUCKETS[0][1]),
+        F.lit(L28_BUCKETS[0][2]),
+    )
+    for lo, hi, name in L28_BUCKETS[1:]:
+        bucket = bucket.when(
+            (F.col("active_days") >= lo) & (F.col("active_days") <= hi), F.lit(name)
+        )
+    per_b = (
+        user_days.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    total = F.sum("n_users").over(Window.partitionBy()).cast("long")
+    return per_b.select(
+        "bucket",
+        "n_users",
+        (F.col("n_users").cast("double") / total.cast("double")).alias("share"),
+    ).orderBy("bucket")
+
+
+def _sql_engagement_l28() -> str:
+    case = " ".join(
+        f"WHEN active_days BETWEEN {lo} AND {hi} THEN '{name}'"
+        for lo, hi, name in L28_BUCKETS
+    )
+    return f"""
+WITH horizon AS (
+  SELECT MAX(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400) AS max_day
+  FROM events
+), user_days AS (
+  SELECT user_id, COUNT(*) AS active_days FROM (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS d
+    FROM events, horizon
+    WHERE CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
+          > max_day - {L28_DAYS}
+  ) GROUP BY 1
+), per_b AS (
+  SELECT CASE {case} END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM user_days GROUP BY 1
+)
+SELECT bucket, n_users,
+       CAST(n_users AS DOUBLE) / CAST(SUM(n_users) OVER () AS DOUBLE) AS share
+FROM per_b
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # Holt–Winters additive seasonal smoothing (triple exponential)
 # ---------------------------------------------------------------------------
 
@@ -3214,6 +3303,7 @@ QUERIES = {
     "events_time_to_convert": q_events_time_to_convert,
     "events_interpolate_linear": q_events_interpolate_linear,
     "events_holt_winters": q_events_holt_winters,
+    "events_engagement_l28": q_events_engagement_l28,
 }
 
 ORACLE = {
@@ -3253,4 +3343,5 @@ ORACLE = {
     "events_time_to_convert": _ORACLE_TIME_TO_CONVERT,
     "events_interpolate_linear": _ORACLE_INTERP,
     "events_holt_winters": _ORACLE_HW,
+    "events_engagement_l28": _sql_engagement_l28(),
 }
