@@ -1728,12 +1728,106 @@ LIMIT {{MOVERS_TOP_K}}
 """.format(MOVERS_TOP_K=MOVERS_TOP_K)
 
 
+# ---------------------------------------------------------------------------
+# Open-order backlog timeline (sweep-line running balance)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end open-order backlog: how many orders are placed but not
+    yet fully shipped at each month boundary — the classic operations
+    "work in progress over time" series, computed as a SWEEP LINE: +1 at
+    order date, −1 the day after the order's LAST line ships, running-sum
+    over the merged event stream, sampled at month ends. (The interval
+    twin of ``events_max_concurrency``, but over a derived
+    order-lifetime interval — open until the slowest line item leaves.)
+
+    Exactness: ±1 deltas and day indices are integers; the running sum is
+    an integer prefix sum; month-end sampling picks the last sweep state
+    with day ≤ boundary via a backward-looking window (exactly one row
+    per month by construction). Scale shape: per-order close = one hash
+    agg on l_orderkey; the sweep collapses to ≤2 rows per DAY before the
+    running-sum window (map-side combinable groupBy on day), so the
+    window runs over the ~2500-day domain, not the fact rows, at any SF.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    day = lambda c: F.expr(f"CAST(unix_timestamp({c}) DIV 86400 AS BIGINT)")
+    closes = li.groupBy("l_orderkey").agg(
+        (F.max(day("l_shipdate")) + F.lit(1)).alias("d")
+    )
+    opens = orders.select(day("o_orderdate").alias("d"), F.lit(1).alias("delta"))
+    closed = orders.join(
+        closes, orders.o_orderkey == closes.l_orderkey, "inner"
+    ).select("d", F.lit(-1).alias("delta"))
+    per_day = (
+        opens.unionByName(closed)
+        .groupBy("d")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    swept = per_day.select("d", F.sum("net").over(w).cast("long").alias("open_orders"))
+    # month-end sampling: last sweep state at or before each month boundary
+    me = swept.select(
+        "d",
+        "open_orders",
+        F.expr(
+            "YEAR(to_date(from_unixtime(d * 86400))) * 100"
+            " + MONTH(to_date(from_unixtime(d * 86400)))"
+        ).alias("ym"),
+    )
+    w_m = Window.partitionBy("ym").orderBy(F.col("d").desc())
+    return (
+        me.withColumn("rn", F.row_number().over(w_m))
+        .filter(F.col("rn") == 1)
+        .select(F.col("ym").cast("int").alias("ym"), "open_orders")
+        .orderBy("ym")
+    )
+
+
+_ORACLE_BACKLOG = """
+WITH closes AS (
+  SELECT l_orderkey,
+         MAX(CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) // 86400) + 1 AS d
+  FROM lineitem GROUP BY 1
+), deltas AS (
+  SELECT CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400 AS d,
+         1 AS delta
+  FROM orders
+  UNION ALL
+  SELECT c.d, -1
+  FROM orders JOIN closes c ON o_orderkey = c.l_orderkey
+), per_day AS (
+  SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY 1
+), swept AS (
+  SELECT d,
+         CAST(SUM(net) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS open_orders
+  FROM per_day
+), me AS (
+  SELECT d, open_orders,
+         YEAR(CAST(to_timestamp(d * 86400) AS DATE)) * 100
+           + MONTH(CAST(to_timestamp(d * 86400) AS DATE)) AS ym,
+         ROW_NUMBER() OVER (PARTITION BY
+             YEAR(CAST(to_timestamp(d * 86400) AS DATE)) * 100
+               + MONTH(CAST(to_timestamp(d * 86400) AS DATE))
+             ORDER BY d DESC) AS rn
+  FROM swept
+)
+SELECT CAST(ym AS INTEGER) AS ym, open_orders
+FROM me WHERE rn = 1
+ORDER BY ym
+"""
+
+
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
     "revenue_yoy_growth": q_revenue_yoy_growth,
     "sla_wilson_ci": q_sla_wilson_ci,
     "top_movers_mom": q_top_movers_mom,
+    "orders_backlog_timeline": q_orders_backlog_timeline,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
@@ -1762,6 +1856,7 @@ ORACLE = {
     "revenue_yoy_growth": _ORACLE_YOY,
     "sla_wilson_ci": _ORACLE_WILSON,
     "top_movers_mom": _ORACLE_MOVERS,
+    "orders_backlog_timeline": _ORACLE_BACKLOG,
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
