@@ -3266,6 +3266,82 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Holiday lift vs same-weekday baseline
+# ---------------------------------------------------------------------------
+
+# Jan 2024 US holidays inside the events window, folded as EPOCH-DAY
+# literals; weekday matching is integer day-index arithmetic (epoch-day
+# mod 7) so both engines share one definition — SQL DOW numbering is
+# engine-specific and deliberately avoided.
+HOLIDAY_DAYS = [19723, 19737]          # 2024-01-01 (New Year), 2024-01-15 (MLK)
+_HOLIDAY_DOW = 19723 % 7               # both fall on the same weekday (Monday)
+
+
+def q_events_holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holiday traffic lift per event type: holiday daily rate vs the
+    SAME-WEEKDAY non-holiday baseline — the comparison every seasonal
+    dashboard needs ("was New Year's Monday actually bigger than a normal
+    Monday?"); naive vs-all-days baselines confound the weekday cycle
+    that ``events_seasonal_hourly`` quantifies.
+
+    Exactness: event counts and distinct-day counts are exact integers;
+    lift = (h_events·b_days)/(h_days·b_events) is ONE division of two
+    exact integer products. Weekday membership is epoch-day mod-7
+    arithmetic on folded literals — no engine DOW function. Scale shape:
+    one conditional-aggregate scan (map-side combinable) to |types| rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    d = F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)")
+    is_holiday = d.isin(HOLIDAY_DAYS)
+    is_baseline = (d % 7 == F.lit(_HOLIDAY_DOW)) & ~is_holiday
+    m = events.groupBy("event_type").agg(
+        F.sum(is_holiday.cast("long")).cast("long").alias("holiday_events"),
+        F.countDistinct(F.when(is_holiday, d)).cast("long").alias("holiday_days"),
+        F.sum(is_baseline.cast("long")).cast("long").alias("baseline_events"),
+        F.countDistinct(F.when(is_baseline, d)).cast("long").alias("baseline_days"),
+    )
+    lift = (
+        (F.col("holiday_events") * F.col("baseline_days")).cast("double")
+        / (F.col("holiday_days") * F.col("baseline_events")).cast("double")
+    )
+    return m.select(
+        "event_type",
+        "holiday_events",
+        "holiday_days",
+        "baseline_events",
+        "baseline_days",
+        lift.alias("holiday_lift"),
+    ).orderBy("event_type")
+
+
+def _sql_holiday_lift() -> str:
+    days = ", ".join(str(x) for x in HOLIDAY_DAYS)
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS d
+  FROM events
+), m AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN d IN ({days}) THEN 1 ELSE 0 END) AS BIGINT)
+           AS holiday_events,
+         CAST(COUNT(DISTINCT CASE WHEN d IN ({days}) THEN d END) AS BIGINT)
+           AS holiday_days,
+         CAST(SUM(CASE WHEN d % 7 = {_HOLIDAY_DOW} AND d NOT IN ({days})
+                       THEN 1 ELSE 0 END) AS BIGINT) AS baseline_events,
+         CAST(COUNT(DISTINCT CASE WHEN d % 7 = {_HOLIDAY_DOW} AND d NOT IN ({days})
+                                  THEN d END) AS BIGINT) AS baseline_days
+  FROM base GROUP BY 1
+)
+SELECT event_type, holiday_events, holiday_days, baseline_events, baseline_days,
+       CAST(holiday_events * baseline_days AS DOUBLE)
+         / CAST(holiday_days * baseline_events AS DOUBLE) AS holiday_lift
+FROM m
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -3304,6 +3380,7 @@ QUERIES = {
     "events_interpolate_linear": q_events_interpolate_linear,
     "events_holt_winters": q_events_holt_winters,
     "events_engagement_l28": q_events_engagement_l28,
+    "events_holiday_lift": q_events_holiday_lift,
 }
 
 ORACLE = {
@@ -3344,4 +3421,5 @@ ORACLE = {
     "events_interpolate_linear": _ORACLE_INTERP,
     "events_holt_winters": _ORACLE_HW,
     "events_engagement_l28": _sql_engagement_l28(),
+    "events_holiday_lift": _sql_holiday_lift(),
 }
