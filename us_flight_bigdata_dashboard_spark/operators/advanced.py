@@ -591,8 +591,75 @@ GROUP BY bin_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Relational division (for-all quantification)
+# ---------------------------------------------------------------------------
+
+DIVISION_YEAR = 1995
+
+
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — the "for all" quantifier SQL lacks natively:
+    customers who placed an order in EVERY quarter of {y} (÷ the 4-quarter
+    divisor set). Textbook renderings are a double NOT EXISTS; the
+    engine-friendly form used here is the count-matching reduction:
+    distinct (customer, month) pairs, then keep customers whose distinct
+    month count equals the divisor cardinality — one hash agg instead of
+    two correlated anti joins (identical semantics because the pair set
+    is deduplicated first; the oracle keeps the same shape).
+
+    Output: the qualifying customers with their {y} order counts and
+    exact revenue cents (so a wrong division result shifts every
+    column). Scale shape: scan → (cust, month) distinct collapse →
+    per-customer hash agg → division filter; all map-side combinable,
+    no correlated subqueries, no join at all until the final
+    broadcast-sized name lookup.
+    """.format(y=DIVISION_YEAR)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == DIVISION_YEAR
+    )
+    per_c = orders.groupBy("o_custkey").agg(
+        F.countDistinct(F.quarter("o_orderdate")).alias("quarters_active"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        per_c.filter(F.col("quarters_active") == 4)
+        .join(F.broadcast(cust), per_c.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_orders",
+            "revenue_cents",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_ORACLE_DIVISION = f"""
+WITH per_c AS (
+  SELECT o_custkey,
+         COUNT(DISTINCT QUARTER(o_orderdate)) AS quarters_active,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders
+  WHERE YEAR(o_orderdate) = {DIVISION_YEAR}
+  GROUP BY 1
+)
+SELECT c_custkey, c_name, n_orders, revenue_cents
+FROM per_c JOIN customer ON o_custkey = c_custkey
+WHERE quarters_active = 4
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "semi_anti_join": q_semi_anti_join,
+    "relational_division": q_relational_division,
     "histogram_price": q_histogram_price,
     "grouping_sets_explicit": q_grouping_sets_explicit,
     "window_first_last": q_window_first_last,
@@ -610,6 +677,7 @@ QUERIES = {
 
 ORACLE = {
     "semi_anti_join": _ORACLE_SEMI_ANTI,
+    "relational_division": _ORACLE_DIVISION,
     "histogram_price": _ORACLE_HISTOGRAM_PRICE,
     "grouping_sets_explicit": _ORACLE_GROUPING_SETS_EXPLICIT,
     "window_first_last": _ORACLE_WINDOW_FIRST_LAST,
