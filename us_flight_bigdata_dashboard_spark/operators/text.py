@@ -2160,6 +2160,107 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Flesch reading-ease scoring (readability curation signal)
+# ---------------------------------------------------------------------------
+
+# Flesch constants, folded once (identical literals in both engines)
+FLESCH_A, FLESCH_B, FLESCH_C = 206.835, 1.015, 84.6
+FLESCH_EASY, FLESCH_HARD = 60.0, 30.0
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language: score = A − B·(words/sentences)
+    − C·(syllables/words) with the classic constants, syllables
+    approximated as vowel-group runs (the standard in-database proxy) and
+    sentences as terminal-punctuation runs (floored at 1) — the
+    readability rung of the curation ladder next to ``text_quality``'s
+    surface ratios and ``text_bigram_lm_score``'s LM typicality (training
+    corpora are routinely filtered on exactly this signal).
+
+    Determinism: word/sentence/syllable counts are exact integers from
+    Java-regex∩RE2-safe patterns; each per-doc score is a fixed-shape
+    IEEE expression; band counts are exact, and the per-language mean
+    uses the module-standard decimal-quantized sum (``dsum`` at scale 6)
+    so no engine-ordered float addition exists anywhere. Scale shape:
+    ONE scan with per-row regex work, then a map-side-combinable hash
+    agg to |languages| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.size(_tokens(F.col("text")))
+    sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
+    )
+    syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    per_doc = (
+        docs.select("lang", w.alias("w"), sent.alias("sent"), syl.alias("syl"))
+        .filter(F.col("w") > 0)
+        .select(
+            "lang",
+            (
+                F.lit(FLESCH_A)
+                - F.lit(FLESCH_B)
+                * (F.col("w").cast("double") / F.col("sent").cast("double"))
+                - F.lit(FLESCH_C)
+                * (F.col("syl").cast("double") / F.col("w").cast("double"))
+            ).alias("score"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("score") >= FLESCH_EASY).cast("long"))
+            .cast("long")
+            .alias("n_easy"),
+            F.sum(
+                (
+                    (F.col("score") < FLESCH_EASY)
+                    & (F.col("score") >= FLESCH_HARD)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_standard"),
+            F.sum((F.col("score") < FLESCH_HARD).cast("long"))
+            .cast("long")
+            .alias("n_difficult"),
+            (dsum("score", scale=6) / F.count(F.lit(1))).alias("mean_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_READABILITY = f"""
+WITH per_doc AS (
+  SELECT lang,
+         {FLESCH_A!r} - {FLESCH_B!r} * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE))
+           - {FLESCH_C!r} * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) AS score
+  FROM (
+    SELECT lang,
+           len({_sql_tokens("text")}) AS w,
+           GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS sent,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+    FROM documents
+  )
+  WHERE w > 0
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score >= {FLESCH_EASY!r} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_easy,
+       CAST(SUM(CASE WHEN score < {FLESCH_EASY!r} AND score >= {FLESCH_HARD!r}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_standard,
+       CAST(SUM(CASE WHEN score < {FLESCH_HARD!r} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_difficult,
+       ({sql_dsum("score", scale=6)} / COUNT(*)) AS mean_score
+FROM per_doc
+GROUP BY 1
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_ngram_novelty": q_text_ngram_novelty,
     "vocab_growth_curve": q_vocab_growth_curve,
@@ -2187,6 +2288,7 @@ QUERIES = {
     "text_bigram_lm_score": q_text_bigram_lm_score,
     "text_rake_keywords": q_text_rake_keywords,
     "text_simpson_diversity": q_text_simpson_diversity,
+    "text_readability_flesch": q_text_readability,
 }
 
 ORACLE = {
@@ -2216,4 +2318,5 @@ ORACLE = {
     "text_bigram_lm_score": _ORACLE_BIGRAM_LM,
     "text_rake_keywords": _sql_rake(),
     "text_simpson_diversity": _ORACLE_SIMPSON,
+    "text_readability_flesch": _ORACLE_READABILITY,
 }
