@@ -1997,8 +1997,107 @@ ORDER BY dim, t.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Inter-centroid class separation matrix
+# ---------------------------------------------------------------------------
+
+SEP_FP = 10**9  # per-component fixed-point; keeps num² · dims inside DECIMAL(38)
+
+
+def q_embedding_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Euclidean distance between every pair of label centroids —
+    the class-separation map that tells you which classes a
+    nearest-centroid classifier (``embedding_centroid_by_label``) will
+    confuse, and the between-cluster half of any silhouette/Davies-
+    Bouldin style diagnosis.
+
+    Exactness (the interesting part): a centroid is a MEAN, so naive
+    centroid-then-distance arithmetic stacks engine-ordered float sums.
+    Instead each per-dim difference is put over the pair's COMMON
+    denominator: c1−c2 = (fpsum₁·n₂ − fpsum₂·n₁)/(FP·n₁·n₂) with
+    fpsum = Σfloor(val·FP) an exact integer — so Σ_dims num² is an exact
+    DECIMAL(38) integer and the distance is ONE sqrt + ONE division on
+    exact inputs. Bounds at FP=10⁹: |num| ≤ 0.3·FP·n² ~ 10¹³ at test SF
+    (num² ≤ 10²⁸·64 dims < 10³⁸); at 100 TB per-label counts ~10⁹ push
+    num past DECIMAL(19) per factor — the documented escape is lowering
+    FP (quantization is per-COMPONENT, distances are O(1)) or a
+    two-level split of the same algebra.
+
+    Scale shape: posexplode → (label, dim) hash agg (map-side), then a
+    |labels|²·dims pair join on dim_idx over the tiny centroid frame —
+    nothing pairwise ever touches raw vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("dim_idx", "val"))
+        .groupBy("label", "dim_idx")
+        .agg(
+            F.sum(
+                F.floor(F.col("val").cast("double") * F.lit(float(SEP_FP))).cast(
+                    "bigint"
+                )
+            )
+            .cast("long")
+            .alias("fpsum"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    a, b = cents.alias("a"), cents.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.dim_idx") == F.col("b.dim_idx"))
+        & (F.col("a.label") < F.col("b.label")),
+    ).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        (
+            F.col("a.fpsum") * F.col("b.n") - F.col("b.fpsum") * F.col("a.n")
+        ).alias("num"),
+    )
+    agg = pairs.groupBy("label_a", "label_b", "n_a", "n_b").agg(
+        F.sum(
+            F.col("num").cast("decimal(19,0)") * F.col("num").cast("decimal(19,0)")
+        ).alias("snum2")
+    )
+    dist = F.sqrt(F.col("snum2").cast("double")) / (
+        F.lit(float(SEP_FP)) * F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return agg.select(
+        "label_a", "label_b", "n_a", "n_b", dist.alias("centroid_dist")
+    ).orderBy("label_a", "label_b")
+
+
+_ORACLE_CENTROID_SEP = f"""
+WITH cents AS (
+  SELECT label, g.i - 1 AS dim_idx,
+         CAST(SUM(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {float(SEP_FP)}) AS BIGINT)) AS BIGINT) AS fpsum,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings CROSS JOIN generate_series(1, {DIM}) AS g(i)
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+         a.fpsum * b.n - b.fpsum * a.n AS num
+  FROM cents a JOIN cents b
+    ON a.dim_idx = b.dim_idx AND a.label < b.label
+), agg AS (
+  SELECT label_a, label_b, n_a, n_b,
+         SUM(CAST(num AS DECIMAL(19,0)) * CAST(num AS DECIMAL(19,0))) AS snum2
+  FROM pairs GROUP BY 1, 2, 3, 4
+)
+SELECT label_a, label_b, n_a, n_b,
+       SQRT(CAST(snum2 AS DOUBLE))
+         / ({float(SEP_FP)} * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+         AS centroid_dist
+FROM agg
+ORDER BY label_a, label_b
+"""
+
+
 QUERIES = {
     "embedding_mmr_select": q_embedding_mmr_select,
+    "embedding_centroid_separation": q_embedding_centroid_separation,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "embedding_norm_audit": q_embedding_norm_audit,
     "embedding_matryoshka_eval": q_embedding_matryoshka_eval,
@@ -2019,6 +2118,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embedding_centroid_separation": _ORACLE_CENTROID_SEP,
     "embedding_mmr_select": _sql_mmr_select(),
     "dedup_threshold_sweep": _sql_dedup_threshold_sweep(),
     "embedding_norm_audit": _sql_embedding_norm_audit(),
