@@ -1304,6 +1304,86 @@ FROM (SELECT src, COUNT(*) AS deg FROM {prev} GROUP BY src)
     )
 
 
+# ---------------------------------------------------------------------------
+# Average neighbor degree by degree class (the knn(k) curve)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average neighbor degree per degree class k — the knn(k) curve
+    (Pastor-Satorras et al. 2001) whose slope is the DISAGGREGATED view
+    of ``graph_assortativity``'s single coefficient: rising knn(k) means
+    hubs attach to hubs, falling means hubs serve the periphery. On the
+    part co-purchase graph this reads as "do popular parts co-sell with
+    other popular parts?" — the merchandising version of rich-club
+    analysis.
+
+    Exactness: degrees are exact integer counts; per degree class the
+    output is Σ(neighbor degree) / (class size · k) — one division of
+    exact integers (Σ over DECIMAL to be 100 TB-safe). Scale shape:
+    degree table (hash agg) joined onto the edge list twice on the node
+    key (sort-merge, co-partitioned — the same key carries both legs),
+    then a map-side-combinable agg to ≤|distinct degrees| rows.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    edges = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
+        e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    d_src = deg.select(F.col("src").alias("u"), F.col("deg").alias("ku"))
+    d_dst = deg.select(F.col("src").alias("v"), F.col("deg").alias("kv"))
+    joined = (
+        edges.join(d_src, edges.src == d_src.u)
+        .join(d_dst, edges.dst == d_dst.v)
+        .select("ku", "kv")
+    )
+    agg = joined.groupBy("ku").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edge_ends"),
+        F.sum(F.col("kv").cast("decimal(19,0)")).alias("s_nbr"),
+    )
+    return agg.select(
+        F.col("ku").alias("degree"),
+        (F.col("n_edge_ends") / F.col("ku")).cast("long").alias("n_nodes"),
+        (F.col("s_nbr").cast("double") / F.col("n_edge_ends").cast("double")).alias(
+            "avg_neighbor_degree"
+        ),
+    ).orderBy("degree")
+
+
+_ORACLE_KNN_CURVE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+capped AS (
+  SELECT o, p FROM (
+    SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS np FROM op
+  ) WHERE np <= {PARTS_PER_ORDER_CAP}
+),
+und AS (
+  SELECT a.p AS p1, b.p AS p2
+  FROM capped a JOIN capped b ON a.o = b.o
+  WHERE a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COSUPPORT}
+),
+edges AS (SELECT p1 AS src, p2 AS dst FROM und
+          UNION ALL SELECT p2, p1 FROM und),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+joined AS (
+  SELECT ds.deg AS ku, dd.deg AS kv
+  FROM edges e
+  JOIN deg ds ON e.src = ds.src
+  JOIN deg dd ON e.dst = dd.src
+),
+agg AS (
+  SELECT ku, CAST(COUNT(*) AS BIGINT) AS n_edge_ends,
+         SUM(CAST(kv AS DECIMAL(19,0))) AS s_nbr
+  FROM joined GROUP BY 1
+)
+SELECT ku AS degree,
+       CAST(n_edge_ends / ku AS BIGINT) AS n_nodes,
+       CAST(s_nbr AS DOUBLE) / CAST(n_edge_ends AS DOUBLE) AS avg_neighbor_degree
+FROM agg
+ORDER BY degree
+"""
+
+
 QUERIES = {
     "graph_communities": q_graph_communities,
     "graph_supplier_similarity": q_graph_supplier_similarity,
@@ -1317,6 +1397,7 @@ QUERIES = {
     "graph_link_prediction": q_graph_link_prediction,
     "graph_assortativity": q_graph_assortativity,
     "graph_kcore": q_graph_kcore,
+    "graph_avg_neighbor_degree": q_graph_avg_neighbor_degree,
 }
 
 ORACLE = {
@@ -1332,4 +1413,5 @@ ORACLE = {
     "graph_link_prediction": _sql_link_prediction(),
     "graph_assortativity": _ORACLE_ASSORTATIVITY,
     "graph_kcore": _sql_kcore(),
+    "graph_avg_neighbor_degree": _ORACLE_KNN_CURVE,
 }
