@@ -2036,6 +2036,88 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Lorenz curve at deciles (the curve behind the Gini coefficient)
+# ---------------------------------------------------------------------------
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Lorenz curve of customer revenue at decile cut points: for
+    each d = 1..10, the cumulative revenue share held by the bottom
+    ⌊d·n/10⌋ customers — the curve ``q_gini_revenue`` integrates to one
+    number; dashboards plot the curve ("bottom 50% of customers hold 9%
+    of revenue") because two very different curves can share a Gini.
+
+    Exactness: revenue is integer cents, the running sum is an exact
+    DECIMAL prefix sum over (revenue, custkey)-ordered ranks (tie order
+    cannot change a cumulative sum at a cut BELOW or ABOVE the tied
+    block... cuts inside a tied block ARE order-dependent, so ties break
+    on custkey — total order, both engines identical), cut ranks are
+    integer `DIV` arithmetic, and each share is ONE division. Scale
+    shape: per-customer rollup (hash agg) → ONE global sort window at
+    test SF (the ``global_rank_bucketed`` offset-table trick is the
+    documented 100 TB path) → 10-row literal-grid join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("long")
+        .alias("x")
+    )
+    per_c = cust.join(rev, cust.c_custkey == rev.o_custkey, "left").select(
+        "c_custkey", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    w = Window.orderBy("x", "c_custkey")
+    w_all = Window.partitionBy()
+    ranked = per_c.select(
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("x").cast("decimal(19,0)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(19,0)")).over(w_all).alias("total"),
+    )
+    cuts = ranked.select(
+        "rn", "cum", "n", "total", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("d")
+    ).filter(F.col("rn") == F.expr("(d * n) DIV 10"))
+    return cuts.select(
+        F.col("d").cast("int").alias("decile"),
+        F.col("rn").alias("n_customers_cum"),
+        F.col("cum").cast("long").alias("cum_revenue_cents"),
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+            "cum_share"
+        ),
+    ).orderBy("decile")
+
+
+_ORACLE_LORENZ = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), per_c AS (
+  SELECT c_custkey, COALESCE(rev.x, 0) AS x
+  FROM customer LEFT JOIN rev ON c_custkey = rev.o_custkey
+), ranked AS (
+  SELECT ROW_NUMBER() OVER w AS rn,
+         SUM(CAST(x AS DECIMAL(19,0))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         SUM(CAST(x AS DECIMAL(19,0))) OVER () AS total
+  FROM per_c
+  WINDOW w AS (ORDER BY x, c_custkey)
+)
+SELECT CAST(d AS INTEGER) AS decile,
+       rn AS n_customers_cum,
+       CAST(cum AS BIGINT) AS cum_revenue_cents,
+       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+FROM ranked, (SELECT unnest(generate_series(1, 10)) AS d)
+WHERE rn = (d * n) // 10
+ORDER BY decile
+"""
+
+
 QUERIES = {
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
@@ -2057,6 +2139,7 @@ QUERIES = {
     "theil_sen_trend": q_theil_sen_trend,
     "ab_power_sample_size": q_ab_power,
     "overdispersion_nb_fit": q_overdispersion_nb,
+    "lorenz_curve_deciles": q_lorenz_curve,
 }
 
 ORACLE = {
@@ -2080,4 +2163,5 @@ ORACLE = {
     "theil_sen_trend": _ORACLE_THEIL_SEN,
     "ab_power_sample_size": _sql_ab_power(),
     "overdispersion_nb_fit": _ORACLE_OVERDISP,
+    "lorenz_curve_deciles": _ORACLE_LORENZ,
 }
