@@ -3342,6 +3342,121 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (integer fixed-point power iteration)
+# ---------------------------------------------------------------------------
+
+MARKOV_ITERS = 8
+MARKOV_FP = 10**6  # fixed-point mass units; mass·c stays inside int64 at 100 TB
+
+
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run state occupancy of the user-journey Markov chain: the
+    stationary distribution π of the first-order transition matrix that
+    ``events_transitions`` estimates — "where do journeys spend their
+    time in steady state", the summary that turns a transition heat map
+    into one ranking (and the discrete cousin of ``graph_pagerank``,
+    which is exactly this plus teleport).
+
+    Determinism is total: π is carried as INTEGER fixed-point mass
+    (FP = 10¹²); each power-iteration step is
+    π'_j = Σ_i (π_i · c_ij) DIV c_i — pure integer multiply + FLOOR
+    division (the PageRank floor-before-sum idea taken all the way: no
+    doubles exist anywhere in the loop, so there is nothing to round;
+    Spark `DIV` and DuckDB `//` share floor semantics on non-negative
+    integers, whereas decimal division would round HALF_UP in Spark).
+    {it} unrolled iterations from the uniform start; the oracle unrolls
+    the same integer recurrence through MATERIALIZED CTEs (the k-core
+    lesson: DuckDB re-inlines multiply-referenced CTEs ~3^rounds).
+
+    Scale shape: ONE data-sized step (the per-user lag + (from,to) hash
+    agg); the iteration runs on the |states|² matrix frame — domain-
+    sized at any SF. FP = 10⁶ keeps π_i·c_ij ≤ FP·N inside int64 for
+    N up to ~9·10¹² rows (past the 100 TB row count); truncation loss
+    per step is < |states|/FP.
+    """.format(it=MARKOV_ITERS)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    trans = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    row_tot = trans.groupBy("from_type").agg(F.sum("c").cast("long").alias("ct"))
+    tmat = trans.join(row_tot, "from_type").localCheckpoint(eager=True)
+    states = tmat.select(F.col("from_type").alias("state")).distinct()
+    k = states.count()  # |states| is a tiny domain constant (≤ event types)
+    pi = states.select(
+        "state", (F.lit(MARKOV_FP) / F.lit(k)).cast("long").alias("mass")
+    )
+    for _ in range(MARKOV_ITERS):
+        stepped = (
+            pi.join(tmat, pi.state == tmat.from_type)
+            .select(
+                F.col("to_type").alias("state"),
+                F.expr("(mass * c) DIV ct").alias("part"),
+            )
+            .groupBy("state")
+            .agg(F.sum("part").cast("long").alias("mass"))
+        )
+        pi = stepped.localCheckpoint(eager=True)
+    return pi.select(
+        "state",
+        F.col("mass").alias("pi_fp"),
+        (F.col("mass").cast("double") / F.lit(float(MARKOV_FP))).alias("pi"),
+    ).orderBy("state")
+
+
+def _sql_markov() -> str:
+    base = f"""
+seq AS MATERIALIZED (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+trans AS MATERIALIZED (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+tmat AS MATERIALIZED (
+  SELECT t.from_type, t.to_type, t.c, r.ct
+  FROM trans t JOIN (SELECT from_type, CAST(SUM(c) AS BIGINT) AS ct
+                     FROM trans GROUP BY 1) r
+    ON t.from_type = r.from_type
+),
+nstates AS (SELECT CAST(COUNT(DISTINCT from_type) AS BIGINT) AS k FROM tmat),
+p0 AS MATERIALIZED (
+  SELECT from_type AS state, CAST({MARKOV_FP} // k AS BIGINT) AS mass
+  FROM (SELECT DISTINCT from_type FROM tmat), nstates
+)"""
+    rounds = []
+    prev = "p0"
+    for i in range(1, MARKOV_ITERS + 1):
+        rounds.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT t.to_type AS state,
+         CAST(SUM((p.mass * t.c) // t.ct) AS BIGINT) AS mass
+  FROM {prev} p JOIN tmat t ON p.state = t.from_type
+  GROUP BY 1
+)""")
+        prev = f"p{i}"
+    return (
+        "WITH "
+        + base
+        + ","
+        + ",".join(rounds)
+        + f"""
+SELECT state, mass AS pi_fp,
+       CAST(mass AS DOUBLE) / {float(MARKOV_FP)} AS pi
+FROM {prev}
+ORDER BY state
+"""
+    )
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -3381,6 +3496,7 @@ QUERIES = {
     "events_holt_winters": q_events_holt_winters,
     "events_engagement_l28": q_events_engagement_l28,
     "events_holiday_lift": q_events_holiday_lift,
+    "events_markov_stationary": q_events_markov_stationary,
 }
 
 ORACLE = {
@@ -3422,4 +3538,5 @@ ORACLE = {
     "events_holt_winters": _ORACLE_HW,
     "events_engagement_l28": _sql_engagement_l28(),
     "events_holiday_lift": _sql_holiday_lift(),
+    "events_markov_stationary": _sql_markov(),
 }
