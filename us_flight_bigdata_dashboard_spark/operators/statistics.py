@@ -2118,6 +2118,104 @@ ORDER BY decile
 """
 
 
+# ---------------------------------------------------------------------------
+# Trimmed mean (5% two-sided, rank-exact)
+# ---------------------------------------------------------------------------
+
+TRIM_PCT = 5  # percent trimmed from EACH tail
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean of order value per priority class — the
+    robust location estimator between the mean (0% trim,
+    outlier-fragile) and the median (50% trim, throws away most data);
+    the standard choice for skewed monetary KPIs. Reported next to the
+    untrimmed mean so the gap itself is the outlier-influence diagnostic.
+
+    Exactness: trim boundaries are integer rank arithmetic (drop ranks
+    ≤ ⌊n·{t}/100⌋ and > n−⌊n·{t}/100⌋ — `DIV`, matching DuckDB `//`),
+    kept values are integer cents summed exactly in DECIMAL, and each
+    mean is ONE division. Ties carry a custkey-free total order via
+    (value, orderkey). Scale shape: one per-group rank window (the
+    ks/mann-whitney domain notes apply) then a map-side-combinable agg
+    to |priorities| rows.
+    """.format(t=TRIM_PCT)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority", cents.alias("v"), "o_orderkey"
+    ).select(
+        "o_orderpriority",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.expr(f"(n * {TRIM_PCT}) DIV 100"))
+        & (F.col("rn") <= F.expr(f"n - (n * {TRIM_PCT}) DIV 100"))
+    )
+    agg = kept.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(F.col("v").cast("decimal(19,0)")).alias("s_kept"),
+    )
+    full = orders.groupBy("o_orderpriority").agg(
+        F.sum(cents.cast("decimal(19,0)")).alias("s_all"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    return (
+        agg.join(full, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_total",
+            "n_kept",
+            (F.col("s_kept").cast("double") / F.col("n_kept").cast("double")).alias(
+                "trimmed_mean_cents"
+            ),
+            (F.col("s_all").cast("double") / F.col("n_all").cast("double")).alias(
+                "mean_cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_TRIMMED = f"""
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                                     o_orderkey) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM orders
+), kept AS (
+  SELECT o_orderpriority, v, n
+  FROM ranked
+  WHERE rn > (n * {TRIM_PCT}) // 100 AND rn <= n - (n * {TRIM_PCT}) // 100
+), agg AS (
+  SELECT o_orderpriority,
+         MAX(n) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         SUM(CAST(v AS DECIMAL(19,0))) AS s_kept
+  FROM kept GROUP BY 1
+), full_m AS (
+  SELECT o_orderpriority,
+         SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS DECIMAL(19,0)))
+           AS s_all,
+         CAST(COUNT(*) AS BIGINT) AS n_all
+  FROM orders GROUP BY 1
+)
+SELECT agg.o_orderpriority, n_total, n_kept,
+       CAST(s_kept AS DOUBLE) / CAST(n_kept AS DOUBLE) AS trimmed_mean_cents,
+       CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE) AS mean_cents
+FROM agg JOIN full_m ON agg.o_orderpriority = full_m.o_orderpriority
+ORDER BY agg.o_orderpriority
+"""
+
+
 QUERIES = {
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
@@ -2140,6 +2238,7 @@ QUERIES = {
     "ab_power_sample_size": q_ab_power,
     "overdispersion_nb_fit": q_overdispersion_nb,
     "lorenz_curve_deciles": q_lorenz_curve,
+    "trimmed_mean": q_trimmed_mean,
 }
 
 ORACLE = {
@@ -2164,4 +2263,5 @@ ORACLE = {
     "ab_power_sample_size": _sql_ab_power(),
     "overdispersion_nb_fit": _ORACLE_OVERDISP,
     "lorenz_curve_deciles": _ORACLE_LORENZ,
+    "trimmed_mean": _ORACLE_TRIMMED,
 }
