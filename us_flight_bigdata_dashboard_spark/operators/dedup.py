@@ -1464,6 +1464,101 @@ ORDER BY name_a, name_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (Hernandez–Stolfo merge/purge blocking)
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 3        # compare each record to its w successors in key order
+SNM_KEY_LEN = 16      # sort key: first chars of the lowercased text
+SNM_THRESHOLD = 0.3   # token-Jaccard match floor
+
+
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-duplicate detection (Hernández & Stolfo's
+    merge/purge): sort the corpus by a fuzzy key (lowercased {k}-char
+    prefix), then compare each record only to its {w} successors — the
+    THIRD blocking discipline in the dedup family, next to hash blocking
+    (``dedup_exact``/``fuzzy_blocked_join``) and LSH banding
+    (``dedup_minhash_lsh``). SNM's candidate set is O(n·w) by
+    construction with NO hot-bucket risk — the property that made it the
+    classic record-linkage default — at the price of missing pairs whose
+    keys sort far apart (the documented recall trade).
+
+    Exactness: the neighbor pairing is integer rank arithmetic over a
+    total order ((key, doc_id)); the verifier is exact distinct-token
+    Jaccard |∩|/(|a|+|b|−|∩|) — ONE division of exact integers per pair.
+    Scale shape: one global sort window (range-partitioned at scale, the
+    ``global_rank_bucketed`` escape applies) and an equi-join on rank
+    offsets — n·{w} comparisons total, each on pre-tokenized arrays.
+    """.format(w=SNM_WINDOW, k=SNM_KEY_LEN)
+    from us_flight_bigdata_dashboard_spark.operators.text import _tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, SNM_KEY_LEN).alias("k"),
+        F.array_distinct(_tokens(F.col("text"))).alias("toks"),
+    )
+    rn = F.row_number().over(Window.orderBy("k", "doc_id"))
+    ranked = docs.select("doc_id", "toks", rn.alias("rn"))
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        "rn",
+        F.explode(F.sequence(F.lit(1), F.lit(SNM_WINDOW))).alias("off"),
+    ).select("doc_a", "toks_a", (F.col("rn") + F.col("off")).alias("rn_b"))
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    na, nb = F.size("toks_a"), F.size("toks_b")
+    pairs = a.join(b, "rn_b").select(
+        "doc_a",
+        "doc_b",
+        inter.alias("n_common"),
+        na.alias("n_a"),
+        nb.alias("n_b"),
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        pairs.select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= SNM_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_ORACLE_SNM_TMPL = f"""
+WITH ranked AS (
+  SELECT doc_id,
+         list_distinct({{tok}}) AS toks,
+         ROW_NUMBER() OVER (ORDER BY SUBSTRING(LOWER(text), 1, {SNM_KEY_LEN}),
+                            doc_id) AS rn
+  FROM documents
+), a AS (
+  SELECT doc_id AS doc_a, toks AS toks_a, rn + off.k AS rn_b
+  FROM ranked, (SELECT unnest(generate_series(1, {SNM_WINDOW})) AS k) off
+), pairs AS (
+  SELECT a.doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.toks_a, b.toks)) AS BIGINT) AS n_common,
+         CAST(len(a.toks_a) AS BIGINT) AS n_a,
+         CAST(len(b.toks) AS BIGINT) AS n_b
+  FROM a JOIN ranked b ON a.rn_b = b.rn
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+FROM pairs
+WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)
+      >= {SNM_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+from us_flight_bigdata_dashboard_spark.operators.text import _sql_tokens as _snm_sql_tokens  # noqa: E402
+
+_ORACLE_SNM = _ORACLE_SNM_TMPL.format(tok=_snm_sql_tokens("text"))
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_edit_distance": q_dedup_edit_distance,
@@ -1481,6 +1576,7 @@ QUERIES = {
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_containment": q_dedup_containment,
     "fuzzy_damerau_linkage": q_fuzzy_damerau_linkage,
+    "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
 }
 
 ORACLE = {
@@ -1500,4 +1596,5 @@ ORACLE = {
     "dedup_substring_spans": _sql_substring_spans(),
     "dedup_containment": _sql_containment(),
     "fuzzy_damerau_linkage": _ORACLE_DAMERAU,
+    "dedup_sorted_neighborhood": _ORACLE_SNM,
 }
