@@ -1821,6 +1821,93 @@ ORDER BY ym
 """
 
 
+# ---------------------------------------------------------------------------
+# Backlog aging snapshot (open-order age buckets at a point in time)
+# ---------------------------------------------------------------------------
+
+AGING_SNAP_DAY = 9496  # epoch-day literal = 1996-01-01, mid data range
+AGING_BUCKETS = [(0, 30, "0-30d"), (31, 60, "31-60d"), (61, 10**9, "61d+")]
+
+
+def q_backlog_aging_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging analysis of the order backlog AS OF 1996-01-01: every order
+    open at the snapshot (placed on/before, slowest line not yet shipped
+    after) bucketed by days waiting — the standard ops "aging report"
+    that turns ``q_orders_backlog_timeline``'s headcount into an urgency
+    distribution (61d+ rows are the escalation queue).
+
+    Exactness: open/closed is integer epoch-day comparison against a
+    folded literal; ages are integer differences; buckets literal
+    ranges; value at risk is exact cents. Scale shape: per-order close
+    from one hash agg on l_orderkey, key-local join to orders, one
+    conditional filter + 3-group agg — map-side combinable end to end.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    day = lambda c: F.expr(f"CAST(unix_timestamp({c}) DIV 86400 AS BIGINT)")
+    closes = li.groupBy("l_orderkey").agg(F.max(day("l_shipdate")).alias("close_d"))
+    joined = orders.join(closes, orders.o_orderkey == closes.l_orderkey).select(
+        day("o_orderdate").alias("open_d"),
+        "close_d",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    open_at = joined.filter(
+        (F.col("open_d") <= AGING_SNAP_DAY) & (F.col("close_d") > AGING_SNAP_DAY)
+    ).select((F.lit(AGING_SNAP_DAY) - F.col("open_d")).alias("age_d"), "cents")
+    bucket = F.when(
+        (F.col("age_d") >= AGING_BUCKETS[0][0])
+        & (F.col("age_d") <= AGING_BUCKETS[0][1]),
+        F.lit(AGING_BUCKETS[0][2]),
+    )
+    for lo, hi, name in AGING_BUCKETS[1:]:
+        bucket = bucket.when(
+            (F.col("age_d") >= lo) & (F.col("age_d") <= hi), F.lit(name)
+        )
+    return (
+        open_at.select(bucket.alias("age_bucket"), "cents")
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("cents").cast("decimal(19,0)"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+def _sql_backlog_aging() -> str:
+    case = " ".join(
+        f"WHEN age_d BETWEEN {lo} AND {hi} THEN '{name}'"
+        for lo, hi, name in AGING_BUCKETS
+    )
+    return f"""
+WITH closes AS (
+  SELECT l_orderkey,
+         MAX(CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) // 86400)
+           AS close_d
+  FROM lineitem GROUP BY 1
+), open_at AS (
+  SELECT {AGING_SNAP_DAY}
+           - CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400
+           AS age_d,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders JOIN closes ON o_orderkey = l_orderkey
+  WHERE CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400
+          <= {AGING_SNAP_DAY}
+    AND close_d > {AGING_SNAP_DAY}
+)
+SELECT CASE {case} END AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(cents AS DECIMAL(19,0))) AS BIGINT) AS value_cents
+FROM open_at
+GROUP BY 1
+ORDER BY age_bucket
+"""
+
+
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
@@ -1828,6 +1915,7 @@ QUERIES = {
     "sla_wilson_ci": q_sla_wilson_ci,
     "top_movers_mom": q_top_movers_mom,
     "orders_backlog_timeline": q_orders_backlog_timeline,
+    "backlog_aging_snapshot": q_backlog_aging_snapshot,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
@@ -1857,6 +1945,7 @@ ORACLE = {
     "sla_wilson_ci": _ORACLE_WILSON,
     "top_movers_mom": _ORACLE_MOVERS,
     "orders_backlog_timeline": _ORACLE_BACKLOG,
+    "backlog_aging_snapshot": _sql_backlog_aging(),
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,

@@ -3457,6 +3457,56 @@ ORDER BY state
     )
 
 
+# ---------------------------------------------------------------------------
+# Day-of-week × hour traffic heatmap
+# ---------------------------------------------------------------------------
+
+_EPOCH_MONDAY_MOD = 4  # 1970-01-01 was a Thursday ⇒ (epoch_day+4) % 7 = 0 on Mondays
+
+
+def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day traffic heatmap: counts and share of
+    total per (dow, hour) cell — the backing table of the canonical
+    activity heatmap every analytics dashboard ships, and the 2-D view
+    whose 1-D marginals are ``events_seasonal_hourly``. Weekday is
+    engine-neutral integer arithmetic ((epoch_day+4) % 7, 0 = Monday —
+    SQL DOW builtins disagree across engines, the holiday-lift lesson).
+
+    Exactness: counts exact, share = one division by the window total.
+    Scale shape: ONE map-side-combinable hash agg to ≤168 cells; the
+    share window runs on the cell frame.
+    """
+    events = load_table(spark, sf_dir, "events")
+    dow = (F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)") + F.lit(4)) % 7
+    hour = F.expr("CAST((unix_timestamp(ts) % 86400) DIV 3600 AS INT)")
+    cells = events.groupBy(
+        dow.cast("int").alias("dow_monday0"), hour.alias("hour_utc")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    total = F.sum("n_events").over(Window.partitionBy()).cast("long")
+    return cells.select(
+        "dow_monday0",
+        "hour_utc",
+        "n_events",
+        (F.col("n_events").cast("double") / total.cast("double")).alias("share"),
+    ).orderBy("dow_monday0", "hour_utc")
+
+
+_ORACLE_DOW_HEATMAP = """
+WITH cells AS (
+  SELECT CAST((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 + 4) % 7
+              AS INTEGER) AS dow_monday0,
+         CAST((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) % 86400) // 3600
+              AS INTEGER) AS hour_utc,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT dow_monday0, hour_utc, n_events,
+       CAST(n_events AS DOUBLE) / CAST(SUM(n_events) OVER () AS DOUBLE) AS share
+FROM cells
+ORDER BY dow_monday0, hour_utc
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -3497,6 +3547,7 @@ QUERIES = {
     "events_engagement_l28": q_events_engagement_l28,
     "events_holiday_lift": q_events_holiday_lift,
     "events_markov_stationary": q_events_markov_stationary,
+    "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
 }
 
 ORACLE = {
@@ -3539,4 +3590,5 @@ ORACLE = {
     "events_engagement_l28": _sql_engagement_l28(),
     "events_holiday_lift": _sql_holiday_lift(),
     "events_markov_stationary": _sql_markov(),
+    "events_dow_hour_heatmap": _ORACLE_DOW_HEATMAP,
 }
