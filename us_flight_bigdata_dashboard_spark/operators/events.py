@@ -2637,15 +2637,22 @@ def q_events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("value"),
         )
     )
+    # Both directions as RUNNING frames (state carried row-by-row, O(n)):
+    # a literal (1, unboundedFollowing) frame with first(ignorenulls) makes
+    # Spark re-scan the remainder of the partition PER ROW — O(n²), measured
+    # wedged at the ×16 scale probe. The "next" observation is instead the
+    # nearest preceding non-null in REVERSE sort order; reversing src too
+    # keeps the boundary rule (an observation AT the mark is only the left
+    # endpoint) bit-for-bit identical to the forward formulation.
     w_back = (
         Window.partitionBy("event_type")
         .orderBy("t", "src", "eid")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_fwd = (
+    w_fwd_rev = (
         Window.partitionBy("event_type")
-        .orderBy("t", "src", "eid")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("t").desc(), F.col("src").desc(), F.col("eid").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     ev_t = F.when(F.col("src") == 0, F.col("t"))
     ev_v = F.when(F.col("src") == 0, F.col("value"))
@@ -2655,8 +2662,8 @@ def q_events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src",
         F.last(ev_t, ignorenulls=True).over(w_back).alias("t0"),
         F.last(ev_v, ignorenulls=True).over(w_back).alias("y0"),
-        F.first(ev_t, ignorenulls=True).over(w_fwd).alias("t1"),
-        F.first(ev_v, ignorenulls=True).over(w_fwd).alias("y1"),
+        F.last(ev_t, ignorenulls=True).over(w_fwd_rev).alias("t1"),
+        F.last(ev_v, ignorenulls=True).over(w_fwd_rev).alias("y1"),
     )
     interp = F.col("y0") + (F.col("y1") - F.col("y0")) * (
         (F.col("t") - F.col("t0")).cast("double")
@@ -2697,13 +2704,13 @@ WITH obs AS (
   SELECT event_type, t, src,
          LAST_VALUE(CASE WHEN src = 0 THEN t END IGNORE NULLS) OVER wb AS t0,
          LAST_VALUE(CASE WHEN src = 0 THEN value END IGNORE NULLS) OVER wb AS y0,
-         FIRST_VALUE(CASE WHEN src = 0 THEN t END IGNORE NULLS) OVER wf AS t1,
-         FIRST_VALUE(CASE WHEN src = 0 THEN value END IGNORE NULLS) OVER wf AS y1
+         LAST_VALUE(CASE WHEN src = 0 THEN t END IGNORE NULLS) OVER wf AS t1,
+         LAST_VALUE(CASE WHEN src = 0 THEN value END IGNORE NULLS) OVER wf AS y1
   FROM u
   WINDOW wb AS (PARTITION BY event_type ORDER BY t, src, eid
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         wf AS (PARTITION BY event_type ORDER BY t, src, eid
-                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+         wf AS (PARTITION BY event_type ORDER BY t DESC, src DESC, eid DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
 SELECT event_type, t // 3600 AS hour_idx,
        y0 + (y1 - y0) * (CAST(t - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
