@@ -171,14 +171,21 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_event_id",
         "click_value",
     )
+    # Forward look-up as a RUNNING frame over the REVERSED sort: the rows
+    # at-or-after the current click in forward order are exactly the frame
+    # (unboundedPreceding, currentRow) under (ts, _side, id) DESC, and
+    # last(ignorenulls) picks the nearest of them. A literal
+    # (currentRow, unboundedFollowing) frame with first(ignorenulls) makes
+    # Spark rescan the frame PER ROW — O(k²) in the partition size, a hot-
+    # user hazard at scale (measured wedged in the ×16 interpolation probe).
     w = (
         Window.partitionBy("user_id")
         .orderBy(
-            F.col("ts").asc(),
-            F.col("_side").asc(),
-            F.coalesce("view_event_id", "click_event_id").asc(),
+            F.col("ts").desc(),
+            F.col("_side").desc(),
+            F.coalesce("view_event_id", "click_event_id").desc(),
         )
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = v.unionByName(c).select(
         "user_id",
@@ -186,9 +193,9 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_side",
         "click_event_id",
         "click_value",
-        F.first("view_event_id", ignorenulls=True).over(w).alias("next_view_event_id"),
-        F.first("view_ts", ignorenulls=True).over(w).alias("next_view_ts"),
-        F.first("view_value", ignorenulls=True).over(w).alias("next_view_value"),
+        F.last("view_event_id", ignorenulls=True).over(w).alias("next_view_event_id"),
+        F.last("view_ts", ignorenulls=True).over(w).alias("next_view_ts"),
+        F.last("view_value", ignorenulls=True).over(w).alias("next_view_value"),
     )
     return merged.filter(F.col("_side") == 0).select(
         "click_event_id",
@@ -227,11 +234,13 @@ FROM clicks c ASOF LEFT JOIN views_d v
 def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest as-of: for every click, the view CLOSEST in time in either
     direction (sensor-fusion / nearest-state alignment). Both directional
-    candidates come from ONE union + ONE sorted partition pass (the
-    backward ``last`` and forward ``first`` windows share the sort);
-    tie policy is explicit — equal distance resolves BACKWARD (and an
-    equal-timestamp view is distance 0 via the backward branch). The gap
-    is integer microseconds, so the comparison and output are exact."""
+    candidates come from ONE union and one shuffle on user_id — two
+    keyed RUNNING-frame passes (ascending for backward, descending for
+    forward: the O(n) shape; a following-frame ``first`` would rescan
+    per row, O(k²) in hot users). Tie policy is explicit — equal
+    distance resolves BACKWARD (and an equal-timestamp view is distance
+    0 via the backward branch). The gap is integer microseconds, so the
+    comparison and output are exact."""
     events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     views = (
         events.filter(F.col("event_type") == "view")
@@ -272,10 +281,17 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward branch as a running frame over the reversed sort (same
+    # frame-set identity as q_asof_join_forward's rewrite — the naive
+    # following-frame version rescans per row, O(k²) in hot users)
     wf = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(
+            F.col("ts").desc(),
+            F.col("_side").desc(),
+            F.coalesce("bwd_event_id", "click_event_id").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = v.unionByName(c).select(
         "user_id",
@@ -284,8 +300,8 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_event_id",
         F.last("bwd_event_id", ignorenulls=True).over(wb).alias("b_id"),
         F.last("view_ts", ignorenulls=True).over(wb).alias("b_ts"),
-        F.first("fwd_event_id", ignorenulls=True).over(wf).alias("f_id"),
-        F.first("view_ts", ignorenulls=True).over(wf).alias("f_ts"),
+        F.last("fwd_event_id", ignorenulls=True).over(wf).alias("f_id"),
+        F.last("view_ts", ignorenulls=True).over(wf).alias("f_ts"),
     )
     b_gap = F.expr("timestampdiff(MICROSECOND, b_ts, ts)")
     f_gap = F.expr("timestampdiff(MICROSECOND, ts, f_ts)")
