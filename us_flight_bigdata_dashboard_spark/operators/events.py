@@ -3514,6 +3514,136 @@ ORDER BY dow_monday0, hour_utc
 """
 
 
+# ---------------------------------------------------------------------------
+# Seasonality-adjusted anomaly detection (profile residual z-score)
+# ---------------------------------------------------------------------------
+
+RESID_Z = 3.0
+
+
+def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-ADJUSTED anomaly screen: flag hours whose count departs
+    from their (event_type, weekday, hour-of-day) profile mean by more
+    than {z}σ of the residual distribution — the alerting rung above
+    ``events_zscore_anomaly`` (raw z-scores fire every rush hour;
+    subtracting the weekly profile leaves only genuinely unusual hours)
+    and the operational use of what ``events_seasonal_strength``
+    measures.
+
+    Determinism: cell counts and profile sums are exact integers on the
+    dense spine (engine-neutral (epoch_day+4)%7 weekday); each residual
+    c − Σ/n is one fixed-shape IEEE expression; the residual σ uses the
+    module-standard decimal-quantized moment sums (scale 6), so the
+    threshold compare is bit-stable. Scale shape: spine-compressed hash
+    aggs ((type,h) → (type,dow,hod) profile → per-type σ) — everything
+    after the first agg is domain-sized; the profile join is a broadcast
+    (≤|types|·168 rows).
+    """.format(z=int(RESID_Z))
+    events = load_table(spark, sf_dir, "events")
+    h = (F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("bigint")
+    counts = events.groupBy("event_type", h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bounds = events.agg(
+        (F.min(F.unix_timestamp(F.col("ts"))) / F.lit(3600)).cast("bigint").alias("lo"),
+        (F.max(F.unix_timestamp(F.col("ts"))) / F.lit(3600)).cast("bigint").alias("hi"),
+    )
+    types = events.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    base = spine.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("c", F.lit(0)).alias("c"),
+        ((F.expr("h DIV 24") + F.lit(4)) % 7).cast("int").alias("dow"),
+        (F.col("h") % 24).cast("int").alias("hod"),
+    )
+    prof = base.groupBy("event_type", "dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.sum("c").cast("long").alias("s_occ"),
+    )
+    with_prof = base.join(F.broadcast(prof), ["event_type", "dow", "hod"])
+    resid = F.col("c").cast("double") - (
+        F.col("s_occ").cast("double") / F.col("n_occ").cast("double")
+    )
+    scored = with_prof.select("event_type", "h", "c", "n_occ", "s_occ",
+                              resid.alias("r"))
+    mom = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("r", scale=6).alias("sr"),
+        dsum(F.col("r") * F.col("r"), scale=6).alias("sr2"),
+    )
+    nd = F.col("n").cast("double")
+    sigma = F.sqrt(
+        (nd * F.col("sr2") - F.col("sr") * F.col("sr")) / (nd * nd)
+    )
+    return (
+        scored.join(F.broadcast(mom.select("event_type", sigma.alias("sigma"))),
+                    "event_type")
+        .filter(F.abs(F.col("r")) > F.lit(RESID_Z) * F.col("sigma"))
+        .select(
+            "event_type",
+            F.col("h").alias("hour_idx"),
+            F.col("c").alias("n_events"),
+            (F.col("s_occ").cast("double") / F.col("n_occ").cast("double")).alias(
+                "expected"
+            ),
+            (F.col("r") / F.col("sigma")).alias("resid_z"),
+        )
+        .orderBy("event_type", "hour_idx")
+    )
+
+
+_ORACLE_SEASONAL_ANOMALY = f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT CAST(floor(MIN(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT) AS lo,
+         CAST(floor(MAX(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT) AS hi
+  FROM events
+), base AS (
+  SELECT s.event_type, s.h, COALESCE(c.c, 0) AS c,
+         CAST((s.h // 24 + 4) % 7 AS INTEGER) AS dow,
+         CAST(s.h % 24 AS INTEGER) AS hod
+  FROM (SELECT t.event_type, unnest(generate_series(lo, hi)) AS h
+        FROM (SELECT DISTINCT event_type FROM events) t, bounds) s
+  LEFT JOIN counts c ON s.event_type = c.event_type AND s.h = c.h
+), prof AS (
+  SELECT event_type, dow, hod,
+         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(SUM(c) AS BIGINT) AS s_occ
+  FROM base GROUP BY 1, 2, 3
+), scored AS (
+  SELECT b.event_type, b.h, b.c, p.n_occ, p.s_occ,
+         CAST(b.c AS DOUBLE)
+           - CAST(p.s_occ AS DOUBLE) / CAST(p.n_occ AS DOUBLE) AS r
+  FROM base b JOIN prof p
+    ON b.event_type = p.event_type AND b.dow = p.dow AND b.hod = p.hod
+), mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_dsum("r", scale=6)} AS sr,
+         {sql_dsum("r * r", scale=6)} AS sr2
+  FROM scored GROUP BY 1
+), st AS (
+  SELECT event_type,
+         SQRT((CAST(n AS DOUBLE) * sr2 - sr * sr)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sigma
+  FROM mom
+)
+SELECT s.event_type, s.h AS hour_idx, s.c AS n_events,
+       CAST(s.s_occ AS DOUBLE) / CAST(s.n_occ AS DOUBLE) AS expected,
+       s.r / t.sigma AS resid_z
+FROM scored s JOIN st t ON s.event_type = t.event_type
+WHERE ABS(s.r) > {float(RESID_Z)!r} * t.sigma
+ORDER BY s.event_type, hour_idx
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -3555,6 +3685,7 @@ QUERIES = {
     "events_holiday_lift": q_events_holiday_lift,
     "events_markov_stationary": q_events_markov_stationary,
     "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
+    "events_seasonal_anomaly": q_events_seasonal_anomaly,
 }
 
 ORACLE = {
@@ -3598,4 +3729,5 @@ ORACLE = {
     "events_holiday_lift": _sql_holiday_lift(),
     "events_markov_stationary": _sql_markov(),
     "events_dow_hour_heatmap": _ORACLE_DOW_HEATMAP,
+    "events_seasonal_anomaly": _ORACLE_SEASONAL_ANOMALY,
 }
