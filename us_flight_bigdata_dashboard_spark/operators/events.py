@@ -3644,6 +3644,107 @@ ORDER BY s.event_type, hour_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Hourly traffic envelope (p10/p50/p90 of daily counts per hour-of-day)
+# ---------------------------------------------------------------------------
+
+
+def q_events_traffic_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic envelope per (event type, hour-of-day): p10/p50/p90 of the
+    ~30 daily observations of that hour's count — the shaded expected
+    band drawn behind every live traffic line chart ("is right now
+    inside the envelope?"), and the empirical-quantile companion to the
+    profile-mean view in ``events_seasonal_anomaly``. Built on the dense
+    spine (a silent 3am IS an observation of 0 — dropping zeros biases
+    the lower band up).
+
+    Exactness: daily counts are exact integers on the spine; the three
+    band edges are RANK PICKS at ceil(q·n) (integer DIV arithmetic, ties
+    broken by day — percentile_disc semantics, real data values, no
+    interpolation). Scale shape: spine hash agg → per-(type,hod) rank
+    windows over ~|days| rows each (24·|types| independent partitions —
+    wide parallelism, tiny frames) → ≤|types|·24 output rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    h = (F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("bigint")
+    counts = events.groupBy("event_type", h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bounds = events.agg(
+        (F.min(F.unix_timestamp(F.col("ts"))) / F.lit(3600)).cast("bigint").alias("lo"),
+        (F.max(F.unix_timestamp(F.col("ts"))) / F.lit(3600)).cast("bigint").alias("hi"),
+    )
+    types = events.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    base = spine.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        F.expr("h DIV 24").alias("day"),
+        (F.col("h") % 24).cast("int").alias("hod"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    w = Window.partitionBy("event_type", "hod").orderBy("c", "day")
+    wn = Window.partitionBy("event_type", "hod")
+    ranked = base.select(
+        "event_type",
+        "hod",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type", "hod")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.max(F.when(F.col("rn") == F.expr("(n + 9) DIV 10"), F.col("c"))).alias(
+                "p10"
+            ),
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("c"))).alias(
+                "p50"
+            ),
+            F.max(
+                F.when(F.col("rn") == F.expr("(9 * n + 9) DIV 10"), F.col("c"))
+            ).alias("p90"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+_ORACLE_ENVELOPE = """
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT CAST(floor(MIN(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT) AS lo,
+         CAST(floor(MAX(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT) AS hi
+  FROM events
+), base AS (
+  SELECT s.event_type, s.h // 24 AS day,
+         CAST(s.h % 24 AS INTEGER) AS hod,
+         COALESCE(c.c, 0) AS c
+  FROM (SELECT t.event_type, unnest(generate_series(lo, hi)) AS h
+        FROM (SELECT DISTINCT event_type FROM events) t, bounds) s
+  LEFT JOIN counts c ON s.event_type = c.event_type AND s.h = c.h
+), ranked AS (
+  SELECT event_type, hod, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hod ORDER BY c, day) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type, hod) AS BIGINT) AS n
+  FROM base
+)
+SELECT event_type, hod,
+       MAX(n) AS n_days,
+       MAX(CASE WHEN rn = (n + 9) // 10 THEN c END) AS p10,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN c END) AS p50,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN c END) AS p90
+FROM ranked
+GROUP BY 1, 2
+ORDER BY event_type, hod
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -3686,6 +3787,7 @@ QUERIES = {
     "events_markov_stationary": q_events_markov_stationary,
     "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
     "events_seasonal_anomaly": q_events_seasonal_anomaly,
+    "events_traffic_envelope": q_events_traffic_envelope,
 }
 
 ORACLE = {
@@ -3730,4 +3832,5 @@ ORACLE = {
     "events_markov_stationary": _sql_markov(),
     "events_dow_hour_heatmap": _ORACLE_DOW_HEATMAP,
     "events_seasonal_anomaly": _ORACLE_SEASONAL_ANOMALY,
+    "events_traffic_envelope": _ORACLE_ENVELOPE,
 }
