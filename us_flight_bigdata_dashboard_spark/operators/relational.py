@@ -561,6 +561,64 @@ def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SCAN_CSV_ROUNDTRIP = _ORACLE_SCAN_ORC_ROUNDTRIP
 
 
+def q_scan_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text ingest under the exact gate — the mainframe/COBOL
+    interchange layout still common in finance/government feeds (and the
+    one format with NO delimiter to trust): each record is a 37-byte
+    line [orderkey 12][lineno 2][shipdate 10][price-cents 12][flag 1],
+    zero-padded numerics. Rendered with pure column expressions
+    (lpad/concat), written via the text sink, read back with
+    ``spark.read.text`` + positional substring parsing — schema-on-read
+    where the SCHEMA IS THE BYTE LAYOUT. The digest gate proves every
+    value survives render→parse bit-exactly (cents are integers, so the
+    text layer is lossless by construction).
+
+    Scale shape: render and parse are whole-stage-codegen column
+    expressions over a line-splittable text format — identical
+    parallelism to the CSV path; no Python anywhere.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    cache = getattr(q_scan_fixedwidth_roundtrip, "_staged", None)
+    if cache is None:
+        cache = q_scan_fixedwidth_roundtrip._staged = {}
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in cache.values()]
+        )
+    if sf_dir not in cache:
+        out = tempfile.mkdtemp(prefix="fixedwidth_roundtrip_")
+        li = load_table(spark, sf_dir, "lineitem")
+        line = F.concat(
+            F.lpad(F.col("l_orderkey").cast("string"), 12, "0"),
+            F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
+            F.col("l_shipdate").cast("date").cast("string"),
+            F.lpad(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").cast("string"),
+                12,
+                "0",
+            ),
+            F.col("l_returnflag"),
+        )
+        li.select(line.alias("value")).write.mode("overwrite").text(out)
+        cache[sf_dir] = out
+    raw = spark.read.text(cache[sf_dir])
+    parsed = raw.select(
+        F.substring("value", 1, 12).cast("bigint").alias("l_orderkey"),
+        F.substring("value", 13, 2).cast("bigint").alias("l_linenumber"),
+        F.substring("value", 15, 10).cast("date").alias("ship_date"),
+        (F.substring("value", 25, 12).cast("bigint").cast("double") / F.lit(100.0)).alias(
+            "price"
+        ),
+        F.substring("value", 37, 1).alias("l_returnflag"),
+    )
+    return _rt_digest(parsed)
+
+
+_ORACLE_SCAN_FIXEDWIDTH = _ORACLE_SCAN_ORC_ROUNDTRIP
+
+
 # ---------------------------------------------------------------------------
 # P9: conjunctive IN-list filter (the app's shared filter masks)
 # ---------------------------------------------------------------------------
@@ -1503,6 +1561,7 @@ QUERIES = {
     "scan_jsonl_roundtrip": q_scan_jsonl_roundtrip,
     "scan_jsonl_gzip_roundtrip": q_scan_jsonl_gzip_roundtrip,
     "scan_csv_roundtrip": q_scan_csv_roundtrip,
+    "scan_fixedwidth_roundtrip": q_scan_fixedwidth_roundtrip,
     "filter_in_conj": q_filter_in_conj,
     "null_impute_indicator": q_null_impute_indicator,
     "time_normalization": q_time_normalization,
@@ -1540,6 +1599,7 @@ ORACLE = {
     "scan_jsonl_roundtrip": _ORACLE_SCAN_JSONL_ROUNDTRIP,
     "scan_jsonl_gzip_roundtrip": _ORACLE_SCAN_JSONL_GZIP_ROUNDTRIP,
     "scan_csv_roundtrip": _ORACLE_SCAN_CSV_ROUNDTRIP,
+    "scan_fixedwidth_roundtrip": _ORACLE_SCAN_FIXEDWIDTH,
     "filter_in_conj": _ORACLE_FILTER_IN_CONJ,
     "null_impute_indicator": _ORACLE_NULL_IMPUTE_INDICATOR,
     "time_normalization": _ORACLE_TIME_NORMALIZATION,
