@@ -1384,6 +1384,106 @@ ORDER BY degree
 """
 
 
+# ---------------------------------------------------------------------------
+# Rich-club coefficient (hub interconnection density)
+# ---------------------------------------------------------------------------
+
+RICH_CLUB_KS = [2, 4, 8]
+
+
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for k ∈ {ks}:
+    among parts with co-purchase degree > k, how densely do they connect
+    to EACH OTHER (Zhou & Mondragón 2004)? φ rising with k = an
+    interconnected hub elite (popular parts co-sell as a clique — bundle
+    them); flat/falling = hubs serve disjoint niches. Completes the
+    hub-structure triptych with ``graph_assortativity`` (one number) and
+    ``graph_avg_neighbor_degree`` (the curve).
+
+    Exactness: degrees, club sizes N_k, and intra-club edge counts E_k
+    are exact integers; φ is ONE division per k row. Scale shape: degree
+    hash agg, then per k a semi-join of the edge list against the club
+    membership on BOTH endpoints (key-local; the k grid is a literal) —
+    never an all-pairs product; the φ arithmetic runs on ≤|ks| rows.
+    """.format(ks=RICH_CLUB_KS)
+    e = _copurchase_edges(spark, sf_dir)
+    edges = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    deg = (
+        edges.select(F.col("src").alias("n")).unionAll(
+            edges.select(F.col("dst").alias("n"))
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for k in RICH_CLUB_KS:
+        club = deg.filter(F.col("deg") > k).select("n")
+        nk = club.agg(F.count(F.lit(1)).cast("long").alias("n_club"))
+        ek = (
+            edges.join(club.withColumnRenamed("n", "src"), "src", "left_semi")
+            .join(club.withColumnRenamed("n", "dst"), "dst", "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("e_club"))
+        )
+        outs.append(
+            nk.crossJoin(ek).select(
+                F.lit(k).alias("k"),
+                "n_club",
+                "e_club",
+                F.when(
+                    F.col("n_club") >= 2,
+                    (F.lit(2.0) * F.col("e_club").cast("double"))
+                    / (
+                        F.col("n_club").cast("double")
+                        * (F.col("n_club").cast("double") - F.lit(1.0))
+                    ),
+                ).alias("phi"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("k")
+
+
+def _sql_rich_club() -> str:
+    per_k = " UNION ALL ".join(
+        f"""
+SELECT {k} AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE deg > {k}) AS n_club,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM und e
+         WHERE e.p1 IN (SELECT n FROM deg WHERE deg > {k})
+           AND e.p2 IN (SELECT n FROM deg WHERE deg > {k})) AS e_club"""
+        for k in RICH_CLUB_KS
+    )
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+capped AS (
+  SELECT o, p FROM (
+    SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS np FROM op
+  ) WHERE np <= {PARTS_PER_ORDER_CAP}
+),
+und AS MATERIALIZED (
+  SELECT a.p AS p1, b.p AS p2
+  FROM capped a JOIN capped b ON a.o = b.o
+  WHERE a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COSUPPORT}
+),
+deg AS MATERIALIZED (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT p1 AS n FROM und UNION ALL SELECT p2 FROM und
+  ) GROUP BY 1
+),
+per_k AS ({per_k})
+SELECT k, n_club, e_club,
+       CASE WHEN n_club >= 2
+            THEN (2.0 * CAST(e_club AS DOUBLE))
+                 / (CAST(n_club AS DOUBLE) * (CAST(n_club AS DOUBLE) - 1.0))
+       END AS phi
+FROM per_k
+ORDER BY k
+"""
+
+
 QUERIES = {
     "graph_communities": q_graph_communities,
     "graph_supplier_similarity": q_graph_supplier_similarity,
@@ -1398,6 +1498,7 @@ QUERIES = {
     "graph_assortativity": q_graph_assortativity,
     "graph_kcore": q_graph_kcore,
     "graph_avg_neighbor_degree": q_graph_avg_neighbor_degree,
+    "graph_rich_club": q_graph_rich_club,
 }
 
 ORACLE = {
@@ -1414,4 +1515,5 @@ ORACLE = {
     "graph_assortativity": _ORACLE_ASSORTATIVITY,
     "graph_kcore": _sql_kcore(),
     "graph_avg_neighbor_degree": _ORACLE_KNN_CURVE,
+    "graph_rich_club": _sql_rich_club(),
 }
