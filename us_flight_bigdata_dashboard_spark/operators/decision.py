@@ -1908,6 +1908,105 @@ ORDER BY age_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Customer segment migration matrix (tercile transitions year over year)
+# ---------------------------------------------------------------------------
+
+MIG_YEAR_FROM, MIG_YEAR_TO = 1995, 1996
+
+
+def q_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment migration {y0}→{y1}: every customer's
+    revenue TERCILE each year (T1 low / T2 / T3 high, NONE = inactive),
+    cross-tabulated — the churn/upgrade/downgrade matrix behind customer-
+    success dashboards (the dynamic counterpart of the static
+    ``customer_rfm_segments``: RFM says where customers ARE, migration
+    says where they are GOING, incl. in/out of the NONE state).
+
+    Exactness: yearly revenue is integer cents; tercile assignment is
+    pure integer rank arithmetic seg = ((rn−1)·3) DIV n + 1 over the
+    (revenue, custkey) total order — balanced cuts, no float quantiles —
+    and the matrix is exact counts. Scale shape: per-year hash agg +
+    ONE rank sort over active customers each year, a full outer join on
+    custkey against the customer dim (key-local), and a ≤16-group agg.
+    """.format(y0=MIG_YEAR_FROM, y1=MIG_YEAR_TO)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def seg_year(year: int, alias: str) -> DataFrame:
+        rev = (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                .cast("long")
+                .alias("rev")
+            )
+        )
+        w = Window.orderBy("rev", "o_custkey")
+        wn = Window.partitionBy()
+        ranked = rev.select(
+            "o_custkey",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        )
+        return ranked.select(
+            F.col("o_custkey").alias("k"),
+            F.concat(F.lit("T"), F.expr("((rn - 1) * 3) DIV n + 1")).alias(alias),
+        )
+
+    a = seg_year(MIG_YEAR_FROM, "seg_from")
+    b = seg_year(MIG_YEAR_TO, "seg_to")
+    joined = (
+        cust.join(a, cust.c_custkey == a.k, "left")
+        .join(b, cust.c_custkey == b.k, "left")
+        .select(
+            F.coalesce("seg_from", F.lit("NONE")).alias("seg_from"),
+            F.coalesce("seg_to", F.lit("NONE")).alias("seg_to"),
+        )
+    )
+    return (
+        joined.groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("seg_from", "seg_to")
+    )
+
+
+_ORACLE_MIGRATION = f"""
+WITH seg_a AS (
+  SELECT o_custkey AS k,
+         'T' || CAST(((ROW_NUMBER() OVER (ORDER BY rev, o_custkey) - 1) * 3) // n + 1
+                     AS VARCHAR) AS seg_from
+  FROM (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM orders WHERE YEAR(o_orderdate) = {MIG_YEAR_FROM}
+    GROUP BY 1
+  )
+), seg_b AS (
+  SELECT o_custkey AS k,
+         'T' || CAST(((ROW_NUMBER() OVER (ORDER BY rev, o_custkey) - 1) * 3) // n + 1
+                     AS VARCHAR) AS seg_to
+  FROM (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM orders WHERE YEAR(o_orderdate) = {MIG_YEAR_TO}
+    GROUP BY 1
+  )
+)
+SELECT COALESCE(seg_from, 'NONE') AS seg_from,
+       COALESCE(seg_to, 'NONE') AS seg_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+LEFT JOIN seg_a ON c_custkey = seg_a.k
+LEFT JOIN seg_b ON c_custkey = seg_b.k
+GROUP BY 1, 2
+ORDER BY seg_from, seg_to
+"""
+
+
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
@@ -1916,6 +2015,7 @@ QUERIES = {
     "top_movers_mom": q_top_movers_mom,
     "orders_backlog_timeline": q_orders_backlog_timeline,
     "backlog_aging_snapshot": q_backlog_aging_snapshot,
+    "customer_migration_matrix": q_customer_migration_matrix,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
@@ -1946,6 +2046,7 @@ ORACLE = {
     "top_movers_mom": _ORACLE_MOVERS,
     "orders_backlog_timeline": _ORACLE_BACKLOG,
     "backlog_aging_snapshot": _sql_backlog_aging(),
+    "customer_migration_matrix": _ORACLE_MIGRATION,
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
