@@ -1401,10 +1401,13 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graph_avg_neighbor_degree`` (the curve).
 
     Exactness: degrees, club sizes N_k, and intra-club edge counts E_k
-    are exact integers; φ is ONE division per k row. Scale shape: degree
-    hash agg, then per k a semi-join of the edge list against the club
-    membership on BOTH endpoints (key-local; the k grid is a literal) —
-    never an all-pairs product; the φ arithmetic runs on ≤|ks| rows.
+    are exact integers; φ is ONE division per k row. Scale shape: ONE
+    endpoint-degree join pass (shared shape with
+    ``q_graph_avg_neighbor_degree``) collapses the graph to two tiny
+    histograms — per-edge min endpoint degree and per-node degree — and
+    EVERY k reads them with a conditional sum: adding grid points is
+    free, and nothing per-k ever touches the edge list (the first cut
+    ran a semi-join pair per k: 12 exchanges vs 6 in the plan audit).
     """.format(ks=RICH_CLUB_KS)
     e = _copurchase_edges(spark, sf_dir)
     edges = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
@@ -1416,33 +1419,56 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .localCheckpoint(eager=True)
     )
-    outs = []
-    for k in RICH_CLUB_KS:
-        club = deg.filter(F.col("deg") > k).select("n")
-        nk = club.agg(F.count(F.lit(1)).cast("long").alias("n_club"))
-        ek = (
-            edges.join(club.withColumnRenamed("n", "src"), "src", "left_semi")
-            .join(club.withColumnRenamed("n", "dst"), "dst", "left_semi")
-            .agg(F.count(F.lit(1)).cast("long").alias("e_club"))
+    # Histogram form: ONE endpoint-degree join pass (the knn-curve join)
+    # collapses the graph to two tiny histograms — per-edge min endpoint
+    # degree, per-node degree — and every k in the grid reads them with a
+    # conditional sum. The first version ran a semi-join PAIR PER k (12
+    # exchanges in the plan audit); this shape is 6 and adding grid points
+    # is free.
+    d_src = deg.select(F.col("n").alias("u"), F.col("deg").alias("ku"))
+    d_dst = deg.select(F.col("n").alias("v"), F.col("deg").alias("kv"))
+    edge_hist = (
+        edges.join(d_src, edges.src == d_src.u)
+        .join(d_dst, edges.dst == d_dst.v)
+        .select(F.least("ku", "kv").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    deg_hist = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    grid = F.explode(
+        F.array(*[F.lit(k) for k in RICH_CLUB_KS])
+    ).alias("k")
+    nk = (
+        deg_hist.select(grid, "deg", "cnt")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("deg") > F.col("k"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_club")
         )
-        outs.append(
-            nk.crossJoin(ek).select(
-                F.lit(k).alias("k"),
-                "n_club",
-                "e_club",
-                F.when(
-                    F.col("n_club") >= 2,
-                    (F.lit(2.0) * F.col("e_club").cast("double"))
-                    / (
-                        F.col("n_club").cast("double")
-                        * (F.col("n_club").cast("double") - F.lit(1.0))
-                    ),
-                ).alias("phi"),
-            )
+    )
+    ek = (
+        edge_hist.select(grid, "m", "cnt")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("m") > F.col("k"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("e_club")
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
+    )
+    out = nk.join(ek, "k").select(
+        "k",
+        "n_club",
+        "e_club",
+        F.when(
+            F.col("n_club") >= 2,
+            (F.lit(2.0) * F.col("e_club").cast("double"))
+            / (
+                F.col("n_club").cast("double")
+                * (F.col("n_club").cast("double") - F.lit(1.0))
+            ),
+        ).alias("phi"),
+    )
     return out.orderBy("k")
 
 
