@@ -2007,6 +2007,78 @@ ORDER BY seg_from, seg_to
 """
 
 
+# ---------------------------------------------------------------------------
+# Hierarchical share-of-parent rollup (region → nation)
+# ---------------------------------------------------------------------------
+
+
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent at every level of the geography hierarchy: each
+    nation's share of its region's revenue AND each region's share of
+    global revenue, in one result — the % column every drill-down BI
+    tree shows next to the value (and the piece plain GROUP BY ROLLUP
+    doesn't give you: ROLLUP emits the parent totals, not the ratios).
+
+    Exactness: all revenue is integer cents; each share is ONE division
+    of exact integers (window sums over the ≤|nation| aggregate frame).
+    Scale shape: one fact-side hash agg to nation grain, then window
+    sums over the 25-row frame — parents never rescan the fact table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    region_total = F.sum("revenue_cents").over(w_region).cast("long")
+    global_total = F.sum("revenue_cents").over(w_all).cast("long")
+    return nat.select(
+        "r_name",
+        "n_name",
+        "revenue_cents",
+        (F.col("revenue_cents").cast("double") / region_total.cast("double")).alias(
+            "share_of_region"
+        ),
+        (region_total.cast("double") / global_total.cast("double")).alias(
+            "region_share_of_global"
+        ),
+    ).orderBy("r_name", "n_name")
+
+
+_ORACLE_SHARE_OF_PARENT = """
+WITH nat AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, revenue_cents,
+       CAST(revenue_cents AS DOUBLE)
+         / CAST(CAST(SUM(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT)
+                AS DOUBLE) AS share_of_region,
+       CAST(CAST(SUM(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(revenue_cents) OVER () AS BIGINT) AS DOUBLE)
+         AS region_share_of_global
+FROM nat
+ORDER BY r_name, n_name
+"""
+
+
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
@@ -2016,6 +2088,7 @@ QUERIES = {
     "orders_backlog_timeline": q_orders_backlog_timeline,
     "backlog_aging_snapshot": q_backlog_aging_snapshot,
     "customer_migration_matrix": q_customer_migration_matrix,
+    "share_of_parent": q_share_of_parent,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
@@ -2047,6 +2120,7 @@ ORACLE = {
     "orders_backlog_timeline": _ORACLE_BACKLOG,
     "backlog_aging_snapshot": _sql_backlog_aging(),
     "customer_migration_matrix": _ORACLE_MIGRATION,
+    "share_of_parent": _ORACLE_SHARE_OF_PARENT,
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
