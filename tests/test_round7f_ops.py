@@ -153,3 +153,24 @@ def test_fixedwidth_roundtrip_digest_rows(spark, tmp_path_factory):
     assert out["n_rows"] == 3
     # digests are data-dependent; the invariant here is non-degeneracy
     assert out["h_price"] != out["h_orderkey"]
+
+
+def test_histogram_quantile_error_bound(spark):
+    """On real sf0.001 data the sketch estimate must sit within its own
+    shipped error bound of the EXACT quantile (duckdb quantile_disc)."""
+    import duckdb
+
+    from us_flight_bigdata_dashboard_spark.operators.sketches import (
+        HISTQ_QS,
+        q_sketch_histogram_quantile,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["quantile"]: r for r in q_sketch_histogram_quantile(spark, sf).collect()}
+    con = duckdb.connect()
+    for q in HISTQ_QS:
+        exact = con.sql(
+            f"SELECT quantile_disc(o_totalprice, {q}) FROM '{sf}/orders.parquet'"
+        ).fetchone()[0]
+        r = rows[q]
+        assert abs(r["estimate"] - exact) <= r["error_bound"] + 1e-9

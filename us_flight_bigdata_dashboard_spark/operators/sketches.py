@@ -259,12 +259,126 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch (deterministic, mergeable)
+# ---------------------------------------------------------------------------
+
+HISTQ_W = 256                 # buckets; error bound = range / W
+HISTQ_QS = [0.5, 0.95]        # quantiles to estimate
+
+
+def q_sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a {w}-bucket equi-width histogram sketch
+    of order value — the third mergeable sketch beside Count-Min and the
+    HLL registers, and the DETERMINISTIC counterpart of
+    ``approx_percentile`` (KLL is engine-specific and RNG-free only in
+    implementation; bucket counts are exact integers that merge by
+    addition, so the same sketch built on any partitioning or engine
+    gives bit-identical estimates — this entry sits in the EXACT gate,
+    no bounds needed). The a-priori error bound (range/{w}) ships in the
+    result; tests assert |estimate − exact quantile| ≤ bound.
+
+    Scale shape: one min/max/count agg, ONE map-side-combinable hash agg
+    to ≤{w} cells (the sketch IS the aggregate — sketch-sized shuffles at
+    any data size, the CMS property), cumulative + rank-pick arithmetic
+    on the {w}-row frame.
+    """.format(w=HISTQ_W)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    base = orders.select("o_totalprice").crossJoin(F.broadcast(stats))
+    b = F.least(
+        F.lit(HISTQ_W - 1),
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            * HISTQ_W
+            / (F.col("mx") - F.col("mn"))
+        ),
+    ).cast("int")
+    hist = base.groupBy(b.alias("b"), "mn", "mx", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "b",
+        "mn",
+        "mx",
+        "n",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("c_le"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in HISTQ_QS])).alias("q")
+    picks = (
+        cum.select(qs, "b", "mn", "mx", "n", "cnt", "c_le")
+        .withColumn("r", F.ceil(F.col("q") * F.col("n").cast("double")).cast("long"))
+        .filter(
+            (F.col("c_le") >= F.col("r"))
+            & (F.col("c_le") - F.col("cnt") < F.col("r"))
+        )
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(HISTQ_W))
+    est = F.col("mn") + (
+        F.col("b").cast("double")
+        + (F.col("r") - (F.col("c_le") - F.col("cnt"))).cast("double")
+        / F.col("cnt").cast("double")
+    ) * width
+    return picks.select(
+        F.col("q").alias("quantile"),
+        F.col("n").alias("n_rows"),
+        F.col("b").alias("bucket_idx"),
+        est.alias("estimate"),
+        width.alias("error_bound"),
+    ).orderBy("quantile")
+
+
+def _sql_histq() -> str:
+    qs = ", ".join(f"CAST('{q!r}' AS DOUBLE)" for q in HISTQ_QS)
+    return f"""
+WITH stats AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders
+), hist AS (
+  SELECT LEAST({HISTQ_W - 1},
+               CAST(FLOOR((o_totalprice - mn) * {HISTQ_W} / (mx - mn)) AS BIGINT))
+           AS b,
+         mn, mx, n, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders, stats
+  GROUP BY 1, 2, 3, 4
+), cum AS (
+  SELECT b, mn, mx, n, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_le
+  FROM hist
+), picks AS (
+  SELECT q, b, mn, mx, n, cnt, c_le,
+         CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT) AS r
+  FROM cum, (SELECT unnest([{qs}]) AS q)
+)
+SELECT q AS quantile, n AS n_rows, CAST(b AS INTEGER) AS bucket_idx,
+       mn + (CAST(b AS DOUBLE)
+             + CAST(r - (c_le - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))
+            * ((mx - mn) / {float(HISTQ_W)}) AS estimate,
+       (mx - mn) / {float(HISTQ_W)} AS error_bound
+FROM picks
+WHERE c_le >= r AND c_le - cnt < r
+ORDER BY quantile
+"""
+
+
 QUERIES = {
     "sketch_cms_freq": q_sketch_cms_freq,
     "sketch_hll_registers": q_sketch_hll_registers,
+    "sketch_histogram_quantile": q_sketch_histogram_quantile,
 }
 
 ORACLE = {
     "sketch_cms_freq": _sql_cms(),
     "sketch_hll_registers": _sql_hll(),
+    "sketch_histogram_quantile": _sql_histq(),
 }
