@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from us_flight_bigdata_dashboard_spark.functions.exact import dsum, sql_dsum
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 N_MINHASH = 16
@@ -295,6 +296,163 @@ FROM bands a JOIN bands b USING (band_idx, bucket)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator evaluation (estimated vs exact Jaccard on candidates)
+# ---------------------------------------------------------------------------
+
+MINHASH_EVAL_TAU = 0.5
+
+
+def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation of the MinHash estimator itself: for
+    every LSH candidate pair, the 16-hash Jaccard ESTIMATE (matching
+    minhash fraction) against the EXACT shingle Jaccard, summarized as a
+    confusion matrix at τ={tau} plus the mean absolute estimation error —
+    the ``ann_recall_eval`` of the dedup family (an estimator you haven't
+    measured is a rumor; this makes the 16-hash accuracy a gated number).
+    Scope is the candidate set by construction — LSH-missed pairs are a
+    RECALL question (``dedup_threshold_sweep``), not an estimator one.
+
+    Determinism: the estimate is an exact rational (match count / 16),
+    exact Jaccard is exact integers, threshold compares are on exact
+    values, and MAE uses the decimal-quantized sum. Scale shape: the
+    estimate join touches only the |candidates| × 16-column signature
+    frame; the exact-Jaccard stage explodes shingles ONLY for docs that
+    appear in a candidate pair (semi-join pushdown) — eval-sized, never
+    corpus-quadratic.
+    """.format(tau=MINHASH_EVAL_TAU)
+    sh = _shingles_df(spark, sf_dir)
+    x = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit(
+        P_MOD
+    )
+    hashed = sh.select("doc_id", "shingle", x.alias("x"))
+    minhashes = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(P_MOD)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_affine_params())
+        ]
+    ).localCheckpoint(eager=True)
+    cand = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    mh_a = minhashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    mh_b = minhashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    match_cnt = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_MINHASH)
+    )
+    est = cand.join(mh_a, "doc_a").join(mh_b, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (match_cnt.cast("double") / F.lit(float(N_MINHASH))).alias("est_j"),
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi").localCheckpoint(eager=True)
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a_side = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_side = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a_side.join(b_side, "shingle")
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    exact = (
+        cand.join(common, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.coalesce("n_common", F.lit(0))
+                ).cast("double")
+            ).alias("exact_j"),
+        )
+    )
+    scored = est.join(exact, ["doc_a", "doc_b"])
+    tau = F.lit(MINHASH_EVAL_TAU)
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(((F.col("est_j") >= tau) & (F.col("exact_j") >= tau)).cast("long"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(((F.col("est_j") >= tau) & (F.col("exact_j") < tau)).cast("long"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(((F.col("est_j") < tau) & (F.col("exact_j") >= tau)).cast("long"))
+        .cast("long")
+        .alias("fn"),
+        F.sum(((F.col("est_j") < tau) & (F.col("exact_j") < tau)).cast("long"))
+        .cast("long")
+        .alias("tn"),
+        (
+            dsum(F.abs(F.col("est_j") - F.col("exact_j")), scale=6)
+            / F.count(F.lit(1))
+        ).alias("mae"),
+    )
+
+
+def _sql_minhash_eval() -> str:
+    match_terms = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+    )
+    return f"""
+WITH {_sql_lsh_cte_block()},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, bucket)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(({match_terms}) AS DOUBLE) / {float(N_MINHASH)} AS est_j
+  FROM cand c
+  JOIN minhashes a ON c.doc_a = a.doc_id
+  JOIN minhashes b ON c.doc_b = b.doc_id
+),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shingles GROUP BY 1
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM shingles a
+  JOIN shingles b ON a.shingle = b.shingle
+  JOIN cand c2 ON a.doc_id = c2.doc_a AND b.doc_id = c2.doc_b
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b, e.est_j,
+         CAST(COALESCE(m.n_common, 0) AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - COALESCE(m.n_common, 0) AS DOUBLE) AS exact_j
+  FROM cand c
+  JOIN est e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+  LEFT JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN est_j >= {MINHASH_EVAL_TAU} AND exact_j >= {MINHASH_EVAL_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN est_j >= {MINHASH_EVAL_TAU} AND exact_j < {MINHASH_EVAL_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN est_j < {MINHASH_EVAL_TAU} AND exact_j >= {MINHASH_EVAL_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN est_j < {MINHASH_EVAL_TAU} AND exact_j < {MINHASH_EVAL_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       ({sql_dsum("ABS(est_j - exact_j)", scale=6)} / COUNT(*)) AS mae
+FROM scored
+"""
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -1577,6 +1735,7 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "fuzzy_damerau_linkage": q_fuzzy_damerau_linkage,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+    "dedup_minhash_eval": q_dedup_minhash_eval,
 }
 
 ORACLE = {
@@ -1597,4 +1756,5 @@ ORACLE = {
     "dedup_containment": _sql_containment(),
     "fuzzy_damerau_linkage": _ORACLE_DAMERAU,
     "dedup_sorted_neighborhood": _ORACLE_SNM,
+    "dedup_minhash_eval": _sql_minhash_eval(),
 }
