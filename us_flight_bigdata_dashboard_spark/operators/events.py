@@ -3745,6 +3745,133 @@ ORDER BY event_type, hod
 """
 
 
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+USHAPE_FIRST, USHAPE_LAST = 0.4, 0.4  # 40/20/40 position weighting
+
+
+def q_events_attribution_ushaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution:
+    within each purchase's lookback window the FIRST touch earns 40%,
+    the LAST 40%, middles split the remaining 20% — the third member of
+    the attribution ladder (last-touch ``events_attribution`` rewards
+    closers, ``events_attribution_linear`` is positionless; U-shape is
+    the standard compromise crediting discovery AND closing). Degenerate
+    journeys keep total mass exactly 1: a single touch takes 100%, a
+    two-touch journey splits 50/50.
+
+    Determinism: touch position is a total-order rank ((t_ts, t_id)
+    within purchase); weights are folded literals or ONE division
+    (0.2/(k−2)); credit = value·w is fixed-shape IEEE; sums are
+    decimal-quantized. Plan: same single user-keyed interval join as the
+    linear entry, plus a per-purchase rank window on the already-
+    materialized pair list — no second pass over events.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touch = events.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    before = (F.col("t_ts") < F.col("p_ts")) | (
+        (F.col("t_ts") == F.col("p_ts")) & (F.col("t_id") < F.col("p_id"))
+    )
+    pairs = purch.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & before
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {LINEAR_LOOKBACK_HOURS} HOURS")
+        ),
+    )
+    w_pos = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    w_n = Window.partitionBy("p_id")
+    ranked = pairs.select(
+        "p_id",
+        "channel",
+        "value",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("k"),
+    )
+    weight = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when((F.col("k") == 2) & (F.col("pos") == 1), F.lit(0.5))
+        .when((F.col("k") == 2) & (F.col("pos") == 2), F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(USHAPE_FIRST))
+        .when(F.col("pos") == F.col("k"), F.lit(USHAPE_LAST))
+        .otherwise(
+            F.lit(1.0 - USHAPE_FIRST - USHAPE_LAST)
+            / (F.col("k") - F.lit(2)).cast("double")
+        )
+    )
+    credited = (
+        ranked.withColumn("credit", F.col("value") * weight)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            dsum("credit", scale=8).alias("attributed_value"),
+        )
+    )
+    direct = (
+        purch.join(pairs.select("p_id").distinct(), "p_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            dsum("value", scale=8).alias("attributed_value"),
+        )
+        .select(F.lit("direct").alias("channel"), "n_credits", "attributed_value")
+    )
+    return credited.unionByName(direct).orderBy("channel")
+
+
+_ORACLE_ATTRIBUTION_USHAPED = f"""
+WITH purch AS (
+  SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts, value
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS t_user, event_id AS t_id, CAST(ts AS TIMESTAMP) AS t_ts,
+         event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+), pairs AS (
+  SELECT p_id, channel, value,
+         ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS pos,
+         CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS k
+  FROM purch JOIN touch
+    ON user_id = t_user
+   AND (t_ts < p_ts OR (t_ts = p_ts AND t_id < p_id))
+   AND t_ts >= p_ts - INTERVAL {LINEAR_LOOKBACK_HOURS} HOUR
+), weighted AS (
+  SELECT channel,
+         value * (CASE
+           WHEN k = 1 THEN 1.0
+           WHEN k = 2 THEN 0.5
+           WHEN pos = 1 THEN {USHAPE_FIRST}
+           WHEN pos = k THEN {USHAPE_LAST}
+           ELSE CAST('{1.0 - USHAPE_FIRST - USHAPE_LAST!r}' AS DOUBLE) / CAST(k - 2 AS DOUBLE)
+         END) AS credit
+  FROM pairs
+), credited AS (
+  SELECT channel, COUNT(*) AS n_credits,
+         {sql_dsum("credit", scale=8)} AS attributed_value
+  FROM weighted GROUP BY channel
+), direct AS (
+  SELECT 'direct' AS channel, COUNT(*) AS n_credits,
+         {sql_dsum("value", scale=8)} AS attributed_value
+  FROM purch WHERE p_id NOT IN (SELECT p_id FROM pairs)
+)
+SELECT * FROM credited UNION ALL SELECT * FROM direct ORDER BY channel
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -3788,6 +3915,7 @@ QUERIES = {
     "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
     "events_seasonal_anomaly": q_events_seasonal_anomaly,
     "events_traffic_envelope": q_events_traffic_envelope,
+    "events_attribution_ushaped": q_events_attribution_ushaped,
 }
 
 ORACLE = {
@@ -3833,4 +3961,5 @@ ORACLE = {
     "events_dow_hour_heatmap": _ORACLE_DOW_HEATMAP,
     "events_seasonal_anomaly": _ORACLE_SEASONAL_ANOMALY,
     "events_traffic_envelope": _ORACLE_ENVELOPE,
+    "events_attribution_ushaped": _ORACLE_ATTRIBUTION_USHAPED,
 }
