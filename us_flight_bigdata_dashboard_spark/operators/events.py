@@ -3872,6 +3872,169 @@ SELECT * FROM credited UNION ALL SELECT * FROM direct ORDER BY channel
 """
 
 
+# ---------------------------------------------------------------------------
+# Bot screening rule ensemble (per-user behavioral features)
+# ---------------------------------------------------------------------------
+
+BOT_MIN_EVENTS = 20           # rules only fire with enough evidence
+# Thresholds sit at the ~p99 tail of THIS corpus's per-user feature
+# distributions (measured: rate p50≈0.095/h p99≈0.12, dominance p50≈0.26
+# p99≈0.344, burstiness p50≈-0.014 p01≈-0.123) — the synthetic users are
+# organic, so a production-grade 30/h style floor would fire on nothing;
+# screening thresholds are ALWAYS corpus-calibrated percentile picks, and
+# the machinery (features → ordered reason codes) is what this entry gates.
+BOT_RATE_PER_HOUR = 0.118     # sustained event rate threshold (~p99)
+BOT_DOMINANT_SHARE = 0.335    # single-event-type obsession threshold (~p99)
+BOT_REGULARITY_B = -0.122     # unusually clock-like inter-arrival pattern
+
+
+def q_user_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation screening: per-user behavioral features — event
+    rate, dominant-type share, inter-arrival burstiness — fed through an
+    ordered rule ensemble with reason codes, the same auditable design
+    as the Gopher-style ``quality_filter_rules`` (a score without
+    reasons can't be appealed or debugged; ops teams act on WHICH rule
+    fired). Rules: sustained rate > {r}/h, one event type > {d:.0%} of
+    activity, clock-like regularity (burstiness < {b}); all gated on
+    ≥ {m} events so thin accounts can't trip them.
+
+    Determinism: every feature reduces to exact integers (counts, epoch
+    seconds, gap moments — the ``events_burstiness`` machinery per user)
+    followed by fixed-shape IEEE ratios against folded literals; the
+    reason string is an ordered concat of flag codes. Scale shape: one
+    per-user sort window for gaps, then ONE map-side-combinable hash agg
+    per user carrying all moments; output is flagged users only.
+    """.format(r=BOT_RATE_PER_HOUR, d=BOT_DOMINANT_SHARE,
+               b=BOT_REGULARITY_B, m=BOT_MIN_EVENTS)
+    events = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = events.select(
+        "user_id",
+        "event_type",
+        sec.alias("s"),
+        (sec - F.unix_timestamp(F.lag("ts").over(w))).alias("g"),
+    )
+    # dominant-type share via a tiny (user,type) rollup → max share
+    per_ut = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("long").alias("dom_c"))
+    )
+    gaps = base.filter(F.col("g").isNotNull()).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("g").cast("decimal(18,0)")).alias("sg"),
+        F.sum(
+            F.col("g").cast("decimal(18,0)") * F.col("g").cast("decimal(18,0)")
+        ).alias("sg2"),
+    )
+    feats = (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.max(sec) - F.min(sec)).cast("long").alias("span_s"),
+        )
+        .join(per_ut, "user_id")
+        .join(gaps, "user_id", "left")
+    )
+    nd = F.col("n_gaps").cast("double")
+    sgd, sg2d = F.col("sg").cast("double"), F.col("sg2").cast("double")
+    mu = sgd / nd
+    sigma = F.sqrt((nd * sg2d - sgd * sgd) / (nd * nd))
+    burst = (sigma - mu) / (sigma + mu)
+    rate = F.col("n_events").cast("double") / (
+        F.col("span_s").cast("double") / F.lit(3600.0)
+    )
+    dom = F.col("dom_c").cast("double") / F.col("n_events").cast("double")
+    enough = F.col("n_events") >= BOT_MIN_EVENTS
+    f_rate = enough & (F.col("span_s") > 0) & (rate > F.lit(BOT_RATE_PER_HOUR))
+    f_dom = enough & (dom > F.lit(BOT_DOMINANT_SHARE))
+    f_reg = (
+        enough
+        & F.col("n_gaps").isNotNull()
+        & (sigma + mu > F.lit(0.0))
+        & (burst < F.lit(BOT_REGULARITY_B))
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(f_rate, F.lit("RATE")),
+        F.when(f_dom, F.lit("DOMINANT_TYPE")),
+        F.when(f_reg, F.lit("CLOCKWORK")),
+    )
+    return (
+        feats.select(
+            "user_id",
+            "n_events",
+            "span_s",
+            dom.alias("dominant_share"),
+            reasons.alias("reasons"),
+        )
+        .filter(F.col("reasons") != "")
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_BOT_SCREEN = f"""
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+           - LAG(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events
+), per_ut AS (
+  SELECT user_id, CAST(MAX(c) AS BIGINT) AS dom_c FROM (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+  ) GROUP BY 1
+), gaps AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         SUM(CAST(g AS DECIMAL(18,0))) AS sg,
+         SUM(CAST(g AS DECIMAL(18,0)) * CAST(g AS DECIMAL(18,0))) AS sg2
+  FROM base WHERE g IS NOT NULL GROUP BY 1
+), feats AS (
+  SELECT b.user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(s) - MIN(s) AS BIGINT) AS span_s
+  FROM base b GROUP BY 1
+), scored AS (
+  SELECT f.user_id, f.n_events, f.span_s,
+         CAST(u.dom_c AS DOUBLE) / CAST(f.n_events AS DOUBLE) AS dominant_share,
+         (f.n_events >= {BOT_MIN_EVENTS}) AS enough,
+         CAST(f.n_events AS DOUBLE) / (CAST(f.span_s AS DOUBLE) / 3600.0) AS rate,
+         g.n_gaps,
+         CAST(g.sg AS DOUBLE) / CAST(g.n_gaps AS DOUBLE) AS mu,
+         SQRT((CAST(g.n_gaps AS DOUBLE) * CAST(g.sg2 AS DOUBLE)
+                 - CAST(g.sg AS DOUBLE) * CAST(g.sg AS DOUBLE))
+              / (CAST(g.n_gaps AS DOUBLE) * CAST(g.n_gaps AS DOUBLE))) AS sigma
+  FROM feats f
+  JOIN per_ut u ON f.user_id = u.user_id
+  LEFT JOIN gaps g ON f.user_id = g.user_id
+)
+SELECT user_id, n_events, span_s, dominant_share,
+       concat_ws(',',
+         CASE WHEN enough AND span_s > 0
+                   AND rate > {float(BOT_RATE_PER_HOUR)!r} THEN 'RATE' END,
+         CASE WHEN enough AND dominant_share > {BOT_DOMINANT_SHARE!r}
+              THEN 'DOMINANT_TYPE' END,
+         CASE WHEN enough AND n_gaps IS NOT NULL AND sigma + mu > 0.0
+                   AND (sigma - mu) / (sigma + mu) < CAST('{BOT_REGULARITY_B!r}' AS DOUBLE)
+              THEN 'CLOCKWORK' END) AS reasons
+FROM scored
+WHERE concat_ws(',',
+         CASE WHEN enough AND span_s > 0
+                   AND rate > {float(BOT_RATE_PER_HOUR)!r} THEN 'RATE' END,
+         CASE WHEN enough AND dominant_share > {BOT_DOMINANT_SHARE!r}
+              THEN 'DOMINANT_TYPE' END,
+         CASE WHEN enough AND n_gaps IS NOT NULL AND sigma + mu > 0.0
+                   AND (sigma - mu) / (sigma + mu) < CAST('{BOT_REGULARITY_B!r}' AS DOUBLE)
+              THEN 'CLOCKWORK' END) <> ''
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -3916,6 +4079,7 @@ QUERIES = {
     "events_seasonal_anomaly": q_events_seasonal_anomaly,
     "events_traffic_envelope": q_events_traffic_envelope,
     "events_attribution_ushaped": q_events_attribution_ushaped,
+    "user_bot_screen": q_user_bot_screen,
 }
 
 ORACLE = {
@@ -3962,4 +4126,5 @@ ORACLE = {
     "events_seasonal_anomaly": _ORACLE_SEASONAL_ANOMALY,
     "events_traffic_envelope": _ORACLE_ENVELOPE,
     "events_attribution_ushaped": _ORACLE_ATTRIBUTION_USHAPED,
+    "user_bot_screen": _ORACLE_BOT_SCREEN,
 }
