@@ -507,6 +507,99 @@ ORDER BY version
 """.format(PRICE_BUMP=PRICE_BUMP)
 
 
+# ---------------------------------------------------------------------------
+# SCD2 interval-integrity audit (gaps / overlaps / tiling)
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity audit of the SCD2 dimension that ``q_scd2_point_in_time``
+    trusts: per business key the half-open validity intervals must TILE —
+    consecutive versions meet exactly (no gap: a fact timestamp falls
+    into nothing; no overlap: it resolves twice), exactly one open
+    current version. Completes the SCD2 triangle (build → consume →
+    audit); in a lakehouse nothing enforces this DDL-style, so the audit
+    IS the constraint. Output: one row per version-count class with key
+    counts and violation totals (all-zero violations = the contract; the
+    per-class layout keeps the row set data-dependent rather than a
+    constant, so the gate still checks real values).
+
+    Scale shape: one keyed window pass (lead over the version order — the
+    same shuffle the build itself uses) then a two-level rollup; nothing
+    data-sized after the window.
+    """
+    from pyspark.sql import Window
+
+    hist = q_scd2_history(spark, sf_dir)
+    w = Window.partitionBy("o_orderkey").orderBy("valid_from")
+    checked = hist.select(
+        "o_orderkey",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        F.lead("valid_from").over(w).alias("next_from"),
+    )
+    per_key = checked.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum(
+            (
+                F.col("next_from").isNotNull()
+                & (F.col("valid_to") != F.col("next_from"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_tiling_breaks"),
+        F.sum(F.col("is_current").cast("long")).cast("long").alias("n_open"),
+    )
+    return (
+        per_key.groupBy("n_versions")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n_tiling_breaks").cast("long").alias("tiling_breaks"),
+            F.sum((F.col("n_open") != 1).cast("long"))
+            .cast("long")
+            .alias("open_version_violations"),
+        )
+        .orderBy("n_versions")
+    )
+
+
+_ORACLE_SCD2_AUDIT = f"""
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderdate AS valid_from FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + {PRICE_BUMP}, o_orderdate + INTERVAL 30 DAY
+  FROM orders WHERE o_orderkey % 7 = 0
+), hist AS (
+  SELECT o_orderkey, valid_from,
+         LEAD(valid_from) OVER w AS valid_to,
+         CAST(LEAD(valid_from) OVER w IS NULL AS INTEGER) AS is_current
+  FROM changes
+  WINDOW w AS (PARTITION BY o_orderkey ORDER BY valid_from ASC)
+), checked AS (
+  SELECT o_orderkey, valid_from, valid_to, is_current,
+         LEAD(valid_from) OVER (PARTITION BY o_orderkey ORDER BY valid_from)
+           AS next_from
+  FROM hist
+), per_key AS (
+  SELECT o_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_versions,
+         CAST(SUM(CASE WHEN next_from IS NOT NULL AND valid_to <> next_from
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_tiling_breaks,
+         CAST(SUM(is_current) AS BIGINT) AS n_open
+  FROM checked GROUP BY 1
+)
+SELECT n_versions,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n_tiling_breaks) AS BIGINT) AS tiling_breaks,
+       CAST(SUM(CASE WHEN n_open <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS open_version_violations
+FROM per_key
+GROUP BY 1
+ORDER BY n_versions
+"""
+
+
 QUERIES = {
     "merge_upsert": q_merge_upsert,
     "mv_incremental": q_mv_incremental,
@@ -515,6 +608,7 @@ QUERIES = {
     "takedown_propagation": q_takedown_propagation,
     "deletion_vector_scan": q_deletion_vector_scan,
     "scd2_point_in_time": q_scd2_point_in_time,
+    "scd2_interval_audit": q_scd2_interval_audit,
 }
 
 ORACLE = {
@@ -525,4 +619,5 @@ ORACLE = {
     "takedown_propagation": _sql_takedown(),
     "deletion_vector_scan": _sql_deletion_vector(),
     "scd2_point_in_time": _ORACLE_SCD2_PIT,
+    "scd2_interval_audit": _ORACLE_SCD2_AUDIT,
 }
