@@ -2079,6 +2079,86 @@ ORDER BY r_name, n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Single-source supply risk (sole-supplier parts per brand)
+# ---------------------------------------------------------------------------
+
+
+def q_single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration risk: parts observed from EXACTLY ONE
+    supplier, rolled up per brand with the at-risk revenue share — the
+    procurement audit behind every "dual-source the A-items" program
+    (``market_concentration_hhi`` measures concentration among suppliers;
+    this flags where substitution is impossible at any price).
+
+    Exactness: supplier counts are exact distincts, revenue is integer
+    cents, shares are one division each. Scale shape: (part → distinct
+    suppliers) and (part → revenue cents) are two map-side-combinable
+    hash aggs on l_partkey; the brand rollup joins them to the broadcast
+    part dim — nothing fact-sized shuffles twice.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    branded = per_part.join(F.broadcast(part), per_part.l_partkey == part.p_partkey)
+    agg = branded.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum((F.col("n_suppliers") == 1).cast("long"))
+        .cast("long")
+        .alias("n_single_source"),
+        F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        F.sum(F.when(F.col("n_suppliers") == 1, F.col("revenue_cents")).otherwise(0))
+        .cast("long")
+        .alias("at_risk_cents"),
+    )
+    return agg.select(
+        "p_brand",
+        "n_parts",
+        "n_single_source",
+        (
+            F.col("n_single_source").cast("double") / F.col("n_parts").cast("double")
+        ).alias("single_source_share"),
+        "at_risk_cents",
+        (
+            F.col("at_risk_cents").cast("double") / F.col("revenue_cents").cast("double")
+        ).alias("at_risk_revenue_share"),
+    ).orderBy("p_brand")
+
+
+_ORACLE_SINGLE_SOURCE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM lineitem GROUP BY 1
+), agg AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_single_source,
+         CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+         CAST(SUM(CASE WHEN n_suppliers = 1 THEN revenue_cents ELSE 0 END) AS BIGINT)
+           AS at_risk_cents
+  FROM per_part JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n_parts, n_single_source,
+       CAST(n_single_source AS DOUBLE) / CAST(n_parts AS DOUBLE)
+         AS single_source_share,
+       at_risk_cents,
+       CAST(at_risk_cents AS DOUBLE) / CAST(revenue_cents AS DOUBLE)
+         AS at_risk_revenue_share
+FROM agg
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
@@ -2089,6 +2169,7 @@ QUERIES = {
     "backlog_aging_snapshot": q_backlog_aging_snapshot,
     "customer_migration_matrix": q_customer_migration_matrix,
     "share_of_parent": q_share_of_parent,
+    "single_source_parts": q_single_source_parts,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
@@ -2121,6 +2202,7 @@ ORACLE = {
     "backlog_aging_snapshot": _sql_backlog_aging(),
     "customer_migration_matrix": _ORACLE_MIGRATION,
     "share_of_parent": _ORACLE_SHARE_OF_PARENT,
+    "single_source_parts": _ORACLE_SINGLE_SOURCE,
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
