@@ -2159,6 +2159,102 @@ ORDER BY p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# XYZ demand-variability classification (integer-exact CV classes)
+# ---------------------------------------------------------------------------
+
+
+def q_xyz_demand_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ analysis — the demand-variability axis that pairs with ABC's
+    value axis (``abc_pareto_class``): per part, the coefficient of
+    variation of MONTHLY demand over the dense month spine (zero months
+    are real demand signal), classed X (CV<0.5, steady — forecastable),
+    Y (CV<1), Z (CV≥1, erratic — safety-stock territory), NO_DEMAND;
+    rolled up per brand. Inventory planners read the ABC×XYZ grid.
+
+    The classification is INTEGER-EXACT — no CV is ever computed as a
+    float: CV² = n·Σq²/(Σq)² − 1, so CV < c is the cross-multiplied
+    integer comparison (e.g. X ⇔ 4·n·Σq² < 5·(Σq)²) on exact DECIMAL
+    products. Nothing to round, nothing engine-ordered.
+
+    Scale shape: one (part, month) hash agg, a part×month spine join to
+    zero-fill (spine is |parts|·|months| — domain-sized), one moment agg
+    per part, broadcast brand rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty = F.round(F.col("l_quantity"), 0).cast("bigint")
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("ym"),
+    ).agg(F.sum(qty).cast("long").alias("q"))
+    months = li.select(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("ym")
+    ).distinct()
+    spine = part.select(F.col("p_partkey").alias("pk")).crossJoin(
+        F.broadcast(months)
+    )
+    dense = spine.join(monthly, ["pk", "ym"], "left").select(
+        "pk", F.coalesce("q", F.lit(0)).alias("q")
+    )
+    dec = lambda c, w: F.col(c).cast(f"decimal({w},0)")
+    m = dense.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("q").cast("decimal(18,0)")).alias("sq"),
+        F.sum(
+            F.col("q").cast("decimal(18,0)") * F.col("q").cast("decimal(18,0)")
+        ).alias("sq2"),
+    )
+    lhs = dec("n", 6) * F.col("sq2")  # n·Σq²  (DECIMAL exact)
+    rhs = F.col("sq") * F.col("sq")  # (Σq)²
+    cls = (
+        F.when(F.col("sq") == 0, F.lit("NO_DEMAND"))
+        .when(lhs * 4 < rhs * 5, F.lit("X"))
+        .when(lhs < rhs * 2, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+    )
+    return (
+        m.select("pk", cls.alias("xyz_class"))
+        .join(F.broadcast(part), F.col("pk") == part.p_partkey)
+        .groupBy("p_brand", "xyz_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy("p_brand", "xyz_class")
+    )
+
+
+_ORACLE_XYZ = """
+WITH monthly AS (
+  SELECT l_partkey AS pk,
+         YEAR(l_shipdate) * 12 + MONTH(l_shipdate) AS ym,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), months AS (
+  SELECT DISTINCT YEAR(l_shipdate) * 12 + MONTH(l_shipdate) AS ym FROM lineitem
+), dense AS (
+  SELECT p.p_partkey AS pk, COALESCE(m.q, 0) AS q
+  FROM part p CROSS JOIN months mo
+  LEFT JOIN monthly m ON p.p_partkey = m.pk AND mo.ym = m.ym
+), mom AS (
+  SELECT pk,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(q AS DECIMAL(18,0))) AS sq,
+         SUM(CAST(q AS DECIMAL(18,0)) * CAST(q AS DECIMAL(18,0))) AS sq2
+  FROM dense GROUP BY 1
+), classed AS (
+  SELECT pk,
+         CASE WHEN sq = 0 THEN 'NO_DEMAND'
+              WHEN CAST(n AS DECIMAL(6,0)) * sq2 * 4 < sq * sq * 5 THEN 'X'
+              WHEN CAST(n AS DECIMAL(6,0)) * sq2 < sq * sq * 2 THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM mom
+)
+SELECT p_brand, xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM classed JOIN part ON pk = p_partkey
+GROUP BY 1, 2
+ORDER BY p_brand, xyz_class
+"""
+
+
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
@@ -2170,6 +2266,7 @@ QUERIES = {
     "customer_migration_matrix": q_customer_migration_matrix,
     "share_of_parent": q_share_of_parent,
     "single_source_parts": q_single_source_parts,
+    "xyz_demand_class": q_xyz_demand_class,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
@@ -2203,6 +2300,7 @@ ORACLE = {
     "customer_migration_matrix": _ORACLE_MIGRATION,
     "share_of_parent": _ORACLE_SHARE_OF_PARENT,
     "single_source_parts": _ORACLE_SINGLE_SOURCE,
+    "xyz_demand_class": _ORACLE_XYZ,
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
