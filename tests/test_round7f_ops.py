@@ -174,3 +174,80 @@ def test_histogram_quantile_error_bound(spark):
         ).fetchone()[0]
         r = rows[q]
         assert abs(r["estimate"] - exact) <= r["error_bound"] + 1e-9
+
+
+def test_scd2_interval_audit_contract(spark, tmp_path_factory):
+    """On any orders fixture the derived SCD2 history must tile perfectly:
+    zero tiling breaks, exactly one open version per key, and version
+    counts match the ≡0 (mod 7) re-price rule."""
+    from us_flight_bigdata_dashboard_spark.operators.mutation import (
+        q_scd2_interval_audit,
+    )
+
+    root = str(tmp_path_factory.mktemp("r7f_scd2a"))
+    orders = [
+        (k, 1, "O", 100.0 + k, "1995-01-0%d" % ((k % 9) + 1), "P")
+        for k in range(1, 15)
+    ]
+    _write(spark, root, "orders", orders, ORDERS_SCHEMA, ts_cols=("o_orderdate",))
+    out = {r["n_versions"]: r for r in q_scd2_interval_audit(spark, root).collect()}
+    assert out[1]["n_keys"] == 12  # keys 1..14 except 7 and 14
+    assert out[2]["n_keys"] == 2   # keys 7 and 14 re-price
+    for r in out.values():
+        assert r["tiling_breaks"] == 0
+        assert r["open_version_violations"] == 0
+
+
+def test_single_source_planted(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        q_single_source_parts,
+    )
+
+    root = str(tmp_path_factory.mktemp("r7f_ss"))
+    _write(
+        spark,
+        root,
+        "part",
+        [(1, "P1", "BRAND#1", "t", 1, 1.0), (2, "P2", "BRAND#1", "t", 1, 1.0)],
+        "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    # part 1: two suppliers; part 2: one supplier (at risk), revenue 30
+    li = [
+        (1, 1, 10, 1, 1.0, 50.0, 0.0, 0.0, "A", "O", "1995-01-01"),
+        (2, 1, 20, 1, 1.0, 20.0, 0.0, 0.0, "A", "O", "1995-01-01"),
+        (3, 2, 10, 1, 1.0, 30.0, 0.0, 0.0, "A", "O", "1995-01-01"),
+    ]
+    _write(spark, root, "lineitem", li, LINEITEM_SCHEMA)
+    out = q_single_source_parts(spark, root).collect()[0]
+    assert out["n_parts"] == 2 and out["n_single_source"] == 1
+    assert out["at_risk_cents"] == 3000
+    assert out["at_risk_revenue_share"] == pytest.approx(3000 / 10000, abs=0)
+
+
+def test_xyz_classes_planted(spark, tmp_path_factory):
+    """Steady part (same qty every month) → X; spiky part (all demand in
+    one of 4 months) → Z (CV = sqrt(3) ≥ 1); no-demand part → NO_DEMAND."""
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        q_xyz_demand_class,
+    )
+
+    root = str(tmp_path_factory.mktemp("r7f_xyz"))
+    _write(
+        spark,
+        root,
+        "part",
+        [(p, f"P{p}", "BRAND#1", "t", 1, 1.0) for p in (1, 2, 3)],
+        "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    li, k = [], 0
+    for m in range(1, 5):  # months Jan..Apr
+        k += 1  # part 1: qty 10 every month → CV 0 → X
+        li.append((k, 1, 1, 1, 10.0, 1.0, 0.0, 0.0, "A", "O", f"1995-{m:02d}-10"))
+    k += 1  # part 2: qty 40 in one month only → CV sqrt(3) → Z
+    li.append((k, 2, 1, 1, 40.0, 1.0, 0.0, 0.0, "A", "O", "1995-02-10"))
+    _write(spark, root, "lineitem", li, LINEITEM_SCHEMA, ts_cols=("l_shipdate",))
+    out = {(r["p_brand"], r["xyz_class"]): r["n_parts"]
+           for r in q_xyz_demand_class(spark, root).collect()}
+    assert out[("BRAND#1", "X")] == 1
+    assert out[("BRAND#1", "Z")] == 1
+    assert out[("BRAND#1", "NO_DEMAND")] == 1
