@@ -2255,6 +2255,78 @@ ORDER BY p_brand, xyz_class
 """
 
 
+# ---------------------------------------------------------------------------
+# New vs returning revenue split (growth accounting)
+# ---------------------------------------------------------------------------
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into NEW (customer's first-ever order lands
+    in this month) vs RETURNING — growth accounting's first cut: the
+    same top-line month can be healthy acquisition or pure base milking,
+    and this split is how you tell (the revenue-side complement of
+    ``events_cohort_retention``'s user-count view).
+
+    Exactness: first-order attribution is a per-customer MIN over order
+    (date, key) — a total order, deterministic under ties — revenue is
+    integer cents, shares one division. Scale shape: one per-customer
+    min hash agg joined back key-local, then a month rollup; the window
+    total runs on the ≤|months| frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.struct("o_orderdate", "o_orderkey")).alias("f")
+    ).select("o_custkey", F.col("f.o_orderkey").alias("first_key"))
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    tagged = orders.join(first, "o_custkey").select(
+        ym.alias("ym"),
+        F.when(F.col("o_orderkey") == F.col("first_key"), F.lit("new"))
+        .otherwise(F.lit("returning"))
+        .alias("segment"),
+        cents.alias("cents"),
+    )
+    agg = tagged.groupBy("ym", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("cents").cast("decimal(19,0)")).cast("long").alias("revenue_cents"),
+    )
+    month_total = F.sum("revenue_cents").over(Window.partitionBy("ym")).cast("long")
+    return agg.select(
+        "ym",
+        "segment",
+        "n_orders",
+        "revenue_cents",
+        (F.col("revenue_cents").cast("double") / month_total.cast("double")).alias(
+            "share_of_month"
+        ),
+    ).orderBy("ym", "segment")
+
+
+_ORACLE_NEW_VS_RETURNING = """
+WITH first_o AS (
+  SELECT o_custkey,
+         MIN(ROW(o_orderdate, o_orderkey)) AS f
+  FROM orders GROUP BY 1
+), tagged AS (
+  SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INTEGER) AS ym,
+         CASE WHEN o_orderkey = f.f[2] THEN 'new' ELSE 'returning' END AS segment,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders JOIN first_o f USING (o_custkey)
+), agg AS (
+  SELECT ym, segment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(cents AS DECIMAL(19,0))) AS BIGINT) AS revenue_cents
+  FROM tagged GROUP BY 1, 2
+)
+SELECT ym, segment, n_orders, revenue_cents,
+       CAST(revenue_cents AS DOUBLE)
+         / CAST(CAST(SUM(revenue_cents) OVER (PARTITION BY ym) AS BIGINT) AS DOUBLE)
+         AS share_of_month
+FROM agg
+ORDER BY ym, segment
+"""
+
+
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
@@ -2267,6 +2339,7 @@ QUERIES = {
     "share_of_parent": q_share_of_parent,
     "single_source_parts": q_single_source_parts,
     "xyz_demand_class": q_xyz_demand_class,
+    "new_vs_returning": q_new_vs_returning,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
@@ -2301,6 +2374,7 @@ ORACLE = {
     "share_of_parent": _ORACLE_SHARE_OF_PARENT,
     "single_source_parts": _ORACLE_SINGLE_SOURCE,
     "xyz_demand_class": _ORACLE_XYZ,
+    "new_vs_returning": _ORACLE_NEW_VS_RETURNING,
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
