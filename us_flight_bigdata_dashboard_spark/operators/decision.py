@@ -2327,6 +2327,79 @@ ORDER BY ym, segment
 """
 
 
+# ---------------------------------------------------------------------------
+# Reorder-interval distribution (repeat-purchase cadence)
+# ---------------------------------------------------------------------------
+
+
+def q_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between a
+    customer's consecutive orders, summarized as exact p25/p50/p75 —
+    THE replenishment number behind reorder reminders, churn clocks
+    ("3× the median gap with no order = at risk"), and inventory cycles
+    (the order-side twin of ``events_time_to_convert``'s event-side
+    latency percentiles).
+
+    Exactness: gaps are integer epoch-day differences over the
+    per-customer (date, key) total order; the quartiles are RANK PICKS
+    at ceil(q·n) with DIV arithmetic — real data values. Scale shape:
+    one customer-keyed sort window for the lag, one global rank window
+    over the gap multiset (the ``global_rank_bucketed`` escape applies
+    at real scale); output is ONE row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey", day.alias("d"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (F.col("d") - F.lag("d").over(w)).alias("gap_d"),
+        )
+        .filter(F.col("gap_d").isNotNull())
+    )
+    wr = Window.orderBy("gap_d", "o_custkey", "o_orderkey")
+    ranked = gaps.select(
+        "gap_d",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_gaps"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("gap_d"))).alias(
+            "p25_days"
+        ),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("gap_d"))).alias(
+            "p50_days"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) DIV 4"), F.col("gap_d"))
+        ).alias("p75_days"),
+    )
+
+
+_ORACLE_REORDER = """
+WITH gaps AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400
+           - LAG(CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_d
+  FROM orders
+), ranked AS (
+  SELECT gap_d,
+         ROW_NUMBER() OVER (ORDER BY gap_d, o_custkey, o_orderkey) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM gaps WHERE gap_d IS NOT NULL
+)
+SELECT MAX(n) AS n_gaps,
+       MAX(CASE WHEN rn = (n + 3) // 4 THEN gap_d END) AS p25_days,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_d END) AS p50_days,
+       MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN gap_d END) AS p75_days
+FROM ranked
+"""
+
+
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
@@ -2340,6 +2413,7 @@ QUERIES = {
     "single_source_parts": q_single_source_parts,
     "xyz_demand_class": q_xyz_demand_class,
     "new_vs_returning": q_new_vs_returning,
+    "reorder_interval": q_reorder_interval,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
@@ -2375,6 +2449,7 @@ ORACLE = {
     "single_source_parts": _ORACLE_SINGLE_SOURCE,
     "xyz_demand_class": _ORACLE_XYZ,
     "new_vs_returning": _ORACLE_NEW_VS_RETURNING,
+    "reorder_interval": _ORACLE_REORDER,
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
