@@ -2400,6 +2400,85 @@ FROM ranked
 """
 
 
+# ---------------------------------------------------------------------------
+# 4-4-5 fiscal calendar rollup (retail/NRF-style periods)
+# ---------------------------------------------------------------------------
+
+FISCAL_EPOCH_DAY = 8768   # 1994-01-03, a Monday before the data range
+FISCAL_YEAR_BASE = 1994
+# cumulative week cut of each 4-4-5 period within the 52-week year
+_F445_CUTS = [4, 8, 13, 17, 21, 26, 30, 34, 39, 43, 47, 52]
+
+
+def q_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by 4-4-5 FISCAL period — the retail/NRF calendar where
+    every period is a whole number of weeks (4-4-5 per quarter), so
+    period-over-period comparisons hold weekday mix constant (a calendar
+    month mixes 4 and 5 weekends; this is why retailers don't report on
+    months). Weeks count from a fixed Monday epoch; 52-week fiscal years
+    (the real calendar's occasional 53rd week is a restatement policy,
+    not arithmetic — documented out of scope).
+
+    Engine-neutral by construction: fiscal week/year/period are pure
+    integer day arithmetic against folded literals ((day−epoch) DIV 7,
+    DIV 52, cumulative-cut CASE) — no engine week/DOW function is
+    trusted anywhere (the holiday-lift lesson). Revenue exact cents.
+    Scale shape: the mapping is a per-row expression inside the scan;
+    ONE hash agg to ≤|years|·12 cells.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)")
+    fw = ((day - F.lit(FISCAL_EPOCH_DAY)) / F.lit(7)).cast("bigint")
+    fy = (F.lit(FISCAL_YEAR_BASE) + (F.col("fw") / F.lit(52)).cast("bigint")).cast(
+        "int"
+    )
+    woy = (F.col("fw") % 52).cast("int")
+    period = F.when(F.col("woy") < _F445_CUTS[0], 1)
+    for i, cut in enumerate(_F445_CUTS[1:], start=2):
+        period = period.when(F.col("woy") < cut, i)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    base = orders.select(fw.alias("fw"), cents.alias("cents")).select(
+        "cents", "fw", fy.alias("fiscal_year"), woy.alias("woy")
+    )
+    return (
+        base.select("cents", "fiscal_year", period.alias("fiscal_period"))
+        .groupBy("fiscal_year", "fiscal_period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("cents").cast("decimal(19,0)"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("fiscal_year", "fiscal_period")
+    )
+
+
+def _sql_fiscal_445() -> str:
+    case = " ".join(
+        f"WHEN woy < {cut} THEN {i}" for i, cut in enumerate(_F445_CUTS, start=1)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         (CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400
+            - {FISCAL_EPOCH_DAY}) // 7 AS fw
+  FROM orders
+), mapped AS (
+  SELECT cents,
+         CAST({FISCAL_YEAR_BASE} + fw // 52 AS INTEGER) AS fiscal_year,
+         CAST(fw % 52 AS INTEGER) AS woy
+  FROM base
+)
+SELECT fiscal_year,
+       CASE {case} END AS fiscal_period,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(cents AS DECIMAL(19,0))) AS BIGINT) AS revenue_cents
+FROM mapped
+GROUP BY 1, 2
+ORDER BY fiscal_year, fiscal_period
+"""
+
+
 QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
@@ -2414,6 +2493,7 @@ QUERIES = {
     "xyz_demand_class": q_xyz_demand_class,
     "new_vs_returning": q_new_vs_returning,
     "reorder_interval": q_reorder_interval,
+    "fiscal_445_rollup": q_fiscal_445_rollup,
     "supplier_scorecard": q_supplier_scorecard,
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
@@ -2450,6 +2530,7 @@ ORACLE = {
     "xyz_demand_class": _ORACLE_XYZ,
     "new_vs_returning": _ORACLE_NEW_VS_RETURNING,
     "reorder_interval": _ORACLE_REORDER,
+    "fiscal_445_rollup": _sql_fiscal_445(),
     "supplier_scorecard": _ORACLE_SUPPLIER_SCORECARD,
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
