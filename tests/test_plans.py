@@ -366,3 +366,23 @@ def test_events_ewma_single_shuffle(spark):
 
     df = q_events_ewma(spark, SF_DIR)
     assert count_exchanges(df) <= 1, plan_str(df)
+
+
+def test_no_unbounded_following_frames_in_lookups(spark):
+    """Guard for the round-7 O(n²) find: Spark executes a
+    (x, unboundedFollowing) frame by rescanning the remainder of the
+    partition PER ROW, so forward lookups must stay rewritten as
+    REVERSED running frames. A regression reintroducing the following
+    frame keeps results identical but wedges at scale — this pins the
+    plan, not the values."""
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        q_events_interpolate_linear,
+    )
+    from us_flight_bigdata_dashboard_spark.operators.temporal import (
+        q_asof_join_forward,
+        q_asof_join_nearest,
+    )
+
+    for fn in (q_events_interpolate_linear, q_asof_join_forward, q_asof_join_nearest):
+        plan = plan_str(fn(spark, SF_DIR))
+        assert "unboundedfollowing" not in plan.lower(), fn.__name__
