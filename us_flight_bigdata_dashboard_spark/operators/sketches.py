@@ -371,14 +371,127 @@ ORDER BY quantile
 """
 
 
+# ---------------------------------------------------------------------------
+# HLL sketch MERGE (union cardinality from per-group registers)
+# ---------------------------------------------------------------------------
+
+HLL_UNION_A, HLL_UNION_B = "1-URGENT", "2-HIGH"
+
+
+def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability PROOF for the register HLL: the union cardinality
+    of two customer populations ('{a}' ∪ '{b}') estimated by MERGING the
+    two groups' register vectors (per-register MAX — the one-line
+    operation that makes HLL the distributed distinct-count sketch:
+    shards/segments/days sketch independently, the union is free), gated
+    beside the exact distinct of the union. ``sketch_hll_registers``
+    gates the estimator; this entry gates the ALGEBRA — a wrong merge
+    (e.g. summing registers) shifts union_est and fails the hash.
+
+    Same integer determinism as the base entry: ranks via length(bin()),
+    harmonic sum carried as exact Σ2^(50−M_j), one final division.
+    Scale shape: per-group register build is a (group, reg) MAX hash agg
+    (map-side combinable — the agg IS the sketch merge); the union merge
+    is a MAX over a ≤2·m-row frame.
+    """.format(a=HLL_UNION_A, b=HLL_UNION_B)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(HLL_UNION_A, HLL_UNION_B)
+    )
+    x = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    hashed = orders.select(
+        "o_orderpriority",
+        (x % F.lit(HLL_M)).alias("reg"),
+        F.shiftright(x, 8).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+        F.lit(HLL_REST_BITS + 1) - F.length(F.bin(F.col("rest")))
+    )
+    regs = (
+        hashed.select("o_orderpriority", "reg", rho.alias("rho"))
+        .groupBy("o_orderpriority", "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    merged = regs.groupBy("reg").agg(F.max("m_j").alias("m_j"))
+    grid = orders.sparkSession.range(HLL_M).select(F.col("id").alias("reg"))
+    full = grid.join(merged, "reg", "left").select(
+        "reg", F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j")
+    )
+    est = full.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m_j AS INT))")).alias(
+            "int_sum"
+        ),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("zero_regs"),
+    )
+    exact = orders.agg(F.countDistinct("o_custkey").cast("long").alias("exact_union"))
+    raw = F.lit(HLL_SCALE) / F.col("int_sum").cast("double")
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_union",
+        raw.alias("union_est"),
+        (
+            (raw - F.col("exact_union").cast("double"))
+            / F.col("exact_union").cast("double")
+            * F.lit(100.0)
+        ).alias("rel_err_pct"),
+        "zero_regs",
+    )
+
+
+def _sql_hll_union() -> str:
+    x = _sql_hex_to_int("md5(CAST(o_custkey AS VARCHAR))", 1, 12)
+    return f"""
+WITH filtered AS (
+  SELECT * FROM orders
+  WHERE o_orderpriority IN ('{HLL_UNION_A}', '{HLL_UNION_B}')
+), hashed AS (
+  SELECT o_orderpriority,
+         {x} % {HLL_M} AS reg,
+         {x} // {HLL_M} AS rest
+  FROM filtered
+), rho AS (
+  SELECT o_orderpriority, reg,
+         CASE WHEN rest = 0 THEN {HLL_REST_BITS + 1}
+              ELSE {HLL_REST_BITS + 1} - length(bin(rest))
+         END AS rho
+  FROM hashed
+), regs AS (
+  SELECT o_orderpriority, reg, MAX(rho) AS m_j FROM rho GROUP BY 1, 2
+), merged AS (
+  SELECT reg, MAX(m_j) AS m_j FROM regs GROUP BY 1
+), full_regs AS (
+  SELECT g.reg, COALESCE(m.m_j, 0) AS m_j
+  FROM (SELECT UNNEST(range({HLL_M})) AS reg) g
+  LEFT JOIN merged m USING (reg)
+), est AS (
+  SELECT SUM((CAST(1 AS BIGINT) << (50 - m_j))) AS int_sum,
+         CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_regs
+  FROM full_regs
+), exact AS (
+  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_union FROM filtered
+)
+SELECT exact_union,
+       CAST({HLL_SCALE!r} AS DOUBLE) / CAST(int_sum AS DOUBLE) AS union_est,
+       (CAST({HLL_SCALE!r} AS DOUBLE) / CAST(int_sum AS DOUBLE)
+          - CAST(exact_union AS DOUBLE)) / CAST(exact_union AS DOUBLE) * 100.0
+         AS rel_err_pct,
+       zero_regs
+FROM est CROSS JOIN exact
+"""
+
+
 QUERIES = {
     "sketch_cms_freq": q_sketch_cms_freq,
     "sketch_hll_registers": q_sketch_hll_registers,
     "sketch_histogram_quantile": q_sketch_histogram_quantile,
+    "sketch_hll_union": q_sketch_hll_union,
 }
 
 ORACLE = {
     "sketch_cms_freq": _sql_cms(),
     "sketch_hll_registers": _sql_hll(),
     "sketch_histogram_quantile": _sql_histq(),
+    "sketch_hll_union": _sql_hll_union(),
 }
