@@ -477,6 +477,93 @@ ORDER BY digit
 """
 
 
+# ---------------------------------------------------------------------------
+# k-anonymity generalization ladder (audit → enforce)
+# ---------------------------------------------------------------------------
+
+# quasi-identifier generalization levels, coarsest last
+KANON_LADDER = [
+    ("L0_full", "lang, source, size_bin_fine"),
+    ("L1_coarse_size", "lang, source, size_bin_coarse"),
+    ("L2_drop_source", "lang, size_bin_coarse"),
+    ("L3_lang_only", "lang"),
+]
+KANON_COARSE_BIN = 500
+
+
+def q_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENFORCEMENT step k-anonymity audits point at: walk a fixed
+    generalization ladder over the quasi-identifier tuple — full QIs →
+    coarser size bins → drop source → language only — and report, per
+    level, how much of the release still violates k={k} (classes below
+    k, rows at risk, the minimum class size). The release policy is then
+    a read-off: publish at the first level whose rows_at_risk hits an
+    acceptable floor, suppressing the remainder (generalization trades
+    utility for safety monotonically; the ladder makes the trade
+    EXPLICIT instead of a blanket suppress — Samarati's original
+    full-domain generalization, unrolled).
+
+    Exactness: every statistic is an integer count over integer-binned
+    QIs. Scale shape: one hash agg per level over progressively coarser
+    keys (all map-side combinable, each bounded by its QI domain), union
+    of 4 level summaries.
+    """.format(k=KANON_K)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {KANON_CHAR_BIN}").alias("size_bin_fine"),
+        F.expr(f"n_chars div {KANON_COARSE_BIN}").alias("size_bin_coarse"),
+    )
+    level_keys = [
+        ("L0_full", ["lang", "source", "size_bin_fine"]),
+        ("L1_coarse_size", ["lang", "source", "size_bin_coarse"]),
+        ("L2_drop_source", ["lang", "size_bin_coarse"]),
+        ("L3_lang_only", ["lang"]),
+    ]
+    outs = []
+    for name, keys in level_keys:
+        classes = docs.groupBy(*keys).agg(F.count(F.lit(1)).alias("class_size"))
+        unsafe = F.col("class_size") < KANON_K
+        outs.append(
+            classes.agg(
+                F.lit(name).alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                F.sum(F.when(unsafe, 1).otherwise(0))
+                .cast("long")
+                .alias("n_unsafe_classes"),
+                F.sum(F.when(unsafe, F.col("class_size")).otherwise(0))
+                .cast("long")
+                .alias("rows_at_risk"),
+                F.min("class_size").cast("long").alias("min_class_size"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("level")
+
+
+def _sql_kanon_generalize() -> str:
+    levels = [
+        ("L0_full", f"lang, source, n_chars // {KANON_CHAR_BIN}"),
+        ("L1_coarse_size", f"lang, source, n_chars // {KANON_COARSE_BIN}"),
+        ("L2_drop_source", f"lang, n_chars // {KANON_COARSE_BIN}"),
+        ("L3_lang_only", "lang"),
+    ]
+    parts = []
+    for name, keys in levels:
+        parts.append(f"""
+SELECT '{name}' AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN class_size < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unsafe_classes,
+       CAST(SUM(CASE WHEN class_size < {KANON_K} THEN class_size ELSE 0 END)
+            AS BIGINT) AS rows_at_risk,
+       CAST(MIN(class_size) AS BIGINT) AS min_class_size
+FROM (SELECT COUNT(*) AS class_size FROM documents GROUP BY {keys})""")
+    return " UNION ALL ".join(parts) + " ORDER BY level"
+
+
 QUERIES = {
     "dq_audit": q_dq_audit,
     "snapshot_diff": q_snapshot_diff,
@@ -484,6 +571,7 @@ QUERIES = {
     "kanon_audit": q_kanon_audit,
     "join_size_estimate": q_join_size_estimate,
     "benford_digits": q_benford_digits,
+    "kanon_generalize": q_kanon_generalize,
 }
 
 ORACLE = {
@@ -493,4 +581,5 @@ ORACLE = {
     "kanon_audit": _ORACLE_KANON_AUDIT,
     "join_size_estimate": _sql_join_size_estimate(),
     "benford_digits": _sql_benford(),
+    "kanon_generalize": _sql_kanon_generalize(),
 }
