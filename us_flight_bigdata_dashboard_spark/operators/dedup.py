@@ -299,6 +299,142 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record-linkage decisions
+# ---------------------------------------------------------------------------
+
+# Declared comparison model: P(field agrees | match) and | non-match).
+# Folded constants — each pair's weight is a product of per-field
+# likelihood ratios chosen from these literals (the log-odds formulation
+# is equivalent but ln is banned by the portability policy; the PRODUCT
+# form is exact IEEE on identical literals).
+FS_FIELDS = [
+    ("lang", 0.95, 0.2),
+    ("source", 0.9, 0.3),
+    ("size_band", 0.8, 0.25),
+]
+FS_T_UPPER = 10.0   # weight ≥ upper  → link
+FS_T_LOWER = 0.5    # weight ≤ lower  → non-link; between → clerical review
+FS_SIZE_BAND = 64
+
+
+def q_fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (the 1969 decision
+    theory every MDM/linkage system implements): candidate pairs from the
+    sorted-neighborhood blocker are scored by the PRODUCT of per-field
+    likelihood ratios — m/u if the field agrees, (1−m)/(1−u) if not —
+    and routed link / clerical-review / non-link by the two-threshold
+    rule. Completes the linkage stack: blocking
+    (``dedup_sorted_neighborhood``), field comparison, DECISION (the
+    edit-distance and Jaccard entries score similarity; FS turns scores
+    into actions with declared error trade-offs).
+
+    Determinism: each factor is one of two folded literals selected by
+    an exact equality; the 3-factor product and threshold compares are
+    fixed-shape IEEE; outputs are counts plus a decimal-quantized mean
+    weight per decision. Scale shape: the SNM rank pairing (O(n·w)
+    candidates), a 3-CASE expression per pair, one 3-group agg.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, SNM_KEY_LEN).alias("k"),
+        "lang",
+        "source",
+        F.expr(f"n_chars DIV {FS_SIZE_BAND}").alias("size_band"),
+    )
+    rn = F.row_number().over(Window.orderBy("k", "doc_id"))
+    ranked = docs.select(
+        "doc_id", "lang", "source", "size_band", rn.alias("rn")
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("size_band").alias("band_a"),
+        "rn",
+        F.explode(F.sequence(F.lit(1), F.lit(SNM_WINDOW))).alias("off"),
+    ).select(
+        "doc_a", "lang_a", "source_a", "band_a",
+        (F.col("rn") + F.col("off")).alias("rn_b"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("size_band").alias("band_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    pairs = a.join(b, "rn_b")
+    w = F.lit(1.0)
+    for (field, m, u), (ca, cb) in zip(
+        FS_FIELDS, [("lang_a", "lang_b"), ("source_a", "source_b"), ("band_a", "band_b")]
+    ):
+        w = w * F.when(F.col(ca) == F.col(cb), F.lit(m / u)).otherwise(
+            F.lit((1.0 - m) / (1.0 - u))
+        )
+    decision = (
+        F.when(F.col("w") >= FS_T_UPPER, F.lit("link"))
+        .when(F.col("w") <= FS_T_LOWER, F.lit("non_link"))
+        .otherwise(F.lit("clerical_review"))
+    )
+    from us_flight_bigdata_dashboard_spark.functions.exact import dsum as _dsum
+
+    return (
+        pairs.select(w.alias("w"))
+        .select("w", decision.alias("decision"))
+        .groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (_dsum("w", scale=8) / F.count(F.lit(1))).alias("mean_weight"),
+        )
+        .orderBy("decision")
+    )
+
+
+def _sql_fs_linkage() -> str:
+    factors = []
+    for (field, m, u), (ca, cb) in zip(
+        FS_FIELDS, [("lang_a", "lang_b"), ("source_a", "source_b"), ("band_a", "band_b")]
+    ):
+        factors.append(
+            f"(CASE WHEN {ca} = {cb} THEN CAST('{m / u!r}' AS DOUBLE)"
+            f" ELSE CAST('{(1.0 - m) / (1.0 - u)!r}' AS DOUBLE) END)"
+        )
+    w_expr = "1.0 * " + " * ".join(factors)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source, n_chars // {FS_SIZE_BAND} AS size_band,
+         ROW_NUMBER() OVER (ORDER BY SUBSTRING(LOWER(text), 1, {SNM_KEY_LEN}),
+                            doc_id) AS rn
+  FROM documents
+), a AS (
+  SELECT doc_id AS doc_a, lang AS lang_a, source AS source_a,
+         size_band AS band_a, rn + off.k AS rn_b
+  FROM ranked, (SELECT unnest(generate_series(1, {SNM_WINDOW})) AS k) off
+), b AS (
+  SELECT doc_id AS doc_b, lang AS lang_b, source AS source_b,
+         size_band AS band_b, rn
+  FROM ranked
+), pairs AS (
+  SELECT {w_expr} AS w
+  FROM a JOIN b ON a.rn_b = b.rn
+), scored AS (
+  SELECT w,
+         CASE WHEN w >= {FS_T_UPPER!r} THEN 'link'
+              WHEN w <= {FS_T_LOWER!r} THEN 'non_link'
+              ELSE 'clerical_review' END AS decision
+  FROM pairs
+)
+SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ({sql_dsum("w", scale=8)} / COUNT(*)) AS mean_weight
+FROM scored
+GROUP BY 1
+ORDER BY decision
+"""
+
+
+
+
+# ---------------------------------------------------------------------------
 # MinHash estimator evaluation (estimated vs exact Jaccard on candidates)
 # ---------------------------------------------------------------------------
 
@@ -1736,6 +1872,7 @@ QUERIES = {
     "fuzzy_damerau_linkage": q_fuzzy_damerau_linkage,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_minhash_eval": q_dedup_minhash_eval,
+    "fs_record_linkage": q_fs_record_linkage,
 }
 
 ORACLE = {
@@ -1757,4 +1894,5 @@ ORACLE = {
     "fuzzy_damerau_linkage": _ORACLE_DAMERAU,
     "dedup_sorted_neighborhood": _ORACLE_SNM,
     "dedup_minhash_eval": _sql_minhash_eval(),
+    "fs_record_linkage": _sql_fs_linkage(),
 }
