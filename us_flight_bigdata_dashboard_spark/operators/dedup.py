@@ -1781,8 +1781,16 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the neighbor pairing is integer rank arithmetic over a
     total order ((key, doc_id)); the verifier is exact distinct-token
     Jaccard |∩|/(|a|+|b|−|∩|) — ONE division of exact integers per pair.
-    Scale shape: one global sort window (range-partitioned at scale, the
-    ``global_rank_bucketed`` escape applies) and an equi-join on rank
+    Scale shape: the global rank is the BUCKETED decomposition from
+    ``breadth.q_global_rank_bucketed`` (per-bucket parallel windows plus
+    a broadcast cross-bucket offset table), NOT an unpartitioned window —
+    the string sort key buckets by a codepoint-packed integer of its
+    first 3 chars, which is monotone in UTF-8 binary order (what both
+    Spark and DuckDB compare strings by), so bucket order is key order
+    and equal keys never straddle buckets. The offset table is one row
+    per DISTINCT 3-char prefix (corpus-alphabet-bounded, not data-sized).
+    The oracle stays the PLAIN unpartitioned ROW_NUMBER, so the gate
+    proves the decomposition value-identical. Then an equi-join on rank
     offsets — n·{w} comparisons total, each on pre-tokenized arrays.
     """.format(w=SNM_WINDOW, k=SNM_KEY_LEN)
     from us_flight_bigdata_dashboard_spark.operators.text import _tokens
@@ -1792,8 +1800,42 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.lower(F.col("text")), 1, SNM_KEY_LEN).alias("k"),
         F.array_distinct(_tokens(F.col("text"))).alias("toks"),
     )
-    rn = F.row_number().over(Window.orderBy("k", "doc_id"))
-    ranked = docs.select("doc_id", "toks", rn.alias("rn"))
+    # Monotone string→integer bucket: pack the first 3 codepoints at
+    # radix 2^21 (> max Unicode codepoint), missing chars pad with 0 —
+    # consistent with lexicographic order on the full key.
+    def _cp(i: int):
+        ch = F.substring("k", i, 1)
+        return F.when(F.length(ch) == 0, F.lit(0)).otherwise(F.ascii(ch))
+
+    key_b = (
+        _cp(1).cast("long") * F.lit(1 << 42)
+        + _cp(2).cast("long") * F.lit(1 << 21)
+        + _cp(3).cast("long")
+    )
+    bucketed = docs.withColumn("_b", key_b)
+    offsets = (
+        bucketed.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_bn").over(
+                    Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_offset")
+    )
+    w_b = Window.partitionBy("_b").orderBy("k", "doc_id")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .select(
+            "doc_id",
+            "toks",
+            (F.col("_offset") + F.row_number().over(w_b)).alias("rn"),
+        )
+    )
     a = ranked.select(
         F.col("doc_id").alias("doc_a"),
         F.col("toks").alias("toks_a"),
