@@ -23,6 +23,8 @@ relative-error column is part of the contract and the gate)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -135,6 +137,31 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
 # int_sum — one correctly-rounded op each, no multiplication-order skew.
 HLL_SCALE = HLL_ALPHA * float(HLL_M * HLL_M) * float(2**50)
 
+# Small-range (linear-counting) correction, Flajolet et al. §4: when the
+# raw estimate is ≤ 2.5·m and some registers are still zero, the better
+# estimator is m·ln(m/V) with V = zero-register count. ln() is banned by
+# the portability policy, but V is an INTEGER in 1..m — so the entire
+# correction is a 256-row lookup table of Python-precomputed doubles
+# (the layout.py Hilbert-LUT escape): both engines join the SAME literal
+# table, neither evaluates a transcendental. V=0 has no row (no
+# correction applies there by definition).
+HLL_LC_THRESHOLD = 2.5 * float(HLL_M)
+_HLL_LC_LUT = [
+    (v, float(HLL_M) * math.log(float(HLL_M) / float(v)))
+    for v in range(1, HLL_M + 1)
+]
+
+
+def _lc_lut_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_HLL_LC_LUT, "v LONG, lc_est DOUBLE")
+
+
+def _sql_lc_lut() -> str:
+    rows = ", ".join(
+        f"({v}, CAST({lc!r} AS DOUBLE))" for v, lc in _HLL_LC_LUT
+    )
+    return f"(VALUES {rows}) lut(v, lc_est)"
+
 
 def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Register-based HyperLogLog estimate of distinct customers per
@@ -144,10 +171,13 @@ def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``length(bin(rest))`` — no log2) updates the register max. The
     estimator is alpha·m²/Σ2^{-M_j} with the sum carried as the exact
     integer Σ2^{50−M_j}, so the only floating-point op is the final
-    division. Raw estimator only: the small-range linear-counting
-    correction requires ln(), banned by the portability policy (module
-    docstring) — the gate-checked ``rel_err_pct`` column keeps the
-    raw estimator honest.
+    division. The small-range linear-counting correction m·ln(m/V)
+    (raw ≤ 2.5m with V zero registers remaining) ships as ``hll_est``
+    WITHOUT either engine evaluating ln(): V is an integer in 1..m, so
+    the correction is a 256-row broadcast LUT of Python-precomputed
+    doubles both engines join identically (the Hilbert-LUT escape from
+    the no-transcendentals policy). Gate-checked ``rel_err_pct`` /
+    ``rel_err_corr_pct`` keep both estimators honest.
 
     Scale shape: the register table is ≤ groups·m rows — a group-by
     whose map-side combine IS the sketch merge (max per register).
@@ -197,17 +227,25 @@ def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("exact_distinct")
     )
     raw = F.lit(HLL_SCALE) / F.col("int_sum").cast("double")
+    corr = F.when(
+        (raw <= F.lit(HLL_LC_THRESHOLD)) & (F.col("zero_regs") > 0),
+        F.col("lc_est"),
+    ).otherwise(raw)
+    exact_d = F.col("exact_distinct").cast("double")
     return (
         est.join(exact, "o_orderpriority")
+        .join(
+            F.broadcast(_lc_lut_df(orders.sparkSession)),
+            F.col("zero_regs") == F.col("v"),
+            "left",
+        )
         .select(
             "o_orderpriority",
             F.col("exact_distinct").cast("long").alias("exact_distinct"),
             raw.alias("hll_raw_est"),
-            (
-                (raw - F.col("exact_distinct").cast("double"))
-                / F.col("exact_distinct").cast("double")
-                * F.lit(100.0)
-            ).alias("rel_err_pct"),
+            corr.alias("hll_est"),
+            ((raw - exact_d) / exact_d * F.lit(100.0)).alias("rel_err_pct"),
+            ((corr - exact_d) / exact_d * F.lit(100.0)).alias("rel_err_corr_pct"),
             F.col("zero_regs").cast("long").alias("zero_regs"),
         )
         .orderBy("o_orderpriority")
@@ -245,16 +283,29 @@ WITH hashed AS (
 ), exact AS (
   SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
   FROM orders GROUP BY o_orderpriority
+), sel AS (
+  SELECT e.o_orderpriority,
+         CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+         CAST({HLL_SCALE!r} AS DOUBLE)
+           / CAST(e.int_sum AS DOUBLE) AS hll_raw_est,
+         CAST(e.zero_regs AS BIGINT) AS zero_regs,
+         lut.lc_est
+  FROM est e JOIN exact x USING (o_orderpriority)
+  LEFT JOIN {_sql_lc_lut()} ON lut.v = e.zero_regs
+), corr AS (
+  SELECT o_orderpriority, exact_distinct, hll_raw_est, zero_regs,
+         CASE WHEN hll_raw_est <= CAST({HLL_LC_THRESHOLD!r} AS DOUBLE)
+                   AND zero_regs > 0
+              THEN lc_est ELSE hll_raw_est END AS hll_est
+  FROM sel
 )
-SELECT e.o_orderpriority,
-       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
-       CAST({HLL_SCALE!r} AS DOUBLE)
-         / CAST(e.int_sum AS DOUBLE) AS hll_raw_est,
-       (CAST({HLL_SCALE!r} AS DOUBLE)
-         / CAST(e.int_sum AS DOUBLE) - CAST(x.exact_distinct AS DOUBLE))
-         / CAST(x.exact_distinct AS DOUBLE) * 100.0 AS rel_err_pct,
-       CAST(e.zero_regs AS BIGINT) AS zero_regs
-FROM est e JOIN exact x USING (o_orderpriority)
+SELECT o_orderpriority, exact_distinct, hll_raw_est, hll_est,
+       (hll_raw_est - CAST(exact_distinct AS DOUBLE))
+         / CAST(exact_distinct AS DOUBLE) * 100.0 AS rel_err_pct,
+       (hll_est - CAST(exact_distinct AS DOUBLE))
+         / CAST(exact_distinct AS DOUBLE) * 100.0 AS rel_err_corr_pct,
+       zero_regs
+FROM corr
 ORDER BY o_orderpriority
 """
 
@@ -428,15 +479,26 @@ def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = orders.agg(F.countDistinct("o_custkey").cast("long").alias("exact_union"))
     raw = F.lit(HLL_SCALE) / F.col("int_sum").cast("double")
-    return est.crossJoin(F.broadcast(exact)).select(
-        "exact_union",
-        raw.alias("union_est"),
-        (
-            (raw - F.col("exact_union").cast("double"))
-            / F.col("exact_union").cast("double")
-            * F.lit(100.0)
-        ).alias("rel_err_pct"),
-        "zero_regs",
+    corr = F.when(
+        (raw <= F.lit(HLL_LC_THRESHOLD)) & (F.col("zero_regs") > 0),
+        F.col("lc_est"),
+    ).otherwise(raw)
+    exact_d = F.col("exact_union").cast("double")
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .join(
+            F.broadcast(_lc_lut_df(orders.sparkSession)),
+            F.col("zero_regs") == F.col("v"),
+            "left",
+        )
+        .select(
+            "exact_union",
+            raw.alias("union_est"),
+            corr.alias("union_corr_est"),
+            ((raw - exact_d) / exact_d * F.lit(100.0)).alias("rel_err_pct"),
+            ((corr - exact_d) / exact_d * F.lit(100.0)).alias("rel_err_corr_pct"),
+            "zero_regs",
+        )
     )
 
 
@@ -471,14 +533,26 @@ WITH filtered AS (
   FROM full_regs
 ), exact AS (
   SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_union FROM filtered
+), sel AS (
+  SELECT exact_union,
+         CAST({HLL_SCALE!r} AS DOUBLE) / CAST(int_sum AS DOUBLE) AS union_est,
+         zero_regs, lut.lc_est
+  FROM est CROSS JOIN exact
+  LEFT JOIN {_sql_lc_lut()} ON lut.v = est.zero_regs
+), corr AS (
+  SELECT exact_union, union_est, zero_regs,
+         CASE WHEN union_est <= CAST({HLL_LC_THRESHOLD!r} AS DOUBLE)
+                   AND zero_regs > 0
+              THEN lc_est ELSE union_est END AS union_corr_est
+  FROM sel
 )
-SELECT exact_union,
-       CAST({HLL_SCALE!r} AS DOUBLE) / CAST(int_sum AS DOUBLE) AS union_est,
-       (CAST({HLL_SCALE!r} AS DOUBLE) / CAST(int_sum AS DOUBLE)
-          - CAST(exact_union AS DOUBLE)) / CAST(exact_union AS DOUBLE) * 100.0
-         AS rel_err_pct,
+SELECT exact_union, union_est, union_corr_est,
+       (union_est - CAST(exact_union AS DOUBLE))
+         / CAST(exact_union AS DOUBLE) * 100.0 AS rel_err_pct,
+       (union_corr_est - CAST(exact_union AS DOUBLE))
+         / CAST(exact_union AS DOUBLE) * 100.0 AS rel_err_corr_pct,
        zero_regs
-FROM est CROSS JOIN exact
+FROM corr
 """
 
 
