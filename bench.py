@@ -148,6 +148,9 @@ HEADLINE = [
     # round-6: the state-API-v2-shaped streak processor (v1 fallback in
     # this runtime) — newest stateful-replay machinery, tracked
     "streaming_streaks_replay",
+    # round-8: the predicted-frame video codec (full-search block motion
+    # estimation is the heaviest per-record encode loop in the suite)
+    "multimodal_pframe_decode",
     # round-7: the substring-dedup anchor-gram chain (positional explode +
     # gram-hash shuffle + per-doc interval merge — the third dedup
     # modality) and the sparse+dense RRF fusion (BM25 ⊕ cosine top-k)

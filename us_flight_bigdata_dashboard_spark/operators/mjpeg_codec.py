@@ -17,9 +17,10 @@ extraction, and both JPEG codec directions must all be byte-correct for
 the per-frame hash to match.
 
 Inter-frame prediction (H.264-style P/B frames) is exactly the part MJPEG
-deliberately lacks; that remains the documented env-gated plug-in point
-(`multimodal_plumbing_stub`). What this entry proves is the full
-container + intra-frame compressed path every video ingest needs first.
+deliberately lacks; `operators/pframe_codec.py` (round 8) supplies it —
+key frame + per-block motion vectors + RLE residuals. What this entry
+proves is the full container + intra-frame compressed path every video
+ingest needs first.
 
 Pickling note: the jpeg worker closures are captured by CALLING the
 factories at build time (`make_jpeg_writer(...)`/`make_jpeg_decoder()`

@@ -17,15 +17,16 @@ plus the derived operators (``meta_stats``, ``frame_sample``,
 with CRC-verified chunks and full 5-filter unfiltering; zlib is stdlib).
 Since round 5, ``operators/jpeg_codec.py`` adds a full baseline JFIF
 encoder/decoder (Huffman entropy coding, zigzag, quantization, integer
-DCT) in pure numpy — the compressed LOSSY codec, no external library.
-MP3/H.264 still need ffmpeg, absent in this container, so that
-plug-in point is covered two ways:
-
-  * ``make_decode_features_stub`` / ``multimodal_plumbing_stub`` — a
-    clearly-named deterministic fake (md5-derived dims) proving the
-    pipeline, schema, and batch mechanics a codec decoder would plug into;
-  * ``decode_image_real`` — the genuine PIL path behind an import-try,
-    raising ``NotImplementedError`` with instructions when PIL is absent.
+DCT) in pure numpy — the compressed LOSSY codec, no external library;
+round 7 added the MJPEG/AVI container (``mjpeg_codec.py``) and round 8
+the inter-frame-PREDICTED codec (``pframe_codec.py``: key frame +
+per-block motion vectors + RLE-coded residuals), which replaced the
+former ``multimodal_plumbing_stub`` — every multimodal entry now decodes
+real bytes; there is no stubbed decode anywhere in the package.
+Standards-patented bitstreams (MP3/H.264) still need ffmpeg, absent in
+this container, but the full pipeline ARCHITECTURE they'd plug into
+(binary column → Arrow batch → codec loop → typed rows) is exercised by
+nine genuine codecs instead of a fake.
 """
 
 from __future__ import annotations
@@ -38,19 +39,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
-
-MEDIA_FEATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("kind", T.StringType()),
-        T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("digest", T.StringType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("n_frames", T.IntegerType()),
-    ]
-)
-
 
 def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table from documents: payload = utf-8 bytes of the
@@ -66,81 +54,6 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kind"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
-
-
-def make_decode_features_stub():
-    """Build the mapInPandas worker as a self-contained closure.
-
-    IMPORTANT: the returned function must be pickled BY VALUE (cloudpickle
-    serializes nested functions fully) — Spark's Python workers do not have
-    this package on their sys.path, so a module-level function reference
-    would fail to unpickle. Everything the worker needs (hashlib, pandas)
-    is imported inside.
-
-    This is the shape of a real decoder: swap the digest-derived dims for
-    PIL/ffmpeg calls; the batching, Arrow transfer, schema, and partition
-    parallelism are production-real.
-    """
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hashlib  # local: keeps the closure dependency-free
-
-        import pandas as _pd
-
-        def stub_dims(digest: str) -> tuple[int, int, int]:
-            # deterministic fake decode, mirrored exactly by the SQL oracle
-            return (
-                64 + int(digest[:4], 16) % 960,
-                64 + int(digest[4:8], 16) % 536,
-                1 + int(digest[8:10], 16) % 30,
-            )
-
-        for pdf in batches:
-            digests = [_hashlib.md5(p).hexdigest() for p in pdf["payload"]]
-            dims = [stub_dims(d) for d in digests]
-            yield _pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "digest": digests,
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "n_frames": [d[2] for d in dims],
-                }
-            )
-
-    return decode
-
-
-def decode_image_real(payload: bytes):
-    """Real decode path, gated on PIL availability (not shipped in this
-    container)."""
-    try:
-        from io import BytesIO
-
-        from PIL import Image  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "real image decode requires pillow; install it or use "
-            "decode_features_stub for pipeline testing"
-        ) from e
-    return Image.open(BytesIO(payload))  # pragma: no cover
-
-
-def q_multimodal_plumbing_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PLUMBING STUB (clearly named so nobody over-reads the green row):
-    binary payload column → Arrow-batched mapInPandas → typed feature rows,
-    with the decode step a deterministic md5-derived fake. The pipeline
-    mechanics (schema, batching, Arrow transfer) are real; the width/
-    height/n_frames numbers are NOT. The REAL byte-level decoders are
-    ``multimodal_ppm_decode`` / ``multimodal_wav_decode`` /
-    ``multimodal_video_decode``, and every derived multimodal operator
-    (meta_stats, frame_sample, audio_chunks) now consumes THEIR outputs —
-    this entry only certifies the compressed-codec plug-in point that
-    PIL/ffmpeg would fill (``decode_image_real``)."""
-    media = media_from_documents(spark, sf_dir)
-    return media.mapInPandas(make_decode_features_stub(), MEDIA_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -212,10 +125,8 @@ def q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle never touches bytes: it computes the same stats straight
     from the GENERATING formula — so if the decoder mis-parsed the header,
     mis-strided the raster, or swapped channels, the hash compare fails.
-    This closes the loop the PIL-gated stub could not: the binary column,
-    Arrow transfer, and a real decoder are all exercised end-to-end
-    (compressed formats still need PIL/ffmpeg — ``decode_image_real`` —
-    but the plumbing they'd plug into is now proven with real bytes).
+    This closes the loop a PIL-gated stub could not: the binary column,
+    Arrow transfer, and a real decoder are all exercised end-to-end.
 
     Scale shape: payload synthesis and decode are narrow per-row work —
     zero shuffles; the decode parallelizes per Arrow batch exactly as a
@@ -506,21 +417,6 @@ def _sql_hex4_to_int(expr: str, start: int) -> str:
         digit = f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1)"
         terms.append(f"{digit} * {16 ** (3 - i)}")
     return "(" + " + ".join(terms) + ")"
-
-
-def _sql_multimodal_features() -> str:
-    digest = "md5(text)"  # md5(VARCHAR) hashes utf-8 bytes == payload
-    h2 = "(strpos('0123456789abcdef', substr(md5(text), 9, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(text), 10, 1)) - 1)"
-    return f"""
-SELECT doc_id AS media_id,
-       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
-       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-       {digest} AS digest,
-       CAST(64 + {_sql_hex4_to_int(digest, 1)} % 960 AS INTEGER) AS width,
-       CAST(64 + {_sql_hex4_to_int(digest, 5)} % 536 AS INTEGER) AS height,
-       CAST(1 + ({h2}) % 30 AS INTEGER) AS n_frames
-FROM documents
-"""
 
 
 def q_multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1347,7 +1243,6 @@ QUERIES = {
     "multimodal_meta_stats": q_multimodal_meta_stats,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_chunks": q_multimodal_audio_chunks,
-    "multimodal_plumbing_stub": q_multimodal_plumbing_stub,
 }
 
 ORACLE = {
@@ -1361,5 +1256,4 @@ ORACLE = {
     "multimodal_meta_stats": _sql_multimodal_meta_stats(),
     "multimodal_frame_sample": _sql_multimodal_frame_sample(),
     "multimodal_audio_chunks": _sql_multimodal_audio_chunks(),
-    "multimodal_plumbing_stub": _sql_multimodal_features(),
 }

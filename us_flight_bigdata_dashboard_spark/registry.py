@@ -27,6 +27,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     graph,
     jpeg_codec,
     mjpeg_codec,
+    pframe_codec,
     layout,
     multimodal,
     mutation,
@@ -60,6 +61,7 @@ _MODULES = [
     mjpeg_codec,
     g711_codec,
     adpcm_codec,
+    pframe_codec,
     advanced,
     breadth,
     mutation,
