@@ -149,8 +149,11 @@ HEADLINE = [
     # this runtime) — newest stateful-replay machinery, tracked
     "streaming_streaks_replay",
     # round-8: the predicted-frame video codec (full-search block motion
-    # estimation is the heaviest per-record encode loop in the suite)
+    # estimation is the heaviest per-record encode loop in the suite) and
+    # the LIVE state-API-v2 replay (transformWithStateInPandas + RocksDB
+    # through the protobuf shim — priced beside its v1 twin)
     "multimodal_pframe_decode",
+    "streaming_streaks_v2_replay",
     # round-7: the substring-dedup anchor-gram chain (positional explode +
     # gram-hash shuffle + per-doc interval merge — the third dedup
     # modality) and the sparse+dense RRF fusion (BM25 ⊕ cosine top-k)

@@ -2,9 +2,11 @@
 
 The exact gate proves the replay against the gaps-and-islands oracle;
 these isolate what it can't: cross-batch streak continuity through the
-state store, the pure fold logic on adversarial sequences, and the
-v1/v2 API gating (transformWithStateInPandas needs protobuf — absent in
-this sandbox, so the v2 path is capability-gated and its test skips)."""
+state store, the pure fold logic on adversarial sequences, and the v1/v2
+API gating. Since round 8 the protobuf compatibility shim
+(streaming/protobuf_compat.py) supplies the v2 runtime in this sandbox,
+so the v2-vs-v1 equivalence test runs LIVE here (transformWithState over
+RocksDB through the shimmed state-server channel)."""
 
 from __future__ import annotations
 
@@ -134,9 +136,17 @@ def test_replay_streak_joined_across_real_microbatches(spark):
 
 
 def test_v2_api_is_capability_gated():
-    """This sandbox has no protobuf, so auto must select v1 — and the
-    selection helper must say so rather than crash."""
-    assert has_state_v2() is False
+    """No protobuf distribution is installed here, yet the gate must say
+    v2 is runnable: the shim aliases the machine's vendored pure-Python
+    runtime under the canonical name (and never crashes either way)."""
+    import importlib.metadata
+
+    with pytest.raises(importlib.metadata.PackageNotFoundError):
+        importlib.metadata.distribution("protobuf")  # premise: none installed
+    assert has_state_v2() is True
+    import google.protobuf  # the shim is active after the gate ran
+
+    assert google.protobuf.__name__ != "google.protobuf"  # aliased, not real
 
 
 @pytest.mark.skipif(not has_state_v2(), reason="transformWithStateInPandas needs protobuf")

@@ -31,6 +31,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
 
+    # State-API-v2 support: transformWithStateInPandas spawns a DRIVER-side
+    # Python worker that only sees the JVM's PYTHONPATH (addPyFile cannot
+    # reach it), so when no real protobuf is installed the shim's vendor
+    # dir must be on PYTHONPATH BEFORE the JVM launches. No-op if protobuf
+    # is installed or the JVM already exists (then the v2 capability gate
+    # in streaming/streaks.py reports accordingly and v1 runs instead).
+    from us_flight_bigdata_dashboard_spark.streaming import protobuf_compat
+
+    protobuf_compat.ensure_jvm_pythonpath()
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

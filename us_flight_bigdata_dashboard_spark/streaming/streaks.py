@@ -135,17 +135,16 @@ def make_streak_worker():
     return fold
 
 
-def has_state_v2() -> bool:
+def has_state_v2(spark=None) -> bool:
     """transformWithStateInPandas needs protobuf for its state-server
-    channel; absent ⇒ the v2 worker crashes at runtime, so gate on it."""
-    import importlib.util
+    channel in the driver AND the Python workers; absent ⇒ the v2 worker
+    crashes at runtime, so gate on it. ``protobuf_compat.activate`` can
+    supply the runtime via the aliasing shim (and ships it to the given
+    session's workers through addPyFile) — only when neither a real
+    install nor the shim's vendored runtime exists does this say no."""
+    from us_flight_bigdata_dashboard_spark.streaming import protobuf_compat
 
-    try:
-        # find_spec on a dotted name imports the PARENT package — with no
-        # 'google' namespace at all it raises rather than returning None
-        return importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:
-        return False
+    return protobuf_compat.activate(spark)
 
 
 def streaming_streaks(stream: DataFrame, api: str = "auto") -> DataFrame:
@@ -162,8 +161,23 @@ def streaming_streaks(stream: DataFrame, api: str = "auto") -> DataFrame:
         F.col("ts").isNotNull() & F.col("event_type").isNotNull()
     ).select("user_id", "event_type", "ts", "event_id")
     if api == "auto":
-        api = "v2" if has_state_v2() else "v1"
+        api = "v2" if has_state_v2(stream.sparkSession) else "v1"
+    elif api == "v2" and not has_state_v2(stream.sparkSession):
+        raise RuntimeError(
+            "state API v2 requested but no protobuf runtime is available "
+            "(neither installed nor supplied by the compatibility shim)"
+        )
     if api == "v2":
+        # transformWithState requires a multi-column-family state store:
+        # Spark rejects HDFSBackedStateStoreProvider at query start, so
+        # selecting v2 selects RocksDB (the at-scale provider the session
+        # docstring recommends anyway; the provider conf is read per
+        # streaming query at START time, hence set on the session here).
+        stream.sparkSession.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         return cleaned.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=make_streak_processor(),
             outputStructType=STREAK_OUTPUT_SCHEMA,
