@@ -1,0 +1,411 @@
+"""Classical inference operators (round 8): one-way ANOVA, Brown–Forsythe
+variance homogeneity, Cramér's V effect size, and the A/B sample-ratio-
+mismatch guard.
+
+These complete the experimentation toolkit next to ``statistics.py``'s
+two-sample tests (Welch t, KS, Mann–Whitney) with the k-GROUP rungs: does
+a metric differ across MANY segments at once (ANOVA), is the equal-
+variance assumption behind pooled tests even true (Brown–Forsythe — the
+robust Levene variant), how STRONG is a categorical association beyond
+its χ² significance (Cramér's V), and is the experiment's hash split
+itself healthy (SRM — the first thing a trustworthy A/B platform checks;
+Fabijan et al. 2019 report it fires in ~6% of real experiments).
+
+Determinism (the house rules of ``statistics.py``): every data-sized
+aggregate is an exact decimal/integer moment; cross-group float
+reductions run over LITERAL group domains as fixed-order expression sums
+(partition-order-free; see the note at ``_FLAGS`` for why the
+floor-quantization trick does not survive these magnitudes), except the
+contingency-cell sum of ``cramers_v`` whose small terms keep the
+``chi_square_assoc`` floor-trick; ``sqrt`` is the one
+allowlisted irrational (correctly-rounded IEEE on both engines); no ln,
+no pow, no CDFs — significance is expressed through RATIONAL threshold
+comparisons on literal critical values, which is exactly how a serving
+layer consumes these statistics anyway.
+
+Scale shape: each entry is ONE map-side-combinable hash aggregate over
+the fact table (plus, for Brown–Forsythe, one keyed window for the group
+medians); everything after is arithmetic on ≤ |groups| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+# The three return flags — the literal group domain both ANOVA entries
+# reduce over. A LITERAL domain is what makes the cross-group float
+# reduction deterministic: the k per-group terms are extracted as named
+# conditional aggregates and added in ONE FIXED left-to-right expression,
+# so both engines execute the identical IEEE op sequence. The metric is
+# the INTEGER l_quantity (≤ 50): every moment stays inside the exact-
+# double window to sf100 and beyond. Two failed variants bought this
+# design: dsum(cents, scale=2) lost one ulp to the Spark-HALF_UP vs
+# DuckDB-half-even double→DECIMAL cast, and integer CENTS² sums crossed
+# 2^53 where DuckDB's wide-DECIMAL→double cast is not correctly rounded.
+_FLAGS = ["A", "N", "R"]
+
+
+def _f_stat_from_group_moments(m: DataFrame, group_col: str) -> DataFrame:
+    """(group, n, s, ss) → one row of ANOVA pieces. ``s`` is the exact
+    decimal group sum (cents-exact, < 2^53 so its double is exact), ``ss``
+    the exact decimal sum of squares (one correctly-rounded final cast).
+    Cross-group terms are reduced in literal-domain order — a fixed IEEE
+    op sequence, identical on both engines."""
+    g = F.col(group_col)
+    nd = F.col("n").cast("double")
+    between_g = F.col("s") * F.col("s") / nd  # S_g²/n_g
+    within_g = F.col("ss") - between_g  # SS_g − S_g²/n_g
+    aggs = [
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_rows"),
+        F.sum(F.col("s").cast("decimal(38,0)")).cast("double").alias("grand_s"),
+    ]
+    for i, p in enumerate(_FLAGS):
+        aggs.append(F.max(F.when(g == p, between_g)).alias(f"b{i}"))
+        aggs.append(F.max(F.when(g == p, within_g)).alias(f"w{i}"))
+    red = m.agg(*aggs)
+    b_raw = F.col("b0") + F.col("b1") + F.col("b2")
+    ssw = F.col("w0") + F.col("w1") + F.col("w2")
+    nall = F.col("n_rows").cast("double")
+    ssb = b_raw - F.col("grand_s") * F.col("grand_s") / nall
+    kd = F.col("k").cast("double")
+    return red.select(
+        "k",
+        "n_rows",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        ((ssb / (kd - F.lit(1.0))) / (ssw / (nall - kd))).alias("f_stat"),
+        (ssb / (ssb + ssw)).alias("eta_sq"),
+    )
+
+
+def _sql_f_from_moments(moments_cte: str, group_col: str) -> str:
+    """SQL mirror of ``_f_stat_from_group_moments`` over a CTE named ``m``
+    with columns (group, n, s, ss)."""
+    b_terms = []
+    w_terms = []
+    sel = []
+    for i, p in enumerate(_FLAGS):
+        sel.append(
+            f"MAX(CASE WHEN {group_col} = '{p}' THEN s * s / CAST(n AS DOUBLE) END) AS b{i}"
+        )
+        sel.append(
+            f"MAX(CASE WHEN {group_col} = '{p}' THEN ss - s * s / CAST(n AS DOUBLE) END) AS w{i}"
+        )
+        b_terms.append(f"b{i}")
+        w_terms.append(f"w{i}")
+    b_raw = " + ".join(b_terms)
+    ssw = " + ".join(w_terms)
+    return f"""
+{moments_cte}, red AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(s AS DECIMAL(38,0))) AS DOUBLE) AS grand_s,
+         {", ".join(sel)}
+  FROM m
+), fin AS (
+  SELECT k, n_rows,
+         ({b_raw}) - grand_s * grand_s / CAST(n_rows AS DOUBLE) AS ss_between,
+         ({ssw}) AS ss_within
+  FROM red
+)
+SELECT k, n_rows, ss_between, ss_within,
+       (ss_between / (CAST(k AS DOUBLE) - 1.0))
+         / (ss_within / (CAST(n_rows AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat,
+       ss_between / (ss_between + ss_within) AS eta_sq
+FROM fin
+"""
+
+
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of line quantity across the three return flags: does
+    return behavior associate with order size AT ALL, before pairwise
+    tests? F = (SSB/(k−1)) / (SSW/(N−k)) with η² = SSB/SST as the effect
+    size the F-value alone doesn't give.
+
+    Exactness: per-group (n, Σx, Σx²) are exact INTEGER moments of the
+    integer quantity metric in ONE map-side-combinable hash agg — every
+    sum stays inside the exact-double window far past sf100 (Σx² ≤
+    2500·rows); the cross-group reduction extracts each literal flag's
+    term as a named conditional aggregate and adds them in a FIXED
+    left-to-right IEEE sequence (see the module-level note for the two
+    money-metric variants this design replaced). Scale shape: nothing
+    after the first aggregate touches data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("ss"),
+    )
+    return _f_stat_from_group_moments(m, "l_returnflag")
+
+
+_SQL_QTY = "CAST(l_quantity AS BIGINT)"
+
+_ORACLE_ANOVA = _sql_f_from_moments(
+    f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST({_SQL_QTY} AS DECIMAL(38,0))) AS DOUBLE) AS s,
+         CAST(SUM(CAST({_SQL_QTY} * {_SQL_QTY} AS DECIMAL(38,0))) AS DOUBLE) AS ss
+  FROM lineitem GROUP BY 1
+)""",
+    "l_returnflag",
+)
+
+
+def q_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (the median-centered Levene): one-way ANOVA on
+    z = |x − median(group)| — are the three return flags' quantity
+    SPREADS equal? This is the assumption check behind every pooled-
+    variance comparison; the median centering (vs Levene's mean) is what
+    makes it robust to heavy-tailed metrics.
+
+    The group median is the exact lower-median rank pick ((n+1) DIV 2,
+    integer DIV on both engines) via one per-group sort window; z is then
+    an exact small integer and the W statistic reuses the ANOVA reduction
+    verbatim. Scale shape: one keyed window + one hash agg, both on the
+    group key — a single shuffle, map-side combinable aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("qty")
+    ranked = li.select(
+        "l_returnflag",
+        "qty",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("cnt"),
+    )
+    med = ranked.filter(
+        F.col("rk") == F.expr("(cnt + 1) DIV 2")
+    ).select("l_returnflag", F.col("qty").alias("med"))
+    z = F.abs(F.col("qty") - F.col("med"))
+    m = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(z.cast("decimal(38,0)")).cast("double").alias("s"),
+            F.sum((z * z).cast("decimal(38,0)")).cast("double").alias("ss"),
+        )
+    )
+    out = _f_stat_from_group_moments(m, "l_returnflag")
+    return out.select(
+        "k",
+        "n_rows",
+        F.col("ss_between").alias("ss_between_z"),
+        F.col("ss_within").alias("ss_within_z"),
+        F.col("f_stat").alias("w_stat"),
+        F.col("eta_sq").alias("eta_sq_z"),
+    )
+
+
+_ORACLE_LEVENE = f"""
+SELECT k, n_rows,
+       ss_between AS ss_between_z, ss_within AS ss_within_z,
+       f_stat AS w_stat, eta_sq AS eta_sq_z
+FROM (
+{_sql_f_from_moments(f'''
+WITH qty_t AS (
+  SELECT l_returnflag, {_SQL_QTY} AS qty FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, qty,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY qty) AS rk,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM qty_t
+), med AS (
+  SELECT l_returnflag, qty AS med FROM ranked WHERE rk = (cnt + 1) // 2
+), m AS (
+  SELECT q.l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ABS(q.qty - med.med) AS DECIMAL(38,0))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(ABS(q.qty - med.med) * ABS(q.qty - med.med)
+                       AS DECIMAL(38,0))) AS DOUBLE) AS ss
+  FROM qty_t q JOIN med USING (l_returnflag)
+  GROUP BY 1
+)''', "l_returnflag")}
+)
+"""
+
+
+_CV_FP = 10**12
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for market segment × nation over customers: the
+    bounded [0,1] EFFECT SIZE a raw χ² can't give (χ² grows with N even
+    for a fixed association, so at 100 TB everything is "significant" —
+    V = sqrt(χ²/(N·min(r−1,c−1))) is the number you can compare across
+    table sizes). Same integer-form per-cell term and fixed-point sum as
+    ``chi_square_assoc``; sqrt is the allowlisted correctly-rounded
+    irrational. One hash agg to the 125-cell table; window marginals on
+    that frame; zero further data passes."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    w_row = Window.partitionBy("c_mktsegment")
+    w_col = Window.partitionBy("c_nationkey")
+    w_all = Window.partitionBy()
+    with_marg = cells.select(
+        "observed",
+        F.sum("observed").over(w_row).alias("row_tot"),
+        F.sum("observed").over(w_col).alias("col_tot"),
+        F.sum("observed").over(w_all).alias("grand"),
+        F.size(F.collect_set("c_mktsegment").over(w_all)).alias("r"),
+        F.size(F.collect_set("c_nationkey").over(w_all)).alias("c"),
+    )
+    d18 = "decimal(18,0)"
+    num = F.col("observed").cast(d18) * F.col("grand").cast(d18) - F.col(
+        "row_tot"
+    ).cast(d18) * F.col("col_tot").cast(d18)
+    dd = num.cast("double")
+    den = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        * F.col("grand").cast("double")
+    )
+    term = dd * dd / den
+    red = with_marg.agg(
+        (
+            F.sum(F.floor(term * F.lit(float(_CV_FP))).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(float(_CV_FP))
+        ).alias("chi_square"),
+        F.max("grand").alias("n_rows"),
+        F.max("r").alias("r"),
+        F.max("c").alias("c"),
+    )
+    dof = F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+    return red.select(
+        "chi_square",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("r").cast("int").alias("r"),
+        F.col("c").cast("int").alias("c"),
+        F.sqrt(F.col("chi_square") / (F.col("n_rows").cast("double") * dof)).alias(
+            "cramers_v"
+        ),
+    )
+
+
+_ORACLE_CRAMERS_V = f"""
+WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS observed
+  FROM customer GROUP BY 1, 2
+), marg AS (
+  SELECT observed,
+         SUM(observed) OVER (PARTITION BY c_mktsegment) AS row_tot,
+         SUM(observed) OVER (PARTITION BY c_nationkey) AS col_tot,
+         SUM(observed) OVER () AS grand,
+         COUNT(DISTINCT c_mktsegment) OVER () AS r,
+         COUNT(DISTINCT c_nationkey) OVER () AS c
+  FROM cells
+), terms AS (
+  SELECT grand, r, c,
+         CAST(CAST(observed AS DECIMAL(18,0)) * CAST(grand AS DECIMAL(18,0))
+              - CAST(row_tot AS DECIMAL(18,0)) * CAST(col_tot AS DECIMAL(18,0))
+              AS DOUBLE) AS dd,
+         CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) * CAST(grand AS DOUBLE) AS den
+  FROM marg
+), red AS (
+  SELECT CAST(SUM(CAST(FLOOR(dd * dd / den * {_CV_FP}.0) AS DECIMAL(38,0))) AS DOUBLE)
+           / {_CV_FP}.0 AS chi_square,
+         CAST(MAX(grand) AS BIGINT) AS n_rows,
+         CAST(MAX(r) AS INTEGER) AS r,
+         CAST(MAX(c) AS INTEGER) AS c
+  FROM terms
+)
+SELECT chi_square, n_rows, r, c,
+       sqrt(chi_square / (CAST(n_rows AS DOUBLE)
+                          * CAST(LEAST(r - 1, c - 1) AS DOUBLE))) AS cramers_v
+FROM red
+"""
+
+
+# χ²(1 df, α=0.05) = 3.84146 — as the rational compare (d² · 10^5 vs
+# 384146 · N) so the flag is integer-exact, no CDF anywhere.
+_SRM_CRIT_NUM = 384146
+_SRM_CRIT_DEN = 10**5
+
+
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for a 50/50 md5-hash split of event
+    users: the health check every A/B readout must pass FIRST (a skewed
+    split means assignment/logging is broken and all downstream stats are
+    invalid — it fires in ~6% of real experiments, Fabijan et al. 2019).
+    χ²(1) for equal expected halves reduces to (n0−n1)²/(n0+n1); the
+    at-α=0.05 flag is the exact integer cross-multiplication against the
+    literal critical value, so the verdict column involves no float
+    compare at all. One distinct-users agg; everything else is a 1-row
+    frame."""
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+                ).cast("bigint"),
+                F.lit(2),
+            ).alias("arm")
+        )
+    )
+    red = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    d = F.col("n0") - F.col("n1")
+    n = F.col("n0") + F.col("n1")
+    return red.select(
+        "n0",
+        "n1",
+        n.alias("n_users"),
+        (
+            (d * d).cast("double") / n.cast("double")
+        ).alias("chi_square"),
+        F.when(
+            d * d * F.lit(_SRM_CRIT_DEN) > F.lit(_SRM_CRIT_NUM) * n, 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("srm_flag"),
+    )
+
+
+_ORACLE_SRM = f"""
+WITH arms AS (
+  SELECT {_sql_hex_to_int("md5(CAST(user_id AS VARCHAR))", 1, 15)} % 2 AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+), red AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM arms
+)
+SELECT n0, n1, n0 + n1 AS n_users,
+       CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS chi_square,
+       CAST(CASE WHEN (n0 - n1) * (n0 - n1) * {_SRM_CRIT_DEN} > {_SRM_CRIT_NUM} * (n0 + n1)
+                 THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+FROM red
+"""
+
+
+QUERIES = {
+    "anova_oneway": q_anova_oneway,
+    "levene_brown_forsythe": q_levene_brown_forsythe,
+    "cramers_v": q_cramers_v,
+    "ab_srm_check": q_ab_srm_check,
+}
+
+ORACLE = {
+    "anova_oneway": _ORACLE_ANOVA,
+    "levene_brown_forsythe": _ORACLE_LEVENE,
+    "cramers_v": _ORACLE_CRAMERS_V,
+    "ab_srm_check": _ORACLE_SRM,
+}

@@ -25,6 +25,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     g711_codec,
     gif_codec,
     graph,
+    inference,
     jpeg_codec,
     mjpeg_codec,
     pframe_codec,
@@ -72,6 +73,7 @@ _MODULES = [
     layout,
     graph,
     statistics,
+    inference,
     sketches,
 ]
 
