@@ -1,0 +1,280 @@
+"""Ground-truth tests for the round-8 operators: business-day arithmetic
+against a day-by-day brute force, planted ANOVA/SRM/l-diversity effects,
+hand-computed collocation lift and journey trigrams, and SALSA mass
+conservation on a crafted bipartite graph."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write(spark, root, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(root, f"{name}.parquet")
+    )
+
+
+# ---------------------------------------------------------------------------
+# business_days_lag
+# ---------------------------------------------------------------------------
+
+
+def _brute_business_days(o: dt.date, s: dt.date) -> int:
+    n, d = 0, o + dt.timedelta(days=1)
+    while d <= s:
+        if d.weekday() < 5:
+            n += 1
+        d += dt.timedelta(days=1)
+    return n
+
+
+def test_business_days_matches_brute_force(spark, tmp_path_factory):
+    import random
+
+    from us_flight_bigdata_dashboard_spark.operators.temporal import (
+        q_business_days_lag,
+    )
+
+    root = str(tmp_path_factory.mktemp("bizdays"))
+    rng = random.Random(7)
+    orders, lines, expected = [], [], []
+    for i in range(60):
+        o = dt.date(1995, 1, 1) + dt.timedelta(days=rng.randint(0, 2000))
+        s = o + dt.timedelta(days=rng.randint(0, 40))
+        orders.append((i, 1, "O", 100.0, dt.datetime.combine(o, dt.time()), "1-URGENT"))
+        lines.append((i, dt.datetime.combine(s, dt.time())))
+        expected.append(_brute_business_days(o, s))
+    _write(
+        spark, root, "orders", orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(spark, root, "lineitem", lines, "l_orderkey bigint, l_shipdate timestamp")
+    (row,) = q_business_days_lag(spark, root).collect()
+    assert row["n_lines"] == 60
+    assert row["min_lag"] == min(expected)
+    assert row["max_lag"] == max(expected)
+    assert row["avg_biz_days"] == pytest.approx(sum(expected) / 60, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# anova / levene: planted shift and spread
+# ---------------------------------------------------------------------------
+
+
+def _li_rows(flag_qty_pairs):
+    rows = []
+    for i, (flag, q) in enumerate(flag_qty_pairs):
+        rows.append(
+            (i, 1, 1, 1, float(q), 100.0, 0.0, 0.0, flag, "O",
+             dt.datetime(1995, 1, 2))
+        )
+    return rows
+
+
+_LI_SCHEMA = (
+    "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+    "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+)
+
+
+def test_anova_detects_planted_mean_shift(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.inference import q_anova_oneway
+
+    root = str(tmp_path_factory.mktemp("anova"))
+    # A ~ {10,12}, N ~ {10,12}, R ~ {40,42}: huge between-group spread
+    pairs = [("A", 10), ("A", 12)] * 20 + [("N", 10), ("N", 12)] * 20 + [
+        ("R", 40), ("R", 42)
+    ] * 20
+    _write(spark, root, "lineitem", _li_rows(pairs), _LI_SCHEMA)
+    (row,) = q_anova_oneway(spark, root).collect()
+    assert row["k"] == 3 and row["n_rows"] == 120
+    assert row["f_stat"] > 100, row
+    assert 0.9 < row["eta_sq"] <= 1.0
+    # hand-check SSB/SSW: group means 11/11/41, grand 21; within dev ±1
+    assert row["ss_within"] == pytest.approx(120.0)
+    assert row["ss_between"] == pytest.approx(2 * 40 * 100 + 40 * 400)
+
+
+def test_levene_detects_planted_spread_difference(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        q_levene_brown_forsythe,
+    )
+
+    root = str(tmp_path_factory.mktemp("levene"))
+    # same medians (25) but R has far wider spread
+    pairs = ([("A", 24), ("A", 25), ("A", 26)] * 20
+             + [("N", 24), ("N", 25), ("N", 26)] * 20
+             + [("R", 1), ("R", 25), ("R", 49)] * 20)
+    _write(spark, root, "lineitem", _li_rows(pairs), _LI_SCHEMA)
+    (row,) = q_levene_brown_forsythe(spark, root).collect()
+    assert row["w_stat"] > 100, row
+
+
+# ---------------------------------------------------------------------------
+# srm / l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_srm_counts_match_python_md5(spark):
+    import hashlib
+
+    from us_flight_bigdata_dashboard_spark.operators.inference import q_ab_srm_check
+    from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+    (row,) = q_ab_srm_check(spark, SF_DIR).collect()
+    users = {
+        r["user_id"]
+        for r in load_table(spark, SF_DIR, "events").select("user_id").distinct().collect()
+    }
+    arms = [int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2 for u in users]
+    n1 = sum(arms)
+    assert row["n0"] == len(users) - n1 and row["n1"] == n1
+    d, n = row["n0"] - row["n1"], row["n0"] + row["n1"]
+    assert row["chi_square"] == pytest.approx(d * d / n)
+    assert row["srm_flag"] == int(d * d * 10**5 > 384146 * n)
+
+
+def test_ldiversity_flags_homogeneous_class(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.audit import q_ldiversity_audit
+
+    root = str(tmp_path_factory.mktemp("ldiv"))
+    rows = []
+    # class (BUILDING, 1): 10 rows ALL in one balance bracket → l = 1
+    for i in range(10):
+        rows.append((i, f"Customer#{i:09d}", 1, 500.0, "BUILDING"))
+    # class (MACHINERY, 2): 3 distinct brackets → l = 3, safe
+    for i in range(10, 19):
+        rows.append((i, f"Customer#{i:09d}", 2, float((i % 3) * 1000 + 10), "MACHINERY"))
+    _write(
+        spark, root, "customer", rows,
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    out = {r["c_mktsegment"]: r for r in q_ldiversity_audit(spark, root).collect()}
+    assert out["BUILDING"]["min_l"] == 1
+    assert out["BUILDING"]["n_low_diversity"] == 1
+    assert out["BUILDING"]["rows_exposed"] == 10
+    assert out["MACHINERY"]["min_l"] == 3
+    assert out["MACHINERY"]["n_low_diversity"] == 0
+
+
+# ---------------------------------------------------------------------------
+# collocations / zipf / trigrams
+# ---------------------------------------------------------------------------
+
+
+def test_collocation_lift_hand_computed(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        q_text_collocations_lift,
+    )
+
+    root = str(tmp_path_factory.mktemp("colloc"))
+    # "a b" always adjacent (5 times); "c d" co-occur but only 5 adjacencies
+    # diluted among frequent c/d unigrams elsewhere
+    docs = [(i, "a b c d c c d d", "en", "s", 10) for i in range(5)]
+    _write(
+        spark, root, "documents", docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    rows = q_text_collocations_lift(spark, root).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in rows}
+    # per doc: 7 bigrams, 8 tokens. c_ab for (a,b)=5; c_a=5, c_b=5; B=35, U=40
+    r = by_pair[("a", "b")]
+    assert r["c_ab"] == 5 and r["c_a"] == 5 and r["c_b"] == 5
+    assert r["lift"] == pytest.approx((5 / 35) / ((5 / 40) * (5 / 40)))
+    # (a,b) with lift 9.14 must outrank (c,d): c_cd=10, c_c=c_d=15
+    assert rows[0]["w1"] == "a" and rows[0]["w2"] == "b"
+    assert by_pair[("c", "d")]["lift"] < r["lift"]
+
+
+def test_zipf_rank_and_product(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.text import q_text_zipf_rankfreq
+
+    root = str(tmp_path_factory.mktemp("zipf"))
+    docs = [(0, "x x x x y y z", "en", "s", 10)]
+    _write(
+        spark, root, "documents", docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    rows = q_text_zipf_rankfreq(spark, root).collect()
+    assert [(r["rank"], r["w"], r["freq"], r["rank_x_freq"]) for r in rows] == [
+        (1, "x", 4, 4),
+        (2, "y", 2, 4),
+        (3, "z", 1, 3),
+    ]
+    assert rows[0]["share"] == pytest.approx(4 / 7)
+
+
+def test_path_trigrams_hand_computed(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        q_events_path_trigrams,
+    )
+
+    root = str(tmp_path_factory.mktemp("tri"))
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: v,c,p,v → trigrams (v,c,p), (c,p,v); user 2: v,c,p → (v,c,p)
+    seq = [(1, ["view", "click", "purchase", "view"]), (2, ["view", "click", "purchase"])]
+    eid = 0
+    for uid, types in seq:
+        for j, t in enumerate(types):
+            rows.append((eid, base + dt.timedelta(minutes=j), uid, t, 1.0, "{}"))
+            eid += 1
+    _write(
+        spark, root, "events", rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    out = {(r["t1"], r["t2"], r["t3"]): r for r in q_events_path_trigrams(spark, root).collect()}
+    assert out[("view", "click", "purchase")]["n_paths"] == 2
+    assert out[("click", "purchase", "view")]["n_paths"] == 1
+    assert out[("view", "click", "purchase")]["share"] == pytest.approx(2 / 3)
+
+
+# ---------------------------------------------------------------------------
+# salsa
+# ---------------------------------------------------------------------------
+
+
+def test_salsa_mass_conservation_and_hub_dominance(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.graph import (
+        SALSA_FP,
+        q_graph_salsa,
+    )
+
+    root = str(tmp_path_factory.mktemp("salsa"))
+    # customers 1..6 all buy from supplier 100; only customer 1 buys from 200
+    orders, lines = [], []
+    ok = 0
+    for cust in range(1, 7):
+        supps = [100] if cust > 1 else [100, 200]
+        for sp in supps:
+            orders.append((ok, cust, "O", 10.0, dt.datetime(1995, 1, 2), "5-LOW"))
+            lines.append(
+                (ok, 1, sp, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.datetime(1995, 1, 5))
+            )
+            ok += 1
+    _write(
+        spark, root, "orders", orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(spark, root, "lineitem", lines, _LI_SCHEMA)
+    rows = q_graph_salsa(spark, root).collect()
+    by_supp = {r["supp"]: r for r in rows}
+    # stochastic walk conserves mass up to DIV truncation (< 1 per term)
+    total = sum(r["authority_fp"] for r in rows)
+    assert SALSA_FP * 0.99 <= total <= SALSA_FP
+    # Lempel-Moran: within one connected component the authority walk's
+    # stationary mass is INDEGREE-proportional — 6/7 vs 1/7 here, and the
+    # iteration must already be close after 3 alternations
+    assert by_supp[100]["indeg"] == 6 and by_supp[200]["indeg"] == 1
+    assert by_supp[100]["authority"] == pytest.approx(6 / 7, rel=0.02)
+    assert by_supp[200]["authority"] == pytest.approx(1 / 7, rel=0.1)

@@ -390,6 +390,75 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# l-diversity audit (the rung above k-anonymity)
+# ---------------------------------------------------------------------------
+
+LDIV_L = 3          # required distinct sensitive values per QI class
+LDIV_BAL_BIN = 1000  # account-balance bin width (the sensitive attribute)
+
+
+def q_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit of the customer table: k-anonymity
+    (``kanon_audit``) only bounds CLASS SIZE — a class of 50 rows that all
+    share one account-balance bracket still leaks the sensitive value to
+    anyone who can place a customer in the class (the homogeneity attack
+    k-anonymity famously misses; Machanavajjhala et al. 2007). Under QI
+    (mktsegment, nation) with the sensitive attribute = acctbal÷{bin}
+    bracket, report per segment: classes, rows, classes below l={l}
+    distinct brackets, rows exposed in them, and the worst (minimum)
+    class diversity — the release gate is min_l ≥ {l}.
+
+    Plan: one COUNT DISTINCT agg over QI (hash-partial expandable), one
+    segment rollup on the QI-domain-bounded class table — the kanon_audit
+    shape with a distinct-count in the middle; no joins, no windows."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(F.expr(f"CAST(floor(c_acctbal / {LDIV_BAL_BIN}) AS BIGINT)")).alias(
+            "l_distinct"
+        ),
+    )
+    low = F.col("l_distinct") < LDIV_L
+    return (
+        classes.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+            F.sum(F.when(low, 1).otherwise(0)).alias("n_low_diversity"),
+            F.sum(F.when(low, F.col("class_size")).otherwise(0)).alias("rows_exposed"),
+            F.min("l_distinct").alias("min_l"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+q_ldiversity_audit.__doc__ = q_ldiversity_audit.__doc__.format(
+    bin=LDIV_BAL_BIN, l=LDIV_L
+)
+
+_ORACLE_LDIVERSITY = f"""
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT CAST(floor(c_acctbal / {LDIV_BAL_BIN}) AS BIGINT)) AS l_distinct
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_classes,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_distinct < {LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity,
+       CAST(SUM(CASE WHEN l_distinct < {LDIV_L} THEN class_size ELSE 0 END) AS BIGINT)
+         AS rows_exposed,
+       CAST(MIN(l_distinct) AS BIGINT) AS min_l
+FROM classes
+GROUP BY 1
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # Benford first-digit audit (fraud/synthetic-data screening)
 # ---------------------------------------------------------------------------
 
@@ -565,6 +634,7 @@ FROM (SELECT COUNT(*) AS class_size FROM documents GROUP BY {keys})""")
 
 
 QUERIES = {
+    "ldiversity_audit": q_ldiversity_audit,
     "dq_audit": q_dq_audit,
     "snapshot_diff": q_snapshot_diff,
     "table_stats": q_table_stats,
@@ -575,6 +645,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ldiversity_audit": _ORACLE_LDIVERSITY,
     "dq_audit": _ORACLE_DQ_AUDIT,
     "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
     "table_stats": _sql_table_stats(),

@@ -671,6 +671,67 @@ GROUP BY 1, 2
 
 
 
+TRIGRAM_TOP = 25
+
+
+def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step journey paths: counts of consecutive event-type
+    TRIGRAMS per user — the sequence-mining rung above
+    ``events_transitions`` (first-order pairs miss patterns like
+    view→click→purchase vs view→click→error, the difference between a
+    converting funnel and a broken one). Support plus corpus share per
+    path, top-{top} under a total order.
+
+    Scale shape: the same single keyed-window shuffle as transitions —
+    two ``lead``s instead of one ``lag``, NO self-joins (the naive
+    3-way-join formulation shuffles the stream three times); the count
+    agg runs over the |types|³ ≤ 125 path domain, map-side combinable.
+    Ties on ts break by event_id, so the sequence is total-ordered and
+    the oracle agrees.
+    """.format(top=TRIGRAM_TOP)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = events.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    counts = tri.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("n_paths"))
+    tot = counts.agg(F.sum("n_paths").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n_paths",
+            (F.col("n_paths").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
+        .limit(TRIGRAM_TOP)
+    )
+
+
+_ORACLE_EVENTS_PATH_TRIGRAMS = f"""
+WITH seq AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+  FROM events
+), counts AS (
+  SELECT t1, t2, t3, COUNT(*) AS n_paths
+  FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+  GROUP BY 1, 2, 3
+), tot AS (SELECT SUM(n_paths) AS total FROM counts)
+SELECT t1, t2, t3, CAST(n_paths AS BIGINT) AS n_paths,
+       CAST(n_paths AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM counts CROSS JOIN tot
+ORDER BY n_paths DESC, t1, t2, t3
+LIMIT {TRIGRAM_TOP}
+"""
+
 # ---------------------------------------------------------------------------
 # Sweep-line session concurrency
 # ---------------------------------------------------------------------------
@@ -4046,6 +4107,7 @@ QUERIES = {
     "events_gap_fill": q_events_gap_fill,
     "events_zscore_anomaly": q_events_zscore_anomaly,
     "events_transitions": q_events_transitions,
+    "events_path_trigrams": q_events_path_trigrams,
     "events_max_concurrency": q_events_max_concurrency,
     "events_attribution": q_events_attribution,
     "events_session_funnel": q_events_session_funnel,
@@ -4093,6 +4155,7 @@ ORACLE = {
     "events_gap_fill": _ORACLE_EVENTS_GAP_FILL,
     "events_zscore_anomaly": _ORACLE_EVENTS_ZSCORE,
     "events_transitions": _ORACLE_EVENTS_TRANSITIONS,
+    "events_path_trigrams": _ORACLE_EVENTS_PATH_TRIGRAMS,
     "events_max_concurrency": _ORACLE_EVENTS_MAX_CONCURRENCY,
     "events_attribution": _ORACLE_EVENTS_ATTRIBUTION,
     "events_session_funnel": _ORACLE_EVENTS_SESSION_FUNNEL,

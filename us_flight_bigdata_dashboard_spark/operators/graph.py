@@ -1510,7 +1510,130 @@ ORDER BY k
 """
 
 
+
+# ---------------------------------------------------------------------------
+# SALSA authority ranking on the customer→supplier bipartite graph (round 8)
+# ---------------------------------------------------------------------------
+
+SALSA_FP = 10**12   # integer fixed-point mass (the markov/pagerank scale)
+SALSA_ITERS = 3     # full hub→authority→hub alternations, unrolled
+SALSA_TOP = 20
+
+
+def q_graph_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA authority scores (Lempel & Moran 2000) over the bipartite
+    customer→supplier purchase graph: HITS' hub/authority alternation
+    with STOCHASTIC normalization — each half-step spreads every node's
+    mass equally over its edges instead of L2-normalizing afterwards.
+    That choice is what makes the whole computation exact integer
+    fixed-point: mass is conserved (no global renormalize, hence no
+    overflow ladder and no sqrt), and each term is one
+    ``mass DIV degree`` — the ``events_markov_stationary`` discipline on
+    a bipartite double walk. The classic use: "authoritative suppliers"
+    = those reachable from many well-connected customers, a different
+    (and more manipulation-resistant) signal than raw degree.
+
+    {it} unrolled alternations from the uniform customer start; the
+    oracle unrolls the identical integer recurrence through MATERIALIZED
+    CTEs. Scale shape: the edge build is the data-sized step (distinct
+    (cust, supp) via one join + dedup, localCheckpoint'd once); each
+    half-step is an edge⋈mass equi-join + hash agg — linear in edges,
+    {it} rounds; the final top-{top} is a domain-sized sort.
+    """.format(it=SALSA_ITERS, top=SALSA_TOP)
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("cust").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    indeg = edges.groupBy("supp").agg(F.count(F.lit(1)).cast("long").alias("indeg"))
+    e_out = edges.join(outdeg, "cust").localCheckpoint(eager=True)
+    e_in = edges.join(indeg, "supp").localCheckpoint(eager=True)
+    n_cust = outdeg.count()  # scalar: node count, not data-sized
+    h = outdeg.select(
+        "cust", (F.lit(SALSA_FP) / F.lit(n_cust)).cast("long").alias("mass")
+    )
+    a = None
+    for _ in range(SALSA_ITERS):
+        a = (
+            e_out.join(h, "cust")
+            .select("supp", F.expr("mass DIV outdeg").alias("part"))
+            .groupBy("supp")
+            .agg(F.sum("part").cast("long").alias("mass"))
+            .localCheckpoint(eager=True)
+        )
+        h = (
+            e_in.join(a, "supp")
+            .select("cust", F.expr("mass DIV indeg").alias("part"))
+            .groupBy("cust")
+            .agg(F.sum("part").cast("long").alias("mass"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        a.join(indeg, "supp")
+        .select(
+            "supp",
+            F.col("mass").alias("authority_fp"),
+            (F.col("mass").cast("double") / F.lit(float(SALSA_FP))).alias("authority"),
+            "indeg",
+        )
+        .orderBy(F.desc("authority_fp"), F.asc("supp"))
+        .limit(SALSA_TOP)
+    )
+
+
+def _sql_salsa() -> str:
+    base = f"""
+edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+outdeg AS MATERIALIZED (
+  SELECT cust, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
+),
+indeg AS MATERIALIZED (
+  SELECT supp, CAST(COUNT(*) AS BIGINT) AS indeg FROM edges GROUP BY 1
+),
+h0 AS MATERIALIZED (
+  SELECT cust, CAST({SALSA_FP} // (SELECT COUNT(*) FROM outdeg) AS BIGINT) AS mass
+  FROM outdeg
+)"""
+    rounds = []
+    prev_h = "h0"
+    for i in range(1, SALSA_ITERS + 1):
+        rounds.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT e.supp, CAST(SUM(h.mass // o.outdeg) AS BIGINT) AS mass
+  FROM edges e JOIN outdeg o ON e.cust = o.cust JOIN {prev_h} h ON e.cust = h.cust
+  GROUP BY 1
+),
+h{i} AS MATERIALIZED (
+  SELECT e.cust, CAST(SUM(a.mass // i.indeg) AS BIGINT) AS mass
+  FROM edges e JOIN indeg i ON e.supp = i.supp JOIN a{i} a ON e.supp = a.supp
+  GROUP BY 1
+)""")
+        prev_h = f"h{i}"
+    return (
+        "WITH "
+        + base
+        + ","
+        + ",".join(rounds)
+        + f"""
+SELECT a.supp AS supp, a.mass AS authority_fp,
+       CAST(a.mass AS DOUBLE) / CAST({SALSA_FP} AS DOUBLE) AS authority,
+       i.indeg
+FROM a{SALSA_ITERS} a JOIN indeg i ON a.supp = i.supp
+ORDER BY authority_fp DESC, supp ASC
+LIMIT {SALSA_TOP}
+"""
+    )
+
+
 QUERIES = {
+    "graph_salsa": q_graph_salsa,
     "graph_communities": q_graph_communities,
     "graph_supplier_similarity": q_graph_supplier_similarity,
     "graph_pagerank": q_graph_pagerank,
@@ -1528,6 +1651,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "graph_salsa": _sql_salsa(),
     "graph_communities": _sql_graph_communities(),
     "graph_supplier_similarity": _ORACLE_SUPPLIER_SIMILARITY,
     "graph_pagerank": _sql_pagerank(),

@@ -496,7 +496,92 @@ ORDER BY o_orderkey
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Business-day (weekday-aware) lag arithmetic (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _weekday_cum(x):
+    """Weekdays among Monday-origin day indices [0, x): 5 per full week
+    plus min(remainder, 5) — pure integer DIV/%/LEAST on both engines."""
+    return F.lit(5) * F.expr(f"({x}) DIV 7") + F.least(
+        F.expr(f"({x}) % 7"), F.lit(5)
+    )
+
+
+def q_business_days_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship fulfillment lag in BUSINESS DAYS per order priority —
+    calendar-day lags overstate weekend-spanning fulfillments by up to 2
+    days, so every operations SLA counts weekdays. The count of weekdays
+    in (order_date, ship_date] has an exact closed form: C(x) = 5·(x DIV
+    7) + min(x mod 7, 5) counts weekdays among Monday-origin day indices
+    [0, x); the Monday-origin shift is +3 (1970-01-01 was Thursday;
+    epoch-day 4 was a Monday) and counting the HALF-OPEN (o, s] rather
+    than [o, s) adds one more — hence weekdays(o, s] = C(s+4) − C(o+4).
+    No calendar table, no per-day explode, no engine week functions (the
+    fiscal_445 discipline) — three integer ops per row, verified against
+    a day-by-day Python brute force in tests/test_round8_ops.py.
+
+    Scale shape: one fact-to-fact equi-join on the order key (both sides
+    pre-projected to two columns) and one 5-group map-side-combinable
+    agg; the lag expression fuses into the scan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    lag = _weekday_cum("datediff(l_shipdate, DATE'1970-01-01') + 4") - _weekday_cum(
+        "datediff(o_orderdate, DATE'1970-01-01') + 4"
+    )
+    rows = j.select(F.col("o_orderpriority"), lag.alias("biz_lag"))
+    return (
+        rows.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("biz_lag").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sum_lag"),
+            F.min("biz_lag").cast("long").alias("min_lag"),
+            F.max("biz_lag").cast("long").alias("max_lag"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            (F.col("sum_lag") / F.col("n_lines").cast("double")).alias("avg_biz_days"),
+            "min_lag",
+            "max_lag",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _sql_business_days() -> str:
+    def cum(x):
+        return f"(5 * (({x}) // 7) + LEAST(({x}) % 7, 5))"
+
+    sd = "(CAST(l_shipdate AS DATE) - DATE '1970-01-01') + 4"
+    od = "(CAST(o_orderdate AS DATE) - DATE '1970-01-01') + 4"
+    return f"""
+WITH rows_t AS (
+  SELECT o_orderpriority,
+         {cum(sd)} - {cum(od)} AS biz_lag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(biz_lag AS DECIMAL(38,0))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_biz_days,
+       CAST(MIN(biz_lag) AS BIGINT) AS min_lag,
+       CAST(MAX(biz_lag) AS BIGINT) AS max_lag
+FROM rows_t
+GROUP BY 1
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "business_days_lag": q_business_days_lag,
     "asof_join": q_asof_join,
     "interval_overlap_counts": q_interval_overlap_counts,
     "asof_join_forward": q_asof_join_forward,
@@ -505,6 +590,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "business_days_lag": _sql_business_days(),
     "asof_join": _ORACLE_ASOF_JOIN,
     "interval_overlap_counts": _ORACLE_INTERVAL_OVERLAP_COUNTS,
     "asof_join_forward": _ORACLE_ASOF_JOIN_FORWARD,

@@ -2261,7 +2261,171 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Collocation mining by lift (round 8)
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_SUPPORT = 5   # bigram count floor — kills one-off noise pairs
+COLLOC_TOP = 30
+
+
+def q_text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram collocation mining ranked by LIFT — the rational
+    surrogate for PMI (PMI = log(lift), and log is banned by the
+    portability policy; lift preserves the exact ranking, which is all a
+    collocation list consumes). lift(a,b) = P(ab)/(P(a)·P(b)) computed as
+    (c_ab/B) / ((c_a/U)·(c_b/U)) in ONE fixed IEEE op order from exact
+    integer counts. The multiword-expression detector every tokenizer
+    pipeline runs before vocabulary freezing.
+
+    Scale shape: one positional explode per document (length-
+    proportional), two map-side-combinable count aggs (bigrams,
+    unigrams); the unigram table is vocabulary-bounded and broadcast
+    onto the bigram counts twice; global totals are 1-row broadcasts.
+    Support floor {sup} + top-{top} under a total order.
+    """.format(sup=COLLOC_MIN_SUPPORT, top=COLLOC_TOP)
+    docs = load_table(spark, sf_dir, "documents").select(
+        _tokens(F.col("text")).alias("toks")
+    )
+    toks = docs.filter(F.size("toks") >= 2)  # sequence(1,0) descends — guard
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("toks")),
+                    lambda i: F.struct(
+                        F.element_at("toks", i - 1).alias("w1"),
+                        F.element_at("toks", i).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = (
+        docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    tot_bi = bigrams.agg(F.sum("c_ab").alias("total_bi"))
+    tot_uni = uni.agg(F.sum("c_w").alias("total_uni"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    ud = F.col("total_uni").cast("double")
+    lift = (F.col("c_ab").cast("double") / F.col("total_bi").cast("double")) / (
+        (F.col("c_a").cast("double") / ud) * (F.col("c_b").cast("double") / ud)
+    )
+    return (
+        bigrams.filter(F.col("c_ab") >= COLLOC_MIN_SUPPORT)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(tot_bi))
+        .crossJoin(F.broadcast(tot_uni))
+        .select("w1", "w2", "c_ab", "c_a", "c_b", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(COLLOC_TOP)
+    )
+
+
+def _sql_collocations() -> str:
+    t = _sql_tokens("text")
+    return f"""
+WITH toks AS (
+  SELECT {t} AS toks FROM documents
+), bigrams AS (
+  SELECT toks[i.i - 1] AS w1, toks[i.i] AS w2
+  FROM toks, unnest(generate_series(2, len(toks))) AS i(i)
+  WHERE len(toks) >= 2
+), bg AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM bigrams GROUP BY 1, 2
+), uni AS (
+  SELECT w, COUNT(*) AS c_w FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY 1
+), tot AS (
+  SELECT (SELECT SUM(c_ab) FROM bg) AS total_bi,
+         (SELECT SUM(c_w) FROM uni) AS total_uni
+)
+SELECT bg.w1, bg.w2, CAST(bg.c_ab AS BIGINT) AS c_ab,
+       CAST(ua.c_w AS BIGINT) AS c_a, CAST(ub.c_w AS BIGINT) AS c_b,
+       (CAST(bg.c_ab AS DOUBLE) / CAST(tot.total_bi AS DOUBLE))
+         / ((CAST(ua.c_w AS DOUBLE) / CAST(tot.total_uni AS DOUBLE))
+            * (CAST(ub.c_w AS DOUBLE) / CAST(tot.total_uni AS DOUBLE))) AS lift
+FROM bg
+JOIN uni ua ON ua.w = bg.w1
+JOIN uni ub ON ub.w = bg.w2
+CROSS JOIN tot
+WHERE bg.c_ab >= {COLLOC_MIN_SUPPORT}
+ORDER BY lift DESC, bg.w1 ASC, bg.w2 ASC
+LIMIT {COLLOC_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency audit (round 8)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 30
+
+
+def q_text_zipf_rankfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency table of the corpus vocabulary: rank r by
+    frequency (ties broken by word — total order), the rank·frequency
+    product (near-constant for natural text, the classic Zipf check),
+    and each word's corpus share. Synthetic or template-generated text
+    shows a FLAT product curve (this corpus does — the uniform-vocabulary
+    generator is visible in exactly this audit), scraped natural text a
+    decaying one; the plot every corpus-health dashboard starts with.
+
+    Scale shape: one token-explode count agg (map-side combinable) to a
+    VOCABULARY-sized table; the rank window runs over that frame, not
+    the data. Exact integers + two final divisions."""
+    uni = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tot = uni.agg(F.sum("freq").alias("total"))
+    rk = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w")))
+    return (
+        uni.crossJoin(F.broadcast(tot))
+        .select(
+            rk.alias("rank"),
+            "w",
+            "freq",
+            (rk * F.col("freq")).cast("long").alias("rank_x_freq"),
+            (F.col("freq").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("rank")
+        .limit(ZIPF_TOP)
+    )
+
+
+def _sql_zipf() -> str:
+    t = _sql_tokens("text")
+    return f"""
+WITH uni AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest({t}) AS w FROM documents)
+  GROUP BY 1
+), tot AS (SELECT SUM(freq) AS total FROM uni)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC) AS BIGINT) AS rank,
+       w, CAST(freq AS BIGINT) AS freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC) * freq AS BIGINT)
+         AS rank_x_freq,
+       CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM uni CROSS JOIN tot
+ORDER BY rank
+LIMIT {ZIPF_TOP}
+"""
+
+
 QUERIES = {
+    "text_collocations_lift": q_text_collocations_lift,
+    "text_zipf_rankfreq": q_text_zipf_rankfreq,
     "text_ngram_novelty": q_text_ngram_novelty,
     "vocab_growth_curve": q_vocab_growth_curve,
     "text_token_count": q_text_token_count,
@@ -2292,6 +2456,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_collocations_lift": _sql_collocations(),
+    "text_zipf_rankfreq": _sql_zipf(),
     "text_ngram_novelty": _ORACLE_TEXT_NGRAM_NOVELTY,
     "vocab_growth_curve": _ORACLE_VOCAB_GROWTH_CURVE,
     "text_token_count": _ORACLE_TEXT_TOKEN_COUNT,
