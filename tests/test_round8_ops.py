@@ -278,3 +278,69 @@ def test_salsa_mass_conservation_and_hub_dominance(spark, tmp_path_factory):
     assert by_supp[100]["indeg"] == 6 and by_supp[200]["indeg"] == 1
     assert by_supp[100]["authority"] == pytest.approx(6 / 7, rel=0.02)
     assert by_supp[200]["authority"] == pytest.approx(1 / 7, rel=0.1)
+
+
+# ---------------------------------------------------------------------------
+# binary quantization / forecast metrics
+# ---------------------------------------------------------------------------
+
+
+def test_binary_quant_codes_and_selfrecall(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        q_embedding_binary_quant,
+    )
+
+    root = str(tmp_path_factory.mktemp("bq"))
+    # vec 0 and vec 1 are sign-identical (Hamming 0); vec 2 flips all dims.
+    # filler vecs keep the pool big enough for top-5.
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = [0.1 * ((i % 5) - 2) + 0.05 for i in range(64)]  # mixed signs
+    rows = [
+        (0, unit(base), 0),
+        (1, unit([x * 2 for x in base]), 0),           # same signs as 0
+        (2, unit([-x for x in base]), 1),              # all signs flipped
+    ] + [
+        (3 + j, unit([x + 0.02 * j for x in base]), 2) for j in range(6)
+    ]
+    _write(spark, root, "embeddings", rows, "vec_id bigint, embedding array<float>, label int")
+    out = {r["query_id"]: r for r in q_embedding_binary_quant(spark, root).collect()}
+    # probe 0: its cosine-nearest is vec 1 (same direction), which is also
+    # Hamming-nearest (distance 0) — recall must include that hit
+    assert out[0]["n_truth"] == 5
+    assert out[0]["n_hits"] >= 1
+    assert 0.0 <= out[0]["recall"] <= 1.0
+
+
+def test_mase_hand_computed(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        q_forecast_mase_smape,
+    )
+
+    root = str(tmp_path_factory.mktemp("mase"))
+    # 9 days of "view" counts: 10,12,10,12,10,12,10, then 11,13 —
+    # seasonal-naive (lag 7) forecasts days 8,9 as 10,12 → abs errs 1,1
+    counts = [10, 12, 10, 12, 10, 12, 10, 11, 13]
+    rows, eid = [], 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + d, 12, 0, eid % 60), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    _write(
+        spark, root, "events", rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    (row,) = q_forecast_mase_smape(spark, root).collect()
+    assert row["n_eval_days"] == 2 and row["sum_abs_err"] == 2
+    # one-step diffs: |12-10|x6 ... day2..day9 diffs: 2,2,2,2,2,2,1,2 = 15 over 8
+    assert row["n_insample"] == 8 and row["sum_d1"] == 15
+    assert row["mase"] == pytest.approx((2 / 2) / (15 / 8))
+    smape_expected = (2 * 1 / 21 + 2 * 1 / 25) / 2
+    assert row["smape"] == pytest.approx(smape_expected, abs=1e-9)

@@ -1142,6 +1142,119 @@ ORDER BY event_type
 """
 
 
+
+FMASE_SEASON = 7  # seasonal-naive lag (days) — matches events_forecast_baseline
+
+
+def q_forecast_mase_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-free forecast-quality metrics for the seasonal-naive
+    baseline: MASE (Hyndman & Koehler 2006 — MAE relative to the
+    in-sample one-step naive MAE; < 1 means "beats the naive random
+    walk", comparable ACROSS series of different volumes, which raw
+    MAE/MAPE are not) and sMAPE (bounded symmetric percentage error),
+    per event type. ``events_forecast_baseline`` reports the raw
+    MAE/bias; this entry is the normalized rung a forecast LEADERBOARD
+    needs to rank models across types.
+
+    Exactness: both MAE sums are exact integers (daily counts); MASE is
+    ONE division of two exact rationals. The sMAPE terms 2|f−a|/(f+a)
+    are per-row doubles summed with the decimal-quantized ``dsum``
+    (each term ≤ 2, scale 12 — partition-order-free). Day gaps can't
+    corrupt either lag: both the seasonal and the one-step lag are
+    gap-proof equi-joins on day arithmetic, not LAG windows.
+
+    Scale shape: one additive daily aggregate (the only fact-sized
+    work), two self-joins + one rollup on the days×types frame."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("actual")
+    )
+    season = daily.select(
+        F.date_add(F.col("day"), FMASE_SEASON).alias("day"),
+        "event_type",
+        F.col("actual").alias("forecast"),
+    )
+    one_step = daily.select(
+        F.date_add(F.col("day"), 1).alias("day"),
+        "event_type",
+        F.col("actual").alias("prev"),
+    )
+    fa = F.col("forecast").cast("double") + F.col("actual").cast("double")
+    smape_term = (
+        F.lit(2.0)
+        * F.abs(F.col("actual") - F.col("forecast")).cast("double")
+        / fa
+    )
+    scored = daily.join(season, ["day", "event_type"]).select(
+        "event_type",
+        F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+        smape_term.alias("smape_term"),
+    )
+    num = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_eval_days"),
+        F.sum("abs_err").cast("long").alias("sum_abs_err"),
+        dsum(F.col("smape_term"), scale=12).alias("smape_sum"),
+    )
+    den = (
+        daily.join(one_step, ["day", "event_type"])
+        .select("event_type", F.abs(F.col("actual") - F.col("prev")).alias("d1"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_insample"),
+            F.sum("d1").cast("long").alias("sum_d1"),
+        )
+    )
+    mase = (
+        F.col("sum_abs_err").cast("double") / F.col("n_eval_days").cast("double")
+    ) / (F.col("sum_d1").cast("double") / F.col("n_insample").cast("double"))
+    return (
+        num.join(den, "event_type")
+        .select(
+            "event_type",
+            "n_eval_days",
+            "sum_abs_err",
+            "n_insample",
+            "sum_d1",
+            mase.alias("mase"),
+            (F.col("smape_sum") / F.col("n_eval_days").cast("double")).alias("smape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_FORECAST_MASE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS actual
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.event_type,
+         ABS(d.actual - p.actual) AS abs_err,
+         2.0 * CAST(ABS(d.actual - p.actual) AS DOUBLE)
+           / (CAST(p.actual AS DOUBLE) + CAST(d.actual AS DOUBLE)) AS smape_term
+  FROM daily d JOIN daily p
+    ON d.event_type = p.event_type AND d.day = p.day + INTERVAL {FMASE_SEASON} DAY
+), num AS (
+  SELECT event_type, COUNT(*) AS n_eval_days,
+         CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+         {sql_dsum("smape_term", scale=12)} AS smape_sum
+  FROM scored GROUP BY 1
+), den AS (
+  SELECT d.event_type, COUNT(*) AS n_insample,
+         CAST(SUM(ABS(d.actual - p.actual)) AS BIGINT) AS sum_d1
+  FROM daily d JOIN daily p
+    ON d.event_type = p.event_type AND d.day = p.day + INTERVAL 1 DAY
+  GROUP BY 1
+)
+SELECT n.event_type, n.n_eval_days, n.sum_abs_err, d.n_insample, d.sum_d1,
+       (CAST(n.sum_abs_err AS DOUBLE) / CAST(n.n_eval_days AS DOUBLE))
+         / (CAST(d.sum_d1 AS DOUBLE) / CAST(d.n_insample AS DOUBLE)) AS mase,
+       n.smape_sum / CAST(n.n_eval_days AS DOUBLE) AS smape
+FROM num n JOIN den d USING (event_type)
+ORDER BY n.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rolling 7-day active users (engagement metric over a bounded range join)
 # ---------------------------------------------------------------------------
@@ -4108,6 +4221,7 @@ QUERIES = {
     "events_zscore_anomaly": q_events_zscore_anomaly,
     "events_transitions": q_events_transitions,
     "events_path_trigrams": q_events_path_trigrams,
+    "forecast_mase_smape": q_forecast_mase_smape,
     "events_max_concurrency": q_events_max_concurrency,
     "events_attribution": q_events_attribution,
     "events_session_funnel": q_events_session_funnel,
@@ -4156,6 +4270,7 @@ ORACLE = {
     "events_zscore_anomaly": _ORACLE_EVENTS_ZSCORE,
     "events_transitions": _ORACLE_EVENTS_TRANSITIONS,
     "events_path_trigrams": _ORACLE_EVENTS_PATH_TRIGRAMS,
+    "forecast_mase_smape": _ORACLE_FORECAST_MASE,
     "events_max_concurrency": _ORACLE_EVENTS_MAX_CONCURRENCY,
     "events_attribution": _ORACLE_EVENTS_ATTRIBUTION,
     "events_session_funnel": _ORACLE_EVENTS_SESSION_FUNNEL,

@@ -2095,7 +2095,139 @@ ORDER BY label_a, label_b
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization recall eval (round 8)
+# ---------------------------------------------------------------------------
+
+_BQ_WORDS = (0, 32)  # two 32-bit words — bit 63 sign games avoided entirely
+
+
+def _sign_word_expr(lo: int) -> str:
+    """64→2×32-bit sign-bit pack: bit i of word = (embedding[lo+i+1] > 0).
+    Column-shift shiftleft must go through SQL (the pyspark wrapper takes
+    only literal shifts — see memory note in sketches.py)."""
+    return (
+        f"aggregate(transform(sequence(0, 31), i -> "
+        f"IF(element_at(embedding, CAST(i + {lo + 1} AS INT)) > CAST(0 AS FLOAT), "
+        f"shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), CAST(0 AS BIGINT))), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+
+
+def q_embedding_binary_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of 1-BIT (sign) embedding quantization against exact
+    cosine ground truth — the most aggressive compression on the
+    quantization ladder (float32 → 1 bit = 32× smaller, Hamming distance
+    via two XOR+popcount ops), the hot path of binary-embedding retrieval
+    (BQ in Vespa/Lucene, Cohere int8/binary embeddings). Sits beside
+    ``ann_recall_eval`` (index recall) and ``embedding_matryoshka_eval``
+    (dimension-truncation recall) as the third axis: PRECISION truncation.
+
+    Exactness: the code build is integer bit arithmetic on exact float
+    sign tests; Hamming is integer; the only floats are the ground-truth
+    cosines inherited from ``q_knn_bruteforce`` (sequential-fold dot).
+    Scale shape: codes build in one narrow scan projection (64 floats →
+    2 longs per row — this is the point of BQ at 100 TB: the candidate
+    scan touches 8 bytes/vector); the {q}-probe × corpus Hamming scan
+    broadcasts the probe codes; top-{k} per probe via one windowed rank.
+    """.format(k=RECALL_K, q=N_QUERY_VECS)
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        F.expr(_sign_word_expr(0)).alias("w1"),
+        F.expr(_sign_word_expr(32)).alias("w2"),
+    )
+    probes = codes.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("q1"),
+        F.col("w2").alias("q2"),
+    )
+    ham = (
+        F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+        + F.bit_count(F.col("w2").bitwiseXOR(F.col("q2")))
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(codes)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("approx_neighbor"), ham.alias("hamming")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("approx_neighbor")
+    )
+    approx = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= RECALL_K
+    )
+    truth = (
+        q_knn_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        truth.join(
+            approx,
+            (truth["query_id"] == approx["query_id"])
+            & (truth["neighbor_id"] == approx["approx_neighbor"]),
+            "left",
+        )
+        .select(truth["query_id"], "neighbor_id", "approx_neighbor")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("approx_neighbor").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_truth").cast("double")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_binary_quant() -> str:
+    def word(lo: int) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(0, 32), i -> "
+            f"CASE WHEN embedding[i + {lo + 1}] > 0 "
+            f"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+        )
+
+    return f"""
+WITH codes AS (
+  SELECT vec_id, {word(0)} AS w1, {word(32)} AS w2 FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS approx_neighbor,
+         bit_count(xor(c.w1, q.w1)) + bit_count(xor(c.w2, q.w2)) AS hamming
+  FROM codes q JOIN codes c
+    ON q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+), approx AS (
+  SELECT query_id, approx_neighbor FROM (
+    SELECT query_id, approx_neighbor,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, approx_neighbor ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {RECALL_K}
+), truth AS (
+  SELECT query_id, neighbor_id FROM ({_sql_knn_bruteforce()}) WHERE rank <= {RECALL_K}
+)
+SELECT t.query_id AS query_id, COUNT(*) AS n_truth,
+       CAST(COUNT(a.approx_neighbor) AS BIGINT) AS n_hits,
+       COUNT(a.approx_neighbor) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.approx_neighbor = t.neighbor_id
+GROUP BY t.query_id
+ORDER BY query_id
+"""
+
+
 QUERIES = {
+    "embedding_binary_quant": q_embedding_binary_quant,
     "embedding_mmr_select": q_embedding_mmr_select,
     "embedding_centroid_separation": q_embedding_centroid_separation,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
@@ -2118,6 +2250,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embedding_binary_quant": _sql_binary_quant(),
     "embedding_centroid_separation": _ORACLE_CENTROID_SEP,
     "embedding_mmr_select": _sql_mmr_select(),
     "dedup_threshold_sweep": _sql_dedup_threshold_sweep(),
