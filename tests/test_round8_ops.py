@@ -344,3 +344,67 @@ def test_mase_hand_computed(spark, tmp_path_factory):
     assert row["mase"] == pytest.approx((2 / 2) / (15 / 8))
     smape_expected = (2 * 1 / 21 + 2 * 1 / 25) / 2
     assert row["smape"] == pytest.approx(smape_expected, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# skyline / matview delta
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_keeps_frontier_and_duplicate_ties(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        q_pareto_skyline_suppliers,
+    )
+
+    root = str(tmp_path_factory.mktemp("skyline"))
+    # one line per supplier: unit price = extendedprice/qty, lag = ship-order
+    # supplier: (price, lag): 1:(10,5) 2:(20,1) 3:(15,3) frontier;
+    # 4:(16,4) dominated by 3; 5:(10,5) exact twin of 1 -> co-survives
+    specs = {1: (10, 5), 2: (20, 1), 3: (15, 3), 4: (16, 4), 5: (10, 5)}
+    orders, lines = [], []
+    for sk, (price, lag) in specs.items():
+        orders.append((sk, 1, "O", 100.0, dt.datetime(1995, 1, 2), "5-LOW"))
+        lines.append(
+            (sk, 1, sk, 1, 1.0, float(price), 0.0, 0.0, "N", "O",
+             dt.datetime(1995, 1, 2) + dt.timedelta(days=lag))
+        )
+    _write(
+        spark, root, "orders", orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(spark, root, "lineitem", lines, _LI_SCHEMA)
+    kept = sorted(r["l_suppkey"] for r in q_pareto_skyline_suppliers(spark, root).collect())
+    assert kept == [1, 2, 3, 5], kept
+
+
+def test_matview_delta_equals_recompute(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.mutation import (
+        MV_DEL_MOD,
+        MV_INS_MOD,
+        q_matview_delta_maintenance,
+    )
+
+    root = str(tmp_path_factory.mktemp("matview"))
+    # keys 0..199 incl. key 0 (both delete AND insert-source) — the
+    # double-membership case the oracle once under-counted
+    orders = [
+        (k, 1, "O", float(100 + k), dt.datetime(1995, 1, 2), "5-LOW")
+        for k in range(200)
+    ]
+    _write(
+        spark, root, "orders", orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    (row,) = q_matview_delta_maintenance(spark, root).collect()
+    keys = list(range(200))
+    kept = [k for k in keys if k % MV_DEL_MOD != 0]
+    ins = [k for k in keys if k % MV_INS_MOD == 0]
+    exp_n = len(kept) + len(ins)
+    exp_cents = sum((100 + k) * 100 for k in kept) + sum(
+        (110 + k) * 100 for k in ins
+    )
+    assert row["n_orders"] == exp_n
+    assert row["revenue_cents"] == exp_cents
+    assert row["n_delta_rows"] == len([k for k in keys if k % MV_DEL_MOD == 0]) + len(ins)

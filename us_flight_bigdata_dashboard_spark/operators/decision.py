@@ -2479,7 +2479,102 @@ ORDER BY fiscal_year, fiscal_period
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (round 8)
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal suppliers on (cost, speed): the SKYLINE operator —
+    keep every supplier no other supplier dominates (cheaper-or-equal AND
+    faster-or-equal, strictly better somewhere). The classic multi-
+    criteria shortlist (Börzsönyi et al. 2001, the operator relational
+    engines never shipped); cost = average effective line price, speed =
+    average ship lag in days, both exact rationals from integer/cent
+    sums.
+
+    Scale shape: the naive skyline is an O(n²) self-join; in 2-D it
+    collapses to ONE SORTED SCAN — order by (cost asc, lag asc) and keep
+    rows whose lag is strictly below the running minimum of all
+    PRECEDING lags (equal-cost ties resolved by the secondary sort: the
+    first row of a cost group survives, later rows only with strictly
+    smaller lag). The window runs over the SUPPLIER aggregate (|S|
+    rows), not the fact table — the only data-sized work is the metric
+    aggregation. The oracle is the textbook NOT-EXISTS dominance test,
+    so the sorted-scan rewrite is verified against the definition, not
+    against itself."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    per_supp = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("price_cents"),
+        F.sum(F.col("l_quantity").cast("decimal(38,0)")).cast("double").alias("qty"),
+        F.sum(F.datediff("l_shipdate", "o_orderdate").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("lag_days"),
+    )
+    metrics = per_supp.select(
+        "l_suppkey",
+        "n_lines",
+        (F.col("price_cents") / F.col("qty") / F.lit(100.0)).alias("avg_unit_price"),
+        (F.col("lag_days") / F.col("n_lines").cast("double")).alias("avg_ship_lag"),
+    )
+    # running LEXICOGRAPHIC min of (lag, price) over all preceding rows:
+    # survive iff (lag, price) <= that pair — strictly-smaller prior lag
+    # kills the row, an equal-lag prior row kills it only when strictly
+    # cheaper, and an exact-duplicate point correctly CO-SURVIVES (the
+    # textbook skyline keeps incomparable ties; a plain min(lag) scan
+    # would wrongly drop twins).
+    w = Window.orderBy(F.asc("avg_unit_price"), F.asc("avg_ship_lag")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run_min = F.min(F.struct("avg_ship_lag", "avg_unit_price")).over(w)
+    cur = F.struct("avg_ship_lag", "avg_unit_price")
+    return (
+        metrics.withColumn("_prev_min", run_min)
+        .filter(F.col("_prev_min").isNull() | (cur <= F.col("_prev_min")))
+        .select("l_suppkey", "n_lines", "avg_unit_price", "avg_ship_lag")
+        .orderBy("avg_unit_price", "l_suppkey")
+    )
+
+
+_ORACLE_PARETO_SKYLINE = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         COUNT(*) AS n_lines,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE)
+           AS price_cents,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE) AS qty,
+         CAST(SUM(CAST((CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE))
+                       AS DECIMAL(38,0))) AS DOUBLE) AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+), metrics AS (
+  SELECT l_suppkey, n_lines,
+         price_cents / qty / 100.0 AS avg_unit_price,
+         lag_days / CAST(n_lines AS DOUBLE) AS avg_ship_lag
+  FROM per_supp
+)
+SELECT m.l_suppkey, m.n_lines, m.avg_unit_price, m.avg_ship_lag
+FROM metrics m
+WHERE NOT EXISTS (
+  SELECT 1 FROM metrics d
+  WHERE d.avg_unit_price <= m.avg_unit_price
+    AND d.avg_ship_lag <= m.avg_ship_lag
+    AND (d.avg_unit_price < m.avg_unit_price OR d.avg_ship_lag < m.avg_ship_lag)
+)
+ORDER BY avg_unit_price, l_suppkey
+"""
+
+
 QUERIES = {
+    "pareto_skyline_suppliers": q_pareto_skyline_suppliers,
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
     "revenue_yoy_growth": q_revenue_yoy_growth,
@@ -2517,6 +2612,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pareto_skyline_suppliers": _ORACLE_PARETO_SKYLINE,
     "customer_rfm_segments": _ORACLE_CUSTOMER_RFM_SEGMENTS,
     "market_concentration_hhi": _ORACLE_HHI,
     "revenue_yoy_growth": _ORACLE_YOY,

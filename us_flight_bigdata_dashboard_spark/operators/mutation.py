@@ -600,7 +600,112 @@ ORDER BY n_versions
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (round 8)
+# ---------------------------------------------------------------------------
+
+MV_DEL_MOD = 97   # deterministic CDC simulation: delete keys % 97 == 0
+MV_INS_MOD = 89   # insert modified copies of keys % 89 == 0
+
+
+def q_matview_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an additive materialized view: the MV
+    (orders per priority: count + revenue cents) is updated by a CDC
+    delta batch — deletes as multiplicity −1, inserts as +1 — WITHOUT
+    rescanning the base table, and the gate verifies the delta ALGEBRA
+    against a full recompute over the modified table (the oracle). This
+    is the view-maintenance contract every warehouse MV / streaming agg
+    relies on (additive aggregates form a commutative group, so apply-
+    delta ≡ recompute); a sign error, a double-application, or a missed
+    anti-join shows up as a hash mismatch. ``q_mv_incremental`` above
+    covers the APPEND-ONLY refresh (partition partials merged); this
+    entry covers the general CDC case — deletes need the group INVERSE
+    (multiplicity −1), which append-only merging cannot express.
+
+    The CDC batch is hash-deterministic: delete every order with key ≡ 0
+    (mod {d}); insert a modified copy (+10.00 total) of every order with
+    key ≡ 0 (mod {i}) under an offset key. Scale shape: the base MV is
+    one map-side-combinable agg (in production it already EXISTS — here
+    it is built once to have a base state); the delta path aggregates
+    ONLY the delta rows and merges on the |priorities| frame via one
+    broadcast-sized outer join. Counts/cents are exact integers.
+    """.format(d=MV_DEL_MOD, i=MV_INS_MOD)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base_mv = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents.cast("decimal(38,0)")).cast("long").alias("revenue_cents"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % MV_DEL_MOD == 0).select(
+        "o_orderpriority", F.lit(-1).alias("mult"), cents.alias("cents")
+    )
+    ins_cents = F.round((F.col("o_totalprice") + F.lit(10.0)) * 100).cast("long")
+    inserts = orders.filter(F.col("o_orderkey") % MV_INS_MOD == 0).select(
+        "o_orderpriority", F.lit(1).alias("mult"), ins_cents.alias("cents")
+    )
+    delta = deletes.unionByName(inserts)
+    delta_mv = delta.groupBy("o_orderpriority").agg(
+        F.sum("mult").cast("long").alias("d_n"),
+        F.sum((F.col("mult") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("d_cents"),
+        F.count(F.lit(1)).alias("n_delta_rows"),
+    )
+    return (
+        base_mv.join(delta_mv, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce(F.col("n_orders"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("revenue_cents"), F.lit(0))
+                + F.coalesce(F.col("d_cents"), F.lit(0))
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            F.coalesce(F.col("n_delta_rows"), F.lit(0)).cast("long").alias("n_delta_rows"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# The oracle RECOMPUTES from the modified logical table — delta algebra
+# must equal recompute, which is the entire point of the entry.
+_ORACLE_MATVIEW_DELTA = f"""
+WITH modified AS (
+  SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % {MV_DEL_MOD} <> 0
+  UNION ALL
+  SELECT o_orderpriority, CAST(ROUND((o_totalprice + 10.0) * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % {MV_INS_MOD} = 0
+), delta_n AS (
+  SELECT o_orderpriority,
+         SUM(CASE WHEN o_orderkey % {MV_DEL_MOD} = 0 THEN 1 ELSE 0 END
+             + CASE WHEN o_orderkey % {MV_INS_MOD} = 0 THEN 1 ELSE 0 END)
+           AS n_delta_rows
+  FROM orders
+  WHERE o_orderkey % {MV_DEL_MOD} = 0 OR o_orderkey % {MV_INS_MOD} = 0
+  GROUP BY 1
+), agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS revenue_cents
+  FROM modified GROUP BY 1
+)
+SELECT a.o_orderpriority,
+       CAST(a.n_orders AS BIGINT) AS n_orders,
+       a.revenue_cents,
+       CAST(COALESCE(d.n_delta_rows, 0) AS BIGINT) AS n_delta_rows
+FROM agg a LEFT JOIN delta_n d USING (o_orderpriority)
+ORDER BY a.o_orderpriority
+"""
+
+
 QUERIES = {
+    "matview_delta_maintenance": q_matview_delta_maintenance,
     "merge_upsert": q_merge_upsert,
     "mv_incremental": q_mv_incremental,
     "scd2_history": q_scd2_history,
@@ -612,6 +717,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "matview_delta_maintenance": _ORACLE_MATVIEW_DELTA,
     "merge_upsert": _ORACLE_MERGE_UPSERT,
     "mv_incremental": _ORACLE_MV_INCREMENTAL,
     "scd2_history": _ORACLE_SCD2_HISTORY,
