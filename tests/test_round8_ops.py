@@ -408,3 +408,58 @@ def test_matview_delta_equals_recompute(spark, tmp_path_factory):
     assert row["n_orders"] == exp_n
     assert row["revenue_cents"] == exp_cents
     assert row["n_delta_rows"] == len([k for k in keys if k % MV_DEL_MOD == 0]) + len(ins)
+
+
+# ---------------------------------------------------------------------------
+# contamination / boxplot
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_planted_overlap(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        q_benchmark_contamination,
+    )
+
+    root = str(tmp_path_factory.mktemp("contam"))
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (0, bench_text, "en", "src0", 30),                       # benchmark
+        (1, "x " + bench_text + " y", "en", "src1", 30),         # contains it
+        (2, "one two three four five six seven", "en", "src1", 30),  # clean
+        (3, "alpha beta gamma delta epsilon", "en", "src2", 30),  # exact 5-gram
+    ]
+    _write(
+        spark, root, "documents", docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {r["source"]: r for r in q_benchmark_contamination(spark, root).collect()}
+    # doc 1 shares two 5-grams windows (alpha..epsilon, beta..zeta)
+    assert out["src1"]["n_contaminated"] == 1 and out["src1"]["n_docs"] == 2
+    assert out["src1"]["max_shared_grams"] == 2
+    assert out["src1"]["contaminated_share"] == pytest.approx(0.5)
+    assert out["src2"]["n_contaminated"] == 1
+    assert out["src2"]["max_shared_grams"] == 1
+
+
+def test_boxplot_hand_computed(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.breadth import q_boxplot_stats
+
+    root = str(tmp_path_factory.mktemp("boxplot"))
+    # values 1..11 plus one extreme outlier 100 (n=12):
+    # ranks: p25=(12+3)//4=3 -> 3.0; p50=(13)//2=6 -> 6.0; p75=(39)//4=9 -> 9.0
+    # IQR=6; hi fence 9+9=18 -> only 100 is out; lo fence 3-9=-6 -> none
+    vals = list(range(1, 12)) + [100]
+    orders = [
+        (i, 1, "O", float(v), dt.datetime(1995, 1, 2), "1-URGENT")
+        for i, v in enumerate(vals)
+    ]
+    _write(
+        spark, root, "orders", orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    (row,) = q_boxplot_stats(spark, root).collect()
+    assert row["n_orders"] == 12
+    assert (row["min_cents"], row["p25_cents"], row["p50_cents"],
+            row["p75_cents"], row["max_cents"]) == (100, 300, 600, 900, 10000)
+    assert row["n_outliers"] == 1

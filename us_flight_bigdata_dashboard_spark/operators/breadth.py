@@ -710,7 +710,109 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Per-group box-plot (five-number + IQR outliers) (round 8)
+# ---------------------------------------------------------------------------
+
+
+def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority box-plot statistics of order value: min / p25 / p50 /
+    p75 / max as EXACT rank picks over integer cents, plus the Tukey
+    1.5·IQR outlier count — the five-number summary every distribution
+    panel draws, per group in ONE pass. Quartile ranks use the house
+    (k·n + k+? → ceil) DIV convention of ``reorder_interval``; the
+    fence compare is cross-multiplied integers (2·x vs 5·p75 − 3·p25 ⇔
+    x vs p75 + 1.5·IQR) so no float appears anywhere in the outlier
+    predicate.
+
+    Scale shape: one per-group sort window for ranks (group-keyed — no
+    global sort), one conditional-aggregate rollup per group; outlier
+    counting joins the 5-row quartile frame BACK as a broadcast, so the
+    second pass is a scan + broadcast hash join, map-side combinable."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    pick = lambda expr: F.max(F.when(F.col("rn") == F.expr(expr), F.col("cents")))  # noqa: E731
+    quart = ranked.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        F.min("cents").alias("min_cents"),
+        pick("(n + 3) DIV 4").alias("p25_cents"),
+        pick("(n + 1) DIV 2").alias("p50_cents"),
+        pick("(3 * n + 3) DIV 4").alias("p75_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    withq = orders.join(F.broadcast(quart.select(
+        "o_orderpriority", "p25_cents", "p75_cents"
+    )), "o_orderpriority")
+    # x > p75 + 1.5(p75−p25) ⇔ 2x > 5·p75 − 3·p25 ; low fence symmetric
+    hi = F.col("cents") * 2 > F.col("p75_cents") * 5 - F.col("p25_cents") * 3
+    lo = F.col("cents") * 2 < F.col("p25_cents") * 5 - F.col("p75_cents") * 3
+    outliers = withq.groupBy("o_orderpriority").agg(
+        F.sum(F.when(hi | lo, 1).otherwise(0)).cast("long").alias("n_outliers")
+    )
+    return (
+        quart.join(outliers, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "min_cents",
+            "p25_cents",
+            "p50_cents",
+            "p75_cents",
+            "max_cents",
+            "n_outliers",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_BOXPLOT = """
+WITH cents_t AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_orderkey) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM cents_t
+), quart AS (
+  SELECT o_orderpriority,
+         MAX(n) AS n_orders,
+         MIN(cents) AS min_cents,
+         MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS p25_cents,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+         MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS p75_cents,
+         MAX(cents) AS max_cents
+  FROM ranked GROUP BY 1
+), outl AS (
+  SELECT c.o_orderpriority,
+         CAST(SUM(CASE WHEN c.cents * 2 > q.p75_cents * 5 - q.p25_cents * 3
+                         OR c.cents * 2 < q.p25_cents * 5 - q.p75_cents * 3
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM cents_t c JOIN quart q USING (o_orderpriority)
+  GROUP BY 1
+)
+SELECT q.o_orderpriority, q.n_orders, q.min_cents, q.p25_cents, q.p50_cents,
+       q.p75_cents, q.max_cents, o.n_outliers
+FROM quart q JOIN outl o USING (o_orderpriority)
+ORDER BY q.o_orderpriority
+"""
+
+
 QUERIES = {
+    "boxplot_stats": q_boxplot_stats,
     "group_mode": q_group_mode,
     "pivot_status": q_pivot_status,
     "global_rank_bucketed": q_global_rank_bucketed,
@@ -729,6 +831,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "boxplot_stats": _ORACLE_BOXPLOT,
     "group_mode": _ORACLE_GROUP_MODE,
     "global_rank_bucketed": _ORACLE_GLOBAL_RANK_BUCKETED,
     "exact_quantiles_bucketed": _sql_exact_quantiles(),

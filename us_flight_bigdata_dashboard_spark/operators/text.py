@@ -2423,8 +2423,126 @@ LIMIT {ZIPF_TOP}
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination screen (round 8)
+# ---------------------------------------------------------------------------
+
+CONTAM_N = 5              # n-gram size (words) — the Brown et al. GPT-3 scale
+CONTAM_BENCH_SRC = "src0"  # the held-out "benchmark" source
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: which TRAINING documents share a
+    {n}-gram with the held-out benchmark set (source '{b}')? The check
+    every serious pretraining pipeline runs before training (GPT-3
+    appendix C used 13-gram overlap; smaller n = stricter), because
+    train/test leakage silently inflates evals. Per training source:
+    document count, contaminated count (≥ 1 shared {n}-gram), share, and
+    the worst per-doc overlap count.
+
+    Exactness: grams are compared as STRINGS (space-joined windows) — no
+    hashing, no false positives; counts are integers, one share division.
+    Scale shape: both sides explode to position-windowed grams (length-
+    proportional, the substring-dedup shape); the benchmark gram set
+    dedupes to its domain and the overlap is an equi-JOIN on the gram —
+    at 100 TB the benchmark side is tiny (benchmarks are), so AQE
+    broadcasts it and the train side never shuffles; the per-doc rollup
+    is one map-side-combinable agg. A production variant hashes grams to
+    8 bytes first — same plan, smaller shuffle width.
+    """.format(n=CONTAM_N, b=CONTAM_BENCH_SRC)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens(F.col("text")).alias("toks")
+    )
+    grams = (
+        docs.filter(F.size("toks") >= CONTAM_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - CONTAM_N),
+                    lambda i: F.array_join(F.slice("toks", i + 1, CONTAM_N), " "),
+                )
+            ).alias("gram"),
+        )
+    )
+    bench = (
+        grams.filter(F.col("source") == CONTAM_BENCH_SRC)
+        .select("gram")
+        .distinct()
+    )
+    train = grams.filter(F.col("source") != CONTAM_BENCH_SRC)
+    overlaps = (
+        train.join(bench, "gram")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    train_docs = docs.filter(F.col("source") != CONTAM_BENCH_SRC).select(
+        "doc_id", "source"
+    )
+    per_doc = train_docs.join(overlaps, ["doc_id", "source"], "left").select(
+        "source", F.coalesce(F.col("n_shared_grams"), F.lit(0)).alias("n_shared")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_shared") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.max("n_shared").cast("long").alias("max_shared_grams"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            (F.col("n_contaminated").cast("double") / F.col("n_docs").cast("double")).alias(
+                "contaminated_share"
+            ),
+            "max_shared_grams",
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_contamination() -> str:
+    t = _sql_tokens("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {t} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         array_to_string(toks[i.i + 1 : i.i + {CONTAM_N}], ' ') AS gram
+  FROM toks, unnest(generate_series(0, len(toks) - {CONTAM_N})) AS i(i)
+  WHERE len(toks) >= {CONTAM_N}
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE source = '{CONTAM_BENCH_SRC}'
+), ovl AS (
+  SELECT g.doc_id, g.source, COUNT(*) AS n_shared_grams
+  FROM grams g JOIN bench b USING (gram)
+  WHERE g.source <> '{CONTAM_BENCH_SRC}'
+  GROUP BY 1, 2
+), per_doc AS (
+  SELECT d.source, COALESCE(o.n_shared_grams, 0) AS n_shared
+  FROM toks d LEFT JOIN ovl o ON d.doc_id = o.doc_id
+  WHERE d.source <> '{CONTAM_BENCH_SRC}'
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS contaminated_share,
+       CAST(MAX(n_shared) AS BIGINT) AS max_shared_grams
+FROM per_doc
+GROUP BY 1
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_collocations_lift": q_text_collocations_lift,
+    "benchmark_contamination": q_benchmark_contamination,
     "text_zipf_rankfreq": q_text_zipf_rankfreq,
     "text_ngram_novelty": q_text_ngram_novelty,
     "vocab_growth_curve": q_vocab_growth_curve,
@@ -2457,6 +2575,7 @@ QUERIES = {
 
 ORACLE = {
     "text_collocations_lift": _sql_collocations(),
+    "benchmark_contamination": _sql_contamination(),
     "text_zipf_rankfreq": _sql_zipf(),
     "text_ngram_novelty": _ORACLE_TEXT_NGRAM_NOVELTY,
     "vocab_growth_curve": _ORACLE_VOCAB_GROWTH_CURVE,
