@@ -463,3 +463,57 @@ def test_boxplot_hand_computed(spark, tmp_path_factory):
     assert (row["min_cents"], row["p25_cents"], row["p50_cents"],
             row["p75_cents"], row["max_cents"]) == (100, 300, 600, 900, 10000)
     assert row["n_outliers"] == 1
+
+
+# ---------------------------------------------------------------------------
+# variant shredding / activity islands
+# ---------------------------------------------------------------------------
+
+
+def test_variant_extracts_typed_k(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.relational import (
+        q_variant_json_shred,
+    )
+
+    root = str(tmp_path_factory.mktemp("variant"))
+    rows = [
+        (0, dt.datetime(2024, 1, 1), 1, "view", 1.0, '{"k": 5}'),
+        (1, dt.datetime(2024, 1, 1), 1, "view", 1.0, '{"k": 7}'),
+        (2, dt.datetime(2024, 1, 1), 1, "view", 1.0, '{"other": 1}'),  # no k
+    ]
+    _write(
+        spark, root, "events", rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    (row,) = q_variant_json_shred(spark, root).collect()
+    assert (row["n_events"], row["n_with_k"], row["sum_k"], row["min_k"],
+            row["max_k"]) == (3, 2, 12, 5, 7)
+
+
+def test_activity_islands_hand_computed(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        q_events_activity_islands,
+    )
+
+    root = str(tmp_path_factory.mktemp("islands"))
+    # user 1 active days 1,2,3, 5 → islands len 3 and 1 (longest 3)
+    # user 2 active days 1, 3 → two islands len 1 (longest 1)
+    active = {1: [1, 2, 3, 5], 2: [1, 3]}
+    rows, eid = [], 0
+    for uid, ds in active.items():
+        for d in ds:
+            rows.append(
+                (eid, dt.datetime(2024, 1, d, 8, 0, 0), uid, "view", 1.0, "{}")
+            )
+            eid += 1
+    _write(
+        spark, root, "events", rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    out = {r["island_len"]: r for r in q_events_activity_islands(spark, root).collect()}
+    assert out[1]["n_islands"] == 3          # one from user 1, two from user 2
+    assert out[1]["n_users_longest"] == 1    # only user 2's longest is 1
+    assert out[3]["n_islands"] == 1
+    assert out[3]["n_users_longest"] == 1

@@ -671,6 +671,85 @@ GROUP BY 1, 2
 
 
 
+
+def q_events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day ISLANDS per user — the date-contiguity
+    gaps-and-islands (distinct active days, islands where day − rank is
+    constant), reported as the island-length histogram plus how many
+    users' LONGEST run has that length. The calendar twin of the
+    event-type streak processor (``streaming_streaks_replay`` folds
+    type-runs sequentially; this derives date-runs relationally — two
+    different machineries for the "N in a row" family).
+
+    Exactness: days are epoch-day integers; the island id (day − rank)
+    is exact integer arithmetic; everything after is counts. Scale
+    shape: one distinct over (user, day) — map-side combinable — one
+    user-keyed rank window, two tiny aggs over the islands frame; the
+    histogram is bounded by the date span, not the data."""
+    events = load_table(spark, sf_dir, "events")
+    days = (
+        events.filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = (
+        days.select(
+            "user_id", (F.col("d") - F.row_number().over(w)).alias("island_id")
+        )
+        .groupBy("user_id", "island_id")
+        .agg(F.count(F.lit(1)).alias("island_len"))
+    )
+    hist = islands.groupBy("island_len").agg(F.count(F.lit(1)).alias("n_islands"))
+    longest = (
+        islands.groupBy("user_id")
+        .agg(F.max("island_len").alias("island_len"))
+        .groupBy("island_len")
+        .agg(F.count(F.lit(1)).alias("n_users_longest"))
+    )
+    return (
+        hist.join(longest, "island_len", "left")
+        .select(
+            "island_len",
+            "n_islands",
+            F.coalesce(F.col("n_users_longest"), F.lit(0))
+            .cast("long")
+            .alias("n_users_longest"),
+        )
+        .orderBy("island_len")
+    )
+
+
+_ORACLE_ACTIVITY_ISLANDS = """
+WITH days_t AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS d
+  FROM events WHERE ts IS NOT NULL
+), islands AS (
+  SELECT user_id, d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+           AS island_id
+  FROM days_t
+), sized AS (
+  SELECT user_id, island_id, COUNT(*) AS island_len
+  FROM islands GROUP BY 1, 2
+), hist AS (
+  SELECT island_len, COUNT(*) AS n_islands FROM sized GROUP BY 1
+), longest AS (
+  SELECT island_len, COUNT(*) AS n_users_longest
+  FROM (SELECT user_id, MAX(island_len) AS island_len FROM sized GROUP BY 1)
+  GROUP BY 1
+)
+SELECT h.island_len, h.n_islands,
+       CAST(COALESCE(l.n_users_longest, 0) AS BIGINT) AS n_users_longest
+FROM hist h LEFT JOIN longest l USING (island_len)
+ORDER BY h.island_len
+"""
+
+
+
 TRIGRAM_TOP = 25
 
 
@@ -4221,6 +4300,7 @@ QUERIES = {
     "events_zscore_anomaly": q_events_zscore_anomaly,
     "events_transitions": q_events_transitions,
     "events_path_trigrams": q_events_path_trigrams,
+    "events_activity_islands": q_events_activity_islands,
     "forecast_mase_smape": q_forecast_mase_smape,
     "events_max_concurrency": q_events_max_concurrency,
     "events_attribution": q_events_attribution,
@@ -4270,6 +4350,7 @@ ORACLE = {
     "events_zscore_anomaly": _ORACLE_EVENTS_ZSCORE,
     "events_transitions": _ORACLE_EVENTS_TRANSITIONS,
     "events_path_trigrams": _ORACLE_EVENTS_PATH_TRIGRAMS,
+    "events_activity_islands": _ORACLE_ACTIVITY_ISLANDS,
     "forecast_mase_smape": _ORACLE_FORECAST_MASE,
     "events_max_concurrency": _ORACLE_EVENTS_MAX_CONCURRENCY,
     "events_attribution": _ORACLE_EVENTS_ATTRIBUTION,

@@ -1546,7 +1546,60 @@ FROM ranked WHERE rk = 1
 """
 
 
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured shredding (round 8)
+# ---------------------------------------------------------------------------
+
+
+def q_variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: the
+    events ``props`` JSON column is parsed ONCE into the binary VARIANT
+    encoding (``parse_json``) and fields are extracted with typed path
+    access (``try_variant_get``) — the open-format answer (Parquet
+    VARIANT shredding / Iceberg v3) to "JSON columns are strings".
+    Aggregates the extracted ``k`` property per event type: count,
+    non-null count, exact integer sum, min/max — proving the typed
+    extraction path end-to-end, not just parse.
+
+    Scale shape: parse + extract fuse into the scan projection (narrow,
+    no shuffle); one map-side-combinable agg. At 100 TB the win is
+    storage-side: VARIANT shredding pushes path projection into the
+    reader, so ``$.k`` decodes without materializing the JSON text —
+    the DataFrame shape here is exactly what that reader serves. The
+    oracle extracts the same path with DuckDB's native JSON accessor —
+    two independent JSON implementations must agree on typing."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_VARIANT_SHRED = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CAST(props ->> '$.k' AS BIGINT)) AS n_with_k,
+       CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "variant_json_shred": q_variant_json_shred,
     "star_join_agg": q_star_join_agg,
     "correlated_above_avg": q_correlated_above_avg,
     "pricing_summary": q_pricing_summary,
@@ -1585,6 +1638,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "variant_json_shred": _ORACLE_VARIANT_SHRED,
     "star_join_agg": _ORACLE_STAR_JOIN_AGG,
     "correlated_above_avg": _ORACLE_CORRELATED_ABOVE_AVG,
     "pricing_summary": _ORACLE_PRICING_SUMMARY,
