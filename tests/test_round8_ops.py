@@ -517,3 +517,22 @@ def test_activity_islands_hand_computed(spark, tmp_path_factory):
     assert out[1]["n_users_longest"] == 1    # only user 2's longest is 1
     assert out[3]["n_islands"] == 1
     assert out[3]["n_users_longest"] == 1
+
+
+def test_weighted_median_respects_weights(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.breadth import (
+        q_weighted_median_price,
+    )
+
+    root = str(tmp_path_factory.mktemp("wmedian"))
+    # three lines, unit prices 1.00/2.00/3.00 with weights 1/1/8:
+    # row median = 2.00 but 8 of 10 units cost 3.00 → weighted median 300c
+    rows = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1995, 1, 2)),
+        (2, 1, 1, 1, 1.0, 2.0, 0.0, 0.0, "N", "O", dt.datetime(1995, 1, 2)),
+        (3, 1, 1, 1, 8.0, 24.0, 0.0, 0.0, "N", "O", dt.datetime(1995, 1, 2)),
+    ]
+    _write(spark, root, "lineitem", rows, _LI_SCHEMA)
+    (row,) = q_weighted_median_price(spark, root).collect()
+    assert row["total_qty"] == 10
+    assert row["weighted_median_cents"] == 300

@@ -811,7 +811,85 @@ ORDER BY q.o_orderpriority
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Weighted order statistics (round 8)
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-WEIGHTED median unit price per return flag: the value at
+    which half the purchased VOLUME is cheaper — the number pricing
+    actually cares about, and materially different from the row-median
+    when large orders cluster at one end. Weighted order statistics via
+    the classic cumulative-weight rank pick: sort by value within the
+    group, running sum of integer weights, pick the first value whose
+    cumulative weight reaches half the total (cross-multiplied integer
+    compare 2·cum ≥ W — no float in the pick).
+
+    Exactness: weights are integer quantities; unit price is exact cents
+    (extendedprice is quantity·unit-price by construction, so the
+    division is exact at 2 dp and rendered as cents DIV). Scale shape:
+    one group-keyed sort window + one conditional-min rollup — the same
+    single-shuffle shape as every per-group rank pick; the row-median
+    twin is ``boxplot_stats``."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("w"),
+        F.expr(
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) DIV CAST(l_quantity AS BIGINT)"
+        ).alias("unit_cents"),
+    )
+    wspec = Window.partitionBy("l_returnflag").orderBy(
+        "unit_cents", "l_orderkey", "l_linenumber"
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "unit_cents",
+        F.sum("w").over(wspec).alias("cum_w"),
+        F.sum("w").over(tot).alias("total_w"),
+    )
+    return (
+        cum.filter(F.col("cum_w") * 2 >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("total_w").alias("total_qty"),
+            F.min("unit_cents").alias("weighted_median_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_WEIGHTED_MEDIAN = """
+WITH base AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS w,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           // CAST(l_quantity AS BIGINT) AS unit_cents
+  FROM lineitem
+), cum AS (
+  SELECT l_returnflag, unit_cents,
+         SUM(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY unit_cents, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS cum_w,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS total_w
+  FROM base
+)
+SELECT l_returnflag,
+       CAST(MAX(total_w) AS BIGINT) AS total_qty,
+       CAST(MIN(unit_cents) AS BIGINT) AS weighted_median_cents
+FROM cum
+WHERE cum_w * 2 >= total_w
+GROUP BY 1
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "weighted_median_price": q_weighted_median_price,
     "boxplot_stats": q_boxplot_stats,
     "group_mode": q_group_mode,
     "pivot_status": q_pivot_status,
@@ -831,6 +909,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "weighted_median_price": _ORACLE_WEIGHTED_MEDIAN,
     "boxplot_stats": _ORACLE_BOXPLOT,
     "group_mode": _ORACLE_GROUP_MODE,
     "global_rank_bucketed": _ORACLE_GLOBAL_RANK_BUCKETED,

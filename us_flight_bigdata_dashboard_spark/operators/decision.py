@@ -2492,7 +2492,10 @@ def q_pareto_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     criteria shortlist (Börzsönyi et al. 2001, the operator relational
     engines never shipped); cost = average effective line price, speed =
     average ship lag in days, both exact rationals from integer/cent
-    sums.
+    sums. ``breadth.q_skyline_pareto`` solves the INTEGER-bucketed case
+    (p_size has ≤50 values → per-size min + threshold table); this entry
+    is the CONTINUOUS-domain general form, where no bucketing exists and
+    the sorted-scan with a running lexicographic min is the right plan.
 
     Scale shape: the naive skyline is an O(n²) self-join; in 2-D it
     collapses to ONE SORTED SCAN — order by (cost asc, lag asc) and keep

@@ -1598,6 +1598,8 @@ ORDER BY event_type
 """
 
 
+
+
 QUERIES = {
     "variant_json_shred": q_variant_json_shred,
     "star_join_agg": q_star_join_agg,
