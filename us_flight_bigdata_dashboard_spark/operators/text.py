@@ -2433,13 +2433,16 @@ CONTAM_BENCH_SRC = "src0"  # the held-out "benchmark" source
 
 
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination screen: which TRAINING documents share a
-    {n}-gram with the held-out benchmark set (source '{b}')? The check
-    every serious pretraining pipeline runs before training (GPT-3
-    appendix C used 13-gram overlap; smaller n = stricter), because
-    train/test leakage silently inflates evals. Per training source:
-    document count, contaminated count (≥ 1 shared {n}-gram), share, and
-    the worst per-doc overlap count.
+    """Per-SOURCE contamination report: which training SOURCES leak the
+    held-out benchmark (source '{b}'), at what rate? The sibling of
+    ``sampling.q_decontaminate`` one level up the governance ladder:
+    that entry lists the per-document overlaps a filter would drop (its
+    benchmark cut is an id-fraction, grams are 8 words); THIS entry
+    answers the provenance question — per source: document count,
+    contaminated count (≥ 1 shared {n}-gram, n={n} = stricter), share,
+    and the worst per-doc overlap — the table that decides which
+    SUPPLIER of data gets a quality conversation, and that includes the
+    clean-doc denominator the per-doc list can't report.
 
     Exactness: grams are compared as STRINGS (space-joined windows) — no
     hashing, no false positives; counts are integers, one share division.
