@@ -58,3 +58,33 @@ def sql_dsum(expr: str, scale: int = 4, precision: int = 28) -> str:
 def sql_davg(expr: str, scale: int = 4, precision: int = 28) -> str:
     """ANSI-SQL rendering of ``davg`` for the DuckDB oracle."""
     return f"({sql_dsum(expr, scale, precision)} / COUNT({expr}))"
+
+
+def fsum(c: Column | str, scale: int = 12) -> Column:
+    """FLOOR-quantized deterministic sum — the rounding-mode-insensitive
+    variant of ``dsum``. ``dsum`` quantizes addends with a double→DECIMAL
+    cast, which Spark rounds HALF_UP and DuckDB half-even: an addend
+    landing exactly on a .5·10^-scale boundary diverges by one quantum
+    (found in the wild at round 8: embedding_pca_power at sf0.1 — the
+    gate showed a 1e-12-relative drift). ``floor`` has no mode: identical
+    doubles floor identically everywhere.
+
+    Bounds: |addend|·10^scale must stay < 2^63 (Spark's floor(double)
+    returns LONG) and |sum|·10^scale < ~2^53 (DuckDB's wide-DECIMAL →
+    double conversion is not correctly rounded past the exact window —
+    the round-8 ANOVA lesson). Pick the scale from the addend magnitude
+    AND the row count."""
+    col = F.col(c) if isinstance(c, str) else c
+    q = float(10**scale)
+    return (
+        F.sum(F.floor(col * F.lit(q)).cast("decimal(38,0)")).cast("double")
+        / F.lit(q)
+    )
+
+
+def sql_fsum(expr: str, scale: int = 12) -> str:
+    """ANSI-SQL rendering of ``fsum`` for the DuckDB oracle."""
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * 1e{scale}) AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / 1e{scale})"
+    )

@@ -721,7 +721,7 @@ def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final per-label rollup is all conditional counts. Mean norm =
     decimal-exact sum / count, so the band edges are identical doubles
     on both engines."""
-    from us_flight_bigdata_dashboard_spark.functions.exact import dsum
+    from us_flight_bigdata_dashboard_spark.functions.exact import fsum
 
     emb = load_table(spark, sf_dir, "embeddings")
     # Finite = not NaN AND not ±Inf — a crashed encoder emits BOTH failure
@@ -1646,9 +1646,13 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the start vector is the exact-binary constant
     {PCA_V0} (= 1/√64, so the sign of the result follows the all-positive
     start identically everywhere); every reduction (per-vector dot, per-dim
-    accumulation, squared norm) is the decimal-quantized ``dsum`` —
-    order-free — and the normalizing sqrt/division are single IEEE ops on
-    identical doubles. No tolerance needed in the gate.
+    accumulation, squared norm) is the FLOOR-quantized ``fsum`` —
+    order-free AND rounding-mode-free (round 8: the dsum variant lost
+    one 10^-12 quantum at sf0.1 to the Spark-HALF_UP vs DuckDB-half-even
+    double→DECIMAL cast on a boundary addend; floor has no mode) — and
+    the normalizing sqrt/division are single IEEE ops on identical
+    doubles. Dim-keyed sums quantize at 10^-10 so |sum|·10^scale stays
+    inside the exact-double window past sf1. No tolerance in the gate.
 
     Scale shape: X flattens to one (vec_id, dim, x) table; per iteration,
     Xv is a hash-agg keyed by vec_id with the 64-row v BROADCAST into the
@@ -1657,7 +1661,7 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration, both on natural keys, nothing quadratic. At 100 TB this is
     exactly how distributed Lanczos/PCA sweeps run (the flat form is also
     what a feature store hands to the solver)."""
-    from us_flight_bigdata_dashboard_spark.functions.exact import dsum
+    from us_flight_bigdata_dashboard_spark.functions.exact import fsum
 
     emb = load_table(spark, sf_dir, "embeddings")
     flat = emb.select(
@@ -1670,17 +1674,17 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = (
             flat.join(F.broadcast(v_df), "dim")
             .groupBy("vec_id")
-            .agg(dsum(F.col("x") * F.col("v"), scale=12).alias("s"))
+            .agg(fsum(F.col("x") * F.col("v"), scale=12).alias("s"))
         )
         return (
             flat.join(s, "vec_id")
             .groupBy("dim")
-            .agg(dsum(F.col("x") * F.col("s"), scale=12).alias("w"))
+            .agg(fsum(F.col("x") * F.col("s"), scale=10).alias("w"))
         )
 
     def normalize(w_df: DataFrame) -> DataFrame:
         nrm = w_df.agg(
-            F.sqrt(dsum(F.col("w") * F.col("w"), scale=6)).alias("nrm")
+            F.sqrt(fsum(F.col("w") * F.col("w"), scale=6)).alias("nrm")
         )
         return w_df.crossJoin(F.broadcast(nrm)).select(
             "dim", (F.col("w") / F.col("nrm")).alias("v"), "nrm"
@@ -1699,7 +1703,7 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pca_power() -> str:
-    from us_flight_bigdata_dashboard_spark.functions.exact import sql_dsum
+    from us_flight_bigdata_dashboard_spark.functions.exact import sql_fsum
 
     return f"""
 WITH flat AS (
@@ -1710,22 +1714,22 @@ WITH flat AS (
     FROM embeddings
   )
 ), s1 AS (
-  SELECT vec_id, {sql_dsum(f"x * {PCA_V0}", scale=12)} AS s FROM flat GROUP BY vec_id
+  SELECT vec_id, {sql_fsum(f"x * {PCA_V0}", scale=12)} AS s FROM flat GROUP BY vec_id
 ), w1 AS (
-  SELECT dim, {sql_dsum("x * s", scale=12)} AS w
+  SELECT dim, {sql_fsum("x * s", scale=10)} AS w
   FROM flat JOIN s1 USING (vec_id) GROUP BY dim
 ), n1 AS (
-  SELECT sqrt({sql_dsum("w * w", scale=6)}) AS nrm FROM w1
+  SELECT sqrt({sql_fsum("w * w", scale=6)}) AS nrm FROM w1
 ), v1 AS (
   SELECT dim, w / (SELECT nrm FROM n1) AS v FROM w1
 ), s2 AS (
-  SELECT f.vec_id, {sql_dsum("f.x * v1.v", scale=12)} AS s
+  SELECT f.vec_id, {sql_fsum("f.x * v1.v", scale=12)} AS s
   FROM flat f JOIN v1 ON f.dim = v1.dim GROUP BY f.vec_id
 ), w2 AS (
-  SELECT dim, {sql_dsum("x * s", scale=12)} AS w
+  SELECT dim, {sql_fsum("x * s", scale=10)} AS w
   FROM flat JOIN s2 USING (vec_id) GROUP BY dim
 ), n2 AS (
-  SELECT sqrt({sql_dsum("w * w", scale=6)}) AS nrm FROM w2
+  SELECT sqrt({sql_fsum("w * w", scale=6)}) AS nrm FROM w2
 )
 SELECT dim,
        w / (SELECT nrm FROM n2) AS component,
