@@ -87,8 +87,11 @@ _MODULES = [
 # The three entries modified this round (dedup_sorted_neighborhood's
 # bucketed-rank rewrite, the HLL linear-counting correction pair) are
 # deliberately IN this prefix so the driver certifies the new code.
-# The remaining 36 entries are staged as the round-9 prefix (plus
-# sentinels) to close driver coverage at 100%. All 50 pre-cleared at
+# ROUND-9 STAGING (recompute at r9 start with the usual script —
+# all registry names minus CORRECTNESS_r01..r08 greens minus this
+# prefix): after round 8's 21 additions the never-certified pool is 57
+# entries (the 36 r7 leftovers + the round-8 additions); r9 takes 50,
+# r10 closes the final 7 plus sentinels. All 50 pre-cleared at
 # sf0.001/sf0.01/sf0.1 + PANDAS_CANON + vanilla-ANSI + dtype-parity
 # (round-7 runs; modified entries re-cleared this round). The full matrix
 # is additionally verified by ``tools/check_oracle.py``
