@@ -320,9 +320,16 @@ def q_scan_parquet_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
         import pyarrow.parquet as _pq
 
-        f = sorted(_glob.glob(f"{out}/part-*.parquet"))[0]
-        codec = _pq.ParquetFile(f).metadata.row_group(0).column(0).compression
-        if codec.upper() != "ZSTD":
+        # a part file can legitimately hold ZERO row groups (an empty
+        # write partition — seen at sf0.1); assert the codec on the
+        # first part that actually has one
+        codec = None
+        for f in sorted(_glob.glob(f"{out}/part-*.parquet")):
+            meta = _pq.ParquetFile(f).metadata
+            if meta.num_row_groups:
+                codec = meta.row_group(0).column(0).compression
+                break
+        if codec is None or codec.upper() != "ZSTD":
             raise RuntimeError(f"staged parquet codec is {codec}, not ZSTD")
         cache[sf_dir] = out
     return _rt_digest(

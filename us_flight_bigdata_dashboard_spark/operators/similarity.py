@@ -721,7 +721,7 @@ def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final per-label rollup is all conditional counts. Mean norm =
     decimal-exact sum / count, so the band edges are identical doubles
     on both engines."""
-    from us_flight_bigdata_dashboard_spark.functions.exact import fsum
+    from us_flight_bigdata_dashboard_spark.functions.exact import dsum
 
     emb = load_table(spark, sf_dir, "embeddings")
     # Finite = not NaN AND not ±Inf — a crashed encoder emits BOTH failure
