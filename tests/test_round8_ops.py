@@ -536,3 +536,43 @@ def test_weighted_median_respects_weights(spark, tmp_path_factory):
     (row,) = q_weighted_median_price(spark, root).collect()
     assert row["total_qty"] == 10
     assert row["weighted_median_cents"] == 300
+
+
+def test_standardized_rate_removes_mix_confounding(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        q_standardized_rate_mix,
+    )
+
+    root = str(tmp_path_factory.mktemp("stdrate"))
+    # Simpson setup: both nations have IDENTICAL per-segment urgent rates
+    # (BUILDING 50%, MACHINERY 10%) but nation 0 skews BUILDING-heavy, so
+    # its crude rate is higher; standardization must equalize them.
+    custs, orders, ck, ok = [], [], 0, 0
+    def add(nation, seg, n_cust, urgent_of_two):
+        nonlocal ck, ok
+        for _ in range(n_cust):
+            custs.append((ck, f"Customer#{ck:09d}", nation, 100.0, seg))
+            for j in range(2):
+                prio = "1-URGENT" if j < urgent_of_two else "5-LOW"
+                orders.append((ok, ck, "O", 100.0, dt.datetime(1995, 1, 2), prio))
+                ok += 1
+            ck += 1
+    add(0, "BUILDING", 8, 1)   # rate 0.5
+    add(0, "MACHINERY", 2, 0)  # rate 0.0  (10% overall approx -> use 0 for exactness)
+    add(1, "BUILDING", 2, 1)
+    add(1, "MACHINERY", 8, 0)
+    _write(
+        spark, root, "customer", custs,
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    _write(
+        spark, root, "orders", orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {r["c_nationkey"]: r for r in q_standardized_rate_mix(spark, root).collect()}
+    assert out[0]["crude_rate"] > out[1]["crude_rate"]          # mix artifact
+    assert out[0]["standardized_rate"] == pytest.approx(out[1]["standardized_rate"])
+    # w_BUILDING = 0.5, w_MACHINERY = 0.5; rates 0.5/0.0 -> standardized 0.25
+    assert out[0]["standardized_rate"] == pytest.approx(0.25)

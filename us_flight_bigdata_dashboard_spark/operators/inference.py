@@ -396,7 +396,101 @@ FROM red
 """
 
 
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_standardized_rate_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTLY STANDARDIZED urgent-order rates per nation: each nation's
+    per-segment urgent rate re-weighted by the GLOBAL segment mix — the
+    epidemiology/growth-analytics adjustment that makes rates comparable
+    across populations with different composition (a nation can show a
+    higher crude rate purely because its customers skew toward a
+    high-urgency segment; standardization removes exactly that
+    confounder — Simpson's-paradox insurance for KPI comparisons).
+
+    Exactness: cell counts are integers; each nation's standardized rate
+    is Σ_s w_s·r_ns over the LITERAL five-segment domain in one fixed
+    left-to-right IEEE sequence (the ANOVA reduction discipline), with
+    w_s = global segment share and r_ns the cell rate — empty (nation,
+    segment) cells contribute 0 (documented convention; at any realistic
+    SF all 125 cells are populated). Scale shape: one orders⋈customer
+    equi-join, one (nation, segment) hash agg, then arithmetic on the
+    125-cell frame with two broadcast marginal joins."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    cells = j.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("urgent"),
+    )
+    seg_mix = cells.groupBy("c_mktsegment").agg(F.sum("tot").alias("seg_tot"))
+    grand = seg_mix.agg(F.sum("seg_tot").alias("grand"))
+    rate = F.col("urgent").cast("double") / F.col("tot").cast("double")
+    w = F.col("seg_tot").cast("double") / F.col("grand").cast("double")
+    terms = cells.join(F.broadcast(seg_mix), "c_mktsegment").crossJoin(
+        F.broadcast(grand)
+    )
+    aggs = [
+        F.sum("tot").alias("n_orders"),
+        F.sum("urgent").cast("long").alias("n_urgent"),
+    ]
+    for i, seg in enumerate(_SEGMENTS):
+        aggs.append(
+            F.max(F.when(F.col("c_mktsegment") == seg, w * rate)).alias(f"t{i}")
+        )
+    red = terms.groupBy("c_nationkey").agg(*aggs)
+    std = sum(
+        (F.coalesce(F.col(f"t{i}"), F.lit(0.0)) for i in range(1, len(_SEGMENTS))),
+        F.coalesce(F.col("t0"), F.lit(0.0)),
+    )
+    return red.select(
+        "c_nationkey",
+        "n_orders",
+        (F.col("n_urgent").cast("double") / F.col("n_orders").cast("double")).alias(
+            "crude_rate"
+        ),
+        std.alias("standardized_rate"),
+    ).orderBy("c_nationkey")
+
+
+def _sql_standardized_rate() -> str:
+    terms = " + ".join(
+        f"COALESCE(MAX(CASE WHEN c_mktsegment = '{seg}' THEN w * rate END), 0.0)"
+        for seg in _SEGMENTS
+    )
+    return f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS tot,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS urgent
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), seg_mix AS (
+  SELECT c_mktsegment, SUM(tot) AS seg_tot FROM cells GROUP BY 1
+), grand AS (SELECT SUM(seg_tot) AS grand FROM seg_mix)
+SELECT c_nationkey,
+       CAST(SUM(tot) AS BIGINT) AS n_orders,
+       CAST(SUM(urgent) AS DOUBLE) / CAST(SUM(tot) AS DOUBLE) AS crude_rate,
+       {terms} AS standardized_rate
+FROM (
+  SELECT c.c_nationkey, c.c_mktsegment, c.tot, c.urgent,
+         CAST(c.urgent AS DOUBLE) / CAST(c.tot AS DOUBLE) AS rate,
+         CAST(m.seg_tot AS DOUBLE) / CAST(g.grand AS DOUBLE) AS w
+  FROM cells c JOIN seg_mix m USING (c_mktsegment) CROSS JOIN grand g
+)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
+    "standardized_rate_mix": q_standardized_rate_mix,
     "anova_oneway": q_anova_oneway,
     "levene_brown_forsythe": q_levene_brown_forsythe,
     "cramers_v": q_cramers_v,
@@ -404,6 +498,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "standardized_rate_mix": _sql_standardized_rate(),
     "anova_oneway": _ORACLE_ANOVA,
     "levene_brown_forsythe": _ORACLE_LEVENE,
     "cramers_v": _ORACLE_CRAMERS_V,
