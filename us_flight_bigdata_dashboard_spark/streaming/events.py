@@ -299,6 +299,73 @@ def make_ewma_worker(alpha: float):
     return fold
 
 
+def make_ewma_processor(alpha: float):
+    """The IDENTICAL EWMA fold on the state API v2 (typed ValueState
+    instead of the opaque v1 state tuple) — factory-nested so cloudpickle
+    serializes by value; same (value, count) 16-byte state, same
+    (ts, event_id) in-batch ordering, same IEEE op sequence, so v1, v2,
+    and the SQL oracle all agree bit-for-bit."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ewma", "v double, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            batch = pd.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+            if self._state.exists():
+                v, n = self._state.get()
+            else:
+                v, n = None, 0
+            folded = 0
+            for x in batch["value"]:
+                if pd.isna(x):
+                    continue
+                xv = float(x)
+                v = xv if v is None else v + alpha * (xv - v)
+                n += 1
+                folded += 1
+            self._state.update((v, int(n)))
+            if folded:
+                yield pd.DataFrame(
+                    {"user_id": [int(key[0])], "n_events": [int(n)], "ewma": [v]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return EwmaProcessor()
+
+
+def streaming_ewma_v2(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """``streaming_ewma`` on transformWithStateInPandas: typed ValueState,
+    RocksDB store (Spark requires the multi-column-family provider for
+    v2 — set on the session because the provider is read at query
+    START; the replay harness restores it afterwards)."""
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return (
+        stream.filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_ewma_processor(alpha),
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 FUNNEL_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

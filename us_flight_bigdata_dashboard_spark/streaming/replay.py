@@ -706,6 +706,42 @@ FROM (
 """
 
 
+def q_streaming_ewma_v2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-key EWMA executed LIVE on the state API v2 (typed
+    ValueState over RocksDB through the protobuf shim) against the same
+    list_reduce oracle — the second v2 processor beside the streak one,
+    proving the v2 channel carries FLOAT state bit-exactly (the streaks
+    entry is all-integer; a serialization defect in the double path would
+    only be visible here). Degrades to the v1 fold where no protobuf
+    runtime can be arranged — identical rows either way."""
+    from pyspark.sql import Window as W
+
+    from us_flight_bigdata_dashboard_spark.operators.events import EWMA_ALPHA
+    from us_flight_bigdata_dashboard_spark.streaming.events import (
+        streaming_ewma,
+        streaming_ewma_v2,
+    )
+    from us_flight_bigdata_dashboard_spark.streaming.streaks import has_state_v2
+
+    build = streaming_ewma_v2 if has_state_v2(spark) else streaming_ewma
+    src = _stage_events_ts_ordered(spark, sf_dir)
+    updates = _replay(
+        spark,
+        src,
+        lambda s: build(_event_time(s), alpha=EWMA_ALPHA),
+        mode="update",
+    )
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    return (
+        updates.withColumn("_rk", rk)
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "n_events", "ewma")
+    )
+
+
+
 def _streaks_replay(spark: SparkSession, sf_dir: str, api: str) -> DataFrame:
     from pyspark.sql import Window as W
 
@@ -798,6 +834,7 @@ QUERIES = {
     "streaming_topk_replay": q_streaming_topk_replay,
     "streaming_enrich_replay": q_streaming_enrich_replay,
     "streaming_ewma_replay": q_streaming_ewma_replay,
+    "streaming_ewma_v2_replay": q_streaming_ewma_v2_replay,
     "streaming_zscore_replay": q_streaming_zscore_replay,
     "streaming_funnel_replay": q_streaming_funnel_replay,
 }
@@ -814,6 +851,7 @@ ORACLE = {
     "streaming_topk_replay": _ORACLE_STREAMING_TOPK,
     "streaming_enrich_replay": _ORACLE_STREAMING_ENRICH,
     "streaming_ewma_replay": _sql_streaming_ewma(),
+    "streaming_ewma_v2_replay": _sql_streaming_ewma(),
     "streaming_zscore_replay": _sql_streaming_zscore(),
     "streaming_funnel_replay": _ORACLE_STREAMING_FUNNEL,
 }
