@@ -576,3 +576,183 @@ def test_standardized_rate_removes_mix_confounding(spark, tmp_path_factory):
     assert out[0]["standardized_rate"] == pytest.approx(out[1]["standardized_rate"])
     # w_BUILDING = 0.5, w_MACHINERY = 0.5; rates 0.5/0.0 -> standardized 0.25
     assert out[0]["standardized_rate"] == pytest.approx(0.25)
+
+
+# ---------------------------------------------------------------------------
+# kruskal_wallis: brute-force midrank reference
+# ---------------------------------------------------------------------------
+
+
+def _brute_kruskal(pairs):
+    """pairs: list of (priority, value) → (H, tie_correction)."""
+    from collections import Counter, defaultdict
+
+    cnt = Counter(v for _, v in pairs)
+    ranks, t = {}, 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        ranks[v] = t + (c + 1) / 2
+        t += c
+    n_tot = len(pairs)
+    rsum, n = defaultdict(float), Counter()
+    for g, v in pairs:
+        rsum[g] += ranks[v]
+        n[g] += 1
+    h = 12.0 / (n_tot * (n_tot + 1)) * sum(
+        rsum[g] ** 2 / n[g] for g in sorted(rsum)
+    ) - 3.0 * (n_tot + 1)
+    corr = 1.0 - sum(c**3 - c for c in cnt.values()) / (n_tot**3 - n_tot)
+    return h, corr
+
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _kw_orders(pairs):
+    return [(i, float(v), p) for i, (p, v) in enumerate(pairs)]
+
+
+_KW_SCHEMA = "o_orderkey bigint, o_totalprice double, o_orderpriority string"
+
+
+def test_kruskal_wallis_planted_shift(spark, tmp_path_factory):
+    import random
+
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        q_kruskal_wallis,
+    )
+
+    rng = random.Random(11)
+    # planted: URGENT values shifted +50; ties forced via integer values
+    pairs = []
+    for p in _PRIOS:
+        shift = 50 if p == "1-URGENT" else 0
+        pairs += [(p, rng.randint(1, 40) + shift) for _ in range(30)]
+    root = str(tmp_path_factory.mktemp("kw"))
+    _write(spark, root, "orders", _kw_orders(pairs), _KW_SCHEMA)
+    (row,) = q_kruskal_wallis(spark, root).collect()
+    h, corr = _brute_kruskal(pairs)
+    assert row["n_rows"] == len(pairs)
+    assert row["h_stat"] == pytest.approx(h, rel=1e-12)
+    assert row["tie_correction"] == pytest.approx(corr, rel=1e-12)
+    assert row["h_adj"] == pytest.approx(h / corr, rel=1e-12)
+    assert row["h_adj"] > 9.488  # chi2(4) at 5% — planted shift detected
+
+
+def test_kruskal_wallis_null_case(spark, tmp_path_factory):
+    import random
+
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        q_kruskal_wallis,
+    )
+
+    rng = random.Random(13)
+    pairs = [(p, rng.randint(1, 1000)) for p in _PRIOS for _ in range(40)]
+    root = str(tmp_path_factory.mktemp("kwnull"))
+    _write(spark, root, "orders", _kw_orders(pairs), _KW_SCHEMA)
+    (row,) = q_kruskal_wallis(spark, root).collect()
+    h, corr = _brute_kruskal(pairs)
+    assert row["h_adj"] == pytest.approx(h / corr, rel=1e-12)
+    assert row["h_adj"] < 9.488  # same-distribution groups stay under critical
+
+
+# ---------------------------------------------------------------------------
+# model_gains_lift: perfectly separating score
+# ---------------------------------------------------------------------------
+
+
+def test_gains_lift_perfect_separator(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_model_gains_lift,
+    )
+
+    # 200 orders; the 40 highest-scored are exactly the urgent ones
+    rows = []
+    for i in range(200):
+        urgent = i < 40
+        score = 10000.0 - i  # descending by i → first 40 = top 2 deciles
+        rows.append((i, score, "1-URGENT" if urgent else "5-LOW"))
+    root = str(tmp_path_factory.mktemp("gains"))
+    _write(spark, root, "orders", rows, _KW_SCHEMA)
+    out = {r["decile"]: r for r in q_model_gains_lift(spark, root).collect()}
+    assert sorted(out) == list(range(1, 11))
+    assert all(out[d]["n_rows"] == 20 for d in out)
+    # top two deciles capture all positives at maximal lift (base rate 0.2)
+    assert out[1]["lift"] == pytest.approx(5.0)
+    assert out[2]["lift"] == pytest.approx(5.0)
+    assert out[2]["cum_capture"] == pytest.approx(1.0)
+    assert out[10]["cum_capture"] == pytest.approx(1.0)
+    assert out[10]["cum_lift"] == pytest.approx(1.0)
+    assert all(out[d]["n_pos"] == 0 for d in range(3, 11))
+
+
+def test_gains_lift_matches_plain_ntile_semantics(spark, tmp_path_factory):
+    """Bucketed-rank decile == plain (rank-1)*10 DIV n decile on ties."""
+    import random
+
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_model_gains_lift,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, float(rng.randint(1, 30)), rng.choice(["1-URGENT", "3-MEDIUM"]))
+        for i in range(173)  # deliberately not divisible by 10, heavy ties
+    ]
+    root = str(tmp_path_factory.mktemp("gains2"))
+    _write(spark, root, "orders", rows, _KW_SCHEMA)
+    out = q_model_gains_lift(spark, root).collect()
+    # brute force via the same closed form on a python sort
+    srt = sorted(rows, key=lambda r: (-r[1], -r[0]))
+    n = len(srt)
+    import collections
+
+    exp = collections.Counter()
+    exp_pos = collections.Counter()
+    for dr0, r in enumerate(srt):
+        d = dr0 * 10 // n + 1
+        exp[d] += 1
+        exp_pos[d] += 1 if r[2] == "1-URGENT" else 0
+    for row in out:
+        assert row["n_rows"] == exp[row["decile"]]
+        assert row["n_pos"] == exp_pos[row["decile"]]
+
+
+# ---------------------------------------------------------------------------
+# mantel_haenszel_or: planted confounding (within-stratum OR = 1)
+# ---------------------------------------------------------------------------
+
+
+def test_mantel_haenszel_removes_planted_confounding(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        q_mantel_haenszel_or,
+    )
+
+    # per-segment 2x2 cells (a=E&D, b=E&~D, c=~E&D, d=~E&~D), all OR = 1,
+    # but exposure prevalence and base rates differ => crude OR != 1
+    cells = {
+        "AUTOMOBILE": (40, 40, 10, 10),
+        "BUILDING": (5, 45, 10, 90),
+        "FURNITURE": (2, 2, 2, 2),
+        "HOUSEHOLD": (3, 3, 3, 3),
+        "MACHINERY": (4, 4, 4, 4),
+    }
+    orders, cust = [], []
+    k = 0
+    for seg, (a, b, c, d) in cells.items():
+        for cnt, exposed, urgent in ((a, 1, 1), (b, 1, 0), (c, 0, 1), (d, 0, 0)):
+            for _ in range(cnt):
+                cust.append((k, seg, 9000.0 if exposed else 0.0))
+                orders.append((k, k, "1-URGENT" if urgent else "5-LOW"))
+                k += 1
+    root = str(tmp_path_factory.mktemp("mh"))
+    _write(spark, root, "orders", orders,
+           "o_orderkey bigint, o_custkey bigint, o_orderpriority string")
+    _write(spark, root, "customer", cust,
+           "c_custkey bigint, c_mktsegment string, c_acctbal double")
+    (row,) = q_mantel_haenszel_or(spark, root).collect()
+    assert row["n_rows"] == k
+    assert row["mh_or"] == pytest.approx(1.0, abs=1e-12)
+    # crude OR: ta=54 tb=94 tc=29 td=109
+    assert row["crude_or"] == pytest.approx((54 * 109) / (94 * 29), rel=1e-12)
+    assert abs(row["crude_or"] - 1.0) > 0.5  # the confounding MH removes

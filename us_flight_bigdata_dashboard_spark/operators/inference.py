@@ -489,8 +489,232 @@ ORDER BY c_nationkey
 """
 
 
+# The five order priorities — literal group domain for the k-group rank
+# test (same fixed-order-reduction discipline as _FLAGS / _SEGMENTS).
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across the five order priorities on order value —
+    the k-group generalization of ``q_mann_whitney_u`` and the rank
+    (distribution-free) counterpart of ``q_anova_oneway``: does order
+    value differ in LOCATION across priorities when normality can't be
+    assumed?
+
+    Exact-integer rank algebra (the Mann–Whitney midrank identity): per
+    distinct value with t predecessors and c tied rows, the DOUBLED
+    midrank is 2t + c + 1, so each group's doubled rank sum
+    R2_g = Σ c_g·(2t + c + 1) stays integral. Then
+    H = 12/(N(N+1)) · Σ_g (R2_g/2)²/n_g − 3(N+1), with the tie
+    correction C = 1 − Σ(c³−c)/(N³−N) and H_adj = H/C. The Σ_g runs
+    over the LITERAL five-priority domain as one fixed left-to-right
+    IEEE expression; Σ(c³−c) is an exact BIGINT. Same value-domain
+    window shape (and the same 100 TB bucketed-rank escape notes) as
+    ``ks_two_sample``/``mann_whitney_u``."""
+    orders = load_table(spark, sf_dir, "orders")
+    conds = [
+        F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c{i}")
+        for i, p in enumerate(_PRIORITIES)
+    ]
+    per_v = orders.groupBy(F.col("o_totalprice").alias("v")).agg(*conds)
+    c_tot = sum(
+        (F.col(f"c{i}") for i in range(1, len(_PRIORITIES))), F.col("c0")
+    )
+    per_v = per_v.select("v", *[f"c{i}" for i in range(len(_PRIORITIES))],
+                         c_tot.alias("c"))
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        *[f"c{i}" for i in range(len(_PRIORITIES))],
+        "c",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("t"),
+    )
+    aggs = [
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_sum"),
+    ]
+    for i in range(len(_PRIORITIES)):
+        aggs.append(F.sum(F.col(f"c{i}")).cast("long").alias(f"n{i}"))
+        aggs.append(
+            F.sum(
+                F.col(f"c{i}")
+                * (F.lit(2) * F.col("t") + F.col("c") + F.lit(1))
+            )
+            .cast("long")
+            .alias(f"r2_{i}")
+        )
+    red = ranked.agg(*aggs)
+    nd = F.col("n_rows").cast("double")
+
+    def term(i: int):
+        r = F.col(f"r2_{i}").cast("double")
+        return (r * r) / (F.lit(4.0) * F.col(f"n{i}").cast("double"))
+
+    s = sum((term(i) for i in range(1, len(_PRIORITIES))), term(0))
+    h = F.lit(12.0) / (nd * (nd + F.lit(1.0))) * s - F.lit(3.0) * (
+        nd + F.lit(1.0)
+    )
+    c_corr = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return red.select(
+        "n_rows",
+        h.alias("h_stat"),
+        c_corr.alias("tie_correction"),
+        (h / c_corr).alias("h_adj"),
+    )
+
+
+def _sql_kruskal_wallis() -> str:
+    conds = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i, p in enumerate(_PRIORITIES)
+    )
+    c_tot = " + ".join(f"c{i}" for i in range(len(_PRIORITIES)))
+    per_g = ",\n         ".join(
+        f"CAST(SUM(c{i}) AS BIGINT) AS n{i},\n         "
+        f"CAST(SUM(c{i} * (2 * t + c + 1)) AS BIGINT) AS r2_{i}"
+        for i in range(len(_PRIORITIES))
+    )
+    terms = " + ".join(
+        f"(CAST(r2_{i} AS DOUBLE) * CAST(r2_{i} AS DOUBLE))"
+        f" / (4.0 * CAST(n{i} AS DOUBLE))"
+        for i in range(len(_PRIORITIES))
+    )
+    return f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         {conds}
+  FROM orders GROUP BY 1
+), per_c AS (
+  SELECT *, {c_tot} AS c FROM per_v
+), ranked AS (
+  SELECT *, COALESCE(SUM(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t
+  FROM per_c
+), red AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum,
+         {per_g}
+  FROM ranked
+)
+SELECT n_rows,
+       12.0 / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) + 1.0))
+         * ({terms})
+         - 3.0 * (CAST(n_rows AS DOUBLE) + 1.0) AS h_stat,
+       1.0 - CAST(tie_sum AS DOUBLE)
+         / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+            - CAST(n_rows AS DOUBLE)) AS tie_correction,
+       (12.0 / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) + 1.0))
+         * ({terms})
+         - 3.0 * (CAST(n_rows AS DOUBLE) + 1.0))
+       / (1.0 - CAST(tie_sum AS DOUBLE)
+         / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+            - CAST(n_rows AS DOUBLE))) AS h_adj
+FROM red
+"""
+
+
+MH_BAL_THRESHOLD = 4500.0  # literal exposure cut on customer account balance
+
+
+def q_mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio: association between a
+    high-balance customer (exposure) and urgent orders (outcome), pooled
+    ACROSS market segments — the stratified 2×2 estimator that, like
+    ``q_standardized_rate_mix``, removes composition confounding, but
+    for odds ratios: MH_OR = Σ_s(a_s·d_s/n_s) / Σ_s(b_s·c_s/n_s). The
+    crude OR is reported next to it so the confounding gap is visible.
+
+    Exactness: the four cells per stratum are integer counts from ONE
+    hash aggregate; the two Σ_s run over the LITERAL five-segment domain
+    in fixed left-to-right order (the module discipline); no logs — the
+    estimate is a pure rational function of counts. Scale shape: one
+    orders⋈customer equi-join (customer side broadcastable at dashboard
+    scale, shuffled at 100 TB), one 4-conditional-count agg to ≤5 rows,
+    then arithmetic."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    e = (F.col("c_acctbal") > F.lit(MH_BAL_THRESHOLD)).cast("int")
+    d = (F.col("o_orderpriority") == "1-URGENT").cast("int")
+    cells = j.groupBy("c_mktsegment").agg(
+        F.sum(e * d).cast("long").alias("a"),
+        F.sum(e * (1 - d)).cast("long").alias("b"),
+        F.sum((1 - e) * d).cast("long").alias("c"),
+        F.sum((1 - e) * (1 - d)).cast("long").alias("dd"),
+    )
+    aggs = [
+        F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("dd"))
+        .cast("long")
+        .alias("n_rows"),
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+        F.sum("c").cast("long").alias("tc"),
+        F.sum("dd").cast("long").alias("td"),
+    ]
+    nd = (F.col("a") + F.col("b") + F.col("c") + F.col("dd")).cast("double")
+    num_t = F.col("a").cast("double") * F.col("dd").cast("double") / nd
+    den_t = F.col("b").cast("double") * F.col("c").cast("double") / nd
+    for i, seg in enumerate(_SEGMENTS):
+        aggs.append(F.max(F.when(F.col("c_mktsegment") == seg, num_t)).alias(f"u{i}"))
+        aggs.append(F.max(F.when(F.col("c_mktsegment") == seg, den_t)).alias(f"v{i}"))
+    red = cells.agg(*aggs)
+    num = sum((F.col(f"u{i}") for i in range(1, len(_SEGMENTS))), F.col("u0"))
+    den = sum((F.col(f"v{i}") for i in range(1, len(_SEGMENTS))), F.col("v0"))
+    crude = (F.col("ta").cast("double") * F.col("td").cast("double")) / (
+        F.col("tb").cast("double") * F.col("tc").cast("double")
+    )
+    return red.select(
+        "n_rows",
+        crude.alias("crude_or"),
+        (num / den).alias("mh_or"),
+    )
+
+
+def _sql_mantel_haenszel() -> str:
+    u_sel = ",\n         ".join(
+        f"MAX(CASE WHEN c_mktsegment = '{seg}' THEN CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)"
+        f" / CAST(a + b + c + dd AS DOUBLE) END) AS u{i},\n         "
+        f"MAX(CASE WHEN c_mktsegment = '{seg}' THEN CAST(b AS DOUBLE) * CAST(c AS DOUBLE)"
+        f" / CAST(a + b + c + dd AS DOUBLE) END) AS v{i}"
+        for i, seg in enumerate(_SEGMENTS)
+    )
+    num = " + ".join(f"u{i}" for i in range(len(_SEGMENTS)))
+    den = " + ".join(f"v{i}" for i in range(len(_SEGMENTS)))
+    return f"""
+WITH cells AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CASE WHEN c_acctbal > {MH_BAL_THRESHOLD!r} AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN c_acctbal > {MH_BAL_THRESHOLD!r} AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN c_acctbal <= {MH_BAL_THRESHOLD!r} AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN c_acctbal <= {MH_BAL_THRESHOLD!r} AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS dd
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+), red AS (
+  SELECT CAST(SUM(a + b + c + dd) AS BIGINT) AS n_rows,
+         CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb,
+         CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(dd) AS BIGINT) AS td,
+         {u_sel}
+  FROM cells
+)
+SELECT n_rows,
+       (CAST(ta AS DOUBLE) * CAST(td AS DOUBLE))
+         / (CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)) AS crude_or,
+       ({num}) / ({den}) AS mh_or
+FROM red
+"""
+
+
 QUERIES = {
     "standardized_rate_mix": q_standardized_rate_mix,
+    "kruskal_wallis": q_kruskal_wallis,
+    "mantel_haenszel_or": q_mantel_haenszel_or,
     "anova_oneway": q_anova_oneway,
     "levene_brown_forsythe": q_levene_brown_forsythe,
     "cramers_v": q_cramers_v,
@@ -499,6 +723,8 @@ QUERIES = {
 
 ORACLE = {
     "standardized_rate_mix": _sql_standardized_rate(),
+    "kruskal_wallis": _sql_kruskal_wallis(),
+    "mantel_haenszel_or": _sql_mantel_haenszel(),
     "anova_oneway": _ORACLE_ANOVA,
     "levene_brown_forsythe": _ORACLE_LEVENE,
     "cramers_v": _ORACLE_CRAMERS_V,

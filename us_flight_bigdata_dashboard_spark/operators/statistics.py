@@ -2216,7 +2216,137 @@ ORDER BY agg.o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift table (model-eval decile analysis)
+# ---------------------------------------------------------------------------
+
+_GAINS_BUCKETS = 256
+
+
+def q_model_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table: treat order value as a SCORE for
+    predicting urgency and report, per score decile (1 = highest-scored
+    10%), the positive rate, its lift over the base rate, and the
+    cumulative capture curve — the standard targeting-model evaluation
+    (how many of all positives do I reach if I act on the top k
+    deciles?).
+
+    Deciles come from the EXACT global rank by (score DESC, key DESC),
+    computed with the ``breadth.q_global_rank_bucketed`` decomposition
+    (value-range buckets → per-bucket ranks + broadcast offsets) instead
+    of the single-task ``NTILE(10) OVER (ORDER BY ...)`` plan — this is
+    the order-statistics pattern this repo ships for 100 TB. decile =
+    (desc_rank−1)·10 DIV n + 1 (exact integer form; the oracle's plain
+    ROW_NUMBER proves the decomposition). Everything after the rank is a
+    10-row frame; counts are integers, rates/lifts one fixed IEEE
+    sequence."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    stats = orders.agg(
+        F.min("o_totalprice").alias("_mn"),
+        F.max("o_totalprice").alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    base = orders.crossJoin(F.broadcast(stats))
+    bucket = F.coalesce(
+        F.least(
+            F.lit(_GAINS_BUCKETS - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("_mn"))
+                * _GAINS_BUCKETS
+                / F.nullif(F.col("_mx") - F.col("_mn"), F.lit(0.0))
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    bucketed = base.withColumn("_b", bucket)
+    offsets = (
+        bucketed.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_bn").over(
+                    Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_offset")
+    )
+    w = Window.partitionBy("_b").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .withColumn("_r", F.col("_offset") + F.row_number().over(w))
+        .withColumn("_dr", F.col("_n") - F.col("_r") + F.lit(1))
+        .withColumn("decile", F.expr("(_dr - 1) * 10 DIV _n").cast("int") + F.lit(1))
+    )
+    per_d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_n = F.sum("n_rows").over(w_cum)
+    cum_pos = F.sum("n_pos").over(w_cum)
+    tot_n = F.sum("n_rows").over(w_all)
+    tot_pos = F.sum("n_pos").over(w_all)
+    base_rate = tot_pos.cast("double") / tot_n.cast("double")
+    pos_rate = F.col("n_pos").cast("double") / F.col("n_rows").cast("double")
+    return per_d.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        pos_rate.alias("pos_rate"),
+        (pos_rate / base_rate).alias("lift"),
+        (cum_pos.cast("double") / tot_pos.cast("double")).alias("cum_capture"),
+        (
+            (cum_pos.cast("double") / cum_n.cast("double")) / base_rate
+        ).alias("cum_lift"),
+    ).orderBy("decile")
+
+
+_ORACLE_GAINS_LIFT = """
+WITH scored AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey DESC) AS dr,
+         COUNT(*) OVER () AS n
+  FROM orders
+), labeled AS (
+  SELECT pos, CAST((dr - 1) * 10 // n AS INT) + 1 AS decile FROM scored
+), per_d AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM labeled GROUP BY 1
+)
+SELECT decile, n_rows, n_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE) AS pos_rate,
+       (CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+         / (CAST(SUM(n_pos) OVER () AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE)) AS lift,
+       CAST(SUM(n_pos) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(SUM(n_pos) OVER () AS DOUBLE) AS cum_capture,
+       (CAST(SUM(n_pos) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(SUM(n_rows) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
+         / (CAST(SUM(n_pos) OVER () AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE)) AS cum_lift
+FROM per_d
+ORDER BY decile
+"""
+
+
 QUERIES = {
+    "model_gains_lift": q_model_gains_lift,
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
     "corr_pairs": q_corr_pairs,
@@ -2242,6 +2372,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "model_gains_lift": _ORACLE_GAINS_LIFT,
     "target_encode_smoothed": _ORACLE_TARGET_ENCODE,
     "regression_ols": _ORACLE_REGRESSION_OLS,
     "corr_pairs": _sql_corr_pairs(),
