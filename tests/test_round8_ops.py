@@ -756,3 +756,66 @@ def test_mantel_haenszel_removes_planted_confounding(spark, tmp_path_factory):
     # crude OR: ta=54 tb=94 tc=29 td=109
     assert row["crude_or"] == pytest.approx((54 * 109) / (94 * 29), rel=1e-12)
     assert abs(row["crude_or"] - 1.0) > 0.5  # the confounding MH removes
+
+
+# ---------------------------------------------------------------------------
+# tcloseness_audit: brute-force EMD on planted skew
+# ---------------------------------------------------------------------------
+
+
+def _brute_emd(class_counts, global_counts):
+    m = len(class_counts)
+    n, g = sum(class_counts), sum(global_counts)
+    acc, cp, cg = 0.0, 0.0, 0.0
+    for j in range(m - 1):
+        cp += class_counts[j] / n
+        cg += global_counts[j] / g
+        acc += abs(cp - cg)
+    return acc / (m - 1)
+
+
+def test_tcloseness_planted_skew(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.audit import (
+        TCLOSE_BAL_BIN,
+        q_tcloseness_audit,
+    )
+
+    # brackets via floor(bal/2000) in {-1,0,1,2,3,4}; representative values
+    rep = {b: b * TCLOSE_BAL_BIN + 100.0 for b in (-1, 0, 1, 2, 3, 4)}
+    rows = []
+    k = 0
+    # class (AUTOMOBILE, 1): all mass in top bracket (worst-case skew)
+    skew = [0, 0, 0, 0, 0, 60]
+    # class (AUTOMOBILE, 2): uniform across all six
+    uni = [10, 10, 10, 10, 10, 10]
+    # class (BUILDING, 3): mild skew
+    mild = [5, 10, 15, 15, 10, 5]
+    bg = [40, 40, 40, 40, 40, 40]
+    classes = {
+        ("AUTOMOBILE", 1): skew,
+        ("AUTOMOBILE", 2): uni,
+        ("BUILDING", 3): mild,
+        ("MACHINERY", 9): bg,
+    }
+    for (seg, nat), counts in classes.items():
+        for j, b in enumerate((-1, 0, 1, 2, 3, 4)):
+            for _ in range(counts[j]):
+                rows.append((k, seg, nat, rep[b]))
+                k += 1
+    root = str(tmp_path_factory.mktemp("tclose"))
+    _write(spark, root, "customer", rows,
+           "c_custkey bigint, c_mktsegment string, c_nationkey bigint, c_acctbal double")
+    out = {r["c_mktsegment"]: r for r in q_tcloseness_audit(spark, root).collect()}
+    g = [a + b + c + d for a, b, c, d in zip(skew, uni, mild, bg)]
+    t_skew = _brute_emd(skew, g)
+    t_uni = _brute_emd(uni, g)
+    t_mild = _brute_emd(mild, g)
+    assert out["AUTOMOBILE"]["n_classes"] == 2
+    assert out["AUTOMOBILE"]["max_t"] == pytest.approx(max(t_skew, t_uni), rel=1e-12)
+    assert out["BUILDING"]["max_t"] == pytest.approx(t_mild, rel=1e-12)
+    assert t_skew > 0.15 and t_uni < 0.15  # worst skew trips the gate
+    auto_above = sum(1 for t in (t_skew, t_uni) if t > 0.15)
+    auto_rows = (60 if t_skew > 0.15 else 0) + (60 if t_uni > 0.15 else 0)
+    assert out["AUTOMOBILE"]["n_above_t"] == auto_above
+    assert out["AUTOMOBILE"]["rows_above_t"] == auto_rows
+    assert out["BUILDING"]["n_above_t"] == (1 if t_mild > 0.15 else 0)

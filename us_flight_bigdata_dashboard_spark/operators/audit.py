@@ -633,7 +633,131 @@ FROM (SELECT COUNT(*) AS class_size FROM documents GROUP BY {keys})""")
     return " UNION ALL ".join(parts) + " ORDER BY level"
 
 
+# ---------------------------------------------------------------------------
+# t-closeness audit (the third rung of the k/l/t release-privacy ladder)
+# ---------------------------------------------------------------------------
+
+TCLOSE_BAL_BIN = 2000  # ordered sensitive-attribute bracket width
+TCLOSE_T = 0.15        # release gate: class EMD to the global distribution
+# floor(acctbal / 2000) over the generator's [-999.99, 9999.99] range —
+# a LITERAL ordered domain, so per-class bracket counts are fixed columns
+# and the EMD is one fixed-order expression (no spine join, no float agg).
+_TC_BRACKETS = [-1, 0, 1, 2, 3, 4]
+
+
+def q_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) of the
+    customer table under QI (mktsegment, nation): l-diversity counts
+    DISTINCT sensitive values but a class can be "diverse" yet still
+    skewed — e.g. 90% of its balances in the top bracket when the
+    population holds 20% — and the skew itself leaks. t-closeness bounds
+    the EARTH MOVER'S DISTANCE between each class's sensitive-attribute
+    distribution and the GLOBAL one; for an ordered domain of m brackets
+    EMD = Σ_{{j<m}} |P̂_j − Q̂_j| / (m−1) over cumulative shares. Reports
+    per segment: classes, rows, classes/rows beyond t={TCLOSE_T}, and the
+    worst class EMD — the release gate is max_t ≤ t.
+
+    Exactness: per-class and global bracket counts are integers from ONE
+    hash agg over the LITERAL 6-bracket domain (fixed columns — zero
+    cells are real zeros with no spine join); each EMD is a fixed
+    left-to-right IEEE expression over 5 cumulative-share terms; the
+    global row is a broadcast scalar attach. Scale: one QI-domain-bounded
+    agg, then arithmetic — the kanon_audit shape."""
+    cust = load_table(spark, sf_dir, "customer")
+    br = F.expr(f"CAST(floor(c_acctbal / {TCLOSE_BAL_BIN}) AS BIGINT)")
+    conds = [
+        F.sum(F.when(br == b, 1).otherwise(0)).cast("long").alias(f"b{i}")
+        for i, b in enumerate(_TC_BRACKETS)
+    ]
+    classes = cust.groupBy("c_mktsegment", "c_nationkey").agg(*conds)
+    m = len(_TC_BRACKETS)
+    tot = sum((F.col(f"b{i}") for i in range(1, m)), F.col("b0"))
+    classes = classes.withColumn("class_size", tot)
+    glob = classes.agg(
+        F.sum("class_size").cast("long").alias("g_n"),
+        *[F.sum(f"b{i}").cast("long").alias(f"g{i}") for i in range(m)],
+    )
+    j = classes.crossJoin(F.broadcast(glob))
+    nd = F.col("class_size").cast("double")
+    gnd = F.col("g_n").cast("double")
+
+    def cum(prefix: str, upto: int):
+        return sum(
+            (F.col(f"{prefix}{i}") for i in range(1, upto + 1)),
+            F.col(f"{prefix}0"),
+        )
+
+    terms = [
+        F.abs(cum("b", k).cast("double") / nd - cum("g", k).cast("double") / gnd)
+        for k in range(m - 1)
+    ]
+    emd = sum(terms[1:], terms[0]) / F.lit(float(m - 1))
+    scored = j.select("c_mktsegment", "class_size", emd.alias("t_emd"))
+    above = F.col("t_emd") > F.lit(TCLOSE_T)
+    return (
+        scored.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").cast("long").alias("n_rows"),
+            F.sum(F.when(above, 1).otherwise(0)).cast("long").alias("n_above_t"),
+            F.sum(F.when(above, F.col("class_size")).otherwise(0))
+            .cast("long")
+            .alias("rows_above_t"),
+            F.max("t_emd").alias("max_t"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+q_tcloseness_audit.__doc__ = q_tcloseness_audit.__doc__.format(TCLOSE_T=TCLOSE_T)
+
+
+def _sql_tcloseness() -> str:
+    m = len(_TC_BRACKETS)
+    conds = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN CAST(floor(c_acctbal / {TCLOSE_BAL_BIN}) AS BIGINT) = {b}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS b{i}"
+        for i, b in enumerate(_TC_BRACKETS)
+    )
+    tot = " + ".join(f"b{i}" for i in range(m))
+    gsel = ", ".join(f"CAST(SUM(b{i}) AS BIGINT) AS g{i}" for i in range(m))
+
+    def cum(prefix, upto):
+        return " + ".join(f"{prefix}{i}" for i in range(upto + 1))
+
+    terms = " + ".join(
+        f"ABS(CAST({cum('b', k)} AS DOUBLE) / CAST(class_size AS DOUBLE)"
+        f" - CAST({cum('g', k)} AS DOUBLE) / CAST(g_n AS DOUBLE))"
+        for k in range(m - 1)
+    )
+    return f"""
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey,
+         {conds}
+  FROM customer GROUP BY 1, 2
+), sized AS (
+  SELECT *, {tot} AS class_size FROM classes
+), gall AS (
+  SELECT CAST(SUM(class_size) AS BIGINT) AS g_n, {gsel} FROM sized
+), scored AS (
+  SELECT c_mktsegment, class_size,
+         ({terms}) / {float(m - 1)!r} AS t_emd
+  FROM sized CROSS JOIN gall
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_classes,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN t_emd > {TCLOSE_T!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_above_t,
+       CAST(SUM(CASE WHEN t_emd > {TCLOSE_T!r} THEN class_size ELSE 0 END) AS BIGINT) AS rows_above_t,
+       MAX(t_emd) AS max_t
+FROM scored
+GROUP BY 1
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "tcloseness_audit": q_tcloseness_audit,
     "ldiversity_audit": q_ldiversity_audit,
     "dq_audit": q_dq_audit,
     "snapshot_diff": q_snapshot_diff,
@@ -653,4 +777,5 @@ ORACLE = {
     "join_size_estimate": _sql_join_size_estimate(),
     "benford_digits": _sql_benford(),
     "kanon_generalize": _sql_kanon_generalize(),
+    "tcloseness_audit": _sql_tcloseness(),
 }
