@@ -819,3 +819,41 @@ def test_tcloseness_planted_skew(spark, tmp_path_factory):
     assert out["AUTOMOBILE"]["n_above_t"] == auto_above
     assert out["AUTOMOBILE"]["rows_above_t"] == auto_rows
     assert out["BUILDING"]["n_above_t"] == (1 if t_mild > 0.15 else 0)
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_distinct: exact fallback + brute-force k-th-minimum estimate
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_fallback_and_estimate(spark, tmp_path_factory):
+    import hashlib
+
+    from us_flight_bigdata_dashboard_spark.operators.sketches import (
+        KMV_K,
+        KMV_NUM,
+        q_sketch_kmv_distinct,
+    )
+
+    rows = []
+    # group 1-URGENT: 100 distinct customers (< k) → sketch IS the set
+    for i in range(100):
+        rows.append((i, i, "1-URGENT"))
+    # group 5-LOW: 2000 distinct customers (> k) → real estimate
+    for i in range(2000):
+        rows.append((10_000 + i, 100_000 + i, "5-LOW"))
+    root = str(tmp_path_factory.mktemp("kmv"))
+    _write(spark, root, "orders", rows,
+           "o_orderkey bigint, o_custkey bigint, o_orderpriority string")
+    out = {r["o_orderpriority"]: r for r in q_sketch_kmv_distinct(spark, root).collect()}
+    u = out["1-URGENT"]
+    assert u["n_exact"] == 100 and u["n_cand"] == 100
+    assert u["kmv_est"] == 100.0 and u["rel_err_pct"] == 0.0
+    lo = out["5-LOW"]
+    hs = sorted(
+        int(hashlib.md5(str(100_000 + i).encode()).hexdigest()[:12], 16)
+        for i in range(2000)
+    )
+    assert lo["n_exact"] == 2000 and lo["n_cand"] == KMV_K
+    assert lo["kmv_est"] == KMV_NUM / float(hs[KMV_K - 1])
+    assert abs(lo["kmv_est"] - 2000) / 2000 < 0.25  # ~4 sigma at k=256

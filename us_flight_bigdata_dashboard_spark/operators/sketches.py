@@ -556,8 +556,121 @@ FROM corr
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the third cardinality estimator
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+KMV_BUCKETS = 64
+KMV_HASH_BITS = 48
+# (k−1)·2^48 folded in Python: 255·2^48 < 2^56 is exactly representable,
+# so both engines divide the identical double (the HLL_SCALE lesson).
+KMV_NUM = float((KMV_K - 1) * (1 << KMV_HASH_BITS))
+
+
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-customer estimate per
+    order priority, next to the exact COUNT(DISTINCT) — the third
+    mergeable cardinality sketch beside the register HLL: keep the k
+    smallest hash values ever seen; if the k-th smallest normalized hash
+    is U(k), the Bar-Yossef et al. (2002) unbiased estimate is
+    D̂ = (k−1)/U(k). Unlike HLL it supports set INTERSECTION estimates
+    and needs no register math — the sketch is literally a bottom-k set,
+    mergeable by union+truncate.
+
+    Distributed shape (the tournament top-k, not a global sort): distinct
+    (group, hash) pairs → per (group, hash%{KMV_BUCKETS}) bottom-k via a
+    {KMV_BUCKETS}-way-parallel window → the ≤ {KMV_BUCKETS}·k survivors
+    per group meet in one tiny final window. At 100 TB every data-sized
+    stage is a hash agg or a bucketed window; the single-key final pass
+    sees ≤ 16k rows per group. Hash = 48-bit md5 prefix (identical
+    literal math on both engines); the estimate's only float op is ONE
+    division of Python-folded (k−1)·2^48 by the integer k-th hash. When
+    a group has fewer than k distinct hashes the sketch IS the exact set
+    and the estimator falls back to its size (the standard convention).
+    ``rel_err_pct`` is gate-checked beside the exact baseline."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    pairs = orders.select("o_orderpriority", h.alias("h")).distinct()
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    w_bucket = Window.partitionBy(
+        "o_orderpriority", F.col("h") % KMV_BUCKETS
+    ).orderBy("h")
+    cand = pairs.withColumn("_rb", F.row_number().over(w_bucket)).filter(
+        F.col("_rb") <= KMV_K
+    )
+    w_final = Window.partitionBy("o_orderpriority").orderBy("h")
+    top = cand.withColumn("_rn", F.row_number().over(w_final)).filter(
+        F.col("_rn") <= KMV_K
+    )
+    stats = top.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+        F.max(F.when(F.col("_rn") == KMV_K, F.col("h"))).alias("u_k"),
+    )
+    est = F.when(
+        F.col("n_cand") < KMV_K, F.col("n_cand").cast("double")
+    ).otherwise(F.lit(KMV_NUM) / F.col("u_k").cast("double"))
+    out = exact.join(F.broadcast(stats), "o_orderpriority")
+    return out.select(
+        "o_orderpriority",
+        "n_exact",
+        "n_cand",
+        est.alias("kmv_est"),
+        (
+            F.abs(est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+            * F.lit(100.0)
+        ).alias("rel_err_pct"),
+    ).orderBy("o_orderpriority")
+
+
+q_sketch_kmv_distinct.__doc__ = q_sketch_kmv_distinct.__doc__.replace(
+    "{KMV_BUCKETS}", str(KMV_BUCKETS)
+)
+
+
+def _sql_kmv() -> str:
+    h = _sql_hex_to_int("md5(CAST(o_custkey AS VARCHAR))", 1, 12)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_orderpriority, {h} AS h FROM orders
+), exact AS (
+  SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT o_orderpriority, h,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+  FROM pairs
+), stats AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_cand,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS u_k
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY 1
+), scored AS (
+  SELECT e.o_orderpriority, e.n_exact, s.n_cand,
+         CASE WHEN s.n_cand < {KMV_K} THEN CAST(s.n_cand AS DOUBLE)
+              ELSE CAST({KMV_NUM!r} AS DOUBLE) / CAST(s.u_k AS DOUBLE) END AS kmv_est
+  FROM exact e JOIN stats s USING (o_orderpriority)
+)
+SELECT o_orderpriority, n_exact, n_cand, kmv_est,
+       ABS(kmv_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 100.0
+         AS rel_err_pct
+FROM scored
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "sketch_cms_freq": q_sketch_cms_freq,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
     "sketch_hll_registers": q_sketch_hll_registers,
     "sketch_histogram_quantile": q_sketch_histogram_quantile,
     "sketch_hll_union": q_sketch_hll_union,
@@ -568,4 +681,5 @@ ORACLE = {
     "sketch_hll_registers": _sql_hll(),
     "sketch_histogram_quantile": _sql_histq(),
     "sketch_hll_union": _sql_hll_union(),
+    "sketch_kmv_distinct": _sql_kmv(),
 }
