@@ -857,3 +857,133 @@ def test_kmv_exact_fallback_and_estimate(spark, tmp_path_factory):
     assert lo["n_exact"] == 2000 and lo["n_cand"] == KMV_K
     assert lo["kmv_est"] == KMV_NUM / float(hs[KMV_K - 1])
     assert abs(lo["kmv_est"] - 2000) / 2000 < 0.25  # ~4 sigma at k=256
+
+
+# ---------------------------------------------------------------------------
+# cochran_armitage: planted dose-response trend
+# ---------------------------------------------------------------------------
+
+
+def _brute_cochran(pairs):
+    """pairs: (w, returned01) → (t, var, z2)."""
+    n = len(pairs)
+    r = sum(p[1] for p in pairs)
+    swn = sum(p[0] for p in pairs)
+    swr = sum(p[0] * p[1] for p in pairs)
+    sw2n = sum(p[0] * p[0] for p in pairs)
+    pbar = r / n
+    t = swr - swn * pbar
+    var = pbar * (1 - pbar) * (sw2n - swn * swn / n)
+    return t, var, t * t / var
+
+
+_CA_SCHEMA = "l_orderkey bigint, l_quantity double, l_returnflag string"
+
+
+def test_cochran_armitage_planted_trend(spark, tmp_path_factory):
+    import random
+
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        q_cochran_armitage,
+    )
+
+    rng = random.Random(5)
+    # returned-probability rises with quantity: p = q/60
+    pairs = []
+    for i in range(1200):
+        q = rng.randint(1, 50)
+        pairs.append((q, 1 if rng.random() < q / 60 else 0))
+    rows = [(i, float(w), "R" if r else "N") for i, (w, r) in enumerate(pairs)]
+    root = str(tmp_path_factory.mktemp("ca"))
+    _write(spark, root, "lineitem", rows, _CA_SCHEMA)
+    (row,) = q_cochran_armitage(spark, root).collect()
+    t, var, z2 = _brute_cochran(pairs)
+    assert row["n"] == 1200
+    assert row["t_stat"] == pytest.approx(t, rel=1e-12)
+    assert row["var_t"] == pytest.approx(var, rel=1e-12)
+    assert row["z_squared"] == pytest.approx(z2, rel=1e-12)
+    assert row["trend_flag"] == 1
+
+
+def test_cochran_armitage_null_flag(spark, tmp_path_factory):
+    import random
+
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        q_cochran_armitage,
+    )
+
+    rng = random.Random(17)
+    pairs = [(rng.randint(1, 50), 1 if rng.random() < 0.3 else 0) for _ in range(1200)]
+    rows = [(i, float(w), "R" if r else "N") for i, (w, r) in enumerate(pairs)]
+    root = str(tmp_path_factory.mktemp("canull"))
+    _write(spark, root, "lineitem", rows, _CA_SCHEMA)
+    (row,) = q_cochran_armitage(spark, root).collect()
+    _, _, z2 = _brute_cochran(pairs)
+    assert row["z_squared"] == pytest.approx(z2, rel=1e-12)
+    assert row["trend_flag"] == (1 if z2 > 3.8415 else 0)
+    assert z2 < 3.8415  # no planted trend
+
+
+# ---------------------------------------------------------------------------
+# durbin_watson: planted residual autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def _brute_dw(xy):
+    n = len(xy)
+    sx = sum(x for x, _ in xy); sy = sum(y for _, y in xy)
+    sxy = sum(x * y for x, y in xy); sxx = sum(x * x for x, y in xy)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    es = [y - (a + b * x) for x, y in sorted(xy)]
+    num = sum((es[i] - es[i - 1]) ** 2 for i in range(1, n))
+    den = sum(e * e for e in es)
+    return num / den
+
+
+def _dw_tables(spark, root, monthly_dollars):
+    """monthly_dollars: {month_index: dollars} — one region, one customer."""
+    orders = []
+    for i, (xm, dollars) in enumerate(sorted(monthly_dollars.items())):
+        y, m = divmod(xm, 12)
+        orders.append((i, 1, float(dollars), dt.datetime(y, m + 1, 15)))
+    _write(spark, root, "orders", orders,
+           "o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderdate timestamp")
+    _write(spark, root, "customer", [(1, 0)], "c_custkey bigint, c_nationkey bigint")
+    _write(spark, root, "nation", [(0, 0)], "n_nationkey bigint, n_regionkey bigint")
+    _write(spark, root, "region", [(0, "ASIA")], "r_regionkey bigint, r_name string")
+
+
+def test_durbin_watson_alternating_residuals(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_durbin_watson,
+    )
+
+    # line + alternating +/-c noise => negative serial corr, DW -> 4
+    base = 24000
+    xy = {base + i: 2_000_000.0 + 10_000.0 * i + (80_000.0 if i % 2 else -80_000.0)
+          for i in range(36)}
+    root = str(tmp_path_factory.mktemp("dw4"))
+    _dw_tables(spark, root, xy)
+    (row,) = q_durbin_watson(spark, root).collect()
+    exp = _brute_dw([(x, round(v * 100)) for x, v in xy.items()])
+    assert row["n_months"] == 36
+    assert row["dw_stat"] == pytest.approx(exp, rel=1e-3)  # dsum quantization
+    assert row["dw_stat"] > 3.0
+    assert row["rho_hat"] == pytest.approx(1 - row["dw_stat"] / 2, rel=1e-12)
+
+
+def test_durbin_watson_smooth_curvature(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_durbin_watson,
+    )
+
+    # quadratic trend fit by a line => smooth residual arcs, DW -> 0
+    base = 24000
+    xy = {base + i: 2_000_000.0 + 3_000.0 * (i - 18) ** 2 for i in range(36)}
+    root = str(tmp_path_factory.mktemp("dw0"))
+    _dw_tables(spark, root, xy)
+    (row,) = q_durbin_watson(spark, root).collect()
+    exp = _brute_dw([(x, round(v * 100)) for x, v in xy.items()])
+    assert row["dw_stat"] == pytest.approx(exp, rel=1e-3)
+    assert row["dw_stat"] < 0.5

@@ -711,10 +711,84 @@ FROM red
 """
 
 
+CA_CRIT_5PCT = 3.8415  # chi-square(1) upper 5% point (literal, like SRM)
+
+
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does the probability that a line item
+    is RETURNED rise (or fall) monotonically with its quantity? The
+    k-proportion chi-square (``cramers_v``/``chi_square_assoc``) treats
+    groups as unordered and burns k−1 degrees of freedom; when the groups
+    carry a natural ORDER (quantity 1..50 as scores w), the 1-df trend
+    statistic T = Σw_i(r_i − n_i·p̄) against Var(T) =
+    p̄(1−p̄)(Σw_i²n_i − (Σw_i n_i)²/N) is the far more powerful test —
+    the standard dose-response screen.
+
+    Exactness: the sufficient statistics (N, R, Σwn, Σwr, Σw²n) are exact
+    BIGINTs from ONE hash agg (w ≤ 50 so Σw²n < 2^63 past sf1000);
+    T, Var, z² are one fixed IEEE sequence on those integers — no
+    literal-domain reduction needed because every cross-group sum is
+    integral. The 5% verdict compares the deterministic z² to the
+    literal chi-square(1) critical value."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("w"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0)).alias("r"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("r_all"),
+        F.sum("w").cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("r")).cast("long").alias("swr"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("sw2n"),
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("r_all").cast("double")
+    swn = F.col("swn").cast("double")
+    swr = F.col("swr").cast("double")
+    sw2n = F.col("sw2n").cast("double")
+    p = rd / nd
+    t = swr - swn * p
+    var = p * (F.lit(1.0) - p) * (sw2n - swn * swn / nd)
+    z2 = t * t / var
+    return m.select(
+        "n",
+        F.col("r_all").alias("n_returned"),
+        t.alias("t_stat"),
+        var.alias("var_t"),
+        z2.alias("z_squared"),
+        (z2 > F.lit(CA_CRIT_5PCT)).cast("int").alias("trend_flag"),
+    )
+
+
+_ORACLE_COCHRAN_ARMITAGE = f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r_all,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS swn,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS swr,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sw2n
+  FROM lineitem
+), f AS (
+  SELECT n, r_all,
+         CAST(swr AS DOUBLE) - CAST(swn AS DOUBLE) * (CAST(r_all AS DOUBLE) / CAST(n AS DOUBLE)) AS t_stat,
+         (CAST(r_all AS DOUBLE) / CAST(n AS DOUBLE))
+           * (1.0 - CAST(r_all AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(sw2n AS DOUBLE)
+              - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE) / CAST(n AS DOUBLE)) AS var_t
+  FROM m
+)
+SELECT n, r_all AS n_returned, t_stat, var_t,
+       t_stat * t_stat / var_t AS z_squared,
+       CAST(t_stat * t_stat / var_t > CAST({CA_CRIT_5PCT!r} AS DOUBLE) AS INT) AS trend_flag
+FROM f
+"""
+
+
 QUERIES = {
     "standardized_rate_mix": q_standardized_rate_mix,
     "kruskal_wallis": q_kruskal_wallis,
     "mantel_haenszel_or": q_mantel_haenszel_or,
+    "cochran_armitage": q_cochran_armitage,
     "anova_oneway": q_anova_oneway,
     "levene_brown_forsythe": q_levene_brown_forsythe,
     "cramers_v": q_cramers_v,
@@ -725,6 +799,7 @@ ORACLE = {
     "standardized_rate_mix": _sql_standardized_rate(),
     "kruskal_wallis": _sql_kruskal_wallis(),
     "mantel_haenszel_or": _sql_mantel_haenszel(),
+    "cochran_armitage": _ORACLE_COCHRAN_ARMITAGE,
     "anova_oneway": _ORACLE_ANOVA,
     "levene_brown_forsythe": _ORACLE_LEVENE,
     "cramers_v": _ORACLE_CRAMERS_V,

@@ -2345,8 +2345,157 @@ ORDER BY decile
 """
 
 
+# ---------------------------------------------------------------------------
+# Durbin–Watson: residual autocorrelation of the monthly OLS trend
+# ---------------------------------------------------------------------------
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson statistic of the per-region monthly-revenue OLS fit:
+    DW = Σ(e_t−e_{t−1})²/Σe_t² over the month-ordered residuals — the
+    standard misspecification check on ``q_regression_ols``-style trend
+    fits (DW ≈ 2 means independent residuals; → 0 positive serial
+    correlation, meaning the straight line is missing structure like
+    seasonality and its standard errors are fake).
+
+    Exactness: x = integer month index, y = exact revenue cents, so the
+    OLS slope/intercept are ONE fixed IEEE sequence on exact integer
+    moments (identical on both engines) and every residual is the same
+    double on both; the two residual sums carry (e/10^8)² — residuals in MILLIONS of
+    dollars — decimal-quantized (``dsum`` scale 6) so the exact sums stay
+    inside the 2^53 window where BOTH engines' DECIMAL→double casts are
+    correctly rounded (cents² sums crossed it and DuckDB's wide-decimal
+    cast drifted an ulp — measured, not theoretical); the unit cancels
+    in the ratio. ρ̂ ≈
+    1−DW/2 ships beside it. Scale shape: the scan collapses to
+    |region|×|month| cells in one hash agg; everything after runs on the
+    ~400-cell frame (keyed window for the lag)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            "r_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    m = monthly.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    coef = m.select(
+        "r_name",
+        "n",
+        slope.alias("b"),
+        ((sy - slope * sx) / nd).alias("a"),
+    )
+    res = monthly.join(F.broadcast(coef), "r_name").select(
+        "r_name",
+        "x",
+        "n",
+        "b",
+        "a",
+        (
+            F.col("y").cast("double") - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+        ).alias("e"),
+    )
+    w = Window.partitionBy("r_name").orderBy("x")
+    diffed = res.withColumn("e_lag", F.lag("e").over(w))
+    dw_parts = diffed.groupBy("r_name").agg(
+        F.max("n").alias("n_months"),
+        F.max("b").alias("slope"),
+        F.max("a").alias("intercept"),
+        dsum(
+            F.when(
+                F.col("e_lag").isNotNull(),
+                ((F.col("e") - F.col("e_lag")) / F.lit(1.0e8))
+                * ((F.col("e") - F.col("e_lag")) / F.lit(1.0e8)),
+            ).otherwise(F.lit(0.0)),
+            scale=6,
+        ).alias("num"),
+        dsum((F.col("e") / F.lit(1.0e8)) * (F.col("e") / F.lit(1.0e8)), scale=6).alias("den"),
+    )
+    dw = F.col("num") / F.col("den")
+    return dw_parts.select(
+        "r_name",
+        "n_months",
+        "slope",
+        "intercept",
+        dw.alias("dw_stat"),
+        (F.lit(1.0) - dw / F.lit(2.0)).alias("rho_hat"),
+    ).orderBy("r_name")
+
+
+_ORACLE_DURBIN_WATSON = f"""
+WITH monthly AS (
+  SELECT r_name,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT r_name,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM monthly GROUP BY 1
+), coef AS (
+  SELECT r_name, n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+         (CAST(sy AS DOUBLE)
+           - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+  FROM m
+), res AS (
+  SELECT monthly.r_name, x, n, b, a,
+         CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)) AS e
+  FROM monthly JOIN coef USING (r_name)
+), diffed AS (
+  SELECT r_name, n, b, a, e,
+         lag(e) OVER (PARTITION BY r_name ORDER BY x) AS e_lag
+  FROM res
+), parts AS (
+  SELECT r_name,
+         MAX(n) AS n_months_raw, MAX(b) AS slope, MAX(a) AS intercept,
+         {sql_dsum("CASE WHEN e_lag IS NOT NULL THEN ((e - e_lag) / CAST(1e8 AS DOUBLE)) * ((e - e_lag) / CAST(1e8 AS DOUBLE)) ELSE 0.0 END", scale=6)} AS num,
+         {sql_dsum("(e / CAST(1e8 AS DOUBLE)) * (e / CAST(1e8 AS DOUBLE))", scale=6)} AS den
+  FROM diffed GROUP BY 1
+)
+SELECT r_name, CAST(n_months_raw AS BIGINT) AS n_months, slope, intercept,
+       num / den AS dw_stat,
+       1.0 - num / den / 2.0 AS rho_hat
+FROM parts
+ORDER BY r_name
+"""
+
+
 QUERIES = {
     "model_gains_lift": q_model_gains_lift,
+    "durbin_watson": q_durbin_watson,
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
     "corr_pairs": q_corr_pairs,
@@ -2373,6 +2522,7 @@ QUERIES = {
 
 ORACLE = {
     "model_gains_lift": _ORACLE_GAINS_LIFT,
+    "durbin_watson": _ORACLE_DURBIN_WATSON,
     "target_encode_smoothed": _ORACLE_TARGET_ENCODE,
     "regression_ols": _ORACLE_REGRESSION_OLS,
     "corr_pairs": _sql_corr_pairs(),
