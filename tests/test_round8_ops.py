@@ -987,3 +987,36 @@ def test_durbin_watson_smooth_curvature(spark, tmp_path_factory):
     exp = _brute_dw([(x, round(v * 100)) for x, v in xy.items()])
     assert row["dw_stat"] == pytest.approx(exp, rel=1e-3)
     assert row["dw_stat"] < 0.5
+
+
+# ---------------------------------------------------------------------------
+# capture_recapture: planted partial overlap, hand-checked Chapman
+# ---------------------------------------------------------------------------
+
+
+def test_capture_recapture_planted_overlap(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.dedup import (
+        q_capture_recapture,
+    )
+
+    # single-token docs => each doc contributes its text as one shingle.
+    # occasion src0 (even) sees words 0..59; src1 (odd) sees 40..99
+    rows = []
+    k = 0
+    for i in range(60):
+        rows.append((k, f"w{i:03d}", "en", "src0", 4)); k += 1
+    for i in range(40, 100):
+        rows.append((k, f"w{i:03d}", "en", "src1", 4)); k += 1
+    root = str(tmp_path_factory.mktemp("cr"))
+    _write(spark, root, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    (row,) = q_capture_recapture(spark, root).collect()
+    n1, n2, m = 60, 60, 20
+    assert (row["n1"], row["n2"], row["m"]) == (n1, n2, m)
+    assert row["n_union_exact"] == 100
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert row["chapman_est"] == pytest.approx(est, rel=1e-12)
+    var = (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m) / ((m + 1) ** 2 * (m + 2))
+    assert row["se_est"] == pytest.approx(var**0.5, rel=1e-12)
+    # the estimator extrapolates ABOVE the observed union toward truth
+    assert row["chapman_est"] > 100

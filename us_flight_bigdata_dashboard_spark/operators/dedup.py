@@ -1895,7 +1895,111 @@ from us_flight_bigdata_dashboard_spark.operators.text import _sql_tokens as _snm
 
 _ORACLE_SNM = _ORACLE_SNM_TMPL.format(tok=_snm_sql_tokens("text"))
 
+# ---------------------------------------------------------------------------
+# Capture–recapture vocabulary-coverage estimate (Chapman estimator)
+# ---------------------------------------------------------------------------
+
+CR_NGRAM = 3  # shingle unit for the two "capture occasions"
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture (Lincoln–Petersen, Chapman-corrected) estimate of
+    the corpus's TOTAL distinct word-{n}-gram vocabulary from two
+    independent "capture occasions": even- vs odd-numbered sources. The
+    ecology estimator maps directly onto corpus curation — how much
+    vocabulary does the whole population hold if two crawls sampled it
+    independently? N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with its closed-form
+    standard error; the exact union distinct is reported beside it (at
+    real sf both occasions cover the population well, so N̂ ≈ union —
+    the crafted test plants partial overlap where the estimator genuinely
+    extrapolates).
+
+    Exactness: n₁, n₂, m, union are exact integer counts from one
+    per-shingle flag agg (distinct (occasion, shingle) pairs → two max
+    flags per shingle → one global sum); the estimate and its SE are one
+    fixed IEEE sequence on those integers (sqrt is the allowlisted
+    irrational). Scale: bounded by the distinct-shingle domain, never
+    the document count — the source_overlap_matrix shape with a 2-flag
+    reduction instead of a pair join."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        F.regexp_replace(F.col("source"), "[^0-9]", "").cast("long") % 2
+    ).alias("occ")
+    sh = (
+        shingles_exploded(docs, n_words=CR_NGRAM, keep=("source",))
+        .select(occ, "shingle")
+        .distinct()
+    )
+    flags = sh.groupBy("shingle").agg(
+        F.max(F.when(F.col("occ") == 0, 1).otherwise(0)).alias("in1"),
+        F.max(F.when(F.col("occ") == 1, 1).otherwise(0)).alias("in2"),
+    )
+    red = flags.agg(
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_union_exact"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    md = F.col("m").cast("double")
+    est = (n1 + F.lit(1.0)) * (n2 + F.lit(1.0)) / (md + F.lit(1.0)) - F.lit(1.0)
+    var = (
+        (n1 + F.lit(1.0))
+        * (n2 + F.lit(1.0))
+        * (n1 - md)
+        * (n2 - md)
+        / ((md + F.lit(1.0)) * (md + F.lit(1.0)) * (md + F.lit(2.0)))
+    )
+    return red.select(
+        "n1",
+        "n2",
+        "m",
+        "n_union_exact",
+        est.alias("chapman_est"),
+        F.sqrt(var).alias("se_est"),
+    )
+
+
+def _sql_capture_recapture() -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT
+         CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 2 AS occ,
+         shingle
+  FROM (
+    SELECT source, unnest({_sql_shingle_list(CR_NGRAM)}) AS shingle
+    FROM documents
+  )
+), flags AS (
+  SELECT shingle,
+         MAX(CASE WHEN occ = 0 THEN 1 ELSE 0 END) AS in1,
+         MAX(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS in2
+  FROM sh GROUP BY 1
+), red AS (
+  SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+         CAST(SUM(in2) AS BIGINT) AS n2,
+         CAST(SUM(in1 * in2) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_union_exact
+  FROM flags
+)
+SELECT n1, n2, m, n_union_exact,
+       (CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+         / (CAST(m AS DOUBLE) + 1.0) - 1.0 AS chapman_est,
+       sqrt((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+            * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+            * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+            / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0)
+               * (CAST(m AS DOUBLE) + 2.0))) AS se_est
+FROM red
+"""
+
+
+q_capture_recapture.__doc__ = q_capture_recapture.__doc__.replace("{n}", str(CR_NGRAM))
+
+
 QUERIES = {
+    "capture_recapture": q_capture_recapture,
     "dedup_exact": q_dedup_exact,
     "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_normalized": q_dedup_normalized,
@@ -1931,6 +2035,7 @@ ORACLE = {
     "dedup_chunks": _ORACLE_DEDUP_CHUNKS,
     "fuzzy_blocked_join": _sql_fuzzy_blocked_join(),
     "source_overlap_matrix": _sql_source_overlap(),
+    "capture_recapture": _sql_capture_recapture(),
     "dedup_substring_spans": _sql_substring_spans(),
     "dedup_containment": _sql_containment(),
     "fuzzy_damerau_linkage": _ORACLE_DAMERAU,
