@@ -1020,3 +1020,31 @@ def test_capture_recapture_planted_overlap(spark, tmp_path_factory):
     assert row["se_est"] == pytest.approx(var**0.5, rel=1e-12)
     # the estimator extrapolates ABOVE the observed union toward truth
     assert row["chapman_est"] > 100
+
+
+# ---------------------------------------------------------------------------
+# scan_xml_roundtrip: markup-escaping fidelity on crafted values
+# ---------------------------------------------------------------------------
+
+
+def test_xml_roundtrip_escapes_markup(spark, tmp_path_factory):
+    """The digest gate proves fidelity on real data; this pins the nasty
+    cases explicitly: &, <, >, quotes and whitespace in a string column
+    survive the XML write→read."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("xmlesc"))
+    rows = [(1, 1, dt.datetime(1995, 3, 1), 101.25, "A&B <tag> \"q\" 'x'"),
+            (2, 2, dt.datetime(1996, 7, 4), 0.01, "  pad  ")]
+    schema = ("l_orderkey bigint, l_linenumber int, l_shipdate timestamp, "
+              "l_extendedprice double, l_returnflag string")
+    df = spark.createDataFrame(rows, schema)
+    out = os.path.join(root, "xml")
+    (df.write.mode("overwrite").format("xml")
+       .option("rootTag", "lineitems").option("rowTag", "li").save(out))
+    back = (spark.read.format("xml").option("rowTag", "li").schema(schema)
+            .load(out).orderBy("l_orderkey").collect())
+    assert back[0]["l_returnflag"] == "A&B <tag> \"q\" 'x'"
+    assert back[0]["l_extendedprice"] == 101.25
+    assert back[0]["l_shipdate"] == dt.datetime(1995, 3, 1)
+    assert back[1]["l_orderkey"] == 2

@@ -291,6 +291,71 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SCAN_ORC_ROUNDTRIP = _sql_rt_digest()
 
 
+def q_scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth (§2.1): the lineitem projection written
+    to XML (Spark 4's built-in ``xml`` source — the spark-xml package
+    folded into core) and read back with an EXPLICIT schema; the gate
+    compares per-column value digests against the PARQUET-sourced
+    oracle, so fidelity across the text round trip (numeric re-parse,
+    timestamp ISO rendering, markup escaping) is proven, not assumed.
+    XML is the interchange format of B2B/EDI and legacy feeds — an
+    engine claiming source breadth meets it long before Avro.
+
+    Same memoized staging discipline as ``q_scan_orc_roundtrip``; the
+    write is a distributed XML sink (one element per row under a row
+    tag), the read a fresh distributed XML scan. Schema is declared, not
+    inferred — at 100 TB an inference pass over text files is a full
+    extra scan."""
+    import atexit
+    import shutil
+    import tempfile
+
+    cache = getattr(q_scan_xml_roundtrip, "_staged", None)
+    if cache is None:
+        cache = q_scan_xml_roundtrip._staged = {}
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in cache.values()]
+        )
+    if sf_dir not in cache:
+        out = tempfile.mkdtemp(prefix="xml_roundtrip_")
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_shipdate",
+                "l_extendedprice",
+                "l_returnflag",
+            )
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "lineitems")
+            .option("rowTag", "li")
+            .save(out)
+        )
+        cache[sf_dir] = out
+    xml_schema = (
+        "l_orderkey bigint, l_linenumber int, l_shipdate timestamp, "
+        "l_extendedprice double, l_returnflag string"
+    )
+    return _rt_digest(
+        spark.read.format("xml")
+        .option("rowTag", "li")
+        .schema(xml_schema)
+        .load(cache[sf_dir])
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.col("l_extendedprice").alias("price"),
+            "l_returnflag",
+        )
+    )
+
+
+_ORACLE_SCAN_XML_ROUNDTRIP = _sql_rt_digest()
+
+
 def q_scan_parquet_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet re-written under ZSTD — the lakehouse-default codec swap
     (snappy→zstd is the standard storage-cost lever; Spark 4 bundles the
@@ -1618,6 +1683,7 @@ QUERIES = {
     "nation_volume_shipping": q_nation_volume_shipping,
     "scan_project_cast": q_scan_project_cast,
     "scan_orc_roundtrip": q_scan_orc_roundtrip,
+    "scan_xml_roundtrip": q_scan_xml_roundtrip,
     "scan_parquet_zstd_roundtrip": q_scan_parquet_zstd_roundtrip,
     "scan_csv_quoted_roundtrip": q_scan_csv_quoted_roundtrip,
     "scan_jsonl_roundtrip": q_scan_jsonl_roundtrip,
@@ -1657,6 +1723,7 @@ ORACLE = {
     "nation_volume_shipping": _ORACLE_NATION_VOLUME_SHIPPING,
     "scan_project_cast": _ORACLE_SCAN_PROJECT_CAST,
     "scan_orc_roundtrip": _ORACLE_SCAN_ORC_ROUNDTRIP,
+    "scan_xml_roundtrip": _ORACLE_SCAN_XML_ROUNDTRIP,
     "scan_parquet_zstd_roundtrip": _ORACLE_SCAN_PARQUET_ZSTD_ROUNDTRIP,
     "scan_csv_quoted_roundtrip": _ORACLE_SCAN_CSV_QUOTED_ROUNDTRIP,
     "scan_jsonl_roundtrip": _ORACLE_SCAN_JSONL_ROUNDTRIP,
