@@ -1048,3 +1048,69 @@ def test_xml_roundtrip_escapes_markup(spark, tmp_path_factory):
     assert back[0]["l_extendedprice"] == 101.25
     assert back[0]["l_shipdate"] == dt.datetime(1995, 3, 1)
     assert back[1]["l_orderkey"] == 2
+
+
+# ---------------------------------------------------------------------------
+# sprt_sequential: planted effect stops early at the brute-forced day
+# ---------------------------------------------------------------------------
+
+
+def _sprt_brute(day_counts):
+    """day_counts: [(day, successes, failures)] sorted → (first_cross_day, verdict)."""
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        SPRT_A,
+        SPRT_B,
+        SPRT_L0,
+        SPRT_L1,
+    )
+
+    cs = cf = 0
+    for day, s, f in day_counts:
+        cs += s; cf += f
+        llr = cs * SPRT_L1 + cf * SPRT_L0
+        if llr >= SPRT_A:
+            return day, "accept_h1"
+        if llr <= SPRT_B:
+            return day, "accept_h0"
+    return None, "continue"
+
+
+def _sprt_events(arm_days):
+    """arm_days: {arm: [(day, s, f)]} → events rows."""
+    rows = []
+    eid = 0
+    for arm, seq in arm_days.items():
+        uid = arm  # user_id % 2 == arm
+        for day, s, f in seq:
+            for _ in range(s):
+                rows.append((eid, dt.datetime(2024, 1, day, 12), uid, "purchase", 1.0, "{}")); eid += 1
+            for _ in range(f):
+                rows.append((eid, dt.datetime(2024, 1, day, 13), uid, "view", 1.0, "{}")); eid += 1
+    return rows
+
+
+_EV_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, event_type string, "
+              "value double, props string")
+
+
+def test_sprt_planted_lift_and_null(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        q_sprt_sequential,
+    )
+
+    # arm 0: 40% purchase rate (strong lift) → accept_h1 early
+    # arm 1: 5% purchase rate (below p0) → accept_h0
+    arm0 = [(d, 20, 30) for d in range(1, 21)]
+    arm1 = [(d, 2, 38) for d in range(1, 21)]
+    rows = _sprt_events({0: arm0, 1: arm1})
+    root = str(tmp_path_factory.mktemp("sprt"))
+    _write(spark, root, "events", rows, _EV_SCHEMA)
+    out = {r["arm"]: r for r in q_sprt_sequential(spark, root).collect()}
+    d0, v0 = _sprt_brute(arm0)
+    d1, v1 = _sprt_brute(arm1)
+    assert v0 == "accept_h1" and v1 == "accept_h0"  # the plant works
+    assert out[0]["verdict"] == v0
+    assert out[0]["decision_day"] == dt.date(2024, 1, d0)
+    assert out[1]["verdict"] == v1
+    assert out[1]["decision_day"] == dt.date(2024, 1, d1)
+    assert out[0]["n_success"] == 400 and out[0]["n_failure"] == 600

@@ -784,11 +784,153 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------------
+# SPRT: Wald's sequential probability ratio test on the event stream
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+SPRT_P0 = 0.19  # H0 purchase share
+SPRT_P1 = 0.21  # H1 purchase share
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+# ln() appears ONLY on Python literals, folded here — both engines receive
+# identical doubles (the Benford/HLL-LUT discipline; no engine ln anywhere).
+SPRT_L1 = _math.log(SPRT_P1 / SPRT_P0)  # per-success LLR increment
+SPRT_L0 = _math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))  # per-failure increment
+SPRT_A = _math.log((1.0 - SPRT_BETA) / SPRT_ALPHA)  # accept-H1 boundary
+SPRT_B = _math.log(SPRT_BETA / (1.0 - SPRT_ALPHA))  # accept-H0 boundary
+
+
+def q_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT over the experiment stream: per arm (the md5-free
+    user_id%2 split), the day-by-day cumulative log-likelihood ratio of
+    H1: purchase share = 0.21 against H0: 0.19, with the first boundary
+    crossing and verdict — the sequential test that lets an experiment
+    STOP EARLY with guaranteed α/β instead of waiting for a fixed
+    horizon (Wald 1945; the peeking problem solved by design).
+
+    Determinism without transcendentals-on-data: the per-day cumulative
+    successes/failures are INTEGER running sums (exact under any window
+    evaluation strategy — DuckDB computes windowed float SUMs through a
+    segment tree whose pairwise order differs from Spark's running
+    accumulation, so a float running sum would drift; integers cannot),
+    and LLR_day = cum_s·l1 + cum_f·l0 is ONE fixed IEEE expression on
+    them, with l1/l0/A/B Python-folded literals. Crossing days are MINs
+    over deterministic flags. Scale: one (arm, day) hash agg, then
+    day-domain windows per arm — two partitions of ~|days| rows."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.to_date("ts").alias("day"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("s"),
+        )
+        .groupBy("arm", "day")
+        .agg(
+            F.sum("s").cast("long").alias("s_d"),
+            F.sum(F.lit(1) - F.col("s")).cast("long").alias("f_d"),
+        )
+    )
+    w = Window.partitionBy("arm").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = daily.select(
+        "arm",
+        "day",
+        F.sum("s_d").over(w).alias("cs"),
+        F.sum("f_d").over(w).alias("cf"),
+    )
+    llr = F.col("cs").cast("double") * F.lit(SPRT_L1) + F.col("cf").cast(
+        "double"
+    ) * F.lit(SPRT_L0)
+    scored = cum.select("arm", "day", "cs", "cf", llr.alias("llr"))
+    agg = scored.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("cs").cast("long").alias("n_success"),
+        F.max("cf").cast("long").alias("n_failure"),
+        F.max(F.when(F.col("llr") >= F.lit(SPRT_A), 1).otherwise(0)).alias("hit_up"),
+        F.min(F.when(F.col("llr") >= F.lit(SPRT_A), F.col("day"))).alias("d_up"),
+        F.max(F.when(F.col("llr") <= F.lit(SPRT_B), 1).otherwise(0)).alias("hit_lo"),
+        F.min(F.when(F.col("llr") <= F.lit(SPRT_B), F.col("day"))).alias("d_lo"),
+    )
+    final = scored.withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("arm").orderBy(F.desc("day"))),
+    ).filter(F.col("_rn") == 1).select("arm", F.col("llr").alias("final_llr"))
+    j = agg.join(F.broadcast(final), "arm")
+    verdict = (
+        F.when((F.col("hit_up") == 0) & (F.col("hit_lo") == 0), F.lit("continue"))
+        .when(
+            (F.col("hit_lo") == 0)
+            | ((F.col("hit_up") == 1) & (F.col("d_up") < F.col("d_lo"))),
+            F.lit("accept_h1"),
+        )
+        .otherwise(F.lit("accept_h0"))
+    )
+    return j.select(
+        "arm",
+        "n_days",
+        "n_success",
+        "n_failure",
+        "final_llr",
+        F.coalesce(F.least("d_up", "d_lo"), F.lit(None).cast("date")).alias(
+            "decision_day"
+        ),
+        verdict.alias("verdict"),
+    ).orderBy("arm")
+
+
+_ORACLE_SPRT = f"""
+WITH daily AS (
+  SELECT user_id % 2 AS arm, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS s_d,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS f_d
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT arm, day,
+         SUM(s_d) OVER (PARTITION BY arm ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         SUM(f_d) OVER (PARTITION BY arm ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+  FROM daily
+), scored AS (
+  SELECT arm, day, cs, cf,
+         CAST(cs AS DOUBLE) * CAST('{SPRT_L1!r}' AS DOUBLE)
+           + CAST(cf AS DOUBLE) * CAST('{SPRT_L0!r}' AS DOUBLE) AS llr
+  FROM cum
+), agg AS (
+  SELECT arm,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(MAX(cs) AS BIGINT) AS n_success,
+         CAST(MAX(cf) AS BIGINT) AS n_failure,
+         MAX(CASE WHEN llr >= CAST('{SPRT_A!r}' AS DOUBLE) THEN 1 ELSE 0 END) AS hit_up,
+         MIN(CASE WHEN llr >= CAST('{SPRT_A!r}' AS DOUBLE) THEN day END) AS d_up,
+         MAX(CASE WHEN llr <= CAST('{SPRT_B!r}' AS DOUBLE) THEN 1 ELSE 0 END) AS hit_lo,
+         MIN(CASE WHEN llr <= CAST('{SPRT_B!r}' AS DOUBLE) THEN day END) AS d_lo
+  FROM scored GROUP BY 1
+), fin AS (
+  SELECT arm, llr AS final_llr FROM (
+    SELECT arm, llr, ROW_NUMBER() OVER (PARTITION BY arm ORDER BY day DESC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT agg.arm, n_days, n_success, n_failure, final_llr,
+       LEAST(COALESCE(d_up, d_lo), COALESCE(d_lo, d_up)) AS decision_day,
+       CASE WHEN hit_up = 0 AND hit_lo = 0 THEN 'continue'
+            WHEN hit_lo = 0 OR (hit_up = 1 AND d_up < d_lo) THEN 'accept_h1'
+            ELSE 'accept_h0' END AS verdict
+FROM agg JOIN fin ON agg.arm = fin.arm
+ORDER BY agg.arm
+"""
+
+
 QUERIES = {
     "standardized_rate_mix": q_standardized_rate_mix,
     "kruskal_wallis": q_kruskal_wallis,
     "mantel_haenszel_or": q_mantel_haenszel_or,
     "cochran_armitage": q_cochran_armitage,
+    "sprt_sequential": q_sprt_sequential,
     "anova_oneway": q_anova_oneway,
     "levene_brown_forsythe": q_levene_brown_forsythe,
     "cramers_v": q_cramers_v,
@@ -800,6 +942,7 @@ ORACLE = {
     "kruskal_wallis": _sql_kruskal_wallis(),
     "mantel_haenszel_or": _sql_mantel_haenszel(),
     "cochran_armitage": _ORACLE_COCHRAN_ARMITAGE,
+    "sprt_sequential": _ORACLE_SPRT,
     "anova_oneway": _ORACLE_ANOVA,
     "levene_brown_forsythe": _ORACLE_LEVENE,
     "cramers_v": _ORACLE_CRAMERS_V,
