@@ -1114,3 +1114,92 @@ def test_sprt_planted_lift_and_null(spark, tmp_path_factory):
     assert out[1]["verdict"] == v1
     assert out[1]["decision_day"] == dt.date(2024, 1, d1)
     assert out[0]["n_success"] == 400 and out[0]["n_failure"] == 600
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa: hand-computed 2x2 agreement
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_hand_computed(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        KAPPA_CHARS,
+        KAPPA_TOKENS,
+        q_cohens_kappa,
+    )
+
+    # construct exact 2x2 cells: yy=40, yn=10, ny=5, nn=45
+    long_txt = " ".join(f"t{i}" for i in range(KAPPA_TOKENS + 5))   # B yes
+    short_txt = " ".join(f"t{i}" for i in range(5))                 # B no
+    rows, k = [], 0
+    for cnt, chars, txt in (
+        (40, KAPPA_CHARS + 10, long_txt),   # A yes, B yes
+        (10, KAPPA_CHARS + 10, short_txt),  # A yes, B no
+        (5, KAPPA_CHARS - 10, long_txt),    # A no,  B yes
+        (45, KAPPA_CHARS - 10, short_txt),  # A no,  B no
+    ):
+        for _ in range(cnt):
+            rows.append((k, txt, "en", "src0", chars)); k += 1
+    root = str(tmp_path_factory.mktemp("kappa"))
+    _write(spark, root, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    (row,) = q_cohens_kappa(spark, root).collect()
+    assert (row["yy"], row["yn"], row["ny"], row["nn"]) == (40, 10, 5, 45)
+    po = 85 / 100
+    pe = (50 * 45 + 50 * 55) / 100**2
+    assert row["p_observed"] == pytest.approx(po, rel=1e-12)
+    assert row["p_expected"] == pytest.approx(pe, rel=1e-12)
+    assert row["kappa"] == pytest.approx((po - pe) / (1 - pe), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# runs_test: planted trend (few runs) vs alternation (many runs)
+# ---------------------------------------------------------------------------
+
+
+def _runs_brute(series):
+    vals = sorted(v for _, v in series)
+    med = vals[(len(vals) + 1) // 2 - 1]
+    signs = [(d, 1 if v > med else 0) for d, v in sorted(series) if v != med]
+    n1 = sum(s for _, s in signs)
+    n2 = len(signs) - n1
+    r = sum(1 for i, (_, s) in enumerate(signs) if i == 0 or s != signs[i - 1][1])
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    return n1, n2, r, mu, (r - mu) / var**0.5
+
+
+def _runs_orders(series):
+    rows = []
+    k = 0
+    for day, dollars in series:
+        rows.append((k, float(dollars), dt.datetime(1995, 1, 1) + dt.timedelta(days=day)))
+        k += 1
+    return rows
+
+
+_RUNS_SCHEMA = "o_orderkey bigint, o_totalprice double, o_orderdate timestamp"
+
+
+def test_runs_test_trend_vs_alternation(spark, tmp_path_factory):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import q_runs_test
+
+    # trending series: first 30 days low, last 30 high → 2 runs, z << 0
+    trend = [(d, 100 + d) for d in range(60)]
+    root = str(tmp_path_factory.mktemp("runs1"))
+    _write(spark, root, "orders", _runs_orders(trend), _RUNS_SCHEMA)
+    (row,) = q_runs_test(spark, root).collect()
+    n1, n2, r, mu, z = _runs_brute(trend)
+    assert (row["n1"], row["n2"], row["r_runs"]) == (n1, n2, r)
+    assert row["z_stat"] == pytest.approx(z, rel=1e-12)
+    assert row["r_runs"] == 2 and row["z_stat"] < -7
+
+    # alternating series → maximal runs, z >> 0
+    alt = [(d, 100 + (50 if d % 2 else -50) + d * 0.001) for d in range(60)]
+    root2 = str(tmp_path_factory.mktemp("runs2"))
+    _write(spark, root2, "orders", _runs_orders(alt), _RUNS_SCHEMA)
+    (row2,) = q_runs_test(spark, root2).collect()
+    n1b, n2b, rb, mub, zb = _runs_brute([(d, round(v * 100)) for d, v in alt])
+    assert (row2["n1"], row2["n2"], row2["r_runs"]) == (n1b, n2b, rb)
+    assert row2["z_stat"] == pytest.approx(zb, rel=1e-12)
+    assert row2["z_stat"] > 6  # near-maximal alternation

@@ -925,8 +925,98 @@ ORDER BY agg.arm
 """
 
 
+KAPPA_CHARS = 300  # rater A: character-length rule
+KAPPA_TOKENS = 55  # rater B: token-count rule
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two document classifiers — rater A flags
+    docs with ≥{KAPPA_CHARS} chars, rater B docs with ≥{KAPPA_TOKENS}
+    whitespace tokens — the chance-corrected agreement measure: raw
+    percent agreement rewards raters that both say "yes" to everything,
+    κ = (p_o − p_e)/(1 − p_e) subtracts the agreement two INDEPENDENT
+    raters with these margins would produce by luck. The standard
+    QA metric when two labeling pipelines (heuristic vs model, two
+    annotator pools) must be reconciled before training on their labels.
+
+    Exactness: the 2×2 agreement cells are integer counts from ONE hash
+    agg; p_o, p_e, κ are a fixed IEEE sequence on them. Scale: one
+    map-side-combinable aggregate, then arithmetic on a single row."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = (F.col("n_chars") >= KAPPA_CHARS).cast("int")
+    b = (
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        >= KAPPA_TOKENS
+    ).cast("int")
+    m = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a * b).cast("long").alias("yy"),
+        F.sum(a * (1 - b)).cast("long").alias("yn"),
+        F.sum((1 - a) * b).cast("long").alias("ny"),
+        F.sum((1 - a) * (1 - b)).cast("long").alias("nn"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("yy") + F.col("nn")).cast("double") / nd
+    pe = (
+        (F.col("yy") + F.col("yn")).cast("double")
+        * (F.col("yy") + F.col("ny")).cast("double")
+        + (F.col("ny") + F.col("nn")).cast("double")
+        * (F.col("yn") + F.col("nn")).cast("double")
+    ) / (nd * nd)
+    return m.select(
+        "n",
+        "yy",
+        "yn",
+        "ny",
+        "nn",
+        po.alias("p_observed"),
+        pe.alias("p_expected"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+q_cohens_kappa.__doc__ = (
+    q_cohens_kappa.__doc__.replace("{KAPPA_CHARS}", str(KAPPA_CHARS))
+    .replace("{KAPPA_TOKENS}", str(KAPPA_TOKENS))
+)
+
+
+_ORACLE_COHENS_KAPPA = f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN n_chars >= {KAPPA_CHARS}
+                        AND len(list_filter(string_split(text, ' '), t -> t <> '')) >= {KAPPA_TOKENS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS yy,
+         CAST(SUM(CASE WHEN n_chars >= {KAPPA_CHARS}
+                        AND len(list_filter(string_split(text, ' '), t -> t <> '')) < {KAPPA_TOKENS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS yn,
+         CAST(SUM(CASE WHEN n_chars < {KAPPA_CHARS}
+                        AND len(list_filter(string_split(text, ' '), t -> t <> '')) >= {KAPPA_TOKENS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ny,
+         CAST(SUM(CASE WHEN n_chars < {KAPPA_CHARS}
+                        AND len(list_filter(string_split(text, ' '), t -> t <> '')) < {KAPPA_TOKENS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nn
+  FROM documents
+)
+SELECT n, yy, yn, ny, nn,
+       CAST(yy + nn AS DOUBLE) / CAST(n AS DOUBLE) AS p_observed,
+       (CAST(yy + yn AS DOUBLE) * CAST(yy + ny AS DOUBLE)
+        + CAST(ny + nn AS DOUBLE) * CAST(yn + nn AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS p_expected,
+       (CAST(yy + nn AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(yy + yn AS DOUBLE) * CAST(yy + ny AS DOUBLE)
+           + CAST(ny + nn AS DOUBLE) * CAST(yn + nn AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       / (1.0 - (CAST(yy + yn AS DOUBLE) * CAST(yy + ny AS DOUBLE)
+                 + CAST(ny + nn AS DOUBLE) * CAST(yn + nn AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
+FROM m
+"""
+
+
 QUERIES = {
     "standardized_rate_mix": q_standardized_rate_mix,
+    "cohens_kappa": q_cohens_kappa,
     "kruskal_wallis": q_kruskal_wallis,
     "mantel_haenszel_or": q_mantel_haenszel_or,
     "cochran_armitage": q_cochran_armitage,
@@ -943,6 +1033,7 @@ ORACLE = {
     "mantel_haenszel_or": _sql_mantel_haenszel(),
     "cochran_armitage": _ORACLE_COCHRAN_ARMITAGE,
     "sprt_sequential": _ORACLE_SPRT,
+    "cohens_kappa": _ORACLE_COHENS_KAPPA,
     "anova_oneway": _ORACLE_ANOVA,
     "levene_brown_forsythe": _ORACLE_LEVENE,
     "cramers_v": _ORACLE_CRAMERS_V,

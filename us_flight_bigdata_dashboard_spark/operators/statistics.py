@@ -2493,9 +2493,135 @@ ORDER BY r_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test: randomness of the daily order-count series
+# ---------------------------------------------------------------------------
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily revenue series: are the
+    above-median/below-median days randomly interleaved, or does the KPI
+    drift in RUNS (trend/regime behavior that the mean hides)? (Revenue,
+    not order count: a count series at low SF sits ON its integer median
+    so the below-median side can be empty — revenue cents are near-unique
+    per day, keeping both sign classes populated at every SF.) R runs
+    among n₁ "+" and n₂ "−" days has μ_R = 2n₁n₂/(n₁+n₂)+1 and the
+    classical variance; z = (R−μ)/σ flags non-randomness in either
+    direction (too few runs = clumping/trend, too many = oscillation).
+
+    Exactness: daily counts and the median cut are exact integers (lower-
+    median rank pick, DIV semantics shared by both engines); equal-to-
+    median days are dropped (the standard convention); R is an integer
+    sum of sign-change flags over the day-ordered window; μ, σ², z are
+    one fixed IEEE sequence on (R, n₁, n₂). Scale: one (day) hash agg,
+    then day-domain windows — nothing after the first agg touches data."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("long")
+        .alias("c")
+    )
+    w_rank = Window.orderBy("c", "day")
+    w_all = Window.partitionBy()
+    ranked = daily.select(
+        "day",
+        "c",
+        F.row_number().over(w_rank).alias("_r"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    med = ranked.filter(
+        F.col("_r") == F.expr("(_n + 1) DIV 2")
+    ).select(F.col("c").alias("med"))
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("c") != F.col("med"))
+        .select(
+            "day", (F.col("c") > F.col("med")).cast("int").alias("s")
+        )
+    )
+    w_day = Window.orderBy("day")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w_day).isNull()
+            | (F.lag("s").over(w_day) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    red = runs.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).cast("long").alias("n2"),
+        F.sum("new_run").cast("long").alias("r_runs"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    rr = F.col("r_runs").cast("double")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - F.lit(1.0)))
+    )
+    return red.select(
+        "n1",
+        "n2",
+        "r_runs",
+        mu.alias("mu_runs"),
+        ((rr - mu) / F.sqrt(var)).alias("z_stat"),
+    )
+
+
+_ORACLE_RUNS_TEST = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT day, c,
+         ROW_NUMBER() OVER (ORDER BY c, day) AS r,
+         COUNT(*) OVER () AS n
+  FROM daily
+), med AS (
+  SELECT c AS med FROM ranked WHERE r = (n + 1) // 2
+), signed AS (
+  SELECT day, CAST(c > med AS INT) AS s
+  FROM daily CROSS JOIN med
+  WHERE c <> med
+), runs AS (
+  SELECT s,
+         CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                OR lag(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS new_run
+  FROM signed
+), red AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(SUM(1 - s) AS BIGINT) AS n2,
+         CAST(SUM(new_run) AS BIGINT) AS r_runs
+  FROM runs
+)
+SELECT n1, n2, r_runs,
+       2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0 AS mu_runs,
+       (CAST(r_runs AS DOUBLE)
+         - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+            / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+       / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+              / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) AS z_stat
+FROM red
+"""
+
+
 QUERIES = {
     "model_gains_lift": q_model_gains_lift,
     "durbin_watson": q_durbin_watson,
+    "runs_test": q_runs_test,
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
     "corr_pairs": q_corr_pairs,
@@ -2523,6 +2649,7 @@ QUERIES = {
 ORACLE = {
     "model_gains_lift": _ORACLE_GAINS_LIFT,
     "durbin_watson": _ORACLE_DURBIN_WATSON,
+    "runs_test": _ORACLE_RUNS_TEST,
     "target_encode_smoothed": _ORACLE_TARGET_ENCODE,
     "regression_ols": _ORACLE_REGRESSION_OLS,
     "corr_pairs": _sql_corr_pairs(),
