@@ -1203,3 +1203,47 @@ def test_runs_test_trend_vs_alternation(spark, tmp_path_factory):
     assert (row2["n1"], row2["n2"], row2["r_runs"]) == (n1b, n2b, rb)
     assert row2["z_stat"] == pytest.approx(zb, rel=1e-12)
     assert row2["z_stat"] > 6  # near-maximal alternation
+
+
+# ---------------------------------------------------------------------------
+# jackknife_ratio: brute-forced delete-one replicates
+# ---------------------------------------------------------------------------
+
+
+def test_jackknife_ratio_brute_force(spark, tmp_path_factory):
+    import random
+
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_jackknife_ratio,
+    )
+
+    rng = random.Random(23)
+    orders, cust = [], []
+    k = 0
+    cells = {}
+    for nat in range(8):
+        cust.append((nat, nat))
+        y = x = 0
+        for _ in range(rng.randint(20, 40)):
+            price = rng.randint(1000, 9999)  # whole cents via .25 steps
+            urgent = rng.random() < 0.2 + 0.03 * nat  # heterogeneous rates
+            orders.append((k, nat, float(price) / 100, "1-URGENT" if urgent else "5-LOW"))
+            x += price
+            y += price if urgent else 0
+            k += 1
+        cells[nat] = (y, x)
+    root = str(tmp_path_factory.mktemp("jack"))
+    _write(spark, root, "orders", orders,
+           "o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderpriority string")
+    _write(spark, root, "customer", cust, "c_custkey bigint, c_nationkey bigint")
+    (row,) = q_jackknife_ratio(spark, root).collect()
+    ty = sum(y for y, _ in cells.values()); tx = sum(x for _, x in cells.values())
+    ris = [(ty - y) / (tx - x) for y, x in cells.values()]
+    n = len(ris)
+    rbar = sum(ris) / n
+    se = ((n - 1) / n * sum((r - rbar) ** 2 for r in ris)) ** 0.5
+    assert row["n_groups"] == n
+    assert row["ratio_full"] == pytest.approx(ty / tx, rel=1e-12)
+    assert row["ratio_loo_mean"] == pytest.approx(rbar, rel=1e-9)
+    assert row["jack_bias"] == pytest.approx((n - 1) * (rbar - ty / tx), rel=1e-6, abs=1e-12)
+    assert row["jack_se"] == pytest.approx(se, rel=1e-6)

@@ -2618,10 +2618,119 @@ FROM red
 """
 
 
+# ---------------------------------------------------------------------------
+# Jackknife (leave-one-group-out) SE of a ratio estimator
+# ---------------------------------------------------------------------------
+
+
+def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife for the urgent-revenue-share ratio
+    R = Σurgent/Σtotal, groups = nations: ratio estimators have no
+    closed-form variance (denominator is random too), and the bootstrap
+    entry resamples ROWS — the grouped jackknife is the survey-statistics
+    standard when rows are clustered (Quenouille/Tukey; the delete-one
+    replicates R₍ᵢ₎=(Σy−yᵢ)/(Σx−xᵢ) need only per-group totals, so it is
+    FREE at any scale once the group rollup exists). Reports the full
+    ratio, the jackknife bias estimate (n−1)(R̄₍·₎−R) and
+    SE = sqrt((n−1)/n · Σ(R₍ᵢ₎−R̄₍·₎)²).
+
+    Determinism: per-nation (yᵢ, xᵢ) are exact integer cents; each
+    replicate is one division of exact integers; the two cross-replicate
+    float reductions (ΣR₍ᵢ₎, ΣR₍ᵢ₎²) are decimal-quantized at scale 12 —
+    NOT finer: the SE's ΣR²−(ΣR)²/n cancellation amplifies any
+    difference, and at scale 16 the 33-significant-digit decimal sum
+    crosses 2^53 where DuckDB's wide-DECIMAL→double cast is not
+    correctly rounded (measured: jack_se drifted at the 13th digit);
+    at scale 12 the scaled sums stay exactly convertible on both
+    engines, so the cancellation operates on bit-identical inputs. Scale: one
+    hash agg to 25 rows, a broadcast scalar attach, then arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", cents).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("y"),
+            F.sum(cents).cast("long").alias("x"),
+        )
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("ty"),
+        F.sum("x").cast("long").alias("tx"),
+    )
+    rep = cells.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "ty",
+        "tx",
+        (
+            (F.col("ty") - F.col("y")).cast("double")
+            / (F.col("tx") - F.col("x")).cast("double")
+        ).alias("ri"),
+    )
+    red = rep.groupBy("n", "ty", "tx").agg(
+        dsum("ri", scale=12).alias("sr"),
+        dsum(F.col("ri") * F.col("ri"), scale=12).alias("srr"),
+    )
+    nd = F.col("n").cast("double")
+    r_full = F.col("ty").cast("double") / F.col("tx").cast("double")
+    r_bar = F.col("sr") / nd
+    ss = F.col("srr") - F.col("sr") * F.col("sr") / nd
+    return red.select(
+        F.col("n").alias("n_groups"),
+        r_full.alias("ratio_full"),
+        r_bar.alias("ratio_loo_mean"),
+        ((nd - F.lit(1.0)) * (r_bar - r_full)).alias("jack_bias"),
+        F.sqrt((nd - F.lit(1.0)) / nd * ss).alias("jack_se"),
+    )
+
+
+_ORACLE_JACKKNIFE = f"""
+WITH cells AS (
+  SELECT c_nationkey,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS ty, CAST(SUM(x) AS BIGINT) AS tx
+  FROM cells
+), rep AS (
+  SELECT n, ty, tx,
+         CAST(ty - y AS DOUBLE) / CAST(tx - x AS DOUBLE) AS ri
+  FROM cells CROSS JOIN tot
+), red AS (
+  SELECT n, ty, tx,
+         {sql_dsum("ri", scale=12)} AS sr,
+         {sql_dsum("ri * ri", scale=12)} AS srr
+  FROM rep GROUP BY 1, 2, 3
+)
+SELECT n AS n_groups,
+       CAST(ty AS DOUBLE) / CAST(tx AS DOUBLE) AS ratio_full,
+       sr / CAST(n AS DOUBLE) AS ratio_loo_mean,
+       (CAST(n AS DOUBLE) - 1.0)
+         * (sr / CAST(n AS DOUBLE) - CAST(ty AS DOUBLE) / CAST(tx AS DOUBLE)) AS jack_bias,
+       sqrt((CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)
+            * (srr - sr * sr / CAST(n AS DOUBLE))) AS jack_se
+FROM red
+"""
+
+
 QUERIES = {
     "model_gains_lift": q_model_gains_lift,
     "durbin_watson": q_durbin_watson,
     "runs_test": q_runs_test,
+    "jackknife_ratio": q_jackknife_ratio,
     "target_encode_smoothed": q_target_encode_smoothed,
     "regression_ols": q_regression_ols,
     "corr_pairs": q_corr_pairs,
@@ -2650,6 +2759,7 @@ ORACLE = {
     "model_gains_lift": _ORACLE_GAINS_LIFT,
     "durbin_watson": _ORACLE_DURBIN_WATSON,
     "runs_test": _ORACLE_RUNS_TEST,
+    "jackknife_ratio": _ORACLE_JACKKNIFE,
     "target_encode_smoothed": _ORACLE_TARGET_ENCODE,
     "regression_ols": _ORACLE_REGRESSION_OLS,
     "corr_pairs": _sql_corr_pairs(),
