@@ -89,9 +89,15 @@ _MODULES = [
 # deliberately IN this prefix so the driver certifies the new code.
 # ROUND-9 STAGING (recompute at r9 start with the usual script —
 # all registry names minus CORRECTNESS_r01..r08 greens minus this
-# prefix): after round 8's 21 additions the never-certified pool is 57
-# entries (the 36 r7 leftovers + the round-8 additions); r9 takes 50,
-# r10 closes the final 7 plus sentinels. All 50 pre-cleared at
+# prefix): after round 8's 36 additions the never-certified pool is 72
+# entries (the 36 r7 leftovers + the 36 round-8 additions, of which the
+# final 15 landed after the first staging note: standardized_rate_mix,
+# streaming_ewma_v2_replay, kruskal_wallis, model_gains_lift,
+# mantel_haenszel_or, tcloseness_audit, sketch_kmv_distinct,
+# cochran_armitage, durbin_watson, capture_recapture,
+# scan_xml_roundtrip, sprt_sequential, cohens_kappa, runs_test,
+# jackknife_ratio); r9 takes 50, r10 closes the final 22 plus
+# sentinels. Every pool entry pre-cleared at
 # sf0.001/sf0.01/sf0.1 + PANDAS_CANON + vanilla-ANSI + dtype-parity
 # (round-7 runs; modified entries re-cleared this round). The full matrix
 # is additionally verified by ``tools/check_oracle.py``
