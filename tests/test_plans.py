@@ -403,3 +403,32 @@ def test_snm_rank_is_bucketed(spark):
     plan = plan_str(q_dedup_sorted_neighborhood(spark, SF_DIR))
     assert "hashpartitioning(_b" in plan, plan
     assert count_broadcast_joins(q_dedup_sorted_neighborhood(spark, SF_DIR)) >= 1
+
+
+def test_gains_lift_rank_is_bucketed(spark):
+    """Same guard for the round-8 gains/lift deciles: the exact global
+    rank must run as the bucketed decomposition (per-bucket windows
+    hash-partitioned on `_b` with a broadcast offset table), never a
+    single-task NTILE/ROW_NUMBER over the whole fact table."""
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_model_gains_lift,
+    )
+
+    plan = plan_str(q_model_gains_lift(spark, SF_DIR))
+    assert "hashpartitioning(_b" in plan, plan
+    assert count_broadcast_joins(q_model_gains_lift(spark, SF_DIR)) >= 1
+
+
+def test_kmv_bottom_k_is_tournament(spark):
+    """The KMV sketch's bottom-k must be the tournament: a first window
+    hash-partitioned on (group, hash-bucket) prunes to <= buckets*k rows
+    before any per-group pass — the plan must contain the bucketed
+    partitioning, proving no raw data-sized per-group sort survives."""
+    from us_flight_bigdata_dashboard_spark.operators.sketches import (
+        q_sketch_kmv_distinct,
+    )
+
+    plan = plan_str(q_sketch_kmv_distinct(spark, SF_DIR))
+    assert "hashpartitioning(o_orderpriority" in plan, plan
+    # the bucket stage partitions on (priority, h % 64)
+    assert "% 64" in plan or "(h#" in plan, plan
