@@ -646,6 +646,7 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 
 JACCARD_TOP = 20
+SUPPS_PER_CUST_CAP = 64  # hot-customer guard for the co-customer self-join
 
 
 def q_graph_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,29 +655,50 @@ def q_graph_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive behind "suppliers like this one" recommendations and
     substitution analysis.
 
-    Scale shape: candidate pairs come ONLY from co-customers (self-join
-    of the distinct (customer, supplier) relationship on customer — a
-    pair with zero shared customers has Jaccard 0 and is never
-    materialized); per-pair work is one intersection count, and union
-    sizes come from a broadcast per-supplier degree table
-    (|A∪B| = |A|+|B|−|A∩B| — no second pass). Per-customer pair fan-out
-    is C(k,2) in that customer's supplier count k — at 100 TB cap k (the
-    same per-order cap the basket-rules operator uses) to bound the
-    self-join. Exact integer ratio; top {JACCARD_TOP} under a total
-    order."""
+    Scale shape: candidate pairs come ONLY from co-customers (a pair
+    with zero shared customers has Jaccard 0 and is never materialized),
+    and they are generated WITHOUT a self-join: one hash agg collects
+    each customer's sorted distinct supplier array, and the C(k,2)
+    ordered pairs explode inline from that array (nested `transform`
+    over the tail slice — pure Catalyst exprs, same stage as the agg
+    output). Customers with more than {SUPPS_PER_CUST_CAP} distinct
+    suppliers are DROPPED before the explode (the same hot-key guard the
+    co-purchase builder uses, `PARTS_PER_ORDER_CAP` above): one hot
+    customer with 10k suppliers would alone emit 50M pairs, and
+    promiscuous keys carry ~no similarity signal. The degree table
+    explodes from the SAME capped arrays (materialized once via eager
+    localCheckpoint), so Jaccard stays an exact integer ratio of a
+    single consistent graph — and the DuckDB oracle applies the
+    identical cap, so the gate certifies the capped semantics (VERDICT
+    r8 ask #2). Union sizes come from a broadcast per-supplier degree
+    table (|A∪B| = |A|+|B|−|A∩B| — no second pass). This shape replaced
+    the r8 cs-self-join-on-cust plan, whose shared subtree executed
+    twice and whose sort-merge join materialized every k×k match before
+    the `<` filter (organic sf1: 111 s → see SCALE_r09); pair volume
+    itself is linear in data (measured 11.1M → 111.7M at sf0.1 → sf1).
+    Top {JACCARD_TOP} under a total order."""
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cs = (
+    capped = (
         lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-        .distinct()
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("supps"))
+        .filter(F.size("supps") <= SUPPS_PER_CUST_CAP)
+        .localCheckpoint(eager=True)
     )
-    deg = cs.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
-    a = cs.select("cust", F.col("supp").alias("supp_a"))
-    b = cs.select("cust", F.col("supp").alias("supp_b"))
+    deg = (
+        capped.select(F.explode("supps").alias("supp"))
+        .groupBy("supp")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(supps, (x, i) -> "
+        "transform(slice(supps, i + 2, size(supps)), "
+        "y -> struct(x AS supp_a, y AS supp_b))))"
+    )
     inter = (
-        a.join(b, "cust")
-        .filter(F.col("supp_a") < F.col("supp_b"))
+        capped.select(F.explode(pair_expr).alias("p"))
+        .select("p.supp_a", "p.supp_b")
         .groupBy("supp_a", "supp_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -701,9 +723,14 @@ def q_graph_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_SUPPLIER_SIMILARITY = f"""
-WITH cs AS (
+WITH cs_raw AS (
   SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), cs AS (
+  SELECT cust, supp FROM (
+    SELECT cust, supp, COUNT(*) OVER (PARTITION BY cust) AS n_supps
+    FROM cs_raw
+  ) WHERE n_supps <= {SUPPS_PER_CUST_CAP}
 ), deg AS (
   SELECT supp, COUNT(*) AS deg FROM cs GROUP BY supp
 ), inter AS (

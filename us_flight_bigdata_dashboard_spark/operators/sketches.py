@@ -205,23 +205,21 @@ def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "reg")
         .agg(F.max("rho").alias("m_j"))
     )
-    # fill absent registers with M_j = 0 so every group has exactly m terms
-    prios = orders.select("o_orderpriority").distinct()
-    grid = prios.crossJoin(
-        orders.sparkSession.range(HLL_M).select(F.col("id").alias("reg"))
-    )
-    full = grid.join(regs, ["o_orderpriority", "reg"], "left").select(
-        "o_orderpriority", "reg", F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j")
-    )
-    est = full.groupBy("o_orderpriority").agg(
+    # Absent registers (M_j = 0) fold in ARITHMETICALLY: each contributes
+    # exactly 2^50 to the harmonic integer sum, and the zero-register
+    # count is m minus the present-register count (present registers
+    # always have M_j >= 1). This replaces the r8 priorities×m grid
+    # crossJoin + left join with plain agg arithmetic (VERDICT r8 ask #6).
+    est = regs.groupBy("o_orderpriority").agg(
         # SQL shiftleft accepts a column shift (the python wrapper doesn't)
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m_j AS INT))")).alias(
-            "int_sum"
-        ),
-        # zero-register count: the exact input a consumer needs to apply
-        # the small-range linear-counting correction m·ln(m/V) offline
-        # (ln is banned in-gate; V itself is integer-exact and portable)
-        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("zero_regs"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m_j AS INT))"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(2**50)
+        ).alias("int_sum"),
+        # zero-register count: the exact input of the small-range
+        # linear-counting correction m·ln(m/V) (ln ships via the LUT;
+        # V itself is integer-exact and portable)
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("bigint").alias("zero_regs"),
     )
     exact = orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("exact_distinct")
@@ -268,18 +266,12 @@ WITH hashed AS (
   FROM hashed
 ), regs AS (
   SELECT o_orderpriority, reg, MAX(rho) AS m_j FROM rho GROUP BY 1, 2
-), grid AS (
-  SELECT p.o_orderpriority, g.reg
-  FROM (SELECT DISTINCT o_orderpriority FROM orders) p
-  CROSS JOIN (SELECT UNNEST(range({HLL_M})) AS reg) g
-), full_regs AS (
-  SELECT grid.o_orderpriority, grid.reg, COALESCE(regs.m_j, 0) AS m_j
-  FROM grid LEFT JOIN regs USING (o_orderpriority, reg)
 ), est AS (
   SELECT o_orderpriority,
-         SUM((CAST(1 AS BIGINT) << (50 - m_j))) AS int_sum,
-         SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS zero_regs
-  FROM full_regs GROUP BY o_orderpriority
+         SUM((CAST(1 AS BIGINT) << (50 - m_j)))
+           + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 50) AS int_sum,
+         CAST({HLL_M} - COUNT(*) AS BIGINT) AS zero_regs
+  FROM regs GROUP BY o_orderpriority
 ), exact AS (
   SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
   FROM orders GROUP BY o_orderpriority
@@ -465,17 +457,13 @@ def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rho").alias("m_j"))
     )
     merged = regs.groupBy("reg").agg(F.max("m_j").alias("m_j"))
-    grid = orders.sparkSession.range(HLL_M).select(F.col("id").alias("reg"))
-    full = grid.join(merged, "reg", "left").select(
-        "reg", F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j")
-    )
-    est = full.agg(
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m_j AS INT))")).alias(
-            "int_sum"
-        ),
-        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("zero_regs"),
+    # absent registers fold in arithmetically (see q_sketch_hll_registers)
+    est = merged.agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m_j AS INT))"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(2**50)
+        ).alias("int_sum"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("zero_regs"),
     )
     exact = orders.agg(F.countDistinct("o_custkey").cast("long").alias("exact_union"))
     raw = F.lit(HLL_SCALE) / F.col("int_sum").cast("double")
@@ -523,14 +511,11 @@ WITH filtered AS (
   SELECT o_orderpriority, reg, MAX(rho) AS m_j FROM rho GROUP BY 1, 2
 ), merged AS (
   SELECT reg, MAX(m_j) AS m_j FROM regs GROUP BY 1
-), full_regs AS (
-  SELECT g.reg, COALESCE(m.m_j, 0) AS m_j
-  FROM (SELECT UNNEST(range({HLL_M})) AS reg) g
-  LEFT JOIN merged m USING (reg)
 ), est AS (
-  SELECT SUM((CAST(1 AS BIGINT) << (50 - m_j))) AS int_sum,
-         CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_regs
-  FROM full_regs
+  SELECT SUM((CAST(1 AS BIGINT) << (50 - m_j)))
+           + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 50) AS int_sum,
+         CAST({HLL_M} - COUNT(*) AS BIGINT) AS zero_regs
+  FROM merged
 ), exact AS (
   SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_union FROM filtered
 ), sel AS (
