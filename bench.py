@@ -208,6 +208,30 @@ def main() -> None:
     import shutil
     import tempfile
 
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    def write_local(timings: dict) -> None:
+        try:
+            with open(out_path, "w") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "metric": "headline_query_suite_wall",
+                            "value": round(sum(timings.values()), 4),
+                            "unit": "sec",
+                            "queries": timings,
+                            "sf": sf_num,
+                        }
+                    )
+                    + "\n"
+                )
+        except OSError:
+            pass  # stdout line below is still the contract
+
     sink_root = tempfile.mkdtemp(prefix="bench_sink_")
     timings: dict[str, float] = {}
     try:
@@ -225,6 +249,9 @@ def main() -> None:
                     assert rows is not None
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 4)
+            # persist the partial artifact after EVERY query, so a crash or
+            # driver timeout mid-suite still leaves a parseable capture
+            write_local(timings)
             # Drop any intermediates a query persisted and did not release:
             # without this, caches leak across the suite and later queries
             # pay GC/memory pressure for earlier ones (r2 showed a uniform
@@ -240,28 +267,25 @@ def main() -> None:
                 rdd.unpersist()
     finally:
         shutil.rmtree(sink_root, ignore_errors=True)
+    # full-precision artifact on disk (the judge-readable backstop)
+    write_local(timings)
+    # The driver's stdout capture keeps only the LAST ~2.2 KB; r8's
+    # pretty-printed 4-dp line was 2.4 KB, so its head fell off the window
+    # and the driver recorded `parsed: null` (VERDICT r8 ask #8). The
+    # stdout line is therefore COMPACT: no separators whitespace, 2-dp
+    # per-query timings (~1.9 KB at 76 queries). BENCH_LOCAL.json above
+    # keeps the 4-dp values.
     total = round(sum(timings.values()), 4)
     payload = json.dumps(
         {
             "metric": "headline_query_suite_wall",
             "value": total,
             "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": sf_num,
+        },
+        separators=(",", ":"),
     )
-    # ALSO persist the full line to a file: r7's driver capture truncated
-    # the stdout stream head (parsed: null, 9 queries + the wall line lost),
-    # so the artifact must exist somewhere the driver/judge can read whole.
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-    )
-    try:
-        with open(out_path, "w") as fh:
-            fh.write(payload + "\n")
-    except OSError:
-        pass  # stdout line below is still the contract
     print(payload)
 
 
