@@ -2177,9 +2177,17 @@ def q_xyz_demand_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer comparison (e.g. X ⇔ 4·n·Σq² < 5·(Σq)²) on exact DECIMAL
     products. Nothing to round, nothing engine-ordered.
 
-    Scale shape: one (part, month) hash agg, a part×month spine join to
-    zero-fill (spine is |parts|·|months| — domain-sized), one moment agg
-    per part, broadcast brand rollup.
+    Scale shape: one (part, month) hash agg, one moment agg per part,
+    broadcast brand rollup. The dense month spine is NEVER materialized:
+    zero months contribute nothing to Σq or Σq², so the only thing the
+    |parts|·|months| zero-fill ever added was n = |months| — a broadcast
+    1-row scalar — and parts absent from lineitem (NO_DEMAND) come from
+    a left join off the part table. (The r8 spine-join shape hit a plan
+    cliff at organic sf1: Catalyst under-estimated the data-sized
+    monthly agg and BROADCAST it — 21 s at sf1 vs 11 s at sf2 where the
+    estimate crossed the threshold and SMJ kicked in. The oracle keeps
+    the literal spine formulation, so the gate proves the rewrite
+    value-identical rather than assuming the algebra.)
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
@@ -2188,22 +2196,26 @@ def q_xyz_demand_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("pk"),
         (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("ym"),
     ).agg(F.sum(qty).cast("long").alias("q"))
-    months = li.select(
+    n_months = li.select(
         (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("ym")
-    ).distinct()
-    spine = part.select(F.col("p_partkey").alias("pk")).crossJoin(
-        F.broadcast(months)
-    )
-    dense = spine.join(monthly, ["pk", "ym"], "left").select(
-        "pk", F.coalesce("q", F.lit(0)).alias("q")
-    )
-    dec = lambda c, w: F.col(c).cast(f"decimal({w},0)")
-    m = dense.groupBy("pk").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("q").cast("decimal(18,0)")).alias("sq"),
+    ).agg(F.countDistinct("ym").cast("long").alias("n"))
+    msum = monthly.groupBy("pk").agg(
+        F.sum(F.col("q").cast("decimal(18,0)")).alias("sq_p"),
         F.sum(
             F.col("q").cast("decimal(18,0)") * F.col("q").cast("decimal(18,0)")
-        ).alias("sq2"),
+        ).alias("sq2_p"),
+    )
+    dec = lambda c, w: F.col(c).cast(f"decimal({w},0)")
+    m = (
+        part.select(F.col("p_partkey").alias("pk"))
+        .join(msum, "pk", "left")
+        .crossJoin(F.broadcast(n_months))
+        .select(
+            "pk",
+            "n",
+            F.coalesce("sq_p", F.lit(0).cast("decimal(18,0)")).alias("sq"),
+            F.coalesce("sq2_p", F.lit(0).cast("decimal(18,0)")).alias("sq2"),
+        )
     )
     lhs = dec("n", 6) * F.col("sq2")  # n·Σq²  (DECIMAL exact)
     rhs = F.col("sq") * F.col("sq")  # (Σq)²
