@@ -1,0 +1,1060 @@
+"""Model-evaluation and diagnostic-statistics operators (round 9).
+
+The time-series diagnostics (ACF, Ljung-Box, Theil's U), outlier and
+agreement tests (Grubbs, Kendall's W, McNemar, Cronbach's alpha), scored-
+classifier evaluation (exact ROC AUC, Brier decomposition), and the two
+flat-sum survival companions of ``events.q_survival_kaplan_meier``
+(Nelson-Aalen cumulative hazard, two-arm log-rank test).
+
+Reference analog: none (extension scope — the reference is a batch
+dashboard, SURVEY.md §2.7 engine additions). Every entry follows the house
+exactness contract: moments are carried as exact integers or
+floor-quantized decimal sums (``functions/exact.fsum`` — order-free,
+rounding-mode-free), and every float that ships is ONE fixed IEEE op
+sequence on those exact inputs, so the DuckDB oracle hash-matches bit-for-
+bit at any partitioning.
+
+Unit discipline for revenue series: daily/monthly revenue is summed in
+CENTS (exact bigint), then scaled to $10M units (cents / 1e9) BEFORE any
+squaring, so squared-deviation fsum sums stay far inside the 2^53 window
+where DECIMAL→double conversion is correctly rounded on both engines (the
+round-8 wide-decimal lesson). The scale knob moves with data size: at a
+1000× deployment, bump the unit divisor the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from us_flight_bigdata_dashboard_spark.functions.exact import fsum, sql_fsum
+from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+# $10M units: daily revenue cents / 1e9 (see module docstring)
+_UNIT = 1.0e9
+_ACF_MAX_LAG = 7
+_FS = 8  # fsum scale for squared-deviation sums in _UNIT units
+
+
+def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue in exact cents: the shared diagnostic series.
+    One hash agg collapses the scan to ≤ |days| rows (~2.4k at every SF),
+    so everything downstream is domain-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("long")
+        .alias("y")
+    )
+
+
+_SQL_DAILY = """
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+"""
+
+
+def _acf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ACF pipeline: per lag k in 1..7, the autocorrelation
+    r_k = sum((v_t - vbar)(v_lag - vbar)) / sum((v_t - vbar)^2) of the
+    daily revenue series (v = cents/1e9). The series is ~2.4k rows after
+    the daily agg, so the global row_number window and the k-shift
+    self-join are DOMAIN-sized — the only data-sized stage is the first
+    hash agg. Deviations are the same doubles on both engines (exact ints
+    → one division sequence); both sums are floor-quantized (fsum) —
+    order-free."""
+    daily = _daily_rev(spark, sf_dir)
+    w = Window.orderBy("d")
+    ser = daily.select(
+        F.row_number().over(w).alias("rn"),
+        (F.col("y").cast("double") / F.lit(_UNIT)).alias("v"),
+    )
+    stats = ser.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        fsum(F.col("v"), scale=_FS).alias("sv"),
+        fsum(F.col("v") * F.col("v"), scale=_FS).alias("sv2"),
+    )
+    mean = F.col("sv") / F.col("n").cast("double")
+    den = F.col("sv2") - F.col("sv") * F.col("sv") / F.col("n").cast("double")
+    base = stats.select("n", mean.alias("vbar"), den.alias("den"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = ser.select(F.col("rn").alias("rn_a"), F.col("v").alias("v_t"))
+    b = ser.select(F.col("rn").alias("rn_b"), F.col("v").alias("v_l"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("rn_a") == F.col("rn_b") + F.col("lag"))
+        .crossJoin(F.broadcast(base))
+    )
+    num = fsum(
+        (F.col("v_t") - F.col("vbar")) * (F.col("v_l") - F.col("vbar")), scale=_FS
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("den").alias("den"),
+            num.alias("num"),
+        )
+        .select(
+            "lag",
+            "n",
+            (F.col("num") / F.col("den")).alias("acf"),
+        )
+    )
+
+
+_SQL_ACF_FRAME = f"""
+WITH daily AS ({_SQL_DAILY}
+), ser AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn,
+         CAST(y AS DOUBLE) / 1e9 AS v
+  FROM daily
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_fsum("v", _FS)} AS sv,
+         {sql_fsum("v * v", _FS)} AS sv2
+  FROM ser
+), base AS (
+  SELECT n, sv / CAST(n AS DOUBLE) AS vbar,
+         sv2 - sv * sv / CAST(n AS DOUBLE) AS den
+  FROM stats
+), lags AS (
+  SELECT UNNEST(range(1, {_ACF_MAX_LAG + 1})) AS lag
+), pairs AS (
+  SELECT CAST(lag AS INT) AS lag, n, den,
+         (a.v - vbar) * (b.v - vbar) AS prod
+  FROM ser a
+  CROSS JOIN lags
+  JOIN ser b ON a.rn = b.rn + lag
+  CROSS JOIN base
+), agg AS (
+  SELECT lag, MAX(n) AS n, MAX(den) AS den,
+         {sql_fsum("prod", _FS)} AS num
+  FROM pairs GROUP BY 1
+)
+SELECT lag, n, num / den AS acf FROM agg
+"""
+
+
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue, lags 1..7 — the first
+    look at serial structure before any forecasting model (``events_holt*``
+    downstream) is trusted; a slowly-decaying ACF says the naive iid
+    revenue model underestimates variance. See ``_acf_frame`` for the
+    exactness and scale-shape contract."""
+    return _acf_frame(spark, sf_dir).orderBy("lag")
+
+
+_ORACLE_ACF = _SQL_ACF_FRAME + "\nORDER BY lag"
+
+
+def q_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic Q = n(n+2) * sum_k r_k^2/(n-k)
+    over the lag-1..7 ACF of daily revenue — the standard "is this series
+    white noise" test (compare to chi^2_m). Pure arithmetic on the
+    ``acf_lags`` frame: the per-lag terms are the same doubles on both
+    engines and the m-term reduction is floor-quantized (a 7-row fsum), so
+    the statistic is bit-stable. Scale shape: everything after the daily
+    agg runs on ≤ m rows."""
+    acf = _acf_frame(spark, sf_dir)
+    nd = F.col("n").cast("double")
+    term = (F.col("acf") * F.col("acf")) / (nd - F.col("lag").cast("double"))
+    return acf.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+        (
+            F.max(nd * (nd + F.lit(2.0)))
+            * fsum(term, scale=12)
+        ).alias("q_stat"),
+    )
+
+
+_ORACLE_LJUNG_BOX = f"""
+WITH acf AS ({_SQL_ACF_FRAME})
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS m,
+       MAX(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0))
+         * {sql_fsum("(acf * acf) / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE))", 12)}
+         AS q_stat
+FROM acf
+"""
+
+
+def q_theils_u_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U1 accuracy of the naive (last-value) forecast on MONTHLY
+    revenue: U1 = sqrt(Σ(v_t−v_{t−1})²/n') / (sqrt(Σv_t²/n') +
+    sqrt(Σv_{t−1}²/n')) — the scale-free benchmark every forecasting
+    model must beat (U1 near 0 = predictable; near 1 = the naive carry-
+    forward explains nothing). sqrt is correctly rounded by IEEE-754 on
+    both engines (the ``events`` z-score precedent); the three sums are
+    fsum-quantized in $10M units. Scale shape: one monthly hash agg, then
+    an ~80-row lag window."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("long")
+        .alias("y")
+    )
+    w = Window.orderBy("ym")
+    ser = monthly.select(
+        "ym", (F.col("y").cast("double") / F.lit(_UNIT)).alias("v")
+    ).withColumn("v_lag", F.lag("v").over(w))
+    pairs = ser.filter(F.col("v_lag").isNotNull())
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        fsum((F.col("v") - F.col("v_lag")) * (F.col("v") - F.col("v_lag")), scale=_FS).alias("se"),
+        fsum(F.col("v") * F.col("v"), scale=_FS).alias("sa"),
+        fsum(F.col("v_lag") * F.col("v_lag"), scale=_FS).alias("sp"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    u1 = F.sqrt(F.col("se") / nd) / (
+        F.sqrt(F.col("sa") / nd) + F.sqrt(F.col("sp") / nd)
+    )
+    return agg.select("n_pairs", u1.alias("u1"))
+
+
+_ORACLE_THEILS_U = f"""
+WITH monthly AS (
+  SELECT YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS ym,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), ser AS (
+  SELECT ym, CAST(y AS DOUBLE) / 1e9 AS v,
+         lag(CAST(y AS DOUBLE) / 1e9) OVER (ORDER BY ym) AS v_lag
+  FROM monthly
+), pairs AS (
+  SELECT * FROM ser WHERE v_lag IS NOT NULL
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         {sql_fsum("(v - v_lag) * (v - v_lag)", _FS)} AS se,
+         {sql_fsum("v * v", _FS)} AS sa,
+         {sql_fsum("v_lag * v_lag", _FS)} AS sp
+  FROM pairs
+)
+SELECT n_pairs,
+       sqrt(se / CAST(n_pairs AS DOUBLE))
+         / (sqrt(sa / CAST(n_pairs AS DOUBLE)) + sqrt(sp / CAST(n_pairs AS DOUBLE)))
+         AS u1
+FROM agg
+"""
+
+
+def q_grubbs_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs outlier statistic per region: G = max|v_t − v̄| / σ over the
+    region's monthly revenue ($10M units), the classic single-outlier
+    screen run before trend fits (``regression_ols``/``durbin_watson``) so
+    one anomalous month doesn't steer the slope. Population σ =
+    sqrt(Σv²/n − v̄²) from fsum-exact moments; the max of identical doubles
+    is order-free; G is one division. Scale shape: scan → |region|×|month|
+    hash agg; the two-pass moment+max join runs on the ~400-cell frame
+    (broadcast moments)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            "r_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("y")
+        )
+        .select("r_name", "ym", (F.col("y").cast("double") / F.lit(_UNIT)).alias("v"))
+    )
+    mom = monthly.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        fsum("v", scale=_FS).alias("sv"),
+        fsum(F.col("v") * F.col("v"), scale=_FS).alias("sv2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sv") / nd
+    joined = monthly.join(F.broadcast(mom), "r_name").select(
+        "r_name",
+        "n",
+        "sv",
+        "sv2",
+        F.abs(F.col("v") - mean).alias("adev"),
+    )
+    out = joined.groupBy("r_name").agg(
+        F.max("n").alias("n_months"),
+        F.max("sv").alias("sv"),
+        F.max("sv2").alias("sv2"),
+        F.max("adev").alias("max_dev"),
+    )
+    nd2 = F.col("n_months").cast("double")
+    mean2 = F.col("sv") / nd2
+    sigma = F.sqrt(F.col("sv2") / nd2 - mean2 * mean2)
+    return out.select(
+        "r_name",
+        "n_months",
+        F.col("max_dev").alias("max_abs_dev"),
+        sigma.alias("sigma"),
+        (F.col("max_dev") / sigma).alias("g_stat"),
+    ).orderBy("r_name")
+
+
+_ORACLE_GRUBBS = f"""
+WITH monthly AS (
+  SELECT r_name,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS ym,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 1e9 AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), mom AS (
+  SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_fsum("v", _FS)} AS sv,
+         {sql_fsum("v * v", _FS)} AS sv2
+  FROM monthly GROUP BY 1
+), joined AS (
+  SELECT monthly.r_name, n, sv, sv2,
+         abs(v - sv / CAST(n AS DOUBLE)) AS adev
+  FROM monthly JOIN mom USING (r_name)
+), outt AS (
+  SELECT r_name, MAX(n) AS n_months, MAX(sv) AS sv, MAX(sv2) AS sv2,
+         MAX(adev) AS max_dev
+  FROM joined GROUP BY 1
+)
+SELECT r_name, n_months,
+       max_dev AS max_abs_dev,
+       sqrt(sv2 / CAST(n_months AS DOUBLE)
+            - (sv / CAST(n_months AS DOUBLE)) * (sv / CAST(n_months AS DOUBLE))) AS sigma,
+       max_dev / sqrt(sv2 / CAST(n_months AS DOUBLE)
+            - (sv / CAST(n_months AS DOUBLE)) * (sv / CAST(n_months AS DOUBLE))) AS g_stat
+FROM outt
+ORDER BY r_name
+"""
+
+
+_KW_YM_LO = 1995 * 12 + 1  # 24 judge months: 1995-01 .. 1996-12
+_KW_YM_HI = 1996 * 12 + 12
+
+
+def q_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across m=24 monthly
+    "judges": each month of 1995-1996 ranks the 25 nations by revenue
+    (competition ranking, exact-cents compare, nationkey tie-break —
+    zero-revenue months rank by key, documented determinism rather than
+    midranks). W = 12·S / (m²(n³−n)) where S = Σ_i (R_i − m(n+1)/2)² —
+    every quantity up to S is an exact INTEGER on both engines; W is one
+    division. Near 1 = nations keep their revenue order month over month.
+
+    Scale shape: scan → |nation|×|month| hash agg; the nation×month
+    zero-fill spine and all ranking run on the 600-cell frame (25-row
+    window partitions)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter((ym >= _KW_YM_LO) & (ym <= _KW_YM_HI))
+        .groupBy(F.col("c_nationkey").alias("nk"), ym.alias("ym"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    months = spark.range(_KW_YM_LO, _KW_YM_HI + 1).select(
+        F.col("id").cast("int").alias("ym")
+    )
+    spine = nation.select(F.col("n_nationkey").alias("nk")).crossJoin(
+        F.broadcast(months)
+    )
+    dense = spine.join(rev, ["nk", "ym"], "left").select(
+        "nk", "ym", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    w = Window.partitionBy("ym").orderBy(F.desc("y"), F.asc("nk"))
+    ranked = dense.withColumn("rk", F.row_number().over(w))
+    sums = ranked.groupBy("nk").agg(F.sum("rk").cast("long").alias("r_i"))
+    m = _KW_YM_HI - _KW_YM_LO + 1
+    agg = sums.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            (F.col("r_i") - F.lit(m * 26 // 2))
+            * (F.col("r_i") - F.lit(m * 26 // 2))
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    n = F.col("n_items").cast("double")
+    wstat = (F.lit(12.0) * F.col("s").cast("double")) / (
+        F.lit(float(m * m)) * (n * n * n - n)
+    )
+    return agg.select(
+        F.lit(m).cast("long").alias("m_judges"),
+        "n_items",
+        "s",
+        wstat.alias("w_stat"),
+    )
+
+
+_ORACLE_KENDALLS_W = f"""
+WITH rev AS (
+  SELECT c_nationkey AS nk,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS ym,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE YEAR(o_orderdate) * 12 + MONTH(o_orderdate) BETWEEN {_KW_YM_LO} AND {_KW_YM_HI}
+  GROUP BY 1, 2
+), months AS (
+  SELECT UNNEST(range({_KW_YM_LO}, {_KW_YM_HI + 1})) AS ym
+), spine AS (
+  SELECT n_nationkey AS nk, CAST(ym AS INT) AS ym FROM nation CROSS JOIN months
+), dense AS (
+  SELECT spine.nk, spine.ym, COALESCE(rev.y, 0) AS y
+  FROM spine LEFT JOIN rev ON spine.nk = rev.nk AND spine.ym = rev.ym
+), ranked AS (
+  SELECT nk, ROW_NUMBER() OVER (PARTITION BY ym ORDER BY y DESC, nk ASC) AS rk
+  FROM dense
+), sums AS (
+  SELECT nk, CAST(SUM(rk) AS BIGINT) AS r_i FROM ranked GROUP BY 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM((r_i - {24 * 26 // 2}) * (r_i - {24 * 26 // 2})) AS BIGINT) AS s
+  FROM sums
+)
+SELECT CAST(24 AS BIGINT) AS m_judges, n_items, s,
+       (12.0 * CAST(s AS DOUBLE))
+         / ({float(24 * 24)!r} * (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)
+            * CAST(n_items AS DOUBLE) - CAST(n_items AS DOUBLE))) AS w_stat
+FROM agg
+"""
+
+
+_MCN_THRESHOLD = 150000.0
+_MCN_SPLIT = "1998-01-01"
+
+
+def q_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar test on paired per-customer binaries: did the customer
+    place a >${t:,.0f} order BEFORE {s} (h1) vs ON/AFTER it (h2)? The test
+    uses only the DISCORDANT cells — b = (h1,¬h2): lapsed big spenders,
+    c = (¬h1,h2): new big spenders — χ² = (b−c)²/(b+c), plus the
+    continuity-corrected (|b−c|−1)²/(b+c). The standard paired before/
+    after test where a two-proportion z-test would be wrong (same
+    customers in both periods). b and c are exact integers; both
+    statistics are one IEEE sequence.
+
+    Scale shape: one per-customer max-flag hash agg (map-side combinable
+    booleans), then a scalar count — nothing bigger than the customer
+    domain ever shuffles.""".format(t=_MCN_THRESHOLD, s=_MCN_SPLIT)
+    orders = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > F.lit(_MCN_THRESHOLD)
+    pre = F.col("o_orderdate") < F.lit(_MCN_SPLIT).cast("timestamp")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.when(big & pre, 1).otherwise(0)).alias("h1"),
+        F.max(F.when(big & ~pre, 1).otherwise(0)).alias("h2"),
+    )
+    agg = per_cust.agg(
+        F.sum(F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    return agg.select(
+        "b",
+        "c",
+        ((bd - cd) * (bd - cd) / (bd + cd)).alias("chi2"),
+        (
+            (F.abs(bd - cd) - F.lit(1.0))
+            * (F.abs(bd - cd) - F.lit(1.0))
+            / (bd + cd)
+        ).alias("chi2_cc"),
+    )
+
+
+_ORACLE_MCNEMAR = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_totalprice > {_MCN_THRESHOLD!r}
+                   AND o_orderdate < TIMESTAMP '{_MCN_SPLIT}' THEN 1 ELSE 0 END) AS h1,
+         MAX(CASE WHEN o_totalprice > {_MCN_THRESHOLD!r}
+                   AND NOT (o_orderdate < TIMESTAMP '{_MCN_SPLIT}') THEN 1 ELSE 0 END) AS h2
+  FROM orders GROUP BY 1
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM per_cust
+)
+SELECT b, c,
+       (CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+         / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) AS chi2,
+       (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+         * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+         / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) AS chi2_cc
+FROM agg
+"""
+
+
+def q_cronbachs_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha internal-consistency of a 3-item "premium order"
+    scale (i1 = urgent/high priority, i2 = totalprice > $150k, i3 =
+    fulfilled status): α = k/(k−1) · (1 − Σσ²_item / σ²_total), the
+    standard check that indicator items measure one construct before a
+    composite score ships. Every variance is computed as
+    (n·Σx² − (Σx)²)/n² from EXACT integer sums (items are 0/1, the total
+    score ≤ 3, so all cross-sums are small integers); α itself is one
+    IEEE sequence on those integers.
+
+    Scale shape: a single map-side-combinable hash agg of 7 integer sums
+    over the scan — no joins, no windows, nothing domain-sized at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    i1 = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    i2 = F.when(F.col("o_totalprice") > F.lit(_MCN_THRESHOLD), 1).otherwise(0)
+    i3 = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    x = i1 + i2 + i3
+    agg = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(i1).cast("long").alias("s1"),
+        F.sum(i2).cast("long").alias("s2"),
+        F.sum(i3).cast("long").alias("s3"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(x * x).cast("long").alias("sx2"),
+    )
+    nd = F.col("n").cast("double")
+
+    def _var(s_col, s2_col):
+        return (nd * s2_col - s_col * s_col) / (nd * nd)
+
+    # binary items: Σx² = Σx, so item variance needs only the sum
+    v1 = _var(F.col("s1").cast("double"), F.col("s1").cast("double"))
+    v2 = _var(F.col("s2").cast("double"), F.col("s2").cast("double"))
+    v3 = _var(F.col("s3").cast("double"), F.col("s3").cast("double"))
+    vt = _var(F.col("sx").cast("double"), F.col("sx2").cast("double"))
+    alpha = F.lit(1.5) * (F.lit(1.0) - (v1 + v2 + v3) / vt)
+    return agg.select(
+        "n",
+        (v1 + v2 + v3).alias("var_items_sum"),
+        vt.alias("var_total"),
+        alpha.alias("alpha"),
+    )
+
+
+_ORACLE_CRONBACH = f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN o_totalprice > {_MCN_THRESHOLD!r} THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         CAST(SUM((CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                + (CASE WHEN o_totalprice > {_MCN_THRESHOLD!r} THEN 1 ELSE 0 END)
+                + (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)) AS BIGINT) AS sx,
+         CAST(SUM(((CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                 + (CASE WHEN o_totalprice > {_MCN_THRESHOLD!r} THEN 1 ELSE 0 END)
+                 + (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END))
+                * ((CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                 + (CASE WHEN o_totalprice > {_MCN_THRESHOLD!r} THEN 1 ELSE 0 END)
+                 + (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END))) AS BIGINT) AS sx2
+  FROM orders
+)
+SELECT n,
+       ((CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+      + (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+      + (CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         AS var_items_sum,
+       (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         AS var_total,
+       1.5 * (1.0 -
+         ((CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        + (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        + (CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+         AS alpha
+FROM agg
+"""
+
+
+
+
+
+# ---------------------------------------------------------------------------
+# Scored-classifier evaluation: exact ROC AUC and Brier decomposition
+# ---------------------------------------------------------------------------
+
+_AUC_BUCKETS = 1024
+_BRIER_BINS = 10
+
+
+def q_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of order value as a score for predicting urgency —
+    the rank-sum identity AUC = P(score_pos > score_neg) + P(=)/2 =
+    sum_v cp_v * (2*cneg_below_v + cn_v) / (2*n1*n0), the threshold-free
+    companion of ``model_gains_lift`` (same score/label construction,
+    statistics.py). Ties are handled EXACTLY via the per-value (cp, cn)
+    aggregation — no midrank floats ever materialize; the numerator and
+    denominator are exact integers and AUC is one division.
+
+    Scale shape: the per-value agg is data-sized; the cumulative
+    negatives-below count uses the ``global_rank_bucketed`` decomposition
+    (1024 value-range buckets -> per-bucket totals -> broadcast prefix
+    offsets -> within-bucket running sums) instead of a single-task
+    ORDER BY window; the oracle's plain window proves the decomposition
+    value-identical. Integer bound: the numerator is < 2*n1*n0 — switch
+    the two sums to DECIMAL(38,0) past ~2e9 rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    per_v = orders.groupBy("v").agg(
+        F.sum("pos").cast("long").alias("cp"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("cn"),
+    )
+    stats = per_v.agg(
+        F.min("v").alias("_mn"), F.max("v").alias("_mx")
+    )
+    based = per_v.crossJoin(F.broadcast(stats))
+    b = F.coalesce(
+        F.least(
+            F.lit(_AUC_BUCKETS - 1),
+            F.floor(
+                (F.col("v") - F.col("_mn"))
+                * _AUC_BUCKETS
+                / F.nullif(F.col("_mx") - F.col("_mn"), F.lit(0.0))
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    bucketed = based.withColumn("_b", b)
+    offsets = (
+        bucketed.groupBy("_b")
+        .agg(F.sum("cn").cast("long").alias("_bn"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bn").over(
+                    Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_b", "_off")
+    )
+    w_in = Window.partitionBy("_b").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = bucketed.join(F.broadcast(offsets), "_b").withColumn(
+        "cneg_below",
+        F.col("_off") + F.coalesce(F.sum("cn").over(w_in), F.lit(0)),
+    )
+    agg = ranked.agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        F.sum("cn").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("cp") * (F.lit(2) * F.col("cneg_below") + F.col("cn"))
+        )
+        .cast("long")
+        .alias("num2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("num2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            )
+        ).alias("auc"),
+    )
+
+
+_ORACLE_ROC_AUC = """
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cp, cn,
+         CAST(COALESCE(SUM(cn) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cneg_below
+  FROM per_v
+), agg AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+         CAST(SUM(cn) AS BIGINT) AS n_neg,
+         CAST(SUM(cp * (2 * cneg_below + cn)) AS BIGINT) AS num2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CAST(num2 AS DOUBLE)
+         / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+FROM agg
+"""
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the min-max-binned
+    order-value score predicting urgency: forecast probability per bin =
+    the bin midpoint p_b = (b+0.5)/10; Brier = REL - RES + UNC with
+    REL = sum n_b (p_b - o_b)^2 / n    (calibration error),
+    RES = sum n_b (o_b - obar)^2 / n   (discrimination),
+    UNC = obar (1 - obar)              (irreducible base-rate noise).
+    Every o_b and obar is a ratio of exact integers; p_b is an exact
+    decimal literal; the two 10-term reductions are floor-quantized
+    (fsum) so the whole decomposition is bit-stable. The exact identity
+    Brier = REL - RES + UNC ships pre-verified by construction.
+
+    Scale shape: one data-sized bucket agg (min/max broadcast), then a
+    10-row frame."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    stats = orders.agg(F.min("v").alias("_mn"), F.max("v").alias("_mx"))
+    based = orders.crossJoin(F.broadcast(stats))
+    b = F.coalesce(
+        F.least(
+            F.lit(_BRIER_BINS - 1),
+            F.floor(
+                (F.col("v") - F.col("_mn"))
+                * _BRIER_BINS
+                / F.nullif(F.col("_mx") - F.col("_mn"), F.lit(0.0))
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    per_b = based.groupBy(b.alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("pos").cast("long").alias("pos_b"),
+    )
+    w_all = Window.partitionBy()
+    tot = per_b.select(
+        "b",
+        "n_b",
+        "pos_b",
+        F.sum("n_b").over(w_all).cast("long").alias("n"),
+        F.sum("pos_b").over(w_all).cast("long").alias("npos"),
+    )
+    p_b = (F.col("b").cast("double") + F.lit(0.5)) / F.lit(float(_BRIER_BINS))
+    o_b = F.col("pos_b").cast("double") / F.col("n_b").cast("double")
+    obar = F.col("npos").cast("double") / F.col("n").cast("double")
+    share = F.col("n_b").cast("double") / F.col("n").cast("double")
+    agg = tot.agg(
+        F.max("n").alias("n"),
+        F.max(obar).alias("base_rate"),
+        fsum(share * (p_b - o_b) * (p_b - o_b), scale=15).alias("reliability"),
+        fsum(share * (o_b - obar) * (o_b - obar), scale=15).alias("resolution"),
+    )
+    unc = F.col("base_rate") * (F.lit(1.0) - F.col("base_rate"))
+    return agg.select(
+        "n",
+        "base_rate",
+        "reliability",
+        "resolution",
+        unc.alias("uncertainty"),
+        (F.col("reliability") - F.col("resolution") + unc).alias("brier"),
+    )
+
+
+_ORACLE_BRIER = f"""
+WITH stats AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+), based AS (
+  SELECT COALESCE(LEAST({_BRIER_BINS - 1},
+           CAST(FLOOR((o_totalprice - mn) * {_BRIER_BINS}
+                / NULLIF(mx - mn, 0.0)) AS INT)), 0) AS b,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+  FROM orders CROSS JOIN stats
+), per_b AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b, CAST(SUM(pos) AS BIGINT) AS pos_b
+  FROM based GROUP BY 1
+), tot AS (
+  SELECT b, n_b, pos_b,
+         CAST(SUM(n_b) OVER () AS BIGINT) AS n,
+         CAST(SUM(pos_b) OVER () AS BIGINT) AS npos
+  FROM per_b
+), agg AS (
+  SELECT MAX(n) AS n,
+         MAX(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)) AS base_rate,
+         {sql_fsum("(CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))"
+                   " * ((CAST(b AS DOUBLE) + 0.5) / 10.0 - CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+                   " * ((CAST(b AS DOUBLE) + 0.5) / 10.0 - CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE))", 15)}
+           AS reliability,
+         {sql_fsum("(CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))"
+                   " * (CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))"
+                   " * (CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))", 15)}
+           AS resolution
+  FROM tot
+)
+SELECT n, base_rate, reliability, resolution,
+       base_rate * (1.0 - base_rate) AS uncertainty,
+       reliability - resolution + base_rate * (1.0 - base_rate) AS brier
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Survival companions of events.q_survival_kaplan_meier (flat-sum, no
+# sequential recursion): Nelson-Aalen cumulative hazard and two-arm log-rank
+# ---------------------------------------------------------------------------
+
+
+def q_survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of user lifetime (hours from first
+    to last event, right-censored in the final 24h — the EXACT same
+    risk-set construction as ``events.q_survival_kaplan_meier``):
+    H(t) = sum_{t_i <= t} d_i/n_i. Where KM's cumulative PRODUCT needs a
+    sequential pass (applyInPandas + recursive-CTE oracle), the ADDITIVE
+    hazard admits a fully order-free formulation: each output row's sum
+    is an independent floor-quantized reduction over the domain-sized
+    curve self-join (t_a >= t_b), so neither engine ever runs a
+    float cumsum (the DuckDB segment-tree windowed-SUM pitfall never
+    arises). Curve rows are bounded by the observation window in hours
+    (~720), so the self-join is at most ~500k domain cells at ANY data
+    scale."""
+    events = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.col("ts"))
+    per_user = events.groupBy("user_id").agg(
+        F.min(s).alias("first_s"), F.max(s).alias("last_s")
+    )
+    horizon = events.agg(F.max(s).alias("max_s"))
+    users = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.expr("(last_s - first_s) DIV 3600").alias("t"),
+        (F.col("last_s") < F.col("max_s") - F.lit(86400))
+        .cast("long")
+        .alias("churned"),
+    )
+    per_t = users.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    curve = per_t.select(
+        "t",
+        "d",
+        (
+            F.sum("cnt").over(w_all)
+            - F.coalesce(F.sum("cnt").over(w_prev), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    ).filter(F.col("d") > 0)
+    a = curve.select(
+        F.col("t").alias("t_a"),
+        F.col("d").alias("d_a"),
+        F.col("n_risk").alias("n_a"),
+    )
+    b = curve.select(
+        F.col("t").alias("t_b"), F.col("d").alias("d_b"), F.col("n_risk").alias("n_b")
+    )
+    return (
+        a.join(b, F.col("t_a") >= F.col("t_b"))
+        .groupBy("t_a")
+        .agg(
+            F.max("n_a").alias("n_risk"),
+            F.max("d_a").alias("n_events"),
+            fsum(
+                F.col("d_b").cast("double") / F.col("n_b").cast("double"),
+                scale=12,
+            ).alias("cum_hazard"),
+        )
+        .select(
+            F.col("t_a").alias("t_hours"), "n_risk", "n_events", "cum_hazard"
+        )
+        .orderBy("t_hours")
+    )
+
+
+_SQL_SURV_CURVE = """
+  per_user AS (
+    SELECT user_id,
+           CAST(floor(MIN(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS first_s,
+           CAST(floor(MAX(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_s
+    FROM events GROUP BY 1
+  ), users AS (
+    SELECT (last_s - first_s) // 3600 AS t,
+           CASE WHEN last_s < (SELECT MAX(last_s) FROM per_user) - 86400
+                THEN 1 ELSE 0 END AS churned
+    FROM per_user
+  ), per_t AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(churned) AS BIGINT) AS d
+    FROM users GROUP BY 1
+  ), curve0 AS (
+    SELECT t, d,
+           CAST(SUM(cnt) OVER () AS BIGINT)
+             - CAST(COALESCE(SUM(cnt) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS n_risk
+    FROM per_t
+  ), curve AS (
+    SELECT t, d, n_risk FROM curve0 WHERE d > 0
+  )
+"""
+
+
+_ORACLE_NELSON_AALEN = f"""
+WITH {_SQL_SURV_CURVE}
+SELECT a.t AS t_hours,
+       MAX(a.n_risk) AS n_risk,
+       MAX(a.d) AS n_events,
+       {sql_fsum("CAST(b.d AS DOUBLE) / CAST(b.n_risk AS DOUBLE)", 12)} AS cum_hazard
+FROM curve a JOIN curve b ON a.t >= b.t
+GROUP BY a.t
+ORDER BY t_hours
+"""
+
+
+def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm log-rank test on user lifetime, arms = user_id parity (the
+    deterministic stand-in for an A/B assignment hash): at each event
+    time, O1 observed arm-1 churns vs E1 = sum d*n1/n expected under the
+    null, with hypergeometric variance V = sum d*(n1/n)*(1-n1/n)*(n-d)/
+    (n-1); chi2 = (O1-E1)^2/V. Unlike KM's cumulative product, every term
+    is a FLAT per-time quantity, so the whole test is two fsum reductions
+    over the domain-sized curve — order-free on both engines. Risk sets
+    per arm come from the same window construction as KM (curve rows are
+    bounded by the observation window, ~720)."""
+    events = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.col("ts"))
+    per_user = events.groupBy("user_id").agg(
+        F.min(s).alias("first_s"), F.max(s).alias("last_s")
+    )
+    horizon = events.agg(F.max(s).alias("max_s"))
+    users = per_user.crossJoin(F.broadcast(horizon)).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.expr("(last_s - first_s) DIV 3600").alias("t"),
+        (F.col("last_s") < F.col("max_s") - F.lit(86400))
+        .cast("long")
+        .alias("churned"),
+    )
+    per_t = users.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("churned").cast("long").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("cnt1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("churned")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    curve = per_t.select(
+        "t",
+        "d",
+        "d1",
+        (
+            F.sum("cnt").over(w_all)
+            - F.coalesce(F.sum("cnt").over(w_prev), F.lit(0))
+        ).cast("long").alias("n"),
+        (
+            F.sum("cnt1").over(w_all)
+            - F.coalesce(F.sum("cnt1").over(w_prev), F.lit(0))
+        ).cast("long").alias("n1"),
+    ).filter((F.col("d") > 0) & (F.col("n") > 1))
+    dd = F.col("d").cast("double")
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    agg = curve.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("d1").cast("long").alias("o1"),
+        fsum(dd * n1d / nd, scale=12).alias("e1"),
+        fsum(
+            dd * (n1d / nd) * (F.lit(1.0) - n1d / nd) * (nd - dd) / (nd - F.lit(1.0)),
+            scale=12,
+        ).alias("v"),
+    )
+    o1d = F.col("o1").cast("double")
+    return agg.select(
+        "n_times",
+        "o1",
+        "e1",
+        "v",
+        ((o1d - F.col("e1")) * (o1d - F.col("e1")) / F.col("v")).alias("chi2"),
+    )
+
+
+_ORACLE_LOGRANK = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(floor(MIN(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS first_s,
+         CAST(floor(MAX(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_s
+  FROM events GROUP BY 1
+), users AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm,
+         (last_s - first_s) // 3600 AS t,
+         CASE WHEN last_s < (SELECT MAX(last_s) FROM per_user) - 86400
+              THEN 1 ELSE 0 END AS churned
+  FROM per_user
+), per_t AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(churned) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt1,
+         CAST(SUM(CASE WHEN arm = 1 THEN churned ELSE 0 END) AS BIGINT) AS d1
+  FROM users GROUP BY 1
+), curve AS (
+  SELECT t, d, d1,
+         CAST(SUM(cnt) OVER () AS BIGINT)
+           - CAST(COALESCE(SUM(cnt) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n,
+         CAST(SUM(cnt1) OVER () AS BIGINT)
+           - CAST(COALESCE(SUM(cnt1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1
+  FROM per_t
+), filt AS (
+  SELECT * FROM curve WHERE d > 0 AND n > 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+         CAST(SUM(d1) AS BIGINT) AS o1,
+         {sql_fsum("CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)", 12)} AS e1,
+         {sql_fsum("CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))"
+                   " * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))"
+                   " * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))"
+                   " / (CAST(n AS DOUBLE) - 1.0)", 12)} AS v
+  FROM filt
+)
+SELECT n_times, o1, e1, v,
+       (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v AS chi2
+FROM agg
+"""
+
+
+QUERIES = {
+    "acf_lags": q_acf_lags,
+    "ljung_box_q": q_ljung_box_q,
+    "theils_u_forecast": q_theils_u_forecast,
+    "grubbs_statistic": q_grubbs_statistic,
+    "kendalls_w": q_kendalls_w,
+    "mcnemar_paired": q_mcnemar_paired,
+    "cronbachs_alpha": q_cronbachs_alpha,
+    "roc_auc_exact": q_roc_auc_exact,
+    "brier_decomposition": q_brier_decomposition,
+    "survival_nelson_aalen": q_survival_nelson_aalen,
+    "survival_logrank": q_survival_logrank,
+}
+
+ORACLE = {
+    "acf_lags": _ORACLE_ACF,
+    "ljung_box_q": _ORACLE_LJUNG_BOX,
+    "theils_u_forecast": _ORACLE_THEILS_U,
+    "grubbs_statistic": _ORACLE_GRUBBS,
+    "kendalls_w": _ORACLE_KENDALLS_W,
+    "mcnemar_paired": _ORACLE_MCNEMAR,
+    "cronbachs_alpha": _ORACLE_CRONBACH,
+    "roc_auc_exact": _ORACLE_ROC_AUC,
+    "brier_decomposition": _ORACLE_BRIER,
+    "survival_nelson_aalen": _ORACLE_NELSON_AALEN,
+    "survival_logrank": _ORACLE_LOGRANK,
+}

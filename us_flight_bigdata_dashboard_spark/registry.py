@@ -20,6 +20,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     breadth,
     decision,
     dedup,
+    evaluation,
     events,
     flac_codec,
     g711_codec,
@@ -75,6 +76,7 @@ _MODULES = [
     statistics,
     inference,
     sketches,
+    evaluation,
 ]
 
 # Budget-capped graders/CI evaluate a PREFIX of the registry, so the prefix
