@@ -1659,6 +1659,279 @@ LIMIT {SALSA_TOP}
     )
 
 
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities on the directed customer->supplier purchase graph
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 2
+HITS_TOP = 10
+HITS_FP = 10**15
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the DIRECTED purchase graph (customer -> supplier edge per
+    distinct buying relationship): hub scores for customers (buyers whose
+    baskets point at authoritative suppliers) and authority scores for
+    suppliers, {it} mutual-reinforcement rounds, top {k} per role — the
+    link-analysis twin of ``graph_pagerank``/``graph_salsa`` that
+    separates the two node roles instead of mixing them in one rank.
+
+    Determinism: each half-step sum is a fixed-point floor-quantized
+    DECIMAL aggregate (the PageRank pattern, order-free on any
+    partitioning); normalization is by the group MAX (max of identical
+    doubles is order-free; one division per node) rather than the L2
+    norm — same fixed point up to scale, one fewer reduction.
+
+    Scale shape: per half-step, one join of the score vector against the
+    edge list on its key + one map-side-combinable hash agg — Pregel's
+    synchronous step relationally, identical partitioning reusable
+    across rounds (edge list localCheckpointed once, the PageRank A/B
+    result). No collect, no driver state.
+    """.format(it=HITS_ITERS, k=HITS_TOP)
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").cast("bigint").alias("c"),
+            F.col("l_suppkey").cast("bigint").alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = pairs.select("c").distinct().select("c", F.lit(1.0).alias("h"))
+    fp = F.lit(float(HITS_FP))
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            hubs.join(pairs, "c")
+            .groupBy("s")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("h") * fp).cast("decimal(38,0)")).cast(
+                        "double"
+                    )
+                    / fp
+                ).alias("a_raw")
+            )
+        )
+        a_max = a_raw.agg(F.max("a_raw").alias("_mx"))
+        auth = a_raw.crossJoin(F.broadcast(a_max)).select(
+            "s", (F.col("a_raw") / F.col("_mx")).alias("a")
+        )
+        h_raw = (
+            auth.join(pairs, "s")
+            .groupBy("c")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("a") * fp).cast("decimal(38,0)")).cast(
+                        "double"
+                    )
+                    / fp
+                ).alias("h_raw")
+            )
+        )
+        h_max = h_raw.agg(F.max("h_raw").alias("_mx"))
+        hubs = h_raw.crossJoin(F.broadcast(h_max)).select(
+            "c", (F.col("h_raw") / F.col("_mx")).alias("h")
+        )
+    top_a = (
+        auth.select(
+            F.lit("authority").alias("role"),
+            F.concat(F.lit("s:"), F.col("s").cast("string")).alias("node"),
+            F.col("a").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(HITS_TOP)
+    )
+    top_h = (
+        hubs.select(
+            F.lit("hub").alias("role"),
+            F.concat(F.lit("c:"), F.col("c").cast("string")).alias("node"),
+            F.col("h").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(HITS_TOP)
+    )
+    return top_a.unionAll(top_h).orderBy("role", F.desc("score"), F.asc("node"))
+
+
+def _sql_hits() -> str:
+    fp = float(HITS_FP)
+    base = """
+pairs AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c, CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+h0 AS (SELECT DISTINCT c, 1.0::DOUBLE AS h FROM pairs)"""
+    iters = []
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, HITS_ITERS + 1):
+        iters.append(f"""
+ar{i} AS (
+  SELECT s, CAST(SUM(CAST(floor(h * {fp!r}) AS DECIMAL(38,0))) AS DOUBLE) / {fp!r} AS a_raw
+  FROM {prev_h} JOIN pairs USING (c) GROUP BY s
+),
+a{i} AS (SELECT s, a_raw / (SELECT MAX(a_raw) FROM ar{i}) AS a FROM ar{i}),
+hr{i} AS (
+  SELECT c, CAST(SUM(CAST(floor(a * {fp!r}) AS DECIMAL(38,0))) AS DOUBLE) / {fp!r} AS h_raw
+  FROM a{i} JOIN pairs USING (s) GROUP BY c
+),
+h{i} AS (SELECT c, h_raw / (SELECT MAX(h_raw) FROM hr{i}) AS h FROM hr{i})""")
+        prev_h = f"h{i}"
+        prev_a = f"a{i}"
+    return (
+        "WITH "
+        + base
+        + ","
+        + ",".join(iters)
+        + f"""
+SELECT * FROM (
+  (SELECT 'authority' AS role, 's:' || CAST(s AS VARCHAR) AS node, a AS score
+   FROM {prev_a} ORDER BY score DESC, node ASC LIMIT {HITS_TOP})
+  UNION ALL
+  (SELECT 'hub' AS role, 'c:' || CAST(c AS VARCHAR) AS node, h AS score
+   FROM {prev_h} ORDER BY score DESC, node ASC LIMIT {HITS_TOP})
+)
+ORDER BY role, score DESC, node ASC
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank from a seed set (random walk with restart)
+# ---------------------------------------------------------------------------
+
+PPR_DAMPING = 0.85
+PPR_ITERS = 3
+PPR_TOP = 20
+PPR_SEED_MOD = 10  # seed set: suppliers with s_suppkey % 10 == 1
+
+
+def q_graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank with restart to a fixed supplier cohort
+    (s_suppkey % {md} == 1 — a deterministic stand-in for "this
+    merchant's suppliers" that is non-empty at every scale factor):
+    rank(v) = (1-d)*seed(v)/|S| + d * sum incoming rank/degree,
+    {it} unrolled rounds on the undirected customer-supplier graph —
+    "entities related to THIS set", the recommendation/entity-expansion
+    primitive that global PageRank can't answer.
+
+    The rank vector stays SPARSE: round i materializes only nodes within
+    i hops of the seed set (non-seed nodes with no inbound contribution
+    have exactly rank 0 and never exist as rows) — at 100 TB the frontier
+    size, not the graph size, bounds the per-round state, the same
+    locality argument as ``graph_khop``. Contribution sums are
+    fixed-point floor-quantized DECIMAL aggregates (the PageRank
+    pattern); the restart mass attaches via a full-outer join against
+    the broadcast seed table so seeds with no inbound edges keep their
+    (1-d)/|S|.
+    """.format(md=PPR_SEED_MOD, it=PPR_ITERS)
+    edges = _edges_int(spark, sf_dir).localCheckpoint(eager=True)
+    degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).select(
+        F.col("src").alias("dnode"), "degree"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    seeds = supplier.filter(F.col("s_suppkey") % PPR_SEED_MOD == 1).select(
+        (F.col("s_suppkey").cast("bigint") * 2 + 1).alias("node")
+    )
+    n_seed = seeds.agg(F.count(F.lit(1)).alias("_ns"))
+    restart = seeds.crossJoin(F.broadcast(n_seed)).select(
+        "node",
+        (F.lit(1.0 - PPR_DAMPING) / F.col("_ns").cast("double")).alias("restart"),
+    )
+    fp = F.lit(float(PR_FP))
+    ranks = seeds.crossJoin(F.broadcast(n_seed)).select(
+        "node", (F.lit(1.0) / F.col("_ns").cast("double")).alias("rank")
+    )
+    for _ in range(PPR_ITERS):
+        contrib = (
+            ranks.join(degree, ranks["node"] == degree["dnode"])
+            .join(edges, ranks["node"] == edges["src"])
+            .select(
+                F.col("dst"),
+                F.floor((F.col("rank") / F.col("degree")) * fp)
+                .cast("decimal(38,0)")
+                .alias("contrib_fp"),
+            )
+        )
+        summed = contrib.groupBy("dst").agg(
+            (F.sum("contrib_fp").cast("double") / fp).alias("_sum")
+        )
+        ranks = (
+            summed.join(restart, summed["dst"] == restart["node"], "full_outer")
+            .select(
+                F.coalesce(F.col("dst"), F.col("node")).alias("node"),
+                (
+                    F.coalesce(F.col("restart"), F.lit(0.0))
+                    + F.lit(PPR_DAMPING) * F.coalesce(F.col("_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    labeled = ranks.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c:")).otherwise(F.lit("s:")),
+            F.shiftright(F.col("node"), 1).cast("string"),
+        ).alias("node"),
+        "rank",
+    )
+    return labeled.orderBy(F.desc("rank"), F.asc("node")).limit(PPR_TOP)
+
+
+def _sql_ppr() -> str:
+    fp = float(PR_FP)
+    base = f"""
+pairs AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS cnode,
+                  CAST(l_suppkey AS BIGINT) * 2 + 1 AS snode
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+),
+degree AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src),
+seeds AS (
+  SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 AS node
+  FROM supplier WHERE s_suppkey % {PPR_SEED_MOD} = 1
+),
+ns AS (SELECT COUNT(*) AS _ns FROM seeds),
+restart AS (SELECT node, {1.0 - PPR_DAMPING} / CAST(_ns AS DOUBLE) AS restart FROM seeds, ns),
+r0 AS (SELECT node, 1.0 / CAST(_ns AS DOUBLE) AS rank FROM seeds, ns)"""
+    iters = []
+    prev = "r0"
+    for i in range(1, PPR_ITERS + 1):
+        iters.append(f"""
+s{i} AS (
+  SELECT e.dst,
+         CAST(SUM(CAST(floor((r.rank / d.degree) * {fp!r}) AS DECIMAL(38,0)))
+              AS DOUBLE) / {fp!r} AS _sum
+  FROM {prev} r JOIN degree d ON r.node = d.src JOIN edges e ON r.node = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT COALESCE(s{i}.dst, restart.node) AS node,
+         COALESCE(restart.restart, 0.0) + {PPR_DAMPING} * COALESCE(s{i}._sum, 0.0) AS rank
+  FROM s{i} FULL OUTER JOIN restart ON s{i}.dst = restart.node
+)""")
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + base
+        + ","
+        + ",".join(iters)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'c:' ELSE 's:' END || CAST(node // 2 AS VARCHAR) AS node,
+       rank
+FROM {prev}
+ORDER BY rank DESC, node ASC
+LIMIT {PPR_TOP}
+"""
+    )
+
+
 QUERIES = {
     "graph_salsa": q_graph_salsa,
     "graph_communities": q_graph_communities,
@@ -1675,6 +1948,8 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
     "graph_avg_neighbor_degree": q_graph_avg_neighbor_degree,
     "graph_rich_club": q_graph_rich_club,
+    "graph_hits": q_graph_hits,
+    "graph_ppr_seeded": q_graph_ppr_seeded,
 }
 
 ORACLE = {
@@ -1693,4 +1968,6 @@ ORACLE = {
     "graph_kcore": _sql_kcore(),
     "graph_avg_neighbor_degree": _ORACLE_KNN_CURVE,
     "graph_rich_club": _sql_rich_club(),
+    "graph_hits": _sql_hits(),
+    "graph_ppr_seeded": _sql_ppr(),
 }

@@ -653,12 +653,132 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-Sketch (signed CMS): unbiased frequency estimates, median-of-d
+# ---------------------------------------------------------------------------
+
+CS_P = 2147483647  # 2^31 - 1
+CS_W = 256
+# d = 5 rows; per row: (a, b) bucket-hash affine pair + (c, e) sign pair
+CS_COEF = [
+    (131071, 8191, 97, 41),
+    (524287, 127, 193, 67),
+    (6700417, 2047, 389, 101),
+    (2147483629, 524287, 769, 151),
+    (65537, 4099, 1543, 211),
+]
+CS_TOPK = 10
+
+
+def q_sketch_countsketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch frequency estimates for the top-K order customers —
+    the SIGNED sibling of ``sketch_cms_freq``: each of d=5 rows hashes the
+    key to one of {w} buckets AND to a ±1 sign, the cell accumulates
+    sign·1, and the estimate is the MEDIAN over rows of sign(k)·cell —
+    unbiased (collisions cancel in expectation) where CMS only
+    over-counts; the error column here is two-sided by design, which the
+    gate exhibits cross-engine. The median of 5 exact integers is taken
+    by sorting the 5-element array and picking the middle — no
+    percentile interpolation, integer-exact on both engines.
+
+    Scale shape: identical to CMS — data touched once (explode ×d) into a
+    d·w = 1280-cell map-side-combinable aggregate; probes join K keys
+    against the broadcast sketch. The sketch is the ONLY state that
+    crosses the wire at 100 TB.""".format(w=CS_W)
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+
+    def bucket(j_a, j_b):
+        return ((F.col("o_custkey") * F.lit(j_a) + F.lit(j_b)) % F.lit(CS_P)) % F.lit(
+            CS_W
+        )
+
+    def sign(j_c, j_e):
+        return (
+            ((F.col("o_custkey") * F.lit(j_c) + F.lit(j_e)) % F.lit(CS_P)) % F.lit(2)
+        ) * F.lit(2) - F.lit(1)
+
+    cells = None
+    for j, (a, b, c, e) in enumerate(CS_COEF):
+        part = orders.select(
+            F.lit(j).alias("j"), bucket(a, b).alias("bucket"), sign(c, e).alias("sgn")
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    sketch = cells.groupBy("j", "bucket").agg(
+        F.sum("sgn").cast("long").alias("cell")
+    )
+
+    exact = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probe = exact.orderBy(F.col("exact_cnt").desc(), F.col("o_custkey").asc()).limit(
+        CS_TOPK
+    )
+    probed = None
+    for j, (a, b, c, e) in enumerate(CS_COEF):
+        leg = probe.select(
+            "o_custkey",
+            "exact_cnt",
+            F.lit(j).alias("j"),
+            bucket(a, b).alias("bucket"),
+            sign(c, e).alias("sgn"),
+        )
+        probed = leg if probed is None else probed.unionAll(leg)
+    ests = probed.join(F.broadcast(sketch), ["j", "bucket"]).select(
+        "o_custkey", "exact_cnt", (F.col("sgn") * F.col("cell")).alias("est")
+    )
+    out = ests.groupBy("o_custkey", "exact_cnt").agg(
+        F.expr("element_at(array_sort(collect_list(est)), 3)").alias("cs_est")
+    )
+    return out.select(
+        "o_custkey",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cs_est").cast("long").alias("cs_est"),
+        (F.col("cs_est") - F.col("exact_cnt")).cast("long").alias("error"),
+    ).orderBy(F.col("exact_cnt").desc(), F.col("o_custkey").asc())
+
+
+def _sql_countsketch() -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT {j} AS j,"
+        f" ((o_custkey * {a} + {b}) % {CS_P}) % {CS_W} AS bucket,"
+        f" (((o_custkey * {c} + {e}) % {CS_P}) % 2) * 2 - 1 AS sgn"
+        " FROM orders"
+        for j, (a, b, c, e) in enumerate(CS_COEF)
+    )
+    probe_legs = " UNION ALL ".join(
+        f"SELECT o_custkey, exact_cnt, {j} AS j,"
+        f" ((o_custkey * {a} + {b}) % {CS_P}) % {CS_W} AS bucket,"
+        f" (((o_custkey * {c} + {e}) % {CS_P}) % 2) * 2 - 1 AS sgn"
+        " FROM probe"
+        for j, (a, b, c, e) in enumerate(CS_COEF)
+    )
+    return f"""
+WITH cells AS ({legs}),
+sketch AS (SELECT j, bucket, CAST(SUM(sgn) AS BIGINT) AS cell FROM cells GROUP BY j, bucket),
+exact AS (SELECT o_custkey, COUNT(*) AS exact_cnt FROM orders GROUP BY o_custkey),
+probe AS (SELECT * FROM exact ORDER BY exact_cnt DESC, o_custkey ASC LIMIT {CS_TOPK}),
+probed AS ({probe_legs}),
+ests AS (
+  SELECT p.o_custkey, p.exact_cnt, p.sgn * s.cell AS est
+  FROM probed p JOIN sketch s USING (j, bucket)
+),
+med AS (
+  SELECT o_custkey, exact_cnt, (list_sort(list(est)))[3] AS cs_est
+  FROM ests GROUP BY o_custkey, exact_cnt
+)
+SELECT o_custkey, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cs_est AS BIGINT) AS cs_est,
+       CAST(cs_est - exact_cnt AS BIGINT) AS error
+FROM med
+ORDER BY exact_cnt DESC, o_custkey ASC
+"""
+
+
 QUERIES = {
     "sketch_cms_freq": q_sketch_cms_freq,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
     "sketch_hll_registers": q_sketch_hll_registers,
     "sketch_histogram_quantile": q_sketch_histogram_quantile,
     "sketch_hll_union": q_sketch_hll_union,
+    "sketch_countsketch_freq": q_sketch_countsketch_freq,
 }
 
 ORACLE = {
@@ -667,4 +787,5 @@ ORACLE = {
     "sketch_histogram_quantile": _sql_histq(),
     "sketch_hll_union": _sql_hll_union(),
     "sketch_kmv_distinct": _sql_kmv(),
+    "sketch_countsketch_freq": _sql_countsketch(),
 }

@@ -2543,6 +2543,176 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Hapax legomena profile (vocabulary-growth health of a corpus slice)
+# ---------------------------------------------------------------------------
+
+
+def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language hapax-legomena profile: vocabulary size, number of
+    words occurring exactly once, and the hapax share of vocabulary and of
+    tokens — the classic corpus-health diagnostic next to ``text_zipf_
+    rankfreq`` (a collapsing hapax share flags template/boilerplate
+    contamination; an exploding one flags OCR noise — both are the first
+    things a pretraining-data audit checks). Counts are exact integers;
+    the two ratios are single divisions.
+
+    Scale shape: explode once, one (lang, token) hash agg (map-side
+    combinable), then a per-lang agg over vocabulary-sized rows."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    tok = docs.select("lang", F.explode(_tokens(F.col("text"))).alias("t"))
+    counts = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    out = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+    )
+    return out.select(
+        "lang",
+        "vocab",
+        "n_tokens",
+        "hapax",
+        (F.col("hapax").cast("double") / F.col("vocab").cast("double")).alias(
+            "hapax_vocab_share"
+        ),
+        (F.col("hapax").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "hapax_token_share"
+        ),
+    ).orderBy("lang")
+
+
+_ORACLE_HAPAX = f"""
+WITH tok AS (
+  SELECT lang, UNNEST({_sql_tokens("text")}) AS t FROM documents
+), counts AS (
+  SELECT lang, t, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+), outt AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM counts GROUP BY 1
+)
+SELECT lang, vocab, n_tokens, hapax,
+       CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_vocab_share,
+       CAST(hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS hapax_token_share
+FROM outt
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+BURROWS_TOP_WORDS = 20
+BURROWS_TOP_PAIRS = 25
+
+
+def q_text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between document sources: over the {k} most frequent
+    corpus words, z-score each source's relative word frequency against
+    the across-source mean/std, then Delta(a,b) = mean_w |z_a − z_b| — the
+    standard stylometric fingerprint distance, used in curation to spot
+    sources that are near-clones of each other (template farms) before
+    they flood a training mix. Top {p} closest pairs ship.
+
+    Exactness: relative frequencies are ratios of exact integers; the
+    across-source moments and the |z| reductions are floor-quantized
+    sums (both loops are source- and word-bounded: |sources|·{k} cells);
+    sqrt is IEEE-exact. Scale shape: one explode + (source, word) hash
+    agg is the only data-sized stage; the zero-filled source×word spine,
+    moments, and the pair join all run on the tiny grid.""".format(
+        k=BURROWS_TOP_WORDS, p=BURROWS_TOP_PAIRS
+    )
+    from us_flight_bigdata_dashboard_spark.functions.exact import fsum
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("t"))
+    counts = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    top_words = (
+        counts.groupBy("t")
+        .agg(F.sum("cnt").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("t"))
+        .limit(BURROWS_TOP_WORDS)
+        .select("t")
+    )
+    totals = counts.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_tok"))
+    spine = totals.select("source", "n_tok").crossJoin(F.broadcast(top_words))
+    dense = spine.join(counts, ["source", "t"], "left").select(
+        "source",
+        "t",
+        (
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+            / F.col("n_tok").cast("double")
+        ).alias("f"),
+    )
+    mom = dense.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        fsum("f", scale=15).alias("sf"),
+        fsum(F.col("f") * F.col("f"), scale=15).alias("sf2"),
+    )
+    nd = F.col("ns").cast("double")
+    mu = F.col("sf") / nd
+    sigma = F.sqrt(F.col("sf2") / nd - mu * mu)
+    z = dense.join(F.broadcast(mom), "t").select(
+        "source", "t", ((F.col("f") - mu) / sigma).alias("z")
+    )
+    a = z.select(F.col("source").alias("src_a"), "t", F.col("z").alias("z_a"))
+    b = z.select(F.col("source").alias("src_b"), "t", F.col("z").alias("z_b"))
+    pairs = a.join(b, "t").filter(F.col("src_a") < F.col("src_b"))
+    delta = pairs.groupBy("src_a", "src_b").agg(
+        (
+            fsum(F.abs(F.col("z_a") - F.col("z_b")), scale=12)
+            / F.lit(float(BURROWS_TOP_WORDS))
+        ).alias("delta")
+    )
+    return delta.orderBy(F.asc("delta"), F.asc("src_a"), F.asc("src_b")).limit(
+        BURROWS_TOP_PAIRS
+    )
+
+
+def _sql_burrows() -> str:
+    from us_flight_bigdata_dashboard_spark.functions.exact import sql_fsum
+
+    return f"""
+WITH tok AS (
+  SELECT source, UNNEST({_sql_tokens("text")}) AS t FROM documents
+), counts AS (
+  SELECT source, t, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+), top_words AS (
+  SELECT t FROM (SELECT t, SUM(cnt) AS tot FROM counts GROUP BY 1)
+  ORDER BY tot DESC, t ASC LIMIT {BURROWS_TOP_WORDS}
+), totals AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tok FROM counts GROUP BY 1
+), dense AS (
+  SELECT totals.source, top_words.t,
+         CAST(COALESCE(counts.cnt, 0) AS DOUBLE) / CAST(totals.n_tok AS DOUBLE) AS f
+  FROM totals CROSS JOIN top_words
+  LEFT JOIN counts ON counts.source = totals.source AND counts.t = top_words.t
+), mom AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS ns,
+         {sql_fsum("f", 15)} AS sf,
+         {sql_fsum("f * f", 15)} AS sf2
+  FROM dense GROUP BY 1
+), z AS (
+  SELECT source, dense.t,
+         (f - sf / CAST(ns AS DOUBLE))
+           / sqrt(sf2 / CAST(ns AS DOUBLE)
+                  - (sf / CAST(ns AS DOUBLE)) * (sf / CAST(ns AS DOUBLE))) AS z
+  FROM dense JOIN mom ON dense.t = mom.t
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         {sql_fsum("abs(a.z - b.z)", 12)} / {float(BURROWS_TOP_WORDS)!r} AS delta
+  FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, delta FROM pairs
+ORDER BY delta ASC, src_a ASC, src_b ASC
+LIMIT {BURROWS_TOP_PAIRS}
+"""
+
+
 QUERIES = {
     "text_collocations_lift": q_text_collocations_lift,
     "benchmark_contamination": q_benchmark_contamination,
@@ -2574,6 +2744,8 @@ QUERIES = {
     "text_rake_keywords": q_text_rake_keywords,
     "text_simpson_diversity": q_text_simpson_diversity,
     "text_readability_flesch": q_text_readability,
+    "text_hapax_ratio": q_text_hapax_ratio,
+    "text_burrows_delta": q_text_burrows_delta,
 }
 
 ORACLE = {
@@ -2607,4 +2779,6 @@ ORACLE = {
     "text_rake_keywords": _sql_rake(),
     "text_simpson_diversity": _ORACLE_SIMPSON,
     "text_readability_flesch": _ORACLE_READABILITY,
+    "text_hapax_ratio": _ORACLE_HAPAX,
+    "text_burrows_delta": _sql_burrows(),
 }
