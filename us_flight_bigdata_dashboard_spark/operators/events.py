@@ -4288,6 +4288,110 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Croston's method: intermittent-demand forecast per part
+# ---------------------------------------------------------------------------
+
+CROSTON_ALPHA = 0.25  # exactly representable in binary (the EWMA choice)
+CROSTON_TOP = 20
+
+
+def q_events_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast per part: two EWMAs at
+    alpha={a} — one over the part's nonzero daily demand SIZES z_j, one
+    over the inter-demand INTERVALS q_j (days) — and the demand-rate
+    forecast z_hat/q_hat; THE standard method for sparse spare-parts
+    demand where plain exponential smoothing is biased (``events_holt*``
+    assume a dense series). Top {k} parts by forecast ship.
+
+    Determinism: same contract as ``events_ewma`` — both engines fold
+    the SAME value sequence (sort_array / array_agg ORDER BY day) with
+    the SAME null-seeded affine recurrence, so the doubles are
+    bit-identical with no quantization. Per-part state is the part's
+    occurrence count (~30 at any SF — lineitem fan-in per part is flat);
+    a hot part would take the events_ewma two-level chunk fold, not
+    needed at this fan-in.
+
+    Scale shape: one (part, day) hash agg, one keyed lag window for the
+    gaps, one collect-fold agg per part — all partitioned by part key,
+    no global windows, no collect.""".format(a=CROSTON_ALPHA, k=CROSTON_TOP)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.to_date("l_shipdate").alias("day"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("q"),
+    )
+    daily = li.groupBy("pk", "day").agg(F.sum("q").cast("long").alias("z"))
+    w = Window.partitionBy("pk").orderBy("day")
+    occ = daily.withColumn(
+        "gap", F.datediff(F.col("day"), F.lag("day").over(w)).cast("double")
+    )
+    per_part = occ.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_demands"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", F.col("z").cast("double").alias("zv")))),
+            lambda s: s["zv"],
+        ).alias("_zs"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("gap").isNotNull(), F.struct("day", F.col("gap").alias("gv")))
+                )
+            ),
+            lambda s: s["gv"],
+        ).alias("_qs"),
+    )
+    a = F.lit(CROSTON_ALPHA)
+    fold = lambda arr: F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(acc + a * (x - acc)),
+    )
+    scored = per_part.filter(F.col("n_demands") >= 2).select(
+        "pk",
+        "n_demands",
+        fold(F.col("_zs")).alias("z_hat"),
+        fold(F.col("_qs")).alias("q_hat"),
+    )
+    return (
+        scored.select(
+            "pk",
+            "n_demands",
+            "z_hat",
+            "q_hat",
+            (F.col("z_hat") / F.col("q_hat")).alias("croston_forecast"),
+        )
+        .orderBy(F.desc("croston_forecast"), F.asc("pk"))
+        .limit(CROSTON_TOP)
+    )
+
+
+_ORACLE_CROSTON = f"""
+WITH daily AS (
+  SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS z
+  FROM lineitem GROUP BY 1, 2
+), occ AS (
+  SELECT pk, day, z,
+         CAST(day - lag(day) OVER (PARTITION BY pk ORDER BY day) AS DOUBLE) AS gap
+  FROM daily
+), per_part AS (
+  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_demands,
+         array_agg(CAST(z AS DOUBLE) ORDER BY day) AS zs,
+         array_agg(gap ORDER BY day) FILTER (gap IS NOT NULL) AS qs
+  FROM occ GROUP BY 1
+), scored AS (
+  SELECT pk, n_demands,
+         list_reduce(zs, (acc, x) -> acc + {CROSTON_ALPHA} * (x - acc)) AS z_hat,
+         list_reduce(qs, (acc, x) -> acc + {CROSTON_ALPHA} * (x - acc)) AS q_hat
+  FROM per_part WHERE n_demands >= 2
+)
+SELECT pk, n_demands, z_hat, q_hat, z_hat / q_hat AS croston_forecast
+FROM scored
+ORDER BY croston_forecast DESC, pk ASC
+LIMIT {CROSTON_TOP}
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_ohlc": q_events_ohlc,
@@ -4313,6 +4417,7 @@ QUERIES = {
     "events_cohort_ltv": q_events_cohort_ltv,
     "events_attribution_linear": q_events_attribution_linear,
     "events_ewma": q_events_ewma,
+    "events_croston_forecast": q_events_croston_forecast,
     "events_twap": q_events_twap,
     "events_cusum_changepoint": q_events_cusum_changepoint,
     "events_seasonal_hourly": q_events_seasonal_hourly,
@@ -4363,6 +4468,7 @@ ORACLE = {
     "events_cohort_ltv": _ORACLE_EVENTS_COHORT_LTV,
     "events_attribution_linear": _ORACLE_EVENTS_ATTRIBUTION_LINEAR,
     "events_ewma": _ORACLE_EVENTS_EWMA,
+    "events_croston_forecast": _ORACLE_CROSTON,
     "events_twap": _ORACLE_EVENTS_TWAP,
     "events_cusum_changepoint": _ORACLE_CUSUM,
     "events_seasonal_hourly": _ORACLE_SEASONAL,

@@ -2713,6 +2713,145 @@ LIMIT {BURROWS_TOP_PAIRS}
 """
 
 
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank on the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_ITERS = 3
+TEXTRANK_TOP = 10
+TEXTRANK_FP = 10**15
+
+
+def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords: weighted PageRank over the word co-occurrence
+    graph (adjacent-token pairs within a document, both directions,
+    edge weight = corpus co-occurrence count), {it} unrolled iterations
+    at damping {d} — the graph-centrality counterpart of ``text_rake_
+    keywords``/``collocations`` that rewards words sitting in many
+    well-connected contexts rather than just frequent ones. Top {k}
+    keywords ship.
+
+    Scale shape: the one data-sized stage is tokenize + adjacent-pair
+    explode into a (w1, w2) hash agg; the graph is VOCABULARY-sized (the
+    corpus vocabulary, ~30 here) so every PageRank round is a join+agg
+    over vocab-bounded frames. Contribution sums are fixed-point
+    floor-quantized DECIMAL aggregates (the graph_pagerank pattern) and
+    weighted degree is an exact integer — bit-stable on both engines.
+    """.format(it=TEXTRANK_ITERS, d=TEXTRANK_DAMPING, k=TEXTRANK_TOP)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, size(ts) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(ts, i + 2) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pairs = bi.filter(F.col("w1") != F.col("w2"))
+    edges = (
+        pairs.select("w1", "w2")
+        .unionAll(pairs.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+    wdeg = edges.groupBy("w1").agg(F.sum("wt").cast("long").alias("wdeg"))
+    n_row = wdeg.agg(F.count(F.lit(1)).alias("_n"))
+    fp = F.lit(float(TEXTRANK_FP))
+    ranks = wdeg.crossJoin(F.broadcast(n_row)).select(
+        F.col("w1").alias("word"),
+        "wdeg",
+        "_n",
+        (F.lit(1.0) / F.col("_n")).alias("rank"),
+    )
+    for _ in range(TEXTRANK_ITERS):
+        contrib = ranks.join(edges, ranks["word"] == edges["w1"]).select(
+            F.col("w2"),
+            F.floor(
+                (F.col("rank") * F.col("wt").cast("double") / F.col("wdeg").cast("double")) * fp
+            )
+            .cast("decimal(38,0)")
+            .alias("c_fp"),
+        )
+        summed = contrib.groupBy("w2").agg(
+            (F.sum("c_fp").cast("double") / fp).alias("_sum")
+        )
+        ranks = (
+            wdeg.join(summed, wdeg["w1"] == summed["w2"])
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                F.col("w1").alias("word"),
+                "wdeg",
+                "_n",
+                (
+                    F.lit(1.0 - TEXTRANK_DAMPING) / F.col("_n")
+                    + F.lit(TEXTRANK_DAMPING) * F.col("_sum")
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.select("word", F.col("wdeg").alias("weighted_degree"), "rank")
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(TEXTRANK_TOP)
+    )
+
+
+def _sql_textrank() -> str:
+    fp = float(TEXTRANK_FP)
+    base = f"""
+toks AS (
+  SELECT {_sql_tokens("text")} AS ts FROM documents
+),
+bi AS (
+  SELECT UNNEST(list_transform(ts[1:len(ts)-1],
+                (x, i) -> {{'w1': x, 'w2': ts[i + 1]}})) AS p
+  FROM toks
+),
+pairs AS (
+  SELECT p.w1 AS w1, p.w2 AS w2 FROM bi WHERE p.w1 <> p.w2
+),
+edges AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS wt FROM (
+    SELECT w1, w2 FROM pairs
+    UNION ALL
+    SELECT w2 AS w1, w1 AS w2 FROM pairs
+  ) GROUP BY 1, 2
+),
+wdeg AS (SELECT w1, CAST(SUM(wt) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
+nn AS (SELECT COUNT(*) AS _n FROM wdeg),
+r0 AS (SELECT w1 AS word, wdeg, _n, 1.0::DOUBLE / _n AS rank FROM wdeg, nn)"""
+    iters = []
+    prev = "r0"
+    for i in range(1, TEXTRANK_ITERS + 1):
+        iters.append(f"""
+s{i} AS (
+  SELECT e.w2,
+         CAST(SUM(CAST(floor((r.rank * CAST(e.wt AS DOUBLE) / CAST(r.wdeg AS DOUBLE)) * {fp!r})
+                       AS DECIMAL(38,0))) AS DOUBLE) / {fp!r} AS _sum
+  FROM {prev} r JOIN edges e ON r.word = e.w1
+  GROUP BY e.w2
+),
+r{i} AS (
+  SELECT d.w1 AS word, d.wdeg, nn._n,
+         {1.0 - TEXTRANK_DAMPING} / nn._n + {TEXTRANK_DAMPING} * s{i}._sum AS rank
+  FROM wdeg d JOIN s{i} ON d.w1 = s{i}.w2, nn
+)""")
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + base
+        + ","
+        + ",".join(iters)
+        + f"""
+SELECT word, wdeg AS weighted_degree, rank FROM {prev}
+ORDER BY rank DESC, word ASC
+LIMIT {TEXTRANK_TOP}
+"""
+    )
+
+
 QUERIES = {
     "text_collocations_lift": q_text_collocations_lift,
     "benchmark_contamination": q_benchmark_contamination,
@@ -2745,6 +2884,7 @@ QUERIES = {
     "text_simpson_diversity": q_text_simpson_diversity,
     "text_readability_flesch": q_text_readability,
     "text_hapax_ratio": q_text_hapax_ratio,
+    "text_textrank_keywords": q_text_textrank_keywords,
     "text_burrows_delta": q_text_burrows_delta,
 }
 
@@ -2780,5 +2920,6 @@ ORACLE = {
     "text_simpson_diversity": _ORACLE_SIMPSON,
     "text_readability_flesch": _ORACLE_READABILITY,
     "text_hapax_ratio": _ORACLE_HAPAX,
+    "text_textrank_keywords": _sql_textrank(),
     "text_burrows_delta": _sql_burrows(),
 }
