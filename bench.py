@@ -178,6 +178,13 @@ HEADLINE = [
     "spearman_corr",
     "graph_kcore",
     "survival_kaplan_meier",
+    # round-9: the two heaviest new path classes — the HITS
+    # mutual-reinforcement double loop (two join+agg+max-normalize rounds
+    # per iteration, tracked beside PageRank/SALSA) and the Croston
+    # collect-fold forecast (per-part sort_array + aggregate lambda fold,
+    # the events_ewma machinery on a second series shape)
+    "graph_hits",
+    "events_croston_forecast",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
