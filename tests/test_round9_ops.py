@@ -440,3 +440,136 @@ def test_textrank_mass_and_order(spark):
     assert scores == sorted(scores, reverse=True)
     # ranks on a connected vocab graph stay within (0, 1)
     assert all(0.0 < s < 1.0 for s in scores)
+
+
+def test_page_trend_matches_pandas(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_page_trend_test,
+    )
+
+    con = duckdb.connect()
+    df = con.execute(f"""
+        SELECT c_nationkey AS nk, YEAR(o_orderdate)*12+MONTH(o_orderdate) AS ym,
+               SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS y
+        FROM '{SF_DIR}/orders.parquet'
+        JOIN '{SF_DIR}/customer.parquet' ON o_custkey=c_custkey
+        WHERE YEAR(o_orderdate)*12+MONTH(o_orderdate) BETWEEN {1995*12+1} AND {1996*12+12}
+        GROUP BY 1,2
+    """).df()
+    nations = sorted(
+        duckdb.connect()
+        .execute(f"SELECT n_nationkey FROM '{SF_DIR}/nation.parquet'")
+        .df()["n_nationkey"]
+    )
+    months = list(range(1995 * 12 + 1, 1996 * 12 + 12 + 1))
+    lut = {(r.nk, r.ym): r.y for r in df.itertuples()}
+    r_sum = {nk: 0 for nk in nations}
+    for ym in months:
+        vals = sorted(
+            ((lut.get((nk, ym), 0), nk) for nk in nations),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (_, nk) in enumerate(vals, start=1):
+            r_sum[nk] += rank
+    l_stat = sum((i + 1) * r_sum[nk] for i, nk in enumerate(nations))
+    m, n = len(months), len(nations)
+    e_l = m * n * (n + 1) ** 2 / 4
+    var_l = m * n * n * (n + 1) * (n * n - 1) / 144
+    (row,) = q_page_trend_test(spark, SF_DIR).collect()
+    assert row["l_stat"] == l_stat
+    assert row["z_stat"] == pytest.approx((l_stat - e_l) / var_l**0.5, rel=1e-9)
+
+
+def test_mann_kendall_matches_pandas(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_mann_kendall_trend,
+    )
+
+    od = _orders_df()
+    od["cents"] = np.round(od["o_totalprice"] * 100).astype(np.int64)
+    ym = od["o_orderdate"].dt.year * 12 + od["o_orderdate"].dt.month
+    y = od.groupby(ym)["cents"].sum().sort_index().values
+    n = len(y)
+    s = int(np.sign(y[None, :] - y[:, None])[np.triu_indices(n, 1)].sum())
+    from collections import Counter
+
+    ties = Counter(y.tolist())
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18
+    (row,) = q_mann_kendall_trend(spark, SF_DIR).collect()
+    assert row["n"] == n and row["s"] == s
+    assert row["var_s"] == pytest.approx(var_s, rel=1e-12)
+    expect_z = (s - 1) / var_s**0.5 if s > 0 else ((s + 1) / var_s**0.5 if s < 0 else 0)
+    assert row["z_stat"] == pytest.approx(expect_z, rel=1e-9)
+
+
+def _region_monthly():
+    con = duckdb.connect()
+    return con.execute(f"""
+        SELECT r_name, YEAR(o_orderdate)*12+MONTH(o_orderdate) AS x,
+               SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS cents
+        FROM '{SF_DIR}/orders.parquet'
+        JOIN '{SF_DIR}/customer.parquet' ON o_custkey=c_custkey
+        JOIN '{SF_DIR}/nation.parquet' ON c_nationkey=n_nationkey
+        JOIN '{SF_DIR}/region.parquet' ON n_regionkey=r_regionkey
+        GROUP BY 1,2
+    """).df()
+
+
+def _ssr(x, v):
+    n = len(x)
+    sx, sy = x.sum(), v.sum()
+    sxy, sxx, syy = (x * v).sum(), (x * x).sum(), (v * v).sum()
+    return (syy - sy * sy / n) - (sxy - sx * sy / n) ** 2 / (sxx - sx * sx / n)
+
+
+def test_chow_matches_numpy(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import q_chow_test
+
+    df = _region_monthly()
+    rows = {r["r_name"]: r for r in q_chow_test(spark, SF_DIR).collect()}
+    for rn, grp in df.groupby("r_name"):
+        x = grp["x"].values.astype(float)
+        v = grp["cents"].values.astype(float) / 1e9
+        pre = x < 1998 * 12 + 1
+        ssr1, ssr2, ssrp = _ssr(x[pre], v[pre]), _ssr(x[~pre], v[~pre]), _ssr(x, v)
+        n = len(x)
+        f = ((ssrp - ssr1 - ssr2) / 2) / ((ssr1 + ssr2) / (n - 4))
+        assert rows[rn]["n_pre"] == int(pre.sum())
+        # the SSRs difference (numerator) is a small residual of large
+        # moment terms, so the 1e-8 fsum quantization of the y-moments is
+        # amplified by cancellation — tolerance reflects that, determinism
+        # across engines is what the oracle gate checks exactly
+        assert rows[rn]["f_stat"] == pytest.approx(f, rel=3e-2)
+
+
+def test_regression_influence_matches_numpy(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_regression_influence,
+    )
+
+    df = _region_monthly()
+    cooks_all = {}
+    for rn, grp in df.groupby("r_name"):
+        x = grp["x"].values.astype(float)
+        v = grp["cents"].values.astype(float) / 1e9
+        n = len(x)
+        sxx_c = (x * x).sum() - x.sum() ** 2 / n
+        b = ((x * v).sum() - x.sum() * v.sum() / n) / sxx_c
+        a = (v.sum() - b * x.sum()) / n
+        e = v - (a + b * x)
+        h = 1 / n + (x - x.mean()) ** 2 / sxx_c
+        s2 = _ssr(x, v) / (n - 2)
+        d = e * e * h / (2 * s2 * (1 - h) ** 2)
+        for xi, di in zip(x, d):
+            cooks_all[(rn, int(xi))] = di
+    rows = q_regression_influence(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    # key-based compare (quantization can swap near-tied top-10 ranks);
+    # each returned cell's D must match its brute-force value, and the
+    # returned set must sit inside the brute-force top-12
+    top12 = {k for k, _ in sorted(cooks_all.items(), key=lambda kv: (-kv[1], kv[0]))[:12]}
+    for r in rows:
+        key = (r["r_name"], r["x"])
+        assert key in top12
+        assert r["cooks_d"] == pytest.approx(cooks_all[key], rel=3e-2)

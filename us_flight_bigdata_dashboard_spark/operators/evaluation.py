@@ -1031,6 +1031,464 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Ordered-alternative and monotone-trend tests; structural-break and
+# influence diagnostics on the monthly OLS fits
+# ---------------------------------------------------------------------------
+
+
+def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ORDERED alternative on the same m=24-judge /
+    n=25-item rank frame as ``kendalls_w``: L = sum_i c_i * R_i with the
+    hypothesized item order c_i = nationkey rank — where Kendall's W asks
+    "do the judges agree at all", Page's L asks "do they agree with THIS
+    specific ordering". L and its null moments E[L] = m*n*(n+1)^2/4,
+    Var[L] = m*n^2*(n+1)*(n^2-1)/144 are exact integers/rationals; the
+    z-score is one IEEE sequence. Scale shape: identical to kendalls_w —
+    everything after the |nation|x|month| agg runs on the 600-cell
+    frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter((ym >= _KW_YM_LO) & (ym <= _KW_YM_HI))
+        .groupBy(F.col("c_nationkey").alias("nk"), ym.alias("ym"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    months = spark.range(_KW_YM_LO, _KW_YM_HI + 1).select(
+        F.col("id").cast("int").alias("ym")
+    )
+    spine = nation.select(F.col("n_nationkey").alias("nk")).crossJoin(
+        F.broadcast(months)
+    )
+    dense = spine.join(rev, ["nk", "ym"], "left").select(
+        "nk", "ym", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    w = Window.partitionBy("ym").orderBy(F.desc("y"), F.asc("nk"))
+    ranked = dense.withColumn("rk", F.row_number().over(w))
+    sums = ranked.groupBy("nk").agg(F.sum("rk").cast("long").alias("r_i"))
+    # hypothesized order: nationkey ascending -> c_i = dense rank of nk
+    ow = Window.orderBy("nk")
+    ordered = sums.withColumn("c_i", F.row_number().over(ow).cast("long"))
+    agg = ordered.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("c_i") * F.col("r_i")).cast("long").alias("l_stat"),
+    )
+    m = float(_KW_YM_HI - _KW_YM_LO + 1)
+    nd = F.col("n_items").cast("double")
+    e_l = F.lit(m) * nd * (nd + 1.0) * (nd + 1.0) / F.lit(4.0)
+    var_l = (
+        F.lit(m) * nd * nd * (nd + 1.0) * (nd * nd - 1.0) / F.lit(144.0)
+    )
+    return agg.select(
+        F.lit(int(m)).cast("long").alias("m_judges"),
+        "n_items",
+        "l_stat",
+        ((F.col("l_stat").cast("double") - e_l) / F.sqrt(var_l)).alias("z_stat"),
+    )
+
+
+_ORACLE_PAGE_TREND = f"""
+WITH rev AS (
+  SELECT c_nationkey AS nk,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS ym,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE YEAR(o_orderdate) * 12 + MONTH(o_orderdate) BETWEEN {_KW_YM_LO} AND {_KW_YM_HI}
+  GROUP BY 1, 2
+), months AS (
+  SELECT UNNEST(range({_KW_YM_LO}, {_KW_YM_HI + 1})) AS ym
+), spine AS (
+  SELECT n_nationkey AS nk, CAST(ym AS INT) AS ym FROM nation CROSS JOIN months
+), dense AS (
+  SELECT spine.nk, spine.ym, COALESCE(rev.y, 0) AS y
+  FROM spine LEFT JOIN rev ON spine.nk = rev.nk AND spine.ym = rev.ym
+), ranked AS (
+  SELECT nk, ROW_NUMBER() OVER (PARTITION BY ym ORDER BY y DESC, nk ASC) AS rk
+  FROM dense
+), sums AS (
+  SELECT nk, CAST(SUM(rk) AS BIGINT) AS r_i FROM ranked GROUP BY 1
+), ordered_s AS (
+  SELECT r_i, CAST(ROW_NUMBER() OVER (ORDER BY nk) AS BIGINT) AS c_i FROM sums
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(c_i * r_i) AS BIGINT) AS l_stat
+  FROM ordered_s
+)
+SELECT CAST(24 AS BIGINT) AS m_judges, n_items, l_stat,
+       (CAST(l_stat AS DOUBLE)
+        - 24.0 * CAST(n_items AS DOUBLE) * (CAST(n_items AS DOUBLE) + 1.0)
+          * (CAST(n_items AS DOUBLE) + 1.0) / 4.0)
+       / sqrt(24.0 * CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)
+              * (CAST(n_items AS DOUBLE) + 1.0)
+              * (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE) - 1.0) / 144.0)
+         AS z_stat
+FROM agg
+"""
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on monthly global revenue:
+    S = sum_{i<j} sign(y_j - y_i) over the ~80-month series, with the
+    exact tie-corrected null variance Var[S] = [n(n-1)(2n+5) -
+    sum_g t_g(t_g-1)(2t_g+5)]/18 and the continuity-corrected
+    Z = (S -/+ 1)/sqrt(Var) — the distribution-free trend test that
+    pairs with ``theil_sen_trend``'s slope estimate (statistics.py). S
+    and the tie term are exact integers (revenue compared in CENTS);
+    Z is one IEEE sequence. Scale shape: the scan collapses to the
+    month frame; the i<j pair join is C(80,2) ~ 3.2k domain cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("long")
+        .alias("y")
+    )
+    a = monthly.select(F.col("ym").alias("ym_a"), F.col("y").alias("y_a"))
+    b = monthly.select(F.col("ym").alias("ym_b"), F.col("y").alias("y_b"))
+    pairs = a.join(b, F.col("ym_a") < F.col("ym_b"))
+    s_agg = pairs.agg(
+        F.sum(
+            F.when(F.col("y_b") > F.col("y_a"), 1)
+            .when(F.col("y_b") < F.col("y_a"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s")
+    )
+    ties = (
+        monthly.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n_row = monthly.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = s_agg.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(n_row))
+    nd = F.col("n").cast("double")
+    var_s = (
+        nd * (nd - 1.0) * (F.lit(2.0) * nd + 5.0)
+        - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (sd - 1.0) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (sd + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return out.select("n", "s", var_s.alias("var_s"), z.alias("z_stat"))
+
+
+_ORACLE_MANN_KENDALL = """
+WITH monthly AS (
+  SELECT YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS ym,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), s_agg AS (
+  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM monthly a JOIN monthly b ON a.ym < b.ym
+), ties AS (
+  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM monthly GROUP BY y)
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM monthly)
+SELECT n, s,
+       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+        - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s,
+       CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                 / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                         - CAST(tie_term AS DOUBLE)) / 18.0)
+            WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                 / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                         - CAST(tie_term AS DOUBLE)) / 18.0)
+            ELSE 0.0 END AS z_stat
+FROM s_agg, ties, nn
+"""
+
+
+_CHOW_SPLIT_YM = 1998 * 12 + 1  # structural-break candidate: 1998-01
+
+
+def _ols_moment_cols(prefix: str):
+    n = F.col(f"{prefix}n").cast("double")
+    sx = F.col(f"{prefix}sx").cast("double")
+    sy = F.col(f"{prefix}sy")
+    sxy = F.col(f"{prefix}sxy")
+    sxx = F.col(f"{prefix}sxx").cast("double")
+    syy = F.col(f"{prefix}syy")
+    return (syy - sy * sy / n) - (sxy - sx * sy / n) * (sxy - sx * sy / n) / (
+        sxx - sx * sx / n
+    )
+
+
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test per region at {d}: fit the monthly-
+    revenue OLS trend before, after, and pooled, and test whether the two
+    segments share one line — F = ((SSR_p − SSR_1 − SSR_2)/2) /
+    ((SSR_1 + SSR_2)/(n−4)); the standard "did the trend change here"
+    companion of ``durbin_watson``'s misspecification check. All six
+    moment sets come from ONE hash agg (conditional sums per segment —
+    pooled moments are segment sums, exact by additivity); x is the
+    integer month, y is revenue in $10M units, the y-moments are
+    floor-quantized, and every SSR is the same computational-formula IEEE
+    sequence on both engines. Scale shape: scan → |region|×|month| cells;
+    the moment algebra runs on 5 rows.""".format(d="1998-01")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            "r_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            "r_name",
+            "x",
+            (F.col("x") < _CHOW_SPLIT_YM).alias("pre"),
+            (F.col("cents").cast("double") / F.lit(_UNIT)).alias("v"),
+        )
+    )
+
+    def seg(cond, label):
+        xd = F.col("x").cast("long")
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"{label}n"),
+            F.sum(F.when(cond, xd).otherwise(0)).cast("long").alias(f"{label}sx"),
+            fsum(F.when(cond, F.col("v")).otherwise(0.0), scale=_FS).alias(f"{label}sy"),
+            fsum(
+                F.when(cond, F.col("v") * xd.cast("double")).otherwise(0.0),
+                scale=_FS,
+            ).alias(f"{label}sxy"),
+            F.sum(F.when(cond, xd * xd).otherwise(0)).cast("long").alias(f"{label}sxx"),
+            fsum(
+                F.when(cond, F.col("v") * F.col("v")).otherwise(0.0), scale=_FS
+            ).alias(f"{label}syy"),
+        ]
+
+    m = monthly.groupBy("r_name").agg(
+        *seg(F.col("pre"), "a_"),
+        *seg(~F.col("pre"), "b_"),
+        *seg(F.lit(True), "p_"),
+    )
+    ssr1 = _ols_moment_cols("a_")
+    ssr2 = _ols_moment_cols("b_")
+    ssrp = _ols_moment_cols("p_")
+    n_tot = (F.col("a_n") + F.col("b_n")).cast("double")
+    f_stat = ((ssrp - ssr1 - ssr2) / F.lit(2.0)) / (
+        (ssr1 + ssr2) / (n_tot - F.lit(4.0))
+    )
+    return m.select(
+        "r_name",
+        F.col("a_n").alias("n_pre"),
+        F.col("b_n").alias("n_post"),
+        (ssr1 + ssr2).alias("ssr_segments"),
+        ssrp.alias("ssr_pooled"),
+        f_stat.alias("f_stat"),
+    ).orderBy("r_name")
+
+
+def _sql_chow() -> str:
+    def seg(cond, label):
+        return f"""
+         CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {label}n,
+         CAST(SUM(CASE WHEN {cond} THEN x ELSE 0 END) AS BIGINT) AS {label}sx,
+         {sql_fsum(f"CASE WHEN {cond} THEN v ELSE 0.0 END", _FS)} AS {label}sy,
+         {sql_fsum(f"CASE WHEN {cond} THEN v * CAST(x AS DOUBLE) ELSE 0.0 END", _FS)} AS {label}sxy,
+         CAST(SUM(CASE WHEN {cond} THEN x * x ELSE 0 END) AS BIGINT) AS {label}sxx,
+         {sql_fsum(f"CASE WHEN {cond} THEN v * v ELSE 0.0 END", _FS)} AS {label}syy"""
+
+    def ssr(label):
+        n = f"CAST({label}n AS DOUBLE)"
+        sx = f"CAST({label}sx AS DOUBLE)"
+        sxx = f"CAST({label}sxx AS DOUBLE)"
+        return (
+            f"(({label}syy - {label}sy * {label}sy / {n})"
+            f" - ({label}sxy - {sx} * {label}sy / {n})"
+            f" * ({label}sxy - {sx} * {label}sy / {n})"
+            f" / ({sxx} - {sx} * {sx} / {n}))"
+        )
+
+    return f"""
+WITH monthly AS (
+  SELECT r_name,
+         CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS x,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) < {_CHOW_SPLIT_YM} AS pre,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 1e9 AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2, 3
+), m AS (
+  SELECT r_name,{seg("pre", "a_")},{seg("NOT pre", "b_")},{seg("TRUE", "p_")}
+  FROM monthly GROUP BY 1
+)
+SELECT r_name,
+       a_n AS n_pre, b_n AS n_post,
+       {ssr("a_")} + {ssr("b_")} AS ssr_segments,
+       {ssr("p_")} AS ssr_pooled,
+       (({ssr("p_")} - {ssr("a_")} - {ssr("b_")}) / 2.0)
+         / (({ssr("a_")} + {ssr("b_")}) / (CAST(a_n + b_n AS DOUBLE) - 4.0)) AS f_stat
+FROM m
+ORDER BY r_name
+"""
+
+
+REG_INFLUENCE_TOP = 10
+
+
+def q_regression_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS influence diagnostics on the per-region monthly trend (the
+    ``durbin_watson`` fit): per month, the leverage h_t = 1/n +
+    (x−x̄)²/Sxx, the residual, and Cook's distance D = e²h /
+    (k·s²·(1−h)²) with k=2 and s² = SSR/(n−2) — the standard "which
+    observation is steering my fit" screen; the top {k} most influential
+    (region, month) cells ship. Everything derives from exact integer
+    x-moments and floor-quantized y-moments — slope, residuals, leverage
+    and D are one IEEE sequence each. Scale shape: scan →
+    |region|×|month| cells; the diagnostic math is a broadcast moment
+    join over the ~400-cell frame.""".format(k=REG_INFLUENCE_TOP)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            "r_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select("r_name", "x", (F.col("cents").cast("double") / F.lit(_UNIT)).alias("v"))
+    )
+    xd = F.col("x").cast("long")
+    mom = monthly.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).cast("long").alias("sx"),
+        fsum("v", scale=_FS).alias("sy"),
+        fsum(F.col("v") * xd.cast("double"), scale=_FS).alias("sxy"),
+        F.sum(xd * xd).cast("long").alias("sxx"),
+        fsum(F.col("v") * F.col("v"), scale=_FS).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxx_c = sxxd - sxd * sxd / nd
+    slope = (F.col("sxy") - sxd * F.col("sy") / nd) / sxx_c
+    intercept = (F.col("sy") - slope * sxd) / nd
+    ssr = (F.col("syy") - F.col("sy") * F.col("sy") / nd) - (
+        F.col("sxy") - sxd * F.col("sy") / nd
+    ) * (F.col("sxy") - sxd * F.col("sy") / nd) / sxx_c
+    coef = mom.select(
+        "r_name",
+        "n",
+        slope.alias("b"),
+        intercept.alias("a"),
+        (sxd / nd).alias("xbar"),
+        sxx_c.alias("sxx_c"),
+        (ssr / (nd - F.lit(2.0))).alias("s2"),
+    )
+    joined = monthly.join(F.broadcast(coef), "r_name")
+    e = F.col("v") - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+    h = F.lit(1.0) / F.col("n").cast("double") + (
+        (F.col("x").cast("double") - F.col("xbar"))
+        * (F.col("x").cast("double") - F.col("xbar"))
+    ) / F.col("sxx_c")
+    cooks = (e * e * h) / (
+        F.lit(2.0) * F.col("s2") * (F.lit(1.0) - h) * (F.lit(1.0) - h)
+    )
+    return (
+        joined.select(
+            "r_name",
+            "x",
+            e.alias("residual"),
+            h.alias("leverage"),
+            cooks.alias("cooks_d"),
+        )
+        .orderBy(F.desc("cooks_d"), F.asc("r_name"), F.asc("x"))
+        .limit(REG_INFLUENCE_TOP)
+    )
+
+
+def _sql_reg_influence() -> str:
+    return f"""
+WITH monthly AS (
+  SELECT r_name,
+         CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS x,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 1e9 AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), mom AS (
+  SELECT r_name,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         {sql_fsum("v", _FS)} AS sy,
+         {sql_fsum("v * CAST(x AS DOUBLE)", _FS)} AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         {sql_fsum("v * v", _FS)} AS syy
+  FROM monthly GROUP BY 1
+), coef AS (
+  SELECT r_name, n,
+         (sxy - CAST(sx AS DOUBLE) * sy / CAST(n AS DOUBLE))
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS b,
+         (sy - (sxy - CAST(sx AS DOUBLE) * sy / CAST(n AS DOUBLE))
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS sxx_c,
+         ((syy - sy * sy / CAST(n AS DOUBLE))
+          - (sxy - CAST(sx AS DOUBLE) * sy / CAST(n AS DOUBLE))
+            * (sxy - CAST(sx AS DOUBLE) * sy / CAST(n AS DOUBLE))
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (CAST(n AS DOUBLE) - 2.0) AS s2
+  FROM mom
+), diag AS (
+  SELECT monthly.r_name, x,
+         v - (a + b * CAST(x AS DOUBLE)) AS residual,
+         1.0 / CAST(n AS DOUBLE)
+           + (CAST(x AS DOUBLE) - xbar) * (CAST(x AS DOUBLE) - xbar) / sxx_c AS leverage
+  FROM monthly JOIN coef USING (r_name)
+), cooks AS (
+  SELECT diag.r_name, x, residual, leverage,
+         (residual * residual * leverage)
+           / (2.0 * s2 * (1.0 - leverage) * (1.0 - leverage)) AS cooks_d
+  FROM diag JOIN coef ON diag.r_name = coef.r_name
+)
+SELECT r_name, x, residual, leverage, cooks_d
+FROM cooks
+ORDER BY cooks_d DESC, r_name ASC, x ASC
+LIMIT {REG_INFLUENCE_TOP}
+"""
+
+
 QUERIES = {
     "acf_lags": q_acf_lags,
     "ljung_box_q": q_ljung_box_q,
@@ -1043,6 +1501,10 @@ QUERIES = {
     "brier_decomposition": q_brier_decomposition,
     "survival_nelson_aalen": q_survival_nelson_aalen,
     "survival_logrank": q_survival_logrank,
+    "page_trend_test": q_page_trend_test,
+    "mann_kendall_trend": q_mann_kendall_trend,
+    "chow_test": q_chow_test,
+    "regression_influence": q_regression_influence,
 }
 
 ORACLE = {
@@ -1057,4 +1519,8 @@ ORACLE = {
     "brier_decomposition": _ORACLE_BRIER,
     "survival_nelson_aalen": _ORACLE_NELSON_AALEN,
     "survival_logrank": _ORACLE_LOGRANK,
+    "page_trend_test": _ORACLE_PAGE_TREND,
+    "mann_kendall_trend": _ORACLE_MANN_KENDALL,
+    "chow_test": _sql_chow(),
+    "regression_influence": _sql_reg_influence(),
 }
