@@ -1824,13 +1824,25 @@ def q_graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, not the graph size, bounds the per-round state, the same
     locality argument as ``graph_khop``. Contribution sums are
     fixed-point floor-quantized DECIMAL aggregates (the PageRank
-    pattern); the restart mass attaches via a full-outer join against
-    the broadcast seed table so seeds with no inbound edges keep their
-    (1-d)/|S|.
+    pattern). Per round there is exactly ONE data-sized join — the
+    frontier against the once-materialized (src, dst, degree) edge table
+    (degree pre-joined into the localCheckpoint, so the per-round plan
+    never re-joins it) — and the restart mass attaches by UNION + re-agg
+    rather than a full-outer join: every node has at most two mass rows
+    (restart, damped inbound sum) and IEEE addition of two doubles is
+    commutative, so the 2-addend SUM is order-free. (The r9 first cut
+    did ranks⋈degree⋈edges plus a full-outer per round and went 11.5x at
+    organic sf1; this shape is the PageRank A/B discipline applied to
+    the sparse-frontier case.)
     """.format(md=PPR_SEED_MOD, it=PPR_ITERS)
-    edges = _edges_int(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _edges_int(spark, sf_dir)
     degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).select(
         F.col("src").alias("dnode"), "degree"
+    )
+    edges_deg = (
+        edges.join(degree, edges["src"] == degree["dnode"])
+        .select("src", "dst", "degree")
+        .localCheckpoint(eager=True)
     )
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey")
     seeds = supplier.filter(F.col("s_suppkey") % PPR_SEED_MOD == 1).select(
@@ -1839,35 +1851,29 @@ def q_graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_seed = seeds.agg(F.count(F.lit(1)).alias("_ns"))
     restart = seeds.crossJoin(F.broadcast(n_seed)).select(
         "node",
-        (F.lit(1.0 - PPR_DAMPING) / F.col("_ns").cast("double")).alias("restart"),
+        (F.lit(1.0 - PPR_DAMPING) / F.col("_ns").cast("double")).alias("mass"),
     )
     fp = F.lit(float(PR_FP))
     ranks = seeds.crossJoin(F.broadcast(n_seed)).select(
         "node", (F.lit(1.0) / F.col("_ns").cast("double")).alias("rank")
     )
     for _ in range(PPR_ITERS):
-        contrib = (
-            ranks.join(degree, ranks["node"] == degree["dnode"])
-            .join(edges, ranks["node"] == edges["src"])
-            .select(
-                F.col("dst"),
-                F.floor((F.col("rank") / F.col("degree")) * fp)
-                .cast("decimal(38,0)")
-                .alias("contrib_fp"),
-            )
+        contrib = ranks.join(edges_deg, ranks["node"] == edges_deg["src"]).select(
+            F.col("dst"),
+            F.floor((F.col("rank") / F.col("degree")) * fp)
+            .cast("decimal(38,0)")
+            .alias("contrib_fp"),
         )
-        summed = contrib.groupBy("dst").agg(
-            (F.sum("contrib_fp").cast("double") / fp).alias("_sum")
-        )
+        damped = contrib.groupBy("dst").agg(
+            (
+                F.lit(PPR_DAMPING)
+                * (F.sum("contrib_fp").cast("double") / fp)
+            ).alias("mass")
+        ).select(F.col("dst").alias("node"), "mass")
         ranks = (
-            summed.join(restart, summed["dst"] == restart["node"], "full_outer")
-            .select(
-                F.coalesce(F.col("dst"), F.col("node")).alias("node"),
-                (
-                    F.coalesce(F.col("restart"), F.lit(0.0))
-                    + F.lit(PPR_DAMPING) * F.coalesce(F.col("_sum"), F.lit(0.0))
-                ).alias("rank"),
-            )
+            damped.unionAll(restart)
+            .groupBy("node")
+            .agg(F.sum("mass").alias("rank"))
         )
     labeled = ranks.select(
         F.concat(
