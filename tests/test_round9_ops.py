@@ -573,3 +573,82 @@ def test_regression_influence_matches_numpy(spark):
         key = (r["r_name"], r["x"])
         assert key in top12
         assert r["cooks_d"] == pytest.approx(cooks_all[key], rel=3e-2)
+
+
+def _write(spark, root, name, rows, schema):
+    import os
+
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(root, f"{name}.parquet")
+    )
+
+
+def test_supplier_similarity_cap_drops_hot_customer(spark, tmp_path_factory):
+    """Planted hot key: customer 1 buys from 70 suppliers (> the 64 cap)
+    and must contribute NO pairs; customers 2 and 3 share suppliers 1-2
+    and must dominate the output with exact Jaccard on the capped graph."""
+    import datetime as dt
+
+    from us_flight_bigdata_dashboard_spark.operators.graph import (
+        SUPPS_PER_CUST_CAP,
+        q_graph_supplier_similarity,
+    )
+
+    assert SUPPS_PER_CUST_CAP == 64
+    root = str(tmp_path_factory.mktemp("simcap"))
+    ts = dt.datetime(1995, 6, 1)
+    orders, lines = [], []
+    # customer 1: one order touching suppliers 100..169 (70 distinct > cap)
+    orders.append((1, 1, "O", 100.0, ts, "1-URGENT"))
+    for s in range(100, 170):
+        lines.append((1, s, 1.0, ts))
+    # customers 2 and 3: both buy from suppliers 1 and 2 (and 3 only cust 3)
+    orders += [(2, 2, "O", 100.0, ts, "1-URGENT"), (3, 3, "O", 100.0, ts, "1-URGENT")]
+    lines += [(2, 1, 1.0, ts), (2, 2, 1.0, ts), (3, 1, 1.0, ts), (3, 2, 1.0, ts), (3, 3, 1.0, ts)]
+    _write(
+        spark, root, "orders", orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(
+        spark, root, "lineitem", lines,
+        "l_orderkey bigint, l_suppkey bigint, l_quantity double, l_shipdate timestamp",
+    )
+    rows = q_graph_supplier_similarity(spark, root).collect()
+    nodes_in_pairs = {r["supp_a"] for r in rows} | {r["supp_b"] for r in rows}
+    # the hot customer's suppliers (100..169) must never appear
+    assert not any(s >= 100 for s in nodes_in_pairs)
+    by_pair = {(r["supp_a"], r["supp_b"]): r for r in rows}
+    # suppliers 1,2 share custs {2,3} -> inter=2, deg=2 each -> jaccard 1.0
+    assert by_pair[(1, 2)]["jaccard"] == 1.0
+    # suppliers 1,3: inter=1 (cust 3), deg 2 and 1 -> jaccard 1/2
+    assert by_pair[(1, 3)]["jaccard"] == 0.5
+
+
+def test_xyz_no_demand_and_classes(spark, tmp_path_factory):
+    """Planted classes: a part with zero lineitems is NO_DEMAND; a part
+    shipped the same quantity every month has CV=0 (X); a part with one
+    spike month lands in Z."""
+    import datetime as dt
+
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        q_xyz_demand_class,
+    )
+
+    root = str(tmp_path_factory.mktemp("xyzcls"))
+    parts = [(1, "B#steady"), (2, "B#spiky"), (3, "B#none")]
+    _write(spark, root, "part", parts, "p_partkey bigint, p_brand string")
+    lines = []
+    for m in range(1, 13):
+        ts = dt.datetime(1995, m, 15)
+        lines.append((m, 1, 10.0, ts))          # steady: 10 every month
+        lines.append((100 + m, 2, 1.0 if m < 12 else 500.0, ts))  # spike
+    _write(
+        spark, root, "lineitem", lines,
+        "l_orderkey bigint, l_partkey bigint, l_quantity double, l_shipdate timestamp",
+    )
+    rows = {(r["p_brand"], r["xyz_class"]): r["n_parts"] for r in
+            q_xyz_demand_class(spark, root).collect()}
+    assert rows[("B#steady", "X")] == 1
+    assert rows[("B#spiky", "Z")] == 1
+    assert rows[("B#none", "NO_DEMAND")] == 1
