@@ -652,3 +652,69 @@ def test_xyz_no_demand_and_classes(spark, tmp_path_factory):
     assert rows[("B#steady", "X")] == 1
     assert rows[("B#spiky", "Z")] == 1
     assert rows[("B#none", "NO_DEMAND")] == 1
+
+
+def test_source_mix_temperature_invariants(spark):
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        MIX_TOKEN_BUDGET,
+        q_source_mix_temperature,
+    )
+
+    rows = q_source_mix_temperature(spark, SF_DIR).collect()
+    assert rows, "no sources"
+    wsum = sum(r["mix_weight"] for r in rows)
+    assert wsum == pytest.approx(1.0, abs=1e-9)
+    assert sum(r["token_allocation"] for r in rows) == pytest.approx(
+        MIX_TOKEN_BUDGET, rel=1e-9
+    )
+    # sqrt temperature flattens: the largest source's weight share must not
+    # exceed its raw token share, and the smallest's must not fall below it
+    tot = sum(r["n_tokens"] for r in rows)
+    big, small = rows[0], rows[-1]
+    assert big["mix_weight"] <= big["n_tokens"] / tot + 1e-12
+    assert small["mix_weight"] >= small["n_tokens"] / tot - 1e-12
+    for r in rows:
+        assert r["effective_epochs"] == pytest.approx(
+            r["token_allocation"] / r["n_tokens"], rel=1e-12
+        )
+
+
+def test_lang_purity_matches_pandas(spark):
+    from collections import Counter
+
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        q_source_lang_purity,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(f"SELECT source, lang FROM '{SF_DIR}/documents.parquet'").df()
+    rows = {r["source"]: r for r in q_source_lang_purity(spark, SF_DIR).collect()}
+    for src, grp in docs.groupby("source"):
+        cnt = Counter(grp["lang"])
+        n = sum(cnt.values())
+        maj_lang, maj_c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        gs = 1.0 - sum(c * c for c in cnt.values()) / (n * n)
+        r = rows[src]
+        assert r["n_docs"] == n and r["majority_lang"] == maj_lang
+        assert r["majority_share"] == pytest.approx(maj_c / n, rel=1e-12)
+        assert r["gini_simpson"] == pytest.approx(gs, rel=1e-12)
+
+
+def test_tokenizer_fertility_matches_python(spark):
+    import re
+
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        BPE_PATTERN,
+        q_tokenizer_fertility,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(f"SELECT lang, text FROM '{SF_DIR}/documents.parquet'").df()
+    rows = {r["lang"]: r for r in q_tokenizer_fertility(spark, SF_DIR).collect()}
+    pat = re.compile(BPE_PATTERN)
+    for lang, grp in docs.groupby("lang"):
+        words = sum(len([w for w in t.lower().split(" ") if w]) for t in grp["text"])
+        bpe = sum(len(pat.findall(t)) for t in grp["text"])
+        r = rows[lang]
+        assert (r["n_words"], r["n_bpe_tokens"]) == (words, bpe)
+        assert r["fertility"] == pytest.approx(bpe / words, rel=1e-12)

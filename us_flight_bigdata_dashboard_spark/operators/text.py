@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from us_flight_bigdata_dashboard_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from us_flight_bigdata_dashboard_spark.functions.exact import davg, dsum, fsum, sql_davg, sql_dsum
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 # Small per-language stopword lexicons for the n-gram/stopword language-ID
@@ -2852,6 +2852,168 @@ LIMIT {TEXTRANK_TOP}
     )
 
 
+# ---------------------------------------------------------------------------
+# Pretraining-mix curation metrics: temperature-sampled source weights,
+# per-source language purity, tokenizer fertility
+# ---------------------------------------------------------------------------
+
+MIX_TOKEN_BUDGET = 1_000_000  # sampled-tokens budget the mixture allocates
+
+
+def q_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled pretraining mixture at alpha = 1/2: per source,
+    raw token count n_i, sampling weight w_i = sqrt(n_i)/sum_j sqrt(n_j),
+    the token allocation w_i * budget, and the EFFECTIVE EPOCHS
+    (allocation / n_i) that allocation implies — the standard rebalancing
+    that up-samples small sources without letting any one dominate
+    (multilingual/multi-corpus training mixes). alpha = 1/2 is the one
+    temperature expressible without pow(): sqrt is IEEE-correctly-rounded
+    on both engines, so the weights are one fixed op sequence on exact
+    integer token counts; epochs > 1 flags sources the budget would
+    repeat.
+
+    Scale shape: one tokenize+count hash agg to |sources| rows; the
+    normalization constant is a broadcast 1-row scalar."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(_tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    with_sq = counts.select("source", "n_tokens", sq.alias("sq"))
+    total = with_sq.agg(fsum("sq", scale=9).alias("z"))
+    out = with_sq.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        (F.col("sq") / F.col("z")).alias("mix_weight"),
+        (F.col("sq") / F.col("z") * F.lit(float(MIX_TOKEN_BUDGET))).alias(
+            "token_allocation"
+        ),
+        (
+            F.col("sq")
+            / F.col("z")
+            * F.lit(float(MIX_TOKEN_BUDGET))
+            / F.col("n_tokens").cast("double")
+        ).alias("effective_epochs"),
+    )
+    return out.orderBy(F.desc("n_tokens"), F.asc("source"))
+
+
+def _sql_mix_temperature() -> str:
+    from us_flight_bigdata_dashboard_spark.functions.exact import sql_fsum
+
+    return f"""
+WITH counts AS (
+  SELECT source,
+         CAST(SUM(len({_sql_tokens("text")})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), with_sq AS (
+  SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS sq FROM counts
+), total AS (
+  SELECT {sql_fsum("sq", 9)} AS z FROM with_sq
+)
+SELECT source, n_tokens,
+       sq / z AS mix_weight,
+       sq / z * {float(MIX_TOKEN_BUDGET)!r} AS token_allocation,
+       sq / z * {float(MIX_TOKEN_BUDGET)!r} / CAST(n_tokens AS DOUBLE) AS effective_epochs
+FROM with_sq CROSS JOIN total
+ORDER BY n_tokens DESC, source ASC
+"""
+
+
+def q_source_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity per document source: the majority language, its
+    share, and the Gini-Simpson diversity 1 - sum_l p_l^2 of the source's
+    language mix — the curation screen that flags crawl buckets mixing
+    languages before they poison a monolingual training slice. Entropy
+    needs log (banned); Gini-Simpson is the exact-rational diversity
+    index: every p_l is a ratio of integers and the statistic is one
+    fixed IEEE sequence. Scale shape: one (source, lang) hash agg, then
+    arithmetic on the |sources|x|langs| frame (window top-1 for the
+    majority label, deterministic tie-break)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_all = Window.partitionBy("source")
+    w_top = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    scored = sl.select(
+        "source",
+        "lang",
+        "c",
+        F.sum("c").over(w_all).cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).over(w_all).cast("long").alias("c2"),
+        F.row_number().over(w_top).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    nd = F.col("n").cast("double")
+    return scored.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("lang").alias("majority_lang"),
+        (F.col("c").cast("double") / nd).alias("majority_share"),
+        (F.lit(1.0) - F.col("c2").cast("double") / (nd * nd)).alias(
+            "gini_simpson"
+        ),
+    ).orderBy("source")
+
+
+_ORACLE_LANG_PURITY = """
+WITH sl AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), scored AS (
+  SELECT source, lang, c,
+         CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+         CAST(SUM(c * c) OVER (PARTITION BY source) AS BIGINT) AS c2,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang ASC) AS rk
+  FROM sl
+)
+SELECT source, n AS n_docs, lang AS majority_lang,
+       CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS majority_share,
+       1.0 - CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini_simpson
+FROM scored WHERE rk = 1
+ORDER BY source
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-style pre-tokens (the
+    ``BPE_PATTERN`` letter/digit/symbol runs) per whitespace word —
+    the standard tokenizer-efficiency metric (fertility near 1 = the
+    tokenizer's unit matches the language's orthography; high fertility
+    = more compute per word). Both counts are exact integers from the
+    same regex/split the BPE and quality entries use; the ratio is one
+    division. Scale shape: one map-side-combinable hash agg over the
+    scan — nothing domain-sized at all."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens(F.col("text")))).cast("long").alias("n_words"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        (F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+            "fertility"
+        ),
+    ).orderBy("lang")
+
+
+_ORACLE_FERTILITY = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({_sql_tokens("text")})) AS BIGINT) AS n_words,
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS DOUBLE)
+         / CAST(SUM(len({_sql_tokens("text")})) AS DOUBLE) AS fertility
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_collocations_lift": q_text_collocations_lift,
     "benchmark_contamination": q_benchmark_contamination,
@@ -2885,6 +3047,9 @@ QUERIES = {
     "text_readability_flesch": q_text_readability,
     "text_hapax_ratio": q_text_hapax_ratio,
     "text_textrank_keywords": q_text_textrank_keywords,
+    "source_mix_temperature": q_source_mix_temperature,
+    "source_lang_purity": q_source_lang_purity,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "text_burrows_delta": q_text_burrows_delta,
 }
 
@@ -2921,5 +3086,8 @@ ORACLE = {
     "text_readability_flesch": _ORACLE_READABILITY,
     "text_hapax_ratio": _ORACLE_HAPAX,
     "text_textrank_keywords": _sql_textrank(),
+    "source_mix_temperature": _sql_mix_temperature(),
+    "source_lang_purity": _ORACLE_LANG_PURITY,
+    "tokenizer_fertility": _ORACLE_FERTILITY,
     "text_burrows_delta": _sql_burrows(),
 }

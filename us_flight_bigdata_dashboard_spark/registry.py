@@ -101,7 +101,7 @@ _MODULES = [
 #   streaming_ewma_v2_replay, streaming_streaks_v2_replay,
 #   tcloseness_audit, text_collocations_lift, text_zipf_rankfreq,
 #   variant_json_shred, weighted_median_price
-# plus the 22 ROUND-9 ADDITIONS (all pre-cleared at 3 SFs + PANDAS_CANON
+# plus the 25 ROUND-9 ADDITIONS (all pre-cleared at 3 SFs + PANDAS_CANON
 # + vanilla-ANSI + dtype-parity this round):
 #   acf_lags, ljung_box_q, theils_u_forecast, grubbs_statistic,
 #   kendalls_w, mcnemar_paired, cronbachs_alpha, roc_auc_exact,
@@ -109,13 +109,16 @@ _MODULES = [
 #   graph_hits, graph_ppr_seeded, sketch_countsketch_freq,
 #   text_hapax_ratio, text_burrows_delta, events_croston_forecast,
 #   text_textrank_keywords, page_trend_test, mann_kendall_trend,
-#   chow_test, regression_influence
-# plus sentinel RE-certifications of the highest-churn modified entries:
+#   chow_test, regression_influence, source_mix_temperature,
+#   source_lang_purity, tokenizer_fertility
+# plus sentinel RE-certifications of the entries whose code changed this
+# round AFTER their last certification:
 #   graph_supplier_similarity (r9 cap + pair-explode rewrite, VERDICT r8
 #   ask #2), sketch_hll_registers + sketch_hll_union (r9 zero-grid fold,
-#   ask #6), xyz_demand_class is already IN this r9 prefix (spine
-#   elimination certified live), dedup_sorted_neighborhood (r8 rewrite)
-# = 22 + 22 + 4 sentinels = 48 slots; recompute at r10 start (all
+#   ask #6). xyz_demand_class is already IN this r9 prefix (spine
+#   elimination certified live); dedup_sorted_neighborhood was driver-
+#   certified r8 on its current code and needs no sentinel.
+# = 22 + 25 + 3 sentinels = 50 slots EXACTLY; recompute at r10 start (all
 # registry names minus CORRECTNESS_r01..r09 greens). Entries after the
 # flagship block run in stable module order.
 _FLAGSHIP_PREFIX = [
