@@ -718,3 +718,56 @@ def test_tokenizer_fertility_matches_python(spark):
         r = rows[lang]
         assert (r["n_words"], r["n_bpe_tokens"]) == (words, bpe)
         assert r["fertility"] == pytest.approx(bpe / words, rel=1e-12)
+
+
+def test_abc_xyz_grid_consistent_with_axes(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        q_abc_pareto_class,
+        q_abc_xyz_grid,
+        q_xyz_demand_class,
+    )
+
+    grid = q_abc_xyz_grid(spark, SF_DIR).collect()
+    n_parts_grid = sum(r["n_parts"] for r in grid)
+    # every part classified exactly once, and the grid marginals must agree
+    # with the single-axis views
+    abc = {r["abc_class"]: r["n_parts"] for r in q_abc_pareto_class(spark, SF_DIR).collect()}
+    xyz = {}
+    for r in q_xyz_demand_class(spark, SF_DIR).collect():
+        xyz[r["xyz_class"]] = xyz.get(r["xyz_class"], 0) + r["n_parts"]
+    assert n_parts_grid == sum(xyz.values())
+    from collections import defaultdict
+
+    marg_abc, marg_xyz = defaultdict(int), defaultdict(int)
+    for r in grid:
+        marg_abc[r["abc_class"]] += r["n_parts"]
+        marg_xyz[r["xyz_class"]] += r["n_parts"]
+    assert dict(marg_abc) == abc
+    assert dict(marg_xyz) == xyz
+    assert sum(r["revenue_share"] for r in grid) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_otif_rate_matches_pandas(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        OTIF_DAYS,
+        q_otif_rate,
+    )
+
+    con = duckdb.connect()
+    df = con.execute(f"""
+        SELECT YEAR(o_orderdate)*12+MONTH(o_orderdate) AS ym,
+               MAX(CAST(l_shipdate AS DATE)) - CAST(ANY_VALUE(o_orderdate) AS DATE) AS lag_days,
+               MAX(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS ret
+        FROM '{SF_DIR}/lineitem.parquet' JOIN '{SF_DIR}/orders.parquet'
+          ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey, ym
+    """).df()
+    rows = {r["ym"]: r for r in q_otif_rate(spark, SF_DIR).collect()}
+    for ym, grp in df.groupby("ym"):
+        on_time = grp["lag_days"] <= OTIF_DAYS
+        in_full = grp["ret"] == 0
+        r = rows[ym]
+        assert r["n_orders"] == len(grp)
+        assert r["n_otif"] == int((on_time & in_full).sum())
+        assert r["n_late"] == int((~on_time).sum())
+        assert r["n_returned"] == int((~in_full).sum())

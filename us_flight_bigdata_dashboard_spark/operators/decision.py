@@ -2588,6 +2588,237 @@ ORDER BY avg_unit_price, l_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# ABC x XYZ planner grid (value axis x variability axis, per part)
+# ---------------------------------------------------------------------------
+
+
+def q_abc_xyz_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inventory planner's ABC x XYZ matrix: every part classified on
+    BOTH axes — revenue importance (A/B/C, the exact-decimal running-share
+    cut of ``abc_pareto_class``) and demand variability (X/Y/Z/NO_DEMAND,
+    the integer-exact CV classes of ``xyz_demand_class``) — and the grid
+    cell counts with revenue share per cell. AX cells are forecast-and-
+    automate; CZ cells are review-manually; this join of the two single-
+    axis views is the actual planning artifact both docstrings reference.
+
+    Exactness is inherited: the ABC cut is DECIMAL cross-multiplication
+    (association-free running sum over the part domain), the XYZ cut is
+    integer cross-multiplication, and the only floats are the final
+    revenue-share divisions. Scale shape: two part-domain aggregates and
+    one part-keyed join — the grid itself is <= 12 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # --- value axis (abc_pareto_class decomposition) ---
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4)
+        .cast("decimal(38,4)")
+        .alias("rev")
+    )
+    total = per_part.agg(F.sum("rev").alias("total_rev"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    abc = (
+        per_part.withColumn("cum", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("l_partkey").alias("pk_a"),
+            "rev",
+            "total_rev",
+            F.when(F.col("cum") * 100 <= F.col("total_rev") * ABC_A_PCT, "A")
+            .when(F.col("cum") * 100 <= F.col("total_rev") * ABC_B_PCT, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    # --- variability axis (xyz_demand_class decomposition) ---
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    qty = F.round(F.col("l_quantity"), 0).cast("bigint")
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("ym"),
+    ).agg(F.sum(qty).cast("long").alias("q"))
+    n_months = li.select(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("ym")
+    ).agg(F.countDistinct("ym").cast("long").alias("n"))
+    msum = monthly.groupBy("pk").agg(
+        F.sum(F.col("q").cast("decimal(18,0)")).alias("sq_p"),
+        F.sum(
+            F.col("q").cast("decimal(18,0)") * F.col("q").cast("decimal(18,0)")
+        ).alias("sq2_p"),
+    )
+    m = (
+        part.select(F.col("p_partkey").alias("pk"))
+        .join(msum, "pk", "left")
+        .crossJoin(F.broadcast(n_months))
+        .select(
+            "pk",
+            "n",
+            F.coalesce("sq_p", F.lit(0).cast("decimal(18,0)")).alias("sq"),
+            F.coalesce("sq2_p", F.lit(0).cast("decimal(18,0)")).alias("sq2"),
+        )
+    )
+    lhs = F.col("n").cast("decimal(6,0)") * F.col("sq2")
+    rhs = F.col("sq") * F.col("sq")
+    xyz = m.select(
+        "pk",
+        F.when(F.col("sq") == 0, F.lit("NO_DEMAND"))
+        .when(lhs * 4 < rhs * 5, F.lit("X"))
+        .when(lhs < rhs * 2, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+    )
+    grid = abc.join(xyz, abc["pk_a"] == xyz["pk"]).groupBy(
+        "abc_class", "xyz_class"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev").cast("double").alias("cell_revenue"),
+        (
+            F.sum("rev").cast("double") / F.first("total_rev").cast("double")
+        ).alias("revenue_share"),
+    )
+    return grid.orderBy("abc_class", "xyz_class")
+
+
+_ORACLE_ABC_XYZ_GRID = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST({sql_dsum("l_extendedprice * (1 - l_discount)", scale=4)} AS DECIMAL(38,4)) AS rev
+  FROM lineitem GROUP BY l_partkey
+), abc AS (
+  SELECT l_partkey AS pk_a, rev,
+         (SELECT SUM(rev) FROM per_part) AS total_rev,
+         CASE WHEN SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+                 <= (SELECT SUM(rev) FROM per_part) * {ABC_A_PCT} THEN 'A'
+              WHEN SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+                 <= (SELECT SUM(rev) FROM per_part) * {ABC_B_PCT} THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM per_part
+), monthly AS (
+  SELECT l_partkey AS pk,
+         YEAR(l_shipdate) * 12 + MONTH(l_shipdate) AS ym,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), nm AS (
+  SELECT CAST(COUNT(DISTINCT YEAR(l_shipdate) * 12 + MONTH(l_shipdate)) AS BIGINT) AS n
+  FROM lineitem
+), msum AS (
+  SELECT pk,
+         SUM(CAST(q AS DECIMAL(18,0))) AS sq_p,
+         SUM(CAST(q AS DECIMAL(18,0)) * CAST(q AS DECIMAL(18,0))) AS sq2_p
+  FROM monthly GROUP BY 1
+), xyz AS (
+  SELECT p_partkey AS pk,
+         CASE WHEN COALESCE(sq_p, 0) = 0 THEN 'NO_DEMAND'
+              WHEN CAST(n AS DECIMAL(6,0)) * COALESCE(sq2_p, 0) * 4
+                   < COALESCE(sq_p, 0) * COALESCE(sq_p, 0) * 5 THEN 'X'
+              WHEN CAST(n AS DECIMAL(6,0)) * COALESCE(sq2_p, 0)
+                   < COALESCE(sq_p, 0) * COALESCE(sq_p, 0) * 2 THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM part LEFT JOIN msum ON p_partkey = msum.pk CROSS JOIN nm
+)
+SELECT abc_class, xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) AS cell_revenue,
+       CAST(SUM(rev) AS DOUBLE) / CAST(ANY_VALUE(total_rev) AS DOUBLE) AS revenue_share
+FROM abc JOIN xyz ON abc.pk_a = xyz.pk
+GROUP BY 1, 2
+ORDER BY abc_class, xyz_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# OTIF (on-time in-full) order fulfillment rate
+# ---------------------------------------------------------------------------
+
+OTIF_DAYS = 30  # on-time = every line shipped within this many days of order
+
+
+def q_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTIF rate per order month: an order counts as fulfilled on-time
+    in-full when its LAST line ships within {d} days of the order date
+    (on-time) and NO line was returned (in-full: l_returnflag <> 'R') —
+    the standard supply-chain service-level KPI, reported as monthly
+    rates with the two failure modes split out so planners see whether
+    lateness or returns drives the miss. All counts are exact integers
+    from one order-level agg; the rates are single divisions.
+
+    Scale shape: one lineitem->order join (fact-fact, but the lineitem
+    side pre-aggregates to per-order max-ship/any-return first, so the
+    join is order-domain vs order-domain on the key), one monthly agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "any_return"
+        ),
+    )
+    joined = per_order.join(
+        orders, per_order["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        (
+            F.datediff(F.col("last_ship"), F.to_date("o_orderdate"))
+            <= F.lit(OTIF_DAYS)
+        ).alias("on_time"),
+        (F.col("any_return") == 0).alias("in_full"),
+    )
+    agg = joined.groupBy("ym").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("on_time") & F.col("in_full"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_otif"),
+        F.sum(F.when(~F.col("on_time"), 1).otherwise(0)).cast("long").alias("n_late"),
+        F.sum(F.when(~F.col("in_full"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_returned"),
+    )
+    nd = F.col("n_orders").cast("double")
+    return agg.select(
+        "ym",
+        "n_orders",
+        "n_otif",
+        "n_late",
+        "n_returned",
+        (F.col("n_otif").cast("double") / nd).alias("otif_rate"),
+        (F.col("n_late").cast("double") / nd).alias("late_rate"),
+        (F.col("n_returned").cast("double") / nd).alias("return_rate"),
+    ).orderBy("ym")
+
+
+_ORACLE_OTIF = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         MAX(CAST(l_shipdate AS DATE)) AS last_ship,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS any_return
+  FROM lineitem GROUP BY 1
+), joined AS (
+  SELECT YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS ym,
+         (last_ship - CAST(o_orderdate AS DATE)) <= {OTIF_DAYS} AS on_time,
+         any_return = 0 AS in_full
+  FROM per_order JOIN orders ON l_orderkey = o_orderkey
+), agg AS (
+  SELECT ym,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN on_time AND in_full THEN 1 ELSE 0 END) AS BIGINT) AS n_otif,
+         CAST(SUM(CASE WHEN NOT on_time THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         CAST(SUM(CASE WHEN NOT in_full THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+  FROM joined GROUP BY 1
+)
+SELECT ym, n_orders, n_otif, n_late, n_returned,
+       CAST(n_otif AS DOUBLE) / CAST(n_orders AS DOUBLE) AS otif_rate,
+       CAST(n_late AS DOUBLE) / CAST(n_orders AS DOUBLE) AS late_rate,
+       CAST(n_returned AS DOUBLE) / CAST(n_orders AS DOUBLE) AS return_rate
+FROM agg
+ORDER BY ym
+"""
+
+
 QUERIES = {
     "pareto_skyline_suppliers": q_pareto_skyline_suppliers,
     "customer_rfm_segments": q_customer_rfm_segments,
@@ -2608,6 +2839,8 @@ QUERIES = {
     "revenue_mix_shift": q_revenue_mix_shift,
     "fulfillment_percentiles": q_fulfillment_percentiles,
     "abc_pareto_class": q_abc_pareto_class,
+    "abc_xyz_grid": q_abc_xyz_grid,
+    "otif_rate": q_otif_rate,
     "min_cost_supplier": q_min_cost_supplier,
     "order_priority_counts": q_order_priority_counts,
     "forecast_revenue_change": q_forecast_revenue_change,
@@ -2646,6 +2879,8 @@ ORACLE = {
     "revenue_mix_shift": _ORACLE_REVENUE_MIX_SHIFT,
     "fulfillment_percentiles": _ORACLE_FULFILLMENT_PERCENTILES,
     "abc_pareto_class": _ORACLE_ABC_PARETO_CLASS,
+    "abc_xyz_grid": _ORACLE_ABC_XYZ_GRID,
+    "otif_rate": _ORACLE_OTIF,
     "min_cost_supplier": _ORACLE_MIN_COST_SUPPLIER,
     "order_priority_counts": _ORACLE_ORDER_PRIORITY_COUNTS,
     "forecast_revenue_change": _ORACLE_FORECAST_REVENUE_CHANGE,
