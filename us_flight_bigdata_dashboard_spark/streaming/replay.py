@@ -822,6 +822,76 @@ JOIN isl i ON i.user_id = p.user_id AND i.max_rn = p.n_events
 """
 
 
+def q_streaming_cms_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Count-Min sketch maintained BY the streaming engine: the d·w
+    cell grid is a streaming aggregate (explode each event's user_id to
+    its d (row, bucket) cells → groupBy count in complete mode), built up
+    incrementally across the multi-micro-batch replay — and gated against
+    the batch-built sketch CELL BY CELL. This is the mergeable-sketch
+    contract the batch entry (``sketches.q_sketch_cms_freq``) claims:
+    counts are integers and the hash cells are order-free, so the sketch a
+    stream accumulates over any micro-batch sequencing is EXACTLY the
+    sketch a batch job builds over the same rows — the property that lets
+    one serving layer read either. No watermark needed: the sketch is a
+    total aggregate (complete mode), state = the ≤ d·w cell grid, O(1) in
+    data size — the cheapest stateful streaming query there is.
+
+    Scale shape: per micro-batch, a map-side-combinable hash agg into
+    ≤1024 cells; the update that crosses the state store per batch is
+    sketch-sized regardless of throughput."""
+    from us_flight_bigdata_dashboard_spark.operators.sketches import (
+        CMS_COEF,
+        CMS_P,
+        CMS_W,
+    )
+
+    src = _stage_events(spark, sf_dir)
+
+    def build(stream: DataFrame) -> DataFrame:
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (
+                        ((F.col("user_id") * F.lit(a) + F.lit(b)) % F.lit(CMS_P))
+                        % F.lit(CMS_W)
+                    ).alias("bucket"),
+                )
+                for j, (a, b) in enumerate(CMS_COEF)
+            ]
+        )
+        return (
+            stream.filter(F.col("user_id").isNotNull())
+            .select(F.explode(cells).alias("c"))
+            .select("c.j", "c.bucket")
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    result = _replay(spark, src, build, mode="complete")
+    return result.orderBy("j", "bucket")
+
+
+def _sql_streaming_cms() -> str:
+    from us_flight_bigdata_dashboard_spark.operators.sketches import (
+        CMS_COEF,
+        CMS_P,
+        CMS_W,
+    )
+
+    legs = " UNION ALL ".join(
+        f"SELECT {j} AS j, ((user_id * {a} + {b}) % {CMS_P}) % {CMS_W} AS bucket"
+        " FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL"
+        for j, (a, b) in enumerate(CMS_COEF)
+    )
+    return f"""
+WITH cells AS ({legs})
+SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cells GROUP BY 1, 2
+ORDER BY j, bucket
+"""
+
+
 QUERIES = {
     "streaming_streaks_replay": q_streaming_streaks_replay,
     "streaming_streaks_v2_replay": q_streaming_streaks_v2_replay,
@@ -837,6 +907,7 @@ QUERIES = {
     "streaming_ewma_v2_replay": q_streaming_ewma_v2_replay,
     "streaming_zscore_replay": q_streaming_zscore_replay,
     "streaming_funnel_replay": q_streaming_funnel_replay,
+    "streaming_cms_sketch_replay": q_streaming_cms_sketch_replay,
 }
 
 ORACLE = {
@@ -854,4 +925,5 @@ ORACLE = {
     "streaming_ewma_v2_replay": _sql_streaming_ewma(),
     "streaming_zscore_replay": _sql_streaming_zscore(),
     "streaming_funnel_replay": _ORACLE_STREAMING_FUNNEL,
+    "streaming_cms_sketch_replay": _sql_streaming_cms(),
 }
