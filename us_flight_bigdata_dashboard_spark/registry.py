@@ -119,9 +119,10 @@ _MODULES = [
 #   elimination certified live); dedup_sorted_neighborhood was driver-
 #   certified r8 on its current code and needs no sentinel.
 # = 22 + 25 + 3 sentinels = 50 slots EXACTLY; recompute at r10 start (all
-# registry names minus CORRECTNESS_r01..r09 greens). The two LATE round-9
-# additions (abc_xyz_grid, otif_rate) overflow the 50-slot cap and flow
-# to the r11 prefix along with any round-10 additions. Entries after the
+# registry names minus CORRECTNESS_r01..r09 greens). The three LATE
+# round-9 additions (abc_xyz_grid, otif_rate, streaming_cms_sketch_replay)
+# overflow the 50-slot cap and flow to the r11 prefix along with any
+# round-10 additions. Entries after the
 # flagship block run in stable module order.
 _FLAGSHIP_PREFIX = [
     # --- decision / ops analytics (r7 leftovers, 14) ---
