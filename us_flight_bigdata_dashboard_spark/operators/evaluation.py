@@ -347,9 +347,14 @@ def q_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     "judges": each month of 1995-1996 ranks the 25 nations by revenue
     (competition ranking, exact-cents compare, nationkey tie-break —
     zero-revenue months rank by key, documented determinism rather than
-    midranks). W = 12·S / (m²(n³−n)) where S = Σ_i (R_i − m(n+1)/2)² —
-    every quantity up to S is an exact INTEGER on both engines; W is one
-    division. Near 1 = nations keep their revenue order month over month.
+    midranks). W = 12·S / (m²(n³−n)) where S = Σ_i R_i² − n·(m(n+1)/2)²
+    — S is computed from exact MOMENTS with the COUNTED n_items (the
+    mean rank sum m(n+1)/2 = 12·(n+1) is an exact integer because m=24
+    is even), so a schema/data change that alters the item count changes
+    S correctly instead of silently skewing it against a baked-in n=25
+    (ADVICE r9). Every quantity up to S is an exact INTEGER on both
+    engines; W is one division. Near 1 = nations keep their revenue
+    order month over month.
 
     Scale shape: scan → |nation|×|month| hash agg; the nation×month
     zero-fill spine and all ranking run on the 600-cell frame (25-row
@@ -381,14 +386,15 @@ def q_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = dense.withColumn("rk", F.row_number().over(w))
     sums = ranked.groupBy("nk").agg(F.sum("rk").cast("long").alias("r_i"))
     m = _KW_YM_HI - _KW_YM_LO + 1
-    agg = sums.agg(
+    assert m % 2 == 0, "mean rank sum m(n+1)/2 must stay an exact integer"
+    moments = sums.agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum(
-            (F.col("r_i") - F.lit(m * 26 // 2))
-            * (F.col("r_i") - F.lit(m * 26 // 2))
-        )
-        .cast("long")
-        .alias("s"),
+        F.sum(F.col("r_i") * F.col("r_i")).cast("long").alias("sum_r2"),
+    )
+    mu = F.lit(m // 2) * (F.col("n_items") + F.lit(1))
+    agg = moments.select(
+        "n_items",
+        (F.col("sum_r2") - F.col("n_items") * mu * mu).cast("long").alias("s"),
     )
     n = F.col("n_items").cast("double")
     wstat = (F.lit(12.0) * F.col("s").cast("double")) / (
@@ -422,10 +428,15 @@ WITH rev AS (
   FROM dense
 ), sums AS (
   SELECT nk, CAST(SUM(rk) AS BIGINT) AS r_i FROM ranked GROUP BY 1
-), agg AS (
+), moments AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
-         CAST(SUM((r_i - {24 * 26 // 2}) * (r_i - {24 * 26 // 2})) AS BIGINT) AS s
+         CAST(SUM(r_i * r_i) AS BIGINT) AS sum_r2
   FROM sums
+), agg AS (
+  SELECT n_items,
+         CAST(sum_r2 - n_items * (12 * (n_items + 1)) * (12 * (n_items + 1))
+              AS BIGINT) AS s
+  FROM moments
 )
 SELECT CAST(24 AS BIGINT) AS m_judges, n_items, s,
        (12.0 * CAST(s AS DOUBLE))
@@ -447,7 +458,10 @@ def q_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuity-corrected (|b−c|−1)²/(b+c). The standard paired before/
     after test where a two-proportion z-test would be wrong (same
     customers in both periods). b and c are exact integers; both
-    statistics are one IEEE sequence.
+    statistics are one IEEE sequence. Degenerate-input contract: with
+    ZERO discordant pairs (b+c=0) both statistics are emitted as 0.0
+    (no evidence of change) rather than NULL, mirrored in the oracle
+    (ADVICE r9).
 
     Scale shape: one per-customer max-flag hash agg (map-side combinable
     booleans), then a scalar count — nothing bigger than the customer
@@ -469,15 +483,20 @@ def q_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bd = F.col("b").cast("double")
     cd = F.col("c").cast("double")
+    no_discord = (F.col("b") + F.col("c")) == 0
     return agg.select(
         "b",
         "c",
-        ((bd - cd) * (bd - cd) / (bd + cd)).alias("chi2"),
-        (
+        F.when(no_discord, F.lit(0.0))
+        .otherwise((bd - cd) * (bd - cd) / (bd + cd))
+        .alias("chi2"),
+        F.when(no_discord, F.lit(0.0))
+        .otherwise(
             (F.abs(bd - cd) - F.lit(1.0))
             * (F.abs(bd - cd) - F.lit(1.0))
             / (bd + cd)
-        ).alias("chi2_cc"),
+        )
+        .alias("chi2_cc"),
     )
 
 
@@ -495,11 +514,13 @@ WITH per_cust AS (
   FROM per_cust
 )
 SELECT b, c,
-       (CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
-         / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) AS chi2,
-       (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
-         * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
-         / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) AS chi2_cc
+       CASE WHEN b + c = 0 THEN 0.0 ELSE
+         (CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+           / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2,
+       CASE WHEN b + c = 0 THEN 0.0 ELSE
+         (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+           * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+           / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
 FROM agg
 """
 
@@ -609,8 +630,10 @@ def q_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1024 value-range buckets -> per-bucket totals -> broadcast prefix
     offsets -> within-bucket running sums) instead of a single-task
     ORDER BY window; the oracle's plain window proves the decomposition
-    value-identical. Integer bound: the numerator is < 2*n1*n0 — switch
-    the two sums to DECIMAL(38,0) past ~2e9 rows."""
+    value-identical. Integer bound: the numerator is < 2*n1*n0, which
+    exceeds int64 past ~2e9 orders, so it accumulates as DECIMAL(38,0)
+    on BOTH engines (Spark decimal sum / DuckDB HUGEINT terms cast to
+    DECIMAL(38,0)) — no silent wraparound at 100 TB (ADVICE r9)."""
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("v"),
         F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
@@ -662,9 +685,10 @@ def q_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cp").cast("long").alias("n_pos"),
         F.sum("cn").cast("long").alias("n_neg"),
         F.sum(
-            F.col("cp") * (F.lit(2) * F.col("cneg_below") + F.col("cn"))
+            F.col("cp").cast("decimal(18,0)")
+            * (F.lit(2) * F.col("cneg_below") + F.col("cn")).cast("decimal(20,0)")
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("num2"),
     )
     return agg.select(
@@ -696,7 +720,8 @@ WITH per_v AS (
 ), agg AS (
   SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
          CAST(SUM(cn) AS BIGINT) AS n_neg,
-         CAST(SUM(cp * (2 * cneg_below + cn)) AS BIGINT) AS num2
+         CAST(SUM(CAST(cp AS HUGEINT) * (2 * CAST(cneg_below AS HUGEINT) + cn))
+              AS DECIMAL(38,0)) AS num2
   FROM ranked
 )
 SELECT n_pos, n_neg,

@@ -2744,7 +2744,11 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = toks.select(
         F.explode(
             F.expr(
-                "transform(slice(ts, 1, size(ts) - 1),"
+                # greatest(..., 0): a document whose text tokenizes to an
+                # EMPTY array would make the slice length -1 — a runtime
+                # error in Spark while DuckDB just yields no rows for the
+                # doc. Clamp so degenerate docs skip identically (ADVICE r9).
+                "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
                 " (x, i) -> struct(x AS w1, element_at(ts, i + 2) AS w2))"
             )
         ).alias("p")
