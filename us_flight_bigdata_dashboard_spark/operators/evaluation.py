@@ -1514,6 +1514,448 @@ LIMIT {REG_INFLUENCE_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-10 additions: rank/effect-size/distribution-distance/inequality
+# ---------------------------------------------------------------------------
+
+
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-customer revenue: cents
+    before {s} vs on/after it — the magnitude-aware companion of
+    ``mcnemar_paired`` (same pairing, but ranks |difference| instead of
+    discretizing to a binary). Midranks are carried DOUBLED so ties stay
+    integer: r2 = 2·(#pairs with smaller |d|) + t + 1 where t is the tie
+    count at |d|; W+ doubled = Σ_(d>0) count·r2. The normal approximation
+    uses the EXACT tie-corrected variance: Var[2W+] = (2n(n+1)(2n+1) −
+    Σ(t³−t))/12 — both the numerator moments and the tie-cube sum are
+    DECIMAL(38,0) integer aggregates (no int64 wraparound at 2e9+ pairs,
+    the roc_auc_exact discipline), and z is one IEEE sequence on them.
+
+    Scale shape: one per-customer hash agg (data-sized), one per-|d| hash
+    agg, then the ``global_rank_bucketed`` decomposition for the
+    cumulative smaller-count (1024 range buckets → broadcast prefix
+    offsets → within-bucket running sums) instead of a single-task global
+    window; the oracle's plain window proves the decomposition
+    value-identical.""".format(s=_MCN_SPLIT)
+    orders = load_table(spark, sf_dir, "orders")
+    pre = F.col("o_orderdate") < F.lit(_MCN_SPLIT).cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(pre, cents).otherwise(F.lit(0))).cast("long").alias("c_pre"),
+        F.sum(F.when(~pre, cents).otherwise(F.lit(0))).cast("long").alias("c_post"),
+    )
+    diffs = per_cust.select(
+        (F.col("c_post") - F.col("c_pre")).alias("d")
+    ).filter(F.col("d") != 0)
+    byv = diffs.groupBy(F.abs(F.col("d")).alias("absd")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    stats = byv.agg(F.min("absd").alias("_mn"), F.max("absd").alias("_mx"))
+    based = byv.crossJoin(F.broadcast(stats))
+    b = F.coalesce(
+        F.least(
+            F.lit(1023),
+            F.expr("((absd - _mn) * 1024) div (_mx - _mn + 1)"),
+        ).cast("int"),
+        F.lit(0),
+    )
+    bucketed = based.withColumn("_b", b)
+    offsets = (
+        bucketed.groupBy("_b")
+        .agg(F.sum("cnt").cast("long").alias("_bn"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bn").over(
+                    Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_b", "_off")
+    )
+    w_in = Window.partitionBy("_b").orderBy("absd").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = bucketed.join(F.broadcast(offsets), "_b").withColumn(
+        "cnt_less",
+        F.col("_off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0)),
+    )
+    r2 = F.lit(2) * F.col("cnt_less") + F.col("cnt") + F.lit(1)
+    agg = ranked.agg(
+        F.sum("cnt").cast("long").alias("n_pairs"),
+        F.sum((F.col("pos") * r2).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("w2p"),
+        F.sum(
+            (
+                F.col("cnt").cast("decimal(12,0)")
+                * F.col("cnt").cast("decimal(12,0)")
+                * F.col("cnt").cast("decimal(12,0)")
+                - F.col("cnt")
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    mean2 = nd * (nd + 1.0) / F.lit(2.0)
+    var12 = (
+        F.lit(2.0) * nd * (nd + 1.0) * (F.lit(2.0) * nd + 1.0)
+        - F.col("tie3").cast("double")
+    )
+    return agg.select(
+        "n_pairs",
+        F.col("w2p").cast("double").alias("w2_plus"),
+        ((F.col("w2p").cast("double") - mean2) / F.sqrt(var12 / F.lit(12.0))).alias(
+            "z_stat"
+        ),
+    )
+
+
+_ORACLE_WILCOXON = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{_MCN_SPLIT}'
+                       THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS c_pre,
+         CAST(SUM(CASE WHEN NOT (o_orderdate < TIMESTAMP '{_MCN_SPLIT}')
+                       THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS c_post
+  FROM orders GROUP BY 1
+), diffs AS (
+  SELECT c_post - c_pre AS d FROM per_cust WHERE c_post - c_pre <> 0
+), byv AS (
+  SELECT abs(d) AS absd,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM diffs GROUP BY 1
+), ranked AS (
+  SELECT absd, cnt, pos,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY absd
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cnt_less
+  FROM byv
+), agg AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(pos AS HUGEINT) * (2 * cnt_less + cnt + 1))
+              AS DECIMAL(38,0)) AS w2p,
+         CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+              AS DECIMAL(38,0)) AS tie3
+  FROM ranked
+)
+SELECT n_pairs,
+       CAST(w2p AS DOUBLE) AS w2_plus,
+       (CAST(w2p AS DOUBLE)
+        - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 2.0)
+       / sqrt((2.0 * CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+               * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0)
+               - CAST(tie3 AS DOUBLE)) / 12.0) AS z_stat
+FROM agg
+"""
+
+
+def q_energy_distance_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-distance two-sample statistic on order value (urgent vs the
+    rest): D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — the INTEGRAL-metric
+    companion of ``ks_two_sample`` (KS reads one sup-norm point; energy
+    distance integrates the whole ECDF gap, so it sees tail shifts KS
+    underweights). Each pairwise-distance expectation is computed WITHOUT
+    an O(n²) pair join, via the sorted-prefix identity Σ_j |v − y_j| =
+    v·(2·a(v) − n) − 2·S(v) + T over the per-value grouped table, where
+    a/S are cumulative count/sum of values ≤ v. All three pair sums are
+    exact integer (cent) aggregates carried as DECIMAL(38,0); the three
+    divisions and final combination are one IEEE sequence.
+
+    Scale shape: one per-value hash agg, then the bucketed global-rank
+    decomposition (1024 value-range buckets, broadcast prefix offsets of
+    FOUR running quantities: both counts and both cent sums) — no
+    single-task window, no pair explosion. The oracle's plain windows
+    prove the decomposition value-identical."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("g1"),
+    )
+    byv = orders.groupBy("v").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("g1")).cast("long").alias("c2"),
+    )
+    stats = byv.agg(F.min("v").alias("_mn"), F.max("v").alias("_mx"))
+    based = byv.crossJoin(F.broadcast(stats))
+    b = F.coalesce(
+        F.least(
+            F.lit(1023), F.expr("((v - _mn) * 1024) div (_mx - _mn + 1)")
+        ).cast("int"),
+        F.lit(0),
+    )
+    bucketed = based.withColumn("_b", b)
+    offsets = (
+        bucketed.groupBy("_b")
+        .agg(
+            F.sum("c1").cast("long").alias("_b1"),
+            F.sum("c2").cast("long").alias("_b2"),
+            F.sum(F.col("v") * F.col("c1")).cast("decimal(38,0)").alias("_bs1"),
+            F.sum(F.col("v") * F.col("c2")).cast("decimal(38,0)").alias("_bs2"),
+        )
+        .select(
+            "_b",
+            *[
+                F.coalesce(
+                    F.sum(c).over(
+                        Window.orderBy("_b").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0).cast("decimal(38,0)") if c.startswith("_bs") else F.lit(0),
+                ).alias("_off" + c[2:])
+                for c in ["_b1", "_b2", "_bs1", "_bs2"]
+            ],
+        )
+    )
+    w_in = Window.partitionBy("_b").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bucketed.join(F.broadcast(offsets), "_b").select(
+        "v",
+        "c1",
+        "c2",
+        (F.col("_off1") + F.sum("c1").over(w_in)).cast("long").alias("a1"),
+        (F.col("_off2") + F.sum("c2").over(w_in)).cast("long").alias("a2"),
+        (F.col("_offs1").cast("decimal(38,0)")
+         + F.sum((F.col("v") * F.col("c1")).cast("decimal(38,0)")).over(w_in))
+        .alias("s1"),
+        (F.col("_offs2").cast("decimal(38,0)")
+         + F.sum((F.col("v") * F.col("c2")).cast("decimal(38,0)")).over(w_in))
+        .alias("s2"),
+    )
+    tot = byv.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("v") * F.col("c1")).cast("decimal(38,0)").alias("t1"),
+        F.sum(F.col("v") * F.col("c2")).cast("decimal(38,0)").alias("t2"),
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+    joined = cum.crossJoin(F.broadcast(tot))
+    sums = joined.agg(
+        F.sum(
+            (
+                F.col("c1").cast("decimal(38,0)")
+                * (
+                    vd * (F.lit(2) * F.col("a2") - F.col("n2")).cast("decimal(38,0)")
+                    - F.lit(2) * F.col("s2")
+                    + F.col("t2")
+                )
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("sxy"),
+        F.sum(
+            (
+                F.col("c1").cast("decimal(38,0)")
+                * (
+                    vd * (F.lit(2) * F.col("a1") - F.col("n1")).cast("decimal(38,0)")
+                    - F.lit(2) * F.col("s1")
+                    + F.col("t1")
+                )
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("sxx"),
+        F.sum(
+            (
+                F.col("c2").cast("decimal(38,0)")
+                * (
+                    vd * (F.lit(2) * F.col("a2") - F.col("n2")).cast("decimal(38,0)")
+                    - F.lit(2) * F.col("s2")
+                    + F.col("t2")
+                )
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("syy"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    e_xy = F.col("sxy").cast("double") / (n1d * n2d)
+    e_xx = F.col("sxx").cast("double") / (n1d * n1d)
+    e_yy = F.col("syy").cast("double") / (n2d * n2d)
+    return sums.select(
+        "n1",
+        "n2",
+        (e_xy / F.lit(100.0)).alias("mean_absdiff_xy"),
+        ((F.lit(2.0) * e_xy - e_xx - e_yy) / F.lit(100.0)).alias("energy_dist_sq"),
+    )
+
+
+_ORACLE_ENERGY = """
+WITH vals AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+  FROM orders
+), byv AS (
+  SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+         CAST(SUM(1 - g1) AS BIGINT) AS c2
+  FROM vals GROUP BY 1
+), cum AS (
+  SELECT v, c1, c2,
+         CAST(SUM(c1) OVER w AS BIGINT) AS a1,
+         CAST(SUM(c2) OVER w AS BIGINT) AS a2,
+         CAST(SUM(CAST(v AS HUGEINT) * c1) OVER w AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(v AS HUGEINT) * c2) OVER w AS DECIMAL(38,0)) AS s2
+  FROM byv
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(CAST(v AS HUGEINT) * c1) AS DECIMAL(38,0)) AS t1,
+         CAST(SUM(CAST(v AS HUGEINT) * c2) AS DECIMAL(38,0)) AS t2
+  FROM byv
+), sums AS (
+  SELECT
+    CAST(SUM(CAST(c1 AS HUGEINT) * (CAST(v AS HUGEINT) * (2 * a2 - n2)
+         - 2 * CAST(s2 AS HUGEINT) + CAST(t2 AS HUGEINT))) AS DECIMAL(38,0)) AS sxy,
+    CAST(SUM(CAST(c1 AS HUGEINT) * (CAST(v AS HUGEINT) * (2 * a1 - n1)
+         - 2 * CAST(s1 AS HUGEINT) + CAST(t1 AS HUGEINT))) AS DECIMAL(38,0)) AS sxx,
+    CAST(SUM(CAST(c2 AS HUGEINT) * (CAST(v AS HUGEINT) * (2 * a2 - n2)
+         - 2 * CAST(s2 AS HUGEINT) + CAST(t2 AS HUGEINT))) AS DECIMAL(38,0)) AS syy,
+    MAX(n1) AS n1, MAX(n2) AS n2
+  FROM cum CROSS JOIN tot
+)
+SELECT n1, n2,
+       (CAST(sxy AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) / 100.0
+         AS mean_absdiff_xy,
+       ((2.0 * CAST(sxy AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+        - (CAST(sxx AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+        - (CAST(syy AS DOUBLE) / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)))) / 100.0
+         AS energy_dist_sq
+FROM sums
+"""
+
+
+def q_cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g effect size for urgent vs non-urgent order
+    value — the magnitude companion of ``welch_ttest``'s significance
+    (statistics.py): a p-value says the difference exists; d says whether
+    anyone should care. Pooled SD from EXACT integer cent moments (n, Σx,
+    Σx² per group, x in $10M units per the module's unit discipline
+    applied BEFORE squaring); d and the small-sample correction J = 1 −
+    3/(4·df − 1) are one IEEE sequence.
+
+    Scale shape: one map-side-combinable hash agg of six sums over the
+    scan — nothing else."""
+    orders = load_table(spark, sf_dir, "orders")
+    g1 = F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1)).otherwise(F.lit(0))
+    x = F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("double") / F.lit(
+        _UNIT
+    )
+    agg = orders.agg(
+        F.sum(g1).cast("long").alias("n1"),
+        F.sum(F.lit(1) - g1).cast("long").alias("n2"),
+        fsum(F.when(g1 == 1, x).otherwise(F.lit(0.0)), scale=12).alias("sx1"),
+        fsum(F.when(g1 == 0, x).otherwise(F.lit(0.0)), scale=12).alias("sx2"),
+        fsum(F.when(g1 == 1, x * x).otherwise(F.lit(0.0)), scale=14).alias("sq1"),
+        fsum(F.when(g1 == 0, x * x).otherwise(F.lit(0.0)), scale=14).alias("sq2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("sx1") / n1d
+    m2 = F.col("sx2") / n2d
+    ss1 = F.col("sq1") - F.col("sx1") * F.col("sx1") / n1d
+    ss2 = F.col("sq2") - F.col("sx2") * F.col("sx2") / n2d
+    df = n1d + n2d - F.lit(2.0)
+    sp = F.sqrt((ss1 + ss2) / df)
+    d = (m1 - m2) / sp
+    j = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * df - F.lit(1.0))
+    return agg.select(
+        "n1",
+        "n2",
+        ((m1 - m2) * F.lit(_UNIT / 100.0)).alias("mean_diff_dollars"),
+        d.alias("cohens_d"),
+        (d * j).alias("hedges_g"),
+    )
+
+
+_ORACLE_COHENS_D = f"""
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+    {sql_fsum("CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0 ELSE 0.0 END", scale=12)} AS sx1,
+    {sql_fsum("CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0 ELSE CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0 END", scale=12)} AS sx2,
+    {sql_fsum("CASE WHEN o_orderpriority = '1-URGENT' THEN (CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0) * (CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0) ELSE 0.0 END", scale=14)} AS sq1,
+    {sql_fsum("CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0 ELSE (CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0) * (CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0) END", scale=14)} AS sq2
+  FROM orders
+)
+SELECT n1, n2,
+       ((sx1 / CAST(n1 AS DOUBLE)) - (sx2 / CAST(n2 AS DOUBLE))) * 10000000.0
+         AS mean_diff_dollars,
+       ((sx1 / CAST(n1 AS DOUBLE)) - (sx2 / CAST(n2 AS DOUBLE)))
+         / sqrt(((sq1 - sx1 * sx1 / CAST(n1 AS DOUBLE))
+                 + (sq2 - sx2 * sx2 / CAST(n2 AS DOUBLE)))
+                / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) AS cohens_d,
+       (((sx1 / CAST(n1 AS DOUBLE)) - (sx2 / CAST(n2 AS DOUBLE)))
+         / sqrt(((sq1 - sx1 * sx1 / CAST(n1 AS DOUBLE))
+                 + (sq2 - sx2 * sx2 / CAST(n2 AS DOUBLE)))
+                / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)))
+       * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) - 1.0))
+         AS hedges_g
+FROM agg
+"""
+
+
+def q_atkinson_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index A(ε=2) of per-customer revenue: A(2) =
+    1 − (harmonic mean)/(arithmetic mean) — the welfare-weighted
+    inequality companion of ``gini_revenue`` (statistics.py). ε=2 is the
+    one Atkinson parameter whose equally-distributed-equivalent income is
+    fully RATIONAL (the harmonic mean), so the whole index stays inside
+    the no-transcendentals gate contract (ε=1 would need a geometric
+    mean, i.e. exp/ln). Revenue totals are exact cents; the reciprocal
+    sum Σ1/x is a floor-quantized deterministic sum (fsum) of values ≤ 1.
+
+    Scale shape: one per-customer hash agg, then one global 3-sum agg —
+    both map-side combinable; nothing domain-sized shuffles twice."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents).cast("long").alias("rev")
+    )
+    agg = per_cust.filter(F.col("rev") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev").cast("decimal(38,0)").alias("tot_cents"),
+        fsum(F.lit(1.0) / F.col("rev").cast("double"), scale=15).alias("sinv"),
+    )
+    nd = F.col("n_customers").cast("double")
+    mean_c = F.col("tot_cents").cast("double") / nd
+    harm_c = nd / F.col("sinv")
+    return agg.select(
+        "n_customers",
+        (mean_c / F.lit(100.0)).alias("mean_revenue_dollars"),
+        (harm_c / F.lit(100.0)).alias("harmonic_mean_dollars"),
+        (F.lit(1.0) - harm_c / mean_c).alias("atkinson_2"),
+    )
+
+
+_ORACLE_ATKINSON = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(rev) AS DECIMAL(38,0)) AS tot_cents,
+         {sql_fsum("1.0 / CAST(rev AS DOUBLE)", scale=15)} AS sinv
+  FROM per_cust WHERE rev > 0
+)
+SELECT n_customers,
+       (CAST(tot_cents AS DOUBLE) / CAST(n_customers AS DOUBLE)) / 100.0
+         AS mean_revenue_dollars,
+       (CAST(n_customers AS DOUBLE) / sinv) / 100.0 AS harmonic_mean_dollars,
+       1.0 - (CAST(n_customers AS DOUBLE) / sinv)
+             / (CAST(tot_cents AS DOUBLE) / CAST(n_customers AS DOUBLE))
+         AS atkinson_2
+FROM agg
+"""
+
+
 QUERIES = {
     "acf_lags": q_acf_lags,
     "ljung_box_q": q_ljung_box_q,
@@ -1530,6 +1972,10 @@ QUERIES = {
     "mann_kendall_trend": q_mann_kendall_trend,
     "chow_test": q_chow_test,
     "regression_influence": q_regression_influence,
+    "wilcoxon_signed_rank": q_wilcoxon_signed_rank,
+    "energy_distance_two_sample": q_energy_distance_two_sample,
+    "cohens_d_effect": q_cohens_d_effect,
+    "atkinson_inequality": q_atkinson_inequality,
 }
 
 ORACLE = {
@@ -1548,4 +1994,8 @@ ORACLE = {
     "mann_kendall_trend": _ORACLE_MANN_KENDALL,
     "chow_test": _sql_chow(),
     "regression_influence": _sql_reg_influence(),
+    "wilcoxon_signed_rank": _ORACLE_WILCOXON,
+    "energy_distance_two_sample": _ORACLE_ENERGY,
+    "cohens_d_effect": _ORACLE_COHENS_D,
+    "atkinson_inequality": _ORACLE_ATKINSON,
 }
