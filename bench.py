@@ -185,6 +185,12 @@ HEADLINE = [
     # the events_ewma machinery on a second series shape)
     "graph_hits",
     "events_croston_forecast",
+    # round-10: the two heaviest new path classes — HyperBall per-node
+    # register merge (|V|·m state, one edges⋈registers join per round) and
+    # the fixed-point resource-allocation pair explode (11M weighted pairs
+    # at sf0.1 through one hash agg)
+    "graph_hyperball",
+    "graph_resource_allocation",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

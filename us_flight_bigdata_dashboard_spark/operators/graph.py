@@ -22,9 +22,13 @@ on the final back-cast holds because ranks sum to 1 (sum_fp ≤ 10^15).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from us_flight_bigdata_dashboard_spark.functions.exact import fsum, sql_fsum
+from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 PR_DAMPING = 0.85
@@ -1938,6 +1942,265 @@ LIMIT {PPR_TOP}
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-10 additions: resource-allocation link prediction and HyperBall
+# ---------------------------------------------------------------------------
+
+RA_TOP = 20
+RA_FP = 10**12  # fixed-point scale for the 1/deg(center) weights
+
+
+def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction over the customer–supplier
+    bipartite graph: for every supplier pair, RA(a,b) = Σ over common
+    customers z of 1/deg(z) — the hub-discounting weighting
+    ``graph_link_prediction`` deliberately could not offer (Adamic–Adar
+    needs 1/log deg, a transcendental this matrix bans; RA keeps the
+    same "a shared customer who buys from everyone is weak evidence"
+    signal with a plain reciprocal). Weights are FIXED-POINT exact:
+    floor({fp} / deg(z)) summed as integers — deg ≤ {cap} so the floor
+    loses < 1e-12 relative and both engines floor identically; the only
+    float is the final /{fp} rescale.
+
+    Scale shape: identical candidate economics to
+    ``graph_supplier_similarity`` — pairs explode inline from each
+    customer's capped sorted supplier array (one hash agg, no self-join,
+    C(k,2) per customer with k ≤ {cap}), each pair born carrying its
+    customer's weight; one (supp_a, supp_b) hash agg finishes. The cap
+    is mirrored in the oracle, so the gate certifies the capped
+    semantics.""".format(fp=RA_FP, cap=SUPPS_PER_CUST_CAP)
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    capped = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("supps"))
+        .filter(F.size("supps") <= SUPPS_PER_CUST_CAP)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(supps, (x, i) -> "
+        "transform(slice(supps, i + 2, size(supps)), "
+        "y -> struct(x AS supp_a, y AS supp_b))))"
+    )
+    weighted = capped.select(
+        F.explode(pair_expr).alias("p"),
+        F.expr(f"CAST({RA_FP} AS BIGINT) div size(supps)").alias("w_fp"),
+    )
+    scored = (
+        weighted.select("p.supp_a", "p.supp_b", "w_fp")
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_custs"),
+            F.sum("w_fp").cast("long").alias("ra_fp"),
+        )
+    )
+    return scored.select(
+        "supp_a",
+        "supp_b",
+        "common_custs",
+        (F.col("ra_fp").cast("double") / F.lit(float(RA_FP))).alias("ra_score"),
+    ).orderBy(
+        F.desc("ra_fp"), F.asc("supp_a"), F.asc("supp_b")
+    ).limit(RA_TOP)
+
+
+_ORACLE_RESOURCE_ALLOCATION = f"""
+WITH cs_raw AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), sized AS (
+  SELECT cust, supp, COUNT(*) OVER (PARTITION BY cust) AS k
+  FROM cs_raw
+), cs AS (
+  SELECT cust, supp, CAST({RA_FP} AS BIGINT) // k AS w_fp
+  FROM sized WHERE k <= {SUPPS_PER_CUST_CAP}
+), pairs AS (
+  SELECT a.supp AS supp_a, b.supp AS supp_b,
+         CAST(COUNT(*) AS BIGINT) AS common_custs,
+         CAST(SUM(a.w_fp) AS BIGINT) AS ra_fp
+  FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY 1, 2
+)
+SELECT supp_a, supp_b, common_custs,
+       CAST(ra_fp AS DOUBLE) / {float(RA_FP)!r} AS ra_score
+FROM pairs
+ORDER BY ra_fp DESC, supp_a ASC, supp_b ASC
+LIMIT {RA_TOP}
+"""
+
+
+HB_M = 32  # HyperBall registers per node (p = 5)
+HB_BITS = 5
+HB_REST_BITS = 48 - HB_BITS  # md5 48-bit prefix minus the register selector
+HB_ALPHA = 0.697  # standard HLL alpha for m = 32
+HB_SCALE = HB_ALPHA * HB_M * HB_M * float(2**50)
+HB_LC_THRESHOLD = 2.5 * HB_M
+HB_ITERS = 3
+# Python-precomputed m*ln(m/V) linear-counting LUT — the Hilbert-LUT escape
+# from the no-transcendentals policy (sketches.py uses the identical trick)
+_HB_LC_LUT = [
+    (v, float(HB_M) * math.log(float(HB_M) / float(v))) for v in range(1, HB_M + 1)
+]
+
+
+def _sql_hb_lut() -> str:
+    rows = ", ".join(f"({v}, CAST({lc!r} AS DOUBLE))" for v, lc in _HB_LC_LUT)
+    return f"(VALUES {rows}) lut(v, lc_est)"
+
+
+def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi–Vigna): the neighborhood function N(t) = Σ_v
+    |ball(v, t)| of the customer–supplier graph, estimated with one
+    {m}-register HyperLogLog PER NODE, merged along edges — THE
+    large-graph distance-distribution algorithm (it replaced exact BFS
+    for "effective diameter of the web graph" because register merge is
+    associative: ball(v,t+1) = HLL-merge of v's and its neighbors'
+    t-balls). Exact t-hop reachability would materialize Θ(n²) pairs by
+    t=3 on this graph; the register table stays ≤ |V|·{m} rows forever.
+
+    Registers are RELATIONAL rows (node, reg, m_j) — the merge is a plain
+    (node, reg) MAX hash agg after pulling neighbor registers across the
+    edge list, so both engines run the identical integer program: md5
+    48-bit prefix hash, leading-zero rank via length(bin(rest)), harmonic
+    sum carried as the exact integer Σ2^(50−m_j) (sketches.py recipe),
+    small-range linear counting via a {m}-row Python-precomputed LUT.
+    N(t) is an fsum over per-node estimates; reach_fraction = N(t)/n² is
+    the distance-CDF readout whose first t ≥ 0.9 is the effective
+    diameter.
+
+    Scale shape: per iteration ONE edges⋈registers join + one map-side-
+    combinable (node, reg) MAX agg — state O(|V|·m), traffic O(|E|·m)
+    worst case; no per-node BFS frontier sets, no pair materialization.
+    The loop is {it} fixed unrolled iterations (bipartite: 3 hops spans
+    c→s→c→s), localCheckpointed per round like PageRank.""".format(
+        m=HB_M, it=HB_ITERS
+    )
+    edges = _edges_int(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    x = F.conv(
+        F.substring(F.md5(F.col("node").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    rest = F.shiftright(x, HB_BITS)
+    rho = F.when(rest == 0, F.lit(HB_REST_BITS + 1)).otherwise(
+        F.lit(HB_REST_BITS + 1) - F.length(F.bin(rest))
+    )
+    regs = nodes.select(
+        "node", (x % F.lit(HB_M)).alias("reg"), rho.alias("m_j")
+    ).localCheckpoint(eager=True)
+
+    lut = regs.sparkSession.createDataFrame(_HB_LC_LUT, "v LONG, lc_est DOUBLE")
+
+    def ball_sum(r: DataFrame, t: int) -> DataFrame:
+        est = r.groupBy("node").agg(
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m_j AS INT))"))
+                + (F.lit(HB_M) - F.count(F.lit(1))) * F.lit(2**50)
+            ).alias("int_sum"),
+            (F.lit(HB_M) - F.count(F.lit(1))).cast("long").alias("zero_regs"),
+        )
+        raw = F.lit(HB_SCALE) / F.col("int_sum").cast("double")
+        corr = F.when(
+            (raw <= F.lit(HB_LC_THRESHOLD)) & (F.col("zero_regs") > 0),
+            F.col("lc_est"),
+        ).otherwise(raw)
+        return (
+            est.join(F.broadcast(lut), F.col("zero_regs") == F.col("v"), "left")
+            .select(corr.alias("ball_est"))
+            .agg(
+                F.lit(t).cast("int").alias("t"),
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                fsum("ball_est", scale=4).alias("ball_sum_est"),
+            )
+        )
+
+    out = ball_sum(regs, 0)
+    cur = regs
+    for t in range(1, HB_ITERS + 1):
+        pulled = edges.join(cur, edges["dst"] == cur["node"]).select(
+            edges["src"].alias("node"), "reg", "m_j"
+        )
+        cur = (
+            cur.unionAll(pulled)
+            .groupBy("node", "reg")
+            .agg(F.max("m_j").alias("m_j"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(ball_sum(cur, t))
+    return out.select(
+        "t",
+        "n_nodes",
+        "ball_sum_est",
+        (
+            F.col("ball_sum_est")
+            / (F.col("n_nodes").cast("double") * F.col("n_nodes").cast("double"))
+        ).alias("reach_fraction"),
+    ).orderBy("t")
+
+
+def _sql_hyperball() -> str:
+    x = _sql_hex_to_int("md5(CAST(node AS VARCHAR))", 1, 12)
+    est_sql = """
+  SELECT {t} AS t, node,
+         SUM((CAST(1 AS BIGINT) << (50 - m_j)))
+           + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << 50) AS int_sum,
+         CAST({m} - COUNT(*) AS BIGINT) AS zero_regs
+  FROM {src} GROUP BY node
+"""
+    iters = []
+    prev = "b0"
+    for t in range(1, HB_ITERS + 1):
+        iters.append(
+            f"""b{t} AS (
+  SELECT node, reg, MAX(m_j) AS m_j FROM (
+    SELECT node, reg, m_j FROM {prev}
+    UNION ALL
+    SELECT e.src AS node, r.reg, r.m_j FROM edges e JOIN {prev} r ON e.dst = r.node
+  ) GROUP BY 1, 2
+)"""
+        )
+        prev = f"b{t}"
+    est_blocks = " UNION ALL ".join(
+        "(" + est_sql.format(t=t, m=HB_M, src=f"b{t}") + ")"
+        for t in range(0, HB_ITERS + 1)
+    )
+    return f"""
+WITH edges AS (
+  SELECT CAST(o_custkey AS BIGINT) * 2 AS src,
+         CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION
+  SELECT CAST(l_suppkey AS BIGINT) * 2 + 1, CAST(o_custkey AS BIGINT) * 2
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), b0 AS (
+  SELECT node, {x} % {HB_M} AS reg,
+         CASE WHEN {x} // {HB_M} = 0 THEN {HB_REST_BITS + 1}
+              ELSE {HB_REST_BITS + 1} - length(bin({x} // {HB_M}))
+         END AS m_j
+  FROM nodes
+), {",".join(iters)}, ests AS (
+  {est_blocks}
+), corrected AS (
+  SELECT t, node,
+         CASE WHEN ({HB_SCALE!r} / CAST(int_sum AS DOUBLE)) <= {HB_LC_THRESHOLD!r}
+                   AND zero_regs > 0
+              THEN lut.lc_est
+              ELSE {HB_SCALE!r} / CAST(int_sum AS DOUBLE)
+         END AS ball_est
+  FROM ests LEFT JOIN {_sql_hb_lut()} ON zero_regs = lut.v
+)
+SELECT CAST(t AS INTEGER) AS t,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       {sql_fsum("ball_est", scale=4)} AS ball_sum_est,
+       {sql_fsum("ball_est", scale=4)}
+         / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)) AS reach_fraction
+FROM corrected
+GROUP BY t
+ORDER BY t
+"""
+
+
 QUERIES = {
     "graph_salsa": q_graph_salsa,
     "graph_communities": q_graph_communities,
@@ -1956,6 +2219,8 @@ QUERIES = {
     "graph_rich_club": q_graph_rich_club,
     "graph_hits": q_graph_hits,
     "graph_ppr_seeded": q_graph_ppr_seeded,
+    "graph_resource_allocation": q_graph_resource_allocation,
+    "graph_hyperball": q_graph_hyperball,
 }
 
 ORACLE = {
@@ -1976,4 +2241,6 @@ ORACLE = {
     "graph_rich_club": _sql_rich_club(),
     "graph_hits": _sql_hits(),
     "graph_ppr_seeded": _sql_ppr(),
+    "graph_resource_allocation": _ORACLE_RESOURCE_ALLOCATION,
+    "graph_hyperball": _sql_hyperball(),
 }
