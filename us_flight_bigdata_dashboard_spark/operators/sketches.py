@@ -772,6 +772,148 @@ ORDER BY exact_cnt DESC, o_custkey ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# Theta-sketch set intersection: the operation HLL cannot do
+# ---------------------------------------------------------------------------
+
+THETA_K = 256
+THETA_FULL = 1 << KMV_HASH_BITS  # theta when the sample IS the exact set
+
+
+def q_sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch INTERSECTION estimate |A∩B| for two customer sets —
+    A = customers with a 1-URGENT order, B = customers with a 2-HIGH
+    order — next to the exact overlap. This is the set operation the
+    register HLL fundamentally cannot provide (inclusion–exclusion on
+    HLL unions explodes the error when the overlap is small); a theta
+    sketch is a uniform hash sample below a threshold θ, so ANY set
+    expression evaluates sample-side: keep each set's k smallest hashes,
+    take θ = min(θ_A, θ_B), and count common hashes below θ — the
+    estimate is count·2^48/θ, one division on exact integers.
+
+    Scale shape: per set the bottom-k is the ``sketch_kmv_distinct``
+    tournament (bucketed windows, ≤ {b}·k survivors per group meet in
+    one tiny final pass); the intersection probe joins two ≤{k}-row
+    broadcast sketches. A group with < k distinct hashes keeps θ = 2^48
+    (its sample is the exact set — the standard exact-mode
+    convention).""".format(b=KMV_BUCKETS, k=THETA_K)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+
+    def kmv(pred):
+        pairs = orders.filter(pred).select(h.alias("h")).distinct()
+        w_bucket = Window.partitionBy(F.col("h") % KMV_BUCKETS).orderBy("h")
+        cand = pairs.withColumn("_rb", F.row_number().over(w_bucket)).filter(
+            F.col("_rb") <= THETA_K
+        )
+        w_final = Window.orderBy("h")
+        return (
+            cand.withColumn("_rn", F.row_number().over(w_final))
+            .filter(F.col("_rn") <= THETA_K)
+            .select("h", "_rn")
+        )
+
+    ka = kmv(F.col("o_orderpriority") == "1-URGENT")
+    kb = kmv(F.col("o_orderpriority") == "2-HIGH")
+
+    def theta(kset):
+        return kset.agg(
+            F.when(F.count(F.lit(1)) < THETA_K, F.lit(THETA_FULL))
+            .otherwise(F.max(F.when(F.col("_rn") == THETA_K, F.col("h"))))
+            .alias("th")
+        )
+
+    th = (
+        theta(ka)
+        .crossJoin(theta(kb).withColumnRenamed("th", "th_b"))
+        .select(F.least("th", "th_b").alias("theta"))
+    )
+    common = (
+        ka.select("h")
+        .join(kb.select("h"), "h")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.max("theta").alias("theta"),
+        )
+    )
+    exact = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .join(
+            orders.filter(F.col("o_orderpriority") == "2-HIGH")
+            .select("o_custkey")
+            .distinct(),
+            "o_custkey",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    est = F.col("n_common").cast("double") * F.lit(float(THETA_FULL)) / F.col(
+        "theta"
+    ).cast("double")
+    exact_d = F.col("exact_inter").cast("double")
+    return (
+        common.crossJoin(F.broadcast(exact))
+        .select(
+            "exact_inter",
+            "n_common",
+            F.col("theta").cast("long").alias("theta"),
+            est.alias("theta_est"),
+            ((est - exact_d) / exact_d * F.lit(100.0)).alias("rel_err_pct"),
+        )
+    )
+
+
+def _sql_theta_intersection() -> str:
+    hx = _sql_hex_to_int("md5(CAST(o_custkey AS VARCHAR))", 1, 12)
+
+    def kmv_sql(prio, name):
+        return f"""{name}_pairs AS (
+  SELECT DISTINCT {hx} AS h FROM orders WHERE o_orderpriority = '{prio}'
+), {name} AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+  FROM {name}_pairs
+  QUALIFY rn <= {THETA_K}
+), {name}_theta AS (
+  SELECT CASE WHEN COUNT(*) < {THETA_K} THEN {THETA_FULL}
+              ELSE MAX(CASE WHEN rn = {THETA_K} THEN h END) END AS th
+  FROM {name}
+)"""
+
+    return f"""
+WITH {kmv_sql('1-URGENT', 'ka')}, {kmv_sql('2-HIGH', 'kb')},
+th AS (
+  SELECT LEAST(ka_theta.th, kb_theta.th) AS theta
+  FROM ka_theta CROSS JOIN kb_theta
+), common AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_common, MAX(theta) AS theta
+  FROM ka JOIN kb USING (h) CROSS JOIN th
+  WHERE ka.h < theta
+), exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+  )
+)
+SELECT exact_inter, n_common, CAST(theta AS BIGINT) AS theta,
+       CAST(n_common AS DOUBLE) * CAST({float(THETA_FULL)!r} AS DOUBLE)
+         / CAST(theta AS DOUBLE) AS theta_est,
+       (CAST(n_common AS DOUBLE) * CAST({float(THETA_FULL)!r} AS DOUBLE)
+         / CAST(theta AS DOUBLE) - CAST(exact_inter AS DOUBLE))
+         / CAST(exact_inter AS DOUBLE) * 100.0 AS rel_err_pct
+FROM common CROSS JOIN exact
+"""
+
+
 QUERIES = {
     "sketch_cms_freq": q_sketch_cms_freq,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
@@ -779,6 +921,7 @@ QUERIES = {
     "sketch_histogram_quantile": q_sketch_histogram_quantile,
     "sketch_hll_union": q_sketch_hll_union,
     "sketch_countsketch_freq": q_sketch_countsketch_freq,
+    "sketch_theta_intersection": q_sketch_theta_intersection,
 }
 
 ORACLE = {
@@ -788,4 +931,5 @@ ORACLE = {
     "sketch_hll_union": _sql_hll_union(),
     "sketch_kmv_distinct": _sql_kmv(),
     "sketch_countsketch_freq": _sql_countsketch(),
+    "sketch_theta_intersection": _sql_theta_intersection(),
 }

@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from us_flight_bigdata_dashboard_spark.functions.exact import davg, dsum, fsum, sql_davg, sql_dsum
+from us_flight_bigdata_dashboard_spark.functions.exact import (
+    davg,
+    dsum,
+    fsum,
+    sql_davg,
+    sql_dsum,
+    sql_fsum,
+)
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 # Small per-language stopword lexicons for the n-gram/stopword language-ID
@@ -3018,6 +3025,181 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-10 additions: DSIR-style importance weighting and segmented TTR
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+DSIR_K = 0.5  # add-k smoothing for both unigram models
+DSIR_TOP = 25
+
+
+def q_text_dsir_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight per document: score each doc by how
+    much its unigram distribution looks like the TARGET domain (lang =
+    '{tl}') relative to the whole corpus — the data-selection-via-
+    importance-resampling recipe (Xie et al.) that upsamples raw-crawl
+    documents resembling a curated target before pretraining. The
+    canonical weight is Σ log(p_t(w)/p_s(w)); log is a transcendental
+    this matrix bans from hash-gated values, so the score is the
+    ARITHMETIC mean of the per-token probability RATIOS (the
+    ``text_bigram_lm_score`` escape) — a rational monotone-comparable
+    domain-affinity signal: ratio > 1 ⇔ the token is target-typical.
+    Both unigram models are add-{k} smoothed over the corpus vocabulary.
+
+    Scale shape: ONE tokenize+explode of the corpus (localCheckpointed —
+    model training and scoring both read it), TWO vocab-bounded hash
+    aggs broadcast back onto the token stream, one per-doc agg. The only
+    data-sized shuffle is the doc_id score agg. Top {top} docs ship
+    under a total order.""".format(tl=DSIR_TARGET_LANG, k=DSIR_K, top=DSIR_TOP)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).cast("int").alias("is_t"),
+        F.explode(_tokens(F.col("text"))).alias("w"),
+    ).localCheckpoint(eager=True)
+    model = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_s"),
+        F.sum("is_t").cast("long").alias("c_t"),
+    )
+    totals = model.agg(
+        F.sum("c_s").cast("long").alias("n_s"),
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    k = F.lit(DSIR_K)
+    ratio = (
+        (F.col("c_t").cast("double") + k)
+        / (F.col("n_t").cast("double") + k * F.col("v").cast("double"))
+    ) / (
+        (F.col("c_s").cast("double") + k)
+        / (F.col("n_s").cast("double") + k * F.col("v").cast("double"))
+    )
+    scored = (
+        toks.join(F.broadcast(model), "w")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", ratio.alias("r"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            fsum("r", scale=12).alias("sr"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("sr") / F.col("n_tokens").cast("double")).alias("dsir_score"),
+        )
+        .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        .limit(DSIR_TOP)
+    )
+
+
+_ORACLE_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS is_t,
+         w
+  FROM documents,
+       UNNEST(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS u(w)
+), model AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_s, CAST(SUM(is_t) AS BIGINT) AS c_t
+  FROM toks GROUP BY w
+), totals AS (
+  SELECT CAST(SUM(c_s) AS BIGINT) AS n_s, CAST(SUM(c_t) AS BIGINT) AS n_t,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM model
+), scored AS (
+  SELECT doc_id,
+         ((CAST(c_t AS DOUBLE) + {DSIR_K!r})
+          / (CAST(n_t AS DOUBLE) + {DSIR_K!r} * CAST(v AS DOUBLE)))
+         / ((CAST(c_s AS DOUBLE) + {DSIR_K!r})
+            / (CAST(n_s AS DOUBLE) + {DSIR_K!r} * CAST(v AS DOUBLE))) AS r
+  FROM toks JOIN model USING (w) CROSS JOIN totals
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       {sql_fsum("r", scale=12)} / CAST(COUNT(*) AS DOUBLE) AS dsir_score
+FROM scored
+GROUP BY doc_id
+ORDER BY dsir_score DESC, doc_id ASC
+LIMIT {DSIR_TOP}
+"""
+
+
+STTR_CHUNK = 20  # tokens per STTR segment
+
+
+def q_text_sttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented type-token ratio (STTR) per document: split the token
+    stream into fixed {c}-token segments, TTR = distinct/size per
+    segment, report the mean — the length-robust lexical-diversity
+    measure (plain TTR decays mechanically with document length, so
+    corpus-quality dashboards segment first; ``text_hapax_ratio`` reads
+    vocabulary novelty, STTR reads local diversity). Per-segment TTR is
+    an exact integer ratio; the per-doc mean is a floor-quantized
+    deterministic sum over the doc's segments.
+
+    Scale shape: one posexplode (segment id = pos div {c}), one
+    (doc, segment, token) dedup agg, one (doc, segment) count agg, one
+    per-doc agg — every stage keyed by doc_id, map-side combinable, no
+    windows at all.""".format(c=STTR_CHUNK)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "w")
+    ).select(
+        "doc_id", (F.col("pos") / F.lit(STTR_CHUNK)).cast("int").alias("seg"), "w"
+    )
+    seg_stats = (
+        pos.groupBy("doc_id", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.countDistinct("w").cast("long").alias("n_typ"),
+        )
+    )
+    ttr = F.col("n_typ").cast("double") / F.col("n_tok").cast("double")
+    return (
+        seg_stats.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            fsum(ttr, scale=12).alias("st"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_tokens",
+            (F.col("st") / F.col("n_segments").cast("double")).alias("sttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_STTR = f"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+), pos AS (
+  SELECT doc_id, CAST((u.p - 1) // {STTR_CHUNK} AS INTEGER) AS seg, ts[p] AS w
+  FROM arrs, UNNEST(range(1, CAST(len(ts) AS BIGINT) + 1)) AS u(p)
+), seg_stats AS (
+  SELECT doc_id, seg,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_typ
+  FROM pos GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       {sql_fsum("CAST(n_typ AS DOUBLE) / CAST(n_tok AS DOUBLE)", scale=12)}
+         / CAST(COUNT(*) AS DOUBLE) AS sttr
+FROM seg_stats
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_collocations_lift": q_text_collocations_lift,
     "benchmark_contamination": q_benchmark_contamination,
@@ -3054,6 +3236,8 @@ QUERIES = {
     "source_mix_temperature": q_source_mix_temperature,
     "source_lang_purity": q_source_lang_purity,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "text_dsir_proxy": q_text_dsir_proxy,
+    "text_sttr": q_text_sttr,
     "text_burrows_delta": q_text_burrows_delta,
 }
 
@@ -3093,5 +3277,7 @@ ORACLE = {
     "source_mix_temperature": _sql_mix_temperature(),
     "source_lang_purity": _ORACLE_LANG_PURITY,
     "tokenizer_fertility": _ORACLE_FERTILITY,
+    "text_dsir_proxy": _ORACLE_DSIR,
+    "text_sttr": _ORACLE_STTR,
     "text_burrows_delta": _sql_burrows(),
 }
