@@ -756,6 +756,99 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Randomized response (round 10): local differential privacy, rationally
+# ---------------------------------------------------------------------------
+
+RR_Q_DEN = 4  # flip with probability q = 1/RR_Q_DEN
+# epsilon = ln((1-q)/q) = ln 3, Python-precomputed (the LUT escape from the
+# no-transcendentals policy — a single literal both engines carry verbatim)
+RR_EPSILON = 1.0986122886681098
+
+
+def q_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized-response count of urgent orders under LOCAL differential
+    privacy: each row reports its sensitive bit (priority = 1-URGENT)
+    FLIPPED with probability q = 1/{d} — the Warner (1965) mechanism that
+    is ε-LDP at ε = ln((1−q)/q) — and the analyst debiases the noisy
+    count: n̂ = (reported − q·n)/(1−2q). The privacy ladder's mechanism
+    entry beside the ``kanon``/``ldiversity``/``tcloseness`` audits
+    (those measure re-identification risk; this one actually pays
+    privacy for utility and shows the exchange rate in the gate-checked
+    error column). The flip coin is a SEEDED md5 hash of the order key
+    (mod {d} == 0) — deterministic, so both engines flip the identical
+    rows and the whole mechanism is rational: counts are exact integers,
+    the debias is one IEEE expression, ε is a Python-precomputed
+    literal.
+
+    Scale shape: one map-side-combinable 3-sum aggregate over the scan —
+    the true count rides along only as the verification baseline (a real
+    deployment never sees it).""".format(d=RR_Q_DEN)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    b = (F.col("o_orderpriority") == "1-URGENT").cast("int")
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":rr"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(RR_Q_DEN)
+        == 0
+    ).cast("int")
+    reported = (b + coin) % F.lit(2)  # XOR: flip when coin = 1
+    agg = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(b).cast("long").alias("true_count"),
+        F.sum(reported).cast("long").alias("reported_count"),
+    )
+    q = 1.0 / RR_Q_DEN
+    est = (
+        F.col("reported_count").cast("double") - F.lit(q) * F.col("n").cast("double")
+    ) / F.lit(1.0 - 2.0 * q)
+    true_d = F.col("true_count").cast("double")
+    return agg.select(
+        "n",
+        "true_count",
+        "reported_count",
+        est.alias("estimated_count"),
+        F.lit(RR_EPSILON).alias("epsilon"),
+        ((est - true_d) / true_d * F.lit(100.0)).alias("rel_err_pct"),
+    )
+
+
+def _sql_rr() -> str:
+    from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
+
+    hx = _sql_hex_to_int("md5(CAST(o_orderkey AS VARCHAR) || ':rr')", 1, 12)
+    q = 1.0 / RR_Q_DEN
+    return f"""
+WITH bits AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS b,
+         CASE WHEN {hx} % {RR_Q_DEN} = 0 THEN 1 ELSE 0 END AS coin
+  FROM orders
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(b) AS BIGINT) AS true_count,
+         CAST(SUM((b + coin) % 2) AS BIGINT) AS reported_count
+  FROM bits
+)
+SELECT n, true_count, reported_count,
+       (CAST(reported_count AS DOUBLE) - {q!r} * CAST(n AS DOUBLE))
+         / {1.0 - 2.0 * q!r} AS estimated_count,
+       CAST({RR_EPSILON!r} AS DOUBLE) AS epsilon,
+       ((CAST(reported_count AS DOUBLE) - {q!r} * CAST(n AS DOUBLE))
+          / {1.0 - 2.0 * q!r} - CAST(true_count AS DOUBLE))
+         / CAST(true_count AS DOUBLE) * 100.0 AS rel_err_pct
+FROM agg
+"""
+
+
 QUERIES = {
     "tcloseness_audit": q_tcloseness_audit,
     "ldiversity_audit": q_ldiversity_audit,
@@ -766,9 +859,11 @@ QUERIES = {
     "join_size_estimate": q_join_size_estimate,
     "benford_digits": q_benford_digits,
     "kanon_generalize": q_kanon_generalize,
+    "dp_randomized_response": q_dp_randomized_response,
 }
 
 ORACLE = {
+    "dp_randomized_response": _sql_rr(),
     "ldiversity_audit": _ORACLE_LDIVERSITY,
     "dq_audit": _ORACLE_DQ_AUDIT,
     "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,

@@ -2819,8 +2819,213 @@ ORDER BY ym
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-10 additions: newsvendor stocking and arc price elasticity
+# ---------------------------------------------------------------------------
+
+NV_CU = 9  # newsvendor underage cost -> critical ratio cu/(cu+co) = 0.9
+NV_CO = 1
+
+
+def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor optimal stock level per brand: the critical-fractile
+    solution S* = F⁻¹(cu/(cu+co)) with cu={cu}, co={co} (ratio 0.9) over
+    the empirical daily-demand distribution — the inventory-theory
+    counterpart of ``fulfillment_percentiles`` (that entry reads service
+    latency; this one sets the stock that balances lost sales against
+    holding cost). The quantile is TYPE-1 (smallest demand with ECDF ≥
+    0.9): target row index ceil(0.9·n) computed in INTEGERS as
+    (9n+9) div 10 so there is no float boundary to disagree on; demand
+    itself is an exact integer quantity sum.
+
+    Scale shape: one (brand, day) hash agg after a broadcast part join;
+    the quantile window partitions by brand (≤ |days| rows per
+    partition, ~2.4k at any SF — keyed, never global).""".format(
+        cu=NV_CU, co=NV_CO
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.to_date("l_shipdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint"))
+            .cast("long")
+            .alias("q")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.asc("q"), F.asc("day"))
+    ranked = daily.withColumn("rn", F.row_number().over(w))
+    counts = daily.groupBy("p_brand").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    target = ranked.join(F.broadcast(counts), "p_brand").filter(
+        F.col("rn")
+        == F.expr(f"({NV_CU} * n + {NV_CU}) div {NV_CU + NV_CO}")
+    ).select("p_brand", F.col("q").alias("stock_q90"))
+    base = daily.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("q").cast("long").alias("tot_q"),
+    )
+    return (
+        base.join(target, "p_brand")
+        .select(
+            "p_brand",
+            "n_days",
+            (F.col("tot_q").cast("double") / F.col("n_days").cast("double")).alias(
+                "mean_daily_demand"
+            ),
+            F.col("stock_q90").cast("long").alias("stock_q90"),
+            (
+                F.col("stock_q90").cast("double")
+                - F.col("tot_q").cast("double") / F.col("n_days").cast("double")
+            ).alias("safety_stock"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_ORACLE_NEWSVENDOR = f"""
+WITH daily AS (
+  SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT p_brand, q,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY q ASC, day ASC) AS rn
+  FROM daily
+), counts AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS tot_q
+  FROM daily GROUP BY 1
+), target AS (
+  SELECT r.p_brand, r.q AS stock_q90
+  FROM ranked r JOIN counts c USING (p_brand)
+  WHERE r.rn = ({NV_CU} * c.n + {NV_CU}) // {NV_CU + NV_CO}
+)
+SELECT c.p_brand, c.n AS n_days,
+       CAST(c.tot_q AS DOUBLE) / CAST(c.n AS DOUBLE) AS mean_daily_demand,
+       CAST(t.stock_q90 AS BIGINT) AS stock_q90,
+       CAST(t.stock_q90 AS DOUBLE)
+         - CAST(c.tot_q AS DOUBLE) / CAST(c.n AS DOUBLE) AS safety_stock
+FROM counts c JOIN target t USING (p_brand)
+ORDER BY p_brand
+"""
+
+
+ELAST_BAND_W = 10  # $-width of each retail-price band
+ELAST_BASE = 900  # band origin (p_retailprice spans ~[900, 1000))
+ELAST_BANDS = 10
+
+
+def q_price_elasticity_arc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc price elasticity of demand per brand: for each pair of
+    ADJACENT retail-price bands (${w}-wide, origin ${b}), the midpoint
+    formula ε = ((Q₂−Q₁)/((Q₁+Q₂)/2)) / ((P₂−P₁)/((P₁+P₂)/2)) — the
+    elasticity estimator that needs NO logarithms (a log-log OLS is the
+    textbook alternative; ln is banned from hash-gated values), using
+    quantity sums per band as demand and the band's exact mean price.
+    ε < −1 = elastic. Everything is rational: Q are integer quantity
+    sums, P are cent-sum/count means, ε is one IEEE expression; a pair
+    whose mean prices coincide yields NULL on both engines (documented
+    degenerate contract).
+
+    Scale shape: one (brand, band) hash agg after a broadcast part join
+    (the scan is the only data-sized stage); the lag window runs on the
+    ≤ |brand|·{n} grid.""".format(w=ELAST_BAND_W, b=ELAST_BASE, n=ELAST_BANDS)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    pc = F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+    band = F.least(
+        F.lit(ELAST_BANDS - 1),
+        F.greatest(
+            F.lit(0),
+            F.expr(
+                f"(CAST(round(p_retailprice * 100, 0) AS BIGINT)"
+                f" - {ELAST_BASE * 100}) div {ELAST_BAND_W * 100}"
+            ),
+        ),
+    ).cast("int")
+    per_band = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", band.alias("band"))
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint"))
+            .cast("long")
+            .alias("qty"),
+            F.sum(pc).cast("long").alias("pc_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_li"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("band")
+    paired = per_band.select(
+        "p_brand",
+        "band",
+        "qty",
+        (F.col("pc_sum").cast("double") / F.col("n_li").cast("double")).alias("p"),
+    ).select(
+        "p_brand",
+        "band",
+        F.lag("band").over(w).alias("band_lo"),
+        F.lag("qty").over(w).alias("q1"),
+        F.col("qty").alias("q2"),
+        F.lag("p").over(w).alias("p1"),
+        F.col("p").alias("p2"),
+    ).filter(F.col("band_lo").isNotNull())
+    num = (F.col("q2") - F.col("q1")).cast("double") / (
+        (F.col("q1") + F.col("q2")).cast("double") / F.lit(2.0)
+    )
+    den = (F.col("p2") - F.col("p1")) / ((F.col("p1") + F.col("p2")) / F.lit(2.0))
+    return paired.select(
+        "p_brand",
+        F.col("band_lo").cast("int").alias("band_lo"),
+        F.col("band").cast("int").alias("band_hi"),
+        F.col("q1").cast("long").alias("qty_lo"),
+        F.col("q2").cast("long").alias("qty_hi"),
+        (num / F.nullif(den, F.lit(0.0))).alias("arc_elasticity"),
+    ).orderBy("p_brand", "band_lo")
+
+
+_ORACLE_ELASTICITY = f"""
+WITH per_band AS (
+  SELECT p_brand,
+         LEAST({ELAST_BANDS - 1}, GREATEST(0,
+           (CAST(round(p_retailprice * 100, 0) AS BIGINT) - {ELAST_BASE * 100})
+             // {ELAST_BAND_W * 100})) AS band,
+         CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS pc_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_li
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), paired AS (
+  SELECT p_brand, band,
+         LAG(band) OVER w AS band_lo,
+         LAG(qty) OVER w AS q1, qty AS q2,
+         LAG(CAST(pc_sum AS DOUBLE) / CAST(n_li AS DOUBLE)) OVER w AS p1,
+         CAST(pc_sum AS DOUBLE) / CAST(n_li AS DOUBLE) AS p2
+  FROM per_band
+  WINDOW w AS (PARTITION BY p_brand ORDER BY band)
+)
+SELECT p_brand,
+       CAST(band_lo AS INTEGER) AS band_lo,
+       CAST(band AS INTEGER) AS band_hi,
+       CAST(q1 AS BIGINT) AS qty_lo,
+       CAST(q2 AS BIGINT) AS qty_hi,
+       (CAST(q2 - q1 AS DOUBLE) / (CAST(q1 + q2 AS DOUBLE) / 2.0))
+         / NULLIF((p2 - p1) / ((p1 + p2) / 2.0), 0.0) AS arc_elasticity
+FROM paired
+WHERE band_lo IS NOT NULL
+ORDER BY p_brand, band_lo
+"""
+
+
 QUERIES = {
     "pareto_skyline_suppliers": q_pareto_skyline_suppliers,
+    "newsvendor_quantile": q_newsvendor_quantile,
+    "price_elasticity_arc": q_price_elasticity_arc,
     "customer_rfm_segments": q_customer_rfm_segments,
     "market_concentration_hhi": q_market_concentration_hhi,
     "revenue_yoy_growth": q_revenue_yoy_growth,
@@ -2860,6 +3065,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "newsvendor_quantile": _ORACLE_NEWSVENDOR,
+    "price_elasticity_arc": _ORACLE_ELASTICITY,
     "pareto_skyline_suppliers": _ORACLE_PARETO_SKYLINE,
     "customer_rfm_segments": _ORACLE_CUSTOMER_RFM_SEGMENTS,
     "market_concentration_hhi": _ORACLE_HHI,
