@@ -1,0 +1,521 @@
+"""Ground-truth tests for the round-10 operators: scipy-free numpy brute
+forces of the Wilcoxon signed-rank midranks, the O(n²) pairwise energy
+distance, Cohen's d / Hedges' g, the Atkinson(2) identity, resource-
+allocation link prediction, HyperBall against exact BFS ball sizes, the
+theta-sketch intersection's exact-mode collapse, DSIR ratio bounds, STTR
+by hand, the theta-method decomposition identity, newsvendor fractile,
+arc-elasticity sign, and the randomized-response debias identity — on
+sf0.001 (or crafted micro-checks) where exhaustive recomputation is
+cheap. Also regression tests for the four round-9 ADVICE fixes."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _orders_df():
+    con = duckdb.connect()
+    return con.execute(f"SELECT * FROM '{SF_DIR}/orders.parquet'").df()
+
+
+# ---------------------------------------------------------------------------
+# wilcoxon_signed_rank
+# ---------------------------------------------------------------------------
+
+
+def test_wilcoxon_matches_numpy_midranks(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        _MCN_SPLIT,
+        q_wilcoxon_signed_rank,
+    )
+
+    od = _orders_df()
+    od["cents"] = np.round(od["o_totalprice"] * 100).astype(np.int64)
+    pre = od["o_orderdate"] < np.datetime64(_MCN_SPLIT)
+    g = od.groupby("o_custkey").apply(
+        lambda df: df.loc[~pre.loc[df.index], "cents"].sum()
+        - df.loc[pre.loc[df.index], "cents"].sum(),
+        include_groups=False,
+    )
+    d = g[g != 0].values
+    absd = np.abs(d)
+    order = np.argsort(absd, kind="stable")
+    # doubled midranks: 2*cnt_less + ties + 1 per distinct |d|
+    uniq, counts = np.unique(absd, return_counts=True)
+    cnt_less = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    r2_of = {u: 2 * cl + t + 1 for u, cl, t in zip(uniq, cnt_less, counts)}
+    w2p = sum(r2_of[a] for a, dv in zip(absd, d) if dv > 0)
+    n = len(d)
+    tie3 = int((counts.astype(object) ** 3 - counts).sum())
+    var12 = 2.0 * n * (n + 1) * (2 * n + 1) - tie3
+    z = (w2p - n * (n + 1) / 2.0) / np.sqrt(var12 / 12.0)
+    (row,) = q_wilcoxon_signed_rank(spark, SF_DIR).collect()
+    assert row["n_pairs"] == n
+    assert row["w2_plus"] == pytest.approx(w2p, abs=0)
+    assert row["z_stat"] == pytest.approx(z, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# energy_distance_two_sample — O(n²) brute force
+# ---------------------------------------------------------------------------
+
+
+def test_energy_distance_matches_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_energy_distance_two_sample,
+    )
+
+    od = _orders_df()
+    cents = np.round(od["o_totalprice"] * 100).astype(np.int64).values
+    urg = (od["o_orderpriority"] == "1-URGENT").values
+    x, y = cents[urg].astype(np.float64), cents[~urg].astype(np.float64)
+    exy = np.abs(x[:, None] - y[None, :]).mean()
+    exx = np.abs(x[:, None] - x[None, :]).mean()
+    eyy = np.abs(y[:, None] - y[None, :]).mean()
+    (row,) = q_energy_distance_two_sample(spark, SF_DIR).collect()
+    assert row["n1"] == len(x) and row["n2"] == len(y)
+    assert row["mean_absdiff_xy"] == pytest.approx(exy / 100.0, rel=1e-12)
+    assert row["energy_dist_sq"] == pytest.approx(
+        (2 * exy - exx - eyy) / 100.0, rel=1e-9
+    )
+    assert row["energy_dist_sq"] >= 0.0  # energy distance is a metric
+
+
+# ---------------------------------------------------------------------------
+# cohens_d_effect
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_d_matches_numpy(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_cohens_d_effect,
+    )
+
+    od = _orders_df()
+    x = np.round(od["o_totalprice"] * 100).astype(np.int64).values / 1e9
+    urg = (od["o_orderpriority"] == "1-URGENT").values
+    a, b = x[urg], x[~urg]
+    sp = np.sqrt(
+        ((len(a) - 1) * a.var(ddof=1) + (len(b) - 1) * b.var(ddof=1))
+        / (len(a) + len(b) - 2)
+    )
+    d = (a.mean() - b.mean()) / sp
+    j = 1.0 - 3.0 / (4.0 * (len(a) + len(b) - 2) - 1.0)
+    (row,) = q_cohens_d_effect(spark, SF_DIR).collect()
+    assert row["cohens_d"] == pytest.approx(d, rel=1e-9)
+    assert row["hedges_g"] == pytest.approx(d * j, rel=1e-9)
+    assert abs(row["hedges_g"]) < abs(row["cohens_d"])  # J < 1 always
+
+
+# ---------------------------------------------------------------------------
+# atkinson_inequality
+# ---------------------------------------------------------------------------
+
+
+def test_atkinson_identity_and_bounds(spark):
+    from us_flight_bigdata_dashboard_spark.operators.audit import load_table  # noqa: F401
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_atkinson_inequality,
+    )
+
+    od = _orders_df()
+    od["cents"] = np.round(od["o_totalprice"] * 100).astype(np.int64)
+    rev = od.groupby("o_custkey")["cents"].sum()
+    rev = rev[rev > 0].values.astype(np.float64)
+    harm = len(rev) / (1.0 / rev).sum()
+    mean = rev.mean()
+    (row,) = q_atkinson_inequality(spark, SF_DIR).collect()
+    assert row["n_customers"] == len(rev)
+    assert row["mean_revenue_dollars"] == pytest.approx(mean / 100, rel=1e-12)
+    assert row["harmonic_mean_dollars"] == pytest.approx(harm / 100, rel=1e-9)
+    assert row["atkinson_2"] == pytest.approx(1 - harm / mean, rel=1e-6)
+    assert 0.0 <= row["atkinson_2"] < 1.0  # harmonic <= arithmetic (AM-HM)
+
+
+# ---------------------------------------------------------------------------
+# graph_resource_allocation
+# ---------------------------------------------------------------------------
+
+
+def test_resource_allocation_matches_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.graph import (
+        RA_FP,
+        SUPPS_PER_CUST_CAP,
+        q_graph_resource_allocation,
+    )
+
+    con = duckdb.connect()
+    cs = con.execute(
+        f"""SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+            FROM '{SF_DIR}/lineitem.parquet'
+            JOIN '{SF_DIR}/orders.parquet' ON l_orderkey = o_orderkey"""
+    ).df()
+    scores: dict[tuple[int, int], int] = {}
+    commons: dict[tuple[int, int], int] = {}
+    for _, grp in cs.groupby("cust"):
+        supps = sorted(grp["supp"].tolist())
+        if len(supps) > SUPPS_PER_CUST_CAP:
+            continue
+        w = RA_FP // len(supps)
+        for i in range(len(supps)):
+            for jj in range(i + 1, len(supps)):
+                key = (supps[i], supps[jj])
+                scores[key] = scores.get(key, 0) + w
+                commons[key] = commons.get(key, 0) + 1
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = q_graph_resource_allocation(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for row, ((a, b), s) in zip(rows, top):
+        assert (row["supp_a"], row["supp_b"]) == (a, b)
+        assert row["common_custs"] == commons[(a, b)]
+        assert row["ra_score"] == pytest.approx(s / RA_FP, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# graph_hyperball — estimates must track exact BFS ball sizes
+# ---------------------------------------------------------------------------
+
+
+def test_hyperball_tracks_exact_bfs(spark):
+    from us_flight_bigdata_dashboard_spark.operators.graph import q_graph_hyperball
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM '{SF_DIR}/lineitem.parquet'
+            JOIN '{SF_DIR}/orders.parquet' ON l_orderkey = o_orderkey"""
+    ).df()
+    adj: dict[int, set[int]] = {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    nodes = sorted(adj)
+    exact = {0: float(len(nodes))}
+    balls = {v: {v} for v in nodes}
+    for t in range(1, 4):
+        prev = balls
+        balls = {
+            v: set().union(b, *(prev[u] for u in adj[v]))
+            for v, b in prev.items()
+        }
+        exact[t] = float(sum(len(b) for b in balls.values()))
+    rows = {r["t"]: r for r in q_graph_hyperball(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for t in range(4):
+        assert rows[t]["n_nodes"] == len(nodes)
+        # 32-register HLL: expect ~18% stderr; grant 3 sigma
+        assert rows[t]["ball_sum_est"] == pytest.approx(exact[t], rel=0.55)
+    # the neighborhood function is monotone nondecreasing in t
+    ests = [rows[t]["ball_sum_est"] for t in range(4)]
+    assert all(b >= a * 0.999 for a, b in zip(ests, ests[1:]))
+
+
+# ---------------------------------------------------------------------------
+# sketch_theta_intersection — exact mode when both sets fit in k
+# ---------------------------------------------------------------------------
+
+
+def test_theta_intersection_exact_mode_and_error(spark):
+    from us_flight_bigdata_dashboard_spark.operators.sketches import (
+        THETA_FULL,
+        THETA_K,
+        q_sketch_theta_intersection,
+    )
+
+    od = _orders_df()
+    a = set(od.loc[od["o_orderpriority"] == "1-URGENT", "o_custkey"])
+    b = set(od.loc[od["o_orderpriority"] == "2-HIGH", "o_custkey"])
+    (row,) = q_sketch_theta_intersection(spark, SF_DIR).collect()
+    assert row["exact_inter"] == len(a & b)
+    if len(a) < THETA_K and len(b) < THETA_K:
+        # exact mode: theta = 2^48 and the sample IS the set
+        assert row["theta"] == THETA_FULL
+        assert row["n_common"] == len(a & b)
+        assert row["theta_est"] == pytest.approx(float(len(a & b)))
+        assert row["rel_err_pct"] == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# text_dsir_proxy / text_sttr
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_matches_bruteforce_ranking(spark):
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        DSIR_K,
+        DSIR_TARGET_LANG,
+        DSIR_TOP,
+        q_text_dsir_proxy,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, lang, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    c_s: dict[str, int] = {}
+    c_t: dict[str, int] = {}
+    toks_of = {}
+    for doc_id, lang, text in docs:
+        toks = [t for t in text.lower().split(" ") if t != ""]
+        toks_of[doc_id] = toks
+        for w in toks:
+            c_s[w] = c_s.get(w, 0) + 1
+            if lang == DSIR_TARGET_LANG:
+                c_t[w] = c_t.get(w, 0) + 1
+    n_s, n_t, v = sum(c_s.values()), sum(c_t.values()), len(c_s)
+    scores = {}
+    for doc_id, toks in toks_of.items():
+        rs = [
+            ((c_t.get(w, 0) + DSIR_K) / (n_t + DSIR_K * v))
+            / ((c_s[w] + DSIR_K) / (n_s + DSIR_K * v))
+            for w in toks
+        ]
+        if rs:
+            scores[doc_id] = sum(rs) / len(rs)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:DSIR_TOP]
+    rows = q_text_dsir_proxy(spark, SF_DIR).collect()
+    assert len(rows) == DSIR_TOP
+    assert [r["doc_id"] for r in rows] == [d for d, _ in expect]
+    for r, (_, s) in zip(rows, expect):
+        assert r["dsir_score"] == pytest.approx(s, rel=1e-9)
+    # sanity: target-language docs score higher on average than the rest
+    con2 = duckdb.connect()
+    langs = dict(
+        con2.execute(
+            f"SELECT doc_id, lang FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+    en = [s for d, s in scores.items() if langs[d] == DSIR_TARGET_LANG]
+    rest = [s for d, s in scores.items() if langs[d] != DSIR_TARGET_LANG]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_sttr_by_hand(spark):
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        STTR_CHUNK,
+        q_text_sttr,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id LIMIT 5"
+    ).fetchall()
+    rows = {r["doc_id"]: r for r in q_text_sttr(spark, SF_DIR).collect()}
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().split(" ") if t != ""]
+        segs = [
+            toks[i : i + STTR_CHUNK] for i in range(0, len(toks), STTR_CHUNK)
+        ]
+        sttr = sum(len(set(s)) / len(s) for s in segs) / len(segs)
+        r = rows[doc_id]
+        assert r["n_segments"] == len(segs)
+        assert r["n_tokens"] == len(toks)
+        assert r["sttr"] == pytest.approx(sttr, rel=1e-9)
+        assert 0.0 < r["sttr"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# events_theta_forecast — decomposition identity
+# ---------------------------------------------------------------------------
+
+
+def test_theta_forecast_decomposition(spark):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        THETA_ALPHA,
+        THETA_T0,
+        q_events_theta_forecast,
+    )
+
+    con = duckdb.connect()
+    monthly = con.execute(
+        f"""SELECT r_name,
+                   YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - {THETA_T0} AS t,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                     / 1e9 AS x
+            FROM '{SF_DIR}/orders.parquet'
+            JOIN '{SF_DIR}/customer.parquet' ON o_custkey = c_custkey
+            JOIN '{SF_DIR}/nation.parquet' ON c_nationkey = n_nationkey
+            JOIN '{SF_DIR}/region.parquet' ON n_regionkey = r_regionkey
+            GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    rows = {r["r_name"]: r for r in q_events_theta_forecast(spark, SF_DIR).collect()}
+    assert len(rows) == 5
+    for rname, grp in monthly.groupby("r_name"):
+        t = grp["t"].values.astype(np.float64)
+        x = grp["x"].values
+        n = len(t)
+        b = (n * (t * x).sum() - t.sum() * x.sum()) / (
+            n * (t * t).sum() - t.sum() ** 2
+        )
+        a = (x.sum() - b * t.sum()) / n
+        th2 = 2 * x - (a + b * t)
+        s = th2[0]
+        for v in th2[1:]:
+            s = s + THETA_ALPHA * (v - s)
+        fc = 0.5 * s + 0.5 * (a + b * (t.max() + 1))
+        r = rows[rname]
+        assert r["n_months"] == n
+        assert r["trend_slope_musd"] == pytest.approx(b * 10, rel=1e-6)
+        assert r["theta_forecast_musd"] == pytest.approx(fc * 10, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# newsvendor_quantile / price_elasticity_arc
+# ---------------------------------------------------------------------------
+
+
+def test_newsvendor_is_empirical_09_fractile(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        q_newsvendor_quantile,
+    )
+
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
+                   SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS q
+            FROM '{SF_DIR}/lineitem.parquet'
+            JOIN '{SF_DIR}/part.parquet' ON l_partkey = p_partkey
+            GROUP BY 1, 2"""
+    ).df()
+    rows = {r["p_brand"]: r for r in q_newsvendor_quantile(spark, SF_DIR).collect()}
+    for brand, grp in daily.groupby("p_brand"):
+        qs = np.sort(grp["q"].values)
+        n = len(qs)
+        expect = qs[(9 * n + 9) // 10 - 1]
+        r = rows[brand]
+        assert r["n_days"] == n
+        assert r["stock_q90"] == expect
+        # the 0.9-fractile covers >= 90% of observed days
+        assert (qs <= r["stock_q90"]).mean() >= 0.9
+        assert r["safety_stock"] == pytest.approx(
+            r["stock_q90"] - grp["q"].mean(), rel=1e-9
+        )
+
+
+def test_arc_elasticity_midpoint_identity(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        q_price_elasticity_arc,
+    )
+
+    rows = q_price_elasticity_arc(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:10]:
+        q1, q2 = r["qty_lo"], r["qty_hi"]
+        assert r["band_lo"] < r["band_hi"]
+        if r["arc_elasticity"] is not None and q1 != q2:
+            # sign identity: elasticity sign = sign((q2-q1)/(p2-p1))
+            assert (r["arc_elasticity"] != 0) == (q1 != q2)
+
+
+# ---------------------------------------------------------------------------
+# dp_randomized_response
+# ---------------------------------------------------------------------------
+
+
+def test_randomized_response_debias_identity(spark):
+    from us_flight_bigdata_dashboard_spark.operators.audit import (
+        RR_EPSILON,
+        RR_Q_DEN,
+        q_dp_randomized_response,
+    )
+
+    (row,) = q_dp_randomized_response(spark, SF_DIR).collect()
+    q = 1.0 / RR_Q_DEN
+    # debias identity holds exactly by construction
+    assert row["estimated_count"] == pytest.approx(
+        (row["reported_count"] - q * row["n"]) / (1 - 2 * q), rel=1e-12
+    )
+    # epsilon literal is ln((1-q)/q) = ln 3
+    assert RR_EPSILON == pytest.approx(np.log(3.0), rel=1e-15)
+    assert row["epsilon"] == RR_EPSILON
+    # the mechanism should land within a loose CLT band of the truth
+    sigma = np.sqrt(row["n"] * q * (1 - q)) / (1 - 2 * q)
+    assert abs(row["estimated_count"] - row["true_count"]) < 6 * sigma
+
+
+# ---------------------------------------------------------------------------
+# round-9 ADVICE regression tests
+# ---------------------------------------------------------------------------
+
+
+def test_textrank_survives_empty_token_documents(spark):
+    """ADVICE r9: slice(ts, 1, size-1) crashed on docs whose text
+    tokenizes to an empty array; greatest(size-1, 0) must skip them."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, ""), (3, "   "), (4, "solo")],
+        "doc_id LONG, text STRING",
+    )
+    ts = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    pairs = (
+        df.select("doc_id", ts.alias("ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                    " (x, i) -> struct(x AS w1, element_at(ts, i + 2) AS w2))"
+                )
+            ).alias("p")
+        )
+        .collect()
+    )
+    got = {(r["p"]["w1"], r["p"]["w2"]) for r in pairs}
+    assert got == {("alpha", "beta"), ("beta", "alpha"), ("alpha", "gamma")}
+
+
+def test_kendalls_w_is_n_adaptive():
+    """ADVICE r9: S must derive from the counted n_items, not a baked
+    n=25. Verify the exact-moments identity against brute force for a
+    crafted n != 25 rank frame."""
+    m, n = 24, 7  # 7 items, not 25
+    rng = np.random.default_rng(7)
+    r = np.vstack([rng.permutation(n) + 1 for _ in range(m)])
+    r_i = r.sum(axis=0)
+    s_direct = ((r_i - m * (n + 1) / 2.0) ** 2).sum()
+    # the operator's formulation: sum(R_i^2) - n * (12(n+1))^2 with m=24
+    s_moments = (r_i**2).sum() - n * (12 * (n + 1)) ** 2
+    assert s_moments == pytest.approx(s_direct, abs=0)
+    w = 12.0 * s_moments / (m * m * (n**3 - n))
+    assert 0.0 <= w <= 1.0
+
+
+def test_mcnemar_degenerate_zero_discordant(spark):
+    """ADVICE r9: b + c = 0 must yield chi2 = 0.0, not NULL."""
+    from pyspark.sql import functions as F
+
+    agg = spark.createDataFrame([(0, 0)], "b LONG, c LONG")
+    bd, cd = F.col("b").cast("double"), F.col("c").cast("double")
+    no_discord = (F.col("b") + F.col("c")) == 0
+    (row,) = agg.select(
+        F.when(no_discord, F.lit(0.0))
+        .otherwise((bd - cd) * (bd - cd) / (bd + cd))
+        .alias("chi2")
+    ).collect()
+    assert row["chi2"] == 0.0
+
+
+def test_roc_auc_numerator_survives_big_counts(spark):
+    """ADVICE r9: the rank-sum numerator must accumulate as
+    DECIMAL(38,0) — verify the decimal path computes the exact value for
+    counts that would overflow int64 arithmetic if multiplied naively."""
+    from pyspark.sql import functions as F
+
+    big = 4_000_000_000  # cp * (2*cneg_below + cn) > 2^63 if cp ~ 1e9
+    df = spark.createDataFrame(
+        [(1_500_000_000, big), (2_500_000_000, big)],
+        "cp LONG, cneg LONG",
+    )
+    (row,) = df.agg(
+        F.sum(
+            F.col("cp").cast("decimal(18,0)")
+            * (F.lit(2) * F.col("cneg")).cast("decimal(20,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("num2")
+    ).collect()
+    assert int(row["num2"]) == 1_500_000_000 * 2 * big + 2_500_000_000 * 2 * big

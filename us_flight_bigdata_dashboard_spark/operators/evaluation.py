@@ -1909,7 +1909,11 @@ def q_atkinson_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully RATIONAL (the harmonic mean), so the whole index stays inside
     the no-transcendentals gate contract (ε=1 would need a geometric
     mean, i.e. exp/ln). Revenue totals are exact cents; the reciprocal
-    sum Σ1/x is a floor-quantized deterministic sum (fsum) of values ≤ 1.
+    sum Σ1/x is a floor-quantized deterministic sum (fsum) of reciprocals
+    taken in $10M units (x_u = cents/1e9, so addends sit near 1 and the
+    1e-10 quantum is ~10 digits below them — reciprocals of raw cents
+    would be ~5e-9 and the quantum would eat 7 significant digits,
+    measured while testing).
 
     Scale shape: one per-customer hash agg, then one global 3-sum agg —
     both map-side combinable; nothing domain-sized shuffles twice."""
@@ -1921,11 +1925,13 @@ def q_atkinson_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = per_cust.filter(F.col("rev") > 0).agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("rev").cast("decimal(38,0)").alias("tot_cents"),
-        fsum(F.lit(1.0) / F.col("rev").cast("double"), scale=15).alias("sinv"),
+        fsum(
+            F.lit(1.0) / (F.col("rev").cast("double") / F.lit(_UNIT)), scale=10
+        ).alias("sinv_u"),
     )
     nd = F.col("n_customers").cast("double")
     mean_c = F.col("tot_cents").cast("double") / nd
-    harm_c = nd / F.col("sinv")
+    harm_c = nd / F.col("sinv_u") * F.lit(_UNIT)
     return agg.select(
         "n_customers",
         (mean_c / F.lit(100.0)).alias("mean_revenue_dollars"),
@@ -1942,14 +1948,15 @@ WITH per_cust AS (
 ), agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
          CAST(SUM(rev) AS DECIMAL(38,0)) AS tot_cents,
-         {sql_fsum("1.0 / CAST(rev AS DOUBLE)", scale=15)} AS sinv
+         {sql_fsum("1.0 / (CAST(rev AS DOUBLE) / 1000000000.0)", scale=10)} AS sinv_u
   FROM per_cust WHERE rev > 0
 )
 SELECT n_customers,
        (CAST(tot_cents AS DOUBLE) / CAST(n_customers AS DOUBLE)) / 100.0
          AS mean_revenue_dollars,
-       (CAST(n_customers AS DOUBLE) / sinv) / 100.0 AS harmonic_mean_dollars,
-       1.0 - (CAST(n_customers AS DOUBLE) / sinv)
+       (CAST(n_customers AS DOUBLE) / sinv_u * 1000000000.0) / 100.0
+         AS harmonic_mean_dollars,
+       1.0 - (CAST(n_customers AS DOUBLE) / sinv_u * 1000000000.0)
              / (CAST(tot_cents AS DOUBLE) / CAST(n_customers AS DOUBLE))
          AS atkinson_2
 FROM agg
