@@ -1963,8 +1963,131 @@ FROM agg
 """
 
 
+CONF_ALPHA_NUM = 1  # miscoverage alpha = 1/10 -> 90% intervals
+CONF_ALPHA_DEN = 10
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per order priority: fit the
+    trivial per-priority mean model on the CALIBRATION half (even order
+    keys), take q̂ = the ⌈(n+1)(1−α)⌉-th smallest absolute residual, and
+    report the EMPIRICAL COVERAGE of mean ± q̂ on the held-out validation
+    half — the distribution-free guarantee (coverage ≥ 1−α for
+    exchangeable data, Vovk/Lei–Wasserman) that modern ML eval ships
+    instead of Gaussian error bars. α = {an}/{ad}. The quantile index is
+    computed in INTEGERS (⌈(n+1)·9/10⌉ = ((n+1)·9 + 9) div 10 — no float
+    boundary); residuals are exact cents minus a deterministic mean (one
+    IEEE subtraction each); coverage is an exact integer ratio.
+
+    Scale shape: one calibration hash agg (means), one keyed residual
+    window per priority for the order statistic (the quantile partition
+    is the 5-value priority domain with data-sized partitions — at 100 TB
+    swap in the ``global_rank_bucketed`` decomposition per priority, same
+    value), one validation agg. The split is a deterministic key-parity
+    predicate, so both engines pick identical halves.""".format(
+        an=CONF_ALPHA_NUM, ad=CONF_ALPHA_DEN
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    cal = orders.filter(F.col("o_orderkey") % 2 == 0)
+    val = orders.filter(F.col("o_orderkey") % 2 != 0)
+    model = cal.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mu"
+        ),
+    )
+    resid = cal.join(F.broadcast(model), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_cal",
+        F.abs(F.col("cents").cast("double") - F.col("mu")).alias("r"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("r")
+    qhat = (
+        resid.withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            == F.expr(
+                f"((n_cal + 1) * {CONF_ALPHA_DEN - CONF_ALPHA_NUM}"
+                f" + {CONF_ALPHA_DEN - 1}) div {CONF_ALPHA_DEN}"
+            )
+        )
+        .select("o_orderpriority", F.col("r").alias("qhat"))
+    )
+    scored = val.join(F.broadcast(model), "o_orderpriority").join(
+        F.broadcast(qhat), "o_orderpriority"
+    )
+    return (
+        scored.groupBy("o_orderpriority")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_val"),
+            F.max(F.col("qhat") / F.lit(100.0)).alias("qhat_dollars"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents").cast("double") - F.col("mu"))
+                    <= F.col("qhat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_cal",
+            "n_val",
+            "qhat_dollars",
+            (F.col("n_covered").cast("double") / F.col("n_val").cast("double")).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_CONFORMAL = f"""
+WITH orders2 AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), cal AS (SELECT * FROM orders2 WHERE o_orderkey % 2 = 0),
+val AS (SELECT * FROM orders2 WHERE o_orderkey % 2 <> 0),
+model AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_cal,
+         CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+  FROM cal GROUP BY 1
+), resid AS (
+  SELECT c.o_orderpriority, m.n_cal,
+         ABS(CAST(c.cents AS DOUBLE) - m.mu) AS r
+  FROM cal c JOIN model m USING (o_orderpriority)
+), qhat AS (
+  SELECT o_orderpriority, r AS qhat FROM (
+    SELECT o_orderpriority, n_cal, r,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY r) AS rn
+    FROM resid
+  ) WHERE rn = ((n_cal + 1) * {CONF_ALPHA_DEN - CONF_ALPHA_NUM}
+                + {CONF_ALPHA_DEN - 1}) // {CONF_ALPHA_DEN}
+)
+SELECT v.o_orderpriority,
+       MAX(m.n_cal) AS n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_val,
+       MAX(q.qhat / 100.0) AS qhat_dollars,
+       CAST(SUM(CASE WHEN ABS(CAST(v.cents AS DOUBLE) - m.mu) <= q.qhat
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS coverage
+FROM val v JOIN model m USING (o_orderpriority) JOIN qhat q USING (o_orderpriority)
+GROUP BY 1
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "acf_lags": q_acf_lags,
+    "conformal_interval": q_conformal_interval,
     "ljung_box_q": q_ljung_box_q,
     "theils_u_forecast": q_theils_u_forecast,
     "grubbs_statistic": q_grubbs_statistic,
@@ -1987,6 +2110,7 @@ QUERIES = {
 
 ORACLE = {
     "acf_lags": _ORACLE_ACF,
+    "conformal_interval": _ORACLE_CONFORMAL,
     "ljung_box_q": _ORACLE_LJUNG_BOX,
     "theils_u_forecast": _ORACLE_THEILS_U,
     "grubbs_statistic": _ORACLE_GRUBBS,

@@ -4551,8 +4551,149 @@ ORDER BY r_name
 """
 
 
+RMST_TAU = 720  # restriction horizon tau in lifetime-hours (30 days)
+
+
+def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time RMST(τ={tau}h) = ∫₀^τ S(t)dt over
+    the ``survival_kaplan_meier`` curve — the clinically-preferred scalar
+    summary when hazards are non-proportional (a median can sit past the
+    window; the τ-restricted area never does). Same lifetime/censoring
+    construction as the KM entry; the integral is the exact step-function
+    area Σ S(tᵢ)·(min(tᵢ₊₁,τ)−tᵢ) plus the S=1 run before the first
+    death.
+
+    Determinism, zero-UDF variant: where the KM entry runs its cumulative
+    product in an Arrow ``applyInPandas``, THIS entry materializes the
+    (domain-sized, ≤ window-hours) step table as ONE sorted array and
+    computes every prefix product with pure Catalyst higher-order
+    functions — aggregate(slice(fs,1,i), 1.0, (a,x)→a·x), the identical
+    left-fold the oracle replays with list_reduce(list_prepend(1.0,
+    fs[1:i])) — bit-identical IEEE sequences, no quantization. The O(k²)
+    slice-fold is fine because k is the distinct-death-time count
+    (bounded by the observation window, NOT by data size).
+
+    Scale shape: identical to KM — per-user min/max hash agg, one
+    domain-sized cumulative window, then single-row array arithmetic.""".format(
+        tau=RMST_TAU
+    )
+    events = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.col("ts"))
+    per_user = events.groupBy("user_id").agg(
+        F.min(s).alias("first_s"), F.max(s).alias("last_s")
+    )
+    horizon = events.agg(F.max(s).alias("max_s"))
+    users = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.expr("(last_s - first_s) DIV 3600").alias("t"),
+        (F.col("last_s") < F.col("max_s") - F.lit(KM_CENSOR_S))
+        .cast("long")
+        .alias("churned"),
+    )
+    per_t = users.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    curve = per_t.select(
+        "t",
+        "d",
+        (
+            F.sum("cnt").over(w_all)
+            - F.coalesce(F.sum("cnt").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    ).filter((F.col("d") > 0) & (F.col("t") < RMST_TAU))
+    packed = curve.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "t",
+                    (
+                        (F.col("n_risk") - F.col("d")).cast("double")
+                        / F.col("n_risk").cast("double")
+                    ).alias("f"),
+                )
+            )
+        ).alias("arr")
+    )
+    # size(arr) = 0 guard: sequence(1, 0) is DESCENDING [1, 0] in Spark
+    # (the repo's documented pitfall) and arr[0] errors under ANSI — a
+    # curve with no deaths below tau means S ≡ 1, so RMST = tau exactly.
+    expr = f"""
+        CASE WHEN size(arr) = 0 THEN CAST({RMST_TAU} AS DOUBLE) ELSE
+        aggregate(
+          transform(sequence(1, size(arr)), i ->
+            aggregate(slice(transform(arr, s -> s.f), 1, i),
+                      CAST(1.0 AS DOUBLE), (a, x) -> a * x)
+            * CAST((CASE WHEN i = size(arr) THEN {RMST_TAU}
+                         ELSE arr[i].t END) - arr[i - 1].t AS DOUBLE)
+          ),
+          CAST(arr[0].t AS DOUBLE),
+          (a, x) -> a + x
+        ) END
+    """
+    # arr is 0-indexed in element access but slice() is 1-based; sequence
+    # i runs 1..k so arr[i-1] is step i and arr[i] is step i+1 (NULL past
+    # the end is replaced by the CASE's tau arm before it is ever read)
+    final_s = """
+        aggregate(transform(arr, s -> s.f), CAST(1.0 AS DOUBLE),
+                  (a, x) -> a * x)
+    """
+    return packed.select(
+        F.expr("size(arr)").cast("long").alias("n_steps"),
+        F.lit(RMST_TAU).cast("long").alias("tau_hours"),
+        F.expr(expr).alias("rmst_hours"),
+        F.expr(final_s).alias("survival_at_tau"),
+    )
+
+
+_ORACLE_RMST = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(floor(MIN(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS first_s,
+         CAST(floor(MAX(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_s
+  FROM events GROUP BY 1
+), users AS (
+  SELECT (last_s - first_s) // 3600 AS t,
+         CASE WHEN last_s < (SELECT MAX(last_s) FROM per_user) - {KM_CENSOR_S}
+              THEN 1 ELSE 0 END AS churned
+  FROM per_user
+), per_t AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(churned) AS BIGINT) AS d
+  FROM users GROUP BY 1
+), risk AS (
+  SELECT t, d,
+         CAST(SUM(cnt) OVER () AS BIGINT)
+           - CAST(COALESCE(SUM(cnt) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM per_t
+), curve AS (
+  SELECT t, CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+  FROM risk WHERE d > 0 AND t < {RMST_TAU}
+), packed AS (
+  SELECT array_agg(t ORDER BY t) AS ts, array_agg(f ORDER BY t) AS fs
+  FROM curve
+)
+SELECT CAST(len(ts) AS BIGINT) AS n_steps,
+       CAST({RMST_TAU} AS BIGINT) AS tau_hours,
+       CASE WHEN len(ts) = 0 THEN CAST({RMST_TAU} AS DOUBLE) ELSE
+       list_reduce(list_prepend(CAST(ts[1] AS DOUBLE),
+         list_transform(range(1, len(ts) + 1), i ->
+           list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fs[1:i]),
+                       (a, x) -> a * x)
+           * CAST((CASE WHEN i = len(ts) THEN {RMST_TAU}
+                        ELSE ts[i + 1] END) - ts[i] AS DOUBLE))),
+         (a, x) -> a + x) END AS rmst_hours,
+       list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fs), (a, x) -> a * x)
+         AS survival_at_tau
+FROM packed
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
+    "survival_rmst": q_survival_rmst,
     "events_ohlc": q_events_ohlc,
     "events_funnel": q_events_funnel,
     "events_cohort_retention": q_events_cohort_retention,
@@ -4629,6 +4770,7 @@ ORACLE = {
     "events_attribution_linear": _ORACLE_EVENTS_ATTRIBUTION_LINEAR,
     "events_ewma": _ORACLE_EVENTS_EWMA,
     "events_croston_forecast": _ORACLE_CROSTON,
+    "survival_rmst": _ORACLE_RMST,
     "events_theta_forecast": _ORACLE_THETA_FORECAST,
     "events_twap": _ORACLE_EVENTS_TWAP,
     "events_cusum_changepoint": _ORACLE_CUSUM,

@@ -1014,8 +1014,145 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Fleiss' kappa (round 10): the m-rater generalization of Cohen's kappa
+# ---------------------------------------------------------------------------
+
+FLEISS_YM_LO = 1996 * 12 + 1  # the 12 "rater" months: 1996-01 .. 1996-12
+FLEISS_YM_HI = 1996 * 12 + 12
+FLEISS_CATS = 3  # revenue terciles within each month
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa multi-rater agreement: each of m=12 months of 1996
+    "rates" every nation into a revenue TERCILE (top/mid/bottom third by
+    that month's revenue, competition ranking with nationkey tie-break —
+    the kendalls_w rank frame discretized to categories), and kappa asks
+    whether the months agree on who belongs where beyond chance —
+    the m-rater generalization of ``cohens_kappa`` (2 raters, same
+    module). P_i = (Σ_j n_ij² − m)/(m(m−1)), P̄ its mean, P_e = Σ_j p_j²;
+    κ = (P̄ − P_e)/(1 − P_e). Every n_ij is an exact integer; the three
+    category shares and κ are one IEEE sequence.
+
+    Scale shape: scan → |nation|×|month| hash agg; ranking, tercile
+    assignment, and the n_ij table all run on the 300-cell frame (25-row
+    month partitions)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter((ym >= FLEISS_YM_LO) & (ym <= FLEISS_YM_HI))
+        .groupBy(F.col("c_nationkey").alias("nk"), ym.alias("ym"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    months = spark.range(FLEISS_YM_LO, FLEISS_YM_HI + 1).select(
+        F.col("id").cast("int").alias("ym")
+    )
+    spine = nation.select(F.col("n_nationkey").alias("nk")).crossJoin(
+        F.broadcast(months)
+    )
+    dense = spine.join(rev, ["nk", "ym"], "left").select(
+        "nk", "ym", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    w = Window.partitionBy("ym").orderBy(F.desc("y"), F.asc("nk"))
+    n_nations = nation.count()  # dimension-sized: 25 at every SF
+    per_cat = (n_nations + FLEISS_CATS - 1) // FLEISS_CATS
+    rated = dense.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cat", ((F.col("rk") - 1) / F.lit(per_cat)).cast("int")
+    )
+    nij = rated.groupBy("nk", "cat").agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    m = FLEISS_YM_HI - FLEISS_YM_LO + 1
+    per_subject = nij.groupBy("nk").agg(
+        F.sum(F.col("nij") * F.col("nij")).cast("long").alias("sq")
+    )
+    subj = per_subject.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum("sq").cast("long").alias("ssq"),
+    )
+    cat_tot = nij.groupBy("cat").agg(F.sum("nij").cast("long").alias("cj"))
+    pe = cat_tot.agg(
+        F.sum(
+            (F.col("cj").cast("double") * F.col("cj").cast("double"))
+        ).alias("sum_cj2"),
+        F.sum("cj").cast("long").alias("tot"),
+    )
+    joined = subj.crossJoin(F.broadcast(pe))
+    nd = F.col("n_subjects").cast("double")
+    md = float(m)
+    p_bar = (
+        F.col("ssq").cast("double") - nd * F.lit(md)
+    ) / (nd * F.lit(md) * F.lit(md - 1.0))
+    p_e = F.col("sum_cj2") / (
+        F.col("tot").cast("double") * F.col("tot").cast("double")
+    )
+    return joined.select(
+        "n_subjects",
+        F.lit(m).cast("long").alias("m_raters"),
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        ((p_bar - p_e) / (F.lit(1.0) - p_e)).alias("fleiss_kappa"),
+    )
+
+
+def _sql_fleiss() -> str:
+    m = FLEISS_YM_HI - FLEISS_YM_LO + 1
+    # per_cat mirrors the Spark-side ceil(|nation|/cats) with |nation|=25
+    return f"""
+WITH rev AS (
+  SELECT c_nationkey AS nk,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS ym,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+        BETWEEN {FLEISS_YM_LO} AND {FLEISS_YM_HI}
+  GROUP BY 1, 2
+), months AS (
+  SELECT UNNEST(range({FLEISS_YM_LO}, {FLEISS_YM_HI + 1})) AS ym
+), spine AS (
+  SELECT n_nationkey AS nk, CAST(ym AS INT) AS ym FROM nation CROSS JOIN months
+), dense AS (
+  SELECT spine.nk, spine.ym, COALESCE(rev.y, 0) AS y
+  FROM spine LEFT JOIN rev ON spine.nk = rev.nk AND spine.ym = rev.ym
+), ncat AS (
+  SELECT CAST((COUNT(*) + {FLEISS_CATS - 1}) // {FLEISS_CATS} AS BIGINT) AS per_cat
+  FROM nation
+), rated AS (
+  SELECT nk,
+         CAST((ROW_NUMBER() OVER (PARTITION BY ym ORDER BY y DESC, nk ASC) - 1)
+              // per_cat AS INTEGER) AS cat
+  FROM dense CROSS JOIN ncat
+), nij AS (
+  SELECT nk, cat, CAST(COUNT(*) AS BIGINT) AS nij FROM rated GROUP BY 1, 2
+), subj AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects, CAST(SUM(sq) AS BIGINT) AS ssq
+  FROM (SELECT nk, SUM(nij * nij) AS sq FROM nij GROUP BY 1)
+), pe AS (
+  SELECT SUM(CAST(cj AS DOUBLE) * CAST(cj AS DOUBLE)) AS sum_cj2,
+         CAST(SUM(cj) AS BIGINT) AS tot
+  FROM (SELECT cat, SUM(nij) AS cj FROM nij GROUP BY 1)
+)
+SELECT n_subjects, CAST({m} AS BIGINT) AS m_raters,
+       (CAST(ssq AS DOUBLE) - CAST(n_subjects AS DOUBLE) * {float(m)!r})
+         / (CAST(n_subjects AS DOUBLE) * {float(m)!r} * {float(m - 1)!r}) AS p_bar,
+       sum_cj2 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS p_e,
+       ((CAST(ssq AS DOUBLE) - CAST(n_subjects AS DOUBLE) * {float(m)!r})
+          / (CAST(n_subjects AS DOUBLE) * {float(m)!r} * {float(m - 1)!r})
+        - sum_cj2 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)))
+       / (1.0 - sum_cj2 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)))
+         AS fleiss_kappa
+FROM subj CROSS JOIN pe
+"""
+
+
 QUERIES = {
     "standardized_rate_mix": q_standardized_rate_mix,
+    "fleiss_kappa": q_fleiss_kappa,
     "cohens_kappa": q_cohens_kappa,
     "kruskal_wallis": q_kruskal_wallis,
     "mantel_haenszel_or": q_mantel_haenszel_or,
@@ -1029,6 +1166,7 @@ QUERIES = {
 
 ORACLE = {
     "standardized_rate_mix": _sql_standardized_rate(),
+    "fleiss_kappa": _sql_fleiss(),
     "kruskal_wallis": _sql_kruskal_wallis(),
     "mantel_haenszel_or": _sql_mantel_haenszel(),
     "cochran_armitage": _ORACLE_COCHRAN_ARMITAGE,
