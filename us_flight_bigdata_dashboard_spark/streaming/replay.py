@@ -892,7 +892,73 @@ ORDER BY j, bucket
 """
 
 
+def q_streaming_hll_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An HLL register grid maintained BY the streaming engine — the
+    MAX-merge counterpart of ``streaming_cms_sketch_replay`` (that entry
+    proved SUM-mergeable sketch state; this one proves the other
+    mergeable-aggregation class): each event's user hash updates one of
+    {m} registers with MAX(rho), in complete mode across the
+    multi-micro-batch replay, and the grid is gated REGISTER BY REGISTER
+    against the batch-built grid (``sketches.q_sketch_hll_registers``
+    recipe — 48-bit md5 prefix, leading-zero rank via length(bin)). MAX
+    is idempotent and order-free, so the register a stream converges to
+    under ANY micro-batch sequencing — including replays that see a row
+    twice, the at-least-once delivery case where a COUNT sketch would
+    drift — is exactly the batch register. That idempotence is why HLL
+    state survives reprocessing unreconciled in production pipelines.
+
+    Scale shape: state = the ≤{m}-row register grid, O(1) in data size;
+    per micro-batch one map-side-combinable MAX agg.""".format(m=256)
+    from us_flight_bigdata_dashboard_spark.operators.sketches import (
+        HLL_M,
+        HLL_REST_BITS,
+    )
+
+    src = _stage_events(spark, sf_dir)
+
+    def build(stream: DataFrame) -> DataFrame:
+        x = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("bigint")
+        rest = F.shiftright(x, 8)
+        rho = F.when(rest == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+            F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest))
+        )
+        return (
+            stream.filter(F.col("user_id").isNotNull())
+            .select((x % F.lit(HLL_M)).alias("reg"), rho.alias("rho"))
+            .groupBy("reg")
+            .agg(F.max("rho").cast("long").alias("m_j"))
+        )
+
+    result = _replay(spark, src, build, mode="complete")
+    return result.orderBy("reg")
+
+
+def _sql_streaming_hll() -> str:
+    from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
+    from us_flight_bigdata_dashboard_spark.operators.sketches import (
+        HLL_M,
+        HLL_REST_BITS,
+    )
+
+    x = _sql_hex_to_int("md5(CAST(user_id AS VARCHAR))", 1, 12)
+    return f"""
+WITH hashed AS (
+  SELECT {x} % {HLL_M} AS reg, {x} // {HLL_M} AS rest
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT reg,
+       CAST(MAX(CASE WHEN rest = 0 THEN {HLL_REST_BITS + 1}
+                     ELSE {HLL_REST_BITS + 1} - length(bin(rest)) END) AS BIGINT)
+         AS m_j
+FROM hashed GROUP BY reg
+ORDER BY reg
+"""
+
+
 QUERIES = {
+    "streaming_hll_sketch_replay": q_streaming_hll_sketch_replay,
     "streaming_streaks_replay": q_streaming_streaks_replay,
     "streaming_streaks_v2_replay": q_streaming_streaks_v2_replay,
     "streaming_tumbling_replay": q_streaming_tumbling_replay,
@@ -911,6 +977,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_hll_sketch_replay": _sql_streaming_hll(),
     "streaming_streaks_replay": _ORACLE_STREAMING_STREAKS,
     "streaming_streaks_v2_replay": _ORACLE_STREAMING_STREAKS,
     "streaming_tumbling_replay": _ORACLE_STREAMING_TUMBLING,
