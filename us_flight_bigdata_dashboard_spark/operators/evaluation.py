@@ -2085,9 +2085,145 @@ ORDER BY o_orderpriority
 """
 
 
+_ITS_T0 = 1998 * 12 + 1  # intervention month: 1998-01
+
+
+def q_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series (segmented regression) effect estimates
+    per region at {d}: where ``chow_test`` (same frame, this module)
+    only answers "did the trend change" with an F statistic, ITS reports
+    the EFFECT — the level change (post-intercept minus pre-intercept at
+    the intervention month) and the slope change — the standard
+    quasi-experimental readout when randomization is impossible (policy
+    changes, price changes, incidents). Months are centered on the
+    intervention (u = ym − t0) so both intercepts are directly
+    comparable at u = 0. Both segment fits come from ONE conditional-
+    moment hash agg (the chow_test recipe): x is the exact integer u,
+    y is revenue in $10M units with floor-quantized moments; slopes,
+    intercepts, and the two effects are one IEEE sequence on 5 rows.
+
+    Scale shape: scan → |region|×|month| cells; everything after is
+    5-row arithmetic.""".format(d="1998-01")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            "r_name",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - F.lit(_ITS_T0)
+            ).alias("u"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            "r_name",
+            F.col("u").cast("long").alias("u"),
+            (F.col("cents").cast("double") / F.lit(_UNIT)).alias("y"),
+        )
+    )
+    pre = F.col("u") < 0
+
+    def seg(tag, cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{tag}"),
+            F.sum(F.when(cond, F.col("u")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"sx{tag}"),
+            F.sum(F.when(cond, F.col("u") * F.col("u")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"sxx{tag}"),
+            fsum(F.when(cond, F.col("y")).otherwise(F.lit(0.0)), scale=_FS).alias(
+                f"sy{tag}"
+            ),
+            fsum(
+                F.when(cond, F.col("u").cast("double") * F.col("y")).otherwise(
+                    F.lit(0.0)
+                ),
+                scale=_FS,
+            ).alias(f"sxy{tag}"),
+        ]
+
+    m = monthly.groupBy("r_name").agg(*seg("1", pre), *seg("2", ~pre))
+
+    def fit(tag):
+        n = F.col(f"n{tag}").cast("double")
+        sx = F.col(f"sx{tag}").cast("double")
+        sxx = F.col(f"sxx{tag}").cast("double")
+        sy = F.col(f"sy{tag}")
+        sxy = F.col(f"sxy{tag}")
+        b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        a = (sy - b * sx) / n
+        return a, b
+
+    a1, b1 = fit("1")
+    a2, b2 = fit("2")
+    return m.select(
+        "r_name",
+        F.col("n1").alias("n_pre"),
+        F.col("n2").alias("n_post"),
+        (b1 * F.lit(10.0)).alias("slope_pre_musd"),
+        (b2 * F.lit(10.0)).alias("slope_post_musd"),
+        ((b2 - b1) * F.lit(10.0)).alias("slope_change_musd"),
+        ((a2 - a1) * F.lit(10.0)).alias("level_change_musd"),
+    ).orderBy("r_name")
+
+
+def _sql_its() -> str:
+    def seg(tag, cond):
+        return f"""
+         CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n{tag},
+         CAST(SUM(CASE WHEN {cond} THEN u ELSE 0 END) AS BIGINT) AS sx{tag},
+         CAST(SUM(CASE WHEN {cond} THEN u * u ELSE 0 END) AS BIGINT) AS sxx{tag},
+         {sql_fsum(f"CASE WHEN {cond} THEN y ELSE 0.0 END", scale=8)} AS sy{tag},
+         {sql_fsum(f"CASE WHEN {cond} THEN CAST(u AS DOUBLE) * y ELSE 0.0 END", scale=8)} AS sxy{tag}"""
+
+    def fit(tag):
+        n = f"CAST(n{tag} AS DOUBLE)"
+        sx = f"CAST(sx{tag} AS DOUBLE)"
+        sxx = f"CAST(sxx{tag} AS DOUBLE)"
+        b = f"(({n} * sxy{tag} - {sx} * sy{tag}) / ({n} * {sxx} - {sx} * {sx}))"
+        a = f"((sy{tag} - {b} * {sx}) / {n})"
+        return a, b
+
+    a1, b1 = fit("1")
+    a2, b2 = fit("2")
+    return f"""
+WITH monthly AS (
+  SELECT r_name,
+         CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - {_ITS_T0} AS BIGINT) AS u,
+         CAST(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) / 1000000000.0 AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT r_name, {seg("1", "u < 0")}, {seg("2", "u >= 0")}
+  FROM monthly GROUP BY 1
+)
+SELECT r_name, n1 AS n_pre, n2 AS n_post,
+       {b1} * 10.0 AS slope_pre_musd,
+       {b2} * 10.0 AS slope_post_musd,
+       ({b2} - {b1}) * 10.0 AS slope_change_musd,
+       ({a2} - {a1}) * 10.0 AS level_change_musd
+FROM m
+ORDER BY r_name
+"""
+
+
 QUERIES = {
     "acf_lags": q_acf_lags,
     "conformal_interval": q_conformal_interval,
+    "interrupted_time_series": q_interrupted_time_series,
     "ljung_box_q": q_ljung_box_q,
     "theils_u_forecast": q_theils_u_forecast,
     "grubbs_statistic": q_grubbs_statistic,
@@ -2111,6 +2247,7 @@ QUERIES = {
 ORACLE = {
     "acf_lags": _ORACLE_ACF,
     "conformal_interval": _ORACLE_CONFORMAL,
+    "interrupted_time_series": _sql_its(),
     "ljung_box_q": _ORACLE_LJUNG_BOX,
     "theils_u_forecast": _ORACLE_THEILS_U,
     "grubbs_statistic": _ORACLE_GRUBBS,

@@ -9,6 +9,8 @@ Streaming (streaming/ module) — one logical definition, two execution modes.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4691,9 +4693,108 @@ FROM packed
 """
 
 
+PERIODOGRAM_PERIODS = [12, 24, 84, 168]  # candidate cycles in hours
+# Python-precomputed cos/sin tables per (period, phase) — the LUT escape
+# from the no-transcendentals policy (the HLL linear-counting trick): both
+# engines JOIN the identical 288 literal doubles, neither evaluates cos().
+_PG_LUT = [
+    (p, ph, math.cos(2.0 * math.pi * ph / p), math.sin(2.0 * math.pi * ph / p))
+    for p in PERIODOGRAM_PERIODS
+    for ph in range(p)
+]
+
+
+def _sql_pg_lut() -> str:
+    rows = ", ".join(
+        f"({p}, {ph}, CAST({c!r} AS DOUBLE), CAST({s!r} AS DOUBLE))"
+        for p, ph, c, s in _PG_LUT
+    )
+    return f"(VALUES {rows}) lut(p, ph, cosv, sinv)"
+
+
+def q_events_periodogram_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of the hourly event count at {ps} candidate periods:
+    spectral power P(T) = C² + S² with C = Σ xₜ·cos(2π·(t mod T)/T),
+    S = Σ xₜ·sin(·) — the frequency-domain seasonality detector that
+    complements ``events_seasonal_strength`` (that entry assumes THE
+    period; this one ranks candidates, e.g. daily vs weekly). cos/sin
+    never run at query time: phase t mod T is an integer in [0, T), so
+    the whole trigonometry is a {n}-row Python-precomputed LUT both
+    engines join identically (the HLL linear-counting escape). C and S
+    are floor-quantized deterministic sums of count×LUT products;
+    power_frac normalizes by (Σx)² so periods are comparable.
+
+    Scale shape: the one data-sized stage is the hourly count hash agg;
+    the ×{k} period explode and LUT join run on the ~10³-row hourly
+    grid. fsum scale 8 keeps |Σ| exact to ~sf10; drop to scale 6 at a
+    1000× deployment (addends are bounded by per-hour event
+    counts).""".format(
+        ps=PERIODOGRAM_PERIODS, n=len(_PG_LUT), k=len(PERIODOGRAM_PERIODS)
+    )
+    events = load_table(spark, sf_dir, "events")
+    h = (F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("bigint")
+    counts = events.groupBy(h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lut = spark.createDataFrame(
+        _PG_LUT, "p INT, ph INT, cosv DOUBLE, sinv DOUBLE"
+    )
+    arms = counts.select(
+        "h",
+        "c",
+        F.explode(
+            F.array(*[F.lit(p) for p in PERIODOGRAM_PERIODS])
+        ).alias("p"),
+    ).withColumn("ph", (F.col("h") % F.col("p")).cast("int"))
+    joined = arms.join(F.broadcast(lut), ["p", "ph"])
+    per_p = joined.groupBy("p").agg(
+        fsum(F.col("c").cast("double") * F.col("cosv"), scale=8).alias("cc"),
+        fsum(F.col("c").cast("double") * F.col("sinv"), scale=8).alias("ss"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    power = F.col("cc") * F.col("cc") + F.col("ss") * F.col("ss")
+    tot2 = F.col("total").cast("double") * F.col("total").cast("double")
+    return per_p.select(
+        F.col("p").cast("int").alias("period_hours"),
+        "total",
+        power.alias("power"),
+        (power / tot2).alias("power_frac"),
+    ).orderBy("period_hours")
+
+
+def _sql_periodogram() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT h, c, {p} AS p FROM counts" for p in PERIODOGRAM_PERIODS
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), arms AS ({arms}),
+joined AS (
+  SELECT a.p, a.c, lut.cosv, lut.sinv
+  FROM arms a JOIN {_sql_pg_lut()} ON a.p = lut.p AND CAST(a.h % a.p AS INT) = lut.ph
+), per_p AS (
+  SELECT p,
+         {sql_fsum("CAST(c AS DOUBLE) * cosv", scale=8)} AS cc,
+         {sql_fsum("CAST(c AS DOUBLE) * sinv", scale=8)} AS ss,
+         CAST(SUM(c) AS BIGINT) AS total
+  FROM joined GROUP BY 1
+)
+SELECT CAST(p AS INTEGER) AS period_hours, total,
+       cc * cc + ss * ss AS power,
+       (cc * cc + ss * ss)
+         / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS power_frac
+FROM per_p
+ORDER BY period_hours
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "survival_rmst": q_survival_rmst,
+    "events_periodogram_lut": q_events_periodogram_lut,
     "events_ohlc": q_events_ohlc,
     "events_funnel": q_events_funnel,
     "events_cohort_retention": q_events_cohort_retention,
@@ -4771,6 +4872,7 @@ ORACLE = {
     "events_ewma": _ORACLE_EVENTS_EWMA,
     "events_croston_forecast": _ORACLE_CROSTON,
     "survival_rmst": _ORACLE_RMST,
+    "events_periodogram_lut": _sql_periodogram(),
     "events_theta_forecast": _ORACLE_THETA_FORECAST,
     "events_twap": _ORACLE_EVENTS_TWAP,
     "events_cusum_changepoint": _ORACLE_CUSUM,

@@ -2230,7 +2230,113 @@ ORDER BY query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Triplet-violation embedding quality (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_triplet_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-violation rate of the embedding space per label: for
+    deterministic triplets (anchor, positive = the label's next vector
+    by vec_id, negative = the OTHER-label vector with the next global
+    vec_id), count how often cos(a, pos) ≤ cos(a, neg) — the metric-
+    learning eval (are same-label points closer than different-label
+    ones?) that reads embedding QUALITY where ``embedding_centroid_
+    separation`` reads only the means. Triplet construction is pure
+    keyed windows (label-partitioned lead for positives, global-order
+    lead chain for negatives, skipping same-label successors by taking
+    the first of the next two — deterministic on both engines, no
+    sampling RNG); cosines are the house sequential-fold dot products.
+
+    Scale shape: two keyed windows over the vector table + one
+    per-label agg — no pair joins, no cross joins; at 100 TB swap the
+    single global-order window for the bucketed-rank decomposition.
+    Violation counts are exact integers; the rate is one division."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    w_lab = Window.partitionBy("label").orderBy("vec_id")
+    w_all = Window.orderBy("vec_id")
+    trip = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("a"),
+        F.lead("embedding", 1).over(w_lab).alias("pos"),
+        F.lead("embedding", 1).over(w_all).alias("n1"),
+        F.lead("label", 1).over(w_all).alias("l1"),
+        F.lead("embedding", 2).over(w_all).alias("n2"),
+        F.lead("label", 2).over(w_all).alias("l2"),
+    ).select(
+        "vec_id",
+        "label",
+        "a",
+        "pos",
+        F.when(F.col("l1") != F.col("label"), F.col("n1"))
+        .when(F.col("l2") != F.col("label"), F.col("n2"))
+        .alias("neg"),
+    ).filter(F.col("pos").isNotNull() & F.col("neg").isNotNull())
+
+    def cos(x, y):
+        return _dot(F.col(x), F.col(y)) / (_norm(F.col(x)) * _norm(F.col(y)))
+
+    scored = trip.select(
+        "label",
+        (cos("a", "pos") <= cos("a", "neg")).cast("int").alias("viol"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triplets"),
+            F.sum("viol").cast("long").alias("n_violations"),
+        )
+        .select(
+            "label",
+            "n_triplets",
+            "n_violations",
+            (
+                F.col("n_violations").cast("double")
+                / F.col("n_triplets").cast("double")
+            ).alias("violation_rate"),
+        )
+        .orderBy("label")
+    )
+
+
+def _sql_triplet_violations() -> str:
+    cos_ap = _sql_cosine("a", "pos")
+    cos_an = _sql_cosine("a", "neg")
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, embedding AS a,
+         LEAD(embedding, 1) OVER (PARTITION BY label ORDER BY vec_id) AS pos,
+         LEAD(embedding, 1) OVER (ORDER BY vec_id) AS n1,
+         LEAD(label, 1) OVER (ORDER BY vec_id) AS l1,
+         LEAD(embedding, 2) OVER (ORDER BY vec_id) AS n2,
+         LEAD(label, 2) OVER (ORDER BY vec_id) AS l2
+  FROM embeddings
+), trip AS (
+  SELECT label, a, pos,
+         CASE WHEN l1 <> label THEN n1
+              WHEN l2 <> label THEN n2 END AS neg
+  FROM base
+), ok AS (
+  SELECT label,
+         CASE WHEN {cos_ap} <= {cos_an} THEN 1 ELSE 0 END AS viol
+  FROM trip WHERE pos IS NOT NULL AND neg IS NOT NULL
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_triplets,
+       CAST(SUM(viol) AS BIGINT) AS n_violations,
+       CAST(SUM(viol) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS violation_rate
+FROM ok
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
+    "embedding_triplet_violations": q_embedding_triplet_violations,
     "embedding_binary_quant": q_embedding_binary_quant,
     "embedding_mmr_select": q_embedding_mmr_select,
     "embedding_centroid_separation": q_embedding_centroid_separation,
@@ -2254,6 +2360,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embedding_triplet_violations": _sql_triplet_violations(),
     "embedding_binary_quant": _sql_binary_quant(),
     "embedding_centroid_separation": _ORACLE_CENTROID_SEP,
     "embedding_mmr_select": _sql_mmr_select(),
