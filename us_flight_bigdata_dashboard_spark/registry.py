@@ -99,15 +99,28 @@ _MODULES = [
 # sf0.001/sf0.01/sf0.1 + PANDAS_CANON + vanilla-ANSI + dtype-parity and
 # is matrix-green in FULLMATRIX_r09.json (382/382); 34 of the 50 were
 # additionally re-run green by the r9 judge under PANDAS_CANON.
-# ROUND-11 STAGING: prefix = (round-10 additions) + (sentinel
-# re-certifications of any entry whose certified code changed after its
-# last green round -- tools/rotate_prefix.py --sentinels computes this
-# from git); known so far: graph_supplier_similarity, sketch_hll_registers,
-# sketch_hll_union (r9 rewrites, certified pre-rewrite), plus the r10
-# ADVICE-fix touchees whose last green predates the fix (NONE expected:
-# kendalls_w, page_trend_test, roc_auc_exact, mcnemar_paired,
-# text_textrank_keywords are all IN this r10 prefix and certified on the
-# fixed code). Entries after the flagship block run in stable module order.
+# ROUND-11 STAGING: prefix = the 20 ROUND-10 ADDITIONS (all pre-cleared
+# at sf0.001/0.01/0.1 + PANDAS_CANON + vanilla-ANSI + dtype-parity this
+# round, ground-truth-tested in tests/test_round10_ops.py):
+#   wilcoxon_signed_rank, energy_distance_two_sample, cohens_d_effect,
+#   atkinson_inequality, conformal_interval, interrupted_time_series,
+#   fleiss_kappa, graph_resource_allocation, graph_hyperball,
+#   sketch_theta_intersection, text_dsir_proxy, text_sttr,
+#   events_theta_forecast, events_periodogram_lut, survival_rmst,
+#   newsvendor_quantile, price_elasticity_arc, dp_randomized_response,
+#   embedding_triplet_violations, streaming_hll_sketch_replay
+# plus the 15 CERTAIN sentinels `tools/rotate_prefix.py --sentinels`
+# computes (entries whose query-function text changed AFTER their last
+# driver certification -- run the tool at r11 start for the live list;
+# at r10 close it reports: ann_lsh, asof_join_forward, asof_join_nearest,
+# embedding_near_dup, embedding_pca_power, events_tumbling,
+# graph_supplier_similarity, multimodal_jpeg_decode, multimodal_meta_stats,
+# multimodal_ppm_decode, scan_parquet_zstd_roundtrip, sketch_hll_registers,
+# sketch_hll_union, streaming_streaks_replay, vector_label_stats).
+# = 35 slots; the r10 ADVICE-fix touchees (kendalls_w, roc_auc_exact,
+# mcnemar_paired, text_textrank_keywords) are IN this r10 prefix and get
+# certified on the fixed code live, so they need no r11 sentinel.
+# Entries after the flagship block run in stable module order.
 _FLAGSHIP_PREFIX = [
     # --- evaluation / diagnostics (r9 additions, 15) ---
     "acf_lags",
