@@ -707,3 +707,24 @@ def test_triplet_violation_rate_beats_random_for_separated_labels(spark):
     # labeled testdata embeddings are clustered by construction: same-label
     # neighbors should beat different-label ones far more often than chance
     assert total_v / total_t < 0.5
+
+
+def test_gif_lzw_tail_width_boundary_regression(spark):
+    """Round-10 hypothesis find: when the FINAL data code's decoder-side
+    insert lands exactly on 2^width − 1, the decoder widens before
+    reading EOI; the encoder must mirror the bump (it skipped its own
+    insert at the tail). This pattern reproduces the boundary."""
+    import pandas as pd
+
+    from us_flight_bigdata_dashboard_spark.operators import gif_codec as GIF
+
+    pattern = [0, 0, 0, 1, 0, 3, 0, 2, 1, 1, 2]
+    n = GIF.GIF_W * GIF.GIF_H
+    px = (pattern * (n // len(pattern) + 1))[:n]
+    enc = next(
+        GIF.make_gif_writer(lambda mid: px)(
+            iter([pd.DataFrame({"media_id": [1]})])
+        )
+    )
+    dec = next(GIF.make_gif_decoder()(iter([enc])))
+    assert int(dec.sum_lum[0]) == sum(1000 * v for v in px)

@@ -127,6 +127,18 @@ def make_gif_writer(pixel_fn=None, palette=None):
                     next_code, width = eoi + 1, min_code_size + 1
                 w_code = ch
             emit(w_code, width)
+            # Tail width sync (hypothesis-found, round 10): the decoder
+            # still INSERTS upon this final data code (the encoder has no
+            # following char so it skipped its insert), so when that
+            # insert lands exactly on 2^width − 1 the decoder widens
+            # BEFORE reading EOI — mirror the bump or EOI is written one
+            # bit narrower than it is read ("truncated LZW stream" on
+            # patterns whose last emitted code sits on a width boundary).
+            # After a clear with no intervening insert next_code is 258,
+            # never 2^w − 1, so the first-code-after-clear case (where
+            # the decoder does NOT insert) can never false-trigger this.
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
             emit(eoi, width)
             if nbits:
                 out.append(acc & 0xFF)

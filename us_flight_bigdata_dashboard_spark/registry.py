@@ -116,7 +116,9 @@ _MODULES = [
 # embedding_near_dup, embedding_pca_power, events_tumbling,
 # graph_supplier_similarity, multimodal_jpeg_decode, multimodal_meta_stats,
 # multimodal_ppm_decode, scan_parquet_zstd_roundtrip, sketch_hll_registers,
-# sketch_hll_union, streaming_streaks_replay, vector_label_stats).
+# sketch_hll_union, streaming_streaks_replay, vector_label_stats;
+# multimodal_gif_decode joins them -- its LZW encoder tail-width fix
+# landed r10 after its last certification).
 # = 35 slots; the r10 ADVICE-fix touchees (kendalls_w, roc_auc_exact,
 # mcnemar_paired, text_textrank_keywords) are IN this r10 prefix and get
 # certified on the fixed code live, so they need no r11 sentinel.
