@@ -728,3 +728,117 @@ def test_gif_lzw_tail_width_boundary_regression(spark):
     )
     dec = next(GIF.make_gif_decoder()(iter([enc])))
     assert int(dec.sum_lum[0]) == sum(1000 * v for v in px)
+
+
+# ---------------------------------------------------------------------------
+# wave 4: PACF, polynomial MMD, Gumbel EVT, quantile normalization
+# ---------------------------------------------------------------------------
+
+
+def test_pacf_matches_yule_walker_solve(spark):
+    """The closed-form Cramer ratios must equal the numpy linear solve of
+    the Yule-Walker equations at each order."""
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_pacf_closed_form,
+    )
+
+    (row,) = q_pacf_closed_form(spark, SF_DIR).collect()
+    rho = [1.0, row["acf1"], row["acf2"], row["acf3"]]
+    for k, col in ((1, "pacf1"), (2, "pacf2"), (3, "pacf3")):
+        R = np.array([[rho[abs(i - j)] for j in range(k)] for i in range(k)])
+        r = np.array(rho[1 : k + 1])
+        phi = np.linalg.solve(R, r)
+        assert row[col] == pytest.approx(phi[-1], rel=1e-9), (k, col)
+    assert abs(row["pacf1"]) <= 1.0
+
+
+def test_mmd_poly_matches_pairwise_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_mmd_poly_two_sample,
+    )
+
+    od = _orders_df()
+    x = np.round(od["o_totalprice"] * 100).astype(np.int64).values / 1e9
+    urg = (od["o_orderpriority"] == "1-URGENT").values
+    a, b = x[urg], x[~urg]
+
+    def k(u, v):
+        return (np.outer(u, v) + 1.0) ** 2
+
+    kxx = k(a, a)
+    kyy = k(b, b)
+    np.fill_diagonal(kxx, 0.0)
+    np.fill_diagonal(kyy, 0.0)
+    n1, n2 = len(a), len(b)
+    mmd2 = (
+        kxx.sum() / (n1 * (n1 - 1))
+        + kyy.sum() / (n2 * (n2 - 1))
+        - 2.0 * k(a, b).sum() / (n1 * n2)
+    )
+    (row,) = q_mmd_poly_two_sample(spark, SF_DIR).collect()
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["mmd2_unbiased"] == pytest.approx(mmd2, rel=1e-6)
+
+
+def test_gumbel_moments_and_return_level(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        _GUMBEL_CT,
+        _GUMBEL_EULER,
+        _GUMBEL_SQRT6_PI,
+        q_evt_gumbel_block_maxima,
+    )
+
+    # the three precomputed literals are the true transcendentals
+    assert _GUMBEL_SQRT6_PI == pytest.approx(np.sqrt(6) / np.pi, abs=0)
+    assert _GUMBEL_CT == pytest.approx(-np.log(-np.log(1 - 1 / 12)), abs=0)
+    assert _GUMBEL_EULER == pytest.approx(0.57721566490153286, rel=1e-15)
+    od = _orders_df()
+    od["cents"] = np.round(od["o_totalprice"] * 100).astype(np.int64)
+    daily = od.groupby(od["o_orderdate"].dt.date)["cents"].sum()
+    ym = [d.year * 12 + d.month for d in daily.index]
+    import pandas as pd
+
+    mx = pd.Series(daily.values, index=ym).groupby(level=0).max() / 1e9
+    mean, sd = mx.mean(), mx.std(ddof=1)
+    beta = sd * _GUMBEL_SQRT6_PI
+    mu = mean - _GUMBEL_EULER * beta
+    (row,) = q_evt_gumbel_block_maxima(spark, SF_DIR).collect()
+    assert row["n_blocks"] == len(mx)
+    assert row["gumbel_beta_musd"] == pytest.approx(beta * 10, rel=1e-6)
+    assert row["return_level_12mo_musd"] == pytest.approx(
+        (mu + beta * _GUMBEL_CT) * 10, rel=1e-6
+    )
+    # the 12-month return level must sit above the mean block max
+    assert row["return_level_12mo_musd"] > row["mean_block_max_musd"]
+
+
+def test_quantile_normalize_is_monotone_and_exact(spark):
+    from us_flight_bigdata_dashboard_spark.operators.sampling import (
+        QNORM_DECILES,
+        q_quantile_normalize_deciles,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, n_chars FROM '{SF_DIR}/documents.parquet'"
+    ).df()
+    rows = q_quantile_normalize_deciles(spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    pooled_sorted = np.sort(docs["n_chars"].values)
+    n_p = len(pooled_sorted)
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: r["decile"])
+        assert [r["decile"] for r in rs] == list(range(1, QNORM_DECILES + 1))
+        vals_sorted = np.sort(docs.loc[docs["source"] == src, "n_chars"].values)
+        n = len(vals_sorted)
+        for r in rs:
+            tgt = (r["decile"] * n + QNORM_DECILES - 1) // QNORM_DECILES
+            assert r["source_value"] == vals_sorted[tgt - 1]
+            tgt_p = (r["decile"] * n_p + QNORM_DECILES - 1) // QNORM_DECILES
+            assert r["pooled_value"] == pooled_sorted[tgt_p - 1]
+        # monotone mapping in the decile
+        sv = [r["source_value"] for r in rs]
+        pv = [r["pooled_value"] for r in rs]
+        assert sv == sorted(sv) and pv == sorted(pv)

@@ -2220,10 +2220,229 @@ ORDER BY r_name
 """
 
 
+def q_pacf_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily-revenue series at lags 1–3
+    via the CLOSED-FORM Durbin–Levinson solutions — the Box–Jenkins
+    order-identification companion of ``acf_lags`` (ACF tails off for AR
+    processes; PACF cuts off at the AR order, and it's the cut-off you
+    read to pick p): φ₁₁ = ρ₁, φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²), φ₃₃ = the 3×3
+    Toeplitz Cramer ratio — three FIXED rational expressions on the same
+    exact-moment ρ values the ACF entry ships, written identically in
+    both engines (no iterative solver, no matrix library).
+
+    Scale shape: identical to acf_lags — one data-sized hash agg, then
+    the ~2.4k-row domain-sized lag frame; the PACF algebra runs on one
+    row."""
+    acf = _acf_frame(spark, sf_dir).filter(F.col("lag") <= 3)
+    piv = acf.agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("acf"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    phi33_num = r3 - F.lit(2.0) * r1 * r2 - r1 * r1 * r3 + r1 * r2 * r2 + r1 * r1 * r1
+    phi33_den = F.lit(1.0) - F.lit(2.0) * r1 * r1 + F.lit(2.0) * r1 * r1 * r2 - r2 * r2
+    return piv.select(
+        "n",
+        r1.alias("acf1"),
+        r2.alias("acf2"),
+        r3.alias("acf3"),
+        r1.alias("pacf1"),
+        phi22.alias("pacf2"),
+        (phi33_num / phi33_den).alias("pacf3"),
+    )
+
+
+_ORACLE_PACF = f"""
+WITH acf AS ({_SQL_ACF_FRAME}), piv AS (
+  SELECT MAX(n) AS n,
+         MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+         MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+         MAX(CASE WHEN lag = 3 THEN acf END) AS r3
+  FROM acf WHERE lag <= 3
+)
+SELECT n, r1 AS acf1, r2 AS acf2, r3 AS acf3,
+       r1 AS pacf1,
+       (r2 - r1 * r1) / (1.0 - r1 * r1) AS pacf2,
+       (r3 - 2.0 * r1 * r2 - r1 * r1 * r3 + r1 * r2 * r2 + r1 * r1 * r1)
+         / (1.0 - 2.0 * r1 * r1 + 2.0 * r1 * r1 * r2 - r2 * r2) AS pacf3
+FROM piv
+"""
+
+
+def q_mmd_poly_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum Mean Discrepancy between urgent and non-urgent order
+    values under the degree-2 polynomial kernel k(x,y) = (xy+1)² — the
+    KERNEL two-sample test beside ``energy_distance_two_sample``
+    (energy = a fixed distance kernel read via prefix sums; polynomial
+    MMD = a kernel whose pair sums COLLAPSE INTO MOMENTS:
+    Σᵢⱼ(xᵢyⱼ+1)² = (Σx²)(Σy²) + 2(Σx)(Σy) + n·m, so the entire U-statistic
+    is O(n) exact arithmetic, no pair structure at all). The UNBIASED
+    estimator excludes i=j via the Σx⁴-corrected diagonal. Values in $10M
+    units; all six moments floor-quantized (fsum); MMD² is one IEEE
+    sequence.
+
+    Scale shape: ONE map-side-combinable 8-sum hash agg over the scan —
+    the cheapest two-sample machinery in the registry."""
+    orders = load_table(spark, sf_dir, "orders")
+    g1 = F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1)).otherwise(F.lit(0))
+    x = F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("double") / F.lit(
+        _UNIT
+    )
+    x2 = x * x
+    agg = orders.agg(
+        F.sum(g1).cast("long").alias("n1"),
+        F.sum(F.lit(1) - g1).cast("long").alias("n2"),
+        fsum(F.when(g1 == 1, x).otherwise(F.lit(0.0)), scale=12).alias("sx"),
+        fsum(F.when(g1 == 0, x).otherwise(F.lit(0.0)), scale=12).alias("sy"),
+        fsum(F.when(g1 == 1, x2).otherwise(F.lit(0.0)), scale=14).alias("sx2"),
+        fsum(F.when(g1 == 0, x2).otherwise(F.lit(0.0)), scale=14).alias("sy2"),
+        fsum(F.when(g1 == 1, x2 * x2).otherwise(F.lit(0.0)), scale=14).alias("sx4"),
+        fsum(F.when(g1 == 0, x2 * x2).otherwise(F.lit(0.0)), scale=14).alias("sy4"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    # Σ_{i≠j} k(x_i,x_j) = (Σx²)² − Σx⁴ + 2((Σx)² − Σx²) + n(n−1)
+    kxx = (
+        F.col("sx2") * F.col("sx2")
+        - F.col("sx4")
+        + F.lit(2.0) * (F.col("sx") * F.col("sx") - F.col("sx2"))
+        + n1 * (n1 - F.lit(1.0))
+    )
+    kyy = (
+        F.col("sy2") * F.col("sy2")
+        - F.col("sy4")
+        + F.lit(2.0) * (F.col("sy") * F.col("sy") - F.col("sy2"))
+        + n2 * (n2 - F.lit(1.0))
+    )
+    kxy = (
+        F.col("sx2") * F.col("sy2")
+        + F.lit(2.0) * F.col("sx") * F.col("sy")
+        + n1 * n2
+    )
+    mmd2 = (
+        kxx / (n1 * (n1 - F.lit(1.0)))
+        + kyy / (n2 * (n2 - F.lit(1.0)))
+        - F.lit(2.0) * kxy / (n1 * n2)
+    )
+    return agg.select("n1", "n2", mmd2.alias("mmd2_unbiased"))
+
+
+_ORACLE_MMD = f"""
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+    {sql_fsum("CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0 ELSE 0.0 END", scale=12)} AS sx,
+    {sql_fsum("CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0 ELSE CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0 END", scale=12)} AS sy,
+    {sql_fsum("CASE WHEN o_orderpriority = '1-URGENT' THEN (CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0) * (CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0) ELSE 0.0 END", scale=14)} AS sx2,
+    {sql_fsum("CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0 ELSE (CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0) * (CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0) END", scale=14)} AS sy2,
+    {sql_fsum("CASE WHEN o_orderpriority = '1-URGENT' THEN ((CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0) * (CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0)) * ((CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0) * (CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0)) ELSE 0.0 END", scale=14)} AS sx4,
+    {sql_fsum("CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0 ELSE ((CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0) * (CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0)) * ((CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0) * (CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) / 1000000000.0)) END", scale=14)} AS sy4
+  FROM orders
+)
+SELECT n1, n2,
+       ((sx2 * sx2 - sx4 + 2.0 * (sx * sx - sx2)
+         + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+          / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+       + ((sy2 * sy2 - sy4 + 2.0 * (sy * sy - sy2)
+           + CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+          / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+       - 2.0 * ((sx2 * sy2 + 2.0 * sx * sy
+                 + CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+         AS mmd2_unbiased
+FROM agg
+"""
+
+
+# Gumbel method-of-moments constants, Python-precomputed (each is a fixed
+# literal both engines carry verbatim — the LUT escape for scalars)
+_GUMBEL_SQRT6_PI = 0.779696801233676  # sqrt(6)/pi
+_GUMBEL_EULER = 0.5772156649015329
+_GUMBEL_RETURN_T = 12  # return period in blocks (months)
+_GUMBEL_CT = 2.441716398881459  # -ln(-ln(1 - 1/12))
+
+
+def q_evt_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis of daily revenue: MONTHLY block maxima
+    fitted to a Gumbel distribution by method of moments (β = σ·√6/π,
+    μ = m − γβ) and read out as the {t}-month RETURN LEVEL z_T = μ +
+    β·c_T — "the daily revenue spike you should expect once a year" —
+    the risk-planning question none of the mean/quantile entries answer
+    (quantiles interpolate the observed range; EVT extrapolates the
+    tail). Every transcendental in the chain (√6/π, Euler's γ, c_T =
+    −ln(−ln(1−1/T)) for the FIXED T={t}) is a Python-precomputed literal;
+    block maxima are exact integer cents, the two moments are
+    floor-quantized sums in $10M units, σ uses the allowlisted sqrt.
+
+    Scale shape: daily hash agg → monthly MAX hash agg (~84 rows) → one
+    2-moment agg. Nothing after the first agg is data-sized.""".format(
+        t=_GUMBEL_RETURN_T
+    )
+    daily = _daily_rev(spark, sf_dir)
+    monthly_max = daily.groupBy(
+        (F.year("d") * 12 + F.month("d")).alias("ym")
+    ).agg(F.max("y").alias("mx"))
+    v = F.col("mx").cast("double") / F.lit(_UNIT)
+    agg = monthly_max.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        fsum(v, scale=10).alias("sv"),
+        fsum(v * v, scale=10).alias("sv2"),
+    )
+    nd = F.col("n_blocks").cast("double")
+    mean = F.col("sv") / nd
+    var = (F.col("sv2") - F.col("sv") * F.col("sv") / nd) / (nd - F.lit(1.0))
+    beta = F.sqrt(var) * F.lit(_GUMBEL_SQRT6_PI)
+    mu = mean - F.lit(_GUMBEL_EULER) * beta
+    scale_out = F.lit(10.0)  # $10M units → $M
+    return agg.select(
+        "n_blocks",
+        (mean * scale_out).alias("mean_block_max_musd"),
+        (mu * scale_out).alias("gumbel_mu_musd"),
+        (beta * scale_out).alias("gumbel_beta_musd"),
+        ((mu + beta * F.lit(_GUMBEL_CT)) * scale_out).alias(
+            "return_level_12mo_musd"
+        ),
+    )
+
+
+_ORACLE_GUMBEL = f"""
+WITH daily AS ({_SQL_DAILY}
+), monthly_max AS (
+  SELECT YEAR(d) * 12 + MONTH(d) AS ym, MAX(y) AS mx
+  FROM daily GROUP BY 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         {sql_fsum("CAST(mx AS DOUBLE) / 1000000000.0", scale=10)} AS sv,
+         {sql_fsum("(CAST(mx AS DOUBLE) / 1000000000.0) * (CAST(mx AS DOUBLE) / 1000000000.0)", scale=10)} AS sv2
+  FROM monthly_max
+), fit AS (
+  SELECT n_blocks,
+         sv / CAST(n_blocks AS DOUBLE) AS mean,
+         sqrt((sv2 - sv * sv / CAST(n_blocks AS DOUBLE))
+              / (CAST(n_blocks AS DOUBLE) - 1.0)) * {_GUMBEL_SQRT6_PI!r} AS beta
+  FROM agg
+)
+SELECT n_blocks,
+       mean * 10.0 AS mean_block_max_musd,
+       (mean - {_GUMBEL_EULER!r} * beta) * 10.0 AS gumbel_mu_musd,
+       beta * 10.0 AS gumbel_beta_musd,
+       ((mean - {_GUMBEL_EULER!r} * beta) + beta * {_GUMBEL_CT!r}) * 10.0
+         AS return_level_12mo_musd
+FROM fit
+"""
+
+
 QUERIES = {
     "acf_lags": q_acf_lags,
     "conformal_interval": q_conformal_interval,
     "interrupted_time_series": q_interrupted_time_series,
+    "pacf_closed_form": q_pacf_closed_form,
+    "mmd_poly_two_sample": q_mmd_poly_two_sample,
+    "evt_gumbel_block_maxima": q_evt_gumbel_block_maxima,
     "ljung_box_q": q_ljung_box_q,
     "theils_u_forecast": q_theils_u_forecast,
     "grubbs_statistic": q_grubbs_statistic,
@@ -2248,6 +2467,9 @@ ORACLE = {
     "acf_lags": _ORACLE_ACF,
     "conformal_interval": _ORACLE_CONFORMAL,
     "interrupted_time_series": _sql_its(),
+    "pacf_closed_form": _ORACLE_PACF,
+    "mmd_poly_two_sample": _ORACLE_MMD,
+    "evt_gumbel_block_maxima": _ORACLE_GUMBEL,
     "ljung_box_q": _ORACLE_LJUNG_BOX,
     "theils_u_forecast": _ORACLE_THEILS_U,
     "grubbs_statistic": _ORACLE_GRUBBS,

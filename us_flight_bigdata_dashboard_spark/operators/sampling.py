@@ -779,7 +779,119 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization (round 10)
+# ---------------------------------------------------------------------------
+
+QNORM_DECILES = 10
+
+
+def q_quantile_normalize_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of the document length signal:
+    map every source's decile values onto the POOLED corpus deciles — the
+    batch-effect correction that makes per-source quality scores
+    comparable before a global threshold cut (each crawl/source has its
+    own length/quality distribution; filtering them with one raw
+    threshold over- or under-prunes whole sources; rank-based mapping is
+    the genomics/curation standard fix). Deciles are TYPE-1 exact order
+    statistics picked at the integer index ⌈d·n/10⌉ = (d·n + 9) div 10
+    from the per-VALUE cumulative-count decomposition (group by value →
+    running count → first value whose cumulative count reaches the
+    target) — no per-row global sort, no float quantile interpolation.
+
+    Scale shape: two hash aggs to the per-(source, value) and per-value
+    grouped tables (value domains are bounded, ~thousands of distinct
+    lengths however big the corpus), keyed/domain-sized windows for the
+    running counts, and a decile-spine join — every data-sized stage is
+    an aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    by_sv = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_src = Window.partitionBy("source").orderBy("n_chars")
+    cum_s = by_sv.withColumn("cum", F.sum("c").over(w_src))
+    n_s = by_sv.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    deciles = spark.range(1, QNORM_DECILES + 1).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    tgt_s = n_s.crossJoin(F.broadcast(deciles)).select(
+        "source",
+        "decile",
+        F.expr(f"(decile * n + {QNORM_DECILES - 1}) div {QNORM_DECILES}").alias(
+            "tgt"
+        ),
+    )
+    src_q = (
+        cum_s.join(tgt_s, "source")
+        .filter(F.col("cum") >= F.col("tgt"))
+        .groupBy("source", "decile")
+        .agg(F.min("n_chars").cast("long").alias("source_value"))
+    )
+    by_v = docs.groupBy("n_chars").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_all = Window.orderBy("n_chars")
+    cum_p = by_v.withColumn("cum", F.sum("c").over(w_all))
+    n_p = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tgt_p = n_p.crossJoin(F.broadcast(deciles)).select(
+        "decile",
+        F.expr(f"(decile * n + {QNORM_DECILES - 1}) div {QNORM_DECILES}").alias(
+            "tgt"
+        ),
+    )
+    pool_q = (
+        cum_p.crossJoin(F.broadcast(tgt_p))
+        .filter(F.col("cum") >= F.col("tgt"))
+        .groupBy("decile")
+        .agg(F.min("n_chars").cast("long").alias("pooled_value"))
+    )
+    return (
+        src_q.join(F.broadcast(pool_q), "decile")
+        .select("source", "decile", "source_value", "pooled_value")
+        .orderBy("source", "decile")
+    )
+
+
+_ORACLE_QNORM = f"""
+WITH by_sv AS (
+  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), cum_s AS (
+  SELECT source, n_chars, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+  FROM by_sv
+), n_s AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM by_sv GROUP BY 1
+), deciles AS (
+  SELECT CAST(UNNEST(range(1, {QNORM_DECILES + 1})) AS INT) AS decile
+), tgt_s AS (
+  SELECT source, decile, (decile * n + {QNORM_DECILES - 1}) // {QNORM_DECILES} AS tgt
+  FROM n_s CROSS JOIN deciles
+), src_q AS (
+  SELECT c.source, t.decile, CAST(MIN(c.n_chars) AS BIGINT) AS source_value
+  FROM cum_s c JOIN tgt_s t ON c.source = t.source AND c.cum >= t.tgt
+  GROUP BY 1, 2
+), by_v AS (
+  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1
+), cum_p AS (
+  SELECT n_chars, SUM(c) OVER (ORDER BY n_chars) AS cum FROM by_v
+), tgt_p AS (
+  SELECT decile,
+         (decile * (SELECT COUNT(*) FROM documents) + {QNORM_DECILES - 1})
+           // {QNORM_DECILES} AS tgt
+  FROM deciles
+), pool_q AS (
+  SELECT t.decile, CAST(MIN(p.n_chars) AS BIGINT) AS pooled_value
+  FROM cum_p p CROSS JOIN tgt_p t
+  WHERE p.cum >= t.tgt
+  GROUP BY 1
+)
+SELECT s.source, s.decile, s.source_value, q.pooled_value
+FROM src_q s JOIN pool_q q USING (decile)
+ORDER BY s.source, s.decile
+"""
+
+
 QUERIES = {
+    "quantile_normalize_deciles": q_quantile_normalize_deciles,
     "shard_manifest": q_shard_manifest,
     "stratified_sample": q_stratified_sample,
     "curation_pipeline": q_curation_pipeline,
@@ -795,6 +907,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "quantile_normalize_deciles": _ORACLE_QNORM,
     "shard_manifest": _ORACLE_SHARD_MANIFEST,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "curation_pipeline": _ORACLE_CURATION_PIPELINE,

@@ -99,7 +99,7 @@ _MODULES = [
 # sf0.001/sf0.01/sf0.1 + PANDAS_CANON + vanilla-ANSI + dtype-parity and
 # is matrix-green in FULLMATRIX_r09.json (382/382); 34 of the 50 were
 # additionally re-run green by the r9 judge under PANDAS_CANON.
-# ROUND-11 STAGING: prefix = the 20 ROUND-10 ADDITIONS (all pre-cleared
+# ROUND-11 STAGING: prefix = the 24 ROUND-10 ADDITIONS (all pre-cleared
 # at sf0.001/0.01/0.1 + PANDAS_CANON + vanilla-ANSI + dtype-parity this
 # round, ground-truth-tested in tests/test_round10_ops.py):
 #   wilcoxon_signed_rank, energy_distance_two_sample, cohens_d_effect,
@@ -108,7 +108,9 @@ _MODULES = [
 #   sketch_theta_intersection, text_dsir_proxy, text_sttr,
 #   events_theta_forecast, events_periodogram_lut, survival_rmst,
 #   newsvendor_quantile, price_elasticity_arc, dp_randomized_response,
-#   embedding_triplet_violations, streaming_hll_sketch_replay
+#   embedding_triplet_violations, streaming_hll_sketch_replay,
+#   pacf_closed_form, mmd_poly_two_sample, evt_gumbel_block_maxima,
+#   quantile_normalize_deciles
 # plus the 15 CERTAIN sentinels `tools/rotate_prefix.py --sentinels`
 # computes (entries whose query-function text changed AFTER their last
 # driver certification -- run the tool at r11 start for the live list;
@@ -119,7 +121,7 @@ _MODULES = [
 # sketch_hll_union, streaming_streaks_replay, vector_label_stats;
 # multimodal_gif_decode joins them -- its LZW encoder tail-width fix
 # landed r10 after its last certification).
-# = 35 slots; the r10 ADVICE-fix touchees (kendalls_w, roc_auc_exact,
+# = 24 + 16 = 40 slots; the r10 ADVICE-fix touchees (kendalls_w, roc_auc_exact,
 # mcnemar_paired, text_textrank_keywords) are IN this r10 prefix and get
 # certified on the fixed code live, so they need no r11 sentinel.
 # Entries after the flagship block run in stable module order.
