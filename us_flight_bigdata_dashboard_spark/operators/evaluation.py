@@ -2436,6 +2436,299 @@ FROM fit
 """
 
 
+# ---------------------------------------------------------------------------
+# Method-agreement pair (round 10 wave 4): Lin's CCC + Bland-Altman
+# ---------------------------------------------------------------------------
+
+
+def _monthly_two_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared agreement frame: per ship-month, the GROSS monthly revenue
+    (list price) and the NET monthly revenue (after discount) — two
+    measurements of the same quantity by two 'instruments', the canonical
+    input shape for method-agreement statistics. Both are exact integer
+    cent sums from ONE map-side-combinable hash agg; the ~84-month output
+    is domain-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gross = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    net = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    return li.groupBy(F.date_trunc("month", "l_shipdate").alias("m")).agg(
+        F.sum(gross).cast("long").alias("gc"),
+        F.sum(net).cast("long").alias("nc"),
+    )
+
+
+_SQL_MONTHLY_TWO = """
+  SELECT date_trunc('month', l_shipdate) AS m,
+         CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS gc,
+         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS nc
+  FROM lineitem GROUP BY 1
+"""
+
+
+def q_lin_ccc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation coefficient between gross and net
+    monthly revenue — the method-agreement statistic Pearson's r cannot
+    be: r is blind to scale and location bias (y = 2x + 5 has r = 1),
+    while CCC = 2·s_xy / (s_x² + s_y² + (x̄−ȳ)²) charges for both, which
+    is what "would switching measurement pipelines change the numbers?"
+    actually asks. Ships the standard decomposition too: CCC = r · C_b
+    with scale shift v = s_x/s_y and location shift u = (x̄−ȳ)/√(s_x·s_y).
+
+    Exactness: monthly cents are exact bigints; x, y are one division
+    each into $10M units (module unit discipline, applied BEFORE any
+    squaring); the six moments are floor-quantized fsum sums, and every
+    shipped float is one fixed IEEE sequence on them. Scale shape: one
+    data-sized hash agg (the monthly frame), one 6-sum agg over ~84 rows.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    monthly = _monthly_two_measures(spark, sf_dir)
+    x = F.col("gc").cast("double") / F.lit(_UNIT)
+    y = F.col("nc").cast("double") / F.lit(_UNIT)
+    m = monthly.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        fsum(x, scale=10).alias("sx"),
+        fsum(y, scale=10).alias("sy"),
+        fsum(x * x, scale=8).alias("sxx"),
+        fsum(y * y, scale=8).alias("syy"),
+        fsum(x * y, scale=8).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx") / nd
+    my = F.col("sy") / nd
+    vx = F.col("sxx") / nd - mx * mx
+    vy = F.col("syy") / nd - my * my
+    cov = F.col("sxy") / nd - mx * my
+    r = cov / F.sqrt(vx * vy)
+    ccc = F.lit(2.0) * cov / (vx + vy + (mx - my) * (mx - my))
+    return m.select(
+        F.col("n").alias("n_months"),
+        r.alias("pearson_r"),
+        ccc.alias("lin_ccc"),
+        (ccc / r).alias("bias_correction_cb"),
+        F.sqrt(vx / vy).alias("scale_shift_v"),
+        ((mx - my) / F.sqrt(F.sqrt(vx * vy))).alias("location_shift_u"),
+    )
+
+
+_ORACLE_LIN_CCC = f"""
+WITH monthly AS ({_SQL_MONTHLY_TWO}
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_fsum("CAST(gc AS DOUBLE) / 1000000000.0", scale=10)} AS sx,
+         {sql_fsum("CAST(nc AS DOUBLE) / 1000000000.0", scale=10)} AS sy,
+         {sql_fsum("(CAST(gc AS DOUBLE) / 1000000000.0) * (CAST(gc AS DOUBLE) / 1000000000.0)", scale=8)} AS sxx,
+         {sql_fsum("(CAST(nc AS DOUBLE) / 1000000000.0) * (CAST(nc AS DOUBLE) / 1000000000.0)", scale=8)} AS syy,
+         {sql_fsum("(CAST(gc AS DOUBLE) / 1000000000.0) * (CAST(nc AS DOUBLE) / 1000000000.0)", scale=8)} AS sxy
+  FROM monthly
+), d AS (
+  SELECT n,
+         sx / CAST(n AS DOUBLE) AS mx, sy / CAST(n AS DOUBLE) AS my,
+         sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) AS vx,
+         syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS vy,
+         sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS cov
+  FROM m
+)
+SELECT n AS n_months,
+       cov / sqrt(vx * vy) AS pearson_r,
+       (2.0 * cov / (vx + vy + (mx - my) * (mx - my))) AS lin_ccc,
+       (2.0 * cov / (vx + vy + (mx - my) * (mx - my))) / (cov / sqrt(vx * vy))
+         AS bias_correction_cb,
+       sqrt(vx / vy) AS scale_shift_v,
+       (mx - my) / sqrt(sqrt(vx * vy)) AS location_shift_u
+FROM d
+"""
+
+
+BA_Z = 1.96  # the conventional 95% limits-of-agreement multiplier
+
+
+def q_bland_altman_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman limits of agreement between gross and net monthly
+    revenue — the companion readout of ``lin_ccc_agreement``: instead of
+    one correlation-like score, it ships the clinically-interpretable
+    band (mean difference ± 1.96·SD) inside which the two measurement
+    methods agree, plus the empirical share of months actually inside
+    the band (the check that the normal-differences assumption holds).
+
+    Exactness: monthly diffs d = (gross − net) cents are exact bigints
+    scaled once to $10M units; mean/SD from two fsum moments; the
+    within-band count is an INTEGER comparison of each d against the
+    broadcast scalar band. Scale shape: one data-sized hash agg, one
+    2-sum agg, one broadcast re-scan of the ~84-month frame.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    monthly = _monthly_two_measures(spark, sf_dir).select(
+        "m", ((F.col("gc") - F.col("nc")).cast("double") / F.lit(_UNIT)).alias("d")
+    )
+    stats = monthly.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        fsum(F.col("d"), scale=10).alias("sd_"),
+        fsum(F.col("d") * F.col("d"), scale=9).alias("sdd"),
+    )
+    nd = F.col("n").cast("double")
+    mean_d = F.col("sd_") / nd
+    sd = F.sqrt((F.col("sdd") - F.col("sd_") * F.col("sd_") / nd) / (nd - F.lit(1.0)))
+    band = stats.select(
+        "n",
+        mean_d.alias("mean_d"),
+        sd.alias("sd_d"),
+        (mean_d - F.lit(BA_Z) * sd).alias("lo"),
+        (mean_d + F.lit(BA_Z) * sd).alias("hi"),
+    )
+    within = (
+        monthly.crossJoin(F.broadcast(band))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("mean_d").alias("mean_d"),
+            F.max("sd_d").alias("sd_d"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.sum(
+                F.when(
+                    (F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_within"),
+        )
+    )
+    u_dollars = F.lit(_UNIT / 100.0)
+    return within.select(
+        F.col("n").alias("n_months"),
+        (F.col("mean_d") * u_dollars).alias("mean_diff_dollars"),
+        (F.col("sd_d") * u_dollars).alias("sd_diff_dollars"),
+        (F.col("lo") * u_dollars).alias("loa_lower_dollars"),
+        (F.col("hi") * u_dollars).alias("loa_upper_dollars"),
+        "n_within",
+        (F.col("n_within").cast("double") / F.col("n").cast("double")).alias(
+            "share_within"
+        ),
+    )
+
+
+_ORACLE_BLAND_ALTMAN = f"""
+WITH monthly AS (
+  SELECT m, CAST(gc - nc AS DOUBLE) / 1000000000.0 AS d
+  FROM ({_SQL_MONTHLY_TWO})
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_fsum("d", scale=10)} AS sd_,
+         {sql_fsum("d * d", scale=9)} AS sdd
+  FROM monthly
+), band AS (
+  SELECT n,
+         sd_ / CAST(n AS DOUBLE) AS mean_d,
+         sqrt((sdd - sd_ * sd_ / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sd_d,
+         sd_ / CAST(n AS DOUBLE)
+           - {BA_Z} * sqrt((sdd - sd_ * sd_ / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS lo,
+         sd_ / CAST(n AS DOUBLE)
+           + {BA_Z} * sqrt((sdd - sd_ * sd_ / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS hi
+  FROM stats
+), within AS (
+  SELECT MAX(n) AS n, MAX(mean_d) AS mean_d, MAX(sd_d) AS sd_d,
+         MAX(lo) AS lo, MAX(hi) AS hi,
+         CAST(SUM(CASE WHEN d >= lo AND d <= hi THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+  FROM monthly CROSS JOIN band
+)
+SELECT n AS n_months,
+       mean_d * 10000000.0 AS mean_diff_dollars,
+       sd_d * 10000000.0 AS sd_diff_dollars,
+       lo * 10000000.0 AS loa_lower_dollars,
+       hi * 10000000.0 AS loa_upper_dollars,
+       n_within,
+       CAST(n_within AS DOUBLE) / CAST(n AS DOUBLE) AS share_within
+FROM within
+"""
+
+
+GAMMA_QTY_BAND = 17  # quantity band width: 1-17 / 18-34 / 35-50
+
+
+def q_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma between order PRIORITY (ordinal 1..5) and
+    line-item QUANTITY band (ordinal terciles of the 1..50 integer
+    domain) — ordinal-×-ordinal association on a contingency grid, the
+    regime ``kendall_tau`` (continuous pairs) and ``cramers_v`` (nominal,
+    order-blind) both miss. γ = (C − D)/(C + D) over concordant/
+    discordant pairs, computed from the ≤15 CELL COUNTS (one hash agg),
+    never from row pairs: C = Σ n_ij·n_kl over cell pairs with i<k, j<l —
+    a 15×15 literal-domain cross of the cell frame, so the O(n²) pair
+    space collapses to O(cells²) regardless of data size.
+
+    Exactness: cell counts are integers; the C/D products are
+    DECIMAL(38,0) (n_ij·n_kl reaches ~10²⁴ at 100 TB — past bigint);
+    γ is one division. Scale shape: one orders⋈lineitem join (the
+    canonical fact join), one hash agg to ≤15 rows, then arithmetic.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("xo"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.least(
+            F.lit(2),
+            F.floor((F.col("l_quantity") - 1) / F.lit(GAMMA_QTY_BAND)).cast("int"),
+        ).alias("yo"),
+    )
+    cells = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("xo", "yo")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"))
+    )
+    a = cells.select(
+        F.col("xo").alias("xa"), F.col("yo").alias("ya"), F.col("cnt").alias("na")
+    )
+    b = cells.select(
+        F.col("xo").alias("xb"), F.col("yo").alias("yb"), F.col("cnt").alias("nb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
+    agg = pairs.agg(
+        F.sum(
+            F.when(F.col("ya") < F.col("yb"), F.col("na") * F.col("nb")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("c_pairs"),
+        F.sum(
+            F.when(F.col("ya") > F.col("yb"), F.col("na") * F.col("nb")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("d_pairs"),
+    )
+    c = F.col("c_pairs").cast("double")
+    d = F.col("d_pairs").cast("double")
+    # ship the pair counts as DOUBLE (exact here; the pandas-canonical
+    # rendering of wide DECIMALs splits between engines — house rule)
+    return agg.select(
+        c.alias("concordant"),
+        d.alias("discordant"),
+        ((c - d) / (c + d)).alias("gamma"),
+    )
+
+
+_ORACLE_GK_GAMMA = f"""
+WITH cells AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS xo,
+         CAST(least(2, CAST(floor((l_quantity - 1) / {GAMMA_QTY_BAND}) AS INT)) AS INT) AS yo,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS cnt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), agg AS (
+  SELECT SUM(CASE WHEN a.yo < b.yo THEN a.cnt * b.cnt ELSE CAST(0 AS DECIMAL(38,0)) END) AS c_pairs,
+         SUM(CASE WHEN a.yo > b.yo THEN a.cnt * b.cnt ELSE CAST(0 AS DECIMAL(38,0)) END) AS d_pairs
+  FROM cells a JOIN cells b ON a.xo < b.xo
+)
+SELECT CAST(c_pairs AS DOUBLE) AS concordant,
+       CAST(d_pairs AS DOUBLE) AS discordant,
+       (CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE))
+         / (CAST(c_pairs AS DOUBLE) + CAST(d_pairs AS DOUBLE)) AS gamma
+FROM agg
+"""
+
+
 QUERIES = {
     "acf_lags": q_acf_lags,
     "conformal_interval": q_conformal_interval,
@@ -2461,6 +2754,9 @@ QUERIES = {
     "energy_distance_two_sample": q_energy_distance_two_sample,
     "cohens_d_effect": q_cohens_d_effect,
     "atkinson_inequality": q_atkinson_inequality,
+    "lin_ccc_agreement": q_lin_ccc_agreement,
+    "bland_altman_agreement": q_bland_altman_agreement,
+    "goodman_kruskal_gamma": q_goodman_kruskal_gamma,
 }
 
 ORACLE = {
@@ -2488,4 +2784,7 @@ ORACLE = {
     "energy_distance_two_sample": _ORACLE_ENERGY,
     "cohens_d_effect": _ORACLE_COHENS_D,
     "atkinson_inequality": _ORACLE_ATKINSON,
+    "lin_ccc_agreement": _ORACLE_LIN_CCC,
+    "bland_altman_agreement": _ORACLE_BLAND_ALTMAN,
+    "goodman_kruskal_gamma": _ORACLE_GK_GAMMA,
 }

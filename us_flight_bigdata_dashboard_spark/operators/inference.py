@@ -1150,7 +1150,107 @@ FROM subj CROSS JOIN pe
 """
 
 
+# ---------------------------------------------------------------------------
+# Cochran's Q (round 10 wave 4): k-treatment binary repeated measures
+# ---------------------------------------------------------------------------
+
+COCHRAN_Q_YEAR = 1997  # the four "treatments": quarters of one year
+COCHRAN_Q_K = 4
+# chi-square(df=3) upper 5% critical value — literal, no CDFs (module rule)
+COCHRAN_Q_CRIT = 7.814728
+
+
+def q_cochrans_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test: did customer ACTIVITY (placed ≥1 order — a
+    binary outcome) differ across the four quarters of {COCHRAN_Q_YEAR}?
+    The k-treatment generalization of McNemar (evaluation.py) for binary
+    repeated measures on the same subjects — the seasonality test you
+    run BEFORE trusting quarter-over-quarter active-user deltas. Q =
+    (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²) with G_j = per-quarter active
+    counts, L_i = per-customer active-quarter counts, T = ΣG = ΣL;
+    subjects inactive all year contribute zero to every sum, so no
+    customer-universe join is needed.
+
+    Exactness: every term is an integer count from two hash aggs over
+    the distinct (customer, quarter) frame; G_j² is DECIMAL(38,0)
+    (G reaches ~10¹² at 100 TB, G² ~ 10²⁴ — past bigint); Q is one
+    division; significance is a RATIONAL comparison against the literal
+    chi-square critical value (module rule: no CDFs). Scale shape: one
+    distinct (≤ 4 rows per customer), two map-side-combinable hash aggs,
+    then single-row arithmetic.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        orders.filter(F.year("o_orderdate") == COCHRAN_Q_YEAR)
+        .select("o_custkey", F.quarter("o_orderdate").alias("q"))
+        .distinct()
+    )
+    g = pairs.groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("gj"))
+    gm = g.agg(
+        F.sum("gj").cast("long").alias("t"),
+        F.sum(F.col("gj").cast("decimal(38,0)") * F.col("gj").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sg2"),
+    )
+    l_ = pairs.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("li"))
+    lm = l_.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum(F.col("li") * F.col("li")).cast("long").alias("sl2"),
+    )
+    k = F.lit(float(COCHRAN_Q_K))
+    both = gm.crossJoin(F.broadcast(lm))
+    td = F.col("t").cast("double")
+    num = (k - F.lit(1.0)) * (
+        k * F.col("sg2").cast("double") - td * td
+    )
+    den = k * td - F.col("sl2").cast("double")
+    q_stat = num / den
+    return both.select(
+        F.lit(COCHRAN_Q_K).cast("int").alias("k_quarters"),
+        "n_subjects",
+        F.col("t").alias("total_active_marks"),
+        q_stat.alias("q_stat"),
+        F.lit(COCHRAN_Q_K - 1).cast("int").alias("df"),
+        (q_stat > F.lit(COCHRAN_Q_CRIT)).cast("int").alias("significant_5pct"),
+    )
+
+
+q_cochrans_q_test.__doc__ = q_cochrans_q_test.__doc__.replace(
+    "{COCHRAN_Q_YEAR}", str(COCHRAN_Q_YEAR)
+)
+
+
+_ORACLE_COCHRANS_Q = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey, quarter(o_orderdate) AS q
+  FROM orders WHERE year(o_orderdate) = {COCHRAN_Q_YEAR}
+), gm AS (
+  SELECT CAST(SUM(gj) AS BIGINT) AS t,
+         CAST(SUM(CAST(gj AS DECIMAL(38,0)) * CAST(gj AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sg2
+  FROM (SELECT q, CAST(COUNT(*) AS BIGINT) AS gj FROM pairs GROUP BY 1)
+), lm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+         CAST(SUM(li * li) AS BIGINT) AS sl2
+  FROM (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS li FROM pairs GROUP BY 1)
+)
+SELECT CAST({COCHRAN_Q_K} AS INT) AS k_quarters,
+       n_subjects,
+       t AS total_active_marks,
+       ({COCHRAN_Q_K}.0 - 1.0) * ({COCHRAN_Q_K}.0 * CAST(sg2 AS DOUBLE)
+          - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+         / ({COCHRAN_Q_K}.0 * CAST(t AS DOUBLE) - CAST(sl2 AS DOUBLE)) AS q_stat,
+       CAST({COCHRAN_Q_K - 1} AS INT) AS df,
+       CAST(CASE WHEN ({COCHRAN_Q_K}.0 - 1.0) * ({COCHRAN_Q_K}.0 * CAST(sg2 AS DOUBLE)
+                        - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+                      / ({COCHRAN_Q_K}.0 * CAST(t AS DOUBLE) - CAST(sl2 AS DOUBLE))
+                      > {COCHRAN_Q_CRIT} THEN 1 ELSE 0 END AS INT) AS significant_5pct
+FROM gm CROSS JOIN lm
+"""
+
+
 QUERIES = {
+    "cochrans_q_test": q_cochrans_q_test,
     "standardized_rate_mix": q_standardized_rate_mix,
     "fleiss_kappa": q_fleiss_kappa,
     "cohens_kappa": q_cohens_kappa,
@@ -1165,6 +1265,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cochrans_q_test": _ORACLE_COCHRANS_Q,
     "standardized_rate_mix": _sql_standardized_rate(),
     "fleiss_kappa": _sql_fleiss(),
     "kruskal_wallis": _sql_kruskal_wallis(),
