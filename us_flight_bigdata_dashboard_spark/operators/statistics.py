@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from us_flight_bigdata_dashboard_spark.functions.exact import dsum, sql_dsum
+from us_flight_bigdata_dashboard_spark.functions.exact import (
+    dsum,
+    fsum,
+    sql_dsum,
+    sql_fsum,
+)
 from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
@@ -2726,7 +2731,507 @@ FROM red
 """
 
 
+# ---------------------------------------------------------------------------
+# Rank/ECDF family completions (round 10 wave 4): Cliff's delta,
+# Cramér-von Mises, Jonckheere-Terpstra, Mood's median test
+# ---------------------------------------------------------------------------
+
+# Romano et al. (2006) |delta| interpretation thresholds — literals
+CLIFF_NEGLIGIBLE = 0.147
+CLIFF_SMALL = 0.33
+CLIFF_MEDIUM = 0.474
+
+
+def q_cliffs_delta_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between returned ('R') and kept line-item values —
+    the ORDINAL effect size companion of ``mann_whitney_u``: δ =
+    P(X₁ > X₂) − P(X₁ < X₂) reads directly as dominance (δ = 2·AUC − 1
+    under no ties) and, unlike Cohen's d (``cohens_d_effect``), assumes
+    nothing about variances or normality. Ships the GT/LT/tie pair
+    decomposition plus the Romano et al. magnitude label.
+
+    Exact-integer formulation on the pooled per-value frame (the
+    ``ks_two_sample`` shape): with c₁,c₂ per distinct value and t₂ the
+    strictly-before cumulative of group 2, GT = Σc₁·t₂ and
+    TIE = Σc₁·c₂ — so δ = (2·Σc₁·t₂ + Σc₁c₂ − n₁n₂)/(n₁n₂) with ONE
+    final division. Products are DECIMAL(38,0) (c·t reaches ~10²² at
+    100 TB); pair counts ship as DOUBLE (exact at test SFs; house
+    wide-decimal rule). Scale shape: one hash agg → one domain-sized
+    cumulative window → a 1-row agg; same 100 TB notes as
+    ``ks_two_sample`` (bucketed prefix-sum drop-in)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = (
+        li.select(
+            F.col("l_extendedprice").alias("v"),
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0)).alias(
+                "g1"
+            ),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+        )
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum("c2").over(w_prev), F.lit(0)).alias("t2"),
+    )
+    stats = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1").cast("decimal(38,0)") * F.col("t2").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s_gt"),
+        F.sum(F.col("c1").cast("decimal(38,0)") * F.col("c2").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s_tie"),
+    )
+    n1n2 = F.col("n1").cast("double") * F.col("n2").cast("double")
+    gt = F.col("s_gt").cast("double")
+    tie = F.col("s_tie").cast("double")
+    lt = n1n2 - gt - tie
+    delta = (gt - lt) / n1n2
+    mag = (
+        F.when(F.abs(delta) < F.lit(CLIFF_NEGLIGIBLE), F.lit("negligible"))
+        .when(F.abs(delta) < F.lit(CLIFF_SMALL), F.lit("small"))
+        .when(F.abs(delta) < F.lit(CLIFF_MEDIUM), F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return stats.select(
+        "n1",
+        "n2",
+        gt.alias("gt_pairs"),
+        lt.alias("lt_pairs"),
+        tie.alias("tie_pairs"),
+        delta.alias("cliffs_delta"),
+        mag.alias("magnitude"),
+    )
+
+
+_ORACLE_CLIFFS_DELTA = f"""
+WITH per_v AS (
+  SELECT l_extendedprice AS v,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS c2
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT c1, c2,
+         COALESCE(SUM(c2) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t2
+  FROM per_v
+), stats AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * CAST(t2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_gt,
+         CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * CAST(c2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_tie
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST(s_gt AS DOUBLE) AS gt_pairs,
+       CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - CAST(s_gt AS DOUBLE) - CAST(s_tie AS DOUBLE) AS lt_pairs,
+       CAST(s_tie AS DOUBLE) AS tie_pairs,
+       (2.0 * CAST(s_gt AS DOUBLE) + CAST(s_tie AS DOUBLE)
+          - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS cliffs_delta,
+       CASE
+         WHEN ABS((2.0 * CAST(s_gt AS DOUBLE) + CAST(s_tie AS DOUBLE)
+                     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) < {CLIFF_NEGLIGIBLE}
+           THEN 'negligible'
+         WHEN ABS((2.0 * CAST(s_gt AS DOUBLE) + CAST(s_tie AS DOUBLE)
+                     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) < {CLIFF_SMALL}
+           THEN 'small'
+         WHEN ABS((2.0 * CAST(s_gt AS DOUBLE) + CAST(s_tie AS DOUBLE)
+                     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) < {CLIFF_MEDIUM}
+           THEN 'medium'
+         ELSE 'large'
+       END AS magnitude
+FROM stats
+"""
+
+
+CVM_CRIT_5PCT = 0.461  # asymptotic two-sample Cramér-von Mises 5% critical value
+
+
+def q_cramer_von_mises_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic on order value, urgent vs
+    rest — the INTEGRAL-metric member of the two-sample family next to
+    ``ks_two_sample`` (sup metric) and ``mann_whitney_u`` (location):
+    T = (n₁n₂/N²)·Σ_pooled (F₁ − F₂)², sensitive to distributional
+    differences everywhere, not just at the single worst point.
+
+    Determinism: at each distinct value the ECDF gap is the exact
+    integer (a₁·n₂ − a₂·n₁) divided once by n₁·n₂ (both engines perform
+    the identical IEEE sequence; the integer stays inside 2⁵³ to
+    ~3·10⁹ rows/side, then wants DECIMAL like ``ks_two_sample``); the
+    weighted square sum is floor-quantized (fsum scale 9 — the sum is
+    ≤ N·max d², bounded by N, so the quantum holds to ~sf1; drop the
+    scale with the module's documented knob past that). Scale shape:
+    identical to ``ks_two_sample`` — one hash agg, one domain-sized
+    cumulative window, one 1-row reduction."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.sum("c1").over(w).alias("a1"),
+        F.sum("c2").over(w).alias("a2"),
+    )
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    joined = cum.crossJoin(F.broadcast(tot))
+    d = (
+        (F.col("a1") * F.col("n2") - F.col("a2") * F.col("n1")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    agg = joined.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        fsum(F.col("c").cast("double") * d * d, scale=9).alias("s"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    t_stat = n1d * n2d / (nd * nd) * F.col("s")
+    return agg.select(
+        "n1",
+        "n2",
+        t_stat.alias("t_stat"),
+        (t_stat > F.lit(CVM_CRIT_5PCT)).cast("int").alias("significant_5pct"),
+    )
+
+
+_ORACLE_CVM = f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 0 ELSE 1 END) AS c2
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT c1 + c2 AS c,
+         SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1,
+         SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a2
+  FROM per_v
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM per_v
+), agg AS (
+  SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+         {sql_fsum("CAST(c AS DOUBLE) * (CAST(a1 * n2 - a2 * n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * (CAST(a1 * n2 - a2 * n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))", scale=9)} AS s
+  FROM cum CROSS JOIN tot
+)
+SELECT n1, n2,
+       CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+         * s AS t_stat,
+       CAST(CASE WHEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                      * s > {CVM_CRIT_5PCT} THEN 1 ELSE 0 END AS INT) AS significant_5pct
+FROM agg
+"""
+
+
+JT_Z_CRIT = 1.959964  # two-sided 5% normal critical value — literal
+
+_JT_GROUPS = [1, 2, 3, 4, 5]  # o_orderpriority ordinal prefixes (literal domain)
+
+
+def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test: do order
+    values INCREASE monotonically with priority (1-URGENT < … < 5-LOW)?
+    The k-group rung between ``mann_whitney_u`` (k=2) and
+    ``kruskal_wallis`` (k-group but order-blind): J = Σ_{i<j} U_ij sums
+    pairwise Mann-Whitney statistics only over ORDERED group pairs, so
+    a monotone trend concentrates signal the omnibus test dilutes.
+
+    Exact-integer formulation on the pooled per-value frame: per
+    distinct value, c_g counts and strictly-before cumulatives t_g per
+    group (one window, g in the LITERAL 1..5 domain), then 2J =
+    Σ_v Σ_{i<j} (2·c_j·t_i + c_i·c_j) as a FIXED 10-pair expression sum
+    (partition-order-free; products DECIMAL(38,0) — c·t reaches ~10²²
+    at 100 TB). E[2J] = (N² − Σn_g²)/2 and the no-ties normal variance
+    Var(J) = [N²(2N+3) − Σn_g²(2n_g+3)]/72 are one IEEE sequence on the
+    exact counts (tie-corrected variance omitted: price ties are ~0.1%
+    of pairs here; documented approximation). Scale shape: one hash
+    agg → one domain-sized 5-column cumulative window → a 1-row agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    pr = F.substring("o_orderpriority", 1, 1).cast("int")
+    per_v = (
+        orders.select(F.col("o_totalprice").alias("v"), pr.alias("g"))
+        .groupBy("v")
+        .agg(
+            *[
+                F.sum(F.when(F.col("g") == g, 1).otherwise(0)).alias(f"c{g}")
+                for g in _JT_GROUPS
+            ]
+        )
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        *[F.col(f"c{g}") for g in _JT_GROUPS],
+        *[
+            F.coalesce(F.sum(f"c{g}").over(w_prev), F.lit(0)).alias(f"t{g}")
+            for g in _JT_GROUPS
+        ],
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    two_j_term = None
+    for i in _JT_GROUPS:
+        for j in _JT_GROUPS:
+            if i < j:
+                term = F.lit(2) * dec(F.col(f"c{j}")) * dec(F.col(f"t{i}")) + dec(
+                    F.col(f"c{i}")
+                ) * dec(F.col(f"c{j}"))
+                two_j_term = term if two_j_term is None else two_j_term + term
+    stats = ranked.agg(
+        *[F.sum(f"c{g}").cast("long").alias(f"n{g}") for g in _JT_GROUPS],
+        F.sum(two_j_term).cast("decimal(38,0)").alias("two_j"),
+    )
+    n_tot = None
+    sn2 = None
+    sn23 = None
+    for g in _JT_GROUPS:
+        ng = F.col(f"n{g}").cast("double")
+        n_tot = ng if n_tot is None else n_tot + ng
+        sn2 = ng * ng if sn2 is None else sn2 + ng * ng
+        term3 = ng * ng * (F.lit(2.0) * ng + F.lit(3.0))
+        sn23 = term3 if sn23 is None else sn23 + term3
+    two_j = F.col("two_j").cast("double")
+    e2j = (n_tot * n_tot - sn2) / F.lit(2.0)
+    var_j = (n_tot * n_tot * (F.lit(2.0) * n_tot + F.lit(3.0)) - sn23) / F.lit(72.0)
+    z = (two_j - e2j) / (F.lit(2.0) * F.sqrt(var_j))
+    return stats.select(
+        (n_tot.cast("long")).alias("n_total"),
+        two_j.alias("two_j"),
+        e2j.alias("expected_two_j"),
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(JT_Z_CRIT)).cast("int").alias("significant_5pct"),
+    )
+
+
+def _sql_jonckheere() -> str:
+    c_cols = ",\n         ".join(
+        f"SUM(CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS INT) = {g} THEN 1 ELSE 0 END) AS c{g}"
+        for g in _JT_GROUPS
+    )
+    t_cols = ",\n         ".join(
+        f"COALESCE(SUM(c{g}) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t{g}"
+        for g in _JT_GROUPS
+    )
+    pair_terms = " + ".join(
+        f"(2 * CAST(c{j} AS DECIMAL(38,0)) * CAST(t{i} AS DECIMAL(38,0))"
+        f" + CAST(c{i} AS DECIMAL(38,0)) * CAST(c{j} AS DECIMAL(38,0)))"
+        for i in _JT_GROUPS
+        for j in _JT_GROUPS
+        if i < j
+    )
+    n_cols = ", ".join(f"CAST(SUM(c{g}) AS BIGINT) AS n{g}" for g in _JT_GROUPS)
+    n_tot = " + ".join(f"CAST(n{g} AS DOUBLE)" for g in _JT_GROUPS)
+    sn2 = " + ".join(
+        f"CAST(n{g} AS DOUBLE) * CAST(n{g} AS DOUBLE)" for g in _JT_GROUPS
+    )
+    sn23 = " + ".join(
+        f"CAST(n{g} AS DOUBLE) * CAST(n{g} AS DOUBLE) * (2.0 * CAST(n{g} AS DOUBLE) + 3.0)"
+        for g in _JT_GROUPS
+    )
+    return f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         {c_cols}
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c1, c2, c3, c4, c5,
+         {t_cols}
+  FROM per_v
+), stats AS (
+  SELECT {n_cols},
+         CAST(SUM({pair_terms}) AS DECIMAL(38,0)) AS two_j
+  FROM ranked
+), d AS (
+  SELECT ({n_tot}) AS ntot, ({sn2}) AS sn2, ({sn23}) AS sn23,
+         CAST(two_j AS DOUBLE) AS two_j
+  FROM stats
+)
+SELECT CAST(ntot AS BIGINT) AS n_total,
+       two_j,
+       (ntot * ntot - sn2) / 2.0 AS expected_two_j,
+       (two_j - (ntot * ntot - sn2) / 2.0)
+         / (2.0 * sqrt((ntot * ntot * (2.0 * ntot + 3.0) - sn23) / 72.0)) AS z_stat,
+       CAST(CASE WHEN ABS((two_j - (ntot * ntot - sn2) / 2.0)
+                   / (2.0 * sqrt((ntot * ntot * (2.0 * ntot + 3.0) - sn23) / 72.0)))
+                   > {JT_Z_CRIT} THEN 1 ELSE 0 END AS INT) AS significant_5pct
+FROM d
+"""
+
+
+MOOD_CHI2_CRIT_DF2 = 5.991465  # chi-square(2) upper 5% critical value — literal
+
+_MOOD_FLAGS = ["A", "N", "R"]  # literal return-flag domain (module convention)
+
+
+def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: do the three return-flag populations share a
+    common median line-item value? The maximally-robust k-group location
+    test — it reduces each observation to one bit (≤ pooled median vs >)
+    so a handful of billion-dollar outliers cannot move it, the property
+    ``kruskal_wallis`` (rank-sized influence) does not have. The pooled
+    median is the EXACT type-1 lower median (smallest value whose
+    inclusive cumulative count reaches ⌈N/2⌉ — integer index, no
+    interpolation), found on the distinct-value frame; the 3×2
+    contingency χ² is a FIXED 6-cell expression over the literal flag
+    domain (module determinism rule).
+
+    Exactness: counts are integers end-to-end; expected cells e =
+    n_g·side/N and χ² are one IEEE sequence on them; significance is a
+    rational comparison against the literal χ²(2) critical value.
+    Scale shape: one hash agg → one domain-sized cumulative window for
+    the median → one broadcast re-scan of the distinct-value frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = (
+        li.select(F.col("l_extendedprice").alias("v"), "l_returnflag")
+        .groupBy("v")
+        .agg(
+            *[
+                F.sum(F.when(F.col("l_returnflag") == f, 1).otherwise(0)).alias(
+                    f"c_{f}"
+                )
+                for f in _MOOD_FLAGS
+            ]
+        )
+    )
+    c_all = sum((F.col(f"c_{f}") for f in _MOOD_FLAGS[1:]), F.col(f"c_{_MOOD_FLAGS[0]}"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select("v", F.sum(c_all).over(w).alias("cum"))
+    tot = per_v.agg(F.sum(c_all).cast("long").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 2 >= F.col("n") + (F.col("n") % 2))
+        .agg(F.min("v").alias("median_v"))
+    )
+    counted = per_v.crossJoin(F.broadcast(med)).agg(
+        F.max("median_v").alias("median_v"),
+        *[
+            F.sum(F.when(F.col("v") <= F.col("median_v"), F.col(f"c_{f}")).otherwise(0))
+            .cast("long")
+            .alias(f"le_{f}")
+            for f in _MOOD_FLAGS
+        ],
+        *[
+            F.sum(F.when(F.col("v") > F.col("median_v"), F.col(f"c_{f}")).otherwise(0))
+            .cast("long")
+            .alias(f"gt_{f}")
+            for f in _MOOD_FLAGS
+        ],
+    )
+    n_tot = None
+    le_tot = None
+    for f in _MOOD_FLAGS:
+        both = F.col(f"le_{f}") + F.col(f"gt_{f}")
+        n_tot = both if n_tot is None else n_tot + both
+        le_tot = (
+            F.col(f"le_{f}") if le_tot is None else le_tot + F.col(f"le_{f}")
+        )
+    nd = n_tot.cast("double")
+    chi2 = None
+    for f in _MOOD_FLAGS:
+        ng = (F.col(f"le_{f}") + F.col(f"gt_{f}")).cast("double")
+        for side, side_tot in (("le", le_tot), ("gt", n_tot - le_tot)):
+            o = F.col(f"{side}_{f}").cast("double")
+            e = ng * side_tot.cast("double") / nd
+            term = (o - e) * (o - e) / e
+            chi2 = term if chi2 is None else chi2 + term
+    return counted.select(
+        n_tot.cast("long").alias("n_total"),
+        "median_v",
+        le_tot.cast("long").alias("n_le_median"),
+        chi2.alias("chi2_stat"),
+        F.lit(2).cast("int").alias("df"),
+        (chi2 > F.lit(MOOD_CHI2_CRIT_DF2)).cast("int").alias("significant_5pct"),
+    )
+
+
+def _sql_mood_median() -> str:
+    c_cols = ",\n         ".join(
+        f"SUM(CASE WHEN l_returnflag = '{f}' THEN 1 ELSE 0 END) AS c_{f}"
+        for f in _MOOD_FLAGS
+    )
+    c_all = " + ".join(f"c_{f}" for f in _MOOD_FLAGS)
+    le_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN v <= median_v THEN c_{f} ELSE 0 END) AS BIGINT) AS le_{f}"
+        for f in _MOOD_FLAGS
+    )
+    gt_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN v > median_v THEN c_{f} ELSE 0 END) AS BIGINT) AS gt_{f}"
+        for f in _MOOD_FLAGS
+    )
+    n_tot = " + ".join(f"(le_{f} + gt_{f})" for f in _MOOD_FLAGS)
+    le_tot = " + ".join(f"le_{f}" for f in _MOOD_FLAGS)
+    chi_terms = []
+    for f in _MOOD_FLAGS:
+        for side, stot in (("le", le_tot), ("gt", f"({n_tot}) - ({le_tot})")):
+            o = f"CAST({side}_{f} AS DOUBLE)"
+            e = (
+                f"(CAST(le_{f} + gt_{f} AS DOUBLE) * CAST({stot} AS DOUBLE)"
+                f" / CAST({n_tot} AS DOUBLE))"
+            )
+            chi_terms.append(f"(({o} - {e}) * ({o} - {e}) / {e})")
+    chi2 = " + ".join(chi_terms)
+    return f"""
+WITH per_v AS (
+  SELECT l_extendedprice AS v,
+         {c_cols}
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT v, SUM({c_all}) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_v
+), tot AS (SELECT CAST(SUM({c_all}) AS BIGINT) AS n FROM per_v),
+med AS (
+  SELECT MIN(v) AS median_v
+  FROM cum CROSS JOIN tot
+  WHERE cum * 2 >= n + (n % 2)
+), counted AS (
+  SELECT MAX(median_v) AS median_v,
+         {le_cols},
+         {gt_cols}
+  FROM per_v CROSS JOIN med
+)
+SELECT CAST({n_tot} AS BIGINT) AS n_total,
+       median_v,
+       CAST({le_tot} AS BIGINT) AS n_le_median,
+       {chi2} AS chi2_stat,
+       CAST(2 AS INT) AS df,
+       CAST(CASE WHEN {chi2} > {MOOD_CHI2_CRIT_DF2} THEN 1 ELSE 0 END AS INT)
+         AS significant_5pct
+FROM counted
+"""
+
+
 QUERIES = {
+    "cliffs_delta_effect": q_cliffs_delta_effect,
+    "cramer_von_mises_two": q_cramer_von_mises_two,
+    "jonckheere_terpstra": q_jonckheere_terpstra,
+    "mood_median_test": q_mood_median_test,
     "model_gains_lift": q_model_gains_lift,
     "durbin_watson": q_durbin_watson,
     "runs_test": q_runs_test,
@@ -2756,6 +3261,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cliffs_delta_effect": _ORACLE_CLIFFS_DELTA,
+    "cramer_von_mises_two": _ORACLE_CVM,
+    "jonckheere_terpstra": _sql_jonckheere(),
+    "mood_median_test": _sql_mood_median(),
     "model_gains_lift": _ORACLE_GAINS_LIFT,
     "durbin_watson": _ORACLE_DURBIN_WATSON,
     "runs_test": _ORACLE_RUNS_TEST,
