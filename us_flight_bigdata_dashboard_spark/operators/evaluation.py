@@ -2729,6 +2729,116 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Decision-stump Gini split gain (round 10 wave 4)
+# ---------------------------------------------------------------------------
+
+
+def q_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search: for every candidate threshold on
+    l_discount, the Gini-impurity GAIN of splitting line items into
+    (discount ≤ θ | discount > θ) when predicting the returned flag —
+    the exact computation a distributed decision-tree learner runs at
+    every node, and the feature-screening readout ("is discount
+    predictive of returns at all, and where is the best cut?") that
+    precedes any model. Gini(p) = 2p(1−p) is fully RATIONAL — the
+    reason trees use it over entropy — so the whole search fits the
+    no-transcendentals gate contract.
+
+    Exactness: per-threshold left/right class counts come from ONE
+    hash agg over the ~11-value discount domain plus a cumulative
+    window on that domain-sized frame; every gain is one IEEE sequence
+    on exact integers. Ships ALL candidate rows (threshold order) with
+    an is_best flag — max gain, ties broken by lowest threshold.
+    Scale shape: one map-side-combinable hash agg; everything after
+    runs on ≤11 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = (
+        li.select(
+            F.round(F.col("l_discount") * 100, 0).cast("int").alias("disc_pct"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("disc_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("pos"),
+        )
+    )
+    w = Window.orderBy("disc_pct").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "disc_pct",
+        F.sum("cnt").over(w).alias("n_left"),
+        F.sum("pos").over(w).alias("pos_left"),
+    )
+    tot = per_v.agg(
+        F.sum("cnt").cast("long").alias("n"), F.sum("pos").cast("long").alias("p")
+    )
+    cand = cum.crossJoin(F.broadcast(tot)).filter(F.col("n_left") < F.col("n"))
+    nd = F.col("n").cast("double")
+    pd_ = F.col("p").cast("double")
+    nl = F.col("n_left").cast("double")
+    pl = F.col("pos_left").cast("double")
+    nr = nd - nl
+    pr = pd_ - pl
+    gini = lambda p, n: F.lit(2.0) * (p / n) * (F.lit(1.0) - p / n)  # noqa: E731
+    gain = gini(pd_, nd) - (nl / nd) * gini(pl, nl) - (nr / nd) * gini(pr, nr)
+    scored = cand.select(
+        "disc_pct",
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("pos_left").cast("long").alias("pos_left"),
+        (F.col("n") - F.col("n_left")).cast("long").alias("n_right"),
+        (F.col("p") - F.col("pos_left")).cast("long").alias("pos_right"),
+        gain.alias("gini_gain"),
+    )
+    w_best = Window.orderBy(F.col("gini_gain").desc(), F.col("disc_pct").asc())
+    return (
+        scored.withColumn(
+            "is_best", (F.row_number().over(w_best) == 1).cast("int")
+        )
+        .orderBy("disc_pct")
+    )
+
+
+_ORACLE_GINI_SPLIT = """
+WITH per_v AS (
+  SELECT CAST(round(l_discount * 100, 0) AS INT) AS disc_pct,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT disc_pct,
+         SUM(cnt) OVER (ORDER BY disc_pct
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_left,
+         SUM(pos) OVER (ORDER BY disc_pct
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos_left
+  FROM per_v
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p FROM per_v
+), cand AS (
+  SELECT disc_pct,
+         CAST(n_left AS BIGINT) AS n_left,
+         CAST(pos_left AS BIGINT) AS pos_left,
+         CAST(n - n_left AS BIGINT) AS n_right,
+         CAST(p - pos_left AS BIGINT) AS pos_right,
+         (2.0 * (CAST(p AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(p AS DOUBLE) / CAST(n AS DOUBLE)))
+         - (CAST(n_left AS DOUBLE) / CAST(n AS DOUBLE))
+             * (2.0 * (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE))
+                * (1.0 - CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE)))
+         - ((CAST(n AS DOUBLE) - CAST(n_left AS DOUBLE)) / CAST(n AS DOUBLE))
+             * (2.0 * ((CAST(p AS DOUBLE) - CAST(pos_left AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(n_left AS DOUBLE)))
+                * (1.0 - (CAST(p AS DOUBLE) - CAST(pos_left AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(n_left AS DOUBLE))))
+           AS gini_gain
+  FROM cum CROSS JOIN tot
+  WHERE n_left < n
+)
+SELECT disc_pct, n_left, pos_left, n_right, pos_right, gini_gain,
+       CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY gini_gain DESC, disc_pct ASC) = 1
+                 THEN 1 ELSE 0 END AS INT) AS is_best
+FROM cand
+ORDER BY disc_pct
+"""
+
+
 QUERIES = {
     "acf_lags": q_acf_lags,
     "conformal_interval": q_conformal_interval,
@@ -2757,6 +2867,7 @@ QUERIES = {
     "lin_ccc_agreement": q_lin_ccc_agreement,
     "bland_altman_agreement": q_bland_altman_agreement,
     "goodman_kruskal_gamma": q_goodman_kruskal_gamma,
+    "gini_split_gain": q_gini_split_gain,
 }
 
 ORACLE = {
@@ -2787,4 +2898,5 @@ ORACLE = {
     "lin_ccc_agreement": _ORACLE_LIN_CCC,
     "bland_altman_agreement": _ORACLE_BLAND_ALTMAN,
     "goodman_kruskal_gamma": _ORACLE_GK_GAMMA,
+    "gini_split_gain": _ORACLE_GINI_SPLIT,
 }

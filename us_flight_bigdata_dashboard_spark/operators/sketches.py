@@ -914,7 +914,142 @@ FROM common CROSS JOIN exact
 """
 
 
+# ---------------------------------------------------------------------------
+# Theta-sketch A-not-B: the set-difference companion of the intersection
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_theta_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch A-NOT-B estimate |A \\ B| — customers who placed a
+    1-URGENT order but never a 2-HIGH one — beside the exact difference.
+    Completes the theta set algebra next to ``sketch_theta_intersection``
+    (the Apache DataSketches AnotB operation): with θ = min(θ_A, θ_B),
+    B's bottom-k sample contains EVERY hash of B below θ, so an A-sample
+    hash below θ absent from B's sample is genuinely absent from B — an
+    ANTI-join of two ≤k-row sketches, estimate = count·2^48/θ on exact
+    integers with one final division.
+
+    Scale shape: identical to the intersection entry — two KMV bottom-k
+    tournaments (bucketed windows), a broadcast anti-join of two tiny
+    samples, and the exact-mode collapse (θ = 2^48) when a set fits in
+    k. The exact baseline is one distinct + left-anti + count."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+
+    def kmv(pred):
+        pairs = orders.filter(pred).select(h.alias("h")).distinct()
+        w_bucket = Window.partitionBy(F.col("h") % KMV_BUCKETS).orderBy("h")
+        cand = pairs.withColumn("_rb", F.row_number().over(w_bucket)).filter(
+            F.col("_rb") <= THETA_K
+        )
+        w_final = Window.orderBy("h")
+        return (
+            cand.withColumn("_rn", F.row_number().over(w_final))
+            .filter(F.col("_rn") <= THETA_K)
+            .select("h", "_rn")
+        )
+
+    ka = kmv(F.col("o_orderpriority") == "1-URGENT")
+    kb = kmv(F.col("o_orderpriority") == "2-HIGH")
+
+    def theta(kset):
+        return kset.agg(
+            F.when(F.count(F.lit(1)) < THETA_K, F.lit(THETA_FULL))
+            .otherwise(F.max(F.when(F.col("_rn") == THETA_K, F.col("h"))))
+            .alias("th")
+        )
+
+    th = (
+        theta(ka)
+        .crossJoin(theta(kb).withColumnRenamed("th", "th_b"))
+        .select(F.least("th", "th_b").alias("theta"))
+    )
+    only_a = (
+        ka.select("h")
+        .join(kb.select("h"), "h", "left_anti")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_only"),
+            F.max("theta").alias("theta"),
+        )
+    )
+    exact = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .join(
+            orders.filter(F.col("o_orderpriority") == "2-HIGH")
+            .select("o_custkey")
+            .distinct(),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_diff"))
+    )
+    est = F.col("n_only").cast("double") * F.lit(float(THETA_FULL)) / F.col(
+        "theta"
+    ).cast("double")
+    exact_d = F.col("exact_diff").cast("double")
+    return only_a.crossJoin(F.broadcast(exact)).select(
+        "exact_diff",
+        "n_only",
+        F.col("theta").cast("long").alias("theta"),
+        est.alias("theta_est"),
+        ((est - exact_d) / exact_d * F.lit(100.0)).alias("rel_err_pct"),
+    )
+
+
+def _sql_theta_difference() -> str:
+    hx = _sql_hex_to_int("md5(CAST(o_custkey AS VARCHAR))", 1, 12)
+
+    def kmv_sql(prio, name):
+        return f"""{name}_pairs AS (
+  SELECT DISTINCT {hx} AS h FROM orders WHERE o_orderpriority = '{prio}'
+), {name} AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+  FROM {name}_pairs
+  QUALIFY rn <= {THETA_K}
+), {name}_theta AS (
+  SELECT CASE WHEN COUNT(*) < {THETA_K} THEN {THETA_FULL}
+              ELSE MAX(CASE WHEN rn = {THETA_K} THEN h END) END AS th
+  FROM {name}
+)"""
+
+    return f"""
+WITH {kmv_sql('1-URGENT', 'ka')}, {kmv_sql('2-HIGH', 'kb')},
+th AS (
+  SELECT LEAST(ka_theta.th, kb_theta.th) AS theta
+  FROM ka_theta CROSS JOIN kb_theta
+), only_a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_only, MAX(theta) AS theta
+  FROM ka CROSS JOIN th
+  WHERE ka.h < theta AND NOT EXISTS (SELECT 1 FROM kb WHERE kb.h = ka.h)
+), exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_diff FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+  )
+)
+SELECT exact_diff, n_only, CAST(theta AS BIGINT) AS theta,
+       CAST(n_only AS DOUBLE) * CAST({float(THETA_FULL)!r} AS DOUBLE)
+         / CAST(theta AS DOUBLE) AS theta_est,
+       (CAST(n_only AS DOUBLE) * CAST({float(THETA_FULL)!r} AS DOUBLE)
+         / CAST(theta AS DOUBLE) - CAST(exact_diff AS DOUBLE))
+         / CAST(exact_diff AS DOUBLE) * 100.0 AS rel_err_pct
+FROM only_a CROSS JOIN exact
+"""
+
+
 QUERIES = {
+    "sketch_theta_difference": q_sketch_theta_difference,
     "sketch_cms_freq": q_sketch_cms_freq,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
     "sketch_hll_registers": q_sketch_hll_registers,
@@ -932,4 +1067,5 @@ ORACLE = {
     "sketch_kmv_distinct": _sql_kmv(),
     "sketch_countsketch_freq": _sql_countsketch(),
     "sketch_theta_intersection": _sql_theta_intersection(),
+    "sketch_theta_difference": _sql_theta_difference(),
 }

@@ -3200,7 +3200,162 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Yule's K lexical-richness characteristic (round 10 wave 4)
+# ---------------------------------------------------------------------------
+
+
+def q_text_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source: K = 10⁴·(Σ_w c_w² − N)/N² over
+    the token frequency spectrum — the length-INVARIANT lexical-richness
+    constant (TTR and hapax share both drift with corpus size; K is the
+    repeat-rate statistic designed not to), and it is FULLY RATIONAL:
+    unlike entropy-based diversity it needs no logarithms, so it fits the
+    no-transcendentals gate contract natively. High K = repetitive
+    template text; low K = rich vocabulary — the per-source screen next
+    to ``text_sttr`` (segmented TTR) and ``text_hapax_ratio``.
+
+    Exactness: Σc² is DECIMAL(38,0) (a 10¹⁰-count word contributes 10²⁰ —
+    past bigint at 100 TB); K is one IEEE sequence on exact integers.
+    Scale shape: one explode + (source, token) hash agg (map-side
+    combinable) — the only data-sized stage — then a per-source agg over
+    vocabulary-sized rows."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("t"))
+    counts = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    out = counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sc2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    k = F.lit(1.0e4) * (F.col("sc2").cast("double") - nd) / (nd * nd)
+    return out.select("source", "vocab", "n_tokens", k.alias("yules_k")).orderBy(
+        "source"
+    )
+
+
+_ORACLE_YULES_K = f"""
+WITH tok AS (
+  SELECT source, UNNEST({_sql_tokens("text")}) AS t FROM documents
+), counts AS (
+  SELECT source, t, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+), outt AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sc2
+  FROM counts GROUP BY 1
+)
+SELECT source, vocab, n_tokens,
+       1e4 * (CAST(sc2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+         / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS yules_k
+FROM outt
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Total-variation distance of each source's unigram mix vs the corpus
+# ---------------------------------------------------------------------------
+
+
+def q_text_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between each SOURCE's unigram
+    distribution and the pooled corpus distribution — the log-free
+    drift measure for pretraining-mix curation (KL and PSI need
+    logarithms; TV = ½Σ|p − q| is fully rational AND is the tightest
+    bound on how much any downstream event probability can differ).
+    Rank sources by TV to find the one whose vocabulary least resembles
+    the corpus (candidate for down-weighting or a dedicated mix bucket,
+    the ``source_mix_temperature`` companion).
+
+    Exact-integer formulation with NO zero-fill spine: over the common
+    denominator N_s·N, Σ_t∈s |c_st·N − c_t·N_s| handles tokens the
+    source HAS; tokens it lacks contribute exactly (N − Σ_t∈s c_t)·N_s,
+    an identity on the same integers — so TV is (Σ|...| + (N−S_s)·N_s)
+    / (2·N_s·N), ONE division. Products are DECIMAL(38,0) (c·N reaches
+    ~10²⁵ at 100 TB). Scale shape: one explode + (source, token) hash
+    agg, one token-level re-agg (vocabulary-sized), one vocab-sized
+    join, per-source agg — every data-sized stage map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("t"))
+    counts = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_st")
+    )
+    pooled = counts.groupBy("t").agg(F.sum("c_st").cast("long").alias("c_t"))
+    tot = counts.agg(F.sum("c_st").cast("long").alias("n_all"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    src_tot = counts.groupBy("source").agg(
+        F.sum("c_st").cast("long").alias("n_src")
+    )
+    joined = (
+        counts.join(pooled, "t")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = joined.groupBy("source").agg(
+        F.max("n_src").alias("n_src"),
+        F.max("n_all").alias("n_all"),
+        F.sum("c_t").cast("long").alias("covered_pool"),
+        F.sum(
+            F.abs(
+                dec(F.col("c_st")) * dec(F.col("n_all"))
+                - dec(F.col("c_t")) * dec(F.col("n_src"))
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s_abs"),
+    )
+    num = F.col("s_abs").cast("double") + (
+        (F.col("n_all") - F.col("covered_pool")).cast("double")
+        * F.col("n_src").cast("double")
+    )
+    den = F.lit(2.0) * F.col("n_src").cast("double") * F.col("n_all").cast("double")
+    return agg.select(
+        "source",
+        "n_src",
+        (num / den).alias("tv_distance"),
+    ).orderBy("source")
+
+
+_ORACLE_TV_DISTANCE = f"""
+WITH tok AS (
+  SELECT source, UNNEST({_sql_tokens("text")}) AS t FROM documents
+), counts AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_st FROM tok GROUP BY 1, 2
+), pooled AS (
+  SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM counts GROUP BY 1
+), tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n_all FROM counts),
+src_tot AS (
+  SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_src FROM counts GROUP BY 1
+), agg AS (
+  SELECT counts.source,
+         MAX(n_src) AS n_src,
+         MAX(n_all) AS n_all,
+         CAST(SUM(c_t) AS BIGINT) AS covered_pool,
+         CAST(SUM(ABS(CAST(c_st AS DECIMAL(38,0)) * CAST(n_all AS DECIMAL(38,0))
+                      - CAST(c_t AS DECIMAL(38,0)) * CAST(n_src AS DECIMAL(38,0)))) AS DECIMAL(38,0)) AS s_abs
+  FROM counts
+  JOIN pooled USING (t)
+  JOIN src_tot ON counts.source = src_tot.source
+  CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT source, n_src,
+       (CAST(s_abs AS DOUBLE)
+        + CAST(n_all - covered_pool AS DOUBLE) * CAST(n_src AS DOUBLE))
+         / (2.0 * CAST(n_src AS DOUBLE) * CAST(n_all AS DOUBLE)) AS tv_distance
+FROM agg
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "text_yules_k": q_text_yules_k,
+    "text_tv_distance": q_text_tv_distance,
     "text_collocations_lift": q_text_collocations_lift,
     "benchmark_contamination": q_benchmark_contamination,
     "text_zipf_rankfreq": q_text_zipf_rankfreq,
@@ -3242,6 +3397,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_yules_k": _ORACLE_YULES_K,
+    "text_tv_distance": _ORACLE_TV_DISTANCE,
     "text_collocations_lift": _sql_collocations(),
     "benchmark_contamination": _sql_contamination(),
     "text_zipf_rankfreq": _sql_zipf(),
