@@ -1,0 +1,550 @@
+"""Ground-truth tests for the round-10 wave-4 operators: scipy-free
+numpy/pandas brute forces of Cochran's Q, Lin's CCC and Bland-Altman
+moments, Goodman-Kruskal gamma and Cliff's delta (O(n²) pair counting),
+the two-sample Cramér-von Mises ECDF sum, Jonckheere-Terpstra pairwise
+U's, Mood's median 2×3 chi-square, Yule's K and TV distance from raw
+Counters, the Gini split-gain stump search, the theta A-not-B exact-mode
+collapse, a Python re-simulation of the recursive-CTE drain schedule,
+and a pandas top-k re-derivation of the LATERAL join — on sf0.001 where
+exhaustive recomputation is cheap."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import duckdb
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _df(table: str):
+    con = duckdb.connect()
+    return con.execute(f"SELECT * FROM '{SF_DIR}/{table}.parquet'").df()
+
+
+# ---------------------------------------------------------------------------
+# cochrans_q_test
+# ---------------------------------------------------------------------------
+
+
+def test_cochrans_q_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        COCHRAN_Q_YEAR,
+        q_cochrans_q_test,
+    )
+
+    od = _df("orders")
+    od = od[od["o_orderdate"].dt.year == COCHRAN_Q_YEAR]
+    pairs = set(zip(od["o_custkey"], od["o_orderdate"].dt.quarter))
+    g = collections.Counter(q for _, q in pairs)
+    li = collections.Counter(c for c, _ in pairs)
+    t = sum(g.values())
+    sg2 = sum(v * v for v in g.values())
+    sl2 = sum(v * v for v in li.values())
+    k = 4
+    q_expected = (k - 1) * (k * sg2 - t * t) / (k * t - sl2)
+    (row,) = q_cochrans_q_test(spark, SF_DIR).collect()
+    assert row["n_subjects"] == len(li)
+    assert row["total_active_marks"] == t
+    assert row["q_stat"] == pytest.approx(q_expected, rel=1e-12)
+    assert row["significant_5pct"] == int(q_expected > 7.814728)
+
+
+# ---------------------------------------------------------------------------
+# lin_ccc_agreement / bland_altman_agreement (shared monthly frame)
+# ---------------------------------------------------------------------------
+
+
+def _monthly_gross_net():
+    # the CENTS rounding must be the engines' half-up (numpy rounds
+    # half-even — exact .5 boundaries exist in price*(1-discount)*100),
+    # so build the monthly frame in DuckDB; the statistic recomputation
+    # below stays independent numpy
+    con = duckdb.connect()
+    frame = con.execute(
+        f"""
+        SELECT date_trunc('month', l_shipdate) AS m,
+               SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS gc,
+               SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS nc
+        FROM '{SF_DIR}/lineitem.parquet' GROUP BY 1
+        """
+    ).df()
+    return frame["gc"].values / 1e9, frame["nc"].values / 1e9
+
+
+def test_lin_ccc_matches_numpy(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_lin_ccc_agreement,
+    )
+
+    x, y = _monthly_gross_net()
+    n = len(x)
+    mx, my = x.mean(), y.mean()
+    vx, vy = x.var(), y.var()  # population
+    cov = (x * y).mean() - mx * my
+    r = cov / math.sqrt(vx * vy)
+    ccc = 2 * cov / (vx + vy + (mx - my) ** 2)
+    (row,) = q_lin_ccc_agreement(spark, SF_DIR).collect()
+    assert row["n_months"] == n
+    assert row["pearson_r"] == pytest.approx(r, rel=1e-9)
+    assert row["lin_ccc"] == pytest.approx(ccc, rel=1e-9)
+    assert row["bias_correction_cb"] == pytest.approx(ccc / r, rel=1e-9)
+    # CCC must be <= |r| (the bias-correction factor is <= 1)
+    assert abs(row["lin_ccc"]) <= abs(row["pearson_r"]) + 1e-15
+
+
+def test_bland_altman_matches_numpy(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_bland_altman_agreement,
+    )
+
+    x, y = _monthly_gross_net()
+    d = x - y
+    n = len(d)
+    mean_d = d.mean()
+    sd = math.sqrt(((d - mean_d) ** 2).sum() / (n - 1))
+    lo, hi = mean_d - 1.96 * sd, mean_d + 1.96 * sd
+    within = int(((d >= lo) & (d <= hi)).sum())
+    (row,) = q_bland_altman_agreement(spark, SF_DIR).collect()
+    u = 1e7  # $10M units -> dollars
+    assert row["n_months"] == n
+    assert row["mean_diff_dollars"] == pytest.approx(mean_d * u, rel=1e-9)
+    # sd is fsum-quantization-bounded at ~2e-8 relative (scale-12 quantum
+    # under ~1e-5-magnitude squared deviations) — documented in the op
+    assert row["sd_diff_dollars"] == pytest.approx(sd * u, rel=1e-7)
+    assert row["loa_lower_dollars"] == pytest.approx(lo * u, rel=1e-7)
+    assert row["loa_upper_dollars"] == pytest.approx(hi * u, rel=1e-7)
+    assert row["n_within"] == within
+
+
+# ---------------------------------------------------------------------------
+# goodman_kruskal_gamma — brute force over contingency cells
+# ---------------------------------------------------------------------------
+
+
+def test_gk_gamma_cell_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        GAMMA_QTY_BAND,
+        q_goodman_kruskal_gamma,
+    )
+
+    od = _df("orders")[["o_orderkey", "o_orderpriority"]]
+    li = _df("lineitem")[["l_orderkey", "l_quantity"]]
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    x = j["o_orderpriority"].str[0].astype(int).values
+    y = np.minimum(2, ((j["l_quantity"] - 1) // GAMMA_QTY_BAND).astype(int)).values
+    cells = collections.Counter(zip(x, y))
+    c = d = 0
+    for (x1, y1), n1 in cells.items():
+        for (x2, y2), n2 in cells.items():
+            if x1 < x2 and y1 < y2:
+                c += n1 * n2
+            elif x1 < x2 and y1 > y2:
+                d += n1 * n2
+    (row,) = q_goodman_kruskal_gamma(spark, SF_DIR).collect()
+    assert row["concordant"] == c
+    assert row["discordant"] == d
+    assert row["gamma"] == pytest.approx((c - d) / (c + d), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# cliffs_delta_effect — O(n1*n2) pair brute force
+# ---------------------------------------------------------------------------
+
+
+def test_cliffs_delta_pair_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_cliffs_delta_effect,
+    )
+
+    li = _df("lineitem")
+    ret = li["l_returnflag"] == "R"
+    x = li.loc[ret, "l_extendedprice"].values
+    y = li.loc[~ret, "l_extendedprice"].values
+    gt = int((x[:, None] > y[None, :]).sum())
+    lt = int((x[:, None] < y[None, :]).sum())
+    tie = len(x) * len(y) - gt - lt
+    (row,) = q_cliffs_delta_effect(spark, SF_DIR).collect()
+    assert row["n1"] == len(x) and row["n2"] == len(y)
+    assert row["gt_pairs"] == gt
+    assert row["lt_pairs"] == lt
+    assert row["tie_pairs"] == tie
+    assert row["cliffs_delta"] == pytest.approx(
+        (gt - lt) / (len(x) * len(y)), rel=1e-12
+    )
+
+
+# ---------------------------------------------------------------------------
+# cramer_von_mises_two — ECDF brute force
+# ---------------------------------------------------------------------------
+
+
+def test_cvm_matches_ecdf_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_cramer_von_mises_two,
+    )
+
+    od = _df("orders")
+    urg = od["o_orderpriority"] == "1-URGENT"
+    x = np.sort(od.loc[urg, "o_totalprice"].values)
+    y = np.sort(od.loc[~urg, "o_totalprice"].values)
+    pooled = np.concatenate([x, y])
+    f1 = np.searchsorted(x, pooled, side="right") / len(x)
+    f2 = np.searchsorted(y, pooled, side="right") / len(y)
+    t = len(x) * len(y) / (len(pooled) ** 2) * ((f1 - f2) ** 2).sum()
+    (row,) = q_cramer_von_mises_two(spark, SF_DIR).collect()
+    assert row["n1"] == len(x) and row["n2"] == len(y)
+    assert row["t_stat"] == pytest.approx(t, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# jonckheere_terpstra — pairwise U brute force
+# ---------------------------------------------------------------------------
+
+
+def test_jonckheere_pairwise_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_jonckheere_terpstra,
+    )
+
+    od = _df("orders")
+    g = od["o_orderpriority"].str[0].astype(int).values
+    v = od["o_totalprice"].values
+    groups = [v[g == k] for k in range(1, 6)]
+    two_j = 0
+    for i in range(5):
+        for j in range(i + 1, 5):
+            a, b = groups[i], groups[j]
+            two_j += 2 * int((a[:, None] < b[None, :]).sum()) + int(
+                (a[:, None] == b[None, :]).sum()
+            )
+    ns = [len(a) for a in groups]
+    n = sum(ns)
+    e2j = (n * n - sum(k * k for k in ns)) / 2.0
+    var_j = (
+        n * n * (2.0 * n + 3.0) - sum(k * k * (2.0 * k + 3.0) for k in ns)
+    ) / 72.0
+    z = (two_j - e2j) / (2.0 * math.sqrt(var_j))
+    (row,) = q_jonckheere_terpstra(spark, SF_DIR).collect()
+    assert row["n_total"] == n
+    assert row["two_j"] == two_j
+    assert row["expected_two_j"] == pytest.approx(e2j, rel=1e-12)
+    assert row["z_stat"] == pytest.approx(z, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# mood_median_test — brute force
+# ---------------------------------------------------------------------------
+
+
+def test_mood_median_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_mood_median_test,
+    )
+
+    li = _df("lineitem")
+    v = li["l_extendedprice"].values
+    flags = li["l_returnflag"].values
+    n = len(v)
+    med = np.sort(v)[(n + 1) // 2 - 1]  # type-1 lower median
+    chi2 = 0.0
+    le_tot = int((v <= med).sum())
+    for f in ["A", "N", "R"]:
+        sel = flags == f
+        ng = int(sel.sum())
+        for side_cnt, side_tot in (
+            (int((v[sel] <= med).sum()), le_tot),
+            (int((v[sel] > med).sum()), n - le_tot),
+        ):
+            e = ng * side_tot / n
+            chi2 += (side_cnt - e) ** 2 / e
+    (row,) = q_mood_median_test(spark, SF_DIR).collect()
+    assert row["n_total"] == n
+    assert row["median_v"] == pytest.approx(med, abs=0)
+    assert row["n_le_median"] == le_tot
+    assert row["chi2_stat"] == pytest.approx(chi2, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# text_yules_k / text_tv_distance — Counter brute forces
+# ---------------------------------------------------------------------------
+
+
+def _source_token_counts():
+    docs = _df("documents")
+    per_src: dict = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        c = per_src.setdefault(src, collections.Counter())
+        c.update(t for t in text.lower().split(" ") if t != "")
+    return per_src
+
+
+def test_yules_k_counter(spark):
+    from us_flight_bigdata_dashboard_spark.operators.text import q_text_yules_k
+
+    per_src = _source_token_counts()
+    rows = {r["source"]: r for r in q_text_yules_k(spark, SF_DIR).collect()}
+    assert set(rows) == set(per_src)
+    for src, c in per_src.items():
+        n = sum(c.values())
+        sc2 = sum(v * v for v in c.values())
+        k = 1e4 * (sc2 - n) / (n * n)
+        assert rows[src]["vocab"] == len(c)
+        assert rows[src]["n_tokens"] == n
+        assert rows[src]["yules_k"] == pytest.approx(k, rel=1e-12)
+
+
+def test_tv_distance_counter(spark):
+    from us_flight_bigdata_dashboard_spark.operators.text import q_text_tv_distance
+    from fractions import Fraction
+
+    per_src = _source_token_counts()
+    pooled = collections.Counter()
+    for c in per_src.values():
+        pooled.update(c)
+    n_all = sum(pooled.values())
+    rows = {r["source"]: r for r in q_text_tv_distance(spark, SF_DIR).collect()}
+    for src, c in per_src.items():
+        n_src = sum(c.values())
+        tv = Fraction(0)
+        for t in pooled:
+            p = Fraction(c.get(t, 0), n_src)
+            q = Fraction(pooled[t], n_all)
+            tv += abs(p - q)
+        tv = tv / 2
+        assert rows[src]["n_src"] == n_src
+        assert rows[src]["tv_distance"] == pytest.approx(float(tv), rel=1e-9)
+        assert 0.0 <= rows[src]["tv_distance"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# gini_split_gain — stump brute force
+# ---------------------------------------------------------------------------
+
+
+def test_gini_split_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_gini_split_gain,
+    )
+
+    li = _df("lineitem")
+    disc = np.round(li["l_discount"] * 100).astype(int).values
+    pos = (li["l_returnflag"] == "R").values.astype(int)
+    n, p = len(disc), int(pos.sum())
+
+    def gini(p_, n_):
+        r = p_ / n_
+        return 2.0 * r * (1.0 - r)
+
+    root = gini(p, n)
+    best_gain, best_thr = -1.0, None
+    expected = {}
+    for thr in sorted(set(disc)):
+        left = disc <= thr
+        nl, pl = int(left.sum()), int(pos[left].sum())
+        if nl == n:
+            continue
+        gain = root - nl / n * gini(pl, nl) - (n - nl) / n * gini(p - pl, n - nl)
+        expected[thr] = (nl, pl, gain)
+        if gain > best_gain + 1e-18:
+            best_gain, best_thr = gain, thr
+    rows = q_gini_split_gain(spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        nl, pl, gain = expected[r["disc_pct"]]
+        assert r["n_left"] == nl and r["pos_left"] == pl
+        assert r["gini_gain"] == pytest.approx(gain, rel=1e-9, abs=1e-15)
+        assert r["is_best"] == int(r["disc_pct"] == best_thr)
+
+
+# ---------------------------------------------------------------------------
+# sketch_theta_difference — exact-mode collapse
+# ---------------------------------------------------------------------------
+
+
+def test_theta_difference_exact_mode(spark):
+    from us_flight_bigdata_dashboard_spark.operators.sketches import (
+        THETA_FULL,
+        THETA_K,
+        q_sketch_theta_difference,
+    )
+
+    od = _df("orders")
+    a = set(od.loc[od["o_orderpriority"] == "1-URGENT", "o_custkey"])
+    b = set(od.loc[od["o_orderpriority"] == "2-HIGH", "o_custkey"])
+    (row,) = q_sketch_theta_difference(spark, SF_DIR).collect()
+    assert row["exact_diff"] == len(a - b)
+    if len(a) < THETA_K and len(b) < THETA_K:
+        assert row["theta"] == THETA_FULL
+        assert row["n_only"] == len(a - b)
+        assert row["theta_est"] == pytest.approx(float(len(a - b)))
+        assert row["rel_err_pct"] == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# recursive_cte_drain — Python re-simulation
+# ---------------------------------------------------------------------------
+
+
+def test_recursive_drain_python_sim(spark):
+    from us_flight_bigdata_dashboard_spark.operators.relational import (
+        DRAIN_MAX_MONTHS,
+        DRAIN_MIN_PAY_CENTS,
+        q_recursive_cte_drain,
+    )
+
+    od = _df("orders")
+    cust = _df("customer")[["c_custkey", "c_nationkey"]]
+    nat = _df("nation")[["n_nationkey", "n_regionkey"]]
+    reg = _df("region")[["r_regionkey", "r_name"]]
+    j = (
+        od[od["o_orderstatus"] == "O"]
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    j["cents"] = np.round(j["o_totalprice"] * 100).astype(np.int64)
+    opening = j.groupby("r_name")["cents"].sum().to_dict()
+    expected = []
+    for r_name, bal in opening.items():
+        bal = int(bal)
+        expected.append((r_name, 0, bal))
+        month = 0
+        while month < DRAIN_MAX_MONTHS and bal > 0:
+            bal = max(bal - max(bal // 4, DRAIN_MIN_PAY_CENTS), 0)
+            month += 1
+            expected.append((r_name, month, bal))
+    expected.sort()
+    rows = [
+        (r["region_name"], r["month_n"], r["balance_cents"])
+        for r in q_recursive_cte_drain(spark, SF_DIR).collect()
+    ]
+    assert rows == expected
+    # every region must reach zero inside the cap at this SF
+    finals = {}
+    for r_name, _, bal in rows:
+        finals[r_name] = bal
+    assert all(v == 0 for v in finals.values())
+
+
+# ---------------------------------------------------------------------------
+# lateral_join_topk — pandas top-k re-derivation
+# ---------------------------------------------------------------------------
+
+
+def test_lateral_topk_matches_pandas(spark):
+    from us_flight_bigdata_dashboard_spark.operators.relational import (
+        LATERAL_TOPK,
+        q_lateral_join_topk,
+    )
+
+    od = _df("orders")
+    cust = _df("customer")[["c_custkey", "c_nationkey"]]
+    nat = _df("nation")[["n_nationkey", "n_name"]]
+    od["cents"] = np.round(od["o_totalprice"] * 100).astype(np.int64)
+    rev = (
+        od.groupby("o_custkey")["cents"]
+        .sum()
+        .reset_index()
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    expected = []
+    for n_name, grp in rev.groupby("n_name"):
+        top = grp.sort_values(
+            ["cents", "c_custkey"], ascending=[False, True]
+        ).head(LATERAL_TOPK)
+        for _, r in top.iterrows():
+            expected.append((n_name, int(r["c_custkey"]), int(r["cents"])))
+    rows = [
+        (r["nation_name"], r["c_custkey"], r["rev_cents"])
+        for r in q_lateral_join_topk(spark, SF_DIR).collect()
+    ]
+    assert sorted(rows) == sorted(expected)
+
+
+# ---------------------------------------------------------------------------
+# streaming_late_data_replay — drop/absorb/flush semantics
+# ---------------------------------------------------------------------------
+
+
+def test_late_data_replay_semantics(spark):
+    from us_flight_bigdata_dashboard_spark.streaming.replay import (
+        _LATE_ANCIENT_H,
+        q_streaming_late_data_replay,
+    )
+
+    rows = q_streaming_late_data_replay(spark, SF_DIR).collect()
+    # (1) the future sentinel's window must never emit
+    assert all(r["event_type"] != "sentinel" for r in rows)
+    ev = _df("events").dropna(subset=["ts"])
+    tmin = ev["ts"].min()
+    gm = ev["ts"].max()
+    # (2) exactly-once emission: (window, type) keys are unique
+    keys = [(r["window_start"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    # (3) far-late rows were dropped: first-day totals equal the batch
+    # count MINUS the even-event_id slice
+    first_day = ev[ev["ts"] < tmin + np.timedelta64(_LATE_ANCIENT_H, "h")]
+    cutoff = tmin + np.timedelta64(_LATE_ANCIENT_H, "h")
+    kept = ev[
+        ~((ev["ts"] < cutoff) & (ev["event_id"] % 2 == 0))
+    ]
+    expect_first_day = int((kept["ts"].dt.floor("h") < cutoff).sum())
+    got_first_day = sum(
+        r["n_events"] for r in rows if r["window_start"] < cutoff
+    )
+    assert got_first_day == expect_first_day
+    # (4) late-but-inside-horizon rows were absorbed: the final hours'
+    # totals equal the FULL batch count (nothing lost at the tail)
+    total = sum(r["n_events"] for r in rows)
+    assert total == len(ev) - int((first_day["event_id"] % 2 == 0).sum())
+    # and the last real event's window is present
+    last_ws = gm.floor("h")
+    assert any(r["window_start"] == last_ws for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# icc_oneway — one-way ANOVA brute force on the zero-filled grid
+# ---------------------------------------------------------------------------
+
+
+def test_icc_oneway_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        ICC_K,
+        ICC_YEAR,
+        q_icc_oneway,
+    )
+
+    od = _df("orders")
+    cust = _df("customer")[["c_custkey", "c_nationkey"]]
+    nat = _df("nation")[["n_nationkey"]]
+    od = od[od["o_orderdate"].dt.year == ICC_YEAR].merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    od["cents"] = np.round(od["o_totalprice"] * 100).astype(np.int64)
+    od["mth"] = od["o_orderdate"].dt.month
+    grid = np.zeros((len(nat), ICC_K))
+    idx = {nk: i for i, nk in enumerate(nat["n_nationkey"])}
+    for (nk, mth), cents in od.groupby(["c_nationkey", "mth"])["cents"].sum().items():
+        grid[idx[nk], mth - 1] = cents / 1e9
+    n, k = grid.shape
+    means = grid.mean(axis=1)
+    gmean = grid.mean()
+    ssb = k * ((means - gmean) ** 2).sum()
+    ssw = ((grid - means[:, None]) ** 2).sum()
+    msb = ssb / (n - 1)
+    msw = ssw / (n * (k - 1))
+    icc1 = (msb - msw) / (msb + (k - 1) * msw)
+    (row,) = q_icc_oneway(spark, SF_DIR).collect()
+    assert row["n_groups"] == n and row["k_raters"] == k
+    # the sums of squares are fsum-quantization-bounded at ~1e-8
+    # relative at sf0.001 (tiny deviations under the scale-12 quantum;
+    # documented in the op) — same precedent as bland_altman's sd
+    assert row["ms_between"] == pytest.approx(msb, rel=1e-7)
+    assert row["ms_within"] == pytest.approx(msw, rel=1e-7)
+    assert row["icc1"] == pytest.approx(icc1, rel=1e-6)
+    assert row["icc_k"] == pytest.approx((msb - msw) / msb, rel=1e-6)

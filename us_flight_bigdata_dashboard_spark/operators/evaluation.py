@@ -2476,30 +2476,43 @@ def q_lin_ccc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually asks. Ships the standard decomposition too: CCC = r · C_b
     with scale shift v = s_x/s_y and location shift u = (x̄−ȳ)/√(s_x·s_y).
 
-    Exactness: monthly cents are exact bigints; x, y are one division
-    each into $10M units (module unit discipline, applied BEFORE any
-    squaring); the six moments are floor-quantized fsum sums, and every
-    shipped float is one fixed IEEE sequence on them. Scale shape: one
-    data-sized hash agg (the monthly frame), one 6-sum agg over ~84 rows.
+    Exactness: monthly cents are exact bigints, so the MEANS are exact
+    rationals (Σcents/n — one division); the variances/covariance are
+    CENTERED on those means BEFORE squaring (raw-moment sxx − sx²/n
+    cancellation cost ~2 digits here, measured against the numpy ground
+    truth while testing) and floor-quantized (fsum scale 12 on O(0.1)
+    deviations in $10M units). Every shipped float is one fixed IEEE
+    sequence on these. Scale shape: one data-sized hash agg (the
+    monthly frame), one exact 2-sum agg, one broadcast re-pass over the
+    ~84-month frame for the centered moments.
 
     Reference analog: none (engine addition, SURVEY.md §2.7)."""
     monthly = _monthly_two_measures(spark, sf_dir)
-    x = F.col("gc").cast("double") / F.lit(_UNIT)
-    y = F.col("nc").cast("double") / F.lit(_UNIT)
-    m = monthly.agg(
+    tot = monthly.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        fsum(x, scale=10).alias("sx"),
-        fsum(y, scale=10).alias("sy"),
-        fsum(x * x, scale=8).alias("sxx"),
-        fsum(y * y, scale=8).alias("syy"),
-        fsum(x * y, scale=8).alias("sxy"),
+        F.sum("gc").cast("long").alias("tgc"),
+        F.sum("nc").cast("long").alias("tnc"),
+    )
+    joined = monthly.crossJoin(F.broadcast(tot))
+    nd0 = F.col("n").cast("double")
+    mx0 = F.col("tgc").cast("double") / nd0 / F.lit(_UNIT)
+    my0 = F.col("tnc").cast("double") / nd0 / F.lit(_UNIT)
+    dx = F.col("gc").cast("double") / F.lit(_UNIT) - mx0
+    dy = F.col("nc").cast("double") / F.lit(_UNIT) - my0
+    m = joined.agg(
+        F.max("n").alias("n"),
+        F.max("tgc").alias("tgc"),
+        F.max("tnc").alias("tnc"),
+        fsum(dx * dx, scale=12).alias("sxx"),
+        fsum(dy * dy, scale=12).alias("syy"),
+        fsum(dx * dy, scale=12).alias("sxy"),
     )
     nd = F.col("n").cast("double")
-    mx = F.col("sx") / nd
-    my = F.col("sy") / nd
-    vx = F.col("sxx") / nd - mx * mx
-    vy = F.col("syy") / nd - my * my
-    cov = F.col("sxy") / nd - mx * my
+    mx = F.col("tgc").cast("double") / nd / F.lit(_UNIT)
+    my = F.col("tnc").cast("double") / nd / F.lit(_UNIT)
+    vx = F.col("sxx") / nd
+    vy = F.col("syy") / nd
+    cov = F.col("sxy") / nd
     r = cov / F.sqrt(vx * vy)
     ccc = F.lit(2.0) * cov / (vx + vy + (mx - my) * (mx - my))
     return m.select(
@@ -2514,20 +2527,24 @@ def q_lin_ccc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_LIN_CCC = f"""
 WITH monthly AS ({_SQL_MONTHLY_TWO}
-), m AS (
+), tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         {sql_fsum("CAST(gc AS DOUBLE) / 1000000000.0", scale=10)} AS sx,
-         {sql_fsum("CAST(nc AS DOUBLE) / 1000000000.0", scale=10)} AS sy,
-         {sql_fsum("(CAST(gc AS DOUBLE) / 1000000000.0) * (CAST(gc AS DOUBLE) / 1000000000.0)", scale=8)} AS sxx,
-         {sql_fsum("(CAST(nc AS DOUBLE) / 1000000000.0) * (CAST(nc AS DOUBLE) / 1000000000.0)", scale=8)} AS syy,
-         {sql_fsum("(CAST(gc AS DOUBLE) / 1000000000.0) * (CAST(nc AS DOUBLE) / 1000000000.0)", scale=8)} AS sxy
+         CAST(SUM(gc) AS BIGINT) AS tgc,
+         CAST(SUM(nc) AS BIGINT) AS tnc
   FROM monthly
+), m AS (
+  SELECT MAX(n) AS n, MAX(tgc) AS tgc, MAX(tnc) AS tnc,
+         {sql_fsum("(CAST(gc AS DOUBLE) / 1000000000.0 - CAST(tgc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0) * (CAST(gc AS DOUBLE) / 1000000000.0 - CAST(tgc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0)", scale=12)} AS sxx,
+         {sql_fsum("(CAST(nc AS DOUBLE) / 1000000000.0 - CAST(tnc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0) * (CAST(nc AS DOUBLE) / 1000000000.0 - CAST(tnc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0)", scale=12)} AS syy,
+         {sql_fsum("(CAST(gc AS DOUBLE) / 1000000000.0 - CAST(tgc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0) * (CAST(nc AS DOUBLE) / 1000000000.0 - CAST(tnc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0)", scale=12)} AS sxy
+  FROM monthly CROSS JOIN tot
 ), d AS (
   SELECT n,
-         sx / CAST(n AS DOUBLE) AS mx, sy / CAST(n AS DOUBLE) AS my,
-         sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) AS vx,
-         syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS vy,
-         sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS cov
+         CAST(tgc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0 AS mx,
+         CAST(tnc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0 AS my,
+         sxx / CAST(n AS DOUBLE) AS vx,
+         syy / CAST(n AS DOUBLE) AS vy,
+         sxy / CAST(n AS DOUBLE) AS cov
   FROM m
 )
 SELECT n AS n_months,
@@ -2553,23 +2570,38 @@ def q_bland_altman_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band (the check that the normal-differences assumption holds).
 
     Exactness: monthly diffs d = (gross − net) cents are exact bigints
-    scaled once to $10M units; mean/SD from two fsum moments; the
-    within-band count is an INTEGER comparison of each d against the
-    broadcast scalar band. Scale shape: one data-sized hash agg, one
-    2-sum agg, one broadcast re-scan of the ~84-month frame.
+    scaled once to $10M units; the MEAN diff is the exact rational
+    Σ(gc−nc)/n, and the SD sums squares of deviations CENTERED on it
+    (fsum scale 12 — no raw-moment cancellation, same lesson as
+    ``lin_ccc_agreement``); the within-band count is a comparison of
+    each d against the broadcast scalar band. The SD carries a
+    quantization bound of ~2·10⁻⁸ relative (scale-12 quantum under the
+    ~10⁻⁵-magnitude squared deviations at sf0.001 — measured against
+    the numpy ground truth in tests). Scale shape: one data-sized hash
+    agg, one exact 1-sum agg, two broadcast re-passes over the
+    ~84-month frame.
 
     Reference analog: none (engine addition, SURVEY.md §2.7)."""
     monthly = _monthly_two_measures(spark, sf_dir).select(
         "m", ((F.col("gc") - F.col("nc")).cast("double") / F.lit(_UNIT)).alias("d")
     )
-    stats = monthly.agg(
+    base = _monthly_two_measures(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        fsum(F.col("d"), scale=10).alias("sd_"),
-        fsum(F.col("d") * F.col("d"), scale=9).alias("sdd"),
+        F.sum(F.col("gc") - F.col("nc")).cast("long").alias("tdc"),
+    )
+    nd0 = F.col("n").cast("double")
+    mean0 = F.col("tdc").cast("double") / nd0 / F.lit(_UNIT)
+    stats = (
+        monthly.crossJoin(F.broadcast(base))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("tdc").alias("tdc"),
+            fsum((F.col("d") - mean0) * (F.col("d") - mean0), scale=12).alias("sdd"),
+        )
     )
     nd = F.col("n").cast("double")
-    mean_d = F.col("sd_") / nd
-    sd = F.sqrt((F.col("sdd") - F.col("sd_") * F.col("sd_") / nd) / (nd - F.lit(1.0)))
+    mean_d = F.col("tdc").cast("double") / nd / F.lit(_UNIT)
+    sd = F.sqrt(F.col("sdd") / (nd - F.lit(1.0)))
     band = stats.select(
         "n",
         mean_d.alias("mean_d"),
@@ -2612,19 +2644,22 @@ _ORACLE_BLAND_ALTMAN = f"""
 WITH monthly AS (
   SELECT m, CAST(gc - nc AS DOUBLE) / 1000000000.0 AS d
   FROM ({_SQL_MONTHLY_TWO})
-), stats AS (
+), base AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         {sql_fsum("d", scale=10)} AS sd_,
-         {sql_fsum("d * d", scale=9)} AS sdd
-  FROM monthly
+         CAST(SUM(gc - nc) AS BIGINT) AS tdc
+  FROM ({_SQL_MONTHLY_TWO})
+), stats AS (
+  SELECT MAX(n) AS n, MAX(tdc) AS tdc,
+         {sql_fsum("(d - CAST(tdc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0) * (d - CAST(tdc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0)", scale=12)} AS sdd
+  FROM monthly CROSS JOIN base
 ), band AS (
   SELECT n,
-         sd_ / CAST(n AS DOUBLE) AS mean_d,
-         sqrt((sdd - sd_ * sd_ / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sd_d,
-         sd_ / CAST(n AS DOUBLE)
-           - {BA_Z} * sqrt((sdd - sd_ * sd_ / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS lo,
-         sd_ / CAST(n AS DOUBLE)
-           + {BA_Z} * sqrt((sdd - sd_ * sd_ / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS hi
+         CAST(tdc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0 AS mean_d,
+         sqrt(sdd / (CAST(n AS DOUBLE) - 1.0)) AS sd_d,
+         CAST(tdc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0
+           - {BA_Z} * sqrt(sdd / (CAST(n AS DOUBLE) - 1.0)) AS lo,
+         CAST(tdc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0
+           + {BA_Z} * sqrt(sdd / (CAST(n AS DOUBLE) - 1.0)) AS hi
   FROM stats
 ), within AS (
   SELECT MAX(n) AS n, MAX(mean_d) AS mean_d, MAX(sd_d) AS sd_d,
@@ -2839,6 +2874,140 @@ ORDER BY disc_pct
 """
 
 
+# ---------------------------------------------------------------------------
+# Intraclass correlation ICC(1) (round 10 wave 4)
+# ---------------------------------------------------------------------------
+
+ICC_YEAR = 1997
+ICC_K = 12  # raters = the 12 months of ICC_YEAR
+
+
+def q_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way intraclass correlation ICC(1) of monthly nation revenue —
+    "how much of the month-to-month revenue variance is a stable NATION
+    signal vs noise?", the reliability coefficient behind every
+    repeated-measures design (and the k-rater continuous companion of
+    ``fleiss_kappa``'s categorical agreement): ICC(1) = (MSB − MSW) /
+    (MSB + (k−1)·MSW) from the one-way ANOVA mean squares over the
+    balanced nation × month grid (zero-filled from the literal month
+    spine × nation dim, so every subject has exactly k={k} ratings).
+    Also ships ICC(k) (Spearman-Brown: reliability of the 12-month MEAN)
+    and the ANOVA F.
+
+    Exactness: cell revenues are exact cents; per-nation and grand
+    means are exact rationals (integer sums, one division); both sums
+    of squares are CENTERED on those means before squaring (the
+    ``lin_ccc_agreement`` cancellation lesson) and floor-quantized at
+    scale 12 — quantization bounds the mean squares at ~10⁻⁸ relative
+    when cell values are tiny (sf0.001; measured in tests), engine-
+    identical always. Scale shape: one data-sized orders⋈customer hash agg to
+    the ≤|nations|×12 grid; everything after is domain-sized.""".format(
+        k=ICC_K
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    rev = (
+        orders.filter(F.year("o_orderdate") == ICC_YEAR)
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.month("o_orderdate").alias("mth"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    months = spark.range(1, ICC_K + 1).select(F.col("id").cast("int").alias("mth"))
+    spine = nation.crossJoin(F.broadcast(months)).select(
+        F.col("n_nationkey").alias("nk"), "mth"
+    )
+    grid = spine.join(rev, ["nk", "mth"], "left").select(
+        "nk", "mth", F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("cents")
+    )
+    per_n = grid.groupBy("nk").agg(F.sum("cents").cast("long").alias("s_i"))
+    tot = per_n.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("s_i").cast("long").alias("t"),
+    )
+    kd = F.lit(float(ICC_K))
+    # SSB over the n-group frame, deviations of exact rational means
+    ssb_frame = per_n.crossJoin(F.broadcast(tot))
+    dev_b = (
+        F.col("s_i").cast("double") / kd
+        - F.col("t").cast("double") / (F.col("n_groups").cast("double") * kd)
+    ) / F.lit(_UNIT)
+    ssb = ssb_frame.agg(
+        F.max("n_groups").alias("n_groups"),
+        (fsum(dev_b * dev_b, scale=12) * kd).alias("ssb"),
+    )
+    # SSW over the grid, deviations from the exact per-nation mean
+    ssw_frame = grid.join(per_n, "nk")
+    dev_w = (
+        F.col("cents").cast("double") - F.col("s_i").cast("double") / kd
+    ) / F.lit(_UNIT)
+    ssw = ssw_frame.agg(fsum(dev_w * dev_w, scale=12).alias("ssw"))
+    both = ssb.crossJoin(F.broadcast(ssw))
+    nd = F.col("n_groups").cast("double")
+    msb = F.col("ssb") / (nd - F.lit(1.0))
+    msw = F.col("ssw") / (nd * (kd - F.lit(1.0)))
+    icc1 = (msb - msw) / (msb + (kd - F.lit(1.0)) * msw)
+    return both.select(
+        "n_groups",
+        F.lit(ICC_K).cast("int").alias("k_raters"),
+        msb.alias("ms_between"),
+        msw.alias("ms_within"),
+        (msb / msw).alias("f_stat"),
+        icc1.alias("icc1"),
+        ((msb - msw) / msb).alias("icc_k"),
+    )
+
+
+_ORACLE_ICC = f"""
+WITH rev AS (
+  SELECT c_nationkey AS nk, month(o_orderdate) AS mth,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) = {ICC_YEAR}
+  GROUP BY 1, 2
+), spine AS (
+  SELECT n_nationkey AS nk, CAST(m AS INT) AS mth
+  FROM nation CROSS JOIN (SELECT UNNEST(range(1, {ICC_K + 1})) AS m)
+), grid AS (
+  SELECT spine.nk, spine.mth,
+         CAST(COALESCE(rev.cents, 0) AS BIGINT) AS cents
+  FROM spine LEFT JOIN rev ON spine.nk = rev.nk AND spine.mth = rev.mth
+), per_n AS (
+  SELECT nk, CAST(SUM(cents) AS BIGINT) AS s_i FROM grid GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, CAST(SUM(s_i) AS BIGINT) AS t
+  FROM per_n
+), ssb AS (
+  SELECT MAX(n_groups) AS n_groups,
+         {sql_fsum(f"((CAST(s_i AS DOUBLE) / {float(ICC_K)!r} - CAST(t AS DOUBLE) / (CAST(n_groups AS DOUBLE) * {float(ICC_K)!r})) / 1000000000.0) * ((CAST(s_i AS DOUBLE) / {float(ICC_K)!r} - CAST(t AS DOUBLE) / (CAST(n_groups AS DOUBLE) * {float(ICC_K)!r})) / 1000000000.0)", scale=12)} * {float(ICC_K)!r} AS ssb
+  FROM per_n CROSS JOIN tot
+), ssw AS (
+  SELECT {sql_fsum(f"((CAST(cents AS DOUBLE) - CAST(s_i AS DOUBLE) / {float(ICC_K)!r}) / 1000000000.0) * ((CAST(cents AS DOUBLE) - CAST(s_i AS DOUBLE) / {float(ICC_K)!r}) / 1000000000.0)", scale=12)} AS ssw
+  FROM grid JOIN per_n USING (nk)
+), d AS (
+  SELECT n_groups,
+         ssb / (CAST(n_groups AS DOUBLE) - 1.0) AS msb,
+         ssw / (CAST(n_groups AS DOUBLE) * ({float(ICC_K)!r} - 1.0)) AS msw
+  FROM ssb CROSS JOIN ssw
+)
+SELECT n_groups,
+       CAST({ICC_K} AS INT) AS k_raters,
+       msb AS ms_between,
+       msw AS ms_within,
+       msb / msw AS f_stat,
+       (msb - msw) / (msb + ({float(ICC_K)!r} - 1.0) * msw) AS icc1,
+       (msb - msw) / msb AS icc_k
+FROM d
+"""
+
+
 QUERIES = {
     "acf_lags": q_acf_lags,
     "conformal_interval": q_conformal_interval,
@@ -2868,6 +3037,7 @@ QUERIES = {
     "bland_altman_agreement": q_bland_altman_agreement,
     "goodman_kruskal_gamma": q_goodman_kruskal_gamma,
     "gini_split_gain": q_gini_split_gain,
+    "icc_oneway": q_icc_oneway,
 }
 
 ORACLE = {
@@ -2899,4 +3069,5 @@ ORACLE = {
     "bland_altman_agreement": _ORACLE_BLAND_ALTMAN,
     "goodman_kruskal_gamma": _ORACLE_GK_GAMMA,
     "gini_split_gain": _ORACLE_GINI_SPLIT,
+    "icc_oneway": _ORACLE_ICC,
 }

@@ -1672,7 +1672,146 @@ ORDER BY event_type
 
 
 
+# ---------------------------------------------------------------------------
+# Recursive CTE (round 10 wave 4): iterative computation in PURE SQL —
+# the Spark 4 engine surface (SPARK-24497) matched by DuckDB WITH RECURSIVE
+# ---------------------------------------------------------------------------
+
+DRAIN_MIN_PAY_CENTS = 10**9  # minimum monthly clearing capacity ($10M)
+DRAIN_MAX_MONTHS = 24  # recursion depth cap (bounds the plan statically)
+
+_SPARK_RECURSIVE_DRAIN = f"""
+WITH RECURSIVE drain(region_name, month_n, balance_cents) AS (
+  SELECT r_name,
+         0,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE o_orderstatus = 'O'
+  GROUP BY r_name
+  UNION ALL
+  SELECT region_name,
+         month_n + 1,
+         GREATEST(balance_cents
+                  - GREATEST(balance_cents DIV 4, {DRAIN_MIN_PAY_CENTS}),
+                  CAST(0 AS BIGINT))
+  FROM drain
+  WHERE month_n < {DRAIN_MAX_MONTHS} AND balance_cents > 0
+)
+SELECT region_name, month_n, balance_cents
+FROM drain
+ORDER BY region_name, month_n
+"""
+
+
+def q_recursive_cte_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog drain schedule per region via a RECURSIVE CTE —
+    the sequential month-over-month simulation (each balance depends on
+    the previous one: pay max(25% of balance, the minimum monthly
+    capacity) until clear or {m} months) that plain window functions
+    cannot express, run entirely INSIDE the SQL engine on both sides:
+    Spark 4's `WITH RECURSIVE` (SPARK-24497, new engine surface in 4.x)
+    against DuckDB's. The anchor term is the only data-sized stage (the
+    canonical star join + hash agg to 5 region rows); every recursive
+    step is arithmetic on ≤5 rows, depth-capped at {m} — a bounded,
+    driver-free iterative plan (contrast ``graph_pagerank``'s Python-
+    driven loop: here the ENGINE owns the iteration).
+
+    Exactness: integer cents end-to-end — GREATEST / integer division
+    only, no floats anywhere. Scale shape at 100 TB: the recursion
+    touches 5 rows regardless of data size; only the anchor scales
+    (and it is one map-side-combinable agg over the fact join).
+
+    Reference analog: none (engine addition, SURVEY.md §2.7).""".format(
+        m=DRAIN_MAX_MONTHS
+    )
+    from us_flight_bigdata_dashboard_spark.sources.catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(_SPARK_RECURSIVE_DRAIN)
+
+
+_ORACLE_RECURSIVE_DRAIN = f"""
+WITH RECURSIVE drain(region_name, month_n, balance_cents) AS (
+  SELECT r_name,
+         0,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE o_orderstatus = 'O'
+  GROUP BY r_name
+  UNION ALL
+  SELECT region_name,
+         month_n + 1,
+         GREATEST(balance_cents
+                  - GREATEST(balance_cents // 4, {DRAIN_MIN_PAY_CENTS}),
+                  CAST(0 AS BIGINT))
+  FROM drain
+  WHERE month_n < {DRAIN_MAX_MONTHS} AND balance_cents > 0
+)
+SELECT region_name, CAST(month_n AS INT) AS month_n, balance_cents
+FROM drain
+ORDER BY region_name, month_n
+"""
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (round 10 wave 4): per-row top-k via the
+# SQL-standard LATERAL join — Spark 4 decorrelates it to a window plan
+# ---------------------------------------------------------------------------
+
+LATERAL_TOPK = 2
+
+_SPARK_LATERAL_TOPK = f"""
+WITH per_cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_nationkey
+)
+SELECT n.n_name AS nation_name, l.c_custkey, l.rev_cents
+FROM nation n,
+LATERAL (SELECT c_custkey, rev_cents FROM per_cust p
+         WHERE p.c_nationkey = n.n_nationkey
+         ORDER BY rev_cents DESC, c_custkey ASC LIMIT {LATERAL_TOPK}) l
+ORDER BY nation_name, l.rev_cents DESC, l.c_custkey
+"""
+
+
+def q_lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} customers by revenue per nation phrased as a LATERAL
+    correlated subquery with ORDER BY + LIMIT — the SQL-standard
+    per-row-subquery surface (new in Spark 4's decorrelation framework)
+    run as literal SQL text on both engines. Semantically identical to
+    ``window_topk_per_group``'s row_number() formulation; this entry
+    pins the OTHER front door: Catalyst must decorrelate the lateral
+    into a partitioned window/limit plan rather than re-executing the
+    inner query per outer row (the plan has no loop — verified in the
+    plan audit). Revenue is exact integer cents; ties broken by
+    custkey, so the LIMIT cut is deterministic on both engines.
+
+    Scale shape: the CTE is one map-side-combinable hash agg; the
+    lateral decorrelates to a per-nation top-k — no per-row re-scan.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7).""".format(
+        k=LATERAL_TOPK
+    )
+    from us_flight_bigdata_dashboard_spark.sources.catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(_SPARK_LATERAL_TOPK)
+
+
+_ORACLE_LATERAL_TOPK = _SPARK_LATERAL_TOPK
+
+
 QUERIES = {
+    "recursive_cte_drain": q_recursive_cte_drain,
+    "lateral_join_topk": q_lateral_join_topk,
     "variant_json_shred": q_variant_json_shred,
     "star_join_agg": q_star_join_agg,
     "correlated_above_avg": q_correlated_above_avg,
@@ -1713,6 +1852,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "recursive_cte_drain": _ORACLE_RECURSIVE_DRAIN,
+    "lateral_join_topk": _ORACLE_LATERAL_TOPK,
     "variant_json_shred": _ORACLE_VARIANT_SHRED,
     "star_join_agg": _ORACLE_STAR_JOIN_AGG,
     "correlated_above_avg": _ORACLE_CORRELATED_ABOVE_AVG,

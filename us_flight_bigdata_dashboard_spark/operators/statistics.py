@@ -2869,9 +2869,12 @@ def q_cramer_von_mises_two(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer (a₁·n₂ − a₂·n₁) divided once by n₁·n₂ (both engines perform
     the identical IEEE sequence; the integer stays inside 2⁵³ to
     ~3·10⁹ rows/side, then wants DECIMAL like ``ks_two_sample``); the
-    weighted square sum is floor-quantized (fsum scale 9 — the sum is
-    ≤ N·max d², bounded by N, so the quantum holds to ~sf1; drop the
-    scale with the module's documented knob past that). Scale shape:
+    weighted square sum is floor-quantized at fsum scale 12 — for any
+    OVERLAPPING pair of distributions it concentrates at O(1) (d² is
+    O(1/n) over most of the domain), so scale 12 holds far past the
+    test range; only disjoint-support extremes (d → 1 over N values)
+    approach the 2⁵³/10¹² bound and would want scale 9 — noted, not
+    reachable for a two-priority split of one fact table. Scale shape:
     identical to ``ks_two_sample`` — one hash agg, one domain-sized
     cumulative window, one 1-row reduction."""
     orders = load_table(spark, sf_dir, "orders")
@@ -2905,7 +2908,7 @@ def q_cramer_von_mises_two(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.agg(
         F.max("n1").alias("n1"),
         F.max("n2").alias("n2"),
-        fsum(F.col("c").cast("double") * d * d, scale=9).alias("s"),
+        fsum(F.col("c").cast("double") * d * d, scale=12).alias("s"),
     )
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
@@ -2934,7 +2937,7 @@ WITH per_v AS (
   SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM per_v
 ), agg AS (
   SELECT MAX(n1) AS n1, MAX(n2) AS n2,
-         {sql_fsum("CAST(c AS DOUBLE) * (CAST(a1 * n2 - a2 * n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * (CAST(a1 * n2 - a2 * n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))", scale=9)} AS s
+         {sql_fsum("CAST(c AS DOUBLE) * (CAST(a1 * n2 - a2 * n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * (CAST(a1 * n2 - a2 * n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))", scale=12)} AS s
   FROM cum CROSS JOIN tot
 )
 SELECT n1, n2,

@@ -160,6 +160,110 @@ def _stage_events_ts_ordered(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+LATE_DELAY = "6 hours"  # the REAL watermark horizon of the late-data replay
+_LATE_DELAY_H = 6
+_LATE_RECENT_H = 3  # late-but-inside-horizon slice: ts >= max - 3h
+_LATE_ANCIENT_H = 24  # far-late slice: first-day rows (even event_id)
+_LATE_SENTINEL_H = 12  # future heartbeat that flushes the final windows
+
+
+def _stage_events_late(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table for the LATE-DATA replay: on-time rows in
+    four ts-range-ordered files (pinned mtimes), then a late-but-inside-
+    horizon file (the last {r}h of events, arriving after everything
+    else), then a far-late file (first-day rows with even event_id —
+    beyond the {d}h horizon by the time it arrives), then a one-row
+    future sentinel (max ts + {s}h) whose only job is to push the final
+    watermark past every real window so append mode flushes them.
+
+    The slice thresholds are chosen so NO comparison is ever within one
+    micro-batch of a boundary, making the emitted set independent of
+    whether Spark's late filter uses the current batch's watermark or
+    the previous one (both hold: the recent slice sits ≥ {d}−{r} = 3h
+    ABOVE every candidate threshold, the far-late slice ≥ span−{q}h
+    BELOW every candidate threshold) — asserted below, not assumed.""".format(
+        r=_LATE_RECENT_H,
+        d=_LATE_DELAY_H,
+        s=_LATE_SENTINEL_H,
+        q=_LATE_ANCIENT_H + _LATE_DELAY_H + 1,
+    )
+    import glob
+    import os
+
+    key = (sf_dir, "late")
+    if key in _stage_cache:
+        return _stage_cache[key]
+    ev = _event_time(
+        load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    (bounds,) = ev.agg(
+        F.min("ts").alias("tmin"), F.max("ts").alias("gm")
+    ).collect()  # two scalars — bounded driver fetch
+    tmin, gm = bounds["tmin"], bounds["gm"]
+    import datetime
+
+    span_h = (gm - tmin).total_seconds() / 3600.0
+    if span_h < _LATE_ANCIENT_H + 2 * _LATE_DELAY_H + _LATE_RECENT_H + 2:
+        raise RuntimeError(f"late replay needs a longer event span (got {span_h}h)")
+    for t, name in ((gm, "max"), (tmin, "min")):
+        if t.minute == 0 and t.second == 0 and t.microsecond == 0:
+            raise RuntimeError(f"late replay: {name} ts is hour-aligned — "
+                               "watermark/window boundary equality possible")
+    recent_cut = gm - datetime.timedelta(hours=_LATE_RECENT_H)
+    ancient_cut = tmin + datetime.timedelta(hours=_LATE_ANCIENT_H)
+    is_ancient = (F.col("ts") < F.lit(ancient_cut)) & (F.col("event_id") % 2 == 0)
+    is_recent = F.col("ts") >= F.lit(recent_cut)
+    on_time = ev.filter(~is_recent & ~is_ancient)
+    recent = ev.filter(is_recent)
+    ancient = ev.filter(is_ancient)
+    n_recent, n_ancient = recent.count(), ancient.count()
+    if n_recent == 0 or n_ancient == 0:
+        raise RuntimeError("late replay: empty late slice "
+                           f"(recent={n_recent}, ancient={n_ancient})")
+    sentinel = ev.agg(F.max("ts").alias("mx")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("mx") + F.expr(f"INTERVAL {_LATE_SENTINEL_H} HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    out = tempfile.mkdtemp(prefix="stream_replay_late_")
+    stage = tempfile.mkdtemp(prefix="stream_replay_late_stage_")
+    on_time.repartitionByRange(REPLAY_FILES, "ts").write.mode("overwrite").parquet(
+        f"{stage}/on_time"
+    )
+    recent.coalesce(1).write.mode("overwrite").parquet(f"{stage}/recent")
+    ancient.coalesce(1).write.mode("overwrite").parquet(f"{stage}/ancient")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/sentinel")
+    ordered = sorted(glob.glob(f"{stage}/on_time/part-*.parquet")) + [
+        glob.glob(f"{stage}/{d}/part-*.parquet")[0]
+        for d in ("recent", "ancient", "sentinel")
+    ]
+    for i, f in enumerate(ordered):
+        dst = os.path.join(out, f"data{i:02d}.parquet")
+        os.rename(f, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(stage, ignore_errors=True)
+    # on-time files must be event-time-ordered (same contract assert as
+    # _stage_events_ts_ordered: batch order == event-time order)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for i in range(REPLAY_FILES):
+        col = pq.read_table(os.path.join(out, f"data{i:02d}.parquet"), columns=["ts"])["ts"]
+        if len(col):
+            ranges.append((i, pc.min(col).as_py(), pc.max(col).as_py()))
+    for (ia, _, a_max), (ib, b_min, _) in zip(ranges, ranges[1:]):
+        if not a_max < b_min:
+            raise RuntimeError(
+                f"late staging contract violated: file {ia} max {a_max} !< "
+                f"file {ib} min {b_min}"
+            )
+    _stage_cache[key] = out
+    return out
+
+
 def _replay(spark: SparkSession, src: str, build, mode: str) -> DataFrame:
     """Run ``build(stream)`` over ``src`` with availableNow into a memory
     sink; block until drained; return the sink as a batch DataFrame."""
@@ -182,6 +286,64 @@ def _replay(spark: SparkSession, src: str, build, mode: str) -> DataFrame:
         else:
             spark.conf.set(provider_key, prior)
     return spark.table(name)
+
+
+def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA ACCOUNTING, proven through real micro-batches —
+    the one semantics every other replay deliberately avoids (their
+    horizon exceeds the data span so nothing is ever late; this entry
+    runs the REAL {d}-hour horizon in APPEND mode and stages lateness on
+    purpose): (1) rows arriving late but INSIDE the horizon (the last
+    {r}h of events, delivered after everything else) are absorbed into
+    their still-open windows — the liveness grace the watermark buys;
+    (2) rows beyond the horizon (first-day rows redelivered at the end)
+    are DROPPED before they can resurrect evicted state — the bounded-
+    state guarantee; (3) append mode emits each window EXACTLY ONCE,
+    flushed by a future sentinel heartbeat whose own window stays open
+    and never ships. The emitted set is then a pure function of the row
+    set — hash-gated against the batch oracle that simply excludes the
+    dropped slice (no watermark arithmetic needed oracle-side: the
+    staging asserts every threshold comparison clears by ≥3h, so both
+    of Spark's candidate late-filter timings yield the same set).
+
+    Scale shape: identical to ``streaming_tumbling_replay`` — state
+    partitioned by (window × type); the horizon bounds state to
+    {d}h × |types| regardless of stream length, which is the point.""".format(
+        d=_LATE_DELAY_H, r=_LATE_RECENT_H
+    )
+    src = _stage_events_late(spark, sf_dir)
+    result = _replay(
+        spark,
+        src,
+        lambda s: s.withWatermark("ts", LATE_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events")),
+        mode="append",
+    )
+    return result.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+_ORACLE_STREAMING_LATE = f"""
+WITH base AS (
+  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, event_id
+  FROM events WHERE ts IS NOT NULL
+), bounds AS (
+  SELECT MIN(t) AS tmin FROM base
+), kept AS (
+  SELECT t, event_type FROM base CROSS JOIN bounds
+  WHERE NOT (t < tmin + INTERVAL {_LATE_ANCIENT_H} HOUR AND event_id % 2 = 0)
+)
+SELECT CAST(date_trunc('hour', t) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('hour', t) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM kept GROUP BY 1, 2, 3
+"""
 
 
 def q_streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,6 +1121,7 @@ ORDER BY reg
 
 QUERIES = {
     "streaming_hll_sketch_replay": q_streaming_hll_sketch_replay,
+    "streaming_late_data_replay": q_streaming_late_data_replay,
     "streaming_streaks_replay": q_streaming_streaks_replay,
     "streaming_streaks_v2_replay": q_streaming_streaks_v2_replay,
     "streaming_tumbling_replay": q_streaming_tumbling_replay,
@@ -978,6 +1141,7 @@ QUERIES = {
 
 ORACLE = {
     "streaming_hll_sketch_replay": _sql_streaming_hll(),
+    "streaming_late_data_replay": _ORACLE_STREAMING_LATE,
     "streaming_streaks_replay": _ORACLE_STREAMING_STREAKS,
     "streaming_streaks_v2_replay": _ORACLE_STREAMING_STREAKS,
     "streaming_tumbling_replay": _ORACLE_STREAMING_TUMBLING,
