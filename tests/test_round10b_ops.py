@@ -548,3 +548,202 @@ def test_icc_oneway_bruteforce(spark):
     assert row["ms_within"] == pytest.approx(msw, rel=1e-7)
     assert row["icc1"] == pytest.approx(icc1, rel=1e-6)
     assert row["icc_k"] == pytest.approx((msb - msw) / msb, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# stuart_maxwell_test — brute force on the paired tercile table
+# ---------------------------------------------------------------------------
+
+
+def _tercile(series_rev):
+    # competition rank desc with custkey tie-break, tercile = floor(3(r-1)/n)
+    import pandas as pd
+
+    df = series_rev.reset_index()
+    df.columns = ["cust", "rev"]
+    df = df.sort_values(["rev", "cust"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    n = len(df)
+    df["cat"] = (3 * df.index // n).astype(int)
+    return dict(zip(df["cust"], df["cat"]))
+
+
+def test_stuart_maxwell_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        SM_YEAR_A,
+        SM_YEAR_B,
+        q_stuart_maxwell_test,
+    )
+
+    od = _df("orders")
+    od["cents"] = np.round(od["o_totalprice"] * 100).astype(np.int64)
+    ra = _tercile(
+        od[od["o_orderdate"].dt.year == SM_YEAR_A].groupby("o_custkey")["cents"].sum()
+    )
+    rb = _tercile(
+        od[od["o_orderdate"].dt.year == SM_YEAR_B].groupby("o_custkey")["cents"].sum()
+    )
+    n = np.zeros((3, 3), dtype=np.int64)
+    for cust, ca in ra.items():
+        if cust in rb:
+            n[ca, rb[cust]] += 1
+    d = n.sum(axis=1) - n.sum(axis=0)
+    v11 = n.sum(axis=1)[0] + n.sum(axis=0)[0] - 2 * n[0, 0]
+    v22 = n.sum(axis=1)[1] + n.sum(axis=0)[1] - 2 * n[1, 1]
+    v12 = -(n[0, 1] + n[1, 0])
+    chi2 = (d[0] ** 2 * v22 + d[1] ** 2 * v11 - 2 * d[0] * d[1] * v12) / (
+        v11 * v22 - v12 * v12
+    )
+    (row,) = q_stuart_maxwell_test(spark, SF_DIR).collect()
+    assert row["n_paired"] == int(n.sum())
+    assert row["d_low"] == d[0] and row["d_mid"] == d[1]
+    assert row["chi2_stat"] == pytest.approx(chi2, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# krippendorff_alpha — brute force from the rating grid
+# ---------------------------------------------------------------------------
+
+
+def _nation_quarter_cats(year, k_cats=3):
+    od = _df("orders")
+    cust = _df("customer")[["c_custkey", "c_nationkey"]]
+    nat = sorted(_df("nation")["n_nationkey"])
+    od = od[od["o_orderdate"].dt.year == year].merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    od["cents"] = np.round(od["o_totalprice"] * 100).astype(np.int64)
+    od["q"] = od["o_orderdate"].dt.quarter
+    rev = od.groupby(["c_nationkey", "q"])["cents"].sum().to_dict()
+    cats = {}
+    for q in (1, 2, 3, 4):
+        vals = sorted(
+            ((-(rev.get((nk, q), 0)), nk) for nk in nat)
+        )  # desc rev, asc nk
+        n = len(vals)
+        for r, (_, nk) in enumerate(vals):
+            cats[(nk, q)] = k_cats * r // n
+    return nat, cats
+
+
+def test_krippendorff_alpha_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        KRIPP_M,
+        KRIPP_YEAR,
+        q_krippendorff_alpha,
+    )
+
+    nat, cats = _nation_quarter_cats(KRIPP_YEAR)
+    m = KRIPP_M
+    do_num = 0
+    n_c = collections.Counter()
+    for nk in nat:
+        cnt = collections.Counter(cats[(nk, q)] for q in (1, 2, 3, 4))
+        for c, v in cnt.items():
+            do_num += v * (m - v)
+            n_c[c] += v
+    n_total = m * len(nat)
+    d_o = do_num / (n_total * (m - 1))
+    d_e = sum(v * (n_total - v) for v in n_c.values()) / (n_total * (n_total - 1))
+    (row,) = q_krippendorff_alpha(spark, SF_DIR).collect()
+    assert row["n_units"] == len(nat)
+    assert row["n_total"] == n_total
+    assert row["d_observed"] == pytest.approx(d_o, rel=1e-12)
+    assert row["d_expected"] == pytest.approx(d_e, rel=1e-12)
+    assert row["alpha"] == pytest.approx(1 - d_o / d_e, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# quade_test — scipy-free brute force (midranks + range weights)
+# ---------------------------------------------------------------------------
+
+
+def test_quade_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        QUADE_YEAR,
+        q_quade_test,
+    )
+
+    od = _df("orders")
+    cust = _df("customer")[["c_custkey", "c_nationkey"]]
+    nat = sorted(_df("nation")["n_nationkey"])
+    od = od[od["o_orderdate"].dt.year == QUADE_YEAR].merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    od["cents"] = np.round(od["o_totalprice"] * 100).astype(np.int64)
+    od["q"] = od["o_orderdate"].dt.quarter
+    rev = od.groupby(["c_nationkey", "q"])["cents"].sum().to_dict()
+    grid = np.array(
+        [[rev.get((nk, q), 0) for q in (1, 2, 3, 4)] for nk in nat], dtype=float
+    )
+
+    def midranks(a):
+        order = np.argsort(a, kind="stable")
+        r = np.empty(len(a))
+        i = 0
+        s = a[order]
+        while i < len(a):
+            j = i
+            while j + 1 < len(a) and s[j + 1] == s[i]:
+                j += 1
+            r[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return r
+
+    b, k = grid.shape
+    r = np.vstack([midranks(row) for row in grid])
+    rng = grid.max(axis=1) - grid.min(axis=1)
+    q_w = midranks(rng)
+    s = q_w[:, None] * (r - (k + 1) / 2)
+    a_stat = (s**2).sum()
+    b_stat = (s.sum(axis=0) ** 2).sum() / b
+    f = (b - 1) * b_stat / (a_stat - b_stat)
+    (row,) = q_quade_test(spark, SF_DIR).collect()
+    assert row["n_blocks"] == b and row["k_treatments"] == k
+    assert row["f_stat"] == pytest.approx(f, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# ansari_bradley_scale — brute-force folded scores + permutation moments
+# ---------------------------------------------------------------------------
+
+
+def test_ansari_bradley_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_ansari_bradley_scale,
+    )
+
+    od = _df("orders")
+    urg = (od["o_orderpriority"] == "1-URGENT").values
+    v = od["o_totalprice"].values
+    order = np.argsort(v, kind="stable")
+    n = len(v)
+    pos = np.arange(1, n + 1, dtype=float)
+    raw = np.minimum(pos, n + 1 - pos)
+    # tie-average the folded scores
+    s_sorted = v[order]
+    scores = np.empty(n)
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and s_sorted[j + 1] == s_sorted[i]:
+            j += 1
+        scores[i : j + 1] = raw[i : j + 1].mean()
+        i = j + 1
+    score_of = np.empty(n)
+    score_of[order] = scores
+    w = score_of[urg].sum()
+    n1, n2 = int(urg.sum()), int((~urg).sum())
+    ubar = scores.mean()
+    var_pop = scores.var()
+    var_w = n1 * n2 / (n - 1) * var_pop
+    z = (w - n1 * ubar) / math.sqrt(var_w)
+    (row,) = q_ansari_bradley_scale(spark, SF_DIR).collect()
+    assert row["n1"] == n1 and row["n2"] == n2
+    # w_norm is fsum-quantization-bounded (~1e-8 relative, scale-8 quantum)
+    assert row["w2_doubled"] == pytest.approx(2 * w, rel=1e-7)
+    assert row["expected_w2"] == pytest.approx(2 * n1 * ubar, rel=1e-9)
+    # z's numerator is a small difference of O(100) sums, so the scale-8
+    # quantization bias amplifies — bound measured at ~1e-6 relative
+    assert row["z_stat"] == pytest.approx(z, rel=1e-5)

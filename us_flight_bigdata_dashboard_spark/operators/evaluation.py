@@ -3008,6 +3008,166 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# Stuart-Maxwell marginal-homogeneity test (round 10 wave 5)
+# ---------------------------------------------------------------------------
+
+SM_YEAR_A = 1996
+SM_YEAR_B = 1997
+SM_CHI2_CRIT_DF2 = 5.991465  # chi-square(2) upper 5% — literal, no CDFs
+
+
+def _sm_tercile(orders: DataFrame, year: int, name: str) -> DataFrame:
+    """Per-customer revenue TERCILE within one year: competition ranking
+    by exact cent revenue (custkey tie-break), tercile = ⌊3(r−1)/n⌋ —
+    pure integer arithmetic on the rank, no quantile interpolation."""
+    per_cust = (
+        orders.filter(F.year("o_orderdate") == year)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+    n = Window.partitionBy()
+    # explicit floor: DuckDB's double→INT CAST rounds-to-nearest while
+    # Spark's truncates — floor() is the one both engines agree on
+    return per_cust.select(
+        "o_custkey",
+        F.floor(
+            (F.lit(3) * (F.row_number().over(w) - F.lit(1)))
+            / F.count(F.lit(1)).over(n)
+        )
+        .cast("int")
+        .alias(name),
+    )
+
+
+def _sql_sm_tercile(year: int, name: str) -> str:
+    return f"""
+  SELECT o_custkey,
+         CAST(floor((3 * (ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey ASC) - 1))
+              / COUNT(*) OVER ()) AS INT) AS {name}
+  FROM (
+    SELECT o_custkey,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+    FROM orders WHERE year(o_orderdate) = {year} GROUP BY 1
+  )
+"""
+
+
+def q_stuart_maxwell_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuart-Maxwell marginal-homogeneity test: did the DISTRIBUTION of
+    customers across revenue terciles shift between {a} and {b}? The
+    k-category generalization of ``mcnemar_paired`` (k=2): each customer
+    active in both years is a paired categorical observation; the test
+    asks whether the two marginal distributions of the 3×3 transition
+    table differ, with the closed-form 2×2-inverse χ² =
+    (d₁²V₂₂ + d₂²V₁₁ − 2d₁d₂V₁₂)/(V₁₁V₂₂ − V₁₂²), d_i = row_i − col_i,
+    V_ii = row_i + col_i − 2n_ii, V_ij = −(n_ij + n_ji) — fully RATIONAL,
+    no matrix solver. The readout behind "did our customer base migrate
+    upmarket?" that ``customer_migration_matrix`` (decision.py) shows
+    but does not test.
+
+    Exactness: terciles are integer ranks (competition ranking, custkey
+    tie-break); the 9 transition cells are one hash agg; χ² is one IEEE
+    sequence on exact integers; significance is a rational comparison
+    against the literal χ²(2) critical value. Scale shape: two year
+    aggs + global rank windows (the ``global_rank_bucketed`` prefix-sum
+    drops in past one task), one join, one 9-cell agg.""".format(
+        a=SM_YEAR_A, b=SM_YEAR_B
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    ta = _sm_tercile(orders, SM_YEAR_A, "ca")
+    tb = _sm_tercile(orders, SM_YEAR_B, "cb")
+    cells = (
+        ta.join(tb, "o_custkey")
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    flat = cells.agg(
+        *[
+            F.sum(F.when((F.col("ca") == i) & (F.col("cb") == j), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias(f"n{i}{j}")
+            for i in range(3)
+            for j in range(3)
+        ]
+    )
+
+    def row(i):
+        return sum(
+            (F.col(f"n{i}{j}") for j in range(1, 3)), F.col(f"n{i}0")
+        ).cast("double")
+
+    def col(j):
+        return sum(
+            (F.col(f"n{i}{j}") for i in range(1, 3)), F.col(f"n0{j}")
+        ).cast("double")
+
+    d1 = row(0) - col(0)
+    d2 = row(1) - col(1)
+    v11 = row(0) + col(0) - F.lit(2.0) * F.col("n00").cast("double")
+    v22 = row(1) + col(1) - F.lit(2.0) * F.col("n11").cast("double")
+    v12 = -(F.col("n01") + F.col("n10")).cast("double")
+    chi2 = (d1 * d1 * v22 + d2 * d2 * v11 - F.lit(2.0) * d1 * d2 * v12) / (
+        v11 * v22 - v12 * v12
+    )
+    n_sub = sum(
+        (F.col(f"n{i}{j}") for i in range(3) for j in range(3) if (i, j) != (0, 0)),
+        F.col("n00"),
+    )
+    return flat.select(
+        n_sub.cast("long").alias("n_paired"),
+        d1.alias("d_low"),
+        d2.alias("d_mid"),
+        chi2.alias("chi2_stat"),
+        F.lit(2).cast("int").alias("df"),
+        (chi2 > F.lit(SM_CHI2_CRIT_DF2)).cast("int").alias("significant_5pct"),
+    )
+
+
+def _sql_stuart_maxwell() -> str:
+    n_cells = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN ca = {i} AND cb = {j} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}{j}"
+        for i in range(3)
+        for j in range(3)
+    )
+    row0 = "CAST(n00 + n01 + n02 AS DOUBLE)"
+    row1 = "CAST(n10 + n11 + n12 AS DOUBLE)"
+    col0 = "CAST(n00 + n10 + n20 AS DOUBLE)"
+    col1 = "CAST(n01 + n11 + n21 AS DOUBLE)"
+    d1 = f"({row0} - {col0})"
+    d2 = f"({row1} - {col1})"
+    v11 = f"({row0} + {col0} - 2.0 * CAST(n00 AS DOUBLE))"
+    v22 = f"({row1} + {col1} - 2.0 * CAST(n11 AS DOUBLE))"
+    v12 = "(-CAST(n01 + n10 AS DOUBLE))"
+    chi2 = (
+        f"(({d1} * {d1} * {v22} + {d2} * {d2} * {v11}"
+        f" - 2.0 * {d1} * {d2} * {v12})"
+        f" / ({v11} * {v22} - {v12} * {v12}))"
+    )
+    total = " + ".join(f"n{i}{j}" for i in range(3) for j in range(3))
+    return f"""
+WITH ta AS ({_sql_sm_tercile(SM_YEAR_A, "ca")}
+), tb AS ({_sql_sm_tercile(SM_YEAR_B, "cb")}
+), flat AS (
+  SELECT {n_cells}
+  FROM ta JOIN tb USING (o_custkey)
+)
+SELECT CAST({total} AS BIGINT) AS n_paired,
+       {d1} AS d_low,
+       {d2} AS d_mid,
+       {chi2} AS chi2_stat,
+       CAST(2 AS INT) AS df,
+       CAST(CASE WHEN {chi2} > {SM_CHI2_CRIT_DF2} THEN 1 ELSE 0 END AS INT)
+         AS significant_5pct
+FROM flat
+"""
+
+
 QUERIES = {
     "acf_lags": q_acf_lags,
     "conformal_interval": q_conformal_interval,
@@ -3038,6 +3198,7 @@ QUERIES = {
     "goodman_kruskal_gamma": q_goodman_kruskal_gamma,
     "gini_split_gain": q_gini_split_gain,
     "icc_oneway": q_icc_oneway,
+    "stuart_maxwell_test": q_stuart_maxwell_test,
 }
 
 ORACLE = {
@@ -3070,4 +3231,5 @@ ORACLE = {
     "goodman_kruskal_gamma": _ORACLE_GK_GAMMA,
     "gini_split_gain": _ORACLE_GINI_SPLIT,
     "icc_oneway": _ORACLE_ICC,
+    "stuart_maxwell_test": _sql_stuart_maxwell(),
 }

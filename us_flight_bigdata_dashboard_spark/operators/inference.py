@@ -1249,8 +1249,315 @@ FROM gm CROSS JOIN lm
 """
 
 
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (nominal) — round 10 wave 5
+# ---------------------------------------------------------------------------
+
+KRIPP_YEAR = 1997
+KRIPP_M = 4  # raters = the four quarters
+KRIPP_CATS = 3  # revenue terciles
+
+
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) for the quarter-by-quarter tercile
+    rating of nations — the agreement coefficient built on DISAGREEMENT
+    rates rather than chance-corrected hit rates, which makes it the one
+    that generalizes across missing data, many raters, and every metric
+    level (the de-facto standard in content analysis and LLM-judge
+    calibration). Here: each of the m={m} quarters of {y} "rates" every
+    nation into a revenue tercile (within-quarter competition rank on
+    the zero-filled nation×quarter grid, nationkey tie-break); alpha =
+    1 − D_o/D_e with D_o = Σ_u Σ_c n_uc(m − n_uc)/(N(m−1)) and D_e =
+    Σ_c N_c(N − N_c)/(N(N−1)) — entirely INTEGER until two divisions,
+    the module's no-transcendentals contract natively.
+
+    Complements ``fleiss_kappa`` (whose chance model uses the marginal
+    proportions multiplicatively): alpha's disagreement form differs at
+    small N (the (N−1) correction) — shipping both is exactly how a
+    rater-reliability audit cross-checks its conclusion.
+
+    Scale shape: one data-sized orders⋈customer hash agg to the
+    |nations|×{m} grid; ranks/counts/sums all domain-sized after.""".format(
+        m=KRIPP_M, y=KRIPP_YEAR
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    rev = (
+        orders.filter(F.year("o_orderdate") == KRIPP_YEAR)
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.quarter("o_orderdate").alias("q"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    quarters = spark.range(1, KRIPP_M + 1).select(F.col("id").cast("int").alias("q"))
+    spine = nation.crossJoin(F.broadcast(quarters)).select(
+        F.col("n_nationkey").alias("nk"), "q"
+    )
+    grid = spine.join(rev, ["nk", "q"], "left").select(
+        "nk", "q", F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cents").desc(), F.col("nk").asc())
+    wn = Window.partitionBy("q")
+    rated = grid.select(
+        "nk",
+        F.floor(
+            (F.lit(KRIPP_CATS) * (F.row_number().over(w) - F.lit(1)))
+            / F.count(F.lit(1)).over(wn)
+        )
+        .cast("int")
+        .alias("cat"),
+    )
+    nuc = rated.groupBy("nk", "cat").agg(F.count(F.lit(1)).cast("long").alias("n_uc"))
+    do_num = nuc.agg(
+        F.sum(F.col("n_uc") * (F.lit(KRIPP_M) - F.col("n_uc")))
+        .cast("long")
+        .alias("do_num"),
+        F.countDistinct("nk").cast("long").alias("n_units"),
+    )
+    nc = nuc.groupBy("cat").agg(F.sum("n_uc").cast("long").alias("n_c"))
+    ntot = nc.agg(F.sum("n_c").cast("long").alias("n_total"))
+    de_num = (
+        nc.crossJoin(F.broadcast(ntot))
+        .agg(
+            F.sum(
+                F.col("n_c").cast("decimal(38,0)")
+                * (F.col("n_total") - F.col("n_c")).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("de_num"),
+            F.max("n_total").alias("n_total"),
+        )
+    )
+    both = do_num.crossJoin(F.broadcast(de_num))
+    nd = F.col("n_total").cast("double")
+    d_o = F.col("do_num").cast("double") / (nd * F.lit(float(KRIPP_M - 1)))
+    d_e = F.col("de_num").cast("double") / (nd * (nd - F.lit(1.0)))
+    return both.select(
+        "n_units",
+        F.lit(KRIPP_M).cast("int").alias("m_raters"),
+        "n_total",
+        d_o.alias("d_observed"),
+        d_e.alias("d_expected"),
+        (F.lit(1.0) - d_o / d_e).alias("alpha"),
+    )
+
+
+def _sql_krippendorff() -> str:
+    return f"""
+WITH rev AS (
+  SELECT c_nationkey AS nk, quarter(o_orderdate) AS q,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) = {KRIPP_YEAR}
+  GROUP BY 1, 2
+), spine AS (
+  SELECT n_nationkey AS nk, CAST(qq AS INT) AS q
+  FROM nation CROSS JOIN (SELECT UNNEST(range(1, {KRIPP_M + 1})) AS qq)
+), grid AS (
+  SELECT spine.nk, spine.q, CAST(COALESCE(rev.cents, 0) AS BIGINT) AS cents
+  FROM spine LEFT JOIN rev ON spine.nk = rev.nk AND spine.q = rev.q
+), rated AS (
+  SELECT nk,
+         CAST(floor(({KRIPP_CATS} * (ROW_NUMBER() OVER (PARTITION BY q ORDER BY cents DESC, nk ASC) - 1))
+              / COUNT(*) OVER (PARTITION BY q)) AS INT) AS cat
+  FROM grid
+), nuc AS (
+  SELECT nk, cat, CAST(COUNT(*) AS BIGINT) AS n_uc FROM rated GROUP BY 1, 2
+), do_t AS (
+  SELECT CAST(SUM(n_uc * ({KRIPP_M} - n_uc)) AS BIGINT) AS do_num,
+         CAST(COUNT(DISTINCT nk) AS BIGINT) AS n_units
+  FROM nuc
+), nc AS (
+  SELECT cat, CAST(SUM(n_uc) AS BIGINT) AS n_c FROM nuc GROUP BY 1
+), de_t AS (
+  SELECT CAST(SUM(CAST(n_c AS DECIMAL(38,0))
+               * CAST((SELECT SUM(n_c) FROM nc) - n_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS de_num,
+         CAST(SUM(n_c) AS BIGINT) AS n_total
+  FROM nc
+)
+SELECT n_units,
+       CAST({KRIPP_M} AS INT) AS m_raters,
+       n_total,
+       CAST(do_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * {float(KRIPP_M - 1)!r})
+         AS d_observed,
+       CAST(de_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0))
+         AS d_expected,
+       1.0 - (CAST(do_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * {float(KRIPP_M - 1)!r}))
+           / (CAST(de_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0)))
+         AS alpha
+FROM do_t CROSS JOIN de_t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quade test — round 10 wave 5
+# ---------------------------------------------------------------------------
+
+QUADE_YEAR = 1997
+QUADE_K = 4  # treatments = quarters
+# F(3, 72) upper 5% critical value for b=25 blocks, k=4 — literal
+QUADE_F_CRIT = 2.731807
+
+
+def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test: do the four quarters of {y} differ in nation revenue,
+    WEIGHTING nations by how much their revenue actually moves? The
+    range-weighted sibling of Friedman/``kendalls_w``: within-block
+    ranks r_ij are multiplied by the block's RANGE rank Q_i, so
+    high-variation nations (where a treatment effect is visible) drive
+    the statistic and flat blocks stop diluting it — the recommended
+    test for small k with heterogeneous blocks (Conover). F =
+    (b−1)·B/(A−B) on S_ij = Q_i·(r_ij − (k+1)/2).
+
+    Exact-integer formulation: DOUBLED midranks dr (within-block, over
+    the zero-filled nation×quarter grid) and DOUBLED range midranks dQ
+    keep every term integral — A·16 = Σ(dQ(dr−5))² and B·16b = ΣT_j²
+    with T_j = Σ_i dQ_i(dr_ij−5), so F = (b−1)·ΣT_j² / (b·Σ(dQ(dr−5))²
+    − ΣT_j²) is ONE division on exact integers. Significance compares
+    against the literal F(k−1,(b−1)(k−1)) 5% critical value (module
+    rule: no CDFs).
+
+    Scale shape: one data-sized hash agg to the grid; ranks, ranges,
+    and both sums are domain-sized (≤ b·k rows).""".format(y=QUADE_YEAR)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    rev = (
+        orders.filter(F.year("o_orderdate") == QUADE_YEAR)
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.quarter("o_orderdate").alias("q"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    quarters = spark.range(1, QUADE_K + 1).select(F.col("id").cast("int").alias("q"))
+    spine = nation.crossJoin(F.broadcast(quarters)).select(
+        F.col("n_nationkey").alias("nk"), "q"
+    )
+    grid = spine.join(rev, ["nk", "q"], "left").select(
+        "nk", "q", F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("cents")
+    )
+    # doubled within-block midranks: dr = 2*min_rank + (ties - 1)
+    w_rank = Window.partitionBy("nk").orderBy("cents")
+    w_ties = Window.partitionBy("nk", "cents")
+    ranked = grid.select(
+        "nk",
+        "q",
+        "cents",
+        (F.lit(2) * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - F.lit(1))
+        .cast("long")
+        .alias("dr"),
+    )
+    # doubled block-range midranks over the b-row range frame
+    ranges = ranked.groupBy("nk").agg(
+        (F.max("cents") - F.min("cents")).cast("long").alias("rng")
+    )
+    w_q = Window.orderBy("rng")
+    w_qt = Window.partitionBy("rng")
+    blocks = ranges.select(
+        "nk",
+        (F.lit(2) * F.rank().over(w_q) + F.count(F.lit(1)).over(w_qt) - F.lit(1))
+        .cast("long")
+        .alias("dq"),
+    )
+    s_frame = ranked.join(blocks, "nk").select(
+        "q",
+        (F.col("dq") * (F.col("dr") - F.lit(QUADE_K + 1))).cast("long").alias("s16"),
+    )
+    a16 = s_frame.agg(
+        F.sum(F.col("s16") * F.col("s16")).cast("decimal(38,0)").alias("a16"),
+        F.countDistinct("q").cast("long").alias("k_t"),
+    )
+    tj = s_frame.groupBy("q").agg(F.sum("s16").cast("long").alias("t_j"))
+    b16b = tj.agg(
+        F.sum(F.col("t_j").cast("decimal(38,0)") * F.col("t_j").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("b16b")
+    )
+    nb = blocks.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    both = a16.crossJoin(F.broadcast(b16b)).crossJoin(F.broadcast(nb))
+    bd = F.col("b").cast("double")
+    f_stat = (
+        (bd - F.lit(1.0))
+        * F.col("b16b").cast("double")
+        / (bd * F.col("a16").cast("double") - F.col("b16b").cast("double"))
+    )
+    return both.select(
+        F.col("b").alias("n_blocks"),
+        F.lit(QUADE_K).cast("int").alias("k_treatments"),
+        f_stat.alias("f_stat"),
+        (f_stat > F.lit(QUADE_F_CRIT)).cast("int").alias("significant_5pct"),
+    )
+
+
+def _sql_quade() -> str:
+    return f"""
+WITH rev AS (
+  SELECT c_nationkey AS nk, quarter(o_orderdate) AS q,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) = {QUADE_YEAR}
+  GROUP BY 1, 2
+), spine AS (
+  SELECT n_nationkey AS nk, CAST(qq AS INT) AS q
+  FROM nation CROSS JOIN (SELECT UNNEST(range(1, {QUADE_K + 1})) AS qq)
+), grid AS (
+  SELECT spine.nk, spine.q, CAST(COALESCE(rev.cents, 0) AS BIGINT) AS cents
+  FROM spine LEFT JOIN rev ON spine.nk = rev.nk AND spine.q = rev.q
+), ranked AS (
+  SELECT nk, q, cents,
+         CAST(2 * RANK() OVER (PARTITION BY nk ORDER BY cents)
+              + COUNT(*) OVER (PARTITION BY nk, cents) - 1 AS BIGINT) AS dr
+  FROM grid
+), ranges AS (
+  SELECT nk, CAST(MAX(cents) - MIN(cents) AS BIGINT) AS rng
+  FROM ranked GROUP BY 1
+), blocks AS (
+  SELECT nk,
+         CAST(2 * RANK() OVER (ORDER BY rng)
+              + COUNT(*) OVER (PARTITION BY rng) - 1 AS BIGINT) AS dq
+  FROM ranges
+), s_frame AS (
+  SELECT q, CAST(dq * (dr - {QUADE_K + 1}) AS BIGINT) AS s16
+  FROM ranked JOIN blocks USING (nk)
+), a16 AS (
+  SELECT CAST(SUM(CAST(s16 AS DECIMAL(38,0)) * CAST(s16 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS a16
+  FROM s_frame
+), tj AS (
+  SELECT q, CAST(SUM(s16) AS BIGINT) AS t_j FROM s_frame GROUP BY 1
+), b16b AS (
+  SELECT CAST(SUM(CAST(t_j AS DECIMAL(38,0)) * CAST(t_j AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS b16b
+  FROM tj
+), nb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS b FROM blocks
+)
+SELECT b AS n_blocks,
+       CAST({QUADE_K} AS INT) AS k_treatments,
+       (CAST(b AS DOUBLE) - 1.0) * CAST(b16b AS DOUBLE)
+         / (CAST(b AS DOUBLE) * CAST(a16 AS DOUBLE) - CAST(b16b AS DOUBLE)) AS f_stat,
+       CAST(CASE WHEN (CAST(b AS DOUBLE) - 1.0) * CAST(b16b AS DOUBLE)
+                      / (CAST(b AS DOUBLE) * CAST(a16 AS DOUBLE) - CAST(b16b AS DOUBLE))
+                      > {QUADE_F_CRIT} THEN 1 ELSE 0 END AS INT) AS significant_5pct
+FROM a16 CROSS JOIN b16b CROSS JOIN nb
+"""
+
+
 QUERIES = {
     "cochrans_q_test": q_cochrans_q_test,
+    "krippendorff_alpha": q_krippendorff_alpha,
+    "quade_test": q_quade_test,
     "standardized_rate_mix": q_standardized_rate_mix,
     "fleiss_kappa": q_fleiss_kappa,
     "cohens_kappa": q_cohens_kappa,
@@ -1266,6 +1573,8 @@ QUERIES = {
 
 ORACLE = {
     "cochrans_q_test": _ORACLE_COCHRANS_Q,
+    "krippendorff_alpha": _sql_krippendorff(),
+    "quade_test": _sql_quade(),
     "standardized_rate_mix": _sql_standardized_rate(),
     "fleiss_kappa": _sql_fleiss(),
     "kruskal_wallis": _sql_kruskal_wallis(),

@@ -3230,7 +3230,170 @@ FROM counted
 """
 
 
+AB_Z_CRIT = 1.959964  # two-sided 5% normal critical value — literal
+
+
+def q_ansari_bradley_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test on order value, urgent vs
+    rest — completes the two-sample family's fourth axis next to
+    ``mann_whitney_u`` (location), ``ks_two_sample`` (sup) and
+    ``cramer_von_mises_two`` (integral): scores fold the pooled ranking
+    inward (a = min(rank, N+1−rank)), so a sample concentrated in the
+    MIDDLE scores high and one pushed to both TAILS scores low — a pure
+    dispersion contrast no location test can see.
+
+    Tie handling and the null are PERMUTATION-exact, not formula-book:
+    each tied value group occupying positions (t, t+c] gets the exact
+    average folded score via the closed-form prefix sum S(x) = Σ min(j,
+    N+1−j) (two integer branches around the fold point), and the null
+    mean/variance of W are the finite-population moments of drawing n₁
+    scores WITHOUT replacement from the actual tie-averaged score
+    population — so ties need no correction term, they are simply in
+    the population. Scores are normalized by N (u = 2ΔS/(c·N) ≤ ~1)
+    before the floor-quantized sums so every fsum stays inside the 2⁵³
+    window to sf1+ (raw Σs² crosses the exact-double window at ~10⁶
+    rows — measured bound, the reason for the normalization). The
+    closed-form prefix products x(x+1) stay exactly representable to
+    N ≈ 9·10⁷ rows; past that switch them to DECIMAL DIV (engine-
+    identical either way — both sides run the same IEEE sequence).
+
+    Scale shape: same as ``ks_two_sample`` — one per-value hash agg,
+    one domain-sized cumulative window, broadcast totals, 1-row agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+        )
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w_prev), F.lit(0)).alias(
+            "t"
+        ),
+    )
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    n_ = (F.col("n1") + F.col("n2")).cast("long")
+    h = ((n_ + 1) / 2).cast("long")  # fold point floor((N+1)/2)
+
+    def s_prefix(x):
+        # S(x) = sum_{j<=x} min(j, N+1-j): integer closed form, two branches
+        lo = (x * (x + 1) / 2).cast("long")
+        hi = (
+            h * (h + 1)
+            + (x - h) * (n_ + 1)
+            - (x * (x + 1) / 2).cast("long")
+        ).cast("long")
+        return F.when(x <= h, lo).otherwise(hi)
+
+    ds = s_prefix(F.col("t") + F.col("c")) - s_prefix(F.col("t"))
+    u = (
+        F.lit(2.0)
+        * ds.cast("double")
+        / (F.col("c").cast("double") * n_.cast("double"))
+    )
+    agg = j.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        fsum(F.col("c1").cast("double") * u, scale=8).alias("w_norm"),
+        fsum(F.col("c").cast("double") * u * u, scale=9).alias("su2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    # exact total doubled score sum: S(N) (integer) -> mean of u
+    hm = F.floor((nd + F.lit(1.0)) / F.lit(2.0))
+    s_n = hm * (hm + F.lit(1.0)) + (nd - hm) * (nd + F.lit(1.0)) - nd * (
+        nd + F.lit(1.0)
+    ) / F.lit(2.0)
+    ubar = F.lit(2.0) * s_n / (nd * nd)
+    var_pop = F.col("su2") / nd - ubar * ubar
+    var_w = n1d * n2d / (nd - F.lit(1.0)) * var_pop
+    z = (F.col("w_norm") - n1d * ubar) / F.sqrt(var_w)
+    return agg.select(
+        "n1",
+        "n2",
+        (F.col("w_norm") * nd).alias("w2_doubled"),
+        (n1d * ubar * nd).alias("expected_w2"),
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(AB_Z_CRIT)).cast("int").alias("significant_5pct"),
+    )
+
+
+def _sql_ansari_bradley() -> str:
+    s_hi = "(h * (h + 1) + ({x} - h) * (n_ + 1) - CAST(({x} * ({x} + 1) / 2) AS BIGINT))"
+    s_lo = "CAST(({x} * ({x} + 1) / 2) AS BIGINT)"
+
+    def s_prefix(x):
+        return (
+            f"(CASE WHEN {x} <= h THEN {s_lo.format(x=x)}"
+            f" ELSE {s_hi.format(x=x)} END)"
+        )
+
+    ds = f"({s_prefix('(t + c)')} - {s_prefix('t')})"
+    u = f"(2.0 * CAST({ds} AS DOUBLE) / (CAST(c AS DOUBLE) * CAST(n_ AS DOUBLE)))"
+    return f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 0 ELSE 1 END) AS c2
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c1, c2, c1 + c2 AS c,
+         COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t
+  FROM per_v
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM per_v
+), jx AS (
+  SELECT c1, c2, c, t, n1, n2,
+         CAST(n1 + n2 AS BIGINT) AS n_,
+         CAST((n1 + n2 + 1) / 2 AS BIGINT) AS h
+  FROM ranked CROSS JOIN tot
+), agg AS (
+  SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+         {sql_fsum(f"CAST(c1 AS DOUBLE) * {u}", scale=8)} AS w_norm,
+         {sql_fsum(f"CAST(c AS DOUBLE) * {u} * {u}", scale=9)} AS su2
+  FROM jx
+), d AS (
+  SELECT n1, n2, w_norm, su2,
+         CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+         CAST(n1 + n2 AS DOUBLE) AS nd,
+         floor((CAST(n1 + n2 AS DOUBLE) + 1.0) / 2.0) AS hm
+  FROM agg
+), e AS (
+  SELECT n1, n2, w_norm, su2, n1d, n2d, nd,
+         2.0 * (hm * (hm + 1.0) + (nd - hm) * (nd + 1.0) - nd * (nd + 1.0) / 2.0)
+           / (nd * nd) AS ubar
+  FROM d
+)
+SELECT n1, n2,
+       w_norm * nd AS w2_doubled,
+       n1d * ubar * nd AS expected_w2,
+       (w_norm - n1d * ubar)
+         / sqrt(n1d * n2d / (nd - 1.0) * (su2 / nd - ubar * ubar)) AS z_stat,
+       CAST(CASE WHEN ABS((w_norm - n1d * ubar)
+                  / sqrt(n1d * n2d / (nd - 1.0) * (su2 / nd - ubar * ubar)))
+                  > {AB_Z_CRIT} THEN 1 ELSE 0 END AS INT) AS significant_5pct
+FROM e
+"""
+
+
 QUERIES = {
+    "ansari_bradley_scale": q_ansari_bradley_scale,
     "cliffs_delta_effect": q_cliffs_delta_effect,
     "cramer_von_mises_two": q_cramer_von_mises_two,
     "jonckheere_terpstra": q_jonckheere_terpstra,
@@ -3264,6 +3427,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ansari_bradley_scale": _sql_ansari_bradley(),
     "cliffs_delta_effect": _ORACLE_CLIFFS_DELTA,
     "cramer_von_mises_two": _ORACLE_CVM,
     "jonckheere_terpstra": _sql_jonckheere(),

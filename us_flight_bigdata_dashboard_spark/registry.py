@@ -121,7 +121,18 @@ _MODULES = [
 # sketch_hll_union, streaming_streaks_replay, vector_label_stats;
 # multimodal_gif_decode joins them -- its LZW encoder tail-width fix
 # landed r10 after its last certification).
-# = 24 + 16 = 40 slots; the r10 ADVICE-fix touchees (kendalls_w, roc_auc_exact,
+# plus the 16 WAVE-4 ADDITIONS (same pre-clearance + ground-truth tests
+# in tests/test_round10b_ops.py):
+#   cochrans_q_test, lin_ccc_agreement, bland_altman_agreement,
+#   goodman_kruskal_gamma, cliffs_delta_effect, cramer_von_mises_two,
+#   jonckheere_terpstra, mood_median_test, text_yules_k, text_tv_distance,
+#   gini_split_gain, sketch_theta_difference, recursive_cte_drain,
+#   lateral_join_topk, streaming_late_data_replay, icc_oneway
+# = 24 + 16 + 16 = 56 > 50 slots: r11 prefix = the 40 round-10 additions
+# (waves 1-4 minus one) that fit after the 16 sentinels -- actually run
+# tools/rotate_prefix.py at r11 start for the binding list; overflow
+# (oldest additions first) flows to r12 exactly like r8's staged
+# leftovers did. The r10 ADVICE-fix touchees (kendalls_w, roc_auc_exact,
 # mcnemar_paired, text_textrank_keywords) are IN this r10 prefix and get
 # certified on the fixed code live, so they need no r11 sentinel.
 # Entries after the flagship block run in stable module order.
