@@ -747,3 +747,148 @@ def test_ansari_bradley_bruteforce(spark):
     # z's numerator is a small difference of O(100) sums, so the scale-8
     # quantization bias amplifies — bound measured at ~1e-6 relative
     assert row["z_stat"] == pytest.approx(z, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# clustering_silhouette — invariants + brute-force recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_silhouette_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        q_clustering_silhouette,
+        train_ivf_centroids,
+    )
+
+    emb = _df("embeddings")
+    centroids = np.array(train_ivf_centroids(spark, SF_DIR))
+    cn = np.linalg.norm(centroids, axis=1)
+    sums = {}
+    counts = {}
+    for vec in emb["embedding"]:
+        v = np.array(vec, dtype=np.float64)
+        sims = centroids @ v / (cn * np.linalg.norm(v))
+        order = np.sort(sims)[::-1]
+        a, b = 1 - order[0], 1 - order[1]
+        s = 0.0 if max(a, b) <= 0 else (b - a) / max(a, b)
+        cid = int(np.argmax(sims))
+        sums[cid] = sums.get(cid, 0.0) + s
+        counts[cid] = counts.get(cid, 0) + 1
+    rows = {r["centroid_id"]: r for r in q_clustering_silhouette(spark, SF_DIR).collect()}
+    assert set(rows) == set(counts)
+    for cid in counts:
+        assert rows[cid]["n_members"] == counts[cid]
+        assert rows[cid]["mean_silhouette"] == pytest.approx(
+            sums[cid] / counts[cid], rel=1e-6, abs=1e-9
+        )
+        assert -1.0 - 1e-12 <= rows[cid]["mean_silhouette"] <= 1.0 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation — textbook identity checks
+# ---------------------------------------------------------------------------
+
+
+def test_neyman_allocation_identities(spark):
+    from us_flight_bigdata_dashboard_spark.operators.sampling import (
+        NEYMAN_BUDGET,
+        q_neyman_allocation,
+    )
+
+    od = _df("orders")
+    od["cents"] = np.round(od["o_totalprice"] * 100).astype(np.int64)
+    rows = q_neyman_allocation(spark, SF_DIR).collect()
+    # allocations both sum to the budget
+    # sums carry the fsum floor-quantization bias (~1e-7 relative)
+    assert sum(r["neyman_n"] for r in rows) == pytest.approx(NEYMAN_BUDGET, rel=1e-6)
+    assert sum(r["proportional_n"] for r in rows) == pytest.approx(
+        NEYMAN_BUDGET, rel=1e-9
+    )
+    for r in rows:
+        grp = od[od["o_orderpriority"] == r["stratum"]]
+        x = grp["cents"].values / 1e9
+        assert r["n_h"] == len(grp)
+        sd = x.std(ddof=1)
+        assert r["stratum_sd_dollars"] == pytest.approx(sd * 1e7, rel=1e-6)
+    # Neyman beats (or ties) proportional: variance ratio >= 1
+    assert rows[0]["variance_ratio_prop_vs_neyman"] >= 1.0 - 1e-12
+    # textbook n_h proportional to N_h * S_h
+    w = [(r["n_h"] * r["stratum_sd_dollars"]) for r in rows]
+    for r, wi in zip(rows, w):
+        assert r["neyman_n"] / NEYMAN_BUDGET == pytest.approx(
+            wi / sum(w), rel=1e-6
+        )
+
+
+# ---------------------------------------------------------------------------
+# eoq_batch_sizing — closed-form identities
+# ---------------------------------------------------------------------------
+
+
+def test_eoq_identities(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        EOQ_HOLDING_RATE,
+        EOQ_SETUP_COST,
+        q_eoq_batch_sizing,
+    )
+
+    rows = q_eoq_batch_sizing(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        d, p, q = r["annual_demand"], r["mean_unit_price"], r["eoq_units"]
+        h = EOQ_HOLDING_RATE * p
+        assert q == pytest.approx(math.sqrt(2 * d * EOQ_SETUP_COST / h), rel=1e-12)
+        # at the EOQ, ordering cost equals holding cost (the defining identity)
+        ordering = d / q * EOQ_SETUP_COST
+        holding = q / 2 * h
+        assert ordering == pytest.approx(holding, rel=1e-9)
+        assert r["total_relevant_cost"] == pytest.approx(
+            ordering + holding, rel=1e-9
+        )
+
+
+# ---------------------------------------------------------------------------
+# events_page_hinkley — sequential Python re-simulation
+# ---------------------------------------------------------------------------
+
+
+def test_page_hinkley_sequential_sim(spark):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        PH_DELTA,
+        PH_LAMBDA,
+        _PH_FP,
+        q_events_page_hinkley,
+    )
+
+    ev = _df("events").dropna(subset=["ts"]).sort_values(["event_type", "ts", "event_id"])
+    rows = {r["event_type"]: r for r in q_events_page_hinkley(spark, SF_DIR).collect()}
+    for etype, grp in ev.groupby("event_type"):
+        # exact decimal(28,8) prefix like both engines
+        from decimal import Decimal
+
+        prefix = Decimal(0)
+        m = 0
+        m_min = 0
+        max_e = 0
+        n_alarms = 0
+        first_alarm = None
+        lam_fp = int(PH_LAMBDA * _PH_FP)
+        for i, (x, ts) in enumerate(zip(grp["value"], grp["ts"]), start=1):
+            prefix += Decimal(repr(float(x))).quantize(Decimal("1.00000000"))
+            c = float(x) - float(prefix) / i - PH_DELTA
+            m += math.floor(c * _PH_FP)
+            m_min = min(m_min, m)
+            e = m - m_min
+            max_e = max(max_e, e)
+            if e > lam_fp:
+                n_alarms += 1
+                if first_alarm is None:
+                    first_alarm = ts
+        r = rows[etype]
+        assert r["n"] == len(grp)
+        assert r["n_alarms"] == n_alarms
+        assert r["max_excursion"] == pytest.approx(max_e / _PH_FP, rel=1e-12)
+        if first_alarm is not None:
+            assert r["first_alarm_ts"] == first_alarm
+        else:
+            assert r["first_alarm_ts"] is None

@@ -3022,7 +3022,102 @@ ORDER BY p_brand, band_lo
 """
 
 
+# ---------------------------------------------------------------------------
+# Economic order quantity (round 10 wave 6)
+# ---------------------------------------------------------------------------
+
+EOQ_SETUP_COST = 100.0  # ordering/setup cost per order, dollars (literal)
+EOQ_HOLDING_RATE = 0.2  # annual holding cost as a fraction of unit price
+
+
+def q_eoq_batch_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity per brand: EOQ = √(2DS/H) with D = the
+    brand's observed annual demand rate (total shipped quantity over the
+    data's year span — exact integers, one division), S = ${s:.0f} setup
+    cost per order (literal), H = {h:.0%} of the brand's mean unit retail
+    price (exact cent rational) — the canonical batch-sizing formula
+    every inventory planner runs, completing the ops-analytics shelf
+    beside ``newsvendor_quantile`` (single-period) and ``xyz_demand_
+    class`` (variability): EOQ answers the REPLENISHMENT cadence
+    question. Ships the implied orders/year and the minimized total
+    relevant cost √(2DSH).
+
+    Exactness: D and H are ratios of exact integer sums; √ is the
+    allowlisted correctly-rounded IEEE op; every shipped float is one
+    fixed sequence. Scale shape: one lineitem⋈part hash agg to
+    |brands| rows + one part-side agg — both map-side combinable.""".format(
+        s=EOQ_SETUP_COST, h=EOQ_HOLDING_RATE
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    years = li.agg(
+        (F.max(F.year("l_shipdate")) - F.min(F.year("l_shipdate")) + F.lit(1))
+        .cast("long")
+        .alias("n_years")
+    )
+    demand = (
+        li.join(part.select("p_partkey", "p_brand"), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("long").alias("qty"))
+    )
+    price = part.groupBy("p_brand").agg(
+        F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("bigint"))
+        .cast("long")
+        .alias("pc"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    j = demand.join(price, "p_brand").crossJoin(F.broadcast(years))
+    d_rate = F.col("qty").cast("double") / F.col("n_years").cast("double")
+    unit_price = F.col("pc").cast("double") / F.col("np").cast("double") / F.lit(100.0)
+    h_cost = F.lit(EOQ_HOLDING_RATE) * unit_price
+    eoq = F.sqrt(F.lit(2.0) * d_rate * F.lit(EOQ_SETUP_COST) / h_cost)
+    return j.select(
+        "p_brand",
+        d_rate.alias("annual_demand"),
+        unit_price.alias("mean_unit_price"),
+        eoq.alias("eoq_units"),
+        (d_rate / eoq).alias("orders_per_year"),
+        F.sqrt(F.lit(2.0) * d_rate * F.lit(EOQ_SETUP_COST) * h_cost).alias(
+            "total_relevant_cost"
+        ),
+    ).orderBy("p_brand")
+
+
+_ORACLE_EOQ = f"""
+WITH years AS (
+  SELECT CAST(MAX(year(l_shipdate)) - MIN(year(l_shipdate)) + 1 AS BIGINT) AS n_years
+  FROM lineitem
+), demand AS (
+  SELECT p_brand, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+), price AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS pc,
+         CAST(COUNT(*) AS BIGINT) AS np
+  FROM part GROUP BY 1
+), j AS (
+  SELECT p_brand,
+         CAST(qty AS DOUBLE) / CAST(n_years AS DOUBLE) AS d_rate,
+         CAST(pc AS DOUBLE) / CAST(np AS DOUBLE) / 100.0 AS unit_price
+  FROM demand JOIN price USING (p_brand) CROSS JOIN years
+)
+SELECT p_brand,
+       d_rate AS annual_demand,
+       unit_price AS mean_unit_price,
+       sqrt(2.0 * d_rate * {EOQ_SETUP_COST!r} / ({EOQ_HOLDING_RATE!r} * unit_price))
+         AS eoq_units,
+       d_rate / sqrt(2.0 * d_rate * {EOQ_SETUP_COST!r} / ({EOQ_HOLDING_RATE!r} * unit_price))
+         AS orders_per_year,
+       sqrt(2.0 * d_rate * {EOQ_SETUP_COST!r} * ({EOQ_HOLDING_RATE!r} * unit_price))
+         AS total_relevant_cost
+FROM j
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
+    "eoq_batch_sizing": q_eoq_batch_sizing,
     "pareto_skyline_suppliers": q_pareto_skyline_suppliers,
     "newsvendor_quantile": q_newsvendor_quantile,
     "price_elasticity_arc": q_price_elasticity_arc,
@@ -3065,6 +3160,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "eoq_batch_sizing": _ORACLE_EOQ,
     "newsvendor_quantile": _ORACLE_NEWSVENDOR,
     "price_elasticity_arc": _ORACLE_ELASTICITY,
     "pareto_skyline_suppliers": _ORACLE_PARETO_SKYLINE,

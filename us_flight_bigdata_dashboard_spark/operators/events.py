@@ -4791,7 +4791,133 @@ ORDER BY period_hours
 """
 
 
+# ---------------------------------------------------------------------------
+# Page-Hinkley sequential drift detector (round 10 wave 6)
+# ---------------------------------------------------------------------------
+
+PH_DELTA = 0.05  # magnitude tolerance (literal design parameter)
+PH_LAMBDA = 100.0  # alarm threshold on the excursion (literal)
+_PH_FP = 10**8  # fixed-point scale for the cumulative PH sums
+
+
+def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley SEQUENTIAL drift detector per event type — the
+    streaming-order companion of ``events_cusum_changepoint`` (which
+    locates ONE offline changepoint knowing the global mean): PH tracks
+    m_t = Σ_{i≤t}(x_i − x̄_i − δ) against its running minimum and alarms
+    when the excursion exceeds λ — detectable the moment it happens,
+    using only the mean-so-far. Ships per type: alarm count, first alarm
+    time, and the maximum excursion (how decisively drift showed).
+
+    Determinism: the value prefix sums are exact DECIMAL window sums
+    over the unique (ts, event_id) order, so every running mean x̄_i is
+    one IEEE division of deterministic inputs; the PH increments are
+    then FLOOR-QUANTIZED (1e−8) before the cumulative sum/min, because
+    a cumulative DOUBLE window sum is a sequential fold on Spark but a
+    segment tree on DuckDB — different summation trees, different last
+    ulps; fixed-point decimals are associative so both engines agree
+    bit-for-bit. Scale shape: two type-partitioned sequential windows
+    (the inherent shape of sequential detection) + one |types|-row agg."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    order_w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prefixed = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value").cast("double").alias("x"),
+        F.sum(F.col("value").cast("decimal(28,8)")).over(cum_w)
+        .cast("double")
+        .alias("prefix"),
+        F.row_number().over(order_w).alias("i"),
+    )
+    c = F.col("x") - F.col("prefix") / F.col("i").cast("double") - F.lit(PH_DELTA)
+    quantized = prefixed.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(c * F.lit(float(_PH_FP))).cast("decimal(38,0)").alias("q"),
+    )
+    m = F.sum("q").over(
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = quantized.select(
+        "event_type",
+        "ts",
+        "event_id",
+        m.alias("m"),
+    )
+    m_min = F.min("m").over(
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exc = walked.select(
+        "event_type",
+        "ts",
+        (F.col("m") - m_min).alias("e"),
+    )
+    lam_fp = F.lit(int(PH_LAMBDA * _PH_FP)).cast("decimal(38,0)")
+    return (
+        exc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("e") > lam_fp, 1).otherwise(0))
+            .cast("long")
+            .alias("n_alarms"),
+            F.min(F.when(F.col("e") > lam_fp, F.col("ts"))).alias("first_alarm_ts"),
+            (F.max("e").cast("double") / F.lit(float(_PH_FP))).alias(
+                "max_excursion"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_PAGE_HINKLEY = f"""
+WITH base AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(value AS DOUBLE) AS x
+  FROM events WHERE ts IS NOT NULL
+), prefixed AS (
+  SELECT event_type, ts, event_id, x,
+         CAST(SUM(CAST(x AS DECIMAL(28,8))) OVER (PARTITION BY event_type
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS prefix,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS i
+  FROM base
+), quantized AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor((x - prefix / CAST(i AS DOUBLE) - {PH_DELTA!r}) * {float(_PH_FP)!r})
+              AS DECIMAL(38,0)) AS q
+  FROM prefixed
+), walked AS (
+  SELECT event_type, ts, event_id,
+         SUM(q) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM quantized
+), exc AS (
+  SELECT event_type, ts,
+         m - MIN(m) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+  FROM walked
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN e > {int(PH_LAMBDA * _PH_FP)} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       MIN(CASE WHEN e > {int(PH_LAMBDA * _PH_FP)} THEN ts END) AS first_alarm_ts,
+       CAST(MAX(e) AS DOUBLE) / {float(_PH_FP)!r} AS max_excursion
+FROM exc
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "events_page_hinkley": q_events_page_hinkley,
     "events_tumbling": q_events_tumbling,
     "survival_rmst": q_survival_rmst,
     "events_periodogram_lut": q_events_periodogram_lut,
@@ -4846,6 +4972,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_page_hinkley": _ORACLE_PAGE_HINKLEY,
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,
     "events_ohlc": _ORACLE_EVENTS_OHLC,
     "events_funnel": _ORACLE_EVENTS_FUNNEL,

@@ -890,7 +890,131 @@ ORDER BY s.source, s.decile
 """
 
 
+# ---------------------------------------------------------------------------
+# Neyman optimal allocation (round 10 wave 6)
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 10_000  # total sample budget n (literal design parameter)
+_NEY_UNIT = 1.0e9  # $10M units (house unit discipline)
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a {n}-row sample budget across the
+    five order-priority strata: n_h ∝ N_h·S_h — the survey-sampling
+    design that minimizes the variance of the estimated total for a
+    fixed budget (proportional allocation ignores S_h and over-samples
+    homogeneous strata). The readout every large-scale data-quality
+    audit needs before it samples: WHERE to spend the labeling budget.
+    Ships both allocations per stratum plus the variance ratio
+    Var_prop/Var_neyman = N·ΣN_hS_h² · (ΣN_hS_h)⁻²·... (the design
+    effect of ignoring stratum heterogeneity — >1 means Neyman wins).
+
+    Exactness: stratum means are exact rationals from integer cent
+    sums; S_h sums squares of deviations CENTERED on them (fsum scale
+    12, the module-wide cancellation rule); every shipped float is one
+    IEEE sequence. Scale shape: two map-side-combinable hash aggs (one
+    for moments, one broadcast re-pass for centered squares) — both
+    ≤|strata| rows after.""".format(n=NEYMAN_BUDGET)
+    from us_flight_bigdata_dashboard_spark.functions.exact import fsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    base = orders.select(
+        F.col("o_orderpriority").alias("stratum"), cents.alias("cents")
+    )
+    m = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("cents").cast("long").alias("t_h"),
+    )
+    x = F.col("cents").cast("double") / F.lit(_NEY_UNIT)
+    mean_h = F.col("t_h").cast("double") / F.col("n_h").cast("double") / F.lit(
+        _NEY_UNIT
+    )
+    dev = x - mean_h
+    ss = (
+        base.join(F.broadcast(m), "stratum")
+        .groupBy("stratum")
+        .agg(
+            F.max("n_h").alias("n_h"),
+            fsum(dev * dev, scale=12).alias("ss_h"),
+        )
+    )
+    nd = F.col("n_h").cast("double")
+    s_h = F.sqrt(F.col("ss_h") / (nd - F.lit(1.0)))
+    scored = ss.select("stratum", "n_h", s_h.alias("s_h"), (nd * s_h).alias("w_h"))
+    tot = scored.agg(
+        F.sum("n_h").cast("long").alias("n_pop"),
+        fsum(F.col("w_h"), scale=6).alias("sw"),
+        fsum(F.col("w_h") * F.col("s_h"), scale=6).alias("sws"),
+    )
+    out = scored.crossJoin(F.broadcast(tot))
+    budget = F.lit(float(NEYMAN_BUDGET))
+    neyman = budget * F.col("w_h") / F.col("sw")
+    prop = budget * F.col("n_h").cast("double") / F.col("n_pop").cast("double")
+    # Var_prop / Var_neyman for the stratified mean estimator (fpc-free):
+    #   Var_prop ∝ (1/n)·Σ(N_h/N)S_h²;  Var_ney ∝ (1/n)·(Σ(N_h/N)S_h)²
+    deff = (
+        F.col("sws") / F.col("n_pop").cast("double")
+    ) / (
+        (F.col("sw") / F.col("n_pop").cast("double"))
+        * (F.col("sw") / F.col("n_pop").cast("double"))
+    )
+    return out.select(
+        "stratum",
+        "n_h",
+        (F.col("s_h") * F.lit(_NEY_UNIT / 100.0)).alias("stratum_sd_dollars"),
+        neyman.alias("neyman_n"),
+        prop.alias("proportional_n"),
+        deff.alias("variance_ratio_prop_vs_neyman"),
+    ).orderBy("stratum")
+
+
+def _sql_neyman() -> str:
+    from us_flight_bigdata_dashboard_spark.functions.exact import sql_fsum
+
+    x = "(CAST(cents AS DOUBLE) / 1000000000.0)"
+    mean_h = "(CAST(t_h AS DOUBLE) / CAST(n_h AS DOUBLE) / 1000000000.0)"
+    dev = f"({x} - {mean_h})"
+    return f"""
+WITH base AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), m AS (
+  SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(cents) AS BIGINT) AS t_h
+  FROM base GROUP BY 1
+), ss AS (
+  SELECT stratum, MAX(n_h) AS n_h,
+         {sql_fsum(f"{dev} * {dev}", scale=12)} AS ss_h
+  FROM base JOIN m USING (stratum)
+  GROUP BY stratum
+), scored AS (
+  SELECT stratum, n_h,
+         sqrt(ss_h / (CAST(n_h AS DOUBLE) - 1.0)) AS s_h,
+         CAST(n_h AS DOUBLE) * sqrt(ss_h / (CAST(n_h AS DOUBLE) - 1.0)) AS w_h
+  FROM ss
+), tot AS (
+  SELECT CAST(SUM(n_h) AS BIGINT) AS n_pop,
+         {sql_fsum("w_h", scale=6)} AS sw,
+         {sql_fsum("w_h * s_h", scale=6)} AS sws
+  FROM scored
+)
+SELECT stratum, n_h,
+       s_h * 10000000.0 AS stratum_sd_dollars,
+       {float(NEYMAN_BUDGET)!r} * w_h / sw AS neyman_n,
+       {float(NEYMAN_BUDGET)!r} * CAST(n_h AS DOUBLE) / CAST(n_pop AS DOUBLE)
+         AS proportional_n,
+       (sws / CAST(n_pop AS DOUBLE))
+         / ((sw / CAST(n_pop AS DOUBLE)) * (sw / CAST(n_pop AS DOUBLE)))
+         AS variance_ratio_prop_vs_neyman
+FROM scored CROSS JOIN tot
+ORDER BY stratum
+"""
+
+
 QUERIES = {
+    "neyman_allocation": q_neyman_allocation,
     "quantile_normalize_deciles": q_quantile_normalize_deciles,
     "shard_manifest": q_shard_manifest,
     "stratified_sample": q_stratified_sample,
@@ -907,6 +1031,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "neyman_allocation": _sql_neyman(),
     "quantile_normalize_deciles": _ORACLE_QNORM,
     "shard_manifest": _ORACLE_SHARD_MANIFEST,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,

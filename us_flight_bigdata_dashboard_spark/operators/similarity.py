@@ -1465,6 +1465,107 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clustering_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette of the IVF k-means model —
+    s = (b − a)/max(a, b) with a = cosine dissimilarity to the OWN
+    centroid and b = to the nearest OTHER centroid — the standard
+    clustering-quality readout (full silhouette needs all-pairs
+    distances, O(n²); the centroid-based simplification is what every
+    large-scale pipeline actually computes, and what sklearn's
+    MiniBatchKMeans documentation recommends at scale). A cluster whose
+    mean s approaches 0 overlaps its neighbor — the signal to re-train
+    the IVF index before probe recall degrades (``ann_recall_eval``'s
+    upstream health check).
+
+    Determinism: reuses ``train_ivf_centroids`` verbatim (seeded,
+    deterministic); per row the top-2 similarities come from ONE sorted
+    literal-centroid array (ties: equal sims give s = 0 identically on
+    both engines, no order dependence); per-cluster means are fixed-
+    point floor sums (the ``kmeans_clusters`` contract). Scale shape:
+    one zero-shuffle narrow pass over embeddings + one 8-group agg —
+    the centroid list is a broadcast literal, nothing joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(spark, sf_dir)
+    if not centroids:
+        return spark.createDataFrame(
+            [], "centroid_id bigint, n_members bigint, mean_silhouette double"
+        )
+    cnorms = [math.sqrt(_py_dot(c, c)) for c in centroids]
+    vnorm = _norm(F.col("embedding"))
+    sims = F.array(
+        *[
+            (
+                _dot(F.col("embedding"), F.array(*[F.lit(x) for x in c]))
+                / (F.col("vnorm") * F.lit(n))
+            )
+            for c, n in zip(centroids, cnorms)
+        ]
+    )
+    srt = F.sort_array(F.col("sims"), asc=False)
+    a = F.lit(1.0) - srt[0]
+    b = F.lit(1.0) - srt[1]
+    s = F.when(
+        F.greatest(a, b) > F.lit(0.0), (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    assigned = (
+        emb.select("vec_id", "embedding", vnorm.alias("vnorm"))
+        .withColumn("sims", sims)
+        .select(
+            (F.array_position(F.col("sims"), F.array_max(F.col("sims"))) - 1)
+            .cast("bigint")
+            .alias("centroid_id"),
+            s.alias("sil"),
+        )
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum(
+                    F.floor(F.col("sil") * F.lit(float(_KM_FP))).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(float(_KM_FP))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def _sql_clustering_silhouette() -> str:
+    cos = _sql_cosine("e.embedding", "c.embedding")
+    return f"""
+WITH {_sql_kmeans_ctes()},
+top2 AS (
+  SELECT vec_id, centroid_id, sim, rn FROM (
+    SELECT e.vec_id, c.centroid_id, {cos} AS sim,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN c{N_LLOYD_ITERS} c
+  ) WHERE rn <= 2
+), pv AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+         1.0 - MAX(CASE WHEN rn = 1 THEN sim END) AS a,
+         1.0 - MAX(CASE WHEN rn = 2 THEN sim END) AS b
+  FROM top2 GROUP BY vec_id
+), scored AS (
+  SELECT centroid_id,
+         CASE WHEN GREATEST(a, b) > 0.0 THEN (b - a) / GREATEST(a, b)
+              ELSE 0.0 END AS sil
+  FROM pv
+)
+SELECT centroid_id, COUNT(*) AS n_members,
+       CAST(SUM(CAST(floor(sil * {float(_KM_FP)}) AS DECIMAL(38,0))) AS DOUBLE)
+         / {float(_KM_FP)} / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette
+FROM scored
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+
 def _sql_kmeans_clusters() -> str:
     cos = _sql_cosine("e.embedding", "c.embedding")
     return f"""
@@ -2346,6 +2447,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_recall_eval": q_ann_recall_eval,
     "kmeans_clusters": q_kmeans_clusters,
+    "clustering_silhouette": q_clustering_silhouette,
     "embedding_centroid_by_label": q_embedding_centroid_by_label,
     "embedding_quantize": q_embedding_quantize,
     "ann_lsh": q_ann_lsh,
@@ -2370,6 +2472,7 @@ ORACLE = {
     "knn_bruteforce": _sql_knn_bruteforce(),
     "ann_recall_eval": _sql_ann_recall_eval(),
     "kmeans_clusters": _sql_kmeans_clusters(),
+    "clustering_silhouette": _sql_clustering_silhouette(),
     "embedding_centroid_by_label": _ORACLE_EMBEDDING_CENTROID,
     "embedding_quantize": _sql_embedding_quantize(),
     "ann_lsh": _sql_ann_lsh(),
