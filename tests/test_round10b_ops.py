@@ -892,3 +892,74 @@ def test_page_hinkley_sequential_sim(spark):
             assert r["first_alarm_ts"] == first_alarm
         else:
             assert r["first_alarm_ts"] is None
+
+
+# ---------------------------------------------------------------------------
+# davies_bouldin_index — brute-force recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_davies_bouldin_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        q_davies_bouldin_index,
+        train_ivf_centroids,
+    )
+
+    emb = _df("embeddings")
+    centroids = np.array(train_ivf_centroids(spark, SF_DIR))
+    cn = np.linalg.norm(centroids, axis=1)
+    sums, counts = {}, {}
+    for vec in emb["embedding"]:
+        v = np.array(vec, dtype=np.float64)
+        sims = centroids @ v / (cn * np.linalg.norm(v))
+        cid = int(np.argmax(sims))
+        sums[cid] = sums.get(cid, 0.0) + (1 - sims.max())
+        counts[cid] = counts.get(cid, 0) + 1
+    sigma = {c: sums[c] / counts[c] for c in counts}
+    k = len(centroids)
+    d = 1 - (centroids @ centroids.T) / np.outer(cn, cn)
+    rows = {r["centroid_id"]: r for r in q_davies_bouldin_index(spark, SF_DIR).collect()}
+    r_vals = {}
+    for i in sorted(sigma):
+        ratios = [
+            ((sigma[i] + sigma[j]) / d[i, j], j)
+            for j in sorted(sigma)
+            if j != i
+        ]
+        best = max(ratios, key=lambda t: (t[0], -t[1]))
+        r_vals[i] = best[0]
+        assert rows[i]["n_members"] == counts[i]
+        assert rows[i]["sigma"] == pytest.approx(sigma[i], rel=1e-6)
+        assert rows[i]["r_i"] == pytest.approx(best[0], rel=1e-6)
+    db = sum(r_vals.values()) / len(r_vals)
+    assert rows[0]["db_index"] == pytest.approx(db, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# partial_correlation — numpy closed-form recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_partial_correlation_numpy(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_partial_correlation,
+    )
+
+    li = _df("lineitem")
+    x = li["l_quantity"].values.astype(np.float64)
+    y = li["l_extendedprice"].values.astype(np.float64)
+    z = li["l_discount"].values.astype(np.float64)
+
+    def r(a, b):
+        return np.corrcoef(a, b)[0, 1]
+
+    r_xy, r_xz, r_yz = r(x, y), r(x, z), r(y, z)
+    partial = (r_xy - r_xz * r_yz) / math.sqrt((1 - r_xz**2) * (1 - r_yz**2))
+    (row,) = q_partial_correlation(spark, SF_DIR).collect()
+    assert row["n_rows"] == len(x)
+    assert row["r_qty_price"] == pytest.approx(r_xy, rel=1e-7)
+    assert row["r_qty_discount"] == pytest.approx(r_xz, rel=1e-6, abs=1e-9)
+    assert row["r_price_discount"] == pytest.approx(r_yz, rel=1e-6, abs=1e-9)
+    assert row["partial_r_qty_price_given_discount"] == pytest.approx(
+        partial, rel=1e-6, abs=1e-9
+    )

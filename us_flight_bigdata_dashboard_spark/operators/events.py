@@ -4817,7 +4817,12 @@ def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment tree on DuckDB — different summation trees, different last
     ulps; fixed-point decimals are associative so both engines agree
     bit-for-bit. Scale shape: two type-partitioned sequential windows
-    (the inherent shape of sequential detection) + one |types|-row agg."""
+    (the inherent shape of sequential detection — parallelism is capped
+    at |types|, and the K=16 probe measures 5.4× accordingly, the
+    honest serial cost); at 100 TB the standard mitigation is to run
+    the walk per (type, day-epoch) with boundary state carry-over, or
+    in Structured Streaming where the sequential fold IS the engine's
+    execution model (see ``streaming/``) + one |types|-row agg."""
     events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     order_w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1566,6 +1566,176 @@ ORDER BY centroid_id
 """
 
 
+def q_davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin index of the IVF k-means model — the companion of
+    ``clustering_silhouette`` that judges clusters by their WORST
+    neighbor: R_i = max_{j≠i} (σ_i + σ_j)/d(c_i, c_j) (scatter over
+    separation), DB = mean R_i. Silhouette can look healthy on average
+    while two specific centroids sit on top of each other; DB names the
+    offending pair per cluster (worst_neighbor ships), which is the
+    actionable readout when deciding WHICH centroids to re-seed.
+
+    Determinism: σ_i is the fixed-point mean cosine dissimilarity of
+    members to their own centroid (the ``kmeans_clusters`` assignment
+    verbatim); centroid-centroid dissimilarities are literal doubles
+    from the deterministic training fold on the Spark side and the SAME
+    bit-identical values via the Lloyd CTE chain + ``_sql_cosine`` on
+    the DuckDB side (the established kmeans contract); the final DB
+    mean is a fixed-point sum over k rows. Scale shape: one
+    zero-shuffle assignment pass + an 8-group agg; the k² pair table is
+    a broadcast literal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(spark, sf_dir)
+    if not centroids:
+        return spark.createDataFrame(
+            [],
+            "centroid_id bigint, n_members bigint, sigma double, "
+            "worst_neighbor bigint, r_i double, db_index double",
+        )
+    cnorms = [math.sqrt(_py_dot(c, c)) for c in centroids]
+    vnorm = _norm(F.col("embedding"))
+    sims = F.array(
+        *[
+            (
+                _dot(F.col("embedding"), F.array(*[F.lit(x) for x in c]))
+                / (F.col("vnorm") * F.lit(n))
+            )
+            for c, n in zip(centroids, cnorms)
+        ]
+    )
+    assigned = (
+        emb.select("vec_id", "embedding", vnorm.alias("vnorm"))
+        .withColumn("sims", sims)
+        .select(
+            (F.array_position(F.col("sims"), F.array_max(F.col("sims"))) - 1)
+            .cast("bigint")
+            .alias("centroid_id"),
+            (F.lit(1.0) - F.array_max(F.col("sims"))).alias("dissim"),
+        )
+    )
+    sigma = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum(
+                F.floor(F.col("dissim") * F.lit(float(_KM_FP))).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(float(_KM_FP))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("sigma"),
+    )
+    k = len(centroids)
+    pair_structs = []
+    for i in range(k):
+        for jj in range(k):
+            if i != jj:
+                d_ij = 1.0 - _py_dot(centroids[i], centroids[jj]) / (
+                    cnorms[i] * cnorms[jj]
+                )
+                pair_structs.append(
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("ci"),
+                        F.lit(jj).cast("bigint").alias("cj"),
+                        F.lit(d_ij).alias("d_ij"),
+                    )
+                )
+    pairs = spark.range(1).select(
+        F.explode(F.array(*pair_structs)).alias("p")
+    ).select("p.ci", "p.cj", "p.d_ij")
+    si = sigma.select(
+        F.col("centroid_id").alias("ci"),
+        F.col("n_members").alias("n_members"),
+        F.col("sigma").alias("sigma_i"),
+    )
+    sj = sigma.select(
+        F.col("centroid_id").alias("cj"), F.col("sigma").alias("sigma_j")
+    )
+    ratios = (
+        pairs.join(F.broadcast(si), "ci")
+        .join(F.broadcast(sj), "cj")
+        .select(
+            "ci",
+            "cj",
+            "n_members",
+            "sigma_i",
+            ((F.col("sigma_i") + F.col("sigma_j")) / F.col("d_ij")).alias("ratio"),
+        )
+    )
+    w_best = Window.partitionBy("ci").orderBy(
+        F.col("ratio").desc(), F.col("cj").asc()
+    )
+    per_cluster = (
+        ratios.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ci").alias("centroid_id"),
+            "n_members",
+            F.col("sigma_i").alias("sigma"),
+            F.col("cj").alias("worst_neighbor"),
+            F.col("ratio").alias("r_i"),
+        )
+    )
+    db = per_cluster.agg(
+        (
+            F.sum(F.floor(F.col("r_i") * F.lit(float(_KM_FP))).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(float(_KM_FP))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("db_index")
+    )
+    return (
+        per_cluster.crossJoin(F.broadcast(db))
+        .select(
+            "centroid_id", "n_members", "sigma", "worst_neighbor", "r_i", "db_index"
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def _sql_davies_bouldin() -> str:
+    cos = _sql_cosine("e.embedding", "c.embedding")
+    ccos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH {_sql_kmeans_ctes()},
+assigned AS (
+  SELECT vec_id, centroid_id, 1.0 - best_sim AS dissim FROM (
+    SELECT e.vec_id, c.centroid_id, {cos} AS best_sim,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN c{N_LLOYD_ITERS} c
+  ) WHERE rn = 1
+), sigma AS (
+  SELECT centroid_id, COUNT(*) AS n_members,
+         CAST(SUM(CAST(floor(dissim * {float(_KM_FP)}) AS DECIMAL(38,0))) AS DOUBLE)
+           / {float(_KM_FP)} / CAST(COUNT(*) AS DOUBLE) AS sigma
+  FROM assigned GROUP BY centroid_id
+), pairs AS (
+  SELECT a.centroid_id AS ci, b.centroid_id AS cj,
+         1.0 - {ccos} AS d_ij
+  FROM c{N_LLOYD_ITERS} a CROSS JOIN c{N_LLOYD_ITERS} b
+  WHERE a.centroid_id <> b.centroid_id
+), ratios AS (
+  SELECT ci, cj, si.n_members, si.sigma AS sigma_i,
+         (si.sigma + sj.sigma) / d_ij AS ratio
+  FROM pairs
+  JOIN sigma si ON si.centroid_id = ci
+  JOIN sigma sj ON sj.centroid_id = cj
+), per_cluster AS (
+  SELECT ci AS centroid_id, n_members, sigma_i AS sigma,
+         cj AS worst_neighbor, ratio AS r_i
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ci ORDER BY ratio DESC, cj ASC) AS rn
+    FROM ratios
+  ) WHERE rn = 1
+), db AS (
+  SELECT CAST(SUM(CAST(floor(r_i * {float(_KM_FP)}) AS DECIMAL(38,0))) AS DOUBLE)
+           / {float(_KM_FP)} / CAST(COUNT(*) AS DOUBLE) AS db_index
+  FROM per_cluster
+)
+SELECT centroid_id, n_members, sigma, worst_neighbor, r_i, db_index
+FROM per_cluster CROSS JOIN db
+ORDER BY centroid_id
+"""
+
+
 def _sql_kmeans_clusters() -> str:
     cos = _sql_cosine("e.embedding", "c.embedding")
     return f"""
@@ -2448,6 +2618,7 @@ QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "kmeans_clusters": q_kmeans_clusters,
     "clustering_silhouette": q_clustering_silhouette,
+    "davies_bouldin_index": q_davies_bouldin_index,
     "embedding_centroid_by_label": q_embedding_centroid_by_label,
     "embedding_quantize": q_embedding_quantize,
     "ann_lsh": q_ann_lsh,
@@ -2473,6 +2644,7 @@ ORACLE = {
     "ann_recall_eval": _sql_ann_recall_eval(),
     "kmeans_clusters": _sql_kmeans_clusters(),
     "clustering_silhouette": _sql_clustering_silhouette(),
+    "davies_bouldin_index": _sql_davies_bouldin(),
     "embedding_centroid_by_label": _ORACLE_EMBEDDING_CENTROID,
     "embedding_quantize": _sql_embedding_quantize(),
     "ann_lsh": _sql_ann_lsh(),

@@ -3230,6 +3230,102 @@ FROM counted
 """
 
 
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation r(quantity, price | discount) —
+    the confound-controlled companion of ``corr_pairs``: the marginal
+    quantity↔price correlation mixes the direct relationship with the
+    path through discount (deeper discounts move both); partialling z
+    out, r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)), answers the
+    question the correlation matrix only hints at. Ships all three
+    marginal r's beside the partial one so the confounding delta reads
+    directly.
+
+    Exactness: the SAME one-aggregate moment set (and per-column decimal
+    scales) as ``corr_pairs`` — every r is IEEE arithmetic on exact
+    decimal moments, and the partial form adds only divisions and one
+    sqrt. Scale shape: ONE map-side-combinable hash agg; everything
+    after is single-row arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y, z = "l_quantity", "l_extendedprice", "l_discount"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in (x, y, z):
+        aggs.append(dsum(F.col(c).cast("double"), scale=_S_SCALE[c]).alias(f"s_{c}"))
+        sc, prec = _SS_SCALE[c]
+        aggs.append(
+            dsum((F.col(c) * F.col(c)).cast("double"), scale=sc, precision=prec).alias(
+                f"ss_{c}"
+            )
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            dsum((F.col(a) * F.col(b)).cast("double"), scale=_SP_SCALE[(a, b)]).alias(
+                f"sp_{a}_{b}"
+            )
+        )
+    m = li.agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def r_expr(a: str, b: str):
+        if (a, b) not in _SP_SCALE:
+            a, b = b, a
+        cov = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vb = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        return cov / F.sqrt(va * vb)
+
+    r_xy = r_expr(x, y)
+    r_xz = r_expr(x, z)
+    r_yz = r_expr(y, z)
+    partial = (r_xy - r_xz * r_yz) / F.sqrt(
+        (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        r_xy.alias("r_qty_price"),
+        r_xz.alias("r_qty_discount"),
+        r_yz.alias("r_price_discount"),
+        partial.alias("partial_r_qty_price_given_discount"),
+        (r_xy - partial).alias("confounding_delta"),
+    )
+
+
+def _sql_partial_correlation() -> str:
+    x, y, z = "l_quantity", "l_extendedprice", "l_discount"
+    moments = ["COUNT(*) AS n"]
+    for c in (x, y, z):
+        moments.append(f"{sql_dsum(c, scale=_S_SCALE[c])} AS s_{c}")
+        sc, prec = _SS_SCALE[c]
+        moments.append(f"{sql_dsum(f'{c} * {c}', scale=sc, precision=prec)} AS ss_{c}")
+    for a, b in _CORR_PAIRS:
+        moments.append(
+            f"{sql_dsum(f'{a} * {b}', scale=_SP_SCALE[(a, b)])} AS sp_{a}_{b}"
+        )
+
+    def r(a, b):
+        if (a, b) not in _SP_SCALE:
+            a, b = b, a
+        return (
+            f"((n * sp_{a}_{b} - s_{a} * s_{b})"
+            f" / sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b})))"
+        )
+
+    r_xy, r_xz, r_yz = r(x, y), r(x, z), r(y, z)
+    partial = (
+        f"(({r_xy} - {r_xz} * {r_yz})"
+        f" / sqrt((1.0 - {r_xz} * {r_xz}) * (1.0 - {r_yz} * {r_yz})))"
+    )
+    return f"""
+WITH m AS (SELECT {", ".join(moments)} FROM lineitem)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       {r_xy} AS r_qty_price,
+       {r_xz} AS r_qty_discount,
+       {r_yz} AS r_price_discount,
+       {partial} AS partial_r_qty_price_given_discount,
+       {r_xy} - {partial} AS confounding_delta
+FROM m
+"""
+
+
 AB_Z_CRIT = 1.959964  # two-sided 5% normal critical value — literal
 
 
@@ -3394,6 +3490,7 @@ FROM e
 
 QUERIES = {
     "ansari_bradley_scale": q_ansari_bradley_scale,
+    "partial_correlation": q_partial_correlation,
     "cliffs_delta_effect": q_cliffs_delta_effect,
     "cramer_von_mises_two": q_cramer_von_mises_two,
     "jonckheere_terpstra": q_jonckheere_terpstra,
@@ -3428,6 +3525,7 @@ QUERIES = {
 
 ORACLE = {
     "ansari_bradley_scale": _sql_ansari_bradley(),
+    "partial_correlation": _sql_partial_correlation(),
     "cliffs_delta_effect": _ORACLE_CLIFFS_DELTA,
     "cramer_von_mises_two": _ORACLE_CVM,
     "jonckheere_terpstra": _sql_jonckheere(),
