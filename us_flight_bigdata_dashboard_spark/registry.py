@@ -17,6 +17,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     adpcm_codec,
     advanced,
     audit,
+    bmp_codec,
     breadth,
     decision,
     dedup,
@@ -60,6 +61,7 @@ _MODULES = [
     jpeg_codec,
     flac_codec,
     gif_codec,
+    bmp_codec,
     mjpeg_codec,
     g711_codec,
     adpcm_codec,
