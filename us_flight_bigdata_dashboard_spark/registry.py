@@ -123,20 +123,24 @@ _MODULES = [
 # sketch_hll_union, streaming_streaks_replay, vector_label_stats;
 # multimodal_gif_decode joins them -- its LZW encoder tail-width fix
 # landed r10 after its last certification).
-# plus the 16 WAVE-4 ADDITIONS (same pre-clearance + ground-truth tests
-# in tests/test_round10b_ops.py):
+# plus the 27 WAVE-4..8 ADDITIONS (same pre-clearance + ground-truth
+# tests in tests/test_round10b_ops.py and tests/test_bmp_codec.py):
 #   cochrans_q_test, lin_ccc_agreement, bland_altman_agreement,
 #   goodman_kruskal_gamma, cliffs_delta_effect, cramer_von_mises_two,
 #   jonckheere_terpstra, mood_median_test, text_yules_k, text_tv_distance,
 #   gini_split_gain, sketch_theta_difference, recursive_cte_drain,
-#   lateral_join_topk, streaming_late_data_replay, icc_oneway
-# = 24 + 16 + 16 = 56 > 50 slots: r11 prefix = the 40 round-10 additions
-# (waves 1-4 minus one) that fit after the 16 sentinels -- actually run
-# tools/rotate_prefix.py at r11 start for the binding list; overflow
-# (oldest additions first) flows to r12 exactly like r8's staged
-# leftovers did. The r10 ADVICE-fix touchees (kendalls_w, roc_auc_exact,
-# mcnemar_paired, text_textrank_keywords) are IN this r10 prefix and get
-# certified on the fixed code live, so they need no r11 sentinel.
+#   lateral_join_topk, streaming_late_data_replay, icc_oneway,
+#   stuart_maxwell_test, krippendorff_alpha, quade_test,
+#   ansari_bradley_scale, clustering_silhouette, neyman_allocation,
+#   eoq_batch_sizing, events_page_hinkley, davies_bouldin_index,
+#   partial_correlation, multimodal_bmp_decode
+# = 24 + 27 + 16 sentinels = 67 candidates > 50 slots: run
+# tools/rotate_prefix.py at r11 start for the binding list (sentinels
+# first, then additions oldest-first); the ~17-entry overflow flows to
+# r12 exactly like r8's staged leftovers did. The r10 ADVICE-fix
+# touchees (kendalls_w, roc_auc_exact, mcnemar_paired,
+# text_textrank_keywords) are IN this r10 prefix and get certified on
+# the fixed code live, so they need no r11 sentinel.
 # Entries after the flagship block run in stable module order.
 _FLAGSHIP_PREFIX = [
     # --- evaluation / diagnostics (r9 additions, 15) ---
