@@ -191,6 +191,15 @@ HEADLINE = [
     # at sf0.1 through one hash agg)
     "graph_hyperball",
     "graph_resource_allocation",
+    # round-10 continuation: the heaviest new path classes — the
+    # recursive-CTE UnionLoop (the ENGINE-owned iteration surface), the
+    # late-data replay (real 6h watermark, append-mode eviction through
+    # 7 micro-batches), the rank/ECDF chain of the ordered-alternative
+    # trend test, and the 10th codec (RLE8 per-media encode+decode)
+    "recursive_cte_drain",
+    "streaming_late_data_replay",
+    "jonckheere_terpstra",
+    "multimodal_bmp_decode",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

@@ -963,3 +963,85 @@ def test_partial_correlation_numpy(spark):
     assert row["partial_r_qty_price_given_discount"] == pytest.approx(
         partial, rel=1e-6, abs=1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# forecast_pinball_loss / forecast_tracking_signal — brute forces
+# ---------------------------------------------------------------------------
+
+
+def test_pinball_loss_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        FMASE_SEASON,
+        q_forecast_pinball_loss,
+    )
+
+    ev = _df("events").dropna(subset=["ts"])
+    ev["day"] = ev["ts"].dt.normalize()
+    daily = ev.groupby(["event_type", "day"]).size()
+    rows = {
+        (r["event_type"], r["quantile_pct"]): r
+        for r in q_forecast_pinball_loss(spark, SF_DIR).collect()
+    }
+    import pandas as pd
+
+    for qq in (50, 90):
+        q = qq / 100.0
+        for etype in ev["event_type"].unique():
+            s = daily[etype]
+            losses = []
+            for day, actual in s.items():
+                fday = day - pd.Timedelta(days=FMASE_SEASON)
+                if fday in s.index:
+                    d = actual - s[fday]
+                    losses.append(max(q * d, (q - 1) * d))
+            r = rows[(etype, qq)]
+            assert r["n_eval_days"] == len(losses)
+            assert r["mean_pinball_loss"] == pytest.approx(
+                sum(losses) / len(losses), rel=1e-12
+            )
+
+
+def test_tracking_signal_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        TS_CONTROL_LIMIT,
+        q_forecast_tracking_signal,
+    )
+
+    ev = _df("events").dropna(subset=["ts"])
+    ev["day"] = ev["ts"].dt.normalize()
+    daily = ev.groupby(["event_type", "day"]).size()
+    rows = {
+        r["event_type"]: r
+        for r in q_forecast_tracking_signal(spark, SF_DIR).collect()
+    }
+    import pandas as pd
+
+    for etype in ev["event_type"].unique():
+        s = daily[etype].sort_index()
+        cfe = sae = t = 0
+        final_ts = None
+        max_abs = None
+        out = 0
+        for day, actual in s.items():
+            prev_day = day - pd.Timedelta(days=1)
+            if prev_day not in s.index:
+                continue
+            e = int(actual - s[prev_day])
+            t += 1
+            cfe += e
+            sae += abs(e)
+            ts = cfe * t / sae if sae > 0 else None
+            final_ts = ts
+            if ts is not None:
+                max_abs = abs(ts) if max_abs is None else max(max_abs, abs(ts))
+                if abs(ts) > TS_CONTROL_LIMIT:
+                    out = 1
+        r = rows[etype]
+        assert r["n_periods"] == t
+        if final_ts is None:
+            assert r["final_ts"] is None
+        else:
+            assert r["final_ts"] == pytest.approx(final_ts, rel=1e-12)
+        assert r["max_abs_ts"] == pytest.approx(max_abs, rel=1e-12)
+        assert r["ever_out_of_control"] == out

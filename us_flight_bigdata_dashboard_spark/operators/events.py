@@ -4921,8 +4921,222 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss for the seasonal-naive forecast (round 10 wave 9)
+# ---------------------------------------------------------------------------
+
+PINBALL_QQ = [50, 90]  # quantile levels ×100 (literal integer domain)
+
+
+def q_forecast_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive forecast per event
+    type at the 50% and 90% levels — the metric that makes QUANTILE
+    forecasts rankable (MASE/sMAPE grade point forecasts; a newsvendor-
+    style service-level forecast must be graded on the asymmetric loss
+    it is actually used under, and pinball is its proper scoring rule).
+    The q=50 column is half the MAE (sanity-anchors against
+    ``forecast_mase_smape``); q=90 charges under-forecasting 9× over.
+
+    Exactness: daily counts are integers, so 100·loss = max(q·d,
+    (q−100)·d) with d = actual − forecast is INTEGER end-to-end; the
+    mean is one division. Scale shape: one additive daily hash agg (the
+    only fact-sized stage), one gap-proof date-arithmetic self-join, a
+    2-literal explode, and a |types|×2 agg."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("actual")
+    )
+    season = daily.select(
+        F.date_add(F.col("day"), FMASE_SEASON).alias("day"),
+        "event_type",
+        F.col("actual").alias("forecast"),
+    )
+    qs = F.array(*[F.lit(q) for q in PINBALL_QQ])
+    scored = (
+        daily.join(season, ["day", "event_type"])
+        .select(
+            "event_type",
+            (F.col("actual") - F.col("forecast")).cast("long").alias("d"),
+            F.explode(qs).alias("qq"),
+        )
+        .select(
+            "event_type",
+            "qq",
+            F.greatest(
+                F.col("qq") * F.col("d"), (F.col("qq") - 100) * F.col("d")
+            ).alias("loss100"),
+        )
+    )
+    return (
+        scored.groupBy("event_type", "qq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_days"),
+            F.sum("loss100").cast("long").alias("sum_loss100"),
+        )
+        .select(
+            "event_type",
+            F.col("qq").cast("int").alias("quantile_pct"),
+            "n_eval_days",
+            (
+                F.col("sum_loss100").cast("double")
+                / (F.lit(100.0) * F.col("n_eval_days").cast("double"))
+            ).alias("mean_pinball_loss"),
+        )
+        .orderBy("event_type", "quantile_pct")
+    )
+
+
+_ORACLE_PINBALL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS actual
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), season AS (
+  SELECT day + {FMASE_SEASON} AS day, event_type, actual AS forecast FROM daily
+), scored AS (
+  SELECT d.event_type, qq,
+         GREATEST(qq * (d.actual - s.forecast),
+                  (qq - 100) * (d.actual - s.forecast)) AS loss100
+  FROM daily d
+  JOIN season s USING (day, event_type)
+  CROSS JOIN (SELECT UNNEST(ARRAY{PINBALL_QQ}) AS qq)
+)
+SELECT event_type,
+       CAST(qq AS INT) AS quantile_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+       CAST(SUM(loss100) AS DOUBLE) / (100.0 * CAST(COUNT(*) AS DOUBLE))
+         AS mean_pinball_loss
+FROM scored
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Forecast tracking signal (round 10 wave 9)
+# ---------------------------------------------------------------------------
+
+TS_CONTROL_LIMIT = 4.0  # the classic ±4 tracking-signal control band
+
+
+def q_forecast_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast TRACKING SIGNAL per event type: TS_t = CFE_t / MAD_t
+    (cumulative forecast error over cumulative mean absolute deviation)
+    of the one-step naive DAILY forecast — the ops-room drift monitor
+    that says a forecast has gone BIASED (persistently over or under),
+    which symmetric accuracy metrics cannot see. Ships the final TS,
+    the worst |TS| along the way, and the ±{lim:.0f} control-band flag
+    (Brown's classic rule).
+
+    Exactness: daily counts and errors are integers, and TS_t =
+    CFE_t·t / Σ|e| is a ratio of exact integers per row — cumulative
+    INTEGER window sums only, no float walk at all (contrast
+    ``events_page_hinkley`` where a float walk forced fixed-point).
+    Scale shape: one additive daily agg, one gap-proof date-arithmetic
+    self-join, one type-partitioned cumulative window over ≤|days|
+    rows per type.""".format(
+        lim=TS_CONTROL_LIMIT
+    )
+    events = load_table(spark, sf_dir, "events")
+    monthly = events.groupBy(
+        F.to_date("ts").alias("m"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("actual"))
+    prev = monthly.select(
+        F.date_add(F.col("m"), 1).alias("m"),
+        "event_type",
+        F.col("actual").alias("forecast"),
+    )
+    scored = monthly.join(prev, ["m", "event_type"]).select(
+        "event_type",
+        "m",
+        (F.col("actual") - F.col("forecast")).cast("long").alias("e"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = scored.select(
+        "event_type",
+        "m",
+        F.sum("e").over(w).cast("long").alias("cfe"),
+        F.sum(F.abs(F.col("e"))).over(w).cast("long").alias("sae"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("m"))
+        .cast("long")
+        .alias("t"),
+    )
+    # NULL contract: until the first nonzero error MAD is 0 and TS is
+    # undefined — emit NULL on both engines rather than inf/error
+    ts = F.when(
+        F.col("sae") > 0,
+        F.col("cfe").cast("double")
+        * F.col("t").cast("double")
+        / F.col("sae").cast("double"),
+    )
+    flagged = walked.select(
+        "event_type", "m", "t", ts.alias("ts_val")
+    )
+    w_last = Window.partitionBy("event_type").orderBy(F.col("t").desc())
+    return (
+        flagged.withColumn("rn", F.row_number().over(w_last))
+        .groupBy("event_type")
+        .agg(
+            F.max("t").cast("long").alias("n_periods"),
+            F.max(F.when(F.col("rn") == 1, F.col("ts_val"))).alias("final_ts"),
+            F.max(F.abs(F.col("ts_val"))).alias("max_abs_ts"),
+            F.max(
+                (F.abs(F.col("ts_val")) > F.lit(TS_CONTROL_LIMIT)).cast("int")
+            ).alias("ever_out_of_control"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_TRACKING_SIGNAL = f"""
+WITH monthly AS (
+  SELECT CAST(ts AS DATE) AS m, event_type,
+         CAST(COUNT(*) AS BIGINT) AS actual
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), prev AS (
+  SELECT m + 1 AS m, event_type, actual AS forecast FROM monthly
+), scored AS (
+  SELECT monthly.event_type, monthly.m,
+         CAST(monthly.actual - prev.forecast AS BIGINT) AS e
+  FROM monthly JOIN prev USING (m, event_type)
+), walked AS (
+  SELECT event_type, m,
+         CAST(SUM(e) OVER (PARTITION BY event_type ORDER BY m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cfe,
+         CAST(SUM(ABS(e)) OVER (PARTITION BY event_type ORDER BY m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sae,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m) AS BIGINT) AS t
+  FROM scored
+), flagged AS (
+  SELECT event_type, m, t,
+         CASE WHEN sae > 0
+              THEN CAST(cfe AS DOUBLE) * CAST(t AS DOUBLE) / CAST(sae AS DOUBLE)
+         END AS ts_val,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t DESC) AS rn
+  FROM walked
+)
+SELECT event_type,
+       CAST(MAX(t) AS BIGINT) AS n_periods,
+       MAX(CASE WHEN rn = 1 THEN ts_val END) AS final_ts,
+       MAX(ABS(ts_val)) AS max_abs_ts,
+       CAST(MAX(CASE WHEN ABS(ts_val) > {TS_CONTROL_LIMIT!r} THEN 1 ELSE 0 END) AS INT)
+         AS ever_out_of_control
+FROM flagged
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "events_page_hinkley": q_events_page_hinkley,
+    "forecast_pinball_loss": q_forecast_pinball_loss,
+    "forecast_tracking_signal": q_forecast_tracking_signal,
     "events_tumbling": q_events_tumbling,
     "survival_rmst": q_survival_rmst,
     "events_periodogram_lut": q_events_periodogram_lut,
@@ -4978,6 +5192,8 @@ QUERIES = {
 
 ORACLE = {
     "events_page_hinkley": _ORACLE_PAGE_HINKLEY,
+    "forecast_pinball_loss": _ORACLE_PINBALL,
+    "forecast_tracking_signal": _ORACLE_TRACKING_SIGNAL,
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,
     "events_ohlc": _ORACLE_EVENTS_OHLC,
     "events_funnel": _ORACLE_EVENTS_FUNNEL,
