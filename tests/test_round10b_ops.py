@@ -1045,3 +1045,116 @@ def test_tracking_signal_bruteforce(spark):
             assert r["final_ts"] == pytest.approx(final_ts, rel=1e-12)
         assert r["max_abs_ts"] == pytest.approx(max_abs, rel=1e-12)
         assert r["ever_out_of_control"] == out
+
+
+# ---------------------------------------------------------------------------
+# text_gries_dp / text_burstiness_fano — Counter brute forces
+# ---------------------------------------------------------------------------
+
+
+def test_gries_dp_counter(spark):
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        DISP_TOP_WORDS,
+        q_text_gries_dp,
+    )
+    from fractions import Fraction
+
+    per_src = _source_token_counts()
+    pooled = collections.Counter()
+    for c in per_src.values():
+        pooled.update(c)
+    n_all = sum(pooled.values())
+    n_s = {s: sum(c.values()) for s, c in per_src.items()}
+    top = sorted(pooled.items(), key=lambda kv: (-kv[1], kv[0]))[:DISP_TOP_WORDS]
+    rows = {r["word"]: r for r in q_text_gries_dp(spark, SF_DIR).collect()}
+    assert set(rows) == {w for w, _ in top}
+    for w, c_w in top:
+        dp = Fraction(0)
+        for s in per_src:
+            v = Fraction(per_src[s].get(w, 0), c_w)
+            e = Fraction(n_s[s], n_all)
+            dp += abs(v - e)
+        dp /= 2
+        assert rows[w]["c_w"] == c_w
+        assert rows[w]["gries_dp"] == pytest.approx(float(dp), rel=1e-9)
+        assert 0.0 <= rows[w]["gries_dp"] <= 1.0
+
+
+def test_fano_counter(spark):
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        DISP_TOP_WORDS,
+        q_text_burstiness_fano,
+    )
+
+    docs = _df("documents")
+    d = len(docs)
+    per_doc: dict = {}
+    pooled = collections.Counter()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        c = collections.Counter(t for t in text.lower().split(" ") if t != "")
+        per_doc[doc_id] = c
+        pooled.update(c)
+    top = sorted(pooled.items(), key=lambda kv: (-kv[1], kv[0]))[:DISP_TOP_WORDS]
+    rows = {r["word"]: r for r in q_text_burstiness_fano(spark, SF_DIR).collect()}
+    for w, c_w in top:
+        counts = np.array([per_doc[i].get(w, 0) for i in per_doc], dtype=np.float64)
+        fano = counts.var() / counts.mean()
+        r = rows[w]
+        assert r["c_w"] == c_w
+        assert r["n_docs_with"] == int((counts > 0).sum())
+        assert r["fano_factor"] == pytest.approx(fano, rel=1e-9)
+        assert d == len(counts)
+
+
+# ---------------------------------------------------------------------------
+# asof_join_tolerance — consistency with the nearest join + bound
+# ---------------------------------------------------------------------------
+
+
+def test_asof_tolerance_consistent_with_nearest(spark):
+    from us_flight_bigdata_dashboard_spark.operators.temporal import (
+        ASOF_TOL_US,
+        q_asof_join_nearest,
+        q_asof_join_tolerance,
+    )
+
+    near = {r["click_event_id"]: r for r in q_asof_join_nearest(spark, SF_DIR).collect()}
+    tol = q_asof_join_tolerance(spark, SF_DIR).collect()
+    assert len(tol) == len(near)
+    n_in = n_out = 0
+    for r in tol:
+        nr = near[r["click_event_id"]]
+        if nr["gap_us"] is not None and nr["gap_us"] <= ASOF_TOL_US:
+            n_in += 1
+            assert r["within_tolerance"] == 1
+            assert r["view_event_id"] == nr["nearest_view_event_id"]
+            assert r["gap_us"] == nr["gap_us"]
+        else:
+            n_out += 1
+            assert r["within_tolerance"] == 0
+            assert r["view_event_id"] is None and r["gap_us"] is None
+    assert n_in > 0  # the bound is meaningful at this SF
+
+
+# ---------------------------------------------------------------------------
+# embedding_isotropy — numpy recomputation + bounds
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_isotropy_numpy(spark):
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        q_embedding_isotropy,
+    )
+
+    emb = np.array([list(v) for v in _df("embeddings")["embedding"]], dtype=np.float64)
+    centroid_norm = np.linalg.norm(emb.sum(axis=0)) / len(emb)
+    mean_norm = np.linalg.norm(emb, axis=1).mean()
+    (row,) = q_embedding_isotropy(spark, SF_DIR).collect()
+    assert row["n_vectors"] == len(emb) and row["n_dims"] == emb.shape[1]
+    assert row["centroid_norm"] == pytest.approx(centroid_norm, rel=1e-7)
+    assert row["mean_norm"] == pytest.approx(mean_norm, rel=1e-7)
+    assert row["anisotropy_ratio"] == pytest.approx(
+        centroid_norm / mean_norm, rel=1e-6
+    )
+    # Cauchy-Schwarz: the ratio is inside [0, 1]
+    assert 0.0 <= row["anisotropy_ratio"] <= 1.0 + 1e-12

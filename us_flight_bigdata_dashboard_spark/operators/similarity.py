@@ -1566,6 +1566,94 @@ ORDER BY centroid_id
 """
 
 
+_ISO_FS = 10  # fsum scale for the per-dimension sums (values O(10))
+_ISO_FS_NORM = 8  # coarser scale for the norm sum (grows with n_vectors)
+
+
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space ISOTROPY audit: ‖mean vector‖ against the mean
+    vector norm — the one-pass anisotropy reading (Ethayarajh 2019:
+    contextual embedding spaces collapse into a narrow cone; a mean
+    vector whose norm rivals the typical vector norm means every cosine
+    is inflated by a common bias direction and retrieval discriminates
+    poorly — the standard fix is mean-centering, and THIS is the
+    measurement that says whether it is needed). Ships the centroid
+    norm, mean norm, their ratio (0 = isotropic, → 1 = collapsed), and
+    the expected cosine inflation (ratio²).
+
+    Exactness: per-dimension sums and the per-vector norm sum are
+    floor-quantized fsum aggregates; the per-vector norm itself is the
+    sequential-fold dot product (the module's established fold). The
+    64 per-dimension sums reduce through ONE more fsum (order-free).
+    Scale shape: one posexplode + dimension hash agg (64 groups) + one
+    norm agg — both map-side combinable single passes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    from us_flight_bigdata_dashboard_spark.functions.exact import fsum
+
+    dims = (
+        base.select(F.posexplode(F.col("embedding")).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(fsum(F.col("val").cast("double"), scale=_ISO_FS).alias("s_pos"))
+    )
+    cent = dims.agg(
+        fsum(F.col("s_pos") * F.col("s_pos"), scale=_ISO_FS).alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+    )
+    norms = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        fsum(_norm(F.col("embedding")), scale=_ISO_FS_NORM).alias("sum_norm"),
+    )
+    both = cent.crossJoin(F.broadcast(norms))
+    nd = F.col("n_vectors").cast("double")
+    centroid_norm = F.sqrt(F.col("ss")) / nd
+    mean_norm = F.col("sum_norm") / nd
+    ratio = centroid_norm / mean_norm
+    return both.select(
+        "n_vectors",
+        "n_dims",
+        centroid_norm.alias("centroid_norm"),
+        mean_norm.alias("mean_norm"),
+        ratio.alias("anisotropy_ratio"),
+        (ratio * ratio).alias("expected_cos_inflation"),
+    )
+
+
+def _sql_embedding_isotropy() -> str:
+    from us_flight_bigdata_dashboard_spark.functions.exact import sql_fsum
+
+    norm = f"sqrt({_sql_dot('embedding', 'embedding')})"
+    return f"""
+WITH dimn AS (
+  SELECT CAST(MAX(len(embedding)) AS BIGINT) AS nd FROM embeddings
+), spine AS (
+  SELECT UNNEST(range(1, (SELECT nd FROM dimn) + 1)) AS p
+), dims AS (
+  SELECT p AS pos,
+         {sql_fsum("CAST(embedding[p] AS DOUBLE)", scale=_ISO_FS)} AS s_pos
+  FROM embeddings CROSS JOIN spine
+  GROUP BY p
+), cent AS (
+  SELECT {sql_fsum("s_pos * s_pos", scale=_ISO_FS)} AS ss,
+         CAST(COUNT(*) AS BIGINT) AS n_dims
+  FROM dims
+), norms AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         {sql_fsum(norm, scale=_ISO_FS_NORM)} AS sum_norm
+  FROM embeddings
+)
+SELECT n_vectors, n_dims,
+       sqrt(ss) / CAST(n_vectors AS DOUBLE) AS centroid_norm,
+       sum_norm / CAST(n_vectors AS DOUBLE) AS mean_norm,
+       (sqrt(ss) / CAST(n_vectors AS DOUBLE)) / (sum_norm / CAST(n_vectors AS DOUBLE))
+         AS anisotropy_ratio,
+       ((sqrt(ss) / CAST(n_vectors AS DOUBLE)) / (sum_norm / CAST(n_vectors AS DOUBLE)))
+         * ((sqrt(ss) / CAST(n_vectors AS DOUBLE)) / (sum_norm / CAST(n_vectors AS DOUBLE)))
+         AS expected_cos_inflation
+FROM cent CROSS JOIN norms
+"""
+
+
 def q_davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Davies-Bouldin index of the IVF k-means model — the companion of
     ``clustering_silhouette`` that judges clusters by their WORST
@@ -2619,6 +2707,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "clustering_silhouette": q_clustering_silhouette,
     "davies_bouldin_index": q_davies_bouldin_index,
+    "embedding_isotropy": q_embedding_isotropy,
     "embedding_centroid_by_label": q_embedding_centroid_by_label,
     "embedding_quantize": q_embedding_quantize,
     "ann_lsh": q_ann_lsh,
@@ -2645,6 +2734,7 @@ ORACLE = {
     "kmeans_clusters": _sql_kmeans_clusters(),
     "clustering_silhouette": _sql_clustering_silhouette(),
     "davies_bouldin_index": _sql_davies_bouldin(),
+    "embedding_isotropy": _sql_embedding_isotropy(),
     "embedding_centroid_by_label": _ORACLE_EMBEDDING_CENTROID,
     "embedding_quantize": _sql_embedding_quantize(),
     "ann_lsh": _sql_ann_lsh(),

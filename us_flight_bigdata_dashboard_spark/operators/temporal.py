@@ -580,12 +580,64 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# As-of join with a match TOLERANCE (round 10 wave 10)
+# ---------------------------------------------------------------------------
+
+ASOF_TOL_US = 6 * 3600 * 1_000_000  # 6-hour tolerance (market-data default shape)
+
+
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join WITH a tolerance bound — the third member of
+    the as-of family (backward / nearest / nearest-within-tolerance) and
+    the semantics market-data systems treat as first-class (pandas
+    ``merge_asof(tolerance=...)``, kdb ``wj``): a state older than the
+    bound is NOT an acceptable stand-in, so the click keeps a NULL match
+    and a ``within_tolerance = 0`` flag instead of a stale pairing.
+    Composes ``asof_join_nearest``'s one-union two-running-frame plan
+    verbatim (same O(n) shape, no new shuffle) and applies the bound as
+    a final projection — tolerance is a POST-FILTER on the nearest
+    match by definition, not a different join.
+
+    Exactness: the gap is integer microseconds; the bound is a literal;
+    nullification is deterministic. Scale shape: identical to
+    ``asof_join_nearest``."""
+    near = q_asof_join_nearest(spark, sf_dir)
+    ok = F.col("gap_us").isNotNull() & (F.col("gap_us") <= F.lit(ASOF_TOL_US))
+    return near.select(
+        "click_event_id",
+        "user_id",
+        "click_ts",
+        F.when(ok, F.col("nearest_view_event_id")).alias("view_event_id"),
+        F.when(ok, F.col("nearest_view_ts")).alias("view_ts"),
+        F.when(ok, F.col("gap_us")).alias("gap_us"),
+        ok.cast("int").alias("within_tolerance"),
+    )
+
+
+def _oracle_asof_tolerance() -> str:
+    return f"""
+WITH near AS ({_ORACLE_ASOF_JOIN_NEAREST})
+SELECT click_event_id, user_id, click_ts,
+       CASE WHEN gap_us IS NOT NULL AND gap_us <= {ASOF_TOL_US}
+            THEN nearest_view_event_id END AS view_event_id,
+       CASE WHEN gap_us IS NOT NULL AND gap_us <= {ASOF_TOL_US}
+            THEN nearest_view_ts END AS view_ts,
+       CASE WHEN gap_us IS NOT NULL AND gap_us <= {ASOF_TOL_US}
+            THEN gap_us END AS gap_us,
+       CAST(CASE WHEN gap_us IS NOT NULL AND gap_us <= {ASOF_TOL_US}
+                 THEN 1 ELSE 0 END AS INT) AS within_tolerance
+FROM near
+"""
+
+
 QUERIES = {
     "business_days_lag": q_business_days_lag,
     "asof_join": q_asof_join,
     "interval_overlap_counts": q_interval_overlap_counts,
     "asof_join_forward": q_asof_join_forward,
     "asof_join_nearest": q_asof_join_nearest,
+    "asof_join_tolerance": q_asof_join_tolerance,
     "range_join_price_bands": q_range_join_price_bands,
 }
 
@@ -595,5 +647,6 @@ ORACLE = {
     "interval_overlap_counts": _ORACLE_INTERVAL_OVERLAP_COUNTS,
     "asof_join_forward": _ORACLE_ASOF_JOIN_FORWARD,
     "asof_join_nearest": _ORACLE_ASOF_JOIN_NEAREST,
+    "asof_join_tolerance": _oracle_asof_tolerance(),
     "range_join_price_bands": _ORACLE_RANGE_JOIN,
 }

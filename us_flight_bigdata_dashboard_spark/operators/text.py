@@ -3353,8 +3353,204 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Gries' DP dispersion + Fano burstiness of the top corpus words (wave 10)
+# ---------------------------------------------------------------------------
+
+DISP_TOP_WORDS = 20  # the top-k corpus words both dispersion entries profile
+
+
+def _top_words_cte(k: int) -> str:
+    return f"""tok AS (
+  SELECT source, doc_id, UNNEST({_sql_tokens("text")}) AS t FROM documents
+), wcount AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c_w FROM tok GROUP BY 1
+), top_words AS (
+  SELECT t, c_w FROM (
+    SELECT t, c_w, ROW_NUMBER() OVER (ORDER BY c_w DESC, t ASC) AS rn
+    FROM wcount
+  ) WHERE rn <= {k}
+)"""
+
+
+def q_text_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP (deviation of proportions) for the top-{k} corpus
+    words across SOURCES: DP_w = ½ Σ_s |share of w's tokens in source s
+    − source s's share of all tokens| — the per-WORD dispersion measure
+    (``text_tv_distance`` asks how far a SOURCE drifts from the corpus;
+    DP asks which WORDS are corpus-wide vs locked to one source, the
+    standard corpuslinguistics screen for topic-bound terms before
+    trusting raw frequency). DP ≈ 0 = evenly spread, → 1 = one source.
+
+    Exactness: over the common denominator c_w·N, each term is the
+    integer |c_ws·N − n_s·c_w| (DECIMAL(38,0) products — c·N reaches
+    ~10²⁵ at 100 TB); sources ABSENT a word contribute their exact n_s
+    share, which the same closed form (N − Σ_covered n_s)·c_w supplies
+    with no zero-fill spine. One division per word. Scale shape: one
+    explode + (source, token) hash agg — the only data-sized stage;
+    the top-k cut and per-word sums are vocabulary-sized.""".format(
+        k=DISP_TOP_WORDS
+    )
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("t"))
+    counts = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ws")
+    )
+    wcount = counts.groupBy("t").agg(F.sum("c_ws").cast("long").alias("c_w"))
+    w_top = Window.orderBy(F.col("c_w").desc(), F.col("t").asc())
+    top = (
+        wcount.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= DISP_TOP_WORDS)
+        .select("t", "c_w")
+    )
+    src_tot = counts.groupBy("source").agg(
+        F.sum("c_ws").cast("long").alias("n_s")
+    )
+    tot = src_tot.agg(F.sum("n_s").cast("long").alias("n_all"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    joined = (
+        counts.join(F.broadcast(top), "t")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    per_word = joined.groupBy("t").agg(
+        F.max("c_w").alias("c_w"),
+        F.max("n_all").alias("n_all"),
+        F.sum("n_s").cast("long").alias("covered_ns"),
+        F.sum(
+            F.abs(dec(F.col("c_ws")) * dec(F.col("n_all"))
+                  - dec(F.col("n_s")) * dec(F.col("c_w")))
+        )
+        .cast("decimal(38,0)")
+        .alias("s_abs"),
+    )
+    num = F.col("s_abs").cast("double") + (
+        (F.col("n_all") - F.col("covered_ns")).cast("double")
+        * F.col("c_w").cast("double")
+    )
+    den = F.lit(2.0) * F.col("c_w").cast("double") * F.col("n_all").cast("double")
+    return per_word.select(
+        F.col("t").alias("word"),
+        "c_w",
+        (num / den).alias("gries_dp"),
+    ).orderBy(F.col("c_w").desc(), F.col("word").asc())
+
+
+_ORACLE_GRIES_DP = f"""
+WITH {_top_words_cte(DISP_TOP_WORDS)},
+counts AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_ws FROM tok GROUP BY 1, 2
+), src_tot AS (
+  SELECT source, CAST(SUM(c_ws) AS BIGINT) AS n_s FROM counts GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_all FROM src_tot),
+per_word AS (
+  SELECT counts.t,
+         MAX(top_words.c_w) AS c_w,
+         MAX(n_all) AS n_all,
+         CAST(SUM(n_s) AS BIGINT) AS covered_ns,
+         CAST(SUM(ABS(CAST(c_ws AS DECIMAL(38,0)) * CAST(n_all AS DECIMAL(38,0))
+                      - CAST(n_s AS DECIMAL(38,0)) * CAST(top_words.c_w AS DECIMAL(38,0)))) AS DECIMAL(38,0)) AS s_abs
+  FROM counts
+  JOIN top_words ON counts.t = top_words.t
+  JOIN src_tot ON counts.source = src_tot.source
+  CROSS JOIN tot
+  GROUP BY counts.t
+)
+SELECT t AS word, c_w,
+       (CAST(s_abs AS DOUBLE)
+        + CAST(n_all - covered_ns AS DOUBLE) * CAST(c_w AS DOUBLE))
+         / (2.0 * CAST(c_w AS DOUBLE) * CAST(n_all AS DOUBLE)) AS gries_dp
+FROM per_word
+ORDER BY c_w DESC, word ASC
+"""
+
+
+def q_text_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean of PER-DOCUMENT counts, zeros
+    included) for the top-{k} corpus words — Church & Gale's burstiness:
+    function words spread Poisson-like (Fano ≈ 1) while topical words
+    clump into few documents (Fano ≫ 1). The content-word screen that
+    needs no stopword list, and the complement of ``text_gries_dp``
+    (dispersion across SOURCES vs concentration across DOCUMENTS).
+
+    Exactness: with D docs and word total c, Fano = (D·Σc_d² − c²)
+    / (D·c) — absent documents contribute 0 to Σc_d², so the closed
+    form needs NO zero-fill spine; everything is integer (DECIMAL(38,0)
+    squares) until one division. Scale shape: one explode + (doc, token)
+    hash agg filtered to the broadcast top-k, then a per-word agg.""".format(
+        k=DISP_TOP_WORDS
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    per_doc = tok.groupBy("t", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c_d")
+    )
+    wcount = per_doc.groupBy("t").agg(F.sum("c_d").cast("long").alias("c_w"))
+    w_top = Window.orderBy(F.col("c_w").desc(), F.col("t").asc())
+    top = (
+        wcount.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= DISP_TOP_WORDS)
+        .select("t", "c_w")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = (
+        per_doc.join(F.broadcast(top), "t")
+        .groupBy("t")
+        .agg(
+            F.max("c_w").alias("c_w"),
+            F.count(F.lit(1)).cast("long").alias("n_docs_with"),
+            F.sum(dec(F.col("c_d")) * dec(F.col("c_d")))
+            .cast("decimal(38,0)")
+            .alias("sc2"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+    dd = F.col("d").cast("double")
+    cw = F.col("c_w").cast("double")
+    fano = (dd * F.col("sc2").cast("double") - cw * cw) / (dd * cw)
+    return stats.select(
+        F.col("t").alias("word"),
+        "c_w",
+        "n_docs_with",
+        fano.alias("fano_factor"),
+    ).orderBy(F.col("c_w").desc(), F.col("word").asc())
+
+
+_ORACLE_FANO = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_sql_tokens("text")}) AS t FROM documents
+), per_doc AS (
+  SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS c_d FROM tok GROUP BY 1, 2
+), wcount AS (
+  SELECT t, CAST(SUM(c_d) AS BIGINT) AS c_w FROM per_doc GROUP BY 1
+), top_words AS (
+  SELECT t, c_w FROM (
+    SELECT t, c_w, ROW_NUMBER() OVER (ORDER BY c_w DESC, t ASC) AS rn
+    FROM wcount
+  ) WHERE rn <= {DISP_TOP_WORDS}
+), n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+stats AS (
+  SELECT per_doc.t,
+         MAX(top_words.c_w) AS c_w,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_with,
+         CAST(SUM(CAST(c_d AS DECIMAL(38,0)) * CAST(c_d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sc2
+  FROM per_doc JOIN top_words ON per_doc.t = top_words.t
+  GROUP BY per_doc.t
+)
+SELECT t AS word, c_w, n_docs_with,
+       (CAST(d AS DOUBLE) * CAST(sc2 AS DOUBLE)
+        - CAST(c_w AS DOUBLE) * CAST(c_w AS DOUBLE))
+         / (CAST(d AS DOUBLE) * CAST(c_w AS DOUBLE)) AS fano_factor
+FROM stats CROSS JOIN n_docs
+ORDER BY c_w DESC, word ASC
+"""
+
+
 QUERIES = {
     "text_yules_k": q_text_yules_k,
+    "text_gries_dp": q_text_gries_dp,
+    "text_burstiness_fano": q_text_burstiness_fano,
     "text_tv_distance": q_text_tv_distance,
     "text_collocations_lift": q_text_collocations_lift,
     "benchmark_contamination": q_benchmark_contamination,
@@ -3398,6 +3594,8 @@ QUERIES = {
 
 ORACLE = {
     "text_yules_k": _ORACLE_YULES_K,
+    "text_gries_dp": _ORACLE_GRIES_DP,
+    "text_burstiness_fano": _ORACLE_FANO,
     "text_tv_distance": _ORACLE_TV_DISTANCE,
     "text_collocations_lift": _sql_collocations(),
     "benchmark_contamination": _sql_contamination(),
