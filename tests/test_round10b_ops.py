@@ -1158,3 +1158,60 @@ def test_embedding_isotropy_numpy(spark):
     )
     # Cauchy-Schwarz: the ratio is inside [0, 1]
     assert 0.0 <= row["anisotropy_ratio"] <= 1.0 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# jarque_bera_normality / dixon_q_outlier — numpy brute forces
+# ---------------------------------------------------------------------------
+
+
+def test_jarque_bera_numpy(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_jarque_bera_normality,
+    )
+
+    od = _df("orders")
+    x = np.round(od["o_totalprice"] * 100).astype(np.int64).values / 1e9
+    n = len(x)
+    d = x - x.mean()
+    m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+    skew = m3 / m2**1.5
+    kurt = m4 / m2**2
+    jb = n / 6 * (skew**2 + (kurt - 3) ** 2 / 4)
+    (row,) = q_jarque_bera_normality(spark, SF_DIR).collect()
+    assert row["n"] == n
+    # skew is near zero here (near-symmetric data): the fsum quantum on
+    # the cancelling third-moment sum bounds it absolutely, not relatively
+    assert row["skewness"] == pytest.approx(skew, rel=1e-5, abs=1e-8)
+    assert row["excess_kurtosis"] == pytest.approx(kurt - 3, rel=1e-7)
+    assert row["jb_stat"] == pytest.approx(jb, rel=1e-6)
+    assert row["non_normal_5pct"] == int(jb > 5.991465)
+
+
+def test_dixon_q_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        DIXON_N,
+        DIXON_Q_CRIT_N25,
+        DIXON_YEAR,
+        q_dixon_q_outlier,
+    )
+
+    od = _df("orders")
+    cust = _df("customer")[["c_custkey", "c_nationkey"]]
+    nat = _df("nation")[["n_nationkey", "n_name"]]
+    od = od[od["o_orderdate"].dt.year == DIXON_YEAR].merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    od["cents"] = np.round(od["o_totalprice"] * 100).astype(np.int64)
+    rev = od.groupby("c_nationkey")["cents"].sum().to_dict()
+    vals = sorted(
+        ((int(rev.get(nk, 0)), name) for nk, name in zip(nat["n_nationkey"], nat["n_name"])),
+        key=lambda t: (-t[0], t[1]),
+    )
+    x1, x2, xn = vals[0][0], vals[1][0], vals[-1][0]
+    q = (x1 - x2) / (x1 - xn)
+    (row,) = q_dixon_q_outlier(spark, SF_DIR).collect()
+    assert row["n"] == len(vals) == DIXON_N
+    assert row["top_nation"] == vals[0][1]
+    assert row["q_stat"] == pytest.approx(q, rel=1e-12)
+    assert row["is_outlier_5pct"] == int(q > DIXON_Q_CRIT_N25)

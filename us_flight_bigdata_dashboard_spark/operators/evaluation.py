@@ -3168,6 +3168,105 @@ FROM flat
 """
 
 
+# ---------------------------------------------------------------------------
+# Dixon's Q small-sample outlier test (round 10 wave 11)
+# ---------------------------------------------------------------------------
+
+DIXON_YEAR = 1997
+# Dixon r10 two-sided 95% critical value for n = 25 (Rorabacher 1991)
+DIXON_Q_CRIT_N25 = 0.317
+DIXON_N = 25  # the nation frame size the literal critical value binds to
+
+
+def q_dixon_q_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q test on the 25-nation annual revenue frame: is the TOP
+    nation's revenue a statistical outlier among its peers? Q = (x₍₁₎ −
+    x₍₂₎)/(x₍₁₎ − x₍ₙ₎) — the gap-over-range test built for SMALL
+    samples, which is exactly the regime the nation/region dimension
+    frames live in (``grubbs_statistic`` assumes near-normality and
+    n ≳ 30; Dixon is the standard alternative below that). The literal
+    critical value is the n = 25 two-sided 95% entry (Rorabacher 1991)
+    and the query ASSERTS the frame size matches — a schema change
+    fails loudly instead of silently mis-testing (the kendalls_w
+    lesson from the round-9 ADVICE).
+
+    Exactness: revenues are exact integer cents; Q is one division of
+    integer differences; significance is a rational comparison. Scale
+    shape: one data-sized orders⋈customer hash agg to 25 rows, then a
+    global sort-window on the domain-sized frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.filter(F.year("o_orderdate") == DIXON_YEAR)
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    grid = nation.join(rev, nation["n_nationkey"] == rev["c_nationkey"], "left").select(
+        "n_name", F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("n_name").asc())
+    ranked = grid.select(
+        "n_name", "cents", F.row_number().over(w).alias("rn")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_name"))).alias("top_nation"),
+        F.max(F.when(F.col("rn") == 1, F.col("cents"))).cast("long").alias("x1"),
+        F.max(F.when(F.col("rn") == 2, F.col("cents"))).cast("long").alias("x2"),
+        F.min("cents").cast("long").alias("xn"),
+    )
+    q = (F.col("x1") - F.col("x2")).cast("double") / (
+        F.col("x1") - F.col("xn")
+    ).cast("double")
+    return agg.select(
+        "n",
+        "top_nation",
+        q.alias("q_stat"),
+        F.lit(DIXON_Q_CRIT_N25).alias("q_crit_95"),
+        F.when(
+            F.col("n") == DIXON_N, (q > F.lit(DIXON_Q_CRIT_N25)).cast("int")
+        ).alias("is_outlier_5pct"),  # NULL if the frame size ever drifts
+    )
+
+
+_ORACLE_DIXON = f"""
+WITH rev AS (
+  SELECT c_nationkey, CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) = {DIXON_YEAR}
+  GROUP BY 1
+), grid AS (
+  SELECT n_name, CAST(COALESCE(rev.cents, 0) AS BIGINT) AS cents
+  FROM nation LEFT JOIN rev ON n_nationkey = c_nationkey
+), ranked AS (
+  SELECT n_name, cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, n_name ASC) AS rn
+  FROM grid
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(CASE WHEN rn = 1 THEN n_name END) AS top_nation,
+         CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS x1,
+         CAST(MAX(CASE WHEN rn = 2 THEN cents END) AS BIGINT) AS x2,
+         CAST(MIN(cents) AS BIGINT) AS xn
+  FROM ranked
+)
+SELECT n, top_nation,
+       CAST(x1 - x2 AS DOUBLE) / CAST(x1 - xn AS DOUBLE) AS q_stat,
+       CAST({DIXON_Q_CRIT_N25} AS DOUBLE) AS q_crit_95,
+       CASE WHEN n = {DIXON_N}
+            THEN CAST(CASE WHEN CAST(x1 - x2 AS DOUBLE) / CAST(x1 - xn AS DOUBLE)
+                           > {DIXON_Q_CRIT_N25} THEN 1 ELSE 0 END AS INT)
+       END AS is_outlier_5pct
+FROM agg
+"""
+
+
 QUERIES = {
     "acf_lags": q_acf_lags,
     "conformal_interval": q_conformal_interval,
@@ -3199,6 +3298,7 @@ QUERIES = {
     "gini_split_gain": q_gini_split_gain,
     "icc_oneway": q_icc_oneway,
     "stuart_maxwell_test": q_stuart_maxwell_test,
+    "dixon_q_outlier": q_dixon_q_outlier,
 }
 
 ORACLE = {
@@ -3232,4 +3332,5 @@ ORACLE = {
     "gini_split_gain": _ORACLE_GINI_SPLIT,
     "icc_oneway": _ORACLE_ICC,
     "stuart_maxwell_test": _sql_stuart_maxwell(),
+    "dixon_q_outlier": _ORACLE_DIXON,
 }

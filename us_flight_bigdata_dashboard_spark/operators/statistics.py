@@ -3230,6 +3230,101 @@ FROM counted
 """
 
 
+JB_CHI2_CRIT_DF2 = 5.991465  # chi-square(2) upper 5% — literal, no CDFs
+
+
+def q_jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on order value: JB = n/6·(S² + (K−3)²/4)
+    from the exact skewness and kurtosis moments — the standard
+    pre-flight check before ANY of the normal-theory tests in this
+    module (Welch t, the A/B z machinery) is trusted on a metric; order
+    values are strongly non-normal and the test should say so loudly.
+    JB is fully RATIONAL in the moments (no CDFs, no logs), which is
+    why it is the in-warehouse normality test of choice.
+
+    Exactness: the mean is the exact rational Σcents/n; third and
+    fourth CENTERED moments are floor-quantized fsum sums of deviation
+    powers in $10M units (scales 14/16 — deviations are O(10⁻²) here,
+    and the quantum sits 6+ digits below the addends; the raw-moment
+    expansion would lose ~4 digits to cancellation at the fourth
+    power). Significance is a rational comparison against the literal
+    χ²(2) critical value. Scale shape: one exact integer agg + one
+    broadcast re-pass with four fsum moments — both map-side
+    combinable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    base = orders.select(cents.alias("c"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("t"),
+    )
+    unit = 1.0e9
+    joined = base.crossJoin(F.broadcast(tot))
+    dev = (
+        F.col("c").cast("double") - F.col("t").cast("double") / F.col("n").cast("double")
+    ) / F.lit(unit)
+    m = joined.agg(
+        F.max("n").alias("n"),
+        fsum(dev * dev, scale=12).alias("s2"),
+        fsum(dev * dev * dev, scale=14).alias("s3"),
+        fsum(dev * dev * dev * dev, scale=16).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m2 = F.col("s2") / nd
+    m3 = F.col("s3") / nd
+    m4 = F.col("s4") / nd
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2)
+    jb = nd / F.lit(6.0) * (
+        skew * skew + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
+    )
+    return m.select(
+        "n",
+        skew.alias("skewness"),
+        (kurt - F.lit(3.0)).alias("excess_kurtosis"),
+        jb.alias("jb_stat"),
+        (jb > F.lit(JB_CHI2_CRIT_DF2)).cast("int").alias("non_normal_5pct"),
+    )
+
+
+def _sql_jarque_bera() -> str:
+    dev = (
+        "((CAST(c AS DOUBLE) - CAST(t AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / 1000000000.0)"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS t FROM base
+), m AS (
+  SELECT MAX(n) AS n,
+         {sql_fsum(f"{dev} * {dev}", scale=12)} AS s2,
+         {sql_fsum(f"{dev} * {dev} * {dev}", scale=14)} AS s3,
+         {sql_fsum(f"{dev} * {dev} * {dev} * {dev}", scale=16)} AS s4
+  FROM base CROSS JOIN tot
+), d AS (
+  SELECT n,
+         (s3 / CAST(n AS DOUBLE))
+           / sqrt((s2 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE)))
+           AS skew,
+         (s4 / CAST(n AS DOUBLE)) / ((s2 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE)))
+           AS kurt
+  FROM m
+)
+SELECT n,
+       skew AS skewness,
+       kurt - 3.0 AS excess_kurtosis,
+       CAST(n AS DOUBLE) / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+         AS jb_stat,
+       CAST(CASE WHEN CAST(n AS DOUBLE) / 6.0
+                      * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+                      > {JB_CHI2_CRIT_DF2} THEN 1 ELSE 0 END AS INT)
+         AS non_normal_5pct
+FROM d
+"""
+
+
 def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order partial correlation r(quantity, price | discount) —
     the confound-controlled companion of ``corr_pairs``: the marginal
@@ -3491,6 +3586,7 @@ FROM e
 QUERIES = {
     "ansari_bradley_scale": q_ansari_bradley_scale,
     "partial_correlation": q_partial_correlation,
+    "jarque_bera_normality": q_jarque_bera_normality,
     "cliffs_delta_effect": q_cliffs_delta_effect,
     "cramer_von_mises_two": q_cramer_von_mises_two,
     "jonckheere_terpstra": q_jonckheere_terpstra,
@@ -3526,6 +3622,7 @@ QUERIES = {
 ORACLE = {
     "ansari_bradley_scale": _sql_ansari_bradley(),
     "partial_correlation": _sql_partial_correlation(),
+    "jarque_bera_normality": _sql_jarque_bera(),
     "cliffs_delta_effect": _ORACLE_CLIFFS_DELTA,
     "cramer_von_mises_two": _ORACLE_CVM,
     "jonckheere_terpstra": _sql_jonckheere(),
