@@ -1809,8 +1809,131 @@ def q_lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_LATERAL_TOPK = _SPARK_LATERAL_TOPK
 
 
+# ---------------------------------------------------------------------------
+# SQL PIVOT / UNPIVOT clause surfaces (round 10 wave 12)
+# ---------------------------------------------------------------------------
+
+_SPARK_SQL_PIVOT = """
+SELECT * FROM (
+  SELECT n_name,
+         quarter(o_orderdate) AS q,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(o_orderdate) = 1997
+)
+PIVOT (
+  CAST(SUM(cents) AS BIGINT) FOR q IN (1 AS q1, 2 AS q2, 3 AS q3, 4 AS q4)
+)
+ORDER BY n_name
+"""
+
+
+def q_sql_pivot_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation × quarter revenue through the SQL-standard PIVOT clause —
+    the declarative wide-table surface, run as literal SQL text (the
+    engine front door ``pivot_status`` exercises through the DataFrame
+    ``groupBy().pivot()`` API instead; a user porting warehouse SQL
+    needs THIS door to exist and agree). Catalyst compiles the clause
+    to the same single hash-aggregate-with-conditional-sums plan the
+    DSL produces. Cents are exact integers; absent (nation, quarter)
+    cells are NULL by PIVOT semantics on both engines.
+
+    Oracle note: DuckDB's PIVOT dialect names columns differently, so
+    the oracle states the semantics as conditional aggregation — the
+    entry pins Spark's CLAUSE, not DuckDB's.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    from us_flight_bigdata_dashboard_spark.sources.catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(_SPARK_SQL_PIVOT)
+
+
+_ORACLE_SQL_PIVOT = """
+SELECT n_name,
+       CAST(SUM(CASE WHEN q = 1 THEN cents END) AS BIGINT) AS q1,
+       CAST(SUM(CASE WHEN q = 2 THEN cents END) AS BIGINT) AS q2,
+       CAST(SUM(CASE WHEN q = 3 THEN cents END) AS BIGINT) AS q3,
+       CAST(SUM(CASE WHEN q = 4 THEN cents END) AS BIGINT) AS q4
+FROM (
+  SELECT n_name,
+         quarter(o_orderdate) AS q,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(o_orderdate) = 1997
+)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+_SPARK_SQL_UNPIVOT = """
+SELECT n_name, measure, CAST(val AS BIGINT) AS val
+FROM (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         CAST(MAX(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS max_order_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+UNPIVOT (
+  val FOR measure IN (n_orders, revenue_cents, max_order_cents)
+)
+ORDER BY n_name, measure
+"""
+
+
+def q_sql_unpivot_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation measures through the SQL-standard UNPIVOT clause (new
+    in Spark 3.4+'s SQL surface) — the long-form door that
+    ``unpivot_measures`` exercises via the ``stack()`` expression
+    instead; warehouse SQL ports expect the clause itself. Compiles to
+    the same Expand node. All measures are exact integers; the oracle
+    states the semantics as a 3-way UNION (DuckDB's UNPIVOT dialect
+    differs — the entry pins Spark's CLAUSE).
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    from us_flight_bigdata_dashboard_spark.sources.catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(_SPARK_SQL_UNPIVOT)
+
+
+_ORACLE_SQL_UNPIVOT = """
+WITH base AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         CAST(MAX(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS max_order_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, 'n_orders' AS measure, n_orders AS val FROM base
+UNION ALL
+SELECT n_name, 'revenue_cents', revenue_cents FROM base
+UNION ALL
+SELECT n_name, 'max_order_cents', max_order_cents FROM base
+ORDER BY n_name, measure
+"""
+
+
 QUERIES = {
     "recursive_cte_drain": q_recursive_cte_drain,
+    "sql_pivot_interface": q_sql_pivot_interface,
+    "sql_unpivot_interface": q_sql_unpivot_interface,
     "lateral_join_topk": q_lateral_join_topk,
     "variant_json_shred": q_variant_json_shred,
     "star_join_agg": q_star_join_agg,
@@ -1853,6 +1976,8 @@ QUERIES = {
 
 ORACLE = {
     "recursive_cte_drain": _ORACLE_RECURSIVE_DRAIN,
+    "sql_pivot_interface": _ORACLE_SQL_PIVOT,
+    "sql_unpivot_interface": _ORACLE_SQL_UNPIVOT,
     "lateral_join_topk": _ORACLE_LATERAL_TOPK,
     "variant_json_shred": _ORACLE_VARIANT_SHRED,
     "star_join_agg": _ORACLE_STAR_JOIN_AGG,
