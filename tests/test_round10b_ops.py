@@ -1215,3 +1215,68 @@ def test_dixon_q_bruteforce(spark):
     assert row["top_nation"] == vals[0][1]
     assert row["q_stat"] == pytest.approx(q, rel=1e-12)
     assert row["is_outlier_5pct"] == int(q > DIXON_Q_CRIT_N25)
+
+
+# ---------------------------------------------------------------------------
+# fill_rate_curve / horvitz_thompson — brute forces
+# ---------------------------------------------------------------------------
+
+
+def test_fill_rate_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        FILL_PCTS,
+        q_fill_rate_curve,
+    )
+
+    li = _df("lineitem")
+    part = _df("part")[["p_partkey", "p_brand"]]
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    rows = {
+        (r["p_brand"], r["stock_percentile"]): r
+        for r in q_fill_rate_curve(spark, SF_DIR).collect()
+    }
+    for brand, grp in j.groupby("p_brand"):
+        d = np.sort(grp["l_quantity"].astype(np.int64).values)
+        n = len(d)
+        for p in FILL_PCTS:
+            idx = -(-p * n // 100)  # ceil(p*n/100), type-1 index
+            s = int(d[idx - 1])
+            fill = np.minimum(d, s).sum() / d.sum()
+            r = rows[(brand, p)]
+            assert r["stock_level"] == s, (brand, p)
+            assert r["fill_rate"] == pytest.approx(fill, rel=1e-12)
+            # monotone in p
+        frs = [rows[(brand, p)]["fill_rate"] for p in FILL_PCTS]
+        assert frs == sorted(frs)
+
+
+def test_horvitz_thompson_accuracy_and_determinism(spark):
+    from us_flight_bigdata_dashboard_spark.operators.sampling import (
+        q_horvitz_thompson,
+    )
+
+    (r1,) = q_horvitz_thompson(spark, SF_DIR).collect()
+    (r2,) = q_horvitz_thompson(spark, SF_DIR).collect()
+    assert r1 == r2  # fully deterministic (hash coin, no RNG)
+    assert r1["n_sampled"] > 50  # the budget actually materializes
+    # PPS + HT should land within a loose accuracy band on this corpus
+    assert abs(r1["rel_err_pct"]) < 25.0
+    # and the estimate is exactly sum(y_i / pi_i) recomputed in Python
+    docs = _df("documents")
+    import hashlib
+
+    sum_chars = int(docs["n_chars"].sum())
+    total = 0.0
+    n_s = 0
+    true_total = 0
+    for doc_id, n_chars, text in zip(docs["doc_id"], docs["n_chars"], docs["text"]):
+        y = sum(1 for t in text.lower().split(" ") if t != "")
+        true_total += y
+        pi = min(1.0, 200 * int(n_chars) / sum_chars)
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+        if h < int(pi * (1 << 48)):
+            n_s += 1
+            total += y / pi
+    assert r1["n_sampled"] == n_s
+    assert r1["true_token_total"] == true_total
+    assert r1["ht_token_total"] == pytest.approx(total, rel=1e-9)

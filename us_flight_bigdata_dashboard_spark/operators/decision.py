@@ -3116,8 +3116,110 @@ ORDER BY p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# Fill-rate curve (round 10 wave 13)
+# ---------------------------------------------------------------------------
+
+FILL_PCTS = [50, 75, 90]  # stock levels = these demand percentiles (literal)
+
+
+def q_fill_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-rate curve per brand: if stock per order is set at the P50 /
+    P75 / P90 of observed per-order demand, what FRACTION OF UNITS ships
+    from stock? Fill rate β = E[min(D, S)]/E[D] is the service measure
+    customers actually feel (``newsvendor_quantile`` and ``otif_rate``
+    grade order-level service α; a 95% α policy can still short-ship
+    30% of UNITS on a fat-tailed demand mix) — the curve is the readout
+    a planner uses to pick S.
+
+    Exactness: stock levels are exact type-1 quantiles (integer index
+    ⌈p·n⌉ on the per-brand ranked demand frame — no interpolation);
+    E[min(D,S)]·n = Σ_{d≤S} d + S·|{d>S}| is INTEGER end-to-end; one
+    division per (brand, p). Scale shape: one lineitem⋈part hash agg
+    to (brand, demand) observations, per-brand rank windows (the
+    bucketed global-rank decomposition drops in past one task), then a
+    ≤|brands|×3 literal explode."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        "p_brand", F.col("l_quantity").cast("long").alias("d")
+    )
+    w_rank = Window.partitionBy("p_brand").orderBy("d")
+    w_all = Window.partitionBy("p_brand")
+    ranked = obs.select(
+        "p_brand",
+        "d",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    pcts = F.explode(F.array(*[F.lit(p) for p in FILL_PCTS])).alias("pct")
+    # stock S_p = the type-1 quantile: value at index ceil(p*n/100)
+    levels = (
+        ranked.select("p_brand", "d", "rn", "n")
+        .select("p_brand", "d", "rn", "n", pcts)
+        .filter(F.col("rn") * 100 >= F.col("pct") * F.col("n"))
+        .groupBy("p_brand", "pct")
+        .agg(F.min("d").cast("long").alias("s"))
+    )
+    scored = obs.join(levels, "p_brand").select(
+        "p_brand",
+        "pct",
+        "s",
+        F.least(F.col("d"), F.col("s")).alias("shipped"),
+        F.col("d").alias("demand"),
+    )
+    return (
+        scored.groupBy("p_brand", "pct")
+        .agg(
+            F.max("s").alias("stock_level"),
+            F.sum("shipped").cast("long").alias("units_shipped"),
+            F.sum("demand").cast("long").alias("units_demanded"),
+        )
+        .select(
+            "p_brand",
+            F.col("pct").cast("int").alias("stock_percentile"),
+            "stock_level",
+            (
+                F.col("units_shipped").cast("double")
+                / F.col("units_demanded").cast("double")
+            ).alias("fill_rate"),
+        )
+        .orderBy("p_brand", "stock_percentile")
+    )
+
+
+_ORACLE_FILL_RATE = f"""
+WITH obs AS (
+  SELECT p_brand, CAST(l_quantity AS BIGINT) AS d
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), ranked AS (
+  SELECT p_brand, d,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY p_brand) AS n
+  FROM obs
+), levels AS (
+  SELECT p_brand, pct, CAST(MIN(d) AS BIGINT) AS s
+  FROM ranked CROSS JOIN (SELECT UNNEST(ARRAY{FILL_PCTS}) AS pct)
+  WHERE rn * 100 >= pct * n
+  GROUP BY 1, 2
+), scored AS (
+  SELECT obs.p_brand, pct, s,
+         LEAST(d, s) AS shipped, d AS demand
+  FROM obs JOIN levels USING (p_brand)
+)
+SELECT p_brand,
+       CAST(pct AS INT) AS stock_percentile,
+       MAX(s) AS stock_level,
+       CAST(SUM(shipped) AS DOUBLE) / CAST(SUM(demand) AS DOUBLE) AS fill_rate
+FROM scored
+GROUP BY p_brand, pct
+ORDER BY p_brand, stock_percentile
+"""
+
+
 QUERIES = {
     "eoq_batch_sizing": q_eoq_batch_sizing,
+    "fill_rate_curve": q_fill_rate_curve,
     "pareto_skyline_suppliers": q_pareto_skyline_suppliers,
     "newsvendor_quantile": q_newsvendor_quantile,
     "price_elasticity_arc": q_price_elasticity_arc,
@@ -3161,6 +3263,7 @@ QUERIES = {
 
 ORACLE = {
     "eoq_batch_sizing": _ORACLE_EOQ,
+    "fill_rate_curve": _ORACLE_FILL_RATE,
     "newsvendor_quantile": _ORACLE_NEWSVENDOR,
     "price_elasticity_arc": _ORACLE_ELASTICITY,
     "pareto_skyline_suppliers": _ORACLE_PARETO_SKYLINE,

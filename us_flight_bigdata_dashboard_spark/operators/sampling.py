@@ -1013,8 +1013,118 @@ ORDER BY stratum
 """
 
 
+# ---------------------------------------------------------------------------
+# Horvitz-Thompson unequal-probability estimate (round 10 wave 13)
+# ---------------------------------------------------------------------------
+
+HT_EXPECTED_N = 200  # expected sample size (sets the inclusion scale)
+_HT_HASH_FULL = 1 << 48  # 12 hex digits of md5 → uniform u48
+
+
+def q_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson total estimator under size-proportional sampling:
+    include document i with probability π_i ∝ n_chars (capped at 1),
+    estimate the corpus TOKEN total as Σ_sampled y_i/π_i, and ship it
+    beside the exact total — PPS sampling + HT is how every serious
+    data-quality audit prices a corpus property from a budgeted sample
+    (big documents carry more of the total, so they deserve more of the
+    budget; uniform sampling wastes it — the unequal-π companion of
+    ``neyman_allocation``'s stratified answer). The inclusion coin is
+    the portable md5-u48 (module convention) — deterministic, so the
+    realized sample and estimate are reproducible on both engines; the
+    driver gate checks THIS realization, pytest checks the estimator's
+    accuracy bound.
+
+    Exactness: π_i = least(1, c·n_chars) with c = {n}/Σchars is one
+    IEEE sequence on exact integers; the inclusion compare is integer
+    hash < π·2⁴⁸ (floor-quantized to integer — identical both ways);
+    the HT sum is a floor-quantized fsum (scale 8 — the scale-4 quantum measurably cost 4e-7 relative). Scale shape: one exact agg
+    (Σchars), one broadcast re-pass with the hash filter, one sum —
+    all map-side combinable.""".format(n=HT_EXPECTED_N)
+    from us_flight_bigdata_dashboard_spark.functions.exact import fsum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.size(_tokens(F.col("text"))).alias("y")
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("y").cast("long").alias("true_total"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    joined = docs.crossJoin(F.broadcast(tot))
+    pi = F.least(
+        F.lit(1.0),
+        F.lit(float(HT_EXPECTED_N))
+        * F.col("n_chars").cast("double")
+        / F.col("sum_chars").cast("double"),
+    )
+    # integer threshold: hash < floor(pi * 2^48) — identical on both engines
+    thresh = F.floor(pi * F.lit(float(_HT_HASH_FULL))).cast("bigint")
+    sampled = joined.withColumn("h", h).filter(F.col("h") < thresh)
+    est = sampled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.max("true_total").alias("true_total"),
+        fsum(
+            F.col("y").cast("double")
+            / F.least(
+                F.lit(1.0),
+                F.lit(float(HT_EXPECTED_N))
+                * F.col("n_chars").cast("double")
+                / F.col("sum_chars").cast("double"),
+            ),
+            scale=8,
+        ).alias("ht_estimate"),
+    )
+    err = (F.col("ht_estimate") - F.col("true_total").cast("double")) / F.col(
+        "true_total"
+    ).cast("double")
+    return est.select(
+        "n_sampled",
+        F.col("ht_estimate").alias("ht_token_total"),
+        F.col("true_total").alias("true_token_total"),
+        (err * F.lit(100.0)).alias("rel_err_pct"),
+    )
+
+
+def _sql_horvitz_thompson() -> str:
+    from us_flight_bigdata_dashboard_spark.functions.exact import sql_fsum
+
+    hx = _sql_hex_to_int("md5(CAST(doc_id AS VARCHAR))", 1, 12)
+    pi = (
+        f"LEAST(1.0, {float(HT_EXPECTED_N)!r} * CAST(n_chars AS DOUBLE)"
+        f" / CAST(sum_chars AS DOUBLE))"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, n_chars,
+         CAST(len({_sql_tokens("text")}) AS INTEGER) AS y
+  FROM documents
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(y) AS BIGINT) AS true_total
+  FROM docs
+), sampled AS (
+  SELECT doc_id, n_chars, y, sum_chars, true_total
+  FROM docs CROSS JOIN tot
+  WHERE {hx} < CAST(floor({pi} * {float(_HT_HASH_FULL)!r}) AS BIGINT)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       {sql_fsum(f"CAST(y AS DOUBLE) / {pi}", scale=8)} AS ht_token_total,
+       MAX(true_total) AS true_token_total,
+       ({sql_fsum(f"CAST(y AS DOUBLE) / {pi}", scale=8)}
+        - CAST(MAX(true_total) AS DOUBLE)) / CAST(MAX(true_total) AS DOUBLE)
+         * 100.0 AS rel_err_pct
+FROM sampled
+"""
+
+
 QUERIES = {
     "neyman_allocation": q_neyman_allocation,
+    "horvitz_thompson": q_horvitz_thompson,
     "quantile_normalize_deciles": q_quantile_normalize_deciles,
     "shard_manifest": q_shard_manifest,
     "stratified_sample": q_stratified_sample,
@@ -1032,6 +1142,7 @@ QUERIES = {
 
 ORACLE = {
     "neyman_allocation": _sql_neyman(),
+    "horvitz_thompson": _sql_horvitz_thompson(),
     "quantile_normalize_deciles": _ORACLE_QNORM,
     "shard_manifest": _ORACLE_SHARD_MANIFEST,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
