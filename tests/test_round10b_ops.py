@@ -1280,3 +1280,41 @@ def test_horvitz_thompson_accuracy_and_determinism(spark):
     assert r1["n_sampled"] == n_s
     assert r1["true_token_total"] == true_total
     assert r1["ht_token_total"] == pytest.approx(total, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# streaming_bounded_dedup_replay — drop/re-emit semantics
+# ---------------------------------------------------------------------------
+
+
+def test_bounded_dedup_semantics(spark):
+    from us_flight_bigdata_dashboard_spark.streaming.replay import (
+        _BDD_DUP_MOD,
+        _BDD_REDELIVER_MOD,
+        q_streaming_bounded_dedup_replay,
+    )
+
+    rows = q_streaming_bounded_dedup_replay(spark, SF_DIR).collect()
+    ev = _df("events").dropna(subset=["ts"])
+    counts = collections.Counter(r["event_id"] for r in rows)
+    tmin = ev["ts"].min()
+    first_day = set(
+        ev.loc[
+            (ev["ts"] < tmin + np.timedelta64(24, "h"))
+            & (ev["event_id"] % _BDD_REDELIVER_MOD == 0),
+            "event_id",
+        ]
+    )
+    assert len(first_day) > 0
+    for eid, n in counts.items():
+        if eid in first_day:
+            # redelivered after eviction: emitted exactly TWICE
+            assert n == 2, (eid, n)
+        else:
+            # incl. the in-batch duplicated slice (ids % DUP_MOD == 0):
+            # emitted exactly once
+            assert n == 1, (eid, n)
+    # the duplicated slice really existed and really deduped
+    dup_ids = set(ev.loc[ev["event_id"] % _BDD_DUP_MOD == 0, "event_id"])
+    assert len(dup_ids) > 0
+    assert all(counts[e] in (1, 2) for e in dup_ids)

@@ -264,6 +264,107 @@ def _stage_events_late(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+BDD_DELAY = "6 hours"  # bounded-dedup watermark horizon
+_BDD_DELAY_H = 6
+_BDD_DUP_MOD = 89  # ids duplicated IN the same micro-batch (must dedup)
+_BDD_REDELIVER_MOD = 5  # first-day ids redelivered at the end with fresh ts
+
+
+def _stage_events_bounded_dedup(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the bounded-dedup replay: on-time rows in four ts-range-
+    ordered files with ids ≡ 0 (mod {dm}) DUPLICATED inside their own
+    file (same batch → must dedup), then a final redelivery file where
+    first-day ids ≡ 0 (mod {rm}) come back with a FRESH timestamp
+    (max ts + id-spread seconds). By then their dedup state is long
+    evicted — the watermark passed their expiry at least two batches
+    earlier (asserted below: Spark's eviction lags the lookup by one
+    batch, measured while prototyping) — so the engine MUST emit them a
+    second time. That second emission is the observable proof the state
+    really is bounded; an unbounded dedup (plain dropDuplicates) would
+    swallow it.""".format(dm=_BDD_DUP_MOD, rm=_BDD_REDELIVER_MOD)
+    import datetime
+    import glob
+    import os
+
+    key = (sf_dir, "bounded_dedup")
+    if key in _stage_cache:
+        return _stage_cache[key]
+    ev = _event_time(
+        load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    (bounds,) = ev.agg(
+        F.min("ts").alias("tmin"), F.max("ts").alias("gm")
+    ).collect()
+    tmin, gm = bounds["tmin"], bounds["gm"]
+    span_h = (gm - tmin).total_seconds() / 3600.0
+    if span_h < 4 * _BDD_DELAY_H + 26:
+        raise RuntimeError(f"bounded-dedup replay needs a longer span ({span_h}h)")
+    dup = ev.filter(F.col("event_id") % _BDD_DUP_MOD == 0)
+    on_time = ev.unionByName(dup)
+    ancient_cut = tmin + datetime.timedelta(hours=24)
+    redeliver = (
+        ev.filter(
+            (F.col("ts") < F.lit(ancient_cut))
+            & (F.col("event_id") % _BDD_REDELIVER_MOD == 0)
+        )
+        .select(
+            "event_id",
+            (
+                F.lit(gm)
+                + F.expr("make_interval(0, 0, 0, 0, 0, 0, event_id % 3600)")
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    n_dup, n_re = dup.count(), redeliver.count()
+    if n_dup == 0 or n_re == 0:
+        raise RuntimeError(f"bounded-dedup slices empty (dup={n_dup}, re={n_re})")
+    out = tempfile.mkdtemp(prefix="stream_replay_bdd_")
+    stage = tempfile.mkdtemp(prefix="stream_replay_bdd_stage_")
+    on_time.repartitionByRange(REPLAY_FILES, "ts").write.mode("overwrite").parquet(
+        f"{stage}/on_time"
+    )
+    redeliver.coalesce(1).write.mode("overwrite").parquet(f"{stage}/redeliver")
+    ordered = sorted(glob.glob(f"{stage}/on_time/part-*.parquet")) + [
+        glob.glob(f"{stage}/redeliver/part-*.parquet")[0]
+    ]
+    for i, f in enumerate(ordered):
+        dst = os.path.join(out, f"data{i:02d}.parquet")
+        os.rename(f, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(stage, ignore_errors=True)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for i in range(REPLAY_FILES):
+        col = pq.read_table(os.path.join(out, f"data{i:02d}.parquet"), columns=["ts"])["ts"]
+        if len(col):
+            ranges.append((i, pc.min(col).as_py(), pc.max(col).as_py()))
+    for (ia, _, a_max), (ib, b_min, _) in zip(ranges, ranges[1:]):
+        if not a_max < b_min:
+            raise RuntimeError(
+                f"bounded-dedup staging order violated: {ia} !< {ib}"
+            )
+    # eviction-lag contract: by the END of batch 2 the watermark
+    # (max of batches 0..1 minus the delay) must already be past every
+    # first-day key's expiry (ts + delay), leaving >= 2 full batches of
+    # margin before the redelivery batch arrives
+    wm_by_b2 = ranges[1][2] - datetime.timedelta(hours=_BDD_DELAY_H)
+    expiry_max = (
+        tmin + datetime.timedelta(hours=24) + datetime.timedelta(hours=_BDD_DELAY_H)
+    )
+    if not wm_by_b2 > expiry_max:
+        raise RuntimeError(
+            f"bounded-dedup eviction margin violated: wm-by-batch-2 {wm_by_b2} "
+            f"!> first-day expiry {expiry_max}"
+        )
+    _stage_cache[key] = out
+    return out
+
+
 def _replay(spark: SparkSession, src: str, build, mode: str) -> DataFrame:
     """Run ``build(stream)`` over ``src`` with availableNow into a memory
     sink; block until drained; return the sink as a batch DataFrame."""
@@ -343,6 +444,56 @@ SELECT CAST(date_trunc('hour', t) AS TIMESTAMP) AS window_start,
        event_type,
        COUNT(*) AS n_events
 FROM kept GROUP BY 1, 2, 3
+"""
+
+
+def q_streaming_bounded_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedup (``dropDuplicatesWithinWatermark``,
+    the Spark 3.5+ API) proven through real micro-batches — the 18th
+    replay and the second with a real horizon: ``streaming_dedup_replay``
+    proves exactly-once output under redelivery with UNBOUNDED key state
+    (correct but un-runnable forever); this entry proves the bounded
+    variant's actual contract, BOTH directions: (1) duplicates arriving
+    within the horizon (staged inside one micro-batch) are dropped;
+    (2) a key redelivered with a fresh timestamp AFTER its state was
+    evicted is emitted AGAIN — the second emission is the direct,
+    hash-gated evidence that state really was dropped (an unbounded
+    dedup would swallow it; at-least-once sources therefore need
+    downstream idempotency past the horizon, which is exactly what this
+    measures). The staging asserts a ≥2-batch margin between every
+    redelivered key's expiry and its redelivery (Spark's eviction lags
+    the state lookup by one batch — measured while prototyping).
+
+    Oracle: the original rows (one per event_id) plus the redelivered
+    slice at its fresh timestamps — no watermark arithmetic needed.
+    Scale shape: per-key state bounded by the horizon × arrival rate
+    regardless of stream length, which is the entry's subject."""
+    src = _stage_events_bounded_dedup(spark, sf_dir)
+    result = _replay(
+        spark,
+        src,
+        lambda s: s.withWatermark("ts", BDD_DELAY)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "event_type"),
+        mode="append",
+    )
+    return result
+
+
+_ORACLE_STREAMING_BOUNDED_DEDUP = f"""
+WITH base AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE ts IS NOT NULL
+), bounds AS (
+  SELECT MIN(ts) AS tmin, MAX(ts) AS gm FROM base
+)
+SELECT event_id, ts, event_type FROM base
+UNION ALL
+SELECT event_id,
+       gm + (event_id % 3600) * INTERVAL 1 SECOND AS ts,
+       event_type
+FROM base CROSS JOIN bounds
+WHERE ts < tmin + INTERVAL 24 HOUR AND event_id % {_BDD_REDELIVER_MOD} = 0
 """
 
 
@@ -1122,6 +1273,7 @@ ORDER BY reg
 QUERIES = {
     "streaming_hll_sketch_replay": q_streaming_hll_sketch_replay,
     "streaming_late_data_replay": q_streaming_late_data_replay,
+    "streaming_bounded_dedup_replay": q_streaming_bounded_dedup_replay,
     "streaming_streaks_replay": q_streaming_streaks_replay,
     "streaming_streaks_v2_replay": q_streaming_streaks_v2_replay,
     "streaming_tumbling_replay": q_streaming_tumbling_replay,
@@ -1142,6 +1294,7 @@ QUERIES = {
 ORACLE = {
     "streaming_hll_sketch_replay": _sql_streaming_hll(),
     "streaming_late_data_replay": _ORACLE_STREAMING_LATE,
+    "streaming_bounded_dedup_replay": _ORACLE_STREAMING_BOUNDED_DEDUP,
     "streaming_streaks_replay": _ORACLE_STREAMING_STREAKS,
     "streaming_streaks_v2_replay": _ORACLE_STREAMING_STREAKS,
     "streaming_tumbling_replay": _ORACLE_STREAMING_TUMBLING,
