@@ -1318,3 +1318,62 @@ def test_bounded_dedup_semantics(spark):
     dup_ids = set(ev.loc[ev["event_id"] % _BDD_DUP_MOD == 0, "event_id"])
     assert len(dup_ids) > 0
     assert all(counts[e] in (1, 2) for e in dup_ids)
+
+
+# ---------------------------------------------------------------------------
+# events_interval_coverage / hoeffding_sample_bound — brute forces
+# ---------------------------------------------------------------------------
+
+
+def test_interval_coverage_sweep_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        COVER_TTL_MIN,
+        q_events_interval_coverage,
+    )
+
+    ev = _df("events").dropna(subset=["ts"]).sort_values(["user_id", "ts", "event_id"])
+    ttl = np.timedelta64(COVER_TTL_MIN * 60 * 1_000_000, "us")
+    rows = {r["user_id"]: r for r in q_events_interval_coverage(spark, SF_DIR).collect()}
+    for uid, grp in ev.groupby("user_id"):
+        covered = np.timedelta64(0, "us")
+        n_islands = 0
+        cur_s = cur_e = None
+        for ts in grp["ts"]:
+            s, e = np.datetime64(ts), np.datetime64(ts) + ttl
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                cur_s, cur_e = s, e
+                n_islands += 1
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            covered += cur_e - cur_s
+        r = rows[uid]
+        assert r["n_events"] == len(grp)
+        assert r["n_islands"] == n_islands
+        assert r["covered_hours"] == pytest.approx(
+            covered / np.timedelta64(1, "h"), rel=1e-12
+        )
+
+
+def test_hoeffding_bound_identities(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        HOEFF_EPS,
+        HOEFF_LN_2_OVER_DELTA,
+        q_hoeffding_sample_bound,
+    )
+
+    ev = _df("events").dropna(subset=["value"])
+    rows = {r["event_type"]: r for r in q_hoeffding_sample_bound(spark, SF_DIR).collect()}
+    for etype, grp in ev.groupby("event_type"):
+        v = grp["value"].values.astype(np.float64)
+        r_range = v.max() - v.min()
+        n_req = math.ceil(
+            HOEFF_LN_2_OVER_DELTA * r_range * r_range / (2 * HOEFF_EPS**2)
+        )
+        r = rows[etype]
+        assert r["n_current"] == len(v)
+        assert r["value_range"] == pytest.approx(r_range, rel=1e-12)
+        assert r["n_required"] == n_req
+        assert r["sufficient"] == int(len(v) >= n_req)

@@ -5133,8 +5133,125 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Interval-union coverage (round 10 wave 15)
+# ---------------------------------------------------------------------------
+
+COVER_TTL_MIN = 30  # each event covers [ts, ts + 30 min)
+
+
+def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION coverage per user: each event opens a {m}-minute
+    activity window; overlapping windows must count once, so the answer
+    is the measure of the union — the classic sweep-line/gaps-and-
+    islands hybrid (SLA uptime, machine-utilization, billable-time
+    queries are all this operator). Distinct from
+    ``events_activity_islands`` (day contiguity) and
+    ``events_max_concurrency`` (peak overlap): this is the INTEGRAL of
+    coverage. Islands form where an event's start exceeds the running
+    max of all previous ends; per island, covered = max(end) − min
+    (start); union = Σ islands.
+
+    Exactness: timestamps are integer microseconds; the running max,
+    island ids (cumulative integer flags) and island extents are all
+    integer window arithmetic over the (ts, event_id) total order —
+    no floats anywhere. Scale shape: one user-keyed sort window (the
+    inherent sweep shape, fully parallel across users), one island
+    agg, one user agg.""".format(m=COVER_TTL_MIN)
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ttl_us = COVER_TTL_MIN * 60 * 1_000_000
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01 00:00:00', ts)")
+    base = events.select(
+        "user_id",
+        "event_id",
+        us.alias("s"),
+        (us + F.lit(ttl_us)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-(1 << 62))), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_cum).alias("island_id"),
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).cast("long").alias("covered_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum("covered_us").cast("long").alias("covered_us"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_islands",
+            (F.col("covered_us").cast("double") / F.lit(3.6e9)).alias(
+                "covered_hours"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_INTERVAL_COVERAGE = f"""
+WITH base AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) + {COVER_TTL_MIN * 60 * 1_000_000} AS e
+  FROM events WHERE ts IS NOT NULL
+), flagged AS (
+  SELECT user_id, s, e, event_id,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id
+               ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), {-(1 << 62)})
+              THEN 1 ELSE 0 END AS new_island
+  FROM base
+), islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged
+), per_island AS (
+  SELECT user_id, island_id,
+         CAST(MAX(e) - MIN(s) AS BIGINT) AS covered_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(covered_us) AS DOUBLE) / 3.6e9 AS covered_hours
+FROM per_island
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_page_hinkley": q_events_page_hinkley,
+    "events_interval_coverage": q_events_interval_coverage,
     "forecast_pinball_loss": q_forecast_pinball_loss,
     "forecast_tracking_signal": q_forecast_tracking_signal,
     "events_tumbling": q_events_tumbling,
@@ -5192,6 +5309,7 @@ QUERIES = {
 
 ORACLE = {
     "events_page_hinkley": _ORACLE_PAGE_HINKLEY,
+    "events_interval_coverage": _ORACLE_INTERVAL_COVERAGE,
     "forecast_pinball_loss": _ORACLE_PINBALL,
     "forecast_tracking_signal": _ORACLE_TRACKING_SIGNAL,
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,

@@ -3230,6 +3230,71 @@ FROM counted
 """
 
 
+HOEFF_LN_2_OVER_DELTA = 3.6888794541139363  # ln(2/0.05) — literal, no logs
+HOEFF_EPS = 0.5  # absolute mean-error tolerance in value units (literal)
+
+
+def q_hoeffding_sample_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free sample-size audit per event type: by Hoeffding's
+    inequality, estimating the MEAN of a [min,max]-bounded metric to
+    within ±ε={eps} at 95% confidence needs n ≥ ln(2/δ)·R²/(2ε²)
+    observations (R = the observed range). The assumption-free companion
+    of ``ab_power_sample_size`` (which needs a variance estimate and a
+    normal approximation): Hoeffding holds for ANY bounded metric and is
+    the bound streaming/online systems (Hoeffding trees, racing
+    algorithms) actually budget with. Ships per type: the current n,
+    the observed range, the required n, and whether the collected data
+    already suffices.
+
+    Exactness: min/max/count are exact; ln(2/δ) is a Python-precomputed
+    literal (module rule: no transcendentals at query time); n_required
+    = ceil of one IEEE expression — identical on both engines. Scale
+    shape: ONE map-side-combinable hash agg.""".format(eps=HOEFF_EPS)
+    events = load_table(spark, sf_dir, "events")
+    m = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_current"),
+            F.min(F.col("value").cast("double")).alias("vmin"),
+            F.max(F.col("value").cast("double")).alias("vmax"),
+        )
+    )
+    r = F.col("vmax") - F.col("vmin")
+    n_req = F.ceil(
+        F.lit(HOEFF_LN_2_OVER_DELTA) * r * r / F.lit(2.0 * HOEFF_EPS * HOEFF_EPS)
+    ).cast("long")
+    return m.select(
+        "event_type",
+        "n_current",
+        r.alias("value_range"),
+        n_req.alias("n_required"),
+        (F.col("n_current") >= n_req).cast("int").alias("sufficient"),
+    ).orderBy("event_type")
+
+
+_ORACLE_HOEFFDING = f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_current,
+         MIN(CAST(value AS DOUBLE)) AS vmin,
+         MAX(CAST(value AS DOUBLE)) AS vmax
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+)
+SELECT event_type, n_current,
+       vmax - vmin AS value_range,
+       CAST(ceil({HOEFF_LN_2_OVER_DELTA!r} * (vmax - vmin) * (vmax - vmin)
+                 / {2.0 * HOEFF_EPS * HOEFF_EPS!r}) AS BIGINT) AS n_required,
+       CAST(CASE WHEN n_current >= CAST(ceil({HOEFF_LN_2_OVER_DELTA!r}
+                      * (vmax - vmin) * (vmax - vmin)
+                      / {2.0 * HOEFF_EPS * HOEFF_EPS!r}) AS BIGINT)
+                 THEN 1 ELSE 0 END AS INT) AS sufficient
+FROM m
+ORDER BY event_type
+"""
+
+
 JB_CHI2_CRIT_DF2 = 5.991465  # chi-square(2) upper 5% — literal, no CDFs
 
 
@@ -3587,6 +3652,7 @@ QUERIES = {
     "ansari_bradley_scale": q_ansari_bradley_scale,
     "partial_correlation": q_partial_correlation,
     "jarque_bera_normality": q_jarque_bera_normality,
+    "hoeffding_sample_bound": q_hoeffding_sample_bound,
     "cliffs_delta_effect": q_cliffs_delta_effect,
     "cramer_von_mises_two": q_cramer_von_mises_two,
     "jonckheere_terpstra": q_jonckheere_terpstra,
@@ -3623,6 +3689,7 @@ ORACLE = {
     "ansari_bradley_scale": _sql_ansari_bradley(),
     "partial_correlation": _sql_partial_correlation(),
     "jarque_bera_normality": _sql_jarque_bera(),
+    "hoeffding_sample_bound": _ORACLE_HOEFFDING,
     "cliffs_delta_effect": _ORACLE_CLIFFS_DELTA,
     "cramer_von_mises_two": _ORACLE_CVM,
     "jonckheere_terpstra": _sql_jonckheere(),
