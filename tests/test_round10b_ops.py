@@ -1377,3 +1377,56 @@ def test_hoeffding_bound_identities(spark):
         assert r["value_range"] == pytest.approx(r_range, rel=1e-12)
         assert r["n_required"] == n_req
         assert r["sufficient"] == int(len(v) >= n_req)
+
+
+# ---------------------------------------------------------------------------
+# recursive_cte_walks / events_halflife_score — brute forces
+# ---------------------------------------------------------------------------
+
+
+def test_recursive_walks_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.graph import (
+        KHOP_SOURCE,
+        WALKS_MAX_LEN,
+        q_recursive_cte_walks,
+    )
+
+    li = _df("lineitem")[["l_orderkey", "l_suppkey"]]
+    od = _df("orders")[["o_orderkey", "o_custkey"]]
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    pairs = {(f"c:{c}", f"s:{s}") for c, s in zip(j["o_custkey"], j["l_suppkey"])}
+    adj: dict = {}
+    for c, s in pairs:
+        adj.setdefault(c, []).append(s)
+        adj.setdefault(s, []).append(c)
+    frontier = collections.Counter({KHOP_SOURCE: 1})
+    expected = {0: (1, 1)}
+    for ln in range(1, WALKS_MAX_LEN + 1):
+        nxt = collections.Counter()
+        for node, cnt in frontier.items():
+            for nb in adj.get(node, []):
+                nxt[nb] += cnt
+        expected[ln] = (sum(nxt.values()), len(nxt))
+        frontier = nxt
+    rows = {r["walk_len"]: r for r in q_recursive_cte_walks(spark, SF_DIR).collect()}
+    for ln, (n_walks, n_dist) in expected.items():
+        assert rows[ln]["n_walks"] == n_walks, ln
+        assert rows[ln]["n_distinct_endpoints"] == n_dist, ln
+
+
+def test_halflife_score_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        HALFLIFE_DAYS,
+        q_events_halflife_score,
+    )
+
+    ev = _df("events").dropna(subset=["ts", "value"])
+    gm = ev["ts"].max()
+    bucket = np.timedelta64(HALFLIFE_DAYS * 86_400_000_000, "us")
+    rows = {r["user_id"]: r for r in q_events_halflife_score(spark, SF_DIR).collect()}
+    for uid, grp in ev.groupby("user_id"):
+        w = ((gm - grp["ts"]).values // bucket).astype(np.int64)
+        score = float((grp["value"].values / np.exp2(w)).sum())
+        r = rows[uid]
+        assert r["n_events"] == len(grp)
+        assert r["recency_score"] == pytest.approx(score, rel=1e-7)

@@ -5249,8 +5249,82 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Half-life recency-weighted engagement score (round 10 wave 16)
+# ---------------------------------------------------------------------------
+
+HALFLIFE_DAYS = 7  # weight halves every 7 days of age
+
+
+def q_events_halflife_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score per user: Σ value · 2^(−age/h)
+    with the age bucketed to whole half-lives (h = {h} days) — THE
+    feature-store staple (recency-decayed activity) computed WITHOUT
+    transcendentals: exponential decay with a power-of-two base and
+    INTEGER bucket exponents is exact binary scaling (value / 2^w loses
+    no precision), so it fits the gate contract where exp(−λt) cannot.
+    The bucketing is also what production feature pipelines actually do
+    (daily/weekly snapshot grids), not a compromise.
+
+    Exactness: ages are integer days from the global max ts (exact
+    timestampdiff); weights 2^(−w) are exact binary scalings of the
+    value; the per-user sum is decimal-quantized (dsum scale 8 — each
+    addend ≤ max(value)). Scale shape: one broadcast of the 1-row max,
+    one map-side-combinable hash agg.""".format(h=HALFLIFE_DAYS)
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    mx = events.agg(F.max("ts").alias("gm"))
+    bucket_us = HALFLIFE_DAYS * 86_400_000_000
+    aged = events.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "value",
+        # whole half-life buckets from the exact microsecond age — a
+        # single integer floor-division (day-granular diffs differ
+        # between engines: Spark counts 24h periods, DuckDB counts
+        # calendar boundaries)
+        F.floor(
+            F.expr("timestampdiff(MICROSECOND, ts, gm)") / F.lit(bucket_us)
+        ).cast("long").alias("w"),
+    )
+    weighted = aged.select(
+        "user_id",
+        (F.col("value").cast("double") / F.pow(F.lit(2.0), F.col("w").cast("double"))).alias(
+            "wv"
+        ),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum(F.col("wv"), scale=8).alias("recency_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_HALFLIFE = f"""
+WITH mx AS (
+  SELECT MAX(CAST(ts AS TIMESTAMP)) AS gm FROM events WHERE ts IS NOT NULL
+), aged AS (
+  SELECT user_id, value,
+         CAST(floor(date_diff('microseconds', CAST(ts AS TIMESTAMP), gm)
+              / 604800000000) AS BIGINT) AS w
+  FROM events CROSS JOIN mx
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum(f"CAST(value AS DOUBLE) / pow(2.0, CAST(w AS DOUBLE))", scale=8)} AS recency_score
+FROM aged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_page_hinkley": q_events_page_hinkley,
+    "events_halflife_score": q_events_halflife_score,
     "events_interval_coverage": q_events_interval_coverage,
     "forecast_pinball_loss": q_forecast_pinball_loss,
     "forecast_tracking_signal": q_forecast_tracking_signal,
@@ -5310,6 +5384,7 @@ QUERIES = {
 ORACLE = {
     "events_page_hinkley": _ORACLE_PAGE_HINKLEY,
     "events_interval_coverage": _ORACLE_INTERVAL_COVERAGE,
+    "events_halflife_score": _ORACLE_HALFLIFE,
     "forecast_pinball_loss": _ORACLE_PINBALL,
     "forecast_tracking_signal": _ORACLE_TRACKING_SIGNAL,
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,

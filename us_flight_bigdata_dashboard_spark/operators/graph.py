@@ -579,6 +579,86 @@ KHOP_SOURCE = "c:1"  # BFS source node (customer key 1)
 KHOP_HOPS = 3        # fixed hop budget — part of the operator contract
 
 
+WALKS_MAX_LEN = 2  # walk-length budget (UNION ALL recursion multiplies paths)
+
+_SPARK_RECURSIVE_WALKS = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT CONCAT('c:', o_custkey) AS src, CONCAT('s:', l_suppkey) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT DISTINCT CONCAT('s:', l_suppkey), CONCAT('c:', o_custkey)
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), walk(node, len) AS (
+  SELECT '{{src}}', 0
+  UNION ALL
+  SELECT e.dst, w.len + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.len < {WALKS_MAX_LEN}
+)
+SELECT CAST(len AS INT) AS walk_len,
+       CAST(COUNT(*) AS BIGINT) AS n_walks,
+       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct_endpoints
+FROM walk
+GROUP BY len
+ORDER BY len
+"""
+
+
+def q_recursive_cte_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walks of length 0..{k} from the BFS seed, counted through a
+    RECURSIVE CTE with UNION ALL semantics — the (Aᵏ)·e_s matrix-power
+    readout (how many distinct PATHS lead back to the seed's
+    neighborhood, the raw ingredient of Katz centrality and
+    random-walk kernels), deliberately DIFFERENT from ``graph_khop``'s
+    reachability: khop deduplicates per node (BFS, anti-join per hop,
+    Python-driven); walks must NOT deduplicate, which is exactly what
+    the engine's UNION ALL recursion provides — so here the ENGINE owns
+    the graph iteration (UnionLoop), the second recursive-CTE surface
+    beside ``recursive_cte_drain``'s scalar schedule. Both engines run
+    the same recursion shape.
+
+    Scale note (the honest part): UNION ALL recursion materializes
+    PATHS, which multiply with degree^len — the budget is capped at
+    {k} and the seed is one node; for node-set reachability at scale
+    use ``graph_khop``'s dedup-per-hop plan. That trade-off is the
+    entry's documentation payload.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    from us_flight_bigdata_dashboard_spark.sources.catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(_SPARK_RECURSIVE_WALKS.format(src=KHOP_SOURCE))
+
+
+q_recursive_cte_walks.__doc__ = q_recursive_cte_walks.__doc__.replace(
+    "{k}", str(WALKS_MAX_LEN)
+)
+
+
+def _sql_recursive_walks() -> str:
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT DISTINCT 's:' || l_suppkey, 'c:' || o_custkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), walk AS (
+  SELECT '{KHOP_SOURCE}' AS node, 0 AS len
+  UNION ALL
+  SELECT e.dst, w.len + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.len < {WALKS_MAX_LEN}
+)
+SELECT CAST(len AS INT) AS walk_len,
+       CAST(COUNT(*) AS BIGINT) AS n_walks,
+       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct_endpoints
+FROM walk
+GROUP BY len
+ORDER BY len
+"""
+
+
 def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS wavefront profile from ``KHOP_SOURCE``: for each hop distance
     0..``KHOP_HOPS``, the number of nodes first reached at that hop.
@@ -2210,6 +2290,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "graph_clustering_coeff": q_graph_clustering_coeff,
     "graph_khop": q_graph_khop,
+    "recursive_cte_walks": q_recursive_cte_walks,
     "basket_rules": q_basket_rules,
     "graph_shortest_paths": q_graph_shortest_paths,
     "graph_link_prediction": q_graph_link_prediction,
@@ -2232,6 +2313,7 @@ ORACLE = {
     "graph_triangles": _ORACLE_TRIANGLES,
     "graph_clustering_coeff": _ORACLE_CLUSTERING,
     "graph_khop": _sql_khop(),
+    "recursive_cte_walks": _sql_recursive_walks(),
     "basket_rules": _sql_basket_rules(),
     "graph_shortest_paths": _sql_shortest_paths(),
     "graph_link_prediction": _sql_link_prediction(),
