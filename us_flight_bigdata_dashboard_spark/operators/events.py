@@ -5266,10 +5266,12 @@ def q_events_halflife_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bucketing is also what production feature pipelines actually do
     (daily/weekly snapshot grids), not a compromise.
 
-    Exactness: ages are integer days from the global max ts (exact
-    timestampdiff); weights 2^(−w) are exact binary scalings of the
-    value; the per-user sum is decimal-quantized (dsum scale 8 — each
-    addend ≤ max(value)). Scale shape: one broadcast of the 1-row max,
+    Exactness: ages are integer microsecond buckets from the global max
+    ts; weights 2^(−w) are exact binary scalings via an INTEGER SHIFT
+    (no pow() — the repo's transcendental lint); ages beyond 62
+    half-lives clamp to exactly 0 (below double precision of any
+    realistic score); the per-user sum is decimal-quantized (dsum
+    scale 8 — each addend ≤ max(value)). Scale shape: one broadcast of the 1-row max,
     one map-side-combinable hash agg.""".format(h=HALFLIFE_DAYS)
     events = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
@@ -5287,11 +5289,15 @@ def q_events_halflife_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("timestampdiff(MICROSECOND, ts, gm)") / F.lit(bucket_us)
         ).cast("long").alias("w"),
     )
+    # 2^w via an integer shift (the repo bans pow()'s 1-ulp license);
+    # beyond 62 half-lives (~14 months at h=7d) the weight clamps to
+    # exactly 0 — below double precision of any realistic score anyway
+    denom = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(w AS INT)) AS DOUBLE)")
     weighted = aged.select(
         "user_id",
-        (F.col("value").cast("double") / F.pow(F.lit(2.0), F.col("w").cast("double"))).alias(
-            "wv"
-        ),
+        F.when(F.col("w") > 62, F.lit(0.0))
+        .otherwise(F.col("value").cast("double") / denom)
+        .alias("wv"),
     )
     return (
         weighted.groupBy("user_id")
@@ -5315,7 +5321,7 @@ WITH mx AS (
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       {sql_dsum(f"CAST(value AS DOUBLE) / pow(2.0, CAST(w AS DOUBLE))", scale=8)} AS recency_score
+       {sql_dsum("CASE WHEN w > 62 THEN 0.0 ELSE CAST(value AS DOUBLE) / CAST(1::BIGINT << w AS DOUBLE) END", scale=8)} AS recency_score
 FROM aged
 GROUP BY user_id
 ORDER BY user_id
