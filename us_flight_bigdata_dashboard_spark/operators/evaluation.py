@@ -2694,8 +2694,10 @@ def q_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: cell counts are integers; the C/D products are
     DECIMAL(38,0) (n_ij·n_kl reaches ~10²⁴ at 100 TB — past bigint);
-    γ is one division. Scale shape: one orders⋈lineitem join (the
-    canonical fact join), one hash agg to ≤15 rows, then arithmetic.
+    γ is one division — NULL on both engines in the degenerate case
+    C + D = 0 (every untied pair impossible, e.g. a constant column).
+    Scale shape: one orders⋈lineitem join (the canonical fact join),
+    one hash agg to ≤15 rows, then arithmetic.
 
     Reference analog: none (engine addition, SURVEY.md §2.7)."""
     orders = load_table(spark, sf_dir, "orders").select(
@@ -3191,7 +3193,9 @@ def q_dixon_q_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson from the round-9 ADVICE).
 
     Exactness: revenues are exact integer cents; Q is one division of
-    integer differences; significance is a rational comparison. Scale
+    integer differences (NULL on both engines in the degenerate
+    all-equal frame, x₍₁₎ = x₍ₙ₎); significance is a rational
+    comparison. Scale
     shape: one data-sized orders⋈customer hash agg to 25 rows, then a
     global sort-window on the domain-sized frame."""
     orders = load_table(spark, sf_dir, "orders")

@@ -1169,7 +1169,9 @@ def q_cochrans_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²) with G_j = per-quarter active
     counts, L_i = per-customer active-quarter counts, T = ΣG = ΣL;
     subjects inactive all year contribute zero to every sum, so no
-    customer-universe join is needed.
+    customer-universe join is needed. Degenerate contract: if EVERY
+    active subject were active in all k quarters the denominator k·T −
+    ΣL² is 0 and Q is NULL on both engines (no variation to test).
 
     Exactness: every term is an integer count from two hash aggs over
     the distinct (customer, quarter) frame; G_j² is DECIMAL(38,0)

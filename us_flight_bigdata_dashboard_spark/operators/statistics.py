@@ -3105,8 +3105,10 @@ def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain (module determinism rule).
 
     Exactness: counts are integers end-to-end; expected cells e =
-    n_g·side/N and χ² are one IEEE sequence on them; significance is a
-    rational comparison against the literal χ²(2) critical value.
+    n_g·side/N and χ² are one IEEE sequence on them (a degenerate
+    all-values-equal column makes the > side empty and χ² NULL/NaN,
+    identically on both engines); significance is a rational
+    comparison against the literal χ²(2) critical value.
     Scale shape: one hash agg → one domain-sized cumulative window for
     the median → one broadcast re-scan of the distinct-value frame."""
     li = load_table(spark, sf_dir, "lineitem")
