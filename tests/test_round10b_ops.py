@@ -1430,3 +1430,30 @@ def test_halflife_score_bruteforce(spark):
         r = rows[uid]
         assert r["n_events"] == len(grp)
         assert r["recency_score"] == pytest.approx(score, rel=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# sequence_gap_audit — brute force (dense and gappy paths)
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_gap_audit_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.audit import (
+        q_sequence_gap_audit,
+    )
+
+    keys = np.sort(_df("orders")["o_orderkey"].unique())
+    (row,) = q_sequence_gap_audit(spark, SF_DIR).collect()
+    assert row["n_keys"] == len(keys)
+    assert row["key_min"] == keys[0] and row["key_max"] == keys[-1]
+    span = int(keys[-1] - keys[0] + 1)
+    assert row["total_missing"] == span - len(keys)
+    diffs = np.diff(keys)
+    gaps = diffs[diffs > 1]
+    assert row["n_gaps"] == len(gaps)
+    if len(gaps):
+        assert row["largest_gap"] == int(gaps.max())
+    else:
+        assert row["largest_gap"] is None
+        assert row["largest_gap_start"] is None
+    assert row["density"] == pytest.approx(len(keys) / span, rel=1e-12)

@@ -17,7 +17,7 @@ collects or iterates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
@@ -849,7 +849,102 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Key-sequence gap audit (round 10 wave 17)
+# ---------------------------------------------------------------------------
+
+
+def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key SEQUENCE continuity audit on o_orderkey: how much of
+    the key range is missing, how many gaps, and where the largest one
+    starts — the data-quality check that catches silent partition loss
+    and botched backfills (a CDC pipeline that dropped a file leaves a
+    contiguous hole; uniform sparseness is benign by-design skipping,
+    exactly what TPC-H keys exhibit). ``dq_audit`` checks uniqueness
+    and FK orphans; THIS is the continuity axis neither covers.
+
+    Exactness: total_missing = (max − min + 1) − n is CLOSED FORM (no
+    window); the gap profile (count of gaps > 1, the largest gap and
+    its start) uses one lag over the sorted distinct keys — integer
+    arithmetic end-to-end, deterministic argmax by (gap desc, key asc).
+    Scale shape: one agg for the closed form + one global sorted window
+    over DISTINCT keys (domain-sized; the ``global_rank_bucketed``
+    prefix-sum decomposition drops in if the key domain outgrows one
+    task)."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    summary = keys.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("k").cast("long").alias("key_min"),
+        F.max("k").cast("long").alias("key_max"),
+    )
+    w = Window.orderBy("k")
+    gaps = keys.select(
+        "k", (F.col("k") - F.lag("k", 1).over(w)).cast("long").alias("gap")
+    ).filter(F.col("gap") > 1)
+    gap_stats = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.max("gap").cast("long").alias("largest_gap"),
+    )
+    w_big = Window.orderBy(F.col("gap").desc(), F.col("k").asc())
+    # aggregate (not filter) so a DENSE key space still yields ONE row
+    # with NULLs — a healthy sequence is a result, not an empty frame
+    biggest = (
+        gaps.withColumn("rn", F.row_number().over(w_big))
+        .agg(
+            F.max(
+                F.when(F.col("rn") == 1, (F.col("k") - F.col("gap") + 1))
+            )
+            .cast("long")
+            .alias("largest_gap_start")
+        )
+    )
+    out = summary.crossJoin(F.broadcast(gap_stats)).crossJoin(F.broadcast(biggest))
+    span = (F.col("key_max") - F.col("key_min") + 1).cast("double")
+    return out.select(
+        "n_keys",
+        "key_min",
+        "key_max",
+        ((F.col("key_max") - F.col("key_min") + 1) - F.col("n_keys"))
+        .cast("long")
+        .alias("total_missing"),
+        "n_gaps",
+        "largest_gap",
+        "largest_gap_start",
+        (F.col("n_keys").cast("double") / span).alias("density"),
+    )
+
+
+_ORACLE_SEQUENCE_GAP = """
+WITH keys AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+), summary AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MIN(k) AS BIGINT) AS key_min,
+         CAST(MAX(k) AS BIGINT) AS key_max
+  FROM keys
+), gaps AS (
+  SELECT k, CAST(k - LAG(k, 1) OVER (ORDER BY k) AS BIGINT) AS gap
+  FROM keys
+  QUALIFY gap > 1
+), gap_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(MAX(gap) AS BIGINT) AS largest_gap
+  FROM gaps
+), biggest AS (
+  SELECT CAST(MAX(CASE WHEN rn = 1 THEN k - gap + 1 END) AS BIGINT) AS largest_gap_start
+  FROM (SELECT k, gap, ROW_NUMBER() OVER (ORDER BY gap DESC, k ASC) AS rn FROM gaps)
+)
+SELECT n_keys, key_min, key_max,
+       CAST((key_max - key_min + 1) - n_keys AS BIGINT) AS total_missing,
+       n_gaps, largest_gap, largest_gap_start,
+       CAST(n_keys AS DOUBLE) / CAST(key_max - key_min + 1 AS DOUBLE) AS density
+FROM summary CROSS JOIN gap_stats CROSS JOIN biggest
+"""
+
+
 QUERIES = {
+    "sequence_gap_audit": q_sequence_gap_audit,
     "tcloseness_audit": q_tcloseness_audit,
     "ldiversity_audit": q_ldiversity_audit,
     "dq_audit": q_dq_audit,
@@ -863,6 +958,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sequence_gap_audit": _ORACLE_SEQUENCE_GAP,
     "dp_randomized_response": _sql_rr(),
     "ldiversity_audit": _ORACLE_LDIVERSITY,
     "dq_audit": _ORACLE_DQ_AUDIT,

@@ -123,7 +123,7 @@ _MODULES = [
 # sketch_hll_union, streaming_streaks_replay, vector_label_stats;
 # multimodal_gif_decode joins them -- its LZW encoder tail-width fix
 # landed r10 after its last certification).
-# plus the 44 WAVE-4..16 ADDITIONS (same pre-clearance + ground-truth
+# plus the 45 WAVE-4..17 ADDITIONS (same pre-clearance + ground-truth
 # tests in tests/test_round10b_ops.py and tests/test_bmp_codec.py):
 #   cochrans_q_test, lin_ccc_agreement, bland_altman_agreement,
 #   goodman_kruskal_gamma, cliffs_delta_effect, cramer_von_mises_two,
@@ -139,8 +139,8 @@ _MODULES = [
 #   dixon_q_outlier, sql_pivot_interface, sql_unpivot_interface,
 #   fill_rate_curve, horvitz_thompson, streaming_bounded_dedup_replay,
 #   events_interval_coverage, hoeffding_sample_bound,
-#   recursive_cte_walks, events_halflife_score
-# = 24 + 44 + 16 sentinels = 84 candidates > 50 slots: run
+#   recursive_cte_walks, events_halflife_score, sequence_gap_audit
+# = 24 + 45 + 16 sentinels = 85 candidates > 50 slots: run
 # tools/rotate_prefix.py at r11 start for the binding list (sentinels
 # first, then additions oldest-first); the ~17-entry overflow flows to
 # r12 exactly like r8's staged leftovers did. The r10 ADVICE-fix
