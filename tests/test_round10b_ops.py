@@ -224,9 +224,21 @@ def test_jonckheere_pairwise_bruteforce(spark):
     ns = [len(a) for a in groups]
     n = sum(ns)
     e2j = (n * n - sum(k * k for k in ns)) / 2.0
+    # full Hollander-Wolfe tie-corrected variance (r10 ADVICE fix)
+    from collections import Counter
+
+    tie = Counter(v.tolist())
+    st1 = sum(t * (t - 1) * (2 * t + 5) for t in tie.values())
+    st2 = sum(t * (t - 1) * (t - 2) for t in tie.values())
+    st3 = sum(t * (t - 1) for t in tie.values())
+    sg1 = sum(k * (k - 1) * (2 * k + 5) for k in ns)
+    sg2 = sum(k * (k - 1) * (k - 2) for k in ns)
+    sg3 = sum(k * (k - 1) for k in ns)
     var_j = (
-        n * n * (2.0 * n + 3.0) - sum(k * k * (2.0 * k + 3.0) for k in ns)
-    ) / 72.0
+        (n * (n - 1) * (2 * n + 5) - sg1 - st1) / 72.0
+        + (sg2 * st2) / (36.0 * n * (n - 1) * (n - 2))
+        + (sg3 * st3) / (8.0 * n * (n - 1))
+    )
     z = (two_j - e2j) / (2.0 * math.sqrt(var_j))
     (row,) = q_jonckheere_terpstra(spark, SF_DIR).collect()
     assert row["n_total"] == n
@@ -870,7 +882,9 @@ def test_page_hinkley_sequential_sim(spark):
         m = 0
         m_min = 0
         max_e = 0
-        n_alarms = 0
+        n_rows_above = 0
+        n_alarms = 0  # distinct up-crossings (r10 ADVICE fix)
+        prev_above = False
         first_alarm = None
         lam_fp = int(PH_LAMBDA * _PH_FP)
         for i, (x, ts) in enumerate(zip(grp["value"], grp["ts"]), start=1):
@@ -880,13 +894,18 @@ def test_page_hinkley_sequential_sim(spark):
             m_min = min(m_min, m)
             e = m - m_min
             max_e = max(max_e, e)
-            if e > lam_fp:
-                n_alarms += 1
+            above = e > lam_fp
+            if above:
+                n_rows_above += 1
+                if not prev_above:
+                    n_alarms += 1
                 if first_alarm is None:
                     first_alarm = ts
+            prev_above = above
         r = rows[etype]
         assert r["n"] == len(grp)
         assert r["n_alarms"] == n_alarms
+        assert r["n_rows_above_lambda"] == n_rows_above
         assert r["max_excursion"] == pytest.approx(max_e / _PH_FP, rel=1e-12)
         if first_alarm is not None:
             assert r["first_alarm_ts"] == first_alarm

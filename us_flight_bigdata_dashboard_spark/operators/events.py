@@ -4806,8 +4806,11 @@ def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     locates ONE offline changepoint knowing the global mean): PH tracks
     m_t = Σ_{i≤t}(x_i − x̄_i − δ) against its running minimum and alarms
     when the excursion exceeds λ — detectable the moment it happens,
-    using only the mean-so-far. Ships per type: alarm count, first alarm
-    time, and the maximum excursion (how decisively drift showed).
+    using only the mean-so-far. Ships per type: distinct alarm count
+    (threshold UP-CROSSINGS via a lag on the excursion, so a sustained
+    drift counts once), the duration-weighted row count above λ under
+    its honest name (n_rows_above_lambda), first alarm time, and the
+    maximum excursion (how decisively drift showed).
 
     Determinism: the value prefix sums are exact DECIMAL window sums
     over the unique (ts, event_id) order, so every running mean x̄_i is
@@ -4862,16 +4865,34 @@ def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     exc = walked.select(
         "event_type",
         "ts",
+        "event_id",
         (F.col("m") - m_min).alias("e"),
     )
     lam_fp = F.lit(int(PH_LAMBDA * _PH_FP)).cast("decimal(38,0)")
+    # distinct alarm EVENTS = threshold up-crossings (lag on the excursion):
+    # a sustained drift counts once, not once per row it persists (r10
+    # ADVICE — n_rows_above_lambda keeps the old duration-weighted count
+    # under its honest name)
+    lag_e = F.lag("e").over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+    crossed = exc.select(
+        "event_type",
+        "ts",
+        "e",
+        F.when(
+            (F.col("e") > lam_fp) & F.coalesce(lag_e <= lam_fp, F.lit(True)),
+            1,
+        )
+        .otherwise(0)
+        .alias("up"),
+    )
     return (
-        exc.groupBy("event_type")
+        crossed.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("up").cast("long").alias("n_alarms"),
             F.sum(F.when(F.col("e") > lam_fp, 1).otherwise(0))
             .cast("long")
-            .alias("n_alarms"),
+            .alias("n_rows_above_lambda"),
             F.min(F.when(F.col("e") > lam_fp, F.col("ts"))).alias("first_alarm_ts"),
             (F.max("e").cast("double") / F.lit(float(_PH_FP))).alias(
                 "max_excursion"
@@ -4904,18 +4925,26 @@ WITH base AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
   FROM quantized
 ), exc AS (
-  SELECT event_type, ts,
+  SELECT event_type, ts, event_id,
          m - MIN(m) OVER (PARTITION BY event_type ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
   FROM walked
+), crossed AS (
+  SELECT event_type, ts, e,
+         CASE WHEN e > {int(PH_LAMBDA * _PH_FP)}
+                   AND COALESCE(LAG(e) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) <= {int(PH_LAMBDA * _PH_FP)}, TRUE)
+              THEN 1 ELSE 0 END AS up
+  FROM exc
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(up) AS BIGINT) AS n_alarms,
        CAST(SUM(CASE WHEN e > {int(PH_LAMBDA * _PH_FP)} THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_alarms,
+         AS n_rows_above_lambda,
        MIN(CASE WHEN e > {int(PH_LAMBDA * _PH_FP)} THEN ts END) AS first_alarm_ts,
        CAST(MAX(e) AS DOUBLE) / {float(_PH_FP)!r} AS max_excursion
-FROM exc
+FROM crossed
 GROUP BY event_type
 ORDER BY event_type
 """

@@ -1769,8 +1769,10 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per half-step, one join of the score vector against the
     edge list on its key + one map-side-combinable hash agg — Pregel's
     synchronous step relationally, identical partitioning reusable
-    across rounds (edge list localCheckpointed once, the PageRank A/B
-    result). No collect, no driver state.
+    across rounds (edge list localCheckpointed once; each normalized
+    score vector localCheckpointed per half-step so the plan stays
+    O(iters) exchanges instead of an unrolled lineage — the
+    PageRank/HyperBall discipline). No collect, no driver state.
     """.format(it=HITS_ITERS, k=HITS_TOP)
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1800,8 +1802,10 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         a_max = a_raw.agg(F.max("a_raw").alias("_mx"))
-        auth = a_raw.crossJoin(F.broadcast(a_max)).select(
-            "s", (F.col("a_raw") / F.col("_mx")).alias("a")
+        auth = (
+            a_raw.crossJoin(F.broadcast(a_max))
+            .select("s", (F.col("a_raw") / F.col("_mx")).alias("a"))
+            .localCheckpoint(eager=True)
         )
         h_raw = (
             auth.join(pairs, "s")
@@ -1816,8 +1820,10 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         h_max = h_raw.agg(F.max("h_raw").alias("_mx"))
-        hubs = h_raw.crossJoin(F.broadcast(h_max)).select(
-            "c", (F.col("h_raw") / F.col("_mx")).alias("h")
+        hubs = (
+            h_raw.crossJoin(F.broadcast(h_max))
+            .select("c", (F.col("h_raw") / F.col("_mx")).alias("h"))
+            .localCheckpoint(eager=True)
         )
     top_a = (
         auth.select(

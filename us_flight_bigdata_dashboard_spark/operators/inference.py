@@ -1406,6 +1406,9 @@ QUADE_YEAR = 1997
 QUADE_K = 4  # treatments = quarters
 # F(3, 72) upper 5% critical value for b=25 blocks, k=4 — literal
 QUADE_F_CRIT = 2.731807
+# the critical value above is ONLY valid at b=25: guard significant_5pct
+# on the measured block count (NULL otherwise), mirroring dixon_q_outlier
+QUADE_B = 25
 
 
 def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1424,7 +1427,9 @@ def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     with T_j = Σ_i dQ_i(dr_ij−5), so F = (b−1)·ΣT_j² / (b·Σ(dQ(dr−5))²
     − ΣT_j²) is ONE division on exact integers. Significance compares
     against the literal F(k−1,(b−1)(k−1)) 5% critical value (module
-    rule: no CDFs).
+    rule: no CDFs); the literal is only valid at b=QUADE_B blocks, so
+    significant_5pct is guarded NULL when the measured block count
+    drifts (the dixon_q_outlier pattern).
 
     Scale shape: one data-sized hash agg to the grid; ranks, ranges,
     and both sums are domain-sized (≤ b·k rows).""".format(y=QUADE_YEAR)
@@ -1496,11 +1501,15 @@ def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("b16b").cast("double")
         / (bd * F.col("a16").cast("double") - F.col("b16b").cast("double"))
     )
+    sig = F.when(
+        F.col("b") == F.lit(QUADE_B),
+        (f_stat > F.lit(QUADE_F_CRIT)).cast("int"),
+    ).otherwise(F.lit(None).cast("int"))
     return both.select(
         F.col("b").alias("n_blocks"),
         F.lit(QUADE_K).cast("int").alias("k_treatments"),
         f_stat.alias("f_stat"),
-        (f_stat > F.lit(QUADE_F_CRIT)).cast("int").alias("significant_5pct"),
+        sig.alias("significant_5pct"),
     )
 
 
@@ -1549,7 +1558,8 @@ SELECT b AS n_blocks,
        CAST({QUADE_K} AS INT) AS k_treatments,
        (CAST(b AS DOUBLE) - 1.0) * CAST(b16b AS DOUBLE)
          / (CAST(b AS DOUBLE) * CAST(a16 AS DOUBLE) - CAST(b16b AS DOUBLE)) AS f_stat,
-       CAST(CASE WHEN (CAST(b AS DOUBLE) - 1.0) * CAST(b16b AS DOUBLE)
+       CAST(CASE WHEN b <> {QUADE_B} THEN NULL
+                 WHEN (CAST(b AS DOUBLE) - 1.0) * CAST(b16b AS DOUBLE)
                       / (CAST(b AS DOUBLE) * CAST(a16 AS DOUBLE) - CAST(b16b AS DOUBLE))
                       > {QUADE_F_CRIT} THEN 1 ELSE 0 END AS INT) AS significant_5pct
 FROM a16 CROSS JOIN b16b CROSS JOIN nb

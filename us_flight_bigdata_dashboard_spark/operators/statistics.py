@@ -2969,11 +2969,19 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     group (one window, g in the LITERAL 1..5 domain), then 2J =
     Σ_v Σ_{i<j} (2·c_j·t_i + c_i·c_j) as a FIXED 10-pair expression sum
     (partition-order-free; products DECIMAL(38,0) — c·t reaches ~10²²
-    at 100 TB). E[2J] = (N² − Σn_g²)/2 and the no-ties normal variance
-    Var(J) = [N²(2N+3) − Σn_g²(2n_g+3)]/72 are one IEEE sequence on the
-    exact counts (tie-corrected variance omitted: price ties are ~0.1%
-    of pairs here; documented approximation). Scale shape: one hash
-    agg → one domain-sized 5-column cumulative window → a 1-row agg."""
+    at 100 TB). E[2J] = (N² − Σn_g²)/2; the variance is the FULL
+    tie-corrected form (Hollander-Wolfe): with tie moments
+    S_tk = Σ_v t(t−1)·{(2t+5), (t−2), 1} summed EXACTLY in
+    DECIMAL(38,0) alongside 2J (partition-order-free integers) and the
+    matching group moments from the n_g,
+    Var(J) = A/72 + B/(36·N(N−1)(N−2)) + C/(8·N(N−1)) where
+    A = N(N−1)(2N+5) − Σ_g n_g(n_g−1)(2n_g+5) − S_t1, B = [Σ_g
+    n_g(n_g−1)(n_g−2)]·S_t2, C = [Σ_g n_g(n_g−1)]·S_t3; the final
+    division/sqrt is one IEEE sequence on those exact moments. With no
+    ties all S_tk=0 and A/72 reduces to the classic
+    [N²(2N+3) − Σn_g²(2n_g+3)]/72 (identity via Σn_g = N). Scale
+    shape: one hash agg → one domain-sized 5-column cumulative window
+    → a 1-row agg."""
     orders = load_table(spark, sf_dir, "orders")
     pr = F.substring("o_orderpriority", 1, 1).cast("int")
     per_v = (
@@ -3006,22 +3014,45 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col(f"c{i}")
                 ) * dec(F.col(f"c{j}"))
                 two_j_term = term if two_j_term is None else two_j_term + term
+    tv = None
+    for g in _JT_GROUPS:
+        tv = dec(F.col(f"c{g}")) if tv is None else tv + dec(F.col(f"c{g}"))
     stats = ranked.agg(
         *[F.sum(f"c{g}").cast("long").alias(f"n{g}") for g in _JT_GROUPS],
         F.sum(two_j_term).cast("decimal(38,0)").alias("two_j"),
+        F.sum(tv * (tv - 1) * (2 * tv + 5)).cast("decimal(38,0)").alias("st1"),
+        F.sum(tv * (tv - 1) * (tv - 2)).cast("decimal(38,0)").alias("st2"),
+        F.sum(tv * (tv - 1)).cast("decimal(38,0)").alias("st3"),
     )
     n_tot = None
     sn2 = None
-    sn23 = None
+    sg1 = None
+    sg2 = None
+    sg3 = None
     for g in _JT_GROUPS:
         ng = F.col(f"n{g}").cast("double")
         n_tot = ng if n_tot is None else n_tot + ng
         sn2 = ng * ng if sn2 is None else sn2 + ng * ng
-        term3 = ng * ng * (F.lit(2.0) * ng + F.lit(3.0))
-        sn23 = term3 if sn23 is None else sn23 + term3
+        t1 = ng * (ng - F.lit(1.0)) * (F.lit(2.0) * ng + F.lit(5.0))
+        t2 = ng * (ng - F.lit(1.0)) * (ng - F.lit(2.0))
+        t3 = ng * (ng - F.lit(1.0))
+        sg1 = t1 if sg1 is None else sg1 + t1
+        sg2 = t2 if sg2 is None else sg2 + t2
+        sg3 = t3 if sg3 is None else sg3 + t3
     two_j = F.col("two_j").cast("double")
     e2j = (n_tot * n_tot - sn2) / F.lit(2.0)
-    var_j = (n_tot * n_tot * (F.lit(2.0) * n_tot + F.lit(3.0)) - sn23) / F.lit(72.0)
+    a_t = (
+        n_tot * (n_tot - F.lit(1.0)) * (F.lit(2.0) * n_tot + F.lit(5.0))
+        - sg1
+        - F.col("st1").cast("double")
+    )
+    b_t = sg2 * F.col("st2").cast("double")
+    c_t = sg3 * F.col("st3").cast("double")
+    var_j = (
+        a_t / F.lit(72.0)
+        + b_t / (F.lit(36.0) * n_tot * (n_tot - F.lit(1.0)) * (n_tot - F.lit(2.0)))
+        + c_t / (F.lit(8.0) * n_tot * (n_tot - F.lit(1.0)))
+    )
     z = (two_j - e2j) / (F.lit(2.0) * F.sqrt(var_j))
     return stats.select(
         (n_tot.cast("long")).alias("n_total"),
@@ -3053,9 +3084,18 @@ def _sql_jonckheere() -> str:
     sn2 = " + ".join(
         f"CAST(n{g} AS DOUBLE) * CAST(n{g} AS DOUBLE)" for g in _JT_GROUPS
     )
-    sn23 = " + ".join(
-        f"CAST(n{g} AS DOUBLE) * CAST(n{g} AS DOUBLE) * (2.0 * CAST(n{g} AS DOUBLE) + 3.0)"
+    tv = " + ".join(f"CAST(c{g} AS DECIMAL(38,0))" for g in _JT_GROUPS)
+    ngd = "CAST(n{g} AS DOUBLE)"
+    sg1 = " + ".join(
+        f"({ngd.format(g=g)} * ({ngd.format(g=g)} - 1.0) * (2.0 * {ngd.format(g=g)} + 5.0))"
         for g in _JT_GROUPS
+    )
+    sg2 = " + ".join(
+        f"({ngd.format(g=g)} * ({ngd.format(g=g)} - 1.0) * ({ngd.format(g=g)} - 2.0))"
+        for g in _JT_GROUPS
+    )
+    sg3 = " + ".join(
+        f"({ngd.format(g=g)} * ({ngd.format(g=g)} - 1.0))" for g in _JT_GROUPS
     )
     return f"""
 WITH per_v AS (
@@ -3068,22 +3108,33 @@ WITH per_v AS (
   FROM per_v
 ), stats AS (
   SELECT {n_cols},
-         CAST(SUM({pair_terms}) AS DECIMAL(38,0)) AS two_j
+         CAST(SUM({pair_terms}) AS DECIMAL(38,0)) AS two_j,
+         CAST(SUM(({tv}) * (({tv}) - 1) * (2 * ({tv}) + 5)) AS DECIMAL(38,0)) AS st1,
+         CAST(SUM(({tv}) * (({tv}) - 1) * (({tv}) - 2)) AS DECIMAL(38,0)) AS st2,
+         CAST(SUM(({tv}) * (({tv}) - 1)) AS DECIMAL(38,0)) AS st3
   FROM ranked
 ), d AS (
-  SELECT ({n_tot}) AS ntot, ({sn2}) AS sn2, ({sn23}) AS sn23,
-         CAST(two_j AS DOUBLE) AS two_j
+  SELECT ({n_tot}) AS ntot, ({sn2}) AS sn2,
+         ({sg1}) AS sg1, ({sg2}) AS sg2, ({sg3}) AS sg3,
+         CAST(two_j AS DOUBLE) AS two_j,
+         CAST(st1 AS DOUBLE) AS st1, CAST(st2 AS DOUBLE) AS st2,
+         CAST(st3 AS DOUBLE) AS st3
   FROM stats
+), v AS (
+  SELECT ntot, sn2, two_j,
+         (ntot * (ntot - 1.0) * (2.0 * ntot + 5.0) - sg1 - st1) / 72.0
+           + (sg2 * st2) / (36.0 * ntot * (ntot - 1.0) * (ntot - 2.0))
+           + (sg3 * st3) / (8.0 * ntot * (ntot - 1.0)) AS var_j
+  FROM d
 )
 SELECT CAST(ntot AS BIGINT) AS n_total,
        two_j,
        (ntot * ntot - sn2) / 2.0 AS expected_two_j,
-       (two_j - (ntot * ntot - sn2) / 2.0)
-         / (2.0 * sqrt((ntot * ntot * (2.0 * ntot + 3.0) - sn23) / 72.0)) AS z_stat,
+       (two_j - (ntot * ntot - sn2) / 2.0) / (2.0 * sqrt(var_j)) AS z_stat,
        CAST(CASE WHEN ABS((two_j - (ntot * ntot - sn2) / 2.0)
-                   / (2.0 * sqrt((ntot * ntot * (2.0 * ntot + 3.0) - sn23) / 72.0)))
+                   / (2.0 * sqrt(var_j)))
                    > {JT_Z_CRIT} THEN 1 ELSE 0 END AS INT) AS significant_5pct
-FROM d
+FROM v
 """
 
 
@@ -3592,8 +3643,15 @@ def q_ansari_bradley_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ansari_bradley() -> str:
-    s_hi = "(h * (h + 1) + ({x} - h) * (n_ + 1) - CAST(({x} * ({x} + 1) / 2) AS BIGINT))"
-    s_lo = "CAST(({x} * ({x} + 1) / 2) AS BIGINT)"
+    # Explicit floor() before every double->BIGINT cast: DuckDB's `/` yields
+    # DOUBLE and a bare CAST rounds-to-nearest (CAST(7500.5 AS BIGINT)=7501),
+    # so relying on expression rewrites to fold integer division is fragile.
+    # Same cross-engine convention as evaluation.py's _sm_tercile (r10 ADVICE).
+    s_hi = (
+        "(h * (h + 1) + ({x} - h) * (n_ + 1)"
+        " - CAST(floor(({x} * ({x} + 1)) / 2.0) AS BIGINT))"
+    )
+    s_lo = "CAST(floor(({x} * ({x} + 1)) / 2.0) AS BIGINT)"
 
     def s_prefix(x):
         return (
@@ -3619,7 +3677,7 @@ WITH per_v AS (
 ), jx AS (
   SELECT c1, c2, c, t, n1, n2,
          CAST(n1 + n2 AS BIGINT) AS n_,
-         CAST((n1 + n2 + 1) / 2 AS BIGINT) AS h
+         CAST(floor((n1 + n2 + 1) / 2.0) AS BIGINT) AS h
   FROM ranked CROSS JOIN tot
 ), agg AS (
   SELECT MAX(n1) AS n1, MAX(n2) AS n2,

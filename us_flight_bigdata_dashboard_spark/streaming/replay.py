@@ -624,6 +624,76 @@ FROM ev c JOIN ev v
 """
 
 
+def q_streaming_interval_join_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join under a REAL watermark horizon — the
+    19th replay and the join-shaped member of the real-horizon family
+    (``streaming_interval_join_replay`` proves cross-batch join state
+    with an effectively-infinite horizon; ``streaming_late_data_replay``
+    proves the horizon on a windowed AGG; this entry proves it on the
+    two-sided JOIN): clicks × same-user views within {lb}, BOTH sides
+    watermarked at the real {d}-hour horizon, append mode, replayed
+    through real micro-batches over the late-staged file order (on-time
+    ts-ordered files → late-but-inside-horizon slice → beyond-horizon
+    slice → sentinel).
+
+    What the hash gate proves: (1) late-but-inside rows on EITHER side
+    still pair — including against partners from earlier batches whose
+    join state had to survive; Spark retains a view's state until the
+    watermark passes view_ts + lookback, and any click that clears the
+    late filter (click_ts ≥ wm) can only need views ≥ wm − lookback, so
+    absorbed rows find their full partner set by construction; (2)
+    beyond-horizon rows are dropped on INPUT on both sides — every pair
+    involving the ancient slice is absent, exactly the kept×kept batch
+    join the oracle states; (3) inner-join matches emit exactly once,
+    in the batch that finds them (no flush needed — the sentinel rides
+    along harmlessly, filtered by event_type). The staging's ≥3h margin
+    discipline dominates the ±{lb} the join condition adds to every
+    eviction threshold, so the emitted set is independent of Spark's
+    late-filter timing (same argument as the agg replay, widened by the
+    lookback).
+
+    Scale shape: per-side state is O(horizon × arrival rate) — bounded
+    by the watermark + the join's two-sided time-range constraint
+    regardless of stream length, which is the entry's subject.""".format(
+        lb=CLICK_LOOKBACK, d=_LATE_DELAY_H
+    )
+    src = _stage_events_late(spark, sf_dir)
+    result = _replay(
+        spark,
+        src,
+        lambda s: interval_join_views_before_clicks(
+            s, lookback=CLICK_LOOKBACK, watermark=LATE_DELAY
+        ),
+        mode="append",
+    )
+    return result.select(
+        "click_event_id", "user_id", "click_ts", "view_event_id", "view_ts"
+    )
+
+
+_ORACLE_STREAMING_INTERVAL_JOIN_LATE = f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE ts IS NOT NULL
+), bounds AS (
+  SELECT MIN(ts) AS tmin FROM base
+), kept AS (
+  SELECT event_id, user_id, event_type, ts FROM base CROSS JOIN bounds
+  WHERE NOT (ts < tmin + INTERVAL {_LATE_ANCIENT_H} HOUR AND event_id % 2 = 0)
+)
+SELECT c.event_id AS click_event_id,
+       c.user_id AS user_id,
+       c.ts AS click_ts,
+       v.event_id AS view_event_id,
+       v.ts AS view_ts
+FROM kept c JOIN kept v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.ts <= c.ts
+ AND v.ts >= c.ts - INTERVAL 30 MINUTE
+"""
+
+
 def q_streaming_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment under the exact gate: every
     micro-batch of the replayed event stream left-joins a STATIC dimension
@@ -1279,6 +1349,7 @@ QUERIES = {
     "streaming_tumbling_replay": q_streaming_tumbling_replay,
     "streaming_dedup_replay": q_streaming_dedup_replay,
     "streaming_interval_join_replay": q_streaming_interval_join_replay,
+    "streaming_interval_join_late_replay": q_streaming_interval_join_late_replay,
     "streaming_session_replay": q_streaming_session_replay,
     "streaming_upsert_replay": q_streaming_upsert_replay,
     "streaming_sliding_replay": q_streaming_sliding_replay,
@@ -1300,6 +1371,7 @@ ORACLE = {
     "streaming_tumbling_replay": _ORACLE_STREAMING_TUMBLING,
     "streaming_dedup_replay": _ORACLE_STREAMING_DEDUP,
     "streaming_interval_join_replay": _ORACLE_STREAMING_INTERVAL_JOIN,
+    "streaming_interval_join_late_replay": _ORACLE_STREAMING_INTERVAL_JOIN_LATE,
     "streaming_session_replay": _ORACLE_STREAMING_SESSION,
     "streaming_upsert_replay": _ORACLE_STREAMING_UPSERT,
     "streaming_sliding_replay": _ORACLE_STREAMING_SLIDING,
