@@ -624,6 +624,102 @@ FROM ev c JOIN ev v
 """
 
 
+_IJL_LOOKBACK_H = 48
+IJL_LOOKBACK = "48 hours"  # join lookback: views up to 48h before a click
+IJL_DELAY = "24 hours"  # the REAL watermark horizon of the join replay
+_IJL_DELAY_H = 24
+_IJL_LATE_H = 72  # late-but-inside-horizon slice: ts >= max - 72h
+_IJL_ANCIENT_H = 24  # beyond-horizon slice: first-day rows (even event_id)
+
+
+def _stage_events_join_late(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table for the stream-stream JOIN late replay:
+    on-time rows (neither slice) in four ts-range-ordered files (pinned
+    mtimes), then the late-but-inside slice (the last {L}h of events,
+    delivered after everything else), then the beyond-horizon slice
+    (first-day even event_ids). No sentinel: an inner join emits matches
+    in the batch that finds them, nothing waits on a final flush.
+
+    Margin discipline (asserted, not assumed — the late_data recipe
+    widened by the join's lookback): the late slice clears every
+    candidate input-filter threshold by the full {d}h horizon
+    (recent_min ≈ max-on-time-ts, so recent_min − wm_end = delay); the
+    on-time views a straddling late click needs sit a full {d}h above
+    their state-eviction threshold (eviction needs view_ts + lookback
+    < wm; straddle views have view_ts ≥ recent_min − lookback =
+    wm_end + delay − lookback); and the ancient slice sits hundreds of
+    hours below every candidate threshold.""".format(
+        L=_IJL_LATE_H, d=_IJL_DELAY_H
+    )
+    import datetime
+    import glob
+    import os
+
+    key = (sf_dir, "join_late")
+    if key in _stage_cache:
+        return _stage_cache[key]
+    ev = _event_time(
+        load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    (bounds,) = ev.agg(F.min("ts").alias("tmin"), F.max("ts").alias("gm")).collect()
+    tmin, gm = bounds["tmin"], bounds["gm"]
+    span_h = (gm - tmin).total_seconds() / 3600.0
+    if span_h < _IJL_LATE_H + _IJL_ANCIENT_H + 4 * _IJL_DELAY_H + 2:
+        raise RuntimeError(f"join-late replay needs a longer span ({span_h}h)")
+    recent_cut = gm - datetime.timedelta(hours=_IJL_LATE_H)
+    ancient_cut = tmin + datetime.timedelta(hours=_IJL_ANCIENT_H)
+    is_ancient = (F.col("ts") < F.lit(ancient_cut)) & (F.col("event_id") % 2 == 0)
+    is_recent = F.col("ts") >= F.lit(recent_cut)
+    on_time = ev.filter(~is_recent & ~is_ancient)
+    recent = ev.filter(is_recent)
+    ancient = ev.filter(is_ancient)
+    n_recent, n_ancient = recent.count(), ancient.count()
+    if n_recent == 0 or n_ancient == 0:
+        raise RuntimeError("join-late replay: empty late slice "
+                           f"(recent={n_recent}, ancient={n_ancient})")
+    out = tempfile.mkdtemp(prefix="stream_replay_ijl_")
+    stage = tempfile.mkdtemp(prefix="stream_replay_ijl_stage_")
+    on_time.repartitionByRange(REPLAY_FILES, "ts").write.mode("overwrite").parquet(
+        f"{stage}/on_time"
+    )
+    recent.coalesce(1).write.mode("overwrite").parquet(f"{stage}/recent")
+    ancient.coalesce(1).write.mode("overwrite").parquet(f"{stage}/ancient")
+    ordered = sorted(glob.glob(f"{stage}/on_time/part-*.parquet")) + [
+        glob.glob(f"{stage}/{d}/part-*.parquet")[0] for d in ("recent", "ancient")
+    ]
+    for i, f in enumerate(ordered):
+        dst = os.path.join(out, f"data{i:02d}.parquet")
+        os.rename(f, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(stage, ignore_errors=True)
+    # on-time files must be event-time-ordered (contract assert)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for i in range(REPLAY_FILES):
+        col = pq.read_table(os.path.join(out, f"data{i:02d}.parquet"), columns=["ts"])["ts"]
+        if len(col):
+            ranges.append((i, pc.min(col).as_py(), pc.max(col).as_py()))
+    for (ia, _, a_max), (ib, b_min, _) in zip(ranges, ranges[1:]):
+        if not a_max < b_min:
+            raise RuntimeError(
+                f"join-late staging order violated: file {ia} max {a_max} !< "
+                f"file {ib} min {b_min}"
+            )
+    # margin asserts: wm at the recent batch = max(on-time ts) - delay;
+    # the recent slice and its needed straddle partners must clear their
+    # thresholds by >= half the horizon (batch-timing-independent)
+    wm_end = ranges[-1][2] - datetime.timedelta(hours=_IJL_DELAY_H)
+    margin = datetime.timedelta(hours=_IJL_DELAY_H // 2)
+    if not recent_cut > wm_end + margin:
+        raise RuntimeError("join-late recent-slice margin violated")
+    if not ancient_cut < wm_end - margin:
+        raise RuntimeError("join-late ancient-slice margin violated")
+    _stage_cache[key] = out
+    return out
+
+
 def q_streaming_interval_join_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM interval join under a REAL watermark horizon — the
     19th replay and the join-shaped member of the real-horizon family
@@ -632,37 +728,39 @@ def q_streaming_interval_join_late_replay(spark: SparkSession, sf_dir: str) -> D
     proves the horizon on a windowed AGG; this entry proves it on the
     two-sided JOIN): clicks × same-user views within {lb}, BOTH sides
     watermarked at the real {d}-hour horizon, append mode, replayed
-    through real micro-batches over the late-staged file order (on-time
-    ts-ordered files → late-but-inside-horizon slice → beyond-horizon
-    slice → sentinel).
+    through real micro-batches over the join-late staged file order
+    (on-time ts-ordered files → last-{L}h late slice → beyond-horizon
+    slice).
 
     What the hash gate proves: (1) late-but-inside rows on EITHER side
-    still pair — including against partners from earlier batches whose
-    join state had to survive; Spark retains a view's state until the
-    watermark passes view_ts + lookback, and any click that clears the
-    late filter (click_ts ≥ wm) can only need views ≥ wm − lookback, so
-    absorbed rows find their full partner set by construction; (2)
-    beyond-horizon rows are dropped on INPUT on both sides — every pair
-    involving the ancient slice is absent, exactly the kept×kept batch
-    join the oracle states; (3) inner-join matches emit exactly once,
-    in the batch that finds them (no flush needed — the sentinel rides
-    along harmlessly, filtered by event_type). The staging's ≥3h margin
-    discipline dominates the ±{lb} the join condition adds to every
-    eviction threshold, so the emitted set is independent of Spark's
-    late-filter timing (same argument as the agg replay, widened by the
-    lookback).
+    still pair — INCLUDING against on-time partners from earlier
+    batches whose join state had to survive to meet them (the staged
+    parameters guarantee straddling pairs exist: the {lb} lookback
+    spans the late-slice boundary); Spark retains a view's state until
+    the watermark passes view_ts + lookback, and any click that clears
+    the input filter (click_ts ≥ wm) can only need views ≥ wm −
+    lookback, so absorbed rows find their FULL partner set by
+    construction — the emitted set cannot depend on eviction timing
+    (a view held one batch too long fails the join's time-range
+    predicate for every accepted click); (2) beyond-horizon rows are
+    dropped on INPUT on both sides — every pair involving the ancient
+    slice is absent, exactly the kept×kept batch join the oracle
+    states; (3) inner-join matches emit exactly once, in the batch
+    that finds them (no flush sentinel needed). The staging's ≥{m}h
+    margin discipline dominates every batch-timing ambiguity.
 
-    Scale shape: per-side state is O(horizon × arrival rate) — bounded
-    by the watermark + the join's two-sided time-range constraint
-    regardless of stream length, which is the entry's subject.""".format(
-        lb=CLICK_LOOKBACK, d=_LATE_DELAY_H
+    Scale shape: per-side state is O((horizon + lookback) × arrival
+    rate) — bounded by the watermark + the join's two-sided time-range
+    constraint regardless of stream length, which is the entry's
+    subject.""".format(
+        lb=IJL_LOOKBACK, d=_IJL_DELAY_H, L=_IJL_LATE_H, m=_IJL_DELAY_H // 2
     )
-    src = _stage_events_late(spark, sf_dir)
+    src = _stage_events_join_late(spark, sf_dir)
     result = _replay(
         spark,
         src,
         lambda s: interval_join_views_before_clicks(
-            s, lookback=CLICK_LOOKBACK, watermark=LATE_DELAY
+            s, lookback=IJL_LOOKBACK, watermark=IJL_DELAY
         ),
         mode="append",
     )
@@ -679,7 +777,7 @@ WITH base AS (
   SELECT MIN(ts) AS tmin FROM base
 ), kept AS (
   SELECT event_id, user_id, event_type, ts FROM base CROSS JOIN bounds
-  WHERE NOT (ts < tmin + INTERVAL {_LATE_ANCIENT_H} HOUR AND event_id % 2 = 0)
+  WHERE NOT (ts < tmin + INTERVAL {_IJL_ANCIENT_H} HOUR AND event_id % 2 = 0)
 )
 SELECT c.event_id AS click_event_id,
        c.user_id AS user_id,
@@ -690,7 +788,7 @@ FROM kept c JOIN kept v
   ON c.user_id = v.user_id
  AND c.event_type = 'click' AND v.event_type = 'view'
  AND v.ts <= c.ts
- AND v.ts >= c.ts - INTERVAL 30 MINUTE
+ AND v.ts >= c.ts - INTERVAL {_IJL_LOOKBACK_H} HOUR
 """
 
 
