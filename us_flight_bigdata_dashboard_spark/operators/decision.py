@@ -3217,7 +3217,217 @@ ORDER BY p_brand, stock_percentile
 """
 
 
+# ---------------------------------------------------------------------------
+# M/M/1 queueing metrics per supplier — round 11 wave
+# ---------------------------------------------------------------------------
+
+MM1_YEAR = 1997  # literal demand window
+MM1_MU_PER_DAY = 4.0  # literal service capacity: jobs/day per supplier
+MM1_DAYS = 365  # literal window length
+MM1_TOP = 20
+
+
+def q_queueing_mm1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M/M/1 steady-state queueing metrics per supplier — turn the {y}
+    order flow into the capacity-planning numbers an ops team actually
+    asks for: utilization ρ = λ/μ, expected queue length L_q =
+    ρ²/(1−ρ), expected wait W_q = L_q/λ (Little's law), for the {k}
+    most-utilized suppliers under the literal μ = {mu}/day service
+    capacity. The queueing complement of ``eoq_batch_sizing``
+    (inventory) and ``fill_rate_curve`` (service level): all three read
+    the same demand stream, each optimizing a different resource.
+
+    Exactness: λ = n_jobs/{d} is one exact-integer division; ρ, L_q,
+    W_q are one IEEE sequence on it; the M/M/1 formulas REQUIRE ρ < 1,
+    so an over-capacity supplier (ρ ≥ 1 — the queue diverges) emits
+    NULL metrics under an explicit guard rather than a negative queue
+    length (both engines). Ranking is (ρ, suppkey) — deterministic.
+
+    Scale shape: one fact-sized hash agg → per-supplier arithmetic →
+    a top-{k} TakeOrdered. No shuffle beyond the agg.""".format(
+        y=MM1_YEAR, mu=MM1_MU_PER_DAY, d=MM1_DAYS, k=MM1_TOP
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    jobs = (
+        lineitem.filter(F.year("l_shipdate") == MM1_YEAR)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_jobs"))
+    )
+    lam = F.col("n_jobs").cast("double") / F.lit(float(MM1_DAYS))
+    rho = lam / F.lit(MM1_MU_PER_DAY)
+    lq = rho * rho / (F.lit(1.0) - rho)
+    stable = rho < 1.0
+    return (
+        jobs.select(
+            "suppkey",
+            "n_jobs",
+            lam.alias("lambda_per_day"),
+            rho.alias("rho"),
+            F.when(stable, lq).alias("lq_jobs"),
+            F.when(stable, lq / lam).alias("wq_days"),
+        )
+        .orderBy(F.desc("rho"), F.asc("suppkey"))
+        .limit(MM1_TOP)
+    )
+
+
+_ORACLE_MM1 = f"""
+WITH jobs AS (
+  SELECT l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS n_jobs
+  FROM lineitem WHERE year(l_shipdate) = {MM1_YEAR}
+  GROUP BY 1
+), m AS (
+  SELECT suppkey, n_jobs,
+         CAST(n_jobs AS DOUBLE) / {float(MM1_DAYS)!r} AS lam
+  FROM jobs
+)
+SELECT suppkey, n_jobs,
+       lam AS lambda_per_day,
+       lam / {MM1_MU_PER_DAY!r} AS rho,
+       CASE WHEN lam / {MM1_MU_PER_DAY!r} < 1.0 THEN
+         (lam / {MM1_MU_PER_DAY!r}) * (lam / {MM1_MU_PER_DAY!r})
+           / (1.0 - lam / {MM1_MU_PER_DAY!r}) END AS lq_jobs,
+       CASE WHEN lam / {MM1_MU_PER_DAY!r} < 1.0 THEN
+         ((lam / {MM1_MU_PER_DAY!r}) * (lam / {MM1_MU_PER_DAY!r})
+           / (1.0 - lam / {MM1_MU_PER_DAY!r})) / lam END AS wq_days
+FROM m
+ORDER BY rho DESC, suppkey ASC
+LIMIT {MM1_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wagner-Whitin dynamic lot sizing — round 11 wave
+# ---------------------------------------------------------------------------
+
+WW_YEAR = 1997  # literal planning year
+WW_T = 12  # literal period count (months)
+WW_SETUP_CENTS = 50_000_00  # literal fixed order cost per setup
+WW_HOLD_CENTS = 25  # literal holding cost per unit-month, in cents
+
+
+def _ww_f_exprs():
+    """The Wagner-Whitin DP f₁..f_T as a NESTED LEAST expression tree
+    over the 78 c_{{j}}_{{t}} columns — the whole optimization is one
+    declarative SELECT on a 1-row frame, no loop, no collect."""
+    f = {0: None}  # f(0) = 0 — represented as absent addend
+    exprs = {}
+    for t in range(1, WW_T + 1):
+        cands = []
+        for j in range(1, t + 1):
+            c = F.col(f"c_{j}_{t}")
+            cands.append(c if f[j - 1] is None else f[j - 1] + c)
+        e = cands[0]
+        for c in cands[1:]:
+            e = F.least(e, c)
+        f[t] = e
+        exprs[t] = e
+    return exprs
+
+
+def q_wagner_whitin_lot_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wagner-Whitin dynamic lot sizing over the {y} monthly demand
+    (total line quantity per month): the OPTIMAL order schedule cost
+    under a fixed setup cost K plus linear holding cost h per
+    unit-month — the exact-DP answer that ``eoq_batch_sizing``'s
+    continuous approximation is benchmarked against (EOQ assumes
+    stationary demand; WW handles the actual seasonal profile, and
+    their gap prices the value of demand visibility).
+
+    Spark-first formulation: with T = {t} literal periods the DP
+    collapses to EXPRESSIONS — serving-run costs c(j,t) = K +
+    h·Σ_{{i=j..t}}(i−j)·dᵢ are a {p}-cell conditional-sum agg over the
+    zero-filled month frame (exact integer cents end-to-end), and the
+    Bellman recursion f(t) = min_{{j≤t}} f(j−1)+c(j,t) unrolls into one
+    nested LEAST tree on the 1-row cost frame — the entire optimizer
+    is a single declarative SELECT, no loop, no collect, bit-exact on
+    both engines (integer min). Scale shape: one fact-sized hash agg
+    to 12 rows; everything after is literal-domain arithmetic. A
+    large-T deployment swaps the unrolled tree for min-plus path
+    doubling (log₂T tiny self-joins) — the mechanics, not the
+    formulation, change.""".format(
+        y=WW_YEAR, t=WW_T, p=WW_T * (WW_T + 1) // 2
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        lineitem.filter(F.year("l_shipdate") == WW_YEAR)
+        .groupBy(F.month("l_shipdate").alias("t"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("d"))
+    )
+    spine = spark.range(1, WW_T + 1).select(F.col("id").cast("int").alias("t"))
+    dense = spine.join(monthly, "t", "left").select(
+        "t", F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("d")
+    )
+    cost_aggs = []
+    for j in range(1, WW_T + 1):
+        for t in range(j, WW_T + 1):
+            hold = F.sum(
+                F.when(
+                    (F.col("t") >= j) & (F.col("t") <= t),
+                    (F.col("t") - F.lit(j)).cast("long") * F.col("d"),
+                ).otherwise(F.lit(0))
+            )
+            cost_aggs.append(
+                (hold * F.lit(WW_HOLD_CENTS) + F.lit(WW_SETUP_CENTS))
+                .cast("long")
+                .alias(f"c_{j}_{t}")
+            )
+    costs = dense.agg(
+        F.sum("d").cast("long").alias("total_demand_qty"), *cost_aggs
+    )
+    f = _ww_f_exprs()
+    return costs.select(
+        F.lit(WW_T).cast("int").alias("n_periods"),
+        "total_demand_qty",
+        F.lit(WW_SETUP_CENTS).cast("long").alias("setup_cost_cents"),
+        F.lit(WW_HOLD_CENTS).cast("long").alias("holding_cents_per_unit_month"),
+        f[WW_T].cast("long").alias("optimal_cost_cents"),
+    )
+
+
+def _sql_wagner_whitin() -> str:
+    cost_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN t >= {j} AND t <= {t} THEN (t - {j}) * d ELSE 0 END)"
+        f" * {WW_HOLD_CENTS} + {WW_SETUP_CENTS} AS BIGINT) AS c_{j}_{t}"
+        for j in range(1, WW_T + 1)
+        for t in range(j, WW_T + 1)
+    )
+    f_sql = {0: None}
+    for t in range(1, WW_T + 1):
+        cands = []
+        for j in range(1, t + 1):
+            c = f"c_{j}_{t}"
+            cands.append(c if f_sql[j - 1] is None else f"({f_sql[j - 1]} + {c})")
+        e = cands[0]
+        for c in cands[1:]:
+            e = f"LEAST({e}, {c})"
+        f_sql[t] = e
+    return f"""
+WITH monthly AS (
+  SELECT month(l_shipdate) AS t, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem WHERE year(l_shipdate) = {WW_YEAR}
+  GROUP BY 1
+), spine AS (
+  SELECT CAST(UNNEST(range(1, {WW_T + 1})) AS INT) AS t
+), dense AS (
+  SELECT spine.t, CAST(COALESCE(monthly.d, 0) AS BIGINT) AS d
+  FROM spine LEFT JOIN monthly ON spine.t = monthly.t
+), costs AS (
+  SELECT CAST(SUM(d) AS BIGINT) AS total_demand_qty, {cost_cols}
+  FROM dense
+)
+SELECT CAST({WW_T} AS INT) AS n_periods,
+       total_demand_qty,
+       CAST({WW_SETUP_CENTS} AS BIGINT) AS setup_cost_cents,
+       CAST({WW_HOLD_CENTS} AS BIGINT) AS holding_cents_per_unit_month,
+       CAST({f_sql[WW_T]} AS BIGINT) AS optimal_cost_cents
+FROM costs
+"""
+
+
 QUERIES = {
+    "queueing_mm1_metrics": q_queueing_mm1_metrics,
+    "wagner_whitin_lot_sizing": q_wagner_whitin_lot_sizing,
     "eoq_batch_sizing": q_eoq_batch_sizing,
     "fill_rate_curve": q_fill_rate_curve,
     "pareto_skyline_suppliers": q_pareto_skyline_suppliers,
@@ -3262,6 +3472,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "queueing_mm1_metrics": _ORACLE_MM1,
+    "wagner_whitin_lot_sizing": _sql_wagner_whitin(),
     "eoq_batch_sizing": _ORACLE_EOQ,
     "fill_rate_curve": _ORACLE_FILL_RATE,
     "newsvendor_quantile": _ORACLE_NEWSVENDOR,

@@ -3271,7 +3271,311 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information value binning — round 11 wave
+# ---------------------------------------------------------------------------
+
+WOE_BINS = 10  # literal decile-bin count
+
+
+def q_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence profile of order value against fulfilment
+    (o_orderstatus = 'F'): the credit-scoring feature diagnostic — per
+    decile bin b, WOE_b = ln((g_b/G)/(b_b/B)) says how strongly that
+    value range separates the classes, and the per-bin information-
+    value contribution (g_b/G − b_b/B)·WOE_b sums to the IV feature-
+    strength score (the <0.02 useless / >0.3 strong rule of thumb).
+    The monotone-readable sibling of ``gini_split_gain`` (one best cut)
+    and ``model_gains_lift`` (score deciles on a fitted model): WOE
+    bins the RAW feature, no model needed.
+
+    Exactness: bins are the EXACT equal-count decile partition of the
+    distinct-value frame — bin(v) = ⌊{b}·t_v/N⌋ with t_v the
+    strictly-before pooled count (the krippendorff convention), so bin
+    membership is integer arithmetic; per-bin class counts are
+    integers, and each WOE/IV term is one IEEE ln/division sequence on
+    four exact integers. Degenerate guard: a bin with zero goods or
+    zero bads emits NULL woe/iv_contrib (both engines; the standard
+    smoothing-free treatment, documented).
+
+    Scale shape: one hash agg to the distinct-value frame, one
+    domain-sized cumulative window, one {b}-row agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderstatus") == "F", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("good"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("good").cast("long").alias("g"),
+            F.sum(F.lit(1) - F.col("good")).cast("long").alias("b"),
+        )
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = per_v.agg(
+        F.sum(F.col("g") + F.col("b")).cast("long").alias("n"),
+        F.sum("g").cast("long").alias("gt"),
+        F.sum("b").cast("long").alias("bt"),
+    )
+    binned = (
+        per_v.select(
+            "g",
+            "b",
+            F.coalesce(F.sum(F.col("g") + F.col("b")).over(w_prev), F.lit(0))
+            .cast("long")
+            .alias("t"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(F.lit(WOE_BINS) * F.col("t") / F.col("n"))
+            .cast("int")
+            .alias("bin"),
+            "g",
+            "b",
+            "gt",
+            "bt",
+        )
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("g").cast("long").alias("n_good"),
+        F.sum("b").cast("long").alias("n_bad"),
+        F.max("gt").alias("gt"),
+        F.max("bt").alias("bt"),
+    )
+    gd = F.col("n_good").cast("double")
+    bd = F.col("n_bad").cast("double")
+    gtd = F.col("gt").cast("double")
+    btd = F.col("bt").cast("double")
+    ok = (F.col("n_good") > 0) & (F.col("n_bad") > 0)
+    woe = F.log((gd / gtd) / (bd / btd))
+    iv_c = (gd / gtd - bd / btd) * woe
+    return (
+        per_bin.select(
+            "bin",
+            "n_good",
+            "n_bad",
+            F.when(ok, woe).alias("woe"),
+            F.when(ok, iv_c).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+_ORACLE_WOE_IV = f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS g,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(g + b) AS BIGINT) AS n,
+         CAST(SUM(g) AS BIGINT) AS gt, CAST(SUM(b) AS BIGINT) AS bt
+  FROM per_v
+), binned AS (
+  SELECT CAST({WOE_BINS} * COALESCE(SUM(g + b) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // n AS INT) AS bin,
+         g, b, gt, bt
+  FROM per_v CROSS JOIN tot
+), per_bin AS (
+  SELECT bin, CAST(SUM(g) AS BIGINT) AS n_good, CAST(SUM(b) AS BIGINT) AS n_bad,
+         MAX(gt) AS gt, MAX(bt) AS bt
+  FROM binned GROUP BY 1
+)
+SELECT bin, n_good, n_bad,
+       CASE WHEN n_good > 0 AND n_bad > 0 THEN
+         ln((CAST(n_good AS DOUBLE) / CAST(gt AS DOUBLE))
+            / (CAST(n_bad AS DOUBLE) / CAST(bt AS DOUBLE))) END AS woe,
+       CASE WHEN n_good > 0 AND n_bad > 0 THEN
+         (CAST(n_good AS DOUBLE) / CAST(gt AS DOUBLE)
+          - CAST(n_bad AS DOUBLE) / CAST(bt AS DOUBLE))
+         * ln((CAST(n_good AS DOUBLE) / CAST(gt AS DOUBLE))
+              / (CAST(n_bad AS DOUBLE) / CAST(bt AS DOUBLE))) END AS iv_contrib
+FROM per_bin
+ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Propensity-style covariate balance (standardized mean differences)
+# ---------------------------------------------------------------------------
+
+SMD_SEGMENT = "BUILDING"  # literal "treatment" segment
+SMD_BALANCE_THRESH = 0.1  # the |SMD| <= 0.1 balance rule of thumb — literal
+
+
+def q_propensity_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-balance table for the {seg}-segment "treatment" cohort:
+    the standardized mean difference SMD = (μ_t − μ_c)/√((s²_t +
+    s²_c)/2) per customer covariate (account balance, order count,
+    total spend) with the |SMD| ≤ {th} balance flag — the table every
+    observational study prints BEFORE trusting a between-cohort
+    comparison (``ab_srm_check`` validates assignment counts; this
+    validates assignment COMPOSITION; ``ab_cuped`` then adjusts).
+
+    Exactness: all three covariates are exact integers per customer
+    (cents, counts); per-group Σx and Σx² accumulate in DECIMAL(38,0)
+    (order-free; spend² reaches ~10²⁷ at 10⁹ customers), so means,
+    sample variances, and each SMD are one IEEE sequence on exact
+    integer moments. Degenerate guard: a zero pooled variance emits
+    NULL smd/flag.
+
+    Scale shape: one orders hash agg (the only fact-sized stage), one
+    broadcast-joined customer frame, a 1-row 14-column moment agg, a
+    3-row literal explode.""".format(seg=SMD_SEGMENT, th=SMD_BALANCE_THRESH)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+        (F.col("c_mktsegment") == SMD_SEGMENT).cast("int").alias("treat"),
+    )
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("spend_cents"),
+        )
+    )
+    base = cust.join(
+        per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left"
+    ).select(
+        "treat",
+        "bal_cents",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("spend_cents"), F.lit(0)).cast("long").alias("spend_cents"),
+    )
+    covs = ["bal_cents", "n_orders", "spend_cents"]
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    aggs = [
+        F.sum("treat").cast("long").alias("nt"),
+        F.sum(F.lit(1) - F.col("treat")).cast("long").alias("nc"),
+    ]
+    for c in covs:
+        x = F.col(c)
+        t = F.col("treat") == 1
+        aggs += [
+            F.sum(F.when(t, dec(x)).otherwise(F.lit(0).cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias(f"st_{c}"),
+            F.sum(F.when(t, dec(x) * dec(x)).otherwise(F.lit(0).cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias(f"st2_{c}"),
+            F.sum(F.when(~t, dec(x)).otherwise(F.lit(0).cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias(f"sc_{c}"),
+            F.sum(F.when(~t, dec(x) * dec(x)).otherwise(F.lit(0).cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias(f"sc2_{c}"),
+        ]
+    mom = base.agg(*aggs)
+    ntd = F.col("nt").cast("double")
+    ncd = F.col("nc").cast("double")
+    structs = []
+    for c in covs:
+        mt = F.col(f"st_{c}").cast("double") / ntd
+        mc = F.col(f"sc_{c}").cast("double") / ncd
+        vt = (
+            F.col(f"st2_{c}").cast("double")
+            - F.col(f"st_{c}").cast("double") * F.col(f"st_{c}").cast("double") / ntd
+        ) / (ntd - F.lit(1.0))
+        vc = (
+            F.col(f"sc2_{c}").cast("double")
+            - F.col(f"sc_{c}").cast("double") * F.col(f"sc_{c}").cast("double") / ncd
+        ) / (ncd - F.lit(1.0))
+        pooled = (vt + vc) / F.lit(2.0)
+        smd = (mt - mc) / F.sqrt(pooled)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("covariate"),
+                mt.alias("mean_treat"),
+                mc.alias("mean_ctrl"),
+                F.when(pooled > 0, smd).alias("smd"),
+                F.when(
+                    pooled > 0,
+                    (F.abs(smd) <= F.lit(SMD_BALANCE_THRESH)).cast("int"),
+                ).alias("balanced"),
+            )
+        )
+    return (
+        mom.select("nt", "nc", F.explode(F.array(*structs)).alias("p"))
+        .select(
+            F.col("p.covariate").alias("covariate"),
+            F.col("nt").alias("n_treat"),
+            F.col("nc").alias("n_ctrl"),
+            F.col("p.mean_treat").alias("mean_treat"),
+            F.col("p.mean_ctrl").alias("mean_ctrl"),
+            F.col("p.smd").alias("smd"),
+            F.col("p.balanced").alias("balanced"),
+        )
+        .orderBy("covariate")
+    )
+
+
+def _sql_smd_balance() -> str:
+    covs = ["bal_cents", "n_orders", "spend_cents"]
+    moments = ", ".join(
+        f"CAST(SUM(CASE WHEN treat = 1 THEN CAST({c} AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS st_{c},"
+        f" CAST(SUM(CASE WHEN treat = 1 THEN CAST({c} AS DECIMAL(38,0)) * CAST({c} AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS st2_{c},"
+        f" CAST(SUM(CASE WHEN treat = 0 THEN CAST({c} AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS sc_{c},"
+        f" CAST(SUM(CASE WHEN treat = 0 THEN CAST({c} AS DECIMAL(38,0)) * CAST({c} AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS sc2_{c}"
+        for c in covs
+    )
+
+    def arm(c):
+        mt = f"(CAST(st_{c} AS DOUBLE) / CAST(nt AS DOUBLE))"
+        mc = f"(CAST(sc_{c} AS DOUBLE) / CAST(nc AS DOUBLE))"
+        vt = (
+            f"((CAST(st2_{c} AS DOUBLE) - CAST(st_{c} AS DOUBLE) * CAST(st_{c} AS DOUBLE)"
+            f" / CAST(nt AS DOUBLE)) / (CAST(nt AS DOUBLE) - 1.0))"
+        )
+        vc = (
+            f"((CAST(sc2_{c} AS DOUBLE) - CAST(sc_{c} AS DOUBLE) * CAST(sc_{c} AS DOUBLE)"
+            f" / CAST(nc AS DOUBLE)) / (CAST(nc AS DOUBLE) - 1.0))"
+        )
+        pooled = f"(({vt} + {vc}) / 2.0)"
+        smd = f"(({mt} - {mc}) / sqrt({pooled}))"
+        return (
+            f"SELECT '{c}' AS covariate, nt AS n_treat, nc AS n_ctrl,"
+            f" {mt} AS mean_treat, {mc} AS mean_ctrl,"
+            f" CASE WHEN {pooled} > 0 THEN {smd} END AS smd,"
+            f" CAST(CASE WHEN {pooled} > 0 THEN"
+            f" CASE WHEN ABS({smd}) <= {SMD_BALANCE_THRESH} THEN 1 ELSE 0 END END AS INT)"
+            f" AS balanced FROM mom"
+        )
+
+    arms = " UNION ALL ".join(arm(c) for c in covs)
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS spend_cents
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT CASE WHEN c_mktsegment = '{SMD_SEGMENT}' THEN 1 ELSE 0 END AS treat,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+         CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+         CAST(COALESCE(spend_cents, 0) AS BIGINT) AS spend_cents
+  FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+), mom AS (
+  SELECT CAST(SUM(treat) AS BIGINT) AS nt,
+         CAST(SUM(1 - treat) AS BIGINT) AS nc,
+         {moments}
+  FROM base
+)
+{arms}
+ORDER BY covariate
+"""
+
+
 QUERIES = {
+    "woe_iv_binning": q_woe_iv_binning,
+    "propensity_smd_balance": q_propensity_smd_balance,
     "acf_lags": q_acf_lags,
     "conformal_interval": q_conformal_interval,
     "interrupted_time_series": q_interrupted_time_series,
@@ -3306,6 +3610,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "woe_iv_binning": _ORACLE_WOE_IV,
+    "propensity_smd_balance": _sql_smd_balance(),
     "acf_lags": _ORACLE_ACF,
     "conformal_interval": _ORACLE_CONFORMAL,
     "interrupted_time_series": _sql_its(),

@@ -5357,7 +5357,533 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Pettitt change-point test on the daily event count — round 11 wave
+# ---------------------------------------------------------------------------
+
+
+def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point test on the daily global event count: WHERE
+    does the level shift, without assuming when or by how much? The
+    rank-based single-changepoint locator — ``events_cusum_changepoint``
+    finds the break in MEAN (moment-based, outlier-sensitive); Pettitt
+    is its distribution-free twin, the hydrology/climatology standard
+    for "did this series break, and on what day".
+
+    Exact-integer formulation: with DOUBLED midranks dr (2·rank +
+    ties − 1 over the daily frame, the quade convention) the Pettitt
+    process is U_t = Σ_{i≤t} dr_i − t·(n+1) — INTEGER for every prefix
+    t (midrank mean is exactly (n+1)/2, so doubling clears the
+    half). K = max_{t<n} |U_t| is an integer max; the changepoint is
+    the FIRST day attaining it (deterministic min-day tiebreak); the
+    approximate significance p ≈ 2·exp(−6K²/(n³+n²)) is one IEEE
+    sequence on exact integers (documented asymptotic).
+
+    Scale shape: the scan collapses to the |days| frame; two
+    domain-sized windows (rank by value, prefix by day) + a 1-row agg."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w_rank = Window.orderBy("y")
+    w_ties = Window.partitionBy("y")
+    ranked = daily.select(
+        "day",
+        (F.lit(2) * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1)
+        .cast("long")
+        .alias("dr"),
+    )
+    w_day = Window.orderBy("day")
+    w_cum = w_day.rowsBetween(Window.unboundedPreceding, 0)
+    n_row = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    walked = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            "day",
+            "n",
+            (
+                F.sum("dr").over(w_cum)
+                - F.row_number().over(w_day).cast("long") * (F.col("n") + 1)
+            ).alias("u_t"),
+            F.row_number().over(w_day).alias("t"),
+        )
+        .filter(F.col("t") < F.col("n"))
+    )
+    agg = walked.agg(
+        F.max("n").alias("n_days"),
+        F.max(F.abs(F.col("u_t"))).cast("long").alias("k_stat"),
+    )
+    cp = (
+        walked.join(F.broadcast(agg), F.abs(F.col("u_t")) == F.col("k_stat"))
+        .agg(F.min("day").alias("changepoint_day"))
+    )
+    out = agg.crossJoin(F.broadcast(cp))
+    nd = F.col("n_days").cast("double")
+    kd = F.col("k_stat").cast("double")
+    p = F.lit(2.0) * F.exp(F.lit(-6.0) * kd * kd / (nd * nd * nd + nd * nd))
+    return out.select(
+        "n_days",
+        "k_stat",
+        "changepoint_day",
+        p.alias("p_approx"),
+        (p <= F.lit(0.05)).cast("int").alias("significant_5pct"),
+    )
+
+
+_ORACLE_PETTITT = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+), ranked AS (
+  SELECT day,
+         CAST(2 * RANK() OVER (ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS dr
+  FROM daily
+), walked AS (
+  SELECT day, n,
+         SUM(dr) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ROW_NUMBER() OVER (ORDER BY day) * (n + 1) AS u_t,
+         ROW_NUMBER() OVER (ORDER BY day) AS t
+  FROM ranked CROSS JOIN nn
+), lim AS (
+  SELECT * FROM walked WHERE t < n
+), agg AS (
+  SELECT MAX(n) AS n_days, CAST(MAX(ABS(u_t)) AS BIGINT) AS k_stat FROM lim
+), cp AS (
+  SELECT MIN(day) AS changepoint_day
+  FROM lim JOIN agg ON ABS(u_t) = k_stat
+)
+SELECT n_days, k_stat, changepoint_day,
+       2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)
+            / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+               + CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))) AS p_approx,
+       CAST(CASE WHEN 2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)
+            / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+               + CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))) <= 0.05
+            THEN 1 ELSE 0 END AS INT) AS significant_5pct
+FROM agg CROSS JOIN cp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cox-Stuart trend test — round 11 wave
+# ---------------------------------------------------------------------------
+
+CS_Z_CRIT = 1.959964  # two-sided 5% normal critical value — literal
+
+
+def q_cox_stuart_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart trend test on the daily event count: the sign-test
+    reduction of trend detection — pair day i with day i+⌈n/2⌉ and
+    count which half of the pairs rose. Maximally robust (only SIGNS of
+    half-series differences enter) and assumption-free where
+    ``mann_kendall_trend`` still needs the full pair lattice; the
+    classic quick test, and the two share no intermediate statistics,
+    so they cross-check each other on the same series.
+
+    Exactness: n_plus / n_minus are integer counts over the ⌊n/2⌋
+    disjoint pairs (ties dropped, the standard treatment — m' =
+    non-tied pairs); the continuity-corrected z = (|2·n_plus − m'| −
+    1)/√m' is one IEEE sequence on them, compared against the literal
+    normal 5% point. Degenerate guard: m' = 0 (all pairs tied) emits
+    NULL z/flag on both engines.
+
+    Scale shape: the scan collapses to the |days| frame; one
+    row_number window + one self-join on the literal ⌈n/2⌉ offset."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w_day = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(w_day).cast("long").alias("t"), "y"
+    )
+    n_row = idx.agg(F.max("t").alias("n"))
+    half = F.ceil(F.col("n").cast("double") / F.lit(2.0)).cast("long")
+    a = idx.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = idx.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    pairs = (
+        a.crossJoin(F.broadcast(n_row))
+        .withColumn("half", half)
+        .join(b, F.col("tb") == F.col("ta") + F.col("half"))
+    )
+    agg = pairs.agg(
+        F.max("n").alias("n_days"),
+        F.sum(F.when(F.col("yb") > F.col("ya"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_plus"),
+        F.sum(F.when(F.col("yb") < F.col("ya"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_minus"),
+    )
+    m = (F.col("n_plus") + F.col("n_minus")).cast("double")
+    z = (
+        F.abs(F.lit(2.0) * F.col("n_plus").cast("double") - m) - F.lit(1.0)
+    ) / F.sqrt(m)
+    z_g = F.when(m > 0, z)
+    return agg.select(
+        "n_days",
+        "n_plus",
+        "n_minus",
+        z_g.alias("z_stat"),
+        F.when(m > 0, (z > F.lit(CS_Z_CRIT)).cast("int")).alias(
+            "significant_5pct"
+        ),
+    )
+
+
+_ORACLE_COX_STUART = f"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, y FROM daily
+), nn AS (
+  SELECT CAST(MAX(t) AS BIGINT) AS n,
+         CAST(ceil(CAST(MAX(t) AS DOUBLE) / 2.0) AS BIGINT) AS half
+  FROM idx
+), pairs AS (
+  SELECT a.y AS ya, b.y AS yb, n
+  FROM idx a CROSS JOIN nn JOIN idx b ON b.t = a.t + half
+), agg AS (
+  SELECT MAX(n) AS n_days,
+         CAST(SUM(CASE WHEN yb > ya THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+         CAST(SUM(CASE WHEN yb < ya THEN 1 ELSE 0 END) AS BIGINT) AS n_minus
+  FROM pairs
+)
+SELECT n_days, n_plus, n_minus,
+       CASE WHEN n_plus + n_minus > 0 THEN
+         (ABS(2.0 * CAST(n_plus AS DOUBLE) - CAST(n_plus + n_minus AS DOUBLE)) - 1.0)
+           / sqrt(CAST(n_plus + n_minus AS DOUBLE)) END AS z_stat,
+       CAST(CASE WHEN n_plus + n_minus > 0 THEN
+         CASE WHEN (ABS(2.0 * CAST(n_plus AS DOUBLE) - CAST(n_plus + n_minus AS DOUBLE)) - 1.0)
+              / sqrt(CAST(n_plus + n_minus AS DOUBLE)) > {CS_Z_CRIT}
+              THEN 1 ELSE 0 END END AS INT) AS significant_5pct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bartels rank von Neumann randomness test — round 11 wave
+# ---------------------------------------------------------------------------
+
+BARTELS_Z_CRIT = 1.959964  # two-sided 5% normal critical value — literal
+
+
+def q_bartels_rank_vn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels rank von Neumann ratio on the daily event count: is the
+    series RANDOM, or does it carry serial structure? The rank version
+    of the von Neumann successive-difference test — the nonparametric
+    complement of ``runs_test`` (signs only) and ``durbin_watson``
+    (moment-based): RVN = Σ(r_t − r_{t+1})² / Σ(r_t − r̄)², small under
+    trend/persistence, large under oscillation, 2 under randomness.
+
+    Exact-integer formulation: with DOUBLED midranks dr the numerator
+    Σ(dr_t − dr_{t+1})² and denominator Σ(dr_t − (n+1))² are both
+    INTEGER sums (the midrank mean (n+1)/2 doubles to the integer
+    n+1), each 4× the classic value so the 4s cancel in the ratio —
+    ONE IEEE division, then the asymptotic z = (RVN − 2)/√(4/n)
+    against the literal normal 5% point (documented approximation; the
+    no-ties exact variance differs at O(1/n²)). Degenerate guard: a
+    constant series (denominator 0) emits NULL ratio/z/flag.
+
+    Scale shape: the scan collapses to the |days| frame; one rank
+    window + one lead window + a 1-row agg."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w_rank = Window.orderBy("y")
+    w_ties = Window.partitionBy("y")
+    ranked = daily.select(
+        "day",
+        (F.lit(2) * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1)
+        .cast("long")
+        .alias("dr"),
+    )
+    w_day = Window.orderBy("day")
+    n_row = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    seq = ranked.select(
+        "dr", F.lead("dr").over(w_day).alias("dr_next")
+    ).crossJoin(F.broadcast(n_row))
+    agg = seq.agg(
+        F.max("n").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("dr_next").isNotNull(),
+                (F.col("dr") - F.col("dr_next")) * (F.col("dr") - F.col("dr_next")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("num4"),
+        F.sum(
+            (F.col("dr") - (F.col("n") + 1)) * (F.col("dr") - (F.col("n") + 1))
+        )
+        .cast("long")
+        .alias("den4"),
+    )
+    rvn = F.col("num4").cast("double") / F.col("den4").cast("double")
+    nd = F.col("n_days").cast("double")
+    z = (rvn - F.lit(2.0)) / F.sqrt(F.lit(4.0) / nd)
+    ok = F.col("den4") > 0
+    return agg.select(
+        "n_days",
+        "num4",
+        "den4",
+        F.when(ok, rvn).alias("rvn_stat"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, (F.abs(z) > F.lit(BARTELS_Z_CRIT)).cast("int")).alias(
+            "significant_5pct"
+        ),
+    )
+
+
+_ORACLE_BARTELS = f"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+), ranked AS (
+  SELECT day,
+         CAST(2 * RANK() OVER (ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS dr
+  FROM daily
+), seq AS (
+  SELECT dr, LEAD(dr) OVER (ORDER BY day) AS dr_next, n
+  FROM ranked CROSS JOIN nn
+), agg AS (
+  SELECT MAX(n) AS n_days,
+         CAST(SUM(CASE WHEN dr_next IS NOT NULL
+                       THEN (dr - dr_next) * (dr - dr_next) ELSE 0 END) AS BIGINT) AS num4,
+         CAST(SUM((dr - (n + 1)) * (dr - (n + 1))) AS BIGINT) AS den4
+  FROM seq
+)
+SELECT n_days, num4, den4,
+       CASE WHEN den4 > 0 THEN CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) END AS rvn_stat,
+       CASE WHEN den4 > 0 THEN
+         (CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) - 2.0)
+           / sqrt(4.0 / CAST(n_days AS DOUBLE)) END AS z_stat,
+       CAST(CASE WHEN den4 > 0 THEN
+         CASE WHEN ABS((CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) - 2.0)
+              / sqrt(4.0 / CAST(n_days AS DOUBLE))) > {BARTELS_Z_CRIT}
+              THEN 1 ELSE 0 END END AS INT) AS significant_5pct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis — round 11 wave
+# ---------------------------------------------------------------------------
+
+HURST_BLOCKS = [16, 32, 64, 128]  # literal block-size ladder (hours)
+
+
+def q_events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-count series by classic
+    rescaled-range (R/S) analysis — long-range dependence in one
+    number: H ≈ 0.5 memoryless, H > 0.5 persistent (bursts beget
+    bursts — capacity planning must overprovision), H < 0.5
+    anti-persistent. The fractal complement of ``events_burstiness``
+    (single-scale) and ``acf_lags`` (fixed lags): R/S grows like m^H
+    across block sizes, so the exponent reads off a 4-point log-log
+    slope over the literal ladder {bl}.
+
+    Determinism: the hourly series is ZERO-FILLED over the dense
+    min..max hour spine (gaps are real zeros of a count series). Per
+    block of size m, the rescaled range uses the EXACT integer bridge
+    m·W_j = m·prefix_j − j·S_block (prefix sums of integer counts), so
+    R = (max−min)/m and the population σ are one IEEE sequence per
+    block on exact integers; blocks with σ = 0 are dropped (guard,
+    both engines); per-m means are floor-quantized sums (scale 9);
+    the slope is a closed-form 4-point OLS on ln(m), ln(R/S̄).
+
+    Scale shape: the one data-sized stage is the hourly hash agg; the
+    spine, the ×4 block explode, the per-block windows, and the OLS
+    all run on the ~10³-row hourly grid (domain-sized). At 100 TB the
+    ladder extends upward (more octaves), not the mechanics."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    h = (F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("bigint")
+    counts = events.groupBy(h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bounds = counts.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    dense = (
+        spine.join(counts, "h", "left")
+        .select("h", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("x"))
+    )
+    w_t = Window.orderBy("h")
+    idx = dense.select(
+        (F.row_number().over(w_t) - 1).cast("long").alias("t"), "x"
+    )
+    arms = idx.select(
+        "t",
+        "x",
+        F.explode(F.array(*[F.lit(m) for m in HURST_BLOCKS])).alias("m"),
+    ).select(
+        "m",
+        F.floor(F.col("t") / F.col("m")).cast("long").alias("blk"),
+        (F.col("t") % F.col("m") + 1).cast("long").alias("j"),
+        "x",
+    )
+    w_blk = (
+        Window.partitionBy("m", "blk")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = arms.select(
+        "m",
+        "blk",
+        "j",
+        "x",
+        F.sum("x").over(w_blk).alias("prefix"),
+    )
+    blk_tot = arms.groupBy("m", "blk").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    bridged = pref.join(blk_tot, ["m", "blk"]).select(
+        "m",
+        "blk",
+        "len",
+        "s",
+        "s2",
+        (F.col("m") * F.col("prefix") - F.col("j") * F.col("s")).alias("mw"),
+    )
+    per_block = bridged.groupBy("m", "blk").agg(
+        F.max("len").alias("len"),
+        F.max("s").alias("s"),
+        F.max("s2").alias("s2"),
+        F.max("mw").cast("long").alias("mw_max"),
+        F.min("mw").cast("long").alias("mw_min"),
+    )
+    md = F.col("m").cast("double")
+    r = (
+        F.greatest(F.col("mw_max"), F.lit(0).cast("long"))
+        - F.least(F.col("mw_min"), F.lit(0).cast("long"))
+    ).cast("double") / md
+    var_p = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / md
+    ) / md
+    sd = F.sqrt(var_p)
+    rs = r / sd
+    per_m = (
+        per_block.filter((F.col("len") == F.col("m")) & (F.col("s2") * F.col("m") > F.col("s") * F.col("s")))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            fsum(rs, scale=9).alias("rs_sum"),
+        )
+        .select(
+            "m",
+            "n_blocks",
+            (F.col("rs_sum") / F.col("n_blocks").cast("double")).alias("rs_mean"),
+        )
+    )
+    # closed-form 4-point OLS of ln(rs_mean) on ln(m) over the literal ladder
+    wide = per_m.groupBy().pivot("m", HURST_BLOCKS).agg(F.first("rs_mean"))
+    n_pts = F.lit(float(len(HURST_BLOCKS)))
+    lx = [math.log(float(m)) for m in HURST_BLOCKS]
+    mean_lx = sum(lx) / len(lx)
+    sxx = sum((v - mean_lx) ** 2 for v in lx)
+    ly = [F.log(F.col(str(m))) for m in HURST_BLOCKS]
+    mean_ly = ly[0]
+    for c in ly[1:]:
+        mean_ly = mean_ly + c
+    mean_ly = mean_ly / n_pts
+    sxy = None
+    for v, c in zip(lx, ly):
+        term = F.lit(v - mean_lx) * (c - mean_ly)
+        sxy = term if sxy is None else sxy + term
+    hurst = sxy / F.lit(sxx)
+    return wide.select(
+        *[F.col(str(m)).alias(f"rs_{m}") for m in HURST_BLOCKS],
+        hurst.alias("hurst_exponent"),
+    )
+
+
+def _sql_hurst() -> str:
+    lx = [math.log(float(m)) for m in HURST_BLOCKS]
+    mean_lx = sum(lx) / len(lx)
+    sxx = sum((v - mean_lx) ** 2 for v in lx)
+    n = len(HURST_BLOCKS)
+    mean_ly = "((" + " + ".join(f"ln(rs_{m})" for m in HURST_BLOCKS) + f") / {float(n)!r})"
+    sxy = " + ".join(
+        f"({v - mean_lx!r} * (ln(rs_{m}) - {mean_ly}))"
+        for v, m in zip(lx, HURST_BLOCKS)
+    )
+    arms = " UNION ALL ".join(f"SELECT {m} AS m" for m in HURST_BLOCKS)
+    pivot_cols = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN rs_mean END) AS rs_{m}" for m in HURST_BLOCKS
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), bounds AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts
+), spine AS (
+  SELECT UNNEST(range(h0, h1 + 1)) AS h FROM bounds
+), dense AS (
+  SELECT spine.h, CAST(COALESCE(counts.c, 0) AS BIGINT) AS x
+  FROM spine LEFT JOIN counts ON spine.h = counts.h
+), idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS t, x FROM dense
+), arms AS (
+  SELECT m, t // m AS blk, t % m + 1 AS j, x
+  FROM idx CROSS JOIN ({arms})
+), pref AS (
+  SELECT m, blk, j, x,
+         SUM(x) OVER (PARTITION BY m, blk ORDER BY j
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+  FROM arms
+), blk_tot AS (
+  SELECT m, blk, CAST(COUNT(*) AS BIGINT) AS len,
+         CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM arms GROUP BY 1, 2
+), bridged AS (
+  SELECT pref.m, pref.blk, len, s, s2,
+         pref.m * prefix - j * s AS mw
+  FROM pref JOIN blk_tot ON pref.m = blk_tot.m AND pref.blk = blk_tot.blk
+), per_block AS (
+  SELECT m, blk, MAX(len) AS len, MAX(s) AS s, MAX(s2) AS s2,
+         CAST(MAX(mw) AS BIGINT) AS mw_max, CAST(MIN(mw) AS BIGINT) AS mw_min
+  FROM bridged GROUP BY 1, 2
+), per_m AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         {sql_fsum("(CAST(GREATEST(mw_max, 0) - LEAST(mw_min, 0) AS DOUBLE) / CAST(m AS DOUBLE)) / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(m AS DOUBLE)) / CAST(m AS DOUBLE))", scale=9)} AS rs_sum
+  FROM per_block
+  WHERE len = m AND s2 * m > s * s
+  GROUP BY 1
+), means AS (
+  SELECT m, rs_sum / CAST(n_blocks AS DOUBLE) AS rs_mean FROM per_m
+), wide AS (
+  SELECT {pivot_cols} FROM means
+)
+SELECT rs_16, rs_32, rs_64, rs_128,
+       ({sxy}) / {sxx!r} AS hurst_exponent
+FROM wide
+"""
+
+
 QUERIES = {
+    "pettitt_changepoint": q_pettitt_changepoint,
+    "cox_stuart_trend": q_cox_stuart_trend,
+    "bartels_rank_vn": q_bartels_rank_vn,
+    "events_hurst_rs": q_events_hurst_rs,
     "events_page_hinkley": q_events_page_hinkley,
     "events_halflife_score": q_events_halflife_score,
     "events_interval_coverage": q_events_interval_coverage,
@@ -5417,6 +5943,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pettitt_changepoint": _ORACLE_PETTITT,
+    "cox_stuart_trend": _ORACLE_COX_STUART,
+    "bartels_rank_vn": _ORACLE_BARTELS,
+    "events_hurst_rs": _sql_hurst(),
     "events_page_hinkley": _ORACLE_PAGE_HINKLEY,
     "events_interval_coverage": _ORACLE_INTERVAL_COVERAGE,
     "events_halflife_score": _ORACLE_HALFLIFE,

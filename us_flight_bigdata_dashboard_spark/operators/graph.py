@@ -2090,6 +2090,95 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(RA_TOP)
 
 
+AA_FP = 10**12  # fixed-point scale for the 1/ln(deg) weights
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the customer–supplier bipartite
+    graph: AA(a,b) = Σ over common customers z of 1/ln(deg(z)) — the
+    CLASSIC hub-discounting weight, completing the link-prediction
+    ladder (``graph_link_prediction`` unweighted, ``graph_resource_
+    allocation`` 1/deg, this entry 1/ln deg — the literature's default
+    and the gentlest discount, so high-degree shared customers still
+    count where RA zeroes them out).
+
+    Determinism: deg(z) ≥ 2 for any common neighbor (it touches both
+    endpoints), so ln(deg) ≥ ln 2 > 0; the weight is FIXED-POINT
+    floor({fp}/ln(deg)) — ln of an integer is one IEEE call both
+    engines evaluate identically (the module's single-op rule), the
+    floor clears representation drift, and the pair agg sums INTEGERS
+    order-free; the only float is the final /{fp} rescale.
+
+    Scale shape: identical to ``graph_resource_allocation`` — pairs
+    explode inline from each customer's capped sorted supplier array,
+    one (supp_a, supp_b) hash agg, cap mirrored in the oracle.""".format(
+        fp=AA_FP
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    capped = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("supps"))
+        .filter(F.size("supps") <= SUPPS_PER_CUST_CAP)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(supps, (x, i) -> "
+        "transform(slice(supps, i + 2, size(supps)), "
+        "y -> struct(x AS supp_a, y AS supp_b))))"
+    )
+    weighted = capped.filter(F.size("supps") >= 2).select(
+        F.explode(pair_expr).alias("p"),
+        F.floor(
+            F.lit(float(AA_FP)) / F.log(F.size("supps").cast("double"))
+        )
+        .cast("long")
+        .alias("w_fp"),
+    )
+    scored = (
+        weighted.select("p.supp_a", "p.supp_b", "w_fp")
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_custs"),
+            F.sum("w_fp").cast("long").alias("aa_fp"),
+        )
+    )
+    return scored.select(
+        "supp_a",
+        "supp_b",
+        "common_custs",
+        (F.col("aa_fp").cast("double") / F.lit(float(AA_FP))).alias("aa_score"),
+    ).orderBy(
+        F.desc("aa_fp"), F.asc("supp_a"), F.asc("supp_b")
+    ).limit(RA_TOP)
+
+
+_ORACLE_ADAMIC_ADAR = f"""
+WITH cs_raw AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), sized AS (
+  SELECT cust, supp, COUNT(*) OVER (PARTITION BY cust) AS k
+  FROM cs_raw
+), cs AS (
+  SELECT cust, supp,
+         CAST(FLOOR({float(AA_FP)!r} / ln(CAST(k AS DOUBLE))) AS BIGINT) AS w_fp
+  FROM sized WHERE k <= {SUPPS_PER_CUST_CAP} AND k >= 2
+), pairs AS (
+  SELECT a.supp AS supp_a, b.supp AS supp_b,
+         CAST(COUNT(*) AS BIGINT) AS common_custs,
+         CAST(SUM(a.w_fp) AS BIGINT) AS aa_fp
+  FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY 1, 2
+)
+SELECT supp_a, supp_b, common_custs,
+       CAST(aa_fp AS DOUBLE) / {float(AA_FP)!r} AS aa_score
+FROM pairs
+ORDER BY aa_fp DESC, supp_a ASC, supp_b ASC
+LIMIT {RA_TOP}
+"""
+
+
 _ORACLE_RESOURCE_ALLOCATION = f"""
 WITH cs_raw AS (
   SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
@@ -2307,6 +2396,7 @@ QUERIES = {
     "graph_hits": q_graph_hits,
     "graph_ppr_seeded": q_graph_ppr_seeded,
     "graph_resource_allocation": q_graph_resource_allocation,
+    "graph_adamic_adar": q_graph_adamic_adar,
     "graph_hyperball": q_graph_hyperball,
 }
 
@@ -2330,5 +2420,6 @@ ORACLE = {
     "graph_hits": _sql_hits(),
     "graph_ppr_seeded": _sql_ppr(),
     "graph_resource_allocation": _ORACLE_RESOURCE_ALLOCATION,
+    "graph_adamic_adar": _ORACLE_ADAMIC_ADAR,
     "graph_hyperball": _sql_hyperball(),
 }

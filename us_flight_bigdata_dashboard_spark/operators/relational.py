@@ -1930,7 +1930,77 @@ ORDER BY n_name, measure
 """
 
 
+# ---------------------------------------------------------------------------
+# RANGE BETWEEN INTERVAL window frame — round 11 wave
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day per-customer order intensity through the
+    TIME-BASED window frame — ``RANGE BETWEEN INTERVAL '7' DAY
+    PRECEDING AND CURRENT ROW`` ordered by a DATE column — the engine
+    surface every sessionized-metrics SQL port leans on and the one
+    frame kind no other entry pins (ROWS frames: many;
+    GROUPS-equivalent cumulative: the ECDF family; time-RANGE: only
+    here). A ROWS frame counts rows; the RANGE INTERVAL frame counts
+    TIME, so order-date ties are peer rows (all included —
+    deterministic by construction, no tiebreak needed) and gaps in
+    the calendar shrink the window's row content.
+
+    The entry aggregates the per-order trailing counts into their
+    distribution (how many orders sat in a week that already held k
+    orders from the same customer — a burstiness fingerprint), so the
+    gate hashes every row's frame result while the output stays
+    domain-sized. Cents sums are exact integers end-to-end.
+
+    Scale shape: one partitioned time-ordered window over the fact
+    table (state bounded by the 7-day horizon per customer), one small
+    hash agg. Reference analog: none (engine addition, SURVEY.md
+    §2.7)."""
+    from us_flight_bigdata_dashboard_spark.sources.catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(_SPARK_SQL_ROLLING)
+
+
+_SPARK_SQL_ROLLING = """
+WITH rolled AS (
+  SELECT CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+           AS trailing_cents
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW)
+)
+SELECT trailing_n,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(trailing_cents) AS BIGINT) AS sum_trailing_cents
+FROM rolled
+GROUP BY trailing_n
+ORDER BY trailing_n
+"""
+
+
+_ORACLE_ROLLING = """
+WITH rolled AS (
+  SELECT CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+           AS trailing_cents
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+)
+SELECT trailing_n,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(trailing_cents) AS BIGINT) AS sum_trailing_cents
+FROM rolled
+GROUP BY trailing_n
+ORDER BY trailing_n
+"""
+
+
 QUERIES = {
+    "rolling_interval_window": q_rolling_interval_window,
     "recursive_cte_drain": q_recursive_cte_drain,
     "sql_pivot_interface": q_sql_pivot_interface,
     "sql_unpivot_interface": q_sql_unpivot_interface,
@@ -1975,6 +2045,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "rolling_interval_window": _ORACLE_ROLLING,
     "recursive_cte_drain": _ORACLE_RECURSIVE_DRAIN,
     "sql_pivot_interface": _ORACLE_SQL_PIVOT,
     "sql_unpivot_interface": _ORACLE_SQL_UNPIVOT,

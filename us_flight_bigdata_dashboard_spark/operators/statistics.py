@@ -3708,7 +3708,353 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# Kuiper two-sample test — round 11 wave
+# ---------------------------------------------------------------------------
+
+KUIPER_CRIT_5PCT = 1.747  # asymptotic upper 5% point of V·sqrt(ne) — literal
+
+
+def q_kuiper_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kuiper test on order value (urgent vs the rest) —
+    the CYCLIC-SENSITIVE sibling of ``ks_two_sample``: V = D⁺ + D⁻ sums
+    the one-sided suprema instead of taking their max, giving equal
+    power in both tails and at the distribution's "ends" (KS is
+    notoriously weak where the ECDFs re-cross; Kuiper is the standard
+    repair, and THE test for circular/periodic data).
+
+    Exact-integer formulation on the shared KS frame: cumulative
+    per-group counts a₁,a₂ over distinct values, D⁺_num = max(a₁n₂ −
+    a₂n₁), D⁻_num = max(a₂n₁ − a₁n₂) — both INTEGER maxima (≥ 0 since
+    the difference ends at 0), V = (D⁺_num + D⁻_num)/(n₁n₂) one IEEE
+    division. Significance compares V·√(n₁n₂/N) against the literal
+    asymptotic 5% point (documented: no small-sample correction).
+
+    Scale shape: identical to ``ks_two_sample`` — one hash agg, one
+    domain-sized cumulative window, a 1-row max; products in
+    DECIMAL(38,0) once n₁·n₂ nears 2⁶³."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("c1").over(w).alias("a1"),
+        F.sum("c2").over(w).alias("a2"),
+    )
+    tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    diff = F.col("a1").cast("decimal(38,0)") * F.col("n2").cast(
+        "decimal(38,0)"
+    ) - F.col("a2").cast("decimal(38,0)") * F.col("n1").cast("decimal(38,0)")
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.greatest(F.max(diff), F.lit(0).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("dplus_num"),
+            F.greatest(F.max(-diff), F.lit(0).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("dminus_num"),
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    v_stat = (F.col("dplus_num") + F.col("dminus_num")).cast("double") / (n1d * n2d)
+    v_scaled = v_stat * F.sqrt(n1d * n2d / (n1d + n2d))
+    return agg.select(
+        "n1",
+        "n2",
+        "dplus_num",
+        "dminus_num",
+        v_stat.alias("v_stat"),
+        (v_scaled > F.lit(KUIPER_CRIT_5PCT)).cast("int").alias("significant_5pct"),
+    )
+
+
+_ORACLE_KUIPER = f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 0 ELSE 1 END) AS c2
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1,
+         SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a2
+  FROM per_v
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM per_v
+), agg AS (
+  SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+         GREATEST(MAX(CAST(a1 AS DECIMAL(38,0)) * n2 - CAST(a2 AS DECIMAL(38,0)) * n1), 0) AS dplus_num,
+         GREATEST(MAX(CAST(a2 AS DECIMAL(38,0)) * n1 - CAST(a1 AS DECIMAL(38,0)) * n2), 0) AS dminus_num
+  FROM cum CROSS JOIN tot
+)
+SELECT n1, n2,
+       CAST(dplus_num AS BIGINT) AS dplus_num,
+       CAST(dminus_num AS BIGINT) AS dminus_num,
+       CAST(dplus_num + dminus_num AS DOUBLE)
+         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS v_stat,
+       CAST(CASE WHEN CAST(dplus_num + dminus_num AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                      * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                      > {KUIPER_CRIT_5PCT} THEN 1 ELSE 0 END AS INT)
+         AS significant_5pct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1-Wasserstein (earth-mover) two-sample distance — round 11 wave
+# ---------------------------------------------------------------------------
+
+
+def q_wasserstein_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between the urgent and
+    non-urgent order-value distributions — the two-sample family's
+    MAGNITUDE member: KS/Kuiper/CvM measure how far the ECDFs separate
+    VERTICALLY (probability), W₁ = ∫|F₁−F₂| dv measures how much VALUE
+    must move to morph one distribution into the other — the natural
+    "how many dollars apart are these cohorts" number, and the metric
+    modern distribution-shift monitoring reports.
+
+    Exact-integer formulation: on the distinct-value frame, the ECDF
+    gap between consecutive values v→next(v) is constant, so W₁ =
+    Σ_v |a₁n₂ − a₂n₁| · gap_cents / (n₁·n₂·100) with gap_cents =
+    round(100·next(v)) − round(100·v) — every product INTEGER in
+    DECIMAL(38,0) (|a₁n₂−a₂n₁| ≤ n₁n₂ ~ 10¹⁸ at 10⁹/side, × 10⁷-cent
+    gaps under the 10³⁸ cap), summed order-free; ONE IEEE division at
+    the end. No quantized float sum needed — the integral is exact.
+
+    Scale shape: one hash agg → one domain-sized window (cumulative +
+    lead) → a 1-row agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_lead = Window.orderBy("v")
+    cum = per_v.select(
+        F.round(F.col("v") * 100, 0).cast("long").alias("cents"),
+        F.sum("c1").over(w).alias("a1"),
+        F.sum("c2").over(w).alias("a2"),
+    ).select(
+        (F.lead("cents").over(Window.orderBy("cents")) - F.col("cents")).alias(
+            "gap_cents"
+        ),
+        "a1",
+        "a2",
+    )
+    tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    term = (
+        F.abs(dec(F.col("a1")) * dec(F.col("n2")) - dec(F.col("a2")) * dec(F.col("n1")))
+        * dec(F.col("gap_cents"))
+    )
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("gap_cents").isNotNull())
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.sum(term).cast("decimal(38,0)").alias("w1_num"),
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        (
+            F.col("w1_num").cast("double")
+            / (
+                F.col("n1").cast("double")
+                * F.col("n2").cast("double")
+                * F.lit(100.0)
+            )
+        ).alias("w1_distance"),
+    )
+
+
+_ORACLE_WASSERSTEIN = f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 0 ELSE 1 END) AS c2
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT CAST(round(v * 100, 0) AS BIGINT) AS cents,
+         SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1,
+         SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a2
+  FROM per_v
+), gapped AS (
+  SELECT LEAD(cents) OVER (ORDER BY cents) - cents AS gap_cents, a1, a2
+  FROM cum
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM per_v
+), agg AS (
+  SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+         CAST(SUM(ABS(CAST(a1 AS DECIMAL(38,0)) * n2 - CAST(a2 AS DECIMAL(38,0)) * n1)
+                  * CAST(gap_cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS w1_num
+  FROM gapped CROSS JOIN tot
+  WHERE gap_cents IS NOT NULL
+)
+SELECT n1, n2,
+       CAST(w1_num AS DOUBLE)
+         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 100.0) AS w1_distance
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q-Q decile shift — round 11 wave
+# ---------------------------------------------------------------------------
+
+_QQ_DECILES = list(range(1, 10))  # literal decile domain
+
+
+def q_qq_shift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-treatment-effect profile: the urgent-vs-rest order-value
+    shift AT EACH DECILE — where in the distribution the cohorts
+    actually differ (a mean shift, a tail effect, or a uniform
+    translation all look identical to ``welch_ttest``; the Q-Q profile
+    separates them, the standard first look in distributional
+    treatment-effect analysis).
+
+    Exactness: each group quantile is the EXACT type-1 lower quantile —
+    the smallest value whose inclusive cumulative count reaches
+    ⌈d·n/10⌉, found by the INTEGER comparison a·10 ≥ d·n on the
+    distinct-value frame (no interpolation, no floats; the mood-median
+    convention). The 9×2 quantiles are a FIXED 18-expression
+    conditional-min agg; shifts are integer cent differences.
+
+    Scale shape: one hash agg → one domain-sized cumulative window →
+    a 1-row agg → a 9-row literal explode."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "cents",
+        F.sum("c1").over(w).alias("a1"),
+        F.sum("c2").over(w).alias("a2"),
+    )
+    tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    j = cum.crossJoin(F.broadcast(tot))
+    agg = j.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        *[
+            F.min(
+                F.when(F.col("a1") * 10 >= F.lit(d) * F.col("n1"), F.col("cents"))
+            ).alias(f"q1_{d}")
+            for d in _QQ_DECILES
+        ],
+        *[
+            F.min(
+                F.when(F.col("a2") * 10 >= F.lit(d) * F.col("n2"), F.col("cents"))
+            ).alias(f"q2_{d}")
+            for d in _QQ_DECILES
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("decile"),
+                F.col(f"q1_{d}").cast("long").alias("q_urgent_cents"),
+                F.col(f"q2_{d}").cast("long").alias("q_rest_cents"),
+            )
+            for d in _QQ_DECILES
+        ]
+    )
+    return (
+        agg.select("n1", "n2", F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.decile").alias("decile"),
+            F.col("p.q_urgent_cents").alias("q_urgent_cents"),
+            F.col("p.q_rest_cents").alias("q_rest_cents"),
+            (F.col("p.q_urgent_cents") - F.col("p.q_rest_cents")).alias(
+                "shift_cents"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+def _sql_qq_shift() -> str:
+    q1 = ", ".join(
+        f"MIN(CASE WHEN a1 * 10 >= {d} * n1 THEN cents END) AS q1_{d}"
+        for d in _QQ_DECILES
+    )
+    q2 = ", ".join(
+        f"MIN(CASE WHEN a2 * 10 >= {d} * n2 THEN cents END) AS q2_{d}"
+        for d in _QQ_DECILES
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {d} AS decile, q1_{d} AS qu, q2_{d} AS qr FROM agg"
+        for d in _QQ_DECILES
+    )
+    return f"""
+WITH per_v AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 0 ELSE 1 END) AS c2
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT cents,
+         SUM(c1) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1,
+         SUM(c2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a2
+  FROM per_v
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM per_v
+), agg AS (
+  SELECT {q1}, {q2}
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(qu AS BIGINT) AS q_urgent_cents,
+       CAST(qr AS BIGINT) AS q_rest_cents,
+       CAST(qu - qr AS BIGINT) AS shift_cents
+FROM ({rows})
+ORDER BY decile
+"""
+
+
 QUERIES = {
+    "kuiper_two_sample": q_kuiper_two_sample,
+    "wasserstein_two_sample": q_wasserstein_two_sample,
+    "qq_shift_deciles": q_qq_shift_deciles,
     "ansari_bradley_scale": q_ansari_bradley_scale,
     "partial_correlation": q_partial_correlation,
     "jarque_bera_normality": q_jarque_bera_normality,
@@ -3746,6 +4092,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "kuiper_two_sample": _ORACLE_KUIPER,
+    "wasserstein_two_sample": _ORACLE_WASSERSTEIN,
+    "qq_shift_deciles": _sql_qq_shift(),
     "ansari_bradley_scale": _sql_ansari_bradley(),
     "partial_correlation": _sql_partial_correlation(),
     "jarque_bera_normality": _sql_jarque_bera(),
