@@ -31,6 +31,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     jpeg_codec,
     mjpeg_codec,
     pframe_codec,
+    qoi_codec,
     layout,
     multimodal,
     mutation,
@@ -66,6 +67,7 @@ _MODULES = [
     g711_codec,
     adpcm_codec,
     pframe_codec,
+    qoi_codec,
     advanced,
     breadth,
     mutation,
