@@ -200,6 +200,16 @@ HEADLINE = [
     "streaming_late_data_replay",
     "jonckheere_terpstra",
     "multimodal_bmp_decode",
+    # round-11: the heaviest new path classes — the real-horizon
+    # stream-stream interval join (two-sided watermarked state through
+    # 6 staged micro-batches), the 11th codec (QOI stateful op-stream
+    # per-media encode+decode), the R/S ladder (4-octave block windows
+    # over the dense hourly spine), and the time-RANGE window frame over
+    # the fact table (per-customer 7-day interval state)
+    "streaming_interval_join_late_replay",
+    "multimodal_qoi_decode",
+    "events_hurst_rs",
+    "rolling_interval_window",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

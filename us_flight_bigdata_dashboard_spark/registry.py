@@ -112,9 +112,18 @@ _MODULES = [
 # quantile_normalize_deciles) + the sentinels
 # `tools/rotate_prefix.py --sentinels` reports at r12 start (15 at r10
 # close; graph_hits joins them -- its per-iteration localCheckpoint fix
-# landed r11 after its r9 certification) + any r11 additions = one
-# 50-slot prefix that closes certification again. Run the tool; do not
-# trust this comment's snapshot over its output.
+# landed r11 after its r9 certification) + the 15 ROUND-11 ADDITIONS
+# (streaming_interval_join_late_replay, kuiper_two_sample,
+# wasserstein_two_sample, qq_shift_deciles, pettitt_changepoint,
+# cox_stuart_trend, bartels_rank_vn, events_hurst_rs, woe_iv_binning,
+# propensity_smd_balance, queueing_mm1_metrics,
+# wagner_whitin_lot_sizing, graph_adamic_adar, rolling_interval_window,
+# multimodal_qoi_decode -- all pre-cleared at sf0.001/0.01/0.1 +
+# PANDAS_CANON + vanilla-ANSI + dtype-parity this round, ground-truth
+# tested in tests/test_round11_ops.py and tests/test_qoi_codec.py)
+# = 19 + 16 + 15 = EXACTLY one 50-slot prefix that closes
+# certification again. Run the tool; do not trust this comment's
+# snapshot over its output.
 #
 # Every prefix entry was pre-cleared at sf0.001/0.01/0.1 +
 # PANDAS_CANON + vanilla-ANSI + dtype-parity and is matrix-green in
