@@ -5701,7 +5701,9 @@ def q_events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     R = (max−min)/m and the population σ are one IEEE sequence per
     block on exact integers; blocks with σ = 0 are dropped (guard,
     both engines); per-m means are floor-quantized sums (scale 9);
-    the slope is a closed-form 4-point OLS on ln(m), ln(R/S̄).
+    the slope is a closed-form 4-point OLS on ln(m), ln(R/S̄) with
+    each engine-side ln floor-quantized at 1e-9 (JVM/libm ln
+    last-ulp drift, found live at sf0.1).
 
     Scale shape: the one data-sized stage is the hourly hash agg; the
     spine, the ×4 block explode, the per-block windows, and the OLS
@@ -5792,13 +5794,20 @@ def q_events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rs_sum") / F.col("n_blocks").cast("double")).alias("rs_mean"),
         )
     )
-    # closed-form 4-point OLS of ln(rs_mean) on ln(m) over the literal ladder
+    # closed-form 4-point OLS of ln(rs_mean) on ln(m) over the literal
+    # ladder; each engine-side ln is FLOOR-QUANTIZED (1e-9) first — JVM
+    # Math.log and DuckDB libm ln disagree in the last ulp for some
+    # inputs (found live at sf0.1), and the quantize clears it exactly
+    # as fsum does for sums
     wide = per_m.groupBy().pivot("m", HURST_BLOCKS).agg(F.first("rs_mean"))
     n_pts = F.lit(float(len(HURST_BLOCKS)))
     lx = [math.log(float(m)) for m in HURST_BLOCKS]
     mean_lx = sum(lx) / len(lx)
     sxx = sum((v - mean_lx) ** 2 for v in lx)
-    ly = [F.log(F.col(str(m))) for m in HURST_BLOCKS]
+    ly = [
+        F.floor(F.log(F.col(str(m))) * F.lit(1e9)) / F.lit(1e9)
+        for m in HURST_BLOCKS
+    ]
     mean_ly = ly[0]
     for c in ly[1:]:
         mean_ly = mean_ly + c
@@ -5819,9 +5828,13 @@ def _sql_hurst() -> str:
     mean_lx = sum(lx) / len(lx)
     sxx = sum((v - mean_lx) ** 2 for v in lx)
     n = len(HURST_BLOCKS)
-    mean_ly = "((" + " + ".join(f"ln(rs_{m})" for m in HURST_BLOCKS) + f") / {float(n)!r})"
+
+    def lnq(m):
+        return f"(floor(ln(rs_{m}) * 1e9) / 1e9)"
+
+    mean_ly = "((" + " + ".join(lnq(m) for m in HURST_BLOCKS) + f") / {float(n)!r})"
     sxy = " + ".join(
-        f"({v - mean_lx!r} * (ln(rs_{m}) - {mean_ly}))"
+        f"({v - mean_lx!r} * ({lnq(m)} - {mean_ly}))"
         for v, m in zip(lx, HURST_BLOCKS)
     )
     arms = " UNION ALL ".join(f"SELECT {m} AS m" for m in HURST_BLOCKS)
