@@ -192,8 +192,11 @@ def test_pettitt_bruteforce(spark):
     assert row["n_days"] == n
     assert row["k_stat"] == k_stat
     assert row["changepoint_day"] == daily.index[first_t - 1]
+    ratio = (6.0 * k_stat * k_stat) / (math.log(40.0) * (n**3 + n**2))
+    assert row["k_crit_ratio"] == pytest.approx(ratio, rel=1e-12)
+    # the ratio test IS the p <= 0.05 test: p = 2 exp(-6K^2/(n^3+n^2))
     p = 2.0 * math.exp(-6.0 * k_stat**2 / (n**3 + n**2))
-    assert row["p_approx"] == pytest.approx(p, rel=1e-12)
+    assert (row["significant_5pct"] == 1) == (p <= 0.05)
 
 
 def test_cox_stuart_bruteforce(spark):
@@ -282,19 +285,24 @@ def test_hurst_rs_bruteforce(spark):
     slope = sum((a - mx) * (b - my) for a, b in zip(lx, ly)) / sum(
         (a - mx) ** 2 for a in lx
     )
-    assert row["hurst_exponent"] == pytest.approx(slope, rel=1e-7)
+    # identity check: with dyadic m the OLS slope equals log2(z)/10
+    z = (rs_means[128] / rs_means[16]) ** 3 * (rs_means[64] / rs_means[32])
+    assert slope == pytest.approx(math.log2(z) / 10, rel=1e-12)
+    # the engine computes log2 by 24-bit square-and-compare (truncated),
+    # so compare at the truncation tolerance
+    assert row["hurst_exponent"] == pytest.approx(slope, abs=1e-7)
     assert 0.0 < row["hurst_exponent"] < 1.0
 
 
 # ---------------------------------------------------------------------------
-# woe_iv_binning — pandas binning brute force
+# odds_ratio_binning — pandas binning brute force
 # ---------------------------------------------------------------------------
 
 
-def test_woe_iv_bruteforce(spark):
+def test_odds_ratio_binning_bruteforce(spark):
     from us_flight_bigdata_dashboard_spark.operators.evaluation import (
-        WOE_BINS,
-        q_woe_iv_binning,
+        ORB_BINS,
+        q_odds_ratio_binning,
     )
 
     od = _df("orders")
@@ -307,22 +315,29 @@ def test_woe_iv_bruteforce(spark):
     per_v["b"] = per_v["n"] - per_v["g"]
     t = (per_v["g"] + per_v["b"]).cumsum().shift(1, fill_value=0)
     n = int((per_v["g"] + per_v["b"]).sum())
-    per_v["bin"] = (WOE_BINS * t // n).astype(int)
+    per_v["bin"] = (ORB_BINS * t // n).astype(int)
     gt, bt = int(per_v["g"].sum()), int(per_v["b"].sum())
-    rows = {r["bin"]: r for r in q_woe_iv_binning(spark, SF_DIR).collect()}
+    rows = {r["bin"]: r for r in q_odds_ratio_binning(spark, SF_DIR).collect()}
     agg = per_v.groupby("bin")[["g", "b"]].sum()
     assert set(rows) == set(agg.index)
     for bin_, r in agg.iterrows():
         got = rows[bin_]
-        assert (got["n_good"], got["n_bad"]) == (r["g"], r["b"])
-        if r["g"] > 0 and r["b"] > 0:
-            woe = math.log((r["g"] / gt) / (r["b"] / bt))
-            assert got["woe"] == pytest.approx(woe, rel=1e-12)
-            assert got["iv_contrib"] == pytest.approx(
-                (r["g"] / gt - r["b"] / bt) * woe, rel=1e-12
+        g, b = int(r["g"]), int(r["b"])
+        assert (got["n_good"], got["n_bad"]) == (g, b)
+        if g > 0 and b > 0:
+            orat = (g * bt) / (b * gt)
+            assert got["odds_ratio"] == pytest.approx(orat, rel=1e-12)
+            # the odds ratio IS exp(WOE) — the ln-free equivalence
+            assert math.log(got["odds_ratio"]) == pytest.approx(
+                math.log((g / gt) / (b / bt)), rel=1e-9
             )
         else:
-            assert got["woe"] is None
+            assert got["odds_ratio"] is None
+        assert got["lift"] == pytest.approx(g * n / ((g + b) * gt), rel=1e-12)
+        e_g = (g + b) * gt / n
+        e_b = (g + b) * bt / n
+        chi2 = (g - e_g) ** 2 / e_g + (b - e_b) ** 2 / e_b
+        assert got["chi2_contrib"] == pytest.approx(chi2, rel=1e-9)
 
 
 # ---------------------------------------------------------------------------

@@ -3272,34 +3272,38 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
-# Weight-of-evidence / information value binning — round 11 wave
+# Odds-ratio / chi-square feature binning — round 11 wave
 # ---------------------------------------------------------------------------
 
-WOE_BINS = 10  # literal decile-bin count
+ORB_BINS = 10  # literal decile-bin count
 
 
-def q_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weight-of-evidence profile of order value against fulfilment
-    (o_orderstatus = 'F'): the credit-scoring feature diagnostic — per
-    decile bin b, WOE_b = ln((g_b/G)/(b_b/B)) says how strongly that
-    value range separates the classes, and the per-bin information-
-    value contribution (g_b/G − b_b/B)·WOE_b sums to the IV feature-
-    strength score (the <0.02 useless / >0.3 strong rule of thumb).
-    The monotone-readable sibling of ``gini_split_gain`` (one best cut)
-    and ``model_gains_lift`` (score deciles on a fitted model): WOE
+def q_odds_ratio_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds-ratio profile of order value against fulfilment
+    (o_orderstatus = 'F'): the credit-scoring feature diagnostic in its
+    TRANSCENDENTAL-FREE form — per decile bin b the odds ratio
+    OR_b = (g_b·B)/(b_b·G) is exactly exp(WOE_b) (the weight of
+    evidence's monotone-equivalent exact rational: the repo bans
+    engine-side ln, tests/test_numeric_portability.py), the lift
+    g_b·N/((g_b+b_b)·G) reads class concentration directly, and the
+    per-bin χ² contribution (g−E_g)²/E_g + (b−E_b)²/E_b replaces the
+    IV decomposition as the additive feature-strength score (χ²
+    feature selection — Σ over bins is the binned-table χ²). The
+    monotone-readable sibling of ``gini_split_gain`` (one best cut)
+    and ``model_gains_lift`` (score deciles on a fitted model): this
     bins the RAW feature, no model needed.
 
     Exactness: bins are the EXACT equal-count decile partition of the
     distinct-value frame — bin(v) = ⌊{b}·t_v/N⌋ with t_v the
     strictly-before pooled count (the krippendorff convention), so bin
     membership is integer arithmetic; per-bin class counts are
-    integers, and each WOE/IV term is one IEEE ln/division sequence on
-    four exact integers. Degenerate guard: a bin with zero goods or
-    zero bads emits NULL woe/iv_contrib (both engines; the standard
-    smoothing-free treatment, documented).
+    integers, and every output is one IEEE ×/÷ sequence on four exact
+    integers. Degenerate guard: a bin with zero goods or zero bads
+    emits NULL odds_ratio (the WOE-undefined case); χ² contributions
+    stay defined as long as both classes exist globally.
 
     Scale shape: one hash agg to the distinct-value frame, one
-    domain-sized cumulative window, one {b}-row agg."""
+    domain-sized cumulative window, one {b}-row agg.""".format(b=ORB_BINS)
     orders = load_table(spark, sf_dir, "orders")
     per_v = (
         orders.select(
@@ -3330,11 +3334,12 @@ def q_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(tot))
         .select(
-            F.floor(F.lit(WOE_BINS) * F.col("t") / F.col("n"))
+            F.floor(F.lit(ORB_BINS) * F.col("t") / F.col("n"))
             .cast("int")
             .alias("bin"),
             "g",
             "b",
+            "n",
             "gt",
             "bt",
         )
@@ -3342,29 +3347,35 @@ def q_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_bin = binned.groupBy("bin").agg(
         F.sum("g").cast("long").alias("n_good"),
         F.sum("b").cast("long").alias("n_bad"),
+        F.max("n").alias("n"),
         F.max("gt").alias("gt"),
         F.max("bt").alias("bt"),
     )
     gd = F.col("n_good").cast("double")
     bd = F.col("n_bad").cast("double")
+    nd = F.col("n").cast("double")
     gtd = F.col("gt").cast("double")
     btd = F.col("bt").cast("double")
     ok = (F.col("n_good") > 0) & (F.col("n_bad") > 0)
-    woe = F.log((gd / gtd) / (bd / btd))
-    iv_c = (gd / gtd - bd / btd) * woe
+    odds = (gd * btd) / (bd * gtd)
+    lift = gd * nd / ((gd + bd) * gtd)
+    e_g = (gd + bd) * gtd / nd
+    e_b = (gd + bd) * btd / nd
+    chi2 = (gd - e_g) * (gd - e_g) / e_g + (bd - e_b) * (bd - e_b) / e_b
     return (
         per_bin.select(
             "bin",
             "n_good",
             "n_bad",
-            F.when(ok, woe).alias("woe"),
-            F.when(ok, iv_c).alias("iv_contrib"),
+            F.when(ok, odds).alias("odds_ratio"),
+            lift.alias("lift"),
+            chi2.alias("chi2_contrib"),
         )
         .orderBy("bin")
     )
 
 
-_ORACLE_WOE_IV = f"""
+_ORACLE_ODDS_RATIO_BINNING = f"""
 WITH per_v AS (
   SELECT o_totalprice AS v,
          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS g,
@@ -3375,25 +3386,30 @@ WITH per_v AS (
          CAST(SUM(g) AS BIGINT) AS gt, CAST(SUM(b) AS BIGINT) AS bt
   FROM per_v
 ), binned AS (
-  SELECT CAST({WOE_BINS} * COALESCE(SUM(g + b) OVER (ORDER BY v
+  SELECT CAST({ORB_BINS} * COALESCE(SUM(g + b) OVER (ORDER BY v
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // n AS INT) AS bin,
-         g, b, gt, bt
+         g, b, n, gt, bt
   FROM per_v CROSS JOIN tot
 ), per_bin AS (
   SELECT bin, CAST(SUM(g) AS BIGINT) AS n_good, CAST(SUM(b) AS BIGINT) AS n_bad,
-         MAX(gt) AS gt, MAX(bt) AS bt
+         MAX(n) AS n, MAX(gt) AS gt, MAX(bt) AS bt
   FROM binned GROUP BY 1
+), d AS (
+  SELECT bin, n_good, n_bad,
+         CAST(n_good AS DOUBLE) AS gd, CAST(n_bad AS DOUBLE) AS bd,
+         CAST(n AS DOUBLE) AS nd, CAST(gt AS DOUBLE) AS gtd,
+         CAST(bt AS DOUBLE) AS btd
+  FROM per_bin
 )
 SELECT bin, n_good, n_bad,
-       CASE WHEN n_good > 0 AND n_bad > 0 THEN
-         ln((CAST(n_good AS DOUBLE) / CAST(gt AS DOUBLE))
-            / (CAST(n_bad AS DOUBLE) / CAST(bt AS DOUBLE))) END AS woe,
-       CASE WHEN n_good > 0 AND n_bad > 0 THEN
-         (CAST(n_good AS DOUBLE) / CAST(gt AS DOUBLE)
-          - CAST(n_bad AS DOUBLE) / CAST(bt AS DOUBLE))
-         * ln((CAST(n_good AS DOUBLE) / CAST(gt AS DOUBLE))
-              / (CAST(n_bad AS DOUBLE) / CAST(bt AS DOUBLE))) END AS iv_contrib
-FROM per_bin
+       CASE WHEN n_good > 0 AND n_bad > 0
+            THEN (gd * btd) / (bd * gtd) END AS odds_ratio,
+       gd * nd / ((gd + bd) * gtd) AS lift,
+       (gd - (gd + bd) * gtd / nd) * (gd - (gd + bd) * gtd / nd)
+         / ((gd + bd) * gtd / nd)
+       + (bd - (bd + gd) * btd / nd) * (bd - (bd + gd) * btd / nd)
+         / ((bd + gd) * btd / nd) AS chi2_contrib
+FROM d
 ORDER BY bin
 """
 
@@ -3574,7 +3590,7 @@ ORDER BY covariate
 
 
 QUERIES = {
-    "woe_iv_binning": q_woe_iv_binning,
+    "odds_ratio_binning": q_odds_ratio_binning,
     "propensity_smd_balance": q_propensity_smd_balance,
     "acf_lags": q_acf_lags,
     "conformal_interval": q_conformal_interval,
@@ -3610,7 +3626,7 @@ QUERIES = {
 }
 
 ORACLE = {
-    "woe_iv_binning": _ORACLE_WOE_IV,
+    "odds_ratio_binning": _ORACLE_ODDS_RATIO_BINNING,
     "propensity_smd_balance": _sql_smd_balance(),
     "acf_lags": _ORACLE_ACF,
     "conformal_interval": _ORACLE_CONFORMAL,

@@ -5362,6 +5362,9 @@ ORDER BY user_id
 # ---------------------------------------------------------------------------
 
 
+PETTITT_LN40 = 3.6888794541139363  # ln(40): the p<=0.05 threshold constant — Python literal
+
+
 def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pettitt change-point test on the daily global event count: WHERE
     does the level shift, without assuming when or by how much? The
@@ -5375,9 +5378,13 @@ def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     process is U_t = Σ_{i≤t} dr_i − t·(n+1) — INTEGER for every prefix
     t (midrank mean is exactly (n+1)/2, so doubling clears the
     half). K = max_{t<n} |U_t| is an integer max; the changepoint is
-    the FIRST day attaining it (deterministic min-day tiebreak); the
-    approximate significance p ≈ 2·exp(−6K²/(n³+n²)) is one IEEE
-    sequence on exact integers (documented asymptotic).
+    the FIRST day attaining it (deterministic min-day tiebreak).
+    Significance is TRANSCENDENTAL-FREE: the asymptotic p =
+    2·exp(−6K²/(n³+n²)) ≤ 0.05 test is equivalent to 6K² ≥
+    ln(40)·(n³+n²), so the engines compare exact integers against a
+    PYTHON-literal ln(40) and ship the ratio (k_crit_ratio ≥ 1 ⇔
+    significant) instead of calling exp (banned —
+    tests/test_numeric_portability.py).
 
     Scale shape: the scan collapses to the |days| frame; two
     domain-sized windows (rank by value, prefix by day) + a 1-row agg."""
@@ -5420,13 +5427,15 @@ def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.crossJoin(F.broadcast(cp))
     nd = F.col("n_days").cast("double")
     kd = F.col("k_stat").cast("double")
-    p = F.lit(2.0) * F.exp(F.lit(-6.0) * kd * kd / (nd * nd * nd + nd * nd))
+    ratio = (F.lit(6.0) * kd * kd) / (
+        F.lit(PETTITT_LN40) * (nd * nd * nd + nd * nd)
+    )
     return out.select(
         "n_days",
         "k_stat",
         "changepoint_day",
-        p.alias("p_approx"),
-        (p <= F.lit(0.05)).cast("int").alias("significant_5pct"),
+        ratio.alias("k_crit_ratio"),
+        (ratio >= F.lit(1.0)).cast("int").alias("significant_5pct"),
     )
 
 
@@ -5457,12 +5466,8 @@ WITH daily AS (
   FROM lim JOIN agg ON ABS(u_t) = k_stat
 )
 SELECT n_days, k_stat, changepoint_day,
-       2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)
-            / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
-               + CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))) AS p_approx,
-       CAST(CASE WHEN 2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)
-            / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
-               + CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))) <= 0.05
+       (6.0 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)) / (3.6888794541139363e0 * (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) + CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))) AS k_crit_ratio,
+       CAST(CASE WHEN (6.0 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)) / (3.6888794541139363e0 * (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) + CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))) >= 1.0
             THEN 1 ELSE 0 END AS INT) AS significant_5pct
 FROM agg CROSS JOIN cp
 """
@@ -5682,6 +5687,8 @@ FROM agg
 # ---------------------------------------------------------------------------
 
 HURST_BLOCKS = [16, 32, 64, 128]  # literal block-size ladder (hours)
+_LOG2_BITS = 24  # square-and-compare fraction bits for the exact log2
+_LOG2_E_LO, _LOG2_E_HI = -16, 24  # supported binary-exponent range of z
 
 
 def q_events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5700,10 +5707,14 @@ def q_events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     m·W_j = m·prefix_j − j·S_block (prefix sums of integer counts), so
     R = (max−min)/m and the population σ are one IEEE sequence per
     block on exact integers; blocks with σ = 0 are dropped (guard,
-    both engines); per-m means are floor-quantized sums (scale 9);
-    the slope is a closed-form 4-point OLS on ln(m), ln(R/S̄) with
-    each engine-side ln floor-quantized at 1e-9 (JVM/libm ln
-    last-ulp drift, found live at sf0.1).
+    both engines); per-m means are floor-quantized sums (scale 9).
+    The exponent is TRANSCENDENTAL-FREE: with dyadic block sizes the
+    4-point log-log OLS slope collapses to
+    H = log2((rs₁₂₈/rs₁₆)³·(rs₆₄/rs₃₂))/10, and log2 is evaluated to
+    24 bits by square-and-compare using only correctly-rounded IEEE
+    ×/÷/compares — bit-identical across engines by spec (JVM and
+    libm ln carry a 1-ulp license and DID diverge live at sf0.1; the
+    repo bans them — tests/test_numeric_portability.py).
 
     Scale shape: the one data-sized stage is the hourly hash agg; the
     spine, the ×4 block explode, the per-block windows, and the OLS
@@ -5794,53 +5805,100 @@ def q_events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rs_sum") / F.col("n_blocks").cast("double")).alias("rs_mean"),
         )
     )
-    # closed-form 4-point OLS of ln(rs_mean) on ln(m) over the literal
-    # ladder; each engine-side ln is FLOOR-QUANTIZED (1e-9) first — JVM
-    # Math.log and DuckDB libm ln disagree in the last ulp for some
-    # inputs (found live at sf0.1), and the quantize clears it exactly
-    # as fsum does for sums
+    # Hurst from the dyadic ladder WITHOUT any transcendental: with
+    # block sizes doubling, the 4-point log-log OLS slope collapses to
+    # H = log2( (rs_128/rs_16)^3 * (rs_64/rs_32) ) / 10 (the x-spacing
+    # is exactly ln 2, so the OLS weights are (-3,-1,1,3)/(10 ln 2) and
+    # the ln's cancel into one log2 of a product of ratios), and log2
+    # itself is computed to _LOG2_BITS fraction bits by
+    # SQUARE-AND-COMPARE — normalize z = m·2^e (e via a
+    # literal-threshold CASE, m = z×2^-e an EXACT power-of-two
+    # scaling), then _LOG2_BITS rounds of m←m², halving when m ≥ 2 —
+    # every operation is a correctly-rounded IEEE ×/÷/compare, so the
+    # result is bit-identical on any conforming platform BY SPEC, not
+    # by libm luck (the repo's transcendental ban,
+    # tests/test_numeric_portability.py). Out-of-range z (binary
+    # exponent outside [_LOG2_E_LO, _LOG2_E_HI]) yields the NULL
+    # contract.
     wide = per_m.groupBy().pivot("m", HURST_BLOCKS).agg(F.first("rs_mean"))
-    n_pts = F.lit(float(len(HURST_BLOCKS)))
-    lx = [math.log(float(m)) for m in HURST_BLOCKS]
-    mean_lx = sum(lx) / len(lx)
-    sxx = sum((v - mean_lx) ** 2 for v in lx)
-    ly = [
-        F.floor(F.log(F.col(str(m))) * F.lit(1e9)) / F.lit(1e9)
-        for m in HURST_BLOCKS
-    ]
-    mean_ly = ly[0]
-    for c in ly[1:]:
-        mean_ly = mean_ly + c
-    mean_ly = mean_ly / n_pts
-    sxy = None
-    for v, c in zip(lx, ly):
-        term = F.lit(v - mean_lx) * (c - mean_ly)
-        sxy = term if sxy is None else sxy + term
-    hurst = sxy / F.lit(sxx)
-    return wide.select(
-        *[F.col(str(m)).alias(f"rs_{m}") for m in HURST_BLOCKS],
-        hurst.alias("hurst_exponent"),
+    rs_cols = [F.col(str(m)).alias(f"rs_{m}") for m in HURST_BLOCKS]
+    r41 = F.col(str(HURST_BLOCKS[3])) / F.col(str(HURST_BLOCKS[0]))
+    r32 = F.col(str(HURST_BLOCKS[2])) / F.col(str(HURST_BLOCKS[1]))
+    z = r41 * r41 * r41 * r32
+    cur = wide.select(*rs_cols, z.alias("z"))
+    valid = (
+        F.col("z").isNotNull()
+        & (F.col("z") >= F.lit(float(2.0 ** _LOG2_E_LO)))
+        & (F.col("z") < F.lit(float(2.0 ** (_LOG2_E_HI + 1))))
+    )
+    e_expr = None
+    m_expr = None
+    for k in range(_LOG2_E_HI, _LOG2_E_LO - 1, -1):
+        cond = F.col("z") >= F.lit(float(2.0**k))
+        scale = F.lit(float(2.0**-k))
+        e_expr = (
+            F.when(cond, F.lit(k)) if e_expr is None else e_expr.when(cond, F.lit(k))
+        )
+        m_expr = (
+            F.when(cond, F.col("z") * scale)
+            if m_expr is None
+            else m_expr.when(cond, F.col("z") * scale)
+        )
+    cur = cur.select(
+        *[F.col(f"rs_{m}") for m in HURST_BLOCKS],
+        "z",
+        F.when(valid, e_expr).alias("e"),
+        F.when(valid, m_expr).alias("m"),
+    ).select(
+        *[F.col(f"rs_{m}") for m in HURST_BLOCKS],
+        "z",
+        "m",
+        F.col("e").cast("double").alias("acc"),
+    )
+    for i in range(1, _LOG2_BITS + 1):
+        m2 = F.col("m") * F.col("m")
+        ge = m2 >= F.lit(2.0)
+        cur = cur.select(
+            *[F.col(f"rs_{m}") for m in HURST_BLOCKS],
+            "z",
+            F.when(ge, m2 / F.lit(2.0)).otherwise(m2).alias("m"),
+            (
+                F.col("acc")
+                + F.when(ge, F.lit(float(2.0**-i))).otherwise(F.lit(0.0))
+            ).alias("acc"),
+        )
+    return cur.select(
+        *[F.col(f"rs_{m}") for m in HURST_BLOCKS],
+        (F.col("acc") / F.lit(10.0)).alias("hurst_exponent"),
     )
 
 
 def _sql_hurst() -> str:
-    lx = [math.log(float(m)) for m in HURST_BLOCKS]
-    mean_lx = sum(lx) / len(lx)
-    sxx = sum((v - mean_lx) ** 2 for v in lx)
-    n = len(HURST_BLOCKS)
-
-    def lnq(m):
-        return f"(floor(ln(rs_{m}) * 1e9) / 1e9)"
-
-    mean_ly = "((" + " + ".join(lnq(m) for m in HURST_BLOCKS) + f") / {float(n)!r})"
-    sxy = " + ".join(
-        f"({v - mean_lx!r} * ({lnq(m)} - {mean_ly}))"
-        for v, m in zip(lx, HURST_BLOCKS)
-    )
     arms = " UNION ALL ".join(f"SELECT {m} AS m" for m in HURST_BLOCKS)
     pivot_cols = ", ".join(
         f"MAX(CASE WHEN m = {m} THEN rs_mean END) AS rs_{m}" for m in HURST_BLOCKS
     )
+    e_branches = " ".join(
+        f"WHEN z >= {2.0**k!r} THEN {k}"
+        for k in range(_LOG2_E_HI, _LOG2_E_LO - 1, -1)
+    )
+    m_branches = " ".join(
+        f"WHEN z >= {2.0**k!r} THEN z * {2.0**-k!r}"
+        for k in range(_LOG2_E_HI, _LOG2_E_LO - 1, -1)
+    )
+    rs_list = ", ".join(f"rs_{m}" for m in HURST_BLOCKS)
+    steps = []
+    prev = "s0"
+    for i in range(1, _LOG2_BITS + 1):
+        steps.append(
+            f"s{i} AS (SELECT {rs_list}, z,"
+            f" CASE WHEN m * m >= 2.0 THEN m * m / 2.0 ELSE m * m END AS m,"
+            f" acc + CASE WHEN m * m >= 2.0 THEN {2.0**-i!r} ELSE 0.0 END AS acc"
+            f" FROM {prev})"
+        )
+        prev = f"s{i}"
+    step_sql = ",\n".join(steps)
+    lo, hi = 2.0**_LOG2_E_LO, 2.0 ** (_LOG2_E_HI + 1)
     return f"""
 WITH counts AS (
   SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
@@ -5885,10 +5943,26 @@ WITH counts AS (
   SELECT m, rs_sum / CAST(n_blocks AS DOUBLE) AS rs_mean FROM per_m
 ), wide AS (
   SELECT {pivot_cols} FROM means
-)
-SELECT rs_16, rs_32, rs_64, rs_128,
-       ({sxy}) / {sxx!r} AS hurst_exponent
-FROM wide
+), zed AS (
+  SELECT {rs_list},
+         (rs_{HURST_BLOCKS[3]} / rs_{HURST_BLOCKS[0]})
+           * (rs_{HURST_BLOCKS[3]} / rs_{HURST_BLOCKS[0]})
+           * (rs_{HURST_BLOCKS[3]} / rs_{HURST_BLOCKS[0]})
+           * (rs_{HURST_BLOCKS[2]} / rs_{HURST_BLOCKS[1]}) AS z
+  FROM wide
+), norm AS (
+  SELECT {rs_list}, z,
+         CASE WHEN z IS NULL OR z < {lo!r} OR z >= {hi!r} THEN NULL
+              ELSE CASE {e_branches} END END AS e,
+         CASE WHEN z IS NULL OR z < {lo!r} OR z >= {hi!r} THEN NULL
+              ELSE CASE {m_branches} END END AS m
+  FROM zed
+), s0 AS (
+  SELECT {rs_list}, z, m, CAST(e AS DOUBLE) AS acc FROM norm
+),
+{step_sql}
+SELECT {rs_list}, acc / 10.0 AS hurst_exponent
+FROM {prev}
 """
 
 

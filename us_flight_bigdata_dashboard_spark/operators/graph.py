@@ -2091,6 +2091,11 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AA_FP = 10**12  # fixed-point scale for the 1/ln(deg) weights
+# Python-precomputed weight LUT over the LITERAL degree domain 2..cap —
+# the periodogram escape: ln never runs engine-side (banned transcendental,
+# tests/test_numeric_portability.py); both engines consume the SAME
+# Python-computed integers, so the sum is exact and platform-free.
+_AA_WEIGHTS = {k: int(math.floor(AA_FP / math.log(k))) for k in range(2, 65)}
 
 
 def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2103,16 +2108,17 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     count where RA zeroes them out).
 
     Determinism: deg(z) ≥ 2 for any common neighbor (it touches both
-    endpoints), so ln(deg) ≥ ln 2 > 0; the weight is FIXED-POINT
-    floor({fp}/ln(deg)) — ln of an integer is one IEEE call both
-    engines evaluate identically (the module's single-op rule), the
-    floor clears representation drift, and the pair agg sums INTEGERS
-    order-free; the only float is the final /{fp} rescale.
+    endpoints) and is capped at {cap}, so the weight domain is the
+    LITERAL integer range 2..{cap} — floor({fp}/ln k) is PRECOMPUTED in
+    Python per k (the periodogram LUT escape: ln is a banned
+    engine-side transcendental) and consumed as identical integer
+    literals by both engines; the pair agg sums INTEGERS order-free,
+    and the only float is the final /{fp} rescale.
 
     Scale shape: identical to ``graph_resource_allocation`` — pairs
     explode inline from each customer's capped sorted supplier array,
     one (supp_a, supp_b) hash agg, cap mirrored in the oracle.""".format(
-        fp=AA_FP
+        fp=AA_FP, cap=SUPPS_PER_CUST_CAP
     )
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -2127,13 +2133,14 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(slice(supps, i + 2, size(supps)), "
         "y -> struct(x AS supp_a, y AS supp_b))))"
     )
+    lut = None
+    for k in range(2, SUPPS_PER_CUST_CAP + 1):
+        cond = F.size("supps") == k
+        w = F.lit(_AA_WEIGHTS[k])
+        lut = F.when(cond, w) if lut is None else lut.when(cond, w)
     weighted = capped.filter(F.size("supps") >= 2).select(
         F.explode(pair_expr).alias("p"),
-        F.floor(
-            F.lit(float(AA_FP)) / F.log(F.size("supps").cast("double"))
-        )
-        .cast("long")
-        .alias("w_fp"),
+        lut.cast("long").alias("w_fp"),
     )
     scored = (
         weighted.select("p.supp_a", "p.supp_b", "w_fp")
@@ -2153,6 +2160,8 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(RA_TOP)
 
 
+_AA_CASE = " ".join(f"WHEN {k} THEN {w}" for k, w in sorted(_AA_WEIGHTS.items()))
+
 _ORACLE_ADAMIC_ADAR = f"""
 WITH cs_raw AS (
   SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
@@ -2162,7 +2171,7 @@ WITH cs_raw AS (
   FROM cs_raw
 ), cs AS (
   SELECT cust, supp,
-         CAST(FLOOR({float(AA_FP)!r} / ln(CAST(k AS DOUBLE))) AS BIGINT) AS w_fp
+         CAST(CASE k {_AA_CASE} END AS BIGINT) AS w_fp
   FROM sized WHERE k <= {SUPPS_PER_CUST_CAP} AND k >= 2
 ), pairs AS (
   SELECT a.supp AS supp_a, b.supp AS supp_b,

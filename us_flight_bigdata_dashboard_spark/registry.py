@@ -115,7 +115,7 @@ _MODULES = [
 # landed r11 after its r9 certification) + the 15 ROUND-11 ADDITIONS
 # (streaming_interval_join_late_replay, kuiper_two_sample,
 # wasserstein_two_sample, qq_shift_deciles, pettitt_changepoint,
-# cox_stuart_trend, bartels_rank_vn, events_hurst_rs, woe_iv_binning,
+# cox_stuart_trend, bartels_rank_vn, events_hurst_rs, odds_ratio_binning,
 # propensity_smd_balance, queueing_mm1_metrics,
 # wagner_whitin_lot_sizing, graph_adamic_adar, rolling_interval_window,
 # multimodal_qoi_decode -- all pre-cleared at sf0.001/0.01/0.1 +
