@@ -239,8 +239,12 @@ def test_bartels_bruteforce(spark):
     if den4:
         rvn = num4 / den4
         assert row["rvn_stat"] == pytest.approx(rvn, rel=1e-12)
+        var = (
+            4.0 * (n - 2) * (5.0 * n * n - 2.0 * n - 9.0)
+            / (5.0 * n * (n + 1.0) * (n - 1.0) * (n - 1.0))
+        )
         assert row["z_stat"] == pytest.approx(
-            (rvn - 2.0) / math.sqrt(4.0 / n), rel=1e-12
+            (rvn - 2.0) / math.sqrt(var), rel=1e-12
         )
 
 

@@ -5591,9 +5591,11 @@ def q_bartels_rank_vn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ(dr_t − dr_{t+1})² and denominator Σ(dr_t − (n+1))² are both
     INTEGER sums (the midrank mean (n+1)/2 doubles to the integer
     n+1), each 4× the classic value so the 4s cancel in the ratio —
-    ONE IEEE division, then the asymptotic z = (RVN − 2)/√(4/n)
-    against the literal normal 5% point (documented approximation; the
-    no-ties exact variance differs at O(1/n²)). Degenerate guard: a
+    ONE IEEE division, then z = (RVN − 2)/√Var with Bartels' EXACT
+    no-ties null variance Var = 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²)
+    (one IEEE sequence on n; with ties present this is a documented
+    approximation — the tie-adjusted variance has no closed form)
+    against the literal normal 5% point. Degenerate guard: a
     constant series (denominator 0) emits NULL ratio/z/flag.
 
     Scale shape: the scan collapses to the |days| frame; one rank
@@ -5633,7 +5635,19 @@ def q_bartels_rank_vn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rvn = F.col("num4").cast("double") / F.col("den4").cast("double")
     nd = F.col("n_days").cast("double")
-    z = (rvn - F.lit(2.0)) / F.sqrt(F.lit(4.0) / nd)
+    var_rvn = (
+        F.lit(4.0)
+        * (nd - F.lit(2.0))
+        * (F.lit(5.0) * nd * nd - F.lit(2.0) * nd - F.lit(9.0))
+        / (
+            F.lit(5.0)
+            * nd
+            * (nd + F.lit(1.0))
+            * (nd - F.lit(1.0))
+            * (nd - F.lit(1.0))
+        )
+    )
+    z = (rvn - F.lit(2.0)) / F.sqrt(var_rvn)
     ok = F.col("den4") > 0
     return agg.select(
         "n_days",
@@ -5673,10 +5687,10 @@ SELECT n_days, num4, den4,
        CASE WHEN den4 > 0 THEN CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) END AS rvn_stat,
        CASE WHEN den4 > 0 THEN
          (CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) - 2.0)
-           / sqrt(4.0 / CAST(n_days AS DOUBLE)) END AS z_stat,
+           / sqrt((4.0 * (CAST(n_days AS DOUBLE) - 2.0) * (5.0 * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) - 2.0 * CAST(n_days AS DOUBLE) - 9.0) / (5.0 * CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 1.0) * (CAST(n_days AS DOUBLE) - 1.0) * (CAST(n_days AS DOUBLE) - 1.0)))) END AS z_stat,
        CAST(CASE WHEN den4 > 0 THEN
          CASE WHEN ABS((CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) - 2.0)
-              / sqrt(4.0 / CAST(n_days AS DOUBLE))) > {BARTELS_Z_CRIT}
+              / sqrt((4.0 * (CAST(n_days AS DOUBLE) - 2.0) * (5.0 * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) - 2.0 * CAST(n_days AS DOUBLE) - 9.0) / (5.0 * CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 1.0) * (CAST(n_days AS DOUBLE) - 1.0) * (CAST(n_days AS DOUBLE) - 1.0))))) > {BARTELS_Z_CRIT}
               THEN 1 ELSE 0 END END AS INT) AS significant_5pct
 FROM agg
 """
