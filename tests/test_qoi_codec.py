@@ -145,3 +145,77 @@ def test_header_fields_big_endian():
     payload = _encode(0)
     w, h, ch, cs = struct.unpack(">IIBB", payload[4:14])
     assert (w, h, ch, cs) == (QOI_W, QOI_H, 3, 0)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property suites (the codec fuzz discipline of
+# test_bmp_codec.py applied to the stateful op-stream code)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_NPX = QOI_W * QOI_H
+
+_SEGMENT = st.tuples(
+    st.sampled_from(["run", "step1", "step3", "jump", "revisit"]),
+    st.integers(0, 255),  # seed value
+    st.integers(1, 300),  # length
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(segs=st.lists(_SEGMENT, min_size=1, max_size=20))
+def test_fuzz_random_segments_roundtrip(segs):
+    """Random pixel segments exercising every op class (runs, ±1 DIFF
+    gradients, LUMA-range gradients, hard RGB jumps, palette revisits
+    that hit the 64-slot index) must round-trip exactly through the real
+    encoder+decoder pair."""
+    px = []
+    k = 0
+    pal = [(7, 11, 13), (200, 90, 30), (55, 55, 55), (0, 0, 0)]
+    while len(px) < _NPX:
+        kind, v, n = segs[k % len(segs)]
+        if kind == "run":
+            px += [((v * 3) % 256, (v * 5) % 256, (v * 7) % 256)] * n
+        elif kind == "step1":
+            px += [((v + j) % 256, (v + j) % 256, (v + j) % 256) for j in range(min(n, 40))]
+        elif kind == "step3":
+            px += [
+                ((v + 3 * j) % 256, (v + 2 * j) % 256, (v + 4 * j) % 256)
+                for j in range(min(n, 40))
+            ]
+        elif kind == "jump":
+            px += [((v * 97 + 131 * j) % 256, (v * 53 + 17 * j) % 256, (v * 29 + 211 * j) % 256) for j in range(min(n, 12))]
+        else:  # revisit: index-op fuel
+            px += [pal[(v + j) % len(pal)] for j in range(min(n, 16))]
+        k += 1
+    px = px[:_NPX]
+    payload = _encode(0, lambda mid: px)
+    row = _decode(payload)
+    lums = [299 * r + 587 * g + 114 * b for r, g, b in px]
+    assert row["n_pixels"] == _NPX
+    assert row["sum_lum"] == sum(lums)
+    assert row["sum_sq"] == sum(v * v for v in lums)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    pos=st.integers(min_value=0, max_value=4000),
+    val=st.integers(min_value=0, max_value=255),
+)
+def test_fuzz_single_byte_corruption_never_crashes_uncontrolled(pos, val):
+    """Flip any single byte anywhere in the stream: the decoder must
+    either still decode (the byte was semantically slack) or raise a
+    diagnosable ValueError — never an uncontrolled internal error. A
+    stateful op-stream makes this harsher than BMP's RLE: one flipped
+    tag desynchronizes every subsequent op."""
+    payload = bytearray(_encode(5))
+    pos = pos % len(payload)
+    if payload[pos] == val:
+        return
+    payload[pos] = val
+    try:
+        _decode(bytes(payload))
+    except ValueError:
+        pass
