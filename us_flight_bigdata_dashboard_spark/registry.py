@@ -122,8 +122,11 @@ _MODULES = [
 # PANDAS_CANON + vanilla-ANSI + dtype-parity this round, ground-truth
 # tested in tests/test_round11_ops.py and tests/test_qoi_codec.py)
 # = 19 + 16 + 15 = EXACTLY one 50-slot prefix that closes
-# certification again. Run the tool; do not trust this comment's
-# snapshot over its output.
+# certification again. ALL 35 staged deferred+sentinel entries were
+# additionally pre-cleared under PANDAS_CANON at sf0.01 on the r11
+# end-of-round code (35/35 green), so the r12 close-out carries no
+# known risk. Run the tool; do not trust this comment's snapshot over
+# its output.
 #
 # Every prefix entry was pre-cleared at sf0.001/0.01/0.1 +
 # PANDAS_CANON + vanilla-ANSI + dtype-parity and is matrix-green in
