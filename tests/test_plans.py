@@ -432,3 +432,93 @@ def test_kmv_bottom_k_is_tournament(spark):
     assert "hashpartitioning(o_orderpriority" in plan, plan
     # the bucket stage partitions on (priority, h % 64)
     assert "% 64" in plan or "(h#" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# round-11 wave plan contracts
+# ---------------------------------------------------------------------------
+
+
+def test_two_sample_family_plans_are_one_agg_one_window(spark):
+    """kuiper/wasserstein share ks_two_sample's shape: ONE fact-sized hash
+    agg into the distinct-value frame, domain-sized windows after. A
+    regression that re-introduces a fact-sized window (the naive per-row
+    ECDF) would blow up at 100 TB while staying correct."""
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_kuiper_two_sample,
+        q_qq_shift_deciles,
+        q_wasserstein_two_sample,
+    )
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges, plan_str
+
+    for q in (q_kuiper_two_sample, q_wasserstein_two_sample, q_qq_shift_deciles):
+        df = q(spark, SF_DIR)
+        # agg shuffle + the single-partition domain window + 1-row joins:
+        # small fixed budget, no per-row window exchange
+        assert count_exchanges(df) <= 5, plan_str(df)
+
+
+def test_adamic_adar_no_self_join_no_smj(spark):
+    """The pair explode must come from the per-customer array (inline
+    flatten/transform), never a cs×cs self-join: zero SortMergeJoins and
+    the only join is the fact→orders equi join."""
+    from us_flight_bigdata_dashboard_spark.operators.graph import q_graph_adamic_adar
+    from us_flight_bigdata_dashboard_spark.plans import (
+        count_sortmerge_joins,
+        plan_str,
+    )
+
+    from us_flight_bigdata_dashboard_spark.plans import count_broadcast_joins
+
+    df = q_graph_adamic_adar(spark, SF_DIR)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p
+    # exactly the fact->orders equi join; the weight LUT must fold into
+    # expressions, not become a second join
+    assert count_broadcast_joins(df) + count_sortmerge_joins(df) == 1, p
+
+
+def test_wagner_whitin_is_one_declarative_select(spark):
+    """The Bellman recursion must stay an expression tree on the 1-row
+    cost frame: no joins at all, one agg chain from the fact scan."""
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        q_wagner_whitin_lot_sizing,
+    )
+    from us_flight_bigdata_dashboard_spark.plans import plan_str
+
+    df = q_wagner_whitin_lot_sizing(spark, SF_DIR)
+    p = plan_str(df)
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_rolling_interval_window_single_pass(spark):
+    """One partitioned time-RANGE window over the fact scan + one small
+    hash agg — the fact table must be scanned exactly once."""
+    from us_flight_bigdata_dashboard_spark.operators.relational import (
+        q_rolling_interval_window,
+    )
+    from us_flight_bigdata_dashboard_spark.plans import plan_str, read_schema_columns
+
+    df = q_rolling_interval_window(spark, SF_DIR)
+    scans = read_schema_columns(df)
+    assert len(scans) == 1, plan_str(df)
+    assert scans[0] <= {"o_custkey", "o_orderdate", "o_totalprice"}
+
+
+def test_qoi_decode_no_shuffle_between_stages(spark):
+    """encode→decode are two Arrow mapInPandas stages over the same
+    id-partitioning: no exchange may appear between them."""
+    from us_flight_bigdata_dashboard_spark.operators.qoi_codec import (
+        q_multimodal_qoi_decode,
+    )
+    from us_flight_bigdata_dashboard_spark.plans import plan_str
+
+    from us_flight_bigdata_dashboard_spark.plans import count_exchanges
+
+    df = q_multimodal_qoi_decode(spark, SF_DIR)
+    p = plan_str(df)
+    # two Arrow stages (each node renders twice in the formatted plan)
+    assert p.count("MapInPandas") in (2, 4), p
+    # the only exchange is the up-front repartition for worker balance
+    assert count_exchanges(df) <= 1, p
