@@ -210,6 +210,13 @@ HEADLINE = [
     "multimodal_qoi_decode",
     "events_hurst_rs",
     "rolling_interval_window",
+    # round-11 late wave: the LEFT OUTER stream-stream join replay (the
+    # watermark-proved NULL-row flush — the 20th replay), the Katz
+    # fixed-point walk counter (3 integer rounds beside PageRank/HITS),
+    # and the Rényi-2 entropy (the 24-step exact-log2 projection chain)
+    "streaming_interval_join_outer_replay",
+    "graph_katz_centrality",
+    "text_renyi2_entropy",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet

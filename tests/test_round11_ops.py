@@ -519,3 +519,147 @@ def test_rolling_interval_bruteforce(spark):
     for tn, (n, s) in hist.items():
         assert rows[tn]["n_orders"] == n
         assert rows[tn]["sum_trailing_cents"] == s
+
+
+# ---------------------------------------------------------------------------
+# late-wave brute forces: Rényi-2 entropy, seasonal Mann-Kendall, Katz
+# centrality, and the outer-join replay's batch recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_renyi2_entropy_bruteforce(spark):
+    from collections import Counter
+
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        q_text_renyi2_entropy,
+    )
+
+    docs = _df("documents")
+    rows = {r["source"]: r for r in q_text_renyi2_entropy(spark, SF_DIR).collect()}
+    for src, grp in docs.groupby("source"):
+        c = Counter()
+        for t in grp["text"]:
+            c.update(w for w in str(t).lower().split(" ") if w)
+        n = sum(c.values())
+        sc2 = sum(v * v for v in c.values())
+        eff = n * n / sc2
+        r = rows[src]
+        assert r["vocab"] == len(c)
+        assert r["n_tokens"] == n
+        assert r["eff_vocab"] == pytest.approx(eff, rel=1e-12)
+        # engine log2 is 24-bit truncated square-and-compare
+        assert r["renyi2_bits"] == pytest.approx(math.log2(eff), abs=1e-6)
+
+
+def test_seasonal_mann_kendall_bruteforce(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_seasonal_mann_kendall,
+    )
+
+    od = _df("orders")
+    od = od.assign(
+        yr=od["o_orderdate"].dt.year,
+        mth=od["o_orderdate"].dt.month,
+        cents=np.round(od["o_totalprice"] * 100).astype(np.int64),
+    )
+    monthly = od.groupby(["yr", "mth"])["cents"].sum()
+    s = 0
+    var = 0.0
+    n_seasons = 0
+    for m in sorted({k[1] for k in monthly.index}):
+        ys = monthly.xs(m, level="mth").sort_index()
+        vals = ys.values
+        n = len(vals)
+        n_seasons += 1
+        for i in range(n):
+            for j in range(i + 1, n):
+                s += 1 if vals[j] > vals[i] else (-1 if vals[j] < vals[i] else 0)
+        from collections import Counter
+
+        ties = Counter(vals.tolist())
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var += (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    (row,) = q_seasonal_mann_kendall(spark, SF_DIR).collect()
+    assert row["n_seasons"] == n_seasons
+    assert row["s"] == s
+    assert row["var_s"] == pytest.approx(var, rel=1e-6)
+    if s != 0:
+        # the engine's var_s is fsum-quantized (scale 6); standardize
+        # against ITS value, which approx-matches ours above
+        z = (s - (1 if s > 0 else -1)) / math.sqrt(row["var_s"])
+        assert row["z_stat"] == pytest.approx(z, rel=1e-12)
+
+
+def test_katz_centrality_bruteforce(spark):
+    from collections import defaultdict
+
+    from us_flight_bigdata_dashboard_spark.operators.graph import (
+        KATZ_ALPHA_DEN,
+        KATZ_ALPHA_NUM,
+        KATZ_FP,
+        KATZ_ITERS,
+        KATZ_TOP,
+        q_graph_katz_centrality,
+    )
+
+    li = _df("lineitem")[["l_orderkey", "l_suppkey"]]
+    od = _df("orders")[["o_orderkey", "o_custkey"]]
+    cs = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")[
+        ["o_custkey", "l_suppkey"]
+    ].drop_duplicates()
+    adj = defaultdict(list)
+    nodes = set()
+    for _, r in cs.iterrows():
+        c, s_ = 2 * int(r["o_custkey"]), 2 * int(r["l_suppkey"]) + 1
+        adj[c].append(s_)
+        adj[s_].append(c)
+        nodes.add(c)
+        nodes.add(s_)
+    x = {n: 0 for n in nodes}
+    w = {n: KATZ_FP for n in nodes}
+    for _ in range(KATZ_ITERS):
+        nbr = {n: sum(w[m] for m in adj[n]) for n in nodes}
+        w = {n: (nbr[n] * KATZ_ALPHA_NUM) // KATZ_ALPHA_DEN for n in nodes}
+        x = {n: x[n] + w[n] for n in nodes}
+    lbl = {
+        n: ("c:" if n % 2 == 0 else "s:") + str(n // 2) for n in nodes
+    }
+    want = sorted(((x[n], lbl[n]) for n in nodes), key=lambda t: (-t[0], t[1]))[
+        :KATZ_TOP
+    ]
+    rows = q_graph_katz_centrality(spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    for r, (fp, label) in zip(rows, want):
+        assert (r["node"], r["katz_fp"]) == (label, fp)
+        assert r["katz"] == pytest.approx(fp / KATZ_FP, rel=1e-12)
+
+
+def test_interval_join_outer_replay_semantics(spark):
+    from us_flight_bigdata_dashboard_spark.streaming.replay import (
+        q_streaming_interval_join_outer_replay,
+    )
+
+    rows = q_streaming_interval_join_outer_replay(spark, SF_DIR).collect()
+    got = {(r["click_event_id"], r["view_event_id"]) for r in rows}
+    assert len(got) == len(rows)  # exactly once, matched or flushed
+    assert all(r["user_id"] >= 0 for r in rows)  # sentinel pair dropped
+
+    ev = _df("events").dropna(subset=["ts"])
+    clicks = ev[ev["event_type"] == "click"]
+    views = ev[ev["event_type"] == "view"]
+    expect = set()
+    for _, c in clicks.iterrows():
+        lo = c["ts"] - np.timedelta64(30, "m")
+        m = views[
+            (views["user_id"] == c["user_id"])
+            & (views["ts"] <= c["ts"])
+            & (views["ts"] >= lo)
+        ]
+        if len(m):
+            for vid in m["event_id"]:
+                expect.add((c["event_id"], vid))
+        else:
+            expect.add((c["event_id"], None))
+    assert got == expect
+    # the entry's subject: NULL rows for unmatched clicks really emitted
+    assert any(v is None for _c, v in got)

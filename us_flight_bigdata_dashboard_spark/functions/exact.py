@@ -88,3 +88,107 @@ def sql_fsum(expr: str, scale: int = 12) -> str:
         f"(CAST(SUM(CAST(FLOOR(({expr}) * 1e{scale}) AS DECIMAL(38,0))) AS DOUBLE)"
         f" / 1e{scale})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact binary logarithm (round 11)
+# ---------------------------------------------------------------------------
+#
+# The repo bans engine-side transcendentals (tests/test_numeric_portability
+# .py): ln/exp/pow carry a 1-ulp library license and DID diverge live
+# between the JVM and libm (r11, the Hurst OLS at sf0.1). log2, however,
+# is computable from ONLY IEEE-correctly-rounded operations — ×, ÷ by a
+# power of two (exact), and comparisons — by square-and-compare: normalize
+# x = m·2^e with m ∈ [1,2) (e from literal-threshold CASEs, m = x·2^-e an
+# exact scaling), then per fraction bit square m and halve when it crosses
+# 2. Every step is bit-identical on any conforming platform BY SPEC, so
+# the result hashes identically across engines — and any log the caller
+# needs is log2 up to a Python-literal factor (ln x = log2(x)·ln 2).
+#
+# The recursion doubles the expression if written as one tree, so the
+# helpers CHAIN projections (one narrow select per bit) instead; both the
+# Spark and the SQL sides mirror the same chain.
+
+LOG2_BITS = 24  # fraction bits: ~6e-8 relative — plenty for any statistic
+LOG2_E_LO, LOG2_E_HI = -40, 40  # supported binary-exponent range
+
+
+def with_exact_log2(df, src: str, out: str, carry: list[str]):
+    """Append column ``out`` = log2(``src``) to ``df`` via chained
+    projections. ``carry`` lists the other columns to keep. NULL when
+    ``src`` is NULL/non-positive or outside 2^[LOG2_E_LO, LOG2_E_HI+1)."""
+    lo = float(2.0**LOG2_E_LO)
+    hi = float(2.0 ** (LOG2_E_HI + 1))
+    x = F.col(src)
+    valid = x.isNotNull() & (x >= F.lit(lo)) & (x < F.lit(hi))
+    e_expr = None
+    m_expr = None
+    for k in range(LOG2_E_HI, LOG2_E_LO - 1, -1):
+        cond = x >= F.lit(float(2.0**k))
+        e_expr = (
+            F.when(cond, F.lit(k)) if e_expr is None else e_expr.when(cond, F.lit(k))
+        )
+        m_expr = (
+            F.when(cond, x * F.lit(float(2.0**-k)))
+            if m_expr is None
+            else m_expr.when(cond, x * F.lit(float(2.0**-k)))
+        )
+    cur = df.select(
+        *carry,
+        src,
+        F.when(valid, m_expr).alias("_l2m"),
+        F.when(valid, e_expr).cast("double").alias("_l2acc"),
+    )
+    for i in range(1, LOG2_BITS + 1):
+        m2 = F.col("_l2m") * F.col("_l2m")
+        ge = m2 >= F.lit(2.0)
+        cur = cur.select(
+            *carry,
+            src,
+            F.when(ge, m2 / F.lit(2.0)).otherwise(m2).alias("_l2m"),
+            (
+                F.col("_l2acc")
+                + F.when(ge, F.lit(float(2.0**-i))).otherwise(F.lit(0.0))
+            ).alias("_l2acc"),
+        )
+    return cur.select(*carry, src, F.col("_l2acc").alias(out))
+
+
+def sql_exact_log2_ctes(prev: str, src: str, out: str, carry: list[str]):
+    """DuckDB mirror of ``with_exact_log2``: returns (cte_fragment,
+    final_cte_name). ``prev`` is the upstream CTE; ``carry`` the columns
+    to keep beside ``src``/``out``. Append the fragment after a WITH list
+    entry (it starts with a comma)."""
+    cols = ", ".join(carry + [src])
+    lo, hi = 2.0**LOG2_E_LO, 2.0 ** (LOG2_E_HI + 1)
+    e_branches = " ".join(
+        f"WHEN {src} >= {2.0**k!r} THEN {k}"
+        for k in range(LOG2_E_HI, LOG2_E_LO - 1, -1)
+    )
+    m_branches = " ".join(
+        f"WHEN {src} >= {2.0**k!r} THEN {src} * {2.0**-k!r}"
+        for k in range(LOG2_E_HI, LOG2_E_LO - 1, -1)
+    )
+    frag = [
+        f", _l2n AS (SELECT {cols},"
+        f" CASE WHEN {src} IS NULL OR {src} < {lo!r} OR {src} >= {hi!r} THEN NULL"
+        f" ELSE CASE {m_branches} END END AS _l2m,"
+        f" CAST(CASE WHEN {src} IS NULL OR {src} < {lo!r} OR {src} >= {hi!r} THEN NULL"
+        f" ELSE CASE {e_branches} END END AS DOUBLE) AS _l2acc"
+        f" FROM {prev})"
+    ]
+    cur = "_l2n"
+    for i in range(1, LOG2_BITS + 1):
+        nxt = f"_l2s{i}"
+        frag.append(
+            f", {nxt} AS (SELECT {cols},"
+            f" CASE WHEN _l2m * _l2m >= 2.0 THEN _l2m * _l2m / 2.0"
+            f" ELSE _l2m * _l2m END AS _l2m,"
+            f" _l2acc + CASE WHEN _l2m * _l2m >= 2.0 THEN {2.0**-i!r} ELSE 0.0 END"
+            f" AS _l2acc FROM {cur})"
+        )
+        cur = nxt
+    frag.append(
+        f", _l2out AS (SELECT {cols}, _l2acc AS {out} FROM {cur})"
+    )
+    return "".join(frag), "_l2out"

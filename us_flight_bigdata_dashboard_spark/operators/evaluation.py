@@ -1158,6 +1158,121 @@ FROM agg
 """
 
 
+def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test on monthly global revenue: the
+    Hirsch-Slack variant that asks "is revenue trending ACROSS YEARS,
+    month against same month?" — pooling only within-season pairs so a
+    seasonal cycle cannot masquerade as (or mask) a trend, which is
+    exactly the failure mode of running plain ``mann_kendall_trend`` on
+    a seasonal series. The hydrology standard for trend in seasonal
+    data. S = Σ_m S_m over the 12 calendar-month seasons; Var = Σ_m of
+    each season's tie-corrected null variance (seasons independent
+    under H0); continuity-corrected Z against the literal normal 5%
+    point.
+
+    Exactness: revenue compared in CENTS, so each sign and every tie
+    moment is an exact integer; Var and Z are one IEEE sequence on
+    them. Scale shape: the scan collapses to the (year, month) frame;
+    the within-season i<j pair lattice is C(|years|, 2)·12 domain
+    cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mth")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("long")
+        .alias("y")
+    )
+    a = monthly.select(
+        F.col("mth").alias("m_a"), F.col("yr").alias("yr_a"), F.col("y").alias("y_a")
+    )
+    b = monthly.select(
+        F.col("mth").alias("m_b"), F.col("yr").alias("yr_b"), F.col("y").alias("y_b")
+    )
+    pairs = a.join(
+        b, (F.col("m_a") == F.col("m_b")) & (F.col("yr_a") < F.col("yr_b"))
+    )
+    s_agg = pairs.agg(
+        F.sum(
+            F.when(F.col("y_b") > F.col("y_a"), 1)
+            .when(F.col("y_b") < F.col("y_a"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s")
+    )
+    per_season = monthly.groupBy("mth").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        monthly.groupBy("mth", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("mth")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var_rows = per_season.join(ties, "mth")
+    nd = F.col("n").cast("double")
+    var_m = (
+        nd * (nd - 1.0) * (F.lit(2.0) * nd + 5.0)
+        - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    var_agg = var_rows.agg(
+        F.count(F.lit(1)).cast("int").alias("n_seasons"),
+        fsum(var_m, scale=6).alias("var_s"),
+    )
+    out = s_agg.crossJoin(F.broadcast(var_agg))
+    sd = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (sd - 1.0) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (sd + 1.0) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        "n_seasons",
+        "s",
+        "var_s",
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(1.959964)).cast("int").alias("significant_5pct"),
+    )
+
+
+_ORACLE_SEASONAL_MK = f"""
+WITH monthly AS (
+  SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mth,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+), s_agg AS (
+  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM monthly a JOIN monthly b ON a.mth = b.mth AND a.yr < b.yr
+), per_season AS (
+  SELECT mth, CAST(COUNT(*) AS BIGINT) AS n FROM monthly GROUP BY 1
+), ties AS (
+  SELECT mth, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT mth, y, CAST(COUNT(*) AS BIGINT) AS t FROM monthly GROUP BY 1, 2)
+  GROUP BY 1
+), var_rows AS (
+  SELECT per_season.mth,
+         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+          - CAST(tie_term AS DOUBLE)) / 18.0 AS var_m
+  FROM per_season JOIN ties ON per_season.mth = ties.mth
+), var_agg AS (
+  SELECT CAST(COUNT(*) AS INT) AS n_seasons,
+         {sql_fsum("var_m", scale=6)} AS var_s
+  FROM var_rows
+)
+SELECT n_seasons, s, var_s,
+       CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+            WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+            ELSE 0.0 END AS z_stat,
+       CAST(CASE WHEN ABS(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+                  WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+                  ELSE 0.0 END) > 1.959964 THEN 1 ELSE 0 END AS INT) AS significant_5pct
+FROM s_agg CROSS JOIN var_agg
+"""
+
+
 def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotone-trend test on monthly global revenue:
     S = sum_{i<j} sign(y_j - y_i) over the ~80-month series, with the
@@ -3593,6 +3708,7 @@ QUERIES = {
     "odds_ratio_binning": q_odds_ratio_binning,
     "propensity_smd_balance": q_propensity_smd_balance,
     "acf_lags": q_acf_lags,
+    "seasonal_mann_kendall": q_seasonal_mann_kendall,
     "conformal_interval": q_conformal_interval,
     "interrupted_time_series": q_interrupted_time_series,
     "pacf_closed_form": q_pacf_closed_form,
@@ -3626,6 +3742,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "seasonal_mann_kendall": _ORACLE_SEASONAL_MK,
     "odds_ratio_binning": _ORACLE_ODDS_RATIO_BINNING,
     "propensity_smd_balance": _sql_smd_balance(),
     "acf_lags": _ORACLE_ACF,

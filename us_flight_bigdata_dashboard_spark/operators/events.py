@@ -14,7 +14,16 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from us_flight_bigdata_dashboard_spark.functions.exact import davg, dsum, fsum, sql_davg, sql_dsum, sql_fsum
+from us_flight_bigdata_dashboard_spark.functions.exact import (
+    davg,
+    dsum,
+    fsum,
+    sql_davg,
+    sql_dsum,
+    sql_exact_log2_ctes,
+    sql_fsum,
+    with_exact_log2,
+)
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 SESSION_GAP_MIN = 30
@@ -5701,8 +5710,7 @@ FROM agg
 # ---------------------------------------------------------------------------
 
 HURST_BLOCKS = [16, 32, 64, 128]  # literal block-size ladder (hours)
-_LOG2_BITS = 24  # square-and-compare fraction bits for the exact log2
-_LOG2_E_LO, _LOG2_E_HI = -16, 24  # supported binary-exponent range of z
+
 
 
 def q_events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5824,15 +5832,10 @@ def q_events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # H = log2( (rs_128/rs_16)^3 * (rs_64/rs_32) ) / 10 (the x-spacing
     # is exactly ln 2, so the OLS weights are (-3,-1,1,3)/(10 ln 2) and
     # the ln's cancel into one log2 of a product of ratios), and log2
-    # itself is computed to _LOG2_BITS fraction bits by
-    # SQUARE-AND-COMPARE — normalize z = m·2^e (e via a
-    # literal-threshold CASE, m = z×2^-e an EXACT power-of-two
-    # scaling), then _LOG2_BITS rounds of m←m², halving when m ≥ 2 —
-    # every operation is a correctly-rounded IEEE ×/÷/compare, so the
-    # result is bit-identical on any conforming platform BY SPEC, not
-    # by libm luck (the repo's transcendental ban,
-    # tests/test_numeric_portability.py). Out-of-range z (binary
-    # exponent outside [_LOG2_E_LO, _LOG2_E_HI]) yields the NULL
+    # itself comes from functions/exact.with_exact_log2 — 24 fraction
+    # bits of square-and-compare on only correctly-rounded IEEE
+    # ×/÷/compares, bit-identical on any conforming platform BY SPEC
+    # (the repo's transcendental ban). Out-of-range z yields the NULL
     # contract.
     wide = per_m.groupBy().pivot("m", HURST_BLOCKS).agg(F.first("rs_mean"))
     rs_cols = [F.col(str(m)).alias(f"rs_{m}") for m in HURST_BLOCKS]
@@ -5840,79 +5843,22 @@ def q_events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r32 = F.col(str(HURST_BLOCKS[2])) / F.col(str(HURST_BLOCKS[1]))
     z = r41 * r41 * r41 * r32
     cur = wide.select(*rs_cols, z.alias("z"))
-    valid = (
-        F.col("z").isNotNull()
-        & (F.col("z") >= F.lit(float(2.0 ** _LOG2_E_LO)))
-        & (F.col("z") < F.lit(float(2.0 ** (_LOG2_E_HI + 1))))
-    )
-    e_expr = None
-    m_expr = None
-    for k in range(_LOG2_E_HI, _LOG2_E_LO - 1, -1):
-        cond = F.col("z") >= F.lit(float(2.0**k))
-        scale = F.lit(float(2.0**-k))
-        e_expr = (
-            F.when(cond, F.lit(k)) if e_expr is None else e_expr.when(cond, F.lit(k))
-        )
-        m_expr = (
-            F.when(cond, F.col("z") * scale)
-            if m_expr is None
-            else m_expr.when(cond, F.col("z") * scale)
-        )
-    cur = cur.select(
+    logged = with_exact_log2(cur, "z", "lz", [f"rs_{m}" for m in HURST_BLOCKS])
+    return logged.select(
         *[F.col(f"rs_{m}") for m in HURST_BLOCKS],
-        "z",
-        F.when(valid, e_expr).alias("e"),
-        F.when(valid, m_expr).alias("m"),
-    ).select(
-        *[F.col(f"rs_{m}") for m in HURST_BLOCKS],
-        "z",
-        "m",
-        F.col("e").cast("double").alias("acc"),
-    )
-    for i in range(1, _LOG2_BITS + 1):
-        m2 = F.col("m") * F.col("m")
-        ge = m2 >= F.lit(2.0)
-        cur = cur.select(
-            *[F.col(f"rs_{m}") for m in HURST_BLOCKS],
-            "z",
-            F.when(ge, m2 / F.lit(2.0)).otherwise(m2).alias("m"),
-            (
-                F.col("acc")
-                + F.when(ge, F.lit(float(2.0**-i))).otherwise(F.lit(0.0))
-            ).alias("acc"),
-        )
-    return cur.select(
-        *[F.col(f"rs_{m}") for m in HURST_BLOCKS],
-        (F.col("acc") / F.lit(10.0)).alias("hurst_exponent"),
+        (F.col("lz") / F.lit(10.0)).alias("hurst_exponent"),
     )
 
 
 def _sql_hurst() -> str:
+    log2_frag, log2_final = sql_exact_log2_ctes(
+        "zed", "z", "lz", [f"rs_{m}" for m in HURST_BLOCKS]
+    )
     arms = " UNION ALL ".join(f"SELECT {m} AS m" for m in HURST_BLOCKS)
     pivot_cols = ", ".join(
         f"MAX(CASE WHEN m = {m} THEN rs_mean END) AS rs_{m}" for m in HURST_BLOCKS
     )
-    e_branches = " ".join(
-        f"WHEN z >= {2.0**k!r} THEN {k}"
-        for k in range(_LOG2_E_HI, _LOG2_E_LO - 1, -1)
-    )
-    m_branches = " ".join(
-        f"WHEN z >= {2.0**k!r} THEN z * {2.0**-k!r}"
-        for k in range(_LOG2_E_HI, _LOG2_E_LO - 1, -1)
-    )
     rs_list = ", ".join(f"rs_{m}" for m in HURST_BLOCKS)
-    steps = []
-    prev = "s0"
-    for i in range(1, _LOG2_BITS + 1):
-        steps.append(
-            f"s{i} AS (SELECT {rs_list}, z,"
-            f" CASE WHEN m * m >= 2.0 THEN m * m / 2.0 ELSE m * m END AS m,"
-            f" acc + CASE WHEN m * m >= 2.0 THEN {2.0**-i!r} ELSE 0.0 END AS acc"
-            f" FROM {prev})"
-        )
-        prev = f"s{i}"
-    step_sql = ",\n".join(steps)
-    lo, hi = 2.0**_LOG2_E_LO, 2.0 ** (_LOG2_E_HI + 1)
     return f"""
 WITH counts AS (
   SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
@@ -5964,19 +5910,9 @@ WITH counts AS (
            * (rs_{HURST_BLOCKS[3]} / rs_{HURST_BLOCKS[0]})
            * (rs_{HURST_BLOCKS[2]} / rs_{HURST_BLOCKS[1]}) AS z
   FROM wide
-), norm AS (
-  SELECT {rs_list}, z,
-         CASE WHEN z IS NULL OR z < {lo!r} OR z >= {hi!r} THEN NULL
-              ELSE CASE {e_branches} END END AS e,
-         CASE WHEN z IS NULL OR z < {lo!r} OR z >= {hi!r} THEN NULL
-              ELSE CASE {m_branches} END END AS m
-  FROM zed
-), s0 AS (
-  SELECT {rs_list}, z, m, CAST(e AS DOUBLE) AS acc FROM norm
-),
-{step_sql}
-SELECT {rs_list}, acc / 10.0 AS hurst_exponent
-FROM {prev}
+){log2_frag}
+SELECT {rs_list}, lz / 10.0 AS hurst_exponent
+FROM {log2_final}
 """
 
 

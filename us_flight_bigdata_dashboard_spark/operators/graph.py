@@ -2090,6 +2090,135 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(RA_TOP)
 
 
+
+KATZ_ITERS = 3
+KATZ_ALPHA_NUM, KATZ_ALPHA_DEN = 1, 8  # attenuation α = 1/8 — exact rational
+KATZ_FP = 10**9  # fixed-point scale for the score vector
+KATZ_TOP = 20
+
+
+def q_graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality on the undirected purchase graph, truncated at
+    path length {it}: x = Σ_{{k=1..{it}}} α^k·(A^k·1) — "how many walks
+    end here, geometrically discounted by length" — the centrality that
+    COUNTS PATHS where PageRank splits mass (a hub with many weak
+    spokes ranks high in Katz, low in PageRank) and converges for
+    α < 1/λ_max by construction of the truncation. Completes the
+    centrality ladder: degree → PageRank → HITS/SALSA (mutual) → PPR
+    (seeded) → HyperBall (distance) → Katz (walk-counting).
+
+    Exactness: with α = {an}/{ad} EXACT, each round is x ← (A·x)·{an}
+    div {ad} + A·1·... concretely the walk-sum accumulates in
+    FIXED-POINT integers: x₀ = {fp}; per round the neighbor sum is an
+    integer agg and the α-discount one INTEGER floor-divide (the SQL
+    `div`, never the double `/` — a 10¹⁵ fixed-point sum would leave
+    the 2⁵³ exact window) — zero float surface until the final /{fp}
+    rescale. Per-round
+    localCheckpoint (the PageRank/HITS discipline) keeps the plan
+    O(iters). The oracle unrolls the same {it} rounds as MATERIALIZED
+    CTEs (the SALSA pattern).
+
+    Scale shape: per round one edges⋈scores join on the node key + one
+    map-side-combinable hash agg — Pregel's step relationally.""".format(
+        it=KATZ_ITERS, an=KATZ_ALPHA_NUM, ad=KATZ_ALPHA_DEN, fp=KATZ_FP
+    )
+    edges = _edges_int(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # x holds the CUMULATIVE katz sum; w holds the current walk layer
+    state = nodes.select(
+        "node",
+        F.lit(0).cast("long").alias("x_fp"),
+        F.lit(KATZ_FP).cast("long").alias("w_fp"),
+    ).localCheckpoint(eager=True)
+    for _ in range(KATZ_ITERS):
+        msgs = (
+            edges.join(state.select(F.col("node").alias("src"), "w_fp"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w_fp").cast("long").alias("nbr_fp"))
+        )
+        state = (
+            state.join(msgs, "node", "left")
+            .select(
+                "node",
+                "x_fp",
+                # integer floor-div (never the double / operator: a 10^15
+                # fixed-point sum would leave the 2^53 exact window)
+                F.expr(
+                    f"CAST(coalesce(nbr_fp, 0L) * {KATZ_ALPHA_NUM}"
+                    f" div {KATZ_ALPHA_DEN} AS BIGINT)"
+                ).alias("w_new"),
+            )
+            .select(
+                "node",
+                (F.col("x_fp") + F.col("w_new")).cast("long").alias("x_fp"),
+                F.col("w_new").alias("w_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    lbl = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c:")).otherwise(F.lit("s:")),
+        (F.col("node") / F.lit(2)).cast("bigint").cast("string"),
+    )
+    return (
+        state.select(
+            lbl.alias("node"),
+            F.col("x_fp").alias("katz_fp"),
+            (F.col("x_fp").cast("double") / F.lit(float(KATZ_FP))).alias("katz"),
+        )
+        .orderBy(F.desc("katz_fp"), F.asc("node"))
+        .limit(KATZ_TOP)
+    )
+
+
+def _sql_katz() -> str:
+    base = f"""
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS cnode,
+           CAST(l_suppkey AS BIGINT) * 2 + 1 AS snode
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  ) t, (SELECT UNNEST([0, 1]) AS d) dd,
+  LATERAL (SELECT CASE WHEN d = 0 THEN cnode ELSE snode END AS src,
+                  CASE WHEN d = 0 THEN snode ELSE cnode END AS dst) x
+),
+s0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS x_fp,
+         CAST({KATZ_FP} AS BIGINT) AS w_fp
+  FROM edges
+)"""
+    rounds = []
+    prev = "s0"
+    for i in range(1, KATZ_ITERS + 1):
+        rounds.append(f"""
+m{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(s.w_fp) AS BIGINT) AS nbr_fp
+  FROM edges e JOIN {prev} s ON e.src = s.node
+  GROUP BY 1
+),
+s{i} AS MATERIALIZED (
+  SELECT s.node,
+         CAST(s.x_fp + COALESCE(m.nbr_fp, 0) * {KATZ_ALPHA_NUM} // {KATZ_ALPHA_DEN} AS BIGINT) AS x_fp,
+         CAST(COALESCE(m.nbr_fp, 0) * {KATZ_ALPHA_NUM} // {KATZ_ALPHA_DEN} AS BIGINT) AS w_fp
+  FROM {prev} s LEFT JOIN m{i} m ON s.node = m.node
+)""")
+        prev = f"s{i}"
+    return (
+        "WITH "
+        + base
+        + ","
+        + ",".join(rounds)
+        + f"""
+SELECT (CASE WHEN node % 2 = 0 THEN 'c:' ELSE 's:' END)
+         || CAST(node // 2 AS VARCHAR) AS node,
+       x_fp AS katz_fp,
+       CAST(x_fp AS DOUBLE) / {float(KATZ_FP)!r} AS katz
+FROM {prev}
+ORDER BY katz_fp DESC, node ASC
+LIMIT {KATZ_TOP}
+"""
+    )
+
+
 AA_FP = 10**12  # fixed-point scale for the 1/ln(deg) weights
 # Python-precomputed weight LUT over the LITERAL degree domain 2..cap —
 # the periodogram escape: ln never runs engine-side (banned transcendental,
@@ -2406,6 +2535,7 @@ QUERIES = {
     "graph_ppr_seeded": q_graph_ppr_seeded,
     "graph_resource_allocation": q_graph_resource_allocation,
     "graph_adamic_adar": q_graph_adamic_adar,
+    "graph_katz_centrality": q_graph_katz_centrality,
     "graph_hyperball": q_graph_hyperball,
 }
 
@@ -2430,5 +2560,6 @@ ORACLE = {
     "graph_ppr_seeded": _sql_ppr(),
     "graph_resource_allocation": _ORACLE_RESOURCE_ALLOCATION,
     "graph_adamic_adar": _ORACLE_ADAMIC_ADAR,
+    "graph_katz_centrality": _sql_katz(),
     "graph_hyperball": _sql_hyperball(),
 }

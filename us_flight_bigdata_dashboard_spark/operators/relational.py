@@ -1999,6 +1999,7 @@ ORDER BY trailing_n
 """
 
 
+
 QUERIES = {
     "rolling_interval_window": q_rolling_interval_window,
     "recursive_cte_drain": q_recursive_cte_drain,

@@ -19,7 +19,9 @@ from us_flight_bigdata_dashboard_spark.functions.exact import (
     fsum,
     sql_davg,
     sql_dsum,
+    sql_exact_log2_ctes,
     sql_fsum,
+    with_exact_log2,
 )
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
@@ -3237,6 +3239,77 @@ def q_text_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_text_renyi2_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rényi-2 (collision) entropy of each source's unigram distribution,
+    in bits, with the EFFECTIVE VOCABULARY it exponentiates to — the
+    entropy-family diversity number the no-transcendentals gate could
+    not ship until round 11: H₂ = −log2 Σp² = log2(N²/Σc²), and
+    ``functions/exact.with_exact_log2`` evaluates log2 with ONLY
+    correctly-rounded IEEE ×/÷/compares (24-bit square-and-compare), so
+    the gate hashes it bit-for-bit. H₂ lower-bounds Shannon entropy and
+    is the collision-probability reading (how likely two random tokens
+    coincide) — the diversity complement of ``text_yules_k`` (same Σc²
+    moment, repeat-rate scaling) and the mixing signal
+    ``source_mix_temperature`` weighs sources by.
+
+    Exactness: Σc² exact in DECIMAL(38,0) (the yules frame); effective
+    vocabulary N²/Σc² is one IEEE sequence on exact moments; log2 by
+    spec-exact arithmetic. Scale shape: one explode + (source, token)
+    hash agg — the only data-sized stage — then a |sources|-row chain
+    of narrow projections (24, one per fraction bit)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("t"))
+    counts = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    out = counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sc2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    eff = out.select(
+        "source",
+        "vocab",
+        "n_tokens",
+        (nd * nd / F.col("sc2").cast("double")).alias("eff_vocab"),
+    )
+    logged = with_exact_log2(
+        eff, "eff_vocab", "renyi2_bits", ["source", "vocab", "n_tokens"]
+    )
+    return logged.select(
+        "source", "vocab", "n_tokens", "eff_vocab", "renyi2_bits"
+    ).orderBy("source")
+
+
+def _sql_renyi2() -> str:
+    frag, final = sql_exact_log2_ctes(
+        "eff", "eff_vocab", "renyi2_bits", ["source", "vocab", "n_tokens"]
+    )
+    return f"""
+WITH tok AS (
+  SELECT source, UNNEST({_sql_tokens("text")}) AS t FROM documents
+), counts AS (
+  SELECT source, t, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+), outt AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sc2
+  FROM counts GROUP BY 1
+), eff AS (
+  SELECT source, vocab, n_tokens,
+         CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+           / CAST(sc2 AS DOUBLE) AS eff_vocab
+  FROM outt
+){frag}
+SELECT source, vocab, n_tokens, eff_vocab, renyi2_bits
+FROM {final}
+ORDER BY source
+"""
+
+
 _ORACLE_YULES_K = f"""
 WITH tok AS (
   SELECT source, UNNEST({_sql_tokens("text")}) AS t FROM documents
@@ -3549,6 +3622,7 @@ ORDER BY c_w DESC, word ASC
 
 QUERIES = {
     "text_yules_k": q_text_yules_k,
+    "text_renyi2_entropy": q_text_renyi2_entropy,
     "text_gries_dp": q_text_gries_dp,
     "text_burstiness_fano": q_text_burstiness_fano,
     "text_tv_distance": q_text_tv_distance,
@@ -3594,6 +3668,7 @@ QUERIES = {
 
 ORACLE = {
     "text_yules_k": _ORACLE_YULES_K,
+    "text_renyi2_entropy": _sql_renyi2(),
     "text_gries_dp": _ORACLE_GRIES_DP,
     "text_burstiness_fano": _ORACLE_FANO,
     "text_tv_distance": _ORACLE_TV_DISTANCE,

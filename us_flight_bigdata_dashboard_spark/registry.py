@@ -125,8 +125,13 @@ _MODULES = [
 # certification again. ALL 35 staged deferred+sentinel entries were
 # additionally pre-cleared under PANDAS_CANON at sf0.01 on the r11
 # end-of-round code (35/35 green), so the r12 close-out carries no
-# known risk. Run the tool; do not trust this comment's snapshot over
-# its output.
+# known risk. The 4 LATE round-11 additions (text_renyi2_entropy,
+# seasonal_mann_kendall, graph_katz_centrality,
+# streaming_interval_join_outer_replay -- same 4-layer pre-clearance,
+# ground-truth tests in tests/test_round11_ops.py) landed after the
+# r12 staging froze and flow to the R13 pool, exactly like r8's and
+# r10's late waves did. Run the tool; do not trust this comment's
+# snapshot over its output.
 #
 # Every prefix entry was pre-cleared at sf0.001/0.01/0.1 +
 # PANDAS_CANON + vanilla-ANSI + dtype-parity and is matrix-green in

@@ -94,7 +94,10 @@ def sliding_counts(stream: DataFrame, window: str = "1 hour", slide: str = "30 m
 
 
 def interval_join_views_before_clicks(
-    stream: DataFrame, lookback: str = "30 minutes", watermark: str = "2 hours"
+    stream: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: every click paired with the same
     user's view events from the preceding ``lookback`` window (attribution
@@ -105,9 +108,11 @@ def interval_join_views_before_clicks(
     two-sided time-range constraint, so Spark can bound EACH side's join
     state — a view older than click-watermark − lookback can never match a
     future click and is evicted; state is O(events in the watermark
-    horizon), not O(stream length). Inner join → append mode. The same
-    plan on batch frames is the equivalence oracle
-    (tests/test_streaming.py)."""
+    horizon), not O(stream length). Append mode; ``how`` selects the
+    join type — LEFT OUTER adds the subtlest streaming-join semantics
+    (an unmatched click's NULL row emits only once the watermark proves
+    no view can still arrive; the outer replay gates it). The same plan
+    on batch frames is the equivalence oracle (tests/test_streaming.py)."""
     stream = _event_time(stream)
     clicks = (
         stream.filter(F.col("event_type") == "click")
@@ -132,7 +137,7 @@ def interval_join_views_before_clicks(
         & (F.col("view_ts") <= F.col("click_ts"))
         & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"interval {lookback}"))
     )
-    return clicks.join(views, cond, "inner").select(
+    return clicks.join(views, cond, how).select(
         "click_event_id",
         F.col("click_user").alias("user_id"),
         "click_ts",

@@ -828,6 +828,132 @@ FROM kept c JOIN kept v
 """
 
 
+IJO_DELAY = "6 hours"  # real horizon of the outer-join replay
+_IJO_DELAY_H = 6
+_IJO_LOOKBACK = "30 minutes"
+_IJO_SENTINEL_H = 12  # future click+view pair that flushes unmatched rows
+
+
+def _stage_events_outer(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the OUTER-join replay: all events in four ts-range-ordered
+    files (pinned mtimes), then one sentinel file holding a future
+    click+view PAIR (user −1, ts = max + {s}h) whose only job is to push
+    BOTH sides' watermarks past every real click's expiry so append mode
+    flushes the unmatched NULL rows (a plain sentinel row would be
+    filtered out by one side's event_type predicate and advance only one
+    watermark; the global watermark is the min). The sentinel pair
+    matches itself and is dropped from the result by its negative
+    user id.""".format(s=_IJO_SENTINEL_H)
+    import datetime
+    import glob
+    import os
+
+    key = (sf_dir, "outer_join")
+    if key in _stage_cache:
+        return _stage_cache[key]
+    ev = _event_time(
+        load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    (bounds,) = ev.agg(F.min("ts").alias("tmin"), F.max("ts").alias("gm")).collect()
+    tmin, gm = bounds["tmin"], bounds["gm"]
+    span_h = (gm - tmin).total_seconds() / 3600.0
+    if span_h < 4 * _IJO_DELAY_H:
+        raise RuntimeError(f"outer-join replay needs a longer span ({span_h}h)")
+    sent_ts = gm + datetime.timedelta(hours=_IJO_SENTINEL_H)
+    sentinel = spark.createDataFrame(
+        [(-1, sent_ts, -1, "click", 0.0), (-2, sent_ts, -1, "view", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = tempfile.mkdtemp(prefix="stream_replay_ijo_")
+    stage = tempfile.mkdtemp(prefix="stream_replay_ijo_stage_")
+    ev.repartitionByRange(REPLAY_FILES, "ts").write.mode("overwrite").parquet(
+        f"{stage}/on_time"
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/sentinel")
+    ordered = sorted(glob.glob(f"{stage}/on_time/part-*.parquet")) + [
+        glob.glob(f"{stage}/sentinel/part-*.parquet")[0]
+    ]
+    for i, f in enumerate(ordered):
+        dst = os.path.join(out, f"data{i:02d}.parquet")
+        os.rename(f, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(stage, ignore_errors=True)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for i in range(REPLAY_FILES):
+        col = pq.read_table(os.path.join(out, f"data{i:02d}.parquet"), columns=["ts"])["ts"]
+        if len(col):
+            ranges.append((i, pc.min(col).as_py(), pc.max(col).as_py()))
+    for (ia, _, a_max), (ib, b_min, _) in zip(ranges, ranges[1:]):
+        if not a_max < b_min:
+            raise RuntimeError(
+                f"outer staging order violated: file {ia} !< file {ib}"
+            )
+    # flush margin: the sentinel-driven final watermark must clear every
+    # real click's expiry (click_ts + lookback) by hours, not minutes
+    wm_final = sent_ts - datetime.timedelta(hours=_IJO_DELAY_H)
+    if not wm_final > gm + datetime.timedelta(hours=2):
+        raise RuntimeError("outer-join flush margin violated")
+    _stage_cache[key] = out
+    return out
+
+
+def q_streaming_interval_join_outer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join replayed through real
+    micro-batches — the 20th replay and the SUBTLEST streaming-join
+    semantics: an inner match emits the moment both rows meet, but an
+    unmatched click's NULL row may only emit once the WATERMARK PROVES
+    no matching view can still arrive (emit early and a late view makes
+    the result wrong; never emit and append mode ships nothing). What
+    the hash gate proves: (1) every matched pair emits exactly once —
+    identical to the inner replay; (2) every unmatched click emits
+    exactly one NULL-view row — flushed by the future sentinel pair
+    (both event types, so BOTH sides' watermarks advance past every
+    real click's expiry; the staging asserts an hours-wide margin);
+    (3) nothing emits twice — a click is either matched or flushed,
+    never both. The emitted set is then the batch LEFT JOIN, which is
+    exactly what the oracle states.
+
+    Scale shape: identical state economics to the inner join — per-side
+    state bounded by horizon + lookback × arrival rate; the outer
+    variant adds only the expiry-time NULL emission."""
+    src = _stage_events_outer(spark, sf_dir)
+    result = _replay(
+        spark,
+        src,
+        lambda s: interval_join_views_before_clicks(
+            s, lookback=_IJO_LOOKBACK, watermark=IJO_DELAY, how="left_outer"
+        ),
+        mode="append",
+    )
+    return result.filter(F.col("user_id") >= 0).select(
+        "click_event_id", "user_id", "click_ts", "view_event_id", "view_ts"
+    )
+
+
+_ORACLE_STREAMING_INTERVAL_JOIN_OUTER = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE ts IS NOT NULL
+), c AS (
+  SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'
+), v AS (
+  SELECT event_id, user_id, ts FROM ev WHERE event_type = 'view'
+)
+SELECT c.event_id AS click_event_id,
+       c.user_id AS user_id,
+       c.ts AS click_ts,
+       v.event_id AS view_event_id,
+       v.ts AS view_ts
+FROM c LEFT JOIN v
+  ON c.user_id = v.user_id
+ AND v.ts <= c.ts
+ AND v.ts >= c.ts - INTERVAL 30 MINUTE
+"""
+
+
 def q_streaming_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment under the exact gate: every
     micro-batch of the replayed event stream left-joins a STATIC dimension
@@ -1484,6 +1610,7 @@ QUERIES = {
     "streaming_dedup_replay": q_streaming_dedup_replay,
     "streaming_interval_join_replay": q_streaming_interval_join_replay,
     "streaming_interval_join_late_replay": q_streaming_interval_join_late_replay,
+    "streaming_interval_join_outer_replay": q_streaming_interval_join_outer_replay,
     "streaming_session_replay": q_streaming_session_replay,
     "streaming_upsert_replay": q_streaming_upsert_replay,
     "streaming_sliding_replay": q_streaming_sliding_replay,
@@ -1506,6 +1633,7 @@ ORACLE = {
     "streaming_dedup_replay": _ORACLE_STREAMING_DEDUP,
     "streaming_interval_join_replay": _ORACLE_STREAMING_INTERVAL_JOIN,
     "streaming_interval_join_late_replay": _ORACLE_STREAMING_INTERVAL_JOIN_LATE,
+    "streaming_interval_join_outer_replay": _ORACLE_STREAMING_INTERVAL_JOIN_OUTER,
     "streaming_session_replay": _ORACLE_STREAMING_SESSION,
     "streaming_upsert_replay": _ORACLE_STREAMING_UPSERT,
     "streaming_sliding_replay": _ORACLE_STREAMING_SLIDING,
