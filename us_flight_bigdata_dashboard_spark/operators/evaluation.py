@@ -3449,9 +3449,11 @@ def q_odds_ratio_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(tot))
         .select(
-            F.floor(F.lit(ORB_BINS) * F.col("t") / F.col("n"))
-            .cast("int")
-            .alias("bin"),
+            # integer floor-division (div), never long/long `/`: the IEEE
+            # quotient can double-round across an integer boundary once
+            # 10*t exceeds 2^53, while the oracle's `//` is exact (r11
+            # ADVICE; same convention as graph.py's fixed-point paths)
+            F.expr(f"CAST(({ORB_BINS} * t) div n AS INT)").alias("bin"),
             "g",
             "b",
             "n",

@@ -2157,7 +2157,9 @@ def q_graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     lbl = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c:")).otherwise(F.lit("s:")),
-        (F.col("node") / F.lit(2)).cast("bigint").cast("string"),
+        # exact bit-shift, not double division + truncation (r11 ADVICE):
+        # same idiom as the PageRank/LPA label paths, exact for all longs
+        F.shiftright(F.col("node"), 1).cast("string"),
     )
     return (
         state.select(

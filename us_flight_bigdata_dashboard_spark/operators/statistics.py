@@ -3643,15 +3643,13 @@ def q_ansari_bradley_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ansari_bradley() -> str:
-    # Explicit floor() before every double->BIGINT cast: DuckDB's `/` yields
-    # DOUBLE and a bare CAST rounds-to-nearest (CAST(7500.5 AS BIGINT)=7501),
-    # so relying on expression rewrites to fold integer division is fragile.
-    # Same cross-engine convention as evaluation.py's _sm_tercile (r10 ADVICE).
-    s_hi = (
-        "(h * (h + 1) + ({x} - h) * (n_ + 1)"
-        " - CAST(floor(({x} * ({x} + 1)) / 2.0) AS BIGINT))"
-    )
-    s_lo = "CAST(floor(({x} * ({x} + 1)) / 2.0) AS BIGINT)"
+    # DuckDB integer floor-division `//` on BIGINT operands: exact for the
+    # full BIGINT range, unlike floor(x / 2.0) which routes the product
+    # through DOUBLE and loses exactness past 2^53 (~9.5e7 rows per group
+    # for the triangular term) — r11 ADVICE. (A bare CAST of the DOUBLE
+    # quotient would additionally round-to-nearest: CAST(7500.5)=7501.)
+    s_hi = "(h * (h + 1) + ({x} - h) * (n_ + 1) - (({x} * ({x} + 1)) // 2))"
+    s_lo = "(({x} * ({x} + 1)) // 2)"
 
     def s_prefix(x):
         return (
@@ -3677,7 +3675,7 @@ WITH per_v AS (
 ), jx AS (
   SELECT c1, c2, c, t, n1, n2,
          CAST(n1 + n2 AS BIGINT) AS n_,
-         CAST(floor((n1 + n2 + 1) / 2.0) AS BIGINT) AS h
+         (n1 + n2 + 1) // 2 AS h
   FROM ranked CROSS JOIN tot
 ), agg AS (
   SELECT MAX(n1) AS n1, MAX(n2) AS n2,

@@ -102,108 +102,96 @@ _MODULES = [
 # events_page_hinkley) are IN this prefix and get certified on the
 # fixed code live.
 #
-# ROUND-12 STAGING (close-out): the 19 deferred entries
-# (cohens_d_effect, atkinson_inequality, gini_split_gain,
-# pacf_closed_form, dixon_q_outlier, bland_altman_agreement,
-# lin_ccc_agreement, goodman_kruskal_gamma, cliffs_delta_effect,
-# hoeffding_sample_bound, partial_correlation, forecast_pinball_loss,
-# forecast_tracking_signal, events_halflife_score, text_sttr,
-# text_yules_k, text_gries_dp, neyman_allocation,
-# quantile_normalize_deciles) + the sentinels
-# `tools/rotate_prefix.py --sentinels` reports at r12 start (15 at r10
-# close; graph_hits joins them -- its per-iteration localCheckpoint fix
-# landed r11 after its r9 certification) + the 15 ROUND-11 ADDITIONS
-# (streaming_interval_join_late_replay, kuiper_two_sample,
-# wasserstein_two_sample, qq_shift_deciles, pettitt_changepoint,
-# cox_stuart_trend, bartels_rank_vn, events_hurst_rs, odds_ratio_binning,
-# propensity_smd_balance, queueing_mm1_metrics,
-# wagner_whitin_lot_sizing, graph_adamic_adar, rolling_interval_window,
-# multimodal_qoi_decode -- all pre-cleared at sf0.001/0.01/0.1 +
-# PANDAS_CANON + vanilla-ANSI + dtype-parity this round, ground-truth
-# tested in tests/test_round11_ops.py and tests/test_qoi_codec.py)
-# = 19 + 16 + 15 = EXACTLY one 50-slot prefix that closes
-# certification again. ALL 35 staged deferred+sentinel entries were
-# additionally pre-cleared under PANDAS_CANON at sf0.01 on the r11
-# end-of-round code (35/35 green), so the r12 close-out carries no
-# known risk. The 4 LATE round-11 additions (text_renyi2_entropy,
-# seasonal_mann_kendall, graph_katz_centrality,
-# streaming_interval_join_outer_replay -- same 4-layer pre-clearance,
-# ground-truth tests in tests/test_round11_ops.py) landed after the
-# r12 staging froze and flow to the R13 pool, exactly like r8's and
-# r10's late waves did. Run the tool; do not trust this comment's
-# snapshot over its output.
+# ROUND-12 ROTATION (close-out) -- computed by `python tools/rotate_prefix.py`
+# (+ `--sentinels`) at r12 start, 2026-08-16; the TOOL is the source of
+# truth, never hand-freeze. Pool at r12 start: 470 registry entries, 434
+# ever-certified, 38 never-certified, 16 CERTAIN sentinels. This prefix
+# = the 34 never-certified entries that were staged before the r12
+# freeze (19 r11-deferred light entries + 15 round-11 additions) + all
+# 16 CERTAIN sentinels (entries whose function text changed after their
+# last certification; includes graph_hits, whose per-iteration
+# localCheckpoint fix landed r11 after its r10 certification, and
+# streaming_streaks_replay, an r11 watch-list mover) = EXACTLY 50
+# slots. All 35 deferred+sentinel entries were pre-cleared 35/35 under
+# PANDAS_CANON at sf0.01 on r11 end-of-round code; the 15 r11 additions
+# were 4-layer pre-cleared (sf0.001/0.01/0.1 + PANDAS_CANON +
+# vanilla-ANSI + dtype-parity) at authoring time and are matrix-green
+# in FULLMATRIX_r11.json (470/470, PANDAS_CANON); the r11 judge
+# independently re-ran 14 of the 38 green. Green here closes full
+# driver certification at 466/470.
 #
-# Every prefix entry was pre-cleared at sf0.001/0.01/0.1 +
-# PANDAS_CANON + vanilla-ANSI + dtype-parity and is matrix-green in
-# FULLMATRIX_r10.json (451/451); 14 of the 69 were additionally re-run
-# green by the r10 judge under PANDAS_CANON.
+# ROUND-13 STAGING: the 4 LATE round-11 additions (text_renyi2_entropy,
+# seasonal_mann_kendall, graph_katz_centrality,
+# streaming_interval_join_outer_replay -- all 4-layer pre-cleared,
+# judge-verified green under PANDAS_CANON in the r11 verdict,
+# ground-truth tested in tests/test_round11_ops.py) landed after the
+# r12 staging froze and flow to the R13 pool, exactly like r8's and
+# r10's late waves did. Any r12 wave stays <= 46 entries so r13 closes
+# certification fully. Run the tool; do not trust this comment's
+# snapshot over its output.
 # Entries after the flagship block run in stable module order.
 _FLAGSHIP_PREFIX = [
-    # --- streaming replays: real-horizon micro-batch (3) ---
-    "streaming_late_data_replay",
-    "streaming_bounded_dedup_replay",
-    "streaming_hll_sketch_replay",
-    # --- engine surfaces: recursive CTE / LATERAL / PIVOT (4) ---
-    "recursive_cte_walks",
-    "recursive_cte_drain",
-    "lateral_join_topk",
-    "sql_pivot_interface",
-    # --- engine surfaces cont. (1) ---
-    "sql_unpivot_interface",
-    # --- graph fixed-point (2) ---
-    "graph_hyperball",
-    "graph_resource_allocation",
-    # --- codec (1) ---
-    "multimodal_bmp_decode",
-    # --- inference / agreement (4) ---
-    "cochrans_q_test",
-    "fleiss_kappa",
-    "krippendorff_alpha",
-    "quade_test",
-    # --- statistics (5; ansari + jonckheere on r11 ADVICE-fixed code) ---
-    "ansari_bradley_scale",
-    "jonckheere_terpstra",
-    "cramer_von_mises_two",
-    "mood_median_test",
-    "jarque_bera_normality",
-    # --- evaluation / two-sample / design (8) ---
-    "wilcoxon_signed_rank",
-    "energy_distance_two_sample",
-    "mmd_poly_two_sample",
-    "stuart_maxwell_test",
-    "icc_oneway",
-    "conformal_interval",
-    "interrupted_time_series",
-    "evt_gumbel_block_maxima",
-    # --- events / forecasting (5; page_hinkley on fixed code) ---
-    "events_page_hinkley",
-    "events_theta_forecast",
-    "events_periodogram_lut",
-    "events_interval_coverage",
-    "survival_rmst",
-    # --- similarity / clustering eval (4) ---
-    "clustering_silhouette",
-    "davies_bouldin_index",
-    "embedding_isotropy",
-    "embedding_triplet_violations",
-    # --- sketches (2) ---
-    "sketch_theta_intersection",
-    "sketch_theta_difference",
-    # --- decision / ops (4) ---
-    "newsvendor_quantile",
-    "price_elasticity_arc",
-    "eoq_batch_sizing",
-    "fill_rate_curve",
-    # --- sampling / audit (3) ---
-    "horvitz_thompson",
-    "dp_randomized_response",
-    "sequence_gap_audit",
-    # --- temporal (1) ---
-    "asof_join_tolerance",
-    # --- text (3) ---
-    "text_dsir_proxy",
-    "text_tv_distance",
-    "text_burstiness_fano",
+    # --- never-certified: decision (2) ---
+    "queueing_mm1_metrics",
+    "wagner_whitin_lot_sizing",
+    # --- never-certified: evaluation (10) ---
+    "atkinson_inequality",
+    "bland_altman_agreement",
+    "cohens_d_effect",
+    "dixon_q_outlier",
+    "gini_split_gain",
+    "goodman_kruskal_gamma",
+    "lin_ccc_agreement",
+    "odds_ratio_binning",
+    "pacf_closed_form",
+    "propensity_smd_balance",
+    # --- never-certified: events / forecasting (7) ---
+    "bartels_rank_vn",
+    "cox_stuart_trend",
+    "events_halflife_score",
+    "events_hurst_rs",
+    "forecast_pinball_loss",
+    "forecast_tracking_signal",
+    "pettitt_changepoint",
+    # --- never-certified: graph (1) ---
+    "graph_adamic_adar",
+    # --- never-certified: codec (1) ---
+    "multimodal_qoi_decode",
+    # --- never-certified: relational (1) ---
+    "rolling_interval_window",
+    # --- never-certified: streaming replay (1) ---
+    "streaming_interval_join_late_replay",
+    # --- never-certified: sampling (2) ---
+    "neyman_allocation",
+    "quantile_normalize_deciles",
+    # --- never-certified: statistics (6) ---
+    "cliffs_delta_effect",
+    "hoeffding_sample_bound",
+    "kuiper_two_sample",
+    "partial_correlation",
+    "qq_shift_deciles",
+    "wasserstein_two_sample",
+    # --- never-certified: text (3) ---
+    "text_gries_dp",
+    "text_sttr",
+    "text_yules_k",
+    # --- CERTAIN sentinels: code changed since last certification (16) ---
+    "ann_lsh",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "embedding_near_dup",
+    "embedding_pca_power",
+    "events_tumbling",
+    "graph_hits",
+    "graph_supplier_similarity",
+    "multimodal_jpeg_decode",
+    "multimodal_meta_stats",
+    "multimodal_ppm_decode",
+    "scan_parquet_zstd_roundtrip",
+    "sketch_hll_registers",
+    "sketch_hll_union",
+    "streaming_streaks_replay",
+    "vector_label_stats",
 ]
 
 

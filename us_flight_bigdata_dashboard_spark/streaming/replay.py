@@ -377,6 +377,17 @@ def _stage_events_bounded_dedup(spark: SparkSession, sf_dir: str) -> str:
 # opposite direction: state partitions track data rate, and 100 TB raises
 # the number; the replay sets it explicitly instead of inheriting a batch
 # tuning that was sized for fact-table shuffles.
+#
+# SINGLE-THREADED-SESSION ASSUMPTION (r11 ADVICE): _replay sets
+# spark.sql.shuffle.partitions SESSION-WIDE for the duration of the drain
+# (restored in finally). Every consumer of this module — the driver gate,
+# tools/check_oracle.py, bench.py, the pytest suite — runs queries
+# sequentially on the session, so nothing else can observe the override.
+# If a THREADED harness ever shares the session, a concurrent batch query
+# would silently inherit the replay-sized partitioning: move the override
+# onto a session clone (spark.newSession()) at that point. Corollary: a
+# replay whose plan NEEDS the session's batch partition tuning must pass
+# parts=0 explicitly rather than relying on the session default.
 REPLAY_STATE_PARTITIONS = 8
 
 
