@@ -91,6 +91,62 @@ def sql_fsum(expr: str, scale: int = 12) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Engine-portable wide-decimal -> double conversion (round 12)
+# ---------------------------------------------------------------------------
+#
+# A bare CAST(DECIMAL(38,0) AS DOUBLE) is only trustworthy below 2^64:
+# DuckDB converts its int128 payload as double(upper)*2^64 + double(lower)
+# — TWO roundings — and the result measured 1 ulp off correct rounding in
+# the wild (round 12, Conover's ΣcA² = 2.49e19; the round-8 ANOVA hit the
+# same class, noted in ``fsum``'s bounds). The JVM's BigDecimal path
+# rounds once, so the engines split and the hash gate reddens wherever a
+# large exact moment feeds a cancellation-amplified statistic.
+#
+# Escape: rebuild the double from four 32-bit limb DIFFERENCES. Each
+# piece (a − a%2^96, a%2^96 − a%2^64, a%2^64 − a%2^32, a%2^32) is a
+# multiple of its limb base with a 32-bit multiplier, so each is EXACTLY
+# representable in double — any conforming conversion returns the exact
+# value, whatever its algorithm. The fixed left-to-right composition
+# then performs the SAME three IEEE additions on both engines:
+# bit-identical BY SPEC (≤3 roundings ⇒ relative error ≤ ~3·2^-53 —
+# deterministic, and negligible for any statistic). Covers the full
+# DECIMAL(38,0) range (10^38 < 2^127); both engines' % keeps the
+# dividend's sign, so negatives compose exactly the same way.
+
+_DEC_LIMB1 = 4294967296  # 2^32
+_DEC_LIMB2 = 18446744073709551616  # 2^64
+_DEC_LIMB3 = 79228162514264337593543950336  # 2^96
+
+
+def dec_to_double(col: Column) -> Column:
+    """Portable DECIMAL(38,0) -> DOUBLE for magnitudes that may exceed
+    2^64 (where bare casts stop being engine-identical). Mirror of
+    ``sql_dec_to_double``."""
+
+    def d(n: int) -> Column:
+        return F.expr(f"CAST('{n}' AS DECIMAL(38,0))")
+
+    m1 = col % d(_DEC_LIMB1)
+    m2 = col % d(_DEC_LIMB2)
+    m3 = col % d(_DEC_LIMB3)
+    p3 = (col - m3).cast("double")
+    p2 = (m3 - m2).cast("double")
+    p1 = (m2 - m1).cast("double")
+    p0 = m1.cast("double")
+    return ((p3 + p2) + p1) + p0
+
+
+def sql_dec_to_double(x: str) -> str:
+    """ANSI-SQL rendering of ``dec_to_double`` for the DuckDB oracle.
+    ``x`` must be a DECIMAL(38,0)-typed expression."""
+    p3 = f"CAST(({x}) - (({x}) % {_DEC_LIMB3}) AS DOUBLE)"
+    p2 = f"CAST((({x}) % {_DEC_LIMB3}) - (({x}) % {_DEC_LIMB2}) AS DOUBLE)"
+    p1 = f"CAST((({x}) % {_DEC_LIMB2}) - (({x}) % {_DEC_LIMB1}) AS DOUBLE)"
+    p0 = f"CAST(({x}) % {_DEC_LIMB1} AS DOUBLE)"
+    return f"((({p3} + {p2}) + {p1}) + {p0})"
+
+
+# ---------------------------------------------------------------------------
 # Exact binary logarithm (round 11)
 # ---------------------------------------------------------------------------
 #

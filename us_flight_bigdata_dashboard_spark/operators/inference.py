@@ -33,6 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from us_flight_bigdata_dashboard_spark.functions.exact import (
+    dec_to_double,
+    sql_dec_to_double,
+)
 from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
@@ -1566,7 +1570,209 @@ FROM a16 CROSS JOIN b16b CROSS JOIN nb
 """
 
 
+# ---------------------------------------------------------------------------
+# Conover squared-ranks test (round 12)
+# ---------------------------------------------------------------------------
+
+_CONOVER_FLAGS = ["A", "N", "R"]
+# chi-square 0.95 quantile, df = k-1 = 2 (Python-precomputed literal, the
+# same critical-value convention as kruskal/quade)
+_CONOVER_CHI2_CRIT_DF2 = "5.991464547107979e0"
+
+
+def q_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conover squared-ranks test for equal SCALE across the three return
+    flags on lineitem quantity — the RANK-based k-sample dispersion test
+    (Conover 1999 §5.3), completing the scale-test ladder beside
+    ``levene_brown_forsythe`` (moment-based k-sample, same data, so the
+    two are directly comparable) and ``ansari_bradley_scale`` (rank-based
+    but two-sample): ranks of |x − median(group)| are squared, so the
+    statistic keys on dispersion while the rank transform discards the
+    heavy tails Levene's raw moments absorb.
+
+    Exact-integer formulation: the group median is the exact lower-median
+    pick ((n+1) DIV 2 — same idiom as Brown-Forsythe), deviations
+    z = |qty − med_g| are small integers, and the squared midranks use
+    the DOUBLED-rank identity: per distinct deviation with t predecessors
+    and c tied rows, A = (2t+c+1)² is an exact integer equal to 4·(the
+    squared midrank), and Conover's T is algebraically invariant under
+    that ×4 scaling. All sums (S_g = Σc_g·A, ΣcA, ΣcA²) are exact
+    DECIMAL(38,0) (ΣcA² ≤ 16N⁵ — inside DECIMAL(38,0) through ~sf7;
+    past that, pre-bucket deviations). These moments exceed 2^64, where
+    a bare decimal→double CAST is no longer engine-identical (measured
+    live on THIS statistic: DuckDB's int128 two-step conversion read
+    1 ulp off the JVM's, and the cancellation in T amplified it to a
+    2-ulp hash mismatch) — every conversion therefore goes through the
+    portable limb-split ``functions/exact.dec_to_double``. T =
+    (Σ_g S_g²/n_g − (ΣcA)²/N) / [(ΣcA² − (ΣcA)²/N)/(N−1)] ~ χ²(k−1)
+    is then ONE fixed-order IEEE expression on engine-identical doubles;
+    the 5% flag compares against the Python-literal χ²₀.₉₅(2).
+    Degenerate contract: all deviations equal
+    (zero rank variance, D²=0) → t_stat/flag NULL under an explicit
+    guard.
+
+    Scale shape: one per-group sort window for medians, one deviation-
+    domain hash agg (≤50 distinct deviations), one domain-sized
+    cumulative window, one 1-row reduce — same shape as
+    ``kruskal_wallis``."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("qty")
+    ranked = li.select(
+        "l_returnflag",
+        "qty",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("cnt"),
+    )
+    med = ranked.filter(F.col("rk") == F.expr("(cnt + 1) DIV 2")).select(
+        "l_returnflag", F.col("qty").alias("med")
+    )
+    devs = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", F.abs(F.col("qty") - F.col("med")).alias("dev")
+    )
+    per_d = devs.groupBy("dev").agg(
+        *[
+            F.sum(F.when(F.col("l_returnflag") == f, 1).otherwise(0)).alias(
+                f"c_{f}"
+            )
+            for f in _CONOVER_FLAGS
+        ]
+    )
+    c_tot = sum(
+        (F.col(f"c_{f}") for f in _CONOVER_FLAGS[1:]), F.col(f"c_{_CONOVER_FLAGS[0]}")
+    )
+    per_d = per_d.select(
+        "dev", *[f"c_{f}" for f in _CONOVER_FLAGS], c_tot.alias("c")
+    )
+    w_prev = Window.orderBy("dev").rowsBetween(Window.unboundedPreceding, -1)
+    rankedd = per_d.select(
+        *[f"c_{f}" for f in _CONOVER_FLAGS],
+        "c",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("t"),
+    )
+    a_int = (F.lit(2) * F.col("t") + F.col("c") + F.lit(1)) * (
+        F.lit(2) * F.col("t") + F.col("c") + F.lit(1)
+    )
+    a_dec = a_int.cast("decimal(38,0)")
+    aggs = [
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum(F.col("c").cast("decimal(38,0)") * a_dec)
+        .cast("decimal(38,0)")
+        .alias("sum_a"),
+        F.sum(F.col("c").cast("decimal(38,0)") * a_dec * a_dec)
+        .cast("decimal(38,0)")
+        .alias("sum_a2"),
+    ]
+    for f in _CONOVER_FLAGS:
+        aggs.append(F.sum(f"c_{f}").cast("long").alias(f"n_{f}"))
+        aggs.append(
+            F.sum(F.col(f"c_{f}").cast("decimal(38,0)") * a_dec)
+            .cast("decimal(38,0)")
+            .alias(f"s_{f}")
+        )
+    red = rankedd.agg(*aggs)
+    nd = F.col("n_rows").cast("double")
+
+    # ΣcA / ΣcA² / per-group ΣcA exceed 2^64 well inside the data range,
+    # so every decimal→double conversion here goes through the portable
+    # limb-split (a bare cast measured 1 ulp off between engines on this
+    # very statistic — see functions/exact.dec_to_double)
+    def term(f: str):
+        s = dec_to_double(F.col(f"s_{f}"))
+        return s * s / F.col(f"n_{f}").cast("double")
+
+    terms = sum((term(f) for f in _CONOVER_FLAGS[1:]), term(_CONOVER_FLAGS[0]))
+    sad = dec_to_double(F.col("sum_a"))
+    meanterm = sad * sad / nd
+    num = terms - meanterm
+    d2 = (dec_to_double(F.col("sum_a2")) - meanterm) / (nd - F.lit(1.0))
+    t_stat = F.when(d2 > 0, num / d2).otherwise(F.lit(None).cast("double"))
+    return red.select(
+        "n_rows",
+        t_stat.alias("t_stat"),
+        F.lit(len(_CONOVER_FLAGS) - 1).cast("int").alias("df"),
+        F.when(
+            d2 > 0,
+            (num / d2 > F.lit(float(_CONOVER_CHI2_CRIT_DF2))).cast("int"),
+        )
+        .otherwise(F.lit(None).cast("int"))
+        .alias("significant_5pct"),
+    )
+
+
+def _sql_conover() -> str:
+    c_cols = ",\n         ".join(
+        f"SUM(CASE WHEN l_returnflag = '{f}' THEN 1 ELSE 0 END) AS c_{f}"
+        for f in _CONOVER_FLAGS
+    )
+    c_tot = " + ".join(f"c_{f}" for f in _CONOVER_FLAGS)
+    n_cols = ", ".join(
+        f"CAST(SUM(c_{f}) AS BIGINT) AS n_{f}" for f in _CONOVER_FLAGS
+    )
+    s_cols = ", ".join(
+        f"CAST(SUM(CAST(c_{f} AS DECIMAL(38,0)) * a_dec) AS DECIMAL(38,0)) AS s_{f}"
+        for f in _CONOVER_FLAGS
+    )
+    terms = " + ".join(
+        f"{sql_dec_to_double(f's_{f}')} * {sql_dec_to_double(f's_{f}')}"
+        f" / CAST(n_{f} AS DOUBLE)"
+        for f in _CONOVER_FLAGS
+    )
+    return f"""
+WITH li AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, qty,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY qty) AS rk,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM li
+), med AS (
+  SELECT l_returnflag, qty AS med FROM ranked WHERE rk = (cnt + 1) // 2
+), devs AS (
+  SELECT li.l_returnflag, ABS(li.qty - med.med) AS dev
+  FROM li JOIN med ON li.l_returnflag = med.l_returnflag
+), per_d AS (
+  SELECT dev,
+         {c_cols}
+  FROM devs GROUP BY 1
+), rankedd AS (
+  SELECT *, {c_tot} AS c,
+         COALESCE(SUM({c_tot}) OVER (ORDER BY dev
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t
+  FROM per_d
+), adec AS (
+  SELECT *, CAST((2 * t + c + 1) * (2 * t + c + 1) AS DECIMAL(38,0)) AS a_dec
+  FROM rankedd
+), red AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * a_dec) AS DECIMAL(38,0)) AS sum_a,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * a_dec * a_dec) AS DECIMAL(38,0)) AS sum_a2,
+         {n_cols},
+         {s_cols}
+  FROM adec
+), fin AS (
+  SELECT n_rows,
+         CAST(n_rows AS DOUBLE) AS nd,
+         {terms} AS terms,
+         {sql_dec_to_double("sum_a")} * {sql_dec_to_double("sum_a")}
+           / CAST(n_rows AS DOUBLE) AS meanterm,
+         {sql_dec_to_double("sum_a2")} AS sa2
+  FROM red
+)
+SELECT n_rows,
+       CASE WHEN (sa2 - meanterm) / (nd - 1.0) > 0
+            THEN (terms - meanterm) / ((sa2 - meanterm) / (nd - 1.0)) END AS t_stat,
+       CAST({len(_CONOVER_FLAGS) - 1} AS INT) AS df,
+       CASE WHEN (sa2 - meanterm) / (nd - 1.0) > 0
+            THEN CAST((terms - meanterm) / ((sa2 - meanterm) / (nd - 1.0))
+                      > {_CONOVER_CHI2_CRIT_DF2} AS INT) END AS significant_5pct
+FROM fin
+"""
+
+
 QUERIES = {
+    "conover_squared_ranks": q_conover_squared_ranks,
     "cochrans_q_test": q_cochrans_q_test,
     "krippendorff_alpha": q_krippendorff_alpha,
     "quade_test": q_quade_test,
@@ -1584,6 +1790,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "conover_squared_ranks": _sql_conover(),
     "cochrans_q_test": _ORACLE_COCHRANS_Q,
     "krippendorff_alpha": _sql_krippendorff(),
     "quade_test": _sql_quade(),

@@ -23,8 +23,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.functions.exact import (
+    dec_to_double,
     dsum,
     fsum,
+    sql_dec_to_double,
     sql_dsum,
     sql_fsum,
 )
@@ -4049,7 +4051,296 @@ ORDER BY decile
 """
 
 
+# ---------------------------------------------------------------------------
+# Brunner-Munzel test (round 12)
+# ---------------------------------------------------------------------------
+
+
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test on order value, urgent vs rest — the modern
+    replacement for Mann-Whitney under the nonparametric Behrens-Fisher
+    problem: it does NOT assume equal variances/shapes under H0, making
+    it the two-sample rank test that stays valid when the two groups
+    differ in spread (scipy.stats.brunnermunzel semantics, Brunner &
+    Munzel 2000). Completes the two-sample ladder beside
+    ``mann_whitney_u`` (equal-shape location), ``ks_two_sample`` /
+    ``kuiper_two_sample`` / ``cramer_von_mises_two`` (sup/cyclic/L2)
+    and ``wasserstein_two_sample`` (magnitude).
+
+    Exact-integer formulation: the statistic is built from PLACEMENTS
+    (combined-sample midrank minus within-sample midrank). Within a
+    tied-value group, every sample-1 row shares one placement, and the
+    DOUBLED placement is integral: P1 = 2·t2 + c2 (t2 = opposite-group
+    rows strictly before, c2 = opposite-group rows tied) — the same
+    midrank identity as ``mann_whitney_u``. All moments
+    (Σc·P, Σc·P², n) are exact DECIMAL(38,0) hash-agg sums
+    (P ≤ 2N ⇒ ΣcP² ≤ 4N³ ~ 10²² at 100 TB, inside DECIMAL(38,0));
+    the variance numerators n·ΣcP² − (ΣcP)² and the mean-difference
+    numerator n1·s2 − n2·s1 + n1n2(n2−n1) stay exact decimal, and the
+    final statistic/df are ONE fixed-order IEEE expression on those
+    exact scalars: W = md_num / (N·√(A1+A2)) with A_i = v_i/(n_i−1)
+    (= n_i·S_i² on doubled placements), Satterthwaite
+    df = (A1+A2)²/(A1²/(n1−1) + A2²/(n2−1)), and the common-language
+    effect p̂ = P(X1<X2) + ½P(X1=X2) = s2/(2·n1·n2). Degenerate
+    contract: zero placement variance on both sides (complete
+    separation) → w_stat/df NULL under an explicit guard.
+
+    Scale shape: identical to ``ks_two_sample`` — one value-domain hash
+    agg, one domain-sized cumulative window, one 1-row reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+        )
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum("c1").over(w_prev), F.lit(0)).alias("t1"),
+        F.coalesce(F.sum("c2").over(w_prev), F.lit(0)).alias("t2"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    p1 = F.lit(2) * F.col("t2") + F.col("c2")  # doubled placement, sample 1
+    p2 = F.lit(2) * F.col("t1") + F.col("c1")  # doubled placement, sample 2
+    red = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(dec(F.col("c1")) * dec(p1)).cast("decimal(38,0)").alias("s1"),
+        F.sum(dec(F.col("c2")) * dec(p2)).cast("decimal(38,0)").alias("s2"),
+        F.sum(dec(F.col("c1")) * dec(p1) * dec(p1))
+        .cast("decimal(38,0)")
+        .alias("q1"),
+        F.sum(dec(F.col("c2")) * dec(p2) * dec(p2))
+        .cast("decimal(38,0)")
+        .alias("q2"),
+    )
+    # variance/mean-difference numerators exceed 2^64 within the data
+    # range (v ≤ 4N⁴), so decimal→double goes through the portable
+    # limb-split — bare casts of >2^64 decimals are not engine-identical
+    # (see functions/exact.dec_to_double, measured live on conover)
+    mid = red.select(
+        "n1",
+        "n2",
+        "s2",
+        (dec(F.col("n1")) * F.col("q1") - F.col("s1") * F.col("s1"))
+        .cast("decimal(38,0)")
+        .alias("v1"),
+        (dec(F.col("n2")) * F.col("q2") - F.col("s2") * F.col("s2"))
+        .cast("decimal(38,0)")
+        .alias("v2"),
+        (
+            dec(F.col("n1")) * F.col("s2")
+            - dec(F.col("n2")) * F.col("s1")
+            + dec(F.col("n1"))
+            * dec(F.col("n2"))
+            * dec(F.col("n2") - F.col("n1"))
+        )
+        .cast("decimal(38,0)")
+        .alias("md_num"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    a1 = dec_to_double(F.col("v1")) / (n1d - F.lit(1.0))
+    a2 = dec_to_double(F.col("v2")) / (n2d - F.lit(1.0))
+    s = a1 + a2
+    w = F.when(
+        s > 0, dec_to_double(F.col("md_num")) / (nd * F.sqrt(s))
+    ).otherwise(F.lit(None).cast("double"))
+    df_den = a1 * a1 / (n1d - F.lit(1.0)) + a2 * a2 / (n2d - F.lit(1.0))
+    df = F.when(df_den > 0, s * s / df_den).otherwise(F.lit(None).cast("double"))
+    return mid.select(
+        "n1",
+        "n2",
+        (dec_to_double(F.col("s2")) / (F.lit(2.0) * n1d * n2d)).alias("p_hat"),
+        w.alias("w_stat"),
+        df.alias("df_satterthwaite"),
+    )
+
+
+_ORACLE_BRUNNER_MUNZEL = f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 0 ELSE 1 END) AS c2
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c1, c2,
+         COALESCE(SUM(c1) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t1,
+         COALESCE(SUM(c2) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t2
+  FROM per_v
+), red AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * CAST(2 * t2 + c2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(c2 AS DECIMAL(38,0)) * CAST(2 * t1 + c1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+         CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * CAST(2 * t2 + c2 AS DECIMAL(38,0)) * CAST(2 * t2 + c2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q1,
+         CAST(SUM(CAST(c2 AS DECIMAL(38,0)) * CAST(2 * t1 + c1 AS DECIMAL(38,0)) * CAST(2 * t1 + c1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q2
+  FROM ranked
+), mid AS (
+  SELECT n1, n2, s2,
+         CAST(CAST(n1 AS DECIMAL(38,0)) * q1 - s1 * s1 AS DECIMAL(38,0)) AS v1,
+         CAST(CAST(n2 AS DECIMAL(38,0)) * q2 - s2 * s2 AS DECIMAL(38,0)) AS v2,
+         CAST(CAST(n1 AS DECIMAL(38,0)) * s2 - CAST(n2 AS DECIMAL(38,0)) * s1
+              + CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))
+                * CAST(n2 - n1 AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS md_num
+  FROM red
+), fin AS (
+  SELECT n1, n2, s2,
+         CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+         {sql_dec_to_double('v1')} / (CAST(n1 AS DOUBLE) - 1.0) AS a1,
+         {sql_dec_to_double('v2')} / (CAST(n2 AS DOUBLE) - 1.0) AS a2,
+         {sql_dec_to_double('md_num')} AS md_num
+  FROM mid
+)
+SELECT n1, n2,
+       {sql_dec_to_double('s2')} / (2.0 * n1d * n2d) AS p_hat,
+       CASE WHEN a1 + a2 > 0
+            THEN md_num / ((n1d + n2d) * sqrt(a1 + a2)) END AS w_stat,
+       CASE WHEN a1 * a1 / (n1d - 1.0) + a2 * a2 / (n2d - 1.0) > 0
+            THEN (a1 + a2) * (a1 + a2)
+                 / (a1 * a1 / (n1d - 1.0) + a2 * a2 / (n2d - 1.0))
+       END AS df_satterthwaite
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann two-sample shift estimator (round 12)
+# ---------------------------------------------------------------------------
+
+_HL_FLAG_A = "A"
+_HL_FLAG_B = "R"
+
+
+def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann two-sample shift estimator on lineitem quantity,
+    return flags A vs R: the median of ALL n1·n2 pairwise
+    differences x_i − y_j — the robust point estimate that accompanies
+    ``mann_whitney_u`` (it inverts the rank test), with 29% breakdown
+    and ~95% Gaussian efficiency. The missing ESTIMATOR next to the
+    family's test statistics (cliffs_delta gives direction, this gives
+    magnitude in units).
+
+    Exact value-domain formulation: l_quantity is integer with ≤50
+    distinct values, so the n1·n2 pairwise differences collapse onto a
+    ≤50×50 weighted grid — difference d = v − w carries weight
+    c1(v)·c2(w) (BIGINT: n1·n2 ~ 10¹³ at sf1, ≤ 2^63). The weighted
+    median is exact order-statistic selection over the ≤99 distinct
+    differences: with T = n1·n2 total pairs, HL = (d(k1) + d(k2))/2
+    where k1 = (T+1) div 2, k2 = T div 2 + 1 (lower/upper middle —
+    integer selection, ONE final halving). NEVER materializes pairs:
+    at 100 TB the plan is two 50-row hash aggs, one broadcast cross of
+    the two tiny grids, and a 99-row cumulative window — the same
+    value-compression trick as ``theil_sen_trend``'s capped grid, but
+    EXACT (no cap needed: the domain itself is bounded).
+
+    Degenerate contract: either side empty → all outputs NULL (the
+    grid is empty, guarded via the T=0 filter-to-empty join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g1 = (
+        li.filter(F.col("l_returnflag") == _HL_FLAG_A)
+        .groupBy(F.col("l_quantity").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cv"))
+    )
+    g2 = (
+        li.filter(F.col("l_returnflag") == _HL_FLAG_B)
+        .groupBy(F.col("l_quantity").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    grid = (
+        g1.crossJoin(F.broadcast(g2))
+        .groupBy((F.col("v") - F.col("w")).cast("long").alias("d"))
+        .agg(F.sum(F.col("cv") * F.col("cw")).cast("long").alias("pairs"))
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "d", "pairs", F.sum("pairs").over(w_cum).cast("long").alias("cum")
+    )
+    tot = cum.agg(
+        F.sum("pairs").cast("long").alias("t_pairs"),
+    )
+    # k1 = (T+1) div 2, k2 = T div 2 + 1 — integer division via expr
+    sel = cum.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "cum",
+        "t_pairs",
+        F.expr("(t_pairs + 1) div 2").alias("k1"),
+        F.expr("t_pairs div 2 + 1").alias("k2"),
+    )
+    d1 = sel.filter(F.col("cum") >= F.col("k1")).agg(
+        F.min("d").alias("d_lo"), F.max("t_pairs").alias("t1")
+    )
+    d2 = sel.filter(F.col("cum") >= F.col("k2")).agg(F.min("d").alias("d_hi"))
+    counts = (
+        g1.agg(F.sum("cv").cast("long").alias("n1"))
+        .crossJoin(F.broadcast(g2.agg(F.sum("cw").cast("long").alias("n2"))))
+    )
+    return (
+        counts.crossJoin(F.broadcast(d1))
+        .crossJoin(F.broadcast(d2))
+        .select(
+            "n1",
+            "n2",
+            F.col("t1").alias("n_pairs"),
+            (
+                (F.col("d_lo") + F.col("d_hi")).cast("double") / F.lit(2.0)
+            ).alias("hl_shift"),
+        )
+    )
+
+
+_ORACLE_HODGES_LEHMANN = f"""
+WITH g1 AS (
+  SELECT l_quantity AS v, COUNT(*) AS cv FROM lineitem
+  WHERE l_returnflag = '{_HL_FLAG_A}' GROUP BY 1
+), g2 AS (
+  SELECT l_quantity AS w, COUNT(*) AS cw FROM lineitem
+  WHERE l_returnflag = '{_HL_FLAG_B}' GROUP BY 1
+), grid AS (
+  SELECT CAST(v - w AS BIGINT) AS d, CAST(SUM(cv * cw) AS BIGINT) AS pairs
+  FROM g1 CROSS JOIN g2 GROUP BY 1
+), cum AS (
+  SELECT d, pairs,
+         CAST(SUM(pairs) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM grid
+), tot AS (SELECT CAST(SUM(pairs) AS BIGINT) AS t_pairs FROM cum),
+sel AS (
+  SELECT d, cum, t_pairs,
+         (t_pairs + 1) // 2 AS k1, t_pairs // 2 + 1 AS k2
+  FROM cum CROSS JOIN tot
+), d1 AS (
+  SELECT MIN(d) AS d_lo, MAX(t_pairs) AS t1 FROM sel WHERE cum >= k1
+), d2 AS (
+  SELECT MIN(d) AS d_hi FROM sel WHERE cum >= k2
+), counts AS (
+  SELECT (SELECT CAST(SUM(cv) AS BIGINT) FROM g1) AS n1,
+         (SELECT CAST(SUM(cw) AS BIGINT) FROM g2) AS n2
+)
+SELECT n1, n2, t1 AS n_pairs,
+       CAST(d_lo + d_hi AS DOUBLE) / 2.0 AS hl_shift
+FROM counts CROSS JOIN d1 CROSS JOIN d2
+"""
+
+
 QUERIES = {
+    "brunner_munzel_test": q_brunner_munzel,
+    "hodges_lehmann_shift": q_hodges_lehmann_shift,
     "kuiper_two_sample": q_kuiper_two_sample,
     "wasserstein_two_sample": q_wasserstein_two_sample,
     "qq_shift_deciles": q_qq_shift_deciles,
@@ -4090,6 +4381,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "brunner_munzel_test": _ORACLE_BRUNNER_MUNZEL,
+    "hodges_lehmann_shift": _ORACLE_HODGES_LEHMANN,
     "kuiper_two_sample": _ORACLE_KUIPER,
     "wasserstein_two_sample": _ORACLE_WASSERSTEIN,
     "qq_shift_deciles": _sql_qq_shift(),
