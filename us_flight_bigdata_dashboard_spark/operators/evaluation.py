@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from us_flight_bigdata_dashboard_spark.functions.exact import fsum, sql_fsum
+from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 # $10M units: daily revenue cents / 1e9 (see module docstring)
@@ -3706,7 +3707,283 @@ ORDER BY covariate
 """
 
 
+# ---------------------------------------------------------------------------
+# Somers' D (round 12)
+# ---------------------------------------------------------------------------
+
+# literal order-value bands (ordinal 0..3) — data-independent cut points,
+# so band membership is a pure comparison on both engines
+_SOMERS_BANDS = [100000, 200000, 300000]
+
+
+def _somers_band():
+    v = F.col("o_totalprice")
+    e = F.lit(len(_SOMERS_BANDS))
+    for i, cut in enumerate(reversed(_SOMERS_BANDS)):
+        e = F.when(v < cut, F.lit(len(_SOMERS_BANDS) - 1 - i)).otherwise(e)
+    return e
+
+
+def q_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D between order PRIORITY (ordinal 1..5) and order VALUE
+    BAND (ordinal 0..3 by literal cut points) — the ASYMMETRIC ordinal
+    association measure: d_yx conditions the concordance difference on
+    pairs that differ in X, which is what a predictive claim ("does
+    priority predict value band?") actually needs, unlike the symmetric
+    ``kendall_tau`` / ``goodman_kruskal_gamma`` (gamma additionally
+    throws ALL ties away — Somers' D penalizes ties on the dependent
+    side, so d_yx ≤ γ always, and the gap is the tie mass). Reports
+    BOTH directions (d_yx, d_xy) plus the shared pair decomposition.
+
+    Exact pair counting on the ≤20-cell contingency grid (one hash agg;
+    C/D/tie products are DECIMAL(38,0), ~10²⁴ at 100 TB): C and D from
+    the xa<xb cell cross as in gamma; T_y (tied on Y, differing on X)
+    from the same cross with ya=yb; T_x from the xa=xb, ya<yb cross.
+    d_yx = (C−D)/(C+D+T_y), d_xy = (C−D)/(C+D+T_x) — one division
+    each, NULL when the denominator is zero (constant column).
+    Scale shape: one hash agg to ≤20 rows, then cell arithmetic.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("xo"),
+        _somers_band().cast("int").alias("yo"),
+    )
+    cells = orders.groupBy("xo", "yo").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt")
+    )
+    a = cells.select(
+        F.col("xo").alias("xa"), F.col("yo").alias("ya"), F.col("cnt").alias("na")
+    )
+    b = cells.select(
+        F.col("xo").alias("xb"), F.col("yo").alias("yb"), F.col("cnt").alias("nb")
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    cross_x = a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
+    agg_x = cross_x.agg(
+        F.sum(
+            F.when(F.col("ya") < F.col("yb"), F.col("na") * F.col("nb")).otherwise(
+                zero
+            )
+        ).alias("c_pairs"),
+        F.sum(
+            F.when(F.col("ya") > F.col("yb"), F.col("na") * F.col("nb")).otherwise(
+                zero
+            )
+        ).alias("d_pairs"),
+        F.sum(
+            F.when(F.col("ya") == F.col("yb"), F.col("na") * F.col("nb")).otherwise(
+                zero
+            )
+        ).alias("ty_pairs"),
+    )
+    cross_y = a.join(
+        F.broadcast(b), (F.col("xa") == F.col("xb")) & (F.col("ya") < F.col("yb"))
+    )
+    agg_y = cross_y.agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), zero).alias("tx_pairs")
+    )
+    out = agg_x.crossJoin(F.broadcast(agg_y))
+    c = F.col("c_pairs").cast("double")
+    d = F.col("d_pairs").cast("double")
+    ty = F.col("ty_pairs").cast("double")
+    tx = F.col("tx_pairs").cast("double")
+    return out.select(
+        c.alias("concordant"),
+        d.alias("discordant"),
+        ty.alias("tied_y_only"),
+        tx.alias("tied_x_only"),
+        F.when(c + d + ty > 0, (c - d) / (c + d + ty))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("d_yx"),
+        F.when(c + d + tx > 0, (c - d) / (c + d + tx))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("d_xy"),
+    )
+
+
+def _sql_somers_band() -> str:
+    e = f"{len(_SOMERS_BANDS)}"
+    for i, cut in enumerate(reversed(_SOMERS_BANDS)):
+        e = f"CASE WHEN o_totalprice < {cut} THEN {len(_SOMERS_BANDS) - 1 - i} ELSE {e} END"
+    return e
+
+
+_ORACLE_SOMERS_D = f"""
+WITH cells AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS xo,
+         CAST({_sql_somers_band()} AS INT) AS yo,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS cnt
+  FROM orders GROUP BY 1, 2
+), agg_x AS (
+  SELECT SUM(CASE WHEN a.yo < b.yo THEN a.cnt * b.cnt ELSE CAST(0 AS DECIMAL(38,0)) END) AS c_pairs,
+         SUM(CASE WHEN a.yo > b.yo THEN a.cnt * b.cnt ELSE CAST(0 AS DECIMAL(38,0)) END) AS d_pairs,
+         SUM(CASE WHEN a.yo = b.yo THEN a.cnt * b.cnt ELSE CAST(0 AS DECIMAL(38,0)) END) AS ty_pairs
+  FROM cells a JOIN cells b ON a.xo < b.xo
+), agg_y AS (
+  SELECT COALESCE(SUM(a.cnt * b.cnt), CAST(0 AS DECIMAL(38,0))) AS tx_pairs
+  FROM cells a JOIN cells b ON a.xo = b.xo AND a.yo < b.yo
+), fin AS (
+  SELECT CAST(c_pairs AS DOUBLE) AS c, CAST(d_pairs AS DOUBLE) AS d,
+         CAST(ty_pairs AS DOUBLE) AS ty, CAST(tx_pairs AS DOUBLE) AS tx
+  FROM agg_x CROSS JOIN agg_y
+)
+SELECT c AS concordant, d AS discordant, ty AS tied_y_only, tx AS tied_x_only,
+       CASE WHEN c + d + ty > 0 THEN (c - d) / (c + d + ty) END AS d_yx,
+       CASE WHEN c + d + tx > 0 THEN (c - d) / (c + d + tx) END AS d_xy
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Expected calibration error (round 12)
+# ---------------------------------------------------------------------------
+
+ECE_TRAIN_PCT = 80  # md5(custkey) % 100 < 80 — the target_encode split
+ECE_BINS = 20
+# predicted probability carried as the INTEGER floor(p̂·10^9) — a scaled
+# BIGINT, never a decimal fraction (decimal division's engine-specific
+# scale rules would silently re-round it); 1e-9 quantization, and every
+# downstream sum stays an exact integer < 2^63 through sf100
+ECE_P_SCALE = 9
+
+
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of a leak-safe segment-rate classifier:
+    train fold (the ``target_encode_smoothed``/``split_assign`` md5
+    split) fits p̂(segment) = P(order is urgent | mktsegment); the TEST
+    fold scores ECE = Σ_b (n_b/N)·|acc_b − conf_b| over {ECE_BINS}
+    equal-width probability bins, plus the max per-bin gap — the
+    model-quality metric ``brier_decomposition`` (which measures the
+    same reliability as a variance term) and ``model_gains_lift``
+    (ranking) don't give: is the SCORE itself honest as a probability?
+    This is the eval-harness staple for LLM/classifier confidence
+    auditing.
+
+    Determinism/exactness: the fold assignment is the RNG-free md5
+    bucket; p̂ is ONE IEEE division of exact integers (identical on
+    both engines), then carried as the INTEGER floor(p̂·10^{ECE_P_SCALE})
+    (the ``fsum`` floor convention — a scaled BIGINT, never a decimal
+    fraction, because decimal division's engine-specific result-scale
+    rules would silently re-round it); the bin index is pure integer
+    division on that scaled value; acc sums are exact integers.
+    Per-bin |acc−conf| gaps are single IEEE expressions on exact
+    scalars. Segments collapse to ≤5 rows before any of this, so the
+    'per-bin' frame is ≤5 rows regardless of data size.
+
+    Degenerate contract: an empty test fold or empty train segment
+    drops out via inner-join semantics; if NO test rows exist the
+    result is one row of NULLs (guarded aggregate over zero rows).
+
+    Scale shape: one fact⋈dim join + two segment-sized hash aggs; the
+    scored table never exceeds |segments| rows.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).withColumn(
+        "_b",
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 100,
+    )
+    train = joined.filter(F.col("_b") < ECE_TRAIN_PCT)
+    test = joined.filter(F.col("_b") >= ECE_TRAIN_PCT)
+    rate = train.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.sum("y").cast("long").alias("n_urgent"),
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+    )
+    q = float(10**ECE_P_SCALE)
+    rate = rate.select(
+        "seg",
+        F.floor(
+            F.col("n_urgent").cast("double")
+            / F.col("n_train").cast("double")
+            * F.lit(q)
+        )
+        .cast("long")
+        .alias("pnum"),
+    )
+    per_seg = test.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    scored = per_seg.join(F.broadcast(rate), "seg")
+    per_bin = scored.groupBy(
+        F.least(
+            F.lit(ECE_BINS - 1),
+            F.expr(f"({ECE_BINS} * pnum) div {10**ECE_P_SCALE}").cast("int"),
+        ).alias("bin")
+    ).agg(
+        F.sum("n_test").cast("long").alias("n_b"),
+        F.sum("sum_y").cast("long").alias("y_b"),
+        F.sum(F.col("pnum").cast("decimal(38,0)") * F.col("n_test"))
+        .cast("decimal(38,0)")
+        .alias("p_b"),
+    )
+    gap = F.abs(
+        F.col("y_b").cast("double") / F.col("n_b").cast("double")
+        - F.col("p_b").cast("double") / (F.col("n_b").cast("double") * F.lit(q))
+    )
+    out = per_bin.agg(
+        F.sum("n_b").cast("long").alias("n_test"),
+        F.count(F.lit(1)).cast("int").alias("n_bins_used"),
+        fsum(gap * F.col("n_b").cast("double"), scale=9).alias("_wg"),
+        F.max(gap).alias("max_ce"),
+    )
+    return out.select(
+        "n_test",
+        "n_bins_used",
+        (F.col("_wg") / F.col("n_test").cast("double")).alias("ece"),
+        "max_ce",
+    )
+
+
+_ORACLE_ECE = f"""
+WITH joined AS (
+  SELECT o_custkey, c_mktsegment AS seg,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+         ({_sql_hex_to_int("md5(CAST(o_custkey AS VARCHAR))", 1, 15)} % 100) AS _b
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), rate AS (
+  SELECT seg,
+         CAST(FLOOR(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e{ECE_P_SCALE}) AS BIGINT) AS pnum
+  FROM joined WHERE _b < {ECE_TRAIN_PCT} GROUP BY 1
+), per_seg AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_test, CAST(SUM(y) AS BIGINT) AS sum_y
+  FROM joined WHERE _b >= {ECE_TRAIN_PCT} GROUP BY 1
+), scored AS (
+  SELECT s.n_test, s.sum_y, r.pnum FROM per_seg s JOIN rate r ON s.seg = r.seg
+), per_bin AS (
+  SELECT LEAST({ECE_BINS - 1}, CAST(({ECE_BINS} * pnum) // {10**ECE_P_SCALE} AS INT)) AS bin,
+         CAST(SUM(n_test) AS BIGINT) AS n_b,
+         CAST(SUM(sum_y) AS BIGINT) AS y_b,
+         CAST(SUM(CAST(pnum AS DECIMAL(38,0)) * n_test) AS DECIMAL(38,0)) AS p_b
+  FROM scored GROUP BY 1
+), gaps AS (
+  SELECT n_b, ABS(CAST(y_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                  - CAST(p_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1e{ECE_P_SCALE})) AS gap
+  FROM per_bin
+)
+SELECT CAST(SUM(n_b) AS BIGINT) AS n_test,
+       CAST(COUNT(*) AS INT) AS n_bins_used,
+       {sql_fsum("gap * CAST(n_b AS DOUBLE)", scale=9)}
+         / CAST(SUM(n_b) AS DOUBLE) AS ece,
+       MAX(gap) AS max_ce
+FROM gaps
+"""
+
+
 QUERIES = {
+    "somers_d": q_somers_d,
+    "calibration_ece": q_calibration_ece,
     "odds_ratio_binning": q_odds_ratio_binning,
     "propensity_smd_balance": q_propensity_smd_balance,
     "acf_lags": q_acf_lags,
@@ -3744,6 +4021,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "somers_d": _ORACLE_SOMERS_D,
+    "calibration_ece": _ORACLE_ECE,
     "seasonal_mann_kendall": _ORACLE_SEASONAL_MK,
     "odds_ratio_binning": _ORACLE_ODDS_RATIO_BINNING,
     "propensity_smd_balance": _sql_smd_balance(),

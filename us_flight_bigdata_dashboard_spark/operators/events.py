@@ -5916,7 +5916,324 @@ FROM {log2_final}
 """
 
 
+# ---------------------------------------------------------------------------
+# Turning-points randomness test (round 12)
+# ---------------------------------------------------------------------------
+
+TP_Z_CRIT = 1.959964  # two-sided 5% normal critical value — literal
+
+
+def q_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's turning-points test on the hourly event-count series —
+    the classic quick randomness check that counts LOCAL EXTREMA: a
+    random iid series turns at ~2/3 of interior points; a trending or
+    over-smoothed series turns far less, an oscillating (negatively
+    autocorrelated) one far more. Complements ``runs_test`` (signs
+    around the median), ``bartels_rank_vn`` (rank von Neumann) and
+    ``cox_stuart_trend`` (half-series signs) — four randomness tests
+    with disjoint sufficient statistics on the same family of series.
+
+    Exactness: a turning point at interior hour i is
+    (y_i > y_{i−1} AND y_i > y_{i+1}) OR (y_i < y_{i−1} AND y_i <
+    y_{i+1}) — pure integer comparisons (a tie with either neighbour
+    is NOT a turn, the standard discrete-data treatment, identical on
+    both engines by construction). T is an integer count; under H0
+    E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90, so z = (T − E)/√Var is
+    one fixed-order IEEE expression on (T, n); the 5% flag uses the
+    literal normal point. Degenerate guard: n < 3 interior-less series
+    emits NULL z/flag.
+
+    Scale shape: the scan collapses to the |hours| frame; one lag/lead
+    window over it."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "y",
+        F.lag("y", 1).over(w).alias("yp"),
+        F.lead("y", 1).over(w).alias("yn"),
+    )
+    turn = (
+        ((F.col("y") > F.col("yp")) & (F.col("y") > F.col("yn")))
+        | ((F.col("y") < F.col("yp")) & (F.col("y") < F.col("yn")))
+    ).cast("int")
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(
+            F.when(F.col("yp").isNotNull() & F.col("yn").isNotNull(), turn).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_turns"),
+    )
+    nd = F.col("n_hours").cast("double")
+    td = F.col("n_turns").cast("double")
+    e_t = F.lit(2.0) * (nd - F.lit(2.0)) / F.lit(3.0)
+    var_t = (F.lit(16.0) * nd - F.lit(29.0)) / F.lit(90.0)
+    z = (td - e_t) / F.sqrt(var_t)
+    ok = F.col("n_hours") >= 3
+    return agg.select(
+        "n_hours",
+        "n_turns",
+        F.when(ok, e_t).alias("expected_turns"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, (F.abs(z) > F.lit(TP_Z_CRIT)).cast("int")).alias(
+            "significant_5pct"
+        ),
+    )
+
+
+_ORACLE_TURNING_POINTS = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), lagged AS (
+  SELECT y, LAG(y, 1) OVER (ORDER BY h) AS yp, LEAD(y, 1) OVER (ORDER BY h) AS yn
+  FROM hourly
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+                        AND ((y > yp AND y > yn) OR (y < yp AND y < yn))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_turns
+  FROM lagged
+)
+SELECT n_hours, n_turns,
+       CASE WHEN n_hours >= 3
+            THEN 2.0 * (CAST(n_hours AS DOUBLE) - 2.0) / 3.0 END AS expected_turns,
+       CASE WHEN n_hours >= 3
+            THEN (CAST(n_turns AS DOUBLE) - 2.0 * (CAST(n_hours AS DOUBLE) - 2.0) / 3.0)
+                 / sqrt((16.0 * CAST(n_hours AS DOUBLE) - 29.0) / 90.0) END AS z_stat,
+       CASE WHEN n_hours >= 3
+            THEN CAST(ABS((CAST(n_turns AS DOUBLE) - 2.0 * (CAST(n_hours AS DOUBLE) - 2.0) / 3.0)
+                 / sqrt((16.0 * CAST(n_hours AS DOUBLE) - 29.0) / 90.0)) > {TP_Z_CRIT} AS INT)
+       END AS significant_5pct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Foster-Stuart records test (round 12)
+# ---------------------------------------------------------------------------
+
+FS_Z_CRIT = 1.959964  # two-sided 5% normal critical value — literal
+FS_H_SCALE = 14  # floor-quantization scale for the 1/t harmonic terms
+
+
+def q_foster_stuart_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foster-Stuart records test on the daily event-count series: count
+    UPPER records (a day strictly above every earlier day) and LOWER
+    records; D = U − L detects trend (records pile up at one end),
+    S = U + L detects variance change. The RECORD-STATISTICS view of
+    trend — a different sufficient statistic from every other trend
+    entry (Mann-Kendall's pair lattice, Cox-Stuart's half-pairs,
+    Pettitt's rank U-process), and the one that extreme-value practice
+    (record counting) actually uses.
+
+    Exactness: records are strict integer comparisons against the
+    running max/min of the PRECEDING frame (ties break no record —
+    the standard discrete treatment). Under H0 (continuous iid),
+    Var[D] = E[S] = 2·Σ_{{t=2..n}} 1/t = 2(H_n − 1): the harmonic sum
+    is data-length-dependent, so it is computed as a floor-quantized
+    exact sum (the ``fsum`` convention, scale {FS_H_SCALE}) of the
+    correctly-rounded 1/t divisions — deterministic and engine-
+    identical, no transcendental (this is the rational series itself,
+    not ln(n)+γ). z_D = D/√(2(H_n−1)) is one IEEE expression.
+    Degenerate guard: n < 2 emits NULL z/flag.
+
+    Scale shape: the scan collapses to the |days| frame; one running
+    max/min window + one 1-row reduce."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    w_idx = Window.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.max("y").over(w_prev).alias("mx"),
+        F.min("y").over(w_prev).alias("mn"),
+        F.row_number().over(w_idx).cast("long").alias("t"),
+    )
+    inv_t = F.lit(1.0) / F.col("t").cast("double")
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("y") > F.col("mx"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_upper"),
+        F.sum(F.when(F.col("y") < F.col("mn"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lower"),
+        fsum(F.when(F.col("t") >= 2, inv_t).otherwise(F.lit(0.0)), scale=FS_H_SCALE)
+        .alias("h_sum"),
+    )
+    d = (F.col("n_upper") - F.col("n_lower")).cast("double")
+    s = (F.col("n_upper") + F.col("n_lower")).cast("long")
+    var_d = F.lit(2.0) * F.col("h_sum")
+    z = d / F.sqrt(var_d)
+    ok = F.col("h_sum") > 0
+    return agg.select(
+        "n_days",
+        "n_upper",
+        "n_lower",
+        s.alias("s_records"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, (F.abs(z) > F.lit(FS_Z_CRIT)).cast("int")).alias(
+            "significant_5pct"
+        ),
+    )
+
+
+_ORACLE_FOSTER_STUART = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), lagged AS (
+  SELECT y,
+         MAX(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx,
+         MIN(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mn,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM daily
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CASE WHEN y > mx THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
+         CAST(SUM(CASE WHEN y < mn THEN 1 ELSE 0 END) AS BIGINT) AS n_lower,
+         {sql_fsum("CASE WHEN t >= 2 THEN 1.0 / CAST(t AS DOUBLE) ELSE 0.0 END", scale=FS_H_SCALE)} AS h_sum
+  FROM lagged
+)
+SELECT n_days, n_upper, n_lower,
+       CAST(n_upper + n_lower AS BIGINT) AS s_records,
+       CASE WHEN h_sum > 0
+            THEN CAST(n_upper - n_lower AS DOUBLE) / sqrt(2.0 * h_sum) END AS z_stat,
+       CASE WHEN h_sum > 0
+            THEN CAST(ABS(CAST(n_upper - n_lower AS DOUBLE) / sqrt(2.0 * h_sum))
+                      > {FS_Z_CRIT} AS INT) END AS significant_5pct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-moving-average seasonal index (round 12)
+# ---------------------------------------------------------------------------
+
+
+def q_events_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ratio-to-moving-average seasonal index on monthly order
+    revenue — the multiplicative-decomposition primitive (the 'seasonal
+    index' every ops forecast normalizes by, and the hand method behind
+    X-11-style decomposition): de-trend each month by its CENTERED
+    12-month moving average (half-weight end months, the standard
+    even-period centering), then average the ratios by calendar month
+    and normalize the twelve indices to sum to 12. Complements
+    ``events_seasonal_hourly``/``events_seasonal_strength`` (additive,
+    event-grain) with the multiplicative month-grain member the
+    forecasting entries (holt_winters, theta) presuppose.
+
+    Exactness: monthly revenue is the exact integer-cents sum
+    (floor(price·100) per row — identical doubles floor identically);
+    the centered MA numerator Σ w·rev_c (w = 1 at the ±6 ends, 2
+    inside, denominator 24) is an exact integer built by a ±6
+    month-offset self-join on the MONTH frame (never a float window
+    fold), so each ratio r = 24·rev_c/ma_num is ONE IEEE division of
+    exact integers (< 2^53 through sf100). Per-calendar-month means are
+    floor-quantized exact sums (``fsum``), and the final normalization
+    divides by their 12-term exact sum. Months without a complete
+    13-month window are excluded (count gate), matching the textbook
+    treatment.
+
+    Scale shape: the scan collapses to the |months| frame (~84 rows);
+    the self-join and windows all run on it.
+
+    Reference analog: month_trend computes raw monthly means
+    (src/app.py:149-168); this adds the de-trended seasonal profile."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mid"),
+        F.month("o_orderdate").alias("cal_month"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("cents"),
+    )
+    monthly = orders.groupBy("mid", "cal_month").agg(
+        F.sum("cents").cast("long").alias("rev_c")
+    )
+    a = monthly.select(
+        F.col("mid").alias("ma_mid"),
+        F.col("cal_month").alias("cal_month"),
+        F.col("rev_c").alias("rev_a"),
+    )
+    b = monthly.select(F.col("mid").alias("mb_mid"), F.col("rev_c").alias("rev_b"))
+    win = a.join(
+        F.broadcast(b),
+        (F.col("mb_mid") >= F.col("ma_mid") - 6)
+        & (F.col("mb_mid") <= F.col("ma_mid") + 6),
+    )
+    wgt = F.when(F.abs(F.col("mb_mid") - F.col("ma_mid")) == 6, F.lit(1)).otherwise(
+        F.lit(2)
+    )
+    per_m = win.groupBy("ma_mid", "cal_month", "rev_a").agg(
+        F.count(F.lit(1)).cast("int").alias("n_win"),
+        F.sum(wgt * F.col("rev_b")).cast("long").alias("ma_num"),
+    )
+    ratios = per_m.filter((F.col("n_win") == 13) & (F.col("ma_num") > 0)).select(
+        "cal_month",
+        (
+            (F.lit(24.0) * F.col("rev_a").cast("double"))
+            / F.col("ma_num").cast("double")
+        ).alias("r"),
+    )
+    per_cal = ratios.groupBy("cal_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_years"),
+        (fsum("r", scale=12) / F.count(F.lit(1)).cast("double")).alias("mean_r"),
+    )
+    tot = per_cal.agg(fsum("mean_r", scale=12).alias("sum_r"))
+    return (
+        per_cal.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cal_month").alias("month"),
+            "n_years",
+            (F.lit(12.0) * F.col("mean_r") / F.col("sum_r")).alias(
+                "seasonal_index"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+_ORACLE_SEASONAL_INDEX = f"""
+WITH monthly AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mid,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS cal_month,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1, 2
+), win AS (
+  SELECT a.mid AS ma_mid, a.cal_month, a.rev_c AS rev_a,
+         CAST(COUNT(*) AS INT) AS n_win,
+         CAST(SUM((CASE WHEN ABS(b.mid - a.mid) = 6 THEN 1 ELSE 2 END) * b.rev_c) AS BIGINT) AS ma_num
+  FROM monthly a JOIN monthly b
+    ON b.mid BETWEEN a.mid - 6 AND a.mid + 6
+  GROUP BY 1, 2, 3
+), ratios AS (
+  SELECT cal_month,
+         (24.0 * CAST(rev_a AS DOUBLE)) / CAST(ma_num AS DOUBLE) AS r
+  FROM win WHERE n_win = 13 AND ma_num > 0
+), per_cal AS (
+  SELECT cal_month, CAST(COUNT(*) AS BIGINT) AS n_years,
+         {sql_fsum("r", scale=12)} / CAST(COUNT(*) AS DOUBLE) AS mean_r
+  FROM ratios GROUP BY 1
+), tot AS (
+  SELECT {sql_fsum("mean_r", scale=12)} AS sum_r FROM per_cal
+)
+SELECT cal_month AS month, n_years,
+       12.0 * mean_r / sum_r AS seasonal_index
+FROM per_cal CROSS JOIN tot
+ORDER BY month
+"""
+
+
 QUERIES = {
+    "turning_points_test": q_turning_points_test,
+    "foster_stuart_records": q_foster_stuart_records,
+    "events_seasonal_index": q_events_seasonal_index,
     "pettitt_changepoint": q_pettitt_changepoint,
     "cox_stuart_trend": q_cox_stuart_trend,
     "bartels_rank_vn": q_bartels_rank_vn,
@@ -5980,6 +6297,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "turning_points_test": _ORACLE_TURNING_POINTS,
+    "foster_stuart_records": _ORACLE_FOSTER_STUART,
+    "events_seasonal_index": _ORACLE_SEASONAL_INDEX,
     "pettitt_changepoint": _ORACLE_PETTITT,
     "cox_stuart_trend": _ORACLE_COX_STUART,
     "bartels_rank_vn": _ORACLE_BARTELS,
