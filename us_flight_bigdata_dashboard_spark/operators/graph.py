@@ -2516,7 +2516,211 @@ ORDER BY t
 """
 
 
+# ---------------------------------------------------------------------------
+# k-truss decomposition (round 12)
+# ---------------------------------------------------------------------------
+
+KTRUSS_K = 3  # every surviving edge sits in >= k-2 = 1 triangle
+# (k=4 peels the support-floored graph EMPTY at sf0.01+ — a trivially
+# matching 0-row result; the 3-truss keeps a live, still-shrinking core:
+# peeling an unsupported edge can destroy its neighbours' triangles, so
+# rounds 2+ do real work)
+KTRUSS_ROUNDS = 4  # unrolled peeling rounds — BOTH engines run exactly these
+KTRUSS_TOP = 20
+
+_SQL_CAPPED_EDGES = f"""
+op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+capped AS MATERIALIZED (
+  SELECT o, p FROM (
+    SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS n_parts FROM op
+  ) WHERE n_parts <= {PARTS_PER_ORDER_CAP}
+),
+e0 AS MATERIALIZED (
+  SELECT a.p AS p1, b.p AS p2
+  FROM capped a JOIN capped b USING (o)
+  WHERE a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_COSUPPORT}
+)"""
+
+
+def _truss_round_sql(i: int) -> str:
+    """One peeling round: undirected view -> wedge-join common-neighbour
+    counts -> keep edges with support >= k-2."""
+    return f"""
+und{i} AS MATERIALIZED (
+  SELECT p1 AS u, p2 AS v FROM e{i}
+  UNION ALL
+  SELECT p2 AS u, p1 AS v FROM e{i}
+),
+cn{i} AS MATERIALIZED (
+  SELECT a.u AS p1, b.u AS p2, CAST(COUNT(*) AS BIGINT) AS s
+  FROM und{i} a JOIN und{i} b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2
+),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.p1, e.p2
+  FROM e{i} e JOIN cn{i} c ON c.p1 = e.p1 AND c.p2 = e.p2
+  WHERE c.s >= {KTRUSS_K - 2}
+)"""
+
+
+def _truss_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support of the CURRENT edge set: undirected view,
+    wedge join on the shared neighbour, count per (p1 < p2) pair."""
+    und = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    a = und.select(F.col("u").alias("ua"), F.col("v").alias("w"))
+    b = und.select(F.col("u").alias("ub"), F.col("v").alias("w"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy(F.col("ua").alias("p1"), F.col("ub").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+    )
+
+
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KTRUSS_K}-truss of the part co-purchase graph: iteratively peel
+    every edge supported by fewer than {KTRUSS_K} − 2 = {KTRUSS_K - 2}
+    triangles until (near-)fixpoint — the standard COHESIVE-SUBGRAPH
+    mining rung ABOVE ``graph_kcore`` (degree peeling): trussness
+    constrains each EDGE's triangle embedding, so k-trusses are the
+    dense, community-core regions k-cores over-approximate. Reports the
+    surviving edge count and the top {KTRUSS_TOP} edges by final
+    support.
+
+    Fixed-round contract: BOTH engines run exactly {KTRUSS_ROUNDS}
+    peeling rounds (the ``graph_shortest_paths`` convention —
+    termination semantics cannot diverge; the support-floored graph
+    peels to fixpoint well within them at tested scales, and a
+    non-converged prefix is still a valid peeling state on both sides).
+    Per round: undirected view → wedge self-join on the shared
+    neighbour → per-edge common-neighbour count → filter; the edge set
+    is localCheckpointed each round (the ``graph_hits`` lineage
+    discipline — without it the {KTRUSS_ROUNDS}-round plan re-executes
+    the wedge join tree {KTRUSS_ROUNDS}× deep).
+
+    Scale: every round's wedge join runs on the SUPPORT-FLOORED sparse
+    edge set (~3.6k edges at sf0.1, near-constant in SF — the
+    ``graph_triangles`` domain argument), and peeling only shrinks it.
+    All counts integer-exact.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    e = _copurchase_edges(spark, sf_dir)
+    for _ in range(KTRUSS_ROUNDS):
+        sup = _truss_support(e)
+        e = (
+            e.join(sup, ["p1", "p2"])
+            .filter(F.col("s") >= KTRUSS_K - 2)
+            .select("p1", "p2")
+            .localCheckpoint(eager=True)
+        )
+    final_sup = _truss_support(e)
+    survivors = e.join(final_sup, ["p1", "p2"])
+    tot = survivors.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        survivors.crossJoin(F.broadcast(tot))
+        .select("p1", "p2", F.col("s").alias("support"), "n_edges")
+        .orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))
+        .limit(KTRUSS_TOP)
+    )
+
+
+def _sql_ktruss() -> str:
+    rounds = ",".join(_truss_round_sql(i) for i in range(KTRUSS_ROUNDS))
+    n = KTRUSS_ROUNDS
+    return f"""
+WITH {_SQL_CAPPED_EDGES},{rounds},
+undF AS MATERIALIZED (
+  SELECT p1 AS u, p2 AS v FROM e{n}
+  UNION ALL
+  SELECT p2 AS u, p1 AS v FROM e{n}
+),
+cnF AS MATERIALIZED (
+  SELECT a.u AS p1, b.u AS p2, CAST(COUNT(*) AS BIGINT) AS s
+  FROM undF a JOIN undF b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2
+),
+surv AS (
+  SELECT e.p1, e.p2, c.s
+  FROM e{n} e JOIN cnF c ON c.p1 = e.p1 AND c.p2 = e.p2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM surv)
+SELECT p1, p2, s AS support, n_edges
+FROM surv CROSS JOIN tot
+ORDER BY support DESC, p1 ASC, p2 ASC
+LIMIT {KTRUSS_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Local bridges (round 12)
+# ---------------------------------------------------------------------------
+
+LOCAL_BRIDGE_TOP = 20
+
+
+def q_graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL BRIDGES of the part co-purchase graph: edges whose endpoints
+    share NO common neighbour — deleting one raises its endpoints'
+    distance above 2 (Granovetter's weak-tie/structural-hole edges:
+    triangle-embedded ties are redundant; local bridges are where
+    information/substitution actually crosses communities). The exact
+    structural complement of ``graph_ktruss`` (maximal triangle
+    embedding) on the same graph. Reports the bridge count and the
+    first {LOCAL_BRIDGE_TOP} bridge edges.
+
+    Plan: ONE wedge self-join enumerates every pair with ≥1 common
+    neighbour; a LEFT ANTI join drops those from the edge list — edges
+    that survive have zero triangles through them. Integer-exact set
+    logic, no floats anywhere. Scale: wedge join on the support-floored
+    sparse edge set (the ``graph_triangles`` domain argument); the anti
+    join is edge-domain-sized.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    e = _copurchase_edges(spark, sf_dir)
+    cn_pairs = _truss_support(e).select("p1", "p2")
+    bridges = e.join(cn_pairs, ["p1", "p2"], "left_anti")
+    tot = bridges.agg(F.count(F.lit(1)).cast("long").alias("n_bridges"))
+    return (
+        bridges.crossJoin(F.broadcast(tot))
+        .select("p1", "p2", "n_bridges")
+        .orderBy(F.asc("p1"), F.asc("p2"))
+        .limit(LOCAL_BRIDGE_TOP)
+    )
+
+
+_ORACLE_LOCAL_BRIDGES = f"""
+WITH {_SQL_CAPPED_EDGES},
+und AS MATERIALIZED (
+  SELECT p1 AS u, p2 AS v FROM e0
+  UNION ALL
+  SELECT p2 AS u, p1 AS v FROM e0
+),
+cn AS MATERIALIZED (
+  SELECT DISTINCT a.u AS p1, b.u AS p2
+  FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+),
+bridges AS (
+  SELECT e.p1, e.p2
+  FROM e0 e LEFT JOIN cn c ON c.p1 = e.p1 AND c.p2 = e.p2
+  WHERE c.p1 IS NULL
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bridges FROM bridges)
+SELECT p1, p2, n_bridges
+FROM bridges CROSS JOIN tot
+ORDER BY p1 ASC, p2 ASC
+LIMIT {LOCAL_BRIDGE_TOP}
+"""
+
+
 QUERIES = {
+    "graph_ktruss": q_graph_ktruss,
+    "graph_local_bridges": q_graph_local_bridges,
     "graph_salsa": q_graph_salsa,
     "graph_communities": q_graph_communities,
     "graph_supplier_similarity": q_graph_supplier_similarity,
@@ -2542,6 +2746,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "graph_ktruss": _sql_ktruss(),
+    "graph_local_bridges": _ORACLE_LOCAL_BRIDGES,
     "graph_salsa": _sql_salsa(),
     "graph_communities": _sql_graph_communities(),
     "graph_supplier_similarity": _ORACLE_SUPPLIER_SIMILARITY,
