@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.functions.exact import (
+    dec_to_double,
+    sql_dec_to_double,
     davg,
     dsum,
     fsum,
@@ -3620,7 +3622,231 @@ ORDER BY c_w DESC, word ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# Moving-average type-token ratio (round 12)
+# ---------------------------------------------------------------------------
+
+MATTR_W = 50  # window width in tokens (the Covington-McFall standard 50)
+
+
+def q_text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (MATTR, Covington & McFall 2010)
+    per document: the mean TTR over EVERY length-{w} sliding token
+    window — the length-independent lexical-diversity standard that
+    ``text_sttr`` (disjoint segments) approximates; MATTR uses all
+    n−{w}+1 overlapping windows, so it has no segment-boundary
+    variance.
+
+    The naive computation is O(n·{w}) per doc (count distinct per
+    window). This entry computes it EXACTLY in O(n) by inclusion-
+    exclusion on PREVIOUS OCCURRENCES: token position j with previous
+    occurrence p is a DUPLICATE precisely in windows whose start
+    s ∈ [max(0, j−{w}+1), min(p, n−{w})] — a closed-form integer count
+    per position — so Σ_windows distinct = {w}·(n−{w}+1) − Σ_j
+    dup_windows(j), and MATTR is ONE division of exact integers. The
+    previous occurrence itself is one LAG window over (doc, token).
+    Docs shorter than {w} tokens are excluded (no full window — the
+    reference treatment).
+
+    Scale shape: one posexplode, one (doc_id, token)-keyed lag window,
+    one doc-keyed agg — all partitioned by doc_id, no global windows,
+    map-side combinable.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7).""".format(
+        w=MATTR_W
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "w")
+    )
+    w_tok = Window.partitionBy("doc_id", "w").orderBy("pos")
+    w_doc = Window.partitionBy("doc_id")
+    lagged = pos.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("j"),
+        F.lag("pos").over(w_tok).cast("long").alias("p"),
+        F.count(F.lit(1)).over(w_doc).cast("long").alias("n"),
+    ).filter(F.col("n") >= MATTR_W)
+    wlit = F.lit(MATTR_W).cast("long")
+    dup = F.when(
+        F.col("p").isNotNull(),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("p"), F.col("n") - wlit)
+            - F.greatest(F.lit(0).cast("long"), F.col("j") - wlit + F.lit(1))
+            + F.lit(1),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    per_doc = lagged.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.sum(dup).cast("long").alias("dup_sum"),
+    )
+    n_win = F.col("n_tokens") - wlit + F.lit(1)
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        n_win.alias("n_windows"),
+        (
+            (wlit * n_win - F.col("dup_sum")).cast("double")
+            / (wlit * n_win).cast("double")
+        ).alias("mattr"),
+    ).orderBy("doc_id")
+
+
+_ORACLE_MATTR = f"""
+WITH arrs AS (
+  SELECT doc_id, {_sql_tokens("text")} AS ts FROM documents
+), pos AS (
+  SELECT doc_id, CAST(u.p - 1 AS BIGINT) AS j, ts[p] AS w,
+         CAST(len(ts) AS BIGINT) AS n
+  FROM arrs, UNNEST(range(1, CAST(len(ts) AS BIGINT) + 1)) AS u(p)
+), lagged AS (
+  SELECT doc_id, j, n,
+         LAG(j) OVER (PARTITION BY doc_id, w ORDER BY j) AS p
+  FROM pos
+), per_doc AS (
+  SELECT doc_id, MAX(n) AS n_tokens,
+         CAST(SUM(CASE WHEN p IS NOT NULL THEN
+           GREATEST(0, LEAST(p, n - {MATTR_W}) - GREATEST(0, j - {MATTR_W} + 1) + 1)
+         ELSE 0 END) AS BIGINT) AS dup_sum
+  FROM lagged WHERE n >= {MATTR_W}
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens - {MATTR_W} + 1 AS BIGINT) AS n_windows,
+       CAST({MATTR_W} * (n_tokens - {MATTR_W} + 1) - dup_sum AS DOUBLE)
+         / CAST({MATTR_W} * (n_tokens - {MATTR_W} + 1) AS DOUBLE) AS mattr
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-square keyword keyness (round 12)
+# ---------------------------------------------------------------------------
+
+CHI2_MIN_COUNT = 5  # vocab bound: tokens with a smaller corpus count drop
+CHI2_TOP_K = 3  # keywords reported per source
+
+
+def q_text_chi2_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyword KEYNESS: the top {CHI2_TOP_K} overrepresented
+    tokens per source by the 2×2 chi-square against the rest of the
+    corpus — corpus-linguistics' keyness table (AntConc/WordSmith
+    semantics), the per-SOURCE discriminative complement of
+    ``text_tfidf_topk`` (per-doc) and ``text_dsir_proxy`` (global
+    importance ratios). The usual statistic is log-likelihood G², which
+    is transcendental (Σ O·ln(O/E)) and therefore banned here; the
+    chi-square keyness variant is the standard rational alternative on
+    the same 2×2 table and ranks near-identically in practice.
+
+    Exactness: with a = token count in source, b = in rest, and
+    row/column totals from one hash agg, χ² = N(ad−bc)² / ((a+b)(c+d)
+    (a+c)(b+d)) — every product exact DECIMAL(38,0) (N(ad−bc)² ≤ N⁵:
+    inside DECIMAL(38,0) to ~10⁷ corpus tokens; past that, lift the
+    count floor), converted via the portable limb-split and divided
+    ONCE, so the doubles (and hence the rank order) are engine-
+    identical. Only overrepresented tokens (ad−bc > 0) qualify; ties
+    break on token text. The vocabulary is bounded by the ≥
+    {CHI2_MIN_COUNT} corpus-count floor (the repo's model-table
+    convention).
+
+    Scale shape: one token explode → (source, token) hash agg →
+    token-total and source-total reaggregations joined back (token
+    totals by broadcast-sized vocab after the floor) → one
+    per-source top-k window on the vocab-sized frame.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    st = tok.groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    tok_tot = (
+        st.groupBy("w")
+        .agg(F.sum("a").cast("long").alias("ab"))
+        .filter(F.col("ab") >= CHI2_MIN_COUNT)
+    )
+    src_tot = st.groupBy("source").agg(F.sum("a").cast("long").alias("ac"))
+    grand = st.agg(F.sum("a").cast("long").alias("n"))
+    cells = (
+        st.join(F.broadcast(tok_tot), "w")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    a = F.col("a")
+    b = F.col("ab") - a
+    c = F.col("ac") - a
+    d = F.col("n") - F.col("ab") - F.col("ac") + a
+    det = dec(a) * dec(d) - dec(b) * dec(c)
+    num = dec(F.col("n")) * det * det
+    den = dec(F.col("ab")) * dec(F.col("n") - F.col("ab")) * dec(
+        F.col("ac")
+    ) * dec(F.col("n") - F.col("ac"))
+    scored = cells.filter(det > 0).select(
+        "source",
+        "w",
+        a.alias("a"),
+        (dec_to_double(num) / dec_to_double(den)).alias("chi2"),
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.desc("chi2"), F.asc("w"))
+    return (
+        scored.select(
+            "source", "w", "a", "chi2", F.row_number().over(w_rank).alias("rk")
+        )
+        .filter(F.col("rk") <= CHI2_TOP_K)
+        .select(
+            "source",
+            F.col("rk").cast("int").alias("rank"),
+            F.col("w").alias("token"),
+            F.col("a").alias("count_in_source"),
+            "chi2",
+        )
+        .orderBy("source", "rank")
+    )
+
+
+_ORACLE_CHI2_KEYNESS = f"""
+WITH tok AS (
+  SELECT source, u.w AS w
+  FROM documents, UNNEST({_sql_tokens("text")}) AS u(w)
+), st AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2
+), tok_tot AS (
+  SELECT w, CAST(SUM(a) AS BIGINT) AS ab FROM st GROUP BY 1
+  HAVING SUM(a) >= {CHI2_MIN_COUNT}
+), src_tot AS (
+  SELECT source, CAST(SUM(a) AS BIGINT) AS ac FROM st GROUP BY 1
+), grand AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM st),
+cells AS (
+  SELECT st.source, st.w, st.a, tok_tot.ab, src_tot.ac, grand.n,
+         CAST(st.a AS DECIMAL(38,0)) * CAST(grand.n - tok_tot.ab - src_tot.ac + st.a AS DECIMAL(38,0))
+           - CAST(tok_tot.ab - st.a AS DECIMAL(38,0)) * CAST(src_tot.ac - st.a AS DECIMAL(38,0)) AS det
+  FROM st JOIN tok_tot USING (w) JOIN src_tot USING (source) CROSS JOIN grand
+), scored AS (
+  SELECT source, w, a,
+         {sql_dec_to_double("CAST(CAST(n AS DECIMAL(38,0)) * det * det AS DECIMAL(38,0))")}
+           / {sql_dec_to_double("CAST(CAST(ab AS DECIMAL(38,0)) * CAST(n - ab AS DECIMAL(38,0)) * CAST(ac AS DECIMAL(38,0)) * CAST(n - ac AS DECIMAL(38,0)) AS DECIMAL(38,0))")} AS chi2
+  FROM cells WHERE det > 0
+), ranked AS (
+  SELECT source, w, a, chi2,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY chi2 DESC, w ASC) AS rk
+  FROM scored
+)
+SELECT source, CAST(rk AS INT) AS rank, w AS token,
+       a AS count_in_source, chi2
+FROM ranked WHERE rk <= {CHI2_TOP_K}
+ORDER BY source, rank
+"""
+
+
 QUERIES = {
+    "text_mattr": q_text_mattr,
+    "text_chi2_keyness": q_text_chi2_keyness,
     "text_yules_k": q_text_yules_k,
     "text_renyi2_entropy": q_text_renyi2_entropy,
     "text_gries_dp": q_text_gries_dp,
@@ -3667,6 +3893,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_mattr": _ORACLE_MATTR,
+    "text_chi2_keyness": _ORACLE_CHI2_KEYNESS,
     "text_yules_k": _ORACLE_YULES_K,
     "text_renyi2_entropy": _sql_renyi2(),
     "text_gries_dp": _ORACLE_GRIES_DP,
