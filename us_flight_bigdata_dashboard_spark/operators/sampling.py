@@ -1122,7 +1122,107 @@ FROM sampled
 """
 
 
+# ---------------------------------------------------------------------------
+# PPS systematic sampling (round 12)
+# ---------------------------------------------------------------------------
+
+PPS_N = 40  # draws — literal, so the sample stays audit-sized at every SF
+
+
+def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PROBABILITY-PROPORTIONAL-TO-SIZE sampling of documents
+    with size = n_chars, {n} draws — the survey-sampling workhorse for
+    byte-budgeted corpus audits (big documents matter more, so they
+    must be drawn more often; equal-probability sampling under-covers
+    exactly the rows that dominate the byte mass). Completes the design
+    ladder: ``sample_systematic`` (equal-prob), ``stratified_sample`` /
+    ``neyman_allocation`` (between-stratum), ``importance_sample``
+    (weight-corrected), ``horvitz_thompson`` (the estimator this design
+    feeds).
+
+    ZERO-RNG exact integer selection: with cumulative sizes C_i over
+    doc_id order, total T, and the standard half-step offset, draw k
+    (k = 0..{n}−1) falls at threshold (2k+1)·T/(2·{n}); unit i absorbs
+    it iff 2{n}·C_(i−1) ≤ (2k+1)·T < 2{n}·C_i. The HIT COUNT telescopes
+    through f(x) = ((2{n}x − 1) div T + 1) div 2 — hits_i = f(C_i) −
+    f(C_(i−1)) — pure integer division on both engines (a unit larger
+    than the step is hit multiple times, the correct PPS-systematic
+    multiplicity). Σ hits = {n} by construction. The reported
+    ht_weight = T/({n}·size_i) is the Horvitz-Thompson inverse
+    inclusion weight (valid as 1/π_i while size < step), ONE IEEE
+    division of exact integers.
+
+    Scale shape: one cumulative window over doc_id (the
+    ``sample_systematic`` global-window note applies: range-partitioned
+    ranking at 100 TB) + a broadcast 1-row total; output is ≤{n} rows.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7).""".format(
+        n=PPS_N
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w_cum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = docs.select(
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w_cum).cast("long").alias("c_hi"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "c_hi",
+        (F.col("c_hi") - F.col("n_chars")).alias("c_lo"),
+    )
+    tot = cum.agg(F.max("c_hi").cast("long").alias("t"))
+    n2 = 2 * PPS_N
+    hits = cum.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_chars",
+        "t",
+        (
+            F.expr(f"(({n2} * c_hi - 1) div t + 1) div 2")
+            - F.expr(f"CASE WHEN c_lo > 0 THEN (({n2} * c_lo - 1) div t + 1) div 2 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("n_hits"),
+    )
+    return (
+        hits.filter(F.col("n_hits") >= 1)
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_hits",
+            (
+                F.col("t").cast("double")
+                / (F.lit(float(PPS_N)) * F.col("n_chars").cast("double"))
+            ).alias("ht_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_PPS_SYSTEMATIC = f"""
+WITH cum AS (
+  SELECT doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_hi
+  FROM documents
+), tot AS (SELECT CAST(MAX(c_hi) AS BIGINT) AS t FROM cum),
+hits AS (
+  SELECT doc_id, n_chars, t,
+         ((({2 * PPS_N} * c_hi - 1) // t + 1) // 2)
+           - (CASE WHEN c_hi - n_chars > 0
+                   THEN (({2 * PPS_N} * (c_hi - n_chars) - 1) // t + 1) // 2
+                   ELSE 0 END) AS n_hits
+  FROM cum CROSS JOIN tot
+)
+SELECT doc_id, n_chars, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(t AS DOUBLE) / ({float(PPS_N)} * CAST(n_chars AS DOUBLE)) AS ht_weight
+FROM hits WHERE n_hits >= 1
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "pps_systematic_sample": q_pps_systematic_sample,
     "neyman_allocation": q_neyman_allocation,
     "horvitz_thompson": q_horvitz_thompson,
     "quantile_normalize_deciles": q_quantile_normalize_deciles,
@@ -1141,6 +1241,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pps_systematic_sample": _ORACLE_PPS_SYSTEMATIC,
     "neyman_allocation": _sql_neyman(),
     "horvitz_thompson": _sql_horvitz_thompson(),
     "quantile_normalize_deciles": _ORACLE_QNORM,
