@@ -32,6 +32,7 @@ from us_flight_bigdata_dashboard_spark.operators import (
     mjpeg_codec,
     pframe_codec,
     qoi_codec,
+    tga_codec,
     layout,
     multimodal,
     mutation,
@@ -68,6 +69,7 @@ _MODULES = [
     adpcm_codec,
     pframe_codec,
     qoi_codec,
+    tga_codec,
     advanced,
     breadth,
     mutation,
