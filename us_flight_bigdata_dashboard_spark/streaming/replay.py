@@ -1611,7 +1611,152 @@ ORDER BY reg
 """
 
 
+# ---------------------------------------------------------------------------
+# Chained stateful window aggregations (round 12)
+# ---------------------------------------------------------------------------
+
+CHAIN_HORIZON = "840 hours"  # >= event span + margin: no real row is ever late
+_CHAIN_HORIZON_H = 840
+_CHAIN_SENTINEL_H = 864  # sentinel offset: horizon + 24h flush margin
+
+
+def _stage_events_sentinel(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table in {n} unordered files plus ONE future
+    sentinel row (max ts + {s}h) in its own file with the LATEST pinned
+    mtime. Because the watermark horizon exceeds the event span, no real
+    row can be dropped in ANY batch arrival order (watermark after any
+    real batch stays below min ts) — the only ordering that matters is
+    that the sentinel arrives LAST, where it pushes the final watermark
+    past every real window so append mode flushes them all. The
+    sentinel's own windows stay open and never emit.""".format(
+        n=REPLAY_FILES, s=_CHAIN_SENTINEL_H
+    )
+    import datetime
+    import glob
+    import os
+
+    key = (sf_dir, "sentinel")
+    if key in _stage_cache:
+        return _stage_cache[key]
+    ev = _event_time(
+        load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    (bounds,) = ev.agg(
+        F.min("ts").alias("tmin"), F.max("ts").alias("gm")
+    ).collect()  # two scalars — bounded driver fetch
+    span_h = (bounds["gm"] - bounds["tmin"]).total_seconds() / 3600.0
+    if span_h + 24 > _CHAIN_HORIZON_H:
+        raise RuntimeError(
+            f"chained replay horizon {_CHAIN_HORIZON_H}h must exceed the "
+            f"event span {span_h:.0f}h by >= 24h — raise CHAIN_HORIZON"
+        )
+    sentinel = ev.agg(F.max("ts").alias("mx")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("mx") + F.expr(f"INTERVAL {_CHAIN_SENTINEL_H} HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    out = tempfile.mkdtemp(prefix="stream_replay_chain_")
+    stage = tempfile.mkdtemp(prefix="stream_replay_chain_stage_")
+    ev.repartition(REPLAY_FILES).write.mode("overwrite").parquet(f"{stage}/real")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/sentinel")
+    ordered = sorted(glob.glob(f"{stage}/real/part-*.parquet")) + [
+        glob.glob(f"{stage}/sentinel/part-*.parquet")[0]
+    ]
+    for i, f in enumerate(ordered):
+        dst = os.path.join(out, f"data{i:02d}.parquet")
+        os.rename(f, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(stage, ignore_errors=True)
+    _stage_cache[key] = out
+    return out
+
+
+def q_streaming_chained_windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS in one streaming query, executed through
+    real micro-batches: a 5-minute tumbling count per event type feeds a
+    SECOND windowed aggregation that rolls those buckets into 1-hour
+    (sum / peak / bucket-count) rows via ``window_time`` — the
+    multi-stateful pipeline surface (Spark 3.4+) no other replay
+    exercises (every other entry runs exactly ONE stateful operator;
+    real dashboards chain them: fine-grain pre-aggregate → coarse
+    rollup, each with its own state store). Append mode is REQUIRED for
+    chained stateful operators, so emission-by-watermark is part of the
+    contract being tested: a one-row future sentinel flushes both
+    operators' final windows, and its OWN windows never close (their
+    end exceeds the final watermark), so it self-excludes from the
+    emitted set — a defensive batch-side filter guards that invariant
+    anyway. The sentinel must NOT be filtered inside the streaming plan:
+    Catalyst pushes a deterministic filter BELOW the EventTimeWatermark
+    node (measured live: with an in-stream ``event_type != 'sentinel'``
+    the watermark tracked only filtered rows and nothing ever flushed),
+    so an in-plan filter silently deletes the flush signal. The horizon
+    exceeds the event span (staging asserts it), so the emitted set is
+    a pure function of the row set and the batch oracle is the straight
+    double-grouping over all real events — hash-exact.
+
+    State shape at scale: first operator keyed by (5-min window × type),
+    second by (1-hour window × type) — both horizon-bounded in a live
+    deployment; the replay's full-span horizon is the standard
+    everything-on-time convention of this suite (the BOUNDED-state
+    semantics are `streaming_late_data_replay`'s subject).
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    src = _stage_events_sentinel(spark, sf_dir)
+
+    def build(s):
+        # no sentinel filter here — see the docstring: Catalyst would
+        # push it below the EventTimeWatermark node and kill the flush
+        w = s.withWatermark("ts", CHAIN_HORIZON)
+        b5 = w.groupBy(
+            F.window("ts", "5 minutes").alias("w5"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n5"))
+        return (
+            b5.groupBy(
+                F.window(F.window_time("w5"), "1 hour").alias("w1"),
+                "event_type",
+            )
+            .agg(
+                F.sum("n5").cast("long").alias("n_events"),
+                F.max("n5").cast("long").alias("peak_5min"),
+                F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            )
+            .select(
+                F.col("w1.start").alias("window_start"),
+                F.col("w1.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "peak_5min",
+                "n_buckets",
+            )
+        )
+
+    return _replay(spark, src, build, mode="append").filter(
+        F.col("event_type") != "sentinel"
+    )
+
+
+_ORACLE_STREAMING_CHAINED = """
+WITH b5 AS (
+  SELECT CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 AS BIGINT)) AS TIMESTAMP) AS w5s,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n5
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT CAST(to_timestamp(CAST(floor(epoch(w5s) / 3600) * 3600 AS BIGINT)) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(CAST(floor(epoch(w5s) / 3600) * 3600 AS BIGINT)) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       event_type,
+       CAST(SUM(n5) AS BIGINT) AS n_events,
+       CAST(MAX(n5) AS BIGINT) AS peak_5min,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM b5
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "streaming_chained_windows_replay": q_streaming_chained_windows_replay,
     "streaming_hll_sketch_replay": q_streaming_hll_sketch_replay,
     "streaming_late_data_replay": q_streaming_late_data_replay,
     "streaming_bounded_dedup_replay": q_streaming_bounded_dedup_replay,
@@ -1635,6 +1780,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_chained_windows_replay": _ORACLE_STREAMING_CHAINED,
     "streaming_hll_sketch_replay": _sql_streaming_hll(),
     "streaming_late_data_replay": _ORACLE_STREAMING_LATE,
     "streaming_bounded_dedup_replay": _ORACLE_STREAMING_BOUNDED_DEDUP,
