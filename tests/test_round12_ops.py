@@ -645,6 +645,80 @@ def test_tga_malformed_rejection():
 
 
 # ---------------------------------------------------------------------------
+# lepage_test — finite-population score brute force
+# ---------------------------------------------------------------------------
+
+
+def test_lepage_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_lepage_test,
+    )
+
+    orders = _df("orders")
+    g1 = (orders["o_orderpriority"] == "1-URGENT").to_numpy()
+    v = orders["o_totalprice"].to_numpy()
+    n = len(v)
+    n1 = int(g1.sum())
+    m = 2 * _midranks(v)  # doubled midranks, exactly integral
+    s = np.minimum(m, 2 * (n + 1) - m)  # doubled Ansari scores
+
+    def z(score):
+        tot, tot2 = score.sum(), (score**2).sum()
+        num = n * score[g1].sum() - n1 * tot
+        var = n * tot2 - tot**2
+        return num / math.sqrt(n1 * (n - n1) * var / (n - 1))
+
+    zw, za = z(m), z(s)
+    (row,) = q_lepage_test(spark, SF_DIR).collect()
+    assert row["n1"] == n1 and row["n2"] == n - n1
+    assert row["z_wilcoxon"] == pytest.approx(zw, rel=1e-9)
+    assert row["z_ansari"] == pytest.approx(za, rel=1e-9)
+    assert row["lepage_stat"] == pytest.approx(zw * zw + za * za, rel=1e-9)
+    assert row["significant_5pct"] == int(zw * zw + za * za > 5.991464547107979)
+
+
+# ---------------------------------------------------------------------------
+# inventory_base_stock — pandas policy recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_inventory_base_stock_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        BASE_STOCK_DEN,
+        BASE_STOCK_LEAD_M,
+        BASE_STOCK_NUM,
+        q_inventory_base_stock,
+    )
+
+    li = _df("lineitem")
+    part = _df("part")
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    j["mid"] = j["l_shipdate"].dt.year * 12 + j["l_shipdate"].dt.month
+    j["qty"] = j["l_quantity"].astype(np.int64)
+    monthly = j.groupby(["p_brand", "mid"])["qty"].sum().reset_index()
+    rows = q_inventory_base_stock(spark, SF_DIR).collect()
+    got = {r["p_brand"]: r for r in rows}
+    for brand, g in monthly.groupby("p_brand"):
+        g = g.sort_values("mid")
+        d = g["qty"].to_numpy()
+        prot = [
+            int(d[i - BASE_STOCK_LEAD_M + 1 : i + 1].sum())
+            for i in range(BASE_STOCK_LEAD_M - 1, len(d))
+        ]
+        s_level = (BASE_STOCK_NUM * sum(prot)) // (BASE_STOCK_DEN * len(prot))
+        short = sum(max(0, p - s_level) for p in prot)
+        ok = sum(1 for p in prot if p <= s_level)
+        r = got[brand]
+        assert r["n_periods"] == len(prot)
+        assert r["s_level"] == s_level
+        assert r["total_shortfall"] == short
+        assert r["alpha_service"] == ok / len(prot)
+        assert r["beta_fill_rate"] == 1.0 - short / sum(prot)
+        # policy sanity: 1.25x mean cover yields a real (non-trivial) policy
+        assert 0.0 < r["alpha_service"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
 # streaming_chained_windows_replay — emission contract
 # ---------------------------------------------------------------------------
 

@@ -3425,7 +3425,139 @@ FROM costs
 """
 
 
+# ---------------------------------------------------------------------------
+# Base-stock (order-up-to) service-level evaluation (round 12)
+# ---------------------------------------------------------------------------
+
+BASE_STOCK_LEAD_M = 2  # protection interval: review period + lead = 2 months
+# order-up-to level S = (NUM/DEN) x mean protection-interval demand,
+# floored to an integer — 1.25x cover, integer arithmetic end-to-end
+BASE_STOCK_NUM, BASE_STOCK_DEN = 5, 4
+
+
+def q_inventory_base_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic-review ORDER-UP-TO (base-stock) policy evaluation per
+    part brand: with inventory position restored to S every review and
+    backorders cleared on replenishment, period-t exposure is exactly
+    the PROTECTION-INTERVAL demand D_t = demand over the trailing
+    {L} months, so the textbook service metrics are closed-form in the
+    demand series — no simulation state: α (cycle service) = fraction
+    of periods with D_t ≤ S, per-period shortfall = max(0, D_t − S),
+    β (fill rate) = 1 − Σshortfall/ΣD. This is the POLICY-evaluation
+    member of the inventory family: ``eoq_batch_sizing`` sizes orders,
+    ``newsvendor_quantile`` sizes one period, ``fill_rate_curve`` sweeps
+    a quantity ladder, ``wagner_whitin_lot_sizing`` optimizes a known
+    horizon — this entry scores a STANDING policy against realized
+    demand. S = floor({NUM}·D̄_prot/{DEN}) per brand (integer via `div`
+    on the summed protection demands, never a double quotient).
+
+    Exactness: demand is integer quantity; D_t is a 2-term integer
+    window sum; S is one integer division; every metric numerator stays
+    an exact integer with ONE final IEEE division per reported ratio.
+    First protection window needs {L} months — earlier periods excluded
+    (count gate, both engines).
+
+    Scale shape: one lineitem⋈part broadcast-dim join → (brand, month)
+    hash agg (25×|months| rows) → brand-keyed lag window → 25-row
+    output. Map-side combinable throughout.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7).""".format(
+        L=BASE_STOCK_LEAD_M, NUM=BASE_STOCK_NUM, DEN=BASE_STOCK_DEN
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mid"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "mid")
+        .agg(F.sum("qty").cast("long").alias("d"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("mid").rowsBetween(
+        -(BASE_STOCK_LEAD_M - 1), 0
+    )
+    prot = monthly.select(
+        "p_brand",
+        "mid",
+        F.sum("d").over(w).cast("long").alias("d_prot"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    ).filter(F.col("n_win") == BASE_STOCK_LEAD_M)
+    level = prot.groupBy("p_brand").agg(
+        F.expr(
+            f"CAST(({BASE_STOCK_NUM} * sum(d_prot)) div"
+            f" ({BASE_STOCK_DEN} * count(1)) AS BIGINT)"
+        ).alias("s_level")
+    )
+    scored = prot.join(F.broadcast(level), "p_brand")
+    out = scored.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        F.max("s_level").alias("s_level"),
+        F.sum("d_prot").cast("long").alias("total_demand"),
+        F.sum(F.when(F.col("d_prot") <= F.col("s_level"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cycles_ok"),
+        F.sum(F.greatest(F.lit(0).cast("long"), F.col("d_prot") - F.col("s_level")))
+        .cast("long")
+        .alias("total_shortfall"),
+    )
+    return out.select(
+        "p_brand",
+        "n_periods",
+        "s_level",
+        "total_shortfall",
+        (
+            F.col("n_cycles_ok").cast("double") / F.col("n_periods").cast("double")
+        ).alias("alpha_service"),
+        (
+            F.lit(1.0)
+            - F.col("total_shortfall").cast("double")
+            / F.col("total_demand").cast("double")
+        ).alias("beta_fill_rate"),
+    ).orderBy("p_brand")
+
+
+_ORACLE_BASE_STOCK = f"""
+WITH monthly AS (
+  SELECT p_brand,
+         CAST(EXTRACT(YEAR FROM l_shipdate) * 12 + EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mid,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), prot AS (
+  SELECT p_brand, mid,
+         CAST(SUM(d) OVER (PARTITION BY p_brand ORDER BY mid
+            ROWS BETWEEN {BASE_STOCK_LEAD_M - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS d_prot,
+         COUNT(*) OVER (PARTITION BY p_brand ORDER BY mid
+            ROWS BETWEEN {BASE_STOCK_LEAD_M - 1} PRECEDING AND CURRENT ROW) AS n_win
+  FROM monthly
+), prot_ok AS (
+  SELECT p_brand, d_prot FROM prot WHERE n_win = {BASE_STOCK_LEAD_M}
+), level AS (
+  SELECT p_brand,
+         ({BASE_STOCK_NUM} * SUM(d_prot)) // ({BASE_STOCK_DEN} * COUNT(*)) AS s_level
+  FROM prot_ok GROUP BY 1
+), out AS (
+  SELECT p.p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_periods,
+         CAST(MAX(l.s_level) AS BIGINT) AS s_level,
+         CAST(SUM(p.d_prot) AS BIGINT) AS total_demand,
+         CAST(SUM(CASE WHEN p.d_prot <= l.s_level THEN 1 ELSE 0 END) AS BIGINT) AS n_cycles_ok,
+         CAST(SUM(GREATEST(0, p.d_prot - l.s_level)) AS BIGINT) AS total_shortfall
+  FROM prot_ok p JOIN level l ON p.p_brand = l.p_brand
+  GROUP BY 1
+)
+SELECT p_brand, n_periods, s_level, total_shortfall,
+       CAST(n_cycles_ok AS DOUBLE) / CAST(n_periods AS DOUBLE) AS alpha_service,
+       1.0 - CAST(total_shortfall AS DOUBLE) / CAST(total_demand AS DOUBLE) AS beta_fill_rate
+FROM out
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
+    "inventory_base_stock": q_inventory_base_stock,
     "queueing_mm1_metrics": q_queueing_mm1_metrics,
     "wagner_whitin_lot_sizing": q_wagner_whitin_lot_sizing,
     "eoq_batch_sizing": q_eoq_batch_sizing,
@@ -3472,6 +3604,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "inventory_base_stock": _ORACLE_BASE_STOCK,
     "queueing_mm1_metrics": _ORACLE_MM1,
     "wagner_whitin_lot_sizing": _sql_wagner_whitin(),
     "eoq_batch_sizing": _ORACLE_EOQ,

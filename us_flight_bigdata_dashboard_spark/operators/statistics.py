@@ -4338,8 +4338,206 @@ FROM counts CROSS JOIN d1 CROSS JOIN d2
 """
 
 
+# ---------------------------------------------------------------------------
+# Lepage combined location-scale test (round 12)
+# ---------------------------------------------------------------------------
+
+# chi-square 0.95 quantile, df = 2 — Python-precomputed literal
+_LEPAGE_CHI2_CRIT = 5.991464547107979
+
+
+def q_lepage_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage test on order value, urgent vs rest: L = Z_W² + Z_AB² —
+    the standard OMNIBUS two-sample test combining the Wilcoxon rank-sum
+    (location) and Ansari-Bradley (scale) components, sensitive to a
+    difference in EITHER moment where each parent alone has no power
+    against the other's alternative. Completes the two-sample shelf:
+    ``mann_whitney_u`` (location), ``ansari_bradley_scale`` (scale),
+    ``brunner_munzel_test`` (location, unequal shapes) → this entry
+    (both at once).
+
+    Exact-moment formulation, one shared per-value frame: with doubled
+    midranks m = 2t+c+1 and doubled Ansari scores s = min(m, 2(N+1)−m)
+    (both exact integers per tied group), BOTH standardizations are the
+    same finite-population sampling identity — for score x,
+    E[Σ_{{group1}} x] = n1·Σx/N and Var = n1·n2·(N·Σx² − (Σx)²) /
+    (N²·(N−1)) — which is EXACT under ties (no tie-correction
+    approximation: it is the hypergeometric variance of the realized
+    score population). All moments are DECIMAL(38,0) hash-agg sums;
+    numerators N·Σ₁x − n1·Σx stay exact decimal; Σx² terms exceed 2^64
+    (≤ 4N³) so every conversion goes through the portable limb-split
+    (``dec_to_double``); each z is then one fixed-order IEEE sequence
+    and L = z_W² + z_AB² ~ χ²(2) compares against the literal critical
+    value. Degenerate contract: zero score variance on either component
+    (constant values) → all statistics NULL.
+
+    Scale shape: identical to ``ks_two_sample`` — one value-domain hash
+    agg, one domain-sized cumulative window, one 1-row reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+        )
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w_prev), F.lit(0)).alias(
+            "t"
+        ),
+    )
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c1") + F.col("c2")).cast("long").alias("n"),
+    )
+    withm = ranked.crossJoin(F.broadcast(tot)).select(
+        "c1",
+        "c",
+        "n1",
+        "n",
+        (F.lit(2) * F.col("t") + F.col("c") + F.lit(1)).alias("m"),
+    )
+    withs = withm.select(
+        "c1",
+        "c",
+        "n1",
+        "n",
+        "m",
+        F.least(F.col("m"), F.lit(2) * (F.col("n") + F.lit(1)) - F.col("m")).alias(
+            "s"
+        ),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    red = withs.agg(
+        F.max("n1").alias("n1"),
+        F.max("n").alias("n"),
+        F.sum(dec(F.col("c1")) * dec(F.col("m"))).cast("decimal(38,0)").alias("w1"),
+        F.sum(dec(F.col("c")) * dec(F.col("m"))).cast("decimal(38,0)").alias("sm"),
+        F.sum(dec(F.col("c")) * dec(F.col("m")) * dec(F.col("m")))
+        .cast("decimal(38,0)")
+        .alias("sm2"),
+        F.sum(dec(F.col("c1")) * dec(F.col("s"))).cast("decimal(38,0)").alias("a1"),
+        F.sum(dec(F.col("c")) * dec(F.col("s"))).cast("decimal(38,0)").alias("ss"),
+        F.sum(dec(F.col("c")) * dec(F.col("s")) * dec(F.col("s")))
+        .cast("decimal(38,0)")
+        .alias("ss2"),
+    )
+    mid = red.select(
+        "n1",
+        "n",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        (dec(F.col("n")) * F.col("w1") - dec(F.col("n1")) * F.col("sm"))
+        .cast("decimal(38,0)")
+        .alias("num_w"),
+        (dec(F.col("n")) * F.col("sm2") - F.col("sm") * F.col("sm"))
+        .cast("decimal(38,0)")
+        .alias("var_w"),
+        (dec(F.col("n")) * F.col("a1") - dec(F.col("n1")) * F.col("ss"))
+        .cast("decimal(38,0)")
+        .alias("num_a"),
+        (dec(F.col("n")) * F.col("ss2") - F.col("ss") * F.col("ss"))
+        .cast("decimal(38,0)")
+        .alias("var_a"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = F.col("n").cast("double")
+    vw = dec_to_double(F.col("var_w"))
+    va = dec_to_double(F.col("var_a"))
+    z_w = dec_to_double(F.col("num_w")) / F.sqrt(
+        n1d * n2d * vw / (nd - F.lit(1.0))
+    )
+    z_a = dec_to_double(F.col("num_a")) / F.sqrt(
+        n1d * n2d * va / (nd - F.lit(1.0))
+    )
+    lep = z_w * z_w + z_a * z_a
+    ok = (F.col("var_w") > 0) & (F.col("var_a") > 0)
+    return mid.select(
+        "n1",
+        "n2",
+        F.when(ok, z_w).alias("z_wilcoxon"),
+        F.when(ok, z_a).alias("z_ansari"),
+        F.when(ok, lep).alias("lepage_stat"),
+        F.when(ok, (lep > F.lit(_LEPAGE_CHI2_CRIT)).cast("int")).alias(
+            "significant_5pct"
+        ),
+    )
+
+
+def _sql_lepage() -> str:
+    zq = (
+        "{num} / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * {var}"
+        " / (CAST(n AS DOUBLE) - 1.0))"
+    )
+    z_w = zq.format(
+        num=sql_dec_to_double("num_w"), var=sql_dec_to_double("var_w")
+    )
+    z_a = zq.format(
+        num=sql_dec_to_double("num_a"), var=sql_dec_to_double("var_a")
+    )
+    lep = f"(({z_w}) * ({z_w}) + ({z_a}) * ({z_a}))"
+    return f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 0 ELSE 1 END) AS c2
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c1, c1 + c2 AS c,
+         COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t
+  FROM per_v
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c) AS BIGINT) AS n
+  FROM (SELECT c1, c1 + c2 AS c FROM per_v)
+), scored AS (
+  SELECT c1, c, n1, n,
+         2 * t + c + 1 AS m,
+         LEAST(2 * t + c + 1, 2 * (n + 1) - (2 * t + c + 1)) AS s
+  FROM ranked CROSS JOIN tot
+), red AS (
+  SELECT MAX(n1) AS n1, MAX(n) AS n,
+         CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS w1,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sm,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sm2,
+         CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS a1,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss2
+  FROM scored
+), mid AS (
+  SELECT n1, n, CAST(n - n1 AS BIGINT) AS n2,
+         CAST(CAST(n AS DECIMAL(38,0)) * w1 - CAST(n1 AS DECIMAL(38,0)) * sm AS DECIMAL(38,0)) AS num_w,
+         CAST(CAST(n AS DECIMAL(38,0)) * sm2 - sm * sm AS DECIMAL(38,0)) AS var_w,
+         CAST(CAST(n AS DECIMAL(38,0)) * a1 - CAST(n1 AS DECIMAL(38,0)) * ss AS DECIMAL(38,0)) AS num_a,
+         CAST(CAST(n AS DECIMAL(38,0)) * ss2 - ss * ss AS DECIMAL(38,0)) AS var_a
+  FROM red
+)
+SELECT n1, n2,
+       CASE WHEN var_w > 0 AND var_a > 0 THEN {z_w} END AS z_wilcoxon,
+       CASE WHEN var_w > 0 AND var_a > 0 THEN {z_a} END AS z_ansari,
+       CASE WHEN var_w > 0 AND var_a > 0 THEN {lep} END AS lepage_stat,
+       CASE WHEN var_w > 0 AND var_a > 0
+            THEN CAST({lep} > {_LEPAGE_CHI2_CRIT} AS INT) END AS significant_5pct
+FROM mid
+"""
+
+
 QUERIES = {
     "brunner_munzel_test": q_brunner_munzel,
+    "lepage_test": q_lepage_test,
     "hodges_lehmann_shift": q_hodges_lehmann_shift,
     "kuiper_two_sample": q_kuiper_two_sample,
     "wasserstein_two_sample": q_wasserstein_two_sample,
@@ -4382,6 +4580,7 @@ QUERIES = {
 
 ORACLE = {
     "brunner_munzel_test": _ORACLE_BRUNNER_MUNZEL,
+    "lepage_test": _sql_lepage(),
     "hodges_lehmann_shift": _ORACLE_HODGES_LEHMANN,
     "kuiper_two_sample": _ORACLE_KUIPER,
     "wasserstein_two_sample": _ORACLE_WASSERSTEIN,
