@@ -127,8 +127,8 @@ _MODULES = [
 # seasonal_mann_kendall, graph_katz_centrality,
 # streaming_interval_join_outer_replay -- all 4-layer pre-cleared,
 # judge-verified green under PANDAS_CANON in the r11 verdict,
-# ground-truth tested in tests/test_round11_ops.py) + the 15 ROUND-12
-# WAVE additions (17: brunner_munzel_test, hodges_lehmann_shift,
+# ground-truth tested in tests/test_round11_ops.py) + the 17 ROUND-12
+# WAVE additions (brunner_munzel_test, hodges_lehmann_shift,
 # conover_squared_ranks, somers_d, calibration_ece,
 # turning_points_test, foster_stuart_records, events_seasonal_index,
 # graph_ktruss, graph_local_bridges, text_mattr, text_chi2_keyness,
