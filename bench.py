@@ -217,6 +217,16 @@ HEADLINE = [
     "streaming_interval_join_outer_replay",
     "graph_katz_centrality",
     "text_renyi2_entropy",
+    # round-12: the heaviest new path classes — the chained-stateful
+    # replay (TWO window state stores through 5 micro-batches + the
+    # sentinel flush), the 3-truss peeling loop (4 wedge-join rounds,
+    # per-round localCheckpoint), the 12th codec (TGA true-color RLE
+    # per-media encode+decode), and the squared-ranks chain (per-group
+    # median window → deviation domain ranks)
+    "streaming_chained_windows_replay",
+    "graph_ktruss",
+    "multimodal_tga_decode",
+    "conover_squared_ranks",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
