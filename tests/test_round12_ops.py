@@ -719,6 +719,90 @@ def test_inventory_base_stock_brute_force(spark):
 
 
 # ---------------------------------------------------------------------------
+# gwet_ac1 — cell brute force + paradox property
+# ---------------------------------------------------------------------------
+
+
+def test_gwet_ac1_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        KAPPA_CHARS,
+        KAPPA_TOKENS,
+        q_gwet_ac1,
+    )
+
+    docs = _df("documents")
+    a = (docs["n_chars"] >= KAPPA_CHARS).astype(int)
+    b = docs["text"].map(
+        lambda t: int(len([w for w in str(t).split(" ") if w]) >= KAPPA_TOKENS)
+    )
+    n = len(docs)
+    yy = int(((a == 1) & (b == 1)).sum())
+    nn = int(((a == 0) & (b == 0)).sum())
+    yn = int(((a == 1) & (b == 0)).sum())
+    ny = int(((a == 0) & (b == 1)).sum())
+    pa = (yy + nn) / n
+    pi = ((yy + yn) + (yy + ny)) / (2 * n)
+    pe = 2 * pi * (1 - pi)
+    ac1 = (pa - pe) / (1 - pe)
+    pek = ((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)) / (n * n)
+    kap = (pa - pek) / (1 - pek)
+
+    (row,) = q_gwet_ac1(spark, SF_DIR).collect()
+    assert row["n"] == n
+    assert row["p_observed"] == pytest.approx(pa, rel=1e-12)
+    assert row["pi_yes"] == pytest.approx(pi, rel=1e-12)
+    assert row["gwet_ac1"] == pytest.approx(ac1, rel=1e-12)
+    assert row["kappa_same_cells"] == pytest.approx(kap, rel=1e-12)
+    assert row["paradox_gap"] == pytest.approx(ac1 - kap, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# classifier_confusion_metrics — cell brute force vs the md5 split
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_confusion_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        ECE_TRAIN_PCT,
+        q_classifier_confusion_metrics,
+    )
+
+    orders = _df("orders")
+    cust = _df("customer")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["y"] = (j["o_orderpriority"] == "1-URGENT").astype(int)
+    j["b"] = j["o_custkey"].map(_md5_bucket)
+    train = j[j["b"] < ECE_TRAIN_PCT]
+    test = j[j["b"] >= ECE_TRAIN_PCT]
+    u_g, n_g = int(train["y"].sum()), len(train)
+    pos = {
+        seg: int(g["y"].sum()) * n_g > u_g * len(g)
+        for seg, g in train.groupby("c_mktsegment")
+    }
+    tp = fp = fn = tn = 0
+    for seg, g in test.groupby("c_mktsegment"):
+        sy, nt = int(g["y"].sum()), len(g)
+        if pos.get(seg, False):
+            tp += sy
+            fp += nt - sy
+        else:
+            fn += sy
+            tn += nt - sy
+    (row,) = q_classifier_confusion_metrics(spark, SF_DIR).collect()
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    assert row["precision"] == pytest.approx(tp / (tp + fp), rel=1e-12)
+    assert row["recall"] == pytest.approx(tp / (tp + fn), rel=1e-12)
+    assert row["f1"] == pytest.approx(2 * tp / (2 * tp + fp + fn), rel=1e-12)
+    assert row["balanced_accuracy"] == pytest.approx(
+        (tp / (tp + fn) + tn / (tn + fp)) / 2, rel=1e-12
+    )
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert row["mcc"] == pytest.approx(mcc, rel=1e-10)
+
+
+# ---------------------------------------------------------------------------
 # streaming_chained_windows_replay — emission contract
 # ---------------------------------------------------------------------------
 

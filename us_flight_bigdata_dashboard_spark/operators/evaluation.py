@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from us_flight_bigdata_dashboard_spark.functions.exact import fsum, sql_fsum
+from us_flight_bigdata_dashboard_spark.functions.exact import (
+    dec_to_double,
+    fsum,
+    sql_dec_to_double,
+    sql_fsum,
+)
 from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
@@ -3981,9 +3986,175 @@ FROM gaps
 """
 
 
+# ---------------------------------------------------------------------------
+# Classifier confusion metrics (round 12)
+# ---------------------------------------------------------------------------
+
+
+def q_classifier_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix scorecard of the ``calibration_ece`` classifier
+    (leak-safe md5-split segment-rate model for 'order is urgent'),
+    thresholded at the TRAIN-fold global rate: the deployment-shaped
+    eval row every model registry stores — TP/FP/FN/TN, precision,
+    recall, F1, balanced accuracy and MCC — completing the
+    classifier-eval shelf beside ``roc_auc_exact`` (threshold-free
+    ranking), ``brier_decomposition`` (probabilistic loss),
+    ``model_gains_lift`` (deciles) and ``calibration_ece`` (probability
+    honesty). MCC is the headline: the single confusion scalar that
+    stays honest under class imbalance (urgent ≈ 1/5 here), where
+    accuracy and even F1 mislead.
+
+    Exactness: the threshold comparison is EXACT integer cross-
+    multiplication (segment positive iff urgent_s·n_train >
+    urgent·n_train_s — no rate quotient is ever materialized, so no
+    quantization enters the decision); confusion cells are integer sums
+    over ≤5 segment rows; F1 = 2TP/(2TP+FP+FN) is ONE division; MCC's
+    four-factor denominator product reaches N⁴ (> 2^64 at sf1), so
+    numerator and denominator go through the portable limb-split before
+    the one sqrt + division. Degenerate contracts: each ratio NULL when
+    its denominator is 0; MCC NULL when any margin is empty.
+
+    Scale shape: one fact⋈dim join + two segment-sized hash aggs + a
+    1-row reduce — identical to calibration_ece.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).withColumn(
+        "_b",
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 100,
+    )
+    train = joined.filter(F.col("_b") < ECE_TRAIN_PCT)
+    test = joined.filter(F.col("_b") >= ECE_TRAIN_PCT)
+    rate = train.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.sum("y").cast("long").alias("u_s"),
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+    )
+    glob = rate.agg(
+        F.sum("u_s").cast("long").alias("u_g"),
+        F.sum("n_s").cast("long").alias("n_g"),
+    )
+    # positive iff the segment's train rate exceeds the global train rate:
+    # u_s/n_s > u_g/n_g  ⟺  u_s·n_g > u_g·n_s  (exact integer decision)
+    pred = (
+        rate.crossJoin(F.broadcast(glob))
+        .select(
+            "seg",
+            (F.col("u_s") * F.col("n_g") > F.col("u_g") * F.col("n_s"))
+            .cast("int")
+            .alias("pos"),
+        )
+    )
+    per_seg = test.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    cells = per_seg.join(F.broadcast(pred), "seg").agg(
+        F.sum(F.when(F.col("pos") == 1, F.col("sum_y")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(
+            F.when(F.col("pos") == 1, F.col("n_test") - F.col("sum_y")).otherwise(0)
+        )
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("pos") == 0, F.col("sum_y")).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(
+            F.when(F.col("pos") == 0, F.col("n_test") - F.col("sum_y")).otherwise(0)
+        )
+        .cast("long")
+        .alias("tn"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    tpd, fpd, fnd, tnd = (c.cast("double") for c in (tp, fp, fn, tn))
+    prec = F.when(tp + fp > 0, tpd / (tpd + fpd))
+    rec = F.when(tp + fn > 0, tpd / (tpd + fnd))
+    f1 = F.when(
+        F.lit(2) * tp + fp + fn > 0,
+        F.lit(2.0) * tpd / (F.lit(2.0) * tpd + fpd + fnd),
+    )
+    tnr = F.when(tn + fp > 0, tnd / (tnd + fpd))
+    bal = (rec + tnr) / F.lit(2.0)
+    mcc_num = (dec(tp) * dec(tn) - dec(fp) * dec(fn)).cast("decimal(38,0)")
+    mcc_den = (
+        dec(tp + fp) * dec(tp + fn) * dec(tn + fp) * dec(tn + fn)
+    ).cast("decimal(38,0)")
+    mcc = F.when(
+        (tp + fp > 0) & (tp + fn > 0) & (tn + fp > 0) & (tn + fn > 0),
+        dec_to_double(mcc_num) / F.sqrt(dec_to_double(mcc_den)),
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+        bal.alias("balanced_accuracy"),
+        mcc.alias("mcc"),
+    )
+
+
+_ORACLE_CONFUSION = f"""
+WITH joined AS (
+  SELECT o_custkey, c_mktsegment AS seg,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+         ({_sql_hex_to_int("md5(CAST(o_custkey AS VARCHAR))", 1, 15)} % 100) AS _b
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), rate AS (
+  SELECT seg, CAST(SUM(y) AS BIGINT) AS u_s, CAST(COUNT(*) AS BIGINT) AS n_s
+  FROM joined WHERE _b < {ECE_TRAIN_PCT} GROUP BY 1
+), gtot AS (
+  SELECT CAST(SUM(u_s) AS BIGINT) AS u_g, CAST(SUM(n_s) AS BIGINT) AS n_g FROM rate
+), pred AS (
+  SELECT seg, CASE WHEN u_s * n_g > u_g * n_s THEN 1 ELSE 0 END AS pos
+  FROM rate CROSS JOIN gtot
+), per_seg AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_test, CAST(SUM(y) AS BIGINT) AS sum_y
+  FROM joined WHERE _b >= {ECE_TRAIN_PCT} GROUP BY 1
+), cells AS (
+  SELECT CAST(SUM(CASE WHEN pos = 1 THEN sum_y ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pos = 1 THEN n_test - sum_y ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN pos = 0 THEN sum_y ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN pos = 0 THEN n_test - sum_y ELSE 0 END) AS BIGINT) AS tn
+  FROM per_seg JOIN pred USING (seg)
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) END AS precision,
+       CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN 2.0 * CAST(tp AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) END AS f1,
+       ((CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) END)
+        + (CASE WHEN tn + fp > 0 THEN CAST(tn AS DOUBLE) / (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)) END)) / 2.0 AS balanced_accuracy,
+       CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+            THEN {sql_dec_to_double("CAST(CAST(tp AS DECIMAL(38,0)) * CAST(tn AS DECIMAL(38,0)) - CAST(fp AS DECIMAL(38,0)) * CAST(fn AS DECIMAL(38,0)) AS DECIMAL(38,0))")}
+                 / sqrt({sql_dec_to_double("CAST(CAST(tp + fp AS DECIMAL(38,0)) * CAST(tp + fn AS DECIMAL(38,0)) * CAST(tn + fp AS DECIMAL(38,0)) * CAST(tn + fn AS DECIMAL(38,0)) AS DECIMAL(38,0))")})
+       END AS mcc
+FROM cells
+"""
+
+
 QUERIES = {
     "somers_d": q_somers_d,
     "calibration_ece": q_calibration_ece,
+    "classifier_confusion_metrics": q_classifier_confusion_metrics,
     "odds_ratio_binning": q_odds_ratio_binning,
     "propensity_smd_balance": q_propensity_smd_balance,
     "acf_lags": q_acf_lags,
@@ -4023,6 +4194,7 @@ QUERIES = {
 ORACLE = {
     "somers_d": _ORACLE_SOMERS_D,
     "calibration_ece": _ORACLE_ECE,
+    "classifier_confusion_metrics": _ORACLE_CONFUSION,
     "seasonal_mann_kendall": _ORACLE_SEASONAL_MK,
     "odds_ratio_binning": _ORACLE_ODDS_RATIO_BINNING,
     "propensity_smd_balance": _sql_smd_balance(),

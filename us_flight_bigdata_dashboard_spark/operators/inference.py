@@ -1771,8 +1771,107 @@ FROM fin
 """
 
 
+# ---------------------------------------------------------------------------
+# Gwet's AC1 (round 12)
+# ---------------------------------------------------------------------------
+
+
+def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 between the SAME two document classifiers as
+    ``cohens_kappa`` (chars-threshold vs tokens-threshold raters) — the
+    agreement coefficient built to escape the KAPPA PARADOX: when the
+    'yes' margin is skewed, kappa's independence-based chance term p_e
+    approaches p_o and kappa collapses toward 0 even for raters that
+    almost always agree; AC1's chance term 2π(1−π) (π = mean marginal
+    'yes' share; Gwet 2008) models chance agreement as maximal at
+    π = ½ and vanishing at the margins, so it stays interpretable on
+    skewed labels — the modern QA default beside kappa, reported here
+    WITH the same-cells kappa and the paradox gap so the contrast is a
+    single row.
+
+    Exactness: the same 2×2 integer cells as cohens_kappa (one hash
+    agg); pa, π, pe, AC1, kappa are one fixed IEEE sequence on them.
+    Degenerate contract: pe = 1 (π ∈ {0,1} exactly — a constant rater
+    pair) → AC1/kappa NULL under explicit guards.
+
+    Scale: one map-side-combinable aggregate → 1-row arithmetic.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = (F.col("n_chars") >= KAPPA_CHARS).cast("int")
+    b = (
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        >= KAPPA_TOKENS
+    ).cast("int")
+    m = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a * b).cast("long").alias("yy"),
+        F.sum(a * (1 - b)).cast("long").alias("yn"),
+        F.sum((1 - a) * b).cast("long").alias("ny"),
+        F.sum((1 - a) * (1 - b)).cast("long").alias("nn"),
+    )
+    nd = F.col("n").cast("double")
+    pa = (F.col("yy") + F.col("nn")).cast("double") / nd
+    pi = (
+        (F.col("yy") + F.col("yn")).cast("double")
+        + (F.col("yy") + F.col("ny")).cast("double")
+    ) / (F.lit(2.0) * nd)
+    pe_ac1 = F.lit(2.0) * pi * (F.lit(1.0) - pi)
+    pe_k = (
+        (F.col("yy") + F.col("yn")).cast("double")
+        * (F.col("yy") + F.col("ny")).cast("double")
+        + (F.col("ny") + F.col("nn")).cast("double")
+        * (F.col("yn") + F.col("nn")).cast("double")
+    ) / (nd * nd)
+    ac1 = F.when(pe_ac1 < 1.0, (pa - pe_ac1) / (F.lit(1.0) - pe_ac1))
+    kap = F.when(pe_k < 1.0, (pa - pe_k) / (F.lit(1.0) - pe_k))
+    return m.select(
+        "n",
+        pa.alias("p_observed"),
+        pi.alias("pi_yes"),
+        ac1.alias("gwet_ac1"),
+        kap.alias("kappa_same_cells"),
+        (ac1 - kap).alias("paradox_gap"),
+    )
+
+
+def _sql_gwet_ac1() -> str:
+    return f"""
+WITH cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS yy,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS yn,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS ny,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS nn
+  FROM (
+    SELECT CASE WHEN n_chars >= {KAPPA_CHARS} THEN 1 ELSE 0 END AS a,
+           CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) >= {KAPPA_TOKENS}
+                THEN 1 ELSE 0 END AS b
+    FROM documents
+  )
+), fin AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+         CAST(yy + nn AS DOUBLE) / CAST(n AS DOUBLE) AS pa,
+         (CAST(yy + yn AS DOUBLE) + CAST(yy + ny AS DOUBLE)) / (2.0 * CAST(n AS DOUBLE)) AS pi,
+         (CAST(yy + yn AS DOUBLE) * CAST(yy + ny AS DOUBLE)
+          + CAST(ny + nn AS DOUBLE) * CAST(yn + nn AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe_k
+  FROM cells
+)
+SELECT n, pa AS p_observed, pi AS pi_yes,
+       CASE WHEN 2.0 * pi * (1.0 - pi) < 1.0
+            THEN (pa - 2.0 * pi * (1.0 - pi)) / (1.0 - 2.0 * pi * (1.0 - pi)) END AS gwet_ac1,
+       CASE WHEN pe_k < 1.0 THEN (pa - pe_k) / (1.0 - pe_k) END AS kappa_same_cells,
+       (CASE WHEN 2.0 * pi * (1.0 - pi) < 1.0
+             THEN (pa - 2.0 * pi * (1.0 - pi)) / (1.0 - 2.0 * pi * (1.0 - pi)) END)
+       - (CASE WHEN pe_k < 1.0 THEN (pa - pe_k) / (1.0 - pe_k) END) AS paradox_gap
+FROM fin
+"""
+
+
 QUERIES = {
     "conover_squared_ranks": q_conover_squared_ranks,
+    "gwet_ac1": q_gwet_ac1,
     "cochrans_q_test": q_cochrans_q_test,
     "krippendorff_alpha": q_krippendorff_alpha,
     "quade_test": q_quade_test,
@@ -1791,6 +1890,7 @@ QUERIES = {
 
 ORACLE = {
     "conover_squared_ranks": _sql_conover(),
+    "gwet_ac1": _sql_gwet_ac1(),
     "cochrans_q_test": _ORACLE_COCHRANS_Q,
     "krippendorff_alpha": _sql_krippendorff(),
     "quade_test": _sql_quade(),

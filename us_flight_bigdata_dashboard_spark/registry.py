@@ -122,19 +122,20 @@ _MODULES = [
 # independently re-ran 14 of the 38 green. Green here closes full
 # driver certification at 466/470.
 #
-# ROUND-13 STAGING: the never-certified pool entering r13 is 21 entries
+# ROUND-13 STAGING: the never-certified pool entering r13 is 23 entries
 # = the 4 LATE round-11 additions (text_renyi2_entropy,
 # seasonal_mann_kendall, graph_katz_centrality,
 # streaming_interval_join_outer_replay -- all 4-layer pre-cleared,
 # judge-verified green under PANDAS_CANON in the r11 verdict,
-# ground-truth tested in tests/test_round11_ops.py) + the 17 ROUND-12
+# ground-truth tested in tests/test_round11_ops.py) + the 19 ROUND-12
 # WAVE additions (brunner_munzel_test, hodges_lehmann_shift,
 # conover_squared_ranks, somers_d, calibration_ece,
 # turning_points_test, foster_stuart_records, events_seasonal_index,
 # graph_ktruss, graph_local_bridges, text_mattr, text_chi2_keyness,
 # pps_systematic_sample, multimodal_tga_decode,
-# streaming_chained_windows_replay, plus the late pair lepage_test and
-# inventory_base_stock -- all 5-layer pre-cleared at
+# streaming_chained_windows_replay, plus the late entries lepage_test,
+# inventory_base_stock, gwet_ac1 and classifier_confusion_metrics --
+# all 5-layer pre-cleared at
 # authoring time incl. vanilla-ANSI, brute-forced in
 # tests/test_round12_ops.py, K=16-probed in SCALE_r12.json). The r11
 # ADVICE fix to _sql_ansari_bradley's oracle (integer //) landed AFTER
@@ -142,7 +143,7 @@ _MODULES = [
 # CERTAIN sentinel at r13 start; graph_katz_centrality's shiftright fix
 # and odds_ratio_binning's div fix landed BEFORE their certification
 # (katz is in the pool; odds_ratio certified on fixed code in THIS
-# round's prefix). 21 + sentinels fits one 50-slot prefix, closing full
+# round's prefix). 23 + sentinels fits one 50-slot prefix, closing full
 # certification at r13. Run the tool at r13 start; do not trust this
 # comment's snapshot over its output.
 # Entries after the flagship block run in stable module order.
