@@ -146,69 +146,63 @@ _MODULES = [
 # round's prefix). 23 + sentinels fits one 50-slot prefix, closing full
 # certification at r13. Run the tool at r13 start; do not trust this
 # comment's snapshot over its output.
+#
+# ROUND-13 ROTATION (certification close) -- computed by
+# `python tools/rotate_prefix.py` (+ `--sentinels`) at r13 start,
+# 2026-08-16; the TOOL is the source of truth, never hand-freeze. Pool
+# at r13 start: 489 registry entries, 466 ever-certified, 23
+# never-certified (the 4 r11-late + 19 r12-wave entries, exactly as
+# staged above), CERTAIN sentinels: 0. One judgment promotion:
+# ansari_bradley_scale -- its oracle helper `_sql_ansari_bradley` was
+# rewritten to integer `//` in commit 7c27faf AFTER its r11
+# certification (7691904); the sentinel check is text-level on the
+# query function and cannot see oracle-helper changes, as its own
+# docstring warns, so the tool reports it as REVIEW, and we promote it
+# here. Mandatory prefix = 23 + 1 = 24 entries; green closes full
+# driver certification at 489/489. The remaining 26 of the driver's 50
+# slots are given to ROUND-13 WAVE entries as they are authored (each
+# appended only after full 5-layer pre-clearance: sf0.001/0.01/0.1 +
+# PANDAS_CANON + vanilla-ANSI + dtype-parity + brute-force test), so
+# new entries certify in the same round instead of waiting for r14.
+# The mandatory 24 stay pinned at the top and are never displaced.
 # Entries after the flagship block run in stable module order.
 _FLAGSHIP_PREFIX = [
-    # --- never-certified: decision (2) ---
-    "queueing_mm1_metrics",
-    "wagner_whitin_lot_sizing",
-    # --- never-certified: evaluation (10) ---
-    "atkinson_inequality",
-    "bland_altman_agreement",
-    "cohens_d_effect",
-    "dixon_q_outlier",
-    "gini_split_gain",
-    "goodman_kruskal_gamma",
-    "lin_ccc_agreement",
-    "odds_ratio_binning",
-    "pacf_closed_form",
-    "propensity_smd_balance",
-    # --- never-certified: events / forecasting (7) ---
-    "bartels_rank_vn",
-    "cox_stuart_trend",
-    "events_halflife_score",
-    "events_hurst_rs",
-    "forecast_pinball_loss",
-    "forecast_tracking_signal",
-    "pettitt_changepoint",
-    # --- never-certified: graph (1) ---
-    "graph_adamic_adar",
-    # --- never-certified: codec (1) ---
-    "multimodal_qoi_decode",
-    # --- never-certified: relational (1) ---
-    "rolling_interval_window",
-    # --- never-certified: streaming replay (1) ---
-    "streaming_interval_join_late_replay",
-    # --- never-certified: sampling (2) ---
-    "neyman_allocation",
-    "quantile_normalize_deciles",
-    # --- never-certified: statistics (6) ---
-    "cliffs_delta_effect",
-    "hoeffding_sample_bound",
-    "kuiper_two_sample",
-    "partial_correlation",
-    "qq_shift_deciles",
-    "wasserstein_two_sample",
+    # --- never-certified: decision (1) ---
+    "inventory_base_stock",
+    # --- never-certified: evaluation (4) ---
+    "calibration_ece",
+    "classifier_confusion_metrics",
+    "seasonal_mann_kendall",
+    "somers_d",
+    # --- never-certified: events (3) ---
+    "events_seasonal_index",
+    "foster_stuart_records",
+    "turning_points_test",
+    # --- never-certified: graph (3) ---
+    "graph_katz_centrality",
+    "graph_ktruss",
+    "graph_local_bridges",
+    # --- never-certified: inference (2) ---
+    "conover_squared_ranks",
+    "gwet_ac1",
+    # --- never-certified: streaming replay (2) ---
+    "streaming_chained_windows_replay",
+    "streaming_interval_join_outer_replay",
+    # --- never-certified: sampling (1) ---
+    "pps_systematic_sample",
+    # --- never-certified: statistics (3) ---
+    "brunner_munzel_test",
+    "hodges_lehmann_shift",
+    "lepage_test",
     # --- never-certified: text (3) ---
-    "text_gries_dp",
-    "text_sttr",
-    "text_yules_k",
-    # --- CERTAIN sentinels: code changed since last certification (16) ---
-    "ann_lsh",
-    "asof_join_forward",
-    "asof_join_nearest",
-    "embedding_near_dup",
-    "embedding_pca_power",
-    "events_tumbling",
-    "graph_hits",
-    "graph_supplier_similarity",
-    "multimodal_jpeg_decode",
-    "multimodal_meta_stats",
-    "multimodal_ppm_decode",
-    "scan_parquet_zstd_roundtrip",
-    "sketch_hll_registers",
-    "sketch_hll_union",
-    "streaming_streaks_replay",
-    "vector_label_stats",
+    "text_chi2_keyness",
+    "text_mattr",
+    "text_renyi2_entropy",
+    # --- never-certified: codec (1) ---
+    "multimodal_tga_decode",
+    # --- judgment sentinel: oracle helper changed post-certification (1) ---
+    "ansari_bradley_scale",
+    # --- ROUND-13 WAVE: appended post-pre-clearance, certify same round ---
 ]
 
 
