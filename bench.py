@@ -236,6 +236,56 @@ HEADLINE = [
 SINK_QUERIES = {"time_normalization"}
 
 
+def iso_main() -> None:
+    """--iso mode (VERDICT r12 ask #3): re-time the TOP-20 most expensive
+    headline queries (by the in-suite capture in BENCH_LOCAL.json) in FRESH
+    processes via tools/iso_bench.py, paired with the star_join_agg anchor
+    in every batch, and write BENCH_ISO.json. Isolation removes the two
+    confounds the r10→r12 history proved pollute cross-round in-suite
+    comparisons: suite-position drag (cache/JVM-heap pressure accumulating
+    over 95 entries) and host throttle (normalized out via the anchor
+    column). Batches of 5 per process bound the session-build overhead while
+    keeping each capture fresh-process; the anchor is re-timed in each batch
+    so every iso number has a same-process throttle reference.
+    """
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    local = os.path.join(here, "BENCH_LOCAL.json")
+    if not os.path.exists(local):
+        raise SystemExit("--iso needs a prior in-suite capture: run bench.py first")
+    with open(local) as fh:
+        in_suite = json.load(fh)["queries"]
+    top = [k for k, _ in sorted(in_suite.items(), key=lambda kv: -kv[1])[:20]]
+    anchor = "star_join_agg"
+    iso: dict[str, float] = {}
+    anchors: list[float] = []
+    loads: list[float] = []
+    for i in range(0, len(top), 5):
+        batch = [n for n in top[i : i + 5] if n != anchor]
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "iso_bench.py"), anchor, *batch],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        cap = json.loads(proc.stdout.strip().splitlines()[-1])
+        anchors.append(cap["timings"].pop(anchor))
+        loads.append(cap["load1"])
+        iso.update(cap["timings"])
+    out = {
+        "metric": "headline_top20_iso",
+        "unit": "sec",
+        "anchor_star_join_agg_per_batch": anchors,
+        "load1_per_batch": loads,
+        "queries": {k: iso[k] for k in top if k in iso},
+        "in_suite_reference": {k: in_suite[k] for k in top},
+    }
+    with open(os.path.join(here, "BENCH_ISO.json"), "w") as fh:
+        fh.write(json.dumps(out) + "\n")
+    print(json.dumps(out, separators=(",", ":")))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -263,21 +313,38 @@ def main() -> None:
     )
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
 
+    # Attach the most recent isolated capture (bench.py --iso) to the local
+    # artifact so the committed file carries BOTH columns — in-suite numbers
+    # are comparable only within one round's suite composition; iso numbers
+    # are the cross-round signal (VERDICT r12 ask #3).
+    iso_col: dict | None = None
+    iso_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ISO.json")
+    if os.path.exists(iso_path):
+        try:
+            with open(iso_path) as fh:
+                prior = json.load(fh)
+            iso_col = {
+                "queries": prior.get("queries", {}),
+                "anchor_star_join_agg_per_batch": prior.get(
+                    "anchor_star_join_agg_per_batch", []
+                ),
+            }
+        except (OSError, ValueError):
+            iso_col = None
+
     def write_local(timings: dict) -> None:
         try:
+            payload = {
+                "metric": "headline_query_suite_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+            if iso_col is not None:
+                payload["iso"] = iso_col
             with open(out_path, "w") as fh:
-                fh.write(
-                    json.dumps(
-                        {
-                            "metric": "headline_query_suite_wall",
-                            "value": round(sum(timings.values()), 4),
-                            "unit": "sec",
-                            "queries": timings,
-                            "sf": sf_num,
-                        }
-                    )
-                    + "\n"
-                )
+                fh.write(json.dumps(payload) + "\n")
         except OSError:
             pass  # stdout line below is still the contract
 
@@ -369,4 +436,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--iso" in sys.argv[1:]:
+        iso_main()
+    else:
+        main()

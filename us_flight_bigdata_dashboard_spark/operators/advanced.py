@@ -614,7 +614,7 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer hash agg → division filter; all map-side combinable,
     no correlated subqueries, no join at all until the final
     broadcast-sized name lookup.
-    """.format(y=DIVISION_YEAR)
+    """
     orders = load_table(spark, sf_dir, "orders").filter(
         F.year("o_orderdate") == DIVISION_YEAR
     )
@@ -637,6 +637,7 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+q_relational_division.__doc__ = q_relational_division.__doc__.format(y=DIVISION_YEAR)
 
 
 _ORACLE_DIVISION = f"""

@@ -576,7 +576,7 @@ def q_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     QIs. Scale shape: one hash agg per level over progressively coarser
     keys (all map-side combinable, each bounded by its QI domain), union
     of 4 level summaries.
-    """.format(k=KANON_K)
+    """
     docs = load_table(spark, sf_dir, "documents").select(
         "lang",
         "source",
@@ -610,6 +610,7 @@ def q_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("level")
+q_kanon_generalize.__doc__ = q_kanon_generalize.__doc__.format(k=KANON_K)
 
 
 def _sql_kanon_generalize() -> str:
@@ -783,7 +784,7 @@ def q_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map-side-combinable 3-sum aggregate over the scan —
     the true count rides along only as the verification baseline (a real
-    deployment never sees it).""".format(d=RR_Q_DEN)
+    deployment never sees it)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
@@ -820,6 +821,7 @@ def q_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(RR_EPSILON).alias("epsilon"),
         ((est - true_d) / true_d * F.lit(100.0)).alias("rel_err_pct"),
     )
+q_dp_randomized_response.__doc__ = q_dp_randomized_response.__doc__.format(d=RR_Q_DEN)
 
 
 def _sql_rr() -> str:

@@ -1583,7 +1583,7 @@ def q_sla_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     one fact-fact equi-join (sort-merge on orderkey at 100 TB — both
     sides clustered on the key) into a map-side-combinable hash agg to
     ≤25 rows; the interval math runs on the result rows.
-    """.format(d=SLA_DAYS)
+    """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -1622,6 +1622,7 @@ def q_sla_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center_num - half_num) / denom).alias("wilson_lo"),
         ((center_num + half_num) / denom).alias("wilson_hi"),
     ).orderBy("n_name")
+q_sla_wilson_ci.__doc__ = q_sla_wilson_ci.__doc__.format(d=SLA_DAYS)
 
 
 _ORACLE_WILSON = f"""
@@ -1675,7 +1676,7 @@ def q_top_movers_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the cut line cannot flip across engines. Scale shape: broadcast
     part-dim join onto the fact scan, one hash agg to |brands|×|months|
     cells, lag + TakeOrdered on the domain-sized cell frame.
-    """.format(k=MOVERS_TOP_K)
+    """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     monthly = (
@@ -1704,6 +1705,7 @@ def q_top_movers_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(MOVERS_TOP_K)
     )
+q_top_movers_mom.__doc__ = q_top_movers_mom.__doc__.format(k=MOVERS_TOP_K)
 
 
 _ORACLE_MOVERS = f"""
@@ -1929,7 +1931,7 @@ def q_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the matrix is exact counts. Scale shape: per-year hash agg +
     ONE rank sort over active customers each year, a full outer join on
     custkey against the customer dim (key-local), and a ≤16-group agg.
-    """.format(y0=MIG_YEAR_FROM, y1=MIG_YEAR_TO)
+    """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders")
 
@@ -1970,6 +1972,7 @@ def q_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("seg_from", "seg_to")
     )
+q_customer_migration_matrix.__doc__ = q_customer_migration_matrix.__doc__.format(y0=MIG_YEAR_FROM, y1=MIG_YEAR_TO)
 
 
 _ORACLE_MIGRATION = f"""
@@ -2840,9 +2843,7 @@ def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one (brand, day) hash agg after a broadcast part join;
     the quantile window partitions by brand (≤ |days| rows per
-    partition, ~2.4k at any SF — keyed, never global).""".format(
-        cu=NV_CU, co=NV_CO
-    )
+    partition, ~2.4k at any SF — keyed, never global)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_shipdate", "l_quantity"
     )
@@ -2882,6 +2883,9 @@ def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("safety_stock"),
         )
         .orderBy("p_brand")
+    )
+q_newsvendor_quantile.__doc__ = q_newsvendor_quantile.__doc__.format(
+        cu=NV_CU, co=NV_CO
     )
 
 
@@ -2933,7 +2937,7 @@ def q_price_elasticity_arc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one (brand, band) hash agg after a broadcast part join
     (the scan is the only data-sized stage); the lag window runs on the
-    ≤ |brand|·{n} grid.""".format(w=ELAST_BAND_W, b=ELAST_BASE, n=ELAST_BANDS)
+    ≤ |brand|·{n} grid."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_retailprice"
@@ -2987,6 +2991,7 @@ def q_price_elasticity_arc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q2").cast("long").alias("qty_hi"),
         (num / F.nullif(den, F.lit(0.0))).alias("arc_elasticity"),
     ).orderBy("p_brand", "band_lo")
+q_price_elasticity_arc.__doc__ = q_price_elasticity_arc.__doc__.format(w=ELAST_BAND_W, b=ELAST_BASE, n=ELAST_BANDS)
 
 
 _ORACLE_ELASTICITY = f"""
@@ -3045,9 +3050,7 @@ def q_eoq_batch_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: D and H are ratios of exact integer sums; √ is the
     allowlisted correctly-rounded IEEE op; every shipped float is one
     fixed sequence. Scale shape: one lineitem⋈part hash agg to
-    |brands| rows + one part-side agg — both map-side combinable.""".format(
-        s=EOQ_SETUP_COST, h=EOQ_HOLDING_RATE
-    )
+    |brands| rows + one part-side agg — both map-side combinable."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     years = li.agg(
@@ -3081,6 +3084,9 @@ def q_eoq_batch_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_relevant_cost"
         ),
     ).orderBy("p_brand")
+q_eoq_batch_sizing.__doc__ = q_eoq_batch_sizing.__doc__.format(
+        s=EOQ_SETUP_COST, h=EOQ_HOLDING_RATE
+    )
 
 
 _ORACLE_EOQ = f"""
@@ -3244,9 +3250,7 @@ def q_queueing_mm1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     length (both engines). Ranking is (ρ, suppkey) — deterministic.
 
     Scale shape: one fact-sized hash agg → per-supplier arithmetic →
-    a top-{k} TakeOrdered. No shuffle beyond the agg.""".format(
-        y=MM1_YEAR, mu=MM1_MU_PER_DAY, d=MM1_DAYS, k=MM1_TOP
-    )
+    a top-{k} TakeOrdered. No shuffle beyond the agg."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     jobs = (
         lineitem.filter(F.year("l_shipdate") == MM1_YEAR)
@@ -3268,6 +3272,9 @@ def q_queueing_mm1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rho"), F.asc("suppkey"))
         .limit(MM1_TOP)
+    )
+q_queueing_mm1_metrics.__doc__ = q_queueing_mm1_metrics.__doc__.format(
+        y=MM1_YEAR, mu=MM1_MU_PER_DAY, d=MM1_DAYS, k=MM1_TOP
     )
 
 
@@ -3345,9 +3352,7 @@ def q_wagner_whitin_lot_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 12 rows; everything after is literal-domain arithmetic. A
     large-T deployment swaps the unrolled tree for min-plus path
     doubling (log₂T tiny self-joins) — the mechanics, not the
-    formulation, change.""".format(
-        y=WW_YEAR, t=WW_T, p=WW_T * (WW_T + 1) // 2
-    )
+    formulation, change."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     monthly = (
         lineitem.filter(F.year("l_shipdate") == WW_YEAR)
@@ -3382,6 +3387,9 @@ def q_wagner_whitin_lot_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(WW_SETUP_CENTS).cast("long").alias("setup_cost_cents"),
         F.lit(WW_HOLD_CENTS).cast("long").alias("holding_cents_per_unit_month"),
         f[WW_T].cast("long").alias("optimal_cost_cents"),
+    )
+q_wagner_whitin_lot_sizing.__doc__ = q_wagner_whitin_lot_sizing.__doc__.format(
+        y=WW_YEAR, t=WW_T, p=WW_T * (WW_T + 1) // 2
     )
 
 
@@ -3461,9 +3469,7 @@ def q_inventory_base_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg (25×|months| rows) → brand-keyed lag window → 25-row
     output. Map-side combinable throughout.
 
-    Reference analog: none (engine addition, SURVEY.md §2.7).""".format(
-        L=BASE_STOCK_LEAD_M, NUM=BASE_STOCK_NUM, DEN=BASE_STOCK_DEN
-    )
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.col("l_quantity").cast("long").alias("qty"),
@@ -3516,6 +3522,9 @@ def q_inventory_base_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_demand").cast("double")
         ).alias("beta_fill_rate"),
     ).orderBy("p_brand")
+q_inventory_base_stock.__doc__ = q_inventory_base_stock.__doc__.format(
+        L=BASE_STOCK_LEAD_M, NUM=BASE_STOCK_NUM, DEN=BASE_STOCK_DEN
+    )
 
 
 _ORACLE_BASE_STOCK = f"""

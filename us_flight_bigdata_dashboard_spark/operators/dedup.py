@@ -458,7 +458,7 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame; the exact-Jaccard stage explodes shingles ONLY for docs that
     appear in a candidate pair (semi-join pushdown) — eval-sized, never
     corpus-quadratic.
-    """.format(tau=MINHASH_EVAL_TAU)
+    """
     sh = _shingles_df(spark, sf_dir)
     x = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit(
         P_MOD
@@ -538,6 +538,7 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mae"),
     )
+q_dedup_minhash_eval.__doc__ = q_dedup_minhash_eval.__doc__.format(tau=MINHASH_EVAL_TAU)
 
 
 def _sql_minhash_eval() -> str:
@@ -1792,7 +1793,7 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle stays the PLAIN unpartitioned ROW_NUMBER, so the gate
     proves the decomposition value-identical. Then an equi-join on rank
     offsets — n·{w} comparisons total, each on pre-tokenized arrays.
-    """.format(w=SNM_WINDOW, k=SNM_KEY_LEN)
+    """
     from us_flight_bigdata_dashboard_spark.operators.text import _tokens
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1863,6 +1864,7 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= SNM_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+q_dedup_sorted_neighborhood.__doc__ = q_dedup_sorted_neighborhood.__doc__.format(w=SNM_WINDOW, k=SNM_KEY_LEN)
 
 
 _ORACLE_SNM_TMPL = f"""

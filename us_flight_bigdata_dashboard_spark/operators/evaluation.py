@@ -471,7 +471,7 @@ def q_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one per-customer max-flag hash agg (map-side combinable
     booleans), then a scalar count — nothing bigger than the customer
-    domain ever shuffles.""".format(t=_MCN_THRESHOLD, s=_MCN_SPLIT)
+    domain ever shuffles."""
     orders = load_table(spark, sf_dir, "orders")
     big = F.col("o_totalprice") > F.lit(_MCN_THRESHOLD)
     pre = F.col("o_orderdate") < F.lit(_MCN_SPLIT).cast("timestamp")
@@ -504,6 +504,7 @@ def q_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("chi2_cc"),
     )
+q_mcnemar_paired.__doc__ = q_mcnemar_paired.__doc__.format(t=_MCN_THRESHOLD, s=_MCN_SPLIT)
 
 
 _ORACLE_MCNEMAR = f"""
@@ -1388,7 +1389,7 @@ def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer month, y is revenue in $10M units, the y-moments are
     floor-quantized, and every SSR is the same computational-formula IEEE
     sequence on both engines. Scale shape: scan → |region|×|month| cells;
-    the moment algebra runs on 5 rows.""".format(d="1998-01")
+    the moment algebra runs on 5 rows."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation")
@@ -1450,6 +1451,7 @@ def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssrp.alias("ssr_pooled"),
         f_stat.alias("f_stat"),
     ).orderBy("r_name")
+q_chow_test.__doc__ = q_chow_test.__doc__.format(d="1998-01")
 
 
 def _sql_chow() -> str:
@@ -1512,7 +1514,7 @@ def q_regression_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     x-moments and floor-quantized y-moments — slope, residuals, leverage
     and D are one IEEE sequence each. Scale shape: scan →
     |region|×|month| cells; the diagnostic math is a broadcast moment
-    join over the ~400-cell frame.""".format(k=REG_INFLUENCE_TOP)
+    join over the ~400-cell frame."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation")
@@ -1579,6 +1581,7 @@ def q_regression_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cooks_d"), F.asc("r_name"), F.asc("x"))
         .limit(REG_INFLUENCE_TOP)
     )
+q_regression_influence.__doc__ = q_regression_influence.__doc__.format(k=REG_INFLUENCE_TOP)
 
 
 def _sql_reg_influence() -> str:
@@ -1657,7 +1660,7 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative smaller-count (1024 range buckets → broadcast prefix
     offsets → within-bucket running sums) instead of a single-task global
     window; the oracle's plain window proves the decomposition
-    value-identical.""".format(s=_MCN_SPLIT)
+    value-identical."""
     orders = load_table(spark, sf_dir, "orders")
     pre = F.col("o_orderdate") < F.lit(_MCN_SPLIT).cast("timestamp")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
@@ -1733,6 +1736,7 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_stat"
         ),
     )
+q_wilcoxon_signed_rank.__doc__ = q_wilcoxon_signed_rank.__doc__.format(s=_MCN_SPLIT)
 
 
 _ORACLE_WILCOXON = f"""
@@ -2105,9 +2109,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the 5-value priority domain with data-sized partitions — at 100 TB
     swap in the ``global_rank_bucketed`` decomposition per priority, same
     value), one validation agg. The split is a deterministic key-parity
-    predicate, so both engines pick identical halves.""".format(
-        an=CONF_ALPHA_NUM, ad=CONF_ALPHA_DEN
-    )
+    predicate, so both engines pick identical halves."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
@@ -2168,6 +2170,9 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+q_conformal_interval.__doc__ = q_conformal_interval.__doc__.format(
+        an=CONF_ALPHA_NUM, ad=CONF_ALPHA_DEN
+    )
 
 
 _ORACLE_CONFORMAL = f"""
@@ -2224,7 +2229,7 @@ def q_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercepts, and the two effects are one IEEE sequence on 5 rows.
 
     Scale shape: scan → |region|×|month| cells; everything after is
-    5-row arithmetic.""".format(d="1998-01")
+    5-row arithmetic."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation")
@@ -2295,6 +2300,7 @@ def q_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((b2 - b1) * F.lit(10.0)).alias("slope_change_musd"),
         ((a2 - a1) * F.lit(10.0)).alias("level_change_musd"),
     ).orderBy("r_name")
+q_interrupted_time_series.__doc__ = q_interrupted_time_series.__doc__.format(d="1998-01")
 
 
 def _sql_its() -> str:
@@ -2500,9 +2506,7 @@ def q_evt_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-quantized sums in $10M units, σ uses the allowlisted sqrt.
 
     Scale shape: daily hash agg → monthly MAX hash agg (~84 rows) → one
-    2-moment agg. Nothing after the first agg is data-sized.""".format(
-        t=_GUMBEL_RETURN_T
-    )
+    2-moment agg. Nothing after the first agg is data-sized."""
     daily = _daily_rev(spark, sf_dir)
     monthly_max = daily.groupBy(
         (F.year("d") * 12 + F.month("d")).alias("ym")
@@ -2527,6 +2531,9 @@ def q_evt_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((mu + beta * F.lit(_GUMBEL_CT)) * scale_out).alias(
             "return_level_12mo_musd"
         ),
+    )
+q_evt_gumbel_block_maxima.__doc__ = q_evt_gumbel_block_maxima.__doc__.format(
+        t=_GUMBEL_RETURN_T
     )
 
 
@@ -3024,9 +3031,7 @@ def q_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale 12 — quantization bounds the mean squares at ~10⁻⁸ relative
     when cell values are tiny (sf0.001; measured in tests), engine-
     identical always. Scale shape: one data-sized orders⋈customer hash agg to
-    the ≤|nations|×12 grid; everything after is domain-sized.""".format(
-        k=ICC_K
-    )
+    the ≤|nations|×12 grid; everything after is domain-sized."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
@@ -3085,6 +3090,9 @@ def q_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         (msb / msw).alias("f_stat"),
         icc1.alias("icc1"),
         ((msb - msw) / msb).alias("icc_k"),
+    )
+q_icc_oneway.__doc__ = q_icc_oneway.__doc__.format(
+        k=ICC_K
     )
 
 
@@ -3199,9 +3207,7 @@ def q_stuart_maxwell_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence on exact integers; significance is a rational comparison
     against the literal χ²(2) critical value. Scale shape: two year
     aggs + global rank windows (the ``global_rank_bucketed`` prefix-sum
-    drops in past one task), one join, one 9-cell agg.""".format(
-        a=SM_YEAR_A, b=SM_YEAR_B
-    )
+    drops in past one task), one join, one 9-cell agg."""
     orders = load_table(spark, sf_dir, "orders")
     ta = _sm_tercile(orders, SM_YEAR_A, "ca")
     tb = _sm_tercile(orders, SM_YEAR_B, "cb")
@@ -3249,6 +3255,9 @@ def q_stuart_maxwell_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_stat"),
         F.lit(2).cast("int").alias("df"),
         (chi2 > F.lit(SM_CHI2_CRIT_DF2)).cast("int").alias("significant_5pct"),
+    )
+q_stuart_maxwell_test.__doc__ = q_stuart_maxwell_test.__doc__.format(
+        a=SM_YEAR_A, b=SM_YEAR_B
     )
 
 
@@ -3424,7 +3433,7 @@ def q_odds_ratio_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay defined as long as both classes exist globally.
 
     Scale shape: one hash agg to the distinct-value frame, one
-    domain-sized cumulative window, one {b}-row agg.""".format(b=ORB_BINS)
+    domain-sized cumulative window, one {b}-row agg."""
     orders = load_table(spark, sf_dir, "orders")
     per_v = (
         orders.select(
@@ -3496,6 +3505,7 @@ def q_odds_ratio_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+q_odds_ratio_binning.__doc__ = q_odds_ratio_binning.__doc__.format(b=ORB_BINS)
 
 
 _ORACLE_ODDS_RATIO_BINNING = f"""
@@ -3563,7 +3573,7 @@ def q_propensity_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one orders hash agg (the only fact-sized stage), one
     broadcast-joined customer frame, a 1-row 14-column moment agg, a
-    3-row literal explode.""".format(seg=SMD_SEGMENT, th=SMD_BALANCE_THRESH)
+    3-row literal explode."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
@@ -3655,6 +3665,7 @@ def q_propensity_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("covariate")
     )
+q_propensity_smd_balance.__doc__ = q_propensity_smd_balance.__doc__.format(seg=SMD_SEGMENT, th=SMD_BALANCE_THRESH)
 
 
 def _sql_smd_balance() -> str:

@@ -778,7 +778,7 @@ def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg runs over the |types|³ ≤ 125 path domain, map-side combinable.
     Ties on ts break by event_id, so the sequence is total-ordered and
     the oracle agrees.
-    """.format(top=TRIGRAM_TOP)
+    """
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     tri = events.select(
@@ -802,6 +802,7 @@ def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
         .limit(TRIGRAM_TOP)
     )
+q_events_path_trigrams.__doc__ = q_events_path_trigrams.__doc__.format(top=TRIGRAM_TOP)
 
 
 _ORACLE_EVENTS_PATH_TRIGRAMS = f"""
@@ -2747,7 +2748,7 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIST column (head = s_{{t−m}}, step = append-new/drop-head). Halving
     constants keep every step correctly-rounded double arithmetic —
     bit-identical cross-engine, no quantization.
-    """.format(m=HW_PERIOD, h=HW_HORIZON)
+    """
     from pyspark.sql import types as T
 
     events = load_table(spark, sf_dir, "events")
@@ -2806,6 +2807,7 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(hw, schema)
         .orderBy("horizon_h")
     )
+q_events_holt_winters.__doc__ = q_events_holt_winters.__doc__.format(m=HW_PERIOD, h=HW_HORIZON)
 
 
 _ORACLE_HW = f"""
@@ -3099,7 +3101,7 @@ def q_events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine join, neighbor lags, and the moment agg all run on the
     compressed |types|×|hours| domain. At 100 TB that domain is ~10⁷
     cells — still cluster-trivial.
-    """.format(z=int(PEAK_Z))
+    """
     events = load_table(spark, sf_dir, "events")
     h = (F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("bigint")
     counts = events.groupBy("event_type", h.alias("h")).agg(
@@ -3160,6 +3162,7 @@ def q_events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_idx")
     )
+q_events_peak_detection.__doc__ = q_events_peak_detection.__doc__.format(z=int(PEAK_Z))
 
 
 _ORACLE_PEAKS = f"""
@@ -3364,7 +3367,7 @@ def q_events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable hash agg; the lag explode (K+1 rows per hour cell)
     and the shifted equi-join run on the compressed domain, never on raw
     events. At 100 TB the hour domain is ~10⁶ rows — driver-trivial.
-    """.format(x=XCORR_X, y=XCORR_Y, k=XCORR_MAX_LAG)
+    """
     events = load_table(spark, sf_dir, "events")
     h = (F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("bigint")
     counts = (
@@ -3412,6 +3415,7 @@ def q_events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("lag").cast("int").alias("lag_hours"), "n_hours", r.alias("xcorr_r")
     ).orderBy("lag_hours")
+q_events_cross_correlation.__doc__ = q_events_cross_correlation.__doc__.format(x=XCORR_X, y=XCORR_Y, k=XCORR_MAX_LAG)
 
 
 _ORACLE_XCORR = f"""
@@ -3645,7 +3649,7 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized at any SF. FP = 10⁶ keeps π_i·c_ij ≤ FP·N inside int64 for
     N up to ~9·10¹² rows (past the 100 TB row count); truncation loss
     per step is < |states|/FP.
-    """.format(it=MARKOV_ITERS)
+    """
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = events.select(
@@ -3678,6 +3682,7 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mass").alias("pi_fp"),
         (F.col("mass").cast("double") / F.lit(float(MARKOV_FP))).alias("pi"),
     ).orderBy("state")
+q_events_markov_stationary.__doc__ = q_events_markov_stationary.__doc__.format(it=MARKOV_ITERS)
 
 
 def _sql_markov() -> str:
@@ -3802,7 +3807,7 @@ def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs ((type,h) → (type,dow,hod) profile → per-type σ) — everything
     after the first agg is domain-sized; the profile join is a broadcast
     (≤|types|·168 rows).
-    """.format(z=int(RESID_Z))
+    """
     events = load_table(spark, sf_dir, "events")
     h = (F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("bigint")
     counts = events.groupBy("event_type", h.alias("h")).agg(
@@ -3857,6 +3862,7 @@ def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_idx")
     )
+q_events_seasonal_anomaly.__doc__ = q_events_seasonal_anomaly.__doc__.format(z=int(RESID_Z))
 
 
 _ORACLE_SEASONAL_ANOMALY = f"""
@@ -4168,8 +4174,7 @@ def q_user_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason string is an ordered concat of flag codes. Scale shape: one
     per-user sort window for gaps, then ONE map-side-combinable hash agg
     per user carrying all moments; output is flagged users only.
-    """.format(r=BOT_RATE_PER_HOUR, d=BOT_DOMINANT_SHARE,
-               b=BOT_REGULARITY_B, m=BOT_MIN_EVENTS)
+    """
     events = load_table(spark, sf_dir, "events")
     sec = F.unix_timestamp(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -4237,6 +4242,8 @@ def q_user_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("reasons") != "")
         .orderBy("user_id")
     )
+q_user_bot_screen.__doc__ = q_user_bot_screen.__doc__.format(r=BOT_RATE_PER_HOUR, d=BOT_DOMINANT_SHARE,
+               b=BOT_REGULARITY_B, m=BOT_MIN_EVENTS)
 
 
 _ORACLE_BOT_SCREEN = f"""
@@ -4325,7 +4332,7 @@ def q_events_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one (part, day) hash agg, one keyed lag window for the
     gaps, one collect-fold agg per part — all partitioned by part key,
-    no global windows, no collect.""".format(a=CROSTON_ALPHA, k=CROSTON_TOP)
+    no global windows, no collect."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("pk"),
         F.to_date("l_shipdate").alias("day"),
@@ -4374,6 +4381,7 @@ def q_events_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("croston_forecast"), F.asc("pk"))
         .limit(CROSTON_TOP)
     )
+q_events_croston_forecast.__doc__ = q_events_croston_forecast.__doc__.format(a=CROSTON_ALPHA, k=CROSTON_TOP)
 
 
 _ORACLE_CROSTON = f"""
@@ -4432,7 +4440,7 @@ def q_events_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one |region|×|month| hash agg after a broadcast dim
     join; everything downstream runs on the ~400-cell frame (per-region
-    fold state ≤ ~84 values).""".format(a=THETA_ALPHA)
+    fold state ≤ ~84 values)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -4511,6 +4519,7 @@ def q_events_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.5) * F.col("ses_th2") + F.lit(0.5) * trend_next) * F.lit(10.0)
         ).alias("theta_forecast_musd"),
     ).orderBy("r_name")
+q_events_theta_forecast.__doc__ = q_events_theta_forecast.__doc__.format(a=THETA_ALPHA)
 
 
 _ORACLE_THETA_FORECAST = f"""
@@ -4585,9 +4594,7 @@ def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by the observation window, NOT by data size).
 
     Scale shape: identical to KM — per-user min/max hash agg, one
-    domain-sized cumulative window, then single-row array arithmetic.""".format(
-        tau=RMST_TAU
-    )
+    domain-sized cumulative window, then single-row array arithmetic."""
     events = load_table(spark, sf_dir, "events")
     s = F.unix_timestamp(F.col("ts"))
     per_user = events.groupBy("user_id").agg(
@@ -4655,6 +4662,9 @@ def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(RMST_TAU).cast("long").alias("tau_hours"),
         F.expr(expr).alias("rmst_hours"),
         F.expr(final_s).alias("survival_at_tau"),
+    )
+q_survival_rmst.__doc__ = q_survival_rmst.__doc__.format(
+        tau=RMST_TAU
     )
 
 
@@ -4737,9 +4747,7 @@ def q_events_periodogram_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ×{k} period explode and LUT join run on the ~10³-row hourly
     grid. fsum scale 8 keeps |Σ| exact to ~sf10; drop to scale 6 at a
     1000× deployment (addends are bounded by per-hour event
-    counts).""".format(
-        ps=PERIODOGRAM_PERIODS, n=len(_PG_LUT), k=len(PERIODOGRAM_PERIODS)
-    )
+    counts)."""
     events = load_table(spark, sf_dir, "events")
     h = (F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("bigint")
     counts = events.groupBy(h.alias("h")).agg(
@@ -4769,6 +4777,9 @@ def q_events_periodogram_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
         power.alias("power"),
         (power / tot2).alias("power_frac"),
     ).orderBy("period_hours")
+q_events_periodogram_lut.__doc__ = q_events_periodogram_lut.__doc__.format(
+        ps=PERIODOGRAM_PERIODS, n=len(_PG_LUT), k=len(PERIODOGRAM_PERIODS)
+    )
 
 
 def _sql_periodogram() -> str:
@@ -5072,9 +5083,7 @@ def q_forecast_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``events_page_hinkley`` where a float walk forced fixed-point).
     Scale shape: one additive daily agg, one gap-proof date-arithmetic
     self-join, one type-partitioned cumulative window over ≤|days|
-    rows per type.""".format(
-        lim=TS_CONTROL_LIMIT
-    )
+    rows per type."""
     events = load_table(spark, sf_dir, "events")
     monthly = events.groupBy(
         F.to_date("ts").alias("m"), F.col("event_type")
@@ -5128,6 +5137,9 @@ def q_forecast_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ever_out_of_control"),
         )
         .orderBy("event_type")
+    )
+q_forecast_tracking_signal.__doc__ = q_forecast_tracking_signal.__doc__.format(
+        lim=TS_CONTROL_LIMIT
     )
 
 
@@ -5195,7 +5207,7 @@ def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer window arithmetic over the (ts, event_id) total order —
     no floats anywhere. Scale shape: one user-keyed sort window (the
     inherent sweep shape, fully parallel across users), one island
-    agg, one user agg.""".format(m=COVER_TTL_MIN)
+    agg, one user agg."""
     events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     ttl_us = COVER_TTL_MIN * 60 * 1_000_000
     us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01 00:00:00', ts)")
@@ -5251,6 +5263,7 @@ def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+q_events_interval_coverage.__doc__ = q_events_interval_coverage.__doc__.format(m=COVER_TTL_MIN)
 
 
 _ORACLE_INTERVAL_COVERAGE = f"""
@@ -5310,7 +5323,7 @@ def q_events_halflife_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-lives clamp to exactly 0 (below double precision of any
     realistic score); the per-user sum is decimal-quantized (dsum
     scale 8 — each addend ≤ max(value)). Scale shape: one broadcast of the 1-row max,
-    one map-side-combinable hash agg.""".format(h=HALFLIFE_DAYS)
+    one map-side-combinable hash agg."""
     events = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
@@ -5345,6 +5358,7 @@ def q_events_halflife_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+q_events_halflife_score.__doc__ = q_events_halflife_score.__doc__.format(h=HALFLIFE_DAYS)
 
 
 _ORACLE_HALFLIFE = f"""

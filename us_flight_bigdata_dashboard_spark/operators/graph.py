@@ -1348,7 +1348,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one summary row (node/edge counts, degree range) — the core
     invariant min_degree ≥ {k} is directly visible in the result.
-    """.format(k=KCORE_K, r=KCORE_ROUNDS)
+    """
     e = _copurchase_edges(spark, sf_dir)
     edges = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
         e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
@@ -1373,6 +1373,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("deg").cast("long").alias("min_degree"),
         F.max("deg").cast("long").alias("max_degree"),
     )
+q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(k=KCORE_K, r=KCORE_ROUNDS)
 
 
 def _sql_kcore() -> str:
@@ -1519,7 +1520,7 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVERY k reads them with a conditional sum: adding grid points is
     free, and nothing per-k ever touches the edge list (the first cut
     ran a semi-join pair per k: 12 exchanges vs 6 in the plan audit).
-    """.format(ks=RICH_CLUB_KS)
+    """
     e = _copurchase_edges(spark, sf_dir)
     edges = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
     deg = (
@@ -1581,6 +1582,7 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phi"),
     )
     return out.orderBy("k")
+q_graph_rich_club.__doc__ = q_graph_rich_club.__doc__.format(ks=RICH_CLUB_KS)
 
 
 def _sql_rich_club() -> str:
@@ -1650,7 +1652,7 @@ def q_graph_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cust, supp) via one join + dedup, localCheckpoint'd once); each
     half-step is an edge⋈mass equi-join + hash agg — linear in edges,
     {it} rounds; the final top-{top} is a domain-sized sort.
-    """.format(it=SALSA_ITERS, top=SALSA_TOP)
+    """
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     edges = (
@@ -1694,6 +1696,7 @@ def q_graph_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority_fp"), F.asc("supp"))
         .limit(SALSA_TOP)
     )
+q_graph_salsa.__doc__ = q_graph_salsa.__doc__.format(it=SALSA_ITERS, top=SALSA_TOP)
 
 
 def _sql_salsa() -> str:
@@ -1773,7 +1776,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     score vector localCheckpointed per half-step so the plan stays
     O(iters) exchanges instead of an unrolled lineage — the
     PageRank/HyperBall discipline). No collect, no driver state.
-    """.format(it=HITS_ITERS, k=HITS_TOP)
+    """
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -1844,6 +1847,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(HITS_TOP)
     )
     return top_a.unionAll(top_h).orderBy("role", F.desc("score"), F.asc("node"))
+q_graph_hits.__doc__ = q_graph_hits.__doc__.format(it=HITS_ITERS, k=HITS_TOP)
 
 
 def _sql_hits() -> str:
@@ -1924,7 +1928,7 @@ def q_graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     did ranks⋈degree⋈edges plus a full-outer per round and went 11.5x at
     organic sf1; this shape is the PageRank A/B discipline applied to
     the sparse-frontier case.)
-    """.format(md=PPR_SEED_MOD, it=PPR_ITERS)
+    """
     edges = _edges_int(spark, sf_dir)
     degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).select(
         F.col("src").alias("dnode"), "degree"
@@ -1973,6 +1977,7 @@ def q_graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     return labeled.orderBy(F.desc("rank"), F.asc("node")).limit(PPR_TOP)
+q_graph_ppr_seeded.__doc__ = q_graph_ppr_seeded.__doc__.format(md=PPR_SEED_MOD, it=PPR_ITERS)
 
 
 def _sql_ppr() -> str:
@@ -2054,7 +2059,7 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(k,2) per customer with k ≤ {cap}), each pair born carrying its
     customer's weight; one (supp_a, supp_b) hash agg finishes. The cap
     is mirrored in the oracle, so the gate certifies the capped
-    semantics.""".format(fp=RA_FP, cap=SUPPS_PER_CUST_CAP)
+    semantics."""
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     capped = (
@@ -2088,6 +2093,7 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(
         F.desc("ra_fp"), F.asc("supp_a"), F.asc("supp_b")
     ).limit(RA_TOP)
+q_graph_resource_allocation.__doc__ = q_graph_resource_allocation.__doc__.format(fp=RA_FP, cap=SUPPS_PER_CUST_CAP)
 
 
 
@@ -2119,9 +2125,7 @@ def q_graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs (the SALSA pattern).
 
     Scale shape: per round one edges⋈scores join on the node key + one
-    map-side-combinable hash agg — Pregel's step relationally.""".format(
-        it=KATZ_ITERS, an=KATZ_ALPHA_NUM, ad=KATZ_ALPHA_DEN, fp=KATZ_FP
-    )
+    map-side-combinable hash agg — Pregel's step relationally."""
     edges = _edges_int(spark, sf_dir).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     # x holds the CUMULATIVE katz sum; w holds the current walk layer
@@ -2169,6 +2173,9 @@ def q_graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("katz_fp"), F.asc("node"))
         .limit(KATZ_TOP)
+    )
+q_graph_katz_centrality.__doc__ = q_graph_katz_centrality.__doc__.format(
+        it=KATZ_ITERS, an=KATZ_ALPHA_NUM, ad=KATZ_ALPHA_DEN, fp=KATZ_FP
     )
 
 
@@ -2248,9 +2255,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to ``graph_resource_allocation`` — pairs
     explode inline from each customer's capped sorted supplier array,
-    one (supp_a, supp_b) hash agg, cap mirrored in the oracle.""".format(
-        fp=AA_FP, cap=SUPPS_PER_CUST_CAP
-    )
+    one (supp_a, supp_b) hash agg, cap mirrored in the oracle."""
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     capped = (
@@ -2289,6 +2294,9 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(
         F.desc("aa_fp"), F.asc("supp_a"), F.asc("supp_b")
     ).limit(RA_TOP)
+q_graph_adamic_adar.__doc__ = q_graph_adamic_adar.__doc__.format(
+        fp=AA_FP, cap=SUPPS_PER_CUST_CAP
+    )
 
 
 _AA_CASE = " ".join(f"WHEN {k} THEN {w}" for k, w in sorted(_AA_WEIGHTS.items()))
@@ -2387,9 +2395,7 @@ def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable (node, reg) MAX agg — state O(|V|·m), traffic O(|E|·m)
     worst case; no per-node BFS frontier sets, no pair materialization.
     The loop is {it} fixed unrolled iterations (bipartite: 3 hops spans
-    c→s→c→s), localCheckpointed per round like PageRank.""".format(
-        m=HB_M, it=HB_ITERS
-    )
+    c→s→c→s), localCheckpointed per round like PageRank."""
     edges = _edges_int(spark, sf_dir).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     x = F.conv(
@@ -2450,6 +2456,9 @@ def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_nodes").cast("double") * F.col("n_nodes").cast("double"))
         ).alias("reach_fraction"),
     ).orderBy("t")
+q_graph_hyperball.__doc__ = q_graph_hyperball.__doc__.format(
+        m=HB_M, it=HB_ITERS
+    )
 
 
 def _sql_hyperball() -> str:

@@ -1283,9 +1283,7 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     rater-reliability audit cross-checks its conclusion.
 
     Scale shape: one data-sized orders⋈customer hash agg to the
-    |nations|×{m} grid; ranks/counts/sums all domain-sized after.""".format(
-        m=KRIPP_M, y=KRIPP_YEAR
-    )
+    |nations|×{m} grid; ranks/counts/sums all domain-sized after."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
@@ -1352,6 +1350,9 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_o.alias("d_observed"),
         d_e.alias("d_expected"),
         (F.lit(1.0) - d_o / d_e).alias("alpha"),
+    )
+q_krippendorff_alpha.__doc__ = q_krippendorff_alpha.__doc__.format(
+        m=KRIPP_M, y=KRIPP_YEAR
     )
 
 
@@ -1436,7 +1437,7 @@ def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifts (the dixon_q_outlier pattern).
 
     Scale shape: one data-sized hash agg to the grid; ranks, ranges,
-    and both sums are domain-sized (≤ b·k rows).""".format(y=QUADE_YEAR)
+    and both sums are domain-sized (≤ b·k rows)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
@@ -1515,6 +1516,7 @@ def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_stat.alias("f_stat"),
         sig.alias("significant_5pct"),
     )
+q_quade_test.__doc__ = q_quade_test.__doc__.format(y=QUADE_YEAR)
 
 
 def _sql_quade() -> str:
@@ -1791,8 +1793,12 @@ def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the same 2×2 integer cells as cohens_kappa (one hash
     agg); pa, π, pe, AC1, kappa are one fixed IEEE sequence on them.
-    Degenerate contract: pe = 1 (π ∈ {0,1} exactly — a constant rater
-    pair) → AC1/kappa NULL under explicit guards.
+    Degenerate contract: KAPPA's denominator can vanish (pe_k = 1 when
+    both raters are constant) → kappa NULL under its explicit guard.
+    AC1's chance term 2π(1−π) is bounded by ½ (max at π = ½, 0 at
+    π ∈ {0,1}), so its 1 − pe_ac1 denominator NEVER vanishes — the
+    mirrored pe_ac1 < 1 guard is structurally unreachable and kept only
+    for shape symmetry with kappa (ADVICE r12 doc audit).
 
     Scale: one map-side-combinable aggregate → 1-row arithmetic.
 

@@ -630,7 +630,7 @@ def q_matview_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is built once to have a base state); the delta path aggregates
     ONLY the delta rows and merges on the |priorities| frame via one
     broadcast-sized outer join. Counts/cents are exact integers.
-    """.format(d=MV_DEL_MOD, i=MV_INS_MOD)
+    """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
@@ -671,6 +671,7 @@ def q_matview_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+q_matview_delta_maintenance.__doc__ = q_matview_delta_maintenance.__doc__.format(d=MV_DEL_MOD, i=MV_INS_MOD)
 
 
 # The oracle RECOMPUTES from the modified logical table — delta algebra

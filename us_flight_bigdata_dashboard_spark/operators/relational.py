@@ -1724,13 +1724,14 @@ def q_recursive_cte_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches 5 rows regardless of data size; only the anchor scales
     (and it is one map-side-combinable agg over the fact join).
 
-    Reference analog: none (engine addition, SURVEY.md §2.7).""".format(
-        m=DRAIN_MAX_MONTHS
-    )
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
     from us_flight_bigdata_dashboard_spark.sources.catalog import register_all
 
     register_all(spark, sf_dir)
     return spark.sql(_SPARK_RECURSIVE_DRAIN)
+q_recursive_cte_drain.__doc__ = q_recursive_cte_drain.__doc__.format(
+        m=DRAIN_MAX_MONTHS
+    )
 
 
 _ORACLE_RECURSIVE_DRAIN = f"""
@@ -1797,13 +1798,14 @@ def q_lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the CTE is one map-side-combinable hash agg; the
     lateral decorrelates to a per-nation top-k — no per-row re-scan.
 
-    Reference analog: none (engine addition, SURVEY.md §2.7).""".format(
-        k=LATERAL_TOPK
-    )
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
     from us_flight_bigdata_dashboard_spark.sources.catalog import register_all
 
     register_all(spark, sf_dir)
     return spark.sql(_SPARK_LATERAL_TOPK)
+q_lateral_join_topk.__doc__ = q_lateral_join_topk.__doc__.format(
+        k=LATERAL_TOPK
+    )
 
 
 _ORACLE_LATERAL_TOPK = _SPARK_LATERAL_TOPK

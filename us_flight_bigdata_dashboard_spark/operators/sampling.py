@@ -756,7 +756,7 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     within ingest partitions + partition-offset prefix sums — the
     ``global_rank_bucketed`` pattern), or directly from the id congruence
     when ids are dense. Output is |docs|/{k} rows — sample-sized, tiny.
-    """.format(k=SYST_K, o=SYST_OFFSET)
+    """
     docs = load_table(spark, sf_dir, "documents")
     rn = F.row_number().over(Window.orderBy("doc_id"))
     return (
@@ -765,6 +765,7 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+q_sample_systematic.__doc__ = q_sample_systematic.__doc__.format(k=SYST_K, o=SYST_OFFSET)
 
 
 _ORACLE_SYSTEMATIC = f"""
@@ -914,7 +915,7 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     12, the module-wide cancellation rule); every shipped float is one
     IEEE sequence. Scale shape: two map-side-combinable hash aggs (one
     for moments, one broadcast re-pass for centered squares) — both
-    ≤|strata| rows after.""".format(n=NEYMAN_BUDGET)
+    ≤|strata| rows after."""
     from us_flight_bigdata_dashboard_spark.functions.exact import fsum
 
     orders = load_table(spark, sf_dir, "orders")
@@ -967,6 +968,7 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         prop.alias("proportional_n"),
         deff.alias("variance_ratio_prop_vs_neyman"),
     ).orderBy("stratum")
+q_neyman_allocation.__doc__ = q_neyman_allocation.__doc__.format(n=NEYMAN_BUDGET)
 
 
 def _sql_neyman() -> str:
@@ -1040,7 +1042,7 @@ def q_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash < π·2⁴⁸ (floor-quantized to integer — identical both ways);
     the HT sum is a floor-quantized fsum (scale 8 — the scale-4 quantum measurably cost 4e-7 relative). Scale shape: one exact agg
     (Σchars), one broadcast re-pass with the hash filter, one sum —
-    all map-side combinable.""".format(n=HT_EXPECTED_N)
+    all map-side combinable."""
     from us_flight_bigdata_dashboard_spark.functions.exact import fsum
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1087,6 +1089,7 @@ def q_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_total").alias("true_token_total"),
         (err * F.lit(100.0)).alias("rel_err_pct"),
     )
+q_horvitz_thompson.__doc__ = q_horvitz_thompson.__doc__.format(n=HT_EXPECTED_N)
 
 
 def _sql_horvitz_thompson() -> str:
@@ -1156,9 +1159,7 @@ def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sample_systematic`` global-window note applies: range-partitioned
     ranking at 100 TB) + a broadcast 1-row total; output is ≤{n} rows.
 
-    Reference analog: none (engine addition, SURVEY.md §2.7).""".format(
-        n=PPS_N
-    )
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     w_cum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     cum = docs.select(
@@ -1196,6 +1197,9 @@ def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ht_weight"),
         )
         .orderBy("doc_id")
+    )
+q_pps_systematic_sample.__doc__ = q_pps_systematic_sample.__doc__.format(
+        n=PPS_N
     )
 
 

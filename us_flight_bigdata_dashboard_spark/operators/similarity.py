@@ -2494,7 +2494,7 @@ def q_embedding_binary_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 longs per row — this is the point of BQ at 100 TB: the candidate
     scan touches 8 bytes/vector); the {q}-probe × corpus Hamming scan
     broadcasts the probe codes; top-{k} per probe via one windowed rank.
-    """.format(k=RECALL_K, q=N_QUERY_VECS)
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     codes = emb.select(
         "vec_id",
@@ -2550,6 +2550,7 @@ def q_embedding_binary_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+q_embedding_binary_quant.__doc__ = q_embedding_binary_quant.__doc__.format(k=RECALL_K, q=N_QUERY_VECS)
 
 
 def _sql_binary_quant() -> str:

@@ -325,7 +325,7 @@ def q_sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ≤{w} cells (the sketch IS the aggregate — sketch-sized shuffles at
     any data size, the CMS property), cumulative + rank-pick arithmetic
     on the {w}-row frame.
-    """.format(w=HISTQ_W)
+    """
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -377,6 +377,7 @@ def q_sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("estimate"),
         width.alias("error_bound"),
     ).orderBy("quantile")
+q_sketch_histogram_quantile.__doc__ = q_sketch_histogram_quantile.__doc__.format(w=HISTQ_W)
 
 
 def _sql_histq() -> str:
@@ -436,7 +437,7 @@ def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-group register build is a (group, reg) MAX hash agg
     (map-side combinable — the agg IS the sketch merge); the union merge
     is a MAX over a ≤2·m-row frame.
-    """.format(a=HLL_UNION_A, b=HLL_UNION_B)
+    """
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").isin(HLL_UNION_A, HLL_UNION_B)
     )
@@ -488,6 +489,7 @@ def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zero_regs",
         )
     )
+q_sketch_hll_union.__doc__ = q_sketch_hll_union.__doc__.format(a=HLL_UNION_A, b=HLL_UNION_B)
 
 
 def _sql_hll_union() -> str:
@@ -684,7 +686,7 @@ def q_sketch_countsketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to CMS — data touched once (explode ×d) into a
     d·w = 1280-cell map-side-combinable aggregate; probes join K keys
     against the broadcast sketch. The sketch is the ONLY state that
-    crosses the wire at 100 TB.""".format(w=CS_W)
+    crosses the wire at 100 TB."""
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
 
     def bucket(j_a, j_b):
@@ -733,6 +735,7 @@ def q_sketch_countsketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cs_est").cast("long").alias("cs_est"),
         (F.col("cs_est") - F.col("exact_cnt")).cast("long").alias("error"),
     ).orderBy(F.col("exact_cnt").desc(), F.col("o_custkey").asc())
+q_sketch_countsketch_freq.__doc__ = q_sketch_countsketch_freq.__doc__.format(w=CS_W)
 
 
 def _sql_countsketch() -> str:
@@ -796,7 +799,7 @@ def q_sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     one tiny final pass); the intersection probe joins two ≤{k}-row
     broadcast sketches. A group with < k distinct hashes keeps θ = 2^48
     (its sample is the exact set — the standard exact-mode
-    convention).""".format(b=KMV_BUCKETS, k=THETA_K)
+    convention)."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -870,6 +873,7 @@ def q_sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((est - exact_d) / exact_d * F.lit(100.0)).alias("rel_err_pct"),
         )
     )
+q_sketch_theta_intersection.__doc__ = q_sketch_theta_intersection.__doc__.format(b=KMV_BUCKETS, k=THETA_K)
 
 
 def _sql_theta_intersection() -> str:

@@ -2146,7 +2146,7 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value, orderkey). Scale shape: one per-group rank window (the
     ks/mann-whitney domain notes apply) then a map-side-combinable agg
     to |priorities| rows.
-    """.format(t=TRIM_PCT)
+    """
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     w = Window.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
@@ -2187,6 +2187,7 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+q_trimmed_mean.__doc__ = q_trimmed_mean.__doc__.format(t=TRIM_PCT)
 
 
 _ORACLE_TRIMMED = f"""
@@ -3304,7 +3305,7 @@ def q_hoeffding_sample_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: min/max/count are exact; ln(2/δ) is a Python-precomputed
     literal (module rule: no transcendentals at query time); n_required
     = ceil of one IEEE expression — identical on both engines. Scale
-    shape: ONE map-side-combinable hash agg.""".format(eps=HOEFF_EPS)
+    shape: ONE map-side-combinable hash agg."""
     events = load_table(spark, sf_dir, "events")
     m = (
         events.filter(F.col("value").isNotNull())
@@ -3326,6 +3327,7 @@ def q_hoeffding_sample_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_req.alias("n_required"),
         (F.col("n_current") >= n_req).cast("int").alias("sufficient"),
     ).orderBy("event_type")
+q_hoeffding_sample_bound.__doc__ = q_hoeffding_sample_bound.__doc__.format(eps=HOEFF_EPS)
 
 
 _ORACLE_HOEFFDING = f"""
@@ -4083,7 +4085,14 @@ def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (A1+A2)²/(A1²/(n1−1) + A2²/(n2−1)), and the common-language
     effect p̂ = P(X1<X2) + ½P(X1=X2) = s2/(2·n1·n2). Degenerate
     contract: zero placement variance on both sides (complete
-    separation) → w_stat/df NULL under an explicit guard.
+    separation) → w_stat/df NULL under an explicit guard; a group with
+    n ≤ 1 → a_i (and hence w_stat/df) NULL, and an EMPTY group → p̂
+    NULL, both under explicit F.when guards mirrored in the oracle —
+    without them the n−1 and 2·n1·n2 denominators hit double
+    division-by-zero, where Spark yields NULL but DuckDB
+    (ieee_floating_point_ops default) yields ±Inf/NaN, an engine split
+    (unreachable at tested SFs; guarded per the repo degenerate-contract
+    convention, ADVICE r12).
 
     Scale shape: identical to ``ks_two_sample`` — one value-domain hash
     agg, one domain-sized cumulative window, one 1-row reduce."""
@@ -4153,8 +4162,13 @@ def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
     nd = n1d + n2d
-    a1 = dec_to_double(F.col("v1")) / (n1d - F.lit(1.0))
-    a2 = dec_to_double(F.col("v2")) / (n2d - F.lit(1.0))
+    # degenerate-n guards (ADVICE r12): n_i <= 1 would put 0 in the n_i - 1
+    # denominator (Spark NULL vs DuckDB Inf engine split); NULL-propagate
+    # instead, mirrored in the oracle
+    ok = (F.col("n1") > 1) & (F.col("n2") > 1)
+    pos = (F.col("n1") > 0) & (F.col("n2") > 0)
+    a1 = F.when(ok, dec_to_double(F.col("v1")) / (n1d - F.lit(1.0)))
+    a2 = F.when(ok, dec_to_double(F.col("v2")) / (n2d - F.lit(1.0)))
     s = a1 + a2
     w = F.when(
         s > 0, dec_to_double(F.col("md_num")) / (nd * F.sqrt(s))
@@ -4164,7 +4178,9 @@ def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mid.select(
         "n1",
         "n2",
-        (dec_to_double(F.col("s2")) / (F.lit(2.0) * n1d * n2d)).alias("p_hat"),
+        F.when(pos, dec_to_double(F.col("s2")) / (F.lit(2.0) * n1d * n2d)).alias(
+            "p_hat"
+        ),
         w.alias("w_stat"),
         df.alias("df_satterthwaite"),
     )
@@ -4202,13 +4218,16 @@ WITH per_v AS (
 ), fin AS (
   SELECT n1, n2, s2,
          CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
-         {sql_dec_to_double('v1')} / (CAST(n1 AS DOUBLE) - 1.0) AS a1,
-         {sql_dec_to_double('v2')} / (CAST(n2 AS DOUBLE) - 1.0) AS a2,
+         CASE WHEN n1 > 1 AND n2 > 1
+              THEN {sql_dec_to_double('v1')} / (CAST(n1 AS DOUBLE) - 1.0) END AS a1,
+         CASE WHEN n1 > 1 AND n2 > 1
+              THEN {sql_dec_to_double('v2')} / (CAST(n2 AS DOUBLE) - 1.0) END AS a2,
          {sql_dec_to_double('md_num')} AS md_num
   FROM mid
 )
 SELECT n1, n2,
-       {sql_dec_to_double('s2')} / (2.0 * n1d * n2d) AS p_hat,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN {sql_dec_to_double('s2')} / (2.0 * n1d * n2d) END AS p_hat,
        CASE WHEN a1 + a2 > 0
             THEN md_num / ((n1d + n2d) * sqrt(a1 + a2)) END AS w_stat,
        CASE WHEN a1 * a1 / (n1d - 1.0) + a2 * a2 / (n2d - 1.0) > 0

@@ -2294,7 +2294,7 @@ def q_text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigrams); the unigram table is vocabulary-bounded and broadcast
     onto the bigram counts twice; global totals are 1-row broadcasts.
     Support floor {sup} + top-{top} under a total order.
-    """.format(sup=COLLOC_MIN_SUPPORT, top=COLLOC_TOP)
+    """
     docs = load_table(spark, sf_dir, "documents").select(
         _tokens(F.col("text")).alias("toks")
     )
@@ -2338,6 +2338,7 @@ def q_text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
         .limit(COLLOC_TOP)
     )
+q_text_collocations_lift.__doc__ = q_text_collocations_lift.__doc__.format(sup=COLLOC_MIN_SUPPORT, top=COLLOC_TOP)
 
 
 def _sql_collocations() -> str:
@@ -2464,7 +2465,7 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it and the train side never shuffles; the per-doc rollup
     is one map-side-combinable agg. A production variant hashes grams to
     8 bytes first — same plan, smaller shuffle width.
-    """.format(n=CONTAM_N, b=CONTAM_BENCH_SRC)
+    """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", _tokens(F.col("text")).alias("toks")
     )
@@ -2518,6 +2519,7 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+q_benchmark_contamination.__doc__ = q_benchmark_contamination.__doc__.format(n=CONTAM_N, b=CONTAM_BENCH_SRC)
 
 
 def _sql_contamination() -> str:
@@ -2633,9 +2635,7 @@ def q_text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums (both loops are source- and word-bounded: |sources|·{k} cells);
     sqrt is IEEE-exact. Scale shape: one explode + (source, word) hash
     agg is the only data-sized stage; the zero-filled source×word spine,
-    moments, and the pair join all run on the tiny grid.""".format(
-        k=BURROWS_TOP_WORDS, p=BURROWS_TOP_PAIRS
-    )
+    moments, and the pair join all run on the tiny grid."""
     from us_flight_bigdata_dashboard_spark.functions.exact import fsum
 
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
@@ -2680,6 +2680,9 @@ def q_text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return delta.orderBy(F.asc("delta"), F.asc("src_a"), F.asc("src_b")).limit(
         BURROWS_TOP_PAIRS
+    )
+q_text_burrows_delta.__doc__ = q_text_burrows_delta.__doc__.format(
+        k=BURROWS_TOP_WORDS, p=BURROWS_TOP_PAIRS
     )
 
 
@@ -2749,7 +2752,7 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     over vocab-bounded frames. Contribution sums are fixed-point
     floor-quantized DECIMAL aggregates (the graph_pagerank pattern) and
     weighted degree is an exact integer — bit-stable on both engines.
-    """.format(it=TEXTRANK_ITERS, d=TEXTRANK_DAMPING, k=TEXTRANK_TOP)
+    """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
     bi = toks.select(
@@ -2811,6 +2814,7 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("word"))
         .limit(TEXTRANK_TOP)
     )
+q_text_textrank_keywords.__doc__ = q_text_textrank_keywords.__doc__.format(it=TEXTRANK_ITERS, d=TEXTRANK_DAMPING, k=TEXTRANK_TOP)
 
 
 def _sql_textrank() -> str:
@@ -3055,7 +3059,7 @@ def q_text_dsir_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     model training and scoring both read it), TWO vocab-bounded hash
     aggs broadcast back onto the token stream, one per-doc agg. The only
     data-sized shuffle is the doc_id score agg. Top {top} docs ship
-    under a total order.""".format(tl=DSIR_TARGET_LANG, k=DSIR_K, top=DSIR_TOP)
+    under a total order."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = docs.select(
         "doc_id",
@@ -3098,6 +3102,7 @@ def q_text_dsir_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
         .limit(DSIR_TOP)
     )
+q_text_dsir_proxy.__doc__ = q_text_dsir_proxy.__doc__.format(tl=DSIR_TARGET_LANG, k=DSIR_K, top=DSIR_TOP)
 
 
 _ORACLE_DSIR = f"""
@@ -3147,7 +3152,7 @@ def q_text_sttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one posexplode (segment id = pos div {c}), one
     (doc, segment, token) dedup agg, one (doc, segment) count agg, one
     per-doc agg — every stage keyed by doc_id, map-side combinable, no
-    windows at all.""".format(c=STTR_CHUNK)
+    windows at all."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pos = docs.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "w")
@@ -3177,6 +3182,7 @@ def q_text_sttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+q_text_sttr.__doc__ = q_text_sttr.__doc__.format(c=STTR_CHUNK)
 
 
 _ORACLE_STTR = f"""
@@ -3463,9 +3469,7 @@ def q_text_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     share, which the same closed form (N − Σ_covered n_s)·c_w supplies
     with no zero-fill spine. One division per word. Scale shape: one
     explode + (source, token) hash agg — the only data-sized stage;
-    the top-k cut and per-word sums are vocabulary-sized.""".format(
-        k=DISP_TOP_WORDS
-    )
+    the top-k cut and per-word sums are vocabulary-sized."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("t"))
     counts = tok.groupBy("source", "t").agg(
@@ -3509,6 +3513,9 @@ def q_text_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_w",
         (num / den).alias("gries_dp"),
     ).orderBy(F.col("c_w").desc(), F.col("word").asc())
+q_text_gries_dp.__doc__ = q_text_gries_dp.__doc__.format(
+        k=DISP_TOP_WORDS
+    )
 
 
 _ORACLE_GRIES_DP = f"""
@@ -3552,9 +3559,7 @@ def q_text_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     / (D·c) — absent documents contribute 0 to Σc_d², so the closed
     form needs NO zero-fill spine; everything is integer (DECIMAL(38,0)
     squares) until one division. Scale shape: one explode + (doc, token)
-    hash agg filtered to the broadcast top-k, then a per-word agg.""".format(
-        k=DISP_TOP_WORDS
-    )
+    hash agg filtered to the broadcast top-k, then a per-word agg."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("d"))
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
@@ -3590,6 +3595,9 @@ def q_text_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs_with",
         fano.alias("fano_factor"),
     ).orderBy(F.col("c_w").desc(), F.col("word").asc())
+q_text_burstiness_fano.__doc__ = q_text_burstiness_fano.__doc__.format(
+        k=DISP_TOP_WORDS
+    )
 
 
 _ORACLE_FANO = f"""
@@ -3652,9 +3660,7 @@ def q_text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc-keyed agg — all partitioned by doc_id, no global windows,
     map-side combinable.
 
-    Reference analog: none (engine addition, SURVEY.md §2.7).""".format(
-        w=MATTR_W
-    )
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pos = docs.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "w")
@@ -3691,6 +3697,9 @@ def q_text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (wlit * n_win).cast("double")
         ).alias("mattr"),
     ).orderBy("doc_id")
+q_text_mattr.__doc__ = q_text_mattr.__doc__.format(
+        w=MATTR_W
+    )
 
 
 _ORACLE_MATTR = f"""
@@ -3749,7 +3758,11 @@ def q_text_chi2_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical. Only overrepresented tokens (ad−bc > 0) qualify; ties
     break on token text. The vocabulary is bounded by the ≥
     {CHI2_MIN_COUNT} corpus-count floor (the repo's model-table
-    convention).
+    convention). Division-by-zero is structurally impossible here (no
+    guard needed, ADVICE r12 audit): the det > 0 filter implies
+    a·d > b·c ≥ 0, so a > 0 and d > 0, hence ab ≥ a > 0, ac ≥ a > 0,
+    n−ab = c+d > 0 and n−ac = b+d > 0 — all four factors of the
+    denominator are strictly positive on every surviving row.
 
     Scale shape: one token explode → (source, token) hash agg →
     token-total and source-total reaggregations joined back (token

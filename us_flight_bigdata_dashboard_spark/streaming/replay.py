@@ -181,12 +181,7 @@ def _stage_events_late(spark: SparkSession, sf_dir: str) -> str:
     whether Spark's late filter uses the current batch's watermark or
     the previous one (both hold: the recent slice sits ≥ {d}−{r} = 3h
     ABOVE every candidate threshold, the far-late slice ≥ span−{q}h
-    BELOW every candidate threshold) — asserted below, not assumed.""".format(
-        r=_LATE_RECENT_H,
-        d=_LATE_DELAY_H,
-        s=_LATE_SENTINEL_H,
-        q=_LATE_ANCIENT_H + _LATE_DELAY_H + 1,
-    )
+    BELOW every candidate threshold) — asserted below, not assumed."""
     import glob
     import os
 
@@ -262,6 +257,12 @@ def _stage_events_late(spark: SparkSession, sf_dir: str) -> str:
             )
     _stage_cache[key] = out
     return out
+_stage_events_late.__doc__ = _stage_events_late.__doc__.format(
+        r=_LATE_RECENT_H,
+        d=_LATE_DELAY_H,
+        s=_LATE_SENTINEL_H,
+        q=_LATE_ANCIENT_H + _LATE_DELAY_H + 1,
+    )
 
 
 BDD_DELAY = "6 hours"  # bounded-dedup watermark horizon
@@ -281,7 +282,7 @@ def _stage_events_bounded_dedup(spark: SparkSession, sf_dir: str) -> str:
     batch, measured while prototyping) — so the engine MUST emit them a
     second time. That second emission is the observable proof the state
     really is bounded; an unbounded dedup (plain dropDuplicates) would
-    swallow it.""".format(dm=_BDD_DUP_MOD, rm=_BDD_REDELIVER_MOD)
+    swallow it."""
     import datetime
     import glob
     import os
@@ -363,6 +364,7 @@ def _stage_events_bounded_dedup(spark: SparkSession, sf_dir: str) -> str:
         )
     _stage_cache[key] = out
     return out
+_stage_events_bounded_dedup.__doc__ = _stage_events_bounded_dedup.__doc__.format(dm=_BDD_DUP_MOD, rm=_BDD_REDELIVER_MOD)
 
 
 # State partitions for replay runs. A stateful streaming query opens and
@@ -456,9 +458,7 @@ def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to ``streaming_tumbling_replay`` — state
     partitioned by (window × type); the horizon bounds state to
-    {d}h × |types| regardless of stream length, which is the point.""".format(
-        d=_LATE_DELAY_H, r=_LATE_RECENT_H
-    )
+    {d}h × |types| regardless of stream length, which is the point."""
     src = _stage_events_late(spark, sf_dir)
     result = _replay(
         spark,
@@ -473,6 +473,9 @@ def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.end").alias("window_end"),
         "event_type",
         "n_events",
+    )
+q_streaming_late_data_replay.__doc__ = q_streaming_late_data_replay.__doc__.format(
+        d=_LATE_DELAY_H, r=_LATE_RECENT_H
     )
 
 
@@ -695,9 +698,7 @@ def _stage_events_join_late(spark: SparkSession, sf_dir: str) -> str:
     their state-eviction threshold (eviction needs view_ts + lookback
     < wm; straddle views have view_ts ≥ recent_min − lookback =
     wm_end + delay − lookback); and the ancient slice sits hundreds of
-    hours below every candidate threshold.""".format(
-        L=_IJL_LATE_H, d=_IJL_DELAY_H
-    )
+    hours below every candidate threshold."""
     import datetime
     import glob
     import os
@@ -765,6 +766,9 @@ def _stage_events_join_late(spark: SparkSession, sf_dir: str) -> str:
         raise RuntimeError("join-late ancient-slice margin violated")
     _stage_cache[key] = out
     return out
+_stage_events_join_late.__doc__ = _stage_events_join_late.__doc__.format(
+        L=_IJL_LATE_H, d=_IJL_DELAY_H
+    )
 
 
 def q_streaming_interval_join_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,9 +803,7 @@ def q_streaming_interval_join_late_replay(spark: SparkSession, sf_dir: str) -> D
     Scale shape: per-side state is O((horizon + lookback) × arrival
     rate) — bounded by the watermark + the join's two-sided time-range
     constraint regardless of stream length, which is the entry's
-    subject.""".format(
-        lb=IJL_LOOKBACK, d=_IJL_DELAY_H, L=_IJL_LATE_H, m=_IJL_DELAY_H // 2
-    )
+    subject."""
     src = _stage_events_join_late(spark, sf_dir)
     result = _replay(
         spark,
@@ -813,6 +815,9 @@ def q_streaming_interval_join_late_replay(spark: SparkSession, sf_dir: str) -> D
     )
     return result.select(
         "click_event_id", "user_id", "click_ts", "view_event_id", "view_ts"
+    )
+q_streaming_interval_join_late_replay.__doc__ = q_streaming_interval_join_late_replay.__doc__.format(
+        lb=IJL_LOOKBACK, d=_IJL_DELAY_H, L=_IJL_LATE_H, m=_IJL_DELAY_H // 2
     )
 
 
@@ -854,7 +859,7 @@ def _stage_events_outer(spark: SparkSession, sf_dir: str) -> str:
     filtered out by one side's event_type predicate and advance only one
     watermark; the global watermark is the min). The sentinel pair
     matches itself and is dropped from the result by its negative
-    user id.""".format(s=_IJO_SENTINEL_H)
+    user id."""
     import datetime
     import glob
     import os
@@ -909,6 +914,7 @@ def _stage_events_outer(spark: SparkSession, sf_dir: str) -> str:
         raise RuntimeError("outer-join flush margin violated")
     _stage_cache[key] = out
     return out
+_stage_events_outer.__doc__ = _stage_events_outer.__doc__.format(s=_IJO_SENTINEL_H)
 
 
 def q_streaming_interval_join_outer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1562,7 +1568,7 @@ def q_streaming_hll_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     state survives reprocessing unreconciled in production pipelines.
 
     Scale shape: state = the ≤{m}-row register grid, O(1) in data size;
-    per micro-batch one map-side-combinable MAX agg.""".format(m=256)
+    per micro-batch one map-side-combinable MAX agg."""
     from us_flight_bigdata_dashboard_spark.operators.sketches import (
         HLL_M,
         HLL_REST_BITS,
@@ -1587,6 +1593,7 @@ def q_streaming_hll_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame
 
     result = _replay(spark, src, build, mode="complete")
     return result.orderBy("reg")
+q_streaming_hll_sketch_replay.__doc__ = q_streaming_hll_sketch_replay.__doc__.format(m=256)
 
 
 def _sql_streaming_hll() -> str:
@@ -1628,9 +1635,7 @@ def _stage_events_sentinel(spark: SparkSession, sf_dir: str) -> str:
     real batch stays below min ts) — the only ordering that matters is
     that the sentinel arrives LAST, where it pushes the final watermark
     past every real window so append mode flushes them all. The
-    sentinel's own windows stay open and never emit.""".format(
-        n=REPLAY_FILES, s=_CHAIN_SENTINEL_H
-    )
+    sentinel's own windows stay open and never emit."""
     import datetime
     import glob
     import os
@@ -1671,6 +1676,9 @@ def _stage_events_sentinel(spark: SparkSession, sf_dir: str) -> str:
     shutil.rmtree(stage, ignore_errors=True)
     _stage_cache[key] = out
     return out
+_stage_events_sentinel.__doc__ = _stage_events_sentinel.__doc__.format(
+        n=REPLAY_FILES, s=_CHAIN_SENTINEL_H
+    )
 
 
 def q_streaming_chained_windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
