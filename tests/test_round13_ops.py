@@ -1,0 +1,283 @@
+"""Ground-truth tests for the round-13 additions: brute-force
+recomputations (pandas/numpy/pure Python) of every wave entry on
+sf0.001."""
+
+from __future__ import annotations
+
+import math
+import re
+from fractions import Fraction
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _df(table: str):
+    con = duckdb.connect()
+    return con.execute(f"SELECT * FROM '{SF_DIR}/{table}.parquet'").df()
+
+
+def _midranks(values: np.ndarray) -> np.ndarray:
+    return pd.Series(values).rank(method="average").to_numpy()
+
+
+def _two_samples():
+    orders = _df("orders")
+    x = orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_totalprice"].to_numpy()
+    y = orders.loc[orders["o_orderpriority"] != "1-URGENT", "o_totalprice"].to_numpy()
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# mood_scale_test — brute midrank squared-deviation scores + exact
+# hypergeometric standardization
+# ---------------------------------------------------------------------------
+
+
+def test_mood_scale_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_mood_scale_test,
+    )
+
+    x, y = _two_samples()
+    n1, n2 = len(x), len(y)
+    n = n1 + n2
+    rc = _midranks(np.concatenate([x, y]))
+    q = (rc - (n + 1) / 2.0) ** 2
+    q1 = q[:n1]
+    t_ref = q1.sum()
+    sq, sq2 = q.sum(), (q**2).sum()
+    var = n1 * n2 * (n * sq2 - sq * sq) / (n * n * (n - 1))
+    z_ref = (t_ref - n1 * sq / n) / math.sqrt(var)
+
+    (row,) = q_mood_scale_test(spark, SF_DIR).collect()
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["t_mood"] == pytest.approx(t_ref, rel=1e-10)
+    assert row["z_mood"] == pytest.approx(z_ref, rel=1e-8)
+    assert row["significant_5pct"] == int(abs(z_ref) > 1.959963984540054)
+
+
+# ---------------------------------------------------------------------------
+# cucconi_test — brute squared-rank / contrary-rank quadratic form
+# ---------------------------------------------------------------------------
+
+
+def test_cucconi_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_cucconi_test,
+    )
+
+    x, y = _two_samples()
+    n1, n2 = len(x), len(y)
+    n = n1 + n2
+    rc = _midranks(np.concatenate([x, y]))
+    r1 = rc[:n1]
+    s1 = (n + 1) - r1
+    den = math.sqrt(n1 * n2 * (n + 1) * (2 * n + 1) * (8 * n + 11) / 5.0)
+    u_ref = (6.0 * (r1**2).sum() - n1 * (n + 1) * (2 * n + 1)) / den
+    v_ref = (6.0 * (s1**2).sum() - n1 * (n + 1) * (2 * n + 1)) / den
+    rho_ref = 2.0 * (n * n - 4) / ((2 * n + 1) * (8 * n + 11)) - 1.0
+    c_ref = (u_ref**2 + v_ref**2 - 2 * rho_ref * u_ref * v_ref) / (
+        2 * (1 - rho_ref**2)
+    )
+
+    (row,) = q_cucconi_test(spark, SF_DIR).collect()
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["u_stat"] == pytest.approx(u_ref, rel=1e-8)
+    assert row["v_stat"] == pytest.approx(v_ref, rel=1e-8)
+    assert row["rho"] == pytest.approx(rho_ref, rel=1e-12)
+    assert row["cucconi_c"] == pytest.approx(c_ref, rel=1e-8)
+    assert row["significant_5pct"] == int(c_ref > math.log(20.0))
+
+
+# ---------------------------------------------------------------------------
+# text_readability_panel — per-doc ARI / Coleman-Liau recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_readability_panel_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        q_text_readability_panel,
+    )
+
+    docs = _df("documents")
+    rows = {}
+    for src, grp in docs.groupby("source"):
+        aris, clis = [], []
+        for text in grp["text"]:
+            w = len([t for t in text.lower().split(" ") if t != ""])
+            if w == 0:
+                continue
+            sent = max(1, len(re.findall(r"[.!?]+", text)))
+            alnum = len(re.sub(r"[^A-Za-z0-9]", "", text))
+            letters = len(re.sub(r"[^A-Za-z]", "", text))
+            aris.append(4.71 * (alnum / w) + 0.5 * (w / sent) - 21.43)
+            clis.append(
+                0.0588 * (100.0 * letters / w) - 0.296 * (100.0 * sent / w) - 15.8
+            )
+        a = np.array(aris)
+        rows[src] = (
+            len(aris),
+            a.mean(),
+            np.mean(clis),
+            int((a > 12.0).sum()),
+            (a > 12.0).sum() / len(aris),
+        )
+
+    got = q_text_readability_panel(spark, SF_DIR).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        n, ari, cli, hard, share = rows[r["source"]]
+        assert r["n_docs"] == n
+        assert r["mean_ari"] == pytest.approx(ari, abs=2e-4)  # fsum quantum
+        assert r["mean_cli"] == pytest.approx(cli, abs=2e-4)
+        assert r["n_hard_ari"] == hard
+        assert r["hard_share"] == pytest.approx(share, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# graph_reciprocity — pandas dyad census
+# ---------------------------------------------------------------------------
+
+
+def test_graph_reciprocity_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.graph import (
+        q_graph_reciprocity,
+    )
+
+    ev = _df("events").sort_values(["user_id", "ts", "event_id"])
+    buckets = {}
+    for uid, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        dirs = set()
+        for a, b in zip(types, types[1:]):
+            if a != b:
+                dirs.add((a, b))
+        dyads = {}
+        for a, b in dirs:
+            key = (min(a, b), max(a, b))
+            dyads.setdefault(key, set()).add(a < b)
+        nd = len(dyads)
+        if nd < 2:
+            continue
+        nm = sum(1 for v in dyads.values() if len(v) == 2)
+        dec = min(9, (10 * nm) // nd)
+        n_u, td, tm = buckets.get(dec, (0, 0, 0))
+        buckets[dec] = (n_u + 1, td + nd, tm + nm)
+
+    got = q_graph_reciprocity(spark, SF_DIR).collect()
+    assert len(got) == len(buckets)
+    for r in got:
+        n_u, td, tm = buckets[r["recip_decile"]]
+        assert r["n_users"] == n_u
+        assert r["total_dyads"] == td
+        assert r["total_mutual"] == tm
+        assert r["pooled_reciprocity"] == pytest.approx(tm / td, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# average_precision_exact — brute optimistic-tie AP
+# ---------------------------------------------------------------------------
+
+
+def test_average_precision_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_average_precision_exact,
+    )
+
+    orders = _df("orders")
+    v = orders["o_totalprice"].to_numpy()
+    pos = (orders["o_orderpriority"] == "1-URGENT").to_numpy().astype(int)
+    # optimistic tie order: score DESC, positives first within a tie
+    order = np.lexsort((-pos, -v))
+    rel = pos[order]
+    tp = np.cumsum(rel)
+    k = np.arange(1, len(rel) + 1)
+    ap_ref = (tp[rel == 1] / k[rel == 1]).sum() / pos.sum()
+
+    (row,) = q_average_precision_exact(spark, SF_DIR).collect()
+    assert row["n_pos"] == int(pos.sum())
+    assert row["n_neg"] == int(len(pos) - pos.sum())
+    assert row["average_precision"] == pytest.approx(ap_ref, abs=1e-6)
+    assert row["prevalence_baseline"] == pytest.approx(pos.mean(), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# youden_j_threshold — brute threshold sweep with exact tie-break
+# ---------------------------------------------------------------------------
+
+
+def test_youden_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_youden_j_threshold,
+    )
+
+    orders = _df("orders")
+    v = orders["o_totalprice"].to_numpy()
+    pos = (orders["o_orderpriority"] == "1-URGENT").to_numpy().astype(int)
+    n_pos, n_neg = int(pos.sum()), int(len(pos) - pos.sum())
+    best = None
+    for t in np.unique(v):
+        tp = int(pos[v >= t].sum())
+        fp = int((1 - pos)[v >= t].sum())
+        m = tp * n_neg - fp * n_pos  # exact integer J ranking
+        if best is None or m > best[0] or (m == best[0] and t < best[1]):
+            best = (m, t, tp, fp)
+    _, t_ref, tp_ref, fp_ref = best
+
+    (row,) = q_youden_j_threshold(spark, SF_DIR).collect()
+    assert row["threshold"] == pytest.approx(t_ref, rel=1e-12)
+    assert row["tp"] == tp_ref and row["fp"] == fp_ref
+    assert row["tpr"] == pytest.approx(tp_ref / n_pos, rel=1e-12)
+    assert row["fpr"] == pytest.approx(fp_ref / n_neg, rel=1e-12)
+    assert row["youden_j"] == pytest.approx(
+        tp_ref / n_pos - fp_ref / n_neg, rel=1e-10
+    )
+
+
+# ---------------------------------------------------------------------------
+# lorenz_asymmetry — exact-Fraction recomputation per nation
+# ---------------------------------------------------------------------------
+
+
+def test_lorenz_asymmetry_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_lorenz_asymmetry,
+    )
+
+    cust = _df("customer")[["c_custkey", "c_nationkey"]]
+    orders = _df("orders")
+    orders["cents"] = (orders["o_totalprice"] * 100).round(0).astype("int64")
+    rev = orders.groupby("o_custkey")["cents"].sum()
+    cust["x"] = cust["c_custkey"].map(rev).fillna(0).astype("int64")
+
+    want = {}
+    for nk, grp in cust.groupby("c_nationkey"):
+        xs = sorted(int(t) for t in grp["x"])
+        n, total = len(xs), sum(xs)
+        below = [t for t in xs if t * n < total]
+        m = len(below)
+        if m < 1:
+            want[int(nk)] = (n, m, None, None)
+            continue
+        x_m = max(below)
+        x_up = min(t for t in xs if t * n >= total)
+        delta = Fraction(total - x_m * n, (x_up - x_m) * n)
+        s = (m + delta) / n + Fraction(sum(below) + delta * x_up) / total
+        want[int(nk)] = (n, m, float(delta), float(s))
+
+    got = q_lorenz_asymmetry(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, m, delta, s = want[r["c_nationkey"]]
+        assert r["n"] == n and r["m"] == m
+        if s is None:
+            assert r["lorenz_asymmetry"] is None
+        else:
+            assert r["delta"] == pytest.approx(delta, rel=1e-9)
+            assert r["lorenz_asymmetry"] == pytest.approx(s, rel=1e-9)
+            assert r["top_driven"] == int(s > 1.0)

@@ -738,6 +738,294 @@ FROM agg
 """
 
 
+def _score_cum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scored-classifier cumulative frame (round 13): the
+    ``roc_auc_exact`` score/label construction (o_totalprice predicting
+    urgency) as a per-distinct-value frame carrying BOTH cumulative
+    strictly-below counts (cpos_below, cneg_below) plus the exact totals
+    — the distributed order-statistics substrate for every threshold
+    metric. The cumulatives use the same 1024-bucket
+    ``global_rank_bucketed`` decomposition as roc_auc_exact (per-bucket
+    totals → broadcast prefix offsets → within-bucket running sums), so
+    no single-task global window exists; the plain-window oracles of the
+    consuming entries prove the decomposition value-identical."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    per_v = orders.groupBy("v").agg(
+        F.sum("pos").cast("long").alias("cp"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("cn"),
+    )
+    stats = per_v.agg(F.min("v").alias("_mn"), F.max("v").alias("_mx"))
+    based = per_v.crossJoin(F.broadcast(stats))
+    b = F.coalesce(
+        F.least(
+            F.lit(_AUC_BUCKETS - 1),
+            F.floor(
+                (F.col("v") - F.col("_mn"))
+                * _AUC_BUCKETS
+                / F.nullif(F.col("_mx") - F.col("_mn"), F.lit(0.0))
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    bucketed = based.withColumn("_b", b)
+    offsets = (
+        bucketed.groupBy("_b")
+        .agg(
+            F.sum("cp").cast("long").alias("_bp"),
+            F.sum("cn").cast("long").alias("_bn"),
+        )
+        .select(
+            "_b",
+            F.coalesce(
+                F.sum("_bp").over(
+                    Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("_offp"),
+            F.coalesce(
+                F.sum("_bn").over(
+                    Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("_offn"),
+        )
+    )
+    w_in = Window.partitionBy("_b").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = per_v.agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        F.sum("cn").cast("long").alias("n_neg"),
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .select(
+            "v",
+            "cp",
+            "cn",
+            (F.col("_offp") + F.coalesce(F.sum("cp").over(w_in), F.lit(0)))
+            .cast("long")
+            .alias("cpos_below"),
+            (F.col("_offn") + F.coalesce(F.sum("cn").over(w_in), F.lit(0)))
+            .cast("long")
+            .alias("cneg_below"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+_AP_FSUM_SCALE = 7  # Σterm ≤ n_pos; n_pos·10^7 < 2^53 to ~9·10^8 positives
+
+
+def q_average_precision_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT average precision (the area under the precision-recall
+    curve by the standard sum-over-positives definition) of order value
+    predicting urgency — the class-imbalance-honest companion of
+    ``roc_auc_exact``: AUC-ROC is insensitive to the positive-class
+    rarity that dominates retrieval/filter tuning, AP is exactly the
+    metric that collapses when positives are rare. AP = (1/P) Σ_k
+    rel_k · Prec@k over the score-DESC ranking.
+
+    Tie convention (documented, deterministic): within a tied score
+    block, positives rank BEFORE negatives — the OPTIMISTIC AP, the
+    well-defined closed form on grouped data: a block with cp positives
+    after (Cp, Cn) cumulative (positives, negatives) above it
+    contributes Σ_{i=1..cp} (Cp+i)/(Cp+Cn+i). Exactness: Cp/Cn/i are
+    exact integers (< 2^53 ⇒ correctly-rounded doubles); each term is
+    ONE division; the cross-positive reduction is floor-quantized
+    (``fsum`` scale 7: Σterm ≤ n_pos keeps the sum inside the 2^53
+    window to ~9·10^8 positives); AP is one final division. The
+    per-positive explode materializes exactly n_pos rows
+    (sequence(1, cp) per block — bounded by the positives themselves).
+
+    Scale shape: the shared ``_score_cum_frame`` bucketed-decomposition
+    cumulative (no single-task window), one bounded explode, one
+    map-side-combinable reduce; the oracle's plain DESC window +
+    generate_series proves the decomposition value-identical.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    frame = _score_cum_frame(spark, sf_dir)
+    blocks = frame.filter(F.col("cp") > 0).select(
+        (F.col("n_pos") - F.col("cpos_below") - F.col("cp")).alias("above_p"),
+        (F.col("n_neg") - F.col("cneg_below") - F.col("cn")).alias("above_n"),
+        "cp",
+        "n_pos",
+        "n_neg",
+    )
+    terms = blocks.select(
+        "n_pos",
+        "n_neg",
+        F.explode(F.sequence(F.lit(1), F.col("cp"))).alias("i"),
+        "above_p",
+        "above_n",
+    ).select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("above_p") + F.col("i")).cast("double")
+            / (F.col("above_p") + F.col("above_n") + F.col("i")).cast("double")
+        ).alias("term"),
+    )
+    return terms.groupBy("n_pos", "n_neg").agg(
+        (fsum("term", scale=_AP_FSUM_SCALE) / F.col("n_pos").cast("double")).alias(
+            "average_precision"
+        ),
+        (
+            F.col("n_pos").cast("double")
+            / (F.col("n_pos") + F.col("n_neg")).cast("double")
+        ).alias("prevalence_baseline"),
+    )
+
+
+_ORACLE_AVERAGE_PRECISION = f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS n_pos, CAST(SUM(cn) AS BIGINT) AS n_neg
+  FROM per_v
+), ranked AS (
+  SELECT cp,
+         CAST(COALESCE(SUM(cp) OVER (ORDER BY v DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS above_p,
+         CAST(COALESCE(SUM(cn) OVER (ORDER BY v DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS above_n
+  FROM per_v
+), terms AS (
+  SELECT n_pos, n_neg,
+         CAST(above_p + u.i AS DOUBLE)
+           / CAST(above_p + above_n + u.i AS DOUBLE) AS term
+  FROM ranked CROSS JOIN tot, UNNEST(generate_series(1, cp)) AS u(i)
+  WHERE cp > 0
+)
+SELECT n_pos, n_neg,
+       ({sql_fsum("term", scale=_AP_FSUM_SCALE)} / CAST(n_pos AS DOUBLE))
+         AS average_precision,
+       CAST(n_pos AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE)
+         AS prevalence_baseline
+FROM terms
+GROUP BY n_pos, n_neg
+"""
+
+
+def q_youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden-J optimal operating point of the order-value score for
+    urgency: over candidate thresholds t (every distinct score,
+    predicting positive when v ≥ t), maximize J(t) = TPR(t) − FPR(t) —
+    the standard threshold-selection rule that turns the
+    ``roc_auc_exact`` curve into a deployable cutoff (the ROC point
+    farthest above the chance diagonal, Youden 1950).
+
+    Exactness: the argmax never touches a float — J(t₁) > J(t₂) ⟺
+    m(t₁) > m(t₂) with the INTEGER cross-multiplication
+    m = pos_ge·n_neg − neg_ge·n_pos (carried DECIMAL(38,0); |m| ≤ N²
+    is exact past 10^18 rows), and the argmax itself is two exact
+    aggregates — max(m), then min(v) among ties (smallest threshold =
+    most sensitive operating point, the documented deterministic
+    tie-break) — NOT a global sort. TPR/FPR/J ship as one division
+    each on exact integers. Degenerate contract: an empty class
+    (n_pos = 0 or n_neg = 0) → every rate NULL under explicit guards.
+
+    Scale shape: the shared ``_score_cum_frame`` bucketed cumulative,
+    one map-side-combinable max, one broadcast filter + min — no
+    single-task ORDER BY anywhere; the oracle's plain-window argmin
+    proves it.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    frame = _score_cum_frame(spark, sf_dir)
+    scored = frame.select(
+        "v",
+        "n_pos",
+        "n_neg",
+        (F.col("n_pos") - F.col("cpos_below")).alias("pos_ge"),
+        (F.col("n_neg") - F.col("cneg_below")).alias("neg_ge"),
+        (
+            (F.col("n_pos") - F.col("cpos_below")).cast("decimal(19,0)")
+            * F.col("n_neg").cast("decimal(19,0)")
+            - (F.col("n_neg") - F.col("cneg_below")).cast("decimal(19,0)")
+            * F.col("n_pos").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("m"),
+    )
+    mx = scored.agg(F.max("m").alias("m_best"))
+    best = (
+        scored.join(F.broadcast(mx), F.col("m") == F.col("m_best"))
+        .groupBy("n_pos", "n_neg")
+        .agg(
+            F.min("v").alias("threshold"),
+            F.min_by("pos_ge", "v").cast("long").alias("tp"),
+            F.min_by("neg_ge", "v").cast("long").alias("fp"),
+        )
+    )
+    pos_ok = F.col("n_pos") > 0
+    neg_ok = F.col("n_neg") > 0
+    tpr = F.col("tp").cast("double") / F.col("n_pos").cast("double")
+    fpr = F.col("fp").cast("double") / F.col("n_neg").cast("double")
+    return best.select(
+        "threshold",
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        F.when(pos_ok, tpr).alias("tpr"),
+        F.when(neg_ok, fpr).alias("fpr"),
+        F.when(pos_ok & neg_ok, tpr - fpr).alias("youden_j"),
+    )
+
+
+_ORACLE_YOUDEN = """
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS n_pos, CAST(SUM(cn) AS BIGINT) AS n_neg
+  FROM per_v
+), scored AS (
+  SELECT v, n_pos, n_neg,
+         n_pos - CAST(COALESCE(SUM(cp) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pos_ge,
+         n_neg - CAST(COALESCE(SUM(cn) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_ge
+  FROM per_v CROSS JOIN tot
+), m AS (
+  SELECT v, n_pos, n_neg, pos_ge, neg_ge,
+         CAST(CAST(pos_ge AS DECIMAL(19,0)) * CAST(n_neg AS DECIMAL(19,0))
+            - CAST(neg_ge AS DECIMAL(19,0)) * CAST(n_pos AS DECIMAL(19,0))
+            AS DECIMAL(38,0)) AS m
+  FROM scored
+), best AS (
+  SELECT n_pos, n_neg,
+         MIN(v) AS threshold,
+         CAST(MIN_BY(pos_ge, v) AS BIGINT) AS tp,
+         CAST(MIN_BY(neg_ge, v) AS BIGINT) AS fp
+  FROM m
+  WHERE m = (SELECT MAX(m) FROM m)
+  GROUP BY 1, 2
+)
+SELECT threshold, n_pos, n_neg, tp, fp,
+       CASE WHEN n_pos > 0 THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS tpr,
+       CASE WHEN n_neg > 0 THEN CAST(fp AS DOUBLE) / CAST(n_neg AS DOUBLE) END AS fpr,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)
+               - CAST(fp AS DOUBLE) / CAST(n_neg AS DOUBLE) END AS youden_j
+FROM best
+"""
+
+
 def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Murphy decomposition of the Brier score for the min-max-binned
     order-value score predicting urgency: forecast probability per bin =
@@ -4182,6 +4470,8 @@ QUERIES = {
     "mcnemar_paired": q_mcnemar_paired,
     "cronbachs_alpha": q_cronbachs_alpha,
     "roc_auc_exact": q_roc_auc_exact,
+    "average_precision_exact": q_average_precision_exact,
+    "youden_j_threshold": q_youden_j_threshold,
     "brier_decomposition": q_brier_decomposition,
     "survival_nelson_aalen": q_survival_nelson_aalen,
     "survival_logrank": q_survival_logrank,
@@ -4222,6 +4512,8 @@ ORACLE = {
     "mcnemar_paired": _ORACLE_MCNEMAR,
     "cronbachs_alpha": _ORACLE_CRONBACH,
     "roc_auc_exact": _ORACLE_ROC_AUC,
+    "average_precision_exact": _ORACLE_AVERAGE_PRECISION,
+    "youden_j_threshold": _ORACLE_YOUDEN,
     "brier_decomposition": _ORACLE_BRIER,
     "survival_nelson_aalen": _ORACLE_NELSON_AALEN,
     "survival_logrank": _ORACLE_LOGRANK,

@@ -2727,7 +2727,118 @@ LIMIT {LOCAL_BRIDGE_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-user dyad reciprocity on the journey transition graph (round 13)
+# ---------------------------------------------------------------------------
+
+RECIP_MIN_DYADS = 2  # users with a single dyad carry no reciprocity signal
+
+
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYAD RECIPROCITY (Wasserman–Faust dyad census, mutual/adjacent) of
+    each user's first-order journey transition graph, reported as a
+    decile distribution: per user, the directed edges are the distinct
+    consecutive event-type pairs of ``events_transitions``; an adjacent
+    dyad is an unordered type pair with ≥1 direction present, a MUTUAL
+    dyad has both (the A→B→A ping-pong signature — high per-user
+    reciprocity is a classic bot/scripted-session screen beside
+    ``user_bot_screen``, while organic journeys are mostly one-way
+    funnels). Users with fewer than RECIP_MIN_DYADS (2) dyads are
+    excluded (no signal in a single pair).
+
+    Exactness: dyads are exact distinct-count algebra — per (user,
+    unordered pair) the two direction flags are MAX'd, mutual = both
+    present; the decile bucket is the INTEGER cross-multiplication
+    least(9, (10·mutual) div dyads) (Spark ``div`` / DuckDB ``//`` on
+    BIGINT — no float in the bucketing); the pooled per-bucket
+    reciprocity is ONE division of two exact BIGINT sums. Self-loops
+    (A→A) are excluded — a dyad is a pair of DISTINCT types.
+
+    Scale shape: one (user, ts)-keyed lag window (the transitions
+    shuffle), one (user, pair) hash agg, one user-level hash agg, then
+    a ≤10-row bucket agg — every stage map-side combinable after the
+    lag.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("a"),
+            F.col("event_type").alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & (F.col("a") != F.col("b")))
+        .select(
+            "user_id",
+            F.least("a", "b").alias("lo"),
+            F.greatest("a", "b").alias("hi"),
+            (F.col("a") < F.col("b")).cast("int").alias("fwd"),
+        )
+    )
+    dyads = pairs.groupBy("user_id", "lo", "hi").agg(
+        F.max("fwd").alias("has_f"),
+        F.max(F.lit(1) - F.col("fwd")).alias("has_b"),
+    )
+    per_user = dyads.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dyads"),
+        F.sum(F.col("has_f") * F.col("has_b")).cast("long").alias("n_mutual"),
+    )
+    bucketed = per_user.filter(F.col("n_dyads") >= RECIP_MIN_DYADS).select(
+        F.least(F.lit(9), F.expr("(10 * n_mutual) div n_dyads"))
+        .cast("int")
+        .alias("recip_decile"),
+        "n_dyads",
+        "n_mutual",
+    )
+    return (
+        bucketed.groupBy("recip_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_dyads").cast("long").alias("total_dyads"),
+            F.sum("n_mutual").cast("long").alias("total_mutual"),
+            (
+                F.sum("n_mutual").cast("double")
+                / F.sum("n_dyads").cast("double")
+            ).alias("pooled_reciprocity"),
+        )
+        .orderBy("recip_decile")
+    )
+
+
+_ORACLE_RECIPROCITY = f"""
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS a,
+         event_type AS b
+  FROM events
+), pairs AS (
+  SELECT user_id, LEAST(a, b) AS lo, GREATEST(a, b) AS hi,
+         CASE WHEN a < b THEN 1 ELSE 0 END AS fwd
+  FROM seq WHERE a IS NOT NULL AND a <> b
+), dyads AS (
+  SELECT user_id, lo, hi, MAX(fwd) AS has_f, MAX(1 - fwd) AS has_b
+  FROM pairs GROUP BY 1, 2, 3
+), per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_dyads,
+         CAST(SUM(has_f * has_b) AS BIGINT) AS n_mutual
+  FROM dyads GROUP BY 1
+)
+SELECT CAST(LEAST(9, (10 * n_mutual) // n_dyads) AS INT) AS recip_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_dyads) AS BIGINT) AS total_dyads,
+       CAST(SUM(n_mutual) AS BIGINT) AS total_mutual,
+       CAST(SUM(n_mutual) AS DOUBLE) / CAST(SUM(n_dyads) AS DOUBLE)
+         AS pooled_reciprocity
+FROM per_user
+WHERE n_dyads >= {RECIP_MIN_DYADS}
+GROUP BY 1
+ORDER BY recip_decile
+"""
+
+
 QUERIES = {
+    "graph_reciprocity": q_graph_reciprocity,
     "graph_ktruss": q_graph_ktruss,
     "graph_local_bridges": q_graph_local_bridges,
     "graph_salsa": q_graph_salsa,
@@ -2755,6 +2866,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "graph_reciprocity": _ORACLE_RECIPROCITY,
     "graph_ktruss": _sql_ktruss(),
     "graph_local_bridges": _ORACLE_LOCAL_BRIDGES,
     "graph_salsa": _sql_salsa(),

@@ -4554,7 +4554,500 @@ FROM mid
 """
 
 
+# ---------------------------------------------------------------------------
+# Lorenz asymmetry coefficient (round 13)
+# ---------------------------------------------------------------------------
+
+
+def q_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz asymmetry coefficient of customer revenue per nation —
+    Damgaard & Weiner's (2000) S = F(μ) + L(μ): WHERE the Lorenz curve
+    is parallel to the line of equality. Two nations with identical
+    Gini can have opposite inequality STRUCTURE — S < 1 means the
+    inequality is driven by many small accounts, S > 1 by a few giant
+    ones — so this is the directional companion of ``gini_revenue`` on
+    the same per-customer cent rollup (zero-revenue customers included
+    via the same left join).
+
+    Exact-integer formulation: with per-customer revenue x in exact
+    cents, n and T = Σx per nation, the below-mean set is selected by
+    the INTEGER cross-multiplication x·n < T (no float mean anywhere);
+    m = |{x·n < T}|, s_m = Σ_{x·n<T} x, x_m = max below-mean value,
+    x_up = min at-or-above-mean value are four conditional aggregates
+    in ONE hash agg. The interpolation fraction is the exact rational
+    δ = (T − x_m·n)/((x_up − x_m)·n); S = (m + δ)/n + (s_m + δ·x_up)/T
+    is ONE fixed IEEE sequence with products carried DECIMAL(38,0) and
+    converted via the portable limb-split (x·n exceeds 2^64 at scale).
+    Degenerate contract: a nation where no customer is strictly below
+    the mean (all revenues equal, incl. the all-zero nation) has an
+    undefined asymmetry → S NULL under an explicit m ≥ 1 guard (x_up >
+    x_m and m < n then hold automatically: x_m < μ ≤ x_up ≤ max).
+
+    Scale shape: one o_custkey rollup hash agg, one broadcast of ≤25
+    (nation, n, T) rows back over the per-customer frame, one
+    conditional hash agg per nation — no sort, no window.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    per_c = cust.join(rev, cust.c_custkey == rev.o_custkey, "left").select(
+        "c_nationkey", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    tot = per_c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("t"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    joined = per_c.join(F.broadcast(tot), "c_nationkey")
+    below = dec(F.col("x")) * dec(F.col("n")) < F.col("t")
+    agg = joined.groupBy("c_nationkey", "n", "t").agg(
+        F.sum(F.when(below, 1).otherwise(0)).cast("long").alias("m"),
+        F.sum(F.when(below, F.col("x")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s_m"),
+        F.max(F.when(below, F.col("x"))).cast("long").alias("x_m"),
+        F.min(F.when(~below, F.col("x"))).cast("long").alias("x_up"),
+    )
+    nd = F.col("n").cast("double")
+    td = dec_to_double(F.col("t"))
+    delta = dec_to_double(
+        (F.col("t") - dec(F.col("x_m")) * dec(F.col("n"))).cast("decimal(38,0)")
+    ) / dec_to_double(
+        (dec(F.col("x_up") - F.col("x_m")) * dec(F.col("n"))).cast("decimal(38,0)")
+    )
+    s = (F.col("m").cast("double") + delta) / nd + (
+        dec_to_double(F.col("s_m")) + delta * F.col("x_up").cast("double")
+    ) / td
+    ok = F.col("m") >= 1
+    return agg.select(
+        "c_nationkey",
+        "n",
+        "m",
+        F.when(ok, delta).alias("delta"),
+        F.when(ok, s).alias("lorenz_asymmetry"),
+        F.when(
+            ok, (F.when(s > 1.0, 1).otherwise(0)).cast("int")
+        ).alias("top_driven"),
+    ).orderBy("c_nationkey")
+
+
+def _sql_lorenz_asymmetry() -> str:
+    delta = (
+        f"({sql_dec_to_double('CAST(t - CAST(x_m AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) AS DECIMAL(38,0))')}"
+        f" / {sql_dec_to_double('CAST(CAST(x_up - x_m AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) AS DECIMAL(38,0))')})"
+    )
+    s = (
+        f"((CAST(m AS DOUBLE) + {delta}) / CAST(n AS DOUBLE)"
+        f" + ({sql_dec_to_double('s_m')} + {delta} * CAST(x_up AS DOUBLE))"
+        f" / {sql_dec_to_double('t')})"
+    )
+    return f"""
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), per_c AS (
+  SELECT c_nationkey, COALESCE(x, 0) AS x
+  FROM customer LEFT JOIN rev ON c_custkey = o_custkey
+), tot AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS t
+  FROM per_c GROUP BY 1
+), agg AS (
+  SELECT p.c_nationkey, n, t,
+         CAST(SUM(CASE WHEN CAST(x AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) < t THEN 1 ELSE 0 END) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN CAST(x AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) < t THEN x ELSE 0 END) AS DECIMAL(38,0)) AS s_m,
+         CAST(MAX(CASE WHEN CAST(x AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) < t THEN x END) AS BIGINT) AS x_m,
+         CAST(MIN(CASE WHEN NOT (CAST(x AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) < t) THEN x END) AS BIGINT) AS x_up
+  FROM per_c p JOIN tot USING (c_nationkey)
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, n, m,
+       CASE WHEN m >= 1 THEN {delta} END AS delta,
+       CASE WHEN m >= 1 THEN {s} END AS lorenz_asymmetry,
+       CASE WHEN m >= 1
+            THEN CAST(CASE WHEN {s} > 1.0 THEN 1 ELSE 0 END AS INT) END AS top_driven
+FROM agg
+ORDER BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mood scale test and Cucconi location-scale test (round 13)
+# ---------------------------------------------------------------------------
+
+_Z_CRIT_5PCT = 1.959963984540054  # Phi^-1(0.975), Python-folded literal
+# Cucconi's C is asymptotically standard exponential under H0
+# (Cucconi 1968; Marozzi 2009): P(C >= c) = e^-c, so the 5% critical
+# value is ln(20), Python-folded.
+_CUCCONI_CRIT_5PCT = 2.995732273553991
+
+
+def q_mood_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood scale test on order value, urgent vs rest: T = Σ_{group1}
+    (R_i − (N+1)/2)² — the third classical rank test of DISPERSION
+    beside ``ansari_bradley_scale`` (triangular scores) and the scale
+    component of ``lepage_test``; Mood's squared-deviation scores weight
+    the extreme ranks quadratically, so it dominates Ansari-Bradley
+    against heavy-tailed scale alternatives (Mood 1954).
+
+    Exact-integer formulation on the shared per-value frame: with
+    doubled midranks m = 2t + c + 1, the CENTERED doubled rank
+    d = m − (N+1) is an exact integer and 4·(R − (N+1)/2)² = d², so the
+    quadrupled score q = d² is integral per tied group. The
+    standardization is the same finite-population sampling identity as
+    ``lepage_test`` — E[Σ₁q] = n1·Σq/N and Var = n1·n2·(N·Σq² − (Σq)²)
+    / (N²·(N−1)) — which is EXACT under ties (the hypergeometric
+    variance of the realized score population; the classical no-ties
+    closed forms n(N²−1)/12 etc. are the special case). All moments are
+    DECIMAL(38,0) hash-agg sums; the z numerator N·Σ₁q − n1·Σq stays
+    exact decimal; conversions go through the portable limb-split
+    (``dec_to_double``) since Σq² terms exceed 2^64. Integer bound:
+    N·Σq² ≤ N⁶ stays inside DECIMAL(38,0) to N ≈ 2·10⁶ rows; past that,
+    convert N·Σq² and (Σq)² via the limb-split separately and subtract
+    in IEEE (one documented rounding step) — the gate SFs sit far
+    inside the exact window. Degenerate contract: zero score variance
+    (all values tied) → z/significance NULL under an explicit guard.
+
+    Scale shape: identical to ``lepage_test`` — one value-domain hash
+    agg, one domain-sized cumulative window, one 1-row reduce.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+        )
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "c1",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w_prev), F.lit(0)).alias(
+            "t"
+        ),
+    )
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c1") + F.col("c2")).cast("long").alias("n"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    scored = ranked.crossJoin(F.broadcast(tot)).select(
+        "c1",
+        "c",
+        "n1",
+        "n",
+        (
+            (F.lit(2) * F.col("t") + F.col("c") + F.lit(1)) - (F.col("n") + F.lit(1))
+        ).alias("d"),
+    )
+    red = scored.agg(
+        F.max("n1").alias("n1"),
+        F.max("n").alias("n"),
+        F.sum(dec(F.col("c1")) * dec(F.col("d")) * dec(F.col("d")))
+        .cast("decimal(38,0)")
+        .alias("t1"),
+        F.sum(dec(F.col("c")) * dec(F.col("d")) * dec(F.col("d")))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+        F.sum(
+            dec(F.col("c"))
+            * dec(F.col("d"))
+            * dec(F.col("d"))
+            * dec(F.col("d"))
+            * dec(F.col("d"))
+        )
+        .cast("decimal(38,0)")
+        .alias("sq2"),
+    )
+    mid = red.select(
+        "n1",
+        "n",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        "t1",
+        (dec(F.col("n")) * F.col("t1") - dec(F.col("n1")) * F.col("sq"))
+        .cast("decimal(38,0)")
+        .alias("num"),
+        (dec(F.col("n")) * F.col("sq2") - F.col("sq") * F.col("sq"))
+        .cast("decimal(38,0)")
+        .alias("var_num"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = F.col("n").cast("double")
+    z = dec_to_double(F.col("num")) / F.sqrt(
+        n1d * n2d * dec_to_double(F.col("var_num")) / (nd - F.lit(1.0))
+    )
+    ok = F.col("var_num") > 0
+    return mid.select(
+        "n1",
+        "n2",
+        (dec_to_double(F.col("t1")) / F.lit(4.0)).alias("t_mood"),
+        F.when(ok, z).alias("z_mood"),
+        F.when(ok, (F.abs(z) > F.lit(_Z_CRIT_5PCT)).cast("int")).alias(
+            "significant_5pct"
+        ),
+    )
+
+
+def _sql_mood_scale() -> str:
+    z = (
+        f"{sql_dec_to_double('num')} / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        f" * {sql_dec_to_double('var_num')} / (CAST(n AS DOUBLE) - 1.0))"
+    )
+    return f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 0 ELSE 1 END) AS c2
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c1, c1 + c2 AS c,
+         COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t
+  FROM per_v
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c1 + c2) AS BIGINT) AS n
+  FROM per_v
+), scored AS (
+  SELECT c1, c, n1, n, (2 * t + c + 1) - (n + 1) AS d
+  FROM ranked CROSS JOIN tot
+), red AS (
+  SELECT MAX(n1) AS n1, MAX(n) AS n,
+         CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t1,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq2
+  FROM scored
+), mid AS (
+  SELECT n1, n, CAST(n - n1 AS BIGINT) AS n2, t1,
+         CAST(CAST(n AS DECIMAL(38,0)) * t1 - CAST(n1 AS DECIMAL(38,0)) * sq AS DECIMAL(38,0)) AS num,
+         CAST(CAST(n AS DECIMAL(38,0)) * sq2 - sq * sq AS DECIMAL(38,0)) AS var_num
+  FROM red
+)
+SELECT n1, n2,
+       {sql_dec_to_double('t1')} / 4.0 AS t_mood,
+       CASE WHEN var_num > 0 THEN {z} END AS z_mood,
+       CASE WHEN var_num > 0
+            THEN CAST(abs({z}) > {_Z_CRIT_5PCT} AS INT) END AS significant_5pct
+FROM mid
+"""
+
+
+def q_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cucconi location-scale test on order value, urgent vs rest:
+    C = (U² + V² − 2ρUV) / (2(1−ρ²)) with U built from squared ranks
+    and V from squared CONTRARY ranks (N+1−R) — the OTHER classical
+    joint location-scale test beside ``lepage_test``, predating it
+    (Cucconi 1968) and repeatedly shown more powerful in the Marozzi
+    (2009, 2013) comparisons; unlike Lepage it is NOT a sum of two
+    separate component tests but a quadratic form in two correlated
+    squared-rank statistics with closed-form null correlation
+    ρ = 2(N²−4)/((2N+1)(8N+11)) − 1.
+
+    Exactness: with doubled midranks m = 2t + c + 1 (exact integers per
+    tied group; the standard midrank convention applied to Cucconi's
+    no-ties formulas), 4ΣR² = Σc·m² and 4Σ(N+1−R)² = Σc·(2(N+1)−m)²
+    are exact DECIMAL(38,0) hash-agg sums (≤ 4N³ — same bound as
+    ``lepage_test``); the U numerator 3·Σ₁m² − 2·n1(N+1)(2N+1) and V
+    numerator stay exact decimal, the shared denominator is
+    2·√(n1·n2·(N+1)(2N+1)(8N+11)/5), ρ is one rational expression on
+    N, and C is ONE fixed-order IEEE sequence on those exact scalars.
+    Significance compares C against the literal ln(20) (the asymptotic
+    null of C is standard exponential — Marozzi 2009). Degenerate
+    contract: an empty group or N ≤ 2 (where 1−ρ² = 0) → all
+    statistics NULL under an explicit guard mirrored in the oracle.
+
+    Scale shape: identical to ``lepage_test`` — one value-domain hash
+    agg, one domain-sized cumulative window, one 1-row reduce.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+        )
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "c1",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w_prev), F.lit(0)).alias(
+            "t"
+        ),
+    )
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c1") + F.col("c2")).cast("long").alias("n"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    m = F.lit(2) * F.col("t") + F.col("c") + F.lit(1)
+    s = F.lit(2) * (F.col("n") + F.lit(1)) - m
+    scored = ranked.crossJoin(F.broadcast(tot)).select(
+        "c1", "n1", "n", m.alias("m"), s.alias("s")
+    )
+    red = scored.agg(
+        F.max("n1").alias("n1"),
+        F.max("n").alias("n"),
+        F.sum(dec(F.col("c1")) * dec(F.col("m")) * dec(F.col("m")))
+        .cast("decimal(38,0)")
+        .alias("r2"),
+        F.sum(dec(F.col("c1")) * dec(F.col("s")) * dec(F.col("s")))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    mid = red.select(
+        "n1",
+        "n",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        # quadrupled numerators: 4·(6ΣR² − n1(N+1)(2N+1)) = 6·Σc1m² −
+        # 4·n1(N+1)(2N+1), kept exact decimal
+        (
+            F.lit(6) * F.col("r2")
+            - F.lit(4)
+            * dec(F.col("n1"))
+            * dec(F.col("n") + 1)
+            * dec(F.lit(2) * F.col("n") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("num_u"),
+        (
+            F.lit(6) * F.col("s2")
+            - F.lit(4)
+            * dec(F.col("n1"))
+            * dec(F.col("n") + 1)
+            * dec(F.lit(2) * F.col("n") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("num_v"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = F.col("n").cast("double")
+    den = F.lit(4.0) * F.sqrt(
+        n1d
+        * n2d
+        * (nd + F.lit(1.0))
+        * (F.lit(2.0) * nd + F.lit(1.0))
+        * (F.lit(8.0) * nd + F.lit(11.0))
+        / F.lit(5.0)
+    )
+    u = dec_to_double(F.col("num_u")) / den
+    v = dec_to_double(F.col("num_v")) / den
+    rho = F.lit(2.0) * (nd * nd - F.lit(4.0)) / (
+        (F.lit(2.0) * nd + F.lit(1.0)) * (F.lit(8.0) * nd + F.lit(11.0))
+    ) - F.lit(1.0)
+    cstat = (u * u + v * v - F.lit(2.0) * rho * u * v) / (
+        F.lit(2.0) * (F.lit(1.0) - rho * rho)
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n") > 2)
+    return mid.select(
+        "n1",
+        "n2",
+        F.when(ok, u).alias("u_stat"),
+        F.when(ok, v).alias("v_stat"),
+        F.when(ok, rho).alias("rho"),
+        F.when(ok, cstat).alias("cucconi_c"),
+        F.when(ok, (cstat > F.lit(_CUCCONI_CRIT_5PCT)).cast("int")).alias(
+            "significant_5pct"
+        ),
+    )
+
+
+def _sql_cucconi() -> str:
+    den = (
+        "(4.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        " * (CAST(n AS DOUBLE) + 1.0) * (2.0 * CAST(n AS DOUBLE) + 1.0)"
+        " * (8.0 * CAST(n AS DOUBLE) + 11.0) / 5.0))"
+    )
+    u = f"({sql_dec_to_double('num_u')} / {den})"
+    v = f"({sql_dec_to_double('num_v')} / {den})"
+    rho = (
+        "(2.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 4.0)"
+        " / ((2.0 * CAST(n AS DOUBLE) + 1.0) * (8.0 * CAST(n AS DOUBLE) + 11.0))"
+        " - 1.0)"
+    )
+    c = (
+        f"(({u} * {u} + {v} * {v} - 2.0 * {rho} * {u} * {v})"
+        f" / (2.0 * (1.0 - {rho} * {rho})))"
+    )
+    ok = "n1 > 0 AND n2 > 0 AND n > 2"
+    return f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN {KS_GROUP_PRED} THEN 0 ELSE 1 END) AS c2
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c1, c1 + c2 AS c,
+         COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t
+  FROM per_v
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c1 + c2) AS BIGINT) AS n
+  FROM per_v
+), scored AS (
+  SELECT c1, n1, n,
+         2 * t + c + 1 AS m,
+         2 * (n + 1) - (2 * t + c + 1) AS s
+  FROM ranked CROSS JOIN tot
+), red AS (
+  SELECT MAX(n1) AS n1, MAX(n) AS n,
+         CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS r2,
+         CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+  FROM scored
+), mid AS (
+  SELECT n1, n, CAST(n - n1 AS BIGINT) AS n2,
+         CAST(6 * r2 - 4 * CAST(n1 AS DECIMAL(38,0)) * CAST(n + 1 AS DECIMAL(38,0)) * CAST(2 * n + 1 AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS num_u,
+         CAST(6 * s2 - 4 * CAST(n1 AS DECIMAL(38,0)) * CAST(n + 1 AS DECIMAL(38,0)) * CAST(2 * n + 1 AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS num_v
+  FROM red
+)
+SELECT n1, n2,
+       CASE WHEN {ok} THEN {u} END AS u_stat,
+       CASE WHEN {ok} THEN {v} END AS v_stat,
+       CASE WHEN {ok} THEN {rho} END AS rho,
+       CASE WHEN {ok} THEN {c} END AS cucconi_c,
+       CASE WHEN {ok}
+            THEN CAST({c} > {_CUCCONI_CRIT_5PCT} AS INT) END AS significant_5pct
+FROM mid
+"""
+
+
 QUERIES = {
+    "lorenz_asymmetry": q_lorenz_asymmetry,
+    "mood_scale_test": q_mood_scale_test,
+    "cucconi_test": q_cucconi_test,
     "brunner_munzel_test": q_brunner_munzel,
     "lepage_test": q_lepage_test,
     "hodges_lehmann_shift": q_hodges_lehmann_shift,
@@ -4598,6 +5091,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lorenz_asymmetry": _sql_lorenz_asymmetry(),
+    "mood_scale_test": _sql_mood_scale(),
+    "cucconi_test": _sql_cucconi(),
     "brunner_munzel_test": _ORACLE_BRUNNER_MUNZEL,
     "lepage_test": _sql_lepage(),
     "hodges_lehmann_shift": _ORACLE_HODGES_LEHMANN,

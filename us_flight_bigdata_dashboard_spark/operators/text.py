@@ -2273,6 +2273,123 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# Syllable-free readability panel: ARI + Coleman-Liau (round 13)
+# ---------------------------------------------------------------------------
+
+# Classic constants, folded once (identical literals in both engines)
+ARI_A, ARI_B, ARI_C = 4.71, 0.5, 21.43
+CLI_A, CLI_B, CLI_C = 0.0588, 0.296, 15.8
+GRADE_HARD = 12.0  # above-high-school cut for the hard-share column
+
+
+def q_text_readability_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index + Coleman-Liau grade per SOURCE — the
+    two classic SYLLABLE-FREE readability formulas (ARI: Senter & Smith
+    1967, grade = 4.71·chars/words + 0.5·words/sentences − 21.43;
+    Coleman-Liau 1975, grade = 0.0588·L − 0.296·S − 15.8 with L =
+    letters per 100 words, S = sentences per 100 words). Both were
+    designed for machine scoring on character counts alone, so unlike
+    ``text_readability_flesch`` they carry NO syllable heuristic — the
+    panel plus flesch gives curation three independent grade signals,
+    and the per-source grouping (vs flesch's per-language) makes this
+    the which-crawl-is-noise table.
+
+    Determinism: character/word/sentence counts are exact integers from
+    Java-regex∩RE2-safe patterns (ARI counts [A-Za-z0-9], CLI counts
+    letters only, per each formula's definition; sentences floored at
+    1); each per-doc grade is ONE fixed-shape IEEE expression on those
+    exact ints; the per-source means use the FLOOR-quantized sum
+    (``fsum`` scale 4 — dsum's half-up/half-even boundary split fired
+    live on this entry's first gate run; scale 4 keeps |sum|·10^4
+    inside the 2^53 exact window past 10^9 docs) and the hard-share is
+    a ratio of exact counts. Empty-token docs are excluded by the w > 0
+    filter (the module convention).
+
+    Scale shape: ONE scan with per-row regex work, then a
+    map-side-combinable hash agg to |sources| rows.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.size(_tokens(F.col("text")))
+    sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
+    )
+    alnum = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", ""))
+    letters = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    wd = F.col("w").cast("double")
+    ari = (
+        F.lit(ARI_A) * (F.col("alnum").cast("double") / wd)
+        + F.lit(ARI_B) * (wd / F.col("sent").cast("double"))
+        - F.lit(ARI_C)
+    )
+    cli = (
+        F.lit(CLI_A) * (F.lit(100.0) * F.col("letters").cast("double") / wd)
+        - F.lit(CLI_B) * (F.lit(100.0) * F.col("sent").cast("double") / wd)
+        - F.lit(CLI_C)
+    )
+    per_doc = (
+        docs.select(
+            "source",
+            w.alias("w"),
+            sent.alias("sent"),
+            alnum.alias("alnum"),
+            letters.alias("letters"),
+        )
+        .filter(F.col("w") > 0)
+        .select("source", ari.alias("ari"), cli.alias("cli"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (fsum("ari", scale=4) / F.count(F.lit(1))).alias("mean_ari"),
+            (fsum("cli", scale=4) / F.count(F.lit(1))).alias("mean_cli"),
+            F.sum((F.col("ari") > GRADE_HARD).cast("long"))
+            .cast("long")
+            .alias("n_hard_ari"),
+            (
+                F.sum((F.col("ari") > GRADE_HARD).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("hard_share"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_READABILITY_PANEL = f"""
+WITH per_doc AS (
+  SELECT source,
+         {ARI_A!r} * (CAST(alnum AS DOUBLE) / CAST(w AS DOUBLE))
+           + {ARI_B!r} * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE))
+           - {ARI_C!r} AS ari,
+         {CLI_A!r} * (100.0 * CAST(letters AS DOUBLE) / CAST(w AS DOUBLE))
+           - {CLI_B!r} * (100.0 * CAST(sent AS DOUBLE) / CAST(w AS DOUBLE))
+           - {CLI_C!r} AS cli
+  FROM (
+    SELECT source,
+           len({_sql_tokens("text")}) AS w,
+           GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS sent,
+           length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters
+    FROM documents
+  )
+  WHERE w > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ({sql_fsum("ari", scale=4)} / COUNT(*)) AS mean_ari,
+       ({sql_fsum("cli", scale=4)} / COUNT(*)) AS mean_cli,
+       CAST(SUM(CASE WHEN ari > {GRADE_HARD!r} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hard_ari,
+       CAST(SUM(CASE WHEN ari > {GRADE_HARD!r} THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS hard_share
+FROM per_doc
+GROUP BY 1
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Collocation mining by lift (round 8)
 # ---------------------------------------------------------------------------
 
@@ -3895,6 +4012,7 @@ QUERIES = {
     "text_rake_keywords": q_text_rake_keywords,
     "text_simpson_diversity": q_text_simpson_diversity,
     "text_readability_flesch": q_text_readability,
+    "text_readability_panel": q_text_readability_panel,
     "text_hapax_ratio": q_text_hapax_ratio,
     "text_textrank_keywords": q_text_textrank_keywords,
     "source_mix_temperature": q_source_mix_temperature,
@@ -3943,6 +4061,7 @@ ORACLE = {
     "text_rake_keywords": _sql_rake(),
     "text_simpson_diversity": _ORACLE_SIMPSON,
     "text_readability_flesch": _ORACLE_READABILITY,
+    "text_readability_panel": _ORACLE_READABILITY_PANEL,
     "text_hapax_ratio": _ORACLE_HAPAX,
     "text_textrank_keywords": _sql_textrank(),
     "source_mix_temperature": _sql_mix_temperature(),

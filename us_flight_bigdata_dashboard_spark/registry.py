@@ -203,6 +203,14 @@ _FLAGSHIP_PREFIX = [
     # --- judgment sentinel: oracle helper changed post-certification (1) ---
     "ansari_bradley_scale",
     # --- ROUND-13 WAVE: appended post-pre-clearance, certify same round ---
+    # batch 1 (5-layer green + brute-forced in tests/test_round13_ops.py)
+    "mood_scale_test",
+    "cucconi_test",
+    "lorenz_asymmetry",
+    "text_readability_panel",
+    "graph_reciprocity",
+    "average_precision_exact",
+    "youden_j_threshold",
 ]
 
 
