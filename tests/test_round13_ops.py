@@ -281,3 +281,177 @@ def test_lorenz_asymmetry_brute_force(spark):
             assert r["delta"] == pytest.approx(delta, rel=1e-9)
             assert r["lorenz_asymmetry"] == pytest.approx(s, rel=1e-9)
             assert r["top_driven"] == int(s > 1.0)
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose_additive — pandas centered-MA recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        q_seasonal_decompose_additive,
+    )
+
+    ev = _df("events")
+    daily = (
+        ev.assign(day=pd.to_datetime(ev["ts"]).dt.date)
+        .groupby("day")
+        .size()
+        .sort_index()
+    )
+    days = list(daily.index)
+    ys = daily.to_numpy()
+    rows = {}
+    gnum, gcnt = 0, 0
+    per = {}
+    for i in range(len(days)):
+        lo, hi = i - 3, i + 3
+        if lo < 0 or hi >= len(days):
+            continue
+        if (days[hi] - days[lo]).days != 6:
+            continue
+        num7 = int(7 * ys[i] - ys[lo : hi + 1].sum())
+        dow = days[i].isoweekday()
+        n, s = per.get(dow, (0, 0))
+        per[dow] = (n + 1, s + num7)
+        gnum += num7
+        gcnt += 1
+    overall = gnum / (7.0 * gcnt)
+    for dow, (n, s) in per.items():
+        rows[dow] = (n, s / (7.0 * n), overall, s / (7.0 * n) - overall)
+
+    got = q_seasonal_decompose_additive(spark, SF_DIR).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        n, raw, ov, cen = rows[r["dow"]]
+        assert r["n_days"] == n
+        assert r["seasonal_raw"] == pytest.approx(raw, rel=1e-12)
+        assert r["overall_detrended_mean"] == pytest.approx(ov, rel=1e-12)
+        assert r["seasonal"] == pytest.approx(cen, rel=1e-9)
+
+
+def _daily_with_lags():
+    ev = _df("events")
+    daily = (
+        ev.assign(day=pd.to_datetime(ev["ts"]).dt.date)
+        .groupby("day")
+        .size()
+        .to_dict()
+    )
+    import datetime
+
+    rows = []
+    for day, y in sorted(daily.items()):
+        d7 = daily.get(day - datetime.timedelta(days=7))
+        d1 = daily.get(day - datetime.timedelta(days=1))
+        if d7 is not None and d1 is not None:
+            rows.append((day, int(y), int(d7), int(d1)))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# diebold_mariano_test — brute loss-differential recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_diebold_mariano_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        q_diebold_mariano_test,
+    )
+
+    rows = _daily_with_lags()
+    d = np.array([(y - f7) ** 2 - (y - f1) ** 2 for _, y, f7, f1 in rows], float)
+    se1 = np.array([(y - f7) ** 2 for _, y, f7, f1 in rows], float)
+    se2 = np.array([(y - f1) ** 2 for _, y, f7, f1 in rows], float)
+    n = len(d)
+    dm_ref = d.sum() * math.sqrt(n) / math.sqrt(n * (d**2).sum() - d.sum() ** 2)
+
+    (row,) = q_diebold_mariano_test(spark, SF_DIR).collect()
+    assert row["n"] == n
+    assert row["mse_snaive"] == pytest.approx(se1.mean(), rel=1e-12)
+    assert row["mse_naive"] == pytest.approx(se2.mean(), rel=1e-12)
+    assert row["dm_stat"] == pytest.approx(dm_ref, rel=1e-8)
+    assert row["better_method"] == (
+        "seasonal_naive"
+        if se1.sum() < se2.sum()
+        else ("naive" if se1.sum() > se2.sum() else "tie")
+    )
+
+
+# ---------------------------------------------------------------------------
+# forecast_rolling_origin — brute fold table
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_origin_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        q_forecast_rolling_origin,
+    )
+
+    rows = _daily_with_lags()
+    dmin = min(r[0] for r in rows)
+    span = (max(r[0] for r in rows) - dmin).days + 1
+    folds = {}
+    for day, y, f7, f1 in rows:
+        f = min(3, (4 * (day - dmin).days) // span)
+        n, t1, t2, first, last = folds.get(f, (0, 0, 0, day, day))
+        folds[f] = (
+            n + 1,
+            t1 + abs(y - f7),
+            t2 + abs(y - f1),
+            min(first, day),
+            max(last, day),
+        )
+
+    got = q_forecast_rolling_origin(spark, SF_DIR).collect()
+    assert len(got) == len(folds)
+    for r in got:
+        n, t1, t2, first, last = folds[r["fold"]]
+        assert r["n_days"] == n
+        assert r["first_day"] == first and r["last_day"] == last
+        assert r["tae_snaive"] == t1 and r["tae_naive"] == t2
+        assert r["mae_snaive"] == pytest.approx(t1 / n, rel=1e-12)
+        assert r["snaive_wins"] == int(t1 < t2)
+
+
+# ---------------------------------------------------------------------------
+# spiegelhalter_z — brute per-row Z on the md5-split segment model
+# ---------------------------------------------------------------------------
+
+
+def test_spiegelhalter_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_spiegelhalter_z,
+    )
+
+    orders = _df("orders")
+    cust = _df("customer")[["c_custkey", "c_mktsegment"]]
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["y"] = (j["o_orderpriority"] == "1-URGENT").astype(int)
+    import hashlib
+
+    j["_b"] = j["o_custkey"].map(
+        lambda k: int(hashlib.md5(str(int(k)).encode()).hexdigest()[:15], 16) % 100
+    )
+    train, test = j[j["_b"] < 80], j[j["_b"] >= 80]
+    pnum = {
+        seg: math.floor(g["y"].sum() / len(g) * 1e9)
+        for seg, g in train.groupby("c_mktsegment")
+    }
+    num = den = 0.0
+    n_test = 0
+    for seg, g in test.groupby("c_mktsegment"):
+        if seg not in pnum:
+            continue
+        p = pnum[seg] / 1e9
+        n, sy = len(g), int(g["y"].sum())
+        num += (sy - n * p) * (1 - 2 * p)
+        den += n * (1 - 2 * p) ** 2 * p * (1 - p)
+        n_test += n
+    z_ref = num / math.sqrt(den)
+
+    (row,) = q_spiegelhalter_z(spark, SF_DIR).collect()
+    assert row["n_test"] == n_test
+    assert row["z_spiegelhalter"] == pytest.approx(z_ref, rel=1e-6)
+    assert row["significant_5pct"] == int(abs(z_ref) > 1.959963984540054)

@@ -4286,6 +4286,159 @@ FROM gaps
 
 
 # ---------------------------------------------------------------------------
+# Spiegelhalter calibration Z (round 13)
+# ---------------------------------------------------------------------------
+
+_SPZ_CRIT = 1.959963984540054
+
+
+def q_spiegelhalter_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's Z calibration TEST on the ``calibration_ece``
+    classifier (leak-safe md5-split segment-rate model, same test
+    fold): Z = Σ(yᵢ−pᵢ)(1−2pᵢ) / √(Σ(1−2pᵢ)²pᵢ(1−pᵢ)) — the exact
+    decomposition of the Brier score into calibration noise that is
+    asymptotically N(0,1) under perfect calibration (Spiegelhalter
+    1986). ECE answers 'how big is the miscalibration'; this answers
+    the question a binned metric can't: 'is it STATISTICALLY real, or
+    within sampling noise of a calibrated model' — with no binning
+    knob at all.
+
+    Exactness: pᵢ is constant within a segment, so both sums collapse
+    to ≤5 segment terms. The numerator is carried EXACTLY:
+    Σ_seg (sum_y·q − n·pnum)·(q − 2·pnum) in DECIMAL(38,0) with
+    q = 10^{ECE_P_SCALE} and pnum the scaled-integer rate (one final
+    /q² after the limb-split). The denominator's per-segment term
+    n·(1−2p)²·p·(1−p) is ONE fixed IEEE expression on exact scalars
+    (deterministic on both engines), floor-quantized across the ≤5-row
+    segment frame (``fsum`` scale 6 — sum ≤ n/4 stays inside 2^53 far
+    past 10^9 test rows). Degenerate contract: a test fold where every
+    segment rate is 0, ½ or 1 zeroes the denominator → Z NULL under an
+    explicit guard.
+
+    Scale shape: one fact⋈dim join + two segment-sized hash aggs + a
+    1-row reduce — identical to calibration_ece.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).withColumn(
+        "_b",
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 100,
+    )
+    train = joined.filter(F.col("_b") < ECE_TRAIN_PCT)
+    test = joined.filter(F.col("_b") >= ECE_TRAIN_PCT)
+    q = float(10**ECE_P_SCALE)
+    rate = (
+        train.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.sum("y").cast("long").alias("n_urgent"),
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+        )
+        .select(
+            "seg",
+            F.floor(
+                F.col("n_urgent").cast("double")
+                / F.col("n_train").cast("double")
+                * F.lit(q)
+            )
+            .cast("long")
+            .alias("pnum"),
+        )
+    )
+    per_seg = test.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    scored = per_seg.join(F.broadcast(rate), "seg")
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    qi = 10**ECE_P_SCALE
+    num_seg = (
+        dec(F.col("sum_y")) * F.lit(qi) - dec(F.col("n_test")) * dec(F.col("pnum"))
+    ) * (F.lit(qi) - F.lit(2) * dec(F.col("pnum")))
+    p = F.col("pnum").cast("double") / F.lit(q)
+    den_seg = (
+        F.col("n_test").cast("double")
+        * (F.lit(1.0) - F.lit(2.0) * p)
+        * (F.lit(1.0) - F.lit(2.0) * p)
+        * p
+        * (F.lit(1.0) - p)
+    )
+    red = scored.agg(
+        F.sum("n_test").cast("long").alias("n_test"),
+        F.count(F.lit(1)).cast("int").alias("n_segments"),
+        F.sum(num_seg.cast("decimal(38,0)")).cast("decimal(38,0)").alias("znum"),
+        fsum(den_seg, scale=6).alias("zden"),
+    )
+    z = dec_to_double(F.col("znum")) / (F.lit(q) * F.lit(q)) / F.sqrt(F.col("zden"))
+    ok = F.col("zden") > 0
+    return red.select(
+        "n_test",
+        "n_segments",
+        F.when(ok, z).alias("z_spiegelhalter"),
+        F.when(ok, (F.abs(z) > F.lit(_SPZ_CRIT)).cast("int")).alias(
+            "significant_5pct"
+        ),
+    )
+
+
+def _sql_spiegelhalter() -> str:
+    qi = 10**ECE_P_SCALE
+    p = f"(CAST(pnum AS DOUBLE) / 1e{ECE_P_SCALE})"
+    den_seg = (
+        f"(CAST(n_test AS DOUBLE) * (1.0 - 2.0 * {p}) * (1.0 - 2.0 * {p})"
+        f" * {p} * (1.0 - {p}))"
+    )
+    z = (
+        f"({sql_dec_to_double('znum')} / (1e{ECE_P_SCALE} * 1e{ECE_P_SCALE})"
+        f" / sqrt(zden))"
+    )
+    return f"""
+WITH joined AS (
+  SELECT o_custkey, c_mktsegment AS seg,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+         ({_sql_hex_to_int("md5(CAST(o_custkey AS VARCHAR))", 1, 15)} % 100) AS _b
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), rate AS (
+  SELECT seg,
+         CAST(FLOOR(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e{ECE_P_SCALE}) AS BIGINT) AS pnum
+  FROM joined WHERE _b < {ECE_TRAIN_PCT} GROUP BY 1
+), per_seg AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_test, CAST(SUM(y) AS BIGINT) AS sum_y
+  FROM joined WHERE _b >= {ECE_TRAIN_PCT} GROUP BY 1
+), scored AS (
+  SELECT s.n_test, s.sum_y, r.pnum FROM per_seg s JOIN rate r ON s.seg = r.seg
+), red AS (
+  SELECT CAST(SUM(n_test) AS BIGINT) AS n_test,
+         CAST(COUNT(*) AS INT) AS n_segments,
+         CAST(SUM(CAST((CAST(sum_y AS DECIMAL(38,0)) * {qi}
+                - CAST(n_test AS DECIMAL(38,0)) * CAST(pnum AS DECIMAL(38,0)))
+              * ({qi} - 2 * CAST(pnum AS DECIMAL(38,0))) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS znum,
+         {sql_fsum(den_seg, scale=6)} AS zden
+  FROM scored
+)
+SELECT n_test, n_segments,
+       CASE WHEN zden > 0 THEN {z} END AS z_spiegelhalter,
+       CASE WHEN zden > 0
+            THEN CAST(abs({z}) > {_SPZ_CRIT} AS INT) END AS significant_5pct
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
 # Classifier confusion metrics (round 12)
 # ---------------------------------------------------------------------------
 
@@ -4472,6 +4625,7 @@ QUERIES = {
     "roc_auc_exact": q_roc_auc_exact,
     "average_precision_exact": q_average_precision_exact,
     "youden_j_threshold": q_youden_j_threshold,
+    "spiegelhalter_z": q_spiegelhalter_z,
     "brier_decomposition": q_brier_decomposition,
     "survival_nelson_aalen": q_survival_nelson_aalen,
     "survival_logrank": q_survival_logrank,
@@ -4514,6 +4668,7 @@ ORACLE = {
     "roc_auc_exact": _ORACLE_ROC_AUC,
     "average_precision_exact": _ORACLE_AVERAGE_PRECISION,
     "youden_j_threshold": _ORACLE_YOUDEN,
+    "spiegelhalter_z": _sql_spiegelhalter(),
     "brier_decomposition": _ORACLE_BRIER,
     "survival_nelson_aalen": _ORACLE_NELSON_AALEN,
     "survival_logrank": _ORACLE_LOGRANK,

@@ -16,9 +16,11 @@ from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.functions.exact import (
     davg,
+    dec_to_double,
     dsum,
     fsum,
     sql_davg,
+    sql_dec_to_double,
     sql_dsum,
     sql_exact_log2_ctes,
     sql_fsum,
@@ -6244,7 +6246,380 @@ ORDER BY month
 """
 
 
+# ---------------------------------------------------------------------------
+# Additive seasonal decomposition, Diebold-Mariano, rolling-origin backtest
+# (round 13)
+# ---------------------------------------------------------------------------
+
+_DECOMP_PERIOD = 7  # weekly seasonality on the daily spine (odd: one MA)
+_RO_FOLDS = 4  # rolling-origin fold count
+_DM_Z_CRIT = 1.959963984540054
+
+
+def q_seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ADDITIVE seasonal decomposition of the daily event-count
+    series at weekly period: trend = centered 7-day moving average
+    (period is odd, so a single MA — the textbook moving-average
+    decomposition that STL generalizes), detrended = y − trend, and the
+    weekday seasonal component = per-weekday mean of the detrended
+    series, reported both raw and centered by the GLOBAL detrended mean
+    (weighted centering — exact; the unweighted 7-value centering would
+    need an ordered float reduction). ``events_seasonal_index`` gives
+    the multiplicative monthly analog; this is the additive weekly one,
+    and the remainder magnitude it implies is the seasonality-strength
+    denominator.
+
+    Exactness: the trend window is valid only where all 7 days exist
+    (count = 7 AND max−min = 6 days inside the ±3-row frame — the
+    gap-proof condition; a row-frame over a gapped spine would silently
+    span non-adjacent days). The detrended value is carried as the
+    exact INTEGER num7 = 7y − Σ₇y (never y − Σ/7: no float until the
+    single final division); per-weekday and global means are ONE
+    division of exact integers each, and the centered component is one
+    IEEE subtraction of those two deterministic doubles. Weekday is
+    ISO 1=Mon..7=Sun on both engines (Spark weekday()+1 / DuckDB
+    isodow).
+
+    Scale shape: one fact-sized daily hash agg; the ±3 window and all
+    later stages run on the TIME-BOUNDED daily spine (≤ a few thousand
+    rows regardless of fact size — the module's standard dense-spine
+    justification), collapsing to a 7-row weekday frame.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    framed = daily.select(
+        "day",
+        "y",
+        F.count(F.lit(1)).over(w7).alias("_cnt"),
+        F.sum("y").over(w7).cast("long").alias("_s7"),
+        F.datediff(F.max("day").over(w7), F.min("day").over(w7)).alias("_span"),
+    )
+    valid = framed.filter((F.col("_cnt") == 7) & (F.col("_span") == 6)).select(
+        "day",
+        (F.lit(7) * F.col("y") - F.col("_s7")).cast("long").alias("num7"),
+    )
+    tot = valid.agg(
+        F.sum("num7").cast("long").alias("gnum"),
+        F.count(F.lit(1)).cast("long").alias("gcnt"),
+    )
+    per_dow = (
+        valid.select(
+            (F.weekday("day") + F.lit(1)).cast("int").alias("dow"), "num7"
+        )
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("num7").cast("long").alias("snum"),
+        )
+    )
+    raw = F.col("snum").cast("double") / (
+        F.lit(7.0) * F.col("n_days").cast("double")
+    )
+    overall = F.col("gnum").cast("double") / (
+        F.lit(7.0) * F.col("gcnt").cast("double")
+    )
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            raw.alias("seasonal_raw"),
+            overall.alias("overall_detrended_mean"),
+            (raw - overall).alias("seasonal"),
+        )
+        .orderBy("dow")
+    )
+
+
+_ORACLE_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), framed AS (
+  SELECT day, y,
+         COUNT(*) OVER w AS _cnt,
+         CAST(SUM(y) OVER w AS BIGINT) AS _s7,
+         date_diff('day', MIN(day) OVER w, MAX(day) OVER w) AS _span
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), valid AS (
+  SELECT day, CAST(7 * y - _s7 AS BIGINT) AS num7
+  FROM framed WHERE _cnt = 7 AND _span = 6
+), tot AS (
+  SELECT CAST(SUM(num7) AS BIGINT) AS gnum, CAST(COUNT(*) AS BIGINT) AS gcnt
+  FROM valid
+), per_dow AS (
+  SELECT CAST(isodow(day) AS INT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(num7) AS BIGINT) AS snum
+  FROM valid GROUP BY 1
+)
+SELECT dow, n_days,
+       CAST(snum AS DOUBLE) / (7.0 * CAST(n_days AS DOUBLE)) AS seasonal_raw,
+       CAST(gnum AS DOUBLE) / (7.0 * CAST(gcnt AS DOUBLE))
+         AS overall_detrended_mean,
+       CAST(snum AS DOUBLE) / (7.0 * CAST(n_days AS DOUBLE))
+         - CAST(gnum AS DOUBLE) / (7.0 * CAST(gcnt AS DOUBLE)) AS seasonal
+FROM per_dow CROSS JOIN tot
+ORDER BY dow
+"""
+
+
+def q_diebold_mariano_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano forecast-comparison test (h = 1, squared-error
+    loss) between the two baseline forecasters of the daily event-count
+    series: seasonal-naive (day − 7, ``events_forecast_baseline``'s
+    method) vs naive (day − 1). DM asks the question MAE tables can't:
+    is the accuracy DIFFERENCE statistically significant, or noise?
+    DM = d̄ / √(V̂(d̄)) with d_t = e₁ₜ² − e₂ₜ² ~ asymptotically N(0,1)
+    under equal accuracy (Diebold & Mariano 1995; at h = 1 the
+    long-run variance reduces to the sample variance of d).
+
+    Exactness: both forecasts are gap-proof equi-joins (day−7 / day−1),
+    evaluated on days where BOTH exist; errors and d_t = e₁² − e₂² are
+    exact BIGINTs; Σd and Σd² are DECIMAL(38,0) hash sums (Σd² ≤
+    n·max_count⁴ — inside DECIMAL(38,0) past 10⁸ events/day on a
+    10⁴-day spine; beyond that, rescale counts to thousands first);
+    DM = Σd·√n / √(n·Σd² − (Σd)²) is ONE fixed IEEE sequence through
+    the portable limb-split. The better-method verdict is an exact
+    integer compare of the two total squared errors (same n — no
+    division needed). Degenerate contract: fewer than 2 evaluation
+    days or zero variance of d → dm_stat/significance NULL under an
+    explicit guard.
+
+    Scale shape: one fact-sized daily hash agg, two spine-sized
+    equi-joins, one 1-row reduce.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    lag7 = daily.select(
+        F.date_add("day", 7).alias("day"), F.col("y").alias("f_sn")
+    )
+    lag1 = daily.select(
+        F.date_add("day", 1).alias("day"), F.col("y").alias("f_nv")
+    )
+    scored = (
+        daily.join(lag7, "day")
+        .join(lag1, "day")
+        .select(
+            (F.col("y") - F.col("f_sn")).alias("e1"),
+            (F.col("y") - F.col("f_nv")).alias("e2"),
+        )
+        .select(
+            (F.col("e1") * F.col("e1")).cast("long").alias("se1"),
+            (F.col("e2") * F.col("e2")).cast("long").alias("se2"),
+        )
+        .select(
+            "se1", "se2", (F.col("se1") - F.col("se2")).cast("long").alias("d")
+        )
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    red = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("se1").cast("decimal(38,0)").alias("ts1"),
+        F.sum("se2").cast("decimal(38,0)").alias("ts2"),
+        F.sum("d").cast("decimal(38,0)").alias("sd"),
+        F.sum(dec(F.col("d")) * dec(F.col("d"))).cast("decimal(38,0)").alias("sd2"),
+    )
+    mid = red.select(
+        "n",
+        "ts1",
+        "ts2",
+        "sd",
+        (dec(F.col("n")) * F.col("sd2") - F.col("sd") * F.col("sd"))
+        .cast("decimal(38,0)")
+        .alias("var_num"),
+    )
+    nd = F.col("n").cast("double")
+    dm = (
+        dec_to_double(F.col("sd"))
+        * F.sqrt(nd)
+        / F.sqrt(dec_to_double(F.col("var_num")))
+    )
+    ok = (F.col("n") >= 2) & (F.col("var_num") > 0)
+    return mid.select(
+        "n",
+        (dec_to_double(F.col("ts1")) / nd).alias("mse_snaive"),
+        (dec_to_double(F.col("ts2")) / nd).alias("mse_naive"),
+        F.when(ok, dm).alias("dm_stat"),
+        F.when(ok, (F.abs(dm) > F.lit(_DM_Z_CRIT)).cast("int")).alias(
+            "significant_5pct"
+        ),
+        F.when(F.col("ts1") < F.col("ts2"), F.lit("seasonal_naive"))
+        .when(F.col("ts1") > F.col("ts2"), F.lit("naive"))
+        .otherwise(F.lit("tie"))
+        .alias("better_method"),
+    )
+
+
+def _sql_diebold_mariano() -> str:
+    dm = (
+        f"({sql_dec_to_double('sd')} * sqrt(CAST(n AS DOUBLE))"
+        f" / sqrt({sql_dec_to_double('var_num')}))"
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT CAST((a.y - s.y) * (a.y - s.y) AS BIGINT) AS se1,
+         CAST((a.y - n1.y) * (a.y - n1.y) AS BIGINT) AS se2,
+         CAST((a.y - s.y) * (a.y - s.y) - (a.y - n1.y) * (a.y - n1.y) AS BIGINT) AS d
+  FROM daily a
+  JOIN daily s ON s.day + 7 = a.day
+  JOIN daily n1 ON n1.day + 1 = a.day
+), red AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(se1) AS DECIMAL(38,0)) AS ts1,
+         CAST(SUM(se2) AS DECIMAL(38,0)) AS ts2,
+         CAST(SUM(d) AS DECIMAL(38,0)) AS sd,
+         CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd2
+  FROM scored
+), mid AS (
+  SELECT n, ts1, ts2, sd,
+         CAST(CAST(n AS DECIMAL(38,0)) * sd2 - sd * sd AS DECIMAL(38,0)) AS var_num
+  FROM red
+)
+SELECT n,
+       {sql_dec_to_double('ts1')} / CAST(n AS DOUBLE) AS mse_snaive,
+       {sql_dec_to_double('ts2')} / CAST(n AS DOUBLE) AS mse_naive,
+       CASE WHEN n >= 2 AND var_num > 0 THEN {dm} END AS dm_stat,
+       CASE WHEN n >= 2 AND var_num > 0
+            THEN CAST(abs({dm}) > {_DM_Z_CRIT} AS INT) END AS significant_5pct,
+       CASE WHEN ts1 < ts2 THEN 'seasonal_naive'
+            WHEN ts1 > ts2 THEN 'naive' ELSE 'tie' END AS better_method
+FROM mid
+"""
+
+
+def q_forecast_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest table: the daily event-count evaluation
+    days split into 4 chronological folds, with per-fold MAE of the
+    seasonal-naive (day − 7) vs naive (day − 1) forecasters and an
+    exact per-fold winner — the out-of-sample STABILITY view a single
+    full-period MAE (``events_forecast_baseline``) hides: a method that
+    wins overall but loses recent folds is regressing. (Both baselines
+    need only lagged actuals, so every fold is automatically
+    expanding-window-valid; the fold structure itself is the
+    deliverable.)
+
+    Exactness: fold = least(K−1, K·datediff(day, d_min) div span) is
+    pure integer arithmetic on the evaluation-day range (d_min/span
+    broadcast from one exact agg); absolute errors and their per-fold
+    totals are exact BIGINTs; each MAE is ONE division; the winner is
+    an exact integer compare of total absolute errors (equal n within
+    a fold — no division). Guards: none needed — a fold exists only if
+    it has rows, and n_days ≥ 1 by construction.
+
+    Scale shape: one fact-sized daily hash agg, two spine-sized
+    equi-joins, one broadcast scalar attach, one ≤4-row hash agg.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    lag7 = daily.select(
+        F.date_add("day", 7).alias("day"), F.col("y").alias("f_sn")
+    )
+    lag1 = daily.select(
+        F.date_add("day", 1).alias("day"), F.col("y").alias("f_nv")
+    )
+    scored = (
+        daily.join(lag7, "day")
+        .join(lag1, "day")
+        .select(
+            "day",
+            F.abs(F.col("y") - F.col("f_sn")).cast("long").alias("ae_sn"),
+            F.abs(F.col("y") - F.col("f_nv")).cast("long").alias("ae_nv"),
+        )
+    )
+    rng = scored.agg(
+        F.min("day").alias("dmin"),
+        (F.datediff(F.max("day"), F.min("day")) + F.lit(1)).alias("span"),
+    )
+    folded = scored.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(_RO_FOLDS - 1),
+            F.expr(f"({_RO_FOLDS} * datediff(day, dmin)) div span"),
+        )
+        .cast("int")
+        .alias("fold"),
+        "day",
+        "ae_sn",
+        "ae_nv",
+    )
+    return (
+        folded.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.sum("ae_sn").cast("long").alias("tae_snaive"),
+            F.sum("ae_nv").cast("long").alias("tae_naive"),
+            (F.sum("ae_sn").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mae_snaive"
+            ),
+            (F.sum("ae_nv").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mae_naive"
+            ),
+            (F.sum("ae_sn") < F.sum("ae_nv")).cast("int").alias("snaive_wins"),
+        )
+        .orderBy("fold")
+    )
+
+
+_ORACLE_ROLLING_ORIGIN = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT a.day,
+         CAST(abs(a.y - s.y) AS BIGINT) AS ae_sn,
+         CAST(abs(a.y - n1.y) AS BIGINT) AS ae_nv
+  FROM daily a
+  JOIN daily s ON s.day + 7 = a.day
+  JOIN daily n1 ON n1.day + 1 = a.day
+), rng AS (
+  SELECT MIN(day) AS dmin,
+         date_diff('day', MIN(day), MAX(day)) + 1 AS span
+  FROM scored
+), folded AS (
+  SELECT CAST(LEAST({_RO_FOLDS - 1},
+                    ({_RO_FOLDS} * date_diff('day', dmin, day)) // span) AS INT)
+           AS fold,
+         day, ae_sn, ae_nv
+  FROM scored CROSS JOIN rng
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       MIN(day) AS first_day,
+       MAX(day) AS last_day,
+       CAST(SUM(ae_sn) AS BIGINT) AS tae_snaive,
+       CAST(SUM(ae_nv) AS BIGINT) AS tae_naive,
+       CAST(SUM(ae_sn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae_snaive,
+       CAST(SUM(ae_nv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae_naive,
+       CAST(SUM(ae_sn) < SUM(ae_nv) AS INT) AS snaive_wins
+FROM folded
+GROUP BY 1
+ORDER BY fold
+"""
+
+
 QUERIES = {
+    "seasonal_decompose_additive": q_seasonal_decompose_additive,
+    "diebold_mariano_test": q_diebold_mariano_test,
+    "forecast_rolling_origin": q_forecast_rolling_origin,
     "turning_points_test": q_turning_points_test,
     "foster_stuart_records": q_foster_stuart_records,
     "events_seasonal_index": q_events_seasonal_index,
@@ -6311,6 +6686,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "seasonal_decompose_additive": _ORACLE_SEASONAL_DECOMPOSE,
+    "diebold_mariano_test": _sql_diebold_mariano(),
+    "forecast_rolling_origin": _ORACLE_ROLLING_ORIGIN,
     "turning_points_test": _ORACLE_TURNING_POINTS,
     "foster_stuart_records": _ORACLE_FOSTER_STUART,
     "events_seasonal_index": _ORACLE_SEASONAL_INDEX,

@@ -211,6 +211,11 @@ _FLAGSHIP_PREFIX = [
     "graph_reciprocity",
     "average_precision_exact",
     "youden_j_threshold",
+    # batch 2 (5-layer green + brute-forced in tests/test_round13_ops.py)
+    "seasonal_decompose_additive",
+    "diebold_mariano_test",
+    "forecast_rolling_origin",
+    "spiegelhalter_z",
 ]
 
 
