@@ -455,3 +455,116 @@ def test_spiegelhalter_brute_force(spark):
     assert row["n_test"] == n_test
     assert row["z_spiegelhalter"] == pytest.approx(z_ref, rel=1e-6)
     assert row["significant_5pct"] == int(abs(z_ref) > 1.959963984540054)
+
+
+# ---------------------------------------------------------------------------
+# cuzick_trend_test — brute linear-rank trend with permutation variance
+# ---------------------------------------------------------------------------
+
+
+def test_cuzick_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        q_cuzick_trend_test,
+    )
+
+    orders = _df("orders")
+    z = orders["o_orderpriority"].str[0].astype(int).to_numpy()
+    r = _midranks(orders["o_totalprice"].to_numpy())
+    n = len(z)
+    t_ref = float((z * r).sum())
+    e = z.sum() * r.sum() / n
+    var = ((z - z.mean()) ** 2).sum() * ((r - r.mean()) ** 2).sum() / (n - 1)
+    z_ref = (t_ref - e) / math.sqrt(var)
+
+    (row,) = q_cuzick_trend_test(spark, SF_DIR).collect()
+    assert row["n"] == n
+    assert row["t_stat"] == pytest.approx(t_ref, rel=1e-10)
+    assert row["z_cuzick"] == pytest.approx(z_ref, rel=1e-8)
+    assert row["significant_5pct"] == int(abs(z_ref) > 1.959963984540054)
+
+
+# ---------------------------------------------------------------------------
+# pps_sequential_poisson — brute order-sampling selection
+# ---------------------------------------------------------------------------
+
+
+def test_sps_brute_force(spark):
+    import hashlib
+
+    from us_flight_bigdata_dashboard_spark.operators.sampling import (
+        SPS_N,
+        q_pps_sequential_poisson,
+    )
+
+    docs = _df("documents")[["doc_id", "n_chars"]]
+    docs = docs[docs["n_chars"] > 0]
+    rows = []
+    for did, nc in docs.itertuples(index=False):
+        u = int(hashlib.md5(str(int(did)).encode()).hexdigest()[:12], 16)
+        rows.append((u / nc, u, int(did), int(nc)))
+    rows.sort()
+    t = int(docs["n_chars"].sum())
+    want = rows[:SPS_N]
+
+    got = q_pps_sequential_poisson(spark, SF_DIR).collect()
+    assert len(got) == SPS_N
+    for r, (xi, u, did, nc) in zip(got, want):
+        assert r["doc_id"] == did and r["n_chars"] == nc
+        assert r["xi"] == pytest.approx(xi, rel=1e-12)
+        w_ref = 1.0 if nc * SPS_N >= t else t / (float(SPS_N) * nc)
+        assert r["sps_weight"] == pytest.approx(w_ref, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# silver_meal_lot_sizing — pure-Python heuristic + DP optimum
+# ---------------------------------------------------------------------------
+
+
+def test_silver_meal_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        WW_HOLD_CENTS,
+        WW_SETUP_CENTS,
+        WW_T,
+        WW_YEAR,
+        q_silver_meal_lot_sizing,
+    )
+
+    li = _df("lineitem")
+    li = li[pd.to_datetime(li["l_shipdate"]).dt.year == WW_YEAR]
+    monthly = (
+        li.assign(m=pd.to_datetime(li["l_shipdate"]).dt.month)
+        .groupby("m")["l_quantity"]
+        .sum()
+        .astype(int)
+        .to_dict()
+    )
+    d = [int(monthly.get(t, 0)) for t in range(1, WW_T + 1)]
+
+    def c(j, t):  # 1-based inclusive, cents
+        return WW_SETUP_CENTS + WW_HOLD_CENTS * sum(
+            (i - j) * d[i - 1] for i in range(j, t + 1)
+        )
+
+    # Silver-Meal forward pass: extend while avg per-period cost does
+    # not increase (exact integer cross-multiplication)
+    j, cost, orders = 1, 0, 1
+    for t in range(2, WW_T + 1):
+        if c(j, t) * (t - j) <= c(j, t - 1) * (t - j + 1):
+            continue
+        cost += c(j, t - 1)
+        j = t
+        orders += 1
+    sm_ref = cost + c(j, WW_T)
+
+    # Wagner-Whitin exact DP
+    f = [0] + [None] * WW_T
+    for t in range(1, WW_T + 1):
+        f[t] = min(f[jj - 1] + c(jj, t) for jj in range(1, t + 1))
+    ww_ref = f[WW_T]
+
+    (row,) = q_silver_meal_lot_sizing(spark, SF_DIR).collect()
+    assert row["sm_cost_cents"] == sm_ref
+    assert row["sm_n_orders"] == orders
+    assert row["ww_optimal_cost_cents"] == ww_ref
+    assert row["sm_gap_cents"] == sm_ref - ww_ref
+    assert row["sm_gap_cents"] >= 0  # heuristic never beats the optimum

@@ -3565,7 +3565,167 @@ ORDER BY p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# Silver-Meal lot-sizing heuristic (round 13)
+# ---------------------------------------------------------------------------
+
+
+def _sm_step_snippets():
+    """The Silver-Meal forward recursion as NAMED-COLUMN chain snippets
+    (shared verbatim by F.expr and the oracle CTE chain): state after
+    period t is (j_t = current run start, cost_t = cents of completed
+    runs, n_t = orders so far), each one small CASE expression over the
+    previous step's named columns — O(T) text per step, no expression
+    blow-up. Returns ([(col_name, sql)...] per step, final_cost_sql)."""
+    steps = []
+    for t in range(2, WW_T + 1):
+        dec_t = (
+            "CASE j%d %s END"
+            % (t - 1, " ".join(f"WHEN {j} THEN c_{j}_{t}" for j in range(1, t)))
+        )
+        dec_p = (
+            "CASE j%d %s END"
+            % (t - 1, " ".join(f"WHEN {j} THEN c_{j}_{t - 1}" for j in range(1, t)))
+        )
+        ext = f"(({dec_t}) * ({t} - j{t - 1}) <= ({dec_p}) * ({t} - j{t - 1} + 1))"
+        steps.append(
+            [
+                (f"j{t}", f"CASE WHEN {ext} THEN j{t - 1} ELSE {t} END"),
+                (
+                    f"cost{t}",
+                    f"CASE WHEN {ext} THEN cost{t - 1}"
+                    f" ELSE cost{t - 1} + ({dec_p}) END",
+                ),
+                (f"n{t}", f"CASE WHEN {ext} THEN n{t - 1} ELSE n{t - 1} + 1 END"),
+            ]
+        )
+    final = "CASE j%d %s END" % (
+        WW_T,
+        " ".join(f"WHEN {j} THEN c_{j}_{WW_T}" for j in range(1, WW_T + 1)),
+    )
+    return steps, f"cost{WW_T} + ({final})"
+
+
+def q_silver_meal_lot_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver-Meal lot-sizing HEURISTIC on the same monthly demand,
+    setup and holding costs as ``wagner_whitin_lot_sizing``, reported
+    side-by-side with the WW optimum: extend the current order to cover
+    the next period while the average cost PER PERIOD of the run does
+    not increase, else place a new order (Silver & Meal 1973) — the
+    industry-standard O(T) planning rule whose gap to the exact DP is
+    the textbook 'cost of the myopic rule' table, computed here in one
+    query (gap ≥ 0 is a built-in invariant the crafted test pins).
+
+    Spark-first formulation: the same 78-cell exact-integer c(j,t) cost
+    frame as WW, then the forward recursion unrolled as a chain of
+    NAMED state columns — j_t (current run start) decoded by VALUE with
+    one ≤t-way CASE per step, the extend decision as an exact INTEGER
+    cross-multiplication c(j,t)·(t−j) ≤ c(j,t−1)·(t−j+1) (no average is
+    ever divided), cost/order accumulators as integer CASEs — O(T²)
+    total expression, no loop, no collect, bit-exact on both engines.
+    The oracle mirrors the identical snippets through a CTE chain.
+
+    Scale shape: one fact-sized hash agg to 12 rows; everything after
+    is literal-domain arithmetic on a 1-row frame.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        lineitem.filter(F.year("l_shipdate") == WW_YEAR)
+        .groupBy(F.month("l_shipdate").alias("t"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("d"))
+    )
+    spine = spark.range(1, WW_T + 1).select(F.col("id").cast("int").alias("t"))
+    dense = spine.join(monthly, "t", "left").select(
+        "t", F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("d")
+    )
+    cost_aggs = []
+    for j in range(1, WW_T + 1):
+        for t in range(j, WW_T + 1):
+            hold = F.sum(
+                F.when(
+                    (F.col("t") >= j) & (F.col("t") <= t),
+                    (F.col("t") - F.lit(j)).cast("long") * F.col("d"),
+                ).otherwise(F.lit(0))
+            )
+            cost_aggs.append(
+                (hold * F.lit(WW_HOLD_CENTS) + F.lit(WW_SETUP_CENTS))
+                .cast("long")
+                .alias(f"c_{j}_{t}")
+            )
+    costs = dense.agg(
+        F.sum("d").cast("long").alias("total_demand_qty"), *cost_aggs
+    )
+    state = costs.withColumn("j1", F.lit(1)).withColumn(
+        "cost1", F.lit(0).cast("long")
+    ).withColumn("n1", F.lit(1))
+    steps, final_cost = _sm_step_snippets()
+    for cols in steps:
+        for name, sql in cols:
+            state = state.withColumn(name, F.expr(sql))
+    ww = _ww_f_exprs()
+    return state.select(
+        F.lit(WW_T).cast("int").alias("n_periods"),
+        "total_demand_qty",
+        F.expr(final_cost).cast("long").alias("sm_cost_cents"),
+        F.col(f"n{WW_T}").cast("int").alias("sm_n_orders"),
+        ww[WW_T].cast("long").alias("ww_optimal_cost_cents"),
+        (F.expr(final_cost).cast("long") - ww[WW_T].cast("long"))
+        .cast("long")
+        .alias("sm_gap_cents"),
+    )
+
+
+def _sql_silver_meal() -> str:
+    cost_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN t >= {j} AND t <= {t} THEN (t - {j}) * d ELSE 0 END)"
+        f" * {WW_HOLD_CENTS} + {WW_SETUP_CENTS} AS BIGINT) AS c_{j}_{t}"
+        for j in range(1, WW_T + 1)
+        for t in range(j, WW_T + 1)
+    )
+    f_sql = {0: None}
+    for t in range(1, WW_T + 1):
+        cands = []
+        for j in range(1, t + 1):
+            c = f"c_{j}_{t}"
+            cands.append(c if f_sql[j - 1] is None else f"({f_sql[j - 1]} + {c})")
+        e = cands[0]
+        for c in cands[1:]:
+            e = f"LEAST({e}, {c})"
+        f_sql[t] = e
+    steps, final_cost = _sm_step_snippets()
+    ctes = ["s1 AS (SELECT *, 1 AS j1, CAST(0 AS BIGINT) AS cost1, 1 AS n1 FROM costs)"]
+    for i, cols in enumerate(steps, start=2):
+        adds = ", ".join(f"{sql} AS {name}" for name, sql in cols)
+        ctes.append(f"s{i} AS (SELECT *, {adds} FROM s{i - 1})")
+    chain = ",\n".join(ctes)
+    return f"""
+WITH monthly AS (
+  SELECT month(l_shipdate) AS t, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem WHERE year(l_shipdate) = {WW_YEAR}
+  GROUP BY 1
+), spine AS (
+  SELECT CAST(UNNEST(range(1, {WW_T + 1})) AS INT) AS t
+), dense AS (
+  SELECT spine.t, CAST(COALESCE(monthly.d, 0) AS BIGINT) AS d
+  FROM spine LEFT JOIN monthly ON spine.t = monthly.t
+), costs AS (
+  SELECT CAST(SUM(d) AS BIGINT) AS total_demand_qty, {cost_cols}
+  FROM dense
+),
+{chain}
+SELECT CAST({WW_T} AS INT) AS n_periods,
+       total_demand_qty,
+       CAST({final_cost} AS BIGINT) AS sm_cost_cents,
+       CAST(n{WW_T} AS INT) AS sm_n_orders,
+       CAST({f_sql[WW_T]} AS BIGINT) AS ww_optimal_cost_cents,
+       CAST(({final_cost}) - ({f_sql[WW_T]}) AS BIGINT) AS sm_gap_cents
+FROM s{WW_T}
+"""
+
+
 QUERIES = {
+    "silver_meal_lot_sizing": q_silver_meal_lot_sizing,
     "inventory_base_stock": q_inventory_base_stock,
     "queueing_mm1_metrics": q_queueing_mm1_metrics,
     "wagner_whitin_lot_sizing": q_wagner_whitin_lot_sizing,
@@ -3613,6 +3773,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "silver_meal_lot_sizing": _sql_silver_meal(),
     "inventory_base_stock": _ORACLE_BASE_STOCK,
     "queueing_mm1_metrics": _ORACLE_MM1,
     "wagner_whitin_lot_sizing": _sql_wagner_whitin(),

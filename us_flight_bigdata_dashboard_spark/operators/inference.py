@@ -1875,7 +1875,154 @@ FROM fin
 """
 
 
+# ---------------------------------------------------------------------------
+# Cuzick trend test (round 13)
+# ---------------------------------------------------------------------------
+
+_CUZICK_Z_CRIT = 1.959963984540054
+
+
+def q_cuzick_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuzick's Wilcoxon-type test for TREND across ordered groups
+    (Cuzick 1985): does order value trend monotonically with the
+    priority LADDER 1-URGENT..5-LOW (scores z = 1..5 from the priority
+    prefix digit)? T = Σ zᵢ·rᵢ over global midranks — the k-group
+    ordered-alternative test in the LINEAR-rank family, complementing
+    ``jonckheere_terpstra`` (pairwise-U family) and ``cochran_armitage``
+    (binary outcome): same question, the rank-statistic formulation
+    clinicians cite.
+
+    Exact permutation moments (exact under ties): for a linear rank
+    statistic, E[T] = Σz·Σr/N and Var[T] = Σ(z−z̄)²·Σ(r−r̄)²/(N−1).
+    With doubled midranks m = 2t+c+1 per (value, score) cell,
+    2T = Σ c·z·m, Σ(z−z̄)²·N = N·Σc·z² − (Σc·z)² and
+    Σ(r−r̄)²·4N = N·Σc·m² − (Σc·m)² are exact DECIMAL(38,0); the
+    standardized z = (N·2T − Σz·2Σr... assembled as
+    (N·T₂ − Σz·Σm)/√(A·B₄/(N−1)) with T₂ = 2T, Σm = doubled rank sum,
+    A = N·Σz²−(Σz)², B₄ = N·Σm²−(Σm)² — every numerator exact decimal,
+    conversions through the portable limb-split (B₄ ≤ 4N⁴ and A·B₄ ≤
+    100·N⁶ stays in DECIMAL(38,0) to N ≈ 10⁶; past that, convert A and
+    B₄ separately and multiply in IEEE — one documented rounding step).
+    Degenerate contract: zero rank variance (all values tied) or zero
+    score variance (one group) → z/significance NULL.
+
+    Scale shape: one (value, score) hash agg, one value-domain
+    cumulative window, one 1-row reduce.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("z"),
+    )
+    per_vz = orders.groupBy("v", "z").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_v = per_vz.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked_v = per_v.select(
+        "v",
+        "cv",
+        (
+            F.lit(2) * F.coalesce(F.sum("cv").over(w_prev), F.lit(0))
+            + F.col("cv")
+            + F.lit(1)
+        ).alias("m"),
+    )
+    cells = per_vz.join(ranked_v, "v")
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    red = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(dec(F.col("c")) * dec(F.col("z"))).cast("decimal(38,0)").alias("sz"),
+        F.sum(dec(F.col("c")) * dec(F.col("z")) * dec(F.col("z")))
+        .cast("decimal(38,0)")
+        .alias("sz2"),
+        F.sum(dec(F.col("c")) * dec(F.col("z")) * dec(F.col("m")))
+        .cast("decimal(38,0)")
+        .alias("t2"),
+    )
+    red_v = ranked_v.agg(
+        F.sum(dec(F.col("cv")) * dec(F.col("m"))).cast("decimal(38,0)").alias("sm"),
+        F.sum(dec(F.col("cv")) * dec(F.col("m")) * dec(F.col("m")))
+        .cast("decimal(38,0)")
+        .alias("sm2"),
+    )
+    mid = red.crossJoin(red_v).select(
+        "n",
+        "t2",
+        (dec(F.col("n")) * F.col("t2") - F.col("sz") * F.col("sm"))
+        .cast("decimal(38,0)")
+        .alias("num"),
+        (dec(F.col("n")) * F.col("sz2") - F.col("sz") * F.col("sz"))
+        .cast("decimal(38,0)")
+        .alias("a_var"),
+        (dec(F.col("n")) * F.col("sm2") - F.col("sm") * F.col("sm"))
+        .cast("decimal(38,0)")
+        .alias("b4_var"),
+    )
+    nd = F.col("n").cast("double")
+    z = dec_to_double(F.col("num")) / F.sqrt(
+        dec_to_double(F.col("a_var"))
+        * dec_to_double(F.col("b4_var"))
+        / (nd - F.lit(1.0))
+    )
+    ok = (F.col("a_var") > 0) & (F.col("b4_var") > 0)
+    return mid.select(
+        "n",
+        (dec_to_double(F.col("t2")) / F.lit(2.0)).alias("t_stat"),
+        F.when(ok, z).alias("z_cuzick"),
+        F.when(ok, (F.abs(z) > F.lit(_CUZICK_Z_CRIT)).cast("int")).alias(
+            "significant_5pct"
+        ),
+    )
+
+
+def _sql_cuzick() -> str:
+    z = (
+        f"({sql_dec_to_double('num')} / sqrt({sql_dec_to_double('a_var')}"
+        f" * {sql_dec_to_double('b4_var')} / (CAST(n AS DOUBLE) - 1.0)))"
+    )
+    return f"""
+WITH per_vz AS (
+  SELECT o_totalprice AS v,
+         CAST(substring(o_orderpriority, 1, 1) AS INT) AS z,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+), per_v AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM per_vz GROUP BY 1
+), ranked_v AS (
+  SELECT v, cv,
+         2 * COALESCE(SUM(cv) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cv + 1 AS m
+  FROM per_v
+), red AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sz,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sz2,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t2
+  FROM per_vz JOIN ranked_v USING (v)
+), red_v AS (
+  SELECT CAST(SUM(CAST(cv AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sm,
+         CAST(SUM(CAST(cv AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sm2
+  FROM ranked_v
+), mid AS (
+  SELECT n, t2,
+         CAST(CAST(n AS DECIMAL(38,0)) * t2 - sz * sm AS DECIMAL(38,0)) AS num,
+         CAST(CAST(n AS DECIMAL(38,0)) * sz2 - sz * sz AS DECIMAL(38,0)) AS a_var,
+         CAST(CAST(n AS DECIMAL(38,0)) * sm2 - sm * sm AS DECIMAL(38,0)) AS b4_var
+  FROM red CROSS JOIN red_v
+)
+SELECT n,
+       {sql_dec_to_double('t2')} / 2.0 AS t_stat,
+       CASE WHEN a_var > 0 AND b4_var > 0 THEN {z} END AS z_cuzick,
+       CASE WHEN a_var > 0 AND b4_var > 0
+            THEN CAST(abs({z}) > {_CUZICK_Z_CRIT} AS INT) END AS significant_5pct
+FROM mid
+"""
+
+
 QUERIES = {
+    "cuzick_trend_test": q_cuzick_trend_test,
     "conover_squared_ranks": q_conover_squared_ranks,
     "gwet_ac1": q_gwet_ac1,
     "cochrans_q_test": q_cochrans_q_test,
@@ -1895,6 +2042,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cuzick_trend_test": _sql_cuzick(),
     "conover_squared_ranks": _sql_conover(),
     "gwet_ac1": _sql_gwet_ac1(),
     "cochrans_q_test": _ORACLE_COCHRANS_Q,

@@ -1225,7 +1225,108 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequential Poisson (order) PPS sampling (round 13)
+# ---------------------------------------------------------------------------
+
+SPS_N = 40  # draws — literal, so the sample stays audit-sized at every SF
+_SPS_BUCKETS = 64  # tournament fan-in for the distributed bottom-n
+
+
+def q_pps_sequential_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Poisson (order) PPS sampling of documents, size =
+    n_chars, 40 draws — Ohlsson's (1998) order-sampling design, the
+    fixed-size πps method national statistics offices standardized on
+    (Statistics Sweden's surveys run exactly this): each unit gets the
+    order variable ξᵢ = uᵢ/xᵢ with uᵢ uniform and xᵢ the size, and the
+    sample is the n SMALLEST ξ. Complements ``pps_systematic_sample``
+    (list-order systematic): sequential Poisson is list-order-FREE and
+    without-replacement by construction (no multiplicities).
+
+    ZERO-RNG determinism: uᵢ is the 48-bit md5 integer of doc_id (the
+    module's standard portable hash-uniform); ξᵢ = uᵢ/xᵢ is ONE IEEE
+    division of two exact integers (< 2^53 — identical doubles on both
+    engines), with the deterministic total order (ξ, u, doc_id). The
+    bottom-n is the TOURNAMENT selection (64 hash buckets → per-bucket
+    bottom-n window → one ≤64·n-row final pass), not a single-task
+    global sort; the oracle's plain ROW_NUMBER proves it value-
+    identical. The first-order weight is the standard sequential-
+    Poisson approximation wᵢ = max(1, T/(n·xᵢ)) = 1/min(1, n·xᵢ/T),
+    with the cap decided by the EXACT integer cross-multiplication
+    n·xᵢ ≥ T (no float in the branch).
+
+    Scale shape: one scan computing (u, ξ), one 64-way bucketed window,
+    one ≤2,560-row final window, one broadcast scalar total; output is
+    exactly n rows.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "n_chars",
+        u.alias("u"),
+        (u.cast("double") / F.col("n_chars").cast("double")).alias("xi"),
+    )
+    tot = keyed.agg(F.sum("n_chars").cast("long").alias("t"))
+    w_bucket = Window.partitionBy("_b").orderBy("xi", "u", "doc_id")
+    survivors = (
+        keyed.withColumn("_b", F.pmod(F.col("doc_id"), F.lit(_SPS_BUCKETS)))
+        .withColumn("_rk", F.row_number().over(w_bucket))
+        .filter(F.col("_rk") <= SPS_N)
+        .drop("_rk", "_b")
+    )
+    w_final = Window.orderBy("xi", "u", "doc_id")
+    picked = (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= SPS_N)
+        .crossJoin(F.broadcast(tot))
+    )
+    capped = F.col("n_chars").cast("decimal(38,0)") * F.lit(SPS_N) >= F.col(
+        "t"
+    ).cast("decimal(38,0)")
+    return picked.select(
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        "n_chars",
+        "xi",
+        F.when(capped, F.lit(1.0))
+        .otherwise(
+            F.col("t").cast("double")
+            / (F.lit(float(SPS_N)) * F.col("n_chars").cast("double"))
+        )
+        .alias("sps_weight"),
+    ).orderBy("rank")
+
+
+_ORACLE_SPS = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         {_sql_hex_to_int("md5(CAST(doc_id AS VARCHAR))", 1, 12)} AS u,
+         CAST({_sql_hex_to_int("md5(CAST(doc_id AS VARCHAR))", 1, 12)} AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS xi
+  FROM documents WHERE n_chars > 0
+), tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS t FROM keyed),
+picked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY xi, u, doc_id) AS rank,
+         doc_id, n_chars, xi
+  FROM keyed
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, n_chars, xi,
+       CASE WHEN CAST(n_chars AS DECIMAL(38,0)) * {SPS_N} >= CAST(t AS DECIMAL(38,0))
+            THEN 1.0
+            ELSE CAST(t AS DOUBLE) / ({float(SPS_N)!r} * CAST(n_chars AS DOUBLE))
+       END AS sps_weight
+FROM picked CROSS JOIN tot
+WHERE rank <= {SPS_N}
+ORDER BY rank
+"""
+
+
 QUERIES = {
+    "pps_sequential_poisson": q_pps_sequential_poisson,
     "pps_systematic_sample": q_pps_systematic_sample,
     "neyman_allocation": q_neyman_allocation,
     "horvitz_thompson": q_horvitz_thompson,
@@ -1245,6 +1346,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pps_sequential_poisson": _ORACLE_SPS,
     "pps_systematic_sample": _ORACLE_PPS_SYSTEMATIC,
     "neyman_allocation": _sql_neyman(),
     "horvitz_thompson": _sql_horvitz_thompson(),

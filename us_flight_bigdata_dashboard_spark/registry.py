@@ -216,6 +216,10 @@ _FLAGSHIP_PREFIX = [
     "diebold_mariano_test",
     "forecast_rolling_origin",
     "spiegelhalter_z",
+    # batch 3 (5-layer green + brute-forced in tests/test_round13_ops.py)
+    "cuzick_trend_test",
+    "pps_sequential_poisson",
+    "silver_meal_lot_sizing",
 ]
 
 
