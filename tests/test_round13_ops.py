@@ -568,3 +568,255 @@ def test_silver_meal_brute_force(spark):
     assert row["ww_optimal_cost_cents"] == ww_ref
     assert row["sm_gap_cents"] == sm_ref - ww_ref
     assert row["sm_gap_cents"] >= 0  # heuristic never beats the optimum
+
+
+# ---------------------------------------------------------------------------
+# yuen_trimmed_ttest — numpy trimmed/winsorized recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_yuen_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_yuen_trimmed_ttest,
+    )
+
+    x, y = _two_samples()
+
+    def stats(vals):
+        cents = np.sort(np.round(vals * 100).astype(np.int64))
+        n = len(cents)
+        g = (n * 20) // 100
+        mid = cents[g : n - g]
+        h = n - 2 * g
+        tm = mid.sum() / h
+        w = np.concatenate([np.full(g, cents[g]), mid, np.full(g, cents[n - g - 1])])
+        sw, sw2 = int(w.sum()), int((w.astype(object) ** 2).sum())
+        var_num = n * sw2 - sw * sw
+        d = var_num / (n * h * (h - 1))
+        return n, h, tm, d
+
+    n1, h1, tm1, d1 = stats(x)
+    n2, h2, tm2, d2 = stats(y)
+    s = d1 + d2
+    t_ref = (tm1 - tm2) / math.sqrt(s)
+    df_ref = s * s / (d1 * d1 / (h1 - 1) + d2 * d2 / (h2 - 1))
+
+    (row,) = q_yuen_trimmed_ttest(spark, SF_DIR).collect()
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["h1"] == h1 and row["h2"] == h2
+    assert row["trimmed_mean_urgent_cents"] == pytest.approx(tm1, rel=1e-12)
+    assert row["trimmed_mean_rest_cents"] == pytest.approx(tm2, rel=1e-12)
+    assert row["yuen_t"] == pytest.approx(t_ref, rel=1e-9)
+    assert row["df_satterthwaite"] == pytest.approx(df_ref, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# anderson_darling_two — brute tie-adjusted A2akN (Scholz-Stephens eq. 7)
+# ---------------------------------------------------------------------------
+
+
+def test_anderson_darling_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_anderson_darling_two,
+    )
+
+    x, y = _two_samples()
+    n1, n2 = len(x), len(y)
+    n = n1 + n2
+    vals = np.unique(np.concatenate([x, y]))
+    c1 = pd.Series(x).value_counts()
+    c2 = pd.Series(y).value_counts()
+    t1 = t2 = 0
+    total = 0.0
+    for v in vals:
+        l1, l2 = int(c1.get(v, 0)), int(c2.get(v, 0))
+        l = l1 + l2
+        b = (t1 + t2) + l / 2.0
+        m1 = t1 + l1 / 2.0
+        m2 = t2 + l2 / 2.0
+        den = b * (n - b) - n * l / 4.0
+        if den > 0:
+            total += (l / n) * (
+                (n * m1 - n1 * b) ** 2 / (n1 * den)
+                + (n * m2 - n2 * b) ** 2 / (n2 * den)
+            )
+        t1 += l1
+        t2 += l2
+    ad_ref = (n - 1) / n * total
+
+    (row,) = q_anderson_darling_two(spark, SF_DIR).collect()
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["n_values"] == len(vals)
+    assert row["ad_stat"] == pytest.approx(ad_ref, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# breusch_pagan_het — numpy OLS + auxiliary regression
+# ---------------------------------------------------------------------------
+
+
+def test_breusch_pagan_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_breusch_pagan_het,
+    )
+
+    li = _df("lineitem")
+    xq = li["l_quantity"].astype(np.int64).to_numpy()
+    yc = (li["l_extendedprice"] * 100).round(0).astype(np.int64).to_numpy()
+    yu = yc / 1e5
+    n = len(xq)
+    b = (n * (xq * yu).sum() - xq.sum() * yu.sum()) / (
+        n * (xq.astype(np.int64) ** 2).sum() - xq.sum() ** 2
+    )
+    a = (yu.sum() - b * xq.sum()) / n
+    z = (yu - a - b * xq) ** 2
+    cov = n * (z * xq).sum() - xq.sum() * z.sum()
+    r2 = cov * cov / (
+        (n * (xq**2).sum() - xq.sum() ** 2) * (n * (z**2).sum() - z.sum() ** 2)
+    )
+    lm_ref = n * r2
+
+    (row,) = q_breusch_pagan_het(spark, SF_DIR).collect()
+    assert row["n"] == n
+    assert row["slope"] == pytest.approx(b, rel=1e-12)
+    assert row["r2_aux"] == pytest.approx(r2, rel=1e-5)  # fsum quantum
+    assert row["bp_lm"] == pytest.approx(lm_ref, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# granger_causality_1lag — numpy lstsq recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_granger_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.events import (
+        q_granger_causality_1lag,
+    )
+
+    ev = _df("events")
+    daily = (
+        ev.assign(day=pd.to_datetime(ev["ts"]).dt.date)
+        .groupby("day")["event_type"]
+        .agg(
+            clicks=lambda s: int((s == "click").sum()),
+            views=lambda s: int((s == "view").sum()),
+        )
+    )
+    import datetime
+
+    rows = []
+    idx = {d: (int(r["clicks"]), int(r["views"])) for d, r in daily.iterrows()}
+    for d, (c, v) in sorted(idx.items()):
+        p = idx.get(d - datetime.timedelta(days=1))
+        if p is not None:
+            rows.append((c, p[0], p[1]))
+    yv = np.array([r[0] for r in rows], float)
+    yl = np.array([r[1] for r in rows], float)
+    xl = np.array([r[2] for r in rows], float)
+    n = len(yv)
+    Xr = np.column_stack([np.ones(n), yl])
+    Xu = np.column_stack([np.ones(n), yl, xl])
+    br, *_ = np.linalg.lstsq(Xr, yv, rcond=None)
+    bu, *_ = np.linalg.lstsq(Xu, yv, rcond=None)
+    rss_r = ((yv - Xr @ br) ** 2).sum()
+    rss_u = ((yv - Xu @ bu) ** 2).sum()
+    f_ref = (rss_r - rss_u) * (n - 3) / rss_u
+
+    (row,) = q_granger_causality_1lag(spark, SF_DIR).collect()
+    assert row["n"] == n
+    assert row["rss_restricted"] == pytest.approx(rss_r, rel=1e-6)
+    assert row["rss_unrestricted"] == pytest.approx(rss_u, rel=1e-6)
+    assert row["views_coef"] == pytest.approx(bu[2], rel=1e-6)
+    assert row["f_stat"] == pytest.approx(f_ref, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# graph_harmonic_radius — pandas brute BFS-2 on the capped edge set
+# ---------------------------------------------------------------------------
+
+
+def test_harmonic_radius_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.graph import (
+        HARMONIC_TOP,
+        MIN_COSUPPORT,
+        PARTS_PER_ORDER_CAP,
+        q_graph_harmonic_radius,
+    )
+
+    li = _df("lineitem")[["l_orderkey", "l_partkey"]].drop_duplicates()
+    sizes = li.groupby("l_orderkey").size()
+    keep = sizes[sizes <= PARTS_PER_ORDER_CAP].index
+    li = li[li["l_orderkey"].isin(keep)]
+    from collections import defaultdict
+    from itertools import combinations
+
+    support = defaultdict(int)
+    for _, grp in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(grp["l_partkey"]), 2):
+            support[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), s in support.items():
+        if s >= MIN_COSUPPORT:
+            adj[a].add(b)
+            adj[b].add(a)
+    rows = []
+    for u in adj:
+        n1 = len(adj[u])
+        two = set()
+        for m in adj[u]:
+            two |= adj[m]
+        two -= adj[u]
+        two.discard(u)
+        rows.append((2 * n1 + len(two), u, n1, len(two)))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    want = rows[:HARMONIC_TOP]
+
+    got = q_graph_harmonic_radius(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r, (h2x2, u, n1, n2) in zip(got, want):
+        assert r["part"] == u
+        assert r["n_dist1"] == n1 and r["n_dist2"] == n2
+        assert r["harmonic_r2"] == pytest.approx(h2x2 / 2.0, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# breslow_day_test — brute quadratic fitted cells under the MH estimate
+# ---------------------------------------------------------------------------
+
+
+def test_breslow_day_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        MH_BAL_THRESHOLD,
+        q_breslow_day_test,
+    )
+
+    orders = _df("orders")[["o_custkey", "o_orderpriority"]]
+    cust = _df("customer")[["c_custkey", "c_mktsegment", "c_acctbal"]]
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["e"] = (j["c_acctbal"] > MH_BAL_THRESHOLD).astype(int)
+    j["d"] = (j["o_orderpriority"] == "1-URGENT").astype(int)
+    cells = {}
+    for seg, g in j.groupby("c_mktsegment"):
+        a = int(((g.e == 1) & (g.d == 1)).sum())
+        b = int(((g.e == 1) & (g.d == 0)).sum())
+        c = int(((g.e == 0) & (g.d == 1)).sum())
+        dd = int(((g.e == 0) & (g.d == 0)).sum())
+        cells[seg] = (a, b, c, dd)
+    psi = sum(a * dd / (a + b + c + dd) for a, b, c, dd in cells.values()) / sum(
+        b * c / (a + b + c + dd) for a, b, c, dd in cells.values()
+    )
+    bd = 0.0
+    for a, b, c, dd in cells.values():
+        m1, t1, m0 = a + b, a + c, c + dd
+        qa, qb, qc = psi - 1.0, -(psi * (m1 + t1) + (m0 - t1)), psi * m1 * t1
+        disc = math.sqrt(qb * qb - 4 * qa * qc)
+        r1, r2 = (-qb + disc) / (2 * qa), (-qb - disc) / (2 * qa)
+        lo, hi = max(0.0, t1 - m0), min(m1, t1)
+        e = r2 if lo < r2 < hi else r1
+        v = 1.0 / (1 / e + 1 / (m1 - e) + 1 / (t1 - e) + 1 / (m0 - t1 + e))
+        bd += (a - e) ** 2 / v
+
+    (row,) = q_breslow_day_test(spark, SF_DIR).collect()
+    assert row["mh_or"] == pytest.approx(psi, rel=1e-12)
+    assert row["bd_stat"] == pytest.approx(bd, rel=1e-9)
+    assert row["heterogeneous_5pct"] == int(bd > 9.487729036781154)

@@ -6247,6 +6247,198 @@ ORDER BY month
 
 
 # ---------------------------------------------------------------------------
+# Granger causality, 1 lag (round 13)
+# ---------------------------------------------------------------------------
+
+_GRANGER_CHI2_CRIT = 3.841458820694124  # chi2(1) 5%, asymptotic F(1, n-3)
+
+
+def _granger_tree() -> dict[str, str]:
+    """The restricted/unrestricted OLS closed forms as ONE shared
+    expression text (used verbatim by F.expr and the oracle), over
+    double columns nd, syd, sld, sxd, syyd, slld, sxxd, syld, syxd,
+    slxd — identical text ⇒ identical IEEE evaluation order on both
+    engines."""
+    br = "((nd * syld - syd * sld) / (nd * slld - sld * sld))"
+    ar = f"((syd - {br} * sld) / nd)"
+    rss_r = f"(syyd - {ar} * syd - {br} * syld)"
+    d = (
+        "(nd * (slld * sxxd - slxd * slxd)"
+        " - sld * (sld * sxxd - slxd * sxd)"
+        " + sxd * (sld * slxd - slld * sxd))"
+    )
+    da = (
+        "(syd * (slld * sxxd - slxd * slxd)"
+        " - sld * (syld * sxxd - slxd * syxd)"
+        " + sxd * (syld * slxd - slld * syxd))"
+    )
+    db = (
+        "(nd * (syld * sxxd - syxd * slxd)"
+        " - syd * (sld * sxxd - slxd * sxd)"
+        " + sxd * (sld * syxd - syld * sxd))"
+    )
+    dc = (
+        "(nd * (slld * syxd - syld * slxd)"
+        " - sld * (sld * syxd - syld * sxd)"
+        " + syd * (sld * slxd - slld * sxd))"
+    )
+    a, b, c = f"({da} / {d})", f"({db} / {d})", f"({dc} / {d})"
+    rss_u = f"(syyd - {a} * syd - {b} * syld - {c} * syxd)"
+    fstat = f"(({rss_r} - {rss_u}) * (nd - 3.0) / {rss_u})"
+    return {"rss_r": rss_r, "rss_u": rss_u, "c": c, "f": fstat, "det": d}
+
+
+def q_granger_causality_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality at lag 1 on the daily event series: do
+    yesterday's VIEWS improve the prediction of today's CLICKS beyond
+    yesterday's clicks alone? F = ((RSS_r − RSS_u)/1)/(RSS_u/(n−3))
+    comparing the AR(1) restriction clicksₜ ~ clicksₜ₋₁ against the
+    unrestricted clicksₜ ~ clicksₜ₋₁ + viewsₜ₋₁ (Granger 1969) — the
+    funnel-lead-indicator question every growth dashboard asks, asked
+    properly. Complements ``events_cross_correlation`` (symmetric lag
+    scan) with the directional regression test.
+
+    Exactness: both counts per day are exact integers on the
+    consecutive-day frame (day−1 equi-join — gap-proof); all ten
+    sufficient moments (n, Σy, Σyₗ, Σxₗ, Σy², Σyₗ², Σxₗ², Σyyₗ, Σyxₗ,
+    Σyₗxₗ) are exact DECIMAL(38,0) hash sums converted ONCE via the
+    portable limb-split; both OLS closed forms (2×2 direct, 3×3
+    Cramer) and F are a SINGLE shared expression text evaluated by
+    F.expr and the oracle — identical text, identical IEEE tree,
+    engine-identical doubles (the ``silver_meal`` shared-snippet
+    pattern). Significance uses the asymptotic χ²(1) 5% cut
+    (F(1, n−3) → χ²(1); documented approximation — exact F quantiles
+    are transcendental in n). Degenerate contract: n ≤ 3, a singular
+    normal matrix (det = 0), or RSS_u ≤ 0 → F/significance NULL.
+
+    Scale shape: one fact-sized daily hash agg, one spine-sized
+    equi-join, one 1-row reduce — the sufficient-statistics shape of
+    ``regression_ols`` with two regressors.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("clicks"),
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("long")
+        .alias("views"),
+    )
+    prev = daily.select(
+        F.date_add("day", 1).alias("day"),
+        F.col("clicks").alias("yl"),
+        F.col("views").alias("xl"),
+    )
+    frame = daily.join(prev, "day").select(
+        F.col("clicks").alias("y"), "yl", "xl"
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    red = frame.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("yl").cast("decimal(38,0)").alias("sl"),
+        F.sum("xl").cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec(F.col("yl")) * dec(F.col("yl")))
+        .cast("decimal(38,0)")
+        .alias("sll"),
+        F.sum(dec(F.col("xl")) * dec(F.col("xl")))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("yl")))
+        .cast("decimal(38,0)")
+        .alias("syl"),
+        F.sum(dec(F.col("y")) * dec(F.col("xl")))
+        .cast("decimal(38,0)")
+        .alias("syx"),
+        F.sum(dec(F.col("yl")) * dec(F.col("xl")))
+        .cast("decimal(38,0)")
+        .alias("slx"),
+    )
+    doubled = red.select(
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        dec_to_double(F.col("sy")).alias("syd"),
+        dec_to_double(F.col("sl")).alias("sld"),
+        dec_to_double(F.col("sx")).alias("sxd"),
+        dec_to_double(F.col("syy")).alias("syyd"),
+        dec_to_double(F.col("sll")).alias("slld"),
+        dec_to_double(F.col("sxx")).alias("sxxd"),
+        dec_to_double(F.col("syl")).alias("syld"),
+        dec_to_double(F.col("syx")).alias("syxd"),
+        dec_to_double(F.col("slx")).alias("slxd"),
+    )
+    t = _granger_tree()
+    ok = (
+        (F.col("n") > 3)
+        & (F.expr(t["det"]) != 0)
+        & (F.expr(t["rss_u"]) > 0)
+    )
+    return doubled.select(
+        "n",
+        F.expr(t["rss_r"]).alias("rss_restricted"),
+        F.expr(t["rss_u"]).alias("rss_unrestricted"),
+        F.expr(t["c"]).alias("views_coef"),
+        F.when(ok, F.expr(t["f"])).alias("f_stat"),
+        F.when(
+            ok, (F.expr(t["f"]) > F.lit(_GRANGER_CHI2_CRIT)).cast("int")
+        ).alias("significant_5pct"),
+    )
+
+
+def _sql_granger() -> str:
+    t = _granger_tree()
+    ok = f"n > 3 AND {t['det']} <> 0 AND {t['rss_u']} > 0"
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views
+  FROM events GROUP BY 1
+), frame AS (
+  SELECT a.clicks AS y, p.clicks AS yl, p.views AS xl
+  FROM daily a JOIN daily p ON p.day + 1 = a.day
+), red AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(yl) AS DECIMAL(38,0)) AS sl,
+         CAST(SUM(xl) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(CAST(yl AS DECIMAL(38,0)) * CAST(yl AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sll,
+         CAST(SUM(CAST(xl AS DECIMAL(38,0)) * CAST(xl AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(yl AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syl,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(xl AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syx,
+         CAST(SUM(CAST(yl AS DECIMAL(38,0)) * CAST(xl AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS slx
+  FROM frame
+), doubled AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+         {sql_dec_to_double('sy')} AS syd,
+         {sql_dec_to_double('sl')} AS sld,
+         {sql_dec_to_double('sx')} AS sxd,
+         {sql_dec_to_double('syy')} AS syyd,
+         {sql_dec_to_double('sll')} AS slld,
+         {sql_dec_to_double('sxx')} AS sxxd,
+         {sql_dec_to_double('syl')} AS syld,
+         {sql_dec_to_double('syx')} AS syxd,
+         {sql_dec_to_double('slx')} AS slxd
+  FROM red
+)
+SELECT n,
+       {t['rss_r']} AS rss_restricted,
+       {t['rss_u']} AS rss_unrestricted,
+       {t['c']} AS views_coef,
+       CASE WHEN {ok} THEN {t['f']} END AS f_stat,
+       CASE WHEN {ok}
+            THEN CAST({t['f']} > {_GRANGER_CHI2_CRIT} AS INT) END AS significant_5pct
+FROM doubled
+"""
+
+
+# ---------------------------------------------------------------------------
 # Additive seasonal decomposition, Diebold-Mariano, rolling-origin backtest
 # (round 13)
 # ---------------------------------------------------------------------------
@@ -6617,6 +6809,7 @@ ORDER BY fold
 
 
 QUERIES = {
+    "granger_causality_1lag": q_granger_causality_1lag,
     "seasonal_decompose_additive": q_seasonal_decompose_additive,
     "diebold_mariano_test": q_diebold_mariano_test,
     "forecast_rolling_origin": q_forecast_rolling_origin,
@@ -6686,6 +6879,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "granger_causality_1lag": _sql_granger(),
     "seasonal_decompose_additive": _ORACLE_SEASONAL_DECOMPOSE,
     "diebold_mariano_test": _sql_diebold_mariano(),
     "forecast_rolling_origin": _ORACLE_ROLLING_ORIGIN,

@@ -2728,6 +2728,113 @@ LIMIT {LOCAL_BRIDGE_TOP}
 
 
 # ---------------------------------------------------------------------------
+# Radius-2 harmonic centrality (round 13)
+# ---------------------------------------------------------------------------
+
+HARMONIC_TOP = 20
+
+
+def q_graph_harmonic_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADIUS-2 HARMONIC CENTRALITY on the part co-purchase graph:
+    H₂(v) = |N₁(v)|/1 + |N₂(v)|/2 — the bounded-radius truncation of
+    harmonic centrality (Boldi & Vigna 2014, the centrality
+    ``graph_hyperball`` estimates probabilistically at full radius;
+    this entry is its EXACT small-radius companion, and the top-20
+    table is the 'most substitutable / best-connected parts' ranking).
+    Exact distance classes: N₁ = direct neighbours, N₂ = nodes at
+    distance exactly 2 (wedge-reachable minus direct minus self).
+
+    Exactness: pure integer set algebra — degree count, one wedge
+    self-join for distinct 2-paths, a LEFT ANTI against the edge list
+    for the exactly-2 class; the score is carried as the INTEGER
+    2·H₂ = 2|N₁| + |N₂| (ranking never touches a float; ties break on
+    part id asc) and ships as one final /2. Top-k via orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, no global sort).
+
+    Scale: the wedge join on the support-floored, order-capped sparse
+    edge set — the same bounded-wedge argument as ``graph_ktruss`` /
+    ``graph_local_bridges`` on the same graph.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    e = _copurchase_edges(spark, sf_dir)
+    und = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    d1 = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    a = und.select(F.col("u").alias("src"), F.col("v").alias("mid"))
+    b = und.select(F.col("u").alias("mid2"), F.col("v").alias("dst"))
+    two = (
+        a.join(b, a["mid"] == b["mid2"])
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .join(
+            und.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            ["src", "dst"],
+            "left_anti",
+        )
+    )
+    d2 = two.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    scored = (
+        d1.join(d2, d1["u"] == d2["src"], "left")
+        .select(
+            F.col("u").alias("part"),
+            "n1",
+            F.coalesce(F.col("n2"), F.lit(0)).cast("long").alias("n2"),
+        )
+        .withColumn("h2x2", (F.lit(2) * F.col("n1") + F.col("n2")).cast("long"))
+    )
+    return (
+        scored.select(
+            "part",
+            F.col("n1").alias("n_dist1"),
+            F.col("n2").alias("n_dist2"),
+            (F.col("h2x2").cast("double") / F.lit(2.0)).alias("harmonic_r2"),
+            "h2x2",
+        )
+        .orderBy(F.desc("h2x2"), F.asc("part"))
+        .limit(HARMONIC_TOP)
+        .drop("h2x2")
+    )
+
+
+_ORACLE_HARMONIC = f"""
+WITH {_SQL_CAPPED_EDGES},
+und AS MATERIALIZED (
+  SELECT p1 AS u, p2 AS v FROM e0
+  UNION ALL
+  SELECT p2 AS u, p1 AS v FROM e0
+),
+d1 AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS n1 FROM und GROUP BY 1
+),
+two AS (
+  SELECT DISTINCT a.u AS src, b.v AS dst
+  FROM und a JOIN und b ON a.v = b.u
+  WHERE a.u <> b.v
+),
+exact2 AS (
+  SELECT t.src, t.dst
+  FROM two t LEFT JOIN und e ON e.u = t.src AND e.v = t.dst
+  WHERE e.u IS NULL
+),
+d2 AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS n2 FROM exact2 GROUP BY 1
+),
+scored AS (
+  SELECT d1.u AS part, d1.n1, CAST(COALESCE(d2.n2, 0) AS BIGINT) AS n2,
+         CAST(2 * d1.n1 + COALESCE(d2.n2, 0) AS BIGINT) AS h2x2
+  FROM d1 LEFT JOIN d2 ON d2.src = d1.u
+)
+SELECT part, n1 AS n_dist1, n2 AS n_dist2,
+       CAST(h2x2 AS DOUBLE) / 2.0 AS harmonic_r2
+FROM scored
+ORDER BY h2x2 DESC, part ASC
+LIMIT {HARMONIC_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-user dyad reciprocity on the journey transition graph (round 13)
 # ---------------------------------------------------------------------------
 
@@ -2838,6 +2945,7 @@ ORDER BY recip_decile
 
 
 QUERIES = {
+    "graph_harmonic_radius": q_graph_harmonic_radius,
     "graph_reciprocity": q_graph_reciprocity,
     "graph_ktruss": q_graph_ktruss,
     "graph_local_bridges": q_graph_local_bridges,
@@ -2866,6 +2974,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "graph_harmonic_radius": _ORACLE_HARMONIC,
     "graph_reciprocity": _ORACLE_RECIPROCITY,
     "graph_ktruss": _sql_ktruss(),
     "graph_local_bridges": _ORACLE_LOCAL_BRIDGES,

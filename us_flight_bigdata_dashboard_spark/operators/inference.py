@@ -1876,6 +1876,195 @@ FROM fin
 
 
 # ---------------------------------------------------------------------------
+# Breslow-Day homogeneity-of-odds-ratios test (round 13)
+# ---------------------------------------------------------------------------
+
+_BD_CHI2_CRIT_4DF = 9.487729036781154  # chi2(k-1 = 4) 5%, Python-folded
+
+
+def _bd_tree() -> dict[str, str]:
+    """Breslow-Day as ONE shared expression text (F.expr + oracle) over
+    per-stratum columns a{i}, m1{i} (exposed margin), t1{i} (case
+    margin), m0{i} (unexposed margin) and the pooled psi: per stratum
+    the expected a-cell under the common OR solves the quadratic
+    (ψ−1)Ẽ² − [ψ(m1+t1) + (m0−t1)]Ẽ + ψ·m1·t1 = 0 with the root chosen
+    INSIDE the admissible interval (max(0, t1−m0), min(m1, t1)); the
+    variance is the harmonic combination of the four fitted cells, and
+    BD = Σ (a−Ẽ)²/V in fixed left-to-right stratum order."""
+    mh_num = " + ".join(f"u{i}" for i in range(len(_SEGMENTS)))
+    mh_den = " + ".join(f"v{i}" for i in range(len(_SEGMENTS)))
+    psi = f"(({mh_num}) / ({mh_den}))"
+    # per-stratum fitted cells reference a NAMED `psi` column (computed
+    # once in its own projection), and the BD sum references NAMED e{i}
+    # columns — keeps every generated expression small enough for
+    # whole-stage codegen (the fully-inlined form blew the 64KB Janino
+    # method limit, measured live on the first gate run)
+    e_cols = []
+    terms = []
+    for i in range(len(_SEGMENTS)):
+        m1d = f"CAST(cm1{i} AS DOUBLE)"
+        t1d = f"CAST(ct1{i} AS DOUBLE)"
+        m0d = f"CAST(cm0{i} AS DOUBLE)"
+        qa = "(psi - 1.0)"
+        qb = f"(-(psi * ({m1d} + {t1d}) + ({m0d} - {t1d})))"
+        qc = f"(psi * {m1d} * {t1d})"
+        disc = f"sqrt({qb} * {qb} - 4.0 * {qa} * {qc})"
+        r1 = f"((-{qb} + {disc}) / (2.0 * {qa}))"
+        r2 = f"((-{qb} - {disc}) / (2.0 * {qa}))"
+        lo = f"GREATEST(0.0, {t1d} - {m0d})"
+        hi = f"LEAST({m1d}, {t1d})"
+        e_cols.append(
+            f"(CASE WHEN {r2} > {lo} AND {r2} < {hi} THEN {r2} ELSE {r1} END)"
+        )
+        v = (
+            f"(1.0 / (1.0 / e{i} + 1.0 / ({m1d} - e{i}) + 1.0 / ({t1d} - e{i})"
+            f" + 1.0 / ({m0d} - {t1d} + e{i})))"
+        )
+        dev = f"(CAST(ca{i} AS DOUBLE) - e{i})"
+        terms.append(f"({dev} * {dev} / {v})")
+    bd = "(" + " + ".join(terms) + ")"
+    ok = " AND ".join(
+        f"cm1{i} > 0 AND ct1{i} > 0 AND cm0{i} > 0 AND cm1{i} + cm0{i} > ct1{i}"
+        for i in range(len(_SEGMENTS))
+    )
+    return {"psi": psi, "e": e_cols, "bd": bd, "ok": ok}
+
+
+def q_breslow_day_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breslow-Day test of ODDS-RATIO HOMOGENEITY across the five
+    market-segment strata — the companion question to
+    ``mantel_haenszel_or`` (same 2×2 tables: high-balance exposure ×
+    urgent outcome): MH pools the per-stratum ORs into one number, BD
+    asks whether pooling is even LEGITIMATE (Breslow & Day 1980,
+    §IV.4). BD = Σ_s (a_s − Ẽ_s)²/V_s ~ χ²(k−1) under a common OR,
+    where Ẽ_s is the fitted a-cell under the MH estimate ψ: the
+    admissible root of the quadratic (ψ−1)Ẽ² − [ψ(m1+t1)+(m0−t1)]Ẽ +
+    ψ·m1·t1 = 0, and 1/V_s is the harmonic sum of the four fitted
+    cells.
+
+    Exactness: cells/margins are exact integer counts from ONE hash
+    agg, pivoted onto the LITERAL five-segment domain (fixed columns —
+    the module discipline); ψ, every quadratic root (one sqrt each)
+    and the k-term BD sum are a SINGLE shared expression text
+    evaluated by F.expr and the oracle — identical text, identical
+    IEEE tree, engine-identical doubles. Significance vs the literal
+    χ²(4) cut. Degenerate contract: any stratum with an empty margin
+    (no exposed, no cases, no unexposed, or all-cases) → BD NULL
+    under an explicit guard mirrored in the oracle.
+
+    Scale shape: one orders⋈customer equi-join, one conditional-count
+    hash agg to ≤5 rows, one 1-row literal-domain reduction —
+    identical to mantel_haenszel_or.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    e = (F.col("c_acctbal") > F.lit(MH_BAL_THRESHOLD)).cast("int")
+    d = (F.col("o_orderpriority") == "1-URGENT").cast("int")
+    cells = j.groupBy("c_mktsegment").agg(
+        F.sum(e * d).cast("long").alias("a"),
+        F.sum(e * (1 - d)).cast("long").alias("b"),
+        F.sum((1 - e) * d).cast("long").alias("c"),
+        F.sum((1 - e) * (1 - d)).cast("long").alias("dd"),
+    )
+    nd = (F.col("a") + F.col("b") + F.col("c") + F.col("dd")).cast("double")
+    num_t = F.col("a").cast("double") * F.col("dd").cast("double") / nd
+    den_t = F.col("b").cast("double") * F.col("c").cast("double") / nd
+    aggs = [
+        F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("dd"))
+        .cast("long")
+        .alias("n_rows"),
+    ]
+    for i, seg in enumerate(_SEGMENTS):
+        m = F.col("c_mktsegment") == seg
+        aggs.append(F.max(F.when(m, num_t)).alias(f"u{i}"))
+        aggs.append(F.max(F.when(m, den_t)).alias(f"v{i}"))
+        aggs.append(F.max(F.when(m, F.col("a"))).cast("long").alias(f"ca{i}"))
+        aggs.append(
+            F.max(F.when(m, F.col("a") + F.col("b"))).cast("long").alias(f"cm1{i}")
+        )
+        aggs.append(
+            F.max(F.when(m, F.col("a") + F.col("c"))).cast("long").alias(f"ct1{i}")
+        )
+        aggs.append(
+            F.max(F.when(m, F.col("c") + F.col("dd")))
+            .cast("long")
+            .alias(f"cm0{i}")
+        )
+    red = cells.agg(*aggs)
+    t = _bd_tree()
+    staged = red.withColumn("psi", F.expr(t["psi"]))
+    for i, e_sql in enumerate(t["e"]):
+        staged = staged.withColumn(f"e{i}", F.expr(e_sql))
+    ok = F.expr(t["ok"])
+    return staged.select(
+        "n_rows",
+        F.col("psi").alias("mh_or"),
+        F.when(ok, F.expr(t["bd"])).alias("bd_stat"),
+        F.when(
+            ok, (F.expr(t["bd"]) > F.lit(_BD_CHI2_CRIT_4DF)).cast("int")
+        ).alias("heterogeneous_5pct"),
+    )
+
+
+def _sql_breslow_day() -> str:
+    t = _bd_tree()
+    seg_cols = []
+    for i, seg in enumerate(_SEGMENTS):
+        m = f"c_mktsegment = '{seg}'"
+        seg_cols.append(
+            f"MAX(CASE WHEN {m} THEN CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)"
+            f" / CAST(a + b + c + dd AS DOUBLE) END) AS u{i}"
+        )
+        seg_cols.append(
+            f"MAX(CASE WHEN {m} THEN CAST(b AS DOUBLE) * CAST(c AS DOUBLE)"
+            f" / CAST(a + b + c + dd AS DOUBLE) END) AS v{i}"
+        )
+        seg_cols.append(f"CAST(MAX(CASE WHEN {m} THEN a END) AS BIGINT) AS ca{i}")
+        seg_cols.append(
+            f"CAST(MAX(CASE WHEN {m} THEN a + b END) AS BIGINT) AS cm1{i}"
+        )
+        seg_cols.append(
+            f"CAST(MAX(CASE WHEN {m} THEN a + c END) AS BIGINT) AS ct1{i}"
+        )
+        seg_cols.append(
+            f"CAST(MAX(CASE WHEN {m} THEN c + dd END) AS BIGINT) AS cm0{i}"
+        )
+    cols = ",\n         ".join(seg_cols)
+    return f"""
+WITH cells AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CASE WHEN c_acctbal > {MH_BAL_THRESHOLD!r} AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN c_acctbal > {MH_BAL_THRESHOLD!r} AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN c_acctbal <= {MH_BAL_THRESHOLD!r} AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN c_acctbal <= {MH_BAL_THRESHOLD!r} AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS dd
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+), red AS (
+  SELECT CAST(SUM(a + b + c + dd) AS BIGINT) AS n_rows,
+         {cols}
+  FROM cells
+), staged0 AS (
+  SELECT *, {t['psi']} AS psi FROM red
+), staged AS (
+  SELECT *, {", ".join(f"{e_sql} AS e{i}" for i, e_sql in enumerate(t['e']))}
+  FROM staged0
+)
+SELECT n_rows,
+       psi AS mh_or,
+       CASE WHEN {t['ok']} THEN {t['bd']} END AS bd_stat,
+       CASE WHEN {t['ok']}
+            THEN CAST({t['bd']} > {_BD_CHI2_CRIT_4DF} AS INT) END AS heterogeneous_5pct
+FROM staged
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cuzick trend test (round 13)
 # ---------------------------------------------------------------------------
 
@@ -2022,6 +2211,7 @@ FROM mid
 
 
 QUERIES = {
+    "breslow_day_test": q_breslow_day_test,
     "cuzick_trend_test": q_cuzick_trend_test,
     "conover_squared_ranks": q_conover_squared_ranks,
     "gwet_ac1": q_gwet_ac1,
@@ -2042,6 +2232,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "breslow_day_test": _sql_breslow_day(),
     "cuzick_trend_test": _sql_cuzick(),
     "conover_squared_ranks": _sql_conover(),
     "gwet_ac1": _sql_gwet_ac1(),

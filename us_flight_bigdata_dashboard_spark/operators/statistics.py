@@ -4555,6 +4555,518 @@ FROM mid
 
 
 # ---------------------------------------------------------------------------
+# Breusch-Pagan heteroscedasticity test (round 13)
+# ---------------------------------------------------------------------------
+
+_BP_UNIT_CENTS = 10**5  # price unit $10^3 — residuals land O(1) in this unit
+_BP_FS = 7  # fsum scale: |sum|·10^7 inside 2^53 past sf1 (bump unit beyond)
+_BP_CHI2_CRIT = 3.841458820694124
+
+
+def _bp_coef_tree() -> dict[str, str]:
+    """OLS slope/intercept in the scaled unit as ONE shared expression
+    text over double columns nd, sxd, sxxd, syd, sxyd (identical text ⇒
+    identical IEEE tree on both engines)."""
+    b = "((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))"
+    a = f"((syd - {b} * sxd) / nd)"
+    return {"a": a, "b": b}
+
+
+def q_breusch_pagan_het(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test on the global OLS fit of
+    extended price on quantity (the ungrouped ``regression_ols``
+    line): LM = n·R²ₐᵤₓ of the auxiliary regression of squared
+    residuals on the regressor ~ χ²(1) under homoscedasticity
+    (Breusch & Pagan 1979, Koenker's studentized LM form) — the
+    misspecification check that says whether the OLS slope's
+    textbook standard errors are even meaningful, beside
+    ``durbin_watson`` (residual autocorrelation) and ``chow_test``
+    (structural break): the residual-diagnostics shelf.
+
+    Exactness: first-stage moments (n, Σx, Σx², Σy, Σxy with y in
+    exact cents) are exact DECIMAL(38,0) sums; slope/intercept are a
+    SHARED expression text on their limb-split doubles (identical IEEE
+    tree both engines — the ``silver_meal`` pattern), broadcast back
+    over the data; each residual e′ = y′ − a − b·x is ONE fixed IEEE
+    expression in $10³ units (residuals are O($10³), so e′ and z = e′²
+    land O(1) — the unit is chosen so the fsum quantum is ~10⁻⁷
+    RELATIVE, measured live: the first $10⁵-unit draft left z ≈ 10⁻⁴
+    and the quantization visibly bent R²ₐᵤₓ); Σz, Σz², Σxz are floor-quantized
+    (``fsum`` scale 7: |Σxz|·10⁷ ≤ n·50·10⁷ inside 2^53 through sf1 —
+    the module's documented unit-divisor ladder moves beyond); R²ₐᵤₓ
+    and LM are one fixed IEEE sequence. Significance vs the literal
+    χ²(1) cut. Degenerate contract: zero regressor variance or zero
+    auxiliary variance (exactly homoscedastic residuals) → LM NULL
+    under explicit guards.
+
+    Scale shape: TWO fact-sized passes (moments, then residual
+    moments with the broadcast coefficients) — the unavoidable
+    two-stage shape of residual diagnostics — each a map-side-
+    combinable hash agg; everything else is 1-row arithmetic.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    mom = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).cast("decimal(38,0)").alias("sxx"),
+        F.sum("cents").cast("decimal(38,0)").alias("sy_c"),
+        F.sum(dec(F.col("x")) * dec(F.col("cents")))
+        .cast("decimal(38,0)")
+        .alias("sxy_c"),
+    )
+    u = float(_BP_UNIT_CENTS)
+    coef_in = mom.select(
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        dec_to_double(F.col("sx")).alias("sxd"),
+        dec_to_double(F.col("sxx")).alias("sxxd"),
+        (dec_to_double(F.col("sy_c")) / F.lit(u)).alias("syd"),
+        (dec_to_double(F.col("sxy_c")) / F.lit(u)).alias("sxyd"),
+    )
+    tr = _bp_coef_tree()
+    coefs = coef_in.select(
+        "n",
+        "nd",
+        "sxd",
+        "sxxd",
+        F.expr(tr["a"]).alias("a"),
+        F.expr(tr["b"]).alias("b"),
+    )
+    z = (
+        F.col("cents").cast("double") / F.lit(u)
+        - F.col("a")
+        - F.col("b") * F.col("x").cast("double")
+    )
+    z2 = z * z
+    aux = li.crossJoin(F.broadcast(coefs)).select(
+        "n", "nd", "sxd", "sxxd", "a", "b", "x", z2.alias("z")
+    )
+    red = aux.agg(
+        F.max("n").alias("n"),
+        F.max("nd").alias("nd"),
+        F.max("sxd").alias("sxd"),
+        F.max("sxxd").alias("sxxd"),
+        F.max("b").alias("slope"),
+        fsum("z", scale=_BP_FS).alias("sz"),
+        fsum(F.col("z") * F.col("z"), scale=_BP_FS).alias("szz"),
+        fsum(F.col("z") * F.col("x").cast("double"), scale=_BP_FS).alias("szx"),
+    )
+    sxx_var = F.col("nd") * F.col("sxxd") - F.col("sxd") * F.col("sxd")
+    szz_var = F.col("nd") * F.col("szz") - F.col("sz") * F.col("sz")
+    cov = F.col("nd") * F.col("szx") - F.col("sxd") * F.col("sz")
+    r2 = cov * cov / (sxx_var * szz_var)
+    lm = F.col("nd") * r2
+    ok = (sxx_var > 0) & (szz_var > 0)
+    return red.select(
+        "n",
+        "slope",
+        F.when(ok, r2).alias("r2_aux"),
+        F.when(ok, lm).alias("bp_lm"),
+        F.when(ok, (lm > F.lit(_BP_CHI2_CRIT)).cast("int")).alias(
+            "significant_5pct"
+        ),
+    )
+
+
+def _sql_breusch_pagan() -> str:
+    tr = _bp_coef_tree()
+    z = f"(CAST(cents AS DOUBLE) / {float(_BP_UNIT_CENTS)!r} - a - b * CAST(x AS DOUBLE))"
+    sxx_var = "(nd * sxxd - sxd * sxd)"
+    szz_var = "(nd * szz - sz * sz)"
+    cov = "(nd * szx - sxd * sz)"
+    r2 = f"({cov} * {cov} / ({sxx_var} * {szz_var}))"
+    lm = f"(nd * {r2})"
+    ok = f"{sxx_var} > 0 AND {szz_var} > 0"
+    return f"""
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS sy_c,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy_c
+  FROM li
+), coef_in AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+         {sql_dec_to_double('sx')} AS sxd,
+         {sql_dec_to_double('sxx')} AS sxxd,
+         {sql_dec_to_double('sy_c')} / {float(_BP_UNIT_CENTS)!r} AS syd,
+         {sql_dec_to_double('sxy_c')} / {float(_BP_UNIT_CENTS)!r} AS sxyd
+  FROM mom
+), coefs AS (
+  SELECT n, nd, sxd, sxxd, {tr['a']} AS a, {tr['b']} AS b FROM coef_in
+), aux AS (
+  SELECT n, nd, sxd, sxxd, b, x, {z} * {z} AS zz
+  FROM li CROSS JOIN coefs
+), red AS (
+  SELECT MAX(n) AS n, MAX(nd) AS nd, MAX(sxd) AS sxd, MAX(sxxd) AS sxxd,
+         MAX(b) AS slope,
+         {sql_fsum('zz', scale=_BP_FS)} AS sz,
+         {sql_fsum('zz * zz', scale=_BP_FS)} AS szz,
+         {sql_fsum('zz * CAST(x AS DOUBLE)', scale=_BP_FS)} AS szx
+  FROM aux
+)
+SELECT n, slope,
+       CASE WHEN {ok} THEN {r2} END AS r2_aux,
+       CASE WHEN {ok} THEN {lm} END AS bp_lm,
+       CASE WHEN {ok} THEN CAST({lm} > {_BP_CHI2_CRIT} AS INT) END AS significant_5pct
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Anderson-Darling (Scholz-Stephens, tie-adjusted) (round 13)
+# ---------------------------------------------------------------------------
+
+
+def q_anderson_darling_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling A²-statistic on order value, urgent
+    vs rest — the tie-adjusted (midrank / discrete-parent) A²ₐₖN of
+    Scholz & Stephens (1987, eq. 7) at k = 2: the EDF test that weights
+    the distribution TAILS by 1/(F(1−F)), which is exactly where
+    ``ks_two_sample`` (sup norm, center-sensitive) and
+    ``cramer_von_mises_two`` (unweighted L2) lose power. Completes the
+    EDF shelf: KS (sup) / CvM (L2) / Kuiper (cyclic sup) / AD
+    (tail-weighted L2).
+
+    Exact quarter-integer algebra on the per-value frame: with doubled
+    cumulative-midpoint counts B₂ = 2t + l and per-sample M₂ᵢ = 2tᵢ +
+    lᵢ (all exact integers per tied group), the per-value contribution
+    collapses to l·Σᵢ (N·M₂ᵢ − nᵢ·B₂)²/(nᵢ·(B₂(2N−B₂) − N·l)) — the
+    /4 factors cancel exactly — so every operand is an exact integer,
+    each row's term is ONE fixed IEEE expression, the cross-value
+    reduction is floor-quantized (``fsum`` scale 6; Σ ≈ N·A²/(N−1)
+    stays inside 2^53 past 10⁹ rows) and A² = (N−1)/N² · Σ. The j-row
+    denominator B₂(2N−B₂) − N·l equals l(N−l) at the last distinct
+    value — strictly positive except when ALL values are tied, the one
+    degenerate state, where zero rows survive the den > 0 filter and
+    A² is NULL (documented contract). No p-value / standardized T is
+    reported: σ²_N needs harmonic sums Σ1/i whose float reduction is
+    engine-ORDERED — the statistic itself (comparable against the
+    Scholz-Stephens tables) is the deliverable.
+
+    Scale shape: identical to ``ks_two_sample`` — one value-domain hash
+    agg, one domain-sized cumulative window, one 1-row reduce.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").cast("long").alias("l1"),
+            F.sum(F.lit(1) - F.col("g1")).cast("long").alias("l2"),
+        )
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "l1",
+        "l2",
+        (F.col("l1") + F.col("l2")).alias("l"),
+        F.coalesce(F.sum("l1").over(w_prev), F.lit(0)).alias("t1"),
+        F.coalesce(F.sum("l2").over(w_prev), F.lit(0)).alias("t2"),
+    )
+    tot = per_v.agg(
+        F.sum("l1").cast("long").alias("n1"),
+        F.sum("l2").cast("long").alias("n2"),
+        F.sum(F.col("l1") + F.col("l2")).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    b2 = (F.lit(2) * (F.col("t1") + F.col("t2")) + F.col("l")).cast("double")
+    m21 = (F.lit(2) * F.col("t1") + F.col("l1")).cast("double")
+    m22 = (F.lit(2) * F.col("t2") + F.col("l2")).cast("double")
+    den = b2 * (F.lit(2.0) * nd - b2) - nd * F.col("l").cast("double")
+    dev1 = nd * m21 - F.col("n1").cast("double") * b2
+    dev2 = nd * m22 - F.col("n2").cast("double") * b2
+    term = F.col("l").cast("double") * (
+        dev1 * dev1 / (F.col("n1").cast("double") * den)
+        + dev2 * dev2 / (F.col("n2").cast("double") * den)
+    )
+    red = j.filter(den > 0).agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("n").alias("n"),
+        F.max("n_values").alias("n_values"),
+        fsum(term, scale=6).alias("_s"),
+    )
+    return red.select(
+        "n1",
+        "n2",
+        "n_values",
+        (
+            (F.col("n").cast("double") - F.lit(1.0))
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+            * F.col("_s")
+        ).alias("ad_stat"),
+    )
+
+
+def _sql_anderson_darling() -> str:
+    b2 = "CAST(2 * (t1 + t2) + l AS DOUBLE)"
+    m21 = "CAST(2 * t1 + l1 AS DOUBLE)"
+    m22 = "CAST(2 * t2 + l2 AS DOUBLE)"
+    nd = "CAST(n AS DOUBLE)"
+    den = f"({b2} * (2.0 * {nd} - {b2}) - {nd} * CAST(l AS DOUBLE))"
+    dev1 = f"({nd} * {m21} - CAST(n1 AS DOUBLE) * {b2})"
+    dev2 = f"({nd} * {m22} - CAST(n2 AS DOUBLE) * {b2})"
+    term = (
+        f"(CAST(l AS DOUBLE) * ({dev1} * {dev1} / (CAST(n1 AS DOUBLE) * {den})"
+        f" + {dev2} * {dev2} / (CAST(n2 AS DOUBLE) * {den})))"
+    )
+    return f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         CAST(SUM(CASE WHEN {KS_GROUP_PRED} THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+         CAST(SUM(CASE WHEN {KS_GROUP_PRED} THEN 0 ELSE 1 END) AS BIGINT) AS l2
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT l1, l2, l1 + l2 AS l,
+         CAST(COALESCE(SUM(l1) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS t1,
+         CAST(COALESCE(SUM(l2) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS t2
+  FROM per_v
+), tot AS (
+  SELECT CAST(SUM(l1) AS BIGINT) AS n1, CAST(SUM(l2) AS BIGINT) AS n2,
+         CAST(SUM(l1 + l2) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_values
+  FROM per_v
+), red AS (
+  SELECT MAX(n1) AS n1, MAX(n2) AS n2, MAX(n) AS n, MAX(n_values) AS n_values,
+         {sql_fsum(term, scale=6)} AS _s
+  FROM ranked CROSS JOIN tot
+  WHERE {den} > 0
+)
+SELECT n1, n2, n_values,
+       (CAST(n AS DOUBLE) - 1.0) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * _s
+         AS ad_stat
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
+# Yuen trimmed-mean two-sample test (round 13)
+# ---------------------------------------------------------------------------
+
+YUEN_TRIM_PCT = 20  # two-sided trim share, Wilcox's standard 20%
+
+
+def q_yuen_trimmed_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's trimmed-mean two-sample test on order value, urgent vs
+    rest (Yuen 1974; the default robust two-sample location test of
+    Wilcox's robust-statistics canon, 20% trim): Welch's t on TRIMMED
+    means with WINSORIZED variances — keeps near-nominal error rates
+    under the heavy tails and skew that break the plain t-test, while
+    staying a mean-like (not rank) comparison. Completes the location
+    shelf beside ``welch_ttest`` (raw means), ``mann_whitney_u`` /
+    ``brunner_munzel_test`` (ranks) and ``hodges_lehmann_shift``
+    (pairwise median).
+
+    Exactness: trim counts g = (n·20) DIV 100 are integer rank
+    arithmetic on the (value, orderkey) total order; the winsorization
+    boundary values x_(g+1), x_(n−g) are exact rank picks (conditional
+    MAX at rn = g+1 / rn = n−g); winsorized moments Sw = S_mid +
+    g·(x_lo + x_hi) and Sw2 = Q_mid + g·(x_lo² + x_hi²) are exact
+    DECIMAL(38,0) in cents; each variance numerator n·Sw2 − Sw² stays
+    exact decimal (≤ n²·maxv² — inside DECIMAL(38,0) past 10⁹ rows at
+    cent scale), converted via the portable limb-split; t and the
+    Satterthwaite df are ONE fixed IEEE sequence on those scalars. No
+    p-value is reported (t_crit depends on df; the statistic + df are
+    the deliverable, the house convention for t-family tests).
+    Degenerate contract: a group with h = n − 2g < 2 or zero combined
+    winsorized variance → t/df NULL under explicit guards.
+
+    Scale shape: one per-group rank window (the trimmed_mean domain
+    notes apply: range-partitioned ranking at scale) then ONE
+    map-side-combinable conditional agg to a 1-row frame.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    g1 = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    w = Window.partitionBy("grp").orderBy("v", "o_orderkey")
+    wn = Window.partitionBy("grp")
+    ranked = orders.select(
+        g1.alias("grp"), cents.alias("v"), "o_orderkey"
+    ).select(
+        "grp",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    ).withColumn("g", F.expr(f"(n * {YUEN_TRIM_PCT}) DIV 100"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    mid = (F.col("rn") > F.col("g")) & (F.col("rn") <= F.col("n") - F.col("g"))
+    per_grp = ranked.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("g").alias("g"),
+        F.sum(F.when(mid, dec(F.col("v"))).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("s_mid"),
+        F.sum(
+            F.when(mid, dec(F.col("v")) * dec(F.col("v"))).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("q_mid"),
+        F.max(F.when(F.col("rn") == F.col("g") + 1, F.col("v"))).alias("x_lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("g"), F.col("v"))).alias(
+            "x_hi"
+        ),
+    )
+    stats = per_grp.select(
+        "grp",
+        "n",
+        (F.col("n") - F.lit(2) * F.col("g")).alias("h"),
+        (F.col("s_mid")).alias("s_trim"),
+        (
+            F.col("s_mid")
+            + dec(F.col("g")) * (dec(F.col("x_lo")) + dec(F.col("x_hi")))
+        )
+        .cast("decimal(38,0)")
+        .alias("sw"),
+        (
+            F.col("q_mid")
+            + dec(F.col("g"))
+            * (
+                dec(F.col("x_lo")) * dec(F.col("x_lo"))
+                + dec(F.col("x_hi")) * dec(F.col("x_hi"))
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("sw2"),
+    ).select(
+        "grp",
+        "n",
+        "h",
+        "s_trim",
+        (dec(F.col("n")) * F.col("sw2") - F.col("sw") * F.col("sw"))
+        .cast("decimal(38,0)")
+        .alias("wvar_num"),
+    )
+    one = stats.groupBy().pivot("grp", [0, 1]).agg(
+        F.max("n").alias("n"),
+        F.max("h").alias("h"),
+        F.max("s_trim").alias("st"),
+        F.max("wvar_num").alias("wv"),
+    )
+    # pivot produces 0_n, 0_h, ..., 1_wv
+    n1, h1 = F.col("`1_n`"), F.col("`1_h`").cast("double")
+    n2, h2 = F.col("`0_n`"), F.col("`0_h`").cast("double")
+    tm1 = dec_to_double(F.col("`1_st`")) / h1
+    tm2 = dec_to_double(F.col("`0_st`")) / h2
+    d1 = dec_to_double(F.col("`1_wv`")) / (
+        n1.cast("double") * h1 * (h1 - F.lit(1.0))
+    )
+    d2 = dec_to_double(F.col("`0_wv`")) / (
+        n2.cast("double") * h2 * (h2 - F.lit(1.0))
+    )
+    s = d1 + d2
+    t = (tm1 - tm2) / F.sqrt(s)
+    dfree = s * s / (
+        d1 * d1 / (h1 - F.lit(1.0)) + d2 * d2 / (h2 - F.lit(1.0))
+    )
+    ok = (F.col("`1_h`") >= 2) & (F.col("`0_h`") >= 2) & (
+        (F.col("`1_wv`") > 0) | (F.col("`0_wv`") > 0)
+    )
+    return one.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.col("`1_h`").cast("long").alias("h1"),
+        F.col("`0_h`").cast("long").alias("h2"),
+        tm1.alias("trimmed_mean_urgent_cents"),
+        tm2.alias("trimmed_mean_rest_cents"),
+        F.when(ok, t).alias("yuen_t"),
+        F.when(ok, dfree).alias("df_satterthwaite"),
+    )
+
+
+def _sql_yuen() -> str:
+    d1 = (
+        f"({sql_dec_to_double('wv1')} / (CAST(n1_ AS DOUBLE) * CAST(h1_ AS DOUBLE)"
+        f" * (CAST(h1_ AS DOUBLE) - 1.0)))"
+    )
+    d2 = (
+        f"({sql_dec_to_double('wv0')} / (CAST(n0_ AS DOUBLE) * CAST(h0_ AS DOUBLE)"
+        f" * (CAST(h0_ AS DOUBLE) - 1.0)))"
+    )
+    tm1 = f"({sql_dec_to_double('st1')} / CAST(h1_ AS DOUBLE))"
+    tm2 = f"({sql_dec_to_double('st0')} / CAST(h0_ AS DOUBLE))"
+    s = f"({d1} + {d2})"
+    t = f"(({tm1} - {tm2}) / sqrt({s}))"
+    dfree = (
+        f"({s} * {s} / ({d1} * {d1} / (CAST(h1_ AS DOUBLE) - 1.0)"
+        f" + {d2} * {d2} / (CAST(h0_ AS DOUBLE) - 1.0)))"
+    )
+    ok = "h1_ >= 2 AND h0_ >= 2 AND (wv1 > 0 OR wv0 > 0)"
+    return f"""
+WITH ranked AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                            ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), o_orderkey) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n
+  FROM orders
+), gd AS (
+  SELECT grp, v, rn, n, (n * {YUEN_TRIM_PCT}) // 100 AS g FROM ranked
+), per_grp AS (
+  SELECT grp, MAX(n) AS n, MAX(g) AS g,
+         CAST(SUM(CASE WHEN rn > g AND rn <= n - g THEN CAST(v AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s_mid,
+         CAST(SUM(CASE WHEN rn > g AND rn <= n - g THEN CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS q_mid,
+         MAX(CASE WHEN rn = g + 1 THEN v END) AS x_lo,
+         MAX(CASE WHEN rn = n - g THEN v END) AS x_hi
+  FROM gd GROUP BY 1
+), stats AS (
+  SELECT grp, n, n - 2 * g AS h, s_mid AS s_trim,
+         CAST(CAST(n AS DECIMAL(38,0))
+              * CAST(q_mid + CAST(g AS DECIMAL(38,0)) * (CAST(x_lo AS DECIMAL(38,0)) * CAST(x_lo AS DECIMAL(38,0)) + CAST(x_hi AS DECIMAL(38,0)) * CAST(x_hi AS DECIMAL(38,0))) AS DECIMAL(38,0))
+              - CAST(s_mid + CAST(g AS DECIMAL(38,0)) * (CAST(x_lo AS DECIMAL(38,0)) + CAST(x_hi AS DECIMAL(38,0))) AS DECIMAL(38,0))
+              * CAST(s_mid + CAST(g AS DECIMAL(38,0)) * (CAST(x_lo AS DECIMAL(38,0)) + CAST(x_hi AS DECIMAL(38,0))) AS DECIMAL(38,0))
+              AS DECIMAL(38,0)) AS wvar_num
+  FROM per_grp
+), one AS (
+  SELECT MAX(CASE WHEN grp = 1 THEN n END) AS n1_,
+         MAX(CASE WHEN grp = 0 THEN n END) AS n0_,
+         MAX(CASE WHEN grp = 1 THEN h END) AS h1_,
+         MAX(CASE WHEN grp = 0 THEN h END) AS h0_,
+         MAX(CASE WHEN grp = 1 THEN s_trim END) AS st1,
+         MAX(CASE WHEN grp = 0 THEN s_trim END) AS st0,
+         MAX(CASE WHEN grp = 1 THEN wvar_num END) AS wv1,
+         MAX(CASE WHEN grp = 0 THEN wvar_num END) AS wv0
+  FROM stats
+)
+SELECT CAST(n1_ AS BIGINT) AS n1, CAST(n0_ AS BIGINT) AS n2,
+       CAST(h1_ AS BIGINT) AS h1, CAST(h0_ AS BIGINT) AS h2,
+       {tm1} AS trimmed_mean_urgent_cents,
+       {tm2} AS trimmed_mean_rest_cents,
+       CASE WHEN {ok} THEN {t} END AS yuen_t,
+       CASE WHEN {ok} THEN {dfree} END AS df_satterthwaite
+FROM one
+"""
+
+
+# ---------------------------------------------------------------------------
 # Lorenz asymmetry coefficient (round 13)
 # ---------------------------------------------------------------------------
 
@@ -5045,6 +5557,9 @@ FROM mid
 
 
 QUERIES = {
+    "breusch_pagan_het": q_breusch_pagan_het,
+    "anderson_darling_two": q_anderson_darling_two,
+    "yuen_trimmed_ttest": q_yuen_trimmed_ttest,
     "lorenz_asymmetry": q_lorenz_asymmetry,
     "mood_scale_test": q_mood_scale_test,
     "cucconi_test": q_cucconi_test,
@@ -5091,6 +5606,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "breusch_pagan_het": _sql_breusch_pagan(),
+    "anderson_darling_two": _sql_anderson_darling(),
+    "yuen_trimmed_ttest": _sql_yuen(),
     "lorenz_asymmetry": _sql_lorenz_asymmetry(),
     "mood_scale_test": _sql_mood_scale(),
     "cucconi_test": _sql_cucconi(),

@@ -220,6 +220,13 @@ _FLAGSHIP_PREFIX = [
     "cuzick_trend_test",
     "pps_sequential_poisson",
     "silver_meal_lot_sizing",
+    # batch 4 (5-layer green + brute-forced in tests/test_round13_ops.py)
+    "yuen_trimmed_ttest",
+    "anderson_darling_two",
+    "breusch_pagan_het",
+    "granger_causality_1lag",
+    "graph_harmonic_radius",
+    "breslow_day_test",
 ]
 
 
