@@ -820,3 +820,225 @@ def test_breslow_day_brute_force(spark):
     assert row["mh_or"] == pytest.approx(psi, rel=1e-12)
     assert row["bd_stat"] == pytest.approx(bd, rel=1e-9)
     assert row["heterogeneous_5pct"] == int(bd > 9.487729036781154)
+
+
+# ---------------------------------------------------------------------------
+# cmh_test — brute stratified chi-square
+# ---------------------------------------------------------------------------
+
+
+def _mh_cells():
+    orders = _df("orders")[["o_custkey", "o_orderpriority"]]
+    cust = _df("customer")[["c_custkey", "c_mktsegment", "c_acctbal"]]
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["e"] = (j["c_acctbal"] > 4500.0).astype(int)
+    j["d"] = (j["o_orderpriority"] == "1-URGENT").astype(int)
+    cells = {}
+    for seg, g in j.groupby("c_mktsegment"):
+        cells[seg] = (
+            int(((g.e == 1) & (g.d == 1)).sum()),
+            int(((g.e == 1) & (g.d == 0)).sum()),
+            int(((g.e == 0) & (g.d == 1)).sum()),
+            int(((g.e == 0) & (g.d == 0)).sum()),
+        )
+    return cells
+
+
+def test_cmh_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.inference import q_cmh_test
+
+    dev = var = 0.0
+    for a, b, c, dd in _mh_cells().values():
+        n = a + b + c + dd
+        m1, m0, t1, t0 = a + b, c + dd, a + c, b + dd
+        dev += a - m1 * t1 / n
+        var += m1 * m0 * t1 * t0 / (n * n * (n - 1))
+    stat = dev * dev / var
+
+    (row,) = q_cmh_test(spark, SF_DIR).collect()
+    assert row["cmh_chi2"] == pytest.approx(stat, rel=1e-9)
+    assert row["significant_5pct"] == int(stat > 3.841458820694124)
+
+
+# ---------------------------------------------------------------------------
+# bhattacharyya_binned — brute binned BC/Hellinger
+# ---------------------------------------------------------------------------
+
+
+def test_bhattacharyya_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        BHAT_BINS,
+        q_bhattacharyya_binned,
+    )
+
+    orders = _df("orders")
+    v = orders["o_totalprice"].astype(float).to_numpy()
+    g = (orders["o_orderpriority"] == "1-URGENT").to_numpy()
+    vmin, vmax = v.min(), v.max()
+    b = np.minimum(
+        BHAT_BINS - 1, np.floor((v - vmin) * BHAT_BINS / (vmax - vmin))
+    ).astype(int)
+    n1, n2 = int(g.sum()), int((~g).sum())
+    bc = 0.0
+    for bi in np.unique(b):
+        c1 = int((g & (b == bi)).sum())
+        c2 = int((~g & (b == bi)).sum())
+        bc += math.sqrt((c1 / n1) * (c2 / n2))
+
+    (row,) = q_bhattacharyya_binned(spark, SF_DIR).collect()
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["bhattacharyya"] == pytest.approx(bc, abs=1e-10)
+    assert row["hellinger"] == pytest.approx(math.sqrt(max(0.0, 1 - bc)), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# benford_mad_conformity — brute digit shares + Nigrini bands
+# ---------------------------------------------------------------------------
+
+
+def test_benford_mad_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.audit import (
+        q_benford_mad_conformity,
+    )
+
+    orders = _df("orders")
+    first = orders["o_totalprice"].apply(lambda x: int(str(int(math.floor(x)))[0]))
+    n = len(first)
+    devs = {
+        d: abs((first == d).sum() / n - math.log10(1 + 1 / d)) for d in range(1, 10)
+    }
+    mad = sum(devs.values()) / 9.0
+    worst = min(d for d in range(1, 10) if devs[d] == max(devs.values()))
+    verdict = (
+        "close"
+        if mad <= 0.006
+        else "acceptable"
+        if mad <= 0.012
+        else "marginal"
+        if mad <= 0.015
+        else "nonconformity"
+    )
+
+    (row,) = q_benford_mad_conformity(spark, SF_DIR).collect()
+    assert row["n"] == n
+    assert row["mad"] == pytest.approx(mad, rel=1e-9)
+    assert row["worst_digit"] == worst
+    assert row["conformity"] == verdict
+
+
+# ---------------------------------------------------------------------------
+# sketch_bloom_filter — brute bit-set membership
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_brute_force(spark):
+    import hashlib
+
+    from us_flight_bigdata_dashboard_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        q_sketch_bloom_filter,
+    )
+
+    cust = _df("customer")[["c_custkey", "c_mktsegment"]]
+
+    def pos(k, j):
+        return (
+            int(hashlib.md5(f"{int(k)}#{j}".encode()).hexdigest()[:12], 16) % BLOOM_M
+        )
+
+    ins = cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
+    probes = cust.loc[cust["c_mktsegment"] == "MACHINERY", "c_custkey"]
+    bits = {pos(k, j) for k in ins for j in range(BLOOM_K)}
+    fp = sum(
+        1
+        for k in probes
+        if all(pos(k, j) in bits for j in range(BLOOM_K))
+    )
+
+    (row,) = q_sketch_bloom_filter(spark, SF_DIR).collect()
+    assert row["n_inserted"] == len(set(ins))
+    assert row["bits_set"] == len(bits)
+    assert row["n_probes"] == len(probes)
+    assert row["n_false_positive"] == fp
+    assert row["measured_fpp"] == pytest.approx(fp / len(probes), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# inventory_ss_policy — pure-Python month-by-month simulation
+# ---------------------------------------------------------------------------
+
+
+def test_ss_policy_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        SS_T,
+        WW_YEAR,
+        q_inventory_ss_policy,
+    )
+
+    li = _df("lineitem")
+    li = li[pd.to_datetime(li["l_shipdate"]).dt.year == WW_YEAR]
+    part = _df("part")[["p_partkey", "p_brand"]]
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    j["m"] = pd.to_datetime(j["l_shipdate"]).dt.month
+    want = {}
+    for brand, g in j.groupby("p_brand"):
+        d = [int(g.loc[g["m"] == t, "l_quantity"].sum()) for t in range(1, SS_T + 1)]
+        total = sum(d)
+        s_big = (2 * total) // SS_T
+        s_small = s_big // 2
+        pos, lost, orders = s_big, 0, 0
+        for dt in d:
+            if pos < s_small:
+                orders += 1
+                pos = s_big
+            sold = min(dt, pos)
+            lost += dt - sold
+            pos -= sold
+        want[brand] = (s_small, s_big, total, orders, lost, pos)
+
+    got = q_inventory_ss_policy(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        s_small, s_big, total, orders, lost, pos = want[r["p_brand"]]
+        assert (r["s_small"], r["s_big"], r["total_demand"]) == (
+            s_small,
+            s_big,
+            total,
+        )
+        assert r["n_orders"] == orders and r["total_lost"] == lost
+        assert r["end_position"] == pos
+        if total > 0:
+            assert r["fill_rate"] == pytest.approx(1 - lost / total, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# auc_delong_se — brute placement-variance DeLong SE
+# ---------------------------------------------------------------------------
+
+
+def test_auc_delong_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        q_auc_delong_se,
+    )
+
+    orders = _df("orders")
+    v = orders["o_totalprice"].to_numpy()
+    pos = (orders["o_orderpriority"] == "1-URGENT").to_numpy()
+    x, y = v[pos], v[~pos]
+    n1, n0 = len(x), len(y)
+    # placements via midranks (the standard DeLong V10/V01 construction)
+    rc = _midranks(np.concatenate([x, y]))
+    rx, ry = _midranks(x), _midranks(y)
+    v10 = (rc[:n1] - rx) / n0
+    v01 = 1.0 - (rc[n1:] - ry) / n1
+    auc = v10.mean()
+    s10 = v10.var(ddof=1)
+    s01 = v01.var(ddof=1)
+    se = math.sqrt(s10 / n1 + s01 / n0)
+
+    (row,) = q_auc_delong_se(spark, SF_DIR).collect()
+    assert row["n1"] == n1 and row["n0"] == n0
+    assert row["auc"] == pytest.approx(auc, rel=1e-10)
+    assert row["se_delong"] == pytest.approx(se, rel=1e-8)
+    assert row["ci95_lo"] == pytest.approx(auc - 1.959963984540054 * se, rel=1e-8)

@@ -945,7 +945,106 @@ FROM summary CROSS JOIN gap_stats CROSS JOIN biggest
 """
 
 
+# ---------------------------------------------------------------------------
+# Benford MAD conformity verdict (round 13)
+# ---------------------------------------------------------------------------
+
+# Nigrini's first-digit MAD conformity bands (Nigrini 2012, Table 7.1),
+# literal cutoffs
+_MAD_CLOSE, _MAD_ACCEPTABLE, _MAD_MARGINAL = 0.006, 0.012, 0.015
+
+
+def _benford_mad_tree() -> dict[str, str]:
+    """MAD + worst-digit + verdict as ONE shared expression text over
+    exact integer columns n, o1..o9 — fixed left-to-right 9-term
+    reduction over the LITERAL digit domain (zero-count digits
+    contribute their full expected share), no engine-ordered float SUM
+    anywhere."""
+    devs = {
+        d: f"abs(CAST(o{d} AS DOUBLE) / CAST(n AS DOUBLE) - {_BENFORD_P[d]!r})"
+        for d in range(1, 10)
+    }
+    mad = "((" + " + ".join(devs[d] for d in range(1, 10)) + ") / 9.0)"
+    gmax = "GREATEST(" + ", ".join(devs[d] for d in range(1, 10)) + ")"
+    worst = "CASE " + " ".join(
+        f"WHEN {devs[d]} = {gmax} THEN {d}" for d in range(1, 10)
+    ) + " END"
+    verdict = (
+        f"CASE WHEN {mad} <= {_MAD_CLOSE!r} THEN 'close'"
+        f" WHEN {mad} <= {_MAD_ACCEPTABLE!r} THEN 'acceptable'"
+        f" WHEN {mad} <= {_MAD_MARGINAL!r} THEN 'marginal'"
+        f" ELSE 'nonconformity' END"
+    )
+    return {"mad": mad, "worst": worst, "verdict": verdict}
+
+
+def q_benford_mad_conformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford MAD conformity VERDICT on order totals: mean absolute
+    deviation of the nine observed first-digit shares from Benford's
+    P(d) = log10(1+1/d), classified against Nigrini's published
+    conformity bands (≤0.006 close / ≤0.012 acceptable / ≤0.015
+    marginal / else nonconformity — the forensic-accounting standard
+    that, unlike ``benford_digits``'s per-digit χ² contributions, gives
+    the ONE actionable row an audit pipeline gates on; MAD is the
+    Nigrini-recommended scale-free statistic precisely because χ²
+    rejects everything at large n).
+
+    Exactness: the nine digit counts are ONE conditional hash agg onto
+    the LITERAL digit domain (zero-count digits contribute their full
+    expected share — a per-observed-digit frame would silently drop
+    them); expected shares are Python-folded double literals; MAD, the
+    worst digit (first-match tie-break over the fixed digit order) and
+    the verdict are a SINGLE shared expression text evaluated by
+    F.expr and the oracle — identical text, identical IEEE tree, and
+    the 9-term reduction is a fixed left-to-right chain, not an
+    engine-ordered SUM. Degenerate contract: n = 0 → all NULL (guard).
+
+    Scale shape: ONE map-side-combinable hash agg to a 1-row frame;
+    literal-domain arithmetic after.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for d in range(1, 10):
+        aggs.append(
+            F.sum((digit == d).cast("long")).cast("long").alias(f"o{d}")
+        )
+    red = orders.agg(*aggs)
+    t = _benford_mad_tree()
+    ok = F.col("n") > 0
+    return red.select(
+        "n",
+        F.when(ok, F.expr(t["mad"])).alias("mad"),
+        F.when(ok, F.expr(t["worst"])).cast("int").alias("worst_digit"),
+        F.when(ok, F.expr(t["verdict"])).alias("conformity"),
+    )
+
+
+def _sql_benford_mad() -> str:
+    t = _benford_mad_tree()
+    o_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) = {d} THEN 1 ELSE 0 END) AS BIGINT) AS o{d}"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH red AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {o_cols}
+  FROM orders
+)
+SELECT n,
+       CASE WHEN n > 0 THEN {t['mad']} END AS mad,
+       CASE WHEN n > 0 THEN CAST({t['worst']} AS INT) END AS worst_digit,
+       CASE WHEN n > 0 THEN {t['verdict']} END AS conformity
+FROM red
+"""
+
+
 QUERIES = {
+    "benford_mad_conformity": q_benford_mad_conformity,
     "sequence_gap_audit": q_sequence_gap_audit,
     "tcloseness_audit": q_tcloseness_audit,
     "ldiversity_audit": q_ldiversity_audit,
@@ -960,6 +1059,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "benford_mad_conformity": _sql_benford_mad(),
     "sequence_gap_audit": _ORACLE_SEQUENCE_GAP,
     "dp_randomized_response": _sql_rr(),
     "ldiversity_audit": _ORACLE_LDIVERSITY,

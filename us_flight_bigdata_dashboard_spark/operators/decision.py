@@ -3566,6 +3566,153 @@ ORDER BY p_brand
 
 
 # ---------------------------------------------------------------------------
+# Periodic-review (s,S) policy simulation (round 13)
+# ---------------------------------------------------------------------------
+
+SS_T = 12  # literal simulation horizon: the WW_YEAR months
+
+
+def _ss_chain_snippets():
+    """The month-by-month (s,S) simulation as named-column chain
+    snippets shared verbatim by F.expr and the oracle CTE chain —
+    state after month t is (pos_t on hand, lost_t cumulative lost
+    sales, ord_t cumulative orders), all exact integers."""
+    steps = []
+    for t in range(1, SS_T + 1):
+        avail = f"CASE WHEN pos{t - 1} < s_small THEN s_big ELSE pos{t - 1} END"
+        steps.append(
+            [
+                (f"av{t}", avail),
+                (f"sold{t}", f"LEAST(d{t}, av{t})"),
+                (f"pos{t}", f"av{t} - sold{t}"),
+                (f"lost{t}", f"lost{t - 1} + (d{t} - sold{t})"),
+                (
+                    f"ord{t}",
+                    f"ord{t - 1} + CASE WHEN pos{t - 1} < s_small THEN 1 ELSE 0 END",
+                ),
+            ]
+        )
+    return steps
+
+
+def q_inventory_ss_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic-review (s,S) ['min-max'] inventory policy SIMULATED
+    month by month per part brand over the WW planning year (lost-
+    sales semantics, zero lead time): at each review, if the on-hand
+    position fell below the reorder point s, order UP TO S; demand
+    then consumes stock and unmet demand is LOST (counted, not
+    backordered). The genuinely SEQUENTIAL member of the inventory
+    family — ``inventory_base_stock`` is closed-form because order-
+    up-to-every-period decouples the periods; (s,S) couples them (the
+    skip-review state carries over), so the realized order count, lost
+    sales and fill rate are path quantities no single aggregate can
+    produce. S = (2·annual demand) div 12 (twice the mean month),
+    s = S div 2 — integer div on both engines.
+
+    Spark-first formulation: monthly demands pivot onto the LITERAL
+    12-month domain as columns d1..d12 (one hash agg to ≤|brands|
+    rows); the simulation unrolls as a chain of NAMED integer state
+    columns (avail/sold/pos/lost/orders per month — the
+    ``silver_meal_lot_sizing`` named-chain pattern, O(T) expression
+    per step), bit-exact CASE/LEAST algebra on both engines; the
+    oracle replays the identical generated snippets through a CTE
+    chain. Fill rate is ONE final division (guarded for a zero-demand
+    brand-year).
+
+    Scale shape: one fact⋈dim broadcast join → one (brand, month)
+    hash agg → literal-domain integer arithmetic on a ≤|brands|-row
+    frame. No window, no loop over data.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.month("l_shipdate").alias("m"),
+        F.year("l_shipdate").alias("y"),
+    ).filter(F.col("y") == WW_YEAR)
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            *[
+                F.sum(F.when(F.col("m") == t, F.col("qty")).otherwise(0))
+                .cast("long")
+                .alias(f"d{t}")
+                for t in range(1, SS_T + 1)
+            ]
+        )
+    )
+    total = "(" + " + ".join(f"d{t}" for t in range(1, SS_T + 1)) + ")"
+    state = (
+        monthly.withColumn("total_demand", F.expr(total).cast("long"))
+        .withColumn("s_big", F.expr(f"(2 * {total}) div {SS_T}").cast("long"))
+        .withColumn("s_small", F.expr("s_big div 2").cast("long"))
+        .withColumn("pos0", F.col("s_big"))
+        .withColumn("lost0", F.lit(0).cast("long"))
+        .withColumn("ord0", F.lit(0).cast("long"))
+    )
+    for cols in _ss_chain_snippets():
+        for name, sql in cols:
+            state = state.withColumn(name, F.expr(sql).cast("long"))
+    ok = F.col("total_demand") > 0
+    return state.select(
+        "p_brand",
+        "s_small",
+        "s_big",
+        "total_demand",
+        F.col(f"ord{SS_T}").alias("n_orders"),
+        F.col(f"lost{SS_T}").alias("total_lost"),
+        F.when(
+            ok,
+            F.lit(1.0)
+            - F.col(f"lost{SS_T}").cast("double")
+            / F.col("total_demand").cast("double"),
+        ).alias("fill_rate"),
+        F.col(f"pos{SS_T}").alias("end_position"),
+    ).orderBy("p_brand")
+
+
+def _sql_ss_policy() -> str:
+    d_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN month(l_shipdate) = {t} THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS d{t}"
+        for t in range(1, SS_T + 1)
+    )
+    total = "(" + " + ".join(f"d{t}" for t in range(1, SS_T + 1)) + ")"
+    ctes = [
+        "s0 AS (SELECT *, "
+        f"CAST({total} AS BIGINT) AS total_demand, "
+        f"CAST((2 * {total}) // {SS_T} AS BIGINT) AS s_big, "
+        f"CAST(((2 * {total}) // {SS_T}) // 2 AS BIGINT) AS s_small, "
+        f"CAST((2 * {total}) // {SS_T} AS BIGINT) AS pos0, "
+        "CAST(0 AS BIGINT) AS lost0, CAST(0 AS BIGINT) AS ord0 FROM monthly)"
+    ]
+    for i, cols in enumerate(_ss_chain_snippets(), start=1):
+        adds = ", ".join(f"CAST({sql} AS BIGINT) AS {name}" for name, sql in cols)
+        ctes.append(f"s{i} AS (SELECT *, {adds} FROM s{i - 1})")
+    chain = ",\n".join(ctes)
+    return f"""
+WITH monthly AS (
+  SELECT p_brand,
+         {d_cols}
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = {WW_YEAR}
+  GROUP BY 1
+),
+{chain}
+SELECT p_brand, s_small, s_big, total_demand,
+       ord{SS_T} AS n_orders,
+       lost{SS_T} AS total_lost,
+       CASE WHEN total_demand > 0
+            THEN 1.0 - CAST(lost{SS_T} AS DOUBLE) / CAST(total_demand AS DOUBLE)
+       END AS fill_rate,
+       pos{SS_T} AS end_position
+FROM s{SS_T}
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # Silver-Meal lot-sizing heuristic (round 13)
 # ---------------------------------------------------------------------------
 
@@ -3725,6 +3872,7 @@ FROM s{WW_T}
 
 
 QUERIES = {
+    "inventory_ss_policy": q_inventory_ss_policy,
     "silver_meal_lot_sizing": q_silver_meal_lot_sizing,
     "inventory_base_stock": q_inventory_base_stock,
     "queueing_mm1_metrics": q_queueing_mm1_metrics,
@@ -3773,6 +3921,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "inventory_ss_policy": _sql_ss_policy(),
     "silver_meal_lot_sizing": _sql_silver_meal(),
     "inventory_base_stock": _ORACLE_BASE_STOCK,
     "queueing_mm1_metrics": _ORACLE_MM1,

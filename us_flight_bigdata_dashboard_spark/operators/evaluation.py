@@ -4286,6 +4286,156 @@ FROM gaps
 
 
 # ---------------------------------------------------------------------------
+# DeLong standard error of the AUC (round 13)
+# ---------------------------------------------------------------------------
+
+_DELONG_Z = 1.959963984540054
+
+
+def q_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC with its DeLong standard error and 95% Wald CI — the
+    inference companion of ``roc_auc_exact`` (same score/label): DeLong
+    et al. (1988) express AUC as a two-sample U-statistic whose
+    variance is estimable from the per-observation PLACEMENT values
+    V₁₀(positive) = fraction of negatives it outranks (ties ½) and
+    V₀₁(negative) symmetric, giving SE² = S₁₀/n₁ + S₀₁/n₀ — the number
+    that turns 'AUC 0.71' into 'AUC 0.71 ± 0.01', and the basis of the
+    standard correlated-ROC comparison test.
+
+    Exactness: doubled placements per tied value group are exact
+    integers (the ``brunner_munzel_test`` midrank identity: for a
+    positive, p = 2·(negatives below) + (negatives tied)); Σc·p and
+    Σc·p² per class are exact DECIMAL(38,0) hash sums; the two sample
+    variances use the exact numerator n·Σp² − (Σp)² (DECIMAL, limb-
+    split conversion) over (2n_opp)²·n(n−1), and AUC/SE/CI are ONE
+    fixed IEEE sequence. Degenerate contract: a class with n ≤ 1 or an
+    empty class → SE/CI NULL under explicit guards (AUC itself needs
+    both classes non-empty).
+
+    Scale shape: identical to roc_auc_exact's per-value frame — one
+    value-domain hash agg, one domain-sized cumulative window, one
+    1-row reduce.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").cast("long").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).cast("long").alias("c0"),
+        )
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "c1",
+        "c0",
+        F.coalesce(F.sum("c1").over(w_prev), F.lit(0)).alias("t1"),
+        F.coalesce(F.sum("c0").over(w_prev), F.lit(0)).alias("t0"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    p1 = F.lit(2) * F.col("t0") + F.col("c0")  # doubled placement, positives
+    p0 = F.lit(2) * F.col("t1") + F.col("c1")  # doubled placement, negatives
+    red = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum(dec(F.col("c1")) * dec(p1)).cast("decimal(38,0)").alias("s1"),
+        F.sum(dec(F.col("c1")) * dec(p1) * dec(p1))
+        .cast("decimal(38,0)")
+        .alias("q1"),
+        F.sum(dec(F.col("c0")) * dec(p0)).cast("decimal(38,0)").alias("s0"),
+        F.sum(dec(F.col("c0")) * dec(p0) * dec(p0))
+        .cast("decimal(38,0)")
+        .alias("q0"),
+    )
+    mid = red.select(
+        "n1",
+        "n0",
+        "s1",
+        (dec(F.col("n1")) * F.col("q1") - F.col("s1") * F.col("s1"))
+        .cast("decimal(38,0)")
+        .alias("v1"),
+        (dec(F.col("n0")) * F.col("q0") - F.col("s0") * F.col("s0"))
+        .cast("decimal(38,0)")
+        .alias("v0"),
+    )
+    n1d = F.col("n1").cast("double")
+    n0d = F.col("n0").cast("double")
+    auc = dec_to_double(F.col("s1")) / (F.lit(2.0) * n1d * n0d)
+    s10 = dec_to_double(F.col("v1")) / (
+        F.lit(4.0) * n0d * n0d * n1d * (n1d - F.lit(1.0))
+    )
+    s01 = dec_to_double(F.col("v0")) / (
+        F.lit(4.0) * n1d * n1d * n0d * (n0d - F.lit(1.0))
+    )
+    se = F.sqrt(s10 / n1d + s01 / n0d)
+    both = (F.col("n1") > 0) & (F.col("n0") > 0)
+    ok = (F.col("n1") > 1) & (F.col("n0") > 1)
+    return mid.select(
+        "n1",
+        "n0",
+        F.when(both, auc).alias("auc"),
+        F.when(ok, se).alias("se_delong"),
+        F.when(ok, auc - F.lit(_DELONG_Z) * se).alias("ci95_lo"),
+        F.when(ok, auc + F.lit(_DELONG_Z) * se).alias("ci95_hi"),
+    )
+
+
+def _sql_auc_delong() -> str:
+    auc = f"({sql_dec_to_double('s1')} / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))"
+    s10 = (
+        f"({sql_dec_to_double('v1')} / (4.0 * CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)"
+        f" * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))"
+    )
+    s01 = (
+        f"({sql_dec_to_double('v0')} / (4.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)"
+        f" * CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)))"
+    )
+    se = f"sqrt({s10} / CAST(n1 AS DOUBLE) + {s01} / CAST(n0 AS DOUBLE))"
+    return f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS BIGINT) AS c0
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c1, c0,
+         COALESCE(SUM(c1) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t1,
+         COALESCE(SUM(c0) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t0
+  FROM per_v
+), red AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c0) AS BIGINT) AS n0,
+         CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * CAST(2 * t0 + c0 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * CAST(2 * t0 + c0 AS DECIMAL(38,0)) * CAST(2 * t0 + c0 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q1,
+         CAST(SUM(CAST(c0 AS DECIMAL(38,0)) * CAST(2 * t1 + c1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s0,
+         CAST(SUM(CAST(c0 AS DECIMAL(38,0)) * CAST(2 * t1 + c1 AS DECIMAL(38,0)) * CAST(2 * t1 + c1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q0
+  FROM ranked
+), mid AS (
+  SELECT n1, n0, s1,
+         CAST(CAST(n1 AS DECIMAL(38,0)) * q1 - s1 * s1 AS DECIMAL(38,0)) AS v1,
+         CAST(CAST(n0 AS DECIMAL(38,0)) * q0 - s0 * s0 AS DECIMAL(38,0)) AS v0
+  FROM red
+)
+SELECT n1, n0,
+       CASE WHEN n1 > 0 AND n0 > 0 THEN {auc} END AS auc,
+       CASE WHEN n1 > 1 AND n0 > 1 THEN {se} END AS se_delong,
+       CASE WHEN n1 > 1 AND n0 > 1 THEN {auc} - {_DELONG_Z} * {se} END AS ci95_lo,
+       CASE WHEN n1 > 1 AND n0 > 1 THEN {auc} + {_DELONG_Z} * {se} END AS ci95_hi
+FROM mid
+"""
+
+
+# ---------------------------------------------------------------------------
 # Spiegelhalter calibration Z (round 13)
 # ---------------------------------------------------------------------------
 
@@ -4626,6 +4776,7 @@ QUERIES = {
     "average_precision_exact": q_average_precision_exact,
     "youden_j_threshold": q_youden_j_threshold,
     "spiegelhalter_z": q_spiegelhalter_z,
+    "auc_delong_se": q_auc_delong_se,
     "brier_decomposition": q_brier_decomposition,
     "survival_nelson_aalen": q_survival_nelson_aalen,
     "survival_logrank": q_survival_logrank,
@@ -4669,6 +4820,7 @@ ORACLE = {
     "average_precision_exact": _ORACLE_AVERAGE_PRECISION,
     "youden_j_threshold": _ORACLE_YOUDEN,
     "spiegelhalter_z": _sql_spiegelhalter(),
+    "auc_delong_se": _sql_auc_delong(),
     "brier_decomposition": _ORACLE_BRIER,
     "survival_nelson_aalen": _ORACLE_NELSON_AALEN,
     "survival_logrank": _ORACLE_LOGRANK,

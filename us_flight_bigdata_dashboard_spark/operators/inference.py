@@ -2065,6 +2065,126 @@ FROM staged
 
 
 # ---------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel chi-square test (round 13)
+# ---------------------------------------------------------------------------
+
+_CMH_CHI2_CRIT_1DF = 3.841458820694124
+
+
+def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel χ² TEST on the same stratified 2×2
+    tables as ``mantel_haenszel_or`` / ``breslow_day_test`` (high-
+    balance exposure × urgent outcome across the five market
+    segments): CMH = (Σ_s(a_s − E_s))² / Σ_s V_s ~ χ²(1), with
+    E_s = m1·t1/n and the exact hypergeometric
+    V_s = m1·m0·t1·t0/(n²(n−1)) — the significance half of the MH
+    triad (MH_OR estimates the common effect, Breslow-Day checks
+    pooling is legitimate, CMH tests whether the pooled effect is
+    REAL). Uses the Cochran form (no continuity correction),
+    documented.
+
+    Exactness: cells/margins are exact integer counts on the LITERAL
+    five-segment domain; each stratum's deviation a − E and variance
+    are ONE fixed IEEE expression on exact integers (E and V are
+    rational — no transcendental anywhere), summed in fixed
+    left-to-right literal order (the module discipline, ≤5 terms); the
+    statistic is one final division, compared against the literal
+    χ²(1) cut. Degenerate contract: ΣV = 0 (a margin empty in every
+    stratum) → statistic NULL under an explicit guard.
+
+    Scale shape: identical to mantel_haenszel_or — one fact⋈dim join,
+    one conditional-count hash agg to ≤5 rows, 1-row literal-domain
+    arithmetic.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    e = (F.col("c_acctbal") > F.lit(MH_BAL_THRESHOLD)).cast("int")
+    d = (F.col("o_orderpriority") == "1-URGENT").cast("int")
+    cells = j.groupBy("c_mktsegment").agg(
+        F.sum(e * d).cast("long").alias("a"),
+        F.sum(e * (1 - d)).cast("long").alias("b"),
+        F.sum((1 - e) * d).cast("long").alias("c"),
+        F.sum((1 - e) * (1 - d)).cast("long").alias("dd"),
+    )
+    nd = (F.col("a") + F.col("b") + F.col("c") + F.col("dd")).cast("double")
+    m1 = (F.col("a") + F.col("b")).cast("double")
+    m0 = (F.col("c") + F.col("dd")).cast("double")
+    t1 = (F.col("a") + F.col("c")).cast("double")
+    t0 = (F.col("b") + F.col("dd")).cast("double")
+    dev_t = F.col("a").cast("double") - m1 * t1 / nd
+    var_t = m1 * m0 * t1 * t0 / (nd * nd * (nd - F.lit(1.0)))
+    aggs = [
+        F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("dd"))
+        .cast("long")
+        .alias("n_rows"),
+    ]
+    for i, seg in enumerate(_SEGMENTS):
+        m = F.col("c_mktsegment") == seg
+        aggs.append(F.max(F.when(m, dev_t)).alias(f"dv{i}"))
+        aggs.append(F.max(F.when(m, var_t)).alias(f"vr{i}"))
+    red = cells.agg(*aggs)
+    dev = sum((F.col(f"dv{i}") for i in range(1, len(_SEGMENTS))), F.col("dv0"))
+    var = sum((F.col(f"vr{i}") for i in range(1, len(_SEGMENTS))), F.col("vr0"))
+    stat = dev * dev / var
+    ok = var > 0
+    return red.select(
+        "n_rows",
+        F.when(ok, stat).alias("cmh_chi2"),
+        F.when(ok, (stat > F.lit(_CMH_CHI2_CRIT_1DF)).cast("int")).alias(
+            "significant_5pct"
+        ),
+    )
+
+
+def _sql_cmh() -> str:
+    seg_cols = []
+    for i, seg in enumerate(_SEGMENTS):
+        m = f"c_mktsegment = '{seg}'"
+        nd = "CAST(a + b + c + dd AS DOUBLE)"
+        m1 = "CAST(a + b AS DOUBLE)"
+        m0 = "CAST(c + dd AS DOUBLE)"
+        t1 = "CAST(a + c AS DOUBLE)"
+        t0 = "CAST(b + dd AS DOUBLE)"
+        seg_cols.append(
+            f"MAX(CASE WHEN {m} THEN CAST(a AS DOUBLE) - {m1} * {t1} / {nd} END) AS dv{i}"
+        )
+        seg_cols.append(
+            f"MAX(CASE WHEN {m} THEN {m1} * {m0} * {t1} * {t0}"
+            f" / ({nd} * {nd} * ({nd} - 1.0)) END) AS vr{i}"
+        )
+    cols = ",\n         ".join(seg_cols)
+    dev = "(" + " + ".join(f"dv{i}" for i in range(len(_SEGMENTS))) + ")"
+    var = "(" + " + ".join(f"vr{i}" for i in range(len(_SEGMENTS))) + ")"
+    stat = f"({dev} * {dev} / {var})"
+    return f"""
+WITH cells AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CASE WHEN c_acctbal > {MH_BAL_THRESHOLD!r} AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN c_acctbal > {MH_BAL_THRESHOLD!r} AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN c_acctbal <= {MH_BAL_THRESHOLD!r} AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN c_acctbal <= {MH_BAL_THRESHOLD!r} AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS dd
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+), red AS (
+  SELECT CAST(SUM(a + b + c + dd) AS BIGINT) AS n_rows,
+         {cols}
+  FROM cells
+)
+SELECT n_rows,
+       CASE WHEN {var} > 0 THEN {stat} END AS cmh_chi2,
+       CASE WHEN {var} > 0
+            THEN CAST({stat} > {_CMH_CHI2_CRIT_1DF} AS INT) END AS significant_5pct
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cuzick trend test (round 13)
 # ---------------------------------------------------------------------------
 
@@ -2211,6 +2331,7 @@ FROM mid
 
 
 QUERIES = {
+    "cmh_test": q_cmh_test,
     "breslow_day_test": q_breslow_day_test,
     "cuzick_trend_test": q_cuzick_trend_test,
     "conover_squared_ranks": q_conover_squared_ranks,
@@ -2232,6 +2353,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cmh_test": _sql_cmh(),
     "breslow_day_test": _sql_breslow_day(),
     "cuzick_trend_test": _sql_cuzick(),
     "conover_squared_ranks": _sql_conover(),

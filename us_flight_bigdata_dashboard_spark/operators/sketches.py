@@ -1052,7 +1052,162 @@ FROM only_a CROSS JOIN exact
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter build + measured false-positive rate (round 13)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # filter bits (literal — the sketch is the state, not the data)
+BLOOM_K = 3  # hash functions
+
+
+def q_sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built over one key population and probed with a
+    DISJOINT one, reporting the MEASURED false-positive rate next to
+    the bit occupancy — the membership sketch beside the cardinality
+    (HLL/KMV/theta) and frequency (CMS/CountSketch) families, and the
+    semantics behind ``bloom_semi_join``'s runtime filter, here
+    materialized as inspectable state: insert the BUILDING-segment
+    customer keys (m = 4096 bits, k = 3), probe with the MACHINERY
+    keys (segments partition customers, so every probe hit is a false
+    positive by construction — the measured FPP needs no ground-truth
+    join).
+
+    ZERO-RNG determinism: hash j of key x is the module's portable
+    48-bit md5 integer of x||'#'||j, reduced mod m — identical bit
+    positions on both engines; the filter is the DISTINCT position set
+    (bits_set = its size); a probe is positive iff ALL k of its
+    positions are set (semi-join on position, per-key matched-distinct
+    count = k). Every output is exact integer algebra plus two single
+    divisions (occupancy, measured FPP). No theoretical FPP column —
+    (1−e^{{−kn/m}})^k is transcendental; the measured rate IS the
+    deliverable. Degenerate contract: zero probes → FPP NULL.
+
+    Scale shape: one dim scan per side, a ≤m-row DISTINCT bit set
+    (broadcast), one semi-join + per-key count — the filter state is
+    O(m) regardless of data size, which is the point of a Bloom
+    filter at 100 TB.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def positions(df):
+        pos = []
+        for j in range(BLOOM_K):
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("c_custkey").cast("string"),
+                            F.lit(f"#{j}"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            pos.append((h % BLOOM_M).alias(f"pos{j}"))
+        return df.select("c_custkey", *pos)
+
+    ins = positions(cust.filter(F.col("c_mktsegment") == "BUILDING"))
+    probes = positions(cust.filter(F.col("c_mktsegment") == "MACHINERY"))
+    bits = (
+        ins.selectExpr("explode(array(pos0, pos1, pos2)) AS pos")
+        .distinct()
+    )
+    n_ins = ins.agg(F.countDistinct("c_custkey").cast("long").alias("n_inserted"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    probe_pos = probes.selectExpr(
+        "c_custkey", "explode(array(pos0, pos1, pos2)) AS pos"
+    )
+    hits = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("c_custkey")
+        .agg(F.countDistinct("pos").alias("n_hit"))
+    )
+    per_probe = probes.join(hits, "c_custkey", "left").select(
+        "c_custkey",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        F.size(F.array_distinct(F.array("pos0", "pos1", "pos2"))).alias("n_pos"),
+    )
+    red = per_probe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum((F.col("n_hit") == F.col("n_pos")).cast("long"))
+        .cast("long")
+        .alias("n_false_positive"),
+    )
+    out = red.crossJoin(F.broadcast(n_ins)).crossJoin(F.broadcast(n_bits))
+    ok = F.col("n_probes") > 0
+    return out.select(
+        F.lit(BLOOM_M).cast("int").alias("m_bits"),
+        F.lit(BLOOM_K).cast("int").alias("k_hashes"),
+        "n_inserted",
+        "bits_set",
+        (F.col("bits_set").cast("double") / F.lit(float(BLOOM_M))).alias(
+            "occupancy"
+        ),
+        "n_probes",
+        "n_false_positive",
+        F.when(
+            ok,
+            F.col("n_false_positive").cast("double")
+            / F.col("n_probes").cast("double"),
+        ).alias("measured_fpp"),
+    )
+
+
+def _sql_bloom() -> str:
+    def pos(j):
+        h = _sql_hex_to_int(f"md5(CAST(c_custkey AS VARCHAR) || '#{j}')", 1, 12)
+        return f"({h} % {BLOOM_M})"
+
+    pos_cols = ", ".join(f"{pos(j)} AS pos{j}" for j in range(BLOOM_K))
+    return f"""
+WITH ins AS (
+  SELECT c_custkey, {pos_cols}
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+), probes AS (
+  SELECT c_custkey, {pos_cols}
+  FROM customer WHERE c_mktsegment = 'MACHINERY'
+), bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT UNNEST([pos0, pos1, pos2]) AS pos FROM ins
+  )
+), n_ins AS (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_inserted FROM ins),
+n_bits AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits),
+probe_pos AS (
+  SELECT c_custkey, UNNEST([pos0, pos1, pos2]) AS pos FROM probes
+), hits AS (
+  SELECT p.c_custkey, COUNT(DISTINCT p.pos) AS n_hit
+  FROM probe_pos p JOIN bits b ON p.pos = b.pos
+  GROUP BY 1
+), per_probe AS (
+  SELECT pr.c_custkey,
+         COALESCE(h.n_hit, 0) AS n_hit,
+         len(list_distinct([pos0, pos1, pos2])) AS n_pos
+  FROM probes pr LEFT JOIN hits h ON pr.c_custkey = h.c_custkey
+), red AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(SUM(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive
+  FROM per_probe
+)
+SELECT CAST({BLOOM_M} AS INT) AS m_bits,
+       CAST({BLOOM_K} AS INT) AS k_hashes,
+       n_inserted, bits_set,
+       CAST(bits_set AS DOUBLE) / {float(BLOOM_M)!r} AS occupancy,
+       n_probes, n_false_positive,
+       CASE WHEN n_probes > 0
+            THEN CAST(n_false_positive AS DOUBLE) / CAST(n_probes AS DOUBLE)
+       END AS measured_fpp
+FROM red CROSS JOIN n_ins CROSS JOIN n_bits
+"""
+
+
 QUERIES = {
+    "sketch_bloom_filter": q_sketch_bloom_filter,
     "sketch_theta_difference": q_sketch_theta_difference,
     "sketch_cms_freq": q_sketch_cms_freq,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
@@ -1064,6 +1219,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sketch_bloom_filter": _sql_bloom(),
     "sketch_cms_freq": _sql_cms(),
     "sketch_hll_registers": _sql_hll(),
     "sketch_histogram_quantile": _sql_histq(),

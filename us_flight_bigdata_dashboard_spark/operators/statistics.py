@@ -4555,6 +4555,118 @@ FROM mid
 
 
 # ---------------------------------------------------------------------------
+# Bhattacharyya / Hellinger binned distance (round 13)
+# ---------------------------------------------------------------------------
+
+BHAT_BINS = 20
+
+
+def q_bhattacharyya_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bhattacharyya coefficient and Hellinger distance between the
+    binned order-value distributions of urgent vs non-urgent orders:
+    BC = Σ_b √(p_b·q_b), H = √(1−BC) — the OVERLAP-family divergence
+    beside ``text_tv_distance`` (L1), ``drift_binned`` (χ²-style
+    triangular term) and ``wasserstein_two_sample`` (transport): BC is
+    the one bounded kernel the classifier-error bounds (Bhattacharyya
+    bound, Hellinger affinity) are written in, and unlike KL it needs
+    no log and tolerates empty bins natively (√(p·0) = 0).
+
+    Exactness: 20 equal-width bins from the global min/max (the
+    ``drift_binned`` binning); per-bin proportions are single IEEE
+    divisions of exact integer counts; each √(p·q) term is one fixed
+    expression; the ≤20-term reduction is floor-quantized (``fsum``
+    scale 12 — terms ≤ 1, sum ≤ 1: trivially inside every bound) and
+    H is one final sqrt on max(0, 1−BC) (the clamp guards the
+    1-ulp-above-1 case when the distributions coincide). Degenerate
+    contract: an empty group → BC/H NULL under explicit guards.
+
+    Scale shape: one global min/max agg (broadcast), one map-side-
+    combinable hash agg to ≤20 bin rows, one 1-row reduce.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("g1"),
+    )
+    stats = orders.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    binned = orders.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(BHAT_BINS - 1),
+            F.floor(
+                (F.col("v") - F.col("vmin"))
+                * BHAT_BINS
+                / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0))
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+        "g1",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("g1")).cast("long").alias("c2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    term = F.sqrt(
+        (F.col("c1").cast("double") / F.col("n1").cast("double"))
+        * (F.col("c2").cast("double") / F.col("n2").cast("double"))
+    )
+    red = counts.crossJoin(F.broadcast(tot)).agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.count(F.lit(1)).cast("int").alias("n_bins_used"),
+        fsum(term, scale=12).alias("bc"),
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return red.select(
+        "n1",
+        "n2",
+        "n_bins_used",
+        F.when(ok, F.col("bc")).alias("bhattacharyya"),
+        F.when(
+            ok, F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("bc")))
+        ).alias("hellinger"),
+    )
+
+
+_ORACLE_BHATTACHARYYA = f"""
+WITH base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+  FROM orders
+), stats AS (
+  SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM base
+), binned AS (
+  SELECT CAST(LEAST({BHAT_BINS - 1},
+                    FLOOR((v - vmin) * {BHAT_BINS} / NULLIF(vmax - vmin, 0.0))) AS INT) AS bin,
+         g1
+  FROM base CROSS JOIN stats
+), counts AS (
+  SELECT bin, CAST(SUM(g1) AS BIGINT) AS c1,
+         CAST(SUM(1 - g1) AS BIGINT) AS c2
+  FROM binned GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM counts
+), red AS (
+  SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+         CAST(COUNT(*) AS INT) AS n_bins_used,
+         {sql_fsum("sqrt((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))", scale=12)} AS bc
+  FROM counts CROSS JOIN tot
+)
+SELECT n1, n2, n_bins_used,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN bc END AS bhattacharyya,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN sqrt(GREATEST(0.0, 1.0 - bc)) END AS hellinger
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
 # Breusch-Pagan heteroscedasticity test (round 13)
 # ---------------------------------------------------------------------------
 
@@ -5557,6 +5669,7 @@ FROM mid
 
 
 QUERIES = {
+    "bhattacharyya_binned": q_bhattacharyya_binned,
     "breusch_pagan_het": q_breusch_pagan_het,
     "anderson_darling_two": q_anderson_darling_two,
     "yuen_trimmed_ttest": q_yuen_trimmed_ttest,
@@ -5606,6 +5719,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bhattacharyya_binned": _ORACLE_BHATTACHARYYA,
     "breusch_pagan_het": _sql_breusch_pagan(),
     "anderson_darling_two": _sql_anderson_darling(),
     "yuen_trimmed_ttest": _sql_yuen(),

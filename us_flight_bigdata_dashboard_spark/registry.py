@@ -227,6 +227,14 @@ _FLAGSHIP_PREFIX = [
     "granger_causality_1lag",
     "graph_harmonic_radius",
     "breslow_day_test",
+    # batch 5 (5-layer green + brute-forced in tests/test_round13_ops.py)
+    # — fills the driver's 50-slot window exactly
+    "cmh_test",
+    "bhattacharyya_binned",
+    "benford_mad_conformity",
+    "sketch_bloom_filter",
+    "inventory_ss_policy",
+    "auc_delong_se",
 ]
 
 
