@@ -227,6 +227,16 @@ HEADLINE = [
     "graph_ktruss",
     "multimodal_tga_decode",
     "conover_squared_ranks",
+    # round-13: the heaviest new path classes — the radius-2 wedge join
+    # (distinct 2-paths + anti join on the capped co-purchase graph), the
+    # two-pass residual diagnostic (moments, then broadcast-coefficient
+    # residual moments over the full fact), the per-positive
+    # sequence-explode AP reduction over the bucketed cumulative frame,
+    # and the tournament bottom-n order sampling
+    "graph_harmonic_radius",
+    "breusch_pagan_het",
+    "average_precision_exact",
+    "pps_sequential_poisson",
 ]
 
 # Full-scan row-level pipelines (ETL shape): timed as a distributed parquet
