@@ -1042,3 +1042,155 @@ def test_auc_delong_brute_force(spark):
     assert row["auc"] == pytest.approx(auc, rel=1e-10)
     assert row["se_delong"] == pytest.approx(se, rel=1e-8)
     assert row["ci95_lo"] == pytest.approx(auc - 1.959963984540054 * se, rel=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# robust_moments_bowley — numpy octile rank-pick recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_bowley_moors_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_robust_moments_bowley,
+    )
+
+    orders = _df("orders")
+    want = {}
+    for pri, g in orders.groupby("o_orderpriority"):
+        cents = np.sort((g["o_totalprice"] * 100).round(0).astype(np.int64))
+        n = len(cents)
+        e = {k: int(cents[(k * n + 7) // 8 - 1]) for k in range(1, 8)}
+        ir = e[6] - e[2]
+        bow = (e[6] + e[2] - 2 * e[4]) / ir if ir > 0 else None
+        moo = ((e[7] - e[5]) + (e[3] - e[1])) / ir if ir > 0 else None
+        want[pri] = (n, e[2], e[4], e[6], bow, moo)
+
+    got = q_robust_moments_bowley(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, q1, med, q3, bow, moo = want[r["o_orderpriority"]]
+        assert r["n_orders"] == n
+        assert (r["q1_cents"], r["median_cents"], r["q3_cents"]) == (q1, med, q3)
+        assert r["bowley_skewness"] == pytest.approx(bow, rel=1e-12)
+        assert r["moors_kurtosis"] == pytest.approx(moo, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# queueing_mmc_erlang — closed-form Erlang C recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_mmc_erlang_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        MM1_DAYS,
+        MM1_MU_PER_DAY,
+        MM1_YEAR,
+        MMC_C,
+        q_queueing_mmc_erlang,
+    )
+
+    li = _df("lineitem")
+    li = li[pd.to_datetime(li["l_shipdate"]).dt.year == MM1_YEAR]
+    jobs = li.groupby("l_suppkey").size()
+
+    def erlang(n_jobs):
+        lam = n_jobs / MM1_DAYS
+        a = lam / MM1_MU_PER_DAY
+        rho = a / MMC_C
+        if rho >= 1:
+            return lam, rho, None, None, None
+        top = a**MMC_C / math.factorial(MMC_C) / (1 - rho)
+        s = sum(a**k / math.factorial(k) for k in range(MMC_C))
+        pw = top / (s + top)
+        lq = pw * rho / (1 - rho)
+        return lam, rho, pw, lq, lq / lam
+
+    got = q_queueing_mmc_erlang(spark, SF_DIR).collect()
+    rows = sorted(
+        ((int(n), int(k)) for k, n in jobs.items()), key=lambda t: (-t[0], t[1])
+    )[: len(got)]
+    for r, (n, k) in zip(got, rows):
+        assert r["suppkey"] == k and r["n_jobs"] == n
+        lam, rho, pw, lq, wq = erlang(n)
+        assert r["rho"] == pytest.approx(rho, rel=1e-12)
+        if pw is not None:
+            assert r["p_wait"] == pytest.approx(pw, rel=1e-9)
+            assert r["lq_jobs"] == pytest.approx(lq, rel=1e-9)
+            assert r["wq_days"] == pytest.approx(wq, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# brr_variance_estimate — brute Hadamard half-sample replication
+# ---------------------------------------------------------------------------
+
+
+def test_brr_brute_force(spark):
+    import hashlib
+
+    from us_flight_bigdata_dashboard_spark.operators.sampling import (
+        BRR_STRATA,
+        _hadamard8,
+        q_brr_variance_estimate,
+    )
+
+    orders = _df("orders")
+    cells_u = {}
+    cells_n = {}
+    for k, pri in zip(orders["o_custkey"], orders["o_orderpriority"]):
+        h16 = int(hashlib.md5(str(int(k)).encode()).hexdigest()[:12], 16) % (
+            2 * BRR_STRATA
+        )
+        key = (h16 // 2, h16 % 2)
+        cells_n[key] = cells_n.get(key, 0) + 1
+        cells_u[key] = cells_u.get(key, 0) + int(pri == "1-URGENT")
+    had = _hadamard8()
+    tot_u = sum(cells_u.values())
+    tot_n = sum(cells_n.values())
+    theta = tot_u / tot_n
+    var = 0.0
+    for r in range(BRR_STRATA):
+        num = sum(
+            cells_u.get((h, 0 if had[r][h] == 1 else 1), 0)
+            for h in range(BRR_STRATA)
+        )
+        den = sum(
+            cells_n.get((h, 0 if had[r][h] == 1 else 1), 0)
+            for h in range(BRR_STRATA)
+        )
+        var += (num / den - theta) ** 2
+    var /= BRR_STRATA
+
+    (row,) = q_brr_variance_estimate(spark, SF_DIR).collect()
+    assert row["n_orders"] == tot_n
+    assert row["theta_urgent_share"] == pytest.approx(theta, rel=1e-12)
+    assert row["se_brr"] == pytest.approx(math.sqrt(var), rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_gini — pandas token-frequency Gini
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_gini_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.text import q_text_vocab_gini
+
+    docs = _df("documents")
+    want = {}
+    for src, grp in docs.groupby("source"):
+        counts = {}
+        for text in grp["text"]:
+            for t in text.lower().split(" "):
+                if t:
+                    counts[t] = counts.get(t, 0) + 1
+        cs = sorted(counts.values())
+        v, s = len(cs), sum(cs)
+        sic = sum((i + 1) * c for i, c in enumerate(cs))
+        g = (2 * sic - (v + 1) * s) / (v * s) if v > 1 else None
+        want[src] = (v, s, g)
+
+    got = q_text_vocab_gini(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        v, s, g = want[r["source"]]
+        assert r["vocab"] == v and r["n_tokens"] == s
+        assert r["gini_token_freq"] == pytest.approx(g, rel=1e-12)

@@ -3566,6 +3566,106 @@ ORDER BY p_brand
 
 
 # ---------------------------------------------------------------------------
+# M/M/c Erlang-C queueing metrics (round 13 late)
+# ---------------------------------------------------------------------------
+
+MMC_C = 4  # literal server count — the Erlang sums unroll to 5 terms
+
+
+def _mmc_tree() -> dict[str, str]:
+    """Erlang C for literal c = MMC_C as ONE shared expression text over
+    the double columns lam (jobs/day) and a (offered load λ/μ): with
+    factorials folded as literals, P_wait = (a^c/c!)/(1−ρ) / (Σ_{k<c}
+    a^k/k! + (a^c/c!)/(1−ρ)) is pure rational arithmetic."""
+    import math as _m
+
+    rho = f"(a / {float(MMC_C)!r})"
+    top = f"((a * a * a * a / {float(_m.factorial(MMC_C))!r}) / (1.0 - {rho}))"
+    s = " + ".join(
+        f"({' * '.join(['a'] * k) if k else '1.0'} / {float(_m.factorial(k))!r})"
+        for k in range(MMC_C)
+    )
+    pw = f"({top} / (({s}) + {top}))"
+    lq = f"({pw} * {rho} / (1.0 - {rho}))"
+    return {"rho": rho, "pw": pw, "lq": lq, "wq": f"({lq} / lam)"}
+
+
+def q_queueing_mmc_erlang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M/M/c steady-state metrics per supplier at c = 4 parallel servers
+    (same λ/μ construction as ``queueing_mm1_metrics``): Erlang-C
+    waiting probability P_wait, expected queue length L_q =
+    P_wait·ρ/(1−ρ) and wait W_q — the MULTI-server answer to the
+    capacity question M/M/1 can only ask for one server (pooling four
+    servers is NOT four independent M/M/1 queues, and the Erlang-C gap
+    between the two is the classic case for pooling). The c = 4
+    literal makes the Erlang sums unroll to five rational terms —
+    factorials are Python-folded literals, no Γ function anywhere.
+
+    Exactness: λ is one exact-integer division; the offered load
+    a = λ/μ, ρ = a/c, and the whole Erlang-C expression are a SINGLE
+    shared expression text evaluated by F.expr and the oracle
+    (identical IEEE tree). Over-capacity suppliers (ρ ≥ 1) emit NULL
+    metrics under an explicit guard. Ranking (ρ desc, suppkey) is
+    deterministic.
+
+    Scale shape: one fact-sized hash agg → per-supplier literal-degree
+    polynomial arithmetic → top-20 TakeOrdered.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    jobs = (
+        lineitem.filter(F.year("l_shipdate") == MM1_YEAR)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_jobs"))
+    )
+    t = _mmc_tree()
+    based = jobs.select(
+        "suppkey",
+        "n_jobs",
+        (F.col("n_jobs").cast("double") / F.lit(float(MM1_DAYS))).alias("lam"),
+    ).withColumn("a", F.col("lam") / F.lit(MM1_MU_PER_DAY))
+    stable = F.expr(t["rho"]) < 1.0
+    return (
+        based.select(
+            "suppkey",
+            "n_jobs",
+            F.col("lam").alias("lambda_per_day"),
+            F.expr(t["rho"]).alias("rho"),
+            F.when(stable, F.expr(t["pw"])).alias("p_wait"),
+            F.when(stable, F.expr(t["lq"])).alias("lq_jobs"),
+            F.when(stable, F.expr(t["wq"])).alias("wq_days"),
+        )
+        .orderBy(F.desc("rho"), F.asc("suppkey"))
+        .limit(MM1_TOP)
+    )
+
+
+def _sql_mmc() -> str:
+    t = _mmc_tree()
+    return f"""
+WITH jobs AS (
+  SELECT l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS n_jobs
+  FROM lineitem WHERE year(l_shipdate) = {MM1_YEAR}
+  GROUP BY 1
+), based AS (
+  SELECT suppkey, n_jobs,
+         CAST(n_jobs AS DOUBLE) / {float(MM1_DAYS)!r} AS lam,
+         (CAST(n_jobs AS DOUBLE) / {float(MM1_DAYS)!r}) / {MM1_MU_PER_DAY!r} AS a
+  FROM jobs
+)
+SELECT suppkey, n_jobs,
+       lam AS lambda_per_day,
+       {t['rho']} AS rho,
+       CASE WHEN {t['rho']} < 1.0 THEN {t['pw']} END AS p_wait,
+       CASE WHEN {t['rho']} < 1.0 THEN {t['lq']} END AS lq_jobs,
+       CASE WHEN {t['rho']} < 1.0 THEN {t['wq']} END AS wq_days
+FROM based
+ORDER BY rho DESC, suppkey ASC
+LIMIT {MM1_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Periodic-review (s,S) policy simulation (round 13)
 # ---------------------------------------------------------------------------
 
@@ -3872,6 +3972,7 @@ FROM s{WW_T}
 
 
 QUERIES = {
+    "queueing_mmc_erlang": q_queueing_mmc_erlang,
     "inventory_ss_policy": q_inventory_ss_policy,
     "silver_meal_lot_sizing": q_silver_meal_lot_sizing,
     "inventory_base_stock": q_inventory_base_stock,
@@ -3921,6 +4022,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "queueing_mmc_erlang": _sql_mmc(),
     "inventory_ss_policy": _sql_ss_policy(),
     "silver_meal_lot_sizing": _sql_silver_meal(),
     "inventory_base_stock": _ORACLE_BASE_STOCK,

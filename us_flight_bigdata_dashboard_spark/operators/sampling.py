@@ -1226,6 +1226,148 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Balanced repeated replication (BRR) variance (round 13 late)
+# ---------------------------------------------------------------------------
+
+BRR_STRATA = 8  # literal stratum count — one 8x8 Sylvester-Hadamard matrix
+
+
+def _hadamard8() -> list[list[int]]:
+    h = [[1]]
+    while len(h) < BRR_STRATA:
+        h = [r + r for r in h] + [r + [-x for x in r] for r in h]
+    return h
+
+
+def _brr_tree() -> dict[str, object]:
+    """The 8 replicate ratio estimates and the BRR variance as ONE
+    shared expression text over the 32 pivoted cell columns u{h}_{p} /
+    n{h}_{p} (urgent / total counts of stratum h, PSU p): replicate r
+    keeps PSU 0 where the Hadamard sign is +1 and PSU 1 where it is −1
+    (half-sample weights cancel in the ratio), and
+    Var = (1/R)·Σᵣ(θᵣ − θ)² is a fixed 8-term chain."""
+    had = _hadamard8()
+    reps = []
+    for r in range(BRR_STRATA):
+        num = " + ".join(
+            f"u{h}_{0 if had[r][h] == 1 else 1}" for h in range(BRR_STRATA)
+        )
+        den = " + ".join(
+            f"n{h}_{0 if had[r][h] == 1 else 1}" for h in range(BRR_STRATA)
+        )
+        reps.append(f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))")
+    tot_u = " + ".join(f"u{h}_0 + u{h}_1" for h in range(BRR_STRATA))
+    tot_n = " + ".join(f"n{h}_0 + n{h}_1" for h in range(BRR_STRATA))
+    theta = f"(CAST({tot_u} AS DOUBLE) / CAST({tot_n} AS DOUBLE))"
+    var = (
+        "(("
+        + " + ".join(f"(({rr}) - theta) * (({rr}) - theta)" for rr in reps)
+        + f") / {float(BRR_STRATA)!r})"
+    )
+    return {"theta": theta, "var": var, "tot_n": tot_n}
+
+
+def q_brr_variance_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced repeated replication (BRR) variance of the urgent-order
+    share under a stratified two-PSU design: customers hash into 8
+    strata × 2 PSUs (the RNG-free md5 split), and the 8 half-sample
+    replicates selected by the rows of the 8×8 Sylvester-Hadamard
+    matrix give Var(θ̂) = (1/R)·Σᵣ(θᵣ − θ̂)² — McCarthy's (1969)
+    design-based variance machinery (the Fay/BRR default of national
+    survey systems), complementing ``jackknife_ratio`` (delete-one
+    replicates) with the BALANCED half-sample family: full orthogonal
+    balance in R = 8 replicates instead of |groups| deletions.
+
+    Exactness: the 32 (stratum, PSU) cells are ONE conditional hash
+    agg of exact integer counts; every replicate ratio θᵣ and the full
+    θ̂ are single IEEE divisions of exact-integer sums (half-sample
+    weights cancel in a ratio estimator — no weight column ever
+    materializes); the variance is a fixed 8-term chain over a SINGLE
+    shared expression text (F.expr + oracle — identical IEEE tree).
+    Degenerate contract: an empty replicate denominator cannot occur
+    while every stratum-PSU cell is non-empty (asserted by the gate
+    data); an all-empty frame yields NULLs via the n > 0 guard.
+
+    Scale shape: one fact⋈dim join, one 32-cell conditional hash agg,
+    1-row literal-domain arithmetic.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    h16 = (
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        % (2 * BRR_STRATA)
+    )
+    based = orders.select(
+        (h16 / F.lit(2)).cast("int").alias("stratum"),
+        (h16 % 2).cast("int").alias("psu"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    aggs = []
+    for h in range(BRR_STRATA):
+        for p in (0, 1):
+            cell = (F.col("stratum") == h) & (F.col("psu") == p)
+            aggs.append(
+                F.sum(F.when(cell, F.col("y")).otherwise(0))
+                .cast("long")
+                .alias(f"u{h}_{p}")
+            )
+            aggs.append(
+                F.sum(F.when(cell, 1).otherwise(0)).cast("long").alias(f"n{h}_{p}")
+            )
+    red = based.agg(*aggs)
+    t = _brr_tree()
+    staged = red.withColumn("theta", F.expr(t["theta"]))
+    n_tot = F.expr(f"CAST({t['tot_n']} AS BIGINT)")
+    ok = n_tot > 0
+    return staged.select(
+        n_tot.alias("n_orders"),
+        F.lit(BRR_STRATA).cast("int").alias("n_replicates"),
+        F.when(ok, F.col("theta")).alias("theta_urgent_share"),
+        F.when(ok, F.sqrt(F.expr(t["var"]))).alias("se_brr"),
+    )
+
+
+def _sql_brr() -> str:
+    t = _brr_tree()
+    cells = []
+    for h in range(BRR_STRATA):
+        for p in (0, 1):
+            cond = f"stratum = {h} AND psu = {p}"
+            cells.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN y ELSE 0 END) AS BIGINT) AS u{h}_{p}"
+            )
+            cells.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n{h}_{p}"
+            )
+    cols = ",\n         ".join(cells)
+    h16 = _sql_hex_to_int("md5(CAST(o_custkey AS VARCHAR))", 1, 12)
+    return f"""
+WITH based AS (
+  SELECT CAST(({h16} % {2 * BRR_STRATA}) // 2 AS INT) AS stratum,
+         CAST(({h16} % {2 * BRR_STRATA}) % 2 AS INT) AS psu,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+), red AS (
+  SELECT {cols}
+  FROM based
+), staged AS (
+  SELECT *, {t['theta']} AS theta FROM red
+)
+SELECT CAST({t['tot_n']} AS BIGINT) AS n_orders,
+       CAST({BRR_STRATA} AS INT) AS n_replicates,
+       CASE WHEN {t['tot_n']} > 0 THEN theta END AS theta_urgent_share,
+       CASE WHEN {t['tot_n']} > 0 THEN sqrt({t['var']}) END AS se_brr
+FROM staged
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sequential Poisson (order) PPS sampling (round 13)
 # ---------------------------------------------------------------------------
 
@@ -1326,6 +1468,7 @@ ORDER BY rank
 
 
 QUERIES = {
+    "brr_variance_estimate": q_brr_variance_estimate,
     "pps_sequential_poisson": q_pps_sequential_poisson,
     "pps_systematic_sample": q_pps_systematic_sample,
     "neyman_allocation": q_neyman_allocation,
@@ -1346,6 +1489,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "brr_variance_estimate": _sql_brr(),
     "pps_sequential_poisson": _ORACLE_SPS,
     "pps_systematic_sample": _ORACLE_PPS_SYSTEMATIC,
     "neyman_allocation": _sql_neyman(),

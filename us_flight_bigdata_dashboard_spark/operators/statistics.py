@@ -4555,6 +4555,108 @@ FROM mid
 
 
 # ---------------------------------------------------------------------------
+# Robust octile moments: Bowley skewness + Moors kurtosis (round 13 late)
+# ---------------------------------------------------------------------------
+
+
+def q_robust_moments_bowley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust SHAPE moments of order value per priority class from exact
+    octile rank picks: Bowley's quartile skewness (E6+E2−2E4)/(E6−E2)
+    (Bowley 1920 — bounded in [−1,1], immune to the outliers that
+    dominate the third-moment coefficient) and Moors' octile kurtosis
+    ((E7−E5)+(E3−E1))/(E6−E2) (Moors 1988 — the tail-weight measure
+    that, unlike the fourth moment, exists for any distribution and
+    doesn't square outliers into the estimate; uniform ≈ 1.23, normal
+    ≈ 1.23… distinguishable by the reported pair). The robust
+    complement of ``jarque_bera_normality``'s moment-based skew/kurt
+    on the same shape question.
+
+    Exactness: the seven octiles are exact rank picks over integer
+    cents on the (value, orderkey) total order — rank ceil(k·n/8) via
+    the house (k·n + 7) DIV 8 convention (Spark ``DIV`` = DuckDB
+    ``//``); each output statistic is ONE IEEE division of exact
+    integer differences. Degenerate contract: a zero interoctile range
+    E6 = E2 (more than three quarters of the group tied) → both shape
+    statistics NULL under an explicit guard.
+
+    Scale shape: one per-group rank window (group-keyed — the
+    ``boxplot_stats`` domain notes apply) then one conditional
+    rank-pick agg to |priorities| rows.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_orders")]
+    for k in range(1, 8):
+        aggs.append(
+            F.max(
+                F.when(F.col("rn") == F.expr(f"({k} * n + 7) DIV 8"), F.col("cents"))
+            ).alias(f"e{k}")
+        )
+    oct_ = ranked.groupBy("o_orderpriority").agg(*aggs)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    irange = d("e6") - d("e2")
+    bowley = (d("e6") + d("e2") - F.lit(2.0) * d("e4")) / irange
+    moors = ((d("e7") - d("e5")) + (d("e3") - d("e1"))) / irange
+    ok = F.col("e6") > F.col("e2")
+    return oct_.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("e2").alias("q1_cents"),
+        F.col("e4").alias("median_cents"),
+        F.col("e6").alias("q3_cents"),
+        F.when(ok, bowley).alias("bowley_skewness"),
+        F.when(ok, moors).alias("moors_kurtosis"),
+    ).orderBy("o_orderpriority")
+
+
+_ORACLE_ROBUST_MOMENTS = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM orders
+), oct AS (
+  SELECT o_orderpriority,
+         CAST(MAX(n) AS BIGINT) AS n_orders,
+         MAX(CASE WHEN rn = (1 * n + 7) // 8 THEN cents END) AS e1,
+         MAX(CASE WHEN rn = (2 * n + 7) // 8 THEN cents END) AS e2,
+         MAX(CASE WHEN rn = (3 * n + 7) // 8 THEN cents END) AS e3,
+         MAX(CASE WHEN rn = (4 * n + 7) // 8 THEN cents END) AS e4,
+         MAX(CASE WHEN rn = (5 * n + 7) // 8 THEN cents END) AS e5,
+         MAX(CASE WHEN rn = (6 * n + 7) // 8 THEN cents END) AS e6,
+         MAX(CASE WHEN rn = (7 * n + 7) // 8 THEN cents END) AS e7
+  FROM ranked GROUP BY 1
+)
+SELECT o_orderpriority, n_orders,
+       e2 AS q1_cents, e4 AS median_cents, e6 AS q3_cents,
+       CASE WHEN e6 > e2
+            THEN (CAST(e6 AS DOUBLE) + CAST(e2 AS DOUBLE) - 2.0 * CAST(e4 AS DOUBLE))
+                 / (CAST(e6 AS DOUBLE) - CAST(e2 AS DOUBLE)) END AS bowley_skewness,
+       CASE WHEN e6 > e2
+            THEN ((CAST(e7 AS DOUBLE) - CAST(e5 AS DOUBLE))
+                  + (CAST(e3 AS DOUBLE) - CAST(e1 AS DOUBLE)))
+                 / (CAST(e6 AS DOUBLE) - CAST(e2 AS DOUBLE)) END AS moors_kurtosis
+FROM oct
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bhattacharyya / Hellinger binned distance (round 13)
 # ---------------------------------------------------------------------------
 
@@ -5669,6 +5771,7 @@ FROM mid
 
 
 QUERIES = {
+    "robust_moments_bowley": q_robust_moments_bowley,
     "bhattacharyya_binned": q_bhattacharyya_binned,
     "breusch_pagan_het": q_breusch_pagan_het,
     "anderson_darling_two": q_anderson_darling_two,
@@ -5719,6 +5822,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "robust_moments_bowley": _ORACLE_ROBUST_MOMENTS,
     "bhattacharyya_binned": _ORACLE_BHATTACHARYYA,
     "breusch_pagan_het": _sql_breusch_pagan(),
     "anderson_darling_two": _sql_anderson_darling(),

@@ -2273,6 +2273,96 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# Token-frequency Gini concentration (round 13 late)
+# ---------------------------------------------------------------------------
+
+
+def q_text_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the token-frequency distribution per source —
+    how CONCENTRATED is vocabulary use: near 1 means a few tokens carry
+    almost all the mass (templated/boilerplate text; a strong
+    machine-generated signal), near the natural-language band means a
+    Zipfian spread. The CONCENTRATION member of the lexical-diversity
+    shelf — ``text_hapax_ratio`` counts the tail, ``text_yules_k`` /
+    ``text_simpson_diversity`` measure collision mass, ``text_zipf_rankfreq``
+    shows the curve; Gini summarizes the whole Lorenz curve of token
+    use in one bounded number (the ``gini_revenue`` machinery re-aimed
+    at language).
+
+    Exactness: the closed form G = (2·Σi·cᵢ − (V+1)·Σc)/(V·Σc) over
+    counts sorted ascending with rank i (ties broken by token text —
+    Σi·cᵢ is invariant to tie order since tied blocks share c); Σi·c is
+    a DECIMAL(19)×DECIMAL(19) product summed at DECIMAL(38,0); G is
+    one IEEE expression per source. Degenerate contract: a
+    single-token-type source (V ≤ 1) → G NULL under an explicit guard.
+
+    Scale shape: one token explode → (source, token) hash agg →
+    per-source rank window over the vocab-sized frame → |sources|-row
+    closed form.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("w"))
+    per_w = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    i = F.row_number().over(
+        Window.partitionBy("source").orderBy("c", "w")
+    )
+    ranked = per_w.select(
+        "source",
+        "c",
+        i.cast("decimal(19,0)").alias("i"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("i") * F.col("c").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sic"),
+    )
+    vd = F.col("vocab").cast("double")
+    sd = F.col("n_tokens").cast("double")
+    g = (
+        F.lit(2.0) * F.col("sic").cast("double")
+        - (vd + F.lit(1.0)) * sd
+    ) / (vd * sd)
+    ok = F.col("vocab") > 1
+    return agg.select(
+        "source",
+        "vocab",
+        "n_tokens",
+        F.when(ok, g).alias("gini_token_freq"),
+    ).orderBy("source")
+
+
+_ORACLE_VOCAB_GINI = f"""
+WITH tok AS (
+  SELECT source, unnest({_sql_tokens("text")}) AS w FROM documents
+), per_w AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), ranked AS (
+  SELECT source, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY c, w) AS DECIMAL(19,0)) AS i
+  FROM per_w
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(i * CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sic
+  FROM ranked GROUP BY 1
+)
+SELECT source, vocab, n_tokens,
+       CASE WHEN vocab > 1 THEN
+         (2.0 * CAST(sic AS DOUBLE)
+          - (CAST(vocab AS DOUBLE) + 1.0) * CAST(n_tokens AS DOUBLE))
+         / (CAST(vocab AS DOUBLE) * CAST(n_tokens AS DOUBLE)) END AS gini_token_freq
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Syllable-free readability panel: ARI + Coleman-Liau (round 13)
 # ---------------------------------------------------------------------------
 
@@ -4013,6 +4103,7 @@ QUERIES = {
     "text_simpson_diversity": q_text_simpson_diversity,
     "text_readability_flesch": q_text_readability,
     "text_readability_panel": q_text_readability_panel,
+    "text_vocab_gini": q_text_vocab_gini,
     "text_hapax_ratio": q_text_hapax_ratio,
     "text_textrank_keywords": q_text_textrank_keywords,
     "source_mix_temperature": q_source_mix_temperature,
@@ -4062,6 +4153,7 @@ ORACLE = {
     "text_simpson_diversity": _ORACLE_SIMPSON,
     "text_readability_flesch": _ORACLE_READABILITY,
     "text_readability_panel": _ORACLE_READABILITY_PANEL,
+    "text_vocab_gini": _ORACLE_VOCAB_GINI,
     "text_hapax_ratio": _ORACLE_HAPAX,
     "text_textrank_keywords": _sql_textrank(),
     "source_mix_temperature": _sql_mix_temperature(),

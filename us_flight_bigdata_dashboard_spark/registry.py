@@ -165,6 +165,20 @@ _MODULES = [
 # PANDAS_CANON + vanilla-ANSI + dtype-parity + brute-force test), so
 # new entries certify in the same round instead of waiting for r14.
 # The mandatory 24 stay pinned at the top and are never displaced.
+#
+# ROUND-14 STAGING: the never-certified pool entering r14 is the 4-entry
+# ROUND-13 LATE WAVE (robust_moments_bowley, queueing_mmc_erlang,
+# brr_variance_estimate, text_vocab_gini -- all landed AFTER the 50-slot
+# window froze, registry positions > 50; 5-layer pre-cleared at
+# authoring time, brute-forced in tests/test_round13_ops.py tests 27-30)
+# plus whatever `python tools/rotate_prefix.py --sentinels` reports at
+# r14 start. IMPORTANT tool caveat proven this round: the sentinel check
+# is text-level on the QUERY function and cannot see ORACLE-helper
+# edits -- ansari_bradley_scale's post-certification oracle fix showed
+# as REVIEW, not CERTAIN, and was promoted by judgment. Check the round
+# diff for oracle-side changes to certified entries and promote those
+# by hand. Run the tool at r14 start; never trust this comment's
+# snapshot over its output.
 # Entries after the flagship block run in stable module order.
 _FLAGSHIP_PREFIX = [
     # --- never-certified: decision (1) ---
