@@ -1194,3 +1194,80 @@ def test_vocab_gini_brute_force(spark):
         v, s, g = want[r["source"]]
         assert r["vocab"] == v and r["n_tokens"] == s
         assert r["gini_token_freq"] == pytest.approx(g, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# dunn_posthoc_test — brute pairwise rank comparisons with tie correction
+# ---------------------------------------------------------------------------
+
+
+def test_dunn_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        q_dunn_posthoc_test,
+    )
+
+    orders = _df("orders")
+    v = orders["o_totalprice"].to_numpy()
+    g = orders["o_orderpriority"].to_numpy()
+    ranks = _midranks(v)
+    n = len(v)
+    counts = pd.Series(v).value_counts().to_numpy()
+    tie3 = float((counts.astype(np.int64) ** 3 - counts).sum())
+    vpool = n * (n + 1) / 12.0 - tie3 / (12.0 * (n - 1))
+    want = {}
+    gs = sorted(set(g))
+    for i, g1 in enumerate(gs):
+        for g2 in gs[i + 1 :]:
+            r1, r2 = ranks[g == g1], ranks[g == g2]
+            diff = r1.mean() - r2.mean()
+            z = diff / math.sqrt(vpool * (1 / len(r1) + 1 / len(r2)))
+            want[(g1, g2)] = (len(r1), len(r2), diff, z)
+
+    got = q_dunn_posthoc_test(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n1, n2, diff, z = want[(r["g1"], r["g2"])]
+        assert r["n1"] == n1 and r["n2"] == n2
+        assert r["mean_rank_diff"] == pytest.approx(diff, rel=1e-10)
+        assert r["z_dunn"] == pytest.approx(z, rel=1e-9)
+        assert r["significant_bonf"] == int(abs(z) > 2.807033768343811)
+
+
+# ---------------------------------------------------------------------------
+# kappa_weighted — brute quadratic/linear weighted kappa
+# ---------------------------------------------------------------------------
+
+
+def test_kappa_weighted_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        WK_CHAR_CUTS,
+        WK_TOKEN_CUTS,
+        q_kappa_weighted,
+    )
+
+    docs = _df("documents")
+    ra = docs["n_chars"].apply(
+        lambda x: 0 if x < WK_CHAR_CUTS[0] else (1 if x < WK_CHAR_CUTS[1] else 2)
+    )
+    ntok = docs["text"].apply(lambda t: len([x for x in t.split(" ") if x]))
+    rb = ntok.apply(
+        lambda x: 0 if x < WK_TOKEN_CUTS[0] else (1 if x < WK_TOKEN_CUTS[1] else 2)
+    )
+    n = len(docs)
+    o = np.zeros((3, 3), dtype=np.int64)
+    for i, j in zip(ra, rb):
+        o[i][j] += 1
+    r, c = o.sum(axis=1), o.sum(axis=0)
+
+    def kap(w):
+        num = sum(w(i, j) * o[i][j] for i in range(3) for j in range(3))
+        den = sum(w(i, j) * r[i] * c[j] for i in range(3) for j in range(3))
+        return 1.0 - n * num / den
+
+    kq = kap(lambda i, j: (i - j) ** 2)
+    kl = kap(lambda i, j: abs(i - j))
+
+    (row,) = q_kappa_weighted(spark, SF_DIR).collect()
+    assert row["n"] == n
+    assert row["kappa_quadratic"] == pytest.approx(kq, rel=1e-10)
+    assert row["kappa_linear"] == pytest.approx(kl, rel=1e-10)

@@ -2065,6 +2065,310 @@ FROM staged
 
 
 # ---------------------------------------------------------------------------
+# Weighted kappa on ordinal raters (round 13 late)
+# ---------------------------------------------------------------------------
+
+# 3-level ordinal raters: document-length bands (chars) vs token bands,
+# literal cuts — level 0 short / 1 medium / 2 long
+WK_CHAR_CUTS = (150, 300)
+WK_TOKEN_CUTS = (25, 55)
+
+
+def q_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's WEIGHTED kappa (Cohen 1968) between two 3-level ORDINAL
+    document raters (character-band vs token-band length classifiers):
+    the agreement coefficient for ordered labels, where confusing
+    'short' with 'long' must cost more than 'short' with 'medium' —
+    the case the unweighted ``cohens_kappa`` (and ``gwet_ac1`` /
+    ``krippendorff_alpha``'s nominal metric) can't express. Both the
+    QUADRATIC-weight form (v_ij = (i−j)² — the ICC-equivalent, the
+    standard for ordinal QA rubrics) and the LINEAR form (v_ij =
+    |i−j|) ship from the same table.
+
+    Exactness: the 3×3 cells are ONE conditional hash agg of exact
+    integer counts on the literal level domain; with disagreement
+    weights, κ_w = 1 − n·Σv_ij·O_ij / Σv_ij·r_i·c_j where O is the
+    cell count and r/c the integer margins — both numerator and
+    denominator are exact DECIMAL(38,0) integer cross-products
+    (weights are small integer literals), and each κ is ONE final
+    IEEE division. Degenerate contract: a zero expected-disagreement
+    denominator (a constant rater) → κ NULL under an explicit guard.
+
+    Scale shape: one scan with per-row band arithmetic, one 9-cell
+    map-side-combinable agg, 1-row literal-domain arithmetic.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_n = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    )
+    a = (
+        F.when(F.col("n_chars") < WK_CHAR_CUTS[0], 0)
+        .when(F.col("n_chars") < WK_CHAR_CUTS[1], 1)
+        .otherwise(2)
+    )
+    b = (
+        F.when(tok_n < WK_TOKEN_CUTS[0], 0)
+        .when(tok_n < WK_TOKEN_CUTS[1], 1)
+        .otherwise(2)
+    )
+    based = docs.select(a.alias("ra"), b.alias("rb"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(3):
+        for j in range(3):
+            aggs.append(
+                F.sum(((F.col("ra") == i) & (F.col("rb") == j)).cast("long"))
+                .cast("long")
+                .alias(f"o{i}{j}")
+            )
+    red = based.agg(*aggs)
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    r = {i: sum(F.col(f"o{i}{j}") for j in range(3)) for i in range(3)}
+    c = {j: sum(F.col(f"o{i}{j}") for i in range(3)) for j in range(3)}
+
+    def kappa(weight):
+        num = None
+        den = None
+        for i in range(3):
+            for j in range(3):
+                w = weight(i, j)
+                if w == 0:
+                    continue
+                t_o = dec(F.col(f"o{i}{j}")) * F.lit(w)
+                t_e = dec(r[i]) * dec(c[j]) * F.lit(w)
+                num = t_o if num is None else num + t_o
+                den = t_e if den is None else den + t_e
+        num_d = (dec(F.col("n")) * num).cast("decimal(38,0)")
+        den_d = den.cast("decimal(38,0)")
+        k = F.lit(1.0) - dec_to_double(num_d) / dec_to_double(den_d)
+        return F.when(den_d > 0, k)
+
+    return red.select(
+        "n",
+        kappa(lambda i, j: (i - j) * (i - j)).alias("kappa_quadratic"),
+        kappa(lambda i, j: abs(i - j)).alias("kappa_linear"),
+    )
+
+
+def _sql_kappa_weighted() -> str:
+    cells = [f"CAST(COUNT(*) AS BIGINT) AS n"]
+    for i in range(3):
+        for j in range(3):
+            cells.append(
+                f"CAST(SUM(CASE WHEN ra = {i} AND rb = {j} THEN 1 ELSE 0 END) AS BIGINT) AS o{i}{j}"
+            )
+    cols = ",\n         ".join(cells)
+    r = {i: " + ".join(f"o{i}{j}" for j in range(3)) for i in range(3)}
+    c = {j: " + ".join(f"o{i}{j}" for i in range(3)) for j in range(3)}
+
+    def kappa(weight):
+        nums, dens = [], []
+        for i in range(3):
+            for j in range(3):
+                w = weight(i, j)
+                if w == 0:
+                    continue
+                nums.append(f"CAST(o{i}{j} AS DECIMAL(38,0)) * {w}")
+                dens.append(
+                    f"CAST({r[i]} AS DECIMAL(38,0)) * CAST({c[j]} AS DECIMAL(38,0)) * {w}"
+                )
+        num = f"CAST(CAST(n AS DECIMAL(38,0)) * ({' + '.join(nums)}) AS DECIMAL(38,0))"
+        den = f"CAST({' + '.join(dens)} AS DECIMAL(38,0))"
+        k = f"(1.0 - {sql_dec_to_double(num)} / {sql_dec_to_double(den)})"
+        return f"CASE WHEN {den} > 0 THEN {k} END"
+
+    kq = kappa(lambda i, j: (i - j) * (i - j))
+    kl = kappa(lambda i, j: abs(i - j))
+    return f"""
+WITH based AS (
+  SELECT CASE WHEN n_chars < {WK_CHAR_CUTS[0]} THEN 0
+              WHEN n_chars < {WK_CHAR_CUTS[1]} THEN 1 ELSE 2 END AS ra,
+         CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) < {WK_TOKEN_CUTS[0]} THEN 0
+              WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) < {WK_TOKEN_CUTS[1]} THEN 1 ELSE 2 END AS rb
+  FROM documents
+), red AS (
+  SELECT {cols}
+  FROM based
+)
+SELECT n,
+       {kq} AS kappa_quadratic,
+       {kl} AS kappa_linear
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dunn post-hoc pairwise test (round 13 late)
+# ---------------------------------------------------------------------------
+
+# Bonferroni z cut for 10 pairwise comparisons at family alpha 0.05:
+# Phi^-1(1 - 0.025/10), Python-folded
+_DUNN_Z_CRIT_BONF10 = 2.807033768343811
+
+
+def q_dunn_posthoc_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's (1964) post-hoc pairwise comparisons after
+    ``kruskal_wallis`` — the question KW's single H cannot answer:
+    WHICH priority classes differ in order-value location? For each of
+    the C(5,2) = 10 pairs, z_ij = (R̄_i − R̄_j)/√(V·(1/nᵢ + 1/nⱼ)) with
+    the tie-corrected pooled rank variance V = N(N+1)/12 −
+    Σ(t³−t)/(12(N−1)), judged at the Bonferroni-corrected literal cut
+    (family α = 0.05 over 10 comparisons). The standard multiple-
+    comparison companion every KW rejection is followed by.
+
+    Exactness: doubled midranks per (value, group) cell keep every
+    rank sum integral (R2_g = Σc_g(2t+c+1), the house identity); mean-
+    rank differences are R2_i·nⱼ − R2_j·nᵢ over 2nᵢnⱼ — exact DECIMAL
+    numerators, one IEEE division; the tie term Σ(t³−t) is an exact
+    DECIMAL hash sum; each z is one fixed IEEE sequence and the
+    10-pair frame is a tiny self-join of the ≤5-row group summary
+    (g1 < g2 ordering deterministic). Degenerate contract: V ≤ 0 (all
+    values tied) → z/significance NULL.
+
+    Scale shape: one (value, group) hash agg + value-domain cumulative
+    window (the kruskal_wallis frame), one ≤5-row reduce, one ≤10-row
+    self-join.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_vz = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.col("o_orderpriority").alias("g"),
+        )
+        .groupBy("v", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_v = per_vz.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked_v = per_v.select(
+        "v",
+        "cv",
+        (
+            F.lit(2) * F.coalesce(F.sum("cv").over(w_prev), F.lit(0))
+            + F.col("cv")
+            + F.lit(1)
+        ).alias("m"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    groups = (
+        per_vz.join(ranked_v, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(dec(F.col("c")) * dec(F.col("m")))
+            .cast("decimal(38,0)")
+            .alias("r2"),
+        )
+    )
+    tot = ranked_v.agg(
+        F.sum("cv").cast("long").alias("nn"),
+        F.sum(
+            dec(F.col("cv")) * dec(F.col("cv")) * dec(F.col("cv"))
+            - dec(F.col("cv"))
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    a = groups.select(
+        F.col("g").alias("g1"),
+        F.col("n").alias("n1"),
+        F.col("r2").alias("r2_1"),
+    )
+    b = groups.select(
+        F.col("g").alias("g2"),
+        F.col("n").alias("n2"),
+        F.col("r2").alias("r2_2"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("g1") < F.col("g2"))
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("nn").cast("double")
+    vpool = nd * (nd + F.lit(1.0)) / F.lit(12.0) - dec_to_double(
+        F.col("tie3")
+    ) / (F.lit(12.0) * (nd - F.lit(1.0)))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    # mean-rank difference: (R2_1/n1 - R2_2/n2)/2 with exact decimal
+    # numerator R2_1·n2 − R2_2·n1 over 2·n1·n2
+    diff = dec_to_double(
+        (F.col("r2_1") * dec(F.col("n2")) - F.col("r2_2") * dec(F.col("n1")))
+        .cast("decimal(38,0)")
+    ) / (F.lit(2.0) * n1d * n2d)
+    z = diff / F.sqrt(vpool * (F.lit(1.0) / n1d + F.lit(1.0) / n2d))
+    ok = vpool > 0
+    return pairs.select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        diff.alias("mean_rank_diff"),
+        F.when(ok, z).alias("z_dunn"),
+        F.when(ok, (F.abs(z) > F.lit(_DUNN_Z_CRIT_BONF10)).cast("int")).alias(
+            "significant_bonf"
+        ),
+    ).orderBy("g1", "g2")
+
+
+def _sql_dunn() -> str:
+    vpool = (
+        "(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 12.0"
+        f" - {sql_dec_to_double('tie3')} / (12.0 * (CAST(nn AS DOUBLE) - 1.0)))"
+    )
+    diff = (
+        f"({sql_dec_to_double('CAST(r2_1 * CAST(n2 AS DECIMAL(38,0)) - r2_2 * CAST(n1 AS DECIMAL(38,0)) AS DECIMAL(38,0))')}"
+        " / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+    )
+    z = (
+        f"({diff} / sqrt({vpool} * (1.0 / CAST(n1 AS DOUBLE)"
+        " + 1.0 / CAST(n2 AS DOUBLE))))"
+    )
+    return f"""
+WITH per_vz AS (
+  SELECT o_totalprice AS v, o_orderpriority AS g,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+), per_v AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM per_vz GROUP BY 1
+), ranked_v AS (
+  SELECT v, cv,
+         2 * COALESCE(SUM(cv) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cv + 1 AS m
+  FROM per_v
+), groups AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS r2
+  FROM per_vz JOIN ranked_v USING (v)
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cv) AS BIGINT) AS nn,
+         CAST(SUM(CAST(cv AS DECIMAL(38,0)) * CAST(cv AS DECIMAL(38,0)) * CAST(cv AS DECIMAL(38,0)) - CAST(cv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie3
+  FROM ranked_v
+), pairs AS (
+  SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+         a.r2 AS r2_1, b.r2 AS r2_2, nn, tie3
+  FROM groups a CROSS JOIN groups b CROSS JOIN tot
+  WHERE a.g < b.g
+)
+SELECT g1, g2, n1, n2,
+       {diff} AS mean_rank_diff,
+       CASE WHEN {vpool} > 0 THEN {z} END AS z_dunn,
+       CASE WHEN {vpool} > 0
+            THEN CAST(abs({z}) > {_DUNN_Z_CRIT_BONF10} AS INT) END AS significant_bonf
+FROM pairs
+ORDER BY g1, g2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cochran-Mantel-Haenszel chi-square test (round 13)
 # ---------------------------------------------------------------------------
 
@@ -2331,6 +2635,8 @@ FROM mid
 
 
 QUERIES = {
+    "kappa_weighted": q_kappa_weighted,
+    "dunn_posthoc_test": q_dunn_posthoc_test,
     "cmh_test": q_cmh_test,
     "breslow_day_test": q_breslow_day_test,
     "cuzick_trend_test": q_cuzick_trend_test,
@@ -2353,6 +2659,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "kappa_weighted": _sql_kappa_weighted(),
+    "dunn_posthoc_test": _sql_dunn(),
     "cmh_test": _sql_cmh(),
     "breslow_day_test": _sql_breslow_day(),
     "cuzick_trend_test": _sql_cuzick(),

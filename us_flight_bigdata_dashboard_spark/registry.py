@@ -166,11 +166,12 @@ _MODULES = [
 # new entries certify in the same round instead of waiting for r14.
 # The mandatory 24 stay pinned at the top and are never displaced.
 #
-# ROUND-14 STAGING: the never-certified pool entering r14 is the 4-entry
+# ROUND-14 STAGING: the never-certified pool entering r14 is the 6-entry
 # ROUND-13 LATE WAVE (robust_moments_bowley, queueing_mmc_erlang,
-# brr_variance_estimate, text_vocab_gini -- all landed AFTER the 50-slot
-# window froze, registry positions > 50; 5-layer pre-cleared at
-# authoring time, brute-forced in tests/test_round13_ops.py tests 27-30)
+# brr_variance_estimate, text_vocab_gini, dunn_posthoc_test,
+# kappa_weighted -- all landed AFTER the 50-slot window froze, registry
+# positions > 50; 5-layer pre-cleared at authoring time, brute-forced in
+# tests/test_round13_ops.py tests 27-32)
 # plus whatever `python tools/rotate_prefix.py --sentinels` reports at
 # r14 start. IMPORTANT tool caveat proven this round: the sentinel check
 # is text-level on the QUERY function and cannot see ORACLE-helper
