@@ -279,10 +279,31 @@ def iso_main() -> None:
             text=True,
             check=True,
         )
-        cap = json.loads(proc.stdout.strip().splitlines()[-1])
-        anchors.append(cap["timings"].pop(anchor))
+        # Scan stdout for the capture line instead of assuming it is last —
+        # a trailing JVM/py4j warning line would otherwise break the parse
+        # (ADVICE r13 #3).
+        cap = None
+        for line in proc.stdout.strip().splitlines():
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(obj, dict) and "timings" in obj:
+                cap = obj
+        if cap is None:
+            raise SystemExit(
+                "iso_bench.py emitted no capture JSON; stdout was:\n" + proc.stdout
+            )
+        anchor_t = cap["timings"].pop(anchor)
+        anchors.append(anchor_t)
         loads.append(cap["load1"])
         iso.update(cap["timings"])
+        # If the anchor itself ranks in the top-20, keep its timing in the
+        # iso column too (it was popped into the anchors list above) —
+        # otherwise the hottest query would silently vanish from `queries`
+        # (ADVICE r13 #3). Min across batches = its least-throttled capture.
+        if anchor in top:
+            iso[anchor] = min(anchor_t, iso.get(anchor, anchor_t))
     out = {
         "metric": "headline_top20_iso",
         "unit": "sec",

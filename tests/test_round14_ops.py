@@ -1,0 +1,260 @@
+"""Ground-truth tests for the round-14 additions: brute-force
+recomputations (pandas/numpy/pure Python) of every wave entry on
+sf0.001."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _df(table: str):
+    con = duckdb.connect()
+    return con.execute(f"SELECT * FROM '{SF_DIR}/{table}.parquet'").df()
+
+
+def _order_cents():
+    orders = _df("orders")
+    return (
+        np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64),
+        orders["o_orderkey"].to_numpy(),
+        orders["o_orderpriority"].to_numpy(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# siegel_tukey_scale — brute alternating-extreme ranks + Wilcoxon moments
+# ---------------------------------------------------------------------------
+
+
+def test_siegel_tukey_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_siegel_tukey_scale,
+    )
+
+    cents, keys, prio = _order_cents()
+    order = np.lexsort((keys, cents))
+    n = len(cents)
+    a = np.zeros(n, dtype=np.int64)
+    for i, idx in enumerate(order):
+        p = i + 1
+        q = n + 1 - p
+        if p < q:
+            a[idx] = 2 * p - (p % 2)
+        elif q < p:
+            a[idx] = 2 * q - 1 + (q % 2)
+        else:
+            a[idx] = n
+    # the alternating ranks are a permutation of 1..n
+    assert sorted(a.tolist()) == list(range(1, n + 1))
+    g1 = prio == "1-URGENT"
+    n1, n2 = int(g1.sum()), int((~g1).sum())
+    w_ref = int(a[g1].sum())
+    z_ref = (2 * w_ref - n1 * (n + 1)) / (2 * math.sqrt(n1 * n2 * (n + 1) / 3.0))
+
+    (row,) = q_siegel_tukey_scale(spark, SF_DIR).collect()
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["w_st"] == w_ref
+    assert row["z_st"] == pytest.approx(z_ref, rel=1e-12)
+    assert row["scale_diff_5pct"] == int(abs(z_ref) > 1.959963984540054)
+
+
+# ---------------------------------------------------------------------------
+# hartley_fmax — brute per-group sample variances
+# ---------------------------------------------------------------------------
+
+
+def test_hartley_fmax_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_hartley_fmax,
+    )
+
+    cents, _, prio = _order_cents()
+    groups = pd.Series(cents).groupby(prio)
+    variances = groups.var(ddof=1)  # pandas uses the same n-1 denominator
+    ns = groups.count()
+
+    (row,) = q_hartley_fmax(spark, SF_DIR).collect()
+    assert row["k_groups"] == len(variances)
+    assert row["n_min_group"] == int(ns.min())
+    assert row["fmax_stat"] == pytest.approx(
+        float(variances.max() / variances.min()), rel=1e-9
+    )
+    assert row["cochran_c"] == pytest.approx(
+        float(variances.max() / variances.sum()), rel=1e-9
+    )
+
+
+# ---------------------------------------------------------------------------
+# friedman_test — brute midrank Friedman + Iman-Davenport on the b x k grid
+# ---------------------------------------------------------------------------
+
+
+def test_friedman_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        FRIED_YM_HI,
+        FRIED_YM_LO,
+        q_friedman_test,
+    )
+
+    orders = _df("orders")
+    dates = pd.to_datetime(orders["o_orderdate"])
+    ym = dates.dt.year * 12 + dates.dt.month
+    mask = (ym >= FRIED_YM_LO) & (ym <= FRIED_YM_HI)
+    sub = pd.DataFrame(
+        {
+            "ym": ym[mask],
+            "trt": orders.loc[mask, "o_orderpriority"],
+            "cents": np.round(
+                orders.loc[mask, "o_totalprice"].to_numpy() * 100
+            ).astype(np.int64),
+        }
+    )
+    grid = (
+        sub.groupby(["ym", "trt"])["cents"]
+        .sum()
+        .unstack(fill_value=0)
+        .reindex(range(FRIED_YM_LO, FRIED_YM_HI + 1), fill_value=0)
+    )
+    b, k = grid.shape
+    ranks = grid.rank(axis=1, method="average").to_numpy()
+    rj = ranks.sum(axis=0)
+    num = ((rj - b * (k + 1) / 2.0) ** 2).sum()
+    den = (ranks**2).sum() - b * k * (k + 1) ** 2 / 4.0
+    chi2_ref = (k - 1) * num / den
+    f_id_ref = (b - 1) * chi2_ref / (b * (k - 1) - chi2_ref)
+
+    (row,) = q_friedman_test(spark, SF_DIR).collect()
+    assert row["n_blocks"] == b and row["k_treatments"] == k
+    assert row["chi2_friedman"] == pytest.approx(chi2_ref, rel=1e-10)
+    assert row["f_imandav"] == pytest.approx(f_id_ref, rel=1e-10)
+    assert row["significant_5pct"] == int(chi2_ref > 9.487729036781154)
+
+
+# ---------------------------------------------------------------------------
+# welch_anova — brute Welch F* via numpy group stats
+# ---------------------------------------------------------------------------
+
+
+def test_welch_anova_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.inference import (
+        q_welch_anova,
+    )
+
+    cents, _, prio = _order_cents()
+    s = pd.Series(cents.astype(float))
+    g = s.groupby(prio)
+    ns = g.count().to_numpy(dtype=float)
+    means = g.mean().to_numpy()
+    variances = g.var(ddof=1).to_numpy()
+    k = len(ns)
+    w = ns / variances
+    w_tot = w.sum()
+    mean_w = (w * means).sum() / w_tot
+    a_num = (w * (means - mean_w) ** 2).sum() / (k - 1)
+    h = ((1 - w / w_tot) ** 2 / (ns - 1)).sum()
+    f_ref = a_num / (1 + 2 * (k - 2) / (k * k - 1.0) * h)
+    df2_ref = (k * k - 1.0) / (3 * h)
+
+    (row,) = q_welch_anova(spark, SF_DIR).collect()
+    assert row["k_groups"] == k
+    assert row["n_rows"] == len(cents)
+    assert row["f_welch"] == pytest.approx(f_ref, rel=1e-8)
+    assert row["df1"] == k - 1
+    assert row["df2_welch"] == pytest.approx(df2_ref, rel=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# goldfeld_quandt — brute per-region split-sample OLS residual variances
+# ---------------------------------------------------------------------------
+
+
+def test_goldfeld_quandt_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        _GQ_HI_YM,
+        _GQ_LO_YM,
+        _GQ_X0,
+        q_goldfeld_quandt,
+    )
+
+    orders = _df("orders")
+    cust = _df("customer")
+    nation = _df("nation")
+    region = _df("region")
+    joined = (
+        orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    dates = pd.to_datetime(joined["o_orderdate"])
+    joined["x"] = dates.dt.year * 12 + dates.dt.month
+    joined["cents"] = np.round(joined["o_totalprice"].to_numpy() * 100).astype(
+        np.int64
+    )
+    monthly = (
+        joined.groupby(["r_name", "x"])["cents"].sum().reset_index()
+    )
+    monthly["v"] = monthly["cents"] / 1e9
+
+    def sse_lstsq(dfm):
+        x = dfm["x"].to_numpy(dtype=float)
+        y = dfm["v"].to_numpy(dtype=float)
+        X = np.column_stack([np.ones_like(x), x])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ beta
+        return float((resid**2).sum()), len(x)
+
+    def sse_moments_hp(dfm):
+        # the engine's computational formula, in extended precision with
+        # floor-quantized y-moments (scale 8) to mirror fsum exactly
+        x = dfm["x"].to_numpy(dtype=np.longdouble) - np.longdouble(_GQ_X0)
+        q = np.longdouble(1e8)
+        y = np.floor(dfm["v"].to_numpy(dtype=float) * 1e8).astype(np.longdouble)
+        n = np.longdouble(len(x))
+        sx, sy = x.sum(), y.sum() / q
+        sxy = (
+            np.floor(
+                (
+                    dfm["v"].to_numpy(dtype=float)
+                    * (dfm["x"].to_numpy(dtype=float) - _GQ_X0)
+                )
+                * 1e8
+            ).sum()
+            / q
+        )
+        sxx = (x * x).sum()
+        syy = (
+            np.floor(
+                (dfm["v"].to_numpy(dtype=float) * dfm["v"].to_numpy(dtype=float))
+                * 1e8
+            ).sum()
+            / q
+        )
+        return float(
+            (syy - sy * sy / n)
+            - (sxy - sx * sy / n) * (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        )
+
+    rows = {r["r_name"]: r for r in q_goldfeld_quandt(spark, SF_DIR).collect()}
+    for rname, dfm in monthly.groupby("r_name"):
+        early = dfm[dfm["x"] < _GQ_LO_YM]
+        late = dfm[dfm["x"] >= _GQ_HI_YM]
+        sse1_ls, n1 = sse_lstsq(early)
+        sse2_ls, n2 = sse_lstsq(late)
+        row = rows[rname]
+        assert row["n_early"] == n1 and row["n_late"] == n2
+        # tight: the engine implements the documented computational formula
+        assert row["ssr_early"] == pytest.approx(sse_moments_hp(early), rel=1e-7)
+        assert row["ssr_late"] == pytest.approx(sse_moments_hp(late), rel=1e-7)
+        # loose: that formula agrees with an independent lstsq fit to the
+        # accuracy the double-precision cancellation allows
+        assert row["ssr_early"] == pytest.approx(sse1_ls, rel=1e-5)
+        assert row["ssr_late"] == pytest.approx(sse2_ls, rel=1e-5)
+        f_ref = (sse2_ls / (n2 - 2)) / (sse1_ls / (n1 - 2))
+        assert row["gq_f"] == pytest.approx(f_ref, rel=1e-5)

@@ -24,6 +24,7 @@ Usage: python tools/rotate_prefix.py [repo_root] [--sentinels]
 
 from __future__ import annotations
 
+import ast
 import glob
 import inspect
 import json
@@ -78,6 +79,41 @@ def never_certified(root: str) -> None:
             print(f'    "{n}",')
 
 
+def _code_dump(src: str, fname: str) -> tuple[str, str] | None:
+    """AST dump of ``fname``'s body with the leading docstring statement
+    dropped — whether it is a plain string constant or a ``"...".format(...)``
+    / ``"...".replace(...)`` call on a string constant (the pre-r13 inline
+    pattern). Two functions with equal dumps differ at most in documentation,
+    which cannot change query results, so a text-level CERTAIN sentinel whose
+    dumps match is demoted to doc-only (round-14 upgrade: r13's docstring
+    normalization flagged 72 entries whose code bodies were untouched)."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == fname:
+            body = node.body
+            if body and isinstance(body[0], ast.Expr):
+                v = body[0].value
+                is_doc = isinstance(v, ast.Constant) and isinstance(v.value, str)
+                while (
+                    not is_doc
+                    and isinstance(v, ast.Call)
+                    and isinstance(v.func, ast.Attribute)
+                    and v.func.attr in ("format", "replace")
+                ):
+                    v = v.func.value
+                    is_doc = isinstance(v, ast.Constant) and isinstance(v.value, str)
+                if is_doc:
+                    body = body[1:]
+            return (
+                ast.dump(ast.Module(body=body, type_ignores=[])),
+                ast.dump(node.args),
+            )
+    return None
+
+
 def sentinels(root: str) -> None:
     last = _last_certified(root)
     qs = registry.queries()
@@ -86,6 +122,7 @@ def sentinels(root: str) -> None:
     commit_of: dict[str, str] = {}
     old_blob: dict[tuple[str, str], str | None] = {}
     certain: list[tuple[str, str, str]] = []
+    doc_only: list[tuple[str, str, str]] = []
     review: list[tuple[str, str, str]] = []
     for name, fn in qs.items():
         cert_file = last.get(name)
@@ -110,13 +147,30 @@ def sentinels(root: str) -> None:
             continue
         head_src = inspect.getsource(fn)
         if head_src not in old:
-            certain.append((name, rnd, f"{src_file}: function text changed"))
+            # Text changed — but a docstring-only edit cannot change results.
+            # Compare AST code bodies (sans docstring statement) before
+            # promoting to CERTAIN.
+            old_dump = _code_dump(old, fn.__name__)
+            new_dump = _code_dump(
+                open(os.path.join(root, src_file)).read(), fn.__name__
+            )
+            if old_dump is not None and old_dump == new_dump:
+                doc_only.append((name, rnd, src_file))
+            else:
+                certain.append((name, rnd, f"{src_file}: function code changed"))
         elif old != open(os.path.join(root, src_file)).read():
             review.append((name, rnd, f"{src_file}: module changed around it"))
-    print(f"CERTAIN sentinels (function edited since last certification): "
+    print(f"CERTAIN sentinels (function CODE edited since last certification): "
           f"{len(certain)}")
     for name, rnd, why in sorted(certain):
         print(f'    "{name}",  # certified {rnd}; {why}')
+    print(f"\ndoc-only sentinels (text changed, AST code body identical — "
+          f"no re-cert needed): {len(doc_only)}")
+    by_mod: dict[str, int] = {}
+    for _, _, src_file in doc_only:
+        by_mod[src_file] = by_mod.get(src_file, 0) + 1
+    for mod_file, n in sorted(by_mod.items()):
+        print(f"  {mod_file}: {n}")
     names_in_review = sorted({n for n, _, _ in review})
     print(f"\nREVIEW candidates (module file changed, function text intact): "
           f"{len(names_in_review)}")

@@ -637,7 +637,7 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
-q_relational_division.__doc__ = q_relational_division.__doc__.format(y=DIVISION_YEAR)
+q_relational_division.__doc__ = q_relational_division.__doc__ and q_relational_division.__doc__.format(y=DIVISION_YEAR)
 
 
 _ORACLE_DIVISION = f"""

@@ -432,7 +432,7 @@ def q_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_ldiversity_audit.__doc__ = q_ldiversity_audit.__doc__.format(
+q_ldiversity_audit.__doc__ = q_ldiversity_audit.__doc__ and q_ldiversity_audit.__doc__.format(
     bin=LDIV_BAL_BIN, l=LDIV_L
 )
 
@@ -610,7 +610,7 @@ def q_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("level")
-q_kanon_generalize.__doc__ = q_kanon_generalize.__doc__.format(k=KANON_K)
+q_kanon_generalize.__doc__ = q_kanon_generalize.__doc__ and q_kanon_generalize.__doc__.format(k=KANON_K)
 
 
 def _sql_kanon_generalize() -> str:
@@ -710,7 +710,7 @@ def q_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_tcloseness_audit.__doc__ = q_tcloseness_audit.__doc__.format(TCLOSE_T=TCLOSE_T)
+q_tcloseness_audit.__doc__ = q_tcloseness_audit.__doc__ and q_tcloseness_audit.__doc__.format(TCLOSE_T=TCLOSE_T)
 
 
 def _sql_tcloseness() -> str:
@@ -821,7 +821,7 @@ def q_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(RR_EPSILON).alias("epsilon"),
         ((est - true_d) / true_d * F.lit(100.0)).alias("rel_err_pct"),
     )
-q_dp_randomized_response.__doc__ = q_dp_randomized_response.__doc__.format(d=RR_Q_DEN)
+q_dp_randomized_response.__doc__ = q_dp_randomized_response.__doc__ and q_dp_randomized_response.__doc__.format(d=RR_Q_DEN)
 
 
 def _sql_rr() -> str:

@@ -1622,7 +1622,7 @@ def q_sla_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center_num - half_num) / denom).alias("wilson_lo"),
         ((center_num + half_num) / denom).alias("wilson_hi"),
     ).orderBy("n_name")
-q_sla_wilson_ci.__doc__ = q_sla_wilson_ci.__doc__.format(d=SLA_DAYS)
+q_sla_wilson_ci.__doc__ = q_sla_wilson_ci.__doc__ and q_sla_wilson_ci.__doc__.format(d=SLA_DAYS)
 
 
 _ORACLE_WILSON = f"""
@@ -1705,7 +1705,7 @@ def q_top_movers_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(MOVERS_TOP_K)
     )
-q_top_movers_mom.__doc__ = q_top_movers_mom.__doc__.format(k=MOVERS_TOP_K)
+q_top_movers_mom.__doc__ = q_top_movers_mom.__doc__ and q_top_movers_mom.__doc__.format(k=MOVERS_TOP_K)
 
 
 _ORACLE_MOVERS = f"""
@@ -1972,7 +1972,7 @@ def q_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("seg_from", "seg_to")
     )
-q_customer_migration_matrix.__doc__ = q_customer_migration_matrix.__doc__.format(y0=MIG_YEAR_FROM, y1=MIG_YEAR_TO)
+q_customer_migration_matrix.__doc__ = q_customer_migration_matrix.__doc__ and q_customer_migration_matrix.__doc__.format(y0=MIG_YEAR_FROM, y1=MIG_YEAR_TO)
 
 
 _ORACLE_MIGRATION = f"""
@@ -2884,7 +2884,7 @@ def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
-q_newsvendor_quantile.__doc__ = q_newsvendor_quantile.__doc__.format(
+q_newsvendor_quantile.__doc__ = q_newsvendor_quantile.__doc__ and q_newsvendor_quantile.__doc__.format(
         cu=NV_CU, co=NV_CO
     )
 
@@ -2991,7 +2991,7 @@ def q_price_elasticity_arc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q2").cast("long").alias("qty_hi"),
         (num / F.nullif(den, F.lit(0.0))).alias("arc_elasticity"),
     ).orderBy("p_brand", "band_lo")
-q_price_elasticity_arc.__doc__ = q_price_elasticity_arc.__doc__.format(w=ELAST_BAND_W, b=ELAST_BASE, n=ELAST_BANDS)
+q_price_elasticity_arc.__doc__ = q_price_elasticity_arc.__doc__ and q_price_elasticity_arc.__doc__.format(w=ELAST_BAND_W, b=ELAST_BASE, n=ELAST_BANDS)
 
 
 _ORACLE_ELASTICITY = f"""
@@ -3084,7 +3084,7 @@ def q_eoq_batch_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_relevant_cost"
         ),
     ).orderBy("p_brand")
-q_eoq_batch_sizing.__doc__ = q_eoq_batch_sizing.__doc__.format(
+q_eoq_batch_sizing.__doc__ = q_eoq_batch_sizing.__doc__ and q_eoq_batch_sizing.__doc__.format(
         s=EOQ_SETUP_COST, h=EOQ_HOLDING_RATE
     )
 
@@ -3273,7 +3273,7 @@ def q_queueing_mm1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rho"), F.asc("suppkey"))
         .limit(MM1_TOP)
     )
-q_queueing_mm1_metrics.__doc__ = q_queueing_mm1_metrics.__doc__.format(
+q_queueing_mm1_metrics.__doc__ = q_queueing_mm1_metrics.__doc__ and q_queueing_mm1_metrics.__doc__.format(
         y=MM1_YEAR, mu=MM1_MU_PER_DAY, d=MM1_DAYS, k=MM1_TOP
     )
 
@@ -3388,7 +3388,7 @@ def q_wagner_whitin_lot_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(WW_HOLD_CENTS).cast("long").alias("holding_cents_per_unit_month"),
         f[WW_T].cast("long").alias("optimal_cost_cents"),
     )
-q_wagner_whitin_lot_sizing.__doc__ = q_wagner_whitin_lot_sizing.__doc__.format(
+q_wagner_whitin_lot_sizing.__doc__ = q_wagner_whitin_lot_sizing.__doc__ and q_wagner_whitin_lot_sizing.__doc__.format(
         y=WW_YEAR, t=WW_T, p=WW_T * (WW_T + 1) // 2
     )
 
@@ -3522,7 +3522,7 @@ def q_inventory_base_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_demand").cast("double")
         ).alias("beta_fill_rate"),
     ).orderBy("p_brand")
-q_inventory_base_stock.__doc__ = q_inventory_base_stock.__doc__.format(
+q_inventory_base_stock.__doc__ = q_inventory_base_stock.__doc__ and q_inventory_base_stock.__doc__.format(
         L=BASE_STOCK_LEAD_M, NUM=BASE_STOCK_NUM, DEN=BASE_STOCK_DEN
     )
 

@@ -538,7 +538,7 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mae"),
     )
-q_dedup_minhash_eval.__doc__ = q_dedup_minhash_eval.__doc__.format(tau=MINHASH_EVAL_TAU)
+q_dedup_minhash_eval.__doc__ = q_dedup_minhash_eval.__doc__ and q_dedup_minhash_eval.__doc__.format(tau=MINHASH_EVAL_TAU)
 
 
 def _sql_minhash_eval() -> str:
@@ -1864,7 +1864,7 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= SNM_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
-q_dedup_sorted_neighborhood.__doc__ = q_dedup_sorted_neighborhood.__doc__.format(w=SNM_WINDOW, k=SNM_KEY_LEN)
+q_dedup_sorted_neighborhood.__doc__ = q_dedup_sorted_neighborhood.__doc__ and q_dedup_sorted_neighborhood.__doc__.format(w=SNM_WINDOW, k=SNM_KEY_LEN)
 
 
 _ORACLE_SNM_TMPL = f"""
@@ -1997,7 +1997,7 @@ FROM red
 """
 
 
-q_capture_recapture.__doc__ = q_capture_recapture.__doc__.replace("{n}", str(CR_NGRAM))
+q_capture_recapture.__doc__ = q_capture_recapture.__doc__ and q_capture_recapture.__doc__.replace("{n}", str(CR_NGRAM))
 
 
 QUERIES = {

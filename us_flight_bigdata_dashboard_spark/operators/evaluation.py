@@ -504,7 +504,7 @@ def q_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("chi2_cc"),
     )
-q_mcnemar_paired.__doc__ = q_mcnemar_paired.__doc__.format(t=_MCN_THRESHOLD, s=_MCN_SPLIT)
+q_mcnemar_paired.__doc__ = q_mcnemar_paired.__doc__ and q_mcnemar_paired.__doc__.format(t=_MCN_THRESHOLD, s=_MCN_SPLIT)
 
 
 _ORACLE_MCNEMAR = f"""
@@ -1739,7 +1739,7 @@ def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssrp.alias("ssr_pooled"),
         f_stat.alias("f_stat"),
     ).orderBy("r_name")
-q_chow_test.__doc__ = q_chow_test.__doc__.format(d="1998-01")
+q_chow_test.__doc__ = q_chow_test.__doc__ and q_chow_test.__doc__.format(d="1998-01")
 
 
 def _sql_chow() -> str:
@@ -1869,7 +1869,7 @@ def q_regression_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cooks_d"), F.asc("r_name"), F.asc("x"))
         .limit(REG_INFLUENCE_TOP)
     )
-q_regression_influence.__doc__ = q_regression_influence.__doc__.format(k=REG_INFLUENCE_TOP)
+q_regression_influence.__doc__ = q_regression_influence.__doc__ and q_regression_influence.__doc__.format(k=REG_INFLUENCE_TOP)
 
 
 def _sql_reg_influence() -> str:
@@ -2024,7 +2024,7 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_stat"
         ),
     )
-q_wilcoxon_signed_rank.__doc__ = q_wilcoxon_signed_rank.__doc__.format(s=_MCN_SPLIT)
+q_wilcoxon_signed_rank.__doc__ = q_wilcoxon_signed_rank.__doc__ and q_wilcoxon_signed_rank.__doc__.format(s=_MCN_SPLIT)
 
 
 _ORACLE_WILCOXON = f"""
@@ -2458,7 +2458,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
-q_conformal_interval.__doc__ = q_conformal_interval.__doc__.format(
+q_conformal_interval.__doc__ = q_conformal_interval.__doc__ and q_conformal_interval.__doc__.format(
         an=CONF_ALPHA_NUM, ad=CONF_ALPHA_DEN
     )
 
@@ -2588,7 +2588,7 @@ def q_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((b2 - b1) * F.lit(10.0)).alias("slope_change_musd"),
         ((a2 - a1) * F.lit(10.0)).alias("level_change_musd"),
     ).orderBy("r_name")
-q_interrupted_time_series.__doc__ = q_interrupted_time_series.__doc__.format(d="1998-01")
+q_interrupted_time_series.__doc__ = q_interrupted_time_series.__doc__ and q_interrupted_time_series.__doc__.format(d="1998-01")
 
 
 def _sql_its() -> str:
@@ -2820,7 +2820,7 @@ def q_evt_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
             "return_level_12mo_musd"
         ),
     )
-q_evt_gumbel_block_maxima.__doc__ = q_evt_gumbel_block_maxima.__doc__.format(
+q_evt_gumbel_block_maxima.__doc__ = q_evt_gumbel_block_maxima.__doc__ and q_evt_gumbel_block_maxima.__doc__.format(
         t=_GUMBEL_RETURN_T
     )
 
@@ -3379,7 +3379,7 @@ def q_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         icc1.alias("icc1"),
         ((msb - msw) / msb).alias("icc_k"),
     )
-q_icc_oneway.__doc__ = q_icc_oneway.__doc__.format(
+q_icc_oneway.__doc__ = q_icc_oneway.__doc__ and q_icc_oneway.__doc__.format(
         k=ICC_K
     )
 
@@ -3544,7 +3544,7 @@ def q_stuart_maxwell_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("int").alias("df"),
         (chi2 > F.lit(SM_CHI2_CRIT_DF2)).cast("int").alias("significant_5pct"),
     )
-q_stuart_maxwell_test.__doc__ = q_stuart_maxwell_test.__doc__.format(
+q_stuart_maxwell_test.__doc__ = q_stuart_maxwell_test.__doc__ and q_stuart_maxwell_test.__doc__.format(
         a=SM_YEAR_A, b=SM_YEAR_B
     )
 
@@ -3793,7 +3793,7 @@ def q_odds_ratio_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
-q_odds_ratio_binning.__doc__ = q_odds_ratio_binning.__doc__.format(b=ORB_BINS)
+q_odds_ratio_binning.__doc__ = q_odds_ratio_binning.__doc__ and q_odds_ratio_binning.__doc__.format(b=ORB_BINS)
 
 
 _ORACLE_ODDS_RATIO_BINNING = f"""
@@ -3953,7 +3953,7 @@ def q_propensity_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("covariate")
     )
-q_propensity_smd_balance.__doc__ = q_propensity_smd_balance.__doc__.format(seg=SMD_SEGMENT, th=SMD_BALANCE_THRESH)
+q_propensity_smd_balance.__doc__ = q_propensity_smd_balance.__doc__ and q_propensity_smd_balance.__doc__.format(seg=SMD_SEGMENT, th=SMD_BALANCE_THRESH)
 
 
 def _sql_smd_balance() -> str:
@@ -4463,7 +4463,12 @@ def q_spiegelhalter_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment frame (``fsum`` scale 6 — sum ≤ n/4 stays inside 2^53 far
     past 10^9 test rows). Degenerate contract: a test fold where every
     segment rate is 0, ½ or 1 zeroes the denominator → Z NULL under an
-    explicit guard.
+    explicit guard. Additionally, test-fold counts are INNER-joined to
+    train-fold segment rates, so a segment whose rows ALL hash into the
+    test split (no train rows → no rate) is dropped from the test sum
+    and ``n_test`` counts only scoreable rows — rows the model can
+    actually emit a pᵢ for — not the full test fold (ADVICE r13 #2;
+    both engines share this contract).
 
     Scale shape: one fact⋈dim join + two segment-sized hash aggs + a
     1-row reduce — identical to calibration_ece.
@@ -4753,7 +4758,158 @@ FROM cells
 """
 
 
+# ---------------------------------------------------------------------------
+# Goldfeld-Quandt heteroskedasticity test (round 14)
+# ---------------------------------------------------------------------------
+
+_GQ_LO_YM = 1996 * 12 + 1   # early window ends BEFORE 1996-01
+_GQ_HI_YM = 1997 * 12 + 1   # late window starts AT 1997-01 (1996 omitted)
+_GQ_X0 = 1995 * 12          # literal x-origin: keeps the uncentered-moment
+# formula well-conditioned — without the shift, the Sx·Sy/n term multiplies
+# the y-moments' floor-quantization quantum by x̄ ≈ 2.4e4 and the SSR drifts
+# ~3e-4 relative off an exact fit (measured at sf0.001, round 14)
+
+
+def q_goldfeld_quandt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goldfeld-Quandt heteroskedasticity test per region on the monthly-
+    revenue trend (the ``chow_test`` frame): fit the OLS line separately
+    on the EARLY months (before 1996-01) and the LATE months (1997-01
+    on), omit the middle year entirely (the classical central-omission
+    that sharpens the contrast; Goldfeld & Quandt 1965), and compare
+    residual variances — F = (SSR_late/(n2−2)) / (SSR_early/(n1−2)).
+    Where ``breusch_pagan_het`` regresses squared residuals on the
+    regressor (a LINEAR variance drift test), GQ is the ordering-based
+    sibling that needs no auxiliary regression and catches ANY variance
+    change between regimes; ``chow_test`` asks if the LINE moved, GQ
+    asks if the NOISE did.
+
+    Exactness: both segments' (n, Σx, Σy, Σxy, Σx², Σy²) come from ONE
+    conditional-moment hash agg — x is the integer month, y revenue in
+    $10M units with floor-quantized y-moments (the chow scales), and
+    each SSR is the same computational-formula IEEE sequence on both
+    engines (``_ols_moment_cols``). Degenerate contract: a segment with
+    n ≤ 2 (SSR df would vanish) or a zero early-segment SSR → F NULL
+    under an explicit guard.
+
+    Scale shape: scan → |region|×|month| cells; the moment algebra runs
+    on 5 rows.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            "r_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            "r_name",
+            (F.col("ym") - F.lit(_GQ_X0)).alias("x"),
+            (F.col("ym") < _GQ_LO_YM).alias("early"),
+            (F.col("ym") >= _GQ_HI_YM).alias("late"),
+            (F.col("cents").cast("double") / F.lit(_UNIT)).alias("v"),
+        )
+    )
+
+    def seg(cond, label):
+        xd = F.col("x").cast("long")
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"{label}n"),
+            F.sum(F.when(cond, xd).otherwise(0)).cast("long").alias(f"{label}sx"),
+            fsum(F.when(cond, F.col("v")).otherwise(0.0), scale=_FS).alias(f"{label}sy"),
+            fsum(
+                F.when(cond, F.col("v") * xd.cast("double")).otherwise(0.0),
+                scale=_FS,
+            ).alias(f"{label}sxy"),
+            F.sum(F.when(cond, xd * xd).otherwise(0)).cast("long").alias(f"{label}sxx"),
+            fsum(
+                F.when(cond, F.col("v") * F.col("v")).otherwise(0.0), scale=_FS
+            ).alias(f"{label}syy"),
+        ]
+
+    m = monthly.groupBy("r_name").agg(
+        *seg(F.col("early"), "a_"),
+        *seg(F.col("late"), "b_"),
+    )
+    ssr1 = _ols_moment_cols("a_")
+    ssr2 = _ols_moment_cols("b_")
+    n1 = F.col("a_n").cast("double")
+    n2 = F.col("b_n").cast("double")
+    ok = (F.col("a_n") > 2) & (F.col("b_n") > 2) & (ssr1 > 0)
+    return m.select(
+        "r_name",
+        F.col("a_n").alias("n_early"),
+        F.col("b_n").alias("n_late"),
+        F.when(ok, ssr1).alias("ssr_early"),
+        F.when(ok, ssr2).alias("ssr_late"),
+        F.when(ok, (ssr2 / (n2 - F.lit(2.0))) / (ssr1 / (n1 - F.lit(2.0)))).alias(
+            "gq_f"
+        ),
+    ).orderBy("r_name")
+
+
+def _sql_goldfeld_quandt() -> str:
+    def seg(cond, label):
+        return f"""
+         CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {label}n,
+         CAST(SUM(CASE WHEN {cond} THEN x ELSE 0 END) AS BIGINT) AS {label}sx,
+         {sql_fsum(f"CASE WHEN {cond} THEN v ELSE 0.0 END", _FS)} AS {label}sy,
+         {sql_fsum(f"CASE WHEN {cond} THEN v * CAST(x AS DOUBLE) ELSE 0.0 END", _FS)} AS {label}sxy,
+         CAST(SUM(CASE WHEN {cond} THEN x * x ELSE 0 END) AS BIGINT) AS {label}sxx,
+         {sql_fsum(f"CASE WHEN {cond} THEN v * v ELSE 0.0 END", _FS)} AS {label}syy"""
+
+    def ssr(label):
+        n = f"CAST({label}n AS DOUBLE)"
+        sx = f"CAST({label}sx AS DOUBLE)"
+        sxx = f"CAST({label}sxx AS DOUBLE)"
+        return (
+            f"(({label}syy - {label}sy * {label}sy / {n})"
+            f" - ({label}sxy - {sx} * {label}sy / {n})"
+            f" * ({label}sxy - {sx} * {label}sy / {n})"
+            f" / ({sxx} - {sx} * {sx} / {n}))"
+        )
+
+    ok = f"a_n > 2 AND b_n > 2 AND {ssr('a_')} > 0"
+    return f"""
+WITH monthly AS (
+  SELECT r_name,
+         CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - {_GQ_X0} AS BIGINT) AS x,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) < {_GQ_LO_YM} AS early,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) >= {_GQ_HI_YM} AS late,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 1e9 AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2, 3, 4
+), m AS (
+  SELECT r_name,{seg("early", "a_")},{seg("late", "b_")}
+  FROM monthly GROUP BY 1
+)
+SELECT r_name,
+       a_n AS n_early, b_n AS n_late,
+       CASE WHEN {ok} THEN {ssr("a_")} END AS ssr_early,
+       CASE WHEN {ok} THEN {ssr("b_")} END AS ssr_late,
+       CASE WHEN {ok}
+            THEN ({ssr("b_")} / (CAST(b_n AS DOUBLE) - 2.0))
+                 / ({ssr("a_")} / (CAST(a_n AS DOUBLE) - 2.0)) END AS gq_f
+FROM m
+ORDER BY r_name
+"""
+
+
 QUERIES = {
+    "goldfeld_quandt": q_goldfeld_quandt,
     "somers_d": q_somers_d,
     "calibration_ece": q_calibration_ece,
     "classifier_confusion_metrics": q_classifier_confusion_metrics,
@@ -4798,6 +4954,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "goldfeld_quandt": _sql_goldfeld_quandt(),
     "somers_d": _ORACLE_SOMERS_D,
     "calibration_ece": _ORACLE_ECE,
     "classifier_confusion_metrics": _ORACLE_CONFUSION,

@@ -804,7 +804,7 @@ def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
         .limit(TRIGRAM_TOP)
     )
-q_events_path_trigrams.__doc__ = q_events_path_trigrams.__doc__.format(top=TRIGRAM_TOP)
+q_events_path_trigrams.__doc__ = q_events_path_trigrams.__doc__ and q_events_path_trigrams.__doc__.format(top=TRIGRAM_TOP)
 
 
 _ORACLE_EVENTS_PATH_TRIGRAMS = f"""
@@ -2809,7 +2809,7 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(hw, schema)
         .orderBy("horizon_h")
     )
-q_events_holt_winters.__doc__ = q_events_holt_winters.__doc__.format(m=HW_PERIOD, h=HW_HORIZON)
+q_events_holt_winters.__doc__ = q_events_holt_winters.__doc__ and q_events_holt_winters.__doc__.format(m=HW_PERIOD, h=HW_HORIZON)
 
 
 _ORACLE_HW = f"""
@@ -3164,7 +3164,7 @@ def q_events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_idx")
     )
-q_events_peak_detection.__doc__ = q_events_peak_detection.__doc__.format(z=int(PEAK_Z))
+q_events_peak_detection.__doc__ = q_events_peak_detection.__doc__ and q_events_peak_detection.__doc__.format(z=int(PEAK_Z))
 
 
 _ORACLE_PEAKS = f"""
@@ -3417,7 +3417,7 @@ def q_events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("lag").cast("int").alias("lag_hours"), "n_hours", r.alias("xcorr_r")
     ).orderBy("lag_hours")
-q_events_cross_correlation.__doc__ = q_events_cross_correlation.__doc__.format(x=XCORR_X, y=XCORR_Y, k=XCORR_MAX_LAG)
+q_events_cross_correlation.__doc__ = q_events_cross_correlation.__doc__ and q_events_cross_correlation.__doc__.format(x=XCORR_X, y=XCORR_Y, k=XCORR_MAX_LAG)
 
 
 _ORACLE_XCORR = f"""
@@ -3684,7 +3684,7 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mass").alias("pi_fp"),
         (F.col("mass").cast("double") / F.lit(float(MARKOV_FP))).alias("pi"),
     ).orderBy("state")
-q_events_markov_stationary.__doc__ = q_events_markov_stationary.__doc__.format(it=MARKOV_ITERS)
+q_events_markov_stationary.__doc__ = q_events_markov_stationary.__doc__ and q_events_markov_stationary.__doc__.format(it=MARKOV_ITERS)
 
 
 def _sql_markov() -> str:
@@ -3864,7 +3864,7 @@ def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_idx")
     )
-q_events_seasonal_anomaly.__doc__ = q_events_seasonal_anomaly.__doc__.format(z=int(RESID_Z))
+q_events_seasonal_anomaly.__doc__ = q_events_seasonal_anomaly.__doc__ and q_events_seasonal_anomaly.__doc__.format(z=int(RESID_Z))
 
 
 _ORACLE_SEASONAL_ANOMALY = f"""
@@ -4244,7 +4244,7 @@ def q_user_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("reasons") != "")
         .orderBy("user_id")
     )
-q_user_bot_screen.__doc__ = q_user_bot_screen.__doc__.format(r=BOT_RATE_PER_HOUR, d=BOT_DOMINANT_SHARE,
+q_user_bot_screen.__doc__ = q_user_bot_screen.__doc__ and q_user_bot_screen.__doc__.format(r=BOT_RATE_PER_HOUR, d=BOT_DOMINANT_SHARE,
                b=BOT_REGULARITY_B, m=BOT_MIN_EVENTS)
 
 
@@ -4383,7 +4383,7 @@ def q_events_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("croston_forecast"), F.asc("pk"))
         .limit(CROSTON_TOP)
     )
-q_events_croston_forecast.__doc__ = q_events_croston_forecast.__doc__.format(a=CROSTON_ALPHA, k=CROSTON_TOP)
+q_events_croston_forecast.__doc__ = q_events_croston_forecast.__doc__ and q_events_croston_forecast.__doc__.format(a=CROSTON_ALPHA, k=CROSTON_TOP)
 
 
 _ORACLE_CROSTON = f"""
@@ -4521,7 +4521,7 @@ def q_events_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.5) * F.col("ses_th2") + F.lit(0.5) * trend_next) * F.lit(10.0)
         ).alias("theta_forecast_musd"),
     ).orderBy("r_name")
-q_events_theta_forecast.__doc__ = q_events_theta_forecast.__doc__.format(a=THETA_ALPHA)
+q_events_theta_forecast.__doc__ = q_events_theta_forecast.__doc__ and q_events_theta_forecast.__doc__.format(a=THETA_ALPHA)
 
 
 _ORACLE_THETA_FORECAST = f"""
@@ -4665,7 +4665,7 @@ def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(expr).alias("rmst_hours"),
         F.expr(final_s).alias("survival_at_tau"),
     )
-q_survival_rmst.__doc__ = q_survival_rmst.__doc__.format(
+q_survival_rmst.__doc__ = q_survival_rmst.__doc__ and q_survival_rmst.__doc__.format(
         tau=RMST_TAU
     )
 
@@ -4779,7 +4779,7 @@ def q_events_periodogram_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
         power.alias("power"),
         (power / tot2).alias("power_frac"),
     ).orderBy("period_hours")
-q_events_periodogram_lut.__doc__ = q_events_periodogram_lut.__doc__.format(
+q_events_periodogram_lut.__doc__ = q_events_periodogram_lut.__doc__ and q_events_periodogram_lut.__doc__.format(
         ps=PERIODOGRAM_PERIODS, n=len(_PG_LUT), k=len(PERIODOGRAM_PERIODS)
     )
 
@@ -5140,7 +5140,7 @@ def q_forecast_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
-q_forecast_tracking_signal.__doc__ = q_forecast_tracking_signal.__doc__.format(
+q_forecast_tracking_signal.__doc__ = q_forecast_tracking_signal.__doc__ and q_forecast_tracking_signal.__doc__.format(
         lim=TS_CONTROL_LIMIT
     )
 
@@ -5265,7 +5265,7 @@ def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
-q_events_interval_coverage.__doc__ = q_events_interval_coverage.__doc__.format(m=COVER_TTL_MIN)
+q_events_interval_coverage.__doc__ = q_events_interval_coverage.__doc__ and q_events_interval_coverage.__doc__.format(m=COVER_TTL_MIN)
 
 
 _ORACLE_INTERVAL_COVERAGE = f"""
@@ -5360,7 +5360,7 @@ def q_events_halflife_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
-q_events_halflife_score.__doc__ = q_events_halflife_score.__doc__.format(h=HALFLIFE_DAYS)
+q_events_halflife_score.__doc__ = q_events_halflife_score.__doc__ and q_events_halflife_score.__doc__.format(h=HALFLIFE_DAYS)
 
 
 _ORACLE_HALFLIFE = f"""

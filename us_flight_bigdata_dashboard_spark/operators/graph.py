@@ -630,7 +630,7 @@ def q_recursive_cte_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SPARK_RECURSIVE_WALKS.format(src=KHOP_SOURCE))
 
 
-q_recursive_cte_walks.__doc__ = q_recursive_cte_walks.__doc__.replace(
+q_recursive_cte_walks.__doc__ = q_recursive_cte_walks.__doc__ and q_recursive_cte_walks.__doc__.replace(
     "{k}", str(WALKS_MAX_LEN)
 )
 
@@ -1373,7 +1373,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("deg").cast("long").alias("min_degree"),
         F.max("deg").cast("long").alias("max_degree"),
     )
-q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(k=KCORE_K, r=KCORE_ROUNDS)
+q_graph_kcore.__doc__ = q_graph_kcore.__doc__ and q_graph_kcore.__doc__.format(k=KCORE_K, r=KCORE_ROUNDS)
 
 
 def _sql_kcore() -> str:
@@ -1582,7 +1582,7 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phi"),
     )
     return out.orderBy("k")
-q_graph_rich_club.__doc__ = q_graph_rich_club.__doc__.format(ks=RICH_CLUB_KS)
+q_graph_rich_club.__doc__ = q_graph_rich_club.__doc__ and q_graph_rich_club.__doc__.format(ks=RICH_CLUB_KS)
 
 
 def _sql_rich_club() -> str:
@@ -1696,7 +1696,7 @@ def q_graph_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority_fp"), F.asc("supp"))
         .limit(SALSA_TOP)
     )
-q_graph_salsa.__doc__ = q_graph_salsa.__doc__.format(it=SALSA_ITERS, top=SALSA_TOP)
+q_graph_salsa.__doc__ = q_graph_salsa.__doc__ and q_graph_salsa.__doc__.format(it=SALSA_ITERS, top=SALSA_TOP)
 
 
 def _sql_salsa() -> str:
@@ -1847,7 +1847,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(HITS_TOP)
     )
     return top_a.unionAll(top_h).orderBy("role", F.desc("score"), F.asc("node"))
-q_graph_hits.__doc__ = q_graph_hits.__doc__.format(it=HITS_ITERS, k=HITS_TOP)
+q_graph_hits.__doc__ = q_graph_hits.__doc__ and q_graph_hits.__doc__.format(it=HITS_ITERS, k=HITS_TOP)
 
 
 def _sql_hits() -> str:
@@ -1977,7 +1977,7 @@ def q_graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     return labeled.orderBy(F.desc("rank"), F.asc("node")).limit(PPR_TOP)
-q_graph_ppr_seeded.__doc__ = q_graph_ppr_seeded.__doc__.format(md=PPR_SEED_MOD, it=PPR_ITERS)
+q_graph_ppr_seeded.__doc__ = q_graph_ppr_seeded.__doc__ and q_graph_ppr_seeded.__doc__.format(md=PPR_SEED_MOD, it=PPR_ITERS)
 
 
 def _sql_ppr() -> str:
@@ -2093,7 +2093,7 @@ def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(
         F.desc("ra_fp"), F.asc("supp_a"), F.asc("supp_b")
     ).limit(RA_TOP)
-q_graph_resource_allocation.__doc__ = q_graph_resource_allocation.__doc__.format(fp=RA_FP, cap=SUPPS_PER_CUST_CAP)
+q_graph_resource_allocation.__doc__ = q_graph_resource_allocation.__doc__ and q_graph_resource_allocation.__doc__.format(fp=RA_FP, cap=SUPPS_PER_CUST_CAP)
 
 
 
@@ -2174,7 +2174,7 @@ def q_graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("katz_fp"), F.asc("node"))
         .limit(KATZ_TOP)
     )
-q_graph_katz_centrality.__doc__ = q_graph_katz_centrality.__doc__.format(
+q_graph_katz_centrality.__doc__ = q_graph_katz_centrality.__doc__ and q_graph_katz_centrality.__doc__.format(
         it=KATZ_ITERS, an=KATZ_ALPHA_NUM, ad=KATZ_ALPHA_DEN, fp=KATZ_FP
     )
 
@@ -2294,7 +2294,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(
         F.desc("aa_fp"), F.asc("supp_a"), F.asc("supp_b")
     ).limit(RA_TOP)
-q_graph_adamic_adar.__doc__ = q_graph_adamic_adar.__doc__.format(
+q_graph_adamic_adar.__doc__ = q_graph_adamic_adar.__doc__ and q_graph_adamic_adar.__doc__.format(
         fp=AA_FP, cap=SUPPS_PER_CUST_CAP
     )
 
@@ -2456,7 +2456,7 @@ def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_nodes").cast("double") * F.col("n_nodes").cast("double"))
         ).alias("reach_fraction"),
     ).orderBy("t")
-q_graph_hyperball.__doc__ = q_graph_hyperball.__doc__.format(
+q_graph_hyperball.__doc__ = q_graph_hyperball.__doc__ and q_graph_hyperball.__doc__.format(
         m=HB_M, it=HB_ITERS
     )
 

@@ -979,7 +979,7 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_cohens_kappa.__doc__ = (
+q_cohens_kappa.__doc__ = q_cohens_kappa.__doc__ and (
     q_cohens_kappa.__doc__.replace("{KAPPA_CHARS}", str(KAPPA_CHARS))
     .replace("{KAPPA_TOKENS}", str(KAPPA_TOKENS))
 )
@@ -1222,7 +1222,7 @@ def q_cochrans_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_cochrans_q_test.__doc__ = q_cochrans_q_test.__doc__.replace(
+q_cochrans_q_test.__doc__ = q_cochrans_q_test.__doc__ and q_cochrans_q_test.__doc__.replace(
     "{COCHRAN_Q_YEAR}", str(COCHRAN_Q_YEAR)
 )
 
@@ -1351,7 +1351,7 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_e.alias("d_expected"),
         (F.lit(1.0) - d_o / d_e).alias("alpha"),
     )
-q_krippendorff_alpha.__doc__ = q_krippendorff_alpha.__doc__.format(
+q_krippendorff_alpha.__doc__ = q_krippendorff_alpha.__doc__ and q_krippendorff_alpha.__doc__.format(
         m=KRIPP_M, y=KRIPP_YEAR
     )
 
@@ -1516,7 +1516,7 @@ def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_stat.alias("f_stat"),
         sig.alias("significant_5pct"),
     )
-q_quade_test.__doc__ = q_quade_test.__doc__.format(y=QUADE_YEAR)
+q_quade_test.__doc__ = q_quade_test.__doc__ and q_quade_test.__doc__.format(y=QUADE_YEAR)
 
 
 def _sql_quade() -> str:
@@ -2634,7 +2634,351 @@ FROM mid
 """
 
 
+# ---------------------------------------------------------------------------
+# Friedman rank test (round 14)
+# ---------------------------------------------------------------------------
+
+FRIED_YM_LO = 1995 * 12 + 1  # 24 monthly blocks: 1995-01 .. 1996-12
+FRIED_YM_HI = 1996 * 12 + 12
+FRIED_B = FRIED_YM_HI - FRIED_YM_LO + 1
+FRIED_K = 5  # treatments = order priorities
+FRIED_CHI2_CRIT_DF4 = 9.487729036781154  # chi2(4) 95% — literal, no CDFs
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the five order priorities differ in monthly
+    revenue, blocking by month? Each of the 24 months of 1995-1996 ranks
+    the priorities by revenue (MIDRANKS on ties over the zero-filled
+    month x priority grid); chi2_F is the tie-corrected Friedman statistic
+    and F_ID the Iman-Davenport transform (1980) that fixes Friedman's
+    conservatism at small k. The unweighted sibling of ``quade_test``
+    (which range-weights blocks) and the midrank complement of
+    ``kendalls_w`` (competition ranks, m(n-1)W algebra): the three make
+    the standard within-block concordance ladder.
+
+    Exactness: DOUBLED within-block midranks dr = 2*rank + ties - 1 keep
+    every rank integral; with DR_j = sum_i dr_ij the tie-corrected
+    statistic collapses to exact INTEGER sums —
+    chi2_F = (k-1) * sum_j (DR_j - b(k+1))^2 / (sum_ij dr_ij^2 - b*k*(k+1)^2)
+    (both sides are 4x the textbook quantities, so the ratio is exact),
+    and F_ID = (b-1)*chi2 / (b(k-1) - chi2) is one more IEEE step.
+    Degenerate contract: a zero denominator (every block fully tied) or
+    F_ID's own zero denominator (chi2 at its maximum b(k-1) — perfect
+    concordance) -> the affected statistic NULL under explicit guards;
+    significance is guarded on the measured b = FRIED_B block count (the
+    ``quade_test`` drift rule).
+
+    Scale shape: one data-sized hash agg to the b x k grid; ranks and
+    both reductions run on <= 120 rows.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    rev = (
+        orders.filter((ym >= FRIED_YM_LO) & (ym <= FRIED_YM_HI))
+        .groupBy(ym.alias("ym"), F.col("o_orderpriority").alias("trt"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    months = spark.range(FRIED_YM_LO, FRIED_YM_HI + 1).select(
+        F.col("id").cast("int").alias("ym")
+    )
+    prios = rev.select("trt").distinct()
+    spine = prios.crossJoin(F.broadcast(months))
+    grid = spine.join(rev, ["ym", "trt"], "left").select(
+        "ym", "trt", F.coalesce("cents", F.lit(0)).cast("long").alias("cents")
+    )
+    w_rank = Window.partitionBy("ym").orderBy("cents")
+    w_ties = Window.partitionBy("ym", "cents")
+    ranked = grid.select(
+        "ym",
+        "trt",
+        (F.lit(2) * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - F.lit(1))
+        .cast("long")
+        .alias("dr"),
+    )
+    per_trt = ranked.groupBy("trt").agg(
+        F.sum("dr").cast("long").alias("drj"),
+        F.count(F.lit(1)).cast("long").alias("b_t"),
+        F.sum(F.col("dr") * F.col("dr")).cast("long").alias("dr2"),
+    )
+    red = per_trt.agg(
+        F.count(F.lit(1)).cast("long").alias("k_t"),
+        F.max("b_t").cast("long").alias("b"),
+        F.sum("dr2").cast("long").alias("sum_dr2"),
+        F.sum(
+            (
+                F.col("drj") - F.col("b_t") * F.lit(FRIED_K + 1)
+            ).cast("decimal(38,0)")
+            * (F.col("drj") - F.col("b_t") * F.lit(FRIED_K + 1)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("sum_dev2"),
+    )
+    den = (
+        F.col("sum_dr2")
+        - F.col("b") * F.lit(FRIED_K) * F.lit((FRIED_K + 1) * (FRIED_K + 1))
+    ).cast("long")
+    chi2 = (
+        (F.col("k_t").cast("double") - F.lit(1.0))
+        * dec_to_double(F.col("sum_dev2"))
+        / den.cast("double")
+    )
+    bd = F.col("b").cast("double")
+    id_den = bd * (F.col("k_t").cast("double") - F.lit(1.0)) - chi2
+    f_id = (bd - F.lit(1.0)) * chi2 / id_den
+    ok = den > 0
+    chi2_c = F.when(ok, chi2)
+    return red.select(
+        F.col("b").alias("n_blocks"),
+        F.col("k_t").alias("k_treatments"),
+        chi2_c.alias("chi2_friedman"),
+        F.when(ok & (id_den > 0), f_id).alias("f_imandav"),
+        F.when(
+            ok & (F.col("b") == FRIED_B) & (F.col("k_t") == FRIED_K),
+            (chi2_c > F.lit(FRIED_CHI2_CRIT_DF4)).cast("int"),
+        ).alias("significant_5pct"),
+    )
+
+
+def _sql_friedman() -> str:
+    kp1 = FRIED_K + 1
+    kp1sq = kp1 * kp1
+    dev = f"CAST(drj - b_t * {kp1} AS DECIMAL(38,0))"
+    return f"""
+WITH rev AS (
+  SELECT YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS ym,
+         o_orderpriority AS trt,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE YEAR(o_orderdate) * 12 + MONTH(o_orderdate) BETWEEN {FRIED_YM_LO} AND {FRIED_YM_HI}
+  GROUP BY 1, 2
+), months AS (
+  SELECT {FRIED_YM_LO} + UNNEST(RANGE({FRIED_B})) AS ym
+), prios AS (
+  SELECT DISTINCT trt FROM rev
+), grid AS (
+  SELECT m.ym, p.trt, CAST(COALESCE(r.cents, 0) AS BIGINT) AS cents
+  FROM months m CROSS JOIN prios p
+  LEFT JOIN rev r ON r.ym = m.ym AND r.trt = p.trt
+), ranked AS (
+  SELECT ym, trt,
+         CAST(2 * RANK() OVER (PARTITION BY ym ORDER BY cents)
+              + COUNT(*) OVER (PARTITION BY ym, cents) - 1 AS BIGINT) AS dr
+  FROM grid
+), per_trt AS (
+  SELECT trt,
+         CAST(SUM(dr) AS BIGINT) AS drj,
+         CAST(COUNT(*) AS BIGINT) AS b_t,
+         CAST(SUM(dr * dr) AS BIGINT) AS dr2
+  FROM ranked GROUP BY 1
+), red AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_t,
+         CAST(MAX(b_t) AS BIGINT) AS b,
+         CAST(SUM(dr2) AS BIGINT) AS sum_dr2,
+         CAST(SUM({dev} * {dev}) AS DECIMAL(38,0)) AS sum_dev2
+  FROM per_trt
+), fin AS (
+  SELECT b, k_t,
+         CAST(sum_dr2 - b * {FRIED_K} * {kp1sq} AS BIGINT) AS den,
+         (CAST(k_t AS DOUBLE) - 1.0) * {sql_dec_to_double("sum_dev2")}
+           / CAST(sum_dr2 - b * {FRIED_K} * {kp1sq} AS DOUBLE) AS chi2
+  FROM red
+)
+SELECT b AS n_blocks, k_t AS k_treatments,
+       CASE WHEN den > 0 THEN chi2 END AS chi2_friedman,
+       CASE WHEN den > 0
+             AND CAST(b AS DOUBLE) * (CAST(k_t AS DOUBLE) - 1.0) - chi2 > 0
+            THEN (CAST(b AS DOUBLE) - 1.0) * chi2
+                 / (CAST(b AS DOUBLE) * (CAST(k_t AS DOUBLE) - 1.0) - chi2)
+            END AS f_imandav,
+       CASE WHEN den > 0 AND b = {FRIED_B} AND k_t = {FRIED_K}
+            THEN CAST(chi2 > {FRIED_CHI2_CRIT_DF4!r} AS INT) END AS significant_5pct
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Welch's heteroskedastic one-way ANOVA (round 14)
+# ---------------------------------------------------------------------------
+
+_WELCH_PRIOS = [
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+]
+
+
+def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroskedastic one-way ANOVA (Welch 1951) of order value
+    across the five priorities: the k-group generalization of
+    ``welch_ttest`` that ``anova_oneway`` users reach for the moment
+    ``hartley_fmax`` or ``levene_brown_forsythe`` rejects equal
+    variances — groups are weighted w_j = n_j/s²_j so no pooled variance
+    is ever formed. F* = [Σw_j(x̄_j−x̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·H]
+    with H = Σ(1−w_j/W)²/(n_j−1), and the Welch-Satterthwaite
+    denominator df2 = (k²−1)/(3H) reported alongside (non-integer by
+    construction — which is WHY no literal critical value is emitted:
+    the 5% cut moves with df2; the module rule keeps CDFs out).
+
+    Exactness: per-group (n, Σc, Σc²) are ONE exact-moment hash agg (the
+    ``anova_oneway`` base); every per-group mean/variance is IEEE on
+    exact inputs, and ALL cross-group reductions extract the five
+    LITERAL priority terms as named conditional aggregates summed in a
+    fixed left-to-right sequence (the ``_FLAGS`` note — these magnitudes
+    outgrow the floor-quantization trick). Degenerate contract: a
+    missing literal group, any n_j < 2, or a zero group variance → every
+    statistic NULL (the guard also covers the k≠5 drift case since the
+    literal extraction then yields NULL).
+
+    Scale shape: one map-side-combinable hash agg; everything after runs
+    on one row.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    m = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("decimal(38,0)").cast("double").alias("s"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss_dec"),
+    )
+    nd = F.col("n").cast("double")
+    mean_j = F.col("s") / nd
+    var_j = (nd * dec_to_double(F.col("ss_dec")) - F.col("s") * F.col("s")) / (
+        nd * (nd - F.lit(1.0))
+    )
+    g = F.col("o_orderpriority")
+    aggs = [F.sum("n").cast("long").alias("n_rows")]
+    for i, p in enumerate(_WELCH_PRIOS):
+        aggs.append(F.max(F.when(g == p, F.col("n"))).alias(f"n{i}"))
+        aggs.append(F.max(F.when(g == p, mean_j)).alias(f"m{i}"))
+        aggs.append(F.max(F.when(g == p, var_j)).alias(f"v{i}"))
+    red = m.agg(*aggs)
+    # stage the scalar chain through NAMED columns (the r13 Janino lesson)
+    for i in range(5):
+        red = red.withColumn(
+            f"w{i}", F.col(f"n{i}").cast("double") / F.col(f"v{i}")
+        )
+    red = red.withColumn(
+        "w_tot",
+        F.col("w0") + F.col("w1") + F.col("w2") + F.col("w3") + F.col("w4"),
+    )
+    red = red.withColumn(
+        "mean_w",
+        (
+            F.col("w0") * F.col("m0")
+            + F.col("w1") * F.col("m1")
+            + F.col("w2") * F.col("m2")
+            + F.col("w3") * F.col("m3")
+            + F.col("w4") * F.col("m4")
+        )
+        / F.col("w_tot"),
+    )
+    for i in range(5):
+        red = red.withColumn(
+            f"a{i}",
+            F.col(f"w{i}")
+            * (F.col(f"m{i}") - F.col("mean_w"))
+            * (F.col(f"m{i}") - F.col("mean_w")),
+        ).withColumn(
+            f"h{i}",
+            (F.lit(1.0) - F.col(f"w{i}") / F.col("w_tot"))
+            * (F.lit(1.0) - F.col(f"w{i}") / F.col("w_tot"))
+            / (F.col(f"n{i}").cast("double") - F.lit(1.0)),
+        )
+    k = len(_WELCH_PRIOS)
+    red = red.withColumn(
+        "a_num",
+        (F.col("a0") + F.col("a1") + F.col("a2") + F.col("a3") + F.col("a4"))
+        / F.lit(float(k - 1)),
+    ).withColumn(
+        "h_tot",
+        F.col("h0") + F.col("h1") + F.col("h2") + F.col("h3") + F.col("h4"),
+    )
+    b = F.lit(2.0 * (k - 2) / (k * k - 1.0)) * F.col("h_tot")
+    f_star = F.col("a_num") / (F.lit(1.0) + b)
+    df2 = F.lit(float(k * k - 1)) / (F.lit(3.0) * F.col("h_tot"))
+    ok = F.lit(True)
+    for i in range(5):
+        ok = ok & (F.col(f"n{i}") >= 2) & (F.col(f"v{i}") > 0)
+    return red.select(
+        F.lit(k).cast("long").alias("k_groups"),
+        "n_rows",
+        F.when(ok, f_star).alias("f_welch"),
+        F.lit(k - 1).cast("long").alias("df1"),
+        F.when(ok, df2).alias("df2_welch"),
+    )
+
+
+def _sql_welch_anova() -> str:
+    k = len(_WELCH_PRIOS)
+    sel = []
+    for i, p in enumerate(_WELCH_PRIOS):
+        sel.append(f"MAX(CASE WHEN o_orderpriority = '{p}' THEN n END) AS n{i}")
+        sel.append(f"MAX(CASE WHEN o_orderpriority = '{p}' THEN s / CAST(n AS DOUBLE) END) AS m{i}")
+        sel.append(
+            f"MAX(CASE WHEN o_orderpriority = '{p}' THEN"
+            f" (CAST(n AS DOUBLE) * {sql_dec_to_double('ss_dec')} - s * s)"
+            f" / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END) AS v{i}"
+        )
+    ws = [f"CAST(n{i} AS DOUBLE) / v{i}" for i in range(k)]
+    w_defs = ", ".join(f"{ws[i]} AS w{i}" for i in range(k))
+    w_tot = " + ".join(f"w{i}" for i in range(k))
+    mean_w = " + ".join(f"w{i} * m{i}" for i in range(k))
+    a_sum = " + ".join(f"w{i} * (m{i} - mean_w) * (m{i} - mean_w)" for i in range(k))
+    h_sum = " + ".join(
+        f"(1.0 - w{i} / w_tot) * (1.0 - w{i} / w_tot) / (CAST(n{i} AS DOUBLE) - 1.0)"
+        for i in range(k)
+    )
+    ok = " AND ".join(f"n{i} >= 2 AND v{i} > 0" for i in range(k))
+    return f"""
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DECIMAL(38,0)) AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       * CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss_dec
+  FROM orders GROUP BY 1
+), red AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_rows, {", ".join(sel)}
+  FROM m
+), stage1 AS (
+  SELECT *, {w_defs} FROM red
+), stage2 AS (
+  SELECT *, {w_tot} AS w_tot FROM stage1
+), stage3 AS (
+  SELECT *, ({mean_w}) / w_tot AS mean_w FROM stage2
+), stage4 AS (
+  SELECT *,
+         ({a_sum}) / {float(k - 1)!r} AS a_num,
+         ({h_sum}) AS h_tot
+  FROM stage3
+)
+SELECT CAST({k} AS BIGINT) AS k_groups, n_rows,
+       CASE WHEN {ok}
+            THEN a_num / (1.0 + {2.0 * (k - 2) / (k * k - 1.0)!r} * h_tot) END AS f_welch,
+       CAST({k - 1} AS BIGINT) AS df1,
+       CASE WHEN {ok}
+            THEN {float(k * k - 1)!r} / (3.0 * h_tot) END AS df2_welch
+FROM stage4
+"""
+
+
 QUERIES = {
+    "friedman_test": q_friedman_test,
+    "welch_anova": q_welch_anova,
     "kappa_weighted": q_kappa_weighted,
     "dunn_posthoc_test": q_dunn_posthoc_test,
     "cmh_test": q_cmh_test,
@@ -2659,6 +3003,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "friedman_test": _sql_friedman(),
+    "welch_anova": _sql_welch_anova(),
     "kappa_weighted": _sql_kappa_weighted(),
     "dunn_posthoc_test": _sql_dunn(),
     "cmh_test": _sql_cmh(),

@@ -671,7 +671,7 @@ def q_matview_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
-q_matview_delta_maintenance.__doc__ = q_matview_delta_maintenance.__doc__.format(d=MV_DEL_MOD, i=MV_INS_MOD)
+q_matview_delta_maintenance.__doc__ = q_matview_delta_maintenance.__doc__ and q_matview_delta_maintenance.__doc__.format(d=MV_DEL_MOD, i=MV_INS_MOD)
 
 
 # The oracle RECOMPUTES from the modified logical table — delta algebra

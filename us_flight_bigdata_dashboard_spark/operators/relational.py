@@ -1729,7 +1729,7 @@ def q_recursive_cte_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(_SPARK_RECURSIVE_DRAIN)
-q_recursive_cte_drain.__doc__ = q_recursive_cte_drain.__doc__.format(
+q_recursive_cte_drain.__doc__ = q_recursive_cte_drain.__doc__ and q_recursive_cte_drain.__doc__.format(
         m=DRAIN_MAX_MONTHS
     )
 
@@ -1803,7 +1803,7 @@ def q_lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     return spark.sql(_SPARK_LATERAL_TOPK)
-q_lateral_join_topk.__doc__ = q_lateral_join_topk.__doc__.format(
+q_lateral_join_topk.__doc__ = q_lateral_join_topk.__doc__ and q_lateral_join_topk.__doc__.format(
         k=LATERAL_TOPK
     )
 

@@ -765,7 +765,7 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
-q_sample_systematic.__doc__ = q_sample_systematic.__doc__.format(k=SYST_K, o=SYST_OFFSET)
+q_sample_systematic.__doc__ = q_sample_systematic.__doc__ and q_sample_systematic.__doc__.format(k=SYST_K, o=SYST_OFFSET)
 
 
 _ORACLE_SYSTEMATIC = f"""
@@ -968,7 +968,7 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         prop.alias("proportional_n"),
         deff.alias("variance_ratio_prop_vs_neyman"),
     ).orderBy("stratum")
-q_neyman_allocation.__doc__ = q_neyman_allocation.__doc__.format(n=NEYMAN_BUDGET)
+q_neyman_allocation.__doc__ = q_neyman_allocation.__doc__ and q_neyman_allocation.__doc__.format(n=NEYMAN_BUDGET)
 
 
 def _sql_neyman() -> str:
@@ -1089,7 +1089,7 @@ def q_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_total").alias("true_token_total"),
         (err * F.lit(100.0)).alias("rel_err_pct"),
     )
-q_horvitz_thompson.__doc__ = q_horvitz_thompson.__doc__.format(n=HT_EXPECTED_N)
+q_horvitz_thompson.__doc__ = q_horvitz_thompson.__doc__ and q_horvitz_thompson.__doc__.format(n=HT_EXPECTED_N)
 
 
 def _sql_horvitz_thompson() -> str:
@@ -1198,7 +1198,7 @@ def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-q_pps_systematic_sample.__doc__ = q_pps_systematic_sample.__doc__.format(
+q_pps_systematic_sample.__doc__ = q_pps_systematic_sample.__doc__ and q_pps_systematic_sample.__doc__.format(
         n=PPS_N
     )
 

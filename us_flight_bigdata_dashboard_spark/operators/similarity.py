@@ -2550,7 +2550,7 @@ def q_embedding_binary_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
-q_embedding_binary_quant.__doc__ = q_embedding_binary_quant.__doc__.format(k=RECALL_K, q=N_QUERY_VECS)
+q_embedding_binary_quant.__doc__ = q_embedding_binary_quant.__doc__ and q_embedding_binary_quant.__doc__.format(k=RECALL_K, q=N_QUERY_VECS)
 
 
 def _sql_binary_quant() -> str:

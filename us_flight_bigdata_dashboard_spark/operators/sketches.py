@@ -377,7 +377,7 @@ def q_sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("estimate"),
         width.alias("error_bound"),
     ).orderBy("quantile")
-q_sketch_histogram_quantile.__doc__ = q_sketch_histogram_quantile.__doc__.format(w=HISTQ_W)
+q_sketch_histogram_quantile.__doc__ = q_sketch_histogram_quantile.__doc__ and q_sketch_histogram_quantile.__doc__.format(w=HISTQ_W)
 
 
 def _sql_histq() -> str:
@@ -489,7 +489,7 @@ def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zero_regs",
         )
     )
-q_sketch_hll_union.__doc__ = q_sketch_hll_union.__doc__.format(a=HLL_UNION_A, b=HLL_UNION_B)
+q_sketch_hll_union.__doc__ = q_sketch_hll_union.__doc__ and q_sketch_hll_union.__doc__.format(a=HLL_UNION_A, b=HLL_UNION_B)
 
 
 def _sql_hll_union() -> str:
@@ -619,7 +619,7 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
-q_sketch_kmv_distinct.__doc__ = q_sketch_kmv_distinct.__doc__.replace(
+q_sketch_kmv_distinct.__doc__ = q_sketch_kmv_distinct.__doc__ and q_sketch_kmv_distinct.__doc__.replace(
     "{KMV_BUCKETS}", str(KMV_BUCKETS)
 )
 
@@ -735,7 +735,7 @@ def q_sketch_countsketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cs_est").cast("long").alias("cs_est"),
         (F.col("cs_est") - F.col("exact_cnt")).cast("long").alias("error"),
     ).orderBy(F.col("exact_cnt").desc(), F.col("o_custkey").asc())
-q_sketch_countsketch_freq.__doc__ = q_sketch_countsketch_freq.__doc__.format(w=CS_W)
+q_sketch_countsketch_freq.__doc__ = q_sketch_countsketch_freq.__doc__ and q_sketch_countsketch_freq.__doc__.format(w=CS_W)
 
 
 def _sql_countsketch() -> str:
@@ -873,7 +873,7 @@ def q_sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((est - exact_d) / exact_d * F.lit(100.0)).alias("rel_err_pct"),
         )
     )
-q_sketch_theta_intersection.__doc__ = q_sketch_theta_intersection.__doc__.format(b=KMV_BUCKETS, k=THETA_K)
+q_sketch_theta_intersection.__doc__ = q_sketch_theta_intersection.__doc__ and q_sketch_theta_intersection.__doc__.format(b=KMV_BUCKETS, k=THETA_K)
 
 
 def _sql_theta_intersection() -> str:

@@ -2187,7 +2187,7 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
-q_trimmed_mean.__doc__ = q_trimmed_mean.__doc__.format(t=TRIM_PCT)
+q_trimmed_mean.__doc__ = q_trimmed_mean.__doc__ and q_trimmed_mean.__doc__.format(t=TRIM_PCT)
 
 
 _ORACLE_TRIMMED = f"""
@@ -3327,7 +3327,7 @@ def q_hoeffding_sample_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_req.alias("n_required"),
         (F.col("n_current") >= n_req).cast("int").alias("sufficient"),
     ).orderBy("event_type")
-q_hoeffding_sample_bound.__doc__ = q_hoeffding_sample_bound.__doc__.format(eps=HOEFF_EPS)
+q_hoeffding_sample_bound.__doc__ = q_hoeffding_sample_bound.__doc__ and q_hoeffding_sample_bound.__doc__.format(eps=HOEFF_EPS)
 
 
 _ORACLE_HOEFFDING = f"""
@@ -5770,7 +5770,249 @@ FROM mid
 """
 
 
+# ---------------------------------------------------------------------------
+# Siegel-Tukey scale test (round 14)
+# ---------------------------------------------------------------------------
+
+ST_Z_CRIT = 1.959963984540054  # Phi^-1(0.975) — literal, no CDFs at query time
+
+
+def q_siegel_tukey_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel-Tukey test for scale: do urgent orders have a different
+    VALUE DISPERSION than non-urgent ones? Ranks are assigned from the
+    extremes inward, alternating ends in pairs (1 to the minimum; 2, 3
+    to the two maxima; 4, 5 to the next two minima; ...), so a sample
+    concentrated in the tails collects LOW ranks and the ordinary
+    Wilcoxon rank-sum machinery turns into a scale test (Siegel & Tukey
+    1960) — the null-distribution-free sibling of ``ansari_bradley_scale``
+    (which ranks by distance to the middle) and ``mood_scale_test``
+    (squared deviations): all three answer the scale question, but only
+    Siegel-Tukey reuses Wilcoxon's EXACT moments unchanged.
+
+    Exactness: positions come from the (cents, orderkey) TOTAL order
+    (unique key tie-break — the ``robust_moments_bowley`` determinism
+    convention, documented in place of midranks), so the alternating
+    rank is the closed form a(p) = 2p − (p mod 2) from the left end,
+    a(q) = 2q − 1 + (q mod 2) from the right end (q = n+1−p, nearer
+    end wins), middle element of an odd n takes rank n. W, its null
+    mean and variance are exact integers (the doubled numerator
+    2W − n1(n+1) avoids the half); z is ONE IEEE division by ONE
+    allowlisted sqrt of the exact product n1·n2·(n+1)/3 (carried in
+    DECIMAL(38,0) and rebuilt limb-exact — the product leaves the long
+    range near 10^9 rows). Degenerate contract: an empty group → z NULL
+    under an explicit guard.
+
+    Scale shape: one global sort window for positions (the documented
+    single-partition limitation every global-rank test in this module
+    shares — at cluster scale the rank comes from the range-partitioned
+    two-pass described in ``global_rank_bucketed``), then one map-side
+    combinable agg to a single row.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("g1"),
+    )
+    n_row = orders.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("cents", "o_orderkey")
+    pos = (
+        orders.select("g1", F.row_number().over(w).alias("p"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "g1",
+            "n",
+            F.col("p").cast("long").alias("p"),
+            (F.col("n") - F.col("p") + F.lit(1)).cast("long").alias("q"),
+        )
+    )
+    a = (
+        F.when(F.col("p") < F.col("q"), F.lit(2) * F.col("p") - F.col("p") % 2)
+        .when(
+            F.col("q") < F.col("p"),
+            F.lit(2) * F.col("q") - F.lit(1) + F.col("q") % 2,
+        )
+        .otherwise(F.col("n"))
+    )
+    red = pos.agg(
+        F.max("n").alias("n"),
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("g1")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g1") == 1, a).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("w_st"),
+    )
+    num = (F.lit(2) * F.col("w_st") - F.col("n1") * (F.col("n") + F.lit(1))).cast(
+        "double"
+    )
+    prod = (
+        F.col("n1").cast("decimal(38,0)")
+        * F.col("n2").cast("decimal(38,0)")
+        * (F.col("n") + F.lit(1)).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    den = F.lit(2.0) * F.sqrt(dec_to_double(prod) / F.lit(3.0))
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    z = F.when(ok, num / den)
+    return red.select(
+        "n1",
+        "n2",
+        "w_st",
+        z.alias("z_st"),
+        F.when(ok, (F.abs(z) > F.lit(ST_Z_CRIT)).cast("int")).alias(
+            "scale_diff_5pct"
+        ),
+    )
+
+
+def _sql_siegel_tukey() -> str:
+    prod = (
+        "CAST(CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))"
+        " * CAST(n + 1 AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+    )
+    z = (
+        "(CAST(2 * w_st - n1 * (n + 1) AS DOUBLE)"
+        f" / (2.0 * SQRT({sql_dec_to_double(prod)} / 3.0)))"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+  FROM orders
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
+), pos AS (
+  SELECT g1, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS p,
+         CAST(n - ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) + 1 AS BIGINT) AS q
+  FROM base CROSS JOIN tot
+), scored AS (
+  SELECT g1, n,
+         CASE WHEN p < q THEN 2 * p - p % 2
+              WHEN q < p THEN 2 * q - 1 + q % 2
+              ELSE n END AS a
+  FROM pos
+), red AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(g1) AS BIGINT) AS n1,
+         CAST(SUM(1 - g1) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN g1 = 1 THEN a ELSE 0 END) AS BIGINT) AS w_st
+  FROM scored
+)
+SELECT n1, n2, w_st,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN {z} END AS z_st,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN CAST(ABS({z}) > {ST_Z_CRIT!r} AS INT) END AS scale_diff_5pct
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hartley's Fmax + Cochran's C variance-homogeneity screen (round 14)
+# ---------------------------------------------------------------------------
+
+
+def q_hartley_fmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hartley's Fmax = max s²_j / min s²_j and Cochran's C =
+    max s²_j / Σ s²_j across the five order-priority classes — the two
+    classical quick screens for variance homogeneity (Hartley 1950,
+    Cochran 1941) that precede any pooled-variance ANOVA: Fmax flags a
+    spread between the extreme groups, C flags ONE group dominating the
+    total variance (the failure mode Fmax underweights when k > 2).
+    The rational complement of ``levene_brown_forsythe`` (which tests
+    the same question through an ANOVA on deviations): these need only
+    per-group second moments, no re-pass, no centering.
+
+    Exactness: per-group (n, Σc, Σc²) are exact integer/decimal moments
+    in ONE map-side-combinable agg; each variance numerator n·Σc² − (Σc)²
+    is carried in DECIMAL(38,0) and rebuilt limb-exact
+    (``dec_to_double``), so every s²_j is ONE IEEE division of exact
+    values; max/min are order-insensitive and Σ s²_j is floor-quantized
+    at scale −2 (addends ~2·10¹³ at sf0.1 — the negative scale keeps
+    |sum|·10^scale far inside 2^53 to 10⁴× this SF while a 0.01-absolute
+    quantum on 10¹³ magnitudes is 10⁻¹⁵ relative). Degenerate contract:
+    any group with n < 2 or a zero minimum variance → both statistics
+    NULL under explicit guards.
+
+    Scale shape: one hash agg to k=|priorities| rows, then a k-row
+    reduce — nothing after the first aggregate touches data.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    m = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    varj = dec_to_double(num) / (
+        F.col("n").cast("double") * (F.col("n").cast("double") - F.lit(1.0))
+    )
+    per = m.select("n", varj.alias("v"))
+    red = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.min("n").cast("long").alias("n_min_group"),
+        F.max("v").alias("vmax"),
+        F.min("v").alias("vmin"),
+        fsum("v", scale=-2).alias("vsum"),
+    )
+    ok = (F.col("n_min_group") >= 2) & (F.col("vmin") > 0)
+    return red.select(
+        "k_groups",
+        "n_min_group",
+        F.when(ok, F.col("vmax") / F.col("vmin")).alias("fmax_stat"),
+        F.when(ok, F.col("vmax") / F.col("vsum")).alias("cochran_c"),
+    )
+
+
+def _sql_hartley_fmax() -> str:
+    num = (
+        "CAST(CAST(n AS DECIMAL(38,0)) * s2"
+        " - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))"
+        " AS DECIMAL(38,0))"
+    )
+    return f"""
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       * CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+  FROM orders GROUP BY 1
+), per AS (
+  SELECT n,
+         {sql_dec_to_double(num)}
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v
+  FROM m
+), red AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(MIN(n) AS BIGINT) AS n_min_group,
+         MAX(v) AS vmax,
+         MIN(v) AS vmin,
+         {sql_fsum("v", scale=-2)} AS vsum
+  FROM per
+)
+SELECT k_groups, n_min_group,
+       CASE WHEN n_min_group >= 2 AND vmin > 0 THEN vmax / vmin END AS fmax_stat,
+       CASE WHEN n_min_group >= 2 AND vmin > 0 THEN vmax / vsum END AS cochran_c
+FROM red
+"""
+
+
 QUERIES = {
+    "siegel_tukey_scale": q_siegel_tukey_scale,
+    "hartley_fmax": q_hartley_fmax,
     "robust_moments_bowley": q_robust_moments_bowley,
     "bhattacharyya_binned": q_bhattacharyya_binned,
     "breusch_pagan_het": q_breusch_pagan_het,
@@ -5822,6 +6064,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "siegel_tukey_scale": _sql_siegel_tukey(),
+    "hartley_fmax": _sql_hartley_fmax(),
     "robust_moments_bowley": _ORACLE_ROBUST_MOMENTS,
     "bhattacharyya_binned": _ORACLE_BHATTACHARYYA,
     "breusch_pagan_het": _sql_breusch_pagan(),

@@ -2545,7 +2545,7 @@ def q_text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
         .limit(COLLOC_TOP)
     )
-q_text_collocations_lift.__doc__ = q_text_collocations_lift.__doc__.format(sup=COLLOC_MIN_SUPPORT, top=COLLOC_TOP)
+q_text_collocations_lift.__doc__ = q_text_collocations_lift.__doc__ and q_text_collocations_lift.__doc__.format(sup=COLLOC_MIN_SUPPORT, top=COLLOC_TOP)
 
 
 def _sql_collocations() -> str:
@@ -2726,7 +2726,7 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-q_benchmark_contamination.__doc__ = q_benchmark_contamination.__doc__.format(n=CONTAM_N, b=CONTAM_BENCH_SRC)
+q_benchmark_contamination.__doc__ = q_benchmark_contamination.__doc__ and q_benchmark_contamination.__doc__.format(n=CONTAM_N, b=CONTAM_BENCH_SRC)
 
 
 def _sql_contamination() -> str:
@@ -2888,7 +2888,7 @@ def q_text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta.orderBy(F.asc("delta"), F.asc("src_a"), F.asc("src_b")).limit(
         BURROWS_TOP_PAIRS
     )
-q_text_burrows_delta.__doc__ = q_text_burrows_delta.__doc__.format(
+q_text_burrows_delta.__doc__ = q_text_burrows_delta.__doc__ and q_text_burrows_delta.__doc__.format(
         k=BURROWS_TOP_WORDS, p=BURROWS_TOP_PAIRS
     )
 
@@ -3021,7 +3021,7 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("word"))
         .limit(TEXTRANK_TOP)
     )
-q_text_textrank_keywords.__doc__ = q_text_textrank_keywords.__doc__.format(it=TEXTRANK_ITERS, d=TEXTRANK_DAMPING, k=TEXTRANK_TOP)
+q_text_textrank_keywords.__doc__ = q_text_textrank_keywords.__doc__ and q_text_textrank_keywords.__doc__.format(it=TEXTRANK_ITERS, d=TEXTRANK_DAMPING, k=TEXTRANK_TOP)
 
 
 def _sql_textrank() -> str:
@@ -3309,7 +3309,7 @@ def q_text_dsir_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
         .limit(DSIR_TOP)
     )
-q_text_dsir_proxy.__doc__ = q_text_dsir_proxy.__doc__.format(tl=DSIR_TARGET_LANG, k=DSIR_K, top=DSIR_TOP)
+q_text_dsir_proxy.__doc__ = q_text_dsir_proxy.__doc__ and q_text_dsir_proxy.__doc__.format(tl=DSIR_TARGET_LANG, k=DSIR_K, top=DSIR_TOP)
 
 
 _ORACLE_DSIR = f"""
@@ -3389,7 +3389,7 @@ def q_text_sttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-q_text_sttr.__doc__ = q_text_sttr.__doc__.format(c=STTR_CHUNK)
+q_text_sttr.__doc__ = q_text_sttr.__doc__ and q_text_sttr.__doc__.format(c=STTR_CHUNK)
 
 
 _ORACLE_STTR = f"""
@@ -3720,7 +3720,7 @@ def q_text_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_w",
         (num / den).alias("gries_dp"),
     ).orderBy(F.col("c_w").desc(), F.col("word").asc())
-q_text_gries_dp.__doc__ = q_text_gries_dp.__doc__.format(
+q_text_gries_dp.__doc__ = q_text_gries_dp.__doc__ and q_text_gries_dp.__doc__.format(
         k=DISP_TOP_WORDS
     )
 
@@ -3802,7 +3802,7 @@ def q_text_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs_with",
         fano.alias("fano_factor"),
     ).orderBy(F.col("c_w").desc(), F.col("word").asc())
-q_text_burstiness_fano.__doc__ = q_text_burstiness_fano.__doc__.format(
+q_text_burstiness_fano.__doc__ = q_text_burstiness_fano.__doc__ and q_text_burstiness_fano.__doc__.format(
         k=DISP_TOP_WORDS
     )
 
@@ -3904,7 +3904,7 @@ def q_text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (wlit * n_win).cast("double")
         ).alias("mattr"),
     ).orderBy("doc_id")
-q_text_mattr.__doc__ = q_text_mattr.__doc__.format(
+q_text_mattr.__doc__ = q_text_mattr.__doc__ and q_text_mattr.__doc__.format(
         w=MATTR_W
     )
 

@@ -182,74 +182,28 @@ _MODULES = [
 # snapshot over its output.
 # Entries after the flagship block run in stable module order.
 _FLAGSHIP_PREFIX = [
-    # --- never-certified: decision (1) ---
-    "inventory_base_stock",
-    # --- never-certified: evaluation (4) ---
-    "calibration_ece",
-    "classifier_confusion_metrics",
-    "seasonal_mann_kendall",
-    "somers_d",
-    # --- never-certified: events (3) ---
-    "events_seasonal_index",
-    "foster_stuart_records",
-    "turning_points_test",
-    # --- never-certified: graph (3) ---
-    "graph_katz_centrality",
-    "graph_ktruss",
-    "graph_local_bridges",
-    # --- never-certified: inference (2) ---
-    "conover_squared_ranks",
-    "gwet_ac1",
-    # --- never-certified: streaming replay (2) ---
-    "streaming_chained_windows_replay",
-    "streaming_interval_join_outer_replay",
-    # --- never-certified: sampling (1) ---
-    "pps_systematic_sample",
-    # --- never-certified: statistics (3) ---
-    "brunner_munzel_test",
-    "hodges_lehmann_shift",
-    "lepage_test",
-    # --- never-certified: text (3) ---
-    "text_chi2_keyness",
-    "text_mattr",
-    "text_renyi2_entropy",
-    # --- never-certified: codec (1) ---
-    "multimodal_tga_decode",
-    # --- judgment sentinel: oracle helper changed post-certification (1) ---
-    "ansari_bradley_scale",
-    # --- ROUND-13 WAVE: appended post-pre-clearance, certify same round ---
-    # batch 1 (5-layer green + brute-forced in tests/test_round13_ops.py)
-    "mood_scale_test",
-    "cucconi_test",
-    "lorenz_asymmetry",
-    "text_readability_panel",
-    "graph_reciprocity",
-    "average_precision_exact",
-    "youden_j_threshold",
-    # batch 2 (5-layer green + brute-forced in tests/test_round13_ops.py)
-    "seasonal_decompose_additive",
-    "diebold_mariano_test",
-    "forecast_rolling_origin",
-    "spiegelhalter_z",
-    # batch 3 (5-layer green + brute-forced in tests/test_round13_ops.py)
-    "cuzick_trend_test",
-    "pps_sequential_poisson",
-    "silver_meal_lot_sizing",
-    # batch 4 (5-layer green + brute-forced in tests/test_round13_ops.py)
-    "yuen_trimmed_ttest",
-    "anderson_darling_two",
-    "breusch_pagan_het",
-    "granger_causality_1lag",
-    "graph_harmonic_radius",
-    "breslow_day_test",
-    # batch 5 (5-layer green + brute-forced in tests/test_round13_ops.py)
-    # — fills the driver's 50-slot window exactly
-    "cmh_test",
-    "bhattacharyya_binned",
-    "benford_mad_conformity",
-    "sketch_bloom_filter",
-    "inventory_ss_policy",
-    "auc_delong_se",
+    # ROUND-14 rotation. CORRECTNESS_r13 was 50/50 green, closing full
+    # certification of every entry registered through the r13 wave. The r14
+    # mandatory pool (tools/rotate_prefix.py) is exactly the 6-entry r13
+    # LATE wave (registered + 5-layer pre-cleared + brute-forced in r13,
+    # positions >50 so never in a driver window). Zero CERTAIN sentinels:
+    # the 73 text-changed entries are all docstring-only (AST code bodies
+    # identical — verified by the tool's r14 AST demotion layer).
+    # --- never-certified: r13 late wave (6) ---
+    "robust_moments_bowley",
+    "queueing_mmc_erlang",
+    "brr_variance_estimate",
+    "text_vocab_gini",
+    "dunn_posthoc_test",
+    "kappa_weighted",
+    # --- ROUND-14 WAVE: appended as batches clear the 5-layer pre-check ---
+    # batch 1 (pre-cleared default+PANDAS_CANON sf0.01, dtype-parity,
+    # brute-forced in tests/test_round14_ops.py)
+    "siegel_tukey_scale",
+    "hartley_fmax",
+    "friedman_test",
+    "welch_anova",
+    "goldfeld_quandt",
 ]
 
 

@@ -257,7 +257,7 @@ def _stage_events_late(spark: SparkSession, sf_dir: str) -> str:
             )
     _stage_cache[key] = out
     return out
-_stage_events_late.__doc__ = _stage_events_late.__doc__.format(
+_stage_events_late.__doc__ = _stage_events_late.__doc__ and _stage_events_late.__doc__.format(
         r=_LATE_RECENT_H,
         d=_LATE_DELAY_H,
         s=_LATE_SENTINEL_H,
@@ -364,7 +364,7 @@ def _stage_events_bounded_dedup(spark: SparkSession, sf_dir: str) -> str:
         )
     _stage_cache[key] = out
     return out
-_stage_events_bounded_dedup.__doc__ = _stage_events_bounded_dedup.__doc__.format(dm=_BDD_DUP_MOD, rm=_BDD_REDELIVER_MOD)
+_stage_events_bounded_dedup.__doc__ = _stage_events_bounded_dedup.__doc__ and _stage_events_bounded_dedup.__doc__.format(dm=_BDD_DUP_MOD, rm=_BDD_REDELIVER_MOD)
 
 
 # State partitions for replay runs. A stateful streaming query opens and
@@ -474,7 +474,7 @@ def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
-q_streaming_late_data_replay.__doc__ = q_streaming_late_data_replay.__doc__.format(
+q_streaming_late_data_replay.__doc__ = q_streaming_late_data_replay.__doc__ and q_streaming_late_data_replay.__doc__.format(
         d=_LATE_DELAY_H, r=_LATE_RECENT_H
     )
 
@@ -766,7 +766,7 @@ def _stage_events_join_late(spark: SparkSession, sf_dir: str) -> str:
         raise RuntimeError("join-late ancient-slice margin violated")
     _stage_cache[key] = out
     return out
-_stage_events_join_late.__doc__ = _stage_events_join_late.__doc__.format(
+_stage_events_join_late.__doc__ = _stage_events_join_late.__doc__ and _stage_events_join_late.__doc__.format(
         L=_IJL_LATE_H, d=_IJL_DELAY_H
     )
 
@@ -816,7 +816,7 @@ def q_streaming_interval_join_late_replay(spark: SparkSession, sf_dir: str) -> D
     return result.select(
         "click_event_id", "user_id", "click_ts", "view_event_id", "view_ts"
     )
-q_streaming_interval_join_late_replay.__doc__ = q_streaming_interval_join_late_replay.__doc__.format(
+q_streaming_interval_join_late_replay.__doc__ = q_streaming_interval_join_late_replay.__doc__ and q_streaming_interval_join_late_replay.__doc__.format(
         lb=IJL_LOOKBACK, d=_IJL_DELAY_H, L=_IJL_LATE_H, m=_IJL_DELAY_H // 2
     )
 
@@ -914,7 +914,7 @@ def _stage_events_outer(spark: SparkSession, sf_dir: str) -> str:
         raise RuntimeError("outer-join flush margin violated")
     _stage_cache[key] = out
     return out
-_stage_events_outer.__doc__ = _stage_events_outer.__doc__.format(s=_IJO_SENTINEL_H)
+_stage_events_outer.__doc__ = _stage_events_outer.__doc__ and _stage_events_outer.__doc__.format(s=_IJO_SENTINEL_H)
 
 
 def q_streaming_interval_join_outer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1593,7 +1593,7 @@ def q_streaming_hll_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame
 
     result = _replay(spark, src, build, mode="complete")
     return result.orderBy("reg")
-q_streaming_hll_sketch_replay.__doc__ = q_streaming_hll_sketch_replay.__doc__.format(m=256)
+q_streaming_hll_sketch_replay.__doc__ = q_streaming_hll_sketch_replay.__doc__ and q_streaming_hll_sketch_replay.__doc__.format(m=256)
 
 
 def _sql_streaming_hll() -> str:
@@ -1676,7 +1676,7 @@ def _stage_events_sentinel(spark: SparkSession, sf_dir: str) -> str:
     shutil.rmtree(stage, ignore_errors=True)
     _stage_cache[key] = out
     return out
-_stage_events_sentinel.__doc__ = _stage_events_sentinel.__doc__.format(
+_stage_events_sentinel.__doc__ = _stage_events_sentinel.__doc__ and _stage_events_sentinel.__doc__.format(
         n=REPLAY_FILES, s=_CHAIN_SENTINEL_H
     )
 
