@@ -258,3 +258,184 @@ def test_goldfeld_quandt_brute_force(spark):
         assert row["ssr_late"] == pytest.approx(sse2_ls, rel=1e-5)
         f_ref = (sse2_ls / (n2 - 2)) / (sse1_ls / (n1 - 2))
         assert row["gq_f"] == pytest.approx(f_ref, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# kpss_test — brute partial-sum statistic with Bartlett long-run variance
+# ---------------------------------------------------------------------------
+
+
+def test_kpss_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        _KPSS_CRIT_5PCT,
+        _KPSS_LAGS,
+        q_kpss_test,
+    )
+
+    orders = _df("orders")
+    dates = pd.to_datetime(orders["o_orderdate"])
+    ym = dates.dt.year * 12 + dates.dt.month
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    v = (
+        pd.DataFrame({"ym": ym, "cents": cents})
+        .groupby("ym")["cents"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+        / 1e9
+    )
+    n = len(v)
+    e = v - v.mean()
+    s_t = np.cumsum(e)
+    num = (s_t**2).sum() / n**2
+    lrv = (e**2).sum() / n
+    for j in range(1, _KPSS_LAGS + 1):
+        lrv += 2 * (1 - j / (_KPSS_LAGS + 1)) * (e[j:] * e[:-j]).sum() / n
+    eta_ref = num / lrv
+
+    (row,) = q_kpss_test(spark, SF_DIR).collect()
+    assert row["n_periods"] == n
+    # fsum floor-quantization of the tiny sf0.001 addends costs ~2e-6 rel
+    assert row["lrv_bartlett"] == pytest.approx(lrv, rel=2e-5)
+    assert row["kpss_stat"] == pytest.approx(eta_ref, rel=2e-5)
+    assert row["level_nonstationary_5pct"] == int(eta_ref > _KPSS_CRIT_5PCT)
+
+
+# ---------------------------------------------------------------------------
+# variance_ratio_test — brute Lo-MacKinlay VR on monthly differences
+# ---------------------------------------------------------------------------
+
+
+def test_variance_ratio_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        _VR_Q,
+        q_variance_ratio_test,
+    )
+
+    orders = _df("orders")
+    dates = pd.to_datetime(orders["o_orderdate"])
+    ym = dates.dt.year * 12 + dates.dt.month
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    v = (
+        pd.DataFrame({"ym": ym, "cents": cents})
+        .groupby("ym")["cents"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+        / 1e9
+    )
+    d1 = np.diff(v)
+    dq = v[_VR_Q:] - v[:-_VR_Q]
+    mu = d1.mean()
+    var1 = ((d1 - mu) ** 2).mean()
+    varq = ((dq - _VR_Q * mu) ** 2).mean()
+    vr_ref = varq / (_VR_Q * var1)
+    z_ref = (
+        (vr_ref - 1)
+        * math.sqrt(len(d1))
+        / math.sqrt(2 * (2 * _VR_Q - 1) * (_VR_Q - 1) / (3 * _VR_Q))
+    )
+
+    (row,) = q_variance_ratio_test(spark, SF_DIR).collect()
+    assert row["n_diffs"] == len(d1)
+    assert row["q_period"] == _VR_Q
+    assert row["vr_stat"] == pytest.approx(vr_ref, rel=1e-8)
+    assert row["z_vr"] == pytest.approx(z_ref, rel=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# event_study_leads_lags — brute per-tau group means
+# ---------------------------------------------------------------------------
+
+
+def test_event_study_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        _EVS_EVENT_YM,
+        _EVS_TREATED_SEG,
+        _EVS_WINDOW,
+        q_event_study_leads_lags,
+    )
+
+    orders = _df("orders")
+    cust = _df("customer")
+    joined = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    dates = pd.to_datetime(joined["o_orderdate"])
+    joined["tau"] = dates.dt.year * 12 + dates.dt.month - _EVS_EVENT_YM
+    joined["cents"] = np.round(joined["o_totalprice"].to_numpy() * 100).astype(
+        np.int64
+    )
+    joined["treated"] = joined["c_mktsegment"] == _EVS_TREATED_SEG
+    sub = joined[(joined["tau"] >= -_EVS_WINDOW) & (joined["tau"] <= _EVS_WINDOW)]
+
+    rows = {r["tau"]: r for r in q_event_study_leads_lags(spark, SF_DIR).collect()}
+    assert sorted(rows) == list(range(-_EVS_WINDOW, _EVS_WINDOW + 1))
+    for tau in range(-_EVS_WINDOW, _EVS_WINDOW + 1):
+        t = sub[(sub["tau"] == tau) & sub["treated"]]
+        c = sub[(sub["tau"] == tau) & ~sub["treated"]]
+        row = rows[tau]
+        assert row["n_treated"] == len(t) and row["n_control"] == len(c)
+        if len(t) and len(c):
+            mt = t["cents"].sum() / (100.0 * len(t))
+            mc = c["cents"].sum() / (100.0 * len(c))
+            assert row["avg_treated"] == pytest.approx(mt, rel=1e-12)
+            assert row["avg_control"] == pytest.approx(mc, rel=1e-12)
+            assert row["att_diff"] == pytest.approx(mt - mc, rel=1e-9)
+        else:
+            assert row["att_diff"] is None
+
+
+# ---------------------------------------------------------------------------
+# hosmer_lemeshow — brute md5 split, 25-cell rates, decile binning, HL sum
+# ---------------------------------------------------------------------------
+
+
+def test_hosmer_lemeshow_brute_force(spark):
+    import hashlib
+
+    from us_flight_bigdata_dashboard_spark.operators.evaluation import (
+        _HL_BINS,
+        _HL_CHI2_CRIT_DF8,
+        _HL_P_SCALE,
+        _HL_TRAIN_PCT,
+        q_hosmer_lemeshow,
+    )
+
+    orders = _df("orders")
+    cust = _df("customer")
+    nation = _df("nation")
+    joined = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    joined["y"] = (joined["o_orderpriority"] == "1-URGENT").astype(int)
+    joined["_b"] = [
+        int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 100
+        for k in joined["o_custkey"]
+    ]
+    train = joined[joined["_b"] < _HL_TRAIN_PCT]
+    test = joined[joined["_b"] >= _HL_TRAIN_PCT]
+    q = 10**_HL_P_SCALE
+    rates = (
+        train.groupby(["c_mktsegment", "n_regionkey"])["y"]
+        .agg(["sum", "count"])
+        .assign(pnum=lambda d: np.floor(d["sum"] / d["count"] * q).astype(np.int64))
+    )["pnum"]
+    scored = test.merge(
+        rates.rename("pnum").reset_index(), on=["c_mktsegment", "n_regionkey"]
+    )
+    scored = scored.sort_values(
+        ["pnum", "o_custkey", "o_orderkey"], kind="mergesort"
+    ).reset_index(drop=True)
+    n = len(scored)
+    scored["g"] = (np.arange(n, dtype=np.int64) * _HL_BINS) // n
+    hl = 0.0
+    for _, grp in scored.groupby("g"):
+        o = grp["y"].sum()
+        e = grp["pnum"].sum() / q
+        vv = (grp["pnum"] * (q - grp["pnum"])).sum() / (q * q)
+        hl += (o - e) ** 2 / vv
+
+    (row,) = q_hosmer_lemeshow(spark, SF_DIR).collect()
+    assert row["n_test"] == n
+    assert row["g_bins"] == _HL_BINS
+    assert row["hl_stat"] == pytest.approx(hl, rel=1e-9)
+    assert row["significant_5pct"] == int(hl > _HL_CHI2_CRIT_DF8)

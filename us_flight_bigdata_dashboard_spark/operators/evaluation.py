@@ -4908,7 +4908,651 @@ ORDER BY r_name
 """
 
 
+# ---------------------------------------------------------------------------
+# KPSS level-stationarity test (round 14)
+# ---------------------------------------------------------------------------
+
+_KPSS_X0 = 1992 * 12      # literal month origin (display/join key only)
+_KPSS_LAGS = 4            # Bartlett window l = 4 ~ floor(4*(n/100)^(1/4)) at n~84
+_KPSS_CRIT_5PCT = 0.463   # Kwiatkowski et al. 1992 table 1, level case — literal
+
+
+def q_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test on the global monthly-revenue series:
+    the null here is STATIONARITY (the mirror image of unit-root tests),
+    which is what makes it the standard pre-flight for every
+    trend/forecast entry in this repo — reject and the mean-reverting
+    machinery (``events_theta_forecast``'s SES base, ``autocorr_lag``'s
+    interpretation) is suspect. eta = n^-2 * sum_t S_t^2 / s2_lrv with
+    S_t the partial sums of demeaned revenue and s2_lrv the Bartlett
+    long-run variance gamma0 + 2*sum_j (1 - j/(l+1)) gamma_j at the
+    literal l={l} (Kwiatkowski-Phillips-Schmidt-Shin 1992). Fully
+    RATIONAL in the series — no logs, no CDFs; significance compares
+    against the literal 5% table value {c} (asymptotic, documented).
+
+    Exactness: monthly revenue is an exact integer-cents agg scaled to
+    $10M units; the mean is a floor-quantized sum over one IEEE
+    division; demeaned terms are floor-quantized to exact 1e-9 integers
+    so every partial sum S_t is EXACT integer arithmetic under the
+    cumulative window (no running-sum accumulation-order hazard);
+    sum S_t^2 and each autocovariance are floor-quantized reduces; the
+    Bartlett weights are literal rationals. Degenerate contract: a zero
+    long-run variance (constant series) -> statistic NULL.
+
+    Scale shape: one data-sized hash agg to ~84 month rows; windows and
+    reduces run on the month frame.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - _KPSS_X0).alias(
+                "x"
+            )
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select("x", (F.col("cents").cast("double") / F.lit(_UNIT)).alias("v"))
+    )
+    tot = monthly.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (fsum("v", scale=_FS) / F.count(F.lit(1))).alias("ybar"),
+    )
+    dem = monthly.crossJoin(F.broadcast(tot)).select(
+        "x",
+        "n",
+        (F.col("v") - F.col("ybar")).alias("e"),
+        F.floor((F.col("v") - F.col("ybar")) * F.lit(1e9))
+        .cast("long")
+        .alias("eq"),
+    )
+    w_cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w_lag = Window.orderBy("x")
+    s = dem.select(
+        "n",
+        "e",
+        (F.sum("eq").over(w_cum).cast("double") / F.lit(1e9)).alias("s_t"),
+        *[F.lag("e", j).over(w_lag).alias(f"e_lag{j}") for j in range(1, _KPSS_LAGS + 1)],
+    )
+    red = s.agg(
+        F.max("n").alias("n"),
+        fsum(F.col("s_t") * F.col("s_t"), scale=6).alias("ss2"),
+        fsum(F.col("e") * F.col("e"), scale=10).alias("g0"),
+        *[
+            fsum(
+                F.when(
+                    F.col(f"e_lag{j}").isNotNull(),
+                    F.col("e") * F.col(f"e_lag{j}"),
+                ).otherwise(F.lit(0.0)),
+                scale=10,
+            ).alias(f"g{j}")
+            for j in range(1, _KPSS_LAGS + 1)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    lp1 = float(_KPSS_LAGS + 1)
+    lrv = F.col("g0") / nd
+    for j in range(1, _KPSS_LAGS + 1):
+        lrv = lrv + F.lit(2.0 * (1.0 - j / lp1)) * F.col(f"g{j}") / nd
+    eta = (F.col("ss2") / (nd * nd)) / lrv
+    ok = lrv > 0
+    return red.select(
+        F.col("n").alias("n_periods"),
+        F.when(ok, lrv).alias("lrv_bartlett"),
+        F.when(ok, eta).alias("kpss_stat"),
+        F.when(ok, (eta > F.lit(_KPSS_CRIT_5PCT)).cast("int")).alias(
+            "level_nonstationary_5pct"
+        ),
+    )
+
+
+q_kpss_test.__doc__ = q_kpss_test.__doc__ and q_kpss_test.__doc__.format(
+    l=_KPSS_LAGS, c=_KPSS_CRIT_5PCT
+)
+
+
+def _sql_kpss() -> str:
+    lp1 = float(_KPSS_LAGS + 1)
+    lags = ",\n         ".join(
+        f"LAG(e, {j}) OVER (ORDER BY x) AS e_lag{j}"
+        for j in range(1, _KPSS_LAGS + 1)
+    )
+    gsel = ",\n         ".join(
+        f"{sql_fsum(f'CASE WHEN e_lag{j} IS NOT NULL THEN e * e_lag{j} ELSE 0.0 END', 10)} AS g{j}"
+        for j in range(1, _KPSS_LAGS + 1)
+    )
+    lrv = "g0 / CAST(n AS DOUBLE)"
+    for j in range(1, _KPSS_LAGS + 1):
+        lrv += f" + {2.0 * (1.0 - j / lp1)!r} * g{j} / CAST(n AS DOUBLE)"
+    return f"""
+WITH monthly AS (
+  SELECT YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - {_KPSS_X0} AS x,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 1e9 AS v
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_fsum("v", 8)} / COUNT(*) AS ybar
+  FROM monthly
+), dem AS (
+  SELECT x, n, v - ybar AS e,
+         CAST(FLOOR((v - ybar) * 1e9) AS BIGINT) AS eq
+  FROM monthly CROSS JOIN tot
+), s AS (
+  SELECT n, e,
+         CAST(SUM(eq) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / 1e9 AS s_t,
+         {lags}
+  FROM dem
+), red AS (
+  SELECT MAX(n) AS n,
+         {sql_fsum("s_t * s_t", 6)} AS ss2,
+         {sql_fsum("e * e", 10)} AS g0,
+         {gsel}
+  FROM s
+), fin AS (
+  SELECT n, ({lrv}) AS lrv,
+         (ss2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS num
+  FROM red
+)
+SELECT n AS n_periods,
+       CASE WHEN lrv > 0 THEN lrv END AS lrv_bartlett,
+       CASE WHEN lrv > 0 THEN num / lrv END AS kpss_stat,
+       CASE WHEN lrv > 0
+            THEN CAST(num / lrv > {_KPSS_CRIT_5PCT!r} AS INT) END
+         AS level_nonstationary_5pct
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lo-MacKinlay variance-ratio test (round 14)
+# ---------------------------------------------------------------------------
+
+_VR_Q = 4  # aggregation period (quarters of months)
+_VR_SQRT_CONST = 1.8708286933869707  # sqrt(2(2q-1)(q-1)/(3q)) at q=4 — literal
+_VR_Z_CRIT = 1.959963984540054
+
+
+def q_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (1988) on the monthly-revenue
+    series at q={q}: under a drift random walk, the variance of q-month
+    changes is q times the 1-month variance, so VR = sigma_q^2 /
+    (q*sigma_1^2) near 1; VR < 1 flags mean reversion (the revenue
+    series reverts to trend), VR > 1 momentum. The scale-family
+    complement of ``kpss_test`` (level test) and ``events_hurst_rs``
+    (rescaled range): VR is the one with an asymptotic z under iid —
+    z = (VR - 1)*sqrt(m)/{c!r} with m the 1-month difference count
+    (homoskedastic form, documented). On DIFFERENCES, not log returns —
+    fully rational (module rule: no logs on data).
+
+    Exactness: the series is the exact monthly cents agg in $10M units;
+    1-month and q-month changes are IEEE differences of deterministic
+    doubles via lag windows over the month order; the drift and both
+    MLE variances are floor-quantized reduces over one IEEE division
+    each; z adds one allowlisted sqrt of an exact count. Degenerate
+    contract: fewer than q+2 months or a zero 1-month variance ->
+    VR/z NULL.
+
+    Scale shape: one data-sized hash agg to month rows; lags and
+    reduces run on the month frame.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - _KPSS_X0).alias(
+                "x"
+            )
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select("x", (F.col("cents").cast("double") / F.lit(_UNIT)).alias("v"))
+    )
+    w = Window.orderBy("x")
+    diffs = monthly.select(
+        (F.col("v") - F.lag("v", 1).over(w)).alias("d1"),
+        (F.col("v") - F.lag("v", _VR_Q).over(w)).alias("dq"),
+    )
+    m1 = diffs.agg(
+        F.count("d1").cast("long").alias("m1"),
+        F.count("dq").cast("long").alias("mq"),
+        (fsum(F.coalesce("d1", F.lit(0.0)), scale=_FS) / F.count("d1")).alias("mu"),
+    )
+    joined = diffs.crossJoin(F.broadcast(m1))
+    red = joined.agg(
+        F.max("m1").alias("m1"),
+        F.max("mq").alias("mq"),
+        F.max("mu").alias("mu"),
+        fsum(
+            F.when(
+                F.col("d1").isNotNull(),
+                (F.col("d1") - F.col("mu")) * (F.col("d1") - F.col("mu")),
+            ).otherwise(F.lit(0.0)),
+            scale=_FS,
+        ).alias("ssq1"),
+        fsum(
+            F.when(
+                F.col("dq").isNotNull(),
+                (F.col("dq") - F.lit(float(_VR_Q)) * F.col("mu"))
+                * (F.col("dq") - F.lit(float(_VR_Q)) * F.col("mu")),
+            ).otherwise(F.lit(0.0)),
+            scale=_FS,
+        ).alias("ssqq"),
+    )
+    m1d = F.col("m1").cast("double")
+    mqd = F.col("mq").cast("double")
+    var1 = F.col("ssq1") / m1d
+    varq = F.col("ssqq") / mqd
+    vr = varq / (F.lit(float(_VR_Q)) * var1)
+    z = (vr - F.lit(1.0)) * F.sqrt(m1d) / F.lit(_VR_SQRT_CONST)
+    ok = (F.col("mq") >= 2) & (var1 > 0)
+    return red.select(
+        F.col("m1").alias("n_diffs"),
+        F.lit(_VR_Q).cast("long").alias("q_period"),
+        F.when(ok, vr).alias("vr_stat"),
+        F.when(ok, z).alias("z_vr"),
+        F.when(ok, (F.abs(z) > F.lit(_VR_Z_CRIT)).cast("int")).alias(
+            "significant_5pct"
+        ),
+    )
+
+
+q_variance_ratio_test.__doc__ = q_variance_ratio_test.__doc__ and (
+    q_variance_ratio_test.__doc__.format(q=_VR_Q, c=_VR_SQRT_CONST)
+)
+
+
+def _sql_variance_ratio() -> str:
+    qf = float(_VR_Q)
+    return f"""
+WITH monthly AS (
+  SELECT YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - {_KPSS_X0} AS x,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 1e9 AS v
+  FROM orders GROUP BY 1
+), diffs AS (
+  SELECT v - LAG(v, 1) OVER (ORDER BY x) AS d1,
+         v - LAG(v, {_VR_Q}) OVER (ORDER BY x) AS dq
+  FROM monthly
+), m AS (
+  SELECT CAST(COUNT(d1) AS BIGINT) AS m1,
+         CAST(COUNT(dq) AS BIGINT) AS mq,
+         {sql_fsum("COALESCE(d1, 0.0)", 8)} / COUNT(d1) AS mu
+  FROM diffs
+), red AS (
+  SELECT MAX(m1) AS m1, MAX(mq) AS mq, MAX(mu) AS mu,
+         {sql_fsum("CASE WHEN d1 IS NOT NULL THEN (d1 - mu) * (d1 - mu) ELSE 0.0 END", 8)} AS ssq1,
+         {sql_fsum(f"CASE WHEN dq IS NOT NULL THEN (dq - {qf!r} * mu) * (dq - {qf!r} * mu) ELSE 0.0 END", 8)} AS ssqq
+  FROM diffs CROSS JOIN m
+), fin AS (
+  SELECT m1, mq,
+         ssq1 / CAST(m1 AS DOUBLE) AS var1,
+         (ssqq / CAST(mq AS DOUBLE)) / ({qf!r} * (ssq1 / CAST(m1 AS DOUBLE))) AS vr
+  FROM red
+)
+SELECT m1 AS n_diffs, CAST({_VR_Q} AS BIGINT) AS q_period,
+       CASE WHEN mq >= 2 AND var1 > 0 THEN vr END AS vr_stat,
+       CASE WHEN mq >= 2 AND var1 > 0
+            THEN (vr - 1.0) * SQRT(CAST(m1 AS DOUBLE)) / CAST('{_VR_SQRT_CONST!r}' AS DOUBLE) END AS z_vr,
+       CASE WHEN mq >= 2 AND var1 > 0
+            THEN CAST(ABS((vr - 1.0) * SQRT(CAST(m1 AS DOUBLE)) / CAST('{_VR_SQRT_CONST!r}' AS DOUBLE))
+                      > {_VR_Z_CRIT!r} AS INT) END AS significant_5pct
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-study leads and lags (round 14)
+# ---------------------------------------------------------------------------
+
+_EVS_EVENT_YM = 1997 * 12 + 1   # literal event month: 1997-01
+_EVS_WINDOW = 6                 # leads/lags: tau in [-6, +6]
+_EVS_TREATED_SEG = "BUILDING"
+
+
+def q_event_study_leads_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study leads-and-lags panel around the literal {d} event
+    month: for each relative month tau in [-{w}, +{w}], the difference
+    in mean order value between the treated segment ('{s}' customers)
+    and all others. The table IS the standard pre-trend diagnostic for
+    ``ab_diff_in_differences``: the lead coefficients (tau < 0) should
+    hover near zero if the parallel-trends assumption holds, and the
+    lag path traces the dynamic treatment effect a single-number DiD
+    averages away (Angrist & Pischke 2009, ch. 5).
+
+    Exactness: per-(tau, group) sums are exact integer cents in ONE
+    conditional hash agg; each mean is one IEEE division and the
+    difference one subtraction. Degenerate contract: a tau month where
+    either group is empty -> that row's means/diff NULL (the row is
+    still emitted off the literal tau spine).
+
+    Scale shape: scan with a 13-month filter -> one map-side-combinable
+    hash agg to 13x2 cells; the spine fill runs on 13 rows.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    lo, hi = _EVS_EVENT_YM - _EVS_WINDOW, _EVS_EVENT_YM + _EVS_WINDOW
+    cells = (
+        orders.filter((ym >= lo) & (ym <= hi))
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy((ym - _EVS_EVENT_YM).alias("tau"))
+        .agg(
+            F.sum(
+                F.when(F.col("c_mktsegment") == _EVS_TREATED_SEG, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_treated"),
+            F.sum(
+                F.when(F.col("c_mktsegment") != _EVS_TREATED_SEG, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_control"),
+            F.sum(
+                F.when(
+                    F.col("c_mktsegment") == _EVS_TREATED_SEG,
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("s_treated"),
+            F.sum(
+                F.when(
+                    F.col("c_mktsegment") != _EVS_TREATED_SEG,
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("s_control"),
+        )
+    )
+    spine = spark.range(-_EVS_WINDOW, _EVS_WINDOW + 1).select(
+        F.col("id").cast("int").alias("tau")
+    )
+    full = spine.join(cells, "tau", "left").select(
+        "tau",
+        F.coalesce("n_treated", F.lit(0)).alias("n_treated"),
+        F.coalesce("n_control", F.lit(0)).alias("n_control"),
+        F.coalesce("s_treated", F.lit(0)).alias("s_treated"),
+        F.coalesce("s_control", F.lit(0)).alias("s_control"),
+    )
+    mt = F.col("s_treated").cast("double") / (
+        F.lit(100.0) * F.col("n_treated").cast("double")
+    )
+    mc = F.col("s_control").cast("double") / (
+        F.lit(100.0) * F.col("n_control").cast("double")
+    )
+    ok = (F.col("n_treated") > 0) & (F.col("n_control") > 0)
+    return full.select(
+        "tau",
+        "n_treated",
+        "n_control",
+        F.when(ok, mt).alias("avg_treated"),
+        F.when(ok, mc).alias("avg_control"),
+        F.when(ok, mt - mc).alias("att_diff"),
+    ).orderBy("tau")
+
+
+q_event_study_leads_lags.__doc__ = q_event_study_leads_lags.__doc__ and (
+    q_event_study_leads_lags.__doc__.format(
+        d="1997-01", w=_EVS_WINDOW, s=_EVS_TREATED_SEG
+    )
+)
+
+
+def _sql_event_study() -> str:
+    lo, hi = _EVS_EVENT_YM - _EVS_WINDOW, _EVS_EVENT_YM + _EVS_WINDOW
+    n_taus = 2 * _EVS_WINDOW + 1
+    return f"""
+WITH cells AS (
+  SELECT YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - {_EVS_EVENT_YM} AS tau,
+         CAST(SUM(CASE WHEN c_mktsegment = '{_EVS_TREATED_SEG}' THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+         CAST(SUM(CASE WHEN c_mktsegment <> '{_EVS_TREATED_SEG}' THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+         CAST(SUM(CASE WHEN c_mktsegment = '{_EVS_TREATED_SEG}'
+                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_treated,
+         CAST(SUM(CASE WHEN c_mktsegment <> '{_EVS_TREATED_SEG}'
+                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_control
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE YEAR(o_orderdate) * 12 + MONTH(o_orderdate) BETWEEN {lo} AND {hi}
+  GROUP BY 1
+), spine AS (
+  SELECT CAST({-_EVS_WINDOW} + UNNEST(RANGE({n_taus})) AS INT) AS tau
+), filled AS (
+  SELECT s.tau,
+         CAST(COALESCE(c.n_treated, 0) AS BIGINT) AS n_treated,
+         CAST(COALESCE(c.n_control, 0) AS BIGINT) AS n_control,
+         CAST(COALESCE(c.s_treated, 0) AS BIGINT) AS s_treated,
+         CAST(COALESCE(c.s_control, 0) AS BIGINT) AS s_control
+  FROM spine s LEFT JOIN cells c ON s.tau = c.tau
+)
+SELECT tau, n_treated, n_control,
+       CASE WHEN n_treated > 0 AND n_control > 0
+            THEN CAST(s_treated AS DOUBLE) / (100.0 * CAST(n_treated AS DOUBLE)) END AS avg_treated,
+       CASE WHEN n_treated > 0 AND n_control > 0
+            THEN CAST(s_control AS DOUBLE) / (100.0 * CAST(n_control AS DOUBLE)) END AS avg_control,
+       CASE WHEN n_treated > 0 AND n_control > 0
+            THEN CAST(s_treated AS DOUBLE) / (100.0 * CAST(n_treated AS DOUBLE))
+                 - CAST(s_control AS DOUBLE) / (100.0 * CAST(n_control AS DOUBLE)) END AS att_diff
+FROM filled
+ORDER BY tau
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hosmer-Lemeshow calibration test (round 14)
+# ---------------------------------------------------------------------------
+
+_HL_TRAIN_PCT = 80
+_HL_BINS = 10
+_HL_P_SCALE = 6
+_HL_CHI2_CRIT_DF8 = 15.50731305586545  # chi2(G-2)=chi2(8) 95% — literal
+
+
+def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit test for the urgent-order
+    classifier: train-fold rates by (market segment x region) — a
+    25-cell model, finer than ``calibration_ece``'s 5 segments — are
+    scored on the held-out test fold, test rows are cut into G={g}
+    equal-count groups by predicted p (the canonical "deciles of risk"),
+    and HL = sum_g (O_g - E_g)^2 / sum_g[p(1-p)] with O observed
+    urgents and E expected. ECE measures HOW FAR calibration is off,
+    ``spiegelhalter_z`` whether the unbinned drift is real; HL is the
+    binned chi-square the clinical-model literature standardizes on
+    (Hosmer & Lemeshow 1980), judged at the literal chi2(G-2) cut.
+
+    Exactness: the md5 split and scaled-integer rates follow the
+    ``calibration_ece`` contract (p floor-quantized to 1e-{s} — both
+    engines compare equal integers); the decile cut is the exact rank
+    formula g = (rn-1)*G DIV n over the (pnum, custkey, orderkey) total
+    order; per-bin O, n, sum(pnum) are exact integers and
+    sum pnum*(q-pnum) is an exact DECIMAL, so each bin term is one
+    fixed IEEE sequence and the G-term reduce is floor-quantized
+    (scale 10 — the statistic is O(G), so the bound holds at any SF). Inner-join contract: a (segment x region) cell whose
+    rows all hash into the test split is dropped from the test fold
+    (the documented ``spiegelhalter_z`` semantics — n_test counts
+    scoreable rows). Degenerate contract: a bin with zero variance mass
+    contributes NULL -> the statistic NULLs (surfaced, not hidden);
+    significance additionally guarded on the measured G = {g}.
+
+    Scale shape: one fact x two broadcast dims, one 25-cell train agg,
+    one global rank window over the test fold (the module's documented
+    single-partition rank limitation), one G-row reduce.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    joined = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .withColumn(
+            "_b",
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+            ).cast("bigint")
+            % 100,
+        )
+    )
+    train = joined.filter(F.col("_b") < _HL_TRAIN_PCT)
+    test = joined.filter(F.col("_b") >= _HL_TRAIN_PCT)
+    q = float(10**_HL_P_SCALE)
+    rate = (
+        train.groupBy("c_mktsegment", "n_regionkey")
+        .agg(
+            F.sum("y").cast("long").alias("n_urgent"),
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_regionkey",
+            F.floor(
+                F.col("n_urgent").cast("double")
+                / F.col("n_train").cast("double")
+                * F.lit(q)
+            )
+            .cast("long")
+            .alias("pnum"),
+        )
+    )
+    scored = test.join(F.broadcast(rate), ["c_mktsegment", "n_regionkey"])
+    w = Window.orderBy("pnum", "o_custkey", "o_orderkey")
+    n_row = scored.agg(F.count(F.lit(1)).cast("long").alias("n_test"))
+    binned = (
+        scored.select(
+            "y", "pnum", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "y",
+            "pnum",
+            "n_test",
+            F.expr(f"((rn - 1) * {_HL_BINS}) DIV n_test").alias("g"),
+        )
+    )
+    qi = 10**_HL_P_SCALE
+    per_bin = binned.groupBy("g").agg(
+        F.max("n_test").alias("n_test"),
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("o_g"),
+        F.sum("pnum").cast("long").alias("sp"),
+        F.sum(
+            (F.col("pnum") * (F.lit(qi) - F.col("pnum"))).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("spq"),
+    )
+    e_g = F.col("sp").cast("double") / F.lit(q)
+    v_g = dec_to_double(F.col("spq")) / F.lit(q * q)
+    term = (
+        (F.col("o_g").cast("double") - e_g)
+        * (F.col("o_g").cast("double") - e_g)
+        / v_g
+    )
+    red = per_bin.select(
+        "n_test", F.when(F.col("spq") > 0, term).alias("term")
+    ).agg(
+        F.max("n_test").alias("n_test"),
+        F.count(F.lit(1)).cast("long").alias("g_bins"),
+        F.count("term").cast("long").alias("g_valid"),
+        fsum(F.coalesce("term", F.lit(0.0)), scale=10).alias("hl_raw"),
+    )
+    ok = F.col("g_valid") == F.col("g_bins")
+    hl = F.when(ok, F.col("hl_raw"))
+    return red.select(
+        "n_test",
+        "g_bins",
+        hl.alias("hl_stat"),
+        F.when(
+            ok & (F.col("g_bins") == _HL_BINS),
+            (hl > F.lit(_HL_CHI2_CRIT_DF8)).cast("int"),
+        ).alias("significant_5pct"),
+    )
+
+
+q_hosmer_lemeshow.__doc__ = q_hosmer_lemeshow.__doc__ and (
+    q_hosmer_lemeshow.__doc__.format(g=_HL_BINS, s=_HL_P_SCALE)
+)
+
+
+def _sql_hosmer_lemeshow() -> str:
+    q = float(10**_HL_P_SCALE)
+    qi = 10**_HL_P_SCALE
+    return f"""
+WITH base AS (
+  SELECT o_custkey, o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+         c_mktsegment, n_regionkey,
+         ({_sql_hex_to_int("md5(CAST(o_custkey AS VARCHAR))", 1, 15)} % 100) AS _b
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+), rate AS (
+  SELECT c_mktsegment, n_regionkey,
+         CAST(FLOOR(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * {q!r}) AS BIGINT) AS pnum
+  FROM base WHERE _b < {_HL_TRAIN_PCT}
+  GROUP BY 1, 2
+), scored AS (
+  SELECT t.y, r.pnum, t.o_custkey, t.o_orderkey
+  FROM base t JOIN rate r
+    ON t.c_mktsegment = r.c_mktsegment AND t.n_regionkey = r.n_regionkey
+  WHERE t._b >= {_HL_TRAIN_PCT}
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM scored
+), binned AS (
+  SELECT y, pnum, n_test,
+         ((CAST(ROW_NUMBER() OVER (ORDER BY pnum, o_custkey, o_orderkey) AS BIGINT) - 1)
+          * {_HL_BINS}) // n_test AS g
+  FROM scored CROSS JOIN tot
+), per_bin AS (
+  SELECT g,
+         MAX(n_test) AS n_test,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(y) AS BIGINT) AS o_g,
+         CAST(SUM(pnum) AS BIGINT) AS sp,
+         CAST(SUM(CAST(pnum * ({qi} - pnum) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS spq
+  FROM binned GROUP BY 1
+), terms AS (
+  SELECT n_test,
+         CASE WHEN spq > 0
+              THEN (CAST(o_g AS DOUBLE) - CAST(sp AS DOUBLE) / {q!r})
+                   * (CAST(o_g AS DOUBLE) - CAST(sp AS DOUBLE) / {q!r})
+                   / ({sql_dec_to_double("spq")} / {q * q!r}) END AS term
+  FROM per_bin
+), red AS (
+  SELECT MAX(n_test) AS n_test,
+         CAST(COUNT(*) AS BIGINT) AS g_bins,
+         CAST(COUNT(term) AS BIGINT) AS g_valid,
+         {sql_fsum("COALESCE(term, 0.0)", 10)} AS hl_raw
+  FROM terms
+)
+SELECT n_test, g_bins,
+       CASE WHEN g_valid = g_bins THEN hl_raw END AS hl_stat,
+       CASE WHEN g_valid = g_bins AND g_bins = {_HL_BINS}
+            THEN CAST(hl_raw > {_HL_CHI2_CRIT_DF8!r} AS INT) END AS significant_5pct
+FROM red
+"""
+
+
 QUERIES = {
+    "kpss_test": q_kpss_test,
+    "variance_ratio_test": q_variance_ratio_test,
+    "event_study_leads_lags": q_event_study_leads_lags,
+    "hosmer_lemeshow": q_hosmer_lemeshow,
     "goldfeld_quandt": q_goldfeld_quandt,
     "somers_d": q_somers_d,
     "calibration_ece": q_calibration_ece,
@@ -4954,6 +5598,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "kpss_test": _sql_kpss(),
+    "variance_ratio_test": _sql_variance_ratio(),
+    "event_study_leads_lags": _sql_event_study(),
+    "hosmer_lemeshow": _sql_hosmer_lemeshow(),
     "goldfeld_quandt": _sql_goldfeld_quandt(),
     "somers_d": _ORACLE_SOMERS_D,
     "calibration_ece": _ORACLE_ECE,

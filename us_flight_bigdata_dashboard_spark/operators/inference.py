@@ -2286,8 +2286,12 @@ def q_dunn_posthoc_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n2"),
         F.col("r2").alias("r2_2"),
     )
+    # broadcast the right side of the tiny pair join so the plan is a
+    # BroadcastNestedLoopJoin, not a CartesianProduct (plan-audit rule;
+    # both frames are ≤5 rows so either executes instantly — the broadcast
+    # keeps the 1000-executor plan shuffle-free too)
     pairs = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("g1") < F.col("g2"))
         .crossJoin(F.broadcast(tot))
     )

@@ -204,6 +204,11 @@ _FLAGSHIP_PREFIX = [
     "friedman_test",
     "welch_anova",
     "goldfeld_quandt",
+    # batch 2 (same pre-clearance)
+    "kpss_test",
+    "variance_ratio_test",
+    "event_study_leads_lags",
+    "hosmer_lemeshow",
 ]
 
 
