@@ -439,3 +439,167 @@ def test_hosmer_lemeshow_brute_force(spark):
     assert row["g_bins"] == _HL_BINS
     assert row["hl_stat"] == pytest.approx(hl, rel=1e-9)
     assert row["significant_5pct"] == int(hl > _HL_CHI2_CRIT_DF8)
+
+
+# ---------------------------------------------------------------------------
+# clustering_adjusted_rand — brute pair-counting from the IVF assignment
+# ---------------------------------------------------------------------------
+
+
+def _ivf_assignment(spark):
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+    from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = train_ivf_centroids(spark, SF_DIR)
+    rows = (
+        ivf_assign(emb, cents)
+        .select("vec_id", "centroid_id")
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .collect()
+    )
+    return (
+        np.array([r["centroid_id"] for r in rows]),
+        np.array([r["label"] for r in rows]),
+    )
+
+
+def test_adjusted_rand_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        q_clustering_adjusted_rand,
+    )
+
+    cid, lab = _ivf_assignment(spark)
+    n = len(cid)
+    cont = pd.crosstab(cid, lab).to_numpy()
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    tp = int(c2(cont.astype(object)).sum())
+    a2 = int(c2(cont.sum(axis=1).astype(object)).sum())
+    b2 = int(c2(cont.sum(axis=0).astype(object)).sum())
+    n2 = n * (n - 1) / 2.0
+    ri = (n2 - a2 - b2 + 2 * tp) / n2
+    exp = a2 * b2 / n2
+    ari = (tp - exp) / ((a2 + b2) / 2.0 - exp)
+    fm = tp / math.sqrt(a2 * b2)
+    jac = tp / (a2 + b2 - tp)
+
+    (row,) = q_clustering_adjusted_rand(spark, SF_DIR).collect()
+    assert row["n_vectors"] == n
+    assert row["k_clusters"] == cont.shape[0]
+    assert row["n_labels"] == cont.shape[1]
+    assert row["rand_index"] == pytest.approx(ri, rel=1e-12)
+    assert row["adjusted_rand"] == pytest.approx(ari, rel=1e-10)
+    assert row["fowlkes_mallows"] == pytest.approx(fm, rel=1e-10)
+    assert row["jaccard_pairs"] == pytest.approx(jac, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# clustering_calinski_harabasz — brute Euclidean CH from the assignment
+# ---------------------------------------------------------------------------
+
+
+def test_calinski_harabasz_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        ivf_assign,
+        q_clustering_calinski_harabasz,
+        train_ivf_centroids,
+    )
+    from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = train_ivf_centroids(spark, SF_DIR)
+    rows = ivf_assign(emb, cents).select("vec_id", "embedding", "centroid_id").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cid = np.array([r["centroid_id"] for r in rows])
+    n, k = len(X), len(np.unique(cid))
+    mu = X.mean(axis=0)
+    w = sum(
+        ((X[cid == c] - X[cid == c].mean(axis=0)) ** 2).sum()
+        for c in np.unique(cid)
+    )
+    b = sum(
+        (cid == c).sum() * ((X[cid == c].mean(axis=0) - mu) ** 2).sum()
+        for c in np.unique(cid)
+    )
+    ch = (b / (k - 1)) / (w / (n - k))
+
+    (row,) = q_clustering_calinski_harabasz(spark, SF_DIR).collect()
+    assert row["n_vectors"] == n and row["k_clusters"] == k
+    assert row["ss_between"] == pytest.approx(b, rel=1e-5)
+    assert row["ss_within"] == pytest.approx(w, rel=1e-5)
+    assert row["ch_index"] == pytest.approx(ch, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# retrieval_ndcg_at_k / retrieval_mrr — brute graded metrics from numpy
+# exact-cosine truth + the index pipelines' collected rankings
+# ---------------------------------------------------------------------------
+
+
+def _exact_truth_ranks():
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    X = np.array(df["embedding"].tolist(), dtype=np.float64)
+    ids = df["vec_id"].to_numpy()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    truth = {}
+    for q in range(5):
+        qi = np.where(ids == q)[0][0]
+        sims = Xn @ Xn[qi]
+        order = sorted(
+            [(ids[j], sims[j]) for j in range(len(ids)) if ids[j] != q],
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        truth[q] = {nid: rank + 1 for rank, (nid, _) in enumerate(order)}
+    return truth
+
+
+def test_retrieval_metrics_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.similarity import (
+        q_ann_ivf,
+        q_ann_lsh,
+        q_retrieval_mrr,
+        q_retrieval_ndcg_at_k,
+    )
+
+    truth = _exact_truth_ranks()
+    w = [1 / math.log2(i + 1) for i in range(1, 6)]
+    idcg = 3 * w[0] + 2 * w[1] + 2 * w[2] + w[3] + w[4]
+
+    def gain(q, nid):
+        r = truth[q].get(nid)
+        if r is None:
+            return 0
+        return 3 if r == 1 else (2 if r <= 3 else 1)
+
+    approx = {
+        "lsh": q_ann_lsh(spark, SF_DIR).collect(),
+        "ivf": q_ann_ivf(spark, SF_DIR).collect(),
+    }
+    ndcg_rows = {
+        (r["index_name"], r["query_id"]): r
+        for r in q_retrieval_ndcg_at_k(spark, SF_DIR).collect()
+    }
+    mrr_rows = {r["index_name"]: r for r in q_retrieval_mrr(spark, SF_DIR).collect()}
+    for name, rows in approx.items():
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+        rr_sum = 0.0
+        for q, ranked in per_q.items():
+            dcg = sum(gain(q, nid) * w[rank - 1] for rank, nid in ranked)
+            row = ndcg_rows[(name, q)]
+            assert row["dcg_at_5"] == pytest.approx(dcg, rel=1e-12)
+            assert row["ndcg_at_5"] == pytest.approx(dcg / idcg, rel=1e-12)
+            rel = [rank for rank, nid in ranked if truth[q].get(nid, 99) <= 3]
+            rr_sum += 1.0 / min(rel) if rel else 0.0
+        assert mrr_rows[name]["mrr"] == pytest.approx(rr_sum / 5.0, rel=1e-12)
+        assert mrr_rows[name]["n_queries"] == 5

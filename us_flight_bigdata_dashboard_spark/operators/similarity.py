@@ -32,6 +32,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+from us_flight_bigdata_dashboard_spark.functions.exact import (
+    dec_to_double,
+    fsum,
+    sql_dec_to_double,
+    sql_fsum,
+)
 
 N_QUERY_VECS = 5
 TOP_K = 10
@@ -2695,7 +2701,520 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# Partition-agreement indices: Rand family on IVF clusters vs labels (r14)
+# ---------------------------------------------------------------------------
+
+
+def q_clustering_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-counting agreement between the IVF k-means partition and the
+    corpus ground-truth ``label`` column: Rand index, ADJUSTED Rand
+    (Hubert & Arabie 1985 — chance-corrected, the default external
+    clustering metric), Fowlkes-Mallows, and pairwise Jaccard, all from
+    ONE contingency table. ``ann_recall_eval`` asks whether the index
+    retrieves the right NEIGHBORS; this asks whether its cells recover
+    the LABELING — the external-validity complement of the internal
+    silhouette/Davies-Bouldin readouts on the same model.
+
+    Exactness: the contingency n_ij is an exact integer hash agg off the
+    deterministic ``ivf_assign`` argmax; every pair count C(x,2) is
+    carried in DECIMAL(38,0) (x(x-1)/2 stays exact to 10^19 rows), so
+    TP, A, B, C(n,2) are exact integers and each index is one fixed
+    IEEE sequence (ARI's expected-TP term A·B/C(n,2) is two exact
+    operands in one division; FM adds the allowlisted sqrt). Degenerate
+    contract: a single cluster on either side (ARI/FM/Jaccard
+    denominators vanish) → the affected index NULL.
+
+    Scale shape: one zero-shuffle assignment pass (broadcast literal
+    centroids) + one |cells| hash agg; the index algebra runs on ≤
+    |clusters|·|labels| rows.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(spark, sf_dir)
+    if not centroids:
+        return spark.createDataFrame(
+            [],
+            "n_vectors bigint, k_clusters bigint, n_labels bigint, "
+            "rand_index double, adjusted_rand double, fowlkes_mallows double, "
+            "jaccard_pairs double",
+        )
+    assigned = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    labeled = assigned.join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+
+    def c2(col):
+        d = col.cast("decimal(38,0)")
+        return (d * (d - F.lit(1))) / F.lit(2)
+
+    cells = labeled.groupBy("centroid_id", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ij")
+    )
+    tp = cells.agg(
+        F.sum(c2(F.col("n_ij"))).cast("decimal(38,0)").alias("tp"),
+        F.sum("n_ij").cast("long").alias("n"),
+        F.countDistinct("centroid_id").cast("long").alias("k_clusters"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+    )
+    a = (
+        cells.groupBy("centroid_id")
+        .agg(F.sum("n_ij").cast("long").alias("a_i"))
+        .agg(F.sum(c2(F.col("a_i"))).cast("decimal(38,0)").alias("a2"))
+    )
+    b = (
+        cells.groupBy("label")
+        .agg(F.sum("n_ij").cast("long").alias("b_j"))
+        .agg(F.sum(c2(F.col("b_j"))).cast("decimal(38,0)").alias("b2"))
+    )
+    red = tp.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(b))
+    nd = F.col("n").cast("double")
+    n2 = nd * (nd - F.lit(1.0)) / F.lit(2.0)
+    tpd = dec_to_double(F.col("tp"))
+    a2d = dec_to_double(F.col("a2"))
+    b2d = dec_to_double(F.col("b2"))
+    exp_tp = a2d * b2d / n2
+    ari_den = (a2d + b2d) / F.lit(2.0) - exp_tp
+    fm_den = F.sqrt(a2d * b2d)
+    jac_den = a2d + b2d - tpd
+    return red.select(
+        F.col("n").alias("n_vectors"),
+        "k_clusters",
+        "n_labels",
+        ((n2 - a2d - b2d + F.lit(2.0) * tpd) / n2).alias("rand_index"),
+        F.when(ari_den != 0, (tpd - exp_tp) / ari_den).alias("adjusted_rand"),
+        F.when(fm_den > 0, tpd / fm_den).alias("fowlkes_mallows"),
+        F.when(jac_den > 0, tpd / jac_den).alias("jaccard_pairs"),
+    )
+
+
+def _sql_clustering_adjusted_rand() -> str:
+    cos = _sql_cosine("e.embedding", "c.embedding")
+    return f"""
+WITH {_sql_kmeans_ctes()},
+assigned AS (
+  SELECT vec_id, label, centroid_id FROM (
+    SELECT e.vec_id, e.label, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN c{N_LLOYD_ITERS} c
+  ) WHERE rn = 1
+), cells AS (
+  SELECT centroid_id, label, CAST(COUNT(*) AS BIGINT) AS n_ij
+  FROM assigned GROUP BY 1, 2
+), tp AS (
+  SELECT CAST(SUM(CAST(n_ij AS DECIMAL(38,0)) * (CAST(n_ij AS DECIMAL(38,0)) - 1) / 2) AS DECIMAL(38,0)) AS tp,
+         CAST(SUM(n_ij) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT centroid_id) AS BIGINT) AS k_clusters,
+         CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+  FROM cells
+), a AS (
+  SELECT CAST(SUM(CAST(a_i AS DECIMAL(38,0)) * (CAST(a_i AS DECIMAL(38,0)) - 1) / 2) AS DECIMAL(38,0)) AS a2
+  FROM (SELECT CAST(SUM(n_ij) AS BIGINT) AS a_i FROM cells GROUP BY centroid_id)
+), b AS (
+  SELECT CAST(SUM(CAST(b_j AS DECIMAL(38,0)) * (CAST(b_j AS DECIMAL(38,0)) - 1) / 2) AS DECIMAL(38,0)) AS b2
+  FROM (SELECT CAST(SUM(n_ij) AS BIGINT) AS b_j FROM cells GROUP BY label)
+), red AS (
+  SELECT n, k_clusters, n_labels,
+         {sql_dec_to_double("tp")} AS tpd,
+         {sql_dec_to_double("a2")} AS a2d,
+         {sql_dec_to_double("b2")} AS b2d,
+         CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0 AS n2
+  FROM tp CROSS JOIN a CROSS JOIN b
+)
+SELECT n AS n_vectors, k_clusters, n_labels,
+       (n2 - a2d - b2d + 2.0 * tpd) / n2 AS rand_index,
+       CASE WHEN (a2d + b2d) / 2.0 - a2d * b2d / n2 <> 0
+            THEN (tpd - a2d * b2d / n2) / ((a2d + b2d) / 2.0 - a2d * b2d / n2)
+            END AS adjusted_rand,
+       CASE WHEN SQRT(a2d * b2d) > 0 THEN tpd / SQRT(a2d * b2d) END AS fowlkes_mallows,
+       CASE WHEN a2d + b2d - tpd > 0 THEN tpd / (a2d + b2d - tpd) END AS jaccard_pairs
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calinski-Harabasz index on the IVF partition (round 14)
+# ---------------------------------------------------------------------------
+
+_CH_S1_SCALE = 9   # per-(cluster,dim) coordinate sums: |val| ~ O(1)
+_CH_SQ_SCALE = 6   # squared-sum reduces over the dim/cluster frames
+
+
+def q_clustering_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz (1974) variance-ratio index of the IVF k-means
+    partition in EUCLIDEAN space: CH = [B/(k−1)] / [W/(n−k)] with B the
+    between-cluster and W the within-cluster sum of squares — the third
+    leg of the internal-validity tripod next to the cosine-based
+    ``clustering_silhouette`` and ``davies_bouldin_index`` (CH is the
+    one sklearn computes by default and the only one of the three that
+    is RATIONAL in the data — no per-row distance ranking at all).
+
+    Exactness: both sums of squares collapse to moment identities —
+    W = Σ‖x‖² − Σ_i ‖S_i‖²/n_i and B = Σ_i ‖S_i‖²/n_i − ‖S‖²/n — so the
+    data passes reduce to per-(cluster, dim) floor-quantized coordinate
+    sums (scale {s1}) and one global Σ‖x‖² (same scale); every ‖·‖² and
+    the cluster/dim reduces are floor-quantized at scale {sq}; the final
+    index is a fixed IEEE sequence. Degenerate contract: k < 2 or a
+    zero W → CH NULL.
+
+    Scale shape: one zero-shuffle assignment pass, one posexplode to
+    (cluster, dim) cells (|k|·|dim| rows out of the map-side combine),
+    then ≤128-row algebra.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(spark, sf_dir)
+    if not centroids:
+        return spark.createDataFrame(
+            [],
+            "n_vectors bigint, k_clusters bigint, ss_between double, "
+            "ss_within double, ch_index double",
+        )
+    assigned = ivf_assign(emb, centroids).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    dims = assigned.select(
+        "centroid_id",
+        F.posexplode("embedding").alias("p", "valf"),
+    ).select("centroid_id", "p", F.col("valf").cast("double").alias("val"))
+    per_cd = dims.groupBy("centroid_id", "p").agg(
+        fsum("val", scale=_CH_S1_SCALE).alias("s1")
+    )
+    per_c = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
+    )
+    t2 = (
+        per_cd.groupBy("centroid_id")
+        .agg(fsum(F.col("s1") * F.col("s1"), scale=_CH_SQ_SCALE).alias("s1sq"))
+        .join(per_c, "centroid_id")
+        .agg(
+            fsum(
+                F.col("s1sq") / F.col("n_i").cast("double"), scale=_CH_SQ_SCALE
+            ).alias("t2"),
+            F.sum("n_i").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    g2 = (
+        per_cd.groupBy("p")
+        .agg(fsum("s1", scale=_CH_S1_SCALE).alias("sg"))
+        .agg(fsum(F.col("sg") * F.col("sg"), scale=_CH_SQ_SCALE).alias("g2num"))
+    )
+    ssq = dims.agg(
+        fsum(F.col("val") * F.col("val"), scale=_CH_S1_SCALE).alias("ssq")
+    )
+    red = t2.crossJoin(F.broadcast(g2)).crossJoin(F.broadcast(ssq))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    w_ss = F.col("ssq") - F.col("t2")
+    b_ss = F.col("t2") - F.col("g2num") / nd
+    ok = (F.col("k") >= 2) & (w_ss > 0)
+    return red.select(
+        F.col("n").alias("n_vectors"),
+        F.col("k").alias("k_clusters"),
+        b_ss.alias("ss_between"),
+        w_ss.alias("ss_within"),
+        F.when(ok, (b_ss / (kd - F.lit(1.0))) / (w_ss / (nd - kd))).alias(
+            "ch_index"
+        ),
+    )
+
+
+q_clustering_calinski_harabasz.__doc__ = (
+    q_clustering_calinski_harabasz.__doc__
+    and q_clustering_calinski_harabasz.__doc__.format(
+        s1=_CH_S1_SCALE, sq=_CH_SQ_SCALE
+    )
+)
+
+
+def _sql_clustering_ch() -> str:
+    cos = _sql_cosine("e.embedding", "c.embedding")
+    return f"""
+WITH {_sql_kmeans_ctes()},
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN c{N_LLOYD_ITERS} c
+  ) WHERE rn = 1
+), dimn AS (
+  SELECT LEN(embedding) AS nd FROM embeddings LIMIT 1
+), pos AS (
+  SELECT UNNEST(range(1, (SELECT nd FROM dimn) + 1)) AS p
+), dims AS (
+  SELECT a.centroid_id, p.p, CAST(a.embedding[p.p] AS DOUBLE) AS val
+  FROM assigned a CROSS JOIN pos p
+), per_cd AS (
+  SELECT centroid_id, p, {sql_fsum("val", _CH_S1_SCALE)} AS s1
+  FROM dims GROUP BY 1, 2
+), per_c AS (
+  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_i
+  FROM assigned GROUP BY 1
+), t2 AS (
+  SELECT {sql_fsum("s1sq / CAST(n_i AS DOUBLE)", _CH_SQ_SCALE)} AS t2,
+         CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM (
+    SELECT centroid_id, {sql_fsum("s1 * s1", _CH_SQ_SCALE)} AS s1sq
+    FROM per_cd GROUP BY 1
+  ) JOIN per_c USING (centroid_id)
+), g2 AS (
+  SELECT {sql_fsum("sg * sg", _CH_SQ_SCALE)} AS g2num
+  FROM (SELECT p, {sql_fsum("s1", _CH_S1_SCALE)} AS sg FROM per_cd GROUP BY 1)
+), ssq AS (
+  SELECT {sql_fsum("val * val", _CH_S1_SCALE)} AS ssq FROM dims
+), red AS (
+  SELECT n, k,
+         ssq - t2 AS w_ss,
+         t2 - g2num / CAST(n AS DOUBLE) AS b_ss
+  FROM t2 CROSS JOIN g2 CROSS JOIN ssq
+)
+SELECT n AS n_vectors, k AS k_clusters,
+       b_ss AS ss_between, w_ss AS ss_within,
+       CASE WHEN k >= 2 AND w_ss > 0
+            THEN (b_ss / (CAST(k AS DOUBLE) - 1.0))
+                 / (w_ss / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) END AS ch_index
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graded-relevance retrieval metrics: NDCG@5 and MRR over the ANN indexes
+# ---------------------------------------------------------------------------
+
+# literal DCG discount ladder 1/log2(i+1), i = 1..5 (module rule: no logs at
+# query time — the positions are literals, so the discounts are too)
+_NDCG_W = [
+    1.0,
+    0.6309297535714575,
+    0.5,
+    0.43067655807339306,
+    0.38685280723454163,
+]
+# graded gains by exact-cosine truth rank: top-1 → 3, 2-3 → 2, 4-10 → 1
+_NDCG_IDCG = 6.07938887245085  # 3·w1 + 2·w2 + 2·w3 + 1·w4 + 1·w5 — literal
+_MRR_REL_RANK = 3  # "relevant" = exact top-3
+
+
+def _graded_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query → neighbor → graded gain from the exact brute-force ranking."""
+    return (
+        q_knn_bruteforce(spark, sf_dir)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.col("rank") == 1, F.lit(3))
+            .when(F.col("rank") <= 3, F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("gain"),
+            F.col("rank").alias("truth_rank"),
+        )
+    )
+
+
+_SQL_GRADED_TRUTH = """
+  SELECT query_id, neighbor_id,
+         CASE WHEN rank = 1 THEN 3 WHEN rank <= 3 THEN 2 ELSE 1 END AS gain,
+         rank AS truth_rank
+  FROM ({knn})
+"""
+
+
+def q_retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of each ANN index (sign-projection LSH and k-means IVF)
+    against graded exact-cosine relevance: gain 3 for the true nearest
+    neighbor, 2 for the next two, 1 for the rest of the exact top-10,
+    0 otherwise; DCG discounts by the literal 1/log2(position+1) ladder
+    and normalizes by the literal ideal DCG (the gain multiset
+    (3,2,2,1,1) is fixed by construction, so IDCG is a constant).
+    ``ann_recall_eval`` counts set overlap; NDCG is the ORDER-sensitive
+    complement — an index can score perfect recall and still rank the
+    best neighbor last, which is exactly what this catches.
+
+    Exactness: gains are exact integers off deterministic rankings
+    (fixed tie-breaks both sides); each query's DCG extracts the five
+    literal positions as named conditional aggregates summed in a fixed
+    left-to-right sequence of literal-weight products — no data-sized
+    float reduce at all. Missing approx positions contribute 0 by the
+    left-join contract.
+
+    Scale shape: the underlying index pipelines dominate; the eval join
+    runs on |queries|·k rows.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    truth = _graded_truth(spark, sf_dir).select(
+        "query_id", "neighbor_id", "gain"
+    )
+
+    def eval_index(name: str, approx: DataFrame) -> DataFrame:
+        scored = (
+            approx.select("query_id", "neighbor_id", "rank")
+            .join(truth, ["query_id", "neighbor_id"], "left")
+            .select(
+                "query_id",
+                "rank",
+                F.coalesce("gain", F.lit(0)).alias("gain"),
+            )
+        )
+        aggs = []
+        for i in range(1, RECALL_K + 1):
+            aggs.append(
+                F.sum(F.when(F.col("rank") == i, F.col("gain")).otherwise(0))
+                .cast("long")
+                .alias(f"gain{i}")
+            )
+        per_q = scored.groupBy("query_id").agg(*aggs)
+        dcg = F.lit(0.0)
+        for i in range(1, RECALL_K + 1):
+            dcg = dcg + F.col(f"gain{i}").cast("double") * F.lit(_NDCG_W[i - 1])
+        return per_q.select(
+            F.lit(name).alias("index_name"),
+            "query_id",
+            dcg.alias("dcg_at_5"),
+            (dcg / F.lit(_NDCG_IDCG)).alias("ndcg_at_5"),
+        )
+
+    lsh = eval_index("lsh", q_ann_lsh(spark, sf_dir))
+    ivf = eval_index("ivf", q_ann_ivf(spark, sf_dir))
+    return lsh.unionByName(ivf).orderBy("index_name", "query_id")
+
+
+def _sql_retrieval_ndcg() -> str:
+    def eval_sql(name: str, approx_sql: str) -> str:
+        gains = ",\n         ".join(
+            f"CAST(SUM(CASE WHEN rank = {i} THEN gain ELSE 0 END) AS BIGINT) AS gain{i}"
+            for i in range(1, RECALL_K + 1)
+        )
+        dcg = " + ".join(
+            f"CAST(gain{i} AS DOUBLE) * CAST('{_NDCG_W[i - 1]!r}' AS DOUBLE)"
+            for i in range(1, RECALL_K + 1)
+        )
+        return f"""
+SELECT '{name}' AS index_name, query_id,
+       ({dcg}) AS dcg_at_5,
+       ({dcg}) / CAST('{_NDCG_IDCG!r}' AS DOUBLE) AS ndcg_at_5
+FROM (
+  SELECT query_id, {gains}
+  FROM (
+    SELECT a.query_id, a.rank, COALESCE(t.gain, 0) AS gain
+    FROM ({approx_sql}) a
+    LEFT JOIN truth t ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  )
+  GROUP BY query_id
+)
+"""
+
+    knn = _sql_knn_bruteforce()
+    return f"""
+WITH truth AS ({_SQL_GRADED_TRUTH.format(knn=knn)})
+{eval_sql("lsh", _sql_ann_lsh())}
+UNION ALL
+{eval_sql("ivf", _sql_ann_ivf())}
+ORDER BY index_name, query_id
+"""
+
+
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of each ANN index: per query, 1/position of
+    the FIRST retrieved neighbor that is exact-cosine-relevant (truth
+    top-{r}), 0 if none of the top-{k} hits — averaged over the
+    {q} literal query vectors. The single-number "how fast do I reach
+    something good" metric that complements NDCG's full-ranking view
+    (MRR is the industry default for known-item search).
+
+    Exactness: first-relevant positions are exact integers off
+    deterministic rankings; each reciprocal 1/i is one of {k} literal
+    rationals; the mean extracts the {q} literal query ids as named
+    conditional aggregates summed in a fixed left-to-right sequence over
+    one literal division — no data-sized float reduce. A query with no
+    relevant hit contributes 0 (the standard convention, documented).
+
+    Scale shape: the underlying index pipelines dominate; the eval join
+    runs on |queries|·k rows.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    truth = _graded_truth(spark, sf_dir).filter(
+        F.col("truth_rank") <= _MRR_REL_RANK
+    ).select("query_id", "neighbor_id")
+
+    def eval_index(name: str, approx: DataFrame) -> DataFrame:
+        first_rel = (
+            approx.select("query_id", "neighbor_id", "rank")
+            .join(truth, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.min("rank").cast("long").alias("first_rel"))
+        )
+        aggs = []
+        for qid in range(N_QUERY_VECS):
+            rr = F.max(
+                F.when(
+                    F.col("query_id") == qid,
+                    F.lit(1.0) / F.col("first_rel").cast("double"),
+                )
+            )
+            aggs.append(F.coalesce(rr, F.lit(0.0)).alias(f"rr{qid}"))
+        red = first_rel.agg(*aggs)
+        mrr = F.lit(0.0)
+        for qid in range(N_QUERY_VECS):
+            mrr = mrr + F.col(f"rr{qid}")
+        return red.select(
+            F.lit(name).alias("index_name"),
+            F.lit(N_QUERY_VECS).cast("long").alias("n_queries"),
+            (mrr / F.lit(float(N_QUERY_VECS))).alias("mrr"),
+        )
+
+    lsh = eval_index("lsh", q_ann_lsh(spark, sf_dir))
+    ivf = eval_index("ivf", q_ann_ivf(spark, sf_dir))
+    return lsh.unionByName(ivf).orderBy("index_name")
+
+
+def _sql_retrieval_mrr() -> str:
+    def eval_sql(name: str, approx_sql: str) -> str:
+        rrs = ",\n         ".join(
+            f"COALESCE(MAX(CASE WHEN query_id = {qid} THEN 1.0 / CAST(first_rel AS DOUBLE) END), 0.0) AS rr{qid}"
+            for qid in range(N_QUERY_VECS)
+        )
+        mrr = " + ".join(f"rr{qid}" for qid in range(N_QUERY_VECS))
+        return f"""
+SELECT '{name}' AS index_name,
+       CAST({N_QUERY_VECS} AS BIGINT) AS n_queries,
+       ({mrr}) / {float(N_QUERY_VECS)!r} AS mrr
+FROM (
+  SELECT {rrs}
+  FROM (
+    SELECT a.query_id, CAST(MIN(a.rank) AS BIGINT) AS first_rel
+    FROM ({approx_sql}) a
+    JOIN truth t ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+    GROUP BY a.query_id
+  )
+)
+"""
+
+    knn = _sql_knn_bruteforce()
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id
+  FROM ({_SQL_GRADED_TRUTH.format(knn=knn)})
+  WHERE truth_rank <= {_MRR_REL_RANK}
+)
+{eval_sql("lsh", _sql_ann_lsh())}
+UNION ALL
+{eval_sql("ivf", _sql_ann_ivf())}
+ORDER BY index_name
+"""
+
+
+q_retrieval_mrr.__doc__ = q_retrieval_mrr.__doc__ and q_retrieval_mrr.__doc__.format(
+    r=_MRR_REL_RANK, k=RECALL_K, q=N_QUERY_VECS
+)
+
+
 QUERIES = {
+    "clustering_adjusted_rand": q_clustering_adjusted_rand,
+    "clustering_calinski_harabasz": q_clustering_calinski_harabasz,
+    "retrieval_ndcg_at_k": q_retrieval_ndcg_at_k,
+    "retrieval_mrr": q_retrieval_mrr,
     "embedding_triplet_violations": q_embedding_triplet_violations,
     "embedding_binary_quant": q_embedding_binary_quant,
     "embedding_mmr_select": q_embedding_mmr_select,
@@ -2723,6 +3242,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "clustering_adjusted_rand": _sql_clustering_adjusted_rand(),
+    "clustering_calinski_harabasz": _sql_clustering_ch(),
+    "retrieval_ndcg_at_k": _sql_retrieval_ndcg(),
+    "retrieval_mrr": _sql_retrieval_mrr(),
     "embedding_triplet_violations": _sql_triplet_violations(),
     "embedding_binary_quant": _sql_binary_quant(),
     "embedding_centroid_separation": _ORACLE_CENTROID_SEP,

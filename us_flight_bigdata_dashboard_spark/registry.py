@@ -209,6 +209,11 @@ _FLAGSHIP_PREFIX = [
     "variance_ratio_test",
     "event_study_leads_lags",
     "hosmer_lemeshow",
+    # batch 3 (same pre-clearance)
+    "clustering_adjusted_rand",
+    "clustering_calinski_harabasz",
+    "retrieval_ndcg_at_k",
+    "retrieval_mrr",
 ]
 
 
