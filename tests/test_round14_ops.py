@@ -603,3 +603,177 @@ def test_retrieval_metrics_brute_force(spark):
             rr_sum += 1.0 / min(rel) if rel else 0.0
         assert mrr_rows[name]["mrr"] == pytest.approx(rr_sum / 5.0, rel=1e-12)
         assert mrr_rows[name]["n_queries"] == 5
+
+
+# ---------------------------------------------------------------------------
+# queueing_mg1_pk — brute Pollaczek-Khinchine from pandas service moments
+# ---------------------------------------------------------------------------
+
+
+def test_mg1_pk_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        MM1_DAYS,
+        MM1_YEAR,
+        q_queueing_mg1_pk,
+    )
+
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        MG1_UNITS_PER_DAY,
+    )
+
+    li = _df("lineitem")
+    ship = pd.to_datetime(li["l_shipdate"])
+    j = li[ship.dt.year == MM1_YEAR].copy()
+    j["s"] = j["l_quantity"].astype(float) / MG1_UNITS_PER_DAY
+
+    rows = q_queueing_mg1_pk(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for row in rows[:5]:
+        g = j[j["l_suppkey"] == row["suppkey"]]["s"].to_numpy(dtype=float)
+        n = len(g)
+        lam = n / MM1_DAYS
+        es, es2 = g.mean(), (g**2).mean()
+        rho = lam * es
+        assert row["n_jobs"] == n
+        assert row["lambda_per_day"] == pytest.approx(lam, rel=1e-12)
+        assert row["es_days"] == pytest.approx(es, rel=1e-12)
+        assert row["cs2"] == pytest.approx((es2 - es * es) / es**2, rel=1e-9)
+        assert row["rho"] == pytest.approx(rho, rel=1e-12)
+        if rho < 1:
+            lq = lam * lam * es2 / (2 * (1 - rho))
+            assert row["lq_jobs"] == pytest.approx(lq, rel=1e-9)
+            assert row["wq_days"] == pytest.approx(lq / lam, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# queueing_mm1k_blocking — brute finite-capacity formulas
+# ---------------------------------------------------------------------------
+
+
+def test_mm1k_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        MM1_DAYS,
+        MM1_MU_PER_DAY,
+        MM1_YEAR,
+        MM1K_CAP,
+        q_queueing_mm1k_blocking,
+    )
+
+    li = _df("lineitem")
+    ship = pd.to_datetime(li["l_shipdate"])
+    jobs = li[ship.dt.year == MM1_YEAR].groupby("l_suppkey").size()
+
+    rows = q_queueing_mm1k_blocking(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    K = MM1K_CAP
+    for row in rows[:5]:
+        n = int(jobs[row["suppkey"]])
+        lam = n / MM1_DAYS
+        rho = lam / MM1_MU_PER_DAY
+        if rho != 1.0:
+            pk = rho**K * (1 - rho) / (1 - rho ** (K + 1))
+            l_sys = (
+                rho
+                * (1 - (K + 1) * rho**K + K * rho ** (K + 1))
+                / ((1 - rho) * (1 - rho ** (K + 1)))
+            )
+        else:
+            pk, l_sys = 1 / (K + 1), K / 2
+        assert row["n_jobs"] == n
+        assert row["rho"] == pytest.approx(rho, rel=1e-12)
+        assert row["p_block"] == pytest.approx(pk, rel=1e-9)
+        assert row["l_system"] == pytest.approx(l_sys, rel=1e-9)
+        assert row["lambda_eff_per_day"] == pytest.approx(lam * (1 - pk), rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# price_index_fisher — brute matched-basket index computation
+# ---------------------------------------------------------------------------
+
+
+def test_price_index_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        PIDX_BASE_YEAR,
+        PIDX_CURR_YEAR,
+        q_price_index_fisher,
+    )
+
+    li = _df("lineitem")
+    ship = pd.to_datetime(li["l_shipdate"])
+    li = li.assign(yr=ship.dt.year)
+    li = li[li["yr"].isin([PIDX_BASE_YEAR, PIDX_CURR_YEAR])].copy()
+    li["cents"] = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    li["qty"] = li["l_quantity"].astype(np.int64)
+    per = li.groupby(["l_partkey", "yr"]).agg(
+        cents=("cents", "sum"), qty=("qty", "sum")
+    )
+    per = per[per["qty"] > 0]
+    per["p"] = per["cents"] / per["qty"]
+    base = per.xs(PIDX_BASE_YEAR, level="yr")
+    curr = per.xs(PIDX_CURR_YEAR, level="yr")
+    m = base.join(curr, lsuffix="_0", rsuffix="_1", how="inner")
+    s10 = (m["p_1"] * m["qty_0"]).sum()
+    s00 = (m["p_0"] * m["qty_0"]).sum()
+    s11 = (m["p_1"] * m["qty_1"]).sum()
+    s01 = (m["p_0"] * m["qty_1"]).sum()
+
+    (row,) = q_price_index_fisher(spark, SF_DIR).collect()
+    assert row["n_parts"] == len(m)
+    assert row["laspeyres"] == pytest.approx(s10 / s00, rel=1e-9)
+    assert row["paasche"] == pytest.approx(s11 / s01, rel=1e-9)
+    assert row["fisher_ideal"] == pytest.approx(
+        math.sqrt((s10 / s00) * (s11 / s01)), rel=1e-9
+    )
+
+
+# ---------------------------------------------------------------------------
+# least_unit_cost_lot_sizing — brute forward LUC recursion + WW DP
+# ---------------------------------------------------------------------------
+
+
+def test_least_unit_cost_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.decision import (
+        WW_HOLD_CENTS,
+        WW_SETUP_CENTS,
+        WW_T,
+        WW_YEAR,
+        q_least_unit_cost_lot_sizing,
+    )
+
+    li = _df("lineitem")
+    ship = pd.to_datetime(li["l_shipdate"])
+    sub = li[ship.dt.year == WW_YEAR]
+    monthly = sub.groupby(ship[ship.dt.year == WW_YEAR].dt.month)[
+        "l_quantity"
+    ].sum()
+    d = [int(monthly.get(t, 0)) for t in range(1, WW_T + 1)]
+
+    def c(j, t):  # 1-based inclusive run [j..t]
+        hold = sum((i - j) * d[i - 1] for i in range(j, t + 1))
+        return hold * WW_HOLD_CENTS + WW_SETUP_CENTS
+
+    def u(j, t):
+        return sum(d[i - 1] for i in range(j, t + 1))
+
+    # forward LUC recursion
+    jrun, cost, orders_n = 1, 0, 1
+    for t in range(2, WW_T + 1):
+        if c(jrun, t) * u(jrun, t - 1) <= c(jrun, t - 1) * u(jrun, t):
+            continue
+        cost += c(jrun, t - 1)
+        jrun = t
+        orders_n += 1
+    luc_cost = cost + c(jrun, WW_T)
+    # WW DP
+    f = [0] * (WW_T + 1)
+    for t in range(1, WW_T + 1):
+        f[t] = min(f[j - 1] + c(j, t) for j in range(1, t + 1))
+
+    (row,) = q_least_unit_cost_lot_sizing(spark, SF_DIR).collect()
+    assert row["n_periods"] == WW_T
+    assert row["total_demand_qty"] == sum(d)
+    assert row["luc_cost_cents"] == luc_cost
+    assert row["luc_n_orders"] == orders_n
+    assert row["ww_optimal_cost_cents"] == f[WW_T]
+    assert row["luc_gap_cents"] == luc_cost - f[WW_T]
+    assert row["luc_gap_cents"] >= 0

@@ -37,8 +37,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.functions.exact import (
+    dec_to_double,
     dsum,
+    fsum,
+    sql_dec_to_double,
     sql_dsum,
+    sql_fsum,
 )
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
@@ -3971,7 +3975,546 @@ FROM s{WW_T}
 """
 
 
+# ---------------------------------------------------------------------------
+# M/G/1 Pollaczek-Khinchine queueing metrics (round 14)
+# ---------------------------------------------------------------------------
+
+MG1_TOP = 20
+MG1_UNITS_PER_DAY = 128.0  # literal service rate; /128 is an exact IEEE scale
+
+
+def q_queueing_mg1_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M/G/1 queueing metrics per supplier via the Pollaczek-Khinchine
+    formula — the step past ``queueing_mm1_metrics`` every ops review
+    takes once it notices service times are NOT exponential: here the
+    service distribution is MEASURED from the data (service time ∝
+    line quantity at the literal {u} units/day rate — the quantity
+    spread is what makes c_s² ≠ 1 here), and L_q = λ²·E[S²] / (2(1−ρ)) prices exactly how
+    much the service-time VARIANCE (not just its mean) inflates the
+    queue — at equal ρ, an SCV of 2 doubles the M/M/1 queue. Reported
+    with the squared coefficient of variation c_s² so the M/M/1
+    comparison (c_s² = 1) is one glance.
+
+    Exactness: per supplier, n, Σq, Σq² of the integer quantities are
+    one exact hash agg (Σq² in DECIMAL(38,0), limb-exact rebuild);
+    λ = n/{d}, E[S] = Σq/(n·{u}) (the /2⁷ scale is exact in IEEE), and
+    every P-K quantity is one fixed IEEE sequence on them. Degenerate contract: ρ ≥ 1 (queue diverges) or zero mean
+    service → NULL metrics under explicit guards. Ranking is (ρ desc,
+    suppkey) — deterministic.
+
+    Scale shape: one fact-sized map-side-combinable hash agg → per-
+    supplier arithmetic → top-{k} TakeOrdered. No shuffle beyond the
+    agg.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    jobs = (
+        lineitem.filter(F.year("l_shipdate") == MM1_YEAR)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_jobs"),
+            F.sum(qty).cast("long").alias("s1"),
+            F.sum((qty * qty).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+    )
+    nd = F.col("n_jobs").cast("double")
+    lam = nd / F.lit(float(MM1_DAYS))
+    es = F.col("s1").cast("double") / nd / F.lit(MG1_UNITS_PER_DAY)
+    es2 = dec_to_double(F.col("s2")) / nd / F.lit(
+        MG1_UNITS_PER_DAY * MG1_UNITS_PER_DAY
+    )
+    rho = lam * es
+    var_s = es2 - es * es
+    cs2 = var_s / (es * es)
+    lq = lam * lam * es2 / (F.lit(2.0) * (F.lit(1.0) - rho))
+    ok = (rho < 1.0) & (es > 0)
+    return (
+        jobs.select(
+            "suppkey",
+            "n_jobs",
+            lam.alias("lambda_per_day"),
+            es.alias("es_days"),
+            F.when(es > 0, cs2).alias("cs2"),
+            rho.alias("rho"),
+            F.when(ok, lq).alias("lq_jobs"),
+            F.when(ok, lq / lam).alias("wq_days"),
+        )
+        .orderBy(F.desc("rho"), F.asc("suppkey"))
+        .limit(MG1_TOP)
+    )
+
+
+q_queueing_mg1_pk.__doc__ = q_queueing_mg1_pk.__doc__ and (
+    q_queueing_mg1_pk.__doc__.format(
+        d=MM1_DAYS, k=MG1_TOP, u=int(MG1_UNITS_PER_DAY)
+    )
+)
+
+
+def _sql_queueing_mg1() -> str:
+    sd = "CAST(l_quantity AS BIGINT)"
+    u = MG1_UNITS_PER_DAY
+    return f"""
+WITH jobs AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_jobs,
+         CAST(SUM({sd}) AS BIGINT) AS s1,
+         CAST(SUM(CAST({sd} * {sd} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+  FROM lineitem
+  WHERE year(l_shipdate) = {MM1_YEAR}
+  GROUP BY 1
+), m AS (
+  SELECT suppkey, n_jobs,
+         CAST(n_jobs AS DOUBLE) / {float(MM1_DAYS)!r} AS lam,
+         CAST(s1 AS DOUBLE) / CAST(n_jobs AS DOUBLE) / {u!r} AS es,
+         {sql_dec_to_double("s2")} / CAST(n_jobs AS DOUBLE) / {u * u!r} AS es2
+  FROM jobs
+), fin AS (
+  SELECT suppkey, n_jobs, lam, es, es2,
+         lam * es AS rho,
+         lam * lam * es2 / (2.0 * (1.0 - lam * es)) AS lq
+  FROM m
+)
+SELECT suppkey, n_jobs,
+       lam AS lambda_per_day,
+       es AS es_days,
+       CASE WHEN es > 0 THEN (es2 - es * es) / (es * es) END AS cs2,
+       rho,
+       CASE WHEN rho < 1.0 AND es > 0 THEN lq END AS lq_jobs,
+       CASE WHEN rho < 1.0 AND es > 0 THEN lq / lam END AS wq_days
+FROM fin
+ORDER BY rho DESC, suppkey ASC
+LIMIT {MG1_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# M/M/1/K finite-capacity blocking (round 14)
+# ---------------------------------------------------------------------------
+
+MM1K_CAP = 10  # literal system capacity (queue + service)
+MM1K_TOP = 20
+
+
+def q_queueing_mm1k_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M/M/1/K finite-capacity queueing per supplier at the literal
+    K = {cap}: blocking probability P_K = ρ^K(1−ρ)/(1−ρ^(K+1)),
+    expected system size L = ρ(1 − (K+1)ρ^K + Kρ^(K+1)) /
+    ((1−ρ)(1−ρ^(K+1))), and the effective (admitted) throughput
+    λ_eff = λ(1−P_K). The finite-buffer complement of
+    ``queueing_mm1_metrics``: the infinite-queue model NULLs out at
+    ρ ≥ 1, while the K-capacity system stays well-defined at ANY load —
+    overloaded suppliers simply shed λ·P_K jobs/day, which is the
+    number a capacity review actually needs.
+
+    Exactness: λ = n/{d} is one exact division; ρ^K and ρ^(K+1) are
+    explicit MULTIPLICATION CHAINS through named columns (r2 = ρ·ρ,
+    r4 = r2·r2, r8 = r4·r4, r10 = r8·r2, r11 = r10·ρ — no pow(), which
+    the determinism contract bans on data), so every output is a fixed
+    IEEE sequence on both engines. Degenerate contract: the removable
+    singularity at ρ = 1 (all formulas → 0/0; the limits are
+    P_K = 1/(K+1), L = K/2) is handled by an explicit ρ = 1 branch —
+    measure-zero on real data but contractually total.
+
+    Scale shape: one fact-sized hash agg → per-supplier arithmetic →
+    top-{k} TakeOrdered.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    jobs = (
+        lineitem.filter(F.year("l_shipdate") == MM1_YEAR)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_jobs"))
+    )
+    lam = F.col("n_jobs").cast("double") / F.lit(float(MM1_DAYS))
+    st = jobs.select(
+        "suppkey", "n_jobs", lam.alias("lam"), (lam / F.lit(MM1_MU_PER_DAY)).alias("rho")
+    )
+    st = (
+        st.withColumn("r2", F.col("rho") * F.col("rho"))
+        .withColumn("r4", F.col("r2") * F.col("r2"))
+        .withColumn("r8", F.col("r4") * F.col("r4"))
+        .withColumn("r10", F.col("r8") * F.col("r2"))
+        .withColumn("r11", F.col("r10") * F.col("rho"))
+    )
+    k = float(MM1K_CAP)
+    at_one = F.col("rho") == 1.0
+    pk = F.when(
+        at_one, F.lit(1.0 / (MM1K_CAP + 1))
+    ).otherwise(
+        F.col("r10") * (F.lit(1.0) - F.col("rho")) / (F.lit(1.0) - F.col("r11"))
+    )
+    l_sys = F.when(at_one, F.lit(k / 2.0)).otherwise(
+        F.col("rho")
+        * (
+            F.lit(1.0)
+            - F.lit(k + 1.0) * F.col("r10")
+            + F.lit(k) * F.col("r11")
+        )
+        / ((F.lit(1.0) - F.col("rho")) * (F.lit(1.0) - F.col("r11")))
+    )
+    st = st.withColumn("p_block", pk)
+    return (
+        st.select(
+            "suppkey",
+            "n_jobs",
+            F.col("lam").alias("lambda_per_day"),
+            "rho",
+            "p_block",
+            l_sys.alias("l_system"),
+            (F.col("lam") * (F.lit(1.0) - F.col("p_block"))).alias(
+                "lambda_eff_per_day"
+            ),
+        )
+        .orderBy(F.desc("rho"), F.asc("suppkey"))
+        .limit(MM1K_TOP)
+    )
+
+
+q_queueing_mm1k_blocking.__doc__ = q_queueing_mm1k_blocking.__doc__ and (
+    q_queueing_mm1k_blocking.__doc__.format(cap=MM1K_CAP, d=MM1_DAYS, k=MM1K_TOP)
+)
+
+
+def _sql_queueing_mm1k() -> str:
+    k = float(MM1K_CAP)
+    return f"""
+WITH jobs AS (
+  SELECT l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS n_jobs
+  FROM lineitem WHERE year(l_shipdate) = {MM1_YEAR}
+  GROUP BY 1
+), st AS (
+  SELECT suppkey, n_jobs,
+         CAST(n_jobs AS DOUBLE) / {float(MM1_DAYS)!r} AS lam,
+         CAST(n_jobs AS DOUBLE) / {float(MM1_DAYS)!r} / {MM1_MU_PER_DAY!r} AS rho
+  FROM jobs
+), p2 AS (SELECT *, rho * rho AS r2 FROM st),
+p4 AS (SELECT *, r2 * r2 AS r4 FROM p2),
+p8 AS (SELECT *, r4 * r4 AS r8 FROM p4),
+p10 AS (SELECT *, r8 * r2 AS r10 FROM p8),
+p11 AS (SELECT *, r10 * rho AS r11 FROM p10),
+fin AS (
+  SELECT *,
+         CASE WHEN rho = 1.0 THEN {1.0 / (MM1K_CAP + 1)!r}
+              ELSE r10 * (1.0 - rho) / (1.0 - r11) END AS p_block,
+         CASE WHEN rho = 1.0 THEN {k / 2.0!r}
+              ELSE rho * (1.0 - {k + 1.0!r} * r10 + {k!r} * r11)
+                   / ((1.0 - rho) * (1.0 - r11)) END AS l_system
+  FROM p11
+)
+SELECT suppkey, n_jobs,
+       lam AS lambda_per_day, rho, p_block, l_system,
+       lam * (1.0 - p_block) AS lambda_eff_per_day
+FROM fin
+ORDER BY rho DESC, suppkey ASC
+LIMIT {MM1K_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indices (round 14)
+# ---------------------------------------------------------------------------
+
+PIDX_BASE_YEAR = 1995
+PIDX_CURR_YEAR = 1997
+
+
+def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical price indices of the part basket between {y0} (base)
+    and {y1} (current): Laspeyres Σp₁q₀/Σp₀q₀ (base-weighted — the CPI
+    convention), Paasche Σp₁q₁/Σp₀q₁ (current-weighted), and Fisher's
+    ideal index √(L·P) — the superlative compromise that passes the
+    time-reversal test both one-sided indices fail. The
+    macro-aggregation complement of ``price_elasticity_arc`` (which
+    reads the same price-quantity co-movement per band): one number for
+    "how much did this basket's price level move".
+
+    Exactness: per (part, year), p = Σcents/Σqty is one IEEE division
+    of exact integer sums, q = Σqty exact; the four basket sums Σp·q
+    reduce cross-part price-quantity products — floor-quantized at
+    scale 2 (cents-of-a-cent per unit: |addend| ≤ 10¹² keeps the sum
+    exact to ~9·10¹³ basket-cents, far past sf100). Baskets inner-join
+    parts traded in BOTH years (the standard matched-sample contract,
+    documented). Degenerate contract: an empty matched basket or a zero
+    base-value denominator → all indices NULL.
+
+    Scale shape: one fact-sized hash agg to |parts|×2 cells, one
+    co-partitioned self-join on partkey, one 4-sum reduce.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_py = (
+        lineitem.filter(
+            F.year("l_shipdate").isin(PIDX_BASE_YEAR, PIDX_CURR_YEAR)
+        )
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+        .filter(F.col("qty") > 0)
+        .select(
+            "partkey",
+            "yr",
+            (F.col("cents").cast("double") / F.col("qty").cast("double")).alias(
+                "p"
+            ),
+            F.col("qty").cast("double").alias("q"),
+        )
+    )
+    base = per_py.filter(F.col("yr") == PIDX_BASE_YEAR).select(
+        "partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    curr = per_py.filter(F.col("yr") == PIDX_CURR_YEAR).select(
+        "partkey", F.col("p").alias("p1"), F.col("q").alias("q1")
+    )
+    both = base.join(curr, "partkey")
+    red = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        fsum(F.col("p1") * F.col("q0"), scale=2).alias("s10"),
+        fsum(F.col("p0") * F.col("q0"), scale=2).alias("s00"),
+        fsum(F.col("p1") * F.col("q1"), scale=2).alias("s11"),
+        fsum(F.col("p0") * F.col("q1"), scale=2).alias("s01"),
+    )
+    lasp = F.col("s10") / F.col("s00")
+    paas = F.col("s11") / F.col("s01")
+    ok = (F.col("n_parts") > 0) & (F.col("s00") > 0) & (F.col("s01") > 0)
+    return red.select(
+        "n_parts",
+        F.when(ok, lasp).alias("laspeyres"),
+        F.when(ok, paas).alias("paasche"),
+        F.when(ok, F.sqrt(lasp * paas)).alias("fisher_ideal"),
+    )
+
+
+q_price_index_fisher.__doc__ = q_price_index_fisher.__doc__ and (
+    q_price_index_fisher.__doc__.format(y0=PIDX_BASE_YEAR, y1=PIDX_CURR_YEAR)
+)
+
+
+def _sql_price_index() -> str:
+    return f"""
+WITH per_py AS (
+  SELECT l_partkey AS partkey, year(l_shipdate) AS yr,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS p,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS q
+  FROM lineitem
+  WHERE year(l_shipdate) IN ({PIDX_BASE_YEAR}, {PIDX_CURR_YEAR})
+  GROUP BY 1, 2
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 0
+), matched AS (
+  SELECT b.partkey, b.p AS p0, b.q AS q0, c.p AS p1, c.q AS q1
+  FROM (SELECT * FROM per_py WHERE yr = {PIDX_BASE_YEAR}) b
+  JOIN (SELECT * FROM per_py WHERE yr = {PIDX_CURR_YEAR}) c USING (partkey)
+), red AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         {sql_fsum("p1 * q0", 2)} AS s10,
+         {sql_fsum("p0 * q0", 2)} AS s00,
+         {sql_fsum("p1 * q1", 2)} AS s11,
+         {sql_fsum("p0 * q1", 2)} AS s01
+  FROM matched
+)
+SELECT n_parts,
+       CASE WHEN n_parts > 0 AND s00 > 0 AND s01 > 0 THEN s10 / s00 END AS laspeyres,
+       CASE WHEN n_parts > 0 AND s00 > 0 AND s01 > 0 THEN s11 / s01 END AS paasche,
+       CASE WHEN n_parts > 0 AND s00 > 0 AND s01 > 0
+            THEN SQRT((s10 / s00) * (s11 / s01)) END AS fisher_ideal
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
+# Least-unit-cost lot sizing (round 14)
+# ---------------------------------------------------------------------------
+
+
+def _luc_step_snippets():
+    """The least-unit-cost forward recursion as NAMED-COLUMN chain
+    snippets (shared verbatim by F.expr and the oracle CTE chain) over
+    the Silver-Meal cost cells c_{j}_{t} plus cumulative-demand cells
+    u_{j}_{t}: extend the run while cost PER UNIT does not increase,
+    decided by the exact integer cross-multiplication
+    c(j,t)·u(j,t−1) ≤ c(j,t−1)·u(j,t) (operands cast to DECIMAL(19,0)
+    so the product stays exact in DECIMAL(38,0) at any SF). A zero-
+    demand run extends on the 0 ≤ 0 convention (covering free months
+    costs nothing per unit)."""
+    steps = []
+    for t in range(2, WW_T + 1):
+
+        def dec(cell_t, prev):
+            return "CASE j%d %s END" % (
+                prev,
+                " ".join(f"WHEN {j} THEN {cell_t(j)}" for j in range(1, t)),
+            )
+
+        c_t = dec(lambda j: f"c_{j}_{t}", t - 1)
+        c_p = dec(lambda j: f"c_{j}_{t - 1}", t - 1)
+        u_t = dec(lambda j: f"u_{j}_{t}", t - 1)
+        u_p = dec(lambda j: f"u_{j}_{t - 1}", t - 1)
+        ext = (
+            f"(CAST(({c_t}) AS DECIMAL(19,0)) * CAST(({u_p}) AS DECIMAL(19,0))"
+            f" <= CAST(({c_p}) AS DECIMAL(19,0)) * CAST(({u_t}) AS DECIMAL(19,0)))"
+        )
+        steps.append(
+            [
+                (f"j{t}", f"CASE WHEN {ext} THEN j{t - 1} ELSE {t} END"),
+                (
+                    f"cost{t}",
+                    f"CASE WHEN {ext} THEN cost{t - 1}"
+                    f" ELSE cost{t - 1} + ({c_p}) END",
+                ),
+                (f"n{t}", f"CASE WHEN {ext} THEN n{t - 1} ELSE n{t - 1} + 1 END"),
+            ]
+        )
+    final = "CASE j%d %s END" % (
+        WW_T,
+        " ".join(f"WHEN {j} THEN c_{j}_{WW_T}" for j in range(1, WW_T + 1)),
+    )
+    return steps, f"cost{WW_T} + ({final})"
+
+
+def q_least_unit_cost_lot_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-unit-cost lot-sizing heuristic on the Wagner-Whitin demand,
+    setup and holding costs: extend the current order to cover the next
+    period while the cost PER UNIT of the run does not increase, else
+    start a new order — the third classical rung beside
+    ``silver_meal_lot_sizing`` (cost per PERIOD) and the exact WW DP,
+    reported with its optimality gap. SM and LUC disagree exactly when
+    demand is lumpy (large periods amortize setup per unit faster than
+    per period), which is why planning texts tabulate all three.
+
+    Spark-first formulation: the WW/SM 78-cell exact-integer cost frame
+    plus 78 cumulative-demand cells, then the forward recursion
+    unrolled as a chain of NAMED state columns with the extend decision
+    as an exact DECIMAL cross-multiplication (no unit cost is ever
+    divided) — no loop, no collect, bit-exact on both engines; the
+    oracle mirrors the identical snippets through a CTE chain
+    (``_luc_step_snippets``).
+
+    Scale shape: one fact-sized hash agg to 12 rows; everything after
+    is literal-domain arithmetic on a 1-row frame.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        lineitem.filter(F.year("l_shipdate") == WW_YEAR)
+        .groupBy(F.month("l_shipdate").alias("t"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("d"))
+    )
+    spine = spark.range(1, WW_T + 1).select(F.col("id").cast("int").alias("t"))
+    dense = spine.join(monthly, "t", "left").select(
+        "t", F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("d")
+    )
+    aggs = [F.sum("d").cast("long").alias("total_demand_qty")]
+    for j in range(1, WW_T + 1):
+        for t in range(j, WW_T + 1):
+            in_run = (F.col("t") >= j) & (F.col("t") <= t)
+            hold = F.sum(
+                F.when(
+                    in_run,
+                    (F.col("t") - F.lit(j)).cast("long") * F.col("d"),
+                ).otherwise(F.lit(0))
+            )
+            aggs.append(
+                (hold * F.lit(WW_HOLD_CENTS) + F.lit(WW_SETUP_CENTS))
+                .cast("long")
+                .alias(f"c_{j}_{t}")
+            )
+            aggs.append(
+                F.sum(F.when(in_run, F.col("d")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"u_{j}_{t}")
+            )
+    state = dense.agg(*aggs)
+    state = (
+        state.withColumn("j1", F.lit(1))
+        .withColumn("cost1", F.lit(0).cast("long"))
+        .withColumn("n1", F.lit(1))
+    )
+    steps, final_cost = _luc_step_snippets()
+    for cols in steps:
+        for name, sql in cols:
+            state = state.withColumn(name, F.expr(sql))
+    ww = _ww_f_exprs()
+    return state.select(
+        F.lit(WW_T).cast("int").alias("n_periods"),
+        "total_demand_qty",
+        F.expr(final_cost).cast("long").alias("luc_cost_cents"),
+        F.col(f"n{WW_T}").cast("int").alias("luc_n_orders"),
+        ww[WW_T].cast("long").alias("ww_optimal_cost_cents"),
+        (F.expr(final_cost).cast("long") - ww[WW_T].cast("long"))
+        .cast("long")
+        .alias("luc_gap_cents"),
+    )
+
+
+def _sql_least_unit_cost() -> str:
+    cells = []
+    for j in range(1, WW_T + 1):
+        for t in range(j, WW_T + 1):
+            cells.append(
+                f"CAST(SUM(CASE WHEN t >= {j} AND t <= {t} THEN (t - {j}) * d ELSE 0 END)"
+                f" * {WW_HOLD_CENTS} + {WW_SETUP_CENTS} AS BIGINT) AS c_{j}_{t}"
+            )
+            cells.append(
+                f"CAST(SUM(CASE WHEN t >= {j} AND t <= {t} THEN d ELSE 0 END) AS BIGINT) AS u_{j}_{t}"
+            )
+    cost_cols = ", ".join(cells)
+    f_sql = {0: None}
+    for t in range(1, WW_T + 1):
+        cands = []
+        for j in range(1, t + 1):
+            c = f"c_{j}_{t}"
+            cands.append(c if f_sql[j - 1] is None else f"({f_sql[j - 1]} + {c})")
+        e = cands[0]
+        for c in cands[1:]:
+            e = f"LEAST({e}, {c})"
+        f_sql[t] = e
+    steps, final_cost = _luc_step_snippets()
+    ctes = ["s1 AS (SELECT *, 1 AS j1, CAST(0 AS BIGINT) AS cost1, 1 AS n1 FROM costs)"]
+    for i, cols in enumerate(steps, start=2):
+        adds = ", ".join(f"{sql} AS {name}" for name, sql in cols)
+        ctes.append(f"s{i} AS (SELECT *, {adds} FROM s{i - 1})")
+    chain = ",\n".join(ctes)
+    return f"""
+WITH monthly AS (
+  SELECT month(l_shipdate) AS t, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem WHERE year(l_shipdate) = {WW_YEAR}
+  GROUP BY 1
+), spine AS (
+  SELECT CAST(UNNEST(range(1, {WW_T + 1})) AS INT) AS t
+), dense AS (
+  SELECT spine.t, CAST(COALESCE(monthly.d, 0) AS BIGINT) AS d
+  FROM spine LEFT JOIN monthly ON spine.t = monthly.t
+), costs AS (
+  SELECT CAST(SUM(d) AS BIGINT) AS total_demand_qty, {cost_cols}
+  FROM dense
+),
+{chain}
+SELECT CAST({WW_T} AS INT) AS n_periods,
+       total_demand_qty,
+       CAST({final_cost} AS BIGINT) AS luc_cost_cents,
+       CAST(n{WW_T} AS INT) AS luc_n_orders,
+       CAST({f_sql[WW_T]} AS BIGINT) AS ww_optimal_cost_cents,
+       CAST(({final_cost}) - ({f_sql[WW_T]}) AS BIGINT) AS luc_gap_cents
+FROM s{WW_T}
+"""
+
+
 QUERIES = {
+    "queueing_mg1_pk": q_queueing_mg1_pk,
+    "queueing_mm1k_blocking": q_queueing_mm1k_blocking,
+    "price_index_fisher": q_price_index_fisher,
+    "least_unit_cost_lot_sizing": q_least_unit_cost_lot_sizing,
     "queueing_mmc_erlang": q_queueing_mmc_erlang,
     "inventory_ss_policy": q_inventory_ss_policy,
     "silver_meal_lot_sizing": q_silver_meal_lot_sizing,
@@ -4022,6 +4565,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "queueing_mg1_pk": _sql_queueing_mg1(),
+    "queueing_mm1k_blocking": _sql_queueing_mm1k(),
+    "price_index_fisher": _sql_price_index(),
+    "least_unit_cost_lot_sizing": _sql_least_unit_cost(),
     "queueing_mmc_erlang": _sql_mmc(),
     "inventory_ss_policy": _sql_ss_policy(),
     "silver_meal_lot_sizing": _sql_silver_meal(),

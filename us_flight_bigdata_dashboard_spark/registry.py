@@ -214,6 +214,11 @@ _FLAGSHIP_PREFIX = [
     "clustering_calinski_harabasz",
     "retrieval_ndcg_at_k",
     "retrieval_mrr",
+    # batch 4 (same pre-clearance)
+    "queueing_mg1_pk",
+    "queueing_mm1k_blocking",
+    "price_index_fisher",
+    "least_unit_cost_lot_sizing",
 ]
 
 
