@@ -777,3 +777,156 @@ def test_least_unit_cost_brute_force(spark):
     assert row["ww_optimal_cost_cents"] == f[WW_T]
     assert row["luc_gap_cents"] == luc_cost - f[WW_T]
     assert row["luc_gap_cents"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# survey_design_effect — brute ANOVA ICC + Kish deff over nation clusters
+# ---------------------------------------------------------------------------
+
+
+def test_survey_deff_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.sampling import (
+        q_survey_design_effect,
+    )
+
+    orders = _df("orders")
+    cust = _df("customer")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["y"] = (j["o_orderpriority"] == "1-URGENT").astype(int)
+    g = j.groupby("c_nationkey")["y"].agg(["count", "sum"])
+    m_i = g["count"].to_numpy(dtype=float)
+    s_i = g["sum"].to_numpy(dtype=float)
+    k, n, s = len(m_i), m_i.sum(), s_i.sum()
+    ssb = (s_i**2 / m_i).sum() - s**2 / n
+    ssw = s - (s_i**2 / m_i).sum()
+    msb, msw = ssb / (k - 1), ssw / (n - k)
+    m0 = (n - (m_i**2).sum() / n) / (k - 1)
+    icc = (msb - msw) / (msb + (m0 - 1) * msw)
+    deff = 1 + (m0 - 1) * icc
+
+    (row,) = q_survey_design_effect(spark, SF_DIR).collect()
+    assert row["n_orders"] == n and row["k_clusters"] == k
+    assert row["p_urgent"] == pytest.approx(s / n, rel=1e-12)
+    assert row["m0_mean_cluster_size"] == pytest.approx(m0, rel=1e-12)
+    assert row["icc_anova"] == pytest.approx(icc, rel=1e-6)
+    assert row["deff"] == pytest.approx(deff, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# sdr_variance_estimate — brute systematic sample + successive differences
+# ---------------------------------------------------------------------------
+
+
+def test_sdr_variance_brute_force(spark):
+    import hashlib
+
+    from us_flight_bigdata_dashboard_spark.operators.sampling import (
+        SDR_K,
+        SDR_OFFSET,
+        q_sdr_variance_estimate,
+    )
+
+    orders = _df("orders")
+    orders["cents"] = np.round(orders["o_totalprice"].to_numpy() * 100).astype(
+        np.int64
+    )
+    orders["h"] = [
+        hashlib.md5(str(k).encode()).hexdigest() for k in orders["o_orderkey"]
+    ]
+    ordered = orders.sort_values(["h", "o_orderkey"], kind="mergesort").reset_index(
+        drop=True
+    )
+    ordered["rn"] = np.arange(1, len(ordered) + 1)
+    sample = ordered[ordered["rn"] % SDR_K == SDR_OFFSET]["cents"].to_numpy(
+        dtype=float
+    )
+    n = len(sample)
+    var_srs = sample.var(ddof=1) / n
+    d = np.diff(sample)
+    var_sd = (d**2).sum() / (2 * (n - 1)) / n
+
+    (row,) = q_sdr_variance_estimate(spark, SF_DIR).collect()
+    assert row["n_sample"] == n
+    assert row["mean_value"] == pytest.approx(sample.mean() / 100, rel=1e-12)
+    assert row["var_srs_cents2"] == pytest.approx(var_srs, rel=1e-9)
+    assert row["var_sd_cents2"] == pytest.approx(var_sd, rel=1e-9)
+    assert row["deff_sd_ratio"] == pytest.approx(var_sd / var_srs, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# survey_raking_ipf — brute IPF iterations on the 25-cell table
+# ---------------------------------------------------------------------------
+
+
+def test_raking_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.sampling import (
+        IPF_ITERS,
+        q_survey_raking_ipf,
+    )
+
+    orders = _df("orders")
+    cust = _df("customer")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    tab = j.groupby(["c_mktsegment", "o_orderpriority"]).size().unstack(fill_value=0)
+    n_tot = tab.to_numpy().sum()
+    target = n_tot / 5.0
+    w = tab.to_numpy().astype(float)
+    for _ in range(IPF_ITERS):
+        w = w * (target / w.sum(axis=1))[:, None]
+        w = w * (target / w.sum(axis=0))[None, :]
+    rows = {(r["seg"], r["prio"]): r for r in q_survey_raking_ipf(spark, SF_DIR).collect()}
+    assert len(rows) == tab.shape[0] * tab.shape[1]
+    for i, seg in enumerate(tab.index):
+        for jx, prio in enumerate(tab.columns):
+            row = rows[(seg, prio)]
+            assert row["n_cell"] == tab.iloc[i, jx]
+            assert row["rake_weight"] == pytest.approx(
+                w[i, jx] / tab.iloc[i, jx], rel=1e-6
+            )
+            assert row["row_margin_err"] == pytest.approx(
+                abs(w[i].sum() - target) / target, rel=1e-4, abs=1e-9
+            )
+
+
+# ---------------------------------------------------------------------------
+# permutation_test_hashperm — brute md5 reallocation replicates
+# ---------------------------------------------------------------------------
+
+
+def test_permutation_brute_force(spark):
+    import hashlib
+
+    from us_flight_bigdata_dashboard_spark.operators.sampling import (
+        PERM_N,
+        q_permutation_test_hashperm,
+    )
+
+    orders = _df("orders")
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g1 = (orders["o_orderpriority"] == "1-URGENT").to_numpy()
+    keys = orders["o_orderkey"].to_numpy()
+    n, n1 = len(cents), int(g1.sum())
+    d_obs = cents[g1].mean() - cents[~g1].mean()
+    thresh = (n1 / n) * 1000000.0
+    n_ge = n_valid = 0
+    for r in range(PERM_N):
+        h = np.array(
+            [
+                int(hashlib.md5(f"{k}:{r}".encode()).hexdigest()[:12], 16) % 1000000
+                for k in keys
+            ]
+        )
+        pg = h < thresh
+        m1 = int(pg.sum())
+        if 0 < m1 < n:
+            n_valid += 1
+            d_rep = cents[pg].mean() - cents[~pg].mean()
+            if abs(d_rep) >= abs(d_obs):
+                n_ge += 1
+
+    (row,) = q_permutation_test_hashperm(spark, SF_DIR).collect()
+    assert row["obs_diff_dollars"] == pytest.approx(d_obs / 100, rel=1e-12)
+    assert row["n_reps"] == PERM_N
+    assert row["n_valid"] == n_valid
+    assert row["n_ge"] == n_ge
+    assert row["p_value"] == pytest.approx((n_ge + 1) / (n_valid + 1), rel=1e-12)

@@ -24,6 +24,12 @@ from us_flight_bigdata_dashboard_spark.operators.dedup import (
 from us_flight_bigdata_dashboard_spark.operators.similarity import _norm, _sql_dot
 from us_flight_bigdata_dashboard_spark.operators.text import _sql_tokens, _tokens
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
+from us_flight_bigdata_dashboard_spark.functions.exact import (
+    dec_to_double,
+    fsum,
+    sql_dec_to_double,
+    sql_fsum,
+)
 
 # per-language keep percentage (language rebalancing: downsample the
 # over-represented head, keep more of the tail)
@@ -1467,7 +1473,575 @@ ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Cluster-sample design effect (round 14)
+# ---------------------------------------------------------------------------
+
+
+def q_survey_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design effect of a one-stage CLUSTER sample: treating each nation
+    as a sampled cluster of customers' orders, how much variance does
+    clustering the urgent-order share cost versus simple random
+    sampling? deff = 1 + (m₀ − 1)·ρ with ρ the ANOVA intraclass
+    correlation ((MSB − MSW)/(MSB + (m₀ − 1)·MSW)) and m₀ the
+    size-corrected mean cluster size (n − Σmᵢ²/n)/(k − 1) (Kish 1965) —
+    the number that converts every CI this repo emits to its
+    cluster-design-honest width, and the planning input
+    ``neyman_allocation``/``ab_power_sample_size`` consume as an
+    effective-sample-size deflator (n_eff = n/deff).
+
+    Exactness: per-cluster (mᵢ, Σy) are ONE exact-integer hash agg off
+    the fact⋈dim join (y binary ⇒ Σy² = Σy — no second moment pass);
+    SSB/SSW come from the standard identities on exact sums (Σy²/mᵢ
+    terms floor-quantized at scale 8 across the 25-row cluster frame);
+    every derived quantity is a fixed IEEE sequence. Degenerate
+    contract: k < 2 clusters or a zero MSW+MSB → ρ/deff NULL.
+
+    Scale shape: one fact⋈broadcast-dim join, one |clusters| hash agg,
+    25-row algebra.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_c = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m_i"),
+            F.sum("y").cast("long").alias("s_i"),
+        )
+    )
+    red = per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("m_i").cast("long").alias("n"),
+        F.sum("s_i").cast("long").alias("s"),
+        F.sum((F.col("m_i") * F.col("m_i")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("m2"),
+        fsum(
+            F.col("s_i").cast("double")
+            * F.col("s_i").cast("double")
+            / F.col("m_i").cast("double"),
+            scale=8,
+        ).alias("ssb_raw"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    sd = F.col("s").cast("double")
+    # y is 0/1: SST = s - s²/n ; SSB = Σ sᵢ²/mᵢ - s²/n ; SSW = SST - SSB
+    ssb = F.col("ssb_raw") - sd * sd / nd
+    ssw = sd - F.col("ssb_raw")
+    msb = ssb / (kd - F.lit(1.0))
+    msw = ssw / (nd - kd)
+    m0 = (nd - dec_to_double(F.col("m2")) / nd) / (kd - F.lit(1.0))
+    icc_den = msb + (m0 - F.lit(1.0)) * msw
+    icc = (msb - msw) / icc_den
+    ok = (F.col("k") >= 2) & (icc_den != 0)
+    return red.select(
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("k_clusters"),
+        (sd / nd).alias("p_urgent"),
+        m0.alias("m0_mean_cluster_size"),
+        F.when(ok, icc).alias("icc_anova"),
+        F.when(ok, F.lit(1.0) + (m0 - F.lit(1.0)) * icc).alias("deff"),
+    )
+
+
+def _sql_survey_deff() -> str:
+    return f"""
+WITH per_c AS (
+  SELECT c_nationkey AS cluster,
+         CAST(COUNT(*) AS BIGINT) AS m_i,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS s_i
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+), red AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(m_i) AS BIGINT) AS n,
+         CAST(SUM(s_i) AS BIGINT) AS s,
+         CAST(SUM(CAST(m_i * m_i AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS m2,
+         {sql_fsum("CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE) / CAST(m_i AS DOUBLE)", 8)} AS ssb_raw
+  FROM per_c
+), mid AS (
+  SELECT n, k,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         (ssb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(k AS DOUBLE) - 1.0) AS msb,
+         (CAST(s AS DOUBLE) - ssb_raw) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+         (CAST(n AS DOUBLE) - {sql_dec_to_double("m2")} / CAST(n AS DOUBLE))
+           / (CAST(k AS DOUBLE) - 1.0) AS m0
+  FROM red
+)
+SELECT n AS n_orders, k AS k_clusters, p AS p_urgent,
+       m0 AS m0_mean_cluster_size,
+       CASE WHEN k >= 2 AND msb + (m0 - 1.0) * msw <> 0
+            THEN (msb - msw) / (msb + (m0 - 1.0) * msw) END AS icc_anova,
+       CASE WHEN k >= 2 AND msb + (m0 - 1.0) * msw <> 0
+            THEN 1.0 + (m0 - 1.0) * (msb - msw) / (msb + (m0 - 1.0) * msw)
+            END AS deff
+FROM mid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Successive-difference variance for the systematic sample (round 14)
+# ---------------------------------------------------------------------------
+
+SDR_K = 10  # literal take-every-k sampling interval
+SDR_OFFSET = 3  # literal start offset
+
+
+def q_sdr_variance_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive-difference variance for a 1-in-{k} SYSTEMATIC sample
+    of order values: v_SD(ȳ) = [Σᵢ(yᵢ₊₁ − yᵢ)² / (2(n−1))] / n — the
+    estimator the Census Bureau's replication machinery linearizes
+    (Wolter 2007 §8), reported against the naive SRS variance s²/n
+    whose ratio is the systematic design's effect: under a frame sorted
+    by the hash the draws behave like SRS (ratio ≈ 1), while a frame
+    sorted by a trend would push it below 1 — the one diagnostic
+    ``sample_systematic`` itself cannot provide.
+
+    Exactness: the sample is the deterministic rank-pick rn % {k} =
+    {o} over the (md5(orderkey), orderkey) total order (the
+    ``sample_systematic`` frame convention); successive differences
+    are exact integer cents via one lag window over the sample order;
+    Σd² is an exact DECIMAL sum (limb-exact rebuild) and s² uses the
+    exact-moment identity — every output is one fixed IEEE sequence.
+    Degenerate contract: n < 2 → variances NULL.
+
+    Scale shape: one scan + global rank window (the module's documented
+    single-partition rank limitation), a 1/{k} filter, one lag window
+    on the SAMPLE (n/{k} rows), one reduce.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+    w = Window.orderBy("h", "o_orderkey")
+    sampled = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % SDR_K == SDR_OFFSET)
+        .select("rn", "cents")
+    )
+    ws = Window.orderBy("rn")
+    diffs = sampled.select(
+        "cents",
+        (F.col("cents") - F.lag("cents", 1).over(ws)).alias("d"),
+    )
+    red = diffs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sd2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var_pop = (nd * dec_to_double(F.col("s2")) - F.col("s1").cast("double") ** 2) / (
+        nd * (nd - F.lit(1.0))
+    )
+    var_srs = var_pop / nd
+    var_sd = dec_to_double(F.col("sd2")) / (F.lit(2.0) * (nd - F.lit(1.0))) / nd
+    ok = F.col("n") >= 2
+    return red.select(
+        F.col("n").alias("n_sample"),
+        (mean / F.lit(100.0)).alias("mean_value"),
+        F.when(ok, var_srs).alias("var_srs_cents2"),
+        F.when(ok, var_sd).alias("var_sd_cents2"),
+        F.when(ok & (var_srs > 0), var_sd / var_srs).alias("deff_sd_ratio"),
+    )
+
+
+q_sdr_variance_estimate.__doc__ = q_sdr_variance_estimate.__doc__ and (
+    q_sdr_variance_estimate.__doc__.format(k=SDR_K, o=SDR_OFFSET)
+)
+
+
+def _sql_sdr_variance() -> str:
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         md5(CAST(o_orderkey AS VARCHAR)) AS h
+  FROM orders
+), sampled AS (
+  SELECT rn, cents FROM (
+    SELECT cents, ROW_NUMBER() OVER (ORDER BY h, o_orderkey) AS rn
+    FROM base
+  ) WHERE rn % {SDR_K} = {SDR_OFFSET}
+), diffs AS (
+  SELECT cents, cents - LAG(cents, 1) OVER (ORDER BY rn) AS d
+  FROM sampled
+), red AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         CAST(SUM(CAST(cents * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+         CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd2
+  FROM diffs
+), mid AS (
+  SELECT n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+         (CAST(n AS DOUBLE) * {sql_dec_to_double("s2")}
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+           / CAST(n AS DOUBLE) AS var_srs,
+         {sql_dec_to_double("sd2")} / (2.0 * (CAST(n AS DOUBLE) - 1.0))
+           / CAST(n AS DOUBLE) AS var_sd
+  FROM red
+)
+SELECT n AS n_sample,
+       mean_c / 100.0 AS mean_value,
+       CASE WHEN n >= 2 THEN var_srs END AS var_srs_cents2,
+       CASE WHEN n >= 2 THEN var_sd END AS var_sd_cents2,
+       CASE WHEN n >= 2 AND var_srs > 0 THEN var_sd / var_srs END AS deff_sd_ratio
+FROM mid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Iterative proportional fitting (raking) to uniform margins (round 14)
+# ---------------------------------------------------------------------------
+
+IPF_ITERS = 3  # literal double-iterations (row pass + column pass each)
+
+
+def q_survey_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking (iterative proportional fitting, Deming & Stephan
+    1940) of the (market segment × order priority) cell counts to
+    UNIFORM literal margins: after {t} row+column passes each cell
+    carries the calibration weight that makes weighted row and column
+    shares equal 1/5 — the post-stratification machinery every weighted
+    estimate downstream of a non-representative sample needs, with the
+    uniform target chosen so the fixture is self-contained (a real
+    deployment joins census margins; the plan is identical). The
+    reported worst-margin error shows the textbook geometric
+    convergence (~3 passes to <1e-3 here).
+
+    Exactness: cell counts are ONE exact hash agg; every IPF pass is a
+    25-row broadcast-joined margin agg and one IEEE multiplication per
+    cell, unrolled as a FIXED {t}-deep plan (no driver loop over data —
+    the iteration count is a literal; margin sums floor-quantize at
+    scale 9 so the reduce is partition-order-free). Deterministic on
+    both engines by the shared expression structure. Degenerate
+    contract: an empty row/column margin (cell family absent) → its
+    cells' weights NULL via the guard, surfaced not hidden.
+
+    Scale shape: one fact-sized hash agg to 25 cells; {t}×2 margin aggs
+    + broadcast joins on the 25-row frame.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cell"))
+    )
+    tot = cells.agg(F.sum("n_cell").cast("long").alias("n_tot"))
+    cur = cells.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "prio",
+        "n_cell",
+        "n_tot",
+        (F.col("n_cell").cast("double")).alias("w"),
+    )
+    target = F.col("n_tot").cast("double") / F.lit(5.0)
+    for _ in range(IPF_ITERS):
+        rows = cur.groupBy("seg").agg(fsum("w", scale=9).alias("row_sum"))
+        cur = (
+            cur.join(F.broadcast(rows), "seg")
+            .withColumn(
+                "w",
+                F.when(
+                    F.col("row_sum") > 0, F.col("w") * target / F.col("row_sum")
+                ),
+            )
+            .drop("row_sum")
+        )
+        cols = cur.groupBy("prio").agg(fsum("w", scale=9).alias("col_sum"))
+        cur = (
+            cur.join(F.broadcast(cols), "prio")
+            .withColumn(
+                "w",
+                F.when(
+                    F.col("col_sum") > 0, F.col("w") * target / F.col("col_sum")
+                ),
+            )
+            .drop("col_sum")
+        )
+    final_rows = cur.groupBy("seg").agg(fsum("w", scale=9).alias("row_sum"))
+    err = cur.join(F.broadcast(final_rows), "seg").select(
+        "seg",
+        "prio",
+        "n_cell",
+        (F.col("w") / F.col("n_cell").cast("double")).alias("rake_weight"),
+        (F.abs(F.col("row_sum") - target) / target).alias("row_margin_err"),
+    )
+    return err.orderBy("seg", "prio")
+
+
+q_survey_raking_ipf.__doc__ = q_survey_raking_ipf.__doc__ and (
+    q_survey_raking_ipf.__doc__.format(t=IPF_ITERS)
+)
+
+
+def _sql_survey_raking() -> str:
+    ctes = [
+        """cells AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n_cell
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)""",
+        "tot AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS n_tot FROM cells)",
+        """w0 AS (
+  SELECT seg, prio, n_cell, n_tot, CAST(n_cell AS DOUBLE) AS w
+  FROM cells CROSS JOIN tot
+)""",
+    ]
+    prev = "w0"
+    tgt = "CAST(n_tot AS DOUBLE) / 5.0"
+    for i in range(1, IPF_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT c.seg, c.prio, c.n_cell, c.n_tot,
+         CASE WHEN m.row_sum > 0 THEN c.w * ({tgt}) / m.row_sum END AS w
+  FROM {prev} c JOIN (
+    SELECT seg, {sql_fsum("w", 9)} AS row_sum FROM {prev} GROUP BY seg
+  ) m USING (seg)
+)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT c.seg, c.prio, c.n_cell, c.n_tot,
+         CASE WHEN m.col_sum > 0 THEN c.w * ({tgt}) / m.col_sum END AS w
+  FROM r{i} c JOIN (
+    SELECT prio, {sql_fsum("w", 9)} AS col_sum FROM r{i} GROUP BY prio
+  ) m USING (prio)
+)"""
+        )
+        prev = f"c{i}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain},
+fr AS (
+  SELECT seg, {sql_fsum("w", 9)} AS row_sum FROM {prev} GROUP BY seg
+)
+SELECT c.seg, c.prio, c.n_cell,
+       c.w / CAST(c.n_cell AS DOUBLE) AS rake_weight,
+       ABS(fr.row_sum - CAST(c.n_tot AS DOUBLE) / 5.0)
+         / (CAST(c.n_tot AS DOUBLE) / 5.0) AS row_margin_err
+FROM {prev} c JOIN fr USING (seg)
+ORDER BY c.seg, c.prio
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hash-randomization test for the two-sample mean difference (round 14)
+# ---------------------------------------------------------------------------
+
+PERM_N = 100  # literal replicate count
+
+
+def q_permutation_test_hashperm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the urgent vs non-urgent mean order value:
+    the observed difference is compared against {p} REPLICATE
+    differences, each produced by re-assigning every order to a
+    pseudo-group via the RNG-free md5(orderkey ∥ replicate) bit at the
+    observed urgent rate — the Dwass (1957) Monte-Carlo randomization
+    family with binomial (not fixed-margin) reallocation, documented:
+    replicate group sizes float around n₁ like a fresh random labeling,
+    which tests the same exchangeability null. p = (#{{|Δᵣ| ≥ |Δ|}} + 1)
+    / ({p} + 1), the standard add-one estimator. Where ``welch_ttest``
+    leans on normal theory, this is the assumption-free cross-check on
+    the SAME contrast — disagreement between them is a distribution-
+    shape alarm.
+
+    Exactness: every replicate's group sums are exact integer cents
+    from ONE conditional hash agg over the replicate-exploded frame
+    (the md5 bit is deterministic on both engines); each Δᵣ is one IEEE
+    expression; the comparison count is exact integer. Degenerate
+    contract: an empty side in a replicate → that replicate's Δ NULL
+    and it drops from the exceedance count (n_valid reported).
+
+    Scale shape: scan × {p} literal replicate spine (map-side explode,
+    no shuffle growth beyond the {p}-key agg), one {p}-row reduce. At
+    100 TB the explode factor is the knob: replicates shard across
+    executors linearly.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("g1"),
+    )
+    obs = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum(F.when(F.col("g1") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum("cents").cast("long").alias("s_all"),
+    )
+    d_obs = F.col("s1").cast("double") / F.col("n1").cast("double") - (
+        F.col("s_all") - F.col("s1")
+    ).cast("double") / (F.col("n") - F.col("n1")).cast("double")
+    obs = obs.select("n", "n1", d_obs.alias("d_obs"))
+    reps = spark.range(PERM_N).select(F.col("id").cast("int").alias("r"))
+    # deterministic pseudo-assignment: md5(orderkey:r) low bits vs urgent rate
+    exploded = orders.crossJoin(F.broadcast(reps)).crossJoin(F.broadcast(obs))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("o_orderkey").cast("string"), F.col("r")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    assigned = exploded.select(
+        "r",
+        "cents",
+        "n",
+        "n1",
+        "d_obs",
+        F.when(
+            h
+            < (F.col("n1").cast("double") / F.col("n").cast("double"))
+            * F.lit(1000000.0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("pg"),
+    )
+    per_r = assigned.groupBy("r").agg(
+        F.max("d_obs").alias("d_obs"),
+        F.sum("pg").cast("long").alias("m1"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.when(F.col("pg") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("t1"),
+        F.sum("cents").cast("long").alias("t_all"),
+    )
+    d_rep = F.col("t1").cast("double") / F.col("m1").cast("double") - (
+        F.col("t_all") - F.col("t1")
+    ).cast("double") / (F.col("m") - F.col("m1")).cast("double")
+    valid = (F.col("m1") > 0) & (F.col("m1") < F.col("m"))
+    scored = per_r.select(
+        "d_obs",
+        F.when(valid, d_rep).alias("d_rep"),
+    )
+    red = scored.agg(
+        F.max("d_obs").alias("d_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        F.count("d_rep").cast("long").alias("n_valid"),
+        F.sum(
+            F.when(F.abs(F.col("d_rep")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_ge"),
+    )
+    return red.select(
+        (F.col("d_obs") / F.lit(100.0)).alias("obs_diff_dollars"),
+        "n_reps",
+        "n_valid",
+        "n_ge",
+        (
+            (F.col("n_ge") + F.lit(1)).cast("double")
+            / (F.col("n_valid") + F.lit(1)).cast("double")
+        ).alias("p_value"),
+    )
+
+
+q_permutation_test_hashperm.__doc__ = q_permutation_test_hashperm.__doc__ and (
+    q_permutation_test_hashperm.__doc__.format(p=PERM_N)
+)
+
+
+def _sql_permutation_test() -> str:
+    h = _sql_hex_to_int(
+        "md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(r AS VARCHAR))", 1, 12
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+  FROM orders
+), obs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(g1) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN g1 = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(cents) AS BIGINT) AS s_all
+  FROM base
+), obs2 AS (
+  SELECT n, n1,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(s_all - s1 AS DOUBLE) / CAST(n - n1 AS DOUBLE) AS d_obs
+  FROM obs
+), reps AS (
+  SELECT CAST(UNNEST(RANGE({PERM_N})) AS INT) AS r
+), assigned AS (
+  SELECT r, cents, n, n1, d_obs,
+         CASE WHEN ({h}) % 1000000
+                   < (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0
+              THEN 1 ELSE 0 END AS pg
+  FROM base CROSS JOIN reps CROSS JOIN obs2
+), per_r AS (
+  SELECT r, MAX(d_obs) AS d_obs,
+         CAST(SUM(pg) AS BIGINT) AS m1,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN pg = 1 THEN cents ELSE 0 END) AS BIGINT) AS t1,
+         CAST(SUM(cents) AS BIGINT) AS t_all
+  FROM assigned GROUP BY r
+), scored AS (
+  SELECT d_obs,
+         CASE WHEN m1 > 0 AND m1 < m
+              THEN CAST(t1 AS DOUBLE) / CAST(m1 AS DOUBLE)
+                   - CAST(t_all - t1 AS DOUBLE) / CAST(m - m1 AS DOUBLE) END AS d_rep
+  FROM per_r
+), red AS (
+  SELECT MAX(d_obs) AS d_obs,
+         CAST(COUNT(*) AS BIGINT) AS n_reps,
+         CAST(COUNT(d_rep) AS BIGINT) AS n_valid,
+         CAST(SUM(CASE WHEN ABS(d_rep) >= ABS(d_obs) THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+  FROM scored
+)
+SELECT d_obs / 100.0 AS obs_diff_dollars, n_reps, n_valid, n_ge,
+       CAST(n_ge + 1 AS DOUBLE) / CAST(n_valid + 1 AS DOUBLE) AS p_value
+FROM red
+"""
+
+
 QUERIES = {
+    "survey_design_effect": q_survey_design_effect,
+    "sdr_variance_estimate": q_sdr_variance_estimate,
+    "survey_raking_ipf": q_survey_raking_ipf,
+    "permutation_test_hashperm": q_permutation_test_hashperm,
     "brr_variance_estimate": q_brr_variance_estimate,
     "pps_sequential_poisson": q_pps_sequential_poisson,
     "pps_systematic_sample": q_pps_systematic_sample,
@@ -1489,6 +2063,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "survey_design_effect": _sql_survey_deff(),
+    "sdr_variance_estimate": _sql_sdr_variance(),
+    "survey_raking_ipf": _sql_survey_raking(),
+    "permutation_test_hashperm": _sql_permutation_test(),
     "brr_variance_estimate": _sql_brr(),
     "pps_sequential_poisson": _ORACLE_SPS,
     "pps_systematic_sample": _ORACLE_PPS_SYSTEMATIC,

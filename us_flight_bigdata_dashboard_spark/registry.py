@@ -219,6 +219,11 @@ _FLAGSHIP_PREFIX = [
     "queueing_mm1k_blocking",
     "price_index_fisher",
     "least_unit_cost_lot_sizing",
+    # batch 5 (same pre-clearance)
+    "survey_design_effect",
+    "sdr_variance_estimate",
+    "survey_raking_ipf",
+    "permutation_test_hashperm",
 ]
 
 
