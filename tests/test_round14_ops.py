@@ -930,3 +930,199 @@ def test_permutation_brute_force(spark):
     assert row["n_valid"] == n_valid
     assert row["n_ge"] == n_ge
     assert row["p_value"] == pytest.approx((n_ge + 1) / (n_valid + 1), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# text_odds_ratio_keyness — brute Haldane OR table
+# ---------------------------------------------------------------------------
+
+
+def test_odds_ratio_keyness_brute_force(spark):
+    from collections import Counter
+
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        ORK_MIN_COUNT,
+        ORK_TOP_K,
+        q_text_odds_ratio_keyness,
+    )
+
+    docs = _df("documents")
+    per_src = {}
+    for _, r in docs.iterrows():
+        toks = [t for t in r["text"].lower().split(" ") if t]
+        per_src.setdefault(r["source"], Counter()).update(toks)
+    tok_tot = Counter()
+    for c in per_src.values():
+        tok_tot.update(c)
+    n = sum(tok_tot.values())
+    src_tot = {s: sum(c.values()) for s, c in per_src.items()}
+    expected = {}
+    for s, cnt in per_src.items():
+        scored = []
+        for w, a in cnt.items():
+            if tok_tot[w] < ORK_MIN_COUNT or a == 0:
+                continue
+            b = tok_tot[w] - a
+            c2 = src_tot[s] - a
+            d = n - tok_tot[w] - c2
+            orr = ((2 * a + 1) * (2 * d + 1)) / ((2 * b + 1) * (2 * c2 + 1))
+            scored.append((-orr, w, a, b))
+        scored.sort()
+        expected[s] = scored[:ORK_TOP_K]
+
+    rows = q_text_odds_ratio_keyness(spark, SF_DIR).collect()
+    for row in rows:
+        exp = expected[row["source"]][row["rank"] - 1]
+        assert row["token"] == exp[1]
+        assert row["count_in_source"] == exp[2]
+        assert row["b_rest"] == exp[3]
+        assert row["odds_ratio"] == pytest.approx(-exp[0], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_gini — brute bigram branching Gini
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_gini_brute_force(spark):
+    from collections import Counter
+
+    from us_flight_bigdata_dashboard_spark.operators.text import (
+        NGG_MIN_CTX,
+        NGG_TOP_K,
+        q_text_ngram_gini,
+    )
+
+    docs = _df("documents")
+    pair = Counter()
+    for t in docs["text"]:
+        toks = [x for x in t.lower().split(" ") if x]
+        for i in range(len(toks) - 1):
+            pair[(toks[i], toks[i + 1])] += 1
+    ctx = {}
+    for (w1, w2), c in pair.items():
+        ctx.setdefault(w1, []).append(c)
+    scored = []
+    for w1, cs in ctx.items():
+        cw = sum(cs)
+        if cw < NGG_MIN_CTX:
+            continue
+        gini = 1 - sum(c * c for c in cs) / (cw * cw)
+        scored.append((-cw, w1, len(cs), gini))
+    scored.sort()
+    rows = q_text_ngram_gini(spark, SF_DIR).collect()
+    assert len(rows) == min(NGG_TOP_K, len(scored))
+    for row in rows:
+        exp = scored[row["rank"] - 1]
+        assert row["context"] == exp[1]
+        assert row["c_w"] == -exp[0]
+        assert row["n_cont"] == exp[2]
+        assert row["gini_branching"] == pytest.approx(exp[3], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity_score — brute LPA replay + Newman Q
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_brute_force(spark):
+    from collections import Counter, defaultdict
+
+    from us_flight_bigdata_dashboard_spark.operators.graph import (
+        LPA_ITERS,
+        LPA_SUPPORT_X,
+        q_graph_modularity_score,
+    )
+
+    li = _df("lineitem")
+    orders = _df("orders")
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    w = (
+        j.groupby(["o_custkey", "l_suppkey"])["l_orderkey"]
+        .nunique()
+        .reset_index(name="w")
+    )
+    mean_w = w["w"].sum() / len(w)
+    keep = w[w["w"] >= LPA_SUPPORT_X * mean_w]
+    pairs = [
+        (int(c) * 2, int(s) * 2 + 1)
+        for c, s in zip(keep["o_custkey"], keep["l_suppkey"])
+    ]
+    adj_cs = defaultdict(list)  # customer -> suppliers
+    adj_sc = defaultdict(list)
+    for u, v in pairs:
+        adj_cs[u].append(v)
+        adj_sc[v].append(u)
+    lab_c = {u: u for u in adj_cs}
+    lab_s = {v: v for v in adj_sc}
+
+    def mode_step(adj, nbr_labels):
+        out = {}
+        for node, nbrs in adj.items():
+            cnt = Counter(nbr_labels[x] for x in nbrs)
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            out[node] = best
+        return out
+
+    for _ in range(LPA_ITERS):
+        lab_c = mode_step(adj_cs, lab_s)
+        lab_s = mode_step(adj_sc, lab_c)
+    labels = {**lab_c, **lab_s}
+    m = len(pairs)
+    intra = sum(1 for u, v in pairs if labels[u] == labels[v])
+    deg = Counter()
+    for u, v in pairs:
+        deg[labels[u]] += 1
+        deg[labels[v]] += 1
+    q_ref = intra / m - sum(d * d for d in deg.values()) / (4 * m * m)
+
+    (row,) = q_graph_modularity_score(spark, SF_DIR).collect()
+    assert row["n_nodes"] == len(labels)
+    assert row["n_edges"] == m
+    assert row["n_communities"] == len(set(deg))
+    assert row["intra_edges"] == intra
+    assert row["modularity_q"] == pytest.approx(q_ref, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# sketch_ddsketch_quantile — brute bucket walk + relative-error guarantee
+# ---------------------------------------------------------------------------
+
+
+def test_ddsketch_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.sketches import (
+        DDS_ALPHA,
+        DDS_GAMMA,
+        DDS_QS,
+        DDS_SUB,
+        q_sketch_ddsketch_quantile,
+    )
+
+    orders = _df("orders")
+    x = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    x = x[x > 0]
+    # brute bucket index: smallest i with gamma^i >= x  (i = ceil(8*log2 x))
+    idx = np.ceil(DDS_SUB * np.log2(x.astype(float)) - 1e-12).astype(np.int64)
+    # guard against fp edges: enforce gamma^(i-1) < x <= gamma^i exactly
+    for arr_i in range(len(x)):
+        i = idx[arr_i]
+        while 2.0 ** (i / DDS_SUB) < x[arr_i]:
+            i += 1
+        while i > 0 and 2.0 ** ((i - 1) / DDS_SUB) >= x[arr_i]:
+            i -= 1
+        idx[arr_i] = i
+    n = len(x)
+    svals = np.sort(idx)
+    rows = {r["q"]: r for r in q_sketch_ddsketch_quantile(spark, SF_DIR).collect()}
+    exact = np.sort(x)
+    for q in DDS_QS:
+        rank = int(math.ceil(q * n))
+        bucket = int(svals[rank - 1])
+        row = rows[q]
+        assert row["n"] == n
+        assert row["bucket_idx"] == bucket
+        est = row["est_value_dollars"] * 100
+        # the guarantee: estimate within alpha of the true rank-q value
+        true_val = float(exact[rank - 1])
+        assert abs(est - true_val) <= DDS_ALPHA * true_val * 1.0000001
+        assert row["rel_error_bound"] == pytest.approx(DDS_ALPHA, rel=1e-12)

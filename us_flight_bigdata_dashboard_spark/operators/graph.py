@@ -27,7 +27,12 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from us_flight_bigdata_dashboard_spark.functions.exact import fsum, sql_fsum
+from us_flight_bigdata_dashboard_spark.functions.exact import (
+    dec_to_double,
+    fsum,
+    sql_dec_to_double,
+    sql_fsum,
+)
 from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
@@ -2944,7 +2949,177 @@ ORDER BY recip_decile
 """
 
 
+# ---------------------------------------------------------------------------
+# Modularity of the LPA partition (round 14)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity Q of the ``graph_communities`` label-
+    propagation partition on the support-floored customer-supplier
+    graph: Q = Σ_c [e_c/m − (d_c/2m)²] — the fraction of edges inside
+    communities minus what a degree-preserving random rewiring would
+    put there. LPA reports WHAT the communities are; Q is the missing
+    "are they real" score (Q ≈ 0 → the partition is no better than
+    chance; > ~0.3 → substantive structure), and the regression guard
+    for any change to the LPA support floor or iteration count.
+
+    Exactness: the partition replays the exact ``graph_communities``
+    machinery ({it} unrolled semi-synchronous rounds, deterministic
+    mode tie-breaks); m, the intra-community edge count, and every d_c
+    are exact integers (each undirected edge counted once from its
+    customer side); Σd_c² is an exact DECIMAL(38,0) sum, limb-
+    converted, so Q is TWO IEEE terms. Degenerate contract: an empty
+    floored edge set → all NULL via the m > 0 guard.
+
+    Scale shape: the LPA joins dominate (the ``graph_communities``
+    economics); the modularity tail is two label joins on the edge
+    list plus community-sized aggs.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    edges = _edges_int_floored(spark, sf_dir).localCheckpoint(eager=True)
+    edges_cs = edges.filter(F.col("src") % 2 == 0)
+    edges_sc = edges.filter(F.col("src") % 2 == 1)
+    labels_c = (
+        edges_cs.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    labels_s = (
+        edges_sc.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(LPA_ITERS):
+        labels_c = _lpa_mode_step(edges_cs, labels_s).localCheckpoint(eager=True)
+        labels_s = _lpa_mode_step(edges_sc, labels_c).localCheckpoint(eager=True)
+    labels = labels_c.unionByName(labels_s)
+    pairs = edges_cs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    lu = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    tagged = pairs.join(lu, "u").join(lv, "v")
+    m_intra = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.when(F.col("lu") == F.col("lv"), 1).otherwise(0))
+        .cast("long")
+        .alias("intra"),
+    )
+    ends = pairs.select(F.col("u").alias("node")).unionAll(
+        pairs.select(F.col("v").alias("node"))
+    )
+    deg = (
+        ends.join(labels, "node")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    dsq = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum((F.col("d_c") * F.col("d_c")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("d2"),
+    )
+    nn = labels.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    red = m_intra.crossJoin(F.broadcast(dsq)).crossJoin(F.broadcast(nn))
+    md = F.col("m").cast("double")
+    q_mod = F.col("intra").cast("double") / md - dec_to_double(F.col("d2")) / (
+        F.lit(4.0) * md * md
+    )
+    ok = F.col("m") > 0
+    return red.select(
+        "n_nodes",
+        F.col("m").alias("n_edges"),
+        "n_communities",
+        F.col("intra").alias("intra_edges"),
+        F.when(ok, q_mod).alias("modularity_q"),
+    )
+
+
+q_graph_modularity_score.__doc__ = q_graph_modularity_score.__doc__ and (
+    q_graph_modularity_score.__doc__.format(it=LPA_ITERS)
+)
+
+
+def _sql_graph_modularity() -> str:
+    base = f"""
+weights AS (
+  SELECT CAST(o_custkey AS BIGINT) * 2 AS cnode,
+         CAST(l_suppkey AS BIGINT) * 2 + 1 AS snode,
+         COUNT(DISTINCT l_orderkey) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+mw AS (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) AS mean_w FROM weights),
+pairs AS (
+  SELECT cnode, snode FROM weights, mw WHERE w >= {LPA_SUPPORT_X} * mean_w
+),
+edges AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+),
+ecs AS (SELECT src, dst FROM edges WHERE src % 2 = 0),
+esc AS (SELECT src, dst FROM edges WHERE src % 2 = 1),
+c0 AS (SELECT DISTINCT src AS node, src AS label FROM ecs),
+s0 AS (SELECT DISTINCT src AS node, src AS label FROM esc)"""
+
+    def step(out: str, edge_side: str, prev: str) -> str:
+        return f"""
+{out} AS (
+  SELECT src AS node, label FROM (
+    SELECT e.src, l.label, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY e.src
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rk
+    FROM {edge_side} e JOIN {prev} l ON e.dst = l.node
+    GROUP BY e.src, l.label
+  ) WHERE rk = 1
+)"""
+
+    rounds = []
+    pc, ps = "c0", "s0"
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(step(f"c{i}", "ecs", ps))
+        pc = f"c{i}"
+        rounds.append(step(f"s{i}", "esc", pc))
+        ps = f"s{i}"
+    return (
+        "WITH "
+        + base
+        + ","
+        + ",".join(rounds)
+        + f""",
+labels AS (SELECT * FROM {pc} UNION ALL SELECT * FROM {ps}),
+tagged AS (
+  SELECT p.cnode AS u, p.snode AS v, a.label AS lu, b.label AS lv
+  FROM pairs p
+  JOIN labels a ON a.node = p.cnode
+  JOIN labels b ON b.node = p.snode
+), m_intra AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN lu = lv THEN 1 ELSE 0 END) AS BIGINT) AS intra
+  FROM tagged
+), deg AS (
+  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS d_c
+  FROM (SELECT cnode AS node FROM pairs
+        UNION ALL SELECT snode AS node FROM pairs) e
+  JOIN labels l ON l.node = e.node
+  GROUP BY 1
+), dsq AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         CAST(SUM(CAST(d_c * d_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS d2
+  FROM deg
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM labels)
+SELECT n_nodes, m AS n_edges, n_communities, intra AS intra_edges,
+       CASE WHEN m > 0
+            THEN CAST(intra AS DOUBLE) / CAST(m AS DOUBLE)
+                 - {sql_dec_to_double("d2")}
+                   / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) END AS modularity_q
+FROM m_intra CROSS JOIN dsq CROSS JOIN nn
+"""
+    )
+
+
 QUERIES = {
+    "graph_modularity_score": q_graph_modularity_score,
     "graph_harmonic_radius": q_graph_harmonic_radius,
     "graph_reciprocity": q_graph_reciprocity,
     "graph_ktruss": q_graph_ktruss,
@@ -2974,6 +3149,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "graph_modularity_score": _sql_graph_modularity(),
     "graph_harmonic_radius": _ORACLE_HARMONIC,
     "graph_reciprocity": _ORACLE_RECIPROCITY,
     "graph_ktruss": _sql_ktruss(),

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
@@ -1206,7 +1206,180 @@ FROM red CROSS JOIN n_ins CROSS JOIN n_bits
 """
 
 
+# ---------------------------------------------------------------------------
+# DDSketch relative-error quantiles (round 14)
+# ---------------------------------------------------------------------------
+
+DDS_SUB = 8                 # sub-buckets per octave: gamma = 2^(1/8)
+DDS_GAMMA = 2.0 ** (1.0 / DDS_SUB)
+DDS_ALPHA = (DDS_GAMMA - 1.0) / (DDS_GAMMA + 1.0)  # ≈ 4.4% relative error
+DDS_MID = 2.0 / (1.0 + DDS_GAMMA)  # bucket-midpoint factor: est = mid·gamma^i
+DDS_K_MAX = 45              # supported value range: [1, 2^46) integer cents
+DDS_QS = [0.5, 0.95, 0.99]  # literal quantiles reported
+# literal sub-bucket thresholds 2^(j/8), j = 1..7 (m in [1,2) compares here)
+_DDS_THRESH = [2.0 ** (j / DDS_SUB) for j in range(1, DDS_SUB)]
+# literal reconstruction factors 2^(r/8), r = 0..7
+_DDS_FRAC = [2.0 ** (r / DDS_SUB) for r in range(DDS_SUB)]
+
+
+def q_sketch_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles of order value (Masson, Rim & Lee, VLDB 2019):
+    values hash to logarithmic buckets γ^(i−1) < x ≤ γ^i at the literal
+    γ = 2^(1/{s}), so ANY quantile reconstructs within the α ≈ {a:.3f}
+    RELATIVE-error guarantee — the property rank-error sketches
+    (``sketch_histogram_quantile``'s equi-width bins,
+    percentile_approx's GK family) cannot give: a p99 of $400k and a
+    p50 of $900 are BOTH within 4.4% of truth from the same tiny
+    sketch, and sketches merge by bucket-count addition (map-side
+    combinable by construction).
+
+    Spark-first exactness: because γ is a power-of-two root, the bucket
+    index needs NO logarithm — i = {s}·k + r with k = floor(log₂ x)
+    from a literal power-of-two comparison CASE (x < 2^{km}, enforced
+    by guard) and r from {s1} literal mantissa thresholds 2^(j/{s})
+    (the mantissa x·2^(−k) is an EXACT scaling); reconstruction
+    γ^i = 2^(i DIV {s})·2^((i MOD {s})/{s}) is likewise two literal
+    lookups times the literal midpoint factor 2/(1+γ). Every count is
+    an exact integer; both engines evaluate identical literal CASEs —
+    bit-equal end to end, no transcendental anywhere. Degenerate
+    contract: an empty table → no rows; out-of-range values NULL the
+    affected quantile via the k-CASE guard (surfaced, not clamped).
+
+    Scale shape: one narrow map (two CASEs) + one |buckets| hash agg
+    (≤ {s}·{km} cells) + cumulative window and quantile picks on the
+    bucket frame. At 100 TB the sketch is still ≤ 360 rows.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("x")
+    )
+    k_expr = None
+    m_expr = None
+    for k in range(DDS_K_MAX, -1, -1):
+        cond = F.col("x") >= F.lit(2**k)
+        k_expr = F.when(cond, F.lit(k)) if k_expr is None else k_expr.when(cond, F.lit(k))
+        m_expr = (
+            F.when(cond, F.col("x").cast("double") * F.lit(2.0**-k))
+            if m_expr is None
+            else m_expr.when(cond, F.col("x").cast("double") * F.lit(2.0**-k))
+        )
+    staged = orders.filter(F.col("x") > 0).select(
+        k_expr.alias("k"), m_expr.alias("m")
+    )
+    r_expr = F.when(F.col("m") <= 1.0, F.lit(0))
+    for j, t in enumerate(_DDS_THRESH, start=1):
+        r_expr = r_expr.when(F.col("m") <= F.lit(t), F.lit(j))
+    r_expr = r_expr.otherwise(F.lit(DDS_SUB))
+    idx = (F.col("k") * DDS_SUB + r_expr).alias("idx")
+    buckets = staged.select(idx).groupBy("idx").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = buckets.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.select("idx", F.sum("c").over(w).cast("long").alias("cum"))
+    qs = spark.createDataFrame(
+        [(float(q),) for q in DDS_QS], "q double"
+    )
+    picked = (
+        qs.crossJoin(F.broadcast(tot))
+        .join(
+            cum,
+            cum["cum"]
+            >= F.ceil(F.col("q") * F.col("n").cast("double")).cast("long"),
+        )
+        .groupBy("q", "n", "n_buckets")
+        .agg(F.min("idx").cast("long").alias("bucket_idx"))
+    )
+    k2 = F.col("bucket_idx") % DDS_SUB  # reconstruction split
+    pow2 = None
+    for k in range(DDS_K_MAX + 1, -1, -1):
+        cond = (F.col("bucket_idx") - k2) / DDS_SUB == F.lit(k)
+        pow2 = (
+            F.when(cond, F.lit(2.0**k)) if pow2 is None else pow2.when(cond, F.lit(2.0**k))
+        )
+    frac = None
+    for r, fval in enumerate(_DDS_FRAC):
+        c = k2 == F.lit(r)
+        frac = F.when(c, F.lit(fval)) if frac is None else frac.when(c, F.lit(fval))
+    est_cents = pow2 * frac * F.lit(DDS_MID)
+    return picked.select(
+        "q",
+        "n",
+        "n_buckets",
+        "bucket_idx",
+        (est_cents / F.lit(100.0)).alias("est_value_dollars"),
+        F.lit(DDS_ALPHA).alias("rel_error_bound"),
+    ).orderBy("q")
+
+
+q_sketch_ddsketch_quantile.__doc__ = q_sketch_ddsketch_quantile.__doc__ and (
+    q_sketch_ddsketch_quantile.__doc__.format(
+        s=DDS_SUB, s1=DDS_SUB - 1, a=DDS_ALPHA, km=DDS_K_MAX + 1
+    )
+)
+
+
+def _sql_ddsketch() -> str:
+    k_branches = " ".join(
+        f"WHEN x >= {2**k} THEN {k}" for k in range(DDS_K_MAX, -1, -1)
+    )
+    m_branches = " ".join(
+        f"WHEN x >= {2**k} THEN CAST(x AS DOUBLE) * {2.0**-k!r}"
+        for k in range(DDS_K_MAX, -1, -1)
+    )
+    r_branches = "WHEN m <= 1.0 THEN 0 " + " ".join(
+        f"WHEN m <= CAST('{t!r}' AS DOUBLE) THEN {j}"
+        for j, t in enumerate(_DDS_THRESH, start=1)
+    )
+    pow_branches = " ".join(
+        f"WHEN (bucket_idx - bucket_idx % {DDS_SUB}) / {DDS_SUB} = {k} THEN {2.0**k!r}"
+        for k in range(DDS_K_MAX + 1, -1, -1)
+    )
+    frac_branches = " ".join(
+        f"WHEN bucket_idx % {DDS_SUB} = {r} THEN CAST('{fv!r}' AS DOUBLE)"
+        for r, fv in enumerate(_DDS_FRAC)
+    )
+    qvals = ", ".join(f"({q!r})" for q in DDS_QS)
+    return f"""
+WITH vals AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x FROM orders
+), staged AS (
+  SELECT CASE {k_branches} END AS k,
+         CASE {m_branches} END AS m
+  FROM vals WHERE x > 0
+), buckets AS (
+  SELECT k * {DDS_SUB} + (CASE {r_branches} ELSE {DDS_SUB} END) AS idx,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM staged GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM buckets
+), cum AS (
+  SELECT idx, CAST(SUM(c) OVER (ORDER BY idx
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM buckets
+), qs AS (SELECT CAST(UNNEST([{qvals}]) AS DOUBLE) AS q),
+picked AS (
+  SELECT q, n, n_buckets, CAST(MIN(idx) AS BIGINT) AS bucket_idx
+  FROM qs CROSS JOIN tot
+  JOIN cum ON cum.cum >= CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT)
+  GROUP BY 1, 2, 3
+)
+SELECT q, n, n_buckets, bucket_idx,
+       (CASE {pow_branches} END)
+       * (CASE {frac_branches} END)
+       * CAST('{DDS_MID!r}' AS DOUBLE) / 100.0 AS est_value_dollars,
+       CAST('{DDS_ALPHA!r}' AS DOUBLE) AS rel_error_bound
+FROM picked
+ORDER BY q
+"""
+
+
 QUERIES = {
+    "sketch_ddsketch_quantile": q_sketch_ddsketch_quantile,
     "sketch_bloom_filter": q_sketch_bloom_filter,
     "sketch_theta_difference": q_sketch_theta_difference,
     "sketch_cms_freq": q_sketch_cms_freq,
@@ -1219,6 +1392,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sketch_ddsketch_quantile": _sql_ddsketch(),
     "sketch_bloom_filter": _sql_bloom(),
     "sketch_cms_freq": _sql_cms(),
     "sketch_hll_registers": _sql_hll(),

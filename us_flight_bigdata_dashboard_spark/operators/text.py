@@ -4064,7 +4064,237 @@ ORDER BY source, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Odds-ratio keyness (round 14)
+# ---------------------------------------------------------------------------
+
+ORK_TOP_K = 3
+ORK_MIN_COUNT = 5
+
+
+def q_text_odds_ratio_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyword keyness by the HALDANE-CORRECTED odds ratio:
+    OR = (a+½)(d+½) / ((b+½)(c+½)) on the same 2×2 source-vs-rest
+    table as ``text_chi2_keyness``, top {k} per source. χ² ranks by
+    statistical SURPRISE (frequency-inflated: a common token with a
+    mild skew beats a rare token with a huge one); the odds ratio
+    ranks by EFFECT SIZE — the corpus-linguistics pairing (Hardie
+    2014's LogRatio is log₂ of exactly this quantity; the log is
+    monotone, so ranking by OR is ranking by LogRatio without the
+    banned transcendental). The ½-corrections make OR finite when a
+    token never appears outside its source — precisely the strongest
+    (and otherwise dropped) keyness evidence.
+
+    Exactness: cell counts are the chi2_keyness hash aggs; with
+    doubled cells A = 2a+1 etc., OR = (A·D)/(B·C) on exact
+    DECIMAL(38,0) products, limb-converted and divided ONCE — the
+    doubles and hence the rank order are engine-identical. Ranking is
+    (OR desc, token asc), vocabulary floored at ≥ {m} corpus count.
+    Only a > 0 cells qualify (a token absent from the source is not a
+    keyword FOR it).
+
+    Scale shape: the chi2_keyness shape — one explode, one (source,
+    token) hash agg, broadcast-joined totals, one per-source top-k
+    window on the floored-vocab frame.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("w"))
+    st = tok.groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    tok_tot = (
+        st.groupBy("w")
+        .agg(F.sum("a").cast("long").alias("ab"))
+        .filter(F.col("ab") >= ORK_MIN_COUNT)
+    )
+    src_tot = st.groupBy("source").agg(F.sum("a").cast("long").alias("ac"))
+    grand = st.agg(F.sum("a").cast("long").alias("n"))
+    cells = (
+        st.join(F.broadcast(tok_tot), "w")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    a = F.col("a")
+    b = F.col("ab") - a
+    c = F.col("ac") - a
+    d = F.col("n") - F.col("ab") - c
+    # doubled Haldane cells keep everything integral: x + 1/2 -> 2x + 1
+    num = dec(F.lit(2) * a + 1) * dec(F.lit(2) * d + 1)
+    den = dec(F.lit(2) * b + 1) * dec(F.lit(2) * c + 1)
+    scored = cells.filter(a > 0).select(
+        "source",
+        "w",
+        "a",
+        (F.col("ab") - a).alias("b_rest"),
+        (dec_to_double(num) / dec_to_double(den)).alias("odds_ratio"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.desc("odds_ratio"), F.asc("w")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= ORK_TOP_K)
+        .select("source", F.col("rk").alias("rank"), F.col("w").alias("token"),
+                F.col("a").alias("count_in_source"), "b_rest", "odds_ratio")
+        .orderBy("source", "rank")
+    )
+
+
+q_text_odds_ratio_keyness.__doc__ = q_text_odds_ratio_keyness.__doc__ and (
+    q_text_odds_ratio_keyness.__doc__.format(k=ORK_TOP_K, m=ORK_MIN_COUNT)
+)
+
+
+def _sql_odds_ratio_keyness() -> str:
+    num = (
+        "CAST(2 * a + 1 AS DECIMAL(38,0))"
+        " * CAST(2 * (n - ab - (ac - a)) + 1 AS DECIMAL(38,0))"
+    )
+    den = (
+        "CAST(2 * (ab - a) + 1 AS DECIMAL(38,0))"
+        " * CAST(2 * (ac - a) + 1 AS DECIMAL(38,0))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT source, UNNEST({_sql_tokens("text")}) AS w FROM documents
+), st AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2
+), tok_tot AS (
+  SELECT w, CAST(SUM(a) AS BIGINT) AS ab FROM st GROUP BY 1
+  HAVING SUM(a) >= {ORK_MIN_COUNT}
+), src_tot AS (
+  SELECT source, CAST(SUM(a) AS BIGINT) AS ac FROM st GROUP BY 1
+), grand AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM st),
+scored AS (
+  SELECT st.source, st.w, st.a,
+         ab - st.a AS b_rest,
+         {sql_dec_to_double(num)} / {sql_dec_to_double(den)} AS odds_ratio
+  FROM st
+  JOIN tok_tot USING (w)
+  JOIN src_tot USING (source)
+  CROSS JOIN grand
+  WHERE st.a > 0
+)
+SELECT source, rank, token, count_in_source, b_rest, odds_ratio FROM (
+  SELECT source, w AS token, a AS count_in_source, b_rest, odds_ratio,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY odds_ratio DESC, w ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {ORK_TOP_K}
+ORDER BY source, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Next-token branching Gini (round 14)
+# ---------------------------------------------------------------------------
+
+NGG_TOP_K = 15
+NGG_MIN_CTX = 5
+
+
+def q_text_ngram_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-token BRANCHING profile of the corpus: for the {k} most
+    frequent word contexts (bigram first-words with ≥ {m} occurrences),
+    the Gini impurity of the continuation distribution 1 − Σ(c_wv/c_w)²
+    and the distinct-continuation count. Gini impurity is the RATIONAL
+    branching measure (Shannon's branching entropy is the usual choice
+    but needs ln; Gini is its quadratic sibling — 0 = deterministic
+    continuation, →1 = uniform fan-out), and the word-level complement
+    of ``text_bigram_lm_score``'s char model: templated/boilerplate
+    text shows low-Gini contexts, which is a dedup/quality signal the
+    per-doc scores miss.
+
+    Exactness: bigram counts come from ONE per-doc token-array pair
+    explode (two-word rows, not full-text rows — the
+    ``text_bigram_lm_score`` shape note) and one hash agg; Σc² is an
+    exact DECIMAL(38,0) sum, limb-converted, and each Gini is ONE IEEE
+    division by the exact c_w². Ranking (c_w desc, context asc) is
+    integer-deterministic.
+
+    Scale shape: explode → (w1, w2) hash agg (vocab²-bounded) → vocab-
+    bounded context rollup → one global top-k window on the floored
+    context frame.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("tk")
+    )
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> named_struct('w1', tk[i - 1], 'w2', tk[i]))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    model = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_wv")
+    )
+    ctx = model.groupBy("w1").agg(
+        F.sum("c_wv").cast("long").alias("c_w"),
+        F.count(F.lit(1)).cast("long").alias("n_cont"),
+        F.sum((F.col("c_wv") * F.col("c_wv")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("c2"),
+    ).filter(F.col("c_w") >= NGG_MIN_CTX)
+    gini = F.lit(1.0) - dec_to_double(F.col("c2")) / (
+        F.col("c_w").cast("double") * F.col("c_w").cast("double")
+    )
+    win = Window.orderBy(F.desc("c_w"), F.asc("context"))
+    return (
+        ctx.select(
+            F.col("w1").alias("context"),
+            "c_w",
+            "n_cont",
+            gini.alias("gini_branching"),
+        )
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= NGG_TOP_K)
+        .select("rank", "context", "c_w", "n_cont", "gini_branching")
+        .orderBy("rank")
+    )
+
+
+q_text_ngram_gini.__doc__ = q_text_ngram_gini.__doc__ and (
+    q_text_ngram_gini.__doc__.format(k=NGG_TOP_K, m=NGG_MIN_CTX)
+)
+
+
+def _sql_ngram_gini() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens("text")} AS tk FROM documents
+), pairs AS (
+  SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+), model AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_wv FROM pairs GROUP BY 1, 2
+), ctx AS (
+  SELECT w1,
+         CAST(SUM(c_wv) AS BIGINT) AS c_w,
+         CAST(COUNT(*) AS BIGINT) AS n_cont,
+         CAST(SUM(CAST(c_wv * c_wv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS c2
+  FROM model GROUP BY 1
+  HAVING SUM(c_wv) >= {NGG_MIN_CTX}
+)
+SELECT rank, context, c_w, n_cont, gini_branching FROM (
+  SELECT w1 AS context, c_w, n_cont,
+         1.0 - {sql_dec_to_double("c2")}
+               / (CAST(c_w AS DOUBLE) * CAST(c_w AS DOUBLE)) AS gini_branching,
+         CAST(ROW_NUMBER() OVER (ORDER BY c_w DESC, w1 ASC) AS BIGINT) AS rank
+  FROM ctx
+) WHERE rank <= {NGG_TOP_K}
+ORDER BY rank
+"""
+
+
 QUERIES = {
+    "text_odds_ratio_keyness": q_text_odds_ratio_keyness,
+    "text_ngram_gini": q_text_ngram_gini,
     "text_mattr": q_text_mattr,
     "text_chi2_keyness": q_text_chi2_keyness,
     "text_yules_k": q_text_yules_k,
@@ -4115,6 +4345,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_odds_ratio_keyness": _sql_odds_ratio_keyness(),
+    "text_ngram_gini": _sql_ngram_gini(),
     "text_mattr": _ORACLE_MATTR,
     "text_chi2_keyness": _ORACLE_CHI2_KEYNESS,
     "text_yules_k": _ORACLE_YULES_K,

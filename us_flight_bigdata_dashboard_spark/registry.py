@@ -224,6 +224,11 @@ _FLAGSHIP_PREFIX = [
     "sdr_variance_estimate",
     "survey_raking_ipf",
     "permutation_test_hashperm",
+    # batch 6 (same pre-clearance)
+    "text_odds_ratio_keyness",
+    "text_ngram_gini",
+    "graph_modularity_score",
+    "sketch_ddsketch_quantile",
 ]
 
 
