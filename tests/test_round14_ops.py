@@ -1126,3 +1126,154 @@ def test_ddsketch_brute_force(spark):
         true_val = float(exact[rank - 1])
         assert abs(est - true_val) <= DDS_ALPHA * true_val * 1.0000001
         assert row["rel_error_bound"] == pytest.approx(DDS_ALPHA, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# watson_u2_two_sample — brute ECDF-gap computation with mean adjustment
+# ---------------------------------------------------------------------------
+
+
+def _two_samples_r14():
+    orders = _df("orders")
+    x = orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_totalprice"].to_numpy()
+    y = orders.loc[orders["o_orderpriority"] != "1-URGENT", "o_totalprice"].to_numpy()
+    return x, y
+
+
+def test_watson_u2_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        WATSON_U2_CRIT_5PCT,
+        q_watson_u2_two_sample,
+    )
+
+    x, y = _two_samples_r14()
+    n1, n2 = len(x), len(y)
+    pooled = np.sort(np.unique(np.concatenate([x, y])))
+    f1 = np.searchsorted(np.sort(x), pooled, side="right") / n1
+    f2 = np.searchsorted(np.sort(y), pooled, side="right") / n2
+    d = f1 - f2
+    counts = np.array(
+        [
+            (x == v).sum() + (y == v).sum()
+            for v in pooled
+        ]
+    )
+    nn = n1 + n2
+    dbar = (counts * d).sum() / nn
+    u2_ref = n1 * n2 / nn**2 * (counts * d * d).sum() - n1 * n2 / nn * dbar**2
+
+    (row,) = q_watson_u2_two_sample(spark, SF_DIR).collect()
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["mean_ecdf_gap"] == pytest.approx(dbar, rel=1e-8, abs=1e-12)
+    assert row["u2_stat"] == pytest.approx(u2_ref, rel=1e-7, abs=1e-10)
+    assert row["significant_5pct"] == int(u2_ref > WATSON_U2_CRIT_5PCT)
+
+
+# ---------------------------------------------------------------------------
+# biweight_midvariance — brute Tukey BWMV with house median convention
+# ---------------------------------------------------------------------------
+
+
+def test_biweight_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_biweight_midvariance,
+    )
+
+    cents, keys, _ = _order_cents()
+    n = len(cents)
+    order = np.lexsort((keys, cents))
+    m = cents[order[(n + 1) // 2 - 1]]
+    ad = np.abs(cents - m)
+    order2 = np.lexsort((keys, ad))
+    mad = ad[order2[(n + 1) // 2 - 1]]
+    u = (cents - m) / (9.0 * mad)
+    w = np.abs(u) < 1
+    num = ((cents - m) ** 2 * (1 - u**2) ** 4)[w].sum()
+    den = ((1 - u**2) * (1 - 5 * u**2))[w].sum()
+    bwmv = n * num / den**2
+
+    (row,) = q_biweight_midvariance(spark, SF_DIR).collect()
+    assert row["n"] == n
+    assert row["n_used"] == int(w.sum())
+    assert row["median_value"] == pytest.approx(m / 100, rel=1e-12)
+    assert row["mad_value"] == pytest.approx(mad / 100, rel=1e-12)
+    # den is floor-quantized at 1e-6/addend -> ~1e-6 rel on den, 2e-6 on den^2
+    assert row["bwmv_dollars2"] == pytest.approx(bwmv / 10000, rel=1e-5)
+    assert row["robust_sd_dollars"] == pytest.approx(
+        math.sqrt(bwmv) / 100, rel=1e-5
+    )
+
+
+# ---------------------------------------------------------------------------
+# hoeffding_d_independence — brute D over the monthly panel
+# ---------------------------------------------------------------------------
+
+
+def _monthly_panel():
+    orders = _df("orders")
+    dates = pd.to_datetime(orders["o_orderdate"])
+    ym = dates.dt.year * 12 + dates.dt.month
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = pd.DataFrame({"t": ym, "cents": cents}).groupby("t")["cents"].agg(
+        ["sum", "count"]
+    )
+    x = (g["sum"] / g["count"]).to_numpy(dtype=float)
+    y = g["count"].to_numpy(dtype=float)
+    return x, y
+
+
+def test_hoeffding_d_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_hoeffding_d_independence,
+    )
+
+    x, y = _monthly_panel()
+    n = len(x)
+    r = pd.Series(x).rank(method="average").to_numpy()
+    s = pd.Series(y).rank(method="average").to_numpy()
+    q = np.array(
+        [((x < x[i]) & (y < y[i])).sum() for i in range(n)], dtype=float
+    )
+    d1 = (q * (q - 1)).sum()
+    d2 = ((r - 1) * (r - 2) * (s - 1) * (s - 2)).sum()
+    d3 = ((r - 2) * (s - 2) * q).sum()
+    d_ref = (
+        30.0
+        * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3)
+        / (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))
+    )
+
+    (row,) = q_hoeffding_d_independence(spark, SF_DIR).collect()
+    assert row["n"] == n
+    assert row["hoeffding_30d"] == pytest.approx(d_ref, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# distance_correlation — brute double-centered dcor
+# ---------------------------------------------------------------------------
+
+
+def test_distance_correlation_brute_force(spark):
+    from us_flight_bigdata_dashboard_spark.operators.statistics import (
+        q_distance_correlation,
+    )
+
+    x, y = _monthly_panel()
+    x = x / 100.0
+    n = len(x)
+    ax = np.abs(x[:, None] - x[None, :])
+    ay = np.abs(y[:, None] - y[None, :])
+
+    def center(a):
+        return a - a.mean(axis=1, keepdims=True) - a.mean(axis=0, keepdims=True) + a.mean()
+
+    A, B = center(ax), center(ay)
+    dcov2 = (A * B).mean()
+    dvarx = (A * A).mean()
+    dvary = (B * B).mean()
+    dcor_ref = math.sqrt(abs(dcov2) / math.sqrt(dvarx * dvary))
+
+    (row,) = q_distance_correlation(spark, SF_DIR).collect()
+    assert row["n"] == n
+    assert row["dcov2"] == pytest.approx(dcov2, rel=1e-5)
+    assert row["dcor"] == pytest.approx(dcor_ref, rel=1e-5)

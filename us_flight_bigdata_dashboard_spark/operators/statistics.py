@@ -6010,7 +6010,602 @@ FROM red
 """
 
 
+# ---------------------------------------------------------------------------
+# Watson's U² two-sample test (round 14)
+# ---------------------------------------------------------------------------
+
+WATSON_U2_CRIT_5PCT = 0.1869  # Watson (1962) asymptotic 5% point — literal
+
+
+def q_watson_u2_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watson's U² two-sample test on order value, urgent vs rest — the
+    ROTATION-INVARIANT member of the integral family:
+    U² = (n₁n₂/N²)·Σ_pooled c·(d − d̄)² where d is the ECDF gap and d̄
+    its pooled weighted mean. Subtracting d̄ makes the statistic
+    invariant to cyclic shifts of the support (its original circular-
+    data motivation) and, on the line, maximally sensitive to SPREAD
+    differences where ``cramer_von_mises_two`` (which keeps the mean
+    gap) loads on location; U² = T − (n₁n₂/N)·d̄² makes it one extra
+    reduce on the same frame.
+
+    Determinism: the ``cramer_von_mises_two`` contract verbatim — exact
+    integer ECDF gaps divided once, both weighted sums (Σc·d, Σc·d²)
+    floor-quantized at scale 12; d̄ and the final subtraction are fixed
+    IEEE. Significance compares against the literal asymptotic 5%
+    point {c} (Watson 1962), documented as asymptotic.
+
+    Scale shape: one hash agg, one domain-sized cumulative window, one
+    1-row reduction — the ks/CvM economics.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(F.lit(1) - F.col("g1")).alias("c2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.sum("c1").over(w).alias("a1"),
+        F.sum("c2").over(w).alias("a2"),
+    )
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    joined = cum.crossJoin(F.broadcast(tot))
+    d = (
+        (F.col("a1") * F.col("n2") - F.col("a2") * F.col("n1")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    agg = joined.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        fsum(F.col("c").cast("double") * d, scale=12).alias("sd"),
+        fsum(F.col("c").cast("double") * d * d, scale=12).alias("sdd"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    dbar = F.col("sd") / nd
+    u2 = n1d * n2d / (nd * nd) * F.col("sdd") - n1d * n2d / nd * dbar * dbar
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return agg.select(
+        "n1",
+        "n2",
+        F.when(ok, dbar).alias("mean_ecdf_gap"),
+        F.when(ok, u2).alias("u2_stat"),
+        F.when(ok, (u2 > F.lit(WATSON_U2_CRIT_5PCT)).cast("int")).alias(
+            "significant_5pct"
+        ),
+    )
+
+
+q_watson_u2_two_sample.__doc__ = q_watson_u2_two_sample.__doc__ and (
+    q_watson_u2_two_sample.__doc__.format(c=WATSON_U2_CRIT_5PCT)
+)
+
+
+def _sql_watson_u2() -> str:
+    d = (
+        "(CAST(a1 * n2 - a2 * n1 AS DOUBLE)"
+        " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+    )
+    return f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS c2
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT c1 + c2 AS c,
+         SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1,
+         SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a2
+  FROM per_v
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM per_v
+), red AS (
+  SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+         {sql_fsum(f"CAST(c AS DOUBLE) * {d}", 12)} AS sd,
+         {sql_fsum(f"CAST(c AS DOUBLE) * {d} * {d}", 12)} AS sdd
+  FROM cum CROSS JOIN tot
+), fin AS (
+  SELECT n1, n2,
+         sd / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS dbar,
+         CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+           / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+              * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * sdd
+         - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+           / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+           * (sd / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+           * (sd / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) AS u2
+  FROM red
+)
+SELECT n1, n2,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN dbar END AS mean_ecdf_gap,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN u2 END AS u2_stat,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN CAST(u2 > {WATSON_U2_CRIT_5PCT!r} AS INT) END AS significant_5pct
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Biweight midvariance (round 14)
+# ---------------------------------------------------------------------------
+
+
+def q_biweight_midvariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's biweight midvariance of order value — the smoothly-
+    downweighted robust scale estimator (Lax 1985: the best-performing
+    resistant scale in the Princeton-family simulations): u = (x−M)/
+    (9·MAD), weights (1−u²)² vanish smoothly at 9 MADs, giving ~87%
+    Gaussian efficiency where the raw MAD manages 37%. BWMV =
+    n·Σ_{{|u|<1}}(x−M)²(1−u²)⁴ / [Σ_{{|u|<1}}(1−u²)(1−5u²)]² — fully
+    RATIONAL in the data, which is why it is this module's robust-scale
+    complement to ``hartley_fmax``'s classical variances and
+    ``robust_moments_bowley``'s rank picks.
+
+    Exactness: M and MAD are exact lower-median rank picks ((n+1) DIV 2
+    over (value, key) total orders — the house median convention); u
+    and both weight sums are fixed IEEE on exact integer cents,
+    floor-quantized at scale −2 / 6 (the numerator addends reach
+    ~10¹³·(1)² at sf0.1 — the ``hartley_fmax`` negative-scale note);
+    the final statistic is one IEEE sequence. Degenerate contract:
+    MAD = 0 (over half the data at one value) or an empty weight set →
+    NULL.
+
+    Scale shape: two global rank picks (the documented single-partition
+    rank limitation; a deployment swaps in the two-pass
+    ``exact_quantiles_bucketed`` machinery), then ONE map-side-
+    combinable re-pass.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("x"),
+        "o_orderkey",
+    )
+    n_row = orders.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w1 = Window.orderBy("x", "o_orderkey")
+    med = (
+        orders.crossJoin(F.broadcast(n_row))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("x").alias("m"), "n")
+    )
+    devs = orders.crossJoin(F.broadcast(med)).select(
+        "x",
+        "o_orderkey",
+        "m",
+        "n",
+        F.abs(F.col("x") - F.col("m")).alias("ad"),
+    )
+    w2 = Window.orderBy("ad", "o_orderkey")
+    mad = (
+        devs.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("ad").alias("mad"), F.col("m").alias("m2"), F.col("n").alias("n2"))
+    )
+    scored = orders.crossJoin(F.broadcast(mad)).select(
+        "x",
+        "m2",
+        "mad",
+        "n2",
+        (
+            (F.col("x") - F.col("m2")).cast("double")
+            / (F.lit(9.0) * F.col("mad").cast("double"))
+        ).alias("u"),
+    )
+    dev = (F.col("x") - F.col("m2")).cast("double")
+    usq = F.col("u") * F.col("u")
+    in_w = F.abs(F.col("u")) < 1.0
+    red = scored.agg(
+        F.max("n2").alias("n"),
+        F.max("m2").alias("m"),
+        F.max("mad").alias("mad"),
+        F.sum(F.when(in_w, 1).otherwise(0)).cast("long").alias("n_used"),
+        fsum(
+            F.when(
+                in_w,
+                dev
+                * dev
+                * (F.lit(1.0) - usq)
+                * (F.lit(1.0) - usq)
+                * (F.lit(1.0) - usq)
+                * (F.lit(1.0) - usq),
+            ).otherwise(F.lit(0.0)),
+            scale=-2,
+        ).alias("num"),
+        fsum(
+            F.when(
+                in_w,
+                (F.lit(1.0) - usq) * (F.lit(1.0) - F.lit(5.0) * usq),
+            ).otherwise(F.lit(0.0)),
+            scale=6,
+        ).alias("den"),
+    )
+    nd = F.col("n").cast("double")
+    bwmv = nd * F.col("num") / (F.col("den") * F.col("den"))
+    ok = (F.col("mad") > 0) & (F.col("den") != 0)
+    return red.select(
+        "n",
+        "n_used",
+        (F.col("m").cast("double") / F.lit(100.0)).alias("median_value"),
+        (F.col("mad").cast("double") / F.lit(100.0)).alias("mad_value"),
+        F.when(ok, bwmv / F.lit(10000.0)).alias("bwmv_dollars2"),
+        F.when(ok, F.sqrt(bwmv) / F.lit(100.0)).alias("robust_sd_dollars"),
+    )
+
+
+def _sql_biweight() -> str:
+    dev = "CAST(x - m2 AS DOUBLE)"
+    u = f"({dev} / (9.0 * CAST(mad AS DOUBLE)))"
+    usq = f"({u} * {u})"
+    return f"""
+WITH base AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x, o_orderkey FROM orders
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+med AS (
+  SELECT x AS m, n FROM (
+    SELECT x, n, ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS rn
+    FROM base CROSS JOIN tot
+  ) WHERE rn = (n + 1) // 2
+), mad_t AS (
+  SELECT ad AS mad, m AS m2, n AS n2 FROM (
+    SELECT ABS(x - m) AS ad, m, n,
+           ROW_NUMBER() OVER (ORDER BY ABS(x - m), o_orderkey) AS rn
+    FROM base CROSS JOIN med
+  ) WHERE rn = (n + 1) // 2
+), red AS (
+  SELECT MAX(n2) AS n, MAX(m2) AS m, MAX(mad) AS mad,
+         CAST(SUM(CASE WHEN ABS({u}) < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+         {sql_fsum(f"CASE WHEN ABS({u}) < 1.0 THEN {dev} * {dev} * (1.0 - {usq}) * (1.0 - {usq}) * (1.0 - {usq}) * (1.0 - {usq}) ELSE 0.0 END", -2)} AS num,
+         {sql_fsum(f"CASE WHEN ABS({u}) < 1.0 THEN (1.0 - {usq}) * (1.0 - 5.0 * {usq}) ELSE 0.0 END", 6)} AS den
+  FROM base CROSS JOIN mad_t
+)
+SELECT n, n_used,
+       CAST(m AS DOUBLE) / 100.0 AS median_value,
+       CAST(mad AS DOUBLE) / 100.0 AS mad_value,
+       CASE WHEN mad > 0 AND den <> 0
+            THEN CAST(n AS DOUBLE) * num / (den * den) / 10000.0 END AS bwmv_dollars2,
+       CASE WHEN mad > 0 AND den <> 0
+            THEN SQRT(CAST(n AS DOUBLE) * num / (den * den)) / 100.0
+            END AS robust_sd_dollars
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hoeffding's D independence test on the monthly panel (round 14)
+# ---------------------------------------------------------------------------
+
+
+def q_hoeffding_d_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoeffding's D test of independence between monthly AVERAGE order
+    value and monthly ORDER COUNT — the nonparametric dependence
+    measure that catches what every correlation in this module misses:
+    D is consistent against ALL dependence alternatives (Hoeffding
+    1948), including the non-monotone U-shapes that leave Pearson,
+    Spearman (``spearman_corr``) and Kendall (``kendall_tau``) at zero.
+    30·D ∈ [−0.5, 1] with 0 under independence.
+
+    Exactness: the 84-month panel is one exact hash agg; midranks R, S
+    come from DOUBLED-rank windows (the house 2r+t−1 identity, exact
+    integers); the bivariate dominance counts Qᵢ = #{{j : xⱼ<xᵢ,
+    yⱼ<yᵢ}} come from the month×month pair frame with STRICT
+    inequalities (ties get no credit — documented; the cents/count
+    pairs are tie-free in practice); D1 = ΣQᵢ(Qᵢ−1), D2 =
+    Σ(2R−2)(2R−4)(2S−2)(2S−4)/16, D3 = Σ(2R−4)(2S−4)Qᵢ/4 stay exact
+    integers (D2 doubled-rank product carried in DECIMAL), and
+    D = 30·[(n−2)(n−3)D1 + D2 − 2(n−2)D3] / [n(n−1)(n−2)(n−3)(n−4)]
+    is ONE IEEE division. Degenerate contract: n < 5 → NULL.
+
+    Scale shape: everything after the first agg runs on the month
+    frame (≤ 84² pair rows) — the bounded-frame pairwise pattern
+    (``hodges_lehmann_shift`` economics).
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    panel = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("t")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .select(
+            "t",
+            (F.col("cents").cast("double") / F.col("cnt").cast("double")).alias(
+                "x"
+            ),
+            F.col("cnt").cast("double").alias("y"),
+        )
+    )
+    wx_r = Window.orderBy("x")
+    wx_t = Window.partitionBy("x")
+    wy_r = Window.orderBy("y")
+    wy_t = Window.partitionBy("y")
+    ranked = panel.select(
+        "t",
+        "x",
+        "y",
+        (F.lit(2) * F.rank().over(wx_r) + F.count(F.lit(1)).over(wx_t) - F.lit(1))
+        .cast("long")
+        .alias("dr"),
+        (F.lit(2) * F.rank().over(wy_r) + F.count(F.lit(1)).over(wy_t) - F.lit(1))
+        .cast("long")
+        .alias("ds"),
+    )
+    a = ranked.select(
+        F.col("t").alias("ti"), F.col("x").alias("xi"), F.col("y").alias("yi")
+    )
+    b = ranked.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    q = (
+        a.join(
+            F.broadcast(b),
+            (F.col("xj") < F.col("xi")) & (F.col("yj") < F.col("yi")),
+            "left",
+        )
+        .groupBy("ti")
+        .agg(F.count("xj").cast("long").alias("q_i"))
+    )
+    full = ranked.join(q, ranked["t"] == q["ti"]).select("dr", "ds", "q_i")
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    red = full.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("q_i") * (F.col("q_i") - 1)).cast("long").alias("d1"),
+        F.sum(
+            dec(F.col("dr") - 2)
+            * dec(F.col("dr") - 4)
+            * dec(F.col("ds") - 2)
+            * dec(F.col("ds") - 4)
+        )
+        .cast("decimal(38,0)")
+        .alias("d2_16"),
+        F.sum(dec((F.col("dr") - 4) * (F.col("ds") - 4)) * dec(F.col("q_i")))
+        .cast("decimal(38,0)")
+        .alias("d3_4"),
+    )
+    nd = F.col("n").cast("double")
+    d1 = F.col("d1").cast("double")
+    d2 = dec_to_double(F.col("d2_16")) / F.lit(16.0)
+    d3 = dec_to_double(F.col("d3_4")) / F.lit(4.0)
+    num = (
+        (nd - F.lit(2.0)) * (nd - F.lit(3.0)) * d1
+        + d2
+        - F.lit(2.0) * (nd - F.lit(2.0)) * d3
+    )
+    den = nd * (nd - 1) * (nd - 2) * (nd - 3) * (nd - 4)
+    d_stat = F.lit(30.0) * num / den
+    ok = F.col("n") >= 5
+    return red.select(
+        "n",
+        F.when(ok, d_stat).alias("hoeffding_30d"),
+    )
+
+
+def _sql_hoeffding_d() -> str:
+    return f"""
+WITH panel AS (
+  SELECT YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS t,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS x,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT t, x, y,
+         CAST(2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS dr,
+         CAST(2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ds
+  FROM panel
+), q AS (
+  SELECT a.t AS ti, CAST(COUNT(b.x) AS BIGINT) AS q_i
+  FROM ranked a LEFT JOIN ranked b ON b.x < a.x AND b.y < a.y
+  GROUP BY a.t
+), red AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q_i * (q_i - 1)) AS BIGINT) AS d1,
+         CAST(SUM(CAST(dr - 2 AS DECIMAL(38,0)) * CAST(dr - 4 AS DECIMAL(38,0))
+                  * CAST(ds - 2 AS DECIMAL(38,0)) * CAST(ds - 4 AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS d2_16,
+         CAST(SUM(CAST((dr - 4) * (ds - 4) AS DECIMAL(38,0)) * CAST(q_i AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS d3_4
+  FROM ranked JOIN q ON ranked.t = q.ti
+), fin AS (
+  SELECT n,
+         ((CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0) * CAST(d1 AS DOUBLE)
+          + {sql_dec_to_double("d2_16")} / 16.0
+          - 2.0 * (CAST(n AS DOUBLE) - 2.0) * ({sql_dec_to_double("d3_4")} / 4.0))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * (CAST(n AS DOUBLE) - 2)
+            * (CAST(n AS DOUBLE) - 3) * (CAST(n AS DOUBLE) - 4)) AS d_norm
+  FROM red
+)
+SELECT n, CASE WHEN n >= 5 THEN 30.0 * d_norm END AS hoeffding_30d
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distance correlation on the monthly panel (round 14)
+# ---------------------------------------------------------------------------
+
+
+def q_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance correlation (Székely-Rizzo-Bakirov 2007) between monthly
+    average order value and monthly order count — the modern
+    energy-statistics dependence measure: dCor = 0 IFF independent (no
+    correlation coefficient has that property), built from double-
+    centered pairwise distance matrices: dCov² = mean(A∘B) with
+    A = a − ā_row − ā_col + ā. Reported beside ``hoeffding_d_independence``
+    (rank-based) as the metric-based member of the
+    any-dependence family; the two disagreeing flags a tie/metric
+    artifact.
+
+    Exactness: the panel and its ≤84² pair frame are deterministic
+    doubles (exact integer sums, one division each); every distance
+    |xᵢ−xⱼ| is one IEEE op; row sums, the grand sum, and the three
+    centered products are floor-quantized reduces (scales chosen for
+    the cents·count magnitudes, documented inline); dCor is two
+    allowlisted sqrts. Degenerate contract: a zero distance variance
+    on either margin (constant series) → NULL.
+
+    Scale shape: everything after the first agg runs on the month pair
+    frame — the bounded-frame pairwise pattern. At 10⁶ time buckets
+    this becomes the sampled-pairs estimator; the formulation is
+    unchanged.
+
+    Reference analog: none (engine addition, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    panel = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("t")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .select(
+            "t",
+            (
+                F.col("cents").cast("double")
+                / F.col("cnt").cast("double")
+                / F.lit(100.0)
+            ).alias("x"),
+            F.col("cnt").cast("double").alias("y"),
+        )
+    )
+    a = panel.select(
+        F.col("t").alias("ti"), F.col("x").alias("xi"), F.col("y").alias("yi")
+    )
+    b = panel.select(
+        F.col("t").alias("tj"), F.col("x").alias("xj"), F.col("y").alias("yj")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "ti",
+        "tj",
+        F.abs(F.col("xi") - F.col("xj")).alias("ax"),
+        F.abs(F.col("yi") - F.col("yj")).alias("ay"),
+    )
+    rows = pairs.groupBy("ti").agg(
+        fsum("ax", scale=4).alias("rx"),
+        fsum("ay", scale=4).alias("ry"),
+    )
+    grand = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        fsum("rx", scale=4).alias("gx"),
+        fsum("ry", scale=4).alias("gy"),
+    )
+    cent = (
+        pairs.join(F.broadcast(rows), "ti")
+        .join(
+            F.broadcast(
+                rows.select(
+                    F.col("ti").alias("tj"),
+                    F.col("rx").alias("cx"),
+                    F.col("ry").alias("cy"),
+                )
+            ),
+            "tj",
+        )
+        .crossJoin(F.broadcast(grand))
+    )
+    nd = F.col("n").cast("double")
+    ac = (
+        F.col("ax")
+        - F.col("rx") / nd
+        - F.col("cx") / nd
+        + F.col("gx") / (nd * nd)
+    )
+    bc = (
+        F.col("ay")
+        - F.col("ry") / nd
+        - F.col("cy") / nd
+        + F.col("gy") / (nd * nd)
+    )
+    red = cent.agg(
+        F.max("n").alias("n"),
+        fsum(ac * bc, scale=4).alias("sxy"),
+        fsum(ac * ac, scale=4).alias("sxx"),
+        fsum(bc * bc, scale=4).alias("syy"),
+    )
+    nd2 = F.col("n").cast("double") * F.col("n").cast("double")
+    dcov2 = F.col("sxy") / nd2
+    dvarx = F.col("sxx") / nd2
+    dvary = F.col("syy") / nd2
+    ok = (dvarx > 0) & (dvary > 0)
+    dcor = F.sqrt(F.abs(dcov2) / F.sqrt(dvarx * dvary))
+    return red.select(
+        "n",
+        dcov2.alias("dcov2"),
+        F.when(ok, dcor).alias("dcor"),
+    )
+
+
+def _sql_distance_correlation() -> str:
+    return f"""
+WITH panel AS (
+  SELECT YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS t,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / 100.0 AS x,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM panel_src GROUP BY 1
+), pairs AS (
+  SELECT a.t AS ti, b.t AS tj,
+         ABS(a.x - b.x) AS ax, ABS(a.y - b.y) AS ay
+  FROM panel a CROSS JOIN panel b
+), rows_ AS (
+  SELECT ti, {sql_fsum("ax", 4)} AS rx, {sql_fsum("ay", 4)} AS ry
+  FROM pairs GROUP BY 1
+), grand AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_fsum("rx", 4)} AS gx, {sql_fsum("ry", 4)} AS gy
+  FROM rows_
+), cent AS (
+  SELECT p.ax, p.ay, r1.rx, r1.ry, r2.rx AS cx, r2.ry AS cy, g.n, g.gx, g.gy
+  FROM pairs p
+  JOIN rows_ r1 ON r1.ti = p.ti
+  JOIN rows_ r2 ON r2.ti = p.tj
+  CROSS JOIN grand g
+), red AS (
+  SELECT MAX(n) AS n,
+         {sql_fsum("(ax - rx / CAST(n AS DOUBLE) - cx / CAST(n AS DOUBLE) + gx / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * (ay - ry / CAST(n AS DOUBLE) - cy / CAST(n AS DOUBLE) + gy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))", 4)} AS sxy,
+         {sql_fsum("(ax - rx / CAST(n AS DOUBLE) - cx / CAST(n AS DOUBLE) + gx / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * (ax - rx / CAST(n AS DOUBLE) - cx / CAST(n AS DOUBLE) + gx / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))", 4)} AS sxx,
+         {sql_fsum("(ay - ry / CAST(n AS DOUBLE) - cy / CAST(n AS DOUBLE) + gy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * (ay - ry / CAST(n AS DOUBLE) - cy / CAST(n AS DOUBLE) + gy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))", 4)} AS syy
+  FROM cent
+), fin AS (
+  SELECT n,
+         sxy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS dcov2,
+         sxx / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS dvarx,
+         syy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS dvary
+  FROM red
+)
+SELECT n, dcov2,
+       CASE WHEN dvarx > 0 AND dvary > 0
+            THEN SQRT(ABS(dcov2) / SQRT(dvarx * dvary)) END AS dcor
+FROM fin
+""".replace("panel_src", "orders")
+
+
 QUERIES = {
+    "watson_u2_two_sample": q_watson_u2_two_sample,
+    "biweight_midvariance": q_biweight_midvariance,
+    "hoeffding_d_independence": q_hoeffding_d_independence,
+    "distance_correlation": q_distance_correlation,
     "siegel_tukey_scale": q_siegel_tukey_scale,
     "hartley_fmax": q_hartley_fmax,
     "robust_moments_bowley": q_robust_moments_bowley,
@@ -6064,6 +6659,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "watson_u2_two_sample": _sql_watson_u2(),
+    "biweight_midvariance": _sql_biweight(),
+    "hoeffding_d_independence": _sql_hoeffding_d(),
+    "distance_correlation": _sql_distance_correlation(),
     "siegel_tukey_scale": _sql_siegel_tukey(),
     "hartley_fmax": _sql_hartley_fmax(),
     "robust_moments_bowley": _ORACLE_ROBUST_MOMENTS,

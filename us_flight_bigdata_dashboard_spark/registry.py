@@ -229,6 +229,11 @@ _FLAGSHIP_PREFIX = [
     "text_ngram_gini",
     "graph_modularity_score",
     "sketch_ddsketch_quantile",
+    # batch 7 (same pre-clearance)
+    "watson_u2_two_sample",
+    "biweight_midvariance",
+    "hoeffding_d_independence",
+    "distance_correlation",
 ]
 
 
