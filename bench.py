@@ -267,6 +267,36 @@ def iso_main() -> None:
     with open(local) as fh:
         in_suite = json.load(fh)["queries"]
     top = [k for k, _ in sorted(in_suite.items(), key=lambda kv: -kv[1])[:20]]
+    # VERDICT r13 ask #3: the top-20-by-cost cutoff missed exactly the
+    # entries that needed adjudication (jonckheere at 1.78x in-suite with no
+    # iso reading). Auto-include every in-suite mover >1.5x vs the PRIOR
+    # round's driver artifact (highest BENCH_r{N}.json), plus any names in
+    # $SPARK_GRAFT_ISO_EXTRA (comma-separated watchlist).
+    import glob
+    import re as _re
+
+    prior: dict[str, float] = {}
+    arts = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
+    )
+    if arts:
+        try:
+            with open(arts[-1]) as fh:
+                prior = (json.load(fh).get("parsed") or {}).get("queries", {})
+        except (OSError, ValueError):
+            prior = {}
+    movers = [
+        q
+        for q, t in in_suite.items()
+        if q not in top and prior.get(q) and t / prior[q] > 1.5
+    ]
+    extra = [
+        q
+        for q in os.environ.get("SPARK_GRAFT_ISO_EXTRA", "").split(",")
+        if q and q in in_suite and q not in top and q not in movers
+    ]
+    top = top + sorted(movers) + extra
     anchor = "star_join_agg"
     iso: dict[str, float] = {}
     anchors: list[float] = []

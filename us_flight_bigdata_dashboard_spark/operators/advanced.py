@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_flight_bigdata_dashboard_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from us_flight_bigdata_dashboard_spark.operators.statistics import _cum_prev
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 N_SALT = 16
@@ -518,10 +519,12 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     join."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     per_key = lineitem.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
-    ranked = per_key.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("l_suppkey").asc())),
-    )
+    ranked = _cum_prev(
+        per_key.withColumn("_negn", -F.col("n")),
+        ["_negn", "l_suppkey"],
+        {"_rp": F.lit(1)},
+        materialize=True,
+    ).withColumn("rk", F.col("_rp") + F.lit(1))
     return ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n").alias("n_rows"),
@@ -562,15 +565,30 @@ def q_histogram_equifreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     would put 90% of mass in two buckets. Total order (price, orderkey)
     makes the tile assignment deterministic for the oracle.
 
-    Scale note: a global NTILE is a single total sort — the honest cost of
-    exact quantile binning. At 100 TB use ``repartitionByRange`` (sampled
-    range partitioner, same result for distinct keys) or approx_percentile
-    edges (the bounds-gated entry) instead of one-partition window sort.
+    Scale note: the exact NTILE comes from the ``_cum_prev`` bucketed
+    global rank in closed form (r14 optimization — no one-partition
+    window sort; the plain-NTILE oracle proves value-identity).
     """
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    binned = orders.select(
-        "o_totalprice", F.ntile(N_EQUIFREQ_BINS).over(w).alias("bin_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    # exact NTILE from the _cum_prev bucketed global rank (r14
+    # optimization — no single-task total sort): q = n DIV k, r = n MOD k,
+    # first r tiles hold q+1 rows — the NTILE definition of both engines.
+    n_tbl = orders.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    rn = F.col("_rp") + F.lit(1)
+    q = F.floor(F.col("_n") / F.lit(N_EQUIFREQ_BINS)).cast("long")
+    r = F.col("_n") % F.lit(N_EQUIFREQ_BINS)
+    big = r * (q + F.lit(1))
+    ntile = (
+        F.when(rn <= big, F.floor((rn - 1) / (q + F.lit(1))))
+        .otherwise(r + F.floor((rn - big - F.lit(1)) / q))
+        + F.lit(1)
+    ).cast("int")
+    binned = (
+        _cum_prev(orders, ["o_totalprice", "o_orderkey"], {"_rp": F.lit(1)})
+        .crossJoin(F.broadcast(n_tbl))
+        .select("o_totalprice", ntile.alias("bin_id"))
     )
     return binned.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_orders"),

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from us_flight_bigdata_dashboard_spark.operators.statistics import _CUM_BUCKETS, _cum_prev
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 QTY_LO, QTY_HI = 1.0, 50.0
@@ -869,37 +870,80 @@ def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); the gap profile (count of gaps > 1, the largest gap and
     its start) uses one lag over the sorted distinct keys — integer
     arithmetic end-to-end, deterministic argmax by (gap desc, key asc).
-    Scale shape: one agg for the closed form + one global sorted window
-    over DISTINCT keys (domain-sized; the ``global_rank_bucketed``
-    prefix-sum decomposition drops in if the key domain outgrows one
-    task)."""
+    Scale shape: one agg for the closed form + the bucketed lag over
+    DISTINCT keys (r14 optimization — the ``global_rank_bucketed``
+    decomposition, no single-task window) + a max_by argmax."""
     orders = load_table(spark, sf_dir, "orders")
-    keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    keys = (
+        orders.select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     summary = keys.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.min("k").cast("long").alias("key_min"),
         F.max("k").cast("long").alias("key_max"),
     )
-    w = Window.orderBy("k")
-    gaps = keys.select(
-        "k", (F.col("k") - F.lag("k", 1).over(w)).cast("long").alias("gap")
-    ).filter(F.col("gap") > 1)
+    # bucketed LAG over the distinct-key order (r14 optimization — no
+    # single-task window): within-bucket lag; each bucket's first row
+    # takes the PREVIOUS non-empty bucket's max key via a ≤1024-row
+    # broadcast; the first global row keeps a NULL gap like the plain LAG.
+    st = keys.agg(F.min("k").alias("_mn"), F.max("k").alias("_mx"))
+    kb = F.coalesce(
+        F.least(
+            F.lit(_CUM_BUCKETS - 1),
+            F.floor(
+                (F.col("k") - F.col("_mn"))
+                * _CUM_BUCKETS
+                / F.nullif(
+                    (F.col("_mx") - F.col("_mn")).cast("double"), F.lit(0.0)
+                )
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    bk = keys.crossJoin(F.broadcast(st)).withColumn("_b", kb).drop("_mn", "_mx")
+    prevs = (
+        bk.groupBy("_b")
+        .agg(F.max("k").alias("_blast"))
+        .select(
+            "_b",
+            F.lag("_blast")
+            .over(Window.partitionBy(F.lit(0)).orderBy("_b"))
+            .alias("_prev_last"),
+        )
+    )
+    gaps = (
+        bk.join(F.broadcast(prevs), "_b")
+        .select(
+            "k",
+            (
+                F.col("k")
+                - F.coalesce(
+                    F.lag("k", 1).over(Window.partitionBy("_b").orderBy("k")),
+                    F.col("_prev_last"),
+                )
+            )
+            .cast("long")
+            .alias("gap"),
+        )
+        .filter(F.col("gap") > 1)
+    )
     gap_stats = gaps.agg(
         F.count(F.lit(1)).cast("long").alias("n_gaps"),
         F.max("gap").cast("long").alias("largest_gap"),
     )
-    w_big = Window.orderBy(F.col("gap").desc(), F.col("k").asc())
     # aggregate (not filter) so a DENSE key space still yields ONE row
-    # with NULLs — a healthy sequence is a result, not an empty frame
-    biggest = (
-        gaps.withColumn("rn", F.row_number().over(w_big))
-        .agg(
-            F.max(
-                F.when(F.col("rn") == 1, (F.col("k") - F.col("gap") + 1))
-            )
-            .cast("long")
-            .alias("largest_gap_start")
+    # with NULLs — a healthy sequence is a result, not an empty frame.
+    # argmax by (gap desc, k asc) via max_by on (gap, -k) — no global
+    # rank window (r14 optimization; (gap, k) pairs are unique).
+    biggest = gaps.agg(
+        F.max_by(
+            F.col("k") - F.col("gap") + 1,
+            F.struct(F.col("gap").alias("g"), (-F.col("k")).alias("nk")),
         )
+        .cast("long")
+        .alias("largest_gap_start")
     )
     out = summary.crossJoin(F.broadcast(gap_stats)).crossJoin(F.broadcast(biggest))
     span = (F.col("key_max") - F.col("key_min") + 1).cast("double")

@@ -44,6 +44,7 @@ from us_flight_bigdata_dashboard_spark.functions.exact import (
     sql_dsum,
     sql_fsum,
 )
+from us_flight_bigdata_dashboard_spark.operators.statistics import _CUM_BUCKETS, _cum_prev
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 
@@ -1278,11 +1279,10 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every NTILE ORDER BY carries c_custkey as the tiebreak —
     without it equal metric values make bucket boundaries
     partition-order-dependent. Scale shape: the fact collapses to ONE row
-    per customer before any window; the unpartitioned NTILEs then run
-    over the customer-sized aggregate — for a customer domain too big for
-    one task, swap in the bucketed global-rank machinery
-    (``breadth.q_global_rank_bucketed``) which computes exactly this
-    without a single-task sort. The max-date scalar broadcasts."""
+    per customer before any window; the NTILEs are computed in closed
+    form from the ``_cum_prev`` bucketed global rank (r14 optimization —
+    no single-task sort; the plain-NTILE oracle proves value-identity).
+    The max-date scalar broadcasts."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1293,15 +1293,51 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = per_cust.crossJoin(F.broadcast(gmax)).withColumn(
         "recency_days", F.datediff(F.col("gmax"), F.col("last_order"))
     )
-    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    rfm = scored.select(
+    # NTILE from the bucketed global rank (r14 optimization — no
+    # single-task sort): with n rows and k tiles, q = n DIV k, r = n MOD k,
+    # the first r tiles hold q+1 rows — the exact NTILE definition both
+    # engines implement, reproduced from (rn, n) in closed form. DESC
+    # orders rank by the exact negation (long/double negation is exact).
+    def _ntile_col(rn, k):
+        n = F.col("_n")
+        q = F.floor(n / F.lit(k)).cast("long")
+        r = n % F.lit(k)
+        big = r * (q + F.lit(1))
+        return (
+            F.when(rn <= big, F.floor((rn - 1) / (q + F.lit(1))))
+            .otherwise(r + F.floor((rn - big - F.lit(1)) / q))
+            + F.lit(1)
+        ).cast("int")
+
+    n_tbl = scored.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    base = (
+        scored.withColumn("_negf", -F.col("frequency"))
+        .withColumn("_negm", -F.col("monetary"))
+        .localCheckpoint(eager=False)
+    )
+    # three INDEPENDENT bucketed ranks over the materialized per-customer
+    # frame (not a nested chain — each axis reads the checkpointed blocks,
+    # and the three rank pipelines can overlap), joined back on custkey
+    r_t = _cum_prev(base, ["recency_days", "o_custkey"], {"_rp_r": F.lit(1)}).select(
+        "o_custkey", "_rp_r"
+    )
+    f_t = _cum_prev(base, ["_negf", "o_custkey"], {"_rp_f": F.lit(1)}).select(
+        "o_custkey", "_rp_f"
+    )
+    m_t = _cum_prev(base, ["_negm", "o_custkey"], {"_rp_m": F.lit(1)}).select(
+        "o_custkey", "monetary", "_rp_m"
+    )
+    ranked3 = (
+        m_t.join(r_t, "o_custkey")
+        .join(f_t, "o_custkey")
+        .crossJoin(F.broadcast(n_tbl))
+    )
+    rfm = ranked3.select(
         "o_custkey",
         "monetary",
-        F.ntile(RFM_BUCKETS).over(r_w).alias("r_score"),
-        F.ntile(RFM_BUCKETS).over(f_w).alias("f_score"),
-        F.ntile(RFM_BUCKETS).over(m_w).alias("m_score"),
+        _ntile_col(F.col("_rp_r") + F.lit(1), RFM_BUCKETS).alias("r_score"),
+        _ntile_col(F.col("_rp_f") + F.lit(1), RFM_BUCKETS).alias("f_score"),
+        _ntile_col(F.col("_rp_m") + F.lit(1), RFM_BUCKETS).alias("m_score"),
     )
     return (
         rfm.groupBy("r_score", "f_score", "m_score")
@@ -1360,9 +1396,9 @@ def q_abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     are DECIMAL (integer arithmetic, association-free), and the share
     thresholds compare by cross-multiplication (cum·100 ≤ total·{ABC_A_PCT})
     — no division, no float anywhere near the cut. Ordering ties break on
-    p_partkey. Per-part revenue collapses the fact first; the
-    unpartitioned running window runs over the part-domain aggregate
-    (same bucketed-rank upgrade path as RFM at larger domains)."""
+    p_partkey. Per-part revenue collapses the fact first; the running
+    share is the ``_cum_prev`` bucketed cumulative over the part-domain
+    aggregate (r14 optimization — no single-task sort)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4)
@@ -1370,11 +1406,14 @@ def q_abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev")
     )
     total = per_part.agg(F.sum("rev").alias("total_rev"))
-    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     classed = (
-        per_part.withColumn("cum", F.sum("rev").over(w))
+        _cum_prev(
+            per_part.withColumn("_negrev", -F.col("rev")),
+            ["_negrev", "l_partkey"],
+            {"_cp": F.col("rev")},
+            materialize=True,
+        )
+        .withColumn("cum", F.col("_cp") + F.col("rev"))
         .crossJoin(F.broadcast(total))
         .withColumn(
             "abc_class",
@@ -1933,7 +1972,8 @@ def q_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure integer rank arithmetic seg = ((rn−1)·3) DIV n + 1 over the
     (revenue, custkey) total order — balanced cuts, no float quantiles —
     and the matrix is exact counts. Scale shape: per-year hash agg +
-    ONE rank sort over active customers each year, a full outer join on
+    ONE ``_cum_prev`` bucketed rank over active customers each year (r14
+    optimization — no single-task sort), a full outer join on
     custkey against the customer dim (key-local), and a ≤16-group agg.
     """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
@@ -1949,12 +1989,15 @@ def q_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("rev")
             )
         )
-        w = Window.orderBy("rev", "o_custkey")
-        wn = Window.partitionBy()
-        ranked = rev.select(
-            "o_custkey",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        n_tbl = rev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        ranked = (
+            _cum_prev(rev, ["rev", "o_custkey"], {"_rp": F.lit(1)}, materialize=True)
+            .crossJoin(F.broadcast(n_tbl))
+            .select(
+                "o_custkey",
+                (F.col("_rp") + F.lit(1)).alias("rn"),
+                "n",
+            )
         )
         return ranked.select(
             F.col("o_custkey").alias("k"),
@@ -2378,11 +2421,20 @@ def q_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap_d").isNotNull())
     )
-    wr = Window.orderBy("gap_d", "o_custkey", "o_orderkey")
-    ranked = gaps.select(
-        "gap_d",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    n_tbl = gaps.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = (
+        _cum_prev(
+            gaps,
+            ["gap_d", "o_custkey", "o_orderkey"],
+            {"_rp": F.lit(1)},
+            materialize=True,
+        )
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            "gap_d",
+            (F.col("_rp") + F.lit(1)).alias("rn"),
+            "n",
+        )
     )
     return ranked.agg(
         F.max("n").alias("n_gaps"),
@@ -2553,13 +2605,49 @@ def q_pareto_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheaper, and an exact-duplicate point correctly CO-SURVIVES (the
     # textbook skyline keeps incomparable ties; a plain min(lag) scan
     # would wrongly drop twins).
-    w = Window.orderBy(F.asc("avg_unit_price"), F.asc("avg_ship_lag")).rowsBetween(
+    # bucketed running MIN (r14 optimization): min is commutative/
+    # associative, so the exclusive-prefix min decomposes exactly like
+    # the _cum_prev sums — per-bucket struct mins, an exclusive prefix
+    # over the <=1024-row bucket table, F.least with the within-bucket
+    # exclusive min (least skips NULLs; both NULL -> NULL, matching the
+    # empty-prefix semantics of the plain window).
+    metrics = metrics.localCheckpoint(eager=False)
+    st = metrics.agg(
+        F.min("avg_unit_price").alias("_mn"), F.max("avg_unit_price").alias("_mx")
+    )
+    pb = F.coalesce(
+        F.least(
+            F.lit(_CUM_BUCKETS - 1),
+            F.floor(
+                (F.col("avg_unit_price") - F.col("_mn"))
+                * _CUM_BUCKETS
+                / F.nullif(
+                    (F.col("_mx") - F.col("_mn")).cast("double"), F.lit(0.0)
+                )
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    bl = metrics.crossJoin(F.broadcast(st)).withColumn("_b", pb).drop("_mn", "_mx")
+    w_boff = Window.partitionBy(F.lit(0)).orderBy("_b").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    run_min = F.min(F.struct("avg_ship_lag", "avg_unit_price")).over(w)
+    offs = (
+        bl.groupBy("_b")
+        .agg(F.min(F.struct("avg_ship_lag", "avg_unit_price")).alias("_bm"))
+        .select("_b", F.min("_bm").over(w_boff).alias("_offmin"))
+    )
+    w_in = Window.partitionBy("_b").orderBy(
+        F.asc("avg_unit_price"), F.asc("avg_ship_lag")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    run_min = F.least(
+        F.col("_offmin"),
+        F.min(F.struct("avg_ship_lag", "avg_unit_price")).over(w_in),
+    )
     cur = F.struct("avg_ship_lag", "avg_unit_price")
     return (
-        metrics.withColumn("_prev_min", run_min)
+        bl.join(F.broadcast(offs), "_b")
+        .withColumn("_prev_min", run_min)
         .filter(F.col("_prev_min").isNull() | (cur <= F.col("_prev_min")))
         .select("l_suppkey", "n_lines", "avg_unit_price", "avg_ship_lag")
         .orderBy("avg_unit_price", "l_suppkey")
@@ -2622,11 +2710,14 @@ def q_abc_xyz_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev")
     )
     total = per_part.agg(F.sum("rev").alias("total_rev"))
-    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     abc = (
-        per_part.withColumn("cum", F.sum("rev").over(w))
+        _cum_prev(
+            per_part.withColumn("_negrev", -F.col("rev")),
+            ["_negrev", "l_partkey"],
+            {"_cp": F.col("rev")},
+            materialize=True,
+        )
+        .withColumn("cum", F.col("_cp") + F.col("rev"))
         .crossJoin(F.broadcast(total))
         .select(
             F.col("l_partkey").alias("pk_a"),

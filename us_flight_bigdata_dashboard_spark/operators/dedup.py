@@ -341,9 +341,21 @@ def q_fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr(f"n_chars DIV {FS_SIZE_BAND}").alias("size_band"),
     )
-    rn = F.row_number().over(Window.orderBy("k", "doc_id"))
-    ranked = docs.select(
-        "doc_id", "lang", "source", "size_band", rn.alias("rn")
+    # SNM rank via the shared bucketed decomposition (r14 optimization —
+    # no single-task global sort). Bucket id = the first two characters'
+    # codepoints (capped at 255): UTF-8 string comparison is codepoint
+    # order, so the id is monotone non-decreasing in k — a coarsening of
+    # the (k, doc_id) total order with ≤65536 bucket ids. Local import:
+    # statistics imports this module at module level (cycle otherwise).
+    from us_flight_bigdata_dashboard_spark.operators.statistics import _cum_prev
+
+    kb = (
+        F.least(F.coalesce(F.ascii(F.substring("k", 1, 1)), F.lit(0)), F.lit(255))
+        * 256
+        + F.least(F.coalesce(F.ascii(F.substring("k", 2, 1)), F.lit(0)), F.lit(255))
+    )
+    ranked = _cum_prev(docs, ["k", "doc_id"], {"_rp": F.lit(1)}, bucket=kb).select(
+        "doc_id", "lang", "source", "size_band", (F.col("_rp") + F.lit(1)).alias("rn")
     )
     a = ranked.select(
         F.col("doc_id").alias("doc_a"),

@@ -35,6 +35,7 @@ from us_flight_bigdata_dashboard_spark.functions.exact import (
     sql_fsum,
 )
 from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
+from us_flight_bigdata_dashboard_spark.operators.statistics import _cum_prev
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 # $10M units: daily revenue cents / 1e9 (see module docstring)
@@ -3449,18 +3450,24 @@ def _sm_tercile(orders: DataFrame, year: int, name: str) -> DataFrame:
             .alias("rev")
         )
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
-    n = Window.partitionBy()
-    # explicit floor: DuckDB's double→INT CAST rounds-to-nearest while
-    # Spark's truncates — floor() is the one both engines agree on
-    return per_cust.select(
-        "o_custkey",
-        F.floor(
-            (F.lit(3) * (F.row_number().over(w) - F.lit(1)))
-            / F.count(F.lit(1)).over(n)
+    n_tbl = per_cust.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # rank via the shared _cum_prev bucketed decomposition (r14
+    # optimization — no single-task sort; DESC order ranks by the exact
+    # long negation). explicit floor: DuckDB's double→INT CAST
+    # rounds-to-nearest while Spark's truncates — floor() is the one
+    # both engines agree on
+    return (
+        _cum_prev(
+            per_cust.withColumn("_negrev", -F.col("rev")),
+            ["_negrev", "o_custkey"],
+            {"_rp": F.lit(1)},
+            materialize=True,
         )
-        .cast("int")
-        .alias(name),
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            "o_custkey",
+            F.floor((F.lit(3) * F.col("_rp")) / F.col("_n")).cast("int").alias(name),
+        )
     )
 
 
@@ -3720,8 +3727,9 @@ def q_odds_ratio_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits NULL odds_ratio (the WOE-undefined case); χ² contributions
     stay defined as long as both classes exist globally.
 
-    Scale shape: one hash agg to the distinct-value frame, one
-    domain-sized cumulative window, one {b}-row agg."""
+    Scale shape: one hash agg to the distinct-value frame, the
+    ``_cum_prev`` bucketed cumulative (r14 optimization), one
+    {b}-row agg."""
     orders = load_table(spark, sf_dir, "orders")
     per_v = (
         orders.select(
@@ -3736,19 +3744,17 @@ def q_odds_ratio_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.lit(1) - F.col("good")).cast("long").alias("b"),
         )
     )
-    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     tot = per_v.agg(
         F.sum(F.col("g") + F.col("b")).cast("long").alias("n"),
         F.sum("g").cast("long").alias("gt"),
         F.sum("b").cast("long").alias("bt"),
     )
     binned = (
-        per_v.select(
+        _cum_prev(per_v, ["v"], {"_t": F.col("g") + F.col("b")}, materialize=True)
+        .select(
             "g",
             "b",
-            F.coalesce(F.sum(F.col("g") + F.col("b")).over(w_prev), F.lit(0))
-            .cast("long")
-            .alias("t"),
+            F.col("_t").cast("long").alias("t"),
         )
         .crossJoin(F.broadcast(tot))
         .select(
@@ -4313,8 +4319,8 @@ def q_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     both classes non-empty).
 
     Scale shape: identical to roc_auc_exact's per-value frame — one
-    value-domain hash agg, one domain-sized cumulative window, one
-    1-row reduce.
+    value-domain hash agg, the ``_cum_prev`` bucketed cumulative
+    (r14 optimization), one 1-row reduce.
 
     Reference analog: none (engine addition, SURVEY.md §2.7)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -4331,13 +4337,9 @@ def q_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.lit(1) - F.col("g1")).cast("long").alias("c0"),
         )
     )
-    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_v.select(
-        "c1",
-        "c0",
-        F.coalesce(F.sum("c1").over(w_prev), F.lit(0)).alias("t1"),
-        F.coalesce(F.sum("c0").over(w_prev), F.lit(0)).alias("t0"),
-    )
+    ranked = _cum_prev(
+        per_v, ["v"], {"t1": F.col("c1"), "t0": F.col("c0")}, materialize=True
+    ).select("c1", "c0", "t1", "t0")
 
     def dec(c):
         return c.cast("decimal(38,0)")
@@ -5382,8 +5384,8 @@ def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
     significance additionally guarded on the measured G = {g}.
 
     Scale shape: one fact x two broadcast dims, one 25-cell train agg,
-    one global rank window over the test fold (the module's documented
-    single-partition rank limitation), one G-row reduce.
+    the ``_cum_prev`` bucketed rank over the test fold (r14
+    optimization — no single-task sort), one G-row reduce.
 
     Reference analog: none (engine addition, SURVEY.md §2.7)."""
     orders = load_table(spark, sf_dir, "orders").select(
@@ -5429,13 +5431,18 @@ def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pnum"),
         )
     )
-    scored = test.join(F.broadcast(rate), ["c_mktsegment", "n_regionkey"])
-    w = Window.orderBy("pnum", "o_custkey", "o_orderkey")
+    scored = test.join(F.broadcast(rate), ["c_mktsegment", "n_regionkey"]).select(
+        "y", "pnum", "o_custkey", "o_orderkey"
+    )
     n_row = scored.agg(F.count(F.lit(1)).cast("long").alias("n_test"))
     binned = (
-        scored.select(
-            "y", "pnum", F.row_number().over(w).cast("long").alias("rn")
+        _cum_prev(
+            scored,
+            ["pnum", "o_custkey", "o_orderkey"],
+            {"_rp": F.lit(1)},
+            materialize=True,
         )
+        .select("y", "pnum", (F.col("_rp") + F.lit(1)).alias("rn"))
         .crossJoin(F.broadcast(n_row))
         .select(
             "y",

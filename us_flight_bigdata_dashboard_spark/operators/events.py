@@ -26,6 +26,7 @@ from us_flight_bigdata_dashboard_spark.functions.exact import (
     sql_fsum,
     with_exact_log2,
 )
+from us_flight_bigdata_dashboard_spark.operators.statistics import _cum_prev
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 SESSION_GAP_MIN = 30
@@ -1062,9 +1063,28 @@ def q_events_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFra
     events = load_table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     total = per_user.agg(F.sum("n_events").alias("total_events"))
-    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
-    deciles = per_user.select(
-        "user_id", "n_events", F.ntile(CONC_BUCKETS).over(w).alias("decile")
+    # NTILE from the _cum_prev bucketed global rank (r14 optimization —
+    # no single-task sort): q = n DIV k, r = n MOD k, first r tiles hold
+    # q+1 rows — the exact NTILE definition of both engines.
+    n_tbl = per_user.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    rn = F.col("_rp") + F.lit(1)
+    q = F.floor(F.col("_n") / F.lit(CONC_BUCKETS)).cast("long")
+    r = F.col("_n") % F.lit(CONC_BUCKETS)
+    big = r * (q + F.lit(1))
+    ntile = (
+        F.when(rn <= big, F.floor((rn - 1) / (q + F.lit(1))))
+        .otherwise(r + F.floor((rn - big - F.lit(1)) / q))
+        + F.lit(1)
+    ).cast("int")
+    deciles = (
+        _cum_prev(
+            per_user.withColumn("_negn", -F.col("n_events")),
+            ["_negn", "user_id"],
+            {"_rp": F.lit(1)},
+            materialize=True,
+        )
+        .crossJoin(F.broadcast(n_tbl))
+        .select("user_id", "n_events", ntile.alias("decile"))
     )
     return (
         deciles.groupBy("decile")
@@ -3028,11 +3048,15 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("first_purchase") - F.col("first_view")).alias("delta_s"),
     )
-    w = Window.orderBy("delta_s", "user_id")
-    ranked = conv.select(
-        "delta_s",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    n_tbl = conv.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = (
+        _cum_prev(conv, ["delta_s", "user_id"], {"_rp": F.lit(1)}, materialize=True)
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            "delta_s",
+            (F.col("_rp") + F.lit(1)).alias("rn"),
+            "n",
+        )
     )
     return ranked.agg(
         F.max("n").alias("n_converters"),

@@ -38,6 +38,7 @@ from us_flight_bigdata_dashboard_spark.functions.exact import (
     sql_dec_to_double,
 )
 from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
+from us_flight_bigdata_dashboard_spark.operators.statistics import _cum_prev
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 # The three return flags — the literal group domain both ANOVA entries
@@ -512,7 +513,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     H = 12/(N(N+1)) · Σ_g (R2_g/2)²/n_g − 3(N+1), with the tie
     correction C = 1 − Σ(c³−c)/(N³−N) and H_adj = H/C. The Σ_g runs
     over the LITERAL five-priority domain as one fixed left-to-right
-    IEEE expression; Σ(c³−c) is an exact BIGINT. Same value-domain
+    IEEE expression; Σ(c³−c) is an exact BIGINT. Same ``_cum_prev``-bucketed value-domain
     window shape (and the same 100 TB bucketed-rank escape notes) as
     ``ks_two_sample``/``mann_whitney_u``."""
     orders = load_table(spark, sf_dir, "orders")
@@ -528,11 +529,10 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_v = per_v.select("v", *[f"c{i}" for i in range(len(_PRIORITIES))],
                          c_tot.alias("c"))
-    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_v.select(
+    ranked = _cum_prev(per_v, ["v"], {"t": F.col("c")}, materialize=True).select(
         *[f"c{i}" for i in range(len(_PRIORITIES))],
         "c",
-        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("t"),
+        "t",
     )
     aggs = [
         F.sum("c").cast("long").alias("n_rows"),
@@ -1614,8 +1614,8 @@ def q_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard.
 
     Scale shape: one per-group sort window for medians, one deviation-
-    domain hash agg (≤50 distinct deviations), one domain-sized
-    cumulative window, one 1-row reduce — same shape as
+    domain hash agg (≤50 distinct deviations), the ``_cum_prev``
+    bucketed cumulative, one 1-row reduce — same shape as
     ``kruskal_wallis``."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
@@ -1647,11 +1647,10 @@ def q_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_d = per_d.select(
         "dev", *[f"c_{f}" for f in _CONOVER_FLAGS], c_tot.alias("c")
     )
-    w_prev = Window.orderBy("dev").rowsBetween(Window.unboundedPreceding, -1)
-    rankedd = per_d.select(
+    rankedd = _cum_prev(per_d, ["dev"], {"t": F.col("c")}, materialize=True).select(
         *[f"c_{f}" for f in _CONOVER_FLAGS],
         "c",
-        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("t"),
+        "t",
     )
     a_int = (F.lit(2) * F.col("t") + F.col("c") + F.lit(1)) * (
         F.lit(2) * F.col("t") + F.col("c") + F.lit(1)
@@ -2228,7 +2227,7 @@ def q_dunn_posthoc_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (g1 < g2 ordering deterministic). Degenerate contract: V ≤ 0 (all
     values tied) → z/significance NULL.
 
-    Scale shape: one (value, group) hash agg + value-domain cumulative
+    Scale shape: one (value, group) hash agg + the ``_cum_prev`` bucketed
     window (the kruskal_wallis frame), one ≤5-row reduce, one ≤10-row
     self-join.
 
@@ -2243,15 +2242,10 @@ def q_dunn_posthoc_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     per_v = per_vz.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
-    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked_v = per_v.select(
+    ranked_v = _cum_prev(per_v, ["v"], {"_t": F.col("cv")}, materialize=True).select(
         "v",
         "cv",
-        (
-            F.lit(2) * F.coalesce(F.sum("cv").over(w_prev), F.lit(0))
-            + F.col("cv")
-            + F.lit(1)
-        ).alias("m"),
+        (F.lit(2) * F.col("_t") + F.col("cv") + F.lit(1)).alias("m"),
     )
 
     def dec(c):
@@ -2523,8 +2517,8 @@ def q_cuzick_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate contract: zero rank variance (all values tied) or zero
     score variance (one group) → z/significance NULL.
 
-    Scale shape: one (value, score) hash agg, one value-domain
-    cumulative window, one 1-row reduce.
+    Scale shape: one (value, score) hash agg, the ``_cum_prev``
+    bucketed cumulative, one 1-row reduce.
 
     Reference analog: none (engine addition, SURVEY.md §2.7)."""
     orders = load_table(spark, sf_dir, "orders").select(
@@ -2533,15 +2527,10 @@ def q_cuzick_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_vz = orders.groupBy("v", "z").agg(F.count(F.lit(1)).cast("long").alias("c"))
     per_v = per_vz.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
-    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked_v = per_v.select(
+    ranked_v = _cum_prev(per_v, ["v"], {"_t": F.col("cv")}, materialize=True).select(
         "v",
         "cv",
-        (
-            F.lit(2) * F.coalesce(F.sum("cv").over(w_prev), F.lit(0))
-            + F.col("cv")
-            + F.lit(1)
-        ).alias("m"),
+        (F.lit(2) * F.col("_t") + F.col("cv") + F.lit(1)).alias("m"),
     )
     cells = per_vz.join(ranked_v, "v")
 

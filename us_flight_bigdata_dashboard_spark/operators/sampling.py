@@ -23,6 +23,7 @@ from us_flight_bigdata_dashboard_spark.operators.dedup import (
 )
 from us_flight_bigdata_dashboard_spark.operators.similarity import _norm, _sql_dot
 from us_flight_bigdata_dashboard_spark.operators.text import _sql_tokens, _tokens
+from us_flight_bigdata_dashboard_spark.operators.statistics import _CUM_BUCKETS, _cum_prev
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 from us_flight_bigdata_dashboard_spark.functions.exact import (
     dec_to_double,
@@ -757,17 +758,17 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: rank is ROW_NUMBER over the unique doc_id — fully
     ordered, no tie ambiguity — and selection is an exact integer
-    congruence. Scale shape: a global sort window at test SF; at 100 TB
-    the identical semantics come from range-partitioned ranking (sort
-    within ingest partitions + partition-offset prefix sums — the
-    ``global_rank_bucketed`` pattern), or directly from the id congruence
-    when ids are dense. Output is |docs|/{k} rows — sample-sized, tiny.
+    congruence. Scale shape: the ``_cum_prev`` bucketed rank (r14
+    optimization — range-partitioned ranking, no single-task sort; the
+    plain ROW_NUMBER oracle proves value-identity). Output is |docs|/{k}
+    rows — sample-sized, tiny.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    rn = F.row_number().over(Window.orderBy("doc_id"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
     return (
-        docs.select("doc_id", "lang", "source", "n_chars", rn.alias("rn"))
-        .filter(F.col("rn") % SYST_K == SYST_OFFSET)
+        _cum_prev(docs, ["doc_id"], {"_rp": F.lit(1)})
+        .filter((F.col("_rp") + F.lit(1)) % SYST_K == SYST_OFFSET)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
@@ -815,8 +816,13 @@ def q_quantile_normalize_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_sv = docs.groupBy("source", "n_chars").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    w_src = Window.partitionBy("source").orderBy("n_chars")
-    cum_s = by_sv.withColumn("cum", F.sum("c").over(w_src))
+    cum_s = _cum_prev(
+        by_sv,
+        ["n_chars"],
+        {"_cp": F.col("c")},
+        group_cols=["source"],
+        materialize=True,
+    ).withColumn("cum", F.col("_cp") + F.col("c"))
     n_s = by_sv.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     deciles = spark.range(1, QNORM_DECILES + 1).select(
         F.col("id").cast("int").alias("decile")
@@ -835,8 +841,9 @@ def q_quantile_normalize_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("n_chars").cast("long").alias("source_value"))
     )
     by_v = docs.groupBy("n_chars").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w_all = Window.orderBy("n_chars")
-    cum_p = by_v.withColumn("cum", F.sum("c").over(w_all))
+    cum_p = _cum_prev(by_v, ["n_chars"], {"_cq": F.col("c")}, materialize=True).withColumn(
+        "cum", F.col("_cq") + F.col("c")
+    )
     n_p = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
     tgt_p = n_p.crossJoin(F.broadcast(deciles)).select(
         "decile",
@@ -1161,17 +1168,16 @@ def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusion weight (valid as 1/π_i while size < step), ONE IEEE
     division of exact integers.
 
-    Scale shape: one cumulative window over doc_id (the
-    ``sample_systematic`` global-window note applies: range-partitioned
-    ranking at 100 TB) + a broadcast 1-row total; output is ≤{n} rows.
+    Scale shape: the ``_cum_prev`` bucketed cumulative over doc_id (r14
+    optimization — no single-task window) + a broadcast 1-row total;
+    output is ≤{n} rows.
 
     Reference analog: none (engine addition, SURVEY.md §2.7)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w_cum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = docs.select(
+    cum = _cum_prev(docs, ["doc_id"], {"_cp": F.col("n_chars")}).select(
         "doc_id",
         "n_chars",
-        F.sum("n_chars").over(w_cum).cast("long").alias("c_hi"),
+        (F.col("_cp") + F.col("n_chars")).cast("long").alias("c_hi"),
     ).select(
         "doc_id",
         "n_chars",
@@ -1614,9 +1620,10 @@ def q_sdr_variance_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-moment identity — every output is one fixed IEEE sequence.
     Degenerate contract: n < 2 → variances NULL.
 
-    Scale shape: one scan + global rank window (the module's documented
-    single-partition rank limitation), a 1/{k} filter, one lag window
-    on the SAMPLE (n/{k} rows), one reduce.
+    Scale shape: one scan + the shared ``_cum_prev`` bucketed rank
+    (hash-prefix buckets — no single-task global sort, r14
+    optimization), a 1/{k} filter, one bucketed lag on the SAMPLE
+    (within-bucket lag + a ≤1024-row boundary broadcast), one reduce.
 
     Reference analog: none (engine addition, SURVEY.md §2.7)."""
     orders = load_table(spark, sf_dir, "orders").select(
@@ -1624,16 +1631,59 @@ def q_sdr_variance_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
         F.md5(F.col("o_orderkey").cast("string")).alias("h"),
     )
-    w = Window.orderBy("h", "o_orderkey")
+    # rank over the (md5-hex, key) order via the shared bucketed rank
+    # decomposition: the first 3 hex chars of the hash are a 4096-way
+    # bucket id that is monotone in the lexicographic hash order (equal-
+    # length lowercase hex), so bucket-prefix + within-bucket order is the
+    # exact global order (r14 optimization; value-identical by the plain
+    # ROW_NUMBER oracle).
+    hb = F.conv(F.substring(F.col("h"), 1, 3), 16, 10)
     sampled = (
-        orders.withColumn("rn", F.row_number().over(w))
+        _cum_prev(orders, ["h", "o_orderkey"], {"_rp": F.lit(1)}, bucket=hb)
+        .withColumn("rn", F.col("_rp") + F.lit(1))
         .filter(F.col("rn") % SDR_K == SDR_OFFSET)
         .select("rn", "cents")
     )
-    ws = Window.orderBy("rn")
-    diffs = sampled.select(
+    # bucketed LAG over the sample order: rn is the exact global sample
+    # rank, so lag(cents) = within-bucket lag, except each bucket's first
+    # row, which takes the PREVIOUS non-empty bucket's last cents
+    # (≤1024-row broadcast); the first global row keeps a NULL diff,
+    # exactly like the plain LAG.
+    sampled = sampled.localCheckpoint(eager=False)
+    st = sampled.agg(F.min("rn").alias("_mn"), F.max("rn").alias("_mx"))
+    rb = F.coalesce(
+        F.least(
+            F.lit(_CUM_BUCKETS - 1),
+            F.floor(
+                (F.col("rn") - F.col("_mn"))
+                * _CUM_BUCKETS
+                / F.nullif(
+                    (F.col("_mx") - F.col("_mn")).cast("double"), F.lit(0.0)
+                )
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    bl = sampled.crossJoin(F.broadcast(st)).withColumn("_b", rb).drop("_mn", "_mx")
+    prevs = (
+        bl.groupBy("_b")
+        .agg(F.max_by("cents", "rn").alias("_blast"))
+        .select(
+            "_b",
+            F.lag("_blast")
+            .over(Window.partitionBy(F.lit(0)).orderBy("_b"))
+            .alias("_prev_last"),
+        )
+    )
+    diffs = bl.join(F.broadcast(prevs), "_b").select(
         "cents",
-        (F.col("cents") - F.lag("cents", 1).over(ws)).alias("d"),
+        (
+            F.col("cents")
+            - F.coalesce(
+                F.lag("cents", 1).over(Window.partitionBy("_b").orderBy("rn")),
+                F.col("_prev_last"),
+            )
+        ).alias("d"),
     )
     red = diffs.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1647,7 +1697,8 @@ def q_sdr_variance_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     mean = F.col("s1").cast("double") / nd
-    var_pop = (nd * dec_to_double(F.col("s2")) - F.col("s1").cast("double") ** 2) / (
+    s1d = F.col("s1").cast("double")
+    var_pop = (nd * dec_to_double(F.col("s2")) - s1d * s1d) / (
         nd * (nd - F.lit(1.0))
     )
     var_srs = var_pop / nd

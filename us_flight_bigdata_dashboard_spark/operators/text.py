@@ -533,16 +533,20 @@ def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "term")
     )
+    # top-k FIRST via TakeOrdered (distributed per-partition top-n; r14
+    # optimization — the rank window now runs over <=VOCAB_SIZE rows, not
+    # the whole vocabulary), then the identical row_number on the survivors
     vocab = (
         tok.groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(VOCAB_SIZE)
         .select(
             "term",
             F.row_number()
             .over(Window.orderBy(F.col("n").desc(), F.col("term").asc()))
             .alias("token_id"),
         )
-        .filter(F.col("token_id") <= VOCAB_SIZE)
     )
     return (
         tok.join(F.broadcast(vocab), "term", "left")
@@ -1299,8 +1303,18 @@ def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
     ).localCheckpoint(eager=True)
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    rank_w = Window.orderBy(F.desc("n"), F.asc("term"))
-    ranks = counts.select("term", F.dense_rank().over(rank_w).alias("term_rank"))
+    # (n, term) is unique per row, so dense_rank == row_number == the
+    # _cum_prev bucketed rank over (-n, term) — no single-task
+    # vocabulary-sized window (r14 optimization). Local import: statistics
+    # imports dedup which imports this module (cycle at module level).
+    from us_flight_bigdata_dashboard_spark.operators.statistics import _cum_prev
+
+    ranks = _cum_prev(
+        counts.withColumn("_negn", -F.col("n")),
+        ["_negn", "term"],
+        {"_rp": F.lit(1)},
+        materialize=True,
+    ).select("term", (F.col("_rp") + F.lit(1)).alias("term_rank"))
     return (
         tok.join(ranks, "term")
         .groupBy("doc_id")
@@ -2608,7 +2622,9 @@ def q_text_zipf_rankfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = uni.agg(F.sum("freq").alias("total"))
     rk = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w")))
     return (
-        uni.crossJoin(F.broadcast(tot))
+        uni.orderBy(F.desc("freq"), F.asc("w"))
+        .limit(ZIPF_TOP)
+        .crossJoin(F.broadcast(tot))
         .select(
             rk.alias("rank"),
             "w",
@@ -2619,7 +2635,6 @@ def q_text_zipf_rankfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("rank")
-        .limit(ZIPF_TOP)
     )
 
 
@@ -3683,10 +3698,9 @@ def q_text_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c_ws")
     )
     wcount = counts.groupBy("t").agg(F.sum("c_ws").cast("long").alias("c_w"))
-    w_top = Window.orderBy(F.col("c_w").desc(), F.col("t").asc())
     top = (
-        wcount.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= DISP_TOP_WORDS)
+        wcount.orderBy(F.col("c_w").desc(), F.col("t").asc())
+        .limit(DISP_TOP_WORDS)
         .select("t", "c_w")
     )
     src_tot = counts.groupBy("source").agg(
@@ -3774,10 +3788,9 @@ def q_text_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c_d")
     )
     wcount = per_doc.groupBy("t").agg(F.sum("c_d").cast("long").alias("c_w"))
-    w_top = Window.orderBy(F.col("c_w").desc(), F.col("t").asc())
     top = (
-        wcount.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= DISP_TOP_WORDS)
+        wcount.orderBy(F.col("c_w").desc(), F.col("t").asc())
+        .limit(DISP_TOP_WORDS)
         .select("t", "c_w")
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
@@ -4252,8 +4265,9 @@ def q_text_ngram_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cont",
             gini.alias("gini_branching"),
         )
+        .orderBy(F.desc("c_w"), F.asc("context"))
+        .limit(NGG_TOP_K)
         .withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= NGG_TOP_K)
         .select("rank", "context", "c_w", "n_cont", "gini_branching")
         .orderBy("rank")
     )
