@@ -441,9 +441,17 @@ def test_kmv_bottom_k_is_tournament(spark):
 
 def test_two_sample_family_plans_are_one_agg_one_window(spark):
     """kuiper/wasserstein share ks_two_sample's shape: ONE fact-sized hash
-    agg into the distinct-value frame, domain-sized windows after. A
-    regression that re-introduces a fact-sized window (the naive per-row
-    ECDF) would blow up at 100 TB while staying correct."""
+    agg into the distinct-value frame, then (since the r14 optimization
+    round) the ``_cum_prev`` bucketed cumulative. The plan contract is now
+    twofold: the only unpartitioned Window nodes are over the bucket-id
+    offset table (``_b`` — bounded at 1024 rows by construction; an
+    unpartitioned window over anything else is a single task that grows
+    with the data, the shape the r14 migration removed), and the exchange
+    count stays inside a small fixed budget (the decomposition adds only
+    domain-sized exchanges: per-bucket totals + the within-bucket window
+    shuffle)."""
+    import re
+
     from us_flight_bigdata_dashboard_spark.operators.statistics import (
         q_kuiper_two_sample,
         q_qq_shift_deciles,
@@ -451,11 +459,14 @@ def test_two_sample_family_plans_are_one_agg_one_window(spark):
     )
     from us_flight_bigdata_dashboard_spark.plans import count_exchanges, plan_str
 
+    # windowspecdefinition(<order> ASC ...) with no leading partition
+    # column, except the constant-size offset table ordered by _b
+    unpartitioned = re.compile(r"windowspecdefinition\((?!_b#)[^,()]*\s(ASC|DESC)")
     for q in (q_kuiper_two_sample, q_wasserstein_two_sample, q_qq_shift_deciles):
         df = q(spark, SF_DIR)
-        # agg shuffle + the single-partition domain window + 1-row joins:
-        # small fixed budget, no per-row window exchange
-        assert count_exchanges(df) <= 5, plan_str(df)
+        plan = plan_str(df)
+        assert not unpartitioned.search(plan), plan
+        assert count_exchanges(df) <= 16, plan
 
 
 def test_adamic_adar_no_self_join_no_smj(spark):

@@ -907,10 +907,7 @@ def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bk.groupBy("_b")
         .agg(F.max("k").alias("_blast"))
         .select(
-            "_b",
-            F.lag("_blast")
-            .over(Window.partitionBy(F.lit(0)).orderBy("_b"))
-            .alias("_prev_last"),
+            "_b", F.lag("_blast").over(Window.orderBy("_b")).alias("_prev_last")
         )
     )
     gaps = (

@@ -2629,9 +2629,7 @@ def q_pareto_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     )
     bl = metrics.crossJoin(F.broadcast(st)).withColumn("_b", pb).drop("_mn", "_mx")
-    w_boff = Window.partitionBy(F.lit(0)).orderBy("_b").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    w_boff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offs = (
         bl.groupBy("_b")
         .agg(F.min(F.struct("avg_ship_lag", "avg_unit_price")).alias("_bm"))

@@ -1669,10 +1669,7 @@ def q_sdr_variance_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bl.groupBy("_b")
         .agg(F.max_by("cents", "rn").alias("_blast"))
         .select(
-            "_b",
-            F.lag("_blast")
-            .over(Window.partitionBy(F.lit(0)).orderBy("_b"))
-            .alias("_prev_last"),
+            "_b", F.lag("_blast").over(Window.orderBy("_b")).alias("_prev_last")
         )
     )
     diffs = bl.join(F.broadcast(prevs), "_b").select(

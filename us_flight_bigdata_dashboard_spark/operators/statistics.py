@@ -698,11 +698,11 @@ def _cum_prev(
     per_b = bucketed.groupBy(*gcols, "_b").agg(
         *[F.sum(expr).alias(f"_s_{name}") for name, expr in sums.items()]
     )
-    # constant-key partition spec: execution is identical (one partition of
-    # <= n_buckets rows per group) but the empty-spec WindowExec warning no
-    # longer fires in the gate logs
+    # the offset-table window is the one unpartitioned window left: it is
+    # bounded at n_buckets rows (per group) by construction, so the
+    # single-partition WindowExec it plans into is a constant-size task
     w_off = (
-        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(0))
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy()
     ).orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = per_b.select(
         *gcols,
@@ -4028,10 +4028,7 @@ def q_wasserstein_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_c.groupBy("_b")
         .agg(F.min("cents").alias("_bmin"))
         .select(
-            "_b",
-            F.lead("_bmin")
-            .over(Window.partitionBy(F.lit(0)).orderBy("_b"))
-            .alias("_next_min"),
+            "_b", F.lead("_bmin").over(Window.orderBy("_b")).alias("_next_min")
         )
     )
     cum = bucketed_c.join(F.broadcast(nxt), "_b").select(
