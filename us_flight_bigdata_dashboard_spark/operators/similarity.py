@@ -2614,26 +2614,112 @@ def q_embedding_triplet_violations(spark: SparkSession, sf_dir: str) -> DataFram
     the first of the next two — deterministic on both engines, no
     sampling RNG); cosines are the house sequential-fold dot products.
 
-    Scale shape: two keyed windows over the vector table + one
-    per-label agg — no pair joins, no cross joins; at 100 TB swap the
-    single global-order window for the bucketed-rank decomposition.
-    Violation counts are exact integers; the rate is one division."""
+    Scale shape (r14 optimization): the leads run on vec_id-range
+    BUCKETS (the ``_cum_prev`` grid) — within-bucket lead windows plus
+    two small boundary tables (per bucket: the first two global rows;
+    per (label, bucket): the label's first row) broadcast back, so each
+    bucket-boundary row takes its successors from the following buckets.
+    No data-proportional single-task window remains; the plain-LEAD
+    oracle proves the decomposition value-identical. Violation counts
+    are exact integers; the rate is one division."""
     from pyspark.sql import Window
+
+    from us_flight_bigdata_dashboard_spark.operators.statistics import _CUM_BUCKETS
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
-    w_lab = Window.partitionBy("label").orderBy("vec_id")
-    w_all = Window.orderBy("vec_id")
-    trip = emb.select(
-        "vec_id",
+    st = emb.agg(F.min("vec_id").alias("_mn"), F.max("vec_id").alias("_mx"))
+    b = F.coalesce(
+        F.least(
+            F.lit(_CUM_BUCKETS - 1),
+            F.floor(
+                (F.col("vec_id") - F.col("_mn"))
+                * _CUM_BUCKETS
+                / F.nullif(
+                    (F.col("_mx") - F.col("_mn")).cast("double"), F.lit(0.0)
+                )
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    bk = (
+        emb.crossJoin(F.broadcast(st))
+        .withColumn("_b", b)
+        .drop("_mn", "_mx")
+        .localCheckpoint(eager=False)
+    )
+    # global boundary spine: each bucket's first two rows in vec_id order;
+    # bucket b's rows beyond its end are then lead(f1), lead(f2) over the
+    # <=1024-row bucket table (a 1-row-short next bucket falls through to
+    # the bucket after: lead(f1, 2))
+    w_in = Window.partitionBy("_b").orderBy("vec_id")
+    firsts = (
+        bk.withColumn("_rk", F.row_number().over(w_in))
+        .filter(F.col("_rk") <= 2)
+        .groupBy("_b")
+        .agg(
+            F.max(F.when(F.col("_rk") == 1, F.struct("embedding", "label"))).alias(
+                "_f1"
+            ),
+            F.max(F.when(F.col("_rk") == 2, F.struct("embedding", "label"))).alias(
+                "_f2"
+            ),
+        )
+    )
+    w_b = Window.orderBy("_b")
+    nexts = firsts.select(
+        "_b",
+        F.lead("_f1", 1).over(w_b).alias("_nx1"),
+        F.coalesce(F.lead("_f2", 1).over(w_b), F.lead("_f1", 2).over(w_b)).alias(
+            "_nx2"
+        ),
+    )
+    # per-label boundary spine: the label's first row per bucket; the
+    # label's next row after bucket b is lead over its own bucket sequence
+    lab_firsts = (
+        bk.withColumn(
+            "_rkl", F.row_number().over(Window.partitionBy("label", "_b").orderBy("vec_id"))
+        )
+        .filter(F.col("_rkl") == 1)
+        .select("label", "_b", F.col("embedding").alias("_lf1"))
+    )
+    lab_nexts = lab_firsts.select(
         "label",
-        F.col("embedding").alias("a"),
-        F.lead("embedding", 1).over(w_lab).alias("pos"),
-        F.lead("embedding", 1).over(w_all).alias("n1"),
-        F.lead("label", 1).over(w_all).alias("l1"),
-        F.lead("embedding", 2).over(w_all).alias("n2"),
-        F.lead("label", 2).over(w_all).alias("l2"),
+        "_b",
+        F.lead("_lf1", 1)
+        .over(Window.partitionBy("label").orderBy("_b"))
+        .alias("_lnx"),
+    )
+    w_lab = Window.partitionBy("label", "_b").orderBy("vec_id")
+    w_all = Window.partitionBy("_b").orderBy("vec_id")
+    has1 = F.lead("vec_id", 1).over(w_all).isNotNull()
+    has2 = F.lead("vec_id", 2).over(w_all).isNotNull()
+    trip = (
+        bk.join(F.broadcast(nexts), "_b", "left")
+        .join(F.broadcast(lab_nexts), ["label", "_b"], "left")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").alias("a"),
+            F.coalesce(F.lead("embedding", 1).over(w_lab), F.col("_lnx")).alias(
+                "pos"
+            ),
+            F.when(has1, F.lead("embedding", 1).over(w_all))
+            .otherwise(F.col("_nx1.embedding"))
+            .alias("n1"),
+            F.when(has1, F.lead("label", 1).over(w_all))
+            .otherwise(F.col("_nx1.label"))
+            .alias("l1"),
+            F.when(has2, F.lead("embedding", 2).over(w_all))
+            .when(has1, F.col("_nx1.embedding"))
+            .otherwise(F.col("_nx2.embedding"))
+            .alias("n2"),
+            F.when(has2, F.lead("label", 2).over(w_all))
+            .when(has1, F.col("_nx1.label"))
+            .otherwise(F.col("_nx2.label"))
+            .alias("l2"),
+        )
     ).select(
         "vec_id",
         "label",

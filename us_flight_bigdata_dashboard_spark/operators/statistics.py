@@ -1615,7 +1615,14 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
     )
-    cells = li.groupBy("g", "x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    # cells feeds BOTH rank builds and the two joins below (4 consumers);
+    # materialize the tie-compressed frame once instead of re-running the
+    # fact aggregation per consumer (guide §5)
+    cells = (
+        li.groupBy("g", "x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
 
     def doubled_ranks(col: str, alias: str) -> DataFrame:
         per_v = cells.groupBy("g", col).agg(F.sum("cnt").alias("c"))
