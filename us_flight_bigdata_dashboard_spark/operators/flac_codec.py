@@ -105,20 +105,42 @@ def make_flac_writer(pcm_fn=None):
         import hashlib as _hashlib
         import struct as _struct
 
+        import numpy as _np
+
+        # Table-driven CRCs (r15): one 256-entry table per polynomial,
+        # built once per task — same polynomials, same values, ~8× fewer
+        # Python-level operations than the per-bit loops they replace.
+        def _make_crc8_table():
+            tab = []
+            for byte in range(256):
+                c = byte
+                for _ in range(8):
+                    c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+                tab.append(c)
+            return tab
+
+        def _make_crc16_table():
+            tab = []
+            for byte in range(256):
+                c = byte << 8
+                for _ in range(8):
+                    c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+                tab.append(c)
+            return tab
+
+        _CRC8_T = _make_crc8_table()
+        _CRC16_T = _make_crc16_table()
+
         def crc8(data: bytes) -> int:
             c = 0
             for byte in data:
-                c ^= byte
-                for _ in range(8):
-                    c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+                c = _CRC8_T[c ^ byte]
             return c
 
         def crc16(data: bytes) -> int:
             c = 0
             for byte in data:
-                c ^= byte << 8
-                for _ in range(8):
-                    c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+                c = ((c << 8) & 0xFFFF) ^ _CRC16_T[(c >> 8) ^ byte]
             return c
 
         class BitWriter:
@@ -130,10 +152,13 @@ def make_flac_writer(pcm_fn=None):
             def write(self, value: int, nbits: int) -> None:
                 self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
                 self.nbits += nbits
-                while self.nbits >= 8:
-                    self.nbits -= 8
-                    self.buf.append((self.acc >> self.nbits) & 0xFF)
-                self.acc &= (1 << self.nbits) - 1
+                nb = self.nbits >> 3
+                if nb:
+                    # flush all whole bytes at once (identical bytes to
+                    # the one-at-a-time loop; r15 bulk-emission support)
+                    self.nbits -= 8 * nb
+                    self.buf += (self.acc >> self.nbits).to_bytes(nb, "big")
+                    self.acc &= (1 << self.nbits) - 1
 
             def write_unary(self, q: int) -> None:
                 # FLAC unary: q zero bits, then a one bit
@@ -150,42 +175,40 @@ def make_flac_writer(pcm_fn=None):
                 assert self.nbits == 0
                 return bytes(self.buf)
 
-        def fixed_residuals(x: list[int], order: int) -> list[int]:
-            if order == 0:
-                return list(x)
-            if order == 1:
-                return [x[i] - x[i - 1] for i in range(1, len(x))]
-            return [x[i] - 2 * x[i - 1] + x[i - 2] for i in range(2, len(x))]
-
-        def rice_cost(res: list[int], p: int) -> int:
-            bits = 0
-            for r in res:
-                u = (r << 1) if r >= 0 else ((-r) << 1) - 1
-                bits += (u >> p) + 1 + p
-            return bits
+        _sq_idx = _np.arange(FLAC_SAMPLES, dtype=_np.int64)
+        _sq_term = _sq_idx * _sq_idx * _PCM_SQ
 
         def encode_one(mid: int) -> bytes:
+            # r15 vectorization: PCM synthesis, the order-0/1/2 residual
+            # magnitudes, the Rice-parameter sweep, and the residual
+            # bitstream are all numpy array math now; the emitted BYTES
+            # are identical (test_byte_determinism + the unchanged oracle
+            # prove it), only the per-sample Python loops are gone.
             x = pcm_fn(mid) if pcm_fn is not None else None
             if x is None:
-                x = [
-                    ((mid * _PCM_MUL + i * i * _PCM_SQ) % 65536) - 65536
-                    if (mid * _PCM_MUL + i * i * _PCM_SQ) % 65536 >= 32768
-                    else (mid * _PCM_MUL + i * i * _PCM_SQ) % 65536
-                    for i in range(FLAC_SAMPLES)
-                ]
+                u0 = (mid * _PCM_MUL + _sq_term) % 65536
+                xa = _np.where(u0 >= 32768, u0 - 65536, u0)
+            else:
+                xa = _np.asarray(list(x), dtype=_np.int64)
+            x = xa.tolist()
             n = len(x)
-            pcm_bytes = b"".join(_struct.pack("<h", s) for s in x)
+            pcm_bytes = xa.astype("<i2").tobytes()
             md5 = _hashlib.md5(pcm_bytes).digest()
 
-            # pick FIXED order 0-2 by total residual magnitude (standard)
-            best_order, best_res, best_mag = 0, list(x), None
-            for order in range(3):
-                res = fixed_residuals(x, order)
-                mag = sum(abs(r) for r in res)
-                if best_mag is None or mag < best_mag:
-                    best_order, best_res, best_mag = order, res, mag
-            # rice parameter by exhaustive bit-count minimization
-            best_p = min(range(15), key=lambda p: rice_cost(best_res, p))
+            # pick FIXED order 0-2 by total residual magnitude (standard;
+            # ties keep the LOWEST order, matching np.argmin's first-min)
+            cands = [xa, _np.diff(xa), _np.diff(xa, n=2)]
+            mags = [int(_np.abs(c).sum()) for c in cands]
+            best_order = int(_np.argmin(mags))
+            best_res = cands[best_order]
+            # rice parameter by exhaustive bit-count minimization (first
+            # minimal p wins, as before) — all 15 sweeps in one 2-D sum
+            u_res = _np.where(best_res >= 0, best_res << 1, ((-best_res) << 1) - 1)
+            _ps = _np.arange(15, dtype=_np.int64)
+            costs = (u_res[None, :] >> _ps[:, None]).sum(axis=1) + len(u_res) * (
+                1 + _ps
+            )
+            best_p = int(_np.argmin(costs))
 
             # ---- frame ----
             bw = BitWriter()
@@ -212,11 +235,29 @@ def make_flac_writer(pcm_fn=None):
             bw.write(0b00, 2)  # residual method: 4-bit rice
             bw.write(0, 4)  # partition order 0
             bw.write(best_p, 4)  # rice parameter
-            for r in best_res:
-                u = (r << 1) if r >= 0 else ((-r) << 1) - 1
-                bw.write_unary(u >> best_p)
+            # Rice-code ALL residuals as one numpy bit array → one bulk
+            # BitWriter.write (identical bit sequence to the per-residual
+            # unary+binary loop: q zero bits, a one bit, then the p-bit
+            # remainder, per residual in order).
+            if len(u_res):
+                q = (u_res >> best_p).astype(_np.int64)
+                lens = q + 1 + best_p
+                starts = _np.concatenate(([0], _np.cumsum(lens)[:-1]))
+                total = int(lens.sum())
+                bits = _np.zeros(total, dtype=_np.uint8)
+                bits[starts + q] = 1
                 if best_p:
-                    bw.write(u & ((1 << best_p) - 1), best_p)
+                    shifts = _np.arange(best_p - 1, -1, -1, dtype=_np.int64)
+                    binmat = ((u_res[:, None] >> shifts[None, :]) & 1).astype(
+                        _np.uint8
+                    )
+                    idx = (starts + q + 1)[:, None] + _np.arange(best_p)[None, :]
+                    bits[idx.ravel()] = binmat.ravel()
+                packed = _np.packbits(bits)
+                big = int.from_bytes(packed.tobytes(), "big") >> (
+                    (8 - total % 8) % 8
+                )
+                bw.write(big, total)
             bw.align()
             frame_wo_crc = hdr + bw.bytes()
             frame = frame_wo_crc + _struct.pack(">H", crc16(frame_wo_crc))
@@ -255,49 +296,82 @@ def make_flac_decoder():
     PCM's MD5 against STREAMINFO's stored digest (``md5_ok``)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import bisect as _bisect
         import hashlib as _hashlib
         import struct as _struct
+
+        import numpy as _np
+
+        # Table-driven CRCs (r15): same polynomials/values as the per-bit
+        # loops they replace, one table lookup per byte.
+        def _make_crc8_table():
+            tab = []
+            for byte in range(256):
+                c = byte
+                for _ in range(8):
+                    c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+                tab.append(c)
+            return tab
+
+        def _make_crc16_table():
+            tab = []
+            for byte in range(256):
+                c = byte << 8
+                for _ in range(8):
+                    c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+                tab.append(c)
+            return tab
+
+        _CRC8_T = _make_crc8_table()
+        _CRC16_T = _make_crc16_table()
 
         def crc8(data: bytes) -> int:
             c = 0
             for byte in data:
-                c ^= byte
-                for _ in range(8):
-                    c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+                c = _CRC8_T[c ^ byte]
             return c
 
         def crc16(data: bytes) -> int:
             c = 0
             for byte in data:
-                c ^= byte << 8
-                for _ in range(8):
-                    c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+                c = ((c << 8) & 0xFFFF) ^ _CRC16_T[(c >> 8) ^ byte]
             return c
 
         class BitReader:
+            """r15: the whole payload becomes ONE big integer (bit reads
+            are a shift+mask instead of a per-bit Python loop) plus a
+            sorted set-bit position index (unary reads are a binary
+            search instead of a bit-at-a-time scan). Same bit semantics,
+            same error messages on truncation/runaway."""
+
             def __init__(self, data: bytes, pos_bits: int = 0):
                 self.data = data
                 self.pos = pos_bits
-
-            def bit(self) -> int:
-                if (self.pos >> 3) >= len(self.data):
-                    raise ValueError("truncated FLAC stream: bits exhausted")
-                b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
-                self.pos += 1
-                return b
+                self.nbits = len(data) * 8
+                self.big = int.from_bytes(data, "big")
+                self.ones = _np.flatnonzero(
+                    _np.unpackbits(_np.frombuffer(data, dtype=_np.uint8))
+                ).tolist()
 
             def bits(self, n: int) -> int:
-                v = 0
-                for _ in range(n):
-                    v = (v << 1) | self.bit()
+                if self.pos + n > self.nbits:
+                    raise ValueError("truncated FLAC stream: bits exhausted")
+                v = (self.big >> (self.nbits - self.pos - n)) & ((1 << n) - 1)
+                self.pos += n
                 return v
 
+            def bit(self) -> int:
+                return self.bits(1)
+
             def unary(self) -> int:
-                q = 0
-                while self.bit() == 0:
-                    q += 1
-                    if q > 1 << 20:
-                        raise ValueError("runaway unary code")
+                i = _bisect.bisect_left(self.ones, self.pos)
+                if i >= len(self.ones):
+                    raise ValueError("truncated FLAC stream: bits exhausted")
+                nxt = self.ones[i]
+                q = nxt - self.pos
+                if q > 1 << 20:
+                    raise ValueError("runaway unary code")
+                self.pos = nxt + 1
                 return q
 
         def signed(v: int, nbits: int) -> int:
@@ -384,10 +458,33 @@ def make_flac_decoder():
             p = br.bits(4)
             if p == 0b1111:
                 raise ValueError("rice escape not produced here")
+            # Rice residual decode in one tight local loop (r15): next
+            # unary terminator via bisect over the set-bit index, the
+            # p-bit remainder via one shift+mask of the payload big-int —
+            # same bits, same truncation/runaway errors as the
+            # method-per-bit path it replaces.
             res = []
+            ones, big, nbits = br.ones, br.big, br.nbits
+            pos, mask = br.pos, (1 << p) - 1
+            bl_ = _bisect.bisect_left
             for _ in range(blocksize - order):
-                u = (br.unary() << p) | (br.bits(p) if p else 0)
+                i = bl_(ones, pos)
+                if i >= len(ones):
+                    raise ValueError("truncated FLAC stream: bits exhausted")
+                nxt = ones[i]
+                q = nxt - pos
+                if q > 1 << 20:
+                    raise ValueError("runaway unary code")
+                pos = nxt + 1
+                if p:
+                    if pos + p > nbits:
+                        raise ValueError("truncated FLAC stream: bits exhausted")
+                    u = (q << p) | ((big >> (nbits - pos - p)) & mask)
+                    pos += p
+                else:
+                    u = q
                 res.append((u >> 1) if (u & 1) == 0 else -((u + 1) >> 1))
+            br.pos = pos
 
             # reconstruct
             x = list(warmup)
@@ -409,7 +506,14 @@ def make_flac_decoder():
             if crc16(b[frame_start:end]) != crc_stored:
                 raise ValueError("frame CRC-16 mismatch")
 
-            pcm_bytes = b"".join(_struct.pack("<h", s) for s in x)
+            xa = _np.asarray(x, dtype=_np.int64)
+            if xa.size and (xa.min() < -32768 or xa.max() > 32767):
+                # out-of-range reconstruction (possible only on corrupt
+                # input that also passed CRC): keep the original struct
+                # path so the error surface is unchanged
+                pcm_bytes = b"".join(_struct.pack("<h", s) for s in x)
+            else:
+                pcm_bytes = xa.astype("<i2").tobytes()
             md5_ok = _hashlib.md5(pcm_bytes).digest() == stored_md5
             if total != len(x):
                 raise ValueError("STREAMINFO total-samples disagrees with frame")

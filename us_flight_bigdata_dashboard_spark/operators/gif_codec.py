@@ -91,42 +91,60 @@ def make_gif_writer(pixel_fn=None, palette=None):
             # Hot path: int-keyed chain dict ((prefix_code<<8)|byte — root
             # strings are implicit) + byte-accumulator LSB-first packing.
             # A bytes-keyed dict with per-bit emission measured ~10× slower
-            # over the sf0.1 corpus (SCALE probe, round 6).
+            # over the sf0.1 corpus (SCALE probe, round 6). r15: the
+            # ``emit`` closure is inlined into the loop with local-variable
+            # packing state (same codes, same bytes — closure-call overhead
+            # per emitted code was ~40% of encode time).
             clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
             table: dict[int, int] = {}
             next_code, width = eoi + 1, min_code_size + 1
             acc, nbits, out = 0, 0, bytearray()
+            out_append = out.append
+            tget = table.get
             it = iter(data)
 
-            def emit(code: int, w: int):
-                nonlocal acc, nbits
-                acc |= code << nbits  # LSB-first packing
-                nbits += w
-                while nbits >= 8:
-                    out.append(acc & 0xFF)
-                    acc >>= 8
-                    nbits -= 8
-
-            emit(clear, width)
+            # emit(clear, width)
+            acc |= clear << nbits
+            nbits += width
+            while nbits >= 8:
+                out_append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
             w_code = next(it)  # a root code == its byte value
             for ch in it:
                 key = (w_code << 8) | ch
-                nxt = table.get(key)
+                nxt = tget(key)
                 if nxt is not None:
                     w_code = nxt
                     continue
-                emit(w_code, width)
+                acc |= w_code << nbits  # emit(w_code, width)
+                nbits += width
+                while nbits >= 8:
+                    out_append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
                 if next_code < 4096:
                     table[key] = next_code
                     next_code += 1
                     if next_code == (1 << width) and width < 12:
                         width += 1
                 else:  # table full → reset (classic, non-deferred)
-                    emit(clear, width)
+                    acc |= clear << nbits  # emit(clear, width)
+                    nbits += width
+                    while nbits >= 8:
+                        out_append(acc & 0xFF)
+                        acc >>= 8
+                        nbits -= 8
                     table = {}
+                    tget = table.get
                     next_code, width = eoi + 1, min_code_size + 1
                 w_code = ch
-            emit(w_code, width)
+            acc |= w_code << nbits  # emit(w_code, width)
+            nbits += width
+            while nbits >= 8:
+                out_append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
             # Tail width sync (hypothesis-found, round 10): the decoder
             # still INSERTS upon this final data code (the encoder has no
             # following char so it skipped its insert), so when that
@@ -139,16 +157,28 @@ def make_gif_writer(pixel_fn=None, palette=None):
             # the decoder does NOT insert) can never false-trigger this.
             if next_code == (1 << width) - 1 and width < 12:
                 width += 1
-            emit(eoi, width)
+            acc |= eoi << nbits  # emit(eoi, width)
+            nbits += width
+            while nbits >= 8:
+                out_append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
             if nbits:
-                out.append(acc & 0xFF)
+                out_append(acc & 0xFF)
             return bytes(out)
 
+        import numpy as _np
+
+        _run_idx = _np.arange(GIF_W * GIF_H, dtype=_np.int64) // GIF_RUN
+
         def encode_one(mid: int) -> bytes:
-            px = pixel_fn(mid) if pixel_fn is not None else [
-                (mid * _PX_MUL + (i // GIF_RUN) * _PX_STEP) % 256
-                for i in range(GIF_W * GIF_H)
-            ]
+            px = (
+                pixel_fn(mid)
+                if pixel_fn is not None
+                else ((mid * _PX_MUL + _run_idx * _PX_STEP) % 256)
+                .astype(_np.uint8)
+                .tobytes()
+            )
             pal = palette if palette is not None else [(i, i, i) for i in range(256)]
             out = bytearray(b"GIF89a")
             # logical screen descriptor: GCT present, 8-bit color, 256 entries
@@ -189,31 +219,32 @@ def make_gif_decoder():
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
 
+        import numpy as _np
+
         def lzw_decode(comp: bytes, min_code_size: int, n_expected: int) -> bytes:
             clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
             # byte-accumulator LSB-first reader (per-bit loops measured ~10×
-            # slower over the sf0.1 corpus — SCALE probe, round 6)
+            # slower over the sf0.1 corpus — SCALE probe, round 6); r15:
+            # the ``read`` closure is inlined with local packing state
+            # (same codes, same errors — closure-call overhead per code
+            # was ~30% of decode time)
             acc, nbits, bi = 0, 0, 0
-
-            def read(width: int) -> int:
-                nonlocal acc, nbits, bi
-                while nbits < width:
-                    if bi >= len(comp):
-                        raise ValueError("truncated LZW stream")
-                    acc |= comp[bi] << nbits
-                    bi += 1
-                    nbits += 8
-                v = acc & ((1 << width) - 1)
-                acc >>= width
-                nbits -= width
-                return v
+            n_comp = len(comp)
 
             table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
             width = min_code_size + 1
             out = bytearray()
             prev: bytes | None = None
             while True:
-                code = read(width)
+                while nbits < width:  # code = read(width)
+                    if bi >= n_comp:
+                        raise ValueError("truncated LZW stream")
+                    acc |= comp[bi] << nbits
+                    bi += 1
+                    nbits += 8
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
                 if code == clear:
                     table = table[: eoi + 1]
                     width = min_code_size + 1
@@ -281,15 +312,21 @@ def make_gif_decoder():
             if b[pos] != 0x3B:
                 raise ValueError("missing trailer")
             idx = lzw_decode(bytes(comp), min_code_size, iw * ih)
-            if any(i >= gct_size for i in idx):
+            idx_arr = _np.frombuffer(idx, dtype=_np.uint8)
+            if idx_arr.size and int(idx_arr.max()) >= gct_size:
                 raise ValueError("pixel index outside color table")
             # integer luminance through the palette (exact: ÷1000 deferred
-            # to the aggregate domain by keeping the ×1000 sum)
-            lums = [
-                299 * pal[i][0] + 587 * pal[i][1] + 114 * pal[i][2] for i in idx
-            ]
-            sum_lum = sum(lums)
-            sum_sq = sum(v * v for v in lums)
+            # to the aggregate domain by keeping the ×1000 sum) — one
+            # 256-entry palette gather instead of a per-pixel Python
+            # loop (r15; sums are exact int64: lum ≤ 255,000, squares
+            # ≤ 6.6e10, × 3072 pixels ≪ 2⁶³)
+            pal_lum = _np.array(
+                [299 * r + 587 * g + 114 * bl for r, g, bl in pal],
+                dtype=_np.int64,
+            )
+            lums = pal_lum[idx_arr]
+            sum_lum = int(lums.sum())
+            sum_sq = int((lums * lums).sum())
             return iw, ih, len(idx), sum_lum, sum_sq
 
         for pdf in batches:

@@ -177,13 +177,9 @@ def make_jpeg_writer(width: int, height: int, pixel_fn=None):
     blocks_w, blocks_h = width // 8, height // 8
 
     def default_pixels(mid, _np):
-        px = _np.zeros((height, width), dtype=_np.uint8)
-        for br in range(blocks_h):
-            for bc in range(blocks_w):
-                b = br * blocks_w + bc
-                v = 128 + ((mid * 7 + b * 13) % 128)
-                px[br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8] = v
-        return px
+        b = _np.arange(blocks_h * blocks_w, dtype=_np.int64)
+        v = (128 + ((mid * 7 + b * 13) % 128)).astype(_np.uint8)
+        return v.reshape(blocks_h, blocks_w).repeat(8, axis=0).repeat(8, axis=1)
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -216,12 +212,16 @@ def make_jpeg_writer(width: int, height: int, pixel_fn=None):
             def put(self, value, length):
                 self.acc = (self.acc << length) | (value & ((1 << length) - 1))
                 self.nbits += length
-                while self.nbits >= 8:
-                    byte = (self.acc >> (self.nbits - 8)) & 0xFF
-                    self.out.append(byte)
-                    if byte == 0xFF:  # byte stuffing
-                        self.out.append(0x00)
-                    self.nbits -= 8
+                nb = self.nbits >> 3
+                if nb:
+                    # flush whole bytes in bulk; byte stuffing via one
+                    # replace (identical bytes to the per-byte loop)
+                    self.nbits -= 8 * nb
+                    chunk = (self.acc >> self.nbits).to_bytes(nb, "big")
+                    self.acc &= (1 << self.nbits) - 1
+                    if b"\xff" in chunk:
+                        chunk = chunk.replace(b"\xff", b"\xff\x00")
+                    self.out += chunk
 
             def flush(self):
                 if self.nbits:
@@ -324,6 +324,7 @@ def make_jpeg_decoder():
     in the chain fails the closed-form oracle."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
         import struct
 
         import numpy as _np
@@ -331,6 +332,7 @@ def make_jpeg_decoder():
 
         basis = _np.array(DCT_BASIS_LOCAL, dtype=_np.int64)
         zz = ZIGZAG_LOCAL
+        zz_arr = _np.array(zz, dtype=_np.int64)
 
         def build_codes(bits, vals):
             table, code, k = {}, 0, 0
@@ -341,6 +343,29 @@ def make_jpeg_decoder():
                     k += 1
                 code <<= 1
             return table
+
+        # r15: every image in a task carries the same DHT bytes (the
+        # writer always emits Annex-K), so cache the reconstructed code
+        # dict per raw segment, plus an 8-bit PEEK table (code-prefix →
+        # (symbol, length) for every code ≤ 8 bits — prefix-free codes
+        # make the peek resolution identical to the bit-at-a-time walk;
+        # longer codes fall back to it).
+        _code_cache: dict[bytes, tuple] = {}
+
+        def build_codes_cached(seg: bytes, bits, vals):
+            hit = _code_cache.get(seg)
+            if hit is not None:
+                return hit
+            full = build_codes(bits, vals)
+            peek = [None] * 256
+            for (length, code), val in full.items():
+                if length <= 8:
+                    base = code << (8 - length)
+                    for sfx in range(1 << (8 - length)):
+                        peek[base | sfx] = (val, length)
+            out = (full, peek)
+            _code_cache[seg] = out
+            return out
 
         def parse(b):
             if b[:2] != b"\xff\xd8":
@@ -381,7 +406,9 @@ def make_jpeg_decoder():
                         bits = list(payload[p + 1 : p + 17])
                         nv = sum(bits)
                         vals = list(payload[p + 17 : p + 17 + nv])
-                        huff[(cls_id >> 4, cls_id & 0xF)] = build_codes(bits, vals)
+                        huff[(cls_id >> 4, cls_id & 0xF)] = build_codes_cached(
+                            bytes(payload[p : p + 17 + nv]), bits, vals
+                        )
                         p += 17 + nv
                 elif marker == 0xDA:  # SOS → entropy data follows
                     dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
@@ -390,50 +417,65 @@ def make_jpeg_decoder():
                 pos += 2 + seglen
             raise ValueError("no SOS found")
 
+        _scan_end_re = _re.compile(rb"\xff(?!\x00)")
+
         def unstuff(b, start):
-            out = bytearray()
-            i = start
-            while i < len(b):
-                if b[i] == 0xFF:
-                    nxt = b[i + 1] if i + 1 < len(b) else None
-                    if nxt == 0x00:
-                        out.append(0xFF)
-                        i += 2
-                        continue
-                    if nxt == 0xD9:
-                        break
-                    if nxt is None:
-                        raise ValueError("truncated scan: dangling 0xFF")
-                    raise ValueError(f"unexpected marker FF{nxt:02x} in scan")
-                out.append(b[i])
-                i += 1
-            return bytes(out)
+            # r15: locate the first non-stuffed 0xFF with one regex scan
+            # and unstuff with one bytes.replace — same bytes, same error
+            # classes/messages as the per-byte loop it replaces.
+            m = _scan_end_re.search(b, start)
+            if m is None:
+                return b[start:].replace(b"\xff\x00", b"\xff")
+            i = m.start()
+            nxt = b[i + 1] if i + 1 < len(b) else None
+            if nxt is None:
+                raise ValueError("truncated scan: dangling 0xFF")
+            if nxt != 0xD9:
+                raise ValueError(f"unexpected marker FF{nxt:02x} in scan")
+            return b[start:i].replace(b"\xff\x00", b"\xff")
 
         class BitReader:
+            """r15: the unstuffed scan becomes ONE big integer; bit reads
+            are a shift+mask instead of a per-bit indexing loop."""
+
             def __init__(self, data):
                 self.data = data
                 self.pos = 0
-
-            def bit(self):
-                if (self.pos >> 3) >= len(self.data):
-                    raise ValueError("truncated entropy data: bit stream exhausted")
-                byte = self.data[self.pos >> 3]
-                b = (byte >> (7 - (self.pos & 7))) & 1
-                self.pos += 1
-                return b
+                self.nbits = len(data) * 8
+                self.big = int.from_bytes(data, "big")
 
             def bits(self, n):
-                v = 0
-                for _ in range(n):
-                    v = (v << 1) | self.bit()
+                if self.pos + n > self.nbits:
+                    raise ValueError("truncated entropy data: bit stream exhausted")
+                v = (self.big >> (self.nbits - self.pos - n)) & ((1 << n) - 1)
+                self.pos += n
                 return v
 
+            def bit(self):
+                return self.bits(1)
+
+            def peek8(self):
+                avail = self.nbits - self.pos
+                if avail >= 8:
+                    return (self.big >> (avail - 8)) & 0xFF
+                if avail <= 0:
+                    return 0
+                return (self.big & ((1 << avail) - 1)) << (8 - avail)
+
         def huff_decode(br, table):
+            full, peek = table
+            hit = peek[br.peek8()]
+            if hit is not None:
+                val, length = hit
+                if br.pos + length > br.nbits:
+                    raise ValueError("truncated entropy data: bit stream exhausted")
+                br.pos += length
+                return val
             code, length = 0, 0
             while length < 17:
                 code = (code << 1) | br.bit()
                 length += 1
-                sym = table.get((length, code))
+                sym = full.get((length, code))
                 if sym is not None:
                     return sym
             raise ValueError("invalid Huffman code")
@@ -452,37 +494,44 @@ def make_jpeg_decoder():
                 dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
                 br_ = BitReader(unstuff(b, scan_at))
                 bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-                img = _np.zeros((bh_ * 8, bw_ * 8), dtype=_np.int64)
                 prev_dc = 0
-                for blk_r in range(bh_):
-                    for blk_c in range(bw_):
-                        z = [0] * 64
-                        size = huff_decode(br_, dc_tab)
-                        diff = extend(br_.bits(size), size) if size else 0
-                        prev_dc += diff
-                        z[0] = prev_dc
-                        i = 1
-                        while i < 64:
-                            sym = huff_decode(br_, ac_tab)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                i += 16
-                                continue
-                            run, size = sym >> 4, sym & 0xF
-                            i += run
-                            if i > 63:
-                                raise ValueError("AC index overflow")
-                            z[i] = extend(br_.bits(size), size)
-                            i += 1
-                        Fn = _np.zeros((8, 8), dtype=_np.int64)
-                        for i in range(64):
-                            Fn.flat[zz[i]] = z[i]
-                        Fn *= Q
-                        blk = ((basis.T @ Fn @ basis + (1 << 25)) >> 26) + 128
-                        img[
-                            blk_r * 8 : blk_r * 8 + 8, blk_c * 8 : blk_c * 8 + 8
-                        ] = _np.clip(blk, 0, 255)
+                # entropy-decode every block's zigzag coefficients first,
+                # then do dezigzag + dequantize + IDCT + clip for ALL
+                # blocks in one batched numpy pass (r15 — the per-block
+                # 8×8 matmuls and flat-index loops dominated decode time)
+                zrows = []
+                for _ in range(bh_ * bw_):
+                    z = [0] * 64
+                    size = huff_decode(br_, dc_tab)
+                    diff = extend(br_.bits(size), size) if size else 0
+                    prev_dc += diff
+                    z[0] = prev_dc
+                    i = 1
+                    while i < 64:
+                        sym = huff_decode(br_, ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            i += 16
+                            continue
+                        run, size = sym >> 4, sym & 0xF
+                        i += run
+                        if i > 63:
+                            raise ValueError("AC index overflow")
+                        z[i] = extend(br_.bits(size), size)
+                        i += 1
+                    zrows.append(z)
+                zarr = _np.array(zrows, dtype=_np.int64).reshape(len(zrows), 64)
+                Fn = _np.zeros((bh_ * bw_, 64), dtype=_np.int64)
+                Fn[:, zz_arr] = zarr
+                Fn = Fn.reshape(-1, 8, 8) * Q
+                blk = ((basis.T @ Fn @ basis + (1 << 25)) >> 26) + 128
+                img = (
+                    _np.clip(blk, 0, 255)
+                    .reshape(bh_, bw_, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(bh_ * 8, bw_ * 8)
+                )
                 return w, h, bw_ * bh_, int(img[:h, :w].sum())
 
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):

@@ -103,22 +103,31 @@ def make_rle():
     bytes follow."""
 
     def rle_encode(vals, np) -> bytes:
+        # Vectorized run detection (r15): find the zero/nonzero run
+        # boundaries with one diff over the whole value array, then emit
+        # each run in the SAME greedy ≤128 chunking as the scalar loop —
+        # byte-identical output, no per-value Python iteration.
+        vals = np.asarray(vals)
+        n = len(vals)
+        if n == 0:
+            return b""
+        z = vals == 0
+        change = np.flatnonzero(z[1:] != z[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
         out = bytearray()
-        i, n = 0, len(vals)
-        while i < n:
-            if vals[i] == 0:
-                j = i
-                while j < n and vals[j] == 0 and j - i < 128:
-                    j += 1
-                out.append(j - i - 1)
-                i = j
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if z[s]:
+                left = e - s
+                while left > 128:
+                    out.append(127)
+                    left -= 128
+                out.append(left - 1)
             else:
-                j = i
-                while j < n and vals[j] != 0 and j - i < 128:
-                    j += 1
-                out.append(0x80 | (j - i - 1))
-                out.extend(int(x) for x in vals[i:j])
-                i = j
+                for k in range(s, e, 128):
+                    chunk = vals[k : min(k + 128, e)]
+                    out.append(0x80 | (len(chunk) - 1))
+                    out += chunk.astype(np.uint8).tobytes()
         return bytes(out)
 
     def rle_decode(buf: bytes, pos: int, count: int, np):
@@ -165,14 +174,6 @@ def make_sgv_encoder():
         import numpy as _np
         import pandas as _pd
 
-        def blocks_of(plane):
-            # (n_blocks, B, B) view in row-major block order
-            return [
-                plane[by : by + SGV_B, bx : bx + SGV_B]
-                for by in range(0, SGV_H, SGV_B)
-                for bx in range(0, SGV_W, SGV_B)
-            ]
-
         def encode_media(m: int) -> bytes:
             frames = _scene_planes(m, _np)
             out = bytearray(SGV_MAGIC)
@@ -186,25 +187,36 @@ def make_sgv_encoder():
                 else:
                     # full-search block matching over ALL torus shifts of
                     # the previous decoded frame (lossless ⇒ prev decoded
-                    # == prev original); first minimal (dy, dx) wins
+                    # == prev original); first minimal (dy, dx) wins.
+                    # r15 vectorization: cand[sy,sx] == 2×2-tiled prev's
+                    # window at (sy, sx) — a zero-copy strided VIEW
+                    # (replaces 256 np.roll allocations per frame), and
+                    # the per-pixel |cand − cur| tensor is computed once
+                    # for the whole frame; every block's SAD map is a
+                    # reshape-sum of it. argmin stays row-major, so the
+                    # first-minimal (sy, sx) tie-break is unchanged.
+                    tiled = _np.tile(prev.astype(_np.int16), (2, 2))
+                    s0, s1 = tiled.strides
+                    cand = _np.lib.stride_tricks.as_strided(
+                        tiled,
+                        shape=(SGV_H, SGV_W, SGV_H, SGV_W),
+                        strides=(s0, s1, s0, s1),
+                    )
+                    dpix = _np.abs(cand - cur.astype(_np.int16))
+                    # (H, W, nbh, B, nbw, B) → per-shift per-block SADs
+                    sads = dpix.reshape(
+                        SGV_H, SGV_W, SGV_H // SGV_B, SGV_B, SGV_W // SGV_B, SGV_B
+                    ).sum(axis=(3, 5))
                     mvs, residuals = [], []
-                    cand = _np.empty((SGV_H, SGV_W, SGV_H, SGV_W), dtype=_np.int64)
-                    for sy in range(SGV_H):
-                        for sx in range(SGV_W):
-                            # candidate prediction plane for shift (sx, sy):
-                            # pred(x,y) = prev((y+sy)%H, (x+sx)%W)
-                            cand[sy, sx] = _np.roll(prev, (-sy, -sx), axis=(0, 1))
-                    cur_blocks = blocks_of(cur)
                     for bi in range(SGV_BLOCKS):
-                        by = (bi // (SGV_W // SGV_B)) * SGV_B
-                        bx = (bi % (SGV_W // SGV_B)) * SGV_B
-                        cb = cur_blocks[bi]
-                        sad = _np.abs(
-                            cand[:, :, by : by + SGV_B, bx : bx + SGV_B] - cb
-                        ).sum(axis=(2, 3))
-                        best = int(sad.argmin())  # row-major: first minimal (sy, sx)
+                        byi, bxi = divmod(bi, SGV_W // SGV_B)
+                        by, bx = byi * SGV_B, bxi * SGV_B
+                        cb = cur[by : by + SGV_B, bx : bx + SGV_B]
+                        best = int(sads[:, :, byi, bxi].argmin())  # row-major: first minimal (sy, sx)
                         sy, sx = divmod(best, SGV_W)
-                        pred = cand[sy, sx, by : by + SGV_B, bx : bx + SGV_B]
+                        pred = cand[sy, sx, by : by + SGV_B, bx : bx + SGV_B].astype(
+                            _np.int64
+                        )
                         residuals.append(((cb - pred) % 256).ravel())
                         mvs.append((sx, sy))
                     body = b"".join(bytes(mv) for mv in mvs) + _rle_encode(
