@@ -575,21 +575,21 @@ def q_histogram_equifreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact NTILE from the _cum_prev bucketed global rank (r14
     # optimization — no single-task total sort): q = n DIV k, r = n MOD k,
     # first r tiles hold q+1 rows — the NTILE definition of both engines.
-    n_tbl = orders.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # n comes from the decomposition's own offset table (with_totals, r15
+    # optimization) instead of a separate full-scan count aggregation.
+    n = F.col("_rp_tot")
     rn = F.col("_rp") + F.lit(1)
-    q = F.floor(F.col("_n") / F.lit(N_EQUIFREQ_BINS)).cast("long")
-    r = F.col("_n") % F.lit(N_EQUIFREQ_BINS)
+    q = F.floor(n / F.lit(N_EQUIFREQ_BINS)).cast("long")
+    r = n % F.lit(N_EQUIFREQ_BINS)
     big = r * (q + F.lit(1))
     ntile = (
         F.when(rn <= big, F.floor((rn - 1) / (q + F.lit(1))))
         .otherwise(r + F.floor((rn - big - F.lit(1)) / q))
         + F.lit(1)
     ).cast("int")
-    binned = (
-        _cum_prev(orders, ["o_totalprice", "o_orderkey"], {"_rp": F.lit(1)})
-        .crossJoin(F.broadcast(n_tbl))
-        .select("o_totalprice", ntile.alias("bin_id"))
-    )
+    binned = _cum_prev(
+        orders, ["o_totalprice", "o_orderkey"], {"_rp": F.lit(1)}, with_totals=True
+    ).select("o_totalprice", ntile.alias("bin_id"))
     return binned.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.min("o_totalprice").alias("bin_lo"),

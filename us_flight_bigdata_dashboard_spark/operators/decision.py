@@ -1309,7 +1309,6 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1)
         ).cast("int")
 
-    n_tbl = scored.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     base = (
         scored.withColumn("_negf", -F.col("frequency"))
         .withColumn("_negm", -F.col("monetary"))
@@ -1317,21 +1316,20 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three INDEPENDENT bucketed ranks over the materialized per-customer
     # frame (not a nested chain — each axis reads the checkpointed blocks,
-    # and the three rank pipelines can overlap), joined back on custkey
-    r_t = _cum_prev(base, ["recency_days", "o_custkey"], {"_rp_r": F.lit(1)}).select(
-        "o_custkey", "_rp_r"
-    )
+    # and the three rank pipelines can overlap), joined back on custkey.
+    # n (the NTILE closed form's row count) comes from the r-axis
+    # decomposition's own offset table (with_totals, r15 optimization)
+    # instead of a separate re-aggregation of the per-customer frame.
+    r_t = _cum_prev(
+        base, ["recency_days", "o_custkey"], {"_rp_r": F.lit(1)}, with_totals=True
+    ).select("o_custkey", "_rp_r", F.col("_rp_r_tot").alias("_n"))
     f_t = _cum_prev(base, ["_negf", "o_custkey"], {"_rp_f": F.lit(1)}).select(
         "o_custkey", "_rp_f"
     )
     m_t = _cum_prev(base, ["_negm", "o_custkey"], {"_rp_m": F.lit(1)}).select(
         "o_custkey", "monetary", "_rp_m"
     )
-    ranked3 = (
-        m_t.join(r_t, "o_custkey")
-        .join(f_t, "o_custkey")
-        .crossJoin(F.broadcast(n_tbl))
-    )
+    ranked3 = m_t.join(r_t, "o_custkey").join(f_t, "o_custkey")
     rfm = ranked3.select(
         "o_custkey",
         "monetary",

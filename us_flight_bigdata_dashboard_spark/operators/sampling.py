@@ -1639,10 +1639,12 @@ def q_sdr_variance_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ROW_NUMBER oracle).
     hb = F.conv(F.substring(F.col("h"), 1, 3), 16, 10)
     sampled = (
-        _cum_prev(orders, ["h", "o_orderkey"], {"_rp": F.lit(1)}, bucket=hb)
+        _cum_prev(
+            orders, ["h", "o_orderkey"], {"_rp": F.lit(1)}, bucket=hb, with_totals=True
+        )
         .withColumn("rn", F.col("_rp") + F.lit(1))
         .filter(F.col("rn") % SDR_K == SDR_OFFSET)
-        .select("rn", "cents")
+        .select("rn", "cents", "_rp_tot")
     )
     # bucketed LAG over the sample order: rn is the exact global sample
     # rank, so lag(cents) = within-bucket lag, except each bucket's first
@@ -1650,21 +1652,25 @@ def q_sdr_variance_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (≤1024-row broadcast); the first global row keeps a NULL diff,
     # exactly like the plain LAG.
     sampled = sampled.localCheckpoint(eager=False)
-    st = sampled.agg(F.min("rn").alias("_mn"), F.max("rn").alias("_mx"))
+    # The lag-bucket grid's [min, max] over the sampled ranks is known in
+    # closed form from the total row count n (_rp_tot, carried from the
+    # rank decomposition's offset table — r15 optimization): the sampled
+    # ranks are {OFFSET, OFFSET+K, ...}, so min = OFFSET and
+    # max = n − ((n − OFFSET) mod K). This removes the separate min/max
+    # aggregation over the sample and its broadcast cross join.
+    _mx = F.col("_rp_tot") - (F.col("_rp_tot") - F.lit(SDR_OFFSET)) % F.lit(SDR_K)
     rb = F.coalesce(
         F.least(
             F.lit(_CUM_BUCKETS - 1),
             F.floor(
-                (F.col("rn") - F.col("_mn"))
+                (F.col("rn") - F.lit(SDR_OFFSET))
                 * _CUM_BUCKETS
-                / F.nullif(
-                    (F.col("_mx") - F.col("_mn")).cast("double"), F.lit(0.0)
-                )
+                / F.nullif((_mx - F.lit(SDR_OFFSET)).cast("double"), F.lit(0.0))
             ),
         ).cast("int"),
         F.lit(0),
     )
-    bl = sampled.crossJoin(F.broadcast(st)).withColumn("_b", rb).drop("_mn", "_mx")
+    bl = sampled.withColumn("_b", rb).drop("_rp_tot")
     prevs = (
         bl.groupBy("_b")
         .agg(F.max_by("cents", "rn").alias("_blast"))

@@ -617,6 +617,75 @@ ORDER BY category
 _CUM_BUCKETS = 1024
 
 
+def _bucketize(df, vname, gcols, n_buckets, bucket, equidepth=False):
+    """Attach the decomposition's bucket id ``_b``: monotone non-decreasing
+    in ``vname`` within each group, ties share a bucket, cardinality ≤
+    ``n_buckets``. Three grids:
+
+    - ``bucket`` Column given → caller-supplied id (non-numeric keys).
+    - default → fixed VALUE-RANGE grid ``floor((v − min)·B/(max − min))``
+      (min/max from one broadcast agg). Right for roughly uniform keys;
+      on a heavy-tailed key most rows share a few buckets and the
+      within-bucket window re-grows toward the single-task straggler
+      (guide §2.5's skew caveat — the r14 verdict's one scale hole).
+    - ``equidepth=True`` → EQUI-DEPTH grid from ``approx_percentile``:
+      B−1 quantile edges (one broadcast 1-row-per-group agg), bucket id =
+      #edges ≤ v (sorted edges ⇒ monotone in v; equal v ⇒ equal id).
+      Each bucket holds ~1/B of the ROWS regardless of the key's shape,
+      so a Zipf/log-normal key cannot recreate the straggler. Costs one
+      sketch agg instead of min/max; use it where the caller's key
+      distribution is skewed (audited per call site in
+      OPTIMIZATION_r15.md). Results are value-identical under ANY of the
+      three grids — the decomposition never depends on bucket boundaries.
+    """
+    v = F.col(vname)
+    if bucket is not None:
+        return df.withColumn("_b", bucket.cast("int"))
+    if equidepth:
+        edges = F.percentile_approx(
+            vname,
+            F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)]),
+            10_000,
+        ).alias("_edges")
+        stats = df.groupBy(*gcols).agg(edges) if gcols else df.agg(edges)
+        b = F.aggregate(
+            F.col("_edges"),
+            F.lit(0),
+            lambda acc, e: acc + F.when(v >= e, 1).otherwise(0),
+        ).cast("int")
+        based = (
+            df.join(F.broadcast(stats), gcols)
+            if gcols
+            else df.crossJoin(F.broadcast(stats))
+        )
+        return based.withColumn("_b", F.coalesce(b, F.lit(0))).drop("_edges")
+    if gcols:
+        stats = df.groupBy(*gcols).agg(
+            F.min(vname).alias("_mn"), F.max(vname).alias("_mx")
+        )
+    else:
+        stats = df.agg(F.min(vname).alias("_mn"), F.max(vname).alias("_mx"))
+    b = F.coalesce(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (v - F.col("_mn"))
+                * n_buckets
+                / F.nullif(
+                    (F.col("_mx") - F.col("_mn")).cast("double"), F.lit(0.0)
+                )
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    based = (
+        df.join(F.broadcast(stats), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(stats))
+    )
+    return based.withColumn("_b", b).drop("_mn", "_mx")
+
+
 def _cum_prev(
     df: DataFrame,
     order_cols,
@@ -625,6 +694,8 @@ def _cum_prev(
     n_buckets: int = _CUM_BUCKETS,
     bucket=None,
     materialize: bool = False,
+    with_totals: bool = False,
+    equidepth: bool = False,
 ):
     """Exclusive running sums over the (per-``group_cols``) ``order_cols``
     order without a data-proportional single-task window.
@@ -661,40 +732,20 @@ def _cum_prev(
     §3.3/§5: materialize reused intermediates). Leave False when the
     input is a bare scan projection: re-scanning pruned parquet columns
     is cheaper than materializing the fact table.
+
+    ``with_totals`` additionally emits, per ``sums`` entry, a
+    ``{name}_tot`` column holding the per-group GRAND total of the
+    addend, computed as one more frame over the same ≤``n_buckets``-row
+    offset table — zero extra passes over ``df``. Callers that previously
+    ran a separate count/sum aggregation of the input just to learn n
+    (NTILE closed forms, sample-rank grids) read it from here instead
+    (r15 optimization, guide §2.4: one full scan saved per caller).
     """
     if materialize:
         df = df.localCheckpoint(eager=False)
     gcols = list(group_cols)
     vname = order_cols[0]
-    v = F.col(vname)
-    if bucket is not None:
-        bucketed = df.withColumn("_b", bucket.cast("int"))
-    else:
-        if gcols:
-            stats = df.groupBy(*gcols).agg(
-                F.min(vname).alias("_mn"), F.max(vname).alias("_mx")
-            )
-        else:
-            stats = df.agg(F.min(vname).alias("_mn"), F.max(vname).alias("_mx"))
-        b = F.coalesce(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor(
-                    (v - F.col("_mn"))
-                    * n_buckets
-                    / F.nullif(
-                        (F.col("_mx") - F.col("_mn")).cast("double"), F.lit(0.0)
-                    )
-                ),
-            ).cast("int"),
-            F.lit(0),
-        )
-        based = (
-            df.join(F.broadcast(stats), gcols)
-            if gcols
-            else df.crossJoin(F.broadcast(stats))
-        )
-        bucketed = based.withColumn("_b", b).drop("_mn", "_mx")
+    bucketed = _bucketize(df, vname, gcols, n_buckets, bucket, equidepth)
     per_b = bucketed.groupBy(*gcols, "_b").agg(
         *[F.sum(expr).alias(f"_s_{name}") for name, expr in sums.items()]
     )
@@ -704,6 +755,9 @@ def _cum_prev(
     w_off = (
         Window.partitionBy(*gcols) if gcols else Window.partitionBy()
     ).orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    ).orderBy("_b").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     offsets = per_b.select(
         *gcols,
         "_b",
@@ -713,6 +767,14 @@ def _cum_prev(
             )
             for name in sums
         ],
+        *(
+            [
+                F.sum(f"_s_{name}").over(w_tot).alias(f"{name}_tot")
+                for name in sums
+            ]
+            if with_totals
+            else []
+        ),
     )
     w_in = Window.partitionBy(*gcols, "_b").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, -1
