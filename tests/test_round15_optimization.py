@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from us_flight_bigdata_dashboard_spark.operators.statistics import (
     _bucketize,
     _cum_prev,
+    _rank_prev_tied,
 )
 
 
@@ -84,6 +85,42 @@ def test_cum_prev_with_totals_matches_count_and_window(spark):
         "v", "k", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("t")
     )
     assert _canon(out.select("v", "k", "c", "t")) == _canon(want)
+
+
+def test_rank_prev_tied_matches_plain_window(spark):
+    """Tie-heavy key (3 distinct values over 600 rows — the class the r15
+    skew audit found live in rfm/hosmer/activity_concentration): the
+    two-level tie decomposition must equal the plain-window exclusive
+    rank over (v, k) exactly, and with_totals must equal the row count."""
+    rows = [(v, k) for k in range(200) for v in (1, 1, 5)][:600]
+    rows = [(v, i) for i, (v, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "v LONG, k INT")
+    got = _rank_prev_tied(df, "v", ["k"], "r", n_buckets=16, with_totals=True)
+    w = Window.partitionBy(F.lit(0)).orderBy("v", "k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = df.select("v", "k", F.coalesce(F.sum(F.lit(1)).over(w), F.lit(0)).alias("r"))
+    assert _canon(got.select("v", "k", "r")) == _canon(want)
+    assert {r["r_tot"] for r in got.select("r_tot").distinct().collect()} == {600}
+
+
+def test_rank_prev_tied_grouped(spark):
+    rows = [(g, v, k) for g in (1, 2) for k in range(30) for v in (7, 7, 7, 9)]
+    rows = [(g, v, i) for i, (g, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "g INT, v LONG, k INT")
+    got = _rank_prev_tied(
+        df, "v", ["k"], "r", group_cols=["g"], n_buckets=8, with_totals=True
+    )
+    w = Window.partitionBy("g").orderBy("v", "k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = df.select(
+        "g", "v", "k", F.coalesce(F.sum(F.lit(1)).over(w), F.lit(0)).alias("r")
+    )
+    assert _canon(got.select("g", "v", "k", "r")) == _canon(want)
+    per_g = {r["g"]: r["c"] for r in df.groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for r in got.select("g", "r_tot").distinct().collect():
+        assert r["r_tot"] == per_g[r["g"]]
 
 
 def test_cum_prev_with_totals_grouped(spark):

@@ -44,7 +44,11 @@ from us_flight_bigdata_dashboard_spark.functions.exact import (
     sql_dsum,
     sql_fsum,
 )
-from us_flight_bigdata_dashboard_spark.operators.statistics import _CUM_BUCKETS, _cum_prev
+from us_flight_bigdata_dashboard_spark.operators.statistics import (
+    _CUM_BUCKETS,
+    _cum_prev,
+    _rank_prev_tied,
+)
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 
@@ -1323,7 +1327,12 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_t = _cum_prev(
         base, ["recency_days", "o_custkey"], {"_rp_r": F.lit(1)}, with_totals=True
     ).select("o_custkey", "_rp_r", F.col("_rp_r_tot").alias("_n"))
-    f_t = _cum_prev(base, ["_negf", "o_custkey"], {"_rp_f": F.lit(1)}).select(
+    # the frequency axis is TIE-HEAVY (the r15 skew audit measured 13% of
+    # all customers sharing one order-count bucket at sf0.1 — a grid on
+    # the count alone cannot split ties), so its rank uses the two-level
+    # tie decomposition: distinct-count offsets + within-count custkey
+    # rank. Value-identical (lexicographic-rank definition; same oracle).
+    f_t = _rank_prev_tied(base, "_negf", ["o_custkey"], "_rp_f").select(
         "o_custkey", "_rp_f"
     )
     m_t = _cum_prev(base, ["_negm", "o_custkey"], {"_rp_m": F.lit(1)}).select(

@@ -35,7 +35,7 @@ from us_flight_bigdata_dashboard_spark.functions.exact import (
     sql_fsum,
 )
 from us_flight_bigdata_dashboard_spark.operators.dedup import _sql_hex_to_int
-from us_flight_bigdata_dashboard_spark.operators.statistics import _cum_prev
+from us_flight_bigdata_dashboard_spark.operators.statistics import _cum_prev, _rank_prev_tied
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 # $10M units: daily revenue cents / 1e9 (see module docstring)
@@ -5434,16 +5434,27 @@ def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = test.join(F.broadcast(rate), ["c_mktsegment", "n_regionkey"]).select(
         "y", "pnum", "o_custkey", "o_orderkey"
     )
-    n_row = scored.agg(F.count(F.lit(1)).cast("long").alias("n_test"))
+    # pnum is TIE-HEAVY (≤25 distinct quantized rates over the whole test
+    # fold — the r15 skew audit measured 4.9% of rows in one bucket under
+    # a pnum-only grid), so the rank uses the two-level tie decomposition
+    # (distinct-pnum offsets + within-pnum key rank); n_test comes from
+    # the same distinct-pnum frame (with_totals), dropping the separate
+    # count aggregation and its broadcast cross join. Value-identical.
     binned = (
-        _cum_prev(
+        _rank_prev_tied(
             scored,
-            ["pnum", "o_custkey", "o_orderkey"],
-            {"_rp": F.lit(1)},
+            "pnum",
+            ["o_custkey", "o_orderkey"],
+            "_rp",
             materialize=True,
+            with_totals=True,
         )
-        .select("y", "pnum", (F.col("_rp") + F.lit(1)).alias("rn"))
-        .crossJoin(F.broadcast(n_row))
+        .select(
+            "y",
+            "pnum",
+            F.col("_rp_tot").alias("n_test"),
+            (F.col("_rp") + F.lit(1)).alias("rn"),
+        )
         .select(
             "y",
             "pnum",

@@ -26,7 +26,7 @@ from us_flight_bigdata_dashboard_spark.functions.exact import (
     sql_fsum,
     with_exact_log2,
 )
-from us_flight_bigdata_dashboard_spark.operators.statistics import _cum_prev
+from us_flight_bigdata_dashboard_spark.operators.statistics import _cum_prev, _rank_prev_tied
 from us_flight_bigdata_dashboard_spark.sources.catalog import load_table
 
 SESSION_GAP_MIN = 30
@@ -1061,31 +1061,36 @@ def q_events_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFra
     domains, as in RFM); shares divide exact integers against a broadcast
     1-row total."""
     events = load_table(spark, sf_dir, "events")
-    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    # one lazily-materialized per-user rollup feeds the rank, the NTILE
+    # count AND the grand total (r15: total/n were separate re-aggregations
+    # of the events fact before)
+    per_user = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("_negn", -F.col("n_events"))
+        .localCheckpoint(eager=False)
+    )
     total = per_user.agg(F.sum("n_events").alias("total_events"))
-    # NTILE from the _cum_prev bucketed global rank (r14 optimization —
-    # no single-task sort): q = n DIV k, r = n MOD k, first r tiles hold
-    # q+1 rows — the exact NTILE definition of both engines.
-    n_tbl = per_user.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # NTILE from the bucketed global rank (r14 optimization — no
+    # single-task sort): q = n DIV k, r = n MOD k, first r tiles hold
+    # q+1 rows — the exact NTILE definition of both engines. The event
+    # count is TIE-HEAVY (the r15 skew audit measured 5.5% of users in
+    # one count bucket), so the rank uses the two-level tie decomposition
+    # (distinct-count offsets + within-count user_id rank); n comes from
+    # the same distinct-count frame (with_totals). Value-identical.
     rn = F.col("_rp") + F.lit(1)
-    q = F.floor(F.col("_n") / F.lit(CONC_BUCKETS)).cast("long")
-    r = F.col("_n") % F.lit(CONC_BUCKETS)
+    n = F.col("_rp_tot")
+    q = F.floor(n / F.lit(CONC_BUCKETS)).cast("long")
+    r = n % F.lit(CONC_BUCKETS)
     big = r * (q + F.lit(1))
     ntile = (
         F.when(rn <= big, F.floor((rn - 1) / (q + F.lit(1))))
         .otherwise(r + F.floor((rn - big - F.lit(1)) / q))
         + F.lit(1)
     ).cast("int")
-    deciles = (
-        _cum_prev(
-            per_user.withColumn("_negn", -F.col("n_events")),
-            ["_negn", "user_id"],
-            {"_rp": F.lit(1)},
-            materialize=True,
-        )
-        .crossJoin(F.broadcast(n_tbl))
-        .select("user_id", "n_events", ntile.alias("decile"))
-    )
+    deciles = _rank_prev_tied(
+        per_user, "_negn", ["user_id"], "_rp", with_totals=True
+    ).select("user_id", "n_events", ntile.alias("decile"))
     return (
         deciles.groupBy("decile")
         .agg(

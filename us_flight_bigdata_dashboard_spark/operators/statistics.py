@@ -787,6 +787,67 @@ def _cum_prev(
     return out.drop("_b", *[f"_off_{name}" for name in sums])
 
 
+def _rank_prev_tied(
+    df,
+    vname,
+    tiebreak_cols,
+    out,
+    group_cols=(),
+    n_buckets: int = _CUM_BUCKETS,
+    materialize: bool = False,
+    with_totals: bool = False,
+):
+    """Exclusive row rank (rows strictly before in the per-group
+    (``vname``, *``tiebreak_cols``) order) for TIE-HEAVY order keys — the
+    skew class the r15 ``tools/cum_skew_probe.py`` audit found live: when
+    ``vname`` has few distinct values (counts, quantized scores), ANY
+    grid that buckets on ``vname`` alone puts a large row fraction into
+    one bucket (ties must share a bucket for monotonicity), and the
+    within-bucket window re-creates the single-task straggler. Decompose
+    by the tie structure instead:
+
+      rank(v, t) = (# rows with smaller v)            — cumulative over
+                   the DISTINCT-v frame (one row per value; value-range
+                   grid is fine there)
+                 + (# same-v rows with smaller t)     — ``_cum_prev``
+                   grouped BY v over the tiebreak (per-v grids; the
+                   tiebreak is a key like custkey/orderkey, uniform)
+
+    which is the definition of lexicographic rank, so the result is
+    value-identical to the plain window / single-grid rank. Intended for
+    bounded-cardinality ``vname``: the distinct-v frame is broadcast
+    into the join and one grid-stats row exists per distinct value.
+    ``with_totals`` adds ``{out}_tot`` = the per-group row count,
+    computed on the distinct-v frame (no extra pass over ``df``).
+    """
+    gcols = list(group_cols)
+    if materialize:
+        df = df.localCheckpoint(eager=False)
+    per_v = df.groupBy(*gcols, vname).agg(F.count(F.lit(1)).alias("_vc"))
+    offs = _cum_prev(
+        per_v, [vname], {"_voff": F.col("_vc")}, group_cols=gcols,
+        n_buckets=n_buckets,
+    )
+    keep = [*gcols, vname, "_voff"]
+    if with_totals:
+        w_tot = (
+            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        ).orderBy(vname).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offs = offs.withColumn(f"{out}_tot", F.sum("_vc").over(w_tot))
+        keep.append(f"{out}_tot")
+    within = _cum_prev(
+        df, list(tiebreak_cols), {"_wr": F.lit(1)},
+        group_cols=[*gcols, vname], n_buckets=n_buckets,
+    )
+    return (
+        within.join(F.broadcast(offs.select(*keep)), [*gcols, vname])
+        .withColumn(out, F.col("_voff") + F.col("_wr"))
+        .drop("_voff", "_wr")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Two-sample distribution tests (KS statistic, Mann-Whitney U)
 # ---------------------------------------------------------------------------
