@@ -314,8 +314,14 @@ def iso_main() -> None:
     import re as _re
 
     prior: dict[str, float] = {}
+    # only canonical per-round artifacts — BENCH_r14_c8.json-style side
+    # captures do not match the pattern and must not crash the sort
     arts = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        (
+            p
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if _re.search(r"BENCH_r(\d+)\.json$", p)
+        ),
         key=lambda p: int(_re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
     )
     if arts:
@@ -487,6 +493,17 @@ def main() -> None:
             # JVM GC notices the dead references)
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist()
+            # ... and broadcasts/shuffle state are likewise only released
+            # by the ContextCleaner AFTER a JVM GC notices the dead refs.
+            # Without one, ~99 queries of broadcast relations accumulate
+            # in the old gen and the LATE entries pay multi-second GC
+            # stalls — measured r15: multimodal_bmp_decode read 20.3 s at
+            # suite position 84 vs 2.1 s isolated, on identical code (the
+            # same artifact class that polluted the replay family's
+            # in-suite numbers in r12-r14). One explicit GC per query,
+            # OUTSIDE the timed region, keeps every position's baseline
+            # comparable (declared in OPTIMIZATION_r15.md).
+            spark.sparkContext._jvm.System.gc()
     finally:
         shutil.rmtree(sink_root, ignore_errors=True)
     # full-precision artifact on disk (the judge-readable backstop) —

@@ -92,6 +92,24 @@ def get_spark(
             "changelogCheckpointing.enabled",
             "true",
         )
+        # Production memory discipline (r15, guide §5): by default every
+        # RocksDB instance on an executor grows its own memtables/block
+        # cache unbounded — at hundreds of state partitions per executor
+        # that is the classic streaming OOM. One env knob caps the TOTAL
+        # RocksDB memory per executor (bounded mode shares one budget
+        # across all instances). Local A/B at sf0.1 state sizes measured
+        # provider choice and cache size inside host noise (parity), so
+        # this stays deployment-only plumbing, off by default:
+        #   SPARK_GRAFT_ROCKSDB_MEM_MB=4096
+        mem_mb = os.environ.get("SPARK_GRAFT_ROCKSDB_MEM_MB")
+        if mem_mb:
+            builder = builder.config(
+                "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+                "true",
+            ).config(
+                "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+                mem_mb,
+            )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
