@@ -182,58 +182,75 @@ _MODULES = [
 # snapshot over its output.
 # Entries after the flagship block run in stable module order.
 _FLAGSHIP_PREFIX = [
-    # ROUND-14 rotation. CORRECTNESS_r13 was 50/50 green, closing full
-    # certification of every entry registered through the r13 wave. The r14
-    # mandatory pool (tools/rotate_prefix.py) is exactly the 6-entry r13
-    # LATE wave (registered + 5-layer pre-cleared + brute-forced in r13,
-    # positions >50 so never in a driver window). Zero CERTAIN sentinels:
-    # the 73 text-changed entries are all docstring-only (AST code bodies
-    # identical — verified by the tool's r14 AST demotion layer).
-    # --- never-certified: r13 late wave (6) ---
-    "robust_moments_bowley",
-    "queueing_mmc_erlang",
-    "brr_variance_estimate",
-    "text_vocab_gini",
-    "dunn_posthoc_test",
-    "kappa_weighted",
-    # --- ROUND-14 WAVE: appended as batches clear the 5-layer pre-check ---
-    # batch 1 (pre-cleared default+PANDAS_CANON sf0.01, dtype-parity,
-    # brute-forced in tests/test_round14_ops.py)
-    "siegel_tukey_scale",
-    "hartley_fmax",
-    "friedman_test",
-    "welch_anova",
-    "goldfeld_quandt",
-    # batch 2 (same pre-clearance)
-    "kpss_test",
-    "variance_ratio_test",
-    "event_study_leads_lags",
+    # ROUND-15 rotation (optimization round 2) — computed by
+    # `python tools/rotate_prefix.py --sentinels` on the r15 tree; the
+    # TOOL is the source of truth, never hand-freeze. CORRECTNESS_r14 was
+    # 50/50 green; the never-certified pool entering r15 is EMPTY (every
+    # registry entry has been driver-certified at least once). The r15
+    # prefix is therefore pure re-certification: all 48 CERTAIN sentinels
+    # (46 entries whose query functions were edited by the r14 bucketed-
+    # window migration AFTER their last certification + 2 r14-certified
+    # entries — hosmer_lemeshow, sdr_variance_estimate — whose functions
+    # the r15 tie-split/offset-total rewires touched), plus 2 judgment
+    # promotions for the riskiest HELPER-level changes the text-level
+    # sentinel check cannot see: multimodal_flac_decode and
+    # multimodal_jpeg_decode, whose mapInPandas workers got new bit-reader/
+    # Huffman machinery in r15 (byte-identity A/B'd and matrix-green, but
+    # driver re-certification is the strongest evidence). The other two
+    # reworked codecs (pframe, gif) are covered by the same A/B + full
+    # matrix; 50 slots were the budget.
+    # --- CERTAIN sentinels (48, alphabetical) ---
+    "abc_pareto_class",
+    "abc_xyz_grid",
+    "anderson_darling_two",
+    "ansari_bradley_scale",
+    "auc_delong_se",
+    "brunner_munzel_test",
+    "cliffs_delta_effect",
+    "conover_squared_ranks",
+    "cramer_von_mises_two",
+    "cucconi_test",
+    "customer_migration_matrix",
+    "customer_rfm_segments",
+    "cuzick_trend_test",
+    "embedding_triplet_violations",
+    "events_activity_concentration",
+    "events_time_to_convert",
+    "fs_record_linkage",
+    "gini_revenue",
+    "histogram_equifreq",
     "hosmer_lemeshow",
-    # batch 3 (same pre-clearance)
-    "clustering_adjusted_rand",
-    "clustering_calinski_harabasz",
-    "retrieval_ndcg_at_k",
-    "retrieval_mrr",
-    # batch 4 (same pre-clearance)
-    "queueing_mg1_pk",
-    "queueing_mm1k_blocking",
-    "price_index_fisher",
-    "least_unit_cost_lot_sizing",
-    # batch 5 (same pre-clearance)
-    "survey_design_effect",
+    "jonckheere_terpstra",
+    "kruskal_wallis",
+    "ks_two_sample",
+    "kuiper_two_sample",
+    "lepage_test",
+    "lorenz_curve_deciles",
+    "mann_whitney_u",
+    "mood_median_test",
+    "mood_scale_test",
+    "odds_ratio_binning",
+    "pareto_skyline_suppliers",
+    "pps_systematic_sample",
+    "qq_shift_deciles",
+    "quantile_normalize_deciles",
+    "reorder_interval",
+    "sample_systematic",
     "sdr_variance_estimate",
-    "survey_raking_ipf",
-    "permutation_test_hashperm",
-    # batch 6 (same pre-clearance)
-    "text_odds_ratio_keyness",
-    "text_ngram_gini",
-    "graph_modularity_score",
-    "sketch_ddsketch_quantile",
-    # batch 7 (same pre-clearance)
-    "watson_u2_two_sample",
-    "biweight_midvariance",
-    "hoeffding_d_independence",
-    "distance_correlation",
+    "sequence_gap_audit",
+    "skew_profile",
+    "spearman_corr",
+    "text_burstiness_fano",
+    "text_gries_dp",
+    "text_rarity_score",
+    "text_vocab_encode",
+    "text_zipf_rankfreq",
+    "trimmed_mean",
+    "wasserstein_two_sample",
+    "yuen_trimmed_ttest",
+    # --- judgment promotions: r15 codec-worker rewrites (2) ---
+    "multimodal_flac_decode",
+    "multimodal_jpeg_decode",
 ]
 
 
